@@ -1,13 +1,192 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.queries.Parity
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the complete checkable surface: SURVEY §2.6's parity
+  * inventory plus the training-data-pipeline extensions (dedup, similarity
+  * search, text analysis). Every oracle-backed entry aliases its columns
+  * identically in Spark and SQL, aggregates 2-decimal doubles through
+  * DECIMAL (exact, order-independent), and ORDER BYs a key.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Parity.pricingSummary(spark, "/root/testdata/sf0.001")
+
+  private def docs(s: SparkSession, dir: String) = Parity.t(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String) = Parity.t(s, dir, "embeddings")
+
+  /** One entry per implemented operator from SURVEY.md §2 (+extensions). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── SURVEY §2.6 parity inventory ──
+    "q_bronze_wrap" -> (Parity.bronzeWrap _),
+    "q_silver_extract" -> (Parity.silverExtract _),
+    "q_silver_clean" -> (Parity.silverClean _),
+    "q_gold_agg" -> (Parity.goldAgg _),
+    "q_gold_agg_orders" -> (Parity.goldAggOrders _),
+    "q_pricing_summary" -> (Parity.pricingSummary _),
+    "q_total" -> (Parity.totalQuantity _),
+    "q_slice" -> (Parity.slice _),
+    "q_date_filter_agg" -> (Parity.dateFilterAgg _),
+    "q_join_broadcast" -> (Parity.joinBroadcast _),
+    "q_join_multi" -> (Parity.joinMulti _),
+    // ── Dedup ──
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactByKey(docs(s, dir), "text", "doc_id").orderBy("doc_id")),
+    "dedup_exact_events" -> ((s, dir) =>
+      Parity.t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("event_id")).alias("first_event"), count(lit(1)).alias("copies"))
+        .orderBy("user_id", "event_type")),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(docs(s, dir), "doc_id", "text", k = 3, numHashes = 32,
+        bands = 16, minJaccard = 0.2).orderBy("id_a", "id_b")),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashDups(docs(s, dir), "doc_id", "text", maxHamming = 12)
+        .orderBy("id_a", "id_b")),
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashLsh(d, "doc_id", "text", k = 2, numHashes = 32,
+        bands = 16, minJaccard = 0.0).select("id_a", "id_b")
+      Dedup.ngramJaccard(pairs, d, "doc_id", "text", k = 2).orderBy("id_a", "id_b")
+    }),
+    // ── Similarity search ──
+    "sim_topk_bruteforce" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id",
+        "embedding", k = 5).orderBy("query_id", "rank")
+    }),
+    "sim_topk_lsh" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id",
+        "embedding", dim = 64, k = 5, bits = 6, tables = 4)
+        .orderBy("query_id", "rank")
+    }),
+    "sim_cosine_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDups(embs(s, dir), "vec_id", "embedding", dim = 64,
+        threshold = 0.30, bits = 6, tables = 4).orderBy("id_a", "id_b")),
+    // ── Text analysis ──
+    "text_token_count" -> ((s, dir) => TextAnalysis.tokenCount(docs(s, dir))),
+    "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
+    "text_langid" -> ((s, dir) => TextAnalysis.languageId(docs(s, dir))),
+    "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir))),
+  )
+
+  /** DuckDB-runnable oracle SQL per query (same column names and exact
+    * arithmetic as the Spark side). Rows-only checks (no entry) for the
+    * LSH/SimHash/ANN family, whose bucketing relies on xxhash64. */
+  def oracleSql: Map[String, String] = Map(
+    "q_bronze_wrap" ->
+      """SELECT props AS raw_json, DATE '2024-01-15' AS extraction_date
+         FROM events ORDER BY event_id""",
+    "q_silver_extract" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
+                CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_num,
+                event_type
+         FROM events ORDER BY event_id""",
+    "q_silver_clean" ->
+      """SELECT c_custkey, upper(trim(c_name)) AS name_up,
+                lower(trim(c_mktsegment)) AS segment_lo,
+                regexp_replace(c_name, '[^0-9]', '', 'g') AS name_digits
+         FROM customer WHERE c_name IS NOT NULL ORDER BY c_custkey""",
+    "q_gold_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS row_count,
+                count(DISTINCT l_orderkey) AS unique_orders
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_gold_agg_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS order_count,
+                count(DISTINCT o_custkey) AS unique_customers,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+         FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+                count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_total" ->
+      """SELECT CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+         FROM lineitem""",
+    "q_slice" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+         WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000.0
+         ORDER BY c_custkey""",
+    "q_date_filter_agg" ->
+      """SELECT o_orderstatus, count(*) AS order_count FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+         GROUP BY 1 ORDER BY 1""",
+    "q_join_broadcast" ->
+      """SELECT c_mktsegment, count(*) AS order_count,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""",
+    "q_join_multi" ->
+      """SELECT r_name, n_name, count(*) AS customer_count,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "dedup_exact" ->
+      """SELECT text, min(doc_id) AS doc_id FROM documents
+         GROUP BY text ORDER BY doc_id""",
+    "dedup_exact_events" ->
+      """SELECT user_id, event_type, min(event_id) AS first_event,
+                count(*) AS copies
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "text_token_count" ->
+      """SELECT doc_id,
+                CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+         FROM documents ORDER BY doc_id""",
+    "text_quality" ->
+      """WITH tk AS (
+           SELECT doc_id, length(text) AS n_chars,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents)
+         SELECT doc_id,
+                CAST(n_chars AS BIGINT) AS n_chars,
+                CAST(len(toks) AS BIGINT) AS n_tokens,
+                CAST(len(list_filter(toks, w -> w IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stopwords,
+                CAST(len(list_filter(toks, w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+                CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS distinct_ratio
+         FROM tk ORDER BY doc_id""",
+    "text_langid" ->
+      """WITH tk AS (
+           SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+                  CAST(len(list_filter(toks, w -> w IN ('the','a','of','and','is'))) AS BIGINT) AS s_en,
+                  CAST(len(list_filter(toks, w -> w IN ('el','la','de','que','y'))) AS BIGINT) AS s_es,
+                  CAST(len(list_filter(toks, w -> w IN ('der','die','das','und','ist'))) AS BIGINT) AS s_de,
+                  CAST(len(list_filter(toks, w -> w IN ('le','la','de','et','est'))) AS BIGINT) AS s_fr
+           FROM tk)
+         SELECT doc_id,
+                CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+                     WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+                     WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+                     WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+                     ELSE 'fr' END AS lang_pred,
+                greatest(s_en, s_es, s_de, s_fr) AS lang_score
+         FROM s ORDER BY doc_id""",
+    "text_fingerprint" ->
+      """SELECT doc_id,
+                list_reduce(
+                  list_prepend(CAST(7 AS BIGINT),
+                    list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+                                   c -> CAST(ascii(c) AS BIGINT))),
+                  (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+         FROM documents ORDER BY doc_id""",
+  )
 }

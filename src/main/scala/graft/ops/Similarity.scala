@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two tiers:
+  *  - [[bruteForceTopK]]: exact cosine top-k via broadcast of the (small)
+  *    query set — the baseline, and the right answer whenever the query set
+  *    fits in an executor (queries × corpus is embarrassingly parallel, no
+  *    corpus shuffle at all);
+  *  - [[lshTopK]]: random-hyperplane (SRP) LSH bucketing — candidate
+  *    generation becomes an equi-join on bucket keys, so the corpus is only
+  *    ever shuffled by bucket, never crossed. The 100 TB path: bucket sizes
+  *    are tunable via `bits`, and re-scoring within buckets is exact.
+  *
+  * All arithmetic is double-precision left-to-right folds over the float
+  * values — deterministic, and reproducible by any engine that evaluates
+  * the same fold (see SparkEntry.oracleSql).
+  */
+object Similarity {
+
+  /** Dot product of two array<float/double> columns: left-to-right double
+    * fold (deterministic order — aggregate, not a tree reduction). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query row, by cosine similarity.
+    *
+    * `queries` (small — broadcast) × `corpus` (huge — never shuffled until
+    * the final per-query top-k, which is a rank over ~k×|queries| rows after
+    * per-partition pruning by the window's rank filter).
+    * Ties broken by corpus id for full determinism.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).alias("corpus_id"), col(vecCol).alias("cvec"))
+    val q = queries.select(col(idCol).alias("query_id"), col(vecCol).alias("qvec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("corpus_id"))
+      .select(
+        col("query_id"), col("corpus_id"),
+        cosine(col("qvec"), col("cvec")).alias("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("corpus_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("score"))
+  }
+
+  /** Signed-random-projection bucket key: `bits` hyperplanes, each defined
+    * by deterministic ±1 component signs derived from (plane, dim) parity —
+    * no RNG, reproducible everywhere. Returns a long in [0, 2^bits). */
+  def srpKey(vec: Column, dim: Int, bits: Int): Column = {
+    val planes = (0 until bits).map { p =>
+      // pseudo-random ±1 pattern per (plane, dim) from a tiny integer hash
+      val signs = (0 until dim).map { d =>
+        val h = (p * 1103515245 + d * 12345 + 1013904223) & 0x7fffffff
+        if ((h & 1) == 1) 1.0 else -1.0
+      }
+      val proj = aggregate(
+        zip_with(vec, typedLit(signs), (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    planes.reduce(_.bitwiseOR(_))
+  }
+
+  /** ANN top-k: SRP-bucket both sides, equi-join on the bucket key, exact
+    * re-score within buckets, per-query top-k. Recall < 1 by construction;
+    * raise recall with multiple independent tables (`tables`), each with its
+    * own plane set, unioned before the final rank. */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      bits: Int = 8,
+      tables: Int = 2): DataFrame = {
+    val c = corpus.select(col(idCol).alias("corpus_id"), col(vecCol).alias("cvec"))
+    val q = queries.select(col(idCol).alias("query_id"), col(vecCol).alias("qvec"))
+    val candidates = (0 until tables).map { t =>
+      // offset the plane index space per table for independent hash tables
+      val keyC = srpKeyOffset(col("cvec"), dim, bits, t * bits)
+      val keyQ = srpKeyOffset(col("qvec"), dim, bits, t * bits)
+      c.withColumn("bkey", keyC)
+        .join(q.withColumn("bkey", keyQ), Seq("bkey"))
+        .filter(col("query_id") =!= col("corpus_id"))
+        .select(col("query_id"), col("corpus_id"), col("qvec"), col("cvec"))
+    }.reduce(_.unionByName(_)).distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("corpus_id").asc)
+    candidates
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("qvec"), col("cvec")).alias("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("score"))
+  }
+
+  private def srpKeyOffset(vec: Column, dim: Int, bits: Int, offset: Int): Column = {
+    val planes = (0 until bits).map { p0 =>
+      val p = p0 + offset
+      val signs = (0 until dim).map { d =>
+        val h = (p * 1103515245 + d * 12345 + 1013904223) & 0x7fffffff
+        if ((h & 1) == 1) 1.0 else -1.0
+      }
+      val proj = aggregate(
+        zip_with(vec, typedLit(signs), (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, shiftleft(lit(1L), p0)).otherwise(lit(0L))
+    }
+    planes.reduce(_.bitwiseOR(_))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all corpus pairs above a cosine
+    * threshold, bucketed by SRP key so candidate generation is an equi-join
+    * (near-identical vectors collide in every table with high probability). */
+  def cosineNearDups(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double,
+      bits: Int = 8,
+      tables: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).alias("nd_id"), col(vecCol).alias("vec"))
+    val candidates = (0 until tables).map { t =>
+      val keyed = c.withColumn("bkey", srpKeyOffset(col("vec"), dim, bits, t * bits))
+      val a = keyed.alias("a")
+      val b = keyed.alias("b")
+      a.join(b, col("a.bkey") === col("b.bkey") && col("a.nd_id") < col("b.nd_id"))
+        .select(
+          col("a.nd_id").alias("id_a"), col("b.nd_id").alias("id_b"),
+          col("a.vec").alias("vec_a"), col("b.vec").alias("vec_b"))
+    }.reduce(_.unionByName(_)).distinct()
+    candidates
+      .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).alias("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline, over a
+  * `documents(doc_id, text, lang, source, n_chars)`-shaped table.
+  *
+  * All operators are narrow (per-row, no shuffle) and built from codegen'd
+  * `org.apache.spark.sql.functions` + higher-order array functions — at
+  * 100 TB these run as pure map stages pipelined into the parquet scan, with
+  * column pruning keeping the scan to (doc_id, text).
+  *
+  * Every function here is deliberately expressible in ANSI-ish SQL so the
+  * DuckDB oracle can replicate it bit-for-bit (integer/ratio outputs only;
+  * see SparkEntry.oracleSql).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, keeping empties out (split on runs of spaces would
+    * differ between engines on trailing separators — filtering empties makes
+    * the two agree). */
+  def tokens(text: Column): Column =
+    filter(split(text, " ", -1), c => c =!= lit(""))
+
+  /** Token count (whitespace tokenization). */
+  def tokenCount(docs: DataFrame): DataFrame =
+    docs.select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").alias("n_tokens"))
+      .orderBy("doc_id")
+
+  /** Stopwords for the quality ratio — a tiny fixed set is enough for a
+    * quality *signal* (full lists are a config concern, not an engine one). */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Quality scoring: length, token count, mean token length, stopword
+    * ratio, distinct-token ratio. Mirrors the length/punct/stopword-ratio
+    * heuristics used by LLM data-cleaning pipelines (C4/Gopher-style rules),
+    * as integer and exact-ratio outputs so the oracle hash-matches. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val nStop = size(filter(toks, w => w.isin(stopwords: _*))).cast("long")
+    val nUniq = size(array_distinct(toks)).cast("long")
+    docs.select(
+        col("doc_id"),
+        length(col("text")).cast("long").alias("n_chars"),
+        nTok.alias("n_tokens"),
+        nStop.alias("n_stopwords"),
+        (nStop.cast("double") / nTok.cast("double")).alias("stopword_ratio"),
+        (nUniq.cast("double") / nTok.cast("double")).alias("distinct_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Marker words per language for the n-gram/keyword language-ID heuristic.
+    * Scores are exact integer counts; the argmax is taken in a fixed language
+    * order so ties resolve identically in any engine. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "de", "et", "est"))
+
+  /** Language-ID heuristic: count marker-word hits per language, pick the
+    * best-scoring language (ties → earlier in [[langMarkers]]), 'und' when
+    * nothing matches. */
+  def languageId(docs: DataFrame): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    val scores = langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, w => w.isin(markers: _*))).cast("long")
+    }
+    // fold to (bestLang, bestScore) in declaration order: strictly-greater
+    // keeps the earlier language on ties.
+    val (bestLang, bestScore) = scores.tail.foldLeft(
+        (lit(scores.head._1), scores.head._2)) {
+      case ((bl, bs), (lang, sc)) =>
+        (when(sc > bs, lit(lang)).otherwise(bl), when(sc > bs, sc).otherwise(bs))
+    }
+    docs.select(
+        col("doc_id"),
+        when(bestScore > 0, bestLang).otherwise(lit("und")).alias("lang_pred"),
+        bestScore.alias("lang_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Polynomial rolling-hash document fingerprint:
+    * `h = fold(chars)(acc -> (acc*31 + ascii(c)) mod 1e9+7)`, seed 7.
+    * Stays in BIGINT range at every step, so any engine reproduces it
+    * exactly. Useful as a cheap content fingerprint for exact-dup detection
+    * when full-text comparison is too wide to shuffle. */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      filter(split(text, "", -1), c => c =!= lit("")),
+      lit(7L),
+      (acc, c) => (acc * lit(31L) + ascii(c)) % lit(1000000007L))
+
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), fingerprint(col("text")).alias("fp"))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Engine
+
+/** SURVEY.md §2.6's declared query inventory, parameterized over the driver
+  * testdata (TESTDATA.md). Each query here has a matching DuckDB oracle in
+  * [[graft.SparkEntry.oracleSql]] and is hash-compared by the driver at
+  * sf0.01.
+  *
+  * Determinism rules used throughout (so Spark and DuckDB hash-match):
+  *  - money/measure doubles are 2-decimal values; aggregate them as
+  *    DECIMAL(18,2) (exact) and cast the final result to DOUBLE — identical
+  *    bits in both engines regardless of partial-aggregation order;
+  *  - every query ORDER BYs a key column — cheap at these result sizes and
+  *    immune to any order-sensitivity in the comparator;
+  *  - no raw TIMESTAMP columns in outputs (events.ts is parquet NANOS which
+  *    the two engines surface differently); dates are compared as DATE.
+  *
+  * Scale notes are on each query — the plan shapes here (partial agg before
+  * shuffle, broadcast dims, pushed filters) are the ones that survive 100 TB.
+  */
+object Parity {
+
+  /** Read one testdata table; applies Engine.tune for reference-parity
+    * session semantics (ANSI off, nanos-as-long) on externally-built
+    * sessions (Verify/Bench). */
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    Engine.tune(spark)
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** Exact 2-decimal aggregation helper: DECIMAL(18,2) sum cast back to
+    * DOUBLE — bit-identical across engines and partition orders. */
+  private def dsum(c: String) = sum(col(c).cast("decimal(18,2)")).cast("double")
+
+  // ── Q-bronze: wrap a raw JSON-string column with a run-date partition key
+  //    (reference: breweries_bronze_processors.py:139-146). Narrow, no
+  //    shuffle; at 100 TB this is a pure map stage.
+  def bronzeWrap(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .orderBy("event_id")
+      .select(
+        col("props").alias("raw_json"),
+        lit(java.sql.Date.valueOf("2024-01-15")).alias("extraction_date"))
+
+  // ── Q-silver-extract: JSON path extraction + cast, null-tolerant
+  //    (reference: breweries_silver_processors.py:35-49). get_json_object is
+  //    codegen'd; missing path / bad cast → null (ANSI off).
+  def silverExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").alias("k_str"),
+        get_json_object(col("props"), "$.k").cast("double").alias("k_num"),
+        col("event_type"))
+      .orderBy("event_id")
+
+  // ── Q-silver-clean: trim/lower/upper/regexp_replace normalization + the
+  //    not-null validity filter (reference: silver:52-67).
+  def silverClean(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .filter(col("c_name").isNotNull)
+      .select(
+        col("c_custkey"),
+        upper(trim(col("c_name"))).alias("name_up"),
+        lower(trim(col("c_mktsegment"))).alias("segment_lo"),
+        regexp_replace(col("c_name"), "[^0-9]", "").alias("name_digits"))
+      .orderBy("c_custkey")
+
+  // ── Q-gold-agg: multi-key grouped aggregate with count(*) and exact
+  //    distinct count (reference: breweries_gold_processors.py:28-45).
+  //    countDistinct expands to a two-phase aggregate with bounded state —
+  //    the scalable replacement for the reference's collect_set (SURVEY
+  //    §7.4-1). Partial aggregation runs map-side before the 2-key shuffle.
+  def goldAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).alias("row_count"),
+        countDistinct(col("l_orderkey")).alias("unique_orders"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // ── Q-gold-agg over orders: 2-key group with an exact money sum.
+  def goldAggOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).alias("order_count"),
+        countDistinct(col("o_custkey")).alias("unique_customers"),
+        dsum("o_totalprice").alias("total_price"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  // ── TPC-H Q1-shaped pricing summary: the classic scan-heavy aggregate.
+  //    Filter pushes to the parquet scan; all arithmetic exact decimal.
+  def pricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val qty = col("l_quantity").cast("decimal(18,2)")
+    val price = col("l_extendedprice").cast("decimal(18,2)")
+    val disc = col("l_discount").cast("decimal(18,2)")
+    val tax = col("l_tax").cast("decimal(18,2)")
+    li.filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(qty).cast("double").alias("sum_qty"),
+        sum(price).cast("double").alias("sum_base_price"),
+        sum(price * (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") - disc)).cast("double").alias("sum_disc_price"),
+        sum(price * (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") - disc) * (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") + tax)).cast("double").alias("sum_charge"),
+        count(lit(1)).alias("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // ── Q-total: global aggregate (reference: gold:55).
+  def totalQuantity(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(dsum("l_quantity").alias("total_qty"))
+
+  // ── Q-slice: compound boolean predicate slice (reference tests P4).
+  //    Both predicates push to the parquet scan (PushedFilters).
+  def slice(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 1000.0)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy("c_custkey")
+
+  // ── Date-partition-style pruning filter (reference P1): predicate on the
+  //    date column reaches the scan; on a date-partitioned lakehouse table
+  //    this is partition pruning.
+  def dateFilterAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).alias("order_count"))
+      .orderBy("o_orderstatus")
+
+  // ── Broadcast-join aggregate: fact ⋈ small dim. customer is tiny relative
+  //    to orders at every SF — broadcast() pins the plan that avoids
+  //    shuffling the fact table (the 100 TB-correct choice; AQE would pick
+  //    it too, but we declare intent).
+  def joinBroadcast(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).alias("order_count"),
+        dsum("o_totalprice").alias("revenue"))
+      .orderBy("c_mktsegment")
+
+  // ── Multi-way dim join: region ⋈ nation ⋈ customer, all broadcastable.
+  def joinMulti(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).alias("customer_count"),
+        dsum("c_acctbal").alias("total_acctbal"))
+      .orderBy("r_name", "n_name")
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** Unit tests for the training-data-pipeline operators (dedup, similarity,
+  * text analysis) on small in-memory fixtures with hand-computable goldens.
+  */
+class OpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (2L, "completely different content about spark engines"),
+    (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (4L, "el perro que corre y la casa de que")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per distinct text") {
+    val out = Dedup.exactByKey(docs, "text", "doc_id").collect()
+    assert(out.length == 4) // 5 docs, one exact dup
+    val keeper = out.find(_.getAs[String]("text").endsWith("lazy dog")).get
+    assert(keeper.getAs[Long]("doc_id") == 0L)
+  }
+
+  test("minhash: identical docs have est_jaccard 1.0; near-dups found") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", k = 2, numHashes = 16,
+      bands = 8, minJaccard = 0.0).collect()
+    val exact = pairs.find(r => r.getAs[Long]("id_a") == 0L && r.getAs[Long]("id_b") == 3L)
+    assert(exact.isDefined && exact.get.getAs[Double]("est_jaccard") == 1.0)
+    // near-dup 0-1 should collide in at least one band and score high-ish
+    val near = pairs.find(r => r.getAs[Long]("id_a") == 0L && r.getAs[Long]("id_b") == 1L)
+    assert(near.isDefined && near.get.getAs[Double]("est_jaccard") > 0.3)
+  }
+
+  test("simhash: identical docs at hamming 0, near-dups close") {
+    val dups = Dedup.simhashDups(docs, "doc_id", "text", maxHamming = 16).collect()
+    val exact = dups.find(r => r.getAs[Long]("id_a") == 0L && r.getAs[Long]("id_b") == 3L)
+    assert(exact.isDefined && exact.get.getAs[Long]("hamming") == 0L)
+  }
+
+  test("ngram jaccard: exact dup = 1.0, near-dup in (0,1)") {
+    val pairs = Seq((0L, 3L), (0L, 1L), (0L, 2L)).toDF("id_a", "id_b")
+    val j = Dedup.ngramJaccard(pairs, docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(j((0L, 3L)) == 1.0)
+    assert(j((0L, 1L)) > 0.5 && j((0L, 1L)) < 1.0)
+    assert(j((0L, 2L)) == 0.0)
+  }
+
+  test("shingles produce n-k+1 word k-grams") {
+    val sh = docs.filter($"doc_id" === 2L)
+      .select(Dedup.shingles($"text", 3).alias("sh"))
+      .collect().head.getSeq[String](0)
+    assert(sh.length == 4) // 6 tokens, k=3
+    assert(sh.head == "completely different content")
+  }
+
+  test("cosine: orthogonal=0, identical=1, deterministic fold") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(2.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val scores = vecs.alias("a").crossJoin(vecs.alias("b"))
+      .select($"a.vec_id".alias("ia"), $"b.vec_id".alias("ib"),
+        Similarity.cosine($"a.embedding", $"b.embedding").alias("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(scores((1L, 2L)) == 0.0)
+    assert(scores((1L, 3L)) == 1.0)
+    assert(math.abs(scores((1L, 1L)) - 1.0) < 1e-15)
+  }
+
+  test("brute-force top-k: finds the colinear vector first, ties by id") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(1.0f, 0.01f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(corpus, corpus.filter($"vec_id" === 1L),
+      "vec_id", "embedding", k = 2).collect()
+    assert(out.length == 2)
+    assert(out.find(_.getAs[Int]("rank") == 1).get.getAs[Long]("corpus_id") == 4L)
+    assert(out.find(_.getAs[Int]("rank") == 2).get.getAs[Long]("corpus_id") == 2L)
+  }
+
+  test("token count / quality / langid / fingerprint goldens") {
+    val d2 = Seq((10L, "the cat and the hat"), (11L, "el la de que y casa"))
+      .toDF("doc_id", "text")
+    val tc = TextAnalysis.tokenCount(d2).collect()
+    assert(tc.map(_.getAs[Long]("n_tokens")).toSeq == Seq(5L, 6L))
+    val q = TextAnalysis.qualityScore(d2).collect().head
+    assert(q.getAs[Long]("n_stopwords") == 3L) // the, and, the
+    assert(q.getAs[Double]("stopword_ratio") == 0.6)
+    assert(q.getAs[Double]("distinct_ratio") == 0.8) // the,cat,and,hat / 5
+    val langs = TextAnalysis.languageId(d2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    assert(langs(10L) == "en" && langs(11L) == "es")
+    // fingerprint: deterministic, distinct for distinct texts
+    val fps = TextAnalysis.fingerprints(d2).collect().map(_.getAs[Long]("fp"))
+    assert(fps.distinct.length == 2)
+    val fps2 = TextAnalysis.fingerprints(d2).collect().map(_.getAs[Long]("fp"))
+    assert(fps.toSeq == fps2.toSeq)
+  }
+
+  test("tokens drop empties: trailing/leading/double spaces don't count") {
+    val d3 = Seq((20L, " a  b c ")).toDF("doc_id", "text")
+    assert(TextAnalysis.tokenCount(d3).collect().head.getAs[Long]("n_tokens") == 3L)
+  }
+}
