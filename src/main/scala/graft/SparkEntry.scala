@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.queries.Parity
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -72,6 +72,19 @@ object SparkEntry {
     "sim_cosine_neardup" -> ((s, dir) =>
       Similarity.cosineNearDups(embs(s, dir), "vec_id", "embedding", dim = 64,
         threshold = 0.30, bits = 6, tables = 4).orderBy("id_a", "id_b")),
+    // ── Multimodal columns ──
+    "multimodal_meta" -> ((s, dir) =>
+      Multimodal.metaSummary(Multimodal.mediaFromDocuments(docs(s, dir)))),
+    "multimodal_bytestats" -> ((s, dir) =>
+      Multimodal.byteStats(Multimodal.mediaFromDocuments(docs(s, dir)))),
+    "multimodal_decode" -> ((s, dir) =>
+      Multimodal.decodeImages(Multimodal.mediaFromDocuments(docs(s, dir)))
+        .toDF().orderBy("media_id")),
+    "multimodal_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.mediaFromDocuments(docs(s, dir)))
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).alias("n_frames_sampled"))
+        .orderBy("media_id")),
     // ── Text analysis ──
     "text_token_count" -> ((s, dir) => TextAnalysis.tokenCount(docs(s, dir))),
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
@@ -145,6 +158,31 @@ object SparkEntry {
       """SELECT user_id, event_type, min(event_id) AS first_event,
                 count(*) AS copies
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "multimodal_meta" ->
+      """WITH m AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+                  CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'mp4' END AS format,
+                  CASE WHEN doc_id % 3 = 0 THEN 64 + (doc_id % 8) * 16 WHEN doc_id % 3 = 1 THEN 0 ELSE 128 END AS width,
+                  CASE WHEN doc_id % 3 = 0 THEN 1 WHEN doc_id % 3 = 1 THEN 0 ELSE 8 + (doc_id % 8) END AS nframes
+           FROM documents)
+         SELECT kind, format, count(*) AS n_media,
+                CAST(max(width) AS BIGINT) AS max_width,
+                CAST(max(nframes) AS BIGINT) AS max_frames
+         FROM m GROUP BY 1, 2 ORDER BY 1, 2""",
+    "multimodal_bytestats" ->
+      """SELECT doc_id AS media_id,
+                CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+                CAST(length(text) AS BIGINT) AS n_bytes,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+                                 c -> CAST(ascii(c) AS BIGINT))),
+                  (a, b) -> a + b) AS byte_sum
+         FROM documents ORDER BY media_id""",
+    "multimodal_frames" ->
+      """SELECT doc_id AS media_id,
+                ((8 + (doc_id % 8)) + 1) // 2 AS n_frames_sampled
+         FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id""",
     "text_token_count" ->
       """SELECT doc_id,
                 CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens

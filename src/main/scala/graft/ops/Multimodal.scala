@@ -1,0 +1,182 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column support: image/audio/video as opaque `binary` columns
+  * with typed metadata, plus the decode / feature-extract / resize /
+  * frame-sample plumbing a training-data pipeline needs.
+  *
+  * The DECODERS ARE DETERMINISTIC FAKES — this container has no image/audio
+  * codecs, so `decodeStub` derives pseudo pixel/sample data from the bytes
+  * (clearly marked below). Everything around them — the schema, the
+  * per-partition batch processing shape, partitioning behavior, and the
+  * typed metadata contract — is real Spark and is what matters at 100 TB:
+  *
+  *  - media rows are processed with `mapPartitions` over a typed Dataset:
+  *    one iterator pass per partition, no driver collect, the Scala analogue
+  *    of `mapInPandas` batch UDFs (swap the stub for a JNI/library call and
+  *    the plan shape is unchanged);
+  *  - binary payloads stay opaque to the optimizer; metadata lives in a
+  *    separate struct column so filters on (kind, width, duration…) prune
+  *    and push down WITHOUT touching the bytes — at rest, parquet stores
+  *    the binary column in its own chunk, so metadata-only queries never
+  *    read pixel bytes;
+  *  - feature extraction emits fixed-width `Array[Float]` embeddings that
+  *    feed [[Similarity]] directly.
+  */
+object Multimodal {
+
+  /** Typed metadata for an opaque media payload. */
+  final case class MediaMeta(
+      format: String,
+      width: Int,
+      height: Int,
+      sampleRate: Int,
+      nFrames: Int)
+
+  /** One media row: id + kind discriminator + opaque bytes + typed meta. */
+  final case class MediaRow(
+      media_id: Long,
+      kind: String, // image | audio | video
+      bytes: Array[Byte],
+      meta: MediaMeta)
+
+  /** Decoded-image features (per image). */
+  final case class ImageFeatures(
+      media_id: Long,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      mean_intensity: Double,
+      embedding: Array[Float])
+
+  /** Sampled video frame reference. */
+  final case class FrameSample(
+      media_id: Long,
+      frame_index: Int,
+      frame_bytes: Array[Byte])
+
+  /** Build a deterministic media table from the documents testdata: each
+    * doc's UTF-8 bytes stand in for an encoded payload. Kind/meta derive
+    * from doc_id so the table exercises all three modalities. */
+  def mediaFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
+      case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val kind = (id % 3) match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        }
+        val meta = kind match {
+          case "image" => MediaMeta("png", 64 + (id % 8).toInt * 16, 64, 0, 1)
+          case "audio" => MediaMeta("wav", 0, 0, 16000, 0)
+          case _       => MediaMeta("mp4", 128, 128, 0, 8 + (id % 8).toInt)
+        }
+        MediaRow(id, kind, bytes, meta)
+    }
+  }
+
+  // ───────────────────────────────────────────────────────────────────────
+  // STUB DECODER — deterministic fake. A real deployment replaces ONLY the
+  // body of this function (e.g. with javax.imageio / ffmpeg JNI); callers
+  // and plan shape stay identical.
+  // ───────────────────────────────────────────────────────────────────────
+  private[ops] def decodeStub(bytes: Array[Byte], w: Int, h: Int): Array[Int] = {
+    // pseudo "pixels": cycle the payload bytes to w*h unsigned intensities
+    val n = math.max(1, w * h)
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      out(i) = if (bytes.isEmpty) 0 else bytes(i % bytes.length) & 0xff
+      i += 1
+    }
+    out
+  }
+
+  /** Decode images and extract fixed-width features, one partition-batch at
+    * a time (`mapPartitions` — the Scala analogue of a batched pandas UDF:
+    * per-partition setup cost is paid once, rows stream through). */
+  def decodeImages(media: Dataset[MediaRow], embeddingDim: Int = 16): Dataset[ImageFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "image").mapPartitions { rows =>
+      // per-partition decoder init would happen HERE (library handle, JNI…)
+      rows.map { r =>
+        val px = decodeStub(r.bytes, r.meta.width, r.meta.height)
+        var sum = 0L
+        var i = 0
+        while (i < px.length) { sum += px(i); i += 1 }
+        // pseudo-embedding: mean intensity per horizontal band
+        val emb = new Array[Float](embeddingDim)
+        val band = math.max(1, px.length / embeddingDim)
+        var b = 0
+        while (b < embeddingDim) {
+          var s = 0L; var j = b * band; val end = math.min(px.length, (b + 1) * band)
+          while (j < end) { s += px(j); j += 1 }
+          emb(b) = if (end > j - band) s.toFloat / band else 0f
+          b += 1
+        }
+        ImageFeatures(r.media_id, r.bytes.length.toLong, r.meta.width,
+          r.meta.height, sum.toDouble / px.length, emb)
+      }
+    }
+  }
+
+  /** "Resize": recompute metadata + re-derive payload for the target size.
+    * Metadata math is real; pixel resampling is the stub. */
+  def resizeImages(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.map { r =>
+      if (r.kind != "image") r
+      else r.copy(
+        bytes = decodeStub(r.bytes, targetW, targetH).map(_.toByte),
+        meta = r.meta.copy(width = targetW, height = targetH))
+    }
+  }
+
+  /** Frame sampling for video rows: every `stride`-th frame index, with the
+    * frame payload sliced deterministically from the byte stream. One input
+    * row → n output rows (flatMap — Spark's Generator shape). */
+  def sampleFrames(media: Dataset[MediaRow], stride: Int = 2): Dataset[FrameSample] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "video").flatMap { r =>
+      val frames = math.max(1, r.meta.nFrames)
+      val chunk = math.max(1, r.bytes.length / frames)
+      (0 until frames by stride).map { f =>
+        val start = f * chunk
+        val end = math.min(r.bytes.length, start + chunk)
+        FrameSample(r.media_id, f,
+          if (start < r.bytes.length) r.bytes.slice(start, end) else Array.emptyByteArray)
+      }
+    }
+  }
+
+  /** Metadata-only summary: never touches the binary column — check the
+    * plan's ReadSchema when this runs over a parquet media table. */
+  def metaSummary(media: Dataset[MediaRow]): DataFrame =
+    media.toDF()
+      .groupBy(col("kind"), col("meta.format").alias("format"))
+      .agg(
+        count(lit(1)).alias("n_media"),
+        max(col("meta.width")).cast("long").alias("max_width"),
+        max(col("meta.nFrames")).cast("long").alias("max_frames"))
+      .orderBy("kind", "format")
+
+  /** Byte-level stats per media row — oracle-friendly (pure integer math
+    * over the payload, reproducible in any engine). */
+  def byteStats(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.map { r =>
+      var sum = 0L
+      var i = 0
+      while (i < r.bytes.length) { sum += r.bytes(i) & 0xff; i += 1 }
+      (r.media_id, r.kind, r.bytes.length.toLong, sum)
+    }.toDF("media_id", "kind", "n_bytes", "byte_sum")
+      .orderBy("media_id")
+  }
+}

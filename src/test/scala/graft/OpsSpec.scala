@@ -108,4 +108,42 @@ class OpsSpec extends SparkSpec {
     val d3 = Seq((20L, " a  b c ")).toDF("doc_id", "text")
     assert(TextAnalysis.tokenCount(d3).collect().head.getAs[Long]("n_tokens") == 3L)
   }
+
+  private lazy val media = {
+    val d = Seq((0L, "image doc zero"), (1L, "audio doc one"), (2L, "video doc two"),
+      (3L, "another image")).toDF("doc_id", "text")
+    ops.Multimodal.mediaFromDocuments(d)
+  }
+
+  test("multimodal: kind/meta derivation and byte payload") {
+    val rows = media.collect().sortBy(_.media_id)
+    assert(rows.map(_.kind).toSeq == Seq("image", "audio", "video", "image"))
+    assert(rows(0).bytes sameElements "image doc zero".getBytes("UTF-8"))
+    assert(rows(0).meta.width == 64 && rows(3).meta.width == 64 + 3 * 16)
+    assert(rows(2).meta.nFrames == 10)
+  }
+
+  test("multimodal: image decode produces w*h-derived features + embedding") {
+    val feats = ops.Multimodal.decodeImages(media, embeddingDim = 4)
+      .collect().sortBy(_.media_id)
+    assert(feats.length == 2) // only image rows
+    assert(feats(0).n_bytes == "image doc zero".getBytes("UTF-8").length)
+    assert(feats(0).embedding.length == 4)
+    assert(feats(0).mean_intensity > 0)
+  }
+
+  test("multimodal: resize updates metadata, frame sampling yields stride frames") {
+    val resized = ops.Multimodal.resizeImages(media, 32, 32).collect()
+      .filter(_.kind == "image")
+    assert(resized.forall(r => r.meta.width == 32 && r.bytes.length == 32 * 32))
+    val frames = ops.Multimodal.sampleFrames(media, stride = 2).collect()
+    assert(frames.forall(_.media_id == 2L))
+    assert(frames.length == 5) // 10 frames, stride 2
+  }
+
+  test("multimodal: metadata summary never needs the payload") {
+    val summary = ops.Multimodal.metaSummary(media).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_media"))).toMap
+    assert(summary == Map("image" -> 2L, "audio" -> 1L, "video" -> 1L))
+  }
 }
