@@ -1,0 +1,186 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.Shims
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for embedding math — the hot path of
+  * similarity search ([[graft.ops.Similarity]]).
+  *
+  * Why custom expressions (SURVEY §7.3): the composable alternative —
+  * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` — allocates an intermediate
+  * array per row and evaluates lambdas interpretively per element, outside
+  * whole-stage codegen. These expressions generate a tight primitive loop
+  * into the WholeStageCodegen body instead: no allocation, no virtual
+  * calls. Semantics are identical (left-to-right double accumulation,
+  * null elements count as 0, /0 → null like Spark's non-ANSI Divide).
+  *
+  * Both float and double element arrays are accepted.
+  */
+abstract class VectorBinaryExpression extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def numericElem(t: DataType): Boolean = t == FloatType || t == DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(lt, _), ArrayType(rt, _)) if numericElem(lt) && numericElem(rt) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float|double> inputs, got ($l, $r)")
+    }
+
+  protected def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** Element getter for interpreted eval. */
+  protected def get(arr: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+
+  /** Java element-read snippet for codegen. */
+  protected def getJava(arr: String, i: String, isFloat: Boolean): String =
+    if (isFloat) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+}
+
+/** `vec_dot(a, b)` — dot product of two numeric arrays. */
+case class VecDot(left: Expression, right: Expression) extends VectorBinaryExpression {
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) acc += get(x, i, lf) * get(y, i, rf)
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+            $acc += ${getJava(a, i, lf)} * ${getJava(b, i, rf)};
+          }
+        }
+        ${ev.value} = $acc;
+      """
+    })
+
+  override def prettyName: String = "vec_dot"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `vec_cosine(a, b)` — cosine similarity in one pass (dot and both norms
+  * in a single loop; three composed aggregates would scan the arrays three
+  * times). Returns null when either norm is 0 (matches non-ANSI Divide). */
+case class VecCosine(left: Expression, right: Expression) extends VectorBinaryExpression {
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (x.isNullAt(i)) 0.0 else get(x, i, lf)
+      val yv = if (y.isNullAt(i)) 0.0 else get(y, i, rf)
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else dot / denom
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val denom = ctx.freshName("denom")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $xv = $a.isNullAt($i) ? 0.0 : ${getJava(a, i, lf)};
+          double $yv = $b.isNullAt($i) ? 0.0 : ${getJava(b, i, rf)};
+          $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+        }
+        double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+        if ($denom == 0.0) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = $dot / $denom;
+        }
+      """
+    })
+
+  override def prettyName: String = "vec_cosine"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Column-API + SQL registration for the native vector functions. */
+object VectorFunctions {
+
+  def dot(a: Column, b: Column): Column =
+    Shims.column(VecDot(Shims.expression(a), Shims.expression(b)))
+
+  def cosine(a: Column, b: Column): Column =
+    Shims.column(VecCosine(Shims.expression(a), Shims.expression(b)))
+
+  def norm(a: Column): Column = org.apache.spark.sql.functions.sqrt(dot(a, a))
+
+  /** SQL names registered into a session (also injected session-wide by
+    * [[GraftExtensions]] for `--conf spark.sql.extensions=`). */
+  val registry: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_dot" -> { args => VecDot(args(0), args(1)) },
+    "vec_cosine" -> { args => VecCosine(args(0), args(1)) })
+
+  /** Imperative registration for an existing session (tests, Verify). */
+  def register(spark: SparkSession): Unit = registry.foreach { case (name, builder) =>
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
+  }
+}
+
+/** `SparkSessionExtensions` hook: set
+  * `spark.sql.extensions=graft.functions.GraftExtensions` and the vector
+  * functions resolve in any SQL/DataFrame query of the session. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (args: Seq[Expression]) => VecDot(args(0), args(1))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("vec_cosine"),
+      new ExpressionInfo(classOf[VecCosine].getName, "vec_cosine"),
+      (args: Seq[Expression]) => VecCosine(args(0), args(1))))
+  }
+}

@@ -22,15 +22,24 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array<float/double> columns: left-to-right double
-    * fold (deterministic order — aggregate, not a tree reduction). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Dot product — native codegen'd expression ([[graft.functions.VecDot]]);
+    * left-to-right double accumulation, same result as the HOF fold below. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine — one-pass native expression ([[graft.functions.VecCosine]]). */
+  def cosine(a: Column, b: Column): Column = graft.functions.VectorFunctions.cosine(a, b)
+
+  /** Reference implementations via composable higher-order functions — used
+    * in tests to cross-check the native expressions; 3 interpreted array
+    * passes per row vs the native single codegen'd loop. */
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (sqrt(dotHof(a, a)) * sqrt(dotHof(b, b)))
 
   /** Exact top-k neighbors for each query row, by cosine similarity.
     *
@@ -69,9 +78,7 @@ object Similarity {
         val h = (p * 1103515245 + d * 12345 + 1013904223) & 0x7fffffff
         if ((h & 1) == 1) 1.0 else -1.0
       }
-      val proj = aggregate(
-        zip_with(vec, typedLit(signs), (x, s) => x.cast("double") * s),
-        lit(0.0), (acc, v) => acc + v)
+      val proj = dot(vec, typedLit(signs))
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     planes.reduce(_.bitwiseOR(_))
@@ -118,9 +125,7 @@ object Similarity {
         val h = (p * 1103515245 + d * 12345 + 1013904223) & 0x7fffffff
         if ((h & 1) == 1) 1.0 else -1.0
       }
-      val proj = aggregate(
-        zip_with(vec, typedLit(signs), (x, s) => x.cast("double") * s),
-        lit(0.0), (acc, v) => acc + v)
+      val proj = dot(vec, typedLit(signs))
       when(proj >= 0, shiftleft(lit(1L), p0)).otherwise(lit(0L))
     }
     planes.reduce(_.bitwiseOR(_))

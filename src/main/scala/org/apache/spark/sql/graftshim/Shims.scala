@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Access shim: `ExpressionUtils` (Column ⇄ Expression bridging) is
+  * `private[sql]` in Spark 4, so extension libraries reach it from inside
+  * the package tree. Only public Spark APIs are re-exported; no behavior.
+  */
+object Shims {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
