@@ -37,6 +37,11 @@ object SparkEntry {
     "q_date_filter_agg" -> (Parity.dateFilterAgg _),
     "q_join_broadcast" -> (Parity.joinBroadcast _),
     "q_join_multi" -> (Parity.joinMulti _),
+    "q_window_topn" -> (Parity.windowTopN _),
+    "q_window_running" -> (Parity.windowRunningTotal _),
+    "q_window_lag" -> (Parity.windowLag _),
+    "q_asof_join" -> (Parity.asofPurchaseView _),
+    "q_sessionize" -> (Parity.sessionStats _),
     // ── Dedup ──
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactByKey(docs(s, dir), "text", "doc_id").orderBy("doc_id")),
@@ -151,6 +156,49 @@ object SparkEntry {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_window_topn" ->
+      """SELECT o_orderpriority, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice
+         FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                      row_number() OVER (PARTITION BY o_orderpriority
+                                         ORDER BY o_totalprice DESC, o_orderkey) AS rn
+               FROM orders)
+         WHERE rn <= 3 ORDER BY o_orderpriority, rn""",
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                     OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey
+                           ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q_window_lag" ->
+      """SELECT user_id, event_id, value,
+                lag(value) OVER w AS prev_value,
+                value - lag(value) OVER w AS delta
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+         ORDER BY user_id, event_id""",
+    "q_asof_join" ->
+      """SELECT l.user_id, l.event_id, l.value, r.event_id AS matched_view_event
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+           ON l.user_id = r.user_id AND l.event_id >= r.event_id
+         ORDER BY l.user_id, l.event_id""",
+    "q_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         d AS (
+           SELECT user_id, event_id, us,
+                  CASE WHEN lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w > 43200000000 THEN 1 ELSE 0 END AS new_s
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         s AS (
+           SELECT user_id, event_id,
+                  CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM d)
+         SELECT user_id, session_id, count(*) AS n_events,
+                min(event_id) AS first_event, max(event_id) AS last_event
+         FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
     "dedup_exact" ->
       """SELECT text, min(doc_id) AS doc_id FROM documents
          GROUP BY text ORDER BY doc_id""",

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operators beyond the reference's surface: as-of join and
+  * sessionization. Both are built on Spark's window machinery so they scale
+  * with one shuffle on the partition key — no cross joins, no driver state.
+  */
+object Relational {
+
+  /** Backward as-of join: for every left row, the single right row with the
+    * greatest `rightTime <= leftTime` within the same `key` group.
+    *
+    * Implementation is the union-window trick, NOT an inequality join:
+    * tag both inputs, sort each key group by (time, side) with right rows
+    * first on ties, and carry the last-seen right time forward with
+    * `last(..., ignoreNulls)`. One shuffle on `key`, linear per group —
+    * at 100 TB this is the difference between a sort within partitions and
+    * an O(n·m) broadcast-nested-loop inequality join.
+    *
+    * Returns the left rows plus `asof_time` (matched right time, null when
+    * no right row precedes) — the caller re-joins right-side payload on
+    * (key, asof_time) when needed, an equi-join.
+    */
+  def asofJoinTime(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTimeCol: String,
+      rightTimeCol: String): DataFrame = {
+    val leftCols = left.columns
+    val l = left.withColumn("__side", lit(1))
+      .withColumn("__t", col(leftTimeCol))
+    val r = right.select(col(keyCol), col(rightTimeCol).alias("__t"))
+      .withColumn("__side", lit(0))
+    // align schemas: right side carries nulls for left payload columns
+    val rAligned = leftCols.foldLeft(r) { (df, c) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, lit(null))
+    }.select((leftCols.map(col) :+ col("__side") :+ col("__t")): _*)
+    val unioned = l.select((leftCols.map(col) :+ col("__side") :+ col("__t")): _*)
+      .unionByName(rAligned)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("asof_time",
+        last(when(col("__side") === 0, col("__t")), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__side", "__t")
+  }
+
+  /** Gap-based sessionization: rows within `key` whose successive `timeCol`
+    * values differ by more than `gap` start a new session. Returns input
+    * plus a per-key `session_id` (1-based, ordered by time).
+    *
+    * Classic two-window construction (boundary flag → running sum), one
+    * shuffle on `key`. The streaming analogue with identical semantics is
+    * [[graft.streaming.Sessions]].
+    */
+  def sessionize(df: DataFrame, keyCol: String, timeCol: String, tieCol: String, gap: Long): DataFrame = {
+    val order = Window.partitionBy(col(keyCol)).orderBy(col(timeCol).asc, col(tieCol).asc)
+    val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__prev", lag(col(timeCol), 1).over(order))
+      .withColumn("__new",
+        when(col("__prev").isNull || col(timeCol) - col("__prev") > gap, 1).otherwise(0))
+      .withColumn("session_id", sum(col("__new")).over(running))
+      .drop("__prev", "__new")
+  }
+
+  /** Top-N per group by a ranking column, fully deterministic (ties broken
+    * by `tieCol`). row_number + filter — Spark pushes the rank limit into
+    * the sort within each partition group. */
+  def topNPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      rankExpr: Column,
+      tieCol: String,
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(rankExpr, col(tieCol).asc)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+  }
+}

@@ -134,6 +134,64 @@ object Parity {
       .agg(count(lit(1)).alias("order_count"))
       .orderBy("o_orderstatus")
 
+  // ── Window functions (absent from the reference — §2.5 — but part of a
+  //    complete engine surface). All deterministic: ties broken by key.
+  def windowTopN(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Relational.topNPerGroup(
+        t(s, dir, "orders"), "o_orderpriority", col("o_totalprice").desc, "o_orderkey", 3)
+      .select(col("o_orderpriority"), col("rn").cast("long").alias("rn"),
+        col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_orderpriority", "rn")
+
+  def windowRunningTotal(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).over(w)
+          .cast("double").alias("running_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  def windowLag(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").asc)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("value"),
+        lag(col("value"), 1).over(w).alias("prev_value"),
+        (col("value") - lag(col("value"), 1).over(w)).alias("delta"))
+      .orderBy("user_id", "event_id")
+  }
+
+  // ── As-of join: latest 'view' event at-or-before each 'purchase' per
+  //    user (union-window implementation — one shuffle, no inequality join).
+  def asofPurchaseView(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("value"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"))
+    graft.ops.Relational.asofJoinTime(purchases, views, "user_id", "event_id", "event_id")
+      .withColumnRenamed("asof_time", "matched_view_event")
+      .orderBy("user_id", "event_id")
+  }
+
+  // ── Gap sessionization over the event stream (12 h inactivity gap),
+  //    compared on exact integer microseconds.
+  def sessionStats(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").alias("us"))
+    graft.ops.Relational.sessionize(e, "user_id", "us", "event_id", gap = 43200000000L)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).alias("n_events"),
+        min(col("event_id")).alias("first_event"),
+        max(col("event_id")).alias("last_event"))
+      .orderBy("user_id", "session_id")
+  }
+
   // ── Broadcast-join aggregate: fact ⋈ small dim. customer is tiny relative
   //    to orders at every SF — broadcast() pins the plan that avoids
   //    shuffling the fact table (the 100 TB-correct choice; AQE would pick

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Relational
+
+/** As-of join, sessionization, top-N — hand-computable goldens. */
+class RelationalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("asof join matches latest right time <= left time per key") {
+    val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))
+      .toDF("k", "t", "payload")
+    val right = Seq((1L, 8L), (1L, 15L), (1L, 25L), (2L, 9L)).toDF("k", "t")
+    val out = Relational.asofJoinTime(left, right, "k", "t", "t")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("t")) ->
+        (if (r.isNullAt(r.fieldIndex("asof_time"))) None else Some(r.getAs[Long]("asof_time")))).toMap
+    assert(out((1L, 10L)) == Some(8L))   // 8 <= 10 < 15
+    assert(out((1L, 20L)) == Some(15L))  // 15 <= 20 < 25
+    assert(out((2L, 5L)) == None)        // no right row at/before 5
+  }
+
+  test("asof join: equal timestamps match (right sorts before left on ties)") {
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 10L)).toDF("k", "t")
+    val out = Relational.asofJoinTime(left, right, "k", "t", "t").collect().head
+    assert(out.getAs[Long]("asof_time") == 10L)
+  }
+
+  test("sessionize splits on gap, 1-based ids, ordered") {
+    val df = Seq(
+      (1L, 100L, 1L), (1L, 150L, 2L), (1L, 500L, 3L), (1L, 520L, 4L),
+      (2L, 10L, 5L)).toDF("k", "t", "id")
+    val out = Relational.sessionize(df, "k", "t", "id", gap = 100L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("session_id")).toMap
+    assert(out(1L) == 1L && out(2L) == 1L) // 150-100=50 <= 100: same session
+    assert(out(3L) == 2L && out(4L) == 2L) // 500-150=350 > 100: new session
+    assert(out(5L) == 1L)
+  }
+
+  test("topN per group respects ordering and tie-break") {
+    val df = Seq(
+      ("a", 1L, 30.0), ("a", 2L, 30.0), ("a", 3L, 10.0), ("a", 4L, 40.0),
+      ("b", 5L, 1.0)).toDF("g", "id", "v")
+    val out = Relational.topNPerGroup(df, "g", col("v").desc, "id", 2)
+      .select("g", "rn", "id").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out(("a", 1)) == 4L) // highest v
+    assert(out(("a", 2)) == 1L) // tie at 30.0 -> lower id wins
+    assert(out(("b", 1)) == 5L)
+  }
+}
