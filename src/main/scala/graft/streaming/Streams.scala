@@ -1,0 +1,108 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (extension beyond the reference, which is
+  * strictly daily batch — SURVEY §1.4). Three pieces:
+  *
+  *  1. the Silver/Gold transforms are *reused verbatim* on streaming
+  *     DataFrames — they are narrow projections/filters and grouped
+  *     aggregates, so the same [[graft.layers.Silver]] code runs under
+  *     `readStream` unchanged (batch/stream unification is the point of
+  *     declaring transforms as `DataFrame => DataFrame`);
+  *  2. watermarked tumbling-window aggregation over an event-time column
+  *     (the canonical streaming shape Spark plans with state-store-backed
+  *     incremental aggregation + late-data eviction);
+  *  3. gap sessionization with `flatMapGroupsWithState` — explicit keyed
+  *     state, the streaming analogue of [[graft.ops.Relational.sessionize]].
+  *
+  * Scale notes: state size is bounded — windowed aggs keep one row per
+  * (window, key) until the watermark passes; sessionization keeps one
+  * open-session struct per active key. Shuffle partitioning is by group
+  * key, identical to the batch plans.
+  */
+object Streams {
+
+  /** Watermarked tumbling-window counts/sums per event type. `events` must
+    * carry an event-time TIMESTAMP column `ts`. Late rows beyond the
+    * watermark are dropped; state for closed windows is evicted. */
+  def windowedEventCounts(
+      events: DataFrame,
+      watermarkDelay: String = "1 hour",
+      windowLength: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).alias("n_events"), sum(col("value")).alias("total_value"))
+      .select(col("window.start").alias("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Input row for streaming sessionization. `ts` = event-time millis. */
+  final case class SessionEvent(user_id: Long, event_id: Long, ts: Long)
+
+  /** Open-session state carried between micro-batches. */
+  final case class SessionState(
+      sessionIndex: Long, startTs: Long, lastTs: Long, nEvents: Long,
+      firstEvent: Long, lastEvent: Long)
+
+  /** A closed (emitted) session. */
+  final case class SessionOut(
+      user_id: Long, session_id: Long, n_events: Long,
+      start_ts: Long, end_ts: Long)
+
+  /** Gap sessionization over a keyed event stream: a session closes when
+    * the next event of the key arrives more than `gapMs` after the last.
+    * Sessions are emitted when *closed by a later event* (NoTimeout keeps
+    * the example deterministic under MemoryStream tests; production would
+    * add EventTimeTimeout to also flush idle sessions at the watermark).
+    *
+    * Semantics match the batch construction in
+    * [[graft.ops.Relational.sessionize]]: same gap rule, 1-based ids in
+    * event-time order per key.
+    */
+  def sessionize(
+      events: Dataset[SessionEvent],
+      gapMs: Long): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val closed = Seq.newBuilder[SessionOut]
+          var cur = state.getOption.orNull
+          batch.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+            if (cur == null) {
+              cur = SessionState(1L, e.ts, e.ts, 1L, e.event_id, e.event_id)
+            } else if (e.ts - cur.lastTs > gapMs) {
+              closed += SessionOut(userId, cur.sessionIndex, cur.nEvents, cur.startTs, cur.lastTs)
+              cur = SessionState(cur.sessionIndex + 1, e.ts, e.ts, 1L, e.event_id, e.event_id)
+            } else {
+              cur = cur.copy(lastTs = math.max(cur.lastTs, e.ts),
+                nEvents = cur.nEvents + 1, lastEvent = e.event_id)
+            }
+          }
+          if (cur != null) state.update(cur)
+          closed.result().iterator
+      }
+  }
+
+  /** Streaming medallion slice: raw JSON-string records (the Bronze shape)
+    * through the *batch* Silver transforms — projection/filter only, so the
+    * identical code plans incrementally under readStream. */
+  def silverStream(rawJsonRecords: DataFrame): DataFrame =
+    graft.layers.Silver.clean(graft.layers.Silver.extract(rawJsonRecords))
+
+  /** Streaming gold: running per-key counts in Update mode (same grouping
+    * as the batch Gold aggregate, minus the date filter which a stream
+    * expresses as a watermark + window instead). */
+  def goldStream(silver: DataFrame): DataFrame =
+    silver.groupBy(col("brewery_type"), col("country"), col("state"), col("city"))
+      .agg(count(lit(1)).alias("brewery_count"),
+        approx_count_distinct(col("id")).alias("unique_brewery_count"))
+}

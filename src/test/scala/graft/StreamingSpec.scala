@@ -1,0 +1,88 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.Streams
+import graft.streaming.Streams.{SessionEvent, SessionOut}
+
+/** Structured Streaming: windowed aggregation under watermark, stateful
+  * sessionization, and batch-transform reuse — driven with MemoryStream
+  * micro-batches.
+  */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("windowed counts under watermark aggregate per window and type") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val counts = Streams.windowedEventCounts(
+      input.toDF().toDF("ts", "event_type", "value"),
+      watermarkDelay = "10 minutes", windowLength = "30 minutes")
+    val q = counts.writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData((ts(0), "view", 1.0), (ts(5), "view", 2.0), (ts(40), "click", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .groupBy("window_start", "event_type")
+        .agg(max("n_events").alias("n"), max("total_value").alias("v"))
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      assert(rows(("2024-01-01 10:00:00.0", "view")) == (2L, 3.0))
+      assert(rows(("2024-01-01 10:30:00.0", "click")) == (1L, 5.0))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes sessions on gap across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val sessions = Streams.sessionize(input.toDS(), gapMs = 1000L)
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two events 500ms apart (one session, still open)
+      input.addData(SessionEvent(1L, 1L, 0L), SessionEvent(1L, 2L, 500L))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() == 0) // nothing closed yet
+      // batch 2: event 5s later -> closes session 1
+      input.addData(SessionEvent(1L, 3L, 5500L))
+      q.processAllAvailable()
+      val closed = spark.table("sessions").as[SessionOut].collect()
+      assert(closed.length == 1)
+      assert(closed.head == SessionOut(1L, 1L, 2L, 0L, 500L))
+      // batch 3: another gap closes session 2 (1 event)
+      input.addData(SessionEvent(1L, 4L, 10000L))
+      q.processAllAvailable()
+      val all = spark.table("sessions").as[SessionOut].collect().sortBy(_.session_id)
+      assert(all.length == 2 && all(1) == SessionOut(1L, 2L, 1L, 5500L, 5500L))
+    } finally q.stop()
+  }
+
+  test("batch Silver transform runs unchanged on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Date)]
+    val silver = Streams.silverStream(
+      input.toDF().toDF("raw_json", "extraction_date"))
+    val q = silver.writeStream.format("memory").queryName("silver_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        ("""{"id": "s-1", "name": " Stream Brew ", "brewery_type": "MICRO", "city": "X", "state_province": "or", "country": "us", "longitude": "1.5", "latitude": "2.5", "phone": "(1) 2-3", "postal_code": "1", "website_url": "w"}""",
+          java.sql.Date.valueOf("2024-01-15")))
+      q.processAllAvailable()
+      val row = spark.table("silver_stream").collect().head
+      assert(row.getAs[String]("brewery_type") == "micro")
+      assert(row.getAs[String]("state") == "OR")
+      assert(row.getAs[String]("phone") == "123")
+      assert(row.getAs[Double]("longitude") == 1.5)
+    } finally q.stop()
+  }
+}
