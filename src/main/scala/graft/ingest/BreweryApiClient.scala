@@ -68,7 +68,7 @@ final class BreweryApiClient(
     * (breweries_bronze_processors.py:145) — we preserve each record's raw
     * text so `get_json_object` paths stay valid downstream.
     */
-  private[ingest] def splitJsonArray(body: String): Seq[String] = {
+  def splitJsonArray(body: String): Seq[String] = {
     val trimmed = body.trim
     if (!trimmed.startsWith("[")) return Seq.empty
     val out = Seq.newBuilder[String]

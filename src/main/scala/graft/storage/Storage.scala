@@ -41,3 +41,43 @@ final class ParquetWarehouse(spark: SparkSession, root: String) extends Storage 
   override def exists(table: String): Boolean =
     new java.io.File(path(table)).exists()
 }
+
+/** Catalog-backed warehouse: managed tables in the session catalog,
+  * written through the DataFrameWriterV2 API — the reference's table
+  * lifecycle (createOrReplace with partitioning + table properties,
+  * setup/create_tables_script.py:70-75) and its namespace hierarchy
+  * (create_databases.sql:5-14) without the Iceberg/Nessie containers.
+  * In production the same calls target an Iceberg catalog; only the
+  * `using` format and catalog conf change.
+  */
+final class CatalogWarehouse(spark: SparkSession, namespace: String = "graft")
+    extends Storage {
+
+  spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $namespace")
+
+  private def qualified(table: String) = s"$namespace.$table"
+
+  override def read(table: String): DataFrame = spark.table(qualified(table))
+
+  override def writePartitioned(df: DataFrame, table: String, partitionCol: String): Unit =
+    if (!exists(table)) {
+      // V2 create-with-partitioning (reference S6; full createOrReplace
+      // requires an Iceberg-style V2 catalog — the session catalog only
+      // supports CREATE, which is all the first run needs)
+      df.writeTo(qualified(table))
+        .using("parquet")
+        .partitionedBy(org.apache.spark.sql.functions.col(partitionCol))
+        .create()
+    } else {
+      // dynamic overwrite of just the partitions present in df (S5).
+      // The session catalog stores a V1 parquet table, so the re-run path
+      // is V1 insertInto under partitionOverwriteMode=dynamic; on an
+      // Iceberg catalog the same call site would be
+      // `df.writeTo(t).overwritePartitions()`.
+      df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      df.write.mode(SaveMode.Overwrite).insertInto(qualified(table))
+    }
+
+  override def exists(table: String): Boolean =
+    spark.catalog.tableExists(qualified(table))
+}

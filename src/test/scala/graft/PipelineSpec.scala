@@ -103,6 +103,22 @@ class PipelineSpec extends SparkSpec {
     assert(wh.read("silver").filter(col("extraction_date") === lit(java.sql.Date.valueOf(d))).count() == 3)
   }
 
+  test("catalog warehouse: V2 createOrReplace + dynamic partition overwrite") {
+    val wh = new graft.storage.CatalogWarehouse(spark, "graft_test")
+    val fetcher = new RecordFetcher { def fetch(): Seq[String] = sample }
+    val runner = new Runner(spark, wh, fetcher)
+    val r1 = runner.run(d)
+    assert(r1.bronzeRows == 3 && r1.totalCount == 3)
+    // same-date re-run replaces the partition, doesn't append
+    val r2 = runner.run(d)
+    assert(r2.bronzeRows == 3 && r2.totalCount == 3)
+    // a second date adds a partition without touching the first
+    val r3 = runner.run(d.plusDays(1))
+    assert(r3.bronzeRows == 6)
+    assert(spark.table("graft_test.silver")
+      .filter(col("extraction_date") === lit(java.sql.Date.valueOf(d))).count() == 3)
+  }
+
   test("100-record corpus: sum(brewery_count)==100, groups bounded") {
     val cities = Seq("Portland", "Seattle", "Denver", "Austin", "Chicago")
     val types = Seq("micro", "brewpub", "large", "regional", "contract", "planning")
