@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Physical-plan regression tests: the properties that make these queries
+  * scale (pushdown, pruning, broadcast, window-group-limit) asserted
+  * against the actual optimized plans over the sf0.001 testdata.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.explainString(FormattedMode)
+
+  test("q_slice: both predicates push into the parquet scan") {
+    val p = plan("q_slice")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"))
+    assert(p.contains("GreaterThan(c_acctbal,1000.0)"))
+  }
+
+  test("q_slice: scan is column-pruned to the selected+filtered columns") {
+    val p = plan("q_slice")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("c_nationkey")) // unused column never read
+  }
+
+  test("q_join_broadcast: dim side broadcasts, no fact shuffle before join") {
+    val p = plan("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q_join_multi: both dim joins broadcast") {
+    val p = plan("q_join_multi")
+    assert("BroadcastHashJoin Inner".r.findAllIn(p).size == 2)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q_pricing_summary: date filter pushed; only needed columns read") {
+    val p = plan("q_pricing_summary")
+    assert(p.contains("LessThanOrEqual(l_shipdate,"))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("l_partkey") && !read.contains("l_comment"))
+  }
+
+  test("sim_topk_bruteforce: per-partition rank pruning (WindowGroupLimit)") {
+    val p = plan("sim_topk_bruteforce")
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("BroadcastExchange")) // query side broadcast
+  }
+
+  test("silver transform is shuffle-free (narrow pipeline)") {
+    val bronze = layers.Bronze.build(spark,
+      Seq("""{"id": "x", "name": "n"}"""), java.time.LocalDate.of(2024, 1, 15))
+    val p = layers.Silver.transform(bronze, java.time.LocalDate.of(2024, 1, 15))
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Exchange"))
+  }
+
+  test("gold aggregate plans partial aggregation before the shuffle") {
+    val p = plan("q_gold_agg")
+    // partial_count marks map-side (pre-shuffle) aggregation
+    assert(p.contains("partial_count") || p.contains("Partial"))
+  }
+}
