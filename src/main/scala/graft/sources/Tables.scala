@@ -15,4 +15,15 @@ object Tables {
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Register every testdata table as a temp view and the graft SQL
+    * functions (vec_dot/vec_cosine), making the whole engine surface
+    * reachable from `spark.sql` — the role Trino plays over the
+    * reference's Iceberg tables (SURVEY §3.4) is played here by Spark's
+    * own SQL front end over the same data.
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    all.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+    graft.functions.VectorFunctions.register(spark)
+  }
 }
