@@ -53,8 +53,11 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(docs(s, dir), "doc_id", "text", k = 3, numHashes = 32,
         bands = 16, minJaccard = 0.2).orderBy("id_a", "id_b")),
+    // maxHamming=3 is the completeness bound of the 16-bit-quarter
+    // blocking (pigeonhole): every reported pair is exact and no ≤3 pair
+    // is missed.
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashDups(docs(s, dir), "doc_id", "text", maxHamming = 12)
+      Dedup.simhashDups(docs(s, dir), "doc_id", "text", maxHamming = 3)
         .orderBy("id_a", "id_b")),
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val d = docs(s, dir)

@@ -39,6 +39,36 @@ object Dedup {
     transform(idxs, i => concat_ws(" ", slice(toks, i + lit(1), lit(k))))
   }
 
+  /** Exploded k-shingle hashes: one row per (doc, shingle-hash), WITHOUT
+    * ever materializing shingle strings.
+    *
+    * Shape: hash each token once (inside the posexplode argument, so it is
+    * evaluated once per doc), then combine each window of k token-hashes
+    * with `lead()` over (doc, position) — wrapping 64-bit arithmetic,
+    * deterministic. Hashing-equivalent to hashing the shingle string
+    * (equal shingles ⇒ equal hash, collisions 2^-64-grade) and an order of
+    * magnitude cheaper than string slice+concat shingling: only 8-byte
+    * token hashes are shuffled/sorted, and downstream aggregations reuse
+    * this exchange's (doc) partitioning — one shuffle total.
+    *
+    * `sh` is null for the last k-1 positions of each doc (incomplete
+    * windows) and for docs with fewer than k tokens; null-ignoring
+    * aggregates (min/collect_set) handle those for free.
+    */
+  def shingleHashRows(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id")).orderBy(col("__pos").asc)
+    val sh = (0 until k).map { j =>
+      val h = if (j == 0) col("__th") else lead(col("__th"), j).over(w)
+      h * lit(31L * (j * 2 + 1) + 7L)
+    }.reduce(_ + _)
+    docs.select(
+        col(idCol).alias("__id"),
+        posexplode_outer(transform(TextAnalysis.tokens(col(textCol)), t => xxhash64(t))))
+      .toDF("__id", "__pos", "__th")
+      .select(col("__id"), sh.alias("sh"))
+  }
+
   /** Deterministic 63-bit hash of a string: polynomial rolling hash in a
     * Mersenne-ish prime field. Pure integer arithmetic — reproducible
     * everywhere, unlike xxhash64's seed-dependence is fine but this also
@@ -70,10 +100,10 @@ object Dedup {
       k: Int,
       numHashes: Int): DataFrame = {
     val p = MinhashP
-    val sh = docs.select(
-      col(idCol).alias("mh_id"),
-      explode_outer(array_distinct(shingles(col(textCol), k))).alias("shingle"))
-    val hashed = sh.select(col("mh_id"), pmod(xxhash64(col("shingle")), lit(p)).alias("h"))
+    // duplicates don't affect min, so no distinct pass is needed; the
+    // groupBy below reuses the window's (doc) partitioning — one shuffle.
+    val hashed = shingleHashRows(docs, idCol, textCol, k)
+      .select(col("__id").alias("mh_id"), pmod(col("sh"), lit(p)).alias("h"))
     val aggs = (0 until numHashes).map { i =>
       val a = 1103515245L * (i + 1) % p
       val b = 12345L * (i * 2 + 1) % p
@@ -102,27 +132,37 @@ object Dedup {
       bands: Int = 8,
       minJaccard: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // The signature table is referenced three times below (both sides of
+    // the band join + the scoring join); persist it so the shingle
+    // explode/aggregate pipeline runs once. It is tiny relative to the
+    // corpus: numHashes longs per doc.
     val sig = minhashSignatures(docs, idCol, textCol, k, numHashes)
-    // explode into (band, bucket) keys
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // explode into (band, bucket) keys — sig stays behind, only the 8-byte
+    // bucket key + id travel into the join
     val banded = sig.select(
-      col("mh_id"), col("sig"),
+      col("mh_id"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
-    val a = banded.alias("a")
-    val b = banded.alias("b")
-    a.join(b,
+    // candidate pairs first (dedup across bands BEFORE scoring, so each
+    // pair's signature comparison happens exactly once)
+    val cand = banded.alias("a")
+      .join(banded.alias("b"),
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
         col("a.mh_id") < col("b.mh_id"))
-      .select(
-        col("a.mh_id").alias("id_a"),
-        col("b.mh_id").alias("id_b"),
-        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => (x === y).cast("int")), v => v === 1)).cast("double")
-          / lit(numHashes.toDouble)).alias("est_jaccard"))
+      .select(col("a.mh_id").alias("id_a"), col("b.mh_id").alias("id_b"))
       .distinct()
+    cand
+      .join(sig.select(col("mh_id").alias("id_a"), col("sig").alias("sig_a")), "id_a")
+      .join(sig.select(col("mh_id").alias("id_b"), col("sig").alias("sig_b")), "id_b")
+      .select(
+        col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("int")), v => v === 1)).cast("double")
+          / lit(numHashes.toDouble)).alias("est_jaccard"))
       .filter(col("est_jaccard") >= minJaccard)
   }
 
@@ -166,7 +206,9 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // referenced by both sides of the self-join below; 16 bytes per doc
     val withSim = simhashes(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocked = withSim.select(
       col("sh_id"), col("sim"),
       posexplode(array((0 until 4).map(q =>
@@ -191,17 +233,19 @@ object Dedup {
   // ── N-gram Jaccard ─────────────────────────────────────────────────────
 
   /** Exact n-gram Jaccard similarity for candidate pairs produced by an LSH
-    * pass (or any (id_a, id_b) pair table). Joins the texts back in and
-    * computes |A∩B| / |A∪B| over distinct word k-shingles. */
+    * pass (or any (id_a, id_b) pair table). Joins the shingle sets back in
+    * and computes |A∩B| / |A∪B| over distinct word k-shingles — compared
+    * as 64-bit shingle hashes (set operations on longs, not strings; same
+    * result modulo 2^-64 collisions). */
   def ngramJaccard(
       pairs: DataFrame,
       docs: DataFrame,
       idCol: String,
       textCol: String,
       k: Int = 3): DataFrame = {
-    val sh = docs.select(
-      col(idCol).alias("j_id"),
-      array_distinct(shingles(col(textCol), k)).alias("sh"))
+    val sh = shingleHashRows(docs, idCol, textCol, k)
+      .groupBy(col("__id").alias("j_id"))
+      .agg(collect_set(col("sh")).alias("sh"))
     pairs
       .join(sh.select(col("j_id").alias("id_a"), col("sh").alias("sh_a")), "id_a")
       .join(sh.select(col("j_id").alias("id_b"), col("sh").alias("sh_b")), "id_b")
