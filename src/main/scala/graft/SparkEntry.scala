@@ -42,6 +42,7 @@ object SparkEntry {
     "q_window_lag" -> (Parity.windowLag _),
     "q_asof_join" -> (Parity.asofPurchaseView _),
     "q_sessionize" -> (Parity.sessionStats _),
+    "q_percentiles" -> (Parity.percentiles _),
     // ── Dedup ──
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactByKey(docs(s, dir), "text", "doc_id").orderBy("doc_id")),
@@ -77,6 +78,12 @@ object SparkEntry {
         "embedding", dim = 64, k = 5, bits = 6, tables = 4)
         .orderBy("query_id", "rank")
     }),
+    "sim_topk_ivf" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id",
+        "embedding", k = 5, numCentroids = 16, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }),
     "sim_cosine_neardup" -> ((s, dir) =>
       Similarity.cosineNearDups(embs(s, dir), "vec_id", "embedding", dim = 64,
         threshold = 0.30, bits = 6, tables = 4).orderBy("id_a", "id_b")),
@@ -95,6 +102,7 @@ object SparkEntry {
         .orderBy("media_id")),
     // ── Text analysis ──
     "text_token_count" -> ((s, dir) => TextAnalysis.tokenCount(docs(s, dir))),
+    "text_bpe_tokens" -> ((s, dir) => TextAnalysis.bpeTokenCount(docs(s, dir))),
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
     "text_langid" -> ((s, dir) => TextAnalysis.languageId(docs(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir))),
@@ -202,6 +210,16 @@ object SparkEntry {
          SELECT user_id, session_id, count(*) AS n_events,
                 min(event_id) AS first_event, max(event_id) AS last_event
          FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_percentiles" ->
+      """SELECT o_orderstatus,
+                quantile_cont(o_totalprice, 0.5) AS p50,
+                quantile_cont(o_totalprice, 0.9) AS p90,
+                max(o_totalprice) AS p100
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "text_bpe_tokens" ->
+      """SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+         FROM documents ORDER BY doc_id""",
     "dedup_exact" ->
       """SELECT text, min(doc_id) AS doc_id FROM documents
          GROUP BY text ORDER BY doc_id""",

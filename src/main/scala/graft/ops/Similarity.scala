@@ -131,6 +131,63 @@ object Similarity {
     planes.reduce(_.bitwiseOR(_))
   }
 
+  /** IVF-style ANN top-k: inverted-file search with exact re-scoring.
+    *
+    *  1. centroids = a deterministic subset of the corpus (lowest
+    *     `numCentroids` ids — a kmeans fit would slot in here; centroid
+    *     *choice* only affects recall, never correctness of re-scoring);
+    *  2. every corpus vector is assigned to its nearest centroid
+    *     (broadcast centroids, one-pass argmax via max(struct(score,id)) —
+    *     deterministic tie-break);
+    *  3. each query probes its `nprobe` nearest cells;
+    *  4. exact cosine re-scoring only inside probed cells, then top-k.
+    *
+    * The 100 TB path: the corpus is partitioned by cell once (equi-join on
+    * cell id), each query touches nprobe/numCentroids of the corpus, and
+    * recall is tuned by nprobe without touching the stored assignment.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numCentroids: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).alias("corpus_id"), col(vecCol).alias("cvec"))
+    val q = queries.select(col(idCol).alias("query_id"), col(vecCol).alias("qvec"))
+    val centroids = c.orderBy(col("corpus_id").asc).limit(numCentroids)
+      .select(col("corpus_id").alias("centroid_id"), col("cvec").alias("centvec"))
+    // nearest centroid per corpus vector (argmax with deterministic ties)
+    val assigned = c.crossJoin(broadcast(centroids))
+      .select(col("corpus_id"), col("cvec"),
+        struct(cosine(col("cvec"), col("centvec")).alias("s"),
+          col("centroid_id").alias("cid")).alias("sc"))
+      .groupBy(col("corpus_id"))
+      .agg(first(col("cvec")).alias("cvec"), max(col("sc")).alias("best"))
+      .select(col("corpus_id"), col("cvec"), col("best.cid").alias("cell"))
+    // nprobe nearest cells per query
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("ps").desc, col("cell").asc)
+    val probed = q.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("qvec"),
+        cosine(col("qvec"), col("centvec")).alias("ps"),
+        col("centroid_id").alias("cell"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("cell"))
+    // exact re-score inside probed cells only
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("corpus_id").asc)
+    assigned.join(probed, Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("qvec"), col("cvec")).alias("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("score"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all corpus pairs above a cosine
     * threshold, bucketed by SRP key so candidate generation is an equi-join
     * (near-identical vectors collide in every table with high probability). */

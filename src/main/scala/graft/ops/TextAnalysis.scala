@@ -30,6 +30,21 @@ object TextAnalysis {
         size(tokens(col("text"))).cast("long").alias("n_tokens"))
       .orderBy("doc_id")
 
+  /** BPE-ish regex tokenization (GPT-2-style pre-tokenizer shape: letter
+    * runs, digit runs, single punctuation marks). A real BPE merge table is
+    * a model artifact; the engine-side primitive is the regex pass that
+    * feeds it, which is what costs at 100 TB. */
+  val bpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpePattern), lit(0))
+
+  def bpeTokenCount(docs: DataFrame): DataFrame =
+    docs.select(
+        col("doc_id"),
+        size(bpeTokens(col("text"))).cast("long").alias("n_bpe_tokens"))
+      .orderBy("doc_id")
+
   /** Stopwords for the quality ratio — a tiny fixed set is enough for a
     * quality *signal* (full lists are a config concern, not an engine one). */
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")

@@ -192,6 +192,19 @@ object Parity {
       .orderBy("user_id", "session_id")
   }
 
+  // ── Exact percentiles per group (sort-based `percentile`, identical
+  //    linear interpolation to DuckDB's quantile_cont — verified
+  //    bit-for-bit). approx_percentile is the 100 TB single-pass variant;
+  //    exact mode is the checkable one.
+  def percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        max(col("o_totalprice")).alias("p100"))
+      .orderBy("o_orderstatus")
+
   // ── Broadcast-join aggregate: fact ⋈ small dim. customer is tiny relative
   //    to orders at every SF — broadcast() pins the plan that avoids
   //    shuffling the fact table (the 100 TB-correct choice; AQE would pick

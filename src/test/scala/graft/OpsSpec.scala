@@ -85,6 +85,31 @@ class OpsSpec extends SparkSpec {
     assert(out.find(_.getAs[Int]("rank") == 2).get.getAs[Long]("corpus_id") == 2L)
   }
 
+  test("ivf with full probing equals brute force; partial probing is a subset") {
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 1.7 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val qs = vecs.filter($"vec_id" < 3)
+    val bf = ops.Similarity.bruteForceTopK(vecs, qs, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // probing every cell => exact
+    val full = ops.Similarity.ivfTopK(vecs, qs, "vec_id", "embedding", 3,
+      numCentroids = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(full == bf)
+    // partial probing returns k results per query from probed cells
+    val part = ops.Similarity.ivfTopK(vecs, qs, "vec_id", "embedding", 3,
+      numCentroids = 8, nprobe = 2).collect()
+    assert(part.map(_.getLong(0)).distinct.length == 3)
+  }
+
+  test("bpe-ish regex tokens: letters, digits, punctuation split") {
+    val d = Seq((0L, "hello world42, x-1!")).toDF("doc_id", "text")
+    val n = ops.TextAnalysis.bpeTokenCount(d).collect().head.getAs[Long]("n_bpe_tokens")
+    // hello | world | 42 | , | x | - | 1 | !
+    assert(n == 8L)
+  }
+
   test("token count / quality / langid / fingerprint goldens") {
     val d2 = Seq((10L, "the cat and the hat"), (11L, "el la de que y casa"))
       .toDF("doc_id", "text")
