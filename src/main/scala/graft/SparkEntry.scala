@@ -60,6 +60,10 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashDups(docs(s, dir), "doc_id", "text", maxHamming = 3)
         .orderBy("id_a", "id_b")),
+    "dedup_corpus" -> ((s, dir) =>
+      Dedup.dedupCorpus(docs(s, dir), "doc_id", "text",
+        minJaccard = 0.5, k = 3, numHashes = 32, bands = 8)
+        .select(col("doc_id"), col("n_chars")).orderBy("doc_id")),
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val d = docs(s, dir)
       val pairs = Dedup.minhashLsh(d, "doc_id", "text", k = 2, numHashes = 32,

@@ -230,6 +230,65 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ── Near-dup clustering + corpus dedup ─────────────────────────────────
+
+  /** Connected components over a near-dup pair table by min-label
+    * propagation: every node's label becomes the smallest id reachable
+    * within `maxIter` hops (converges in ≤ diameter iterations; near-dup
+    * clusters are small, so a handful suffices — pass the observed max
+    * cluster diameter, not a guess, when it matters).
+    *
+    * Each iteration is one shuffle (groupBy node); intermediate label
+    * frames are localCheckpoint'd so the plan doesn't grow exponentially
+    * with iterations — the standard Spark iterative-algorithm hygiene.
+    */
+  def clusters(pairs: DataFrame, maxIter: Int = 5): DataFrame = {
+    // symmetric edge list + self-loops (so isolated members keep a label)
+    val edges = pairs.select(col("id_a").alias("src"), col("id_b").alias("dst"))
+      .unionByName(pairs.select(col("id_b").alias("src"), col("id_a").alias("dst")))
+      .localCheckpoint(false)
+    var labels = edges.select(col("src").alias("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(false)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val propagated = edges
+        .join(labels.withColumnRenamed("id", "dst2"),
+          col("dst") === col("dst2"))
+        .groupBy(col("src").alias("id"))
+        .agg(min(col("label")).alias("nbr_label"))
+      val next = labels.join(propagated, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).alias("label"))
+        .localCheckpoint(false)
+      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
+  /** End-to-end corpus dedup: MinHash-LSH near-dup pairs above
+    * `minJaccard` → connected components → keep the lowest-id doc per
+    * cluster. Docs in no near-dup pair survive untouched. Returns the
+    * surviving rows of `docs`. */
+  def dedupCorpus(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minJaccard: Double = 0.5,
+      k: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    val pairs = minhashLsh(docs, idCol, textCol, k, numHashes, bands, minJaccard)
+      .select("id_a", "id_b")
+    val comp = clusters(pairs)
+    val drop = comp.filter(col("id") =!= col("cluster_id")).select(col("id"))
+    docs.join(drop.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
   // ── N-gram Jaccard ─────────────────────────────────────────────────────
 
   /** Exact n-gram Jaccard similarity for candidate pairs produced by an LSH

@@ -69,6 +69,26 @@ object Relational {
       .drop("__prev", "__new")
   }
 
+  /** Salted broadcast-free join for skewed keys: the fact side spreads each
+    * key over `nSalts` sub-keys (deterministic hash of a unique column, no
+    * RNG), the dim side replicates each row `nSalts` times, and the join
+    * runs on (key, salt). Shuffle partitions then hold ~1/nSalts of a hot
+    * key's rows — the manual fallback when a dim is too big to broadcast
+    * and AQE's skew splitting can't kick in (e.g. non-sort-merge plans).
+    * Result is row-identical to the plain join. */
+  def saltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      factUniqueCol: String,
+      nSalts: Int): DataFrame = {
+    val salted = fact.withColumn("__salt",
+      pmod(xxhash64(col(factUniqueCol)), lit(nSalts)).cast("int"))
+    val expanded = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    salted.join(expanded, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Top-N per group by a ranking column, fully deterministic (ties broken
     * by `tieCol`). row_number + filter — Spark pushes the rank limit into
     * the sort within each partition group. */

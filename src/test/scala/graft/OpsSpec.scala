@@ -85,6 +85,31 @@ class OpsSpec extends SparkSpec {
     assert(out.find(_.getAs[Int]("rank") == 2).get.getAs[Long]("corpus_id") == 2L)
   }
 
+  test("clusters: min-label propagation finds connected components") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (5L, 4L), (7L, 8L), (8L, 9L), (9L, 10L))
+      .toDF("id_a", "id_b")
+    val comp = ops.Dedup.clusters(pairs, maxIter = 6).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L)
+    assert(comp(4L) == 4L && comp(5L) == 4L)
+    assert(Seq(7L, 8L, 9L, 10L).forall(comp(_) == 7L)) // 4-node chain
+  }
+
+  test("dedupCorpus keeps one representative per near-dup cluster") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (1L, "the quick brown fox jumps over the lazy dog tonight"), // exact dup
+      (2L, "the quick brown fox jumps over the lazy dog today"),   // near dup
+      (3L, "completely different text about distributed query engines")
+    ).toDF("doc_id", "text")
+    val kept = ops.Dedup.dedupCorpus(corpus, "doc_id", "text",
+      minJaccard = 0.5, k = 2, numHashes = 16, bands = 8)
+      .collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(kept.contains(0L) && kept.contains(3L))
+    assert(!kept.contains(1L)) // exact dup of 0 always collapses
+    assert(kept.length <= 3)
+  }
+
   test("ivf with full probing equals brute force; partial probing is a subset") {
     val vecs = (0L until 40L).map { i =>
       (i, Array.tabulate(8)(d => math.sin(i * 1.7 + d).toFloat))

@@ -39,6 +39,17 @@ class RelationalSpec extends SparkSpec {
     assert(out(5L) == 1L)
   }
 
+  test("salted join is row-identical to the plain join") {
+    val fact = Seq((1L, 100L, 5.0), (1L, 101L, 6.0), (1L, 102L, 7.0), (2L, 103L, 8.0))
+      .toDF("k", "row_id", "v")
+    val dim = Seq((1L, "hot"), (2L, "cold"), (3L, "unused")).toDF("k", "name")
+    val plain = fact.join(dim, "k").select("row_id", "name")
+      .collect().map(_.toString).sorted.toSeq
+    val salted = Relational.saltedJoin(fact, dim, "k", "row_id", nSalts = 4)
+      .select("row_id", "name").collect().map(_.toString).sorted.toSeq
+    assert(salted == plain)
+  }
+
   test("topN per group respects ordering and tie-break") {
     val df = Seq(
       ("a", 1L, 30.0), ("a", 2L, 30.0), ("a", 3L, 10.0), ("a", 4L, 40.0),
