@@ -119,6 +119,19 @@ class PipelineSpec extends SparkSpec {
       .filter(col("extraction_date") === lit(java.sql.Date.valueOf(d))).count() == 3)
   }
 
+  test("table setup creates layered namespaces with declared schemas") {
+    graft.storage.TableSetup.createAll(spark)
+    try {
+      assert(spark.catalog.tableExists("bronze_layer.bronze"))
+      assert(spark.table("silver_layer.silver").schema.fieldNames.toSeq ==
+        graft.model.Schemas.silver.fieldNames.toSeq)
+      assert(spark.table("gold_layer.gold").count() == 0)
+      // re-run replaces cleanly (idempotent setup)
+      graft.storage.TableSetup.createAll(spark)
+      assert(spark.table("bronze_layer.bronze").count() == 0)
+    } finally graft.storage.TableSetup.dropAll(spark)
+  }
+
   test("100-record corpus: sum(brewery_count)==100, groups bounded") {
     val cities = Seq("Portland", "Seattle", "Denver", "Austin", "Chicago")
     val types = Seq("micro", "brewpub", "large", "regional", "contract", "planning")

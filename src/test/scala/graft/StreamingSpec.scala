@@ -66,6 +66,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-to-file streaming: text source -> silver -> parquet sink with checkpoint") {
+    val base = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val srcDir = s"$base/src"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    new java.io.File(srcDir).mkdirs()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$srcDir/batch1.json"),
+      """{"id": "f-1", "name": "File Brew", "brewery_type": "NANO", "city": "Y", "state_province": "wa", "country": "us", "longitude": "9.5", "latitude": "1.0", "phone": "9-9", "postal_code": "2", "website_url": "w"}""" + "\n")
+    val raw = spark.readStream.text(srcDir)
+      .withColumnRenamed("value", "raw_json")
+      .withColumn("extraction_date", lit(java.sql.Date.valueOf("2024-01-15")))
+    val q = Streams.silverStream(raw).writeStream
+      .format("parquet").option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.read.parquet(outDir).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("brewery_type") == "nano")
+    assert(out.head.getAs[String]("phone") == "99")
+  }
+
   test("batch Silver transform runs unchanged on a stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, java.sql.Date)]
