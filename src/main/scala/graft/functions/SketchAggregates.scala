@@ -1,0 +1,150 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftshim.Shims
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst aggregates for dedup sketches (SURVEY §7.3's
+  * `TypedImperativeAggregate` slot).
+  *
+  * Why custom: the composable alternative spells a MinHash signature as
+  * `numHashes` separate `min(...)` aggregate expressions (and SimHash as 64
+  * `sum(CASE ...)`s) — each a full aggregate slot with its own buffer
+  * column and codegen'd update. These aggregates keep ONE primitive-array
+  * buffer per group and update all slots in a tight loop per input row.
+  * Both run under ObjectHashAggregateExec with map-side partial
+  * aggregation, so the shuffle still carries one compact buffer per group
+  * per partition.
+  */
+
+/** `minhash_agg(h)` → array<long> of `numHashes` permutation minima over
+  * the group's 63-bit hash values. Permutations `h_i(x)=(a_i·x+b_i) mod p`
+  * with fixed LCG-derived coefficients; empty group → p sentinel. */
+case class MinhashAgg(
+    child: Expression,
+    numHashes: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  private val p = 2147483647L
+  private val as = Array.tabulate(numHashes)(i => 1103515245L * (i + 1) % p)
+  private val bs = Array.tabulate(numHashes)(i => 12345L * (i * 2 + 1) % p)
+
+  override def createAggregationBuffer(): Array[Long] = Array.fill(numHashes)(p)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var i = 0
+      while (i < numHashes) {
+        val perm = (h * as(i) + bs(i)) % p
+        if (perm < buf(i)) buf(i) = perm
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < numHashes) { if (b2(i) < b1(i)) b1(i) = b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * numHashes)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(numHashes)(bb.getLong)
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "minhash_agg"
+  override def withNewMutableAggBufferOffset(o: Int): MinhashAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MinhashAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+}
+
+/** `simhash_agg(h)` → 64-bit SimHash of the group's hash values: per bit,
+  * sum ±1 across inputs; bit set where the sum is positive. Null inputs
+  * contribute nothing (empty group → 0). */
+case class SimhashAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Int]] {
+
+  override def createAggregationBuffer(): Array[Int] = new Array[Int](64)
+
+  override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var b = 0
+      while (b < 64) {
+        buf(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Int], b2: Array[Int]): Array[Int] = {
+    var i = 0
+    while (i < 64) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Int]): Any = {
+    var sim = 0L
+    var b = 0
+    while (b < 64) { if (buf(b) > 0) sim |= (1L << b); b += 1 }
+    sim
+  }
+
+  override def serialize(buf: Array[Int]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 * 64)
+    buf.foreach(bb.putInt)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Int] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(64)(bb.getInt)
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "simhash_agg"
+  override def withNewMutableAggBufferOffset(o: Int): SimhashAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): SimhashAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+}
+
+object SketchAggregates {
+
+  def minhashAgg(h: Column, numHashes: Int): Column =
+    Shims.column(MinhashAgg(Shims.expression(h), numHashes).toAggregateExpression())
+
+  def simhashAgg(h: Column): Column =
+    Shims.column(SimhashAgg(Shims.expression(h)).toAggregateExpression())
+}

@@ -102,17 +102,13 @@ object Dedup {
     val p = MinhashP
     // duplicates don't affect min, so no distinct pass is needed; the
     // groupBy below reuses the window's (doc) partitioning — one shuffle.
+    // The signature itself is a single custom TypedImperativeAggregate
+    // (one primitive-array buffer, all permutations updated in a tight
+    // loop per row) rather than numHashes separate min() slots.
     val hashed = shingleHashRows(docs, idCol, textCol, k)
       .select(col("__id").alias("mh_id"), pmod(col("sh"), lit(p)).alias("h"))
-    val aggs = (0 until numHashes).map { i =>
-      val a = 1103515245L * (i + 1) % p
-      val b = 12345L * (i * 2 + 1) % p
-      min((col("h") * lit(a) + lit(b)) % lit(p)).alias(s"m$i")
-    }
     hashed.groupBy(col("mh_id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("mh_id"),
-        array((0 until numHashes).map(i => coalesce(col(s"m$i"), lit(p))): _*).alias("sig"))
+      .agg(graft.functions.SketchAggregates.minhashAgg(col("h"), numHashes).alias("sig"))
   }
 
   /** MinHash + LSH near-dup candidate pairs.
@@ -181,18 +177,10 @@ object Dedup {
       col(idCol).alias("sh_id"),
       explode_outer(TextAnalysis.tokens(col(textCol))).alias("tok"))
     val hashed = toks.select(col("sh_id"), xxhash64(col("tok")).alias("th"))
-    val bitAggs = (0 until 64).map { b =>
-      sum(
-        when(col("th").isNull, 0)
-          .when(shiftright(col("th"), b).bitwiseAND(lit(1L)) === lit(1L), 1)
-          .otherwise(-1)).alias(s"b$b")
-    }
+    // single custom aggregate: one 64-int buffer per group, all bit
+    // counters updated per row (vs 64 separate sum(CASE) aggregate slots)
     hashed.groupBy(col("sh_id"))
-      .agg(bitAggs.head, bitAggs.tail: _*)
-      .select(col("sh_id"),
-        (0 until 64).map(b =>
-          when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
-          .reduce(_.bitwiseOR(_)).alias("sim"))
+      .agg(graft.functions.SketchAggregates.simhashAgg(col("th")).alias("sim"))
   }
 
   /** SimHash near-dup candidates: docs whose 64-bit simhash differs in at
