@@ -27,6 +27,8 @@ object Engine {
       .builder()
       .master(master)
       .appName(appName)
+      // native vec_dot/vec_cosine resolve in SQL for any session built here
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

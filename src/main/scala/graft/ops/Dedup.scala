@@ -176,7 +176,11 @@ object Dedup {
     val toks = docs.select(
       col(idCol).alias("sh_id"),
       explode_outer(TextAnalysis.tokens(col(textCol))).alias("tok"))
-    val hashed = toks.select(col("sh_id"), xxhash64(col("tok")).alias("th"))
+    // guard: xxhash64(null) yields the seed (42), not null — the outer
+    // explode's null row for empty docs must stay null so the aggregate
+    // skips it
+    val hashed = toks.select(col("sh_id"),
+      when(col("tok").isNotNull, xxhash64(col("tok"))).alias("th"))
     // single custom aggregate: one 64-int buffer per group, all bit
     // counters updated per row (vs 64 separate sum(CASE) aggregate slots)
     hashed.groupBy(col("sh_id"))

@@ -1,0 +1,77 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.layers.{Bronze, Gold, Silver}
+
+/** Property-based invariants (the testing technique the reference lacks —
+  * SURVEY §5 lists these as our additions): normalization idempotence,
+  * count conservation, sketch determinism. Plain ScalaCheck generators
+  * with fixed seeds drive several sampled cases per property.
+  */
+class PropertySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val word = Gen.alphaLowerStr.map(s => if (s.isEmpty) "w" else s.take(8))
+  private val text = Gen.listOfN(12, word).map(_.mkString(" "))
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("silver normalization is idempotent (clean ∘ clean = clean)") {
+    samples(Gen.listOfN(5, text), 5).foreach { texts =>
+      val d = java.time.LocalDate.of(2024, 1, 15)
+      val records = texts.zipWithIndex.map { case (t, i) =>
+        s"""{"id": "p-$i", "name": "  $t  ", "brewery_type": "MiCrO", "city": "c",
+            "state_province": "sp", "country": "ct", "phone": "($i) 5-5",
+            "longitude": "1.0", "latitude": "2.0", "postal_code": "1", "website_url": "w"}"""
+      }
+      val once = Silver.transform(Bronze.build(spark, records, d), d)
+      val twice = Silver.clean(once)
+      assert(once.collect().map(_.toString).sorted.toSeq ==
+        twice.collect().map(_.toString).sorted.toSeq)
+    }
+  }
+
+  test("conservation: sum(gold.brewery_count) == silver row count") {
+    samples(Gen.chooseNum(1, 30), 5).foreach { n =>
+      val d = java.time.LocalDate.of(2024, 1, 15)
+      val records = (0 until n).map { i =>
+        s"""{"id": "c-$i", "name": "B$i", "brewery_type": "t${i % 3}", "city": "c${i % 2}",
+            "state_province": "s", "country": "x", "phone": "1",
+            "longitude": "0", "latitude": "0", "postal_code": "1", "website_url": "w"}"""
+      }
+      val silver = Silver.transform(Bronze.build(spark, records, d), d)
+      val gold = Gold.aggregate(silver, d)
+      assert(Gold.total(gold) == n.toLong)
+    }
+  }
+
+  test("fingerprint and simhash are pure functions of the text") {
+    samples(Gen.listOfN(4, text), 3).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val a = ops.TextAnalysis.fingerprints(df).collect().map(_.getLong(1)).toSeq
+      val b = ops.TextAnalysis.fingerprints(df).collect().map(_.getLong(1)).toSeq
+      assert(a == b)
+      val s1 = ops.Dedup.simhashes(df, "doc_id", "text")
+        .orderBy("sh_id").collect().map(_.getLong(1)).toSeq
+      val s2 = ops.Dedup.simhashes(df, "doc_id", "text")
+        .orderBy("sh_id").collect().map(_.getLong(1)).toSeq
+      assert(s1 == s2)
+    }
+  }
+
+  test("sketch operators tolerate degenerate docs (empty / single-token)") {
+    val df = Seq((1L, ""), (2L, "one"), (3L, "two words here ok")).toDF("doc_id", "text")
+    val sigs = ops.Dedup.minhashSignatures(df, "doc_id", "text", k = 3, numHashes = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs.keySet == Set(1L, 2L, 3L))
+    assert(sigs(1L).forall(_ == 2147483647L)) // sentinel for shingle-less docs
+    assert(sigs(3L).exists(_ != 2147483647L)) // 4 tokens, k=3 -> 2 shingles
+    val sims = ops.Dedup.simhashes(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(1L) == 0L) // empty doc hashes to 0
+  }
+}
