@@ -109,6 +109,15 @@ object SparkEntry {
     "text_bpe_tokens" -> ((s, dir) => TextAnalysis.bpeTokenCount(docs(s, dir))),
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
     "text_langid" -> ((s, dir) => TextAnalysis.languageId(docs(s, dir))),
+    "text_quality_filter" -> ((s, dir) => TextAnalysis.qualityFilter(docs(s, dir))),
+    "text_lang_confusion" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.languageId(d)
+        .join(d.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).alias("n_docs"))
+        .orderBy("lang", "lang_pred")
+    }),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir))),
   )
 
@@ -291,6 +300,40 @@ object SparkEntry {
                      ELSE 'fr' END AS lang_pred,
                 greatest(s_en, s_es, s_de, s_fr) AS lang_score
          FROM s ORDER BY doc_id""",
+    "text_quality_filter" ->
+      """WITH tk AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+                  CAST(len(toks) AS BIGINT) AS n_tokens,
+                  CAST(len(list_filter(toks, w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+                  CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS distinct_ratio
+           FROM tk)
+         SELECT doc_id, n_tokens, stopword_ratio, distinct_ratio FROM m
+         WHERE n_tokens >= 20 AND stopword_ratio <= 0.25 AND distinct_ratio >= 0.5
+         ORDER BY doc_id""",
+    "text_lang_confusion" ->
+      """WITH tk AS (
+           SELECT doc_id, lang, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+           FROM documents),
+         s AS (
+           SELECT doc_id, lang,
+                  CAST(len(list_filter(toks, w -> w IN ('the','a','of','and','is'))) AS BIGINT) AS s_en,
+                  CAST(len(list_filter(toks, w -> w IN ('el','la','de','que','y'))) AS BIGINT) AS s_es,
+                  CAST(len(list_filter(toks, w -> w IN ('der','die','das','und','ist'))) AS BIGINT) AS s_de,
+                  CAST(len(list_filter(toks, w -> w IN ('le','la','de','et','est'))) AS BIGINT) AS s_fr
+           FROM tk),
+         pred AS (
+           SELECT lang,
+                  CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+                       WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+                       WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+                       WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+                       ELSE 'fr' END AS lang_pred
+           FROM s)
+         SELECT lang, lang_pred, count(*) AS n_docs
+         FROM pred GROUP BY 1, 2 ORDER BY 1, 2""",
     "text_fingerprint" ->
       """SELECT doc_id,
                 list_reduce(

@@ -68,6 +68,20 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** C4/Gopher-style quality gate: keep documents passing token-count and
+    * ratio thresholds. Composes [[qualityScore]]'s exact metrics, so the
+    * whole filter is a narrow pipeline over the scan. */
+  def qualityFilter(
+      docs: DataFrame,
+      minTokens: Long = 20L,
+      maxStopwordRatio: Double = 0.25,
+      minDistinctRatio: Double = 0.5): DataFrame =
+    qualityScore(docs)
+      .filter(col("n_tokens") >= minTokens &&
+        col("stopword_ratio") <= maxStopwordRatio &&
+        col("distinct_ratio") >= minDistinctRatio)
+      .select(col("doc_id"), col("n_tokens"), col("stopword_ratio"), col("distinct_ratio"))
+
   /** Marker words per language for the n-gram/keyword language-ID heuristic.
     * Scores are exact integer counts; the argmax is taken in a fixed language
     * order so ties resolve identically in any engine. */
