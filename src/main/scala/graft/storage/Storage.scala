@@ -42,6 +42,27 @@ final class ParquetWarehouse(spark: SparkSession, root: String) extends Storage 
     new java.io.File(path(table)).exists()
 }
 
+/** Bucketed-table support: pre-shuffle a table ONCE at write time so
+  * every future equi-join/aggregation on the bucket key is shuffle-free.
+  * The 100 TB pattern for repeatedly-joined fact tables: the exchange is
+  * paid at ingest, not per query (`PlanSpec` asserts the bucket join plans
+  * without an Exchange).
+  */
+object Bucketing {
+
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      numBuckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+}
+
 /** Catalog-backed warehouse: managed tables in the session catalog,
   * written through the DataFrameWriterV2 API — the reference's table
   * lifecycle (createOrReplace with partitioning + table properties,

@@ -58,6 +58,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"))
   }
 
+  test("bucketed tables join without a shuffle (co-located join)") {
+    import org.apache.spark.sql.functions._
+    val orders = queries.Parity.t(spark, sf, "orders")
+    val customer = queries.Parity.t(spark, sf, "customer")
+    graft.storage.Bucketing.writeBucketed(orders, "b_orders", "o_custkey", 4)
+    graft.storage.Bucketing.writeBucketed(
+      customer.withColumnRenamed("c_custkey", "o_custkey"), "b_customer", "o_custkey", 4)
+    // force a non-broadcast join so bucketing (not auto-broadcast) is what
+    // eliminates the shuffle — the situation bucketing exists for is two
+    // tables too big to broadcast
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_orders").join(spark.table("b_customer"), "o_custkey")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"))
+      assert(!p.contains("Exchange hashpartitioning"),
+        "bucketed join must not re-shuffle either side")
+      // sanity: result matches the unbucketed join
+      assert(joined.count() ==
+        orders.join(customer, orders("o_custkey") === customer("c_custkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+
   test("gold aggregate plans partial aggregation before the shuffle") {
     val p = plan("q_gold_agg")
     // partial_count marks map-side (pre-shuffle) aggregation
