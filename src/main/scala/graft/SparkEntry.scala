@@ -60,6 +60,9 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashDups(docs(s, dir), "doc_id", "text", maxHamming = 3)
         .orderBy("id_a", "id_b")),
+    "dedup_minhash_oracle" -> (graft.queries.DedupOracle.minhashOracle _),
+    "dedup_simhash_oracle" -> (graft.queries.DedupOracle.simhashOracle _),
+    "dedup_jaccard_neighbors" -> (graft.queries.DedupOracle.jaccardNeighbors _),
     "dedup_corpus" -> ((s, dir) =>
       Dedup.dedupCorpus(docs(s, dir), "doc_id", "text",
         minJaccard = 0.5, k = 3, numHashes = 32, bands = 8)
@@ -121,10 +124,70 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir))),
   )
 
+  /** Shared CTEs for the polynomial-hash dedup oracles: per-doc token
+    * hashes (`tk`) and 3-gram shingle hashes (`sh`) in DuckDB, mirroring
+    * queries.DedupOracle's arithmetic exactly. */
+  private val oracleTk =
+    """tk AS (
+         SELECT doc_id,
+                list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+                  w -> list_reduce(list_prepend(CAST(7 AS BIGINT),
+                         list_transform(list_filter(string_split(w, ''), c -> c <> ''),
+                                        c -> CAST(ascii(c) AS BIGINT))),
+                       (a, c) -> (a * 31 + c) % 1000000007)) AS th
+         FROM documents)"""
+
+  private val oracleSh =
+    """sh AS (
+         SELECT doc_id,
+                list_transform(range(1, len(th) - 1),
+                  i -> (th[i] * 38 + th[i + 1] * 100 + th[i + 2] * 162) % 1000000007) AS shs
+         FROM tk)"""
+
+  private def minhashOracleSql: String = {
+    val perms = (0 until 8).map { i =>
+      val a = 1103515245L * (i + 1) % 2147483647L
+      val b = 12345L * (i * 2 + 1) % 2147483647L
+      s"coalesce(list_min(list_transform(shs, s -> (s * $a + $b) % 2147483647)), 2147483647) AS m$i"
+    }.mkString(",\n                ")
+    s"""WITH $oracleTk,
+         $oracleSh
+         SELECT doc_id,
+                $perms
+         FROM sh ORDER BY doc_id"""
+  }
+
+  private def simhashOracleSql: String = {
+    val bits = (0 until 16).map { b =>
+      s"CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << b} ELSE 0 END"
+    }.mkString(" +\n                ")
+    s"""WITH $oracleTk
+         SELECT doc_id,
+                CAST($bits AS BIGINT) AS simhash16
+         FROM tk ORDER BY doc_id"""
+  }
+
+  private def jaccardNeighborsSql: String =
+    s"""WITH $oracleTk,
+         $oracleSh,
+         sets AS (SELECT doc_id, list_distinct(shs) AS s FROM sh)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
+         FROM sets a
+         JOIN unnest([1, 2, 3, 4]) AS t(d) ON true
+         JOIN sets b ON b.doc_id = a.doc_id + t.d
+         ORDER BY id_a, id_b"""
+
   /** DuckDB-runnable oracle SQL per query (same column names and exact
     * arithmetic as the Spark side). Rows-only checks (no entry) for the
-    * LSH/SimHash/ANN family, whose bucketing relies on xxhash64. */
+    * xxhash64-based LSH/SimHash/ANN scale paths; the `*_oracle` dedup
+    * variants re-derive the same math from the reproducible polynomial
+    * hash so the signatures themselves are hash-checked. */
   def oracleSql: Map[String, String] = Map(
+    "dedup_minhash_oracle" -> minhashOracleSql,
+    "dedup_simhash_oracle" -> simhashOracleSql,
+    "dedup_jaccard_neighbors" -> jaccardNeighborsSql,
     "q_bronze_wrap" ->
       """SELECT props AS raw_json, DATE '2024-01-15' AS extraction_date
          FROM events ORDER BY event_id""",
