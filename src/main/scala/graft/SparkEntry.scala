@@ -179,6 +179,60 @@ object SparkEntry {
          JOIN sets b ON b.doc_id = a.doc_id + t.d
          ORDER BY id_a, id_b"""
 
+  /** DuckDB cosine with the exact accumulation order of the engine's
+    * native VecCosine: left-to-right double folds per accumulator. Bit-for
+    * -bit identical scores, so even interpolated ranks match. */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+           (acc, v) -> acc + v)
+         / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, v) -> acc + v))
+          * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, v) -> acc + v))))"""
+
+  private def bruteForceTopkSql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS corpus_id, embedding AS cvec FROM embeddings),
+         scored AS (
+           SELECT query_id, corpus_id, ${cosSql("qvec", "cvec")} AS score
+           FROM c, q WHERE query_id <> corpus_id),
+         ranked AS (
+           SELECT query_id, corpus_id, score,
+                  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, corpus_id) AS rank
+           FROM scored)
+         SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, score
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  private def ivfTopkSql: String =
+    s"""WITH cent AS (
+           SELECT vec_id AS centroid_id, embedding AS centvec FROM embeddings
+           ORDER BY vec_id LIMIT 16),
+         c AS (SELECT vec_id AS corpus_id, embedding AS cvec FROM embeddings),
+         q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+         assigned AS (
+           SELECT corpus_id, cvec, centroid_id AS cell FROM (
+             SELECT corpus_id, cvec, centroid_id,
+                    row_number() OVER (PARTITION BY corpus_id
+                                       ORDER BY ${cosSql("cvec", "centvec")} DESC, centroid_id DESC) AS rn
+             FROM c, cent) WHERE rn = 1),
+         probed AS (
+           SELECT query_id, qvec, cell FROM (
+             SELECT query_id, qvec, centroid_id AS cell,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY ${cosSql("qvec", "centvec")} DESC, centroid_id ASC) AS pr
+             FROM q, cent) WHERE pr <= 4),
+         scored AS (
+           SELECT query_id, corpus_id, ${cosSql("qvec", "cvec")} AS score
+           FROM assigned JOIN probed USING (cell)
+           WHERE query_id <> corpus_id),
+         ranked AS (
+           SELECT query_id, corpus_id, score,
+                  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, corpus_id) AS rank
+           FROM scored)
+         SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, score
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+
   /** DuckDB-runnable oracle SQL per query (same column names and exact
     * arithmetic as the Spark side). Rows-only checks (no entry) for the
     * xxhash64-based LSH/SimHash/ANN scale paths; the `*_oracle` dedup
@@ -188,6 +242,8 @@ object SparkEntry {
     "dedup_minhash_oracle" -> minhashOracleSql,
     "dedup_simhash_oracle" -> simhashOracleSql,
     "dedup_jaccard_neighbors" -> jaccardNeighborsSql,
+    "sim_topk_bruteforce" -> bruteForceTopkSql,
+    "sim_topk_ivf" -> ivfTopkSql,
     "q_bronze_wrap" ->
       """SELECT props AS raw_json, DATE '2024-01-15' AS extraction_date
          FROM events ORDER BY event_id""",
