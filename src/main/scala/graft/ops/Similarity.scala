@@ -68,16 +68,24 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("corpus_id"), col("score"))
   }
 
-  /** Signed-random-projection bucket key: `bits` hyperplanes, each defined
-    * by deterministic ±1 component signs derived from (plane, dim) parity —
-    * no RNG, reproducible everywhere. Returns a long in [0, 2^bits). */
+  /** Deterministic ±1 hyperplane component for (plane, dim): MurmurHash3
+    * mixing, not a linear congruence — the low bit of `a·p + b·d + c` is
+    * just the parity of p+d (all planes become ± copies of one
+    * checkerboard and every LSH table degenerates to 2 buckets; caught by
+    * an attempted cross-engine oracle and a bucket-spread test). */
+  private def planeSign(p: Int, d: Int): Double = {
+    import scala.util.hashing.MurmurHash3
+    val h = MurmurHash3.finalizeHash(
+      MurmurHash3.mix(MurmurHash3.mix(0x9747b28c, p), d), 2)
+    if ((h & 1) == 1) 1.0 else -1.0
+  }
+
+  /** Signed-random-projection bucket key: `bits` hyperplanes with
+    * deterministic murmur-mixed ±1 component signs — no RNG, reproducible
+    * across runs and JVMs. Returns a long in [0, 2^bits). */
   def srpKey(vec: Column, dim: Int, bits: Int): Column = {
     val planes = (0 until bits).map { p =>
-      // pseudo-random ±1 pattern per (plane, dim) from a tiny integer hash
-      val signs = (0 until dim).map { d =>
-        val h = (p * 1103515245 + d * 12345 + 1013904223) & 0x7fffffff
-        if ((h & 1) == 1) 1.0 else -1.0
-      }
+      val signs = (0 until dim).map(d => planeSign(p, d))
       val proj = dot(vec, typedLit(signs))
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
@@ -120,11 +128,7 @@ object Similarity {
 
   private def srpKeyOffset(vec: Column, dim: Int, bits: Int, offset: Int): Column = {
     val planes = (0 until bits).map { p0 =>
-      val p = p0 + offset
-      val signs = (0 until dim).map { d =>
-        val h = (p * 1103515245 + d * 12345 + 1013904223) & 0x7fffffff
-        if ((h & 1) == 1) 1.0 else -1.0
-      }
+      val signs = (0 until dim).map(d => planeSign(p0 + offset, d))
       val proj = dot(vec, typedLit(signs))
       when(proj >= 0, shiftleft(lit(1L), p0)).otherwise(lit(0L))
     }

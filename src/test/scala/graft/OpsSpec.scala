@@ -110,6 +110,22 @@ class OpsSpec extends SparkSpec {
     assert(kept.length <= 3)
   }
 
+  test("srp buckets actually spread: many distinct keys, no plane degeneracy") {
+    // full-rank pseudo-random directions (a low-rank fixture like shifted
+    // sinusoids caps the achievable regions at 2·bits regardless of hash)
+    val vecs = (0L until 200L).map { i =>
+      (i, Array.tabulate(16) { d =>
+        val x = math.sin(i * 12.9898 + d * 78.233) * 43758.5453
+        (x - math.floor(x) - 0.5).toFloat
+      })
+    }.toDF("vec_id", "embedding")
+    val keys = vecs.select(ops.Similarity.srpKey($"embedding", 16, 6).alias("k"))
+      .collect().map(_.getLong(0))
+    // 6 independent planes over 200 scattered vectors fill most of the
+    // 64-key space; the degenerate checkerboard yields exactly 2 keys.
+    assert(keys.distinct.length > 32, s"only ${keys.distinct.length} distinct SRP keys")
+  }
+
   test("ivf with full probing equals brute force; partial probing is a subset") {
     val vecs = (0L until 40L).map { i =>
       (i, Array.tabulate(8)(d => math.sin(i * 1.7 + d).toFloat))
