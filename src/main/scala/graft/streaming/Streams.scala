@@ -92,6 +92,57 @@ object Streams {
       }
   }
 
+  /** Input row for watermarked sessionization: real event-time column. */
+  final case class TimedEvent(user_id: Long, event_id: Long, ts: Timestamp)
+
+  /** Production sessionization: like [[sessionize]], but ALSO flushes idle
+    * open sessions once the event-time watermark passes `lastTs + gap` —
+    * `EventTimeTimeout` + `GroupState.setTimeoutTimestamp`. State per key
+    * is one open-session struct, evicted on flush; the watermark bounds
+    * how long a silent key occupies the state store. */
+  def sessionizeWatermarked(
+      events: Dataset[TimedEvent],
+      gapMs: Long,
+      watermarkDelay: String = "10 seconds"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[TimedEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed lastTs + gap: the open session can never be
+            // extended by in-watermark data — flush it
+            val cur = state.get
+            state.remove()
+            Iterator.single(
+              SessionOut(userId, cur.sessionIndex, cur.nEvents, cur.startTs, cur.lastTs))
+          } else {
+            val closed = Seq.newBuilder[SessionOut]
+            var cur = state.getOption.orNull
+            batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val t = e.ts.getTime
+              if (cur == null) {
+                cur = SessionState(1L, t, t, 1L, e.event_id, e.event_id)
+              } else if (t - cur.lastTs > gapMs) {
+                closed += SessionOut(userId, cur.sessionIndex, cur.nEvents, cur.startTs, cur.lastTs)
+                cur = SessionState(cur.sessionIndex + 1, t, t, 1L, e.event_id, e.event_id)
+              } else {
+                cur = cur.copy(lastTs = math.max(cur.lastTs, t),
+                  nEvents = cur.nEvents + 1, lastEvent = e.event_id)
+              }
+            }
+            if (cur != null) {
+              state.update(cur)
+              state.setTimeoutTimestamp(cur.lastTs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Streaming medallion slice: raw JSON-string records (the Bronze shape)
     * through the *batch* Silver transforms — projection/filter only, so the
     * identical code plans incrementally under readStream. */

@@ -66,6 +66,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermarked sessionization flushes idle sessions via event-time timeout") {
+    import graft.streaming.Streams.TimedEvent
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TimedEvent]
+    val sessions = Streams.sessionizeWatermarked(input.toDS(), gapMs = 120000L,
+      watermarkDelay = "1 second")
+    val q = sessions.writeStream.format("memory").queryName("wm_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // key 1: two events close together; watermark still behind
+      input.addData(TimedEvent(1L, 1L, ts(0)), TimedEvent(1L, 2L, ts(1)))
+      q.processAllAvailable()
+      assert(spark.table("wm_sessions").count() == 0)
+      // far-future event on another key pushes the watermark past
+      // key 1's lastTs + gap -> its open session must flush on timeout
+      input.addData(TimedEvent(2L, 3L, ts(30)))
+      q.processAllAvailable()
+      input.addData(TimedEvent(2L, 4L, ts(45))) // one more trigger to fire timeouts
+      q.processAllAvailable()
+      val flushed = spark.table("wm_sessions").as[SessionOut].collect()
+      assert(flushed.exists(s => s.user_id == 1L && s.n_events == 2L))
+    } finally q.stop()
+  }
+
   test("file-to-file streaming: text source -> silver -> parquet sink with checkpoint") {
     val base = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val srcDir = s"$base/src"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
