@@ -86,6 +86,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sessionize and as-of join shuffle data exactly once (by key)") {
+    // windows + downstream grouping reuse one hashpartitioning exchange;
+    // the only other exchange is the final ORDER BY's range partitioning
+    for (q <- Seq("q_sessionize", "q_asof_join")) {
+      val p = plan(q)
+      val hashExchanges = p.linesIterator
+        .count(l => l.contains("Arguments: hashpartitioning"))
+      assert(hashExchanges == 1, s"$q: expected 1 hash exchange, got $hashExchanges")
+    }
+  }
+
   test("gold aggregate plans partial aggregation before the shuffle") {
     val p = plan("q_gold_agg")
     // partial_count marks map-side (pre-shuffle) aggregation
