@@ -83,9 +83,11 @@ object Dedup {
 
   /** MinHash signatures as a DataFrame: `(mh_id, sig: array<long>)`.
     *
-    * Shape chosen for scale: explode distinct shingles (one pass over the
-    * text), hash each once, then 32 `min` aggregates under one groupBy —
-    * Spark's partial aggregation computes the mins map-side, so the shuffle
+    * Shape chosen for scale: explode shingle hashes (one pass over the
+    * text, [[shingleHashRows]]), then reduce per doc with the custom
+    * [[graft.functions.MinhashAgg]] TypedImperativeAggregate — one
+    * primitive-array buffer per group, every permutation minimum updated
+    * in a tight loop per row, partial aggregation map-side. The shuffle
     * carries `numHashes` longs per doc per partition, never the shingles.
     * (A per-row higher-order-function formulation re-evaluates the shingle
     * pipeline once per permutation — measured 40× slower at sf0.1.)
@@ -118,6 +120,10 @@ object Dedup {
     * The join IS the LSH: Spark shuffles docs into buckets and only
     * intra-bucket pairs are compared. Output: candidate (id_a, id_b) pairs
     * with their estimated Jaccard (fraction of agreeing signature slots).
+    *
+    * Note: the signature table is persisted for the duration of the query
+    * (it feeds the band join and both scoring joins); in a long-lived
+    * session, release it afterwards with `spark.catalog.clearCache()`.
     */
   def minhashLsh(
       docs: DataFrame,
