@@ -43,6 +43,8 @@ object SparkEntry {
     "q_asof_join" -> (Parity.asofPurchaseView _),
     "q_sessionize" -> (Parity.sessionStats _),
     "q_percentiles" -> (Parity.percentiles _),
+    "q_rollup" -> (Parity.rollupAgg _),
+    "q_set_ops" -> (Parity.setOps _),
     // ── Dedup ──
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactByKey(docs(s, dir), "text", "doc_id").orderBy("doc_id")),
@@ -299,6 +301,22 @@ object SparkEntry {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS order_count,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+                CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q_set_ops" ->
+      """SELECT c_custkey FROM (
+           SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+           INTERSECT
+           SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+           UNION
+           (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+            EXCEPT
+            SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0))
+         ORDER BY c_custkey""",
     "q_window_topn" ->
       """SELECT o_orderpriority, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice
          FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,

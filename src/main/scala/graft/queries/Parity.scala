@@ -205,6 +205,32 @@ object Parity {
         max(col("o_totalprice")).alias("p100"))
       .orderBy("o_orderstatus")
 
+  // ── Rollup: hierarchical totals in one pass (grouping-sets family,
+  //    absent from the reference — §2.5). grouping_id disambiguates
+  //    NULL-as-subtotal rows.
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).alias("order_count"),
+        dsum("o_totalprice").alias("total_price"),
+        grouping_id().cast("long").alias("gid"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  // ── Set operations (absent from the reference — §2.5): INTERSECT /
+  //    EXCEPT / UNION with set semantics.
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val building = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val rich = c.filter(col("c_acctbal") > 5000.0).select(col("c_custkey"))
+    val auto = c.filter(col("c_mktsegment") === "AUTOMOBILE").select(col("c_custkey"))
+    building.intersect(rich)
+      .unionByName(auto.except(rich))
+      .distinct()
+      .orderBy("c_custkey")
+  }
+
   // ── Broadcast-join aggregate: fact ⋈ small dim. customer is tiny relative
   //    to orders at every SF — broadcast() pins the plan that avoids
   //    shuffling the fact table (the 100 TB-correct choice; AQE would pick
