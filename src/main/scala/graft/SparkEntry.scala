@@ -53,27 +53,40 @@ object SparkEntry {
         .groupBy(col("user_id"), col("event_type"))
         .agg(min(col("event_id")).alias("first_event"), count(lit(1)).alias("copies"))
         .orderBy("user_id", "event_type")),
+    // The four sketch pipelines below run the PRODUCTION code path (window
+    // shingling, MinhashAgg/SimhashAgg, band/blocking equi-joins,
+    // clustering) with the reproducible polynomial token hash injected in
+    // place of xxhash64, so DuckDB replicates every value exactly and the
+    // driver hash-checks the shipped pipeline, not a parallel variant.
+    // Bench keeps the xxhash64 default (see Bench.productionVariants).
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(docs(s, dir), "doc_id", "text", k = 3, numHashes = 32,
-        bands = 16, minJaccard = 0.2).orderBy("id_a", "id_b")),
+        bands = 16, minJaccard = 0.2, tokenHash = Dedup.oracleHash)
+        .orderBy("id_a", "id_b")),
     // maxHamming=3 is the completeness bound of the 16-bit-quarter
     // blocking (pigeonhole): every reported pair is exact and no ≤3 pair
-    // is missed.
+    // is missed — which is why an all-pairs DuckDB oracle checks it.
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashDups(docs(s, dir), "doc_id", "text", maxHamming = 3)
+      Dedup.simhashDups(docs(s, dir), "doc_id", "text", maxHamming = 3,
+        tokenHash = Dedup.oracleHash)
         .orderBy("id_a", "id_b")),
     "dedup_minhash_oracle" -> (graft.queries.DedupOracle.minhashOracle _),
     "dedup_simhash_oracle" -> (graft.queries.DedupOracle.simhashOracle _),
     "dedup_jaccard_neighbors" -> (graft.queries.DedupOracle.jaccardNeighbors _),
+    // maxIter=64 (with the early-convergence check) guarantees labels hit
+    // the true component minimum, matching the oracle's transitive closure.
     "dedup_corpus" -> ((s, dir) =>
       Dedup.dedupCorpus(docs(s, dir), "doc_id", "text",
-        minJaccard = 0.5, k = 3, numHashes = 32, bands = 8)
+        minJaccard = 0.5, k = 3, numHashes = 32, bands = 8,
+        tokenHash = Dedup.oracleHash, maxIter = 64)
         .select(col("doc_id"), col("n_chars")).orderBy("doc_id")),
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val d = docs(s, dir)
       val pairs = Dedup.minhashLsh(d, "doc_id", "text", k = 2, numHashes = 32,
-        bands = 16, minJaccard = 0.0).select("id_a", "id_b")
-      Dedup.ngramJaccard(pairs, d, "doc_id", "text", k = 2).orderBy("id_a", "id_b")
+        bands = 16, minJaccard = 0.0, tokenHash = Dedup.oracleHash)
+        .select("id_a", "id_b")
+      Dedup.ngramJaccard(pairs, d, "doc_id", "text", k = 2,
+        tokenHash = Dedup.oracleHash).orderBy("id_a", "id_b")
     }),
     // ── Similarity search ──
     "sim_topk_bruteforce" -> ((s, dir) => {
@@ -101,9 +114,20 @@ object SparkEntry {
       Multimodal.metaSummary(Multimodal.mediaFromDocuments(docs(s, dir)))),
     "multimodal_bytestats" -> ((s, dir) =>
       Multimodal.byteStats(Multimodal.mediaFromDocuments(docs(s, dir)))),
+    // Checked surface is all-scalar: the embedding array is collapsed to
+    // its squared norm via the native vec_dot (the driver's pandas compare
+    // can't factorize array columns), so the decode math — pixel cycling,
+    // mean intensity, per-band float means — is still fully hash-checked.
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.decodeImages(Multimodal.mediaFromDocuments(docs(s, dir)))
-        .toDF().orderBy("media_id")),
+        .toDF()
+        .select(col("media_id"), col("n_bytes"),
+          col("width").cast("long").alias("width"),
+          col("height").cast("long").alias("height"),
+          col("mean_intensity"),
+          graft.functions.VectorFunctions.dot(col("embedding"), col("embedding"))
+            .alias("emb_norm2"))
+        .orderBy("media_id")),
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.mediaFromDocuments(docs(s, dir)))
         .groupBy(col("media_id"))
@@ -168,6 +192,201 @@ object SparkEntry {
                 CAST($bits AS BIGINT) AS simhash16
          FROM tk ORDER BY doc_id"""
   }
+
+  // ── Production-pipeline sketch oracles ─────────────────────────────────
+  // These replicate graft.ops.Dedup's EXACT arithmetic (polynomial token
+  // hash injected via Dedup.oracleHash): raw 64-bit weighted window sums
+  // (NO modulus — matches shingleHashRows), pmod only where
+  // minhashSignatures applies it, MinhashAgg's LCG permutation constants,
+  // and band candidacy decided by slice equality (equal slices ⇔ equal
+  // xxhash64 bucket keys, modulo 2^-64 collisions).
+
+  /** Window shingle hashes with production weights 31·(2j+1)+7, no mod. */
+  private def shrCte(k: Int): String = {
+    val terms = (0 until k).map(j => s"th[i + $j] * ${31L * (j * 2 + 1) + 7L}")
+      .mkString(" + ")
+    s"""shr AS (
+         SELECT doc_id, list_transform(range(1, len(th) - ${k - 2}), i -> $terms) AS hs
+         FROM tk)"""
+  }
+
+  /** 32-slot MinHash signature as a list, MinhashAgg's exact constants. */
+  private def sigCte(numHashes: Int): String = {
+    val slots = (0 until numHashes).map { i =>
+      val a = 1103515245L * (i + 1) % 2147483647L
+      val b = 12345L * (i * 2 + 1) % 2147483647L
+      s"coalesce(list_min(list_transform(hs, s -> ((s % 2147483647) * $a + $b) % 2147483647)), 2147483647)"
+    }.mkString(",\n                  ")
+    s"""sig AS (
+         SELECT doc_id, [$slots] AS sg FROM shr)"""
+  }
+
+  /** ∃band with equal signature slices (aliases `a`/`bb`). */
+  private def bandCond(bands: Int, rowsPerBand: Int): String =
+    (0 until bands).map { b =>
+      val eqs = (1 to rowsPerBand)
+        .map(r => s"a.sg[${b * rowsPerBand + r}] = bb.sg[${b * rowsPerBand + r}]")
+        .mkString(" AND ")
+      s"($eqs)"
+    }.mkString("\n               OR ")
+
+  /** Fraction of agreeing signature slots (aliases `a`/`bb`). */
+  private def estExpr(numHashes: Int): String = {
+    val terms = (1 to numHashes)
+      .map(i => s"CASE WHEN a.sg[$i] = bb.sg[$i] THEN 1 ELSE 0 END")
+      .mkString("\n                  + ")
+    s"CAST($terms AS DOUBLE) / $numHashes.0"
+  }
+
+  private def minhashLshSql: String =
+    s"""WITH $oracleTk,
+         ${shrCte(3)},
+         ${sigCte(32)}
+         SELECT id_a, id_b, est_jaccard FROM (
+           SELECT a.doc_id AS id_a, bb.doc_id AS id_b, ${estExpr(32)} AS est_jaccard
+           FROM sig a JOIN sig bb
+             ON a.doc_id < bb.doc_id AND (${bandCond(16, 2)}))
+         WHERE est_jaccard >= CAST(0.2 AS DOUBLE)
+         ORDER BY id_a, id_b"""
+
+  private def simhashDupsSql: String = {
+    // polynomial token hashes are < 2^30, so SimhashAgg's bit counters for
+    // bits ≥ 30 always sum negative → 0; bits 0..29 reproduce the full hash
+    val bits = (0 until 30).map { b =>
+      s"CASE WHEN list_sum(list_transform(th, h -> CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << b} ELSE 0 END"
+    }.mkString(" +\n                ")
+    s"""WITH $oracleTk,
+         sim AS (SELECT doc_id, CAST($bits AS BIGINT) AS sm FROM tk)
+         SELECT a.doc_id AS id_a, bb.doc_id AS id_b,
+                CAST(bit_count(xor(a.sm, bb.sm)) AS BIGINT) AS hamming
+         FROM sim a JOIN sim bb
+           ON a.doc_id < bb.doc_id AND bit_count(xor(a.sm, bb.sm)) <= 3
+         ORDER BY id_a, id_b"""
+  }
+
+  private def ngramJaccardProdSql: String =
+    s"""WITH $oracleTk,
+         ${shrCte(2)},
+         ${sigCte(32)},
+         sets AS (SELECT doc_id, list_distinct(hs) AS s FROM shr),
+         cand AS (
+           SELECT a.doc_id AS id_a, bb.doc_id AS id_b
+           FROM sig a JOIN sig bb
+             ON a.doc_id < bb.doc_id AND (${bandCond(16, 2)}))
+         SELECT id_a, id_b,
+                CASE WHEN len(list_distinct(list_concat(sa.s, sb.s))) = 0 THEN NULL
+                     ELSE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+                          CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE)
+                END AS jaccard
+         FROM cand
+         JOIN sets sa ON sa.doc_id = id_a
+         JOIN sets sb ON sb.doc_id = id_b
+         ORDER BY id_a, id_b"""
+
+  private def dedupCorpusSql: String =
+    s"""WITH RECURSIVE $oracleTk,
+         ${shrCte(3)},
+         ${sigCte(32)},
+         prs AS (
+           SELECT id_a, id_b FROM (
+             SELECT a.doc_id AS id_a, bb.doc_id AS id_b, ${estExpr(32)} AS est
+             FROM sig a JOIN sig bb
+               ON a.doc_id < bb.doc_id AND (${bandCond(8, 4)}))
+           WHERE est >= CAST(0.5 AS DOUBLE)),
+         edges AS (
+           SELECT id_a AS s, id_b AS d FROM prs
+           UNION
+           SELECT id_b AS s, id_a AS d FROM prs),
+         reach(id, r) AS (
+           SELECT s, d FROM edges
+           UNION
+           SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s)
+         SELECT doc_id, n_chars FROM documents
+         WHERE doc_id NOT IN (SELECT DISTINCT id FROM reach WHERE r < id)
+         ORDER BY doc_id"""
+
+  // ── SRP-LSH oracles ────────────────────────────────────────────────────
+  // The murmur-mixed ±1 plane matrix is emitted as literal arrays; the
+  // bucket-key projection replicates VecDot's left-to-right double fold, so
+  // every sign decision — and therefore the exact candidate set — matches.
+
+  private def srpKeyExpr(vecExpr: String, table: Int, bits: Int, dim: Int): String =
+    (0 until bits).map { p0 =>
+      val signs = graft.ops.Similarity.planeSignVector(table * bits + p0, dim)
+        .map(s => if (s > 0) "1" else "-1").mkString("[", ", ", "]")
+      val proj =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(list_zip($vecExpr, $signs), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+             (acc, x) -> acc + x)"""
+      s"CASE WHEN $proj >= 0 THEN ${1L << p0} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  /** Per-vector bucket keys for the 4 independent tables (bits=6, dim=64 —
+    * the knobs SparkEntry's sim_topk_lsh / sim_cosine_neardup use). */
+  private def srpKeyedCte: String =
+    s"""keyed AS (
+         SELECT vec_id, embedding AS v,
+                ${srpKeyExpr("embedding", 0, 6, 64)} AS bk0,
+                ${srpKeyExpr("embedding", 1, 6, 64)} AS bk1,
+                ${srpKeyExpr("embedding", 2, 6, 64)} AS bk2,
+                ${srpKeyExpr("embedding", 3, 6, 64)} AS bk3
+         FROM embeddings)"""
+
+  private def lshTopkSql: String =
+    s"""WITH $srpKeyedCte,
+         cand AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, q.v AS qvec, c.v AS cvec
+           FROM keyed q JOIN keyed c
+             ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+            AND (q.bk0 = c.bk0 OR q.bk1 = c.bk1 OR q.bk2 = c.bk2 OR q.bk3 = c.bk3)),
+         scored AS (
+           SELECT query_id, corpus_id, ${cosSql("qvec", "cvec")} AS score FROM cand),
+         ranked AS (
+           SELECT query_id, corpus_id, score,
+                  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, corpus_id) AS rank
+           FROM scored)
+         SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, score
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  private def cosineNearDupSql: String =
+    s"""WITH $srpKeyedCte,
+         cand AS (
+           SELECT a.vec_id AS id_a, bb.vec_id AS id_b, a.v AS va, bb.v AS vb
+           FROM keyed a JOIN keyed bb
+             ON a.vec_id < bb.vec_id
+            AND (a.bk0 = bb.bk0 OR a.bk1 = bb.bk1 OR a.bk2 = bb.bk2 OR a.bk3 = bb.bk3))
+         SELECT id_a, id_b, cos FROM (
+           SELECT id_a, id_b, ${cosSql("va", "vb")} AS cos FROM cand)
+         WHERE cos >= CAST(0.30 AS DOUBLE)
+         ORDER BY id_a, id_b"""
+
+  /** The stub decoder is pure integer math over the UTF-8 payload: pixel i
+    * cycles the bytes; band means are Long→Float divisions. Reproduced
+    * here exactly (ASCII testdata: char codes == bytes). */
+  private def multimodalDecodeSql: String =
+    s"""WITH img AS (
+         SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS nb,
+                list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+                               c -> CAST(ascii(c) AS BIGINT)) AS cs,
+                CAST(64 + (doc_id % 8) * 16 AS BIGINT) AS w
+         FROM documents WHERE doc_id % 3 = 0),
+       px AS (
+         SELECT media_id, nb, w, w * 4 AS band,
+                list_transform(range(0, w * 64), i -> cs[CAST(i % nb AS INT) + 1]) AS pxs
+         FROM img),
+       emb AS (
+         SELECT media_id, nb, w,
+                list_sum(pxs) AS pxsum,
+                list_transform(range(0, 16),
+                  b -> CAST(CAST(list_sum(list_slice(pxs, CAST(b * band AS INT) + 1, CAST((b + 1) * band AS INT))) AS REAL)
+                            / CAST(band AS REAL) AS REAL)) AS e
+         FROM px)
+       SELECT media_id, nb AS n_bytes, w AS width, CAST(64 AS BIGINT) AS height,
+              CAST(pxsum AS DOUBLE) / (w * 64) AS mean_intensity,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                (acc, v) -> acc + v) AS emb_norm2
+       FROM emb ORDER BY media_id"""
 
   private def jaccardNeighborsSql: String =
     s"""WITH $oracleTk,
@@ -236,16 +455,24 @@ object SparkEntry {
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
 
   /** DuckDB-runnable oracle SQL per query (same column names and exact
-    * arithmetic as the Spark side). Rows-only checks (no entry) for the
-    * xxhash64-based LSH/SimHash/ANN scale paths; the `*_oracle` dedup
-    * variants re-derive the same math from the reproducible polynomial
-    * hash so the signatures themselves are hash-checked. */
+    * arithmetic as the Spark side). Every query is hash-checked: the sketch
+    * pipelines run their production code path under the injectable
+    * polynomial hash, the SRP-LSH queries are checked against the literal
+    * plane matrix, and the `*_oracle` variants additionally pin the raw
+    * signature values. */
   def oracleSql: Map[String, String] = Map(
     "dedup_minhash_oracle" -> minhashOracleSql,
     "dedup_simhash_oracle" -> simhashOracleSql,
     "dedup_jaccard_neighbors" -> jaccardNeighborsSql,
+    "dedup_minhash_lsh" -> minhashLshSql,
+    "dedup_simhash" -> simhashDupsSql,
+    "dedup_ngram_jaccard" -> ngramJaccardProdSql,
+    "dedup_corpus" -> dedupCorpusSql,
     "sim_topk_bruteforce" -> bruteForceTopkSql,
     "sim_topk_ivf" -> ivfTopkSql,
+    "sim_topk_lsh" -> lshTopkSql,
+    "sim_cosine_neardup" -> cosineNearDupSql,
+    "multimodal_decode" -> multimodalDecodeSql,
     "q_bronze_wrap" ->
       """SELECT props AS raw_json, DATE '2024-01-15' AS extraction_date
          FROM events ORDER BY event_id""",

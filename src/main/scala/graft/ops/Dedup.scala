@@ -16,6 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Production token hash: xxhash64 — fastest codegen'd 64-bit hash in
+    * Spark. Injectable (see [[shingleHashRows]]) so the exact-oracle
+    * harness can swap in [[polyHash]] without touching the pipeline shape. */
+  val xxHash: Column => Column = c => xxhash64(c)
+
+  /** Oracle token hash: the reproducible polynomial char fold (seed 31) —
+    * any engine with string/ascii primitives replicates it bit-for-bit.
+    * 30-bit range: fine at oracle scale, would collide at corpus scale —
+    * production stays on [[xxHash]]. */
+  val oracleHash: Column => Column = c => polyHash(c, 31L)
+
   // ── Exact dedup ─────────────────────────────────────────────────────────
 
   /** Keep the lowest-id row per distinct key column value (deterministic
@@ -54,8 +65,18 @@ object Dedup {
     * `sh` is null for the last k-1 positions of each doc (incomplete
     * windows) and for docs with fewer than k tokens; null-ignoring
     * aggregates (min/collect_set) handle those for free.
+    *
+    * `tokenHash` defaults to the production [[xxHash]]; the correctness
+    * harness injects [[oracleHash]] so the SAME pipeline (this window
+    * shingling, the MinhashAgg reduction, the band join) runs under an
+    * exact cross-engine oracle.
     */
-  def shingleHashRows(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+  def shingleHashRows(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      tokenHash: Column => Column = xxHash): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__id")).orderBy(col("__pos").asc)
     val sh = (0 until k).map { j =>
@@ -64,15 +85,15 @@ object Dedup {
     }.reduce(_ + _)
     docs.select(
         col(idCol).alias("__id"),
-        posexplode_outer(transform(TextAnalysis.tokens(col(textCol)), t => xxhash64(t))))
+        posexplode_outer(transform(TextAnalysis.tokens(col(textCol)), t => tokenHash(t))))
       .toDF("__id", "__pos", "__th")
       .select(col("__id"), sh.alias("sh"))
   }
 
-  /** Deterministic 63-bit hash of a string: polynomial rolling hash in a
-    * Mersenne-ish prime field. Pure integer arithmetic — reproducible
-    * everywhere, unlike xxhash64's seed-dependence is fine but this also
-    * lets a SQL oracle replicate it. */
+  /** Deterministic hash of a string: polynomial rolling hash in a
+    * Mersenne-ish prime field. Pure integer arithmetic over character
+    * codes — unlike xxhash64, any SQL engine replicates it exactly,
+    * which is what makes the sketch pipelines oracle-checkable. */
   def polyHash(s: Column, mulSeed: Long): Column =
     aggregate(
       filter(split(s, "", -1), c => c =!= lit("")),
@@ -100,14 +121,15 @@ object Dedup {
       idCol: String,
       textCol: String,
       k: Int,
-      numHashes: Int): DataFrame = {
+      numHashes: Int,
+      tokenHash: Column => Column = xxHash): DataFrame = {
     val p = MinhashP
     // duplicates don't affect min, so no distinct pass is needed; the
     // groupBy below reuses the window's (doc) partitioning — one shuffle.
     // The signature itself is a single custom TypedImperativeAggregate
     // (one primitive-array buffer, all permutations updated in a tight
     // loop per row) rather than numHashes separate min() slots.
-    val hashed = shingleHashRows(docs, idCol, textCol, k)
+    val hashed = shingleHashRows(docs, idCol, textCol, k, tokenHash)
       .select(col("__id").alias("mh_id"), pmod(col("sh"), lit(p)).alias("h"))
     hashed.groupBy(col("mh_id"))
       .agg(graft.functions.SketchAggregates.minhashAgg(col("h"), numHashes).alias("sig"))
@@ -132,13 +154,14 @@ object Dedup {
       k: Int = 3,
       numHashes: Int = 32,
       bands: Int = 8,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5,
+      tokenHash: Column => Column = xxHash): DataFrame = {
     val rowsPerBand = numHashes / bands
     // The signature table is referenced three times below (both sides of
     // the band join + the scoring join); persist it so the shingle
     // explode/aggregate pipeline runs once. It is tiny relative to the
     // corpus: numHashes longs per doc.
-    val sig = minhashSignatures(docs, idCol, textCol, k, numHashes)
+    val sig = minhashSignatures(docs, idCol, textCol, k, numHashes, tokenHash)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // explode into (band, bucket) keys — sig stays behind, only the 8-byte
     // bucket key + id travel into the join
@@ -178,7 +201,11 @@ object Dedup {
     * with 64 small sum aggregates — partial aggregation map-side, 64 longs
     * per doc on the shuffle. Empty docs hash to 0.
     */
-  def simhashes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashes(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tokenHash: Column => Column = xxHash): DataFrame = {
     val toks = docs.select(
       col(idCol).alias("sh_id"),
       explode_outer(TextAnalysis.tokens(col(textCol))).alias("tok"))
@@ -186,7 +213,7 @@ object Dedup {
     // explode's null row for empty docs must stay null so the aggregate
     // skips it
     val hashed = toks.select(col("sh_id"),
-      when(col("tok").isNotNull, xxhash64(col("tok"))).alias("th"))
+      when(col("tok").isNotNull, tokenHash(col("tok"))).alias("th"))
     // single custom aggregate: one 64-int buffer per group, all bit
     // counters updated per row (vs 64 separate sum(CASE) aggregate slots)
     hashed.groupBy(col("sh_id"))
@@ -203,9 +230,10 @@ object Dedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      tokenHash: Column => Column = xxHash): DataFrame = {
     // referenced by both sides of the self-join below; 16 bytes per doc
-    val withSim = simhashes(docs, idCol, textCol)
+    val withSim = simhashes(docs, idCol, textCol, tokenHash)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocked = withSim.select(
       col("sh_id"), col("sim"),
@@ -279,10 +307,12 @@ object Dedup {
       minJaccard: Double = 0.5,
       k: Int = 3,
       numHashes: Int = 32,
-      bands: Int = 8): DataFrame = {
-    val pairs = minhashLsh(docs, idCol, textCol, k, numHashes, bands, minJaccard)
+      bands: Int = 8,
+      tokenHash: Column => Column = xxHash,
+      maxIter: Int = 5): DataFrame = {
+    val pairs = minhashLsh(docs, idCol, textCol, k, numHashes, bands, minJaccard, tokenHash)
       .select("id_a", "id_b")
-    val comp = clusters(pairs)
+    val comp = clusters(pairs, maxIter)
     val drop = comp.filter(col("id") =!= col("cluster_id")).select(col("id"))
     docs.join(drop.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
@@ -299,8 +329,9 @@ object Dedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      k: Int = 3): DataFrame = {
-    val sh = shingleHashRows(docs, idCol, textCol, k)
+      k: Int = 3,
+      tokenHash: Column => Column = xxHash): DataFrame = {
+    val sh = shingleHashRows(docs, idCol, textCol, k, tokenHash)
       .groupBy(col("__id").alias("j_id"))
       .agg(collect_set(col("sh")).alias("sh"))
     pairs

@@ -80,6 +80,13 @@ object Similarity {
     if ((h & 1) == 1) 1.0 else -1.0
   }
 
+  /** The ±1 component vector of hyperplane `p` over `dim` dims. Public so
+    * the correctness harness can emit the exact plane matrix as literals
+    * into cross-engine oracle SQL (the murmur mixing itself is not
+    * reproducible in SQL; its 24×64 output is). */
+  def planeSignVector(p: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(d => planeSign(p, d))
+
   /** Signed-random-projection bucket key: `bits` hyperplanes with
     * deterministic murmur-mixed ±1 component signs — no RNG, reproducible
     * across runs and JVMs. Returns a long in [0, 2^bits). */
@@ -107,18 +114,26 @@ object Similarity {
       tables: Int = 2): DataFrame = {
     val c = corpus.select(col(idCol).alias("corpus_id"), col(vecCol).alias("cvec"))
     val q = queries.select(col(idCol).alias("query_id"), col(vecCol).alias("qvec"))
+    // Candidate ids only: the cross-table distinct must never carry the
+    // embedding payload — (query_id, corpus_id) determines the pair, so the
+    // dedup exchange moves 16 bytes/row instead of 2×dim×4. Vectors are
+    // re-attached once, after dedup: the query side by broadcast, the
+    // corpus side by a single id equi-join.
     val candidates = (0 until tables).map { t =>
       // offset the plane index space per table for independent hash tables
       val keyC = srpKeyOffset(col("cvec"), dim, bits, t * bits)
       val keyQ = srpKeyOffset(col("qvec"), dim, bits, t * bits)
-      c.withColumn("bkey", keyC)
-        .join(q.withColumn("bkey", keyQ), Seq("bkey"))
+      c.withColumn("bkey", keyC).select(col("corpus_id"), col("bkey"))
+        .join(q.withColumn("bkey", keyQ).select(col("query_id"), col("bkey")),
+          Seq("bkey"))
         .filter(col("query_id") =!= col("corpus_id"))
-        .select(col("query_id"), col("corpus_id"), col("qvec"), col("cvec"))
+        .select(col("query_id"), col("corpus_id"))
     }.reduce(_.unionByName(_)).distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("corpus_id").asc)
     candidates
+      .join(broadcast(q), Seq("query_id"))
+      .join(c, Seq("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
         cosine(col("qvec"), col("cvec")).alias("score"))
       .withColumn("rank", row_number().over(w))
@@ -204,16 +219,20 @@ object Similarity {
       bits: Int = 8,
       tables: Int = 4): DataFrame = {
     val c = corpus.select(col(idCol).alias("nd_id"), col(vecCol).alias("vec"))
+    // Same shape as [[lshTopK]]: dedup candidate pairs on ids alone (the
+    // cross-table distinct never shuffles vectors), then re-join each side's
+    // vector exactly once for the exact re-score.
     val candidates = (0 until tables).map { t =>
       val keyed = c.withColumn("bkey", srpKeyOffset(col("vec"), dim, bits, t * bits))
+        .select(col("nd_id"), col("bkey"))
       val a = keyed.alias("a")
       val b = keyed.alias("b")
       a.join(b, col("a.bkey") === col("b.bkey") && col("a.nd_id") < col("b.nd_id"))
-        .select(
-          col("a.nd_id").alias("id_a"), col("b.nd_id").alias("id_b"),
-          col("a.vec").alias("vec_a"), col("b.vec").alias("vec_b"))
+        .select(col("a.nd_id").alias("id_a"), col("b.nd_id").alias("id_b"))
     }.reduce(_.unionByName(_)).distinct()
     candidates
+      .join(c.select(col("nd_id").alias("id_a"), col("vec").alias("vec_a")), "id_a")
+      .join(c.select(col("nd_id").alias("id_b"), col("vec").alias("vec_b")), "id_b")
       .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).alias("cos"))
       .filter(col("cos") >= threshold)
   }

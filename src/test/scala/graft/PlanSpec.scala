@@ -97,6 +97,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ann candidate dedup never carries embedding vectors") {
+    // the cross-table distinct must group on ids alone — its exchange would
+    // otherwise shuffle dim×4 bytes per row where 16 suffice
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.types.ArrayType
+    for (q <- Seq("sim_topk_lsh", "sim_cosine_neardup")) {
+      val lp = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
+      val aggs = lp.collect { case a: Aggregate => a }
+      assert(aggs.nonEmpty, s"$q: expected a candidate-dedup aggregate")
+      for (a <- aggs; attr <- a.output)
+        assert(!attr.dataType.isInstanceOf[ArrayType],
+          s"$q: distinct carries array column ${attr.name}")
+    }
+  }
+
   test("gold aggregate plans partial aggregation before the shuffle") {
     val p = plan("q_gold_agg")
     // partial_count marks map-side (pre-shuffle) aggregation
