@@ -61,6 +61,31 @@ final class BreweryApiClient(
     loop(0)
   }
 
+  /** See [[BreweryApiClient.splitJsonArray]]. */
+  def splitJsonArray(body: String): Seq[String] = BreweryApiClient.splitJsonArray(body)
+
+  /** Fetch one page and split it into raw records ([[graft.sources.BreweryApiSource]]
+    * calls this per executor-side page range). */
+  def fetchPage(page: Int): Seq[String] =
+    splitJsonArray(getWithRetry(s"$baseUrl?page=$page&per_page=$perPage").body)
+
+  override def fetch(): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var page = 1
+    var done = false
+    while (!done && page <= maxPages) {
+      val records = fetchPage(page)
+      out ++= records
+      // stop on empty page or partial page (reference bronze:100-116)
+      done = records.isEmpty || records.size < perPage
+      page += 1
+    }
+    out.result()
+  }
+}
+
+object BreweryApiClient {
+
   /** Split a JSON array body into per-record JSON strings.
     *
     * Depth/quote-aware scanner (no regex): robust to nested objects and
@@ -77,7 +102,7 @@ final class BreweryApiClient(
     var escape = false
     var start = -1
     var i = 1
-    while (i < trimmed.length - 0) {
+    while (i < trimmed.length) {
       val c = trimmed.charAt(i)
       if (inString) {
         if (escape) escape = false
@@ -97,27 +122,9 @@ final class BreweryApiClient(
     }
     out.result()
   }
-
-  override def fetch(): Seq[String] = {
-    val out = Seq.newBuilder[String]
-    var page = 1
-    var done = false
-    while (!done && page <= maxPages) {
-      val reply = getWithRetry(s"$baseUrl?page=$page&per_page=$perPage")
-      val records = splitJsonArray(reply.body)
-      out ++= records
-      // stop on empty page or partial page (reference bronze:100-116)
-      done = records.isEmpty || records.size < perPage
-      page += 1
-    }
-    out.result()
-  }
-}
-
-object BreweryApiClient {
   /** Production transport over java.net.http (connect 5 s / read 30 s,
     * matching reference timeouts at bronze:82). */
-  def http(baseUrl: String): BreweryApiClient = {
+  def http(baseUrl: String, perPage: Int = 200): BreweryApiClient = {
     val client = java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofSeconds(5))
       .build()
@@ -132,6 +139,6 @@ object BreweryApiClient {
         if (!e.getValue.isEmpty) hmap += (e.getKey.toLowerCase -> e.getValue.get(0))
       }
       HttpReply(resp.statusCode(), hmap.toMap, resp.body())
-    })
+    }, perPage = perPage)
   }
 }

@@ -102,3 +102,39 @@ final class CatalogWarehouse(spark: SparkSession, namespace: String = "graft")
   override def exists(table: String): Boolean =
     spark.catalog.tableExists(qualified(table))
 }
+
+/** The reference's FULL V2 table lifecycle against a [[GraftCatalog]]
+  * (reference: setup/create_tables_script.py:70-75 — `createOrReplace` with
+  * partitioning and table properties; re-runs `overwritePartitions()`).
+  * On an Iceberg deployment only the catalog conf changes
+  * ([[IcebergNessieProfile]]); every call here is catalog-agnostic V2 API.
+  */
+final class V2CatalogWarehouse(
+    spark: SparkSession,
+    catalog: String = "graftv2",
+    namespace: String = "bronze",
+    tableProperties: Map[String, String] = Map("write.format.default" -> "parquet"))
+    extends Storage {
+
+  spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $catalog.$namespace")
+
+  private def qualified(table: String) = s"$catalog.$namespace.$table"
+
+  override def read(table: String): DataFrame = spark.table(qualified(table))
+
+  override def writePartitioned(df: DataFrame, table: String, partitionCol: String): Unit =
+    if (!exists(table)) {
+      val w = df.writeTo(qualified(table))
+        .using("parquet")
+        .partitionedBy(org.apache.spark.sql.functions.col(partitionCol))
+      tableProperties.foldLeft(w) { case (acc, (k, v)) => acc.tableProperty(k, v) }
+        .createOrReplace()
+    } else {
+      // replace ONLY the partitions present in df (S5 idempotency) — the
+      // V2 spelling of dynamic partition overwrite
+      df.writeTo(qualified(table)).overwritePartitions()
+    }
+
+  override def exists(table: String): Boolean =
+    spark.catalog.tableExists(qualified(table))
+}

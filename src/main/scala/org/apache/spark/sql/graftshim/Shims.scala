@@ -11,4 +11,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Shims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Hive-compatible partition-path escaping (`ExternalCatalogUtils` is
+    * `private[sql]`): [[graft.storage.GraftCatalog]]'s writer must encode
+    * partition directory names exactly as Spark's readers decode them. */
+  def escapePathName(part: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(part)
+
+  def defaultPartitionName: String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME
 }
