@@ -172,11 +172,15 @@ object Similarity {
       vecCol: String,
       k: Int,
       numCentroids: Int = 16,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4,
+      fitCentroids: Option[DataFrame] = None): DataFrame = {
     val c = corpus.select(col(idCol).alias("corpus_id"), col(vecCol).alias("cvec"))
     val q = queries.select(col(idCol).alias("query_id"), col(vecCol).alias("qvec"))
-    val centroids = c.orderBy(col("corpus_id").asc).limit(numCentroids)
-      .select(col("corpus_id").alias("centroid_id"), col("cvec").alias("centvec"))
+    // default: deterministic lowest-id subset (oracle-reproducible); pass
+    // [[kmeansCentroids]] output for higher recall at the same nprobe
+    val centroids = fitCentroids.getOrElse(
+      c.orderBy(col("corpus_id").asc).limit(numCentroids)
+        .select(col("corpus_id").alias("centroid_id"), col("cvec").alias("centvec")))
     // nearest centroid per corpus vector (argmax with deterministic ties)
     val assigned = c.crossJoin(broadcast(centroids))
       .select(col("corpus_id"), col("cvec"),
@@ -205,6 +209,62 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("corpus_id"), col("score"))
+  }
+
+  /** recall@k of an ANN result against the exact result: fraction of each
+    * query's true top-k ids the approximate search recovered, averaged over
+    * queries. Both frames use the (query_id, corpus_id) schema of
+    * [[bruteForceTopK]]/[[lshTopK]]/[[ivfTopK]]. One tiny aggregate —
+    * intended for offline quality tracking at sample scale. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): Double = {
+    val hit = exact.select(col("query_id"), col("corpus_id"))
+      .join(approx.select(col("query_id"), col("corpus_id")).withColumn("h", lit(1)),
+        Seq("query_id", "corpus_id"), "left")
+      .groupBy(col("query_id"))
+      .agg((sum(coalesce(col("h"), lit(0))) / count(lit(1))).alias("r"))
+    val row = hit.agg(avg(col("r"))).first()
+    if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+  }
+
+  /** Lloyd-refined IVF centroids: start from the deterministic lowest-id
+    * seed set and run `iters` assignment/mean iterations. Everything stays
+    * a DataFrame pipeline — broadcast centroids for assignment, one
+    * position-exploded groupBy for the new means (shuffles (cell, pos)
+    * partial sums, never vectors-by-pair) — so the fit runs at corpus
+    * scale. Returns `(centroid_id, centvec)` ready for [[ivfTopK]]'s
+    * `centroids` parameter. */
+  def kmeansCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCentroids: Int,
+      iters: Int = 2): DataFrame = {
+    val c = corpus.select(col(idCol).alias("corpus_id"), col(vecCol).alias("cvec"))
+    var cents = c.orderBy(col("corpus_id").asc).limit(numCentroids)
+      .select(col("corpus_id").alias("centroid_id"), col("cvec").alias("centvec"))
+    var it = 0
+    while (it < iters) {
+      val assigned = c.crossJoin(broadcast(cents))
+        .select(col("corpus_id"), col("cvec"),
+          struct(cosine(col("cvec"), col("centvec")).alias("s"),
+            col("centroid_id").alias("cid")).alias("sc"))
+        .groupBy(col("corpus_id"))
+        .agg(first(col("cvec")).alias("cvec"), max(col("sc")).alias("best"))
+        .select(col("corpus_id"), col("cvec"), col("best.cid").alias("cell"))
+      // new centroid = per-position mean over the cell (float, matching the
+      // embedding element type); empty cells drop out (k shrinks, fine)
+      cents = assigned
+        .select(col("cell"), posexplode(col("cvec")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col")).alias("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).alias("pm"))
+        .select(col("cell").alias("centroid_id"),
+          transform(col("pm"), p => p.getField("m").cast("float")).alias("centvec"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    cents
   }
 
   /** Embedding-cosine near-duplicate pairs: all corpus pairs above a cosine

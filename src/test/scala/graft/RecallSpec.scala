@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+/** ANN quality gates: recall@10 of the approximate searches against the
+  * exact brute force on the sf0.01 embeddings (500 corpus vectors, 50
+  * queries). The fixture embeddings are near-random (max pairwise cosine
+  * ≈ 0.5) — the WORST case for ANN, so these floors are conservative lower
+  * bounds for real clustered embeddings. Every pipeline here is
+  * deterministic (murmur-mixed planes, lowest-id kmeans seeds), so the
+  * measured recalls are stable across runs; floors sit just under the
+  * measured values (COVERAGE.md records the full knob sweep).
+  */
+class RecallSpec extends SparkSpec {
+
+  private lazy val e =
+    queries.Parity.t(spark, "/root/testdata/sf0.01", "embeddings").cache()
+  private lazy val q = e.filter(col("vec_id") < 50)
+  private lazy val bf = {
+    val x = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 10).cache()
+    x.count(); x
+  }
+
+  test("srp-lsh recall: bits=3/tables=16 >= 0.95 on random embeddings") {
+    val lsh = Similarity.lshTopK(e, q, "vec_id", "embedding",
+      dim = 64, k = 10, bits = 3, tables = 16)
+    val r = Similarity.recallAtK(lsh, bf)
+    assert(r >= 0.95, f"lsh recall $r%.3f (measured 0.986 at these knobs)")
+  }
+
+  test("srp-lsh recall scales with tables: 8 tables still >= 0.8") {
+    val lsh = Similarity.lshTopK(e, q, "vec_id", "embedding",
+      dim = 64, k = 10, bits = 3, tables = 8)
+    val r = Similarity.recallAtK(lsh, bf)
+    assert(r >= 0.80, f"lsh recall $r%.3f (measured 0.864 at these knobs)")
+  }
+
+  test("ivf + kmeans-refined centroids: recall >= 0.9 probing half the cells") {
+    val km = Similarity.kmeansCentroids(e, "vec_id", "embedding", 32, iters = 3)
+      .cache()
+    km.count()
+    val ivf = Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 10,
+      numCentroids = 32, nprobe = 16, fitCentroids = Some(km))
+    val r = Similarity.recallAtK(ivf, bf)
+    assert(r >= 0.90, f"ivf_km recall $r%.3f (measured 0.908 at these knobs)")
+    // kmeans refinement beats the raw lowest-id seeds at equal cost
+    val raw = Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 10,
+      numCentroids = 32, nprobe = 16)
+    assert(r >= Similarity.recallAtK(raw, bf) - 0.02)
+  }
+
+  test("recallAtK sanity: exact-vs-exact is 1.0, disjoint is 0.0") {
+    assert(Similarity.recallAtK(bf, bf) == 1.0)
+    val shifted = bf.withColumn("corpus_id", col("corpus_id") + 100000)
+    assert(Similarity.recallAtK(shifted, bf) == 0.0)
+  }
+}
