@@ -1,0 +1,166 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.Shims
+import org.apache.spark.sql.types._
+
+/** Per-row sketch expressions — the narrow, shuffle-free formulation of the
+  * MinHash/SimHash pipelines.
+  *
+  * A document's tokens live in ONE row, so its signature is a per-row fold:
+  * the explode → window → re-aggregate spelling ([[SketchAggregates]])
+  * pays a full exchange and an ObjectHashAggregate to compute something
+  * that never crosses row boundaries. These expressions keep the whole
+  * signature stage inside one WholeStageCodegen scan: tokens → hashes →
+  * window sums → permutation minima, all tight compiled loops, no shuffle
+  * until the band join itself. The aggregate forms remain for genuinely
+  * pre-exploded inputs (e.g. token streams).
+  *
+  * Each expression evaluates its array input exactly once per row — the
+  * composable HOF spelling (`transform(sequence(...), i -> element_at(th,
+  * i) ...)`) re-evaluates the token-hash array per element unless the
+  * optimizer happens to keep the projection boundary (the lambda-recompute
+  * trap), and is interpreted per element besides.
+  *
+  * Arithmetic is IDENTICAL to the aggregate forms (wrapping 64-bit window
+  * sums, pmod into 2^31-1, LCG permutation constants, sentinel p / 0 for
+  * empty inputs) — the DuckDB oracles and golden tests pin this.
+  */
+abstract class SketchArrayExpression extends UnaryExpression {
+
+  protected def elemType: DataType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(t, _) if t == elemType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<$elemType>, got $t")
+    }
+
+  /** The per-row kernel: compiled Scala invoked once per row from the
+    * generated code (one virtual call, tight loop inside — stays within
+    * the WholeStageCodegen pipeline, no fallback). */
+  def compute(arr: ArrayData): Any
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj(prettyName, this, classOf[SketchArrayExpression].getName)
+    val javaType = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+      .javaType(dataType)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ($javaType) $self.compute($c);")
+  }
+}
+
+/** `shingle_windows(th, k)`: k-token rolling window combination of a
+  * token-hash array — `sh[i] = Σ_j th[i+j] · (31·(2j+1)+7)`, wrapping
+  * 64-bit arithmetic, `n-k+1` complete windows (empty for short docs).
+  * Hash-equivalent to hashing the shingle string, with no string
+  * materialization ([[graft.ops.Dedup.shingleHashRows]] is the exploded
+  * twin; reference for the weights). */
+case class ShingleWindows(child: Expression, k: Int) extends SketchArrayExpression {
+
+  override protected def elemType: DataType = LongType
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private val weights = Array.tabulate(k)(j => 31L * (j * 2 + 1) + 7L)
+
+  override def compute(arr: ArrayData): Any = {
+    val n = arr.numElements()
+    val m = math.max(0, n - k + 1)
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var s = 0L
+      var j = 0
+      while (j < k) { s += arr.getLong(i + j) * weights(j); j += 1 }
+      out(i) = s
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def prettyName: String = "shingle_windows"
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** `minhash_array(sh, numHashes)`: per-row MinHash signature over a
+  * shingle-hash array — pmod into 2^31-1 then `min((h·a_i + b_i) mod p)`
+  * per permutation; sentinel `p` for empty inputs. Same constants as
+  * [[MinhashAgg]]. */
+case class MinhashArray(child: Expression, numHashes: Int) extends SketchArrayExpression {
+
+  override protected def elemType: DataType = LongType
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private val p = 2147483647L
+  private val as = Array.tabulate(numHashes)(i => 1103515245L * (i + 1) % p)
+  private val bs = Array.tabulate(numHashes)(i => 12345L * (i * 2 + 1) % p)
+
+  override def compute(arr: ArrayData): Any = {
+    val sig = Array.fill(numHashes)(p)
+    val n = arr.numElements()
+    var r = 0
+    while (r < n) {
+      var h = arr.getLong(r) % p
+      if (h < 0) h += p // pmod
+      var i = 0
+      while (i < numHashes) {
+        val perm = (h * as(i) + bs(i)) % p
+        if (perm < sig(i)) sig(i) = perm
+        i += 1
+      }
+      r += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override def prettyName: String = "minhash_array"
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** `simhash_array(th)`: per-row 64-bit SimHash of a token-hash array —
+  * per bit, sum ±1 over tokens; bit set where the sum is positive; empty
+  * input → 0. Same semantics as [[SimhashAgg]]. */
+case class SimhashArray(child: Expression) extends SketchArrayExpression {
+
+  override protected def elemType: DataType = LongType
+  override def dataType: DataType = LongType
+
+  override def compute(arr: ArrayData): Any = {
+    val counts = new Array[Int](64)
+    val n = arr.numElements()
+    var r = 0
+    while (r < n) {
+      val h = arr.getLong(r)
+      var b = 0
+      while (b < 64) {
+        counts(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+      r += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sim |= (1L << b); b += 1 }
+    sim
+  }
+
+  override def prettyName: String = "simhash_array"
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+object SketchArrayExpressions {
+  def shingleWindows(th: Column, k: Int): Column =
+    Shims.column(ShingleWindows(Shims.expression(th), k))
+  def minhashArray(sh: Column, numHashes: Int): Column =
+    Shims.column(MinhashArray(Shims.expression(sh), numHashes))
+  def simhashArray(th: Column): Column =
+    Shims.column(SimhashArray(Shims.expression(th)))
+}

@@ -122,18 +122,21 @@ object Dedup {
       textCol: String,
       k: Int,
       numHashes: Int,
-      tokenHash: Column => Column = xxHash): DataFrame = {
-    val p = MinhashP
-    // duplicates don't affect min, so no distinct pass is needed; the
-    // groupBy below reuses the window's (doc) partitioning — one shuffle.
-    // The signature itself is a single custom TypedImperativeAggregate
-    // (one primitive-array buffer, all permutations updated in a tight
-    // loop per row) rather than numHashes separate min() slots.
-    val hashed = shingleHashRows(docs, idCol, textCol, k, tokenHash)
-      .select(col("__id").alias("mh_id"), pmod(col("sh"), lit(p)).alias("h"))
-    hashed.groupBy(col("mh_id"))
-      .agg(graft.functions.SketchAggregates.minhashAgg(col("h"), numHashes).alias("sig"))
-  }
+      tokenHash: Column => Column = xxHash): DataFrame =
+    // A doc's signature never crosses row boundaries, so the whole stage is
+    // one narrow per-row chain — tokens → hashes → window sums → permutation
+    // minima ([[graft.functions.ShingleWindows]]/[[graft.functions.MinhashArray]],
+    // compiled loops) — with NO exchange at all. The exploded
+    // window+aggregate twin ([[shingleHashRows]] + [[graft.functions.MinhashAgg]])
+    // computes identical values for pre-exploded inputs; swapping it in here
+    // measured +1 shuffle of every token hash and an ObjectHashAggregate for
+    // the same result (~2× wall-clock on the LSH pipeline at sf0.1).
+    docs.select(
+      col(idCol).alias("mh_id"),
+      graft.functions.SketchArrayExpressions.minhashArray(
+        graft.functions.SketchArrayExpressions.shingleWindows(
+          transform(TextAnalysis.tokens(col(textCol)), t => tokenHash(t)), k),
+        numHashes).alias("sig"))
 
   /** MinHash + LSH near-dup candidate pairs.
     *
@@ -205,20 +208,15 @@ object Dedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      tokenHash: Column => Column = xxHash): DataFrame = {
-    val toks = docs.select(
+      tokenHash: Column => Column = xxHash): DataFrame =
+    // narrow per-row fold, same rationale as [[minhashSignatures]] (the
+    // tokens array has no null elements, so no xxhash64(null)=42 guard is
+    // needed here — empty docs yield an empty array → simhash 0, matching
+    // the aggregate twin's empty-group semantics)
+    docs.select(
       col(idCol).alias("sh_id"),
-      explode_outer(TextAnalysis.tokens(col(textCol))).alias("tok"))
-    // guard: xxhash64(null) yields the seed (42), not null — the outer
-    // explode's null row for empty docs must stay null so the aggregate
-    // skips it
-    val hashed = toks.select(col("sh_id"),
-      when(col("tok").isNotNull, tokenHash(col("tok"))).alias("th"))
-    // single custom aggregate: one 64-int buffer per group, all bit
-    // counters updated per row (vs 64 separate sum(CASE) aggregate slots)
-    hashed.groupBy(col("sh_id"))
-      .agg(graft.functions.SketchAggregates.simhashAgg(col("th")).alias("sim"))
-  }
+      graft.functions.SketchArrayExpressions.simhashArray(
+        transform(TextAnalysis.tokens(col(textCol)), t => tokenHash(t))).alias("sim"))
 
   /** SimHash near-dup candidates: docs whose 64-bit simhash differs in at
     * most `maxHamming` bits. Self-join blocked on the 4 16-bit quarters of
@@ -331,9 +329,11 @@ object Dedup {
       textCol: String,
       k: Int = 3,
       tokenHash: Column => Column = xxHash): DataFrame = {
-    val sh = shingleHashRows(docs, idCol, textCol, k, tokenHash)
-      .groupBy(col("__id").alias("j_id"))
-      .agg(collect_set(col("sh")).alias("sh"))
+    // per-row distinct shingle-hash set — narrow, no explode/collect_set
+    val sh = docs.select(
+      col(idCol).alias("j_id"),
+      array_distinct(graft.functions.SketchArrayExpressions.shingleWindows(
+        transform(TextAnalysis.tokens(col(textCol)), t => tokenHash(t)), k)).alias("sh"))
     pairs
       .join(sh.select(col("j_id").alias("id_a"), col("sh").alias("sh_a")), "id_a")
       .join(sh.select(col("j_id").alias("id_b"), col("sh").alias("sh_b")), "id_b")
