@@ -148,6 +148,21 @@ object SparkEntry {
         .orderBy("lang", "lang_pred")
     }),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir))),
+    // ── Training-set preparation ──
+    "prep_split" -> ((s, dir) =>
+      graft.ops.TrainPrep.splitByHash(docs(s, dir), "doc_id")
+        .select(col("doc_id"), col("bucket"), col("split")).orderBy("doc_id")),
+    "prep_pack" -> ((s, dir) =>
+      graft.ops.TrainPrep.packSequences(docs(s, dir), "doc_id", "lang",
+        size(TextAnalysis.tokens(col("text"))).cast("long"), budget = 512)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("seq_id"))
+        .orderBy("doc_id")),
+    "prep_vocab" -> ((s, dir) =>
+      graft.ops.TrainPrep.topTokens(docs(s, dir), "text", k = 50)
+        .orderBy("rank")),
+    "prep_scrub" -> ((s, dir) =>
+      graft.ops.TrainPrep.scrubText(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
   )
 
   /** Shared CTEs for the polynomial-hash dedup oracles: per-doc token
@@ -698,6 +713,41 @@ object SparkEntry {
            FROM s)
          SELECT lang, lang_pred, count(*) AS n_docs
          FROM pred GROUP BY 1, 2 ORDER BY 1, 2""",
+    "prep_split" ->
+      """SELECT doc_id,
+                (doc_id * 2654435761 + 40503) % 1000 AS bucket,
+                CASE WHEN (doc_id * 2654435761 + 40503) % 1000 < 800 THEN 'train'
+                     WHEN (doc_id * 2654435761 + 40503) % 1000 < 900 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
+    "prep_pack" ->
+      """WITH tk AS (
+           SELECT doc_id, lang,
+                  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, lang, n_tokens,
+                  sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+           FROM tk)
+         SELECT doc_id, lang, n_tokens,
+                CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS seq_id
+         FROM c ORDER BY doc_id""",
+    "prep_vocab" ->
+      """SELECT token, n_occurrences, rank FROM (
+           SELECT token, count(*) AS n_occurrences,
+                  row_number() OVER (ORDER BY count(*) DESC, token ASC) AS rank
+           FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+                 FROM documents)
+           GROUP BY token)
+         WHERE rank <= 50 ORDER BY rank""",
+    "prep_scrub" ->
+      """SELECT doc_id,
+                regexp_replace(regexp_replace(text, '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+                               '[0-9]{4,}', '<NUM>', 'g') AS scrubbed,
+                CAST(len(regexp_extract_all(text, '[A-Za-z0-9._]+@[A-Za-z0-9.]+'))
+                     + len(regexp_extract_all(text, '[0-9]{4,}')) AS BIGINT) AS n_redactions
+         FROM documents ORDER BY doc_id""",
     "text_fingerprint" ->
       """SELECT doc_id,
                 list_reduce(

@@ -119,16 +119,16 @@ object Similarity {
     // dedup exchange moves 16 bytes/row instead of 2×dim×4. Vectors are
     // re-attached once, after dedup: the query side by broadcast, the
     // corpus side by a single id equi-join.
-    val candidates = (0 until tables).map { t =>
-      // offset the plane index space per table for independent hash tables
-      val keyC = srpKeyOffset(col("cvec"), dim, bits, t * bits)
-      val keyQ = srpKeyOffset(col("qvec"), dim, bits, t * bits)
-      c.withColumn("bkey", keyC).select(col("corpus_id"), col("bkey"))
-        .join(q.withColumn("bkey", keyQ).select(col("query_id"), col("bkey")),
-          Seq("bkey"))
+    // All `tables` bucket keys are computed in one pass and exploded, so
+    // candidate generation is ONE equi-join on (table, key) rather than
+    // `tables` separate join+union branches — one exchange per side.
+    val candidates =
+      explodeKeys(c, col("corpus_id"), col("cvec"), dim, bits, tables)
+        .join(explodeKeys(q, col("query_id"), col("qvec"), dim, bits, tables),
+          Seq("tbl", "bkey"))
         .filter(col("query_id") =!= col("corpus_id"))
         .select(col("query_id"), col("corpus_id"))
-    }.reduce(_.unionByName(_)).distinct()
+        .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("corpus_id").asc)
     candidates
@@ -149,6 +149,17 @@ object Similarity {
     }
     planes.reduce(_.bitwiseOR(_))
   }
+
+  /** One row per (id, table, bucket-key): all tables' SRP keys computed in
+    * a single projection and exploded — the join side of candidate
+    * generation. Only (id, tbl, bkey) travel into the exchange. */
+  private def explodeKeys(
+      df: DataFrame, id: Column, vec: Column,
+      dim: Int, bits: Int, tables: Int): DataFrame =
+    df.select(id, posexplode(array(
+        (0 until tables).map(t => srpKeyOffset(vec, dim, bits, t * bits)): _*)))
+      .withColumnRenamed("pos", "tbl")
+      .withColumnRenamed("col", "bkey")
 
   /** IVF-style ANN top-k: inverted-file search with exact re-scoring.
     *
@@ -279,17 +290,18 @@ object Similarity {
       bits: Int = 8,
       tables: Int = 4): DataFrame = {
     val c = corpus.select(col(idCol).alias("nd_id"), col(vecCol).alias("vec"))
-    // Same shape as [[lshTopK]]: dedup candidate pairs on ids alone (the
-    // cross-table distinct never shuffles vectors), then re-join each side's
-    // vector exactly once for the exact re-score.
-    val candidates = (0 until tables).map { t =>
-      val keyed = c.withColumn("bkey", srpKeyOffset(col("vec"), dim, bits, t * bits))
-        .select(col("nd_id"), col("bkey"))
-      val a = keyed.alias("a")
-      val b = keyed.alias("b")
-      a.join(b, col("a.bkey") === col("b.bkey") && col("a.nd_id") < col("b.nd_id"))
-        .select(col("a.nd_id").alias("id_a"), col("b.nd_id").alias("id_b"))
-    }.reduce(_.unionByName(_)).distinct()
+    // Same shape as [[lshTopK]]: all table keys exploded into ONE self
+    // equi-join on (table, key), candidate pairs deduped on ids alone (the
+    // distinct never shuffles vectors), then each side's vector re-joined
+    // exactly once for the exact re-score.
+    val keyed = explodeKeys(c, col("nd_id"), col("vec"), dim, bits, tables)
+    val a = keyed.alias("a")
+    val b = keyed.alias("b")
+    val candidates = a.join(b,
+        col("a.tbl") === col("b.tbl") && col("a.bkey") === col("b.bkey") &&
+        col("a.nd_id") < col("b.nd_id"))
+      .select(col("a.nd_id").alias("id_a"), col("b.nd_id").alias("id_b"))
+      .distinct()
     candidates
       .join(c.select(col("nd_id").alias("id_a"), col("vec").alias("vec_a")), "id_a")
       .join(c.select(col("nd_id").alias("id_b"), col("vec").alias("vec_b")), "id_b")

@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-set preparation operators: the steps between a cleaned corpus
+  * and a tokenizer — deterministic splits, token-budget sequence packing,
+  * vocabulary statistics, and PII scrubbing.
+  *
+  * All deterministic (no RNG — reruns and backfills must route every doc
+  * to the same split/sequence), all narrow or single-shuffle:
+  *  - [[splitByHash]]: per-row arithmetic, zero shuffle;
+  *  - [[packSequences]]: one shuffle on the pack group (window running
+  *    sum), the distributed next-fit approximation of bin packing;
+  *  - [[topTokens]]: explode + count + global top-k (partial aggregation
+  *    map-side; the final top-k reduces per-partition winners);
+  *  - [[scrubText]]: per-row regex, zero shuffle.
+  */
+object TrainPrep {
+
+  /** Deterministic train/val/test assignment by multiplicative hash of a
+    * numeric id: bucket = (id·2654435761 + 40503) mod 1000 (Knuth-style
+    * scramble — adjacent ids scatter, same id always lands in the same
+    * split; pure integer arithmetic, reproducible in any engine). Fractions
+    * are permille thresholds: default 800/100/100. */
+  def splitByHash(
+      df: DataFrame,
+      idCol: String,
+      trainPermille: Int = 800,
+      valPermille: Int = 100): DataFrame = {
+    val bucket = pmod(col(idCol) * lit(2654435761L) + lit(40503L), lit(1000L))
+    df.withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < trainPermille, "train")
+          .when(col("bucket") < trainPermille + valPermille, "val")
+          .otherwise("test"))
+  }
+
+  /** Pack documents into fixed token-budget training sequences: within each
+    * `groupCol` (e.g. language), docs ordered by `idCol` fill sequences of
+    * at most `budget` tokens — next-fit bin packing as a running-sum
+    * window: `seq_id = floor(exclusive_cumsum / budget)`. One shuffle (the
+    * group partitioning); docs larger than the budget take dedicated
+    * sequences. Deterministic: same corpus → same packing. */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      tokenCountCol: Column,
+      budget: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", tokenCountCol)
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("seq_id",
+        floor((col("__cum") - col("n_tokens")) / lit(budget)).cast("long"))
+      .drop("__cum")
+  }
+
+  /** Global token vocabulary: the `k` most frequent whitespace tokens with
+    * occurrence counts, ties broken lexicographically. Exploded counts
+    * partially aggregate map-side; the global top-k plans as
+    * TakeOrderedAndProject (per-partition top-k, merged on the driver) —
+    * never a single-partition sort of the whole vocabulary. The rank
+    * window runs over k rows only. */
+  def topTokens(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val ord = Seq(col("n_occurrences").desc, col("token").asc)
+    docs.select(explode(TextAnalysis.tokens(col(textCol))).alias("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).alias("n_occurrences"))
+      .orderBy(ord: _*)
+      .limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(ord: _*)).cast("long"))
+  }
+
+  /** PII scrubbing: replace email-shaped and long-digit-run substrings with
+    * placeholder tokens, reporting per-doc redaction counts. Character-class
+    * regexes only (identical semantics across regex engines — the oracle
+    * runs them in DuckDB's RE2). */
+  val EmailRe = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+  val LongNumRe = "[0-9]{4,}"
+
+  def scrubText(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+        LongNumRe, "<NUM>").alias("scrubbed"),
+      (regexp_count(col(textCol), lit(EmailRe)) +
+        regexp_count(col(textCol), lit(LongNumRe))).cast("long").alias("n_redactions"))
+}
