@@ -100,7 +100,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val dir = tableDir(ident)
     val meta = GraftCatalog.readMeta(fs, dir)
       .getOrElse(throw new NoSuchTableException(ident))
-    new GraftTable(ident.toString, dir.toString, meta)
+    // live view = the latest manifest (data files are immutable; overwrites
+    // supersede logically). Pre-manifest tables fall back to dir listing.
+    val live = GraftCatalog.readManifest(fs, dir, GraftCatalog.latestSnapshot(fs, dir))
+    new GraftTable(ident.toString, dir.toString, meta, live, writable = true)
+  }
+
+  /** Time travel (`SELECT ... FROM t VERSION AS OF n`): serve the file set
+    * recorded by snapshot `n`'s manifest — every commit appends one
+    * (Iceberg's snapshot model in miniature; data files are immutable,
+    * overwrites only supersede them logically, so old snapshots stay
+    * readable until [[vacuum]]). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    val meta = GraftCatalog.readMeta(fs, dir)
+      .getOrElse(throw new NoSuchTableException(ident))
+    val snap = version.toLongOption.getOrElse(
+      throw new IllegalArgumentException(s"invalid snapshot id '$version'"))
+    val files = GraftCatalog.readManifest(fs, dir, snap).getOrElse(
+      throw new IllegalArgumentException(
+        s"table $ident has no snapshot $snap (latest: ${GraftCatalog.latestSnapshot(fs, dir)})"))
+    new GraftTable(s"$ident@v$snap", dir.toString, meta, Some(files), writable = false)
+  }
+
+  /** Expire all snapshots but the latest and physically delete data files
+    * no longer referenced (Iceberg's expire_snapshots + remove_orphans in
+    * one step). Returns the number of data files deleted. */
+  def vacuum(ident: Identifier): Int = {
+    val dir = tableDir(ident)
+    if (GraftCatalog.readMeta(fs, dir).isEmpty) throw new NoSuchTableException(ident)
+    val latest = GraftCatalog.latestSnapshot(fs, dir)
+    val live = GraftCatalog.readManifest(fs, dir, latest).getOrElse(Seq.empty).toSet
+    val all = GraftCatalog.listDataFiles(fs, dir)
+    val dead = all.filterNot(live)
+    dead.foreach(f => fs.delete(new Path(dir, f), false))
+    // drop superseded manifests
+    (1L until latest).foreach(n =>
+      fs.delete(new Path(dir, s"_snap-$n.manifest"), false))
+    dead.size
   }
 
   override def createTable(
@@ -230,6 +267,57 @@ object GraftCatalog {
     finally out.close()
   }
 
+  // ── snapshot manifests ─────────────────────────────────────────────────
+  // `_snap-<n>.manifest`: newline-separated table-relative data-file paths
+  // as of commit n — the source of truth for the live view AND time
+  // travel. Data files are content-immutable (unique names, never
+  // appended); overwrites supersede them in the next manifest without
+  // touching disk, so every snapshot stays readable until `vacuum`.
+  // Single-writer-at-a-time assumption (like the session catalog); a
+  // production deployment swaps in Iceberg, whose catalog arbitrates
+  // concurrent commits ([[IcebergNessieProfile]]).
+
+  private[storage] def listDataFiles(fs: FileSystem, root: Path): Seq[String] = {
+    val it = fs.listFiles(root, true)
+    val out = Seq.newBuilder[String]
+    val rootUri = root.toUri.getPath
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+      // skip metadata, manifests, staging
+      if (!rel.split("/").exists(_.startsWith("_"))) out += rel
+    }
+    out.result().sorted
+  }
+
+  private[storage] def latestSnapshot(fs: FileSystem, dir: Path): Long =
+    if (!fs.exists(dir)) 0L
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("_snap-") && n.endsWith(".manifest"))
+      .map(_.stripPrefix("_snap-").stripSuffix(".manifest").toLong)
+      .foldLeft(0L)(math.max)
+
+  private[storage] def writeSnapshot(fs: FileSystem, dir: Path, files: Seq[String]): Long = {
+    val next = latestSnapshot(fs, dir) + 1
+    val out = fs.create(new Path(dir, s"_snap-$next.manifest"), true)
+    try out.write((files.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    next
+  }
+
+  private[storage] def readManifest(fs: FileSystem, dir: Path, snap: Long): Option[Seq[String]] = {
+    val f = new Path(dir, s"_snap-$snap.manifest")
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try {
+        val reader = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
+        Some(Iterator.continually(reader.readLine()).takeWhile(_ != null)
+          .map(_.trim).filter(_.nonEmpty).toSeq)
+      } finally in.close()
+    }
+  }
+
   /** SQLConf entries `ParquetWriteSupport`/the schema converter read from
     * the task-side hadoop conf (Spark's own writer injects the same set). */
   private[storage] def parquetWriteConfs(spark: SparkSession): Map[String, String] = {
@@ -254,7 +342,9 @@ object GraftCatalog {
 private[storage] class GraftTable(
     tableName: String,
     dir: String,
-    meta: GraftTableMeta) extends Table with SupportsRead with SupportsWrite {
+    meta: GraftTableMeta,
+    pinnedFiles: Option[Seq[String]] = None,
+    writable: Boolean = true) extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = tableName
   override def schema(): StructType = meta.schema
@@ -271,14 +361,25 @@ private[storage] class GraftTable(
     val spark = SparkSession.active
     val opts = new CaseInsensitiveStringMap(
       (options.asScala.toMap + ("basePath" -> dir)).asJava)
-    // fresh ParquetTable per scan: its file index lists the directory at
-    // plan time, so writes committed since the last scan are visible
-    ParquetTable(tableName, spark, opts, Seq(dir), Some(meta.schema),
+    // live table: list the directory at plan time so committed writes are
+    // visible; snapshot: serve exactly the manifest's file set
+    val paths = pinnedFiles match {
+      case Some(files) if files.nonEmpty => files.map(f => s"$dir/$f")
+      case Some(_) => // empty snapshot: a hidden, always-empty directory
+        val empty = new Path(dir, "_empty")
+        empty.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(empty)
+        Seq(empty.toString)
+      case None => Seq(dir)
+    }
+    ParquetTable(tableName, spark, opts, paths, Some(meta.schema),
       classOf[ParquetFileFormat]).newScanBuilder(opts)
   }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    if (!writable)
+      throw new UnsupportedOperationException(s"$tableName is a read-only snapshot")
     new GraftWriteBuilder(dir, meta, info)
+  }
 }
 
 private[storage] class GraftWriteBuilder(
@@ -302,13 +403,16 @@ private[storage] class GraftWriteBuilder(
 private[storage] final case class GraftCommitMessage(
     files: Seq[(String, String)]) extends WriterCommitMessage // (partRelDir, fileName)
 
-/** Staged write + rename-only commit.
+/** Staged write + rename-only, snapshotting commit.
   *
   * Executors write `_staging-<queryId>/<part=val>/part-<p>-<t>.parquet`;
   * the driver commit promotes exactly the files named in the commit
   * messages (stray files from aborted/speculative tasks are left behind in
-  * staging and deleted with it), deleting overwritten content first:
-  * truncate → all data, dynamic → only the partition dirs being replaced.
+  * staging and deleted with it) and records the next snapshot manifest.
+  * Overwrites are LOGICAL: truncate drops every prior file from the new
+  * manifest, dynamic overwrite drops only the touched partitions' files —
+  * nothing is deleted from disk, so earlier snapshots stay readable
+  * (`VERSION AS OF`) until `GraftCatalog.vacuum`.
   */
 private[storage] class GraftBatchWrite(
     dir: String,
@@ -326,22 +430,10 @@ private[storage] class GraftBatchWrite(
     val root = new Path(dir)
     val fs = root.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
     val staged = messages.flatMap(_.asInstanceOf[GraftCommitMessage].files)
-    val touched = staged.map(_._1).distinct
-    mode match {
-      case "truncate" =>
-        fs.listStatus(root).filterNot(_.getPath.getName.startsWith("_"))
-          .foreach(st => fs.delete(st.getPath, true))
-      case "dynamic" =>
-        // unpartitioned table: dynamic overwrite degenerates to truncate
-        if (meta.partitionCols.isEmpty)
-          fs.listStatus(root).filterNot(_.getPath.getName.startsWith("_"))
-            .foreach(st => fs.delete(st.getPath, true))
-        else touched.foreach { part =>
-          val p = new Path(root, part)
-          if (fs.exists(p)) fs.delete(p, true)
-        }
-      case _ => () // append
-    }
+    // prior live set: latest manifest, or a dir listing for legacy tables
+    val prior = GraftCatalog
+      .readManifest(fs, root, GraftCatalog.latestSnapshot(fs, root))
+      .getOrElse(GraftCatalog.listDataFiles(fs, root))
     staged.foreach { case (part, file) =>
       val dst = if (part.isEmpty) root else new Path(root, part)
       fs.mkdirs(dst)
@@ -350,6 +442,16 @@ private[storage] class GraftBatchWrite(
       fs.rename(src, new Path(dst, file))
     }
     fs.delete(new Path(root, stagingRel), true)
+    val stagedRel = staged.map { case (p, f) => if (p.isEmpty) f else s"$p/$f" }
+    val touched = staged.map(_._1).distinct.filter(_.nonEmpty)
+    val live = mode match {
+      case "truncate" => stagedRel.toSeq
+      case "dynamic" if meta.partitionCols.isEmpty => stagedRel.toSeq
+      case "dynamic" =>
+        prior.filterNot(f => touched.exists(t => f.startsWith(t + "/"))) ++ stagedRel
+      case _ => prior ++ stagedRel // append
+    }
+    GraftCatalog.writeSnapshot(fs, root, live)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

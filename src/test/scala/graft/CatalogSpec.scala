@@ -104,6 +104,34 @@ class CatalogSpec extends SparkSpec {
     assert(!spark.catalog.tableExists("graftv2.bronze.sqlt2"))
   }
 
+  test("time travel: VERSION AS OF serves old snapshots; vacuum expires them") {
+    wh
+    t((1L, "a", "2024-01-15"))
+      .writeTo("graftv2.bronze.tt").using("parquet")
+      .partitionedBy(col("extraction_date")).createOrReplace()
+    t((2L, "b", "2024-01-15")).writeTo("graftv2.bronze.tt").append()
+    t((9L, "z", "2024-01-15")).writeTo("graftv2.bronze.tt").overwritePartitions()
+    // live view = latest snapshot
+    assert(spark.table("graftv2.bronze.tt").collect().map(_.getLong(0)).toSeq == Seq(9L))
+    // snapshots 1 and 2 remain readable: overwrite superseded files only
+    // logically
+    assert(spark.sql("SELECT id FROM graftv2.bronze.tt VERSION AS OF 1")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(spark.sql("SELECT id FROM graftv2.bronze.tt VERSION AS OF 2")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // vacuum: physically deletes superseded files, keeps the live view
+    val cat = new GraftCatalog
+    cat.initialize("graftv2", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("warehouse", wh)))
+    val deleted = cat.vacuum(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("bronze"), "tt"))
+    assert(deleted == 2, s"expected 2 superseded files deleted, got $deleted")
+    assert(spark.table("graftv2.bronze.tt").collect().map(_.getLong(0)).toSeq == Seq(9L))
+    val gone = intercept[Exception](
+      spark.sql("SELECT id FROM graftv2.bronze.tt VERSION AS OF 1").collect())
+    assert(gone.getMessage.contains("no snapshot"))
+  }
+
   test("V2CatalogWarehouse: idempotent same-date re-run via the V2 lifecycle") {
     wh
     val storage = new V2CatalogWarehouse(spark)
