@@ -148,6 +148,9 @@ object SparkEntry {
         .orderBy("lang", "lang_pred")
     }),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir))),
+    "text_tf_rarity" -> ((s, dir) =>
+      TextAnalysis.tfRarity(docs(s, dir), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")),
     // ── Training-set preparation ──
     "prep_split" -> ((s, dir) =>
       graft.ops.TrainPrep.splitByHash(docs(s, dir), "doc_id")
@@ -713,6 +716,23 @@ object SparkEntry {
            FROM s)
          SELECT lang, lang_pred, count(*) AS n_docs
          FROM pred GROUP BY 1, 2 ORDER BY 1, 2""",
+    "text_tf_rarity" ->
+      """WITH terms AS (
+           SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM terms GROUP BY 1, 2),
+         dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT doc_id, token, tf, df,
+                  CAST(tf AS DOUBLE) * CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE) AS score
+           FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+         r AS (
+           SELECT doc_id, token, tf, df, score,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rank
+           FROM scored)
+         SELECT doc_id, token, tf, df, score, CAST(rank AS BIGINT) AS rank
+         FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
     "prep_split" ->
       """SELECT doc_id,
                 (doc_id * 2654435761 + 40503) % 1000 AS bucket,

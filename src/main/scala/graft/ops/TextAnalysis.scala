@@ -124,6 +124,35 @@ object TextAnalysis {
       lit(7L),
       (acc, c) => (acc * lit(31L) + ascii(c)) % lit(1000000007L))
 
+  /** Top-k distinguishing terms per document by a TF-IDF-style rarity
+    * weight: `score = tf · (N+1)/(df+1)` — the log-free rational form
+    * (monotone in classic idf, so per-doc term *ranking* is identical;
+    * transcendental-free arithmetic keeps every score bit-reproducible in
+    * any engine, which log(x) is not across libm builds).
+    *
+    * Shape at scale: one explode + two partial-aggregated groupBys
+    * ((doc, term) then term) + a 1-row corpus count broadcast into the
+    * scoring join; the per-doc top-k prunes with WindowGroupLimit.
+    */
+  def tfRarity(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val terms = docs.select(col(idCol).alias("doc_id"),
+      explode(tokens(col(textCol))).alias("token"))
+    val tf = terms.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).alias("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).alias("df"))
+    val n = docs.select(count(lit(1)).alias("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("token").asc)
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * (col("n_docs") + 1).cast("double")
+          / (col("df") + 1).cast("double"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("score"), col("rank"))
+  }
+
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).alias("fp"))
       .orderBy("doc_id")

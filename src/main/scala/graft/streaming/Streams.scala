@@ -143,6 +143,36 @@ object Streams {
       }
   }
 
+  /** Streaming exact dedup with BOUNDED state: drop rows whose `keyCols`
+    * were already seen, keeping dedup state only within the event-time
+    * watermark (`dropDuplicatesWithinWatermark`) — the 100 TB-stream
+    * version of [[graft.ops.Dedup.exactByKey]]. Plain `dropDuplicates` on
+    * a stream accumulates every key forever; bounding by watermark is what
+    * keeps the state store finite under unbounded input. */
+  def dedupExactStream(
+      events: DataFrame,
+      timeCol: String,
+      watermarkDelay: String,
+      keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark(timeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Streaming document sketches: the narrow per-row signature expressions
+    * ([[graft.functions.SimhashArray]]/[[graft.functions.MinhashArray]])
+    * are STATELESS, so they run on a stream unchanged — each micro-batch's
+    * docs get (simhash, minhash sig) columns with zero streaming state.
+    * Feed the output to a sink table; batch LSH band joins over the sink
+    * then find near-dups across the accumulated corpus. */
+  def sketchStream(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.SketchArrayExpressions._
+    val th = transform(graft.ops.TextAnalysis.tokens(col(textCol)), t => xxhash64(t))
+    docs.select(
+      col(idCol),
+      simhashArray(th).alias("simhash"),
+      minhashArray(shingleWindows(th, 3), 32).alias("minhash_sig"))
+  }
+
   /** Streaming medallion slice: raw JSON-string records (the Bronze shape)
     * through the *batch* Silver transforms — projection/filter only, so the
     * identical code plans incrementally under readStream. */

@@ -41,6 +41,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup drops repeats, state bounded by watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val deduped = Streams.dedupExactStream(
+      input.toDF().toDF("ts", "event_id", "payload"),
+      "ts", "10 minutes", Seq("event_id"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts(0), 1L, "a"), (ts(1), 2L, "b"), (ts(1), 1L, "a-dup"))
+      q.processAllAvailable()
+      // second arrival of event_id 1 in a later batch, still within watermark
+      input.addData((ts(2), 1L, "a-again"), (ts(3), 3L, "c"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").collect().map(_.getLong(1)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("stateless sketch stream matches the batch signatures bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val docsData = Seq((0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "completely different content about spark engines"))
+    val input = MemoryStream[(Long, String)]
+    val sketched = Streams.sketchStream(input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = sketched.writeStream.format("memory").queryName("sketch_stream")
+      .outputMode(OutputMode.Append()).start()
+    val streamed = try {
+      input.addData(docsData: _*)
+      q.processAllAvailable()
+      spark.table("sketch_stream").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Long](2))).toMap
+    } finally q.stop()
+    val batchDf = docsData.toDF("doc_id", "text")
+    val sims = graft.ops.Dedup.simhashes(batchDf, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sigs = graft.ops.Dedup.minhashSignatures(batchDf, "doc_id", "text", 3, 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    for (id <- docsData.map(_._1)) {
+      assert(streamed(id)._1 == sims(id), s"simhash mismatch for doc $id")
+      assert(streamed(id)._2 == sigs(id), s"minhash mismatch for doc $id")
+    }
+  }
+
   test("stateful sessionization closes sessions on gap across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SessionEvent]

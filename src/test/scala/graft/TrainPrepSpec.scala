@@ -65,6 +65,20 @@ class TrainPrepSpec extends SparkSpec {
     assert(out(1).getAs[Long]("n_redactions") == 0L)
   }
 
+  test("tfRarity: rare terms outrank common ones, golden scores") {
+    val docs = Seq((0L, "a a b"), (1L, "b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfRarity(docs, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank")) ->
+        (r.getAs[String]("token"), r.getAs[Double]("score"))).toMap
+    // N=2; doc0: a tf=2 df=1 -> 2*3/2=3.0 ; b tf=1 df=2 -> 1*3/3=1.0
+    assert(out((0L, 1L)) == ("a", 3.0))
+    assert(out((0L, 2L)) == ("b", 1.0))
+    // doc1: c tf=1 df=1 -> 1.5 beats shared b -> 1.0
+    assert(out((1L, 1L)) == ("c", 1.5))
+    assert(out((1L, 2L)) == ("b", 1.0))
+  }
+
   test("pack covers every doc exactly once and never splits a doc") {
     val d = queries.Parity.t(spark, "/root/testdata/sf0.001", "documents")
     val packed = TrainPrep.packSequences(d, "doc_id", "lang",
