@@ -25,7 +25,8 @@ object Bench {
     "q_join_broadcast", "q_join_multi", "q_silver_extract",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "sim_topk_bruteforce", "sim_topk_lsh",
-    "text_quality", "text_langid", "text_fingerprint")
+    "text_quality", "text_langid", "text_fingerprint",
+    "text_tf_rarity", "prep_corpus")
 
   /** SparkEntry runs the sketch pipelines with the reproducible polynomial
     * hash so DuckDB can check them; the bench measures the PRODUCTION

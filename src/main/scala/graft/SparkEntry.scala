@@ -166,6 +166,11 @@ object SparkEntry {
     "prep_scrub" -> ((s, dir) =>
       graft.ops.TrainPrep.scrubText(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+    // end-to-end corpus prep: scrub → quality gate → exact dedup → split →
+    // pack, with the reproducible fingerprint injected for the oracle
+    "prep_corpus" -> ((s, dir) =>
+      graft.ops.TrainPrep.prepareCorpus(docs(s, dir), "doc_id", "text", "lang",
+        textHash = TextAnalysis.fingerprint).orderBy("doc_id")),
   )
 
   /** Shared CTEs for the polynomial-hash dedup oracles: per-doc token
@@ -768,6 +773,41 @@ object SparkEntry {
                 CAST(len(regexp_extract_all(text, '[A-Za-z0-9._]+@[A-Za-z0-9.]+'))
                      + len(regexp_extract_all(text, '[0-9]{4,}')) AS BIGINT) AS n_redactions
          FROM documents ORDER BY doc_id""",
+    "prep_corpus" ->
+      """WITH scrub AS (
+           SELECT doc_id, lang,
+                  regexp_replace(regexp_replace(text, '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+                                 '[0-9]{4,}', '<NUM>', 'g') AS scrubbed,
+                  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._]+@[A-Za-z0-9.]+'))
+                       + len(regexp_extract_all(text, '[0-9]{4,}')) AS BIGINT) AS n_redactions
+           FROM documents),
+         gated AS (
+           SELECT doc_id, lang, scrubbed, n_redactions,
+                  CAST(len(toks) AS BIGINT) AS n_tokens
+           FROM (SELECT *, list_filter(string_split(scrubbed, ' '), x -> x <> '') AS toks FROM scrub)
+           WHERE len(toks) >= 20
+             AND CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) >= 0.5),
+         fp AS (
+           SELECT doc_id,
+                  list_reduce(list_prepend(CAST(7 AS BIGINT),
+                    list_transform(list_filter(string_split(scrubbed, ''), c -> c <> ''),
+                                   c -> CAST(ascii(c) AS BIGINT))),
+                    (a, c) -> (a * 31 + c) % 1000000007) AS f
+           FROM gated),
+         keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+         surv AS (
+           SELECT g.doc_id, g.lang, g.n_tokens, g.n_redactions,
+                  CASE WHEN (g.doc_id * 2654435761 + 40503) % 1000 < 800 THEN 'train'
+                       WHEN (g.doc_id * 2654435761 + 40503) % 1000 < 900 THEN 'val'
+                       ELSE 'test' END AS split
+           FROM gated g JOIN keep USING (doc_id)),
+         c AS (
+           SELECT *, sum(n_tokens) OVER (PARTITION BY split, lang ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) AS cum
+           FROM surv)
+         SELECT doc_id, lang, split, n_tokens, n_redactions,
+                CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS seq_id
+         FROM c ORDER BY doc_id""",
     "text_fingerprint" ->
       """SELECT doc_id,
                 list_reduce(

@@ -74,6 +74,62 @@ object TrainPrep {
       .withColumn("rank", row_number().over(Window.orderBy(ord: _*)).cast("long"))
   }
 
+  /** The full training-corpus preparation pipeline, composed end-to-end:
+    *
+    *  1. PII scrub ([[scrubText]]) — narrow;
+    *  2. quality gate: token count ≥ `minTokens` and distinct-token ratio
+    *     ≥ `minDistinctRatio` ([[TextAnalysis.qualityFilter]] semantics) —
+    *     narrow;
+    *  3. exact dedup on the scrubbed text, lowest doc_id survives
+    *     ([[Dedup.exactByKey]]) — one shuffle on the text fingerprint;
+    *  4. deterministic train/val/test split ([[splitByHash]]) — narrow;
+    *  5. token-budget sequence packing per (split, lang)
+    *     ([[packSequences]]) — one window shuffle.
+    *
+    * Output: one row per surviving doc with its split and sequence
+    * assignment — the manifest a tokenizer consumes. Two shuffles total.
+    */
+  def prepareCorpus(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      minTokens: Int = 20,
+      minDistinctRatio: Double = 0.5,
+      budget: Int = 512,
+      textHash: Column => Column = c => xxhash64(c)): DataFrame = {
+    val scrubbed = docs.select(
+      col(idCol), col(langCol),
+      regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+        LongNumRe, "<NUM>").alias("scrubbed"),
+      (regexp_count(col(textCol), lit(EmailRe)) +
+        regexp_count(col(textCol), lit(LongNumRe))).cast("long").alias("n_redactions"))
+    val toks = TextAnalysis.tokens(col("scrubbed"))
+    val gated = scrubbed
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("distinct_ratio",
+        size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+      .filter(col("n_tokens") >= minTokens && col("distinct_ratio") >= minDistinctRatio)
+    // keep the lowest-id doc per identical scrubbed text — the dedup
+    // exchange carries an 8-byte fingerprint, never the payload
+    // (`textHash` injectable for the cross-engine oracle, like Dedup)
+    val keeper = gated
+      .select(col(idCol), textHash(col("scrubbed")).alias("__fp"))
+      .groupBy(col("__fp"))
+      .agg(min(col(idCol)).alias(idCol))
+      .select(col(idCol))
+    val surviving = gated.join(keeper, idCol)
+    val split = splitByHash(surviving, idCol)
+    val w = Window.partitionBy(col("split"), col(langCol)).orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    split
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("seq_id",
+        floor((col("__cum") - col("n_tokens")) / lit(budget)).cast("long"))
+      .select(col(idCol), col(langCol), col("split"), col("n_tokens"),
+        col("n_redactions"), col("seq_id"))
+  }
+
   /** PII scrubbing: replace email-shaped and long-digit-run substrings with
     * placeholder tokens, reporting per-doc redaction counts. Character-class
     * regexes only (identical semantics across regex engines — the oracle

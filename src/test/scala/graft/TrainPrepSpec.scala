@@ -65,6 +65,19 @@ class TrainPrepSpec extends SparkSpec {
     assert(out(1).getAs[Long]("n_redactions") == 0L)
   }
 
+  test("prepareCorpus: gate, dedup, split, pack compose end-to-end") {
+    val long = ("tok" + (1 to 30).mkString(" tok")) // 30 distinct tokens
+    val docs = Seq(
+      (0L, long, "en"),                   // survives
+      (1L, long, "en"),                   // exact dup of 0 -> dropped
+      (2L, "too short", "en"),            // gated out: < 20 tokens
+      (3L, long + " extra tail", "en")    // survives (distinct text)
+    ).toDF("doc_id", "text", "lang")
+    val out = graft.ops.TrainPrep.prepareCorpus(docs, "doc_id", "text", "lang")
+      .collect().map(r => r.getAs[Long]("doc_id")).sorted
+    assert(out.toSeq == Seq(0L, 3L))
+  }
+
   test("tfRarity: rare terms outrank common ones, golden scores") {
     val docs = Seq((0L, "a a b"), (1L, "b c")).toDF("doc_id", "text")
     val out = TextAnalysis.tfRarity(docs, "doc_id", "text", k = 2)
