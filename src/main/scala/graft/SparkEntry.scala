@@ -128,6 +128,9 @@ object SparkEntry {
           graft.functions.VectorFunctions.dot(col("embedding"), col("embedding"))
             .alias("emb_norm2"))
         .orderBy("media_id")),
+    "multimodal_audio" -> ((s, dir) =>
+      Multimodal.audioEnergy(Multimodal.mediaFromDocuments(docs(s, dir)))
+        .toDF().orderBy("media_id", "frame_index")),
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.mediaFromDocuments(docs(s, dir)))
         .groupBy(col("media_id"))
@@ -648,6 +651,25 @@ object SparkEntry {
                                  c -> CAST(ascii(c) AS BIGINT))),
                   (a, b) -> a + b) AS byte_sum
          FROM documents ORDER BY media_id""",
+    "multimodal_audio" ->
+      """WITH a AS (
+           SELECT doc_id AS media_id,
+                  list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+                                 c -> CAST(ascii(c) AS BIGINT)) AS cs
+           FROM documents WHERE doc_id % 3 = 1),
+         f AS (
+           SELECT media_id, cs, len(cs) AS n,
+                  unnest(range(0, CAST(ceil(len(cs) / 256.0) AS BIGINT))) AS frame_index
+           FROM a)
+         SELECT media_id, frame_index,
+                CAST(least(n, (frame_index + 1) * 256) - frame_index * 256 AS BIGINT) AS n_samples,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(
+                    list_slice(cs, CAST(frame_index * 256 AS INT) + 1,
+                               CAST(least(n, (frame_index + 1) * 256) AS INT)),
+                    s -> (s - 128) * (s - 128))),
+                  (acc, v) -> acc + v) AS energy
+         FROM f ORDER BY media_id, frame_index""",
     "multimodal_frames" ->
       """SELECT doc_id AS media_id,
                 ((8 + (doc_id % 8)) + 1) // 2 AS n_frames_sampled

@@ -155,6 +155,37 @@ object Multimodal {
     }
   }
 
+  /** Per-frame audio energy. */
+  final case class AudioFrame(
+      media_id: Long, frame_index: Long, n_samples: Long, energy: Long)
+
+  /** Windowed audio feature extraction: interpret the payload as unsigned
+    * 8-bit PCM, split into `frameSize`-sample frames, and emit per-frame
+    * energy (sum of squared centered samples — pure integer math, so the
+    * whole feature pipeline is oracle-checkable). One input row → n frame
+    * rows (flatMap/Generator shape, like [[sampleFrames]]); a real codec
+    * would replace only the byte interpretation. */
+  def audioEnergy(media: Dataset[MediaRow], frameSize: Int = 256): Dataset[AudioFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "audio").flatMap { r =>
+      val n = r.bytes.length
+      val frames = (n + frameSize - 1) / frameSize
+      (0 until frames).map { f =>
+        val start = f * frameSize
+        val end = math.min(n, start + frameSize)
+        var e = 0L
+        var i = start
+        while (i < end) {
+          val s = (r.bytes(i) & 0xff) - 128
+          e += s.toLong * s
+          i += 1
+        }
+        AudioFrame(r.media_id, f.toLong, (end - start).toLong, e)
+      }
+    }
+  }
+
   /** Metadata-only summary: never touches the binary column — check the
     * plan's ReadSchema when this runs over a parquet media table. */
   def metaSummary(media: Dataset[MediaRow]): DataFrame =

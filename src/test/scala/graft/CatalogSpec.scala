@@ -132,6 +132,20 @@ class CatalogSpec extends SparkSpec {
     assert(gone.getMessage.contains("no snapshot"))
   }
 
+  test("prepared corpus lands in the V2 catalog partitioned by split") {
+    wh
+    val d = queries.Parity.t(spark, "/root/testdata/sf0.001", "documents")
+    val prepared = graft.ops.TrainPrep.prepareCorpus(d, "doc_id", "text", "lang")
+    prepared.writeTo("graftv2.bronze.corpus").using("parquet")
+      .partitionedBy(col("split")).createOrReplace()
+    val back = spark.table("graftv2.bronze.corpus")
+    assert(back.count() == prepared.count() && back.count() > 0)
+    // reading one split prunes the other partitions at plan time
+    val plan = back.filter(col("split") === "train")
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert("PartitionFilters:.*split#\\d+ = train".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("V2CatalogWarehouse: idempotent same-date re-run via the V2 lifecycle") {
     wh
     val storage = new V2CatalogWarehouse(spark)

@@ -207,6 +207,17 @@ class OpsSpec extends SparkSpec {
     assert(frames.length == 5) // 10 frames, stride 2
   }
 
+  test("multimodal: audio frame energy golden") {
+    // "audio doc one" = 13 ASCII bytes, frameSize 4 -> frames of 4,4,4,1
+    val frames = ops.Multimodal.audioEnergy(media, frameSize = 4)
+      .collect().sortBy(_.frame_index)
+    assert(frames.forall(_.media_id == 1L))
+    assert(frames.map(_.n_samples).toSeq == Seq(4L, 4L, 4L, 1L))
+    val bytes = "audio doc one".getBytes("UTF-8").map(b => (b & 0xff) - 128)
+    val expect = bytes.grouped(4).map(_.map(s => s.toLong * s).sum).toSeq
+    assert(frames.map(_.energy).toSeq == expect)
+  }
+
   test("multimodal: metadata summary never needs the payload") {
     val summary = ops.Multimodal.metaSummary(media).collect()
       .map(r => (r.getString(0), r.getAs[Long]("n_media"))).toMap
