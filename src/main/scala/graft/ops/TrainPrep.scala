@@ -87,7 +87,11 @@ object TrainPrep {
     *     ([[packSequences]]) — one window shuffle.
     *
     * Output: one row per surviving doc with its split and sequence
-    * assignment — the manifest a tokenizer consumes. Two shuffles total.
+    * assignment — the manifest a tokenizer consumes. Wide shuffles: the
+    * dedup fingerprint groupBy and the packing window; the surviving-id
+    * join broadcasts while the id list fits (measured plan at test scale)
+    * and degrades to an id-keyed shuffle join beyond that — ids only,
+    * never text.
     */
   def prepareCorpus(
       docs: DataFrame,

@@ -112,6 +112,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("tf_rarity: per-doc top-k prunes via WindowGroupLimit; aggs partial") {
+    val p = plan("text_tf_rarity")
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("partial_count") || p.contains("Partial"))
+  }
+
+  test("prep_corpus: two wide shuffles (dedup groupBy + packing window)") {
+    val p = plan("prep_corpus")
+    // the survivor-id join broadcasts at this scale; the only hash
+    // exchanges are the fingerprint dedup and the packing window (the
+    // final ORDER BY adds a range exchange, not a hash one)
+    val hashEx = p.linesIterator.count(_.contains("Arguments: hashpartitioning"))
+    assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx:\n$p")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
   test("gold aggregate plans partial aggregation before the shuffle") {
     val p = plan("q_gold_agg")
     // partial_count marks map-side (pre-shuffle) aggregation
