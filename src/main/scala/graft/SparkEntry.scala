@@ -154,6 +154,18 @@ object SparkEntry {
     "text_tf_rarity" -> ((s, dir) =>
       TextAnalysis.tfRarity(docs(s, dir), "doc_id", "text", k = 3)
         .orderBy("doc_id", "rank")),
+    // ── Data quality ──
+    "quality_report" -> ((s, dir) => {
+      import graft.quality.Expectations._
+      report(Parity.t(s, dir, "customer"), Seq(
+        NotNull("c_name"),
+        Unique("c_custkey"),
+        Between("c_acctbal", -999.99, 9999.99),
+        MatchesRegex("c_name", "^Customer#[0-9]+$"),
+        InSet("c_mktsegment",
+          Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))))
+        .orderBy("rule", "column")
+    }),
     // ── Training-set preparation ──
     "prep_split" -> ((s, dir) =>
       graft.ops.TrainPrep.splitByHash(docs(s, dir), "doc_id")
@@ -743,6 +755,23 @@ object SparkEntry {
            FROM s)
          SELECT lang, lang_pred, count(*) AS n_docs
          FROM pred GROUP BY 1, 2 ORDER BY 1, 2""",
+    "quality_report" ->
+      """WITH agg AS (
+           SELECT count(*) AS n,
+                  count(*) FILTER (c_name IS NULL) AS v_notnull,
+                  count(c_custkey) - count(DISTINCT c_custkey) AS v_unique,
+                  count(*) FILTER (c_acctbal < -999.99 OR c_acctbal > 9999.99) AS v_between,
+                  count(*) FILTER (c_name IS NOT NULL AND NOT regexp_matches(c_name, '^Customer#[0-9]+$')) AS v_regex,
+                  count(*) FILTER (c_mktsegment IS NOT NULL AND c_mktsegment NOT IN
+                    ('AUTOMOBILE', 'BUILDING', 'FURNITURE', 'HOUSEHOLD', 'MACHINERY')) AS v_inset
+           FROM customer)
+         SELECT rule, "column", n_rows, n_violations, n_violations = 0 AS passed FROM (
+           SELECT 'not_null' AS rule, 'c_name' AS "column", n AS n_rows, v_notnull AS n_violations FROM agg
+           UNION ALL SELECT 'unique', 'c_custkey', n, v_unique FROM agg
+           UNION ALL SELECT 'between', 'c_acctbal', n, v_between FROM agg
+           UNION ALL SELECT 'matches_regex', 'c_name', n, v_regex FROM agg
+           UNION ALL SELECT 'in_set', 'c_mktsegment', n, v_inset FROM agg)
+         ORDER BY rule, "column"""",
     "text_tf_rarity" ->
       """WITH terms AS (
            SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token

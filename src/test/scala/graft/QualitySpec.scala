@@ -1,0 +1,45 @@
+package graft
+
+import graft.quality.Expectations._
+
+/** Data-quality expectations: golden violation counts, the pass/fail gate,
+  * and the one-scan-per-suite plan property.
+  */
+class QualitySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val dirty = Seq(
+    (1L, Option("a"), 5.0, Option("123-456"), "X"),
+    (2L, Option.empty[String], 50.0, Option("abc"), "Y"),
+    (2L, Option("c"), -5.0, Option.empty[String], "X")
+  ).toDF("id", "name", "bal", "phone", "seg")
+
+  test("violation counts per rule are exact") {
+    val rep = report(dirty, Seq(
+      NotNull("name"), Unique("id"), Between("bal", 0.0, 10.0),
+      MatchesRegex("phone", "^[0-9-]+$"), InSet("seg", Seq("X"))))
+      .collect().map(r => r.getAs[String]("rule") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_violations"), r.getAs[Boolean]("passed"))).toMap
+    assert(rep("not_null") == (3L, 1L, false))
+    assert(rep("unique") == (3L, 1L, false)) // one duplicate copy of id 2
+    assert(rep("between") == (3L, 2L, false)) // 50.0 and -5.0
+    assert(rep("matches_regex") == (3L, 1L, false)) // "abc"; null not counted
+    assert(rep("in_set") == (3L, 1L, false)) // "Y"
+  }
+
+  test("validate gates a promotion: false on dirty, true on clean") {
+    assert(!validate(dirty, Seq(NotNull("name"))))
+    assert(validate(dirty.filter($"name".isNotNull), Seq(NotNull("name"))))
+  }
+
+  test("a whole suite evaluates in one scan of the table") {
+    val scans = SparkEntry.queries("quality_report")(spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+    assert(scans.size == 1, s"expected a single table scan for 5 rules, got $scans")
+    // and only the checked columns are read
+    assert(!scans.head.schema.fieldNames.contains("c_nationkey"))
+  }
+}
