@@ -38,7 +38,10 @@ object Bench {
         k = 3, numHashes = 32, bands = 16, minJaccard = 0.2)),
     "dedup_simhash" -> ((s, dir) =>
       ops.Dedup.simhashDups(queries.Parity.t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 3)))
+        maxHamming = 3)),
+    "prep_corpus" -> ((s, dir) =>
+      ops.TrainPrep.prepareCorpus(queries.Parity.t(s, dir, "documents"),
+        "doc_id", "text", "lang"))) // default xxhash64 text fingerprint
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

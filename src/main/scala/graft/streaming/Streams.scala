@@ -173,6 +173,51 @@ object Streams {
       minhashArray(shingleWindows(th, 3), 32).alias("minhash_sig"))
   }
 
+  /** Watermarked stream-stream interval join: for each purchase, the views
+    * by the same user within `[p_ts - lookback, p_ts]` — streaming
+    * attribution, the continuous analogue of the batch as-of join
+    * ([[graft.ops.Relational.asofJoinTime]]). Both sides carry watermarks
+    * AND the join condition bounds event-time distance, which is exactly
+    * what lets Spark evict join state: a view older than
+    * `watermark + lookback` can never match a future purchase. Without
+    * the time bound the state store grows without limit.
+    */
+  def purchaseAttribution(
+      purchases: DataFrame,
+      views: DataFrame,
+      lookback: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val p = purchases
+      .select(col("user_id"), col("event_id").alias("purchase_id"),
+        col("ts").alias("p_ts"))
+      .withWatermark("p_ts", watermarkDelay)
+    val v = views
+      .select(col("user_id").alias("v_user_id"), col("event_id").alias("view_id"),
+        col("ts").alias("v_ts"))
+      .withWatermark("v_ts", watermarkDelay)
+    p.join(v,
+        col("user_id") === col("v_user_id") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $lookback"))
+      .select(col("user_id"), col("purchase_id"), col("view_id"),
+        col("p_ts"), col("v_ts"))
+  }
+
+  /** Stream → V2 catalog sink: each micro-batch appends through the
+    * catalog's transactional write path (`foreachBatch` + WriterV2), so
+    * every batch becomes one snapshot — exactly-once per batch given the
+    * checkpoint, time-travel per batch for free. */
+  def sinkToCatalog(
+      stream: DataFrame,
+      table: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.writeTo(table).append()
+      }
+      .start()
+
   /** Streaming medallion slice: raw JSON-string records (the Bronze shape)
     * through the *batch* Silver transforms — projection/filter only, so the
     * identical code plans incrementally under readStream. */

@@ -218,6 +218,17 @@ class OpsSpec extends SparkSpec {
     assert(frames.map(_.energy).toSeq == expect)
   }
 
+  test("multimodal: decoded image embeddings feed similarity search directly") {
+    val d = queries.Parity.t(spark, "/root/testdata/sf0.001", "documents")
+    val feats = ops.Multimodal.decodeImages(ops.Multimodal.mediaFromDocuments(d))
+      .toDF().select(col("media_id").alias("vec_id"), col("embedding"))
+    val out = Similarity.bruteForceTopK(feats, feats.filter(col("vec_id") < 9),
+      "vec_id", "embedding", k = 3).collect()
+    val queries3 = out.map(_.getAs[Long]("query_id")).distinct
+    assert(queries3.length == 3) // image docs 0, 3, 6
+    assert(out.length == 9 && out.forall(_.getAs[Double]("score") <= 1.0 + 1e-9))
+  }
+
   test("multimodal: metadata summary never needs the payload") {
     val summary = ops.Multimodal.metaSummary(media).collect()
       .map(r => (r.getString(0), r.getAs[Long]("n_media"))).toMap

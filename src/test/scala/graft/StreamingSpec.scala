@@ -85,6 +85,49 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream interval join attributes views to purchases") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val views = MemoryStream[(Long, Long, Timestamp)]
+    val joined = Streams.purchaseAttribution(
+      purchases.toDF().toDF("user_id", "event_id", "ts"),
+      views.toDF().toDF("user_id", "event_id", "ts"),
+      lookback = "30 minutes", watermarkDelay = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("attribution")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      views.addData((1L, 100L, ts(0)), (1L, 101L, ts(40)), (2L, 102L, ts(5)))
+      purchases.addData((1L, 200L, ts(20)), (2L, 201L, ts(50)))
+      q.processAllAvailable()
+      val rows = spark.table("attribution").collect()
+        .map(r => (r.getLong(1), r.getLong(2))).toSet
+      // purchase 200 at :20 sees view 100 at :00 (within 30m), not 101 (:40, later)
+      // purchase 201 at :50 sees nothing (view 102 at :05 is 45m earlier)
+      assert(rows == Set((200L, 100L)))
+    } finally q.stop()
+  }
+
+  test("foreachBatch sink appends micro-batches as catalog snapshots") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory("graft-stream-wh").toString
+    spark.conf.set("spark.sql.catalog.gs", classOf[graft.storage.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gs.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gs.silver")
+    spark.sql("CREATE TABLE gs.silver.events (event_id BIGINT, payload STRING) USING parquet")
+    val input = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val q = Streams.sinkToCatalog(
+      input.toDF().toDF("event_id", "payload"), "gs.silver.events", ckpt)
+    try {
+      input.addData((1L, "a")); q.processAllAvailable()
+      input.addData((2L, "b"), (3L, "c")); q.processAllAvailable()
+      assert(spark.table("gs.silver.events").count() == 3)
+      // each batch landed as its own snapshot: version 1 holds only batch 1
+      assert(spark.sql("SELECT count(*) FROM gs.silver.events VERSION AS OF 1")
+        .collect().head.getLong(0) == 1L)
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions on gap across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SessionEvent]
