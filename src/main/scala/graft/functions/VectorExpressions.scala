@@ -161,7 +161,12 @@ object VectorFunctions {
     * [[GraftExtensions]] for `--conf spark.sql.extensions=`). */
   val registry: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> { args => VecDot(args(0), args(1)) },
-    "vec_cosine" -> { args => VecCosine(args(0), args(1)) })
+    "vec_cosine" -> { args => VecCosine(args(0), args(1)) },
+    "shingle_windows" -> { args =>
+      ShingleWindows(args(0), args(1).eval().asInstanceOf[Number].intValue()) },
+    "minhash_array" -> { args =>
+      MinhashArray(args(0), args(1).eval().asInstanceOf[Number].intValue()) },
+    "simhash_array" -> { args => SimhashArray(args(0)) })
 
   /** Imperative registration for an existing session (tests, Verify). */
   def register(spark: SparkSession): Unit = registry.foreach { case (name, builder) =>
@@ -173,6 +178,13 @@ object VectorFunctions {
   * `spark.sql.extensions=graft.functions.GraftExtensions` and the vector
   * functions resolve in any SQL/DataFrame query of the session. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+
+  /** Extract a foldable integer argument (e.g. `minhash_array(sh, 32)`). */
+  private def intArg(e: Expression, fn: String): Int = {
+    require(e.foldable, s"$fn: argument must be a literal integer")
+    e.eval().asInstanceOf[Number].intValue()
+  }
+
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
@@ -182,5 +194,19 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       org.apache.spark.sql.catalyst.FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[VecCosine].getName, "vec_cosine"),
       (args: Seq[Expression]) => VecCosine(args(0), args(1))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("shingle_windows"),
+      new ExpressionInfo(classOf[ShingleWindows].getName, "shingle_windows"),
+      (args: Seq[Expression]) =>
+        ShingleWindows(args(0), intArg(args(1), "shingle_windows"))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_array"),
+      new ExpressionInfo(classOf[MinhashArray].getName, "minhash_array"),
+      (args: Seq[Expression]) =>
+        MinhashArray(args(0), intArg(args(1), "minhash_array"))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("simhash_array"),
+      new ExpressionInfo(classOf[SimhashArray].getName, "simhash_array"),
+      (args: Seq[Expression]) => SimhashArray(args(0))))
   }
 }

@@ -49,6 +49,19 @@ class VectorExprSpec extends SparkSpec {
     assert(math.abs(out.getDouble(1) - 1.0) < 1e-12)
   }
 
+  test("SQL registration: sketch expressions callable from spark.sql") {
+    VectorFunctions.register(spark)
+    spark.sql("SELECT 1 AS id").createOrReplaceTempView("one_row")
+    val out = spark.sql(
+      """SELECT minhash_array(shingle_windows(array(7L, 11L, 13L, 17L), 2), 4) AS sig,
+                simhash_array(array(5L, 5L, 2L)) AS sim
+         FROM one_row""").collect().head
+    assert(out.getSeq[Long](0).length == 4)
+    // simhash of {5,5,2}: bit0 votes +1+1-1>0 -> set; bit1 votes -1-1+1<0;
+    // bit2 votes +1+1-1>0 -> set => 0b101 = 5
+    assert(out.getLong(1) == 5L)
+  }
+
   test("works on double arrays and mismatched lengths (min-length semantics)") {
     val d = Seq((Array(1.0, 2.0, 3.0), Array(2.0, 3.0))).toDF("a", "b")
     assert(d.select(VectorFunctions.dot($"a", $"b")).collect().head.getDouble(0) == 8.0)
