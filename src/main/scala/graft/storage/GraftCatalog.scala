@@ -167,13 +167,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val meta = GraftCatalog.readMeta(fs, dir)
       .getOrElse(throw new NoSuchTableException(ident))
     val props = mutable.Map(meta.properties.toSeq: _*)
+    var schema = meta.schema
     changes.foreach {
       case set: TableChange.SetProperty => props(set.property) = set.value
       case rm: TableChange.RemoveProperty => props -= rm.property
+      case add: TableChange.AddColumn =>
+        // parquet-native schema evolution: existing files simply lack the
+        // column and the reader fills nulls — same mechanics Iceberg uses
+        require(add.fieldNames().length == 1,
+          "GraftCatalog: nested column additions not supported")
+        require(add.isNullable,
+          "GraftCatalog: added columns must be nullable (old files have no values)")
+        schema = schema.add(add.fieldNames()(0), add.dataType(), nullable = true)
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1,
+          "GraftCatalog: nested column drops not supported")
+        require(!meta.partitionCols.contains(del.fieldNames()(0)),
+          s"GraftCatalog: cannot drop partition column ${del.fieldNames()(0)}")
+        schema = StructType(schema.fields.filterNot(_.name == del.fieldNames()(0)))
       case other => throw new UnsupportedOperationException(
         s"GraftCatalog.alterTable: unsupported change $other")
     }
-    val next = meta.copy(properties = props.toMap)
+    val next = meta.copy(schema = schema, properties = props.toMap)
     GraftCatalog.writeMeta(fs, dir, next)
     new GraftTable(ident.toString, dir.toString, next)
   }

@@ -103,6 +103,27 @@ final class CatalogWarehouse(spark: SparkSession, namespace: String = "graft")
     spark.catalog.tableExists(qualified(table))
 }
 
+/** Snapshot utilities over a [[GraftCatalog]] table. */
+object Snapshots {
+
+  /** CDC-style changelog between two snapshots: rows added and removed
+    * going `fromVersion` → `toVersion`, each tagged with a `_change` column
+    * (`insert` / `delete`; an update appears as delete + insert). Computed
+    * with two `exceptAll` passes over the time-travel reads — bag
+    * semantics, so duplicate rows diff correctly. */
+  def diff(
+      spark: SparkSession,
+      table: String,
+      fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val from = spark.sql(s"SELECT * FROM $table VERSION AS OF $fromVersion")
+    val to = spark.sql(s"SELECT * FROM $table VERSION AS OF $toVersion")
+    to.exceptAll(from).withColumn("_change", lit("insert"))
+      .unionByName(from.exceptAll(to).withColumn("_change", lit("delete")))
+  }
+}
+
 /** The reference's FULL V2 table lifecycle against a [[GraftCatalog]]
   * (reference: setup/create_tables_script.py:70-75 — `createOrReplace` with
   * partitioning and table properties; re-runs `overwritePartitions()`).
@@ -137,4 +158,19 @@ final class V2CatalogWarehouse(
 
   override def exists(table: String): Boolean =
     spark.catalog.tableExists(qualified(table))
+  /** Keyed upsert (MERGE semantics: update matching keys, insert the
+    * rest): current live rows not matched by `updates` survive, every
+    * `updates` row lands. Read-modify-write through one truncating V2
+    * write — each upsert is one new snapshot, so the pre-image stays
+    * time-travelable. The anti-join shuffles by key only; at dimension
+    * scale the updates side broadcasts. */
+  def upsert(table: String, updates: DataFrame, keyCol: String): Unit = {
+    val current = read(table)
+    val next = current.join(updates.select(keyCol), Seq(keyCol), "left_anti")
+      .unionByName(updates)
+    // materialize before the truncating write clears the source snapshot
+    // (same-table read-write hazard)
+    val pinned = next.localCheckpoint(true)
+    pinned.writeTo(qualified(table)).overwrite(org.apache.spark.sql.functions.lit(true))
+  }
 }

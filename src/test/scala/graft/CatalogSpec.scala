@@ -132,6 +132,39 @@ class CatalogSpec extends SparkSpec {
     assert(gone.getMessage.contains("no snapshot"))
   }
 
+  test("schema evolution: add column reads old files as null, drop removes") {
+    wh
+    t((1L, "a", "2024-01-15"))
+      .writeTo("graftv2.bronze.evo").using("parquet")
+      .partitionedBy(col("extraction_date")).createOrReplace()
+    spark.sql("ALTER TABLE graftv2.bronze.evo ADD COLUMN score DOUBLE")
+    // old files lack the column -> null; new writes carry it
+    val after = spark.table("graftv2.bronze.evo")
+    assert(after.schema.fieldNames.contains("score"))
+    assert(after.collect().head.isNullAt(after.schema.fieldIndex("score")))
+    Seq((2L, "b", 0.5, "2024-01-16")).toDF("id", "name", "score", "extraction_date")
+      .writeTo("graftv2.bronze.evo").append()
+    val rows = spark.table("graftv2.bronze.evo")
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[Any]("score"))).toMap
+    assert(rows(1L).isEmpty && rows(2L).contains(0.5))
+    spark.sql("ALTER TABLE graftv2.bronze.evo DROP COLUMN score")
+    assert(!spark.table("graftv2.bronze.evo").schema.fieldNames.contains("score"))
+  }
+
+  test("null partition values round-trip via the default partition dir") {
+    wh
+    Seq((1L, "a", Option("2024-01-15")), (2L, "b", Option.empty[String]))
+      .toDF("id", "name", "extraction_date")
+      .writeTo("graftv2.bronze.nulls").using("parquet")
+      .partitionedBy(col("extraction_date")).createOrReplace()
+    val rows = spark.table("graftv2.bronze.nulls")
+      .collect().map(r => r.getAs[Long]("id") -> Option(r.getAs[String]("extraction_date"))).toMap
+    assert(rows(1L).contains("2024-01-15") && rows(2L).isEmpty)
+    assert(new java.io.File(
+      s"$wh/bronze/nulls/extraction_date=__HIVE_DEFAULT_PARTITION__").isDirectory)
+  }
+
   test("prepared corpus lands in the V2 catalog partitioned by split") {
     wh
     val d = queries.Parity.t(spark, "/root/testdata/sf0.001", "documents")
@@ -144,6 +177,33 @@ class CatalogSpec extends SparkSpec {
     val plan = back.filter(col("split") === "train")
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
     assert("PartitionFilters:.*split#\\d+ = train".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("upsert merges by key and keeps the pre-image time-travelable") {
+    wh
+    val storage = new graft.storage.V2CatalogWarehouse(spark)
+    t((1L, "a", "2024-01-15"), (2L, "b", "2024-01-15"))
+      .writeTo("graftv2.bronze.ups").using("parquet")
+      .partitionedBy(col("extraction_date")).createOrReplace()
+    storage.upsert("ups",
+      t((2L, "b2", "2024-01-15"), (3L, "c", "2024-01-16")), "id")
+    val rows = spark.table("graftv2.bronze.ups")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("name")).toMap
+    assert(rows == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+    // pre-image survives as the prior snapshot
+    assert(spark.sql("SELECT name FROM graftv2.bronze.ups VERSION AS OF 1")
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+  }
+
+  test("snapshot diff emits the CDC changelog between versions") {
+    wh
+    t((1L, "a", "2024-01-15"), (2L, "b", "2024-01-15"))
+      .writeTo("graftv2.bronze.cdc").using("parquet")
+      .partitionedBy(col("extraction_date")).createOrReplace()
+    t((9L, "z", "2024-01-15")).writeTo("graftv2.bronze.cdc").overwritePartitions()
+    val changes = graft.storage.Snapshots.diff(spark, "graftv2.bronze.cdc", 1L, 2L)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("_change"))).toSet
+    assert(changes == Set((9L, "insert"), (1L, "delete"), (2L, "delete")))
   }
 
   test("V2CatalogWarehouse: idempotent same-date re-run via the V2 lifecycle") {
