@@ -100,8 +100,6 @@ object Dedup {
       lit(7L),
       (acc, c) => (acc * lit(mulSeed) + ascii(c)) % lit(1000000007L))
 
-  private val MinhashP = 2147483647L // 2^31 - 1
-
   /** MinHash signatures as a DataFrame: `(mh_id, sig: array<long>)`.
     *
     * Shape chosen for scale: explode shingle hashes (one pass over the

@@ -52,6 +52,20 @@ class OpsSpec extends SparkSpec {
     assert(j((0L, 2L)) == 0.0)
   }
 
+  test("exploded aggregate twin computes identical minhash signatures") {
+    // the narrow per-row path (production) and the explode + window +
+    // MinhashAgg path (for pre-exploded inputs) must stay value-identical
+    val narrow = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val exploded = Dedup.shingleHashRows(docs, "doc_id", "text", 3)
+      .select(col("__id").alias("mh_id"),
+        pmod(col("sh"), lit(2147483647L)).alias("h"))
+      .groupBy(col("mh_id"))
+      .agg(graft.functions.SketchAggregates.minhashAgg(col("h"), 16).alias("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(narrow == exploded)
+  }
+
   test("shingles produce n-k+1 word k-grams") {
     val sh = docs.filter($"doc_id" === 2L)
       .select(Dedup.shingles($"text", 3).alias("sh"))
