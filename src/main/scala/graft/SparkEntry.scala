@@ -45,6 +45,9 @@ object SparkEntry {
     "q_percentiles" -> (Parity.percentiles _),
     "q_rollup" -> (Parity.rollupAgg _),
     "q_set_ops" -> (Parity.setOps _),
+    "q_window_rank_stats" -> (Parity.windowRankStats _),
+    "q_stats_moments" -> (Parity.statsMoments _),
+    "q_semi_anti" -> (Parity.semiAntiJoin _),
     // ── Dedup ──
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactByKey(docs(s, dir), "text", "doc_id").orderBy("doc_id")),
@@ -581,6 +584,34 @@ object SparkEntry {
            (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
             EXCEPT
             SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0))
+         ORDER BY c_custkey""",
+    "q_window_rank_stats" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice,
+                CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                percent_rank() OVER w AS pct_rank,
+                cume_dist() OVER w AS cume
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_orderstatus, o_orderkey""",
+    "q_stats_moments" ->
+      """WITH a AS (
+           SELECT o_orderstatus, count(*) AS n,
+                  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s1,
+                  sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS s2
+           FROM orders GROUP BY 1)
+         SELECT o_orderstatus, n,
+                CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS variance,
+                sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS stddev
+         FROM a ORDER BY o_orderstatus""",
+    "q_semi_anti" ->
+      """SELECT c_custkey, 'with_orders' AS segment FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders)
+         UNION ALL
+         SELECT c_custkey, 'no_orders' AS segment FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
          ORDER BY c_custkey""",
     "q_window_topn" ->
       """SELECT o_orderpriority, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice

@@ -231,6 +231,56 @@ object Parity {
       .orderBy("c_custkey")
   }
 
+  // ── Ranking-statistics window family (§2.5): ntile buckets,
+  //    percent_rank and cume_dist are exact rationals of ranks —
+  //    bit-reproducible double divisions, unlike running double sums.
+  def windowRankStats(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .orderBy("o_orderstatus", "o_orderkey")
+  }
+
+  // ── Exact distributed moments (§2.5): mean/variance/stddev from DECIMAL
+  //    power sums — Σx and Σx² aggregate exactly (order-independent,
+  //    map-side partial), the final moment arithmetic runs in DOUBLE once
+  //    per group. The scalable alternative to Welford-style running stats,
+  //    and unlike float accumulation it hash-matches any engine.
+  //    Sample variance = (n·Σx² − (Σx)²) / (n·(n−1)).
+  def statsMoments(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).alias("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).alias("__s1"),
+        sum((col("o_totalprice").cast("decimal(18,2)") *
+          col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,4)")).alias("__s2"))
+      .select(
+        col("o_orderstatus"), col("n"),
+        (col("__s1").cast("double") / col("n").cast("double")).alias("mean"),
+        ((col("n").cast("double") * col("__s2").cast("double")
+          - col("__s1").cast("double") * col("__s1").cast("double"))
+          / (col("n").cast("double") * (col("n") - 1).cast("double"))).alias("variance"))
+      .withColumn("stddev", sqrt(col("variance")))
+      .orderBy("o_orderstatus")
+
+  // ── Semi/anti joins (§2.5): customers with vs without orders — the
+  //    EXISTS / NOT EXISTS shape; only the key travels, never payload.
+  def semiAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").select(col("o_custkey"))
+    val withOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("with_orders").alias("segment"))
+    val withoutOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("no_orders").alias("segment"))
+    withOrders.unionByName(withoutOrders).orderBy("c_custkey")
+  }
+
   // ── Broadcast-join aggregate: fact ⋈ small dim. customer is tiny relative
   //    to orders at every SF — broadcast() pins the plan that avoids
   //    shuffling the fact table (the 100 TB-correct choice; AQE would pick
