@@ -63,6 +63,51 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("minhash_array is mergeable: sig(a ++ b) = pointwise min of sigs") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.SketchArrayExpressions._
+    val hashes = Gen.listOfN(10, Gen.chooseNum(0L, 1L << 40))
+    samples(Gen.zip(hashes, hashes), 5).foreach { case (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val row = df.select(
+        minhashArray(col("a"), 8).alias("sa"),
+        minhashArray(col("b"), 8).alias("sb"),
+        minhashArray(concat(col("a"), col("b")), 8).alias("sab")).collect().head
+      val sa = row.getSeq[Long](0); val sb = row.getSeq[Long](1)
+      val sab = row.getSeq[Long](2)
+      assert(sab == sa.zip(sb).map { case (x, y) => math.min(x, y) },
+        "signature of a union must be the pointwise min (mergeability)")
+    }
+  }
+
+  test("sketches are input-order invariant (set semantics)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.SketchArrayExpressions._
+    val hashes = Gen.listOfN(12, Gen.chooseNum(-(1L << 40), 1L << 40))
+    samples(hashes, 5).foreach { h =>
+      val df = Seq((h, scala.util.Random.javaRandomToRandom(
+        new java.util.Random(7)).shuffle(h))).toDF("a", "b")
+      val row = df.select(
+        minhashArray(col("a"), 8).alias("sa"), minhashArray(col("b"), 8).alias("sb"),
+        simhashArray(col("a")).alias("ha"), simhashArray(col("b")).alias("hb"))
+        .collect().head
+      assert(row.getSeq[Long](0) == row.getSeq[Long](1))
+      assert(row.getLong(2) == row.getLong(3))
+    }
+  }
+
+  test("shingle_windows emits exactly max(0, n-k+1) windows") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.SketchArrayExpressions._
+    samples(Gen.chooseNum(0, 9), 6).foreach { n =>
+      val arr = (0 until n).map(_.toLong)
+      val out = Seq(Tuple1(arr)).toDF("a")
+        .select(shingleWindows(col("a"), 3).alias("w"))
+        .collect().head.getSeq[Long](0)
+      assert(out.length == math.max(0, n - 2))
+    }
+  }
+
   test("sketch operators tolerate degenerate docs (empty / single-token)") {
     val df = Seq((1L, ""), (2L, "one"), (3L, "two words here ok")).toDF("doc_id", "text")
     val sigs = ops.Dedup.minhashSignatures(df, "doc_id", "text", k = 3, numHashes = 8)
