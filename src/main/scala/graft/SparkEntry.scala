@@ -46,6 +46,21 @@ object SparkEntry {
     "q_rollup" -> (Parity.rollupAgg _),
     "q_set_ops" -> (Parity.setOps _),
     "q_window_rank_stats" -> (Parity.windowRankStats _),
+    // range join: customers × deterministic overlapping balance bands,
+    // counted per customer — binned equi-join, never a nested loop
+    "q_range_join" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val intervals = s.range(100).select(
+        col("id").alias("band_id"),
+        (col("id") * 100.0).alias("lo"),
+        (col("id") * 100.0 + 150.0).alias("hi"))
+      graft.ops.Relational.rangeJoin(
+          Parity.t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal")),
+          "c_acctbal", intervals, "lo", "hi", binWidth = 100.0)
+        .groupBy(col("c_custkey"))
+        .agg(count(lit(1)).alias("n_bands"), sum(col("band_id")).alias("band_sum"))
+        .orderBy("c_custkey")
+    }),
     "q_stats_moments" -> (Parity.statsMoments _),
     "q_semi_anti" -> (Parity.semiAntiJoin _),
     // ── Dedup ──
@@ -593,6 +608,14 @@ object SparkEntry {
          FROM orders
          WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
          ORDER BY o_orderstatus, o_orderkey""",
+    "q_range_join" ->
+      """WITH intervals AS (
+           SELECT CAST(r AS BIGINT) AS band_id, r * 100.0 AS lo, r * 100.0 + 150.0 AS hi
+           FROM (SELECT unnest(range(0, 100)) AS r))
+         SELECT c_custkey, count(*) AS n_bands, sum(band_id) AS band_sum
+         FROM customer JOIN intervals
+           ON c_acctbal >= lo AND c_acctbal <= hi
+         GROUP BY c_custkey ORDER BY c_custkey""",
     "q_stats_moments" ->
       """WITH a AS (
            SELECT o_orderstatus, count(*) AS n,

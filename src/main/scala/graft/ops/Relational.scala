@@ -89,6 +89,36 @@ object Relational {
     salted.join(expanded, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Scale-shaped range (interval-containment) join: every (point, interval)
+    * pair with `lo <= point <= hi`.
+    *
+    * Spark plans a raw `BETWEEN` join as a broadcast-nested-loop — O(n·m)
+    * and a non-starter at scale. This formulation bins the number line:
+    * points land in one bin, intervals explode into every bin they cover,
+    * and the join becomes an EQUI-join on the bin id with an exact
+    * containment filter after. Completeness: a containing interval covers
+    * the point's bin by construction. Cost: interval replication =
+    * span/binWidth rows — pick `binWidth` near the median interval width
+    * so replication stays O(1) per interval while bins stay selective.
+    */
+  def rangeJoin(
+      points: DataFrame,
+      pointCol: String,
+      intervals: DataFrame,
+      loCol: String,
+      hiCol: String,
+      binWidth: Double): DataFrame = {
+    val p = points.withColumn("__bin",
+      floor(col(pointCol) / lit(binWidth)).cast("long"))
+    val i = intervals.withColumn("__bin",
+      explode(sequence(
+        floor(col(loCol) / lit(binWidth)).cast("long"),
+        floor(col(hiCol) / lit(binWidth)).cast("long"))))
+    p.join(i, Seq("__bin"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__bin")
+  }
+
   /** Top-N per group by a ranking column, fully deterministic (ties broken
     * by `tieCol`). row_number + filter — Spark pushes the rank limit into
     * the sort within each partition group. */

@@ -50,6 +50,23 @@ class RelationalSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("range join matches the naive BETWEEN join and plans an equi-join") {
+    val points = Seq((1L, 5.0), (2L, 150.0), (3L, 250.0), (4L, -10.0), (5L, 99.999))
+      .toDF("pid", "v")
+    val intervals = Seq((10L, 0.0, 100.0), (11L, 90.0, 200.0), (12L, 240.0, 260.0))
+      .toDF("iid", "lo", "hi")
+    val binned = Relational.rangeJoin(points, "v", intervals, "lo", "hi", binWidth = 50.0)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.join(intervals, col("v") >= col("lo") && col("v") <= col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(binned == naive)
+    assert(naive == Set((1L, 10L), (2L, 11L), (3L, 12L), (5L, 10L), (5L, 11L)))
+    // the whole point: an equi-join on the bin, not a nested loop
+    val plan = Relational.rangeJoin(points, "v", intervals, "lo", "hi", 50.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("topN per group respects ordering and tie-break") {
     val df = Seq(
       ("a", 1L, 30.0), ("a", 2L, 30.0), ("a", 3L, 10.0), ("a", 4L, 40.0),
