@@ -123,6 +123,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftTable(s"$ident@v$snap", dir.toString, meta, Some(files), writable = false)
   }
 
+  /** Small-file compaction (Iceberg's `rewrite_data_files`): rewrite the
+    * live file set into at most `targetFilesPerPartition` files per
+    * partition with one truncating snapshot write — the pre-compaction
+    * version stays time-travelable until [[vacuum]]. Streaming sinks
+    * (one file per task per micro-batch) are the usual producer of the
+    * small-file problem this solves. Returns (filesBefore, filesAfter). */
+  def compact(
+      spark: SparkSession,
+      table: String,
+      targetFilesPerPartition: Int = 1): (Int, Int) = {
+    val ident = Identifier.of(
+      table.split("\\.").dropRight(1), table.split("\\.").last)
+    val dir = tableDir(ident)
+    val before = GraftCatalog
+      .readManifest(fs, dir, GraftCatalog.latestSnapshot(fs, dir))
+      .map(_.size).getOrElse(0)
+    val qualified = s"$catalogName.$table"
+    // coalesced rewrite through the same transactional write path; the
+    // repartition bounds files per partition value
+    val meta = GraftCatalog.readMeta(fs, dir)
+      .getOrElse(throw new NoSuchTableException(ident))
+    val live = spark.table(qualified)
+    val rewritten =
+      if (meta.partitionCols.isEmpty) live.repartition(targetFilesPerPartition)
+      else live.repartition(targetFilesPerPartition,
+        meta.partitionCols.map(org.apache.spark.sql.functions.col): _*)
+    rewritten.localCheckpoint(true)
+      .writeTo(qualified).overwrite(org.apache.spark.sql.functions.lit(true))
+    val after = GraftCatalog
+      .readManifest(fs, dir, GraftCatalog.latestSnapshot(fs, dir))
+      .map(_.size).getOrElse(0)
+    (before, after)
+  }
+
   /** Expire all snapshots but the latest and physically delete data files
     * no longer referenced (Iceberg's expire_snapshots + remove_orphans in
     * one step). Returns the number of data files deleted. */

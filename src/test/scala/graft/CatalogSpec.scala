@@ -179,6 +179,27 @@ class CatalogSpec extends SparkSpec {
     assert("PartitionFilters:.*split#\\d+ = train".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("compaction collapses accumulated small files, data unchanged") {
+    wh
+    t((1L, "a", "2024-01-15"))
+      .writeTo("graftv2.bronze.cmp").using("parquet")
+      .partitionedBy(col("extraction_date")).createOrReplace()
+    for (i <- 2L to 5L)
+      t((i, s"r$i", "2024-01-15")).writeTo("graftv2.bronze.cmp").append()
+    val cat = new GraftCatalog
+    cat.initialize("graftv2", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("warehouse", wh)))
+    val beforeRows = spark.table("graftv2.bronze.cmp").collect().map(_.toString).sorted
+    val (before, after) = cat.compact(spark, "bronze.cmp")
+    assert(before >= 5, s"expected >=5 small files, got $before")
+    assert(after == 1, s"expected 1 compacted file, got $after")
+    val afterRows = spark.table("graftv2.bronze.cmp").collect().map(_.toString).sorted
+    assert(afterRows.toSeq == beforeRows.toSeq)
+    // the pre-compaction snapshot is still readable
+    assert(spark.sql("SELECT count(*) FROM graftv2.bronze.cmp VERSION AS OF 5")
+      .collect().head.getLong(0) == 5L)
+  }
+
   test("upsert merges by key and keeps the pre-image time-travelable") {
     wh
     val storage = new graft.storage.V2CatalogWarehouse(spark)
