@@ -612,7 +612,7 @@ object SparkEntry {
       """WITH intervals AS (
            SELECT CAST(r AS BIGINT) AS band_id, r * 100.0 AS lo, r * 100.0 + 150.0 AS hi
            FROM (SELECT unnest(range(0, 100)) AS r))
-         SELECT c_custkey, count(*) AS n_bands, sum(band_id) AS band_sum
+         SELECT c_custkey, count(*) AS n_bands, CAST(sum(band_id) AS BIGINT) AS band_sum
          FROM customer JOIN intervals
            ON c_acctbal >= lo AND c_acctbal <= hi
          GROUP BY c_custkey ORDER BY c_custkey""",
