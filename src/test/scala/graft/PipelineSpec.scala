@@ -119,6 +119,26 @@ class PipelineSpec extends SparkSpec {
       .filter(col("extraction_date") === lit(java.sql.Date.valueOf(d))).count() == 3)
   }
 
+  test("full medallion run through the V2 GraftCatalog (snapshots included)") {
+    val whDir = Files.createTempDirectory("graft-v2run").toString
+    spark.conf.set("spark.sql.catalog.g2run", classOf[graft.storage.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g2run.warehouse", whDir)
+    val wh = new graft.storage.V2CatalogWarehouse(spark, catalog = "g2run", namespace = "med")
+    val fetcher = new RecordFetcher { def fetch(): Seq[String] = sample }
+    val runner = new Runner(spark, wh, fetcher)
+    val r1 = runner.run(d)
+    assert(r1.bronzeRows == 3 && r1.totalCount == 3)
+    // idempotent same-date re-run via overwritePartitions
+    val r2 = runner.run(d)
+    assert(r2.bronzeRows == 3 && r2.totalCount == 3)
+    // second date: additive partitions
+    val r3 = runner.run(d.plusDays(1))
+    assert(r3.bronzeRows == 6)
+    // every layer write was a snapshot: the first bronze version is intact
+    assert(spark.sql("SELECT count(*) FROM g2run.med.bronze VERSION AS OF 1")
+      .collect().head.getLong(0) == 3L)
+  }
+
   test("table setup creates layered namespaces with declared schemas") {
     graft.storage.TableSetup.createAll(spark)
     try {
