@@ -169,6 +169,17 @@ object SparkEntry {
         .orderBy("lang", "lang_pred")
     }),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir))),
+    // hashing-trick embeddings, checked through scalar projections (nnz,
+    // l1, squared norm — all integer-exact, so engine-order independent)
+    "text_hash_embed" -> ((s, dir) => {
+      val emb = TextAnalysis.hashEmbeddings(docs(s, dir), "doc_id", "text",
+        dim = 64, tokenHash = Dedup.oracleHash)
+      emb.select(col("doc_id"),
+        size(filter(col("embedding"), v => v =!= lit(0f))).cast("long").alias("nnz"),
+        aggregate(col("embedding"), lit(0.0), (a, v) => a + abs(v.cast("double"))).alias("l1"),
+        graft.functions.VectorFunctions.dot(col("embedding"), col("embedding")).alias("norm2"))
+        .orderBy("doc_id")
+    }),
     "text_tf_rarity" -> ((s, dir) =>
       TextAnalysis.tfRarity(docs(s, dir), "doc_id", "text", k = 3)
         .orderBy("doc_id", "rank")),
@@ -878,6 +889,25 @@ object SparkEntry {
                 CAST(len(regexp_extract_all(text, '[A-Za-z0-9._]+@[A-Za-z0-9.]+'))
                      + len(regexp_extract_all(text, '[0-9]{4,}')) AS BIGINT) AS n_redactions
          FROM documents ORDER BY doc_id""",
+    "text_hash_embed" ->
+      s"""WITH $oracleTk,
+         e AS (SELECT doc_id, unnest(th) AS h FROM tk),
+         b AS (SELECT doc_id, CAST(h % 64 AS INT) AS bucket,
+                      CASE WHEN ((h >> 20) & 1) = 1 THEN -1 ELSE 1 END AS s
+               FROM e),
+         v AS (SELECT doc_id, bucket, CAST(sum(s) AS DOUBLE) AS val
+               FROM b GROUP BY 1, 2),
+         agg AS (SELECT doc_id,
+                   CAST(count(*) FILTER (val <> 0) AS BIGINT) AS nnz,
+                   CAST(sum(abs(val)) AS DOUBLE) AS l1,
+                   CAST(sum(val * val) AS DOUBLE) AS norm2
+                 FROM v GROUP BY 1)
+         SELECT d.doc_id,
+                coalesce(a.nnz, CAST(0 AS BIGINT)) AS nnz,
+                coalesce(a.l1, 0.0) AS l1,
+                coalesce(a.norm2, 0.0) AS norm2
+         FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
     "prep_corpus" ->
       """WITH scrub AS (
            SELECT doc_id, lang,

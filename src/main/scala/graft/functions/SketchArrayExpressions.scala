@@ -156,6 +156,36 @@ case class SimhashArray(child: Expression) extends SketchArrayExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** `feature_hash(th, dim)`: hashing-trick bag-of-words embedding — each
+  * token hash lands in bucket `pmod(h, dim)` with sign from hash bit 20
+  * (a bit independent of the low bucket bits), summed per bucket. The
+  * classic feature-hashing vectorizer: model-free document embeddings
+  * whose cosine approximates token-multiset similarity, feeding
+  * [[graft.ops.Similarity]] directly. Values are exact small integers
+  * (as floats), so downstream double arithmetic is order-independent. */
+case class FeatureHash(child: Expression, dim: Int) extends SketchArrayExpression {
+
+  override protected def elemType: DataType = LongType
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def compute(arr: ArrayData): Any = {
+    val v = new Array[Float](dim)
+    val n = arr.numElements()
+    var r = 0
+    while (r < n) {
+      val h = arr.getLong(r)
+      var b = (h % dim).toInt
+      if (b < 0) b += dim // pmod
+      v(b) += (if (((h >>> 20) & 1L) == 1L) -1f else 1f)
+      r += 1
+    }
+    new GenericArrayData(v)
+  }
+
+  override def prettyName: String = "feature_hash"
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
 object SketchArrayExpressions {
   def shingleWindows(th: Column, k: Int): Column =
     Shims.column(ShingleWindows(Shims.expression(th), k))
@@ -163,4 +193,6 @@ object SketchArrayExpressions {
     Shims.column(MinhashArray(Shims.expression(sh), numHashes))
   def simhashArray(th: Column): Column =
     Shims.column(SimhashArray(Shims.expression(th)))
+  def featureHash(th: Column, dim: Int): Column =
+    Shims.column(FeatureHash(Shims.expression(th), dim))
 }

@@ -153,6 +153,23 @@ object TextAnalysis {
       .select(col("doc_id"), col("token"), col("tf"), col("df"), col("score"), col("rank"))
   }
 
+  /** Model-free document embeddings by the hashing trick
+    * ([[graft.functions.FeatureHash]]): tokens → signed bucket counts over
+    * `dim` dimensions, one narrow per-row pass. Cosine over these
+    * approximates token-multiset similarity — the cheap embedding that
+    * feeds [[Similarity]]'s exact/ANN search when no model embedding
+    * exists yet. `tokenHash` injectable like the dedup sketches. */
+  def hashEmbeddings(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dim: Int = 64,
+      tokenHash: Column => Column = graft.ops.Dedup.xxHash): DataFrame =
+    docs.select(
+      col(idCol),
+      graft.functions.SketchArrayExpressions.featureHash(
+        transform(tokens(col(textCol)), t => tokenHash(t)), dim).alias("embedding"))
+
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).alias("fp"))
       .orderBy("doc_id")

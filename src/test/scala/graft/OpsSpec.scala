@@ -243,6 +243,18 @@ class OpsSpec extends SparkSpec {
     assert(out.length == 9 && out.forall(_.getAs[Double]("score") <= 1.0 + 1e-9))
   }
 
+  test("hash embeddings: identical docs colinear, disjoint docs dissimilar") {
+    val emb = TextAnalysis.hashEmbeddings(docs, "doc_id", "text", dim = 32)
+    val rows = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(rows.values.forall(_.length == 32))
+    assert(rows(0L) == rows(3L)) // exact dup docs -> identical embedding
+    val sim = Similarity.bruteForceTopK(emb, emb.filter($"doc_id" === 0L),
+      "doc_id", "embedding", k = 4)
+      .collect().map(r => r.getAs[Long]("corpus_id") -> r.getAs[Double]("score")).toMap
+    assert(math.abs(sim(3L) - 1.0) < 1e-12) // dup is the top hit
+    assert(sim(3L) > sim(2L)) // unrelated doc scores lower
+  }
+
   test("multimodal: metadata summary never needs the payload") {
     val summary = ops.Multimodal.metaSummary(media).collect()
       .map(r => (r.getString(0), r.getAs[Long]("n_media"))).toMap
