@@ -92,6 +92,26 @@ class CatalogSpec extends SparkSpec {
     assert(q.collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("driver contract: entry() flagship query returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    // every query name has oracle SQL and vice versa — the driver's
+    // correctness surface is total
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet,
+      s"mismatch: ${SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)} / " +
+        s"${SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)}")
+  }
+
+  test("catalog discovery: SHOW NAMESPACES / SHOW TABLES resolve") {
+    wh
+    spark.sql("CREATE TABLE IF NOT EXISTS graftv2.bronze.disco (id BIGINT) USING parquet")
+    val ns = spark.sql("SHOW NAMESPACES IN graftv2").collect().map(_.getString(0))
+    assert(ns.contains("bronze"))
+    val tbls = spark.sql("SHOW TABLES IN graftv2.bronze").collect()
+      .map(_.getAs[String]("tableName"))
+    assert(tbls.contains("disco"))
+    spark.sql("DROP TABLE graftv2.bronze.disco")
+  }
+
   test("sql ddl surface: insert, rename, drop") {
     wh
     spark.sql("CREATE TABLE graftv2.bronze.sqlt (id BIGINT, name STRING) USING parquet")
