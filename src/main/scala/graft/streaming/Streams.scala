@@ -218,6 +218,30 @@ object Streams {
       }
       .start()
 
+  /** Quality-gated streaming sink: each micro-batch is checked against a
+    * [[graft.quality.Expectations]] suite (one extra scan of the batch);
+    * passing batches append to `table`, failing batches land whole in
+    * `quarantineTable` for repair/replay — bad data never reaches the
+    * serving table, and the run doesn't die (the streaming version of the
+    * reference's fail-the-DAG-run data-quality intent). */
+  def sinkToCatalogValidated(
+      stream: DataFrame,
+      table: String,
+      quarantineTable: String,
+      checkpointDir: String,
+      expectations: Seq[graft.quality.Expectations.Expectation])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val pinned = batch.localCheckpoint(true) // scanned twice: gate + write
+        if (graft.quality.Expectations.validate(pinned, expectations))
+          pinned.writeTo(table).append()
+        else
+          pinned.writeTo(quarantineTable).append()
+      }
+      .start()
+
   /** Streaming medallion slice: raw JSON-string records (the Bronze shape)
     * through the *batch* Silver transforms — projection/filter only, so the
     * identical code plans incrementally under readStream. */

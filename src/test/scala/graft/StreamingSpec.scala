@@ -128,6 +128,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("validated sink routes failing micro-batches to quarantine") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory("graft-q-wh").toString
+    spark.conf.set("spark.sql.catalog.gq", classOf[graft.storage.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gq.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gq.silver")
+    spark.sql("CREATE TABLE gq.silver.good (event_id BIGINT, name STRING) USING parquet")
+    spark.sql("CREATE TABLE gq.silver.bad (event_id BIGINT, name STRING) USING parquet")
+    val input = MemoryStream[(Long, Option[String])]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-q-ckpt").toString
+    val q = Streams.sinkToCatalogValidated(
+      input.toDF().toDF("event_id", "name"), "gq.silver.good", "gq.silver.bad",
+      ckpt, Seq(graft.quality.Expectations.NotNull("name")))
+    try {
+      input.addData((1L, Some("a")), (2L, Some("b"))); q.processAllAvailable()
+      input.addData((3L, None), (4L, Some("d"))); q.processAllAvailable() // null -> fails
+      input.addData((5L, Some("e"))); q.processAllAvailable()
+      assert(spark.table("gq.silver.good").collect().map(_.getLong(0)).sorted.toSeq
+        == Seq(1L, 2L, 5L))
+      assert(spark.table("gq.silver.bad").collect().map(_.getLong(0)).sorted.toSeq
+        == Seq(3L, 4L)) // the whole failing batch quarantined for replay
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions on gap across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SessionEvent]
