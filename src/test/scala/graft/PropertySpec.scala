@@ -96,6 +96,21 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("feature_hash is linear: fh(a ++ b) = fh(a) + fh(b) pointwise") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.SketchArrayExpressions._
+    val hashes = Gen.listOfN(15, Gen.chooseNum(-(1L << 40), 1L << 40))
+    samples(Gen.zip(hashes, hashes), 5).foreach { case (a, b) =>
+      val row = Seq((a, b)).toDF("a", "b").select(
+        featureHash(col("a"), 16).alias("fa"),
+        featureHash(col("b"), 16).alias("fb"),
+        featureHash(concat(col("a"), col("b")), 16).alias("fab")).collect().head
+      val fa = row.getSeq[Float](0); val fb = row.getSeq[Float](1)
+      assert(row.getSeq[Float](2) == fa.zip(fb).map { case (x, y) => x + y },
+        "bucket counts must add under concatenation (mergeable embeddings)")
+    }
+  }
+
   test("shingle_windows emits exactly max(0, n-k+1) windows") {
     import org.apache.spark.sql.functions._
     import graft.functions.SketchArrayExpressions._

@@ -128,6 +128,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionization matches the batch operator on the same events") {
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic event set: 3 users, gaps at > 1000ms
+    val events = for (u <- 1L to 3L; i <- 0L until 6L)
+      yield SessionEvent(u, u * 100 + i, i * 400 + (if (i >= 4) 3000 else 0))
+    // batch truth
+    val batchSessions = graft.ops.Relational.sessionize(
+        events.toDF("user_id", "event_id", "ts"), "user_id", "ts", "event_id", gap = 1000L)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).alias("n"), min("ts").alias("start_ts"), max("ts").alias("end_ts"))
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("session_id")) ->
+        (r.getLong(2), r.getAs[Long]("start_ts"), r.getAs[Long]("end_ts"))).toMap
+    // streaming: feed everything, then a far-future event per user to
+    // close the last session
+    val input = MemoryStream[SessionEvent]
+    val q = Streams.sessionize(input.toDS(), gapMs = 1000L)
+      .writeStream.format("memory").queryName("sess_eq")
+      .outputMode(OutputMode.Append()).start()
+    val streamed = try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      input.addData((1L to 3L).map(u => SessionEvent(u, u * 100 + 99, 1000000L)): _*)
+      q.processAllAvailable()
+      spark.table("sess_eq").as[SessionOut].collect()
+        .map(s => (s.user_id, s.session_id) -> (s.n_events, s.start_ts, s.end_ts)).toMap
+    } finally q.stop()
+    assert(streamed == batchSessions,
+      s"batch=$batchSessions\nstream=$streamed")
+  }
+
   test("validated sink routes failing micro-batches to quarantine") {
     implicit val sqlCtx = spark.sqlContext
     val wh = java.nio.file.Files.createTempDirectory("graft-q-wh").toString
