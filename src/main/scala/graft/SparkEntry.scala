@@ -146,6 +146,15 @@ object SparkEntry {
           graft.functions.VectorFunctions.dot(col("embedding"), col("embedding"))
             .alias("emb_norm2"))
         .orderBy("media_id")),
+    // every individual embedding band value, exploded to scalars — the
+    // complete per-element check of the decode feature math
+    "multimodal_decode_bands" -> ((s, dir) =>
+      Multimodal.decodeImages(Multimodal.mediaFromDocuments(docs(s, dir)))
+        .toDF()
+        .select(col("media_id"), posexplode(col("embedding")))
+        .toDF("media_id", "band", "value")
+        .select(col("media_id"), col("band").cast("long").alias("band"), col("value"))
+        .orderBy("media_id", "band")),
     "multimodal_audio" -> ((s, dir) =>
       Multimodal.audioEnergy(Multimodal.mediaFromDocuments(docs(s, dir)))
         .toDF().orderBy("media_id", "frame_index")),
@@ -430,8 +439,8 @@ object SparkEntry {
   /** The stub decoder is pure integer math over the UTF-8 payload: pixel i
     * cycles the bytes; band means are Long→Float divisions. Reproduced
     * here exactly (ASCII testdata: char codes == bytes). */
-  private def multimodalDecodeSql: String =
-    s"""WITH img AS (
+  private def multimodalDecodeCtes: String =
+    s"""img AS (
          SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS nb,
                 list_transform(list_filter(string_split(text, ''), c -> c <> ''),
                                c -> CAST(ascii(c) AS BIGINT)) AS cs,
@@ -447,13 +456,22 @@ object SparkEntry {
                 list_transform(range(0, 16),
                   b -> CAST(CAST(list_sum(list_slice(pxs, CAST(b * band AS INT) + 1, CAST((b + 1) * band AS INT))) AS REAL)
                             / CAST(band AS REAL) AS REAL)) AS e
-         FROM px)
+         FROM px)"""
+
+  private def multimodalDecodeSql: String =
+    s"""WITH $multimodalDecodeCtes
        SELECT media_id, nb AS n_bytes, w AS width, CAST(64 AS BIGINT) AS height,
               CAST(pxsum AS DOUBLE) / (w * 64) AS mean_intensity,
               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                 list_transform(e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
                 (acc, v) -> acc + v) AS emb_norm2
        FROM emb ORDER BY media_id"""
+
+  private def multimodalDecodeBandsSql: String =
+    s"""WITH $multimodalDecodeCtes
+       SELECT media_id, CAST(t.r AS BIGINT) AS band, e[CAST(t.r AS INT) + 1] AS value
+       FROM emb JOIN unnest(range(0, 16)) AS t(r) ON true
+       ORDER BY media_id, band"""
 
   private def jaccardNeighborsSql: String =
     s"""WITH $oracleTk,
@@ -540,6 +558,7 @@ object SparkEntry {
     "sim_topk_lsh" -> lshTopkSql,
     "sim_cosine_neardup" -> cosineNearDupSql,
     "multimodal_decode" -> multimodalDecodeSql,
+    "multimodal_decode_bands" -> multimodalDecodeBandsSql,
     "q_bronze_wrap" ->
       """SELECT props AS raw_json, DATE '2024-01-15' AS extraction_date
          FROM events ORDER BY event_id""",
