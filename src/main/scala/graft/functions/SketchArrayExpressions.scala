@@ -51,10 +51,16 @@ abstract class SketchArrayExpression extends UnaryExpression {
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj(prettyName, this, classOf[SketchArrayExpression].getName)
-    val javaType = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
-      .javaType(dataType)
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = ($javaType) $self.compute($c);")
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+    // compute() returns Object; a primitive result must go through its box
+    // (`(long) Object` is illegal Java — Janino rejects it and the whole
+    // stage silently falls back to interpreted eval)
+    val cast =
+      if (CodeGenerator.isPrimitiveType(dataType))
+        s"((${CodeGenerator.boxedType(dataType)}) $self.compute(%s)).${CodeGenerator.javaType(dataType)}Value()"
+      else
+        s"(${CodeGenerator.javaType(dataType)}) $self.compute(%s)"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = ${cast.format(c)};")
   }
 }
 

@@ -67,6 +67,28 @@ class VectorExprSpec extends SparkSpec {
     assert(d.select(VectorFunctions.dot($"a", $"b")).collect().head.getDouble(0) == 8.0)
   }
 
+  test("sketch expressions compile under whole-stage codegen (fallback disabled)") {
+    // spark.sql.codegen.fallback=true (the default) silently swallows a
+    // CompileException and re-plans interpreted; disable it so a doGenCode
+    // bug (e.g. casting Object straight to a primitive) fails the test.
+    import graft.functions.SketchArrayExpressions._
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val docs = spark.range(500).select(
+        $"id",
+        transform(sequence(lit(1L), lit(8L)), t => xxhash64($"id" * t)).alias("th"))
+      val out = docs.select(
+        simhashArray($"th").alias("sim"),
+        minhashArray(shingleWindows($"th", 3), 8).alias("sig"),
+        featureHash($"th", 16).alias("emb"))
+        .where($"sim" =!= 0L)
+        .agg(count(lit(1)), min(element_at($"sig", 1)), min(element_at($"emb", 1)))
+        .collect().head
+      assert(out.getLong(0) > 0L)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("codegen path actually compiles (no fallback): run over enough rows") {
     // 1000 rows through a projection exercises WholeStageCodegen; a codegen
     // bug would throw CompileException and fail loudly here.
