@@ -157,15 +157,23 @@ object VectorFunctions {
 
   def norm(a: Column): Column = org.apache.spark.sql.functions.sqrt(dot(a, a))
 
+  /** Extract a foldable integer argument (e.g. `minhash_array(sh, 32)`):
+    * a clear analysis-time error for a non-literal instead of an opaque
+    * eval() failure on an unbound attribute. */
+  private[functions] def intArg(e: Expression, fn: String): Int = {
+    require(e.foldable, s"$fn: argument must be a literal integer, got $e")
+    e.eval().asInstanceOf[Number].intValue()
+  }
+
   /** SQL names registered into a session (also injected session-wide by
     * [[GraftExtensions]] for `--conf spark.sql.extensions=`). */
   val registry: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> { args => VecDot(args(0), args(1)) },
     "vec_cosine" -> { args => VecCosine(args(0), args(1)) },
     "shingle_windows" -> { args =>
-      ShingleWindows(args(0), args(1).eval().asInstanceOf[Number].intValue()) },
+      ShingleWindows(args(0), intArg(args(1), "shingle_windows")) },
     "minhash_array" -> { args =>
-      MinhashArray(args(0), args(1).eval().asInstanceOf[Number].intValue()) },
+      MinhashArray(args(0), intArg(args(1), "minhash_array")) },
     "simhash_array" -> { args => SimhashArray(args(0)) })
 
   /** Imperative registration for an existing session (tests, Verify). */
@@ -179,11 +187,7 @@ object VectorFunctions {
   * functions resolve in any SQL/DataFrame query of the session. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
 
-  /** Extract a foldable integer argument (e.g. `minhash_array(sh, 32)`). */
-  private def intArg(e: Expression, fn: String): Int = {
-    require(e.foldable, s"$fn: argument must be a literal integer")
-    e.eval().asInstanceOf[Number].intValue()
-  }
+  import VectorFunctions.intArg
 
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((

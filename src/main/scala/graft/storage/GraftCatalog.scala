@@ -145,10 +145,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val meta = GraftCatalog.readMeta(fs, dir)
       .getOrElse(throw new NoSuchTableException(ident))
     val live = spark.table(qualified)
+    // partitioned table: shuffle on (partitionCols, bucket) where bucket =
+    // hash(all cols) mod target — ≤ target files per partition VALUE while
+    // distinct (value, bucket) combos spread across the default shuffle
+    // parallelism. Keying on partitionCols alone would collapse each value
+    // into one task (and `repartition(target, cols)` caps total tasks at
+    // `target` — a single-task funnel for the default target=1).
+    import org.apache.spark.sql.functions.{col, pmod, hash, lit}
     val rewritten =
       if (meta.partitionCols.isEmpty) live.repartition(targetFilesPerPartition)
-      else live.repartition(targetFilesPerPartition,
-        meta.partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      else {
+        val bucket = pmod(hash(live.columns.map(col): _*), lit(targetFilesPerPartition))
+        live.repartition(meta.partitionCols.map(col) :+ bucket: _*)
+      }
     rewritten.localCheckpoint(true)
       .writeTo(qualified).overwrite(org.apache.spark.sql.functions.lit(true))
     val after = GraftCatalog
@@ -164,7 +173,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val dir = tableDir(ident)
     if (GraftCatalog.readMeta(fs, dir).isEmpty) throw new NoSuchTableException(ident)
     val latest = GraftCatalog.latestSnapshot(fs, dir)
-    val live = GraftCatalog.readManifest(fs, dir, latest).getOrElse(Seq.empty).toSet
+    // pre-manifest ("legacy") table: the live set IS the dir listing (the
+    // same fallback the read and commit paths use) — an empty-manifest
+    // default here would delete every data file in the table
+    val live = GraftCatalog.readManifest(fs, dir, latest)
+      .getOrElse(GraftCatalog.listDataFiles(fs, dir)).toSet
     val all = GraftCatalog.listDataFiles(fs, dir)
     val dead = all.filterNot(live)
     dead.foreach(f => fs.delete(new Path(dir, f), false))
@@ -287,6 +300,12 @@ object GraftCatalog {
 
   val MetaFile = "_graft_table.json"
 
+  /** Write options for idempotent commits (Delta's txnAppId/txnVersion
+    * shape): a commit carrying (app-id, version) is skipped when the table
+    * already recorded an equal-or-newer version for that app-id. */
+  val TxnAppIdOption = "graft.txn.app-id"
+  val TxnVersionOption = "graft.txn.version"
+
   def readMeta(fs: FileSystem, dir: Path): Option[GraftTableMeta] = {
     val f = new Path(dir, MetaFile)
     if (!fs.exists(f)) None
@@ -346,15 +365,19 @@ object GraftCatalog {
       .map(_.stripPrefix("_snap-").stripSuffix(".manifest").toLong)
       .foldLeft(0L)(math.max)
 
-  private[storage] def writeSnapshot(fs: FileSystem, dir: Path, files: Seq[String]): Long = {
+  private[storage] def writeSnapshot(
+      fs: FileSystem, dir: Path, files: Seq[String],
+      txns: Map[String, Long] = Map.empty): Long = {
     val next = latestSnapshot(fs, dir) + 1
+    val header = txns.toSeq.sorted.map { case (app, v) => s"# txn:$app=$v" }
     val out = fs.create(new Path(dir, s"_snap-$next.manifest"), true)
-    try out.write((files.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write(
+      ((header ++ files.sorted).mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     next
   }
 
-  private[storage] def readManifest(fs: FileSystem, dir: Path, snap: Long): Option[Seq[String]] = {
+  private def manifestLines(fs: FileSystem, dir: Path, snap: Long): Option[Seq[String]] = {
     val f = new Path(dir, s"_snap-$snap.manifest")
     if (!fs.exists(f)) None
     else {
@@ -366,6 +389,23 @@ object GraftCatalog {
       } finally in.close()
     }
   }
+
+  private[storage] def readManifest(fs: FileSystem, dir: Path, snap: Long): Option[Seq[String]] =
+    manifestLines(fs, dir, snap).map(_.filterNot(_.startsWith("#")))
+
+  /** Writer-transaction watermarks (`# txn:<appId>=<version>` header lines)
+    * recorded by the snapshot the data committed in — reading them from the
+    * latest manifest is what makes idempotent retries atomic with the data
+    * (same single-file commit point; Delta's txnAppId/txnVersion shape). */
+  private[storage] def readTxns(fs: FileSystem, dir: Path, snap: Long): Map[String, Long] =
+    manifestLines(fs, dir, snap).getOrElse(Seq.empty)
+      .filter(_.startsWith("# txn:"))
+      .flatMap { l =>
+        l.stripPrefix("# txn:").split("=", 2) match {
+          case Array(app, v) => v.toLongOption.map(app -> _)
+          case _ => None
+        }
+      }.toMap
 
   /** SQLConf entries `ParquetWriteSupport`/the schema converter read from
     * the task-side hadoop conf (Spark's own writer injects the same set). */
@@ -443,9 +483,19 @@ private[storage] class GraftWriteBuilder(
   override def overwriteDynamicPartitions(): WriteBuilder = { mode = "dynamic"; this }
 
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new GraftBatchWrite(
-      dir, meta, mode, info.queryId(),
-      GraftCatalog.parquetWriteConfs(SparkSession.active))
+    override def toBatch: BatchWrite = {
+      // Delta-style idempotent writer transaction: pass both options and
+      // the commit is skipped when the table already recorded an equal or
+      // newer version for the appId (exactly-once foreachBatch sinks).
+      val txn = for {
+        app <- Option(info.options.get(GraftCatalog.TxnAppIdOption))
+        v <- Option(info.options.get(GraftCatalog.TxnVersionOption))
+          .flatMap(_.toLongOption)
+      } yield (app, v)
+      new GraftBatchWrite(
+        dir, meta, mode, info.queryId(),
+        GraftCatalog.parquetWriteConfs(SparkSession.active), txn)
+    }
   }
 }
 
@@ -454,7 +504,7 @@ private[storage] final case class GraftCommitMessage(
 
 /** Staged write + rename-only, snapshotting commit.
   *
-  * Executors write `_staging-<queryId>/<part=val>/part-<p>-<t>.parquet`;
+  * Executors write `_staging-<queryId>/<part=val>/part-<p>-<t>-<queryId>.parquet`;
   * the driver commit promotes exactly the files named in the commit
   * messages (stray files from aborted/speculative tasks are left behind in
   * staging and deleted with it) and records the next snapshot manifest.
@@ -468,27 +518,49 @@ private[storage] class GraftBatchWrite(
     meta: GraftTableMeta,
     mode: String,
     queryId: String,
-    parquetConfs: Map[String, String]) extends BatchWrite {
+    parquetConfs: Map[String, String],
+    txn: Option[(String, Long)] = None) extends BatchWrite {
 
   private val stagingRel = s"_staging-$queryId"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    GraftWriterFactory(s"$dir/$stagingRel", meta.schema, meta.partitionCols, parquetConfs)
+    GraftWriterFactory(s"$dir/$stagingRel", meta.schema, meta.partitionCols,
+      parquetConfs, queryId)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(dir)
     val fs = root.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    val latest = GraftCatalog.latestSnapshot(fs, root)
+    val priorTxns = GraftCatalog.readTxns(fs, root, latest)
+    val alreadyCommitted = txn.exists { case (app, v) =>
+      priorTxns.get(app).exists(_ >= v) }
+    if (alreadyCommitted) {
+      // replayed foreachBatch micro-batch (at-least-once source): the
+      // table's manifest already carries this (appId, version) — drop the
+      // staged files instead of appending duplicates
+      fs.delete(new Path(root, stagingRel), true)
+      return
+    }
     val staged = messages.flatMap(_.asInstanceOf[GraftCommitMessage].files)
     // prior live set: latest manifest, or a dir listing for legacy tables
     val prior = GraftCatalog
-      .readManifest(fs, root, GraftCatalog.latestSnapshot(fs, root))
+      .readManifest(fs, root, latest)
       .getOrElse(GraftCatalog.listDataFiles(fs, root))
     staged.foreach { case (part, file) =>
       val dst = if (part.isEmpty) root else new Path(root, part)
       fs.mkdirs(dst)
       val src = if (part.isEmpty) new Path(root, s"$stagingRel/$file")
                 else new Path(root, s"$stagingRel/$part/$file")
-      fs.rename(src, new Path(dst, file))
+      val target = new Path(dst, file)
+      // rename returns false (HDFS) or clobbers (POSIX) instead of
+      // throwing; either way a silent false here would lose the staged
+      // data while the manifest records it — fail the commit instead.
+      // Already-promoted files stay orphaned outside the manifest (no
+      // snapshot is written) and are reclaimed by vacuum.
+      if (fs.exists(target) || !fs.rename(src, target))
+        throw new java.io.IOException(
+          s"GraftCatalog commit failed: cannot promote $src to $target" +
+            (if (fs.exists(target)) " (destination already exists)" else ""))
     }
     fs.delete(new Path(root, stagingRel), true)
     val stagedRel = staged.map { case (p, f) => if (p.isEmpty) f else s"$p/$f" }
@@ -500,7 +572,8 @@ private[storage] class GraftBatchWrite(
         prior.filterNot(f => touched.exists(t => f.startsWith(t + "/"))) ++ stagedRel
       case _ => prior ++ stagedRel // append
     }
-    GraftCatalog.writeSnapshot(fs, root, live)
+    val txns = txn.fold(priorTxns) { case (app, v) => priorTxns + (app -> v) }
+    GraftCatalog.writeSnapshot(fs, root, live.distinct, txns)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -514,10 +587,12 @@ private[storage] final case class GraftWriterFactory(
     stagingDir: String,
     schema: StructType,
     partitionCols: Seq[String],
-    parquetConfs: Map[String, String]) extends DataWriterFactory {
+    parquetConfs: Map[String, String],
+    writeToken: String) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(stagingDir, schema, partitionCols, parquetConfs, partitionId, taskId)
+    new GraftDataWriter(
+      stagingDir, schema, partitionCols, parquetConfs, partitionId, taskId, writeToken)
 }
 
 /** Per-task writer: routes rows to one `ParquetWriter` per partition value
@@ -529,7 +604,8 @@ private[storage] class GraftDataWriter(
     partitionCols: Seq[String],
     parquetConfs: Map[String, String],
     partitionId: Int,
-    taskId: Long) extends DataWriter[InternalRow] {
+    taskId: Long,
+    writeToken: String) extends DataWriter[InternalRow] {
 
   private val partIdx = partitionCols.map(schema.fieldIndex).toArray
   private val dataIdx = schema.fieldNames.indices.filterNot(partIdx.contains).toArray
@@ -558,7 +634,11 @@ private[storage] class GraftDataWriter(
     partIdx.map(i => s"${schema.fields(i).name}=${partValue(row, i)}").mkString("/")
 
   private def openWriter(part: String): ParquetWriter[InternalRow] = {
-    val file = f"part-$partitionId%05d-$taskId.parquet"
+    // taskId is application-scoped (resets per app run), so the per-write
+    // queryId token is what makes names globally unique across appends
+    // from different application runs — same role as the write UUID in
+    // Spark's own FileFormatWriter / Iceberg's data file names.
+    val file = f"part-$partitionId%05d-$taskId-$writeToken.parquet"
     val path = if (part.isEmpty) new Path(s"$stagingDir/$file")
                else new Path(s"$stagingDir/$part/$file")
     val conf = new Configuration()

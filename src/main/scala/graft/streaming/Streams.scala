@@ -205,16 +205,25 @@ object Streams {
 
   /** Stream → V2 catalog sink: each micro-batch appends through the
     * catalog's transactional write path (`foreachBatch` + WriterV2), so
-    * every batch becomes one snapshot — exactly-once per batch given the
-    * checkpoint, time-travel per batch for free. */
+    * every batch becomes one snapshot — time-travel per batch for free.
+    *
+    * foreachBatch itself is at-least-once (a failure between the table
+    * commit and the streaming checkpoint replays the batch), so the append
+    * carries a writer transaction (appId = checkpoint dir, version =
+    * batchId) that commits atomically with the data in the snapshot
+    * manifest; [[graft.storage.GraftCatalog]] skips a replayed batchId,
+    * making the sink exactly-once per batch end to end. */
   def sinkToCatalog(
       stream: DataFrame,
       table: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.writeTo(table).append()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.writeTo(table)
+          .option(graft.storage.GraftCatalog.TxnAppIdOption, checkpointDir)
+          .option(graft.storage.GraftCatalog.TxnVersionOption, batchId.toString)
+          .append()
       }
       .start()
 
@@ -223,7 +232,12 @@ object Streams {
     * passing batches append to `table`, failing batches land whole in
     * `quarantineTable` for repair/replay — bad data never reaches the
     * serving table, and the run doesn't die (the streaming version of the
-    * reference's fail-the-DAG-run data-quality intent). */
+    * reference's fail-the-DAG-run data-quality intent).
+    *
+    * Replay-safe like [[sinkToCatalog]]: the batchId travels as a writer
+    * transaction. A replayed batch re-runs the gate on identical data
+    * (checkpointed source offsets), reaches the same verdict, and the
+    * target table's manifest-recorded batchId makes the re-append a no-op. */
   def sinkToCatalogValidated(
       stream: DataFrame,
       table: String,
@@ -233,12 +247,15 @@ object Streams {
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val pinned = batch.localCheckpoint(true) // scanned twice: gate + write
-        if (graft.quality.Expectations.validate(pinned, expectations))
-          pinned.writeTo(table).append()
-        else
-          pinned.writeTo(quarantineTable).append()
+        val target =
+          if (graft.quality.Expectations.validate(pinned, expectations)) table
+          else quarantineTable
+        pinned.writeTo(target)
+          .option(graft.storage.GraftCatalog.TxnAppIdOption, checkpointDir)
+          .option(graft.storage.GraftCatalog.TxnVersionOption, batchId.toString)
+          .append()
       }
       .start()
 

@@ -247,6 +247,95 @@ class CatalogSpec extends SparkSpec {
     assert(changes == Set((9L, "insert"), (1L, "delete"), (2L, "delete")))
   }
 
+  test("writer transaction makes foreachBatch-style appends idempotent") {
+    wh
+    t((1L, "a", "2024-01-15"))
+      .writeTo("graftv2.bronze.txn").using("parquet")
+      .partitionedBy(col("extraction_date")).createOrReplace()
+    def appendBatch(id: Long, version: Long): Unit =
+      t((id, s"r$id", "2024-01-15"))
+        .writeTo("graftv2.bronze.txn")
+        .option(GraftCatalog.TxnAppIdOption, "ckpt-A")
+        .option(GraftCatalog.TxnVersionOption, version.toString)
+        .append()
+    appendBatch(2L, 0L)
+    appendBatch(2L, 0L) // replayed micro-batch: must be a no-op
+    assert(spark.table("graftv2.bronze.txn").count() == 2)
+    appendBatch(3L, 1L) // next batch commits normally
+    assert(spark.table("graftv2.bronze.txn").count() == 3)
+    // an older version replayed after a newer one is also skipped
+    appendBatch(4L, 0L)
+    assert(spark.table("graftv2.bronze.txn").count() == 3)
+    // a different app-id (another stream) is tracked independently
+    t((5L, "r5", "2024-01-15")).writeTo("graftv2.bronze.txn")
+      .option(GraftCatalog.TxnAppIdOption, "ckpt-B")
+      .option(GraftCatalog.TxnVersionOption, "0").append()
+    assert(spark.table("graftv2.bronze.txn").count() == 4)
+  }
+
+  test("vacuum on a pre-manifest (legacy) table deletes nothing") {
+    wh
+    t((1L, "a", "2024-01-15"), (2L, "b", "2024-01-16"))
+      .writeTo("graftv2.bronze.legacy").using("parquet")
+      .partitionedBy(col("extraction_date")).createOrReplace()
+    // simulate a table created before snapshot manifests existed
+    val dir = new java.io.File(s"$wh/bronze/legacy")
+    dir.listFiles().filter(_.getName.startsWith("_snap-")).foreach(_.delete())
+    val cat = new GraftCatalog
+    cat.initialize("graftv2", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("warehouse", wh)))
+    val deleted = cat.vacuum(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("bronze"), "legacy"))
+    assert(deleted == 0, s"legacy vacuum must be a no-op, deleted $deleted files")
+    spark.catalog.refreshTable("graftv2.bronze.legacy")
+    assert(spark.table("graftv2.bronze.legacy").count() == 2)
+  }
+
+  test("data file names carry the per-write token (unique across writes)") {
+    wh
+    t((1L, "a", "2024-01-15"))
+      .writeTo("graftv2.bronze.names").using("parquet")
+      .partitionedBy(col("extraction_date")).createOrReplace()
+    t((2L, "b", "2024-01-15")).writeTo("graftv2.bronze.names").append()
+    val files = new java.io.File(s"$wh/bronze/names/extraction_date=2024-01-15")
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet"))
+    assert(files.length == 2)
+    assert(files.distinct.length == 2)
+    // part-<partition>-<task>-<queryId-uuid>.parquet: the trailing token is
+    // what keeps names unique across application runs where taskId resets
+    files.foreach(f => assert(
+      f.matches("part-\\d{5}-\\d+-[0-9a-fA-F-]{36}\\.parquet"), f))
+  }
+
+  test("compaction bounds files per partition without collapsing parallelism") {
+    wh
+    val many = (1L to 40L).map(i => (i, s"r$i", if (i % 2 == 0) "2024-01-15" else "2024-01-16"))
+    many.take(4).map(Seq(_)).foreach { batch =>
+      val df = batch.toDF("id", "name", "extraction_date")
+      if (batch.head._1 == 1L)
+        df.writeTo("graftv2.bronze.cmp2").using("parquet")
+          .partitionedBy(col("extraction_date")).createOrReplace()
+      else df.writeTo("graftv2.bronze.cmp2").append()
+    }
+    many.drop(4).toDF("id", "name", "extraction_date")
+      .writeTo("graftv2.bronze.cmp2").append()
+    val cat = new GraftCatalog
+    cat.initialize("graftv2", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("warehouse", wh)))
+    val (_, after) = cat.compact(spark, "bronze.cmp2", targetFilesPerPartition = 2)
+    // ≤ target files per partition VALUE (2 values × target 2 = ≤ 4 total)
+    assert(after <= 4 && after >= 2, s"got $after files")
+    for (d <- Seq("2024-01-15", "2024-01-16")) {
+      spark.catalog.refreshTable("graftv2.bronze.cmp2")
+      val live = spark.table("graftv2.bronze.cmp2")
+        .filter(col("extraction_date") === d)
+      assert(live.count() == 20)
+      val nFiles = live.select(org.apache.spark.sql.functions
+        .input_file_name()).distinct().count()
+      assert(nFiles <= 2, s"partition $d has $nFiles files after compact to 2")
+    }
+  }
+
   test("V2CatalogWarehouse: idempotent same-date re-run via the V2 lifecycle") {
     wh
     val storage = new V2CatalogWarehouse(spark)
