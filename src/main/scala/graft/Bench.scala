@@ -24,7 +24,7 @@ object Bench {
     "q_pricing_summary", "q_gold_agg", "q_gold_agg_orders",
     "q_join_broadcast", "q_join_multi", "q_silver_extract",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "sim_topk_bruteforce", "sim_topk_lsh",
+    "sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_int8",
     "text_quality", "text_langid", "text_fingerprint",
     "text_tf_rarity", "prep_corpus")
 

@@ -63,6 +63,61 @@ object SparkEntry {
     }),
     "q_stats_moments" -> (Parity.statsMoments _),
     "q_semi_anti" -> (Parity.semiAntiJoin _),
+    // SCD2 dimension history: customer segments as the initial open state,
+    // order priorities as the timestamped update stream — one window
+    // shuffle, consecutive no-op updates collapse. Timestamps surface as
+    // epoch millis (the deterministic cross-engine representation).
+    "q_scd2" -> ((s, dir) => {
+      val hist = Parity.t(s, dir, "customer").select(
+        col("c_custkey").alias("key"),
+        col("c_mktsegment").alias("state"),
+        lit("1990-01-01").cast("timestamp").alias("valid_from"),
+        lit(null).cast("timestamp").alias("valid_to"),
+        lit(true).alias("is_current"))
+      val upd = Parity.t(s, dir, "orders").select(
+        col("o_custkey").alias("key"),
+        col("o_orderpriority").alias("state"),
+        col("o_orderdate").alias("ts"),
+        col("o_orderkey").alias("tie"))
+      graft.ops.Relational.scd2Merge(hist, upd, "key", Seq("state"), "ts", "tie")
+        .select(col("key"), col("state"),
+          unix_millis(col("valid_from")).alias("valid_from_ms"),
+          unix_millis(col("valid_to")).alias("valid_to_ms"),
+          col("is_current"))
+        .orderBy("key", "valid_from_ms", "state")
+    }),
+    // Z-order layout key: min/max-binned Morton interleave over two
+    // dimensions of events — the value Layout.cluster range-partitions by.
+    // Pure integer arithmetic, reproduced bit-for-bit by the oracle.
+    "q_zorder" -> ((s, dir) => {
+      val e = Parity.t(s, dir, "events").select(col("event_id"), col("user_id"),
+        pmod(col("event_id"), lit(997)).alias("b"))
+      graft.ops.Layout.withZValue(e, Seq("user_id", "b"), bits = 8, zCol = "zval")
+        .select(col("event_id"), col("zval")).orderBy("event_id")
+    }),
+    // Incremental aggregate maintenance: prev aggregate + CDC changelog
+    // (inserts = new orderkeys, deletes = a subset of the base) folded by
+    // Incremental.refreshAgg. The ORACLE recomputes the aggregate directly
+    // from the final row set — the hash match IS the proof that the
+    // incremental fold equals a full rescan.
+    "q_incremental_agg" -> ((s, dir) => {
+      import graft.ops.Incremental
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(12,2)")
+      val orders = Parity.t(s, dir, "orders")
+        .withColumn("o_totalprice", dec(col("o_totalprice")))
+      val base = orders.filter(pmod(col("o_orderkey"), lit(5)) =!= 0)
+      val prev = Incremental.aggregate(base, Seq("o_orderpriority"), Seq("o_totalprice"))
+      val changes = orders.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+        .withColumn("_change", lit("insert"))
+        .unionByName(
+          base.filter(col("o_orderstatus") === "F" && pmod(col("o_orderkey"), lit(7)) === 0)
+            .withColumn("_change", lit("delete")))
+        .select(col("o_orderpriority"), col("o_totalprice"), col("_change"))
+      Incremental.refreshAgg(prev, changes, Seq("o_orderpriority"), Seq("o_totalprice"))
+        .select(col("o_orderpriority"), col("cnt"),
+          col("sum_o_totalprice").cast("double").alias("total_price"))
+        .orderBy("o_orderpriority")
+    }),
     // ── Dedup ──
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactByKey(docs(s, dir), "text", "doc_id").orderBy("doc_id")),
@@ -123,6 +178,15 @@ object SparkEntry {
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id",
         "embedding", k = 5, numCentroids = 16, nprobe = 4)
         .orderBy("query_id", "rank")
+    }),
+    // int8-quantized candidate scan (¼ the bytes of float32) + exact float
+    // rescore of k×refine candidates — the oracle replicates quantization,
+    // integer dot, candidate cut, and rescore, so the whole pipeline is
+    // hash-checked end to end.
+    "sim_topk_int8" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.quantizedTopK(e, e.filter(col("vec_id") < 10), "vec_id",
+        "embedding", k = 5, refine = 4).orderBy("query_id", "rank")
     }),
     "sim_cosine_neardup" -> ((s, dir) =>
       Similarity.cosineNearDups(embs(s, dir), "vec_id", "embedding", dim = 64,
@@ -488,6 +552,65 @@ object SparkEntry {
   /** DuckDB cosine with the exact accumulation order of the engine's
     * native VecCosine: left-to-right double folds per accumulator. Bit-for
     * -bit identical scores, so even interpolated ranks match. */
+  /** Morton interleave of the two 8-bit bins (col 0 on even output bits,
+    * col 1 on odd) — mirrors [[graft.ops.Layout.withZValue]] exactly:
+    * same min/max binning, same integer division, same bit placement. */
+  private def zorderSql: String = {
+    val terms = (0 until 8).flatMap(b =>
+      Seq(s"(((bx >> $b) & 1) << ${2 * b})", s"(((bb >> $b) & 1) << ${2 * b + 1})"))
+      .mkString(" + ")
+    s"""WITH e AS (SELECT event_id, user_id, event_id % 997 AS b FROM events),
+       st AS (SELECT min(user_id) AS lox, max(user_id) AS hix,
+                     min(b) AS lob, max(b) AS hib FROM e),
+       bins AS (
+         SELECT event_id,
+                ((user_id - lox) * 256) // (hix - lox + 1) AS bx,
+                ((b - lob) * 256) // (hib - lob + 1) AS bb
+         FROM e, st)
+       SELECT event_id, CAST($terms AS BIGINT) AS zval
+       FROM bins ORDER BY event_id"""
+  }
+
+  /** int8 quantization + integer-dot candidate scan + exact rescore —
+    * mirrors [[graft.ops.Similarity.quantizedTopK]] (k=5, refine=4,
+    * queries = vec_id < 10). Integer code products summed exactly, scales
+    * folded in the same left-to-right order. */
+  private def quantizedTopkSql: String =
+    s"""WITH sc AS (
+         SELECT vec_id, embedding,
+                list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+         FROM embeddings),
+       codes AS (
+         SELECT vec_id, embedding, scale,
+                CASE WHEN scale = 0.0
+                     THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                     ELSE list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))
+                END AS code
+         FROM sc),
+       approx AS (
+         SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                q.scale * c.scale *
+                  CAST(list_sum(list_transform(list_zip(q.code, c.code),
+                                               p -> p[1] * p[2])) AS DOUBLE) AS approx,
+                q.embedding AS qvec, c.embedding AS cvec
+         FROM codes q JOIN codes c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+       cand AS (
+         SELECT query_id, corpus_id, qvec, cvec,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY approx DESC, corpus_id) AS arank
+         FROM approx),
+       scored AS (
+         SELECT query_id, corpus_id, ${cosSql("qvec", "cvec")} AS score
+         FROM cand WHERE arank <= 20),
+       ranked AS (
+         SELECT query_id, corpus_id, score,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, corpus_id) AS rank
+         FROM scored)
+       SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, score
+       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+
   private def cosSql(a: String, b: String): String =
     s"""(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
            list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
@@ -555,6 +678,8 @@ object SparkEntry {
     "dedup_corpus" -> dedupCorpusSql,
     "sim_topk_bruteforce" -> bruteForceTopkSql,
     "sim_topk_ivf" -> ivfTopkSql,
+    "sim_topk_int8" -> quantizedTopkSql,
+    "q_zorder" -> zorderSql,
     "sim_topk_lsh" -> lshTopkSql,
     "sim_cosine_neardup" -> cosineNearDupSql,
     "multimodal_decode" -> multimodalDecodeSql,
@@ -666,6 +791,39 @@ object SparkEntry {
          SELECT c_custkey, 'no_orders' AS segment FROM customer
          WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
          ORDER BY c_custkey""",
+    "q_scd2" ->
+      """WITH hist AS (
+           SELECT c_custkey AS key, c_mktsegment AS state,
+                  TIMESTAMP '1990-01-01 00:00:00' AS ts, 0 AS side,
+                  CAST(0 AS BIGINT) AS tie
+           FROM customer),
+         upd AS (
+           SELECT o_custkey AS key, o_orderpriority AS state, o_orderdate AS ts,
+                  1 AS side, o_orderkey AS tie
+           FROM orders),
+         u AS (SELECT * FROM hist UNION ALL SELECT * FROM upd),
+         k AS (
+           SELECT key, state, ts, side, tie FROM (
+             SELECT *, lag(state) OVER (PARTITION BY key ORDER BY ts, side, tie) AS prev
+             FROM u)
+           WHERE prev IS NULL OR state <> prev),
+         f AS (
+           SELECT key, state, ts AS vf,
+                  lead(ts) OVER (PARTITION BY key ORDER BY ts, side, tie) AS vt
+           FROM k)
+         SELECT key, state, epoch_ms(vf) AS valid_from_ms, epoch_ms(vt) AS valid_to_ms,
+                (vt IS NULL) AS is_current
+         FROM f ORDER BY key, valid_from_ms, state""",
+    "q_incremental_agg" ->
+      """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 5 <> 0),
+         final AS (
+           SELECT * FROM base
+           WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0)
+           UNION ALL
+           SELECT * FROM orders WHERE o_orderkey % 5 = 0)
+         SELECT o_orderpriority, count(*) AS cnt,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+         FROM final GROUP BY 1 ORDER BY 1""",
     "q_window_topn" ->
       """SELECT o_orderpriority, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice
          FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,

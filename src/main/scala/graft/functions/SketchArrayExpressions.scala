@@ -192,6 +192,39 @@ case class FeatureHash(child: Expression, dim: Int) extends SketchArrayExpressio
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** `z_value(bins, bits)`: Morton (Z-order) interleave of the lowest `bits`
+  * bits of each element — element c's bit b lands at output bit
+  * `b·n + c`, so nearby points in ALL dimensions get nearby z-values.
+  * The layout key behind [[graft.ops.Layout.cluster]]: range-partitioning
+  * a table by z-value makes every file's per-column min/max tight in every
+  * clustered dimension at once, which is what lets engines skip files for
+  * multi-dimensional predicates. Requires `n·bits ≤ 63`. */
+case class ZValueArray(child: Expression, bits: Int) extends SketchArrayExpression {
+
+  override protected def elemType: DataType = LongType
+  override def dataType: DataType = LongType
+
+  override def compute(arr: ArrayData): Any = {
+    val n = arr.numElements()
+    require(n * bits <= 63, s"z_value: $n cols × $bits bits exceeds 63 bits")
+    var out = 0L
+    var c = 0
+    while (c < n) {
+      val v = arr.getLong(c)
+      var b = 0
+      while (b < bits) {
+        out |= ((v >>> b) & 1L) << (b * n + c)
+        b += 1
+      }
+      c += 1
+    }
+    out
+  }
+
+  override def prettyName: String = "z_value"
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
 object SketchArrayExpressions {
   def shingleWindows(th: Column, k: Int): Column =
     Shims.column(ShingleWindows(Shims.expression(th), k))
@@ -201,4 +234,6 @@ object SketchArrayExpressions {
     Shims.column(SimhashArray(Shims.expression(th)))
   def featureHash(th: Column, dim: Int): Column =
     Shims.column(FeatureHash(Shims.expression(th), dim))
+  def zValue(bins: Column, bits: Int): Column =
+    Shims.column(ZValueArray(Shims.expression(bins), bits))
 }

@@ -21,32 +21,53 @@ import org.apache.spark.sql.types._
   * calls. Semantics are identical (left-to-right double accumulation,
   * null elements count as 0, /0 → null like Spark's non-ANSI Divide).
   *
-  * Both float and double element arrays are accepted.
+  * Float, double, and integral (byte/short/int/long) element arrays are
+  * accepted — integral arrays are what the int8-quantized ANN path
+  * ([[graft.ops.Similarity.quantizedTopK]]) scores with, and integer
+  * products summed in double are exact below 2^53, so the quantized dot is
+  * order-independent besides.
   */
 abstract class VectorBinaryExpression extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
-  private def numericElem(t: DataType): Boolean = t == FloatType || t == DoubleType
+  private def numericElem(t: DataType): Boolean = t match {
+    case FloatType | DoubleType | ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(lt, _), ArrayType(rt, _)) if numericElem(lt) && numericElem(rt) =>
         TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires array<float|double> inputs, got ($l, $r)")
+        s"$prettyName requires array<numeric> inputs, got ($l, $r)")
     }
 
-  protected def elemIsFloat(e: Expression): Boolean =
-    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  protected def elemTypeOf(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
 
   /** Element getter for interpreted eval. */
-  protected def get(arr: ArrayData, i: Int, isFloat: Boolean): Double =
-    if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+  protected def get(arr: ArrayData, i: Int, t: DataType): Double = t match {
+    case FloatType => arr.getFloat(i).toDouble
+    case DoubleType => arr.getDouble(i)
+    case ByteType => arr.getByte(i).toDouble
+    case ShortType => arr.getShort(i).toDouble
+    case IntegerType => arr.getInt(i).toDouble
+    case LongType => arr.getLong(i).toDouble
+    case other => throw new IllegalStateException(s"unexpected element type $other")
+  }
 
   /** Java element-read snippet for codegen. */
-  protected def getJava(arr: String, i: String, isFloat: Boolean): String =
-    if (isFloat) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+  protected def getJava(arr: String, i: String, t: DataType): String = t match {
+    case FloatType => s"(double) $arr.getFloat($i)"
+    case DoubleType => s"$arr.getDouble($i)"
+    case ByteType => s"(double) $arr.getByte($i)"
+    case ShortType => s"(double) $arr.getShort($i)"
+    case IntegerType => s"(double) $arr.getInt($i)"
+    case LongType => s"(double) $arr.getLong($i)"
+    case other => throw new IllegalStateException(s"unexpected element type $other")
+  }
 }
 
 /** `vec_dot(a, b)` — dot product of two numeric arrays. */
@@ -55,7 +76,7 @@ case class VecDot(left: Expression, right: Expression) extends VectorBinaryExpre
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+    val lf = elemTypeOf(left); val rf = elemTypeOf(right)
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
@@ -68,7 +89,7 @@ case class VecDot(left: Expression, right: Expression) extends VectorBinaryExpre
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+      val lf = elemTypeOf(left); val rf = elemTypeOf(right)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
@@ -99,7 +120,7 @@ case class VecCosine(left: Expression, right: Expression) extends VectorBinaryEx
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+    val lf = elemTypeOf(left); val rf = elemTypeOf(right)
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -115,7 +136,7 @@ case class VecCosine(left: Expression, right: Expression) extends VectorBinaryEx
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+      val lf = elemTypeOf(left); val rf = elemTypeOf(right)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental (CDC-driven) aggregate maintenance — keep a grouped
+  * aggregate current by folding in a changelog instead of rescanning the
+  * base table.
+  *
+  * At 100 TB the daily delta is typically 0.1–1% of the base; recomputing
+  * a materialized aggregate from scratch rescans everything, while this
+  * refresh touches only the changelog (tiny shuffle) and the aggregate
+  * itself (|groups| rows, orders of magnitude smaller than the base).
+  * [[graft.storage.Snapshots.diff]] produces exactly the changelog shape
+  * consumed here, so any GraftCatalog table's aggregates can be maintained
+  * snapshot-to-snapshot without reading the base data twice.
+  *
+  * Correctness requires self-inverting aggregates: COUNT and SUM fold
+  * deletes as negatives. (MIN/MAX are not maintainable this way — a
+  * deleted extremum forces a group rescan; that's inherent, not an
+  * implementation gap.) Exactness of the SUM folds relies on the caller
+  * passing exact-typed columns (integer or DECIMAL) — float addition is
+  * not associative, decimal is.
+  */
+object Incremental {
+
+  /** Refresh a grouped (count, sums) aggregate from a changelog.
+    *
+    * `prev`: `groupCols..., cnt, sum_<c>` for each `c` in `sumCols` — the
+    * output shape of [[aggregate]]. `changes`: `groupCols..., sumCols...,
+    * _change` with `_change ∈ {insert, delete}` (the
+    * [[graft.storage.Snapshots.diff]] changelog). Groups whose count
+    * reaches zero are dropped; groups new to the changelog appear.
+    */
+  def refreshAgg(
+      prev: DataFrame,
+      changes: DataFrame,
+      groupCols: Seq[String],
+      sumCols: Seq[String]): DataFrame = {
+    val sign = when(col("_change") === "insert", lit(1L))
+      .when(col("_change") === "delete", lit(-1L))
+    val delta = changes
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(sign).alias("__d_cnt"),
+        sumCols.map(c =>
+          sum(when(sign === 1L, col(c)).otherwise(-col(c))).alias(s"__d_sum_$c")): _*)
+    prev.join(delta, groupCols, "full_outer")
+      .select(
+        groupCols.map(col) ++
+          Seq((coalesce(col("cnt"), lit(0L)) + coalesce(col("__d_cnt"), lit(0L)))
+            .alias("cnt")) ++
+          sumCols.map { c =>
+            val z = lit(0).cast(changes.schema(c).dataType)
+            (coalesce(col(s"sum_$c"), z) + coalesce(col(s"__d_sum_$c"), z))
+              .alias(s"sum_$c")
+          }: _*)
+      .filter(col("cnt") > 0)
+  }
+
+  /** The full-scan aggregate whose output [[refreshAgg]] maintains:
+    * `groupCols..., cnt, sum_<c>...`. Run once to materialize, then fold
+    * changelogs. */
+  def aggregate(base: DataFrame, groupCols: Seq[String], sumCols: Seq[String]): DataFrame =
+    base.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).alias("cnt"),
+        sumCols.map(c => sum(col(c)).alias(s"sum_$c")): _*)
+}

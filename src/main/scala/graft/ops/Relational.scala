@@ -119,6 +119,61 @@ object Relational {
       .drop("__bin")
   }
 
+  /** SCD Type-2 merge: apply a batch of timestamped attribute updates to a
+    * dimension history table, closing changed rows and opening new ones.
+    *
+    * `history` rows: `keyCol, attrCols..., valid_from, valid_to,
+    * is_current` (open rows have null `valid_to`). `updates` rows:
+    * `keyCol, attrCols..., tsCol, tieCol` — multiple updates per key per
+    * batch are applied in `(ts, tie)` order; consecutive updates with
+    * unchanged attributes are no-ops (no spurious versions). Updates are
+    * assumed to be at-or-after the open row's `valid_from` (the daily-batch
+    * contract; late data belongs in a reprocessing run).
+    *
+    * Construction: union the open rows (as the key's initial state) with
+    * the updates, change-detect against the previous state with `lag` over
+    * `(ts, side, tie)`, then stitch validity ranges with `lead`. Both
+    * windows share one partitioning and ordering, so the whole merge is a
+    * single shuffle on `keyCol` plus one sort — no joins, no per-key
+    * driver work; closed history unions back untouched. At 100 TB the
+    * update batch is tiny next to the history, and only the history's OPEN
+    * rows (one per key) enter the window.
+    */
+  def scd2Merge(
+      history: DataFrame,
+      updates: DataFrame,
+      keyCol: String,
+      attrCols: Seq[String],
+      tsCol: String,
+      tieCol: String): DataFrame = {
+    val closed = history.filter(!col("is_current"))
+    val open = history.filter(col("is_current"))
+    val pseudo = open.select(
+      (col(keyCol) +: attrCols.map(col) :+
+        col("valid_from").alias("__ts")): _*)
+      .withColumn("__side", lit(0)).withColumn("__tie", lit(0L))
+    val upd = updates.select(
+      (col(keyCol) +: attrCols.map(col) :+
+        col(tsCol).alias("__ts") :+ col(tieCol).cast("long").alias("__tie")): _*)
+      .withColumn("__side", lit(1))
+    val ord = Window.partitionBy(col(keyCol))
+      .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc)
+    val state = struct(attrCols.map(col): _*)
+    val stitched = pseudo.unionByName(upd)
+      .withColumn("__prev", lag(state, 1).over(ord))
+      // drop no-op updates: equal to the immediately preceding state ⇒
+      // equal to the last KEPT state (equal-state runs collapse to their
+      // first row), so lag-filtering is exact change detection
+      .filter(col("__prev").isNull || !(state <=> col("__prev")))
+      .withColumn("valid_from", col("__ts"))
+      .withColumn("valid_to", lead(col("__ts"), 1).over(ord))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("__prev", "__ts", "__side", "__tie")
+    val outCols = (keyCol +: attrCols) ++ Seq("valid_from", "valid_to", "is_current")
+    closed.select(outCols.map(col): _*)
+      .unionByName(stitched.select(outCols.map(col): _*))
+  }
+
   /** Top-N per group by a ranking column, fully deterministic (ties broken
     * by `tieCol`). row_number + filter — Spark pushes the rank limit into
     * the sort within each partition group. */

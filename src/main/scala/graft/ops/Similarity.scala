@@ -222,6 +222,79 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("corpus_id"), col("score"))
   }
 
+  /** Per-vector symmetric int8 quantization: `scale = max|x| / 127`,
+    * `code_i = round(x_i / scale)` (half-away-from-zero via
+    * `floor(x/scale + 0.5)` — pure double ops, engine-reproducible).
+    * Returns `(<idCol>, q8_scale double, q8_codes array<tinyint>)` — the
+    * stored representation is 4× smaller than float32, which at 100 TB is
+    * the difference between an embedding corpus that fits page cache and
+    * one that doesn't. Zero vectors quantize to all-zero codes.
+    *
+    * The two-step select keeps `q8_scale` a materialized projection column
+    * so the max-fold runs once per row, not once per element inside the
+    * code lambda (CollapseProject leaves multi-referenced non-cheap
+    * expressions alone). */
+  def quantize(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol),
+        col(vecCol).alias("__v"),
+        (array_max(transform(col(vecCol), x => abs(x.cast("double")))) / 127.0)
+          .alias("q8_scale"))
+      .select(col(idCol), col("q8_scale"),
+        when(col("q8_scale") === 0.0,
+          transform(col("__v"), _ => lit(0).cast("byte")))
+        .otherwise(transform(col("__v"), x =>
+          floor(x.cast("double") / col("q8_scale") + 0.5).cast("long").cast("byte")))
+        .alias("q8_codes"))
+
+  /** ANN top-k over int8-quantized embeddings with exact float re-scoring.
+    *
+    * Candidate generation scans the quantized corpus — `scaleQ · scaleC ·
+    * (codesQ · codesC)` approximates the true dot within ~1% at int8 — and
+    * keeps `k × refine` candidates per query (deterministic ties). Only
+    * those candidates re-join the float corpus for the exact cosine top-k.
+    *
+    * Scale shape mirrors [[bruteForceTopK]] (queries broadcast, corpus
+    * never shuffled) but the scan reads ¼ the bytes and the dot runs on
+    * 8-bit codes ([[graft.functions.VecDot]] over tinyint arrays, still
+    * one codegen'd loop); the float vectors are touched for ~k×refine rows
+    * per query instead of the whole corpus. Integer products summed in
+    * double are exact, so the candidate set is deterministic and
+    * cross-engine reproducible — which is how the DuckDB oracle can check
+    * the full pipeline.
+    */
+  def quantizedTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      refine: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).alias("corpus_id"), col(vecCol).alias("cvec"))
+    val q = queries.select(col(idCol).alias("query_id"), col(vecCol).alias("qvec"))
+    val cq = quantize(c, "corpus_id", "cvec")
+      .select(col("corpus_id"), col("q8_scale").alias("cscale"), col("q8_codes").alias("ccodes"))
+    val qq = quantize(q, "query_id", "qvec")
+      .select(col("query_id"), col("q8_scale").alias("qscale"), col("q8_codes").alias("qcodes"))
+    val approxW = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("corpus_id").asc)
+    val candidates = cq.join(broadcast(qq), col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        (col("qscale") * col("cscale") * dot(col("qcodes"), col("ccodes"))).alias("approx"))
+      .withColumn("arank", row_number().over(approxW))
+      .filter(col("arank") <= k * refine)
+      .select(col("query_id"), col("corpus_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("corpus_id").asc)
+    candidates
+      .join(broadcast(q), Seq("query_id"))
+      .join(c, Seq("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("qvec"), col("cvec")).alias("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("score"))
+  }
+
   /** recall@k of an ANN result against the exact result: fraction of each
     * query's true top-k ids the approximate search recovered, averaged over
     * queries. Both frames use the (query_id, corpus_id) schema of

@@ -336,6 +336,29 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("incremental aggregate maintained from snapshot diff equals full recompute") {
+    wh
+    t((1L, "a", "2024-01-15"), (2L, "b", "2024-01-15"), (3L, "c", "2024-01-16"))
+      .writeTo("graftv2.bronze.inc").using("parquet")
+      .partitionedBy(col("extraction_date")).createOrReplace()
+    // pin the v1 aggregate BEFORE the table changes (it reads the live table)
+    val agg1 = graft.ops.Incremental.aggregate(
+      spark.table("graftv2.bronze.inc"), Seq("extraction_date"), Seq("id"))
+      .localCheckpoint(true)
+    // day-2 re-run of the 15th: row 1 gone, row 2 rewritten, row 4 new
+    t((2L, "b", "2024-01-15"), (4L, "d", "2024-01-15"))
+      .writeTo("graftv2.bronze.inc").overwritePartitions()
+    val diff = graft.storage.Snapshots.diff(spark, "graftv2.bronze.inc", 1L, 2L)
+    val refreshed = graft.ops.Incremental.refreshAgg(
+      agg1, diff, Seq("extraction_date"), Seq("id"))
+    val full = graft.ops.Incremental.aggregate(
+      spark.table("graftv2.bronze.inc"), Seq("extraction_date"), Seq("id"))
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[String]("extraction_date"), r.getAs[Long]("cnt"), r.getAs[Long]("sum_id"))
+    assert(refreshed.collect().map(key).toSet == full.collect().map(key).toSet)
+    assert(full.count() == 2)
+  }
+
   test("V2CatalogWarehouse: idempotent same-date re-run via the V2 lifecycle") {
     wh
     val storage = new V2CatalogWarehouse(spark)

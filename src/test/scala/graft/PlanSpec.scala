@@ -128,6 +128,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("runtime bloom filter prunes the fact scan for a selective dim join") {
+    // Spark's runtime-filter rule builds a bloom filter from the selective
+    // dim side and applies it to the fact scan BEFORE the join shuffle —
+    // at 100 TB this is the difference between shuffling the whole fact
+    // table and shuffling the ~1/5 that can match. Local thresholds are
+    // tuned down so the tiny test tables qualify; production defaults
+    // (10 MB creation side / 10 GB scan side) activate it exactly where
+    // the shuffle saving pays at cluster scale.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      val fact = spark.read.parquet(s"$sf/lineitem.parquet")
+      val dim = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val p = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.explainString(FormattedMode)
+      assert(p.contains("might_contain"),
+        s"expected a runtime bloom filter on the fact side:\n${p.take(2000)}")
+      // the filter applies on the FACT side, before its exchange
+      val factFilter = p.linesIterator.find(_.contains("might_contain")).get
+      assert(factFilter.contains("l_orderkey"))
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   test("gold aggregate plans partial aggregation before the shuffle") {
     val p = plan("q_gold_agg")
     // partial_count marks map-side (pre-shuffle) aggregation

@@ -51,6 +51,18 @@ class RecallSpec extends SparkSpec {
     assert(r >= Similarity.recallAtK(raw, bf) - 0.02)
   }
 
+  test("int8-quantized top-k: recall >= 0.98 at refine=4 (near-exact path)") {
+    val q8 = Similarity.quantizedTopK(e, q, "vec_id", "embedding", k = 10, refine = 4)
+    val r = Similarity.recallAtK(q8, bf)
+    assert(r >= 0.98, f"int8 recall $r%.3f — quantization noise should be ~1%%")
+    // the rescored scores themselves are EXACT (same vec_cosine as brute
+    // force), so every hit carries the true score
+    val joined = q8.select(col("query_id"), col("corpus_id"), col("score"))
+      .join(bf.select(col("query_id"), col("corpus_id"),
+        col("score").alias("bf_score")), Seq("query_id", "corpus_id"))
+    assert(joined.filter(col("score") =!= col("bf_score")).count() == 0)
+  }
+
   test("recallAtK sanity: exact-vs-exact is 1.0, disjoint is 0.0") {
     assert(Similarity.recallAtK(bf, bf) == 1.0)
     val shifted = bf.withColumn("corpus_id", col("corpus_id") + 100000)

@@ -78,4 +78,46 @@ class RelationalSpec extends SparkSpec {
     assert(out(("a", 2)) == 1L) // tie at 30.0 -> lower id wins
     assert(out(("b", 1)) == 5L)
   }
+
+  test("scd2 merge: closes changed rows, skips no-ops, keeps closed history") {
+    // key 1: open A since t=0; updates B@10 (change), B@20 (no-op), C@30
+    // key 2: open X since t=0; update X@15 is a no-op -> single open row
+    // key 3: new key, first seen at t=5
+    // key 9: already-closed history must pass through untouched
+    val history = Seq(
+      (1L, "A", 0L, Option.empty[Long], true),
+      (2L, "X", 0L, Option.empty[Long], true),
+      (9L, "old", 0L, Some(50L), false)
+    ).toDF("key", "state", "valid_from", "valid_to", "is_current")
+    val updates = Seq(
+      (1L, "B", 10L, 1L), (1L, "B", 20L, 2L), (1L, "C", 30L, 3L),
+      (2L, "X", 15L, 4L),
+      (3L, "N", 5L, 5L)
+    ).toDF("key", "state", "ts", "tie")
+    val out = Relational.scd2Merge(history, updates, "key", Seq("state"), "ts", "tie")
+      .collect().map(r => (r.getAs[Long]("key"), r.getAs[String]("state"),
+        r.getAs[Long]("valid_from"),
+        Option(r.getAs[Any]("valid_to")).map(_.asInstanceOf[Long]),
+        r.getAs[Boolean]("is_current"))).toSet
+    assert(out == Set(
+      (1L, "A", 0L, Some(10L), false),
+      (1L, "B", 10L, Some(30L), false), // B@20 no-op collapsed
+      (1L, "C", 30L, None, true),
+      (2L, "X", 0L, None, true),        // no-op update leaves the open row
+      (3L, "N", 5L, None, true),
+      (9L, "old", 0L, Some(50L), false)))
+  }
+
+  test("scd2 merge: multi-attribute change detection via struct equality") {
+    val history = Seq((1L, "a", 10, 0L, Option.empty[Long], true))
+      .toDF("key", "s1", "s2", "valid_from", "valid_to", "is_current")
+    val updates = Seq(
+      (1L, "a", 10, 5L, 1L),  // identical pair -> no-op
+      (1L, "a", 11, 6L, 2L))  // second attr changes -> new version
+      .toDF("key", "s1", "s2", "ts", "tie")
+    val out = Relational.scd2Merge(history, updates, "key", Seq("s1", "s2"), "ts", "tie")
+      .collect().map(r => (r.getAs[String]("s1"), r.getAs[Int]("s2"),
+        r.getAs[Boolean]("is_current"))).toSet
+    assert(out == Set(("a", 10, false), ("a", 11, true)))
+  }
 }

@@ -67,6 +67,24 @@ class VectorExprSpec extends SparkSpec {
     assert(d.select(VectorFunctions.dot($"a", $"b")).collect().head.getDouble(0) == 8.0)
   }
 
+  test("integral arrays: tinyint/long dots are exact (quantized ANN path)") {
+    // NB: Scala Array[Byte] encodes as BinaryType — build array<tinyint>
+    // via cast, the same shape Similarity.quantize produces
+    val d = Seq((Array(1, -2, 127), Array(3, 4, -128), Array(2L, 3L, 4L)))
+      .toDF("a0", "b0", "c")
+      .select($"a0".cast("array<tinyint>").alias("a"),
+        $"b0".cast("array<tinyint>").alias("b"), $"c")
+    val r = d.select(
+      VectorFunctions.dot($"a", $"b").alias("bb"),
+      VectorFunctions.dot($"a", $"c").alias("bl")).collect().head
+    assert(r.getDouble(0) == (1 * 3 + -2 * 4 + 127 * -128).toDouble)
+    assert(r.getDouble(1) == (1 * 2 + -2 * 3 + 127 * 4).toDouble)
+    // mixed byte×float also typechecks and widens per element
+    val m = Seq((Array(2, 3), Array(0.5f, 2.0f))).toDF("a0", "b")
+      .select($"a0".cast("array<tinyint>").alias("a"), $"b")
+    assert(m.select(VectorFunctions.dot($"a", $"b")).collect().head.getDouble(0) == 7.0)
+  }
+
   test("sketch expressions compile under whole-stage codegen (fallback disabled)") {
     // spark.sql.codegen.fallback=true (the default) silently swallows a
     // CompileException and re-plans interpreted; disable it so a doGenCode
