@@ -86,6 +86,31 @@ object SparkEntry {
           col("is_current"))
         .orderBy("key", "valid_from_ms", "state")
     }),
+    // Test-set decontamination: docs ≡ 0 (mod 50) play the eval benchmark;
+    // the rest are training docs, flagged when any word trigram overlaps.
+    // Narrow shingle expression + broadcast semi-join; oracle replicates
+    // the polynomial token hash and raw window sums.
+    "prep_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ops.TrainPrep.decontaminate(
+          d.filter(pmod(col("doc_id"), lit(50)) =!= 0), "doc_id", "text",
+          d.filter(pmod(col("doc_id"), lit(50)) === 0), "text",
+          k = 3, tokenHash = Dedup.oracleHash)
+        .select(col("doc_id"), col("contam_ngrams"), col("is_contaminated"))
+        .orderBy("doc_id")
+    }),
+    // Gopher/C4-style repetition filter signal: duplicate-trigram fraction
+    // per doc, computed entirely per-row (no shuffle).
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(docs(s, dir), "doc_id", "text", k = 3,
+          tokenHash = Dedup.oracleHash)
+        .orderBy("doc_id")),
+    // Domain-mixture sampling: deterministic per-source rate sampling that
+    // hits the target language mix with maximal data retention.
+    "prep_mixture" -> ((s, dir) =>
+      graft.ops.TrainPrep.mixtureSample(docs(s, dir), "lang", "doc_id",
+          Map("en" -> 0.4, "zh" -> 0.2, "es" -> 0.2, "de" -> 0.1, "fr" -> 0.1))
+        .select(col("doc_id"), col("lang")).orderBy("doc_id")),
     // Z-order layout key: min/max-binned Morton interleave over two
     // dimensions of events — the value Layout.cluster range-partitions by.
     // Pure integer arithmetic, reproduced bit-for-bit by the oracle.
@@ -552,6 +577,57 @@ object SparkEntry {
   /** DuckDB cosine with the exact accumulation order of the engine's
     * native VecCosine: left-to-right double folds per accumulator. Bit-for
     * -bit identical scores, so even interpolated ranks match. */
+  /** Decontamination: shared-trigram hits of training docs (doc_id % 50
+    * <> 0) against the simulated eval set (doc_id % 50 = 0) — polynomial
+    * token hashes, raw weighted window sums, exactly
+    * [[graft.ops.TrainPrep.decontaminate]] under [[Dedup.oracleHash]]. */
+  private def decontaminateSql: String =
+    s"""WITH $oracleTk,
+         ${shrCte(3)},
+         contam AS (
+           SELECT DISTINCT unnest(hs) AS h FROM shr WHERE doc_id % 50 = 0),
+         trainsh AS (
+           SELECT doc_id, unnest(hs) AS h FROM shr WHERE doc_id % 50 <> 0),
+         hits AS (
+           SELECT doc_id, count(*) AS contam_ngrams FROM trainsh
+           WHERE h IN (SELECT h FROM contam) GROUP BY doc_id)
+       SELECT d.doc_id,
+              CAST(coalesce(h.contam_ngrams, 0) AS BIGINT) AS contam_ngrams,
+              coalesce(h.contam_ngrams, 0) > 0 AS is_contaminated
+       FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+       WHERE d.doc_id % 50 <> 0
+       ORDER BY d.doc_id"""
+
+  private def repetitionSql: String =
+    s"""WITH $oracleTk,
+         ${shrCte(3)}
+       SELECT doc_id,
+              CAST(len(hs) AS BIGINT) AS n_ngrams,
+              CAST(len(list_distinct(hs)) AS BIGINT) AS n_distinct,
+              CAST(len(hs) - len(list_distinct(hs)) AS BIGINT) AS dup_ngrams,
+              CASE WHEN len(hs) = 0 THEN CAST(0.0 AS DOUBLE)
+                   ELSE CAST(len(hs) - len(list_distinct(hs)) AS DOUBLE) / len(hs)
+              END AS rep_ratio
+       FROM shr ORDER BY doc_id"""
+
+  /** Mixture sampling: per-lang counts → feasible total → per-lang hash
+    * thresholds — the same double arithmetic order as
+    * [[graft.ops.TrainPrep.mixtureSample]]. */
+  private def mixtureSql: String =
+    s"""WITH t(lang, p) AS (VALUES
+           ('en', CAST(0.4 AS DOUBLE)), ('zh', CAST(0.2 AS DOUBLE)),
+           ('es', CAST(0.2 AS DOUBLE)), ('de', CAST(0.1 AS DOUBLE)),
+           ('fr', CAST(0.1 AS DOUBLE))),
+         c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         wp AS (SELECT c.lang, c.n, t.p FROM c JOIN t ON c.lang = t.lang),
+         tot AS (SELECT min(n / p) AS total FROM wp),
+         r AS (SELECT lang, CAST(floor(p * total / n * 1000000) AS BIGINT) AS thr
+               FROM wp, tot)
+       SELECT d.doc_id, d.lang
+       FROM documents d JOIN r ON d.lang = r.lang
+       WHERE (d.doc_id * 22695477 + 49297) % 1000000 < r.thr
+       ORDER BY d.doc_id"""
+
   /** Morton interleave of the two 8-bit bins (col 0 on even output bits,
     * col 1 on odd) — mirrors [[graft.ops.Layout.withZValue]] exactly:
     * same min/max binning, same integer division, same bit placement. */
@@ -680,6 +756,9 @@ object SparkEntry {
     "sim_topk_ivf" -> ivfTopkSql,
     "sim_topk_int8" -> quantizedTopkSql,
     "q_zorder" -> zorderSql,
+    "prep_decontaminate" -> decontaminateSql,
+    "text_repetition" -> repetitionSql,
+    "prep_mixture" -> mixtureSql,
     "sim_topk_lsh" -> lshTopkSql,
     "sim_cosine_neardup" -> cosineNearDupSql,
     "multimodal_decode" -> multimodalDecodeSql,

@@ -124,6 +124,34 @@ object TextAnalysis {
       lit(7L),
       (acc, c) => (acc * lit(31L) + ascii(c)) % lit(1000000007L))
 
+  /** Repetition-ratio quality metric: the fraction of a document's word
+    * `k`-grams that are repeats (Gopher/C4-style repetition filter —
+    * boilerplate, keyword stuffing, and degenerate generations score
+    * high). Per-row computation only: token hashes → narrow
+    * [[graft.functions.ShingleWindows]] n-grams → distinct count, all
+    * inside one projection over one scan; zero shuffles at any corpus
+    * size. `rep_ratio = 1 - distinct/total`, 0 for docs with < k tokens.
+    */
+  def repetition(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      tokenHash: Column => Column = graft.ops.Dedup.xxHash): DataFrame = {
+    import graft.functions.SketchArrayExpressions.shingleWindows
+    docs
+      .select(col(idCol),
+        shingleWindows(transform(tokens(col(textCol)), t => tokenHash(t)), k)
+          .alias("__sw"))
+      .select(col(idCol),
+        size(col("__sw")).cast("long").alias("n_ngrams"),
+        size(array_distinct(col("__sw"))).cast("long").alias("n_distinct"))
+      .withColumn("dup_ngrams", col("n_ngrams") - col("n_distinct"))
+      .withColumn("rep_ratio",
+        when(col("n_ngrams") === 0L, lit(0.0))
+          .otherwise(col("dup_ngrams").cast("double") / col("n_ngrams")))
+  }
+
   /** Top-k distinguishing terms per document by a TF-IDF-style rarity
     * weight: `score = tf · (N+1)/(df+1)` — the log-free rational form
     * (monotone in classic idf, so per-doc term *ranking* is identical;

@@ -148,4 +148,72 @@ object TrainPrep {
         LongNumRe, "<NUM>").alias("scrubbed"),
       (regexp_count(col(textCol), lit(EmailRe)) +
         regexp_count(col(textCol), lit(LongNumRe))).cast("long").alias("n_redactions"))
+
+  /** Test-set decontamination: flag every training document that shares at
+    * least one word `k`-gram with the contamination corpus (benchmark /
+    * eval texts). The standard guard against evaluating on memorized data.
+    *
+    * Scale shape: both sides' shingle hashes come from the NARROW
+    * [[graft.functions.ShingleWindows]] expression (a per-row codegen'd
+    * loop — no shuffle to form n-grams); the contamination set (eval
+    * benchmarks — small by nature) collapses to distinct 8-byte hashes and
+    * broadcasts, so the only exchange over training-corpus cardinality is
+    * the per-doc hit count, keyed by doc id. Returns `docs` +
+    * `contam_ngrams` (occurrences of contaminated k-grams) +
+    * `is_contaminated`.
+    */
+  def decontaminate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      contamination: DataFrame,
+      contamTextCol: String,
+      k: Int,
+      tokenHash: Column => Column = graft.ops.Dedup.xxHash): DataFrame = {
+    import graft.functions.SketchArrayExpressions.shingleWindows
+    def grams(textC: Column): Column =
+      shingleWindows(transform(TextAnalysis.tokens(textC), t => tokenHash(t)), k)
+    val contamSet = contamination
+      .select(explode(grams(col(contamTextCol))).alias("sh")).distinct()
+    val hits = docs
+      .select(col(idCol).alias("__id"), explode(grams(col(textCol))).alias("sh"))
+      .join(broadcast(contamSet), Seq("sh"), "left_semi")
+      .groupBy(col("__id")).agg(count(lit(1)).alias("contam_ngrams"))
+      .withColumnRenamed("__id", idCol)
+    docs.join(hits, Seq(idCol), "left")
+      .withColumn("contam_ngrams", coalesce(col("contam_ngrams"), lit(0L)))
+      .withColumn("is_contaminated", col("contam_ngrams") > 0L)
+  }
+
+  /** Source/domain mixture sampling: downsample each source so the output
+    * hits `targets` proportions while keeping as many rows as possible —
+    * the "data mixing" step of corpus assembly (e.g. 40 % web / 20 % code).
+    *
+    * The feasible total is `N = min_s(n_s / p_s)`; each source keeps
+    * `p_s·N / n_s` of its rows via a deterministic id-hash threshold (no
+    * RNG — same corpus in, same sample out, any engine). Everything stays
+    * in-plan: per-source counts (tiny aggregate) and the global min join
+    * back by broadcast; the base table is filtered in one narrow pass.
+    * Sources absent from `targets` are dropped. The scramble constants
+    * differ from [[splitByHash]]'s so sampling and split assignment stay
+    * decorrelated.
+    */
+  def mixtureSample(
+      df: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      targets: Map[String, Double]): DataFrame = {
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).alias("__n"))
+    val withP = counts
+      .withColumn("__p", element_at(typedLit(targets), col(sourceCol)))
+      .filter(col("__p").isNotNull && col("__p") > 0.0)
+    val total = withP.agg(min(col("__n") / col("__p")).alias("__total"))
+    val rates = withP.crossJoin(broadcast(total))
+      .select(col(sourceCol),
+        floor(col("__p") * col("__total") / col("__n") * 1000000.0)
+          .cast("long").alias("__thr"))
+    df.join(broadcast(rates), Seq(sourceCol))
+      .filter(pmod(col(idCol) * lit(22695477L) + lit(49297L), lit(1000000L)) < col("__thr"))
+      .drop("__thr")
+  }
 }

@@ -110,4 +110,60 @@ class TrainPrepSpec extends SparkSpec {
     assert(withStart.filter(floor(col("start") / 512.0).cast("long") =!= col("seq_id")).isEmpty)
     assert(bad.count() >= 0) // shape sanity only; boundary docs may overflow
   }
+
+  test("decontaminate flags shared trigrams, counts occurrences") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps"),       // shares "quick brown fox"
+      (2L, "totally unrelated sentence here"), // clean
+      (3L, "quick brown fox quick brown fox")  // 2 hits of the contaminated trigram
+    ).toDF("doc_id", "text")
+    val contam = Seq((100L, "a quick brown fox ran")).toDF("doc_id", "text")
+    val out = graft.ops.TrainPrep.decontaminate(
+        train, "doc_id", "text", contam, "text", k = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("contam_ngrams"), r.getAs[Boolean]("is_contaminated"))).toMap
+    assert(out(1L) == (1L, true))
+    assert(out(2L) == (0L, false))
+    assert(out(3L) == (2L, true)) // both occurrences counted
+  }
+
+  test("repetition ratio: duplicate trigram fraction, short docs are 0") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b a b a b a b"),   // 6 trigrams, 2 distinct (aba, bab)
+      (2L, "all words differ totally"),
+      (3L, "x y")                // < k tokens -> 0 ngrams
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.repetition(d, "doc_id", "text", k = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_ngrams"), r.getAs[Long]("dup_ngrams"),
+          r.getAs[Double]("rep_ratio"))).toMap
+    assert(out(1L) == (6L, 4L, 4.0 / 6.0))
+    assert(out(2L) == (2L, 0L, 0.0))
+    assert(out(3L) == (0L, 0L, 0.0))
+  }
+
+  test("mixture sampling hits target proportions deterministically") {
+    import spark.implicits._
+    val df = ((1L to 80L).map(i => (i, "web")) ++ (81L to 120L).map(i => (i, "code")))
+      .toDF("id", "src")
+    val out = graft.ops.TrainPrep.mixtureSample(df, "src", "id",
+      Map("web" -> 0.5, "code" -> 0.5))
+    // feasible total = min(80/.5, 40/.5) = 80 -> code keeps all 40, web ~40
+    val bySrc = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("code") == 40L)
+    assert(bySrc("web") >= 30L && bySrc("web") <= 50L, s"web kept ${bySrc("web")}")
+    // deterministic: same input -> identical sample
+    val again = graft.ops.TrainPrep.mixtureSample(df, "src", "id",
+      Map("web" -> 0.5, "code" -> 0.5))
+    assert(out.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      again.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+    // sources without a target are dropped
+    val extra = graft.ops.TrainPrep.mixtureSample(
+      df.union(Seq((200L, "junk")).toDF("id", "src")), "src", "id",
+      Map("web" -> 0.5, "code" -> 0.5))
+    assert(extra.filter(col("src") === "junk").isEmpty)
+  }
 }
