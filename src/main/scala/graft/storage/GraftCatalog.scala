@@ -367,10 +367,30 @@ object GraftCatalog {
 
   private[storage] def writeSnapshot(
       fs: FileSystem, dir: Path, files: Seq[String],
+      txns: Map[String, Long] = Map.empty): Long =
+    writeSnapshotAt(fs, dir, latestSnapshot(fs, dir) + 1, files, txns)
+
+  /** Write snapshot `next` exclusively. `next` must be derived from the
+    * SAME table-state read the manifest contents were based on — that is
+    * what makes the exclusive create a real conflict check rather than a
+    * re-read (see commit()). */
+  private[storage] def writeSnapshotAt(
+      fs: FileSystem, dir: Path, next: Long, files: Seq[String],
       txns: Map[String, Long] = Map.empty): Long = {
-    val next = latestSnapshot(fs, dir) + 1
     val header = txns.toSeq.sorted.map { case (app, v) => s"# txn:$app=$v" }
-    val out = fs.create(new Path(dir, s"_snap-$next.manifest"), true)
+    // exclusive create (overwrite=false) = optimistic concurrency control:
+    // two writers that both based their manifest on snapshot `next-1` race
+    // to create `_snap-next`; the loser gets FileAlreadyExists instead of
+    // silently clobbering the winner's commit (Iceberg's commit-conflict
+    // model; the caller retries from the fresh snapshot or fails loudly)
+    val out =
+      try fs.create(new Path(dir, s"_snap-$next.manifest"), false)
+      catch {
+        case e: java.io.IOException => throw new java.io.IOException(
+          s"GraftCatalog: concurrent commit detected — snapshot $next was " +
+            "created by another writer after this commit read the table state; " +
+            "re-run the write against the current snapshot", e)
+      }
     try out.write(
       ((header ++ files.sorted).mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
@@ -573,7 +593,10 @@ private[storage] class GraftBatchWrite(
       case _ => prior ++ stagedRel // append
     }
     val txns = txn.fold(priorTxns) { case (app, v) => priorTxns + (app -> v) }
-    GraftCatalog.writeSnapshot(fs, root, live.distinct, txns)
+    // snapshot id = the state this commit read (`latest`) + 1, NOT a fresh
+    // re-read: if another writer committed in between, the exclusive create
+    // collides and this commit fails instead of silently dropping theirs
+    GraftCatalog.writeSnapshotAt(fs, root, latest + 1, live.distinct, txns)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

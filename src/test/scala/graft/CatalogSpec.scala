@@ -359,6 +359,23 @@ class CatalogSpec extends SparkSpec {
     assert(full.count() == 2)
   }
 
+  test("a writer that lost the race rebases on the winner's snapshot") {
+    wh
+    t((1L, "a", "2024-01-15"))
+      .writeTo("graftv2.bronze.occ").using("parquet")
+      .partitionedBy(col("extraction_date")).createOrReplace()
+    // a "winner" snapshot 2 appears before our commit starts: our append
+    // must read it as the base (its manifest content included), not clobber
+    val snap1 = new java.io.File(s"$wh/bronze/occ/_snap-1.manifest")
+    val winner = new java.io.File(s"$wh/bronze/occ/_snap-2.manifest")
+    java.nio.file.Files.copy(snap1.toPath, winner.toPath)
+    t((2L, "b", "2024-01-15")).writeTo("graftv2.bronze.occ").append()
+    // our commit landed as snapshot 3, carrying the winner's files forward
+    assert(new java.io.File(s"$wh/bronze/occ/_snap-3.manifest").exists())
+    spark.catalog.refreshTable("graftv2.bronze.occ")
+    assert(spark.table("graftv2.bronze.occ").count() == 2)
+  }
+
   test("V2CatalogWarehouse: idempotent same-date re-run via the V2 lifecycle") {
     wh
     val storage = new V2CatalogWarehouse(spark)

@@ -134,4 +134,65 @@ class PropertySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sims(1L) == 0L) // empty doc hashes to 0
   }
+
+  test("scd2 merge equals the sequential replay reference on random updates") {
+    // reference: replay updates per key in (ts, tie) order against a plain
+    // in-memory state machine; scd2Merge must produce the same versions
+    val genUpd = Gen.listOfN(30, for {
+      key <- Gen.chooseNum(1L, 4L)
+      st <- Gen.oneOf("A", "B", "C")
+      ts <- Gen.chooseNum(1L, 20L)
+    } yield (key, st, ts))
+    samples(genUpd, 4).foreach { upds0 =>
+      val upds = upds0.zipWithIndex.map { case ((k, st, ts), i) => (k, st, ts, i.toLong) }
+      val history = Seq((1L, "Z", 0L, Option.empty[Long], true))
+        .toDF("key", "state", "valid_from", "valid_to", "is_current")
+      val got = ops.Relational
+        .scd2Merge(history, upds.toDF("key", "state", "ts", "tie"),
+          "key", Seq("state"), "ts", "tie")
+        .collect().map(r => (r.getAs[Long]("key"), r.getAs[String]("state"),
+          r.getAs[Long]("valid_from"),
+          Option(r.getAs[Any]("valid_to")).map(_.asInstanceOf[Long]))).toSet
+      // replay reference
+      val want = scala.collection.mutable.Set.empty[(Long, String, Long, Option[Long])]
+      val byKey = (upds.map(u => (u._1, u._2, u._3, u._4)) ++ Seq((1L, "Z", 0L, -1L)))
+        .groupBy(_._1)
+      byKey.foreach { case (k, us) =>
+        val ordered = us.sortBy(u => (u._3, u._4))
+        var cur: (String, Long) = null
+        ordered.foreach { case (_, st, ts, _) =>
+          if (cur == null) cur = (st, ts)
+          else if (cur._1 != st) { want += ((k, cur._1, cur._2, Some(ts))); cur = (st, ts) }
+        }
+        want += ((k, cur._1, cur._2, None))
+      }
+      assert(got == want.toSet, s"scd2 mismatch for ${upds.take(5)}…")
+    }
+  }
+
+  test("incremental refresh equals full recompute on random changelogs") {
+    val genRows = Gen.listOfN(40, for {
+      g <- Gen.oneOf("x", "y", "z")
+      v <- Gen.chooseNum(1L, 100L)
+    } yield (g, v))
+    samples(genRows, 4).foreach { rows =>
+      val (base0, inserts) = rows.splitAt(25)
+      // delete a deterministic subset of the base
+      val deletes = base0.filter(_._2 % 3 == 0)
+      val base = base0.toDF("g", "v")
+      val prev = ops.Incremental.aggregate(base, Seq("g"), Seq("v"))
+      val changes = inserts.map { case (g, v) => (g, v, "insert") }
+        .++(deletes.map { case (g, v) => (g, v, "delete") })
+        .toDF("g", "v", "_change")
+      val got = ops.Incremental.refreshAgg(prev, changes, Seq("g"), Seq("v"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      // full recompute over (base minus one occurrence per delete) + inserts
+      val finalRows = deletes.foldLeft(base0) { (acc, d) =>
+        val i = acc.indexOf(d); acc.patch(i, Nil, 1)
+      } ++ inserts
+      val want = finalRows.groupBy(_._1).map { case (g, vs) =>
+        (g, vs.size.toLong, vs.map(_._2).sum) }.filter(_._2 > 0).toSet
+      assert(got == want, s"incremental mismatch")
+    }
+  }
 }
