@@ -192,6 +192,50 @@ case class FeatureHash(child: Expression, dim: Int) extends SketchArrayExpressio
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** `token_counts(toks)`: per-row term frequencies —
+  * `array<struct<token, tf>>` in first-occurrence order (deterministic).
+  * A document's tokens live in ONE row, so tf is a per-row fold, not an
+  * aggregation: computing it here removes the widest exchange from TF-IDF
+  * shapes (the explode + groupBy(doc, token) that shuffles every raw term
+  * instance) — downstream only distinct (doc, token, tf) rows move. */
+case class TokenCounts(child: Expression) extends SketchArrayExpression {
+
+  override protected def elemType: DataType = StringType
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("token", StringType, nullable = false),
+      StructField("tf", LongType, nullable = false))),
+    containsNull = false)
+
+  override def compute(arr: ArrayData): Any = {
+    val n = arr.numElements()
+    // LinkedHashMap: first-seen iteration order -> deterministic output
+    val counts =
+      new java.util.LinkedHashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Long]()
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      val prev = counts.get(t)
+      counts.put(t, if (prev == null) java.lang.Long.valueOf(1L)
+                    else java.lang.Long.valueOf(prev.longValue + 1L))
+      i += 1
+    }
+    val out = new Array[Any](counts.size())
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      // copy: the input array may be backed by a reused row buffer
+      out(j) = org.apache.spark.sql.catalyst.InternalRow(e.getKey.copy(), e.getValue.longValue)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def prettyName: String = "token_counts"
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
 /** `z_value(bins, bits)`: Morton (Z-order) interleave of the lowest `bits`
   * bits of each element — element c's bit b lands at output bit
   * `b·n + c`, so nearby points in ALL dimensions get nearby z-values.
@@ -236,4 +280,6 @@ object SketchArrayExpressions {
     Shims.column(FeatureHash(Shims.expression(th), dim))
   def zValue(bins: Column, bits: Int): Column =
     Shims.column(ZValueArray(Shims.expression(bins), bits))
+  def tokenCounts(toks: Column): Column =
+    Shims.column(TokenCounts(Shims.expression(toks)))
 }

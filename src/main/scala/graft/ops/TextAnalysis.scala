@@ -163,10 +163,15 @@ object TextAnalysis {
     * scoring join; the per-doc top-k prunes with WindowGroupLimit.
     */
   def tfRarity(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val terms = docs.select(col(idCol).alias("doc_id"),
-      explode(tokens(col(textCol))).alias("token"))
-    val tf = terms.groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).alias("tf"))
+    // tf is PER-ROW (a doc's tokens live in one row): token_counts folds it
+    // inside the scan, so no raw term instance is ever shuffled — the first
+    // exchange already carries only distinct (doc, token, tf) rows. One
+    // exchange fewer than the explode + groupBy(doc, token) spelling, and
+    // the remaining exchanges move less data.
+    val tf = docs.select(col(idCol).alias("doc_id"),
+        explode(graft.functions.SketchArrayExpressions.tokenCounts(
+          tokens(col(textCol)))).alias("e"))
+      .select(col("doc_id"), col("e.token").alias("token"), col("e.tf").alias("tf"))
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).alias("df"))
     val n = docs.select(count(lit(1)).alias("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
