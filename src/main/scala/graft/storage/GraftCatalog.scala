@@ -166,6 +166,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     (before, after)
   }
 
+  /** Z-order rewrite (Delta/Iceberg `OPTIMIZE ZORDER BY` analog): rewrite
+    * the live file set clustered along the Morton curve of `cols`
+    * ([[graft.ops.Layout.cluster]]), so every data file covers a compact
+    * hyper-rectangle of the clustered space — parquet min/max stats then
+    * skip row groups/files for predicates on ANY clustered column. One
+    * truncating snapshot write; the pre-rewrite version stays
+    * time-travelable until [[vacuum]]. Returns (filesBefore, filesAfter).
+    */
+  def clusterTable(
+      spark: SparkSession,
+      table: String,
+      cols: Seq[String],
+      bits: Int = 8,
+      numFiles: Int = 8): (Int, Int) = {
+    val ident = Identifier.of(
+      table.split("\\.").dropRight(1), table.split("\\.").last)
+    val dir = tableDir(ident)
+    val before = GraftCatalog
+      .readManifest(fs, dir, GraftCatalog.latestSnapshot(fs, dir))
+      .map(_.size).getOrElse(0)
+    val qualified = s"$catalogName.$table"
+    val clustered = graft.ops.Layout.cluster(
+      spark.table(qualified), cols, bits, numFiles)
+    clustered.localCheckpoint(true)
+      .writeTo(qualified).overwrite(org.apache.spark.sql.functions.lit(true))
+    val after = GraftCatalog
+      .readManifest(fs, dir, GraftCatalog.latestSnapshot(fs, dir))
+      .map(_.size).getOrElse(0)
+    (before, after)
+  }
+
   /** Expire all snapshots but the latest and physically delete data files
     * no longer referenced (Iceberg's expire_snapshots + remove_orphans in
     * one step). Returns the number of data files deleted. */
@@ -305,6 +336,13 @@ object GraftCatalog {
     * already recorded an equal-or-newer version for that app-id. */
   val TxnAppIdOption = "graft.txn.app-id"
   val TxnVersionOption = "graft.txn.version"
+
+  /** Table property bounding rows per data file: writers roll to a new
+    * file when a partition's current file reaches the target — bounded
+    * file sizes regardless of task-level data volume (Iceberg's
+    * `write.target-file-size-bytes` intent, row-count-denominated since
+    * this writer streams without size feedback). 0/absent = unlimited. */
+  val TargetFileRowsProp = "write.target-file-rows"
 
   def readMeta(fs: FileSystem, dir: Path): Option[GraftTableMeta] = {
     val f = new Path(dir, MetaFile)
@@ -545,7 +583,9 @@ private[storage] class GraftBatchWrite(
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     GraftWriterFactory(s"$dir/$stagingRel", meta.schema, meta.partitionCols,
-      parquetConfs, queryId)
+      parquetConfs, queryId,
+      meta.properties.get(GraftCatalog.TargetFileRowsProp)
+        .flatMap(_.toLongOption).filter(_ > 0).getOrElse(0L))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(dir)
@@ -611,11 +651,13 @@ private[storage] final case class GraftWriterFactory(
     schema: StructType,
     partitionCols: Seq[String],
     parquetConfs: Map[String, String],
-    writeToken: String) extends DataWriterFactory {
+    writeToken: String,
+    maxRowsPerFile: Long = 0L) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(
-      stagingDir, schema, partitionCols, parquetConfs, partitionId, taskId, writeToken)
+      stagingDir, schema, partitionCols, parquetConfs, partitionId, taskId,
+      writeToken, maxRowsPerFile)
 }
 
 /** Per-task writer: routes rows to one `ParquetWriter` per partition value
@@ -628,13 +670,19 @@ private[storage] class GraftDataWriter(
     parquetConfs: Map[String, String],
     partitionId: Int,
     taskId: Long,
-    writeToken: String) extends DataWriter[InternalRow] {
+    writeToken: String,
+    maxRowsPerFile: Long = 0L) extends DataWriter[InternalRow] {
 
   private val partIdx = partitionCols.map(schema.fieldIndex).toArray
   private val dataIdx = schema.fieldNames.indices.filterNot(partIdx.contains).toArray
   private val dataSchema = StructType(dataIdx.map(schema.fields(_)))
 
-  private val writers = mutable.Map.empty[String, ParquetWriter[InternalRow]]
+  /** Open file + rows written into it + next roll sequence, per partition
+    * value (`write.target-file-rows` rolls to a fresh file at the bound). */
+  private final class PartState(
+      var w: ParquetWriter[InternalRow], var rows: Long, var seq: Int)
+
+  private val writers = mutable.Map.empty[String, PartState]
   private val written = mutable.ListBuffer.empty[(String, String)]
 
   private def partValue(row: InternalRow, i: Int): String = {
@@ -656,12 +704,14 @@ private[storage] class GraftDataWriter(
   private def partRelDir(row: InternalRow): String =
     partIdx.map(i => s"${schema.fields(i).name}=${partValue(row, i)}").mkString("/")
 
-  private def openWriter(part: String): ParquetWriter[InternalRow] = {
+  private def openWriter(part: String, seq: Int): ParquetWriter[InternalRow] = {
     // taskId is application-scoped (resets per app run), so the per-write
     // queryId token is what makes names globally unique across appends
     // from different application runs — same role as the write UUID in
     // Spark's own FileFormatWriter / Iceberg's data file names.
-    val file = f"part-$partitionId%05d-$taskId-$writeToken.parquet"
+    val file =
+      if (seq == 0) f"part-$partitionId%05d-$taskId-$writeToken.parquet"
+      else f"part-$partitionId%05d-$taskId-$writeToken-r$seq.parquet"
     val path = if (part.isEmpty) new Path(s"$stagingDir/$file")
                else new Path(s"$stagingDir/$part/$file")
     val conf = new Configuration()
@@ -677,7 +727,14 @@ private[storage] class GraftDataWriter(
   }
 
   override def write(row: InternalRow): Unit = {
-    val w = writers.getOrElseUpdate(partRelDir(row), openWriter(partRelDir(row)))
+    val part = partRelDir(row)
+    val st = writers.getOrElseUpdate(part, new PartState(openWriter(part, 0), 0L, 1))
+    if (maxRowsPerFile > 0 && st.rows >= maxRowsPerFile) {
+      st.w.close()
+      st.w = openWriter(part, st.seq)
+      st.seq += 1
+      st.rows = 0L
+    }
     val data = new GenericInternalRow(dataIdx.length)
     var j = 0
     while (j < dataIdx.length) {
@@ -685,16 +742,17 @@ private[storage] class GraftDataWriter(
       data.update(j, if (row.isNullAt(i)) null else row.get(i, schema.fields(i).dataType))
       j += 1
     }
-    w.write(data)
+    st.w.write(data)
+    st.rows += 1
   }
 
   override def commit(): WriterCommitMessage = {
-    writers.values.foreach(_.close())
+    writers.values.foreach(_.w.close())
     GraftCommitMessage(written.toList)
   }
 
   override def abort(): Unit = {
-    writers.values.foreach(w => try w.close() catch { case _: Throwable => () })
+    writers.values.foreach(s => try s.w.close() catch { case _: Throwable => () })
     val fs = new Path(stagingDir).getFileSystem(new Configuration())
     written.foreach { case (part, file) =>
       val p = if (part.isEmpty) new Path(s"$stagingDir/$file")

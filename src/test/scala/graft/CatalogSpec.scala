@@ -376,6 +376,59 @@ class CatalogSpec extends SparkSpec {
     assert(spark.table("graftv2.bronze.occ").count() == 2)
   }
 
+  test("write.target-file-rows bounds rows per data file (writer rolls)") {
+    wh
+    spark.range(1000).select(col("id"), lit("2024-01-15").alias("extraction_date"))
+      .coalesce(1) // single task: rolling is what bounds the file, not tasks
+      .writeTo("graftv2.bronze.roll").using("parquet")
+      .partitionedBy(col("extraction_date"))
+      .tableProperty(GraftCatalog.TargetFileRowsProp, "100")
+      .createOrReplace()
+    val files = new java.io.File(s"$wh/bronze/roll/extraction_date=2024-01-15")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 10, s"expected 10 rolled files, got ${files.length}")
+    spark.catalog.refreshTable("graftv2.bronze.roll")
+    val perFile = spark.table("graftv2.bronze.roll")
+      .groupBy(org.apache.spark.sql.functions.input_file_name()).count()
+      .collect().map(_.getLong(1))
+    assert(perFile.forall(_ <= 100L) && perFile.sum == 1000L)
+  }
+
+  test("clusterTable z-orders stored files: tight per-file bounding boxes") {
+    wh
+    // 4096 grid points written in a scrambled order (worst-case layout)
+    spark.range(4096).select(
+        (col("id") / 64).cast("long").alias("x"), pmod(col("id"), lit(64)).alias("y"))
+      .withColumn("r", pmod(xxhash64(col("x"), col("y")), lit(101)))
+      .orderBy("r").drop("r")
+      .repartition(8)
+      .writeTo("graftv2.bronze.zt").using("parquet").createOrReplace()
+    val cat = new GraftCatalog
+    cat.initialize("graftv2", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("warehouse", wh)))
+    def maxFileExtent(): (Long, Long) = {
+      spark.catalog.refreshTable("graftv2.bronze.zt")
+      val r = spark.table("graftv2.bronze.zt")
+        .groupBy(org.apache.spark.sql.functions.input_file_name())
+        .agg((max("x") - min("x")).alias("ex"), (max("y") - min("y")).alias("ey"))
+        .agg(max("ex"), max("ey")).collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    val (bx, by) = maxFileExtent()
+    assert(bx == 63L && by == 63L, s"scrambled layout should span the grid: $bx,$by")
+    val (before, after) = cat.clusterTable(spark, "bronze.zt", Seq("x", "y"),
+      bits = 6, numFiles = 16)
+    assert(before == 8 && after == 16, s"files $before -> $after")
+    val (ax, ay) = maxFileExtent()
+    // each file now covers a compact box (~16x16 on a 64-grid): min/max
+    // stats can skip most files for a predicate on either column
+    assert(ax <= 31L && ay <= 31L, s"clustered extents $ax,$ay")
+    assert(spark.table("graftv2.bronze.zt").count() == 4096)
+    // pre-rewrite snapshot still time-travels
+    assert(spark.sql("SELECT count(*) FROM graftv2.bronze.zt VERSION AS OF 1")
+      .collect().head.getLong(0) == 4096L)
+  }
+
   test("V2CatalogWarehouse: idempotent same-date re-run via the V2 lifecycle") {
     wh
     val storage = new V2CatalogWarehouse(spark)
