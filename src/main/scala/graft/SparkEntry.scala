@@ -86,6 +86,24 @@ object SparkEntry {
           col("is_current"))
         .orderBy("key", "valid_from_ms", "state")
     }),
+    // Spark's NATIVE session_window operator (state-store sessionization —
+    // the same code path batch and streaming), cross-checked against the
+    // window-construction oracle. Boundary semantics differ from the
+    // custom Relational.sessionize deliberately: session_window treats
+    // [start, last+gap) as half-open, so a gap of exactly `gap` starts a
+    // new session (oracle uses >=, the custom op uses >).
+    "q_session_window" -> ((s, dir) => {
+      val e = Parity.t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          timestamp_micros(expr("ts div 1000")).alias("ets"))
+      e.groupBy(col("user_id"), session_window(col("ets"), "12 hours"))
+        .agg(count(lit(1)).alias("n_events"), min("event_id").alias("first_event"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).alias("start_us"),
+          unix_micros(col("session_window.end")).alias("end_us"),
+          col("n_events"), col("first_event"))
+        .orderBy("user_id", "start_us")
+    }),
     // Test-set decontamination: docs ≡ 0 (mod 50) play the eval benchmark;
     // the rest are training docs, flagged when any word trigram overlaps.
     // Narrow shingle expression + broadcast semi-join; oracle replicates
@@ -756,6 +774,22 @@ object SparkEntry {
     "sim_topk_ivf" -> ivfTopkSql,
     "sim_topk_int8" -> quantizedTopkSql,
     "q_zorder" -> zorderSql,
+    "q_session_window" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         d AS (
+           SELECT user_id, event_id, us,
+                  CASE WHEN lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w >= 43200000000 THEN 1 ELSE 0 END AS new_s
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         s AS (
+           SELECT user_id, event_id, us,
+                  sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+           FROM d)
+         SELECT user_id, min(us) AS start_us, max(us) + 43200000000 AS end_us,
+                count(*) AS n_events, min(event_id) AS first_event
+         FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""",
     "prep_decontaminate" -> decontaminateSql,
     "text_repetition" -> repetitionSql,
     "prep_mixture" -> mixtureSql,

@@ -63,6 +63,20 @@ class RecallSpec extends SparkSpec {
     assert(joined.filter(col("score") =!= col("bf_score")).count() == 0)
   }
 
+  test("int8 quantization error is bounded by scale/2 per element") {
+    val q8 = Similarity.quantize(e, "vec_id", "embedding")
+    val err = q8.join(e, "vec_id")
+      .select(array_max(zip_with(col("q8_codes"), col("embedding"),
+        (c, x) => abs(c.cast("double") * col("q8_scale") - x.cast("double"))))
+        .alias("maxerr"), col("q8_scale"))
+      .filter(col("maxerr") > col("q8_scale") * 0.5000001)
+    assert(err.count() == 0, "reconstruction error exceeded half a quantization step")
+    // codes stay in int8 range
+    val outOfRange = q8.select(explode(col("q8_codes")).alias("c"))
+      .filter(col("c") > 127 || col("c") < -127)
+    assert(outOfRange.count() == 0)
+  }
+
   test("recallAtK sanity: exact-vs-exact is 1.0, disjoint is 0.0") {
     assert(Similarity.recallAtK(bf, bf) == 1.0)
     val shifted = bf.withColumn("corpus_id", col("corpus_id") + 100000)
