@@ -22,7 +22,7 @@ object Bench {
     * representative of each extension family. */
   val headline: Seq[String] = Seq(
     "q_pricing_summary", "q_gold_agg", "q_gold_agg_orders",
-    "q_join_broadcast", "q_join_multi", "q_silver_extract",
+    "q_join_broadcast", "q_join_multi", "q_tpch3", "q_tpch5", "q_silver_extract",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_int8",
     "text_quality", "text_langid", "text_fingerprint",

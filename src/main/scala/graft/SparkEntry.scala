@@ -86,6 +86,46 @@ object SparkEntry {
           col("is_current"))
         .orderBy("key", "valid_from_ms", "state")
     }),
+    // TPC-H Q3 (shipping priority): the canonical fact-fact-dim join +
+    // grouped revenue + deterministic top-10. The dim filter broadcasts;
+    // the lineitem/orders join shuffles on orderkey once.
+    "q_tpch3" -> ((s, dir) => {
+      val cutoff = lit("1995-03-15").cast("timestamp")
+      val c = Parity.t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = Parity.t(s, dir, "orders").filter(col("o_orderdate") < cutoff)
+      val l = Parity.t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+          .cast("double").alias("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+    // TPC-H Q5 (local supplier volume): 6-table join with the
+    // customer-nation = supplier-nation correlation; all dims broadcast,
+    // facts shuffle once each on their join keys.
+    "q_tpch5" -> ((s, dir) => {
+      val o = Parity.t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val asia = broadcast(Parity.t(s, dir, "region").filter(col("r_name") === "ASIA"))
+      val n = broadcast(Parity.t(s, dir, "nation"))
+      Parity.t(s, dir, "lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(Parity.t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Parity.t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(asia, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+          .cast("double").alias("revenue"))
+        .orderBy(col("n_name"))
+    }),
     // Spark's NATIVE session_window operator (state-store sessionization —
     // the same code path batch and streaming), cross-checked against the
     // window-construction oracle. Boundary semantics differ from the
@@ -774,6 +814,32 @@ object SparkEntry {
     "sim_topk_ivf" -> ivfTopkSql,
     "sim_topk_int8" -> quantizedTopkSql,
     "q_zorder" -> zorderSql,
+    "q_tpch3" ->
+      """SELECT l_orderkey,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                         (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+         FROM customer
+         JOIN orders ON o_custkey = c_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+           AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+         GROUP BY l_orderkey
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q_tpch5" ->
+      """SELECT n_name,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                         (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+         FROM customer
+         JOIN orders ON o_custkey = c_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY n_name ORDER BY n_name""",
     "q_session_window" ->
       """WITH e AS (
            SELECT user_id, event_id, epoch_us(ts) AS us FROM events),

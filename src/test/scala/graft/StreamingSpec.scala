@@ -41,6 +41,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native session_window runs the same aggregation batch and stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val sessions = input.toDF().toDF("ets", "user_id")
+      .withWatermark("ets", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ets"), "10 minutes"))
+      .agg(count(lit(1)).alias("n_events"))
+    val q = sessions.writeStream.format("memory").queryName("sess_win")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // user 1: events at 10:00, 10:05 (one session), 10:40 (second session)
+      input.addData((ts(0), 1L), (ts(5), 1L), (ts(40), 1L))
+      q.processAllAvailable()
+      val got = spark.table("sess_win").collect()
+        .map(r => (r.getLong(0), r.getStruct(1).getTimestamp(0).toString, r.getLong(2)))
+        .toSet
+      assert(got == Set(
+        (1L, "2024-01-01 10:00:00.0", 2L),
+        (1L, "2024-01-01 10:40:00.0", 1L)))
+      // identical grouping on a batch frame yields the same sessions
+      val batch = Seq((ts(0), 1L), (ts(5), 1L), (ts(40), 1L)).toDF("ets", "user_id")
+        .groupBy(col("user_id"), session_window(col("ets"), "10 minutes"))
+        .agg(count(lit(1)).alias("n_events"))
+        .collect()
+        .map(r => (r.getLong(0), r.getStruct(1).getTimestamp(0).toString, r.getLong(2)))
+        .toSet
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup drops repeats, state bounded by watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
