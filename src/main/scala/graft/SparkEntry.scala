@@ -86,6 +86,14 @@ object SparkEntry {
           col("is_current"))
         .orderBy("key", "valid_from_ms", "state")
     }),
+    // Image near-dup pairs: perceptual average-hash (pure integer math
+    // over the stub decoder's pixel stream) + the same pigeonhole hamming
+    // blocking as text SimHash. The oracle recomputes pixels, hash bits,
+    // and an ALL-PAIRS hamming check — the blocking's completeness proof.
+    "multimodal_image_neardup" -> ((s, dir) =>
+      Multimodal.imageNearDups(
+          Multimodal.mediaFromDocuments(docs(s, dir)), maxHamming = 3)
+        .orderBy("id_a", "id_b")),
     // TPC-H Q3 (shipping priority): the canonical fact-fact-dim join +
     // grouped revenue + deterministic top-10. The dim filter broadcasts;
     // the lineitem/orders join shuffles on orderkey once.
@@ -614,6 +622,25 @@ object SparkEntry {
                 (acc, v) -> acc + v) AS emb_norm2
        FROM emb ORDER BY media_id"""
 
+  /** Average-hash bits from the decoded pixel stream (`pxs[b·w + 1]`, the
+    * stride-w 64-sample grid), strict `px · n > sum` comparison — exactly
+    * [[graft.ops.Multimodal.imageAhash]] — then an all-pairs hamming
+    * check that must equal the blocked equi-join (pigeonhole-complete). */
+  private def multimodalAhashSql: String = {
+    val bits = (0 until 64).map(b =>
+      s"CASE WHEN pxs[CAST($b AS INT) * CAST(w AS INT) + 1] * (w * 64) > pxsum " +
+        s"THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+      .mkString("(", " + ", ")")
+    s"""WITH $multimodalDecodeCtes,
+       ps AS (SELECT media_id, w, pxs, list_sum(pxs) AS pxsum FROM px),
+       ah AS (SELECT media_id, $bits AS ahash FROM ps)
+       SELECT a.media_id AS id_a, b.media_id AS id_b,
+              CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+       FROM ah a JOIN ah b ON a.media_id < b.media_id
+       WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+       ORDER BY id_a, id_b"""
+  }
+
   private def multimodalDecodeBandsSql: String =
     s"""WITH $multimodalDecodeCtes
        SELECT media_id, CAST(t.r AS BIGINT) AS band, e[CAST(t.r AS INT) + 1] AS value
@@ -863,6 +890,7 @@ object SparkEntry {
     "sim_cosine_neardup" -> cosineNearDupSql,
     "multimodal_decode" -> multimodalDecodeSql,
     "multimodal_decode_bands" -> multimodalDecodeBandsSql,
+    "multimodal_image_neardup" -> multimodalAhashSql,
     "q_bronze_wrap" ->
       """SELECT props AS raw_json, DATE '2024-01-15' AS extraction_date
          FROM events ORDER BY event_id""",

@@ -231,22 +231,46 @@ object Dedup {
     // referenced by both sides of the self-join below; 16 bytes per doc
     val withSim = simhashes(docs, idCol, textCol, tokenHash)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val blocked = withSim.select(
-      col("sh_id"), col("sim"),
-      posexplode(array((0 until 4).map(q =>
-        shiftright(col("sim"), q * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+    hammingPairs(withSim, "sh_id", "sim", maxHamming)
+  }
+
+  /** All pairs of 64-bit hashes within `maxHamming` bits, via pigeonhole
+    * blocking: split the hash into `maxHamming + 1` contiguous chunks — a
+    * pair differing in ≤ maxHamming bits must agree on at least one whole
+    * chunk (pigeonhole), so the candidate join is an EQUI-join on
+    * (chunk index, chunk value) and is provably COMPLETE. Exact hamming
+    * re-check after; no all-pairs comparison anywhere. Works for any
+    * 64-bit content hash — text SimHash ([[simhashDups]]) and image
+    * average-hash ([[Multimodal.imageNearDups]]) share this path. */
+  def hammingPairs(
+      hashes: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int): DataFrame = {
+    val blocks = maxHamming + 1
+    require(blocks >= 1 && blocks <= 64, s"maxHamming $maxHamming out of range")
+    val width = 64 / blocks
+    val chunks = (0 until blocks).map { q =>
+      val lo = q * width
+      val hi = if (q == blocks - 1) 64 else (q + 1) * width // last takes remainder
+      val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1L
+      shiftright(col(hashCol), lo).bitwiseAND(lit(mask))
+    }
+    val blocked = hashes.select(
+      col(idCol).alias("__hid"), col(hashCol).alias("__h"),
+      posexplode(array(chunks: _*)))
       .withColumnRenamed("pos", "block")
       .withColumnRenamed("col", "blockkey")
     val a = blocked.alias("a")
     val b = blocked.alias("b")
-    val hamming = bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).cast("long")
+    val hamming = bit_count(col("a.__h").bitwiseXOR(col("b.__h"))).cast("long")
     a.join(b,
         col("a.block") === col("b.block") &&
         col("a.blockkey") === col("b.blockkey") &&
-        col("a.sh_id") < col("b.sh_id"))
+        col("a.__hid") < col("b.__hid"))
       .select(
-        col("a.sh_id").alias("id_a"),
-        col("b.sh_id").alias("id_b"),
+        col("a.__hid").alias("id_a"),
+        col("b.__hid").alias("id_b"),
         hamming.alias("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)

@@ -124,6 +124,42 @@ object Multimodal {
     }
   }
 
+  /** Perceptual average-hash per image: sample 64 pixels at stride `width`
+    * from the decoded stream, set bit i when sample i is brighter than the
+    * image mean — the classic aHash, in pure integer math (the comparison
+    * is `px · n > sum`, no division, so any engine reproduces it exactly).
+    * 8 bytes per image regardless of resolution: the shuffle-able content
+    * fingerprint for image-level near-dup detection. */
+  def imageAhash(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "image").mapPartitions { rows =>
+      rows.map { r =>
+        val px = decodeStub(r.bytes, r.meta.width, r.meta.height)
+        var sum = 0L
+        var i = 0
+        while (i < px.length) { sum += px(i); i += 1 }
+        val stride = math.max(1, px.length / 64)
+        var ahash = 0L
+        var b = 0
+        while (b < 64) {
+          val p = px((b * stride) % px.length)
+          if (p.toLong * px.length > sum) ahash |= (1L << b)
+          b += 1
+        }
+        (r.media_id, ahash)
+      }
+    }.toDF("media_id", "ahash")
+  }
+
+  /** Image near-duplicate pairs: average-hashes within `maxHamming` bits,
+    * found with [[Dedup.hammingPairs]]' pigeonhole blocking — the same
+    * provably-complete equi-join used for text SimHash, now over visual
+    * content fingerprints. The dedup shuffle carries (id, 8-byte hash)
+    * only; pixels never leave the decode stage. */
+  def imageNearDups(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
+    Dedup.hammingPairs(imageAhash(media), "media_id", "ahash", maxHamming)
+
   /** "Resize": recompute metadata + re-derive payload for the target size.
     * Metadata math is real; pixel resampling is the stub. */
   def resizeImages(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaRow] = {

@@ -135,6 +135,25 @@ class PropertySpec extends SparkSpec {
     assert(sims(1L) == 0L) // empty doc hashes to 0
   }
 
+  test("hammingPairs blocking is complete: equals all-pairs for any maxHamming") {
+    val genHashes = Gen.listOfN(40, Gen.chooseNum(Long.MinValue, Long.MaxValue))
+    samples(genHashes, 3).foreach { hs0 =>
+      // salt in near-dups: flip a few bits of some hashes
+      val hs = (hs0 ++ hs0.take(8).map(_ ^ 0x11L) ++ hs0.take(4).map(_ ^ (1L << 63)))
+        .distinct.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+      val df = hs.toDF("id", "h")
+      for (maxH <- Seq(1, 3, 6)) {
+        val got = ops.Dedup.hammingPairs(df, "id", "h", maxH)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val want = (for {
+          (ia, ha) <- hs; (ib, hb) <- hs if ia < ib
+          d = java.lang.Long.bitCount(ha ^ hb) if d <= maxH
+        } yield (ia, ib, d.toLong)).toSet
+        assert(got == want, s"maxHamming=$maxH")
+      }
+    }
+  }
+
   test("scd2 merge equals the sequential replay reference on random updates") {
     // reference: replay updates per key in (ts, tie) order against a plain
     // in-memory state machine; scd2Merge must produce the same versions
