@@ -134,6 +134,36 @@ object SparkEntry {
           .cast("double").alias("revenue"))
         .orderBy(col("n_name"))
     }),
+    // TPC-H Q6 (forecast revenue change): the pure scan-filter-agg — every
+    // predicate pushes into the parquet scan, one partial-agg exchange.
+    "q_tpch6" -> ((s, dir) =>
+      Parity.t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+            col("l_discount").cast("decimal(4,2)"))
+          .cast("double").alias("revenue"))),
+    // TPC-H Q10 (returned items): fact join + 4-key group + deterministic
+    // top-20 by revenue.
+    "q_tpch10" -> ((s, dir) => {
+      val o = Parity.t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      val l = Parity.t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Parity.t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Parity.t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+          .cast("double").alias("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
     // Spark's NATIVE session_window operator (state-store sessionization —
     // the same code path batch and streaming), cross-checked against the
     // window-construction oracle. Boundary semantics differ from the
@@ -279,6 +309,14 @@ object SparkEntry {
       Similarity.quantizedTopK(e, e.filter(col("vec_id") < 10), "vec_id",
         "embedding", k = 5, refine = 4).orderBy("query_id", "rank")
     }),
+    // Semantic (embedding-space) corpus dedup: the model-space companion
+    // to lexical dedup_corpus — catches paraphrase-grade duplicates that
+    // share no n-grams. Survivor set checked against a transitive-closure
+    // oracle over the exact SRP-bucketed pair table.
+    "dedup_corpus_semantic" -> ((s, dir) =>
+      Dedup.dedupCorpusByEmbedding(embs(s, dir), "vec_id", "embedding",
+          dim = 64, threshold = 0.30)
+        .select(col("vec_id")).orderBy("vec_id")),
     "sim_cosine_neardup" -> ((s, dir) =>
       Similarity.cosineNearDups(embs(s, dir), "vec_id", "embedding", dim = 64,
         threshold = 0.30, bits = 6, tables = 4).orderBy("id_a", "id_b")),
@@ -641,6 +679,32 @@ object SparkEntry {
        ORDER BY id_a, id_b"""
   }
 
+  /** Semantic corpus dedup: SRP-bucketed cosine pairs ≥ 0.30 → transitive
+    * closure → lowest-id survivors — mirrors
+    * [[graft.ops.Dedup.dedupCorpusByEmbedding]] end to end. */
+  private def dedupCorpusSemanticSql: String =
+    s"""WITH RECURSIVE $srpKeyedCte,
+         cand AS (
+           SELECT a.vec_id AS id_a, bb.vec_id AS id_b, a.v AS va, bb.v AS vb
+           FROM keyed a JOIN keyed bb
+             ON a.vec_id < bb.vec_id
+            AND (a.bk0 = bb.bk0 OR a.bk1 = bb.bk1 OR a.bk2 = bb.bk2 OR a.bk3 = bb.bk3)),
+         prs AS (
+           SELECT id_a, id_b FROM (
+             SELECT id_a, id_b, ${cosSql("va", "vb")} AS cos FROM cand)
+           WHERE cos >= CAST(0.30 AS DOUBLE)),
+         edges AS (
+           SELECT id_a AS s, id_b AS d FROM prs
+           UNION
+           SELECT id_b AS s, id_a AS d FROM prs),
+         reach(id, r) AS (
+           SELECT s, d FROM edges
+           UNION
+           SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s)
+         SELECT vec_id FROM embeddings
+         WHERE vec_id NOT IN (SELECT DISTINCT id FROM reach WHERE r < id)
+         ORDER BY vec_id"""
+
   private def multimodalDecodeBandsSql: String =
     s"""WITH $multimodalDecodeCtes
        SELECT media_id, CAST(t.r AS BIGINT) AS band, e[CAST(t.r AS INT) + 1] AS value
@@ -867,6 +931,27 @@ object SparkEntry {
            AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
            AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
          GROUP BY n_name ORDER BY n_name""",
+    "q_tpch6" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                         CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           AND l_discount >= 0.05 AND l_discount <= 0.07
+           AND l_quantity < 24""",
+    "q_tpch10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                         (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+         FROM customer
+         JOIN orders ON o_custkey = c_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+           AND l_returnflag = 'R'
+         GROUP BY c_custkey, c_name, c_acctbal, n_name
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
     "q_session_window" ->
       """WITH e AS (
            SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
@@ -891,6 +976,7 @@ object SparkEntry {
     "multimodal_decode" -> multimodalDecodeSql,
     "multimodal_decode_bands" -> multimodalDecodeBandsSql,
     "multimodal_image_neardup" -> multimodalAhashSql,
+    "dedup_corpus_semantic" -> dedupCorpusSemanticSql,
     "q_bronze_wrap" ->
       """SELECT props AS raw_json, DATE '2024-01-15' AS extraction_date
          FROM events ORDER BY event_id""",

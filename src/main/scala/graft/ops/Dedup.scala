@@ -337,6 +337,30 @@ object Dedup {
     docs.join(drop.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 
+  /** Semantic corpus dedup: drop all but one document per cluster of
+    * embedding-cosine near-duplicates — the model-space companion to the
+    * lexical [[dedupCorpus]] (catches paraphrases and translations that
+    * share no n-grams). Pairs come from the SRP-bucketed
+    * [[Similarity.cosineNearDups]] (equi-join candidates, never
+    * all-pairs), components from the same min-label propagation, keeper =
+    * lowest id. Returns the surviving rows of `corpus`. */
+  def dedupCorpusByEmbedding(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double,
+      bits: Int = 6,
+      tables: Int = 4,
+      maxIter: Int = 8): DataFrame = {
+    val pairs = Similarity
+      .cosineNearDups(corpus, idCol, vecCol, dim, threshold, bits, tables)
+      .select(col("id_a"), col("id_b"))
+    val comp = clusters(pairs, maxIter)
+    val drop = comp.filter(col("id") =!= col("cluster_id")).select(col("id"))
+    corpus.join(drop.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
   // ── N-gram Jaccard ─────────────────────────────────────────────────────
 
   /** Exact n-gram Jaccard similarity for candidate pairs produced by an LSH

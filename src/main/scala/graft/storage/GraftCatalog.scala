@@ -197,23 +197,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     (before, after)
   }
 
-  /** Expire all snapshots but the latest and physically delete data files
-    * no longer referenced (Iceberg's expire_snapshots + remove_orphans in
-    * one step). Returns the number of data files deleted. */
-  def vacuum(ident: Identifier): Int = {
+  /** Expire all but the last `keepLast` snapshots and physically delete
+    * data files referenced by none of them (Iceberg's expire_snapshots +
+    * remove_orphans in one step). `keepLast` is the time-travel retention
+    * window — the operational knob that trades storage for rollback depth.
+    * Returns the number of data files deleted. */
+  def vacuum(ident: Identifier, keepLast: Int = 1): Int = {
+    require(keepLast >= 1, s"vacuum must retain at least the latest snapshot")
     val dir = tableDir(ident)
     if (GraftCatalog.readMeta(fs, dir).isEmpty) throw new NoSuchTableException(ident)
     val latest = GraftCatalog.latestSnapshot(fs, dir)
+    val oldestKept = math.max(1L, latest - keepLast + 1)
     // pre-manifest ("legacy") table: the live set IS the dir listing (the
     // same fallback the read and commit paths use) — an empty-manifest
     // default here would delete every data file in the table
-    val live = GraftCatalog.readManifest(fs, dir, latest)
-      .getOrElse(GraftCatalog.listDataFiles(fs, dir)).toSet
+    val live: Set[String] =
+      if (latest == 0L) GraftCatalog.listDataFiles(fs, dir).toSet
+      else (oldestKept to latest)
+        .flatMap(n => GraftCatalog.readManifest(fs, dir, n)
+          .getOrElse(GraftCatalog.listDataFiles(fs, dir)))
+        .toSet
     val all = GraftCatalog.listDataFiles(fs, dir)
     val dead = all.filterNot(live)
     dead.foreach(f => fs.delete(new Path(dir, f), false))
-    // drop superseded manifests
-    (1L until latest).foreach(n =>
+    // drop expired manifests
+    (1L until oldestKept).foreach(n =>
       fs.delete(new Path(dir, s"_snap-$n.manifest"), false))
     dead.size
   }

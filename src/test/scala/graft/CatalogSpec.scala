@@ -376,6 +376,28 @@ class CatalogSpec extends SparkSpec {
     assert(spark.table("graftv2.bronze.occ").count() == 2)
   }
 
+  test("vacuum retention: keepLast preserves a time-travel window") {
+    wh
+    t((1L, "a", "2024-01-15"))
+      .writeTo("graftv2.bronze.ret").using("parquet")
+      .partitionedBy(col("extraction_date")).createOrReplace()
+    t((9L, "b", "2024-01-15")).writeTo("graftv2.bronze.ret").overwritePartitions() // snap 2
+    t((10L, "c", "2024-01-15")).writeTo("graftv2.bronze.ret").overwritePartitions() // snap 3
+    val cat = new GraftCatalog
+    cat.initialize("graftv2", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("warehouse", wh)))
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("bronze"), "ret")
+    // keep the last 2: snapshot 2 must stay readable, snapshot 1's file goes
+    val deleted = cat.vacuum(ident, keepLast = 2)
+    assert(deleted == 1, s"expected only snap-1's file deleted, got $deleted")
+    assert(spark.sql("SELECT id FROM graftv2.bronze.ret VERSION AS OF 2")
+      .collect().head.getLong(0) == 9L)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graftv2.bronze.ret VERSION AS OF 1").collect()
+    }
+    assert(spark.table("graftv2.bronze.ret").collect().head.getAs[Long]("id") == 10L)
+  }
+
   test("write.target-file-rows bounds rows per data file (writer rolls)") {
     wh
     spark.range(1000).select(col("id"), lit("2024-01-15").alias("extraction_date"))
