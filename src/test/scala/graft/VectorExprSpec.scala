@@ -62,6 +62,18 @@ class VectorExprSpec extends SparkSpec {
     assert(out.getLong(1) == 5L)
   }
 
+  test("SQL registration: z_value / feature_hash / token_counts") {
+    VectorFunctions.register(spark)
+    val out = spark.sql(
+      """SELECT z_value(array(3L, 1L), 2) AS z,
+                feature_hash(array(5L, 5L), 4) AS fh,
+                token_counts(array('a', 'b', 'a')) AS tc""").collect().head
+    assert(out.getLong(0) == 7L) // x=0b11 even bits, y=0b01 odd bits
+    assert(out.getSeq[Float](1).length == 4)
+    val tc = out.getSeq[org.apache.spark.sql.Row](2)
+    assert(tc.map(r => r.getString(0) -> r.getLong(1)) == Seq("a" -> 2L, "b" -> 1L))
+  }
+
   test("works on double arrays and mismatched lengths (min-length semantics)") {
     val d = Seq((Array(1.0, 2.0, 3.0), Array(2.0, 3.0))).toDF("a", "b")
     assert(d.select(VectorFunctions.dot($"a", $"b")).collect().head.getDouble(0) == 8.0)
