@@ -259,6 +259,50 @@ object Streams {
       }
       .start()
 
+  /** Streaming materialized view: every micro-batch appends to `baseTable`
+    * AND folds into the grouped aggregate in `aggTable`
+    * ([[graft.ops.Incremental.refreshAgg]] with the batch as an
+    * insert-only changelog) — the aggregate stays current without ever
+    * rescanning the base. Both writes carry the batchId as a writer
+    * transaction (separate app-ids), so a replayed batch re-appends
+    * neither: each table independently skips versions it has already
+    * committed, and the view converges to exactly
+    * `Incremental.aggregate(baseTable)`.
+    *
+    * At scale this is the pattern that keeps a 100 TB event table's
+    * dashboards fresh for the cost of each micro-batch plus the (small)
+    * aggregate rewrite — and the aggregate table is itself snapshotted,
+    * so `VERSION AS OF` gives per-batch history of the view. */
+  def sinkWithAggMaintenance(
+      stream: DataFrame,
+      baseTable: String,
+      aggTable: String,
+      groupCols: Seq[String],
+      sumCols: Seq[String],
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.storage.GraftCatalog.{TxnAppIdOption, TxnVersionOption}
+        val pinned = batch.localCheckpoint(true) // read twice: append + fold
+        pinned.writeTo(baseTable)
+          .option(TxnAppIdOption, s"$checkpointDir#base")
+          .option(TxnVersionOption, batchId.toString)
+          .append()
+        val spark = pinned.sparkSession
+        val prev = spark.table(aggTable)
+        val next = graft.ops.Incremental.refreshAgg(
+          prev,
+          pinned.withColumn("_change", org.apache.spark.sql.functions.lit("insert")),
+          groupCols, sumCols)
+        next.localCheckpoint(true) // materialize BEFORE truncating its input
+          .writeTo(aggTable)
+          .option(TxnAppIdOption, s"$checkpointDir#agg")
+          .option(TxnVersionOption, batchId.toString)
+          .overwrite(org.apache.spark.sql.functions.lit(true))
+      }
+      .start()
+
   /** Streaming medallion slice: raw JSON-string records (the Bronze shape)
     * through the *batch* Silver transforms — projection/filter only, so the
     * identical code plans incrementally under readStream. */

@@ -71,6 +71,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming materialized view: agg table converges to full recompute") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory("graft-mv").toString
+    spark.conf.set("spark.sql.catalog.mv", classOf[graft.storage.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mv.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mv.s")
+    // base table + empty aggregate table (the view's initial state)
+    val empty = Seq.empty[(String, Long)].toDF("g", "v")
+    empty.writeTo("mv.s.base").using("parquet").create()
+    graft.ops.Incremental.aggregate(empty, Seq("g"), Seq("v"))
+      .writeTo("mv.s.agg").using("parquet").create()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-mv-ckpt").toString
+    val input = MemoryStream[(String, Long)]
+    val q = Streams.sinkWithAggMaintenance(
+      input.toDF().toDF("g", "v"), "mv.s.base", "mv.s.agg",
+      Seq("g"), Seq("v"), ckpt)
+    try {
+      input.addData(("x", 1L), ("y", 2L), ("x", 3L))
+      q.processAllAvailable()
+      input.addData(("y", 10L), ("z", 5L))
+      q.processAllAvailable()
+      spark.catalog.refreshTable("mv.s.agg")
+      spark.catalog.refreshTable("mv.s.base")
+      val got = spark.table("mv.s.agg").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val want = graft.ops.Incremental
+        .aggregate(spark.table("mv.s.base"), Seq("g"), Seq("v")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want && got == Set(("x", 2L, 4L), ("y", 2L, 12L), ("z", 1L, 5L)))
+      // per-batch history of the VIEW is time-travelable (snapshot per fold)
+      assert(spark.sql("SELECT sum(cnt) FROM mv.s.agg VERSION AS OF 2")
+        .collect().head.getLong(0) == 3L)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup drops repeats, state bounded by watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
