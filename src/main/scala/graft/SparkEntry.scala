@@ -94,6 +94,17 @@ object SparkEntry {
       Multimodal.imageNearDups(
           Multimodal.mediaFromDocuments(docs(s, dir)), maxHamming = 3)
         .orderBy("id_a", "id_b")),
+    // Audio near-dup pairs: 64-bit energy-delta fingerprint over the stub
+    // byte stream + the shared pigeonhole hamming blocking; all-pairs
+    // oracle like the image variant.
+    // frameSize 64: the fixture clips are short (100-2000 bytes), so a
+    // 256-byte frame would leave many single-frame clips with the
+    // degenerate all-zero fingerprint
+    "multimodal_audio_neardup" -> ((s, dir) =>
+      Multimodal.audioNearDups(
+          Multimodal.mediaFromDocuments(docs(s, dir)), maxHamming = 3,
+          frameSize = 64)
+        .orderBy("id_a", "id_b")),
     // TPC-H Q3 (shipping priority): the canonical fact-fact-dim join +
     // grouped revenue + deterministic top-10. The dim filter broadcasts;
     // the lineitem/orders join shuffles on orderkey once.
@@ -705,6 +716,39 @@ object SparkEntry {
          WHERE vec_id NOT IN (SELECT DISTINCT id FROM reach WHERE r < id)
          ORDER BY vec_id"""
 
+  /** Energy-delta audio fingerprint bits (`e[(b+1) mod F] > e[b mod F]`)
+    * over 256-sample frame energies of the stub byte stream, then an
+    * all-pairs hamming check — mirrors
+    * [[graft.ops.Multimodal.audioFingerprint]]/[[graft.ops.Multimodal.audioNearDups]]. */
+  private def multimodalAudioFpSql: String = {
+    val bits = (0 until 64).map(b =>
+      s"CASE WHEN e[CAST((($b + 1) % len(e)) AS INT) + 1] > e[CAST(($b % len(e)) AS INT) + 1] " +
+        s"THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+      .mkString("(", " + ", ")")
+    s"""WITH a AS (
+         SELECT doc_id AS media_id,
+                list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+                               c -> CAST(ascii(c) AS BIGINT)) AS cs
+         FROM documents WHERE doc_id % 3 = 1),
+       en AS (
+         SELECT media_id,
+                list_transform(
+                  range(0, greatest(CAST(ceil(len(cs) / 64.0) AS BIGINT), 1)),
+                  f -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                         list_transform(
+                           list_slice(cs, CAST(f * 64 AS INT) + 1,
+                                      CAST(least(len(cs), (f + 1) * 64) AS INT)),
+                           c -> (c - 128) * (c - 128))),
+                       (x, y) -> x + y)) AS e
+         FROM a),
+       fp AS (SELECT media_id, $bits AS afp FROM en)
+       SELECT a2.media_id AS id_a, b2.media_id AS id_b,
+              CAST(bit_count(xor(a2.afp, b2.afp)) AS BIGINT) AS hamming
+       FROM fp a2 JOIN fp b2 ON a2.media_id < b2.media_id
+       WHERE bit_count(xor(a2.afp, b2.afp)) <= 3
+       ORDER BY id_a, id_b"""
+  }
+
   private def multimodalDecodeBandsSql: String =
     s"""WITH $multimodalDecodeCtes
        SELECT media_id, CAST(t.r AS BIGINT) AS band, e[CAST(t.r AS INT) + 1] AS value
@@ -976,6 +1020,7 @@ object SparkEntry {
     "multimodal_decode" -> multimodalDecodeSql,
     "multimodal_decode_bands" -> multimodalDecodeBandsSql,
     "multimodal_image_neardup" -> multimodalAhashSql,
+    "multimodal_audio_neardup" -> multimodalAudioFpSql,
     "dedup_corpus_semantic" -> dedupCorpusSemanticSql,
     "q_bronze_wrap" ->
       """SELECT props AS raw_json, DATE '2024-01-15' AS extraction_date

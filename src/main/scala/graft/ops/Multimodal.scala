@@ -222,6 +222,53 @@ object Multimodal {
     }
   }
 
+  /** Audio content fingerprint: 64-bit energy-delta hash — bit i is set
+    * when frame (i+1)'s energy exceeds frame i's (frame indices cycled
+    * over the clip). The energy-contour shape is what survives volume and
+    * codec changes, which is why delta-sign fingerprints are the classic
+    * audio-dedup primitive. Pure integer math over [[audioEnergy]]'s
+    * frames — engine-reproducible, 8 bytes per clip. */
+  def audioFingerprint(media: Dataset[MediaRow], frameSize: Int = 256): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "audio").map { r =>
+      val n = r.bytes.length
+      val frames = math.max(1, (n + frameSize - 1) / frameSize)
+      val e = new Array[Long](frames)
+      var f = 0
+      while (f < frames) {
+        val start = f * frameSize
+        val end = math.min(n, start + frameSize)
+        var acc = 0L
+        var i = start
+        while (i < end) {
+          val s = (r.bytes(i) & 0xff) - 128
+          acc += s.toLong * s
+          i += 1
+        }
+        e(f) = acc
+        f += 1
+      }
+      var h = 0L
+      var b = 0
+      while (b < 64) {
+        if (e((b + 1) % frames) > e(b % frames)) h |= (1L << b)
+        b += 1
+      }
+      (r.media_id, h)
+    }.toDF("media_id", "afp")
+  }
+
+  /** Audio near-duplicate pairs: energy-delta fingerprints within
+    * `maxHamming` bits via [[Dedup.hammingPairs]] — the third modality on
+    * the shared pigeonhole-blocking path (text SimHash, image aHash,
+    * audio energy hash). */
+  def audioNearDups(
+      media: Dataset[MediaRow],
+      maxHamming: Int = 3,
+      frameSize: Int = 256): DataFrame =
+    Dedup.hammingPairs(audioFingerprint(media, frameSize), "media_id", "afp", maxHamming)
+
   /** Metadata-only summary: never touches the binary column — check the
     * plan's ReadSchema when this runs over a parquet media table. */
   def metaSummary(media: Dataset[MediaRow]): DataFrame =
