@@ -833,8 +833,10 @@ object SparkEntry {
                      min(b) AS lob, max(b) AS hib FROM e),
        bins AS (
          SELECT event_id,
-                ((user_id - lox) * 256) // (hix - lox + 1) AS bx,
-                ((b - lob) * 256) // (hib - lob + 1) AS bb
+                least(greatest(user_id // ((hix // 256) - (lox // 256) + 1)
+                               - lox // ((hix // 256) - (lox // 256) + 1), 0), 255) AS bx,
+                least(greatest(b // ((hib // 256) - (lob // 256) + 1)
+                               - lob // ((hib // 256) - (lob // 256) + 1), 0), 255) AS bb
          FROM e, st)
        SELECT event_id, CAST($terms AS BIGINT) AS zval
        FROM bins ORDER BY event_id"""

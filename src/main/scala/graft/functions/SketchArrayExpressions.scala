@@ -214,10 +214,14 @@ case class TokenCounts(child: Expression) extends SketchArrayExpression {
       new java.util.LinkedHashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Long]()
     var i = 0
     while (i < n) {
-      val t = arr.getUTF8String(i)
-      val prev = counts.get(t)
-      counts.put(t, if (prev == null) java.lang.Long.valueOf(1L)
-                    else java.lang.Long.valueOf(prev.longValue + 1L))
+      // skip null elements (SQL-registered: arbitrary arrays may carry
+      // nulls; a null key would NPE on the output copy)
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i)
+        val prev = counts.get(t)
+        counts.put(t, if (prev == null) java.lang.Long.valueOf(1L)
+                      else java.lang.Long.valueOf(prev.longValue + 1L))
+      }
       i += 1
     }
     val out = new Array[Any](counts.size())

@@ -228,10 +228,7 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       tokenHash: Column => Column = xxHash): DataFrame = {
-    // referenced by both sides of the self-join below; 16 bytes per doc
-    val withSim = simhashes(docs, idCol, textCol, tokenHash)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    hammingPairs(withSim, "sh_id", "sim", maxHamming)
+    hammingPairs(simhashes(docs, idCol, textCol, tokenHash), "sh_id", "sim", maxHamming)
   }
 
   /** All pairs of 64-bit hashes within `maxHamming` bits, via pigeonhole
@@ -249,6 +246,11 @@ object Dedup {
       maxHamming: Int): DataFrame = {
     val blocks = maxHamming + 1
     require(blocks >= 1 && blocks <= 64, s"maxHamming $maxHamming out of range")
+    // both sides of the self-join read this frame: persist the 16-byte
+    // (id, hash) rows so the upstream pipeline (sketch fold, or a DECODE
+    // stage for image/audio fingerprints) runs once, not twice
+    val pinned = hashes.select(col(idCol), col(hashCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val width = 64 / blocks
     val chunks = (0 until blocks).map { q =>
       val lo = q * width
@@ -256,7 +258,7 @@ object Dedup {
       val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1L
       shiftright(col(hashCol), lo).bitwiseAND(lit(mask))
     }
-    val blocked = hashes.select(
+    val blocked = pinned.select(
       col(idCol).alias("__hid"), col(hashCol).alias("__h"),
       posexplode(array(chunks: _*)))
       .withColumnRenamed("pos", "block")

@@ -37,14 +37,18 @@ object Incremental {
       changes: DataFrame,
       groupCols: Seq[String],
       sumCols: Seq[String]): DataFrame = {
+    // any _change value other than insert/delete fails the job loudly —
+    // half-applying it (count unchanged, sum decremented) would silently
+    // corrupt the maintained aggregate
     val sign = when(col("_change") === "insert", lit(1L))
       .when(col("_change") === "delete", lit(-1L))
+      .otherwise(raise_error(
+        concat(lit("refreshAgg: unknown _change value '"), col("_change"), lit("'"))))
     val delta = changes
       .groupBy(groupCols.map(col): _*)
       .agg(
         sum(sign).alias("__d_cnt"),
-        sumCols.map(c =>
-          sum(when(sign === 1L, col(c)).otherwise(-col(c))).alias(s"__d_sum_$c")): _*)
+        sumCols.map(c => sum(sign * col(c)).alias(s"__d_sum_$c")): _*)
     prev.join(delta, groupCols, "full_outer")
       .select(
         groupCols.map(col) ++

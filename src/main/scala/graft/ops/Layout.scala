@@ -26,12 +26,23 @@ import graft.functions.SketchArrayExpressions.zValue
   */
 object Layout {
 
-  /** Integer bin of column `c` into `[0, 2^bits)` given its min/max: exact
-    * integer arithmetic (SQL `div`), engine-reproducible. Monotone, and the
-    * max value bins to `2^bits - 1`. */
+  /** Integer bin of column `c` into `[0, 2^bits)` given its min/max:
+    * exact integer arithmetic (SQL `div`), engine-reproducible, monotone,
+    * clamped into range. Overflow-proof for the FULL long domain — both
+    * the multiply-first spelling ((v-lo)·2^bits) and even a plain (v-lo)
+    * wrap when the observed range spans more than half the long domain
+    * (xxhash64-valued columns, epoch-nanos), silently producing garbage
+    * bins. So: width = hi div 2^bits - lo div 2^bits + 1 (each div
+    * shrinks before subtracting), bin = v div width - lo div width —
+    * truncated division is monotone, and when width = 1 the range is
+    * necessarily < 2^bits so the subtraction is small. Boundary effects
+    * can land a value one past the top bin; the least/greatest clamp
+    * keeps [0, 2^bits) while preserving monotonicity. */
   private def bin(c: String, bits: Int): Column = {
     val buckets = 1L << bits
-    expr(s"((CAST(`$c` AS BIGINT) - `__lo_$c`) * $buckets) div (`__hi_$c` - `__lo_$c` + 1)")
+    val w = s"((`__hi_$c` div $buckets) - (`__lo_$c` div $buckets) + 1)"
+    expr(s"least(greatest((CAST(`$c` AS BIGINT) div $w) - (`__lo_$c` div $w), 0), " +
+      s"${buckets - 1})")
   }
 
   /** Append `zCol`: the z-value over `cols` (each linearly binned into

@@ -223,8 +223,8 @@ object Similarity {
   }
 
   /** Per-vector symmetric int8 quantization: `scale = max|x| / 127`,
-    * `code_i = round(x_i / scale)` (half-away-from-zero via
-    * `floor(x/scale + 0.5)` — pure double ops, engine-reproducible).
+    * `code_i = floor(x_i/scale + 0.5)` (round-half-UP — half-steps round
+    * toward +inf, e.g. -2.5 → -2; pure double ops, engine-reproducible).
     * Returns `(<idCol>, q8_scale double, q8_codes array<tinyint>)` — the
     * stored representation is 4× smaller than float32, which at 100 TB is
     * the difference between an embedding corpus that fits page cache and

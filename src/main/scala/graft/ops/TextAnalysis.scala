@@ -158,9 +158,11 @@ object TextAnalysis {
     * transcendental-free arithmetic keeps every score bit-reproducible in
     * any engine, which log(x) is not across libm builds).
     *
-    * Shape at scale: one explode + two partial-aggregated groupBys
-    * ((doc, term) then term) + a 1-row corpus count broadcast into the
-    * scoring join; the per-doc top-k prunes with WindowGroupLimit.
+    * Shape at scale: per-doc term frequencies fold INSIDE the scan
+    * ([[graft.functions.TokenCounts]] — no raw term instance is ever
+    * shuffled), one partial-aggregated groupBy for document frequencies,
+    * a 1-row corpus count broadcast into the scoring join; the per-doc
+    * top-k prunes with WindowGroupLimit.
     */
   def tfRarity(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     // tf is PER-ROW (a doc's tokens live in one row): token_counts folds it

@@ -30,16 +30,21 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
-  test("z-ordering is locality-preserving: curve distance bounds box distance") {
-    // successive z-values on an 8x8 grid never jump more than the curve
-    // allows: decoding consecutive z-values yields points whose max
-    // coordinate delta is bounded (Morton property smoke check)
+  test("z-ordering is locality-preserving: each z-quartile is one quadrant") {
+    // Morton property on an 8x8 grid: z < 16 ⇔ both coords < 4, i.e. each
+    // consecutive group of 16 z-sorted points covers exactly one 4x4
+    // quadrant — the box-tightness that makes min/max stats selective
     val grid = spark.range(64).select(
       (col("id") / 8).cast("long").alias("x"), pmod(col("id"), lit(8)).alias("y"))
     val z = grid.select(zValue(array($"x", $"y"), 3).alias("z"), $"x", $"y")
       .orderBy("z").collect()
-    assert(z.map(_.getLong(0)).toSeq == z.map(_.getLong(0)).sorted.toSeq)
     assert(z.map(_.getLong(0)).distinct.length == 64) // bijection on the grid
+    for (k <- 0 until 4) {
+      val quad = z.slice(k * 16, (k + 1) * 16)
+      val xs = quad.map(_.getLong(1)); val ys = quad.map(_.getLong(2))
+      assert(xs.max - xs.min == 3 && ys.max - ys.min == 3,
+        s"quartile $k spans x ${xs.min}-${xs.max}, y ${ys.min}-${ys.max}")
+    }
   }
 
   test("withZValue bins via min/max and keeps all rows") {
@@ -51,6 +56,20 @@ class LayoutSpec extends SparkSpec {
     // min rows bin to 0 -> z 0; max rows bin to 3,3 -> z = 0b1111
     val zs = out.orderBy("a").select("__z").collect().map(_.getLong(0))
     assert(zs.head == 0L && zs.last == 15L)
+  }
+
+  test("binning survives full-range (hash-valued) columns without overflow") {
+    // a column spanning nearly the whole long domain: any (v-lo) or
+    // (v-lo)*2^bits spelling wraps; bins must stay in range and monotone
+    val df = Seq(Long.MinValue + 1, Long.MinValue / 2, -1L, 0L, 1L,
+        Long.MaxValue / 2, Long.MaxValue)
+      .map((_, 0L)).toDF("h", "y")
+    val out = Layout.withZValue(df, Seq("h", "y"), bits = 8)
+      .orderBy("h").select("__z").collect().map(_.getLong(0))
+    assert(out.forall(z => z >= 0L && z < (1L << 16)), out.toSeq)
+    assert(out.zip(out.tail).forall { case (a, b) => a <= b },
+      s"z not monotone in h: ${out.toSeq}")
+    assert(out.distinct.length >= 5, s"wide range collapsed: ${out.toSeq}")
   }
 
   test("cluster shrinks per-partition bounding boxes vs single-column sort") {

@@ -180,6 +180,7 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val conf = spark.conf
     val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
       "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
     try {

@@ -72,6 +72,11 @@ class VectorExprSpec extends SparkSpec {
     assert(out.getSeq[Float](1).length == 4)
     val tc = out.getSeq[org.apache.spark.sql.Row](2)
     assert(tc.map(r => r.getString(0) -> r.getLong(1)) == Seq("a" -> 2L, "b" -> 1L))
+    // SQL-exposed: null elements are skipped, not NPE'd
+    val withNull = spark.sql(
+      "SELECT token_counts(array('a', CAST(NULL AS STRING), 'a')) AS tc")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(withNull.map(r => r.getString(0) -> r.getLong(1)) == Seq("a" -> 2L))
   }
 
   test("works on double arrays and mismatched lengths (min-length semantics)") {
