@@ -105,6 +105,18 @@ object SparkEntry {
           Multimodal.mediaFromDocuments(docs(s, dir)), maxHamming = 3,
           frameSize = 64)
         .orderBy("id_a", "id_b")),
+    // Video near-dup pairs: shared sampled-frame fingerprints (md5 content
+    // hashes), equi-join candidates, pair counted on shared frames. The
+    // query pins nFrames=8 (a fixed sampling grid) — frame-set overlap
+    // only means anything when both sides slice on the same grid; the
+    // fixture's id-derived frame counts would make every pair disjoint.
+    "multimodal_video_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.mediaFromDocuments(docs(s, dir))
+        .map(r => if (r.kind == "video") r.copy(meta = r.meta.copy(nFrames = 8)) else r)
+      Multimodal.videoNearDups(media, stride = 2, minSharedFrames = 2)
+        .orderBy("id_a", "id_b")
+    }),
     // TPC-H Q3 (shipping priority): the canonical fact-fact-dim join +
     // grouped revenue + deterministic top-10. The dim filter broadcasts;
     // the lineitem/orders join shuffles on orderkey once.
@@ -749,6 +761,31 @@ object SparkEntry {
        ORDER BY id_a, id_b"""
   }
 
+  /** Frame fingerprints from the exact sampleFrames slicing (chunk =
+    * max(len div nFrames, 1), every `stride`-th frame, end-clamped
+    * substring, empty frames dropped), md5 content hashes, shared-frame
+    * counting — mirrors [[graft.ops.Multimodal.videoNearDups]]. */
+  private def multimodalVideoNearDupSql: String =
+    s"""WITH v AS (
+         SELECT doc_id AS media_id, text,
+                8 AS nf,
+                greatest(length(text) // 8, 1) AS chunk,
+                length(text) AS n
+         FROM documents WHERE doc_id % 3 = 2),
+       fr0 AS (
+         SELECT media_id, text, chunk, n,
+                unnest(range(0, nf, 2)) AS f
+         FROM v),
+       fr AS (
+         SELECT DISTINCT media_id,
+                md5(substring(text, CAST(f * chunk AS INT) + 1, CAST(chunk AS INT))) AS ffp
+         FROM fr0 WHERE f * chunk < n)
+       SELECT a.media_id AS id_a, b.media_id AS id_b,
+              count(*) AS shared_frames
+       FROM fr a JOIN fr b ON a.ffp = b.ffp AND a.media_id < b.media_id
+       GROUP BY 1, 2 HAVING count(*) >= 2
+       ORDER BY id_a, id_b"""
+
   private def multimodalDecodeBandsSql: String =
     s"""WITH $multimodalDecodeCtes
        SELECT media_id, CAST(t.r AS BIGINT) AS band, e[CAST(t.r AS INT) + 1] AS value
@@ -1023,6 +1060,7 @@ object SparkEntry {
     "multimodal_decode_bands" -> multimodalDecodeBandsSql,
     "multimodal_image_neardup" -> multimodalAhashSql,
     "multimodal_audio_neardup" -> multimodalAudioFpSql,
+    "multimodal_video_neardup" -> multimodalVideoNearDupSql,
     "dedup_corpus_semantic" -> dedupCorpusSemanticSql,
     "q_bronze_wrap" ->
       """SELECT props AS raw_json, DATE '2024-01-15' AS extraction_date

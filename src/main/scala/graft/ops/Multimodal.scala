@@ -191,6 +191,32 @@ object Multimodal {
     }
   }
 
+  /** Video near-duplicate pairs: two videos match when they share at
+    * least `minSharedFrames` identical sampled frames (by content
+    * fingerprint). Frames are fingerprinted (md5 — 16 bytes travel, never
+    * the frame payload), deduped per video, and candidate pairs come from
+    * an equi-join on the fingerprint — the shape that stays an equi-join
+    * at 100 TB instead of a frame-by-frame cross comparison. Completes
+    * the modality set on shared infrastructure: text (SimHash), image
+    * (aHash), audio (energy hash), video (frame-set overlap). */
+  def videoNearDups(
+      media: Dataset[MediaRow],
+      stride: Int = 2,
+      minSharedFrames: Int = 2): DataFrame = {
+    val fp = sampleFrames(media, stride).toDF()
+      .filter(length(col("frame_bytes")) > 0)
+      .select(col("media_id"), md5(col("frame_bytes")).alias("ffp"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fp.alias("a").join(fp.alias("b"),
+        col("a.ffp") === col("b.ffp") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").alias("id_a"), col("b.media_id").alias("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).alias("shared_frames"))
+      .filter(col("shared_frames") >= minSharedFrames)
+  }
+
   /** Per-frame audio energy. */
   final case class AudioFrame(
       media_id: Long, frame_index: Long, n_samples: Long, energy: Long)
