@@ -167,6 +167,53 @@ case class VecCosine(left: Expression, right: Expression) extends VectorBinaryEx
     copy(left = l, right = r)
 }
 
+/** `vec_eq_count(a, b)` — number of positions (up to the shorter length)
+  * where both elements are non-null and equal. The MinHash
+  * signature-agreement kernel: the composable `size(filter(zip_with(...)))`
+  * spelling allocates two intermediate arrays per candidate pair and
+  * evaluates lambdas interpretively — this is one compiled loop. */
+case class VecEqCount(left: Expression, right: Expression) extends VectorBinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lf = elemTypeOf(left); val rf = elemTypeOf(right)
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i) && get(x, i, lf) == get(y, i, rf)) c += 1L
+      i += 1
+    }
+    c
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val lf = elemTypeOf(left); val rf = elemTypeOf(right)
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        long $c = 0L;
+        for (int $i = 0; $i < $n; $i++) {
+          if (!$a.isNullAt($i) && !$b.isNullAt($i) &&
+              ${getJava(a, i, lf)} == ${getJava(b, i, rf)}) {
+            $c++;
+          }
+        }
+        ${ev.value} = $c;
+      """
+    })
+
+  override def prettyName: String = "vec_eq_count"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column-API + SQL registration for the native vector functions. */
 object VectorFunctions {
 
@@ -177,6 +224,9 @@ object VectorFunctions {
     Shims.column(VecCosine(Shims.expression(a), Shims.expression(b)))
 
   def norm(a: Column): Column = org.apache.spark.sql.functions.sqrt(dot(a, a))
+
+  def eqCount(a: Column, b: Column): Column =
+    Shims.column(VecEqCount(Shims.expression(a), Shims.expression(b)))
 
   /** Extract a foldable integer argument (e.g. `minhash_array(sh, 32)`):
     * a clear analysis-time error for a non-literal instead of an opaque
@@ -191,6 +241,7 @@ object VectorFunctions {
   val registry: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> { args => VecDot(args(0), args(1)) },
     "vec_cosine" -> { args => VecCosine(args(0), args(1)) },
+    "vec_eq_count" -> { args => VecEqCount(args(0), args(1)) },
     "shingle_windows" -> { args =>
       ShingleWindows(args(0), intArg(args(1), "shingle_windows")) },
     "minhash_array" -> { args =>
@@ -223,6 +274,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       org.apache.spark.sql.catalyst.FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[VecCosine].getName, "vec_cosine"),
       (args: Seq[Expression]) => VecCosine(args(0), args(1))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("vec_eq_count"),
+      new ExpressionInfo(classOf[VecEqCount].getName, "vec_eq_count"),
+      (args: Seq[Expression]) => VecEqCount(args(0), args(1))))
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("shingle_windows"),
       new ExpressionInfo(classOf[ShingleWindows].getName, "shingle_windows"),

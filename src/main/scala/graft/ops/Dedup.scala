@@ -187,8 +187,11 @@ object Dedup {
       .join(sig.select(col("mh_id").alias("id_b"), col("sig").alias("sig_b")), "id_b")
       .select(
         col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("int")), v => v === 1)).cast("double")
-          / lit(numHashes.toDouble)).alias("est_jaccard"))
+        // codegen'd signature agreement — one compiled loop per candidate
+        // pair vs two interpreted intermediate arrays for the zip_with
+        // spelling (identical result; oracle pins it)
+        (graft.functions.VectorFunctions.eqCount(col("sig_a"), col("sig_b"))
+          .cast("double") / lit(numHashes.toDouble)).alias("est_jaccard"))
       .filter(col("est_jaccard") >= minJaccard)
   }
 

@@ -84,6 +84,25 @@ class VectorExprSpec extends SparkSpec {
     assert(d.select(VectorFunctions.dot($"a", $"b")).collect().head.getDouble(0) == 8.0)
   }
 
+  test("vec_eq_count matches the zip_with reference, codegen strict") {
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val d = spark.range(200).select(
+        transform(sequence(lit(1L), lit(16L)), i => $"id" * i % 7).alias("a"),
+        transform(sequence(lit(1L), lit(16L)), i => $"id" * i % 5).alias("b"))
+      val rows = d.select(
+        graft.functions.VectorFunctions.eqCount($"a", $"b").alias("native"),
+        size(filter(zip_with($"a", $"b", (x, y) => (x === y).cast("int")),
+          v => v === 1)).cast("long").alias("ref")).collect()
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+      // min-length + self-equality sanity
+      val m = Seq((Seq(1L, 2L, 3L), Seq(1L, 9L))).toDF("a", "b")
+      assert(m.select(graft.functions.VectorFunctions.eqCount($"a", $"b"))
+        .collect().head.getLong(0) == 1L)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("integral arrays: tinyint/long dots are exact (quantized ANN path)") {
     // NB: Scala Array[Byte] encodes as BinaryType — build array<tinyint>
     // via cast, the same shape Similarity.quantize produces
