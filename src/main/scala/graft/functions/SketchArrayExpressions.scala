@@ -273,6 +273,57 @@ case class ZValueArray(child: Expression, bits: Int) extends SketchArrayExpressi
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** `srp_keys(vec)`: all `tables` SRP-LSH bucket keys of an embedding in
+  * ONE pass over the array — the fused form of `tables × bits` separate
+  * plane dot products (each of which re-traverses the vector). The
+  * transposed loop adds `v_d · sign(p,d)` into every plane accumulator
+  * for ascending d, so each plane's projection is the SAME left-to-right
+  * fold as `vec_dot(vec, planeSigns)` — bit-identical keys, and the
+  * cross-engine oracle built from the literal plane matrix keeps
+  * matching. Null elements are skipped (VecDot semantics). */
+case class SrpKeys(child: Expression, dim: Int, bits: Int, tables: Int)
+  extends SketchArrayExpression {
+
+  override protected def elemType: DataType = FloatType
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // plane-major sign matrix [tables·bits][dim]
+  private val signs: Array[Array[Double]] =
+    Array.tabulate(tables * bits)(p =>
+      graft.ops.Similarity.planeSignVector(p, dim).toArray)
+
+  override def compute(arr: ArrayData): Any = {
+    val nPlanes = tables * bits
+    val acc = new Array[Double](nPlanes)
+    val n = math.min(arr.numElements(), dim)
+    var d = 0
+    while (d < n) {
+      if (!arr.isNullAt(d)) {
+        val v = arr.getFloat(d).toDouble
+        var p = 0
+        while (p < nPlanes) { acc(p) += v * signs(p)(d); p += 1 }
+      }
+      d += 1
+    }
+    val keys = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var key = 0L
+      var b = 0
+      while (b < bits) {
+        if (acc(t * bits + b) >= 0) key |= (1L << b)
+        b += 1
+      }
+      keys(t) = key
+      t += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  override def prettyName: String = "srp_keys"
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
 object SketchArrayExpressions {
   def shingleWindows(th: Column, k: Int): Column =
     Shims.column(ShingleWindows(Shims.expression(th), k))
@@ -286,4 +337,6 @@ object SketchArrayExpressions {
     Shims.column(ZValueArray(Shims.expression(bins), bits))
   def tokenCounts(toks: Column): Column =
     Shims.column(TokenCounts(Shims.expression(toks)))
+  def srpKeys(vec: Column, dim: Int, bits: Int, tables: Int): Column =
+    Shims.column(SrpKeys(Shims.expression(vec), dim, bits, tables))
 }

@@ -141,23 +141,16 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("corpus_id"), col("score"))
   }
 
-  private def srpKeyOffset(vec: Column, dim: Int, bits: Int, offset: Int): Column = {
-    val planes = (0 until bits).map { p0 =>
-      val signs = (0 until dim).map(d => planeSign(p0 + offset, d))
-      val proj = dot(vec, typedLit(signs))
-      when(proj >= 0, shiftleft(lit(1L), p0)).otherwise(lit(0L))
-    }
-    planes.reduce(_.bitwiseOR(_))
-  }
-
   /** One row per (id, table, bucket-key): all tables' SRP keys computed in
-    * a single projection and exploded — the join side of candidate
+    * a single pass over the embedding ([[graft.functions.SrpKeys]] — the
+    * per-plane `vec_dot` spelling re-traverses the array `tables × bits`
+    * times for identical keys) and exploded — the join side of candidate
     * generation. Only (id, tbl, bkey) travel into the exchange. */
   private def explodeKeys(
       df: DataFrame, id: Column, vec: Column,
       dim: Int, bits: Int, tables: Int): DataFrame =
-    df.select(id, posexplode(array(
-        (0 until tables).map(t => srpKeyOffset(vec, dim, bits, t * bits)): _*)))
+    df.select(id, posexplode(
+        graft.functions.SketchArrayExpressions.srpKeys(vec, dim, bits, tables)))
       .withColumnRenamed("pos", "tbl")
       .withColumnRenamed("col", "bkey")
 

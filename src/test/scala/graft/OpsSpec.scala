@@ -138,6 +138,14 @@ class OpsSpec extends SparkSpec {
     // 6 independent planes over 200 scattered vectors fill most of the
     // 64-key space; the degenerate checkerboard yields exactly 2 keys.
     assert(keys.distinct.length > 32, s"only ${keys.distinct.length} distinct SRP keys")
+    // the fused single-pass expression produces the SAME keys, table by
+    // table, as the per-plane vec_dot composition (same fold order)
+    val both = vecs.select(
+      graft.functions.SketchArrayExpressions.srpKeys($"embedding", 16, 6, 2).alias("fused"),
+      ops.Similarity.srpKey($"embedding", 16, 6).alias("t0"))
+      .collect()
+    both.foreach(r => assert(r.getSeq[Long](0).head == r.getLong(1)))
+    assert(both.map(_.getSeq[Long](0)(1)).distinct.length > 16) // table 1 spreads too
   }
 
   test("ivf with full probing equals brute force; partial probing is a subset") {
