@@ -145,7 +145,8 @@ object SparkEntry {
       val n = broadcast(Parity.t(s, dir, "nation"))
       Parity.t(s, dir, "lineitem")
         .join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(Parity.t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Parity.t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(Parity.t(s, dir, "customer")),
           col("o_custkey") === col("c_custkey") &&
           col("c_nationkey") === col("s_nationkey"))
