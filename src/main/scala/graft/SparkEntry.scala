@@ -105,6 +105,17 @@ object SparkEntry {
           Multimodal.mediaFromDocuments(docs(s, dir)), maxHamming = 3,
           frameSize = 64)
         .orderBy("id_a", "id_b")),
+    // Distribution drift between corpus slices: shared integer histogram
+    // grid + per-bin chi-square contributions with an order-controlled
+    // running total — the "new data doesn't look like the old data" gate.
+    "quality_drift" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.quality.Drift.histogramDrift(
+          d.filter(pmod(col("doc_id"), lit(2)) === 0),
+          d.filter(pmod(col("doc_id"), lit(2)) === 1),
+          "n_chars", bits = 4)
+        .orderBy("bin")
+    }),
     // Video near-dup pairs: shared sampled-frame fingerprints (md5 content
     // hashes), equi-join candidates, pair counted on shared frames. The
     // query pins nFrames=8 (a fixed sampling grid) — frame-set overlap
@@ -1062,6 +1073,40 @@ object SparkEntry {
     "multimodal_image_neardup" -> multimodalAhashSql,
     "multimodal_audio_neardup" -> multimodalAudioFpSql,
     "multimodal_video_neardup" -> multimodalVideoNearDupSql,
+    "quality_drift" ->
+      """WITH ref AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 0),
+         cur AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 1),
+         st AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM ref),
+         ra AS (
+           SELECT least(greatest(n_chars // ((hi // 16) - (lo // 16) + 1)
+                                 - lo // ((hi // 16) - (lo // 16) + 1), 0), 15) AS bin,
+                  count(*) AS cnt_ref
+           FROM ref, st GROUP BY 1),
+         rb AS (
+           SELECT least(greatest(n_chars // ((hi // 16) - (lo // 16) + 1)
+                                 - lo // ((hi // 16) - (lo // 16) + 1), 0), 15) AS bin,
+                  count(*) AS cnt_cur
+           FROM cur, st GROUP BY 1),
+         sz AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM ref) AS na,
+                       (SELECT CAST(count(*) AS DOUBLE) FROM cur) AS nb),
+         g AS (SELECT unnest(range(0, 16)) AS bin),
+         j AS (
+           SELECT g.bin, coalesce(ra.cnt_ref, 0) AS cnt_ref,
+                  coalesce(rb.cnt_cur, 0) AS cnt_cur
+           FROM g LEFT JOIN ra ON g.bin = ra.bin LEFT JOIN rb ON g.bin = rb.bin),
+         e AS (
+           SELECT bin, cnt_ref, cnt_cur, cnt_ref * nb / na AS expected_cur
+           FROM j, sz),
+         c AS (
+           SELECT bin, cnt_ref, cnt_cur, expected_cur,
+                  CASE WHEN expected_cur > 0
+                       THEN (cnt_cur - expected_cur) * (cnt_cur - expected_cur) / expected_cur
+                       ELSE 0.0 END AS contrib
+           FROM e)
+         SELECT bin, CAST(cnt_ref AS BIGINT) AS cnt_ref,
+                CAST(cnt_cur AS BIGINT) AS cnt_cur, expected_cur, contrib,
+                sum(contrib) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS chi2_running
+         FROM c ORDER BY bin""",
     "dedup_corpus_semantic" -> dedupCorpusSemanticSql,
     "q_bronze_wrap" ->
       """SELECT props AS raw_json, DATE '2024-01-15' AS extraction_date

@@ -42,4 +42,23 @@ class QualitySpec extends SparkSpec {
     // and only the checked columns are read
     assert(!scans.head.schema.fieldNames.contains("c_nationkey"))
   }
+
+  test("drift: identical distributions score ~0, a shift scores high") {
+    import spark.implicits._
+    val ref = (1L to 400L).map(i => i % 100).toDF("v")
+    val same = (1L to 200L).map(i => i % 100).toDF("v")
+    val shifted = (1L to 200L).map(i => 50 + i % 50).toDF("v")
+    def chi2(cur: org.apache.spark.sql.DataFrame): Double =
+      graft.quality.Drift.histogramDrift(ref, cur, "v", bits = 4)
+        .orderBy(org.apache.spark.sql.functions.col("bin").desc)
+        .select("chi2_running").collect().head.getDouble(0)
+    val low = chi2(same)
+    val high = chi2(shifted)
+    assert(low < 1.0, s"identical-shape drift should be ~0, got $low")
+    assert(high > 100.0, s"half-range shift should dominate, got $high")
+    // all rows binned: counts conserve
+    val rows = graft.quality.Drift.histogramDrift(ref, shifted, "v", bits = 4).collect()
+    assert(rows.map(_.getAs[Long]("cnt_ref")).sum == 400L)
+    assert(rows.map(_.getAs[Long]("cnt_cur")).sum == 200L)
+  }
 }
