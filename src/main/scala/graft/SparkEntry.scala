@@ -752,16 +752,17 @@ object SparkEntry {
     s"""WITH a AS (
          SELECT doc_id AS media_id,
                 list_transform(list_filter(string_split(text, ''), c -> c <> ''),
-                               c -> CAST(ascii(c) AS BIGINT)) AS cs
+                               c -> CAST(ascii(c) AS BIGINT)) AS cs,
+                greatest(least(64, length(text) // 8), 1) AS eff
          FROM documents WHERE doc_id % 3 = 1),
        en AS (
          SELECT media_id,
                 list_transform(
-                  range(0, greatest(CAST(ceil(len(cs) / 64.0) AS BIGINT), 1)),
+                  range(0, greatest((len(cs) + eff - 1) // eff, 1)),
                   f -> list_reduce(list_prepend(CAST(0 AS BIGINT),
                          list_transform(
-                           list_slice(cs, CAST(f * 64 AS INT) + 1,
-                                      CAST(least(len(cs), (f + 1) * 64) AS INT)),
+                           list_slice(cs, CAST(f * eff AS INT) + 1,
+                                      CAST(least(len(cs), (f + 1) * eff) AS INT)),
                            c -> (c - 128) * (c - 128))),
                        (x, y) -> x + y)) AS e
          FROM a),

@@ -284,8 +284,22 @@ case class ZValueArray(child: Expression, bits: Int) extends SketchArrayExpressi
 case class SrpKeys(child: Expression, dim: Int, bits: Int, tables: Int)
   extends SketchArrayExpression {
 
-  override protected def elemType: DataType = FloatType
+  override protected def elemType: DataType = FloatType // unused: check overridden
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // accept float OR double embeddings (the per-plane vec_dot spelling this
+  // fuses accepted any numeric array; narrowing would break callers)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float|double>, got $t")
+    }
+
+  private lazy val elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   // plane-major sign matrix [tables·bits][dim]
   private val signs: Array[Array[Double]] =
@@ -299,7 +313,7 @@ case class SrpKeys(child: Expression, dim: Int, bits: Int, tables: Int)
     var d = 0
     while (d < n) {
       if (!arr.isNullAt(d)) {
-        val v = arr.getFloat(d).toDouble
+        val v = if (elemIsFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
         var p = 0
         while (p < nPlanes) { acc(p) += v * signs(p)(d); p += 1 }
       }

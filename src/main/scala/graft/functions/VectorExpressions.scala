@@ -47,6 +47,29 @@ abstract class VectorBinaryExpression extends BinaryExpression {
   protected def elemTypeOf(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
+  protected def isIntegral(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** Integral element getter (exact — no double round-trip). */
+  protected def getLong(arr: ArrayData, i: Int, t: DataType): Long = t match {
+    case ByteType => arr.getByte(i).toLong
+    case ShortType => arr.getShort(i).toLong
+    case IntegerType => arr.getInt(i).toLong
+    case LongType => arr.getLong(i)
+    case other => throw new IllegalStateException(s"not integral: $other")
+  }
+
+  /** Java integral element-read snippet for codegen. */
+  protected def getLongJava(arr: String, i: String, t: DataType): String = t match {
+    case ByteType => s"(long) $arr.getByte($i)"
+    case ShortType => s"(long) $arr.getShort($i)"
+    case IntegerType => s"(long) $arr.getInt($i)"
+    case LongType => s"$arr.getLong($i)"
+    case other => throw new IllegalStateException(s"not integral: $other")
+  }
+
   /** Element getter for interpreted eval. */
   protected def get(arr: ArrayData, i: Int, t: DataType): Double = t match {
     case FloatType => arr.getFloat(i).toDouble
@@ -176,15 +199,26 @@ case class VecEqCount(left: Expression, right: Expression) extends VectorBinaryE
 
   override def dataType: DataType = LongType
 
+  // both integral → compare as long (a double round-trip would equate
+  // distinct values above 2^53); anything else compares as double
+  private def bothIntegral: Boolean =
+    isIntegral(elemTypeOf(left)) && isIntegral(elemTypeOf(right))
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val lf = elemTypeOf(left); val rf = elemTypeOf(right)
+    val asLong = bothIntegral
     val n = math.min(x.numElements(), y.numElements())
     var c = 0L
     var i = 0
     while (i < n) {
-      if (!x.isNullAt(i) && !y.isNullAt(i) && get(x, i, lf) == get(y, i, rf)) c += 1L
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        val eq =
+          if (asLong) getLong(x, i, lf) == getLong(y, i, rf)
+          else get(x, i, lf) == get(y, i, rf)
+        if (eq) c += 1L
+      }
       i += 1
     }
     c
@@ -196,12 +230,14 @@ case class VecEqCount(left: Expression, right: Expression) extends VectorBinaryE
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val c = ctx.freshName("c")
+      val cmp =
+        if (bothIntegral) s"${getLongJava(a, i, lf)} == ${getLongJava(b, i, rf)}"
+        else s"${getJava(a, i, lf)} == ${getJava(b, i, rf)}"
       s"""
         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         long $c = 0L;
         for (int $i = 0; $i < $n; $i++) {
-          if (!$a.isNullAt($i) && !$b.isNullAt($i) &&
-              ${getJava(a, i, lf)} == ${getJava(b, i, rf)}) {
+          if (!$a.isNullAt($i) && !$b.isNullAt($i) && $cmp) {
             $c++;
           }
         }

@@ -44,11 +44,18 @@ object Incremental {
       .when(col("_change") === "delete", lit(-1L))
       .otherwise(raise_error(
         concat(lit("refreshAgg: unknown _change value '"), col("_change"), lit("'"))))
+    // sums fold via when/otherwise (not sign * value): multiplying a
+    // DECIMAL by the long sign would widen the result type per refresh,
+    // breaking consumers with pinned schemas. The raise_error inside
+    // `sign` (evaluated for __d_cnt on every row) still fails the job on
+    // an unknown _change before a half-applied fold can commit.
     val delta = changes
       .groupBy(groupCols.map(col): _*)
       .agg(
         sum(sign).alias("__d_cnt"),
-        sumCols.map(c => sum(sign * col(c)).alias(s"__d_sum_$c")): _*)
+        sumCols.map(c =>
+          sum(when(col("_change") === "insert", col(c)).otherwise(-col(c)))
+            .alias(s"__d_sum_$c")): _*)
     prev.join(delta, groupCols, "full_outer")
       .select(
         groupCols.map(col) ++

@@ -38,10 +38,17 @@ object Layout {
     * necessarily < 2^bits so the subtraction is small. Boundary effects
     * can land a value one past the top bin; the least/greatest clamp
     * keeps [0, 2^bits) while preserving monotonicity. */
-  private def bin(c: String, bits: Int): Column = {
+  private def bin(c: String, bits: Int): Column =
+    binExpr(c, s"__lo_$c", s"__hi_$c", bits)
+
+  /** The overflow-proof integer bin as a reusable expression over named
+    * columns — shared with [[graft.quality.Drift]] so layout clustering
+    * and drift histograms can never bin differently. */
+  private[graft] def binExpr(
+      valueCol: String, loCol: String, hiCol: String, bits: Int): Column = {
     val buckets = 1L << bits
-    val w = s"((`__hi_$c` div $buckets) - (`__lo_$c` div $buckets) + 1)"
-    expr(s"least(greatest((CAST(`$c` AS BIGINT) div $w) - (`__lo_$c` div $w), 0), " +
+    val w = s"((`$hiCol` div $buckets) - (`$loCol` div $buckets) + 1)"
+    expr(s"least(greatest((CAST(`$valueCol` AS BIGINT) div $w) - (`$loCol` div $w), 0), " +
       s"${buckets - 1})")
   }
 

@@ -259,12 +259,17 @@ object Multimodal {
     import spark.implicits._
     media.filter(_.kind == "audio").map { r =>
       val n = r.bytes.length
-      val frames = math.max(1, (n + frameSize - 1) / frameSize)
+      // clips shorter than ~8 frames would fingerprint degenerately (a
+      // single-frame clip hashes to 0 and pairs with every other short
+      // clip at hamming 0): shrink the frame so every clip of ≥8 samples
+      // contributes at least 8 energy deltas
+      val eff = math.max(1, math.min(frameSize, n / 8))
+      val frames = math.max(1, (n + eff - 1) / eff)
       val e = new Array[Long](frames)
       var f = 0
       while (f < frames) {
-        val start = f * frameSize
-        val end = math.min(n, start + frameSize)
+        val start = f * eff
+        val end = math.min(n, start + eff)
         var acc = 0L
         var i = start
         while (i < end) {

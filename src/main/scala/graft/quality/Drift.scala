@@ -20,10 +20,11 @@ import org.apache.spark.sql.functions._
   * aggregate, so the double result is reproducible anywhere). The final
   * bin's `chi2_running` is the statistic.
   *
-  * Scale shape: one tiny stats aggregate on the reference, one
-  * partial-aggregated groupBy per side on the bin id (≤ `2^bits` groups),
-  * a broadcast-sized join of two histograms. The corpora stream through
-  * once each.
+  * Scale shape: one tiny stats aggregate plus one partial-aggregated
+  * histogram groupBy over the reference (two scans — the grid must exist
+  * before binning), one histogram scan over the current side; the
+  * ≤ `2^bits`-row histograms are pinned and everything downstream
+  * (sizes, grid join, window) works on them alone.
   */
 object Drift {
 
@@ -33,24 +34,29 @@ object Drift {
       valueCol: String,
       bits: Int = 4): DataFrame = {
     val buckets = 1L << bits
-    val stats = reference.agg(
+    // null metric values belong to neither histogram NOR the totals —
+    // counting them in the sizes but not the bins would fabricate drift
+    // on identical distributions
+    val ref = reference.filter(col(valueCol).isNotNull)
+    val cur = current.filter(col(valueCol).isNotNull)
+    val stats = ref.agg(
       min(col(valueCol).cast("long")).alias("__lo"),
       max(col(valueCol).cast("long")).alias("__hi"))
     def binned(df: DataFrame) = df
       .crossJoin(broadcast(stats))
-      .select(expr(
-        s"least(greatest((CAST(`$valueCol` AS BIGINT) div " +
-          s"((`__hi` div $buckets) - (`__lo` div $buckets) + 1)) - " +
-          s"(`__lo` div ((`__hi` div $buckets) - (`__lo` div $buckets) + 1)), 0), " +
-          s"${buckets - 1})").alias("bin"))
+      .select(graft.ops.Layout.binExpr(valueCol, "__lo", "__hi", bits).alias("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).alias("cnt"))
-    val a = binned(reference).withColumnRenamed("cnt", "cnt_ref")
-    val b = binned(current).withColumnRenamed("cnt", "cnt_cur")
-    // corpus sizes stay in-plan (1-row aggregates, broadcast) — no driver
-    // action inside the operator
+    // localCheckpoint pins the ≤2^bits-row histograms so the size
+    // aggregates and the grid join below reuse them instead of re-scanning
+    // the corpora: reference is read twice total (stats, histogram),
+    // current once
+    val a = binned(ref).withColumnRenamed("cnt", "cnt_ref").localCheckpoint(true)
+    val b = binned(cur).withColumnRenamed("cnt", "cnt_cur").localCheckpoint(true)
+    // every non-null row lands in a (clamped) bin, so the corpus sizes
+    // are the histogram totals — no extra scans, no driver action
     val sizes = broadcast(
-      reference.agg(count(lit(1)).cast("double").alias("__na"))
-        .crossJoin(current.agg(count(lit(1)).cast("double").alias("__nb"))))
+      a.agg(sum(col("cnt_ref")).cast("double").alias("__na"))
+        .crossJoin(b.agg(sum(col("cnt_cur")).cast("double").alias("__nb"))))
     val grid = reference.sparkSession.range(buckets).select(col("id").alias("bin"))
     val w = Window.orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

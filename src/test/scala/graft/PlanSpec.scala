@@ -142,10 +142,17 @@ class PlanSpec extends SparkSpec {
     // the stored aggregate)
     val p = plan("q_incremental_agg")
     assert(p.contains("partial_count") || p.contains("Partial"))
-    // no raw orders column (o_orderkey) survives into any exchange row
-    val exchanges = p.linesIterator.zipWithIndex.toSeq
-      .filter(_._1.contains("Arguments: hashpartitioning"))
-    assert(exchanges.nonEmpty)
+    // every hash exchange moves aggregate rows, never raw orders rows:
+    // the Input line of each Exchange block must not carry o_orderkey
+    val lines = p.linesIterator.toVector
+    val exchangeIdx = lines.zipWithIndex.collect {
+      case (l, i) if l.matches("""\(\d+\) Exchange.*""") => i }
+    assert(exchangeIdx.nonEmpty)
+    exchangeIdx.foreach { i =>
+      val input = lines.drop(i).take(4).find(_.trim.startsWith("Input"))
+      input.foreach(in => assert(!in.contains("o_orderkey"),
+        s"raw orders rows cross an exchange: $in"))
+    }
   }
 
   test("tpch3/tpch5: dims broadcast, facts shuffle on join keys only") {
