@@ -28,6 +28,18 @@ import org.apache.spark.sql.functions._
   */
 object Drift {
 
+  /** The chi-square statistic alone (the last bin's running total) —
+    * the scalar a gate compares against a threshold. */
+  def chiSquare(
+      reference: DataFrame,
+      current: DataFrame,
+      valueCol: String,
+      bits: Int = 4): Double = {
+    val rows = histogramDrift(reference, current, valueCol, bits)
+      .orderBy(col("bin").desc).select(col("chi2_running")).limit(1).collect()
+    if (rows.isEmpty) 0.0 else rows.head.getDouble(0)
+  }
+
   def histogramDrift(
       reference: DataFrame,
       current: DataFrame,

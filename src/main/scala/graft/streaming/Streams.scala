@@ -259,6 +259,40 @@ object Streams {
       }
       .start()
 
+  /** Drift-gated streaming sink: each micro-batch's distribution of
+    * `valueCol` is compared against a pinned reference corpus
+    * ([[graft.quality.Drift.chiSquare]]); batches within `maxChi2` append
+    * to `table`, drifted batches land whole in `quarantineTable` — the
+    * statistical companion to the rule-based
+    * [[sinkToCatalogValidated]] ("the new data doesn't LOOK like the
+    * training distribution" caught before it reaches the serving table).
+    * Same exactly-once batchId transaction as the other catalog sinks;
+    * a replayed batch recomputes the same statistic on the same rows and
+    * routes identically. */
+  def sinkToCatalogDriftGated(
+      stream: DataFrame,
+      table: String,
+      quarantineTable: String,
+      reference: DataFrame,
+      valueCol: String,
+      maxChi2: Double,
+      checkpointDir: String,
+      bits: Int = 4): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ref = reference.localCheckpoint(true) // pin: scanned every batch
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val pinned = batch.localCheckpoint(true) // scanned twice: gate + write
+        val chi2 = graft.quality.Drift.chiSquare(ref, pinned, valueCol, bits)
+        val target = if (chi2 <= maxChi2) table else quarantineTable
+        pinned.writeTo(target)
+          .option(graft.storage.GraftCatalog.TxnAppIdOption, checkpointDir)
+          .option(graft.storage.GraftCatalog.TxnVersionOption, batchId.toString)
+          .append()
+      }
+      .start()
+  }
+
   /** Streaming materialized view: every micro-batch appends to `baseTable`
     * AND folds into the grouped aggregate in `aggTable`
     * ([[graft.ops.Incremental.refreshAgg]] with the batch as an

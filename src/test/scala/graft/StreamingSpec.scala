@@ -71,6 +71,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("drift-gated sink: in-distribution batches pass, shifted batches quarantine") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory("graft-dg").toString
+    spark.conf.set("spark.sql.catalog.dg", classOf[graft.storage.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dg.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS dg.s")
+    val empty = Seq.empty[(Long, Long)].toDF("id", "v")
+    empty.writeTo("dg.s.ok").using("parquet").create()
+    empty.writeTo("dg.s.bad").using("parquet").create()
+    val reference = (1L to 400L).map(i => (i, i % 100)).toDF("id", "v")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dg-ckpt").toString
+    val input = MemoryStream[(Long, Long)]
+    val q = Streams.sinkToCatalogDriftGated(
+      input.toDF().toDF("id", "v"), "dg.s.ok", "dg.s.bad",
+      reference, "v", maxChi2 = 50.0, ckpt)
+    try {
+      input.addData((1001L to 1200L).map(i => (i, i % 100)): _*) // same shape
+      q.processAllAvailable()
+      input.addData((2001L to 2200L).map(i => (i, 50 + i % 50)): _*) // shifted
+      q.processAllAvailable()
+      spark.catalog.refreshTable("dg.s.ok"); spark.catalog.refreshTable("dg.s.bad")
+      val ok = spark.table("dg.s.ok").select("id").collect().map(_.getLong(0))
+      val bad = spark.table("dg.s.bad").select("id").collect().map(_.getLong(0))
+      assert(ok.length == 200 && ok.forall(_ <= 1200L), s"ok table: ${ok.length}")
+      assert(bad.length == 200 && bad.forall(_ >= 2001L), s"bad table: ${bad.length}")
+    } finally q.stop()
+  }
+
   test("streaming materialized view: agg table converges to full recompute") {
     implicit val sqlCtx = spark.sqlContext
     val wh = java.nio.file.Files.createTempDirectory("graft-mv").toString
