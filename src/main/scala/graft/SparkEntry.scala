@@ -199,6 +199,26 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("c_custkey").asc)
         .limit(20)
     }),
+    // TPC-H Q18 (large-volume customers): aggregate-HAVING subquery
+    // feeding a semi-join on the fact — the qualifying-orderkey set is
+    // tiny, so it broadcasts into the main join.
+    "q_tpch18" -> ((s, dir) => {
+      val l = Parity.t(s, dir, "lineitem")
+      val big = l.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(12,2)")).alias("qty"))
+        .filter(col("qty") > 150)
+        .select(col("l_orderkey").alias("big_okey"))
+      val o = Parity.t(s, dir, "orders")
+        .join(broadcast(big), col("o_orderkey") === col("big_okey"))
+      o.join(broadcast(Parity.t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
+        .agg(sum(col("l_quantity").cast("decimal(12,2)"))
+          .cast("double").alias("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+    }),
     // Spark's NATIVE session_window operator (state-store sessionization —
     // the same code path batch and streaming), cross-checked against the
     // window-construction oracle. Boundary semantics differ from the
@@ -1048,6 +1068,18 @@ object SparkEntry {
            AND l_returnflag = 'R'
          GROUP BY c_custkey, c_name, c_acctbal, n_name
          ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q_tpch18" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+                CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+         FROM customer
+         JOIN orders ON o_custkey = c_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE o_orderkey IN (
+           SELECT l_orderkey FROM lineitem
+           GROUP BY l_orderkey
+           HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 150)
+         GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
     "q_session_window" ->
       """WITH e AS (
            SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
