@@ -1107,8 +1107,10 @@ object SparkEntry {
     "multimodal_audio_neardup" -> multimodalAudioFpSql,
     "multimodal_video_neardup" -> multimodalVideoNearDupSql,
     "quality_drift" ->
-      """WITH ref AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 0),
-         cur AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 1),
+      """WITH ref AS (SELECT n_chars FROM documents
+                      WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
+         cur AS (SELECT n_chars FROM documents
+                 WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL),
          st AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM ref),
          ra AS (
            SELECT least(greatest(n_chars // ((hi // 16) - (lo // 16) + 1)

@@ -251,10 +251,11 @@ object Dedup {
     require(blocks >= 1 && blocks <= 64, s"maxHamming $maxHamming out of range")
     // both sides of the self-join read this frame: persist the 16-byte
     // (id, hash) rows so the upstream pipeline (sketch fold, or a DECODE
-    // stage for image/audio fingerprints) runs once, not twice. The cache
-    // entry is released by Spark's ContextCleaner once the result frame is
-    // garbage-collected (no explicit unpersist hook to offer — the frame
-    // is consumed lazily by the returned plan).
+    // stage for image/audio fingerprints) runs once, not twice. Trade-off:
+    // CacheManager holds the entry until the session unpersists it —
+    // right for batch jobs (one dedup per session), while a long-lived
+    // service running many corpora should clear caches between runs
+    // (spark.catalog.clearCache), as the Bench harness does.
     val pinned = hashes.select(col(idCol), col(hashCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val width = 64 / blocks

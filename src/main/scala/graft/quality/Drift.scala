@@ -20,24 +20,29 @@ import org.apache.spark.sql.functions._
   * aggregate, so the double result is reproducible anywhere). The final
   * bin's `chi2_running` is the statistic.
   *
-  * Scale shape: one tiny stats aggregate plus one partial-aggregated
-  * histogram groupBy over the reference (two scans — the grid must exist
-  * before binning), one histogram scan over the current side; the
-  * ≤ `2^bits`-row histograms are pinned and everything downstream
-  * (sizes, grid join, window) works on them alone.
+  * Scale shape: the reference pays the stats aggregate plus its
+  * histogram pass, the current side one histogram pass; the
+  * ≤ `2^bits`-row histograms are cached on first materialization and
+  * everything downstream (sizes, grid join, window) works on them alone.
   */
 object Drift {
 
-  /** The chi-square statistic alone (the last bin's running total) —
-    * the scalar a gate compares against a threshold. */
+  /** The chi-square statistic alone (the last bin's running total) — the
+    * scalar a gate compares against a threshold. Returns `Double.NaN`
+    * when either side has NO measurable (non-null) rows: a statistic of 0
+    * there would read as "no drift" and wave arbitrary data through a
+    * gate, while NaN fails every `<=` comparison. */
   def chiSquare(
       reference: DataFrame,
       current: DataFrame,
       valueCol: String,
       bits: Int = 4): Double = {
-    val rows = histogramDrift(reference, current, valueCol, bits)
-      .orderBy(col("bin").desc).select(col("chi2_running")).limit(1).collect()
-    if (rows.isEmpty) 0.0 else rows.head.getDouble(0)
+    val rows = histogramDrift(reference, current, valueCol, bits).collect()
+    if (rows.isEmpty) return Double.NaN
+    val nRef = rows.map(_.getAs[Long]("cnt_ref")).sum
+    val nCur = rows.map(_.getAs[Long]("cnt_cur")).sum
+    if (nRef == 0L || nCur == 0L) Double.NaN
+    else rows.maxBy(_.getAs[Long]("bin")).getAs[Double]("chi2_running")
   }
 
   def histogramDrift(
@@ -58,12 +63,14 @@ object Drift {
       .crossJoin(broadcast(stats))
       .select(graft.ops.Layout.binExpr(valueCol, "__lo", "__hi", bits).alias("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).alias("cnt"))
-    // localCheckpoint pins the ≤2^bits-row histograms so the size
-    // aggregates and the grid join below reuse them instead of re-scanning
-    // the corpora: reference is read twice total (stats, histogram),
-    // current once
-    val a = binned(ref).withColumnRenamed("cnt", "cnt_ref").localCheckpoint(true)
-    val b = binned(cur).withColumnRenamed("cnt", "cnt_cur").localCheckpoint(true)
+    // lazily persist the ≤2^bits-row histograms so the size aggregates and
+    // the grid join reuse one materialization instead of re-scanning the
+    // corpora (persist keeps the operator lazy — constructing the frame
+    // runs no jobs — and keeps lineage for fault recovery)
+    val a = binned(ref).withColumnRenamed("cnt", "cnt_ref")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = binned(cur).withColumnRenamed("cnt", "cnt_cur")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // every non-null row lands in a (clamped) bin, so the corpus sizes
     // are the histogram totals — no extra scans, no driver action
     val sizes = broadcast(

@@ -278,12 +278,19 @@ object Streams {
       maxChi2: Double,
       checkpointDir: String,
       bits: Int = 4): org.apache.spark.sql.streaming.StreamingQuery = {
-    val ref = reference.localCheckpoint(true) // pin: scanned every batch
+    // persist (not localCheckpoint): the reference is read every batch for
+    // the stream's lifetime, and a lost cached partition must be
+    // recomputable from lineage — a local checkpoint truncates lineage and
+    // would kill the query permanently on the first executor loss
+    val ref = reference.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val pinned = batch.localCheckpoint(true) // scanned twice: gate + write
         val chi2 = graft.quality.Drift.chiSquare(ref, pinned, valueCol, bits)
+        // NaN (no measurable rows on either side — e.g. an upstream schema
+        // break nulling the metric) fails the `<=` and quarantines: a gate
+        // that cannot measure must not wave data through
         val target = if (chi2 <= maxChi2) table else quarantineTable
         pinned.writeTo(target)
           .option(graft.storage.GraftCatalog.TxnAppIdOption, checkpointDir)

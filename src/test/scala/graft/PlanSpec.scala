@@ -149,9 +149,12 @@ class PlanSpec extends SparkSpec {
       case (l, i) if l.matches("""\(\d+\) Exchange.*""") => i }
     assert(exchangeIdx.nonEmpty)
     exchangeIdx.foreach { i =>
-      val input = lines.drop(i).take(4).find(_.trim.startsWith("Input"))
-      input.foreach(in => assert(!in.contains("o_orderkey"),
-        s"raw orders rows cross an exchange: $in"))
+      val input = lines.drop(i).take(6).find(_.trim.startsWith("Input"))
+      assert(input.isDefined,
+        s"explain layout changed — no Input line after Exchange at line $i; " +
+          "update this test rather than letting it pass vacuously")
+      assert(!input.get.contains("o_orderkey"),
+        s"raw orders rows cross an exchange: ${input.get}")
     }
   }
 

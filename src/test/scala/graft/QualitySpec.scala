@@ -43,6 +43,19 @@ class QualitySpec extends SparkSpec {
     assert(!scans.head.schema.fieldNames.contains("c_nationkey"))
   }
 
+  test("drift: unmeasurable inputs yield NaN (gates must fail closed)") {
+    import spark.implicits._
+    val ref = (1L to 100L).map(i => Some(i % 10)).toDF("v")
+    val allNull = Seq.fill(20)(Option.empty[Long]).toDF("v")
+    assert(graft.quality.Drift.chiSquare(ref, allNull, "v").isNaN)
+    assert(graft.quality.Drift.chiSquare(allNull, ref, "v").isNaN)
+    // null rows in a measurable corpus are excluded from bins AND totals
+    val mixed = ((1L to 50L).map(i => Some(i % 10)) ++ Seq.fill(50)(Option.empty[Long]))
+      .toDF("v")
+    val chi = graft.quality.Drift.chiSquare(ref, mixed, "v")
+    assert(!chi.isNaN && chi < 1.0, s"same shape with nulls should be ~0, got $chi")
+  }
+
   test("drift: identical distributions score ~0, a shift scores high") {
     import spark.implicits._
     val ref = (1L to 400L).map(i => i % 100).toDF("v")
