@@ -24,7 +24,10 @@ object SparkEntry {
   private def embs(s: SparkSession, dir: String) = Parity.t(s, dir, "embeddings")
 
   /** One entry per implemented operator from SURVEY.md §2 (+extensions). */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ graft.queries.TpchSuite.queries
+
+  private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── SURVEY §2.6 parity inventory ──
     "q_bronze_wrap" -> (Parity.bronzeWrap _),
     "q_silver_extract" -> (Parity.silverExtract _),
@@ -1587,5 +1590,5 @@ object SparkEntry {
                                    c -> CAST(ascii(c) AS BIGINT))),
                   (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
          FROM documents ORDER BY doc_id""",
-  )
+  ) ++ graft.queries.TpchSuite.oracleSql
 }
