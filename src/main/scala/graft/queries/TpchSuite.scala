@@ -131,10 +131,91 @@ object TpchSuite {
       .agg(drev.alias("revenue"))
   }
 
+  // ── Q7 (volume shipping between two nations): supplier-nation ×
+  //    customer-nation pair in either direction, revenue by ship year.
+  //    Both nation dims and their filters broadcast; the lineitem-orders
+  //    join is the only big shuffle.
+  def q7(s: SparkSession, dir: String): DataFrame = {
+    val n1 = broadcast(t(s, dir, "nation")
+      .select(col("n_nationkey").alias("s_nkey"), col("n_name").alias("supp_nation")))
+    val n2 = broadcast(t(s, dir, "nation")
+      .select(col("n_nationkey").alias("c_nkey"), col("n_name").alias("cust_nation")))
+    val pairOk = (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+      (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1")
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1998-01-01"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(n1, col("s_nationkey") === col("s_nkey"))
+      .join(n2, col("c_nationkey") === col("c_nkey"))
+      .filter(pairOk)
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").alias("l_year"))
+      .agg(drev.alias("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  // ── Q8 (national market share): one nation's share of PROMO-part
+  //    revenue into one region's customers, by order year. The share is a
+  //    conditional-sum / total-sum division of two exact decimal sums
+  //    cast to double — bit-reproducible. All dims broadcast.
+  def q8(s: SparkSession, dir: String): DataFrame = {
+    val america = broadcast(t(s, dir, "region").filter(col("r_name") === "AMERICA"))
+    val custNation = broadcast(t(s, dir, "nation")
+      .select(col("n_nationkey").alias("c_nkey"), col("n_regionkey").alias("c_rkey")))
+    val suppNation = broadcast(t(s, dir, "nation")
+      .select(col("n_nationkey").alias("s_nkey"), col("n_name").alias("supp_nation")))
+    val promoParts = broadcast(t(s, dir, "part").filter(col("p_type") === "PROMO"))
+    t(s, dir, "lineitem")
+      .join(promoParts, col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "orders").filter(
+          col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1998-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(custNation, col("c_nationkey") === col("c_nkey"))
+      .join(america, col("c_rkey") === col("r_regionkey"))
+      .join(suppNation, col("s_nationkey") === col("s_nkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").alias("o_year"))
+      .agg(
+        (coalesce(sum(when(col("supp_nation") === "NATION_3", revItem)).cast("double"),
+          lit(0.0)) / drev).alias("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  // ── Q9 (product-type profit by nation and year): profit adapted to the
+  //    schema as revenue minus a retail-price cost proxy (no
+  //    ps_supplycost); the two terms are summed exactly (DECIMAL) and
+  //    subtracted as doubles. The part-name LIKE filter prunes the
+  //    broadcast part dim; facts shuffle once on orderkey.
+  def q9(s: SparkSession, dir: String): DataFrame = {
+    val parts = broadcast(t(s, dir, "part").filter(col("p_name").like("%red%")))
+    val suppNation = broadcast(t(s, dir, "nation")
+      .select(col("n_nationkey").alias("s_nkey"), col("n_name")))
+    t(s, dir, "lineitem")
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(suppNation, col("s_nationkey") === col("s_nkey"))
+      .groupBy(col("n_name").alias("nation"),
+        year(col("o_orderdate")).cast("long").alias("o_year"))
+      .agg(
+        (drev -
+          sum(col("p_retailprice").cast("decimal(12,2)") *
+            col("l_quantity").cast("decimal(4,0)")).cast("double"))
+          .alias("sum_profit"))
+      .orderBy("nation", "o_year")
+  }
+
   /** Per-query (SparkSession, sfDir) => DataFrame, merged into
     * [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch4" -> (q4 _),
+    "q_tpch7" -> (q7 _),
+    "q_tpch8" -> (q8 _),
+    "q_tpch9" -> (q9 _),
     "q_tpch12" -> (q12 _),
     "q_tpch13" -> (q13 _),
     "q_tpch14" -> (q14 _),
@@ -154,6 +235,59 @@ object TpchSuite {
                AND date_diff('day', CAST(o_orderdate AS DATE),
                              CAST(l_shipdate AS DATE)) > 30)
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_tpch7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                year(l_shipdate) AS l_year,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                  (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                  AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+           AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         GROUP BY supp_nation, cust_nation, l_year
+         ORDER BY supp_nation, cust_nation, l_year""",
+    "q_tpch8" ->
+      """SELECT year(o_orderdate) AS o_year,
+                COALESCE(CAST(sum(CASE WHEN n1.n_name = 'NATION_3' THEN
+                    CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                  END) AS DOUBLE), 0.0) /
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                  (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                  AS DOUBLE) AS mkt_share
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         JOIN region ON n2.n_regionkey = r_regionkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         WHERE p_type = 'PROMO' AND r_name = 'AMERICA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY o_year ORDER BY o_year""",
+    "q_tpch9" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                  (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                  AS DOUBLE) -
+                CAST(sum(CAST(p_retailprice AS DECIMAL(12,2)) *
+                  CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE) AS sum_profit
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE p_name LIKE '%red%'
+         GROUP BY n_name, o_year ORDER BY n_name, o_year""",
     "q_tpch12" ->
       """SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
                                CAST(l_shipdate AS DATE)) <= 30 THEN 'FAST'
