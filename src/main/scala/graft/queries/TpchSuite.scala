@@ -209,11 +209,130 @@ object TpchSuite {
       .orderBy("nation", "o_year")
   }
 
+  // ── Q2 (minimum-cost supplier): for each part in a size slice, the
+  //    EUROPE supplier with the lowest account balance among suppliers
+  //    that actually shipped it (lineitem bridge — no partsupp table).
+  //    The correlated-min subquery becomes a grouped min re-joined on
+  //    (part, min) — two shuffles on partkey, dims broadcast. min() of
+  //    doubles is exact, so the equality re-join is deterministic.
+  def q2(s: SparkSession, dir: String): DataFrame = {
+    val bridge = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val europe = broadcast(
+      t(s, dir, "supplier")
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region").filter(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name")))
+    val p = broadcast(t(s, dir, "part").filter(col("p_size") === 15)
+      .select(col("p_partkey"), col("p_name")))
+    val cand = bridge
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(europe, col("l_suppkey") === col("s_suppkey"))
+    val minBal = cand.groupBy(col("p_partkey").alias("mb_pkey"))
+      .agg(min(col("s_acctbal")).alias("min_bal"))
+    cand.join(minBal,
+        col("p_partkey") === col("mb_pkey") && col("s_acctbal") === col("min_bal"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  // ── Q11 (important stock): per-part shipped value from one region's
+  //    suppliers, kept where it exceeds a fraction of the total — the
+  //    scalar-subquery HAVING. The total is a 1-row plan broadcast into
+  //    the filter (never a global window). Sums stay DECIMAL until the
+  //    final double compare.
+  def q11(s: SparkSession, dir: String): DataFrame = {
+    val asiaSupp = broadcast(
+      t(s, dir, "supplier")
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey")))
+    val perPart = t(s, dir, "lineitem")
+      .join(asiaSupp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey").alias("p_partkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).alias("v"))
+    val total = perPart.agg(sum(col("v")).alias("tot"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("v").cast("double") > col("tot").cast("double") * 0.0008)
+      .select(col("p_partkey"), col("v").cast("double").alias("part_value"))
+      .orderBy(col("part_value").desc, col("p_partkey"))
+  }
+
+  // ── Q15 (top supplier): quarterly revenue per supplier, keep the
+  //    max-revenue row(s) via a broadcast 1-row max — the view + scalar
+  //    subquery shape. Revenue doubles come from exact decimal sums, so
+  //    the equality against max() is bit-safe.
+  def q15(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1996-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(drev.alias("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).alias("mr"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_revenue") === col("mr"))
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  // ── Q16 (supplier diversity by part attributes): distinct shippers per
+  //    (brand, type, size) from the lineitem bridge, excluding
+  //    negative-balance suppliers (the complaints-comment adaptation) via
+  //    LEFT ANTI join. countDistinct shuffles once on the group keys with
+  //    partial distinct map-side.
+  def q16(s: SparkSession, dir: String): DataFrame = {
+    val bridge = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val p = broadcast(t(s, dir, "part")
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size")))
+    val bad = broadcast(t(s, dir, "supplier")
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey")))
+    bridge
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).alias("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  // ── Q17 (small-quantity revenue): lines under 20% of their part's
+  //    average quantity — the correlated-avg subquery as a grouped avg
+  //    re-joined on partkey. The part dim filter broadcasts into BOTH the
+  //    average computation and the outer scan, so only the sliced part's
+  //    lines are ever aggregated. avg is computed identically in both
+  //    engines: exact decimal sum cast double, divided by the bigint count.
+  def q17(s: SparkSession, dir: String): DataFrame = {
+    val p = broadcast(t(s, dir, "part")
+      .filter(col("p_brand") === "Brand#3" && col("p_size") < 10)
+      .select(col("p_partkey")))
+    val lf = t(s, dir, "lineitem")
+      .join(p, col("l_partkey") === col("p_partkey"))
+    val avgQty = lf.groupBy(col("l_partkey").alias("aq_pkey"))
+      .agg((sum(col("l_quantity").cast("decimal(12,2)")).cast("double") /
+        count(lit(1))).alias("avg_qty"))
+    lf.join(avgQty, col("l_partkey") === col("aq_pkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") /
+        lit(7.0)).alias("avg_yearly"))
+  }
+
   /** Per-query (SparkSession, sfDir) => DataFrame, merged into
     * [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch2" -> (q2 _),
     "q_tpch4" -> (q4 _),
     "q_tpch7" -> (q7 _),
+    "q_tpch11" -> (q11 _),
+    "q_tpch15" -> (q15 _),
+    "q_tpch16" -> (q16 _),
+    "q_tpch17" -> (q17 _),
     "q_tpch8" -> (q8 _),
     "q_tpch9" -> (q9 _),
     "q_tpch12" -> (q12 _),
@@ -224,6 +343,77 @@ object TpchSuite {
 
   /** DuckDB oracles — same arithmetic, same column names. */
   def oracleSql: Map[String, String] = Map(
+    "q_tpch2" ->
+      """WITH cand AS (
+           SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+         eur AS (
+           SELECT s_suppkey, s_name, s_acctbal, n_name
+           FROM supplier
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'EUROPE'),
+         j AS (
+           SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+                  min(s_acctbal) OVER (PARTITION BY p_partkey) AS min_bal
+           FROM cand
+           JOIN part ON l_partkey = p_partkey AND p_size = 15
+           JOIN eur ON l_suppkey = s_suppkey)
+         SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+         FROM j WHERE s_acctbal = min_bal
+         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""",
+    "q_tpch11" ->
+      """WITH pv AS (
+           SELECT l_partkey AS p_partkey,
+                  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS v
+           FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'ASIA'
+           GROUP BY l_partkey)
+         SELECT p_partkey, CAST(v AS DOUBLE) AS part_value
+         FROM pv, (SELECT sum(v) AS tot FROM pv)
+         WHERE CAST(v AS DOUBLE) > CAST(tot AS DOUBLE) * 0.0008
+         ORDER BY part_value DESC, p_partkey""",
+    "q_tpch15" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                    AS DOUBLE) AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, total_revenue
+         FROM supplier JOIN rev ON s_suppkey = l_suppkey
+         WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+         ORDER BY s_suppkey""",
+    "q_tpch16" ->
+      """SELECT p_brand, p_type, p_size,
+                count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+         JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+           AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+           AND l_suppkey NOT IN
+             (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY p_brand, p_type, p_size
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "q_tpch17" ->
+      """WITH lf AS (
+           SELECT l_partkey, l_quantity, l_extendedprice
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_brand = 'Brand#3' AND p_size < 10),
+         aq AS (
+           SELECT l_partkey AS aq_pkey,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                    / count(*) AS avg_qty
+           FROM lf GROUP BY l_partkey)
+         SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                  / 7.0 AS avg_yearly
+         FROM lf JOIN aq ON l_partkey = aq_pkey
+         WHERE l_quantity < 0.2 * avg_qty""",
     "q_tpch4" ->
       """SELECT o_orderpriority, count(*) AS order_count
          FROM orders
