@@ -323,6 +323,84 @@ object TpchSuite {
         lit(7.0)).alias("avg_yearly"))
   }
 
+  // ── Q20 (potential part promotions): suppliers in one region that
+  //    shipped a large cumulative quantity of some matching part — the
+  //    nested-aggregate IN subquery (availqty adaptation). The inner
+  //    (supplier, part) aggregate shuffles once; the qualifying-supplier
+  //    set is tiny and broadcasts into a LEFT SEMI join.
+  def q20(s: SparkSession, dir: String): DataFrame = {
+    val redParts = broadcast(t(s, dir, "part")
+      .filter(col("p_name").like("red%")).select(col("p_partkey")))
+    val qualifying = t(s, dir, "lineitem")
+      .join(redParts, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("decimal(12,2)")).alias("qty"))
+      .filter(col("qty") > 80)
+      .select(col("l_suppkey")).distinct()
+    t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(qualifying), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+      .orderBy("s_name")
+  }
+
+  // ── Q21 (suppliers who kept orders waiting): late lines on completed
+  //    multi-supplier orders where NO other supplier was late — the
+  //    EXISTS / NOT-EXISTS pair, computed as ONE per-order aggregate
+  //    (supplier count + late-supplier count) instead of two correlated
+  //    rescans of lineitem; the l1 row join then selects orders with
+  //    nsupp ≥ 2 and exactly one late supplier. Lateness = shipped >60
+  //    days after the order date; o_orderstatus = 'F'.
+  def q21(s: SparkSession, dir: String): DataFrame = {
+    val lo = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"), (shipDelayDays > 60).alias("late"))
+    val perOrder = lo.groupBy(col("l_orderkey").alias("po_okey"))
+      .agg(
+        countDistinct(col("l_suppkey")).alias("nsupp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).alias("nlate"))
+      .filter(col("nsupp") >= 2 && col("nlate") === 1)
+    lo.filter(col("late"))
+      .join(perOrder, col("l_orderkey") === col("po_okey"))
+      .join(broadcast(
+          t(s, dir, "supplier")
+            .join(t(s, dir, "nation").filter(col("n_name") === "NATION_7"),
+              col("s_nationkey") === col("n_nationkey"))
+            .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).alias("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  // ── Q22 (global sales opportunity): customers above the global
+  //    positive-balance average (broadcast scalar) with no recent orders
+  //    (LEFT ANTI join), grouped by nation (the country-code adaptation).
+  //    The average divides an exact decimal sum by the bigint count —
+  //    identical bits in both engines.
+  def q22(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val nations = Seq(1, 5, 9, 13, 17, 21)
+    val avgBal = c.filter(col("c_acctbal") > 0.0)
+      .agg((sum(col("c_acctbal").cast("decimal(12,2)")).cast("double") /
+        count(lit(1))).alias("avg_bal"))
+    val recent = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= ts("2000-01-01")).select(col("o_custkey"))
+    c.filter(col("c_nationkey").isin(nations: _*))
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").cast("long").alias("cntrycode"))
+      .agg(
+        count(lit(1)).alias("numcust"),
+        sum(col("c_acctbal").cast("decimal(12,2)")).cast("double").alias("totacctbal"))
+      .orderBy("cntrycode")
+  }
+
   /** Per-query (SparkSession, sfDir) => DataFrame, merged into
     * [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -333,6 +411,9 @@ object TpchSuite {
     "q_tpch15" -> (q15 _),
     "q_tpch16" -> (q16 _),
     "q_tpch17" -> (q17 _),
+    "q_tpch20" -> (q20 _),
+    "q_tpch21" -> (q21 _),
+    "q_tpch22" -> (q22 _),
     "q_tpch8" -> (q8 _),
     "q_tpch9" -> (q9 _),
     "q_tpch12" -> (q12 _),
@@ -343,6 +424,50 @@ object TpchSuite {
 
   /** DuckDB oracles — same arithmetic, same column names. */
   def oracleSql: Map[String, String] = Map(
+    "q_tpch20" ->
+      """SELECT s_name, s_acctbal
+         FROM supplier
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'EUROPE'
+           AND s_suppkey IN (
+             SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+             WHERE p_name LIKE 'red%'
+             GROUP BY l_suppkey, l_partkey
+             HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 80)
+         ORDER BY s_name""",
+    "q_tpch21" ->
+      """WITH lo AS (
+           SELECT l_orderkey, l_suppkey,
+                  date_diff('day', CAST(o_orderdate AS DATE),
+                            CAST(l_shipdate AS DATE)) > 60 AS late
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE o_orderstatus = 'F'),
+         po AS (
+           SELECT l_orderkey AS po_okey,
+                  count(DISTINCT l_suppkey) AS nsupp,
+                  count(DISTINCT CASE WHEN late THEN l_suppkey END) AS nlate
+           FROM lo GROUP BY l_orderkey)
+         SELECT s_name, count(*) AS numwait
+         FROM lo
+         JOIN po ON l_orderkey = po_okey AND nsupp >= 2 AND nlate = 1
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE late AND n_name = 'NATION_7'
+         GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""",
+    "q_tpch22" ->
+      """WITH ab AS (
+           SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                    / count(*) AS avg_bal
+           FROM customer WHERE c_acctbal > 0.0)
+         SELECT CAST(c_nationkey AS BIGINT) AS cntrycode, count(*) AS numcust,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+         FROM customer, ab
+         WHERE c_nationkey IN (1, 5, 9, 13, 17, 21)
+           AND c_acctbal > avg_bal
+           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                           AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+         GROUP BY c_nationkey ORDER BY cntrycode""",
     "q_tpch2" ->
       """WITH cand AS (
            SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
