@@ -52,6 +52,13 @@ object Engine {
     // Spark's reader rejects by default; read it as nanos-since-epoch LONG
     // (convert with timestamp_micros(ts div 1000) where event time matters).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Storage-partitioned joins: honor the KeyGroupedPartitioning that
+    // GraftCatalog partitioned-table scans report, so equi-joins between
+    // co-partitioned tables plan with no shuffle; push-part-values keeps
+    // that true when one side is missing partition values. No-ops for
+    // scans that don't report a partitioning.
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
     spark
   }
 }

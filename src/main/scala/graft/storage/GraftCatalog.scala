@@ -526,8 +526,14 @@ private[storage] class GraftTable(
         Seq(empty.toString)
       case None => Seq(dir)
     }
-    ParquetTable(tableName, spark, opts, paths, Some(meta.schema),
-      classOf[ParquetFileFormat]).newScanBuilder(opts)
+    val pt = ParquetTable(tableName, spark, opts, paths, Some(meta.schema),
+      classOf[ParquetFileFormat])
+    // Partitioned tables report KeyGroupedPartitioning from the scan so
+    // equi-joins between co-partitioned catalog tables run shuffle-free
+    // (storage-partitioned join) when v2 bucketing is enabled.
+    if (meta.partitionCols.nonEmpty)
+      org.apache.spark.sql.graftshim.Spj.keyedScanBuilder(pt, opts)
+    else pt.newScanBuilder(opts)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
