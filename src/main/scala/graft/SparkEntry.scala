@@ -475,6 +475,18 @@ object SparkEntry {
     "prep_corpus" -> ((s, dir) =>
       graft.ops.TrainPrep.prepareCorpus(docs(s, dir), "doc_id", "text", "lang",
         textHash = TextAnalysis.fingerprint).orderBy("doc_id")),
+    // Context-window chunking: 32-token windows advancing by 24 (8-token
+    // overlap) — documents become model-context-sized training examples.
+    // Entirely narrow; zero shuffles at any corpus size.
+    "prep_chunk" -> ((s, dir) =>
+      graft.ops.TrainPrep.chunkDocuments(docs(s, dir), "doc_id", "text",
+        chunkSize = 32, stride = 24).orderBy("doc_id", "chunk_id")),
+    // Corpus bigram-LM familiarity: perplexity-style filtering signal with
+    // exact integer arithmetic (ratios of BIGINT sums) instead of
+    // log-space floats — hash-checkable and order-independent.
+    "prep_bigram_lm" -> ((s, dir) =>
+      graft.ops.TrainPrep.bigramFamiliarity(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
   )
 
   /** Shared CTEs for the polynomial-hash dedup oracles: per-doc token
@@ -1590,5 +1602,39 @@ object SparkEntry {
                                    c -> CAST(ascii(c) AS BIGINT))),
                   (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
          FROM documents ORDER BY doc_id""",
+    "prep_chunk" ->
+      """WITH tk AS (
+           SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         nz AS (
+           SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) > 0),
+         ch AS (
+           SELECT doc_id, toks,
+                  CAST(i AS BIGINT) AS chunk_id, CAST(i * 24 AS BIGINT) AS start
+           FROM nz, UNNEST(range(0, 1 + (greatest(0, n - 32) + 23) // 24)) AS t(i))
+         SELECT doc_id, chunk_id,
+                array_to_string(toks[start + 1 : start + 32], ' ') AS chunk_text,
+                CAST(len(toks[start + 1 : start + 32]) AS BIGINT) AS n_chunk_tokens
+         FROM ch ORDER BY doc_id, chunk_id""",
+    "prep_bigram_lm" ->
+      """WITH tk AS (
+           SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         bg AS (
+           SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+           FROM tk, UNNEST(range(1, len(toks))) AS t(i)
+           WHERE len(toks) >= 2),
+         bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+         uc AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1)
+         SELECT doc_id, count(*) AS n_bigrams,
+                CAST(sum(c12) AS DOUBLE) / CAST(sum(c1) AS DOUBLE) AS familiarity,
+                CAST(sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                  / count(*) AS novelty_ratio
+         FROM bg
+         JOIN bc USING (w1, w2)
+         JOIN uc USING (w1)
+         GROUP BY doc_id ORDER BY doc_id""",
   ) ++ graft.queries.TpchSuite.oracleSql
 }

@@ -216,4 +216,84 @@ object TrainPrep {
       .filter(pmod(col(idCol) * lit(22695477L) + lit(49297L), lit(1000000L)) < col("__thr"))
       .drop("__thr")
   }
+
+  /** Context-window chunking: split each document into token windows of
+    * `size` tokens advancing by `stride` (overlap = size − stride), the
+    * step that turns cleaned documents into model-context-sized training
+    * examples. Chunk starts are 0, stride, 2·stride, …; the last window
+    * begins at the first multiple of stride covering the tail, so every
+    * token lands in ≥1 chunk and no start lies beyond the text.
+    *
+    * Entirely narrow (tokenize → per-row window index sequence → explode →
+    * slice): zero shuffles at any corpus size; chunk construction never
+    * materializes more than one document's tokens per row. Output: one row
+    * per (doc, chunk) with the chunk text and its token count.
+    */
+  def chunkDocuments(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int,
+      stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).alias("__toks"))
+      .filter(size(col("__toks")) > 0)
+      // exact integer ceil((n - chunkSize) / stride): no double rounding
+      .withColumn("__nchunks", expr(
+        s"1L + (greatest(0L, cast(size(__toks) as bigint) - ${chunkSize}L) " +
+          s"+ ${stride - 1}L) div ${stride}L"))
+      .select(col(idCol), col("__toks"),
+        posexplode(expr(s"transform(sequence(0L, __nchunks - 1L), i -> i * ${stride}L)"))
+          .as(Seq("chunk_id", "__start")))
+      .select(
+        col(idCol),
+        col("chunk_id").cast("long").alias("chunk_id"),
+        expr(s"array_join(slice(__toks, cast(__start + 1 as int), $chunkSize), ' ')")
+          .alias("chunk_text"),
+        expr(s"cast(size(slice(__toks, cast(__start + 1 as int), $chunkSize)) as bigint)")
+          .alias("n_chunk_tokens"))
+  }
+
+  /** Corpus bigram-LM familiarity: score each document by how typical its
+    * bigrams are of the corpus itself — the shuffle-shaped core of
+    * perplexity filtering with exact arithmetic instead of log-space
+    * floats (bit-reproducible in any engine):
+    *
+    *  - `familiarity`  = Σ c(w1,w2) / Σ c(w1): corpus-conditional bigram
+    *    mass — low values mean the doc's word transitions are rare given
+    *    their contexts (boilerplate scores high, gibberish low);
+    *  - `novelty_ratio` = fraction of the doc's bigram instances occurring
+    *    exactly once corpus-wide (hapax transitions).
+    *
+    * Both ratios divide exact BIGINT sums as doubles. The plan is the
+    * word-count family: narrow per-row bigram construction, two grouped
+    * counts (map-side partial agg), two shuffle joins keyed on tokens —
+    * no driver-side model, so "training" the LM scales with executors.
+    */
+  def bigramFamiliarity(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bigrams = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).alias("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(col(idCol),
+        explode(transform(sequence(lit(1), size(col("__toks")) - 1),
+          i => struct((col("__toks"))(i - 1).alias("w1"),
+            (col("__toks"))(i).alias("w2")))).alias("bg"))
+      .select(col(idCol), col("bg.w1").alias("w1"), col("bg.w2").alias("w2"))
+    val bigramCounts = bigrams.groupBy(col("w1").alias("bc_w1"), col("w2").alias("bc_w2"))
+      .agg(count(lit(1)).alias("c12"))
+    val contextCounts = bigrams.groupBy(col("w1").alias("uc_w1"))
+      .agg(count(lit(1)).alias("c1"))
+    bigrams
+      .join(bigramCounts, col("w1") === col("bc_w1") && col("w2") === col("bc_w2"))
+      .join(contextCounts, col("w1") === col("uc_w1"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).alias("n_bigrams"),
+        (sum(col("c12")).cast("double") / sum(col("c1")).cast("double"))
+          .alias("familiarity"),
+        (sum(when(col("c12") === 1, 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).alias("novelty_ratio"))
+  }
 }

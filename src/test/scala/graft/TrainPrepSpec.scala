@@ -166,4 +166,46 @@ class TrainPrepSpec extends SparkSpec {
       Map("web" -> 0.5, "code" -> 0.5))
     assert(extra.filter(col("src") === "junk").isEmpty)
   }
+
+  test("chunkDocuments: window starts, overlap, tail coverage, short docs") {
+    val text10 = (1 to 10).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, text10), (2L, "a b"), (3L, "solo")).toDF("doc_id", "text")
+    val out = graft.ops.TrainPrep.chunkDocuments(df, "doc_id", "text",
+        chunkSize = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    // doc 1: 10 tokens, size 4, stride 3 -> starts 0,3,6 (6+4=10 covers all)
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._3).toSeq == Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(d1.forall(_._4 == 4L))
+    // every token appears in at least one chunk
+    assert(d1.flatMap(_._3.split(" ")).toSet == (1 to 10).map(i => s"t$i").toSet)
+    // shorter-than-window docs produce exactly one (short) chunk
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, "a b", 2L)))
+    assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0L, "solo", 1L)))
+  }
+
+  test("chunkDocuments is narrow: no shuffle exchange in the plan") {
+    val df = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val p = graft.ops.TrainPrep.chunkDocuments(df, "doc_id", "text", 4, 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"chunking should be shuffle-free:\n$p")
+  }
+
+  test("bigramFamiliarity: golden ratios on a crafted corpus") {
+    // corpus: "a b" x3 (common transition), plus one doc with a unique pair
+    val df = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "a c")).toDF("doc_id", "text")
+    // bigram counts: (a,b)=3, (a,c)=1; context count: a=4
+    val out = graft.ops.TrainPrep.bigramFamiliarity(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((1L, 3.0 / 4.0, 0.0)))
+    assert(out(4L) == ((1L, 1.0 / 4.0, 1.0)))
+    // single-token or empty docs have no bigrams and drop out
+    val tiny = graft.ops.TrainPrep.bigramFamiliarity(
+      Seq((9L, "one"), (10L, "")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(tiny.isEmpty)
+  }
 }
