@@ -5,6 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: graft.Verify <sfDir> <outDir> [queryPrefix]")
+      sys.exit(2)
+    }
     val sfDir = args(0); val outDir = args(1)
     // Optional third arg: only run queries whose name starts with this
     // prefix (local iteration aid; the driver always passes two args).

@@ -267,12 +267,31 @@ object TrainPrep {
     *  - `novelty_ratio` = fraction of the doc's bigram instances occurring
     *    exactly once corpus-wide (hapax transitions).
     *
-    * Both ratios divide exact BIGINT sums as doubles. The plan is the
-    * word-count family: narrow per-row bigram construction, two grouped
-    * counts (map-side partial agg), two shuffle joins keyed on tokens —
-    * no driver-side model, so "training" the LM scales with executors.
+    * Both ratios divide exact BIGINT sums as doubles.
+    *
+    * Scale shape (natural language is Zipfian — a raw token-keyed shuffle
+    * join puts "the"/"of" contexts, double-digit percentages of all
+    * instances, in single tasks):
+    *
+    *  1. ONE pass over the raw bigram instances: reduce to per-doc pair
+    *    counts keyed by `(id, w1, w2)` — the doc id spreads hot tokens, so
+    *    this only wide stage over corpus cardinality is skew-free, and it
+    *    is persisted so the counts and the final join share it instead of
+    *    recomputing the explode three times.
+    *  2. Both count tables derive from that reduced frame (pair counts by
+    *    re-aggregation; context counts from the pair counts — never a
+    *    second scan of the instances).
+    *  3. The count joins are split by a hot-key threshold: keys whose
+    *    corpus count ≥ `hotCount` — few by Zipf, covering most mass —
+    *    resolve via broadcast, and every key left in the shuffle join
+    *    carries < `hotCount` probe rows BY CONSTRUCTION (a key's probe
+    *    cardinality ≤ its corpus count), so no task can see a hot key.
     */
-  def bigramFamiliarity(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def bigramFamiliarity(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      hotCount: Long = 4096L): DataFrame = {
     val bigrams = docs
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).alias("__toks"))
       .filter(size(col("__toks")) >= 2)
@@ -281,19 +300,41 @@ object TrainPrep {
           i => struct((col("__toks"))(i - 1).alias("w1"),
             (col("__toks"))(i).alias("w2")))).alias("bg"))
       .select(col(idCol), col("bg.w1").alias("w1"), col("bg.w2").alias("w2"))
-    val bigramCounts = bigrams.groupBy(col("w1").alias("bc_w1"), col("w2").alias("bc_w2"))
-      .agg(count(lit(1)).alias("c12"))
-    val contextCounts = bigrams.groupBy(col("w1").alias("uc_w1"))
-      .agg(count(lit(1)).alias("c1"))
-    bigrams
-      .join(bigramCounts, col("w1") === col("bc_w1") && col("w2") === col("bc_w2"))
-      .join(contextCounts, col("w1") === col("uc_w1"))
+    // (1) skew-free reduction: (id, w1, w2) → instance count n
+    val perDoc = bigrams
+      .groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).alias("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (2) corpus counts, both derived from the reduced frame
+    val bigramCounts = perDoc.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("n")).alias("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val contextCounts = bigramCounts.groupBy(col("w1"))
+      .agg(sum(col("c12")).alias("c1"))
+    // (3) hot/cold split pair join: hot pairs broadcast, cold pairs
+    // shuffle-join with < hotCount probe rows per key
+    val hotPairs = broadcast(bigramCounts.filter(col("c12") >= hotCount))
+    val coldPairs = bigramCounts.filter(col("c12") < hotCount)
+    val markedPair = perDoc.join(hotPairs, Seq("w1", "w2"), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withC12 = markedPair.filter(col("c12").isNotNull).unionByName(
+      markedPair.filter(col("c12").isNull).drop("c12")
+        .join(coldPairs, Seq("w1", "w2")))
+    // same split for the context join
+    val hotCtx = broadcast(contextCounts.filter(col("c1") >= hotCount))
+    val coldCtx = contextCounts.filter(col("c1") < hotCount)
+    val markedCtx = withC12.join(hotCtx, Seq("w1"), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val joined = markedCtx.filter(col("c1").isNotNull).unionByName(
+      markedCtx.filter(col("c1").isNull).drop("c1")
+        .join(coldCtx, Seq("w1")))
+    joined
       .groupBy(col(idCol))
       .agg(
-        count(lit(1)).alias("n_bigrams"),
-        (sum(col("c12")).cast("double") / sum(col("c1")).cast("double"))
-          .alias("familiarity"),
-        (sum(when(col("c12") === 1, 1L).otherwise(0L)).cast("double") /
-          count(lit(1))).alias("novelty_ratio"))
+        sum(col("n")).alias("n_bigrams"),
+        (sum(col("n") * col("c12")).cast("double") /
+          sum(col("n") * col("c1")).cast("double")).alias("familiarity"),
+        (sum(when(col("c12") === 1, col("n")).otherwise(0L)).cast("double") /
+          sum(col("n")).cast("double")).alias("novelty_ratio"))
   }
 }

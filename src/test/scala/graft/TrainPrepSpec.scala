@@ -208,4 +208,45 @@ class TrainPrepSpec extends SparkSpec {
       Seq((9L, "one"), (10L, "")).toDF("doc_id", "text"), "doc_id", "text")
     assert(tiny.isEmpty)
   }
+
+  test("bigramFamiliarity: hot/cold join split is value-invariant") {
+    // Zipf-ish corpus: "the" dominates contexts; (the,end) and (rare,pair)
+    // sit in the tail. Any hotCount must give identical results — the
+    // threshold only picks the join strategy per key, never the arithmetic.
+    val df = Seq(
+      (1L, "the cat the dog the end"),
+      (2L, "the cat the cat the cat"),
+      (3L, "rare pair the cat"),
+      (4L, "the end of the end")).toDF("doc_id", "text")
+    def run(hot: Long) =
+      graft.ops.TrainPrep.bigramFamiliarity(df, "doc_id", "text", hotCount = hot)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val allHot = run(1L)            // every key ≥ 1 → all broadcast
+    val allCold = run(Long.MaxValue) // no key qualifies → all shuffle join
+    val split = run(3L)             // "the*" contexts hot, tail cold
+    assert(allHot == allCold, "broadcast-only vs shuffle-only paths disagree")
+    assert(split == allHot, "mixed hot/cold path disagrees")
+  }
+
+  test("bigramFamiliarity plan: hot keys broadcast, instances reduced once") {
+    val df = Seq((1L, "the cat the dog"), (2L, "the cat sat")).toDF("doc_id", "text")
+    val qe = graft.ops.TrainPrep.bigramFamiliarity(df, "doc_id", "text", hotCount = 2L)
+      .queryExecution
+    val plan = qe.executedPlan.toString
+    // the hot side of both count joins resolves as a broadcast join
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast hot-key join:\n$plan")
+    // the raw bigram explode feeds ONE persisted reduction — every other
+    // consumer reads the InMemoryRelation, not a re-scan of the instances.
+    // (logical plan: cached reads are InMemoryRelation LEAVES, so any
+    // Generate left in the optimized plan is an uncached explode re-scan)
+    val cached = qe.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(cached.nonEmpty, s"expected persisted per-doc reduction in plan:\n$plan")
+    val uncachedExplodes = qe.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(uncachedExplodes.isEmpty,
+      s"bigram instances must be built once inside the persisted reduction:\n$plan")
+  }
 }
