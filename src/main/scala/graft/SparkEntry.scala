@@ -481,6 +481,18 @@ object SparkEntry {
     "prep_chunk" -> ((s, dir) =>
       graft.ops.TrainPrep.chunkDocuments(docs(s, dir), "doc_id", "text",
         chunkSize = 32, stride = 24).orderBy("doc_id", "chunk_id")),
+    // Byte-faithful chunking: substring windows over the RAW text (128
+    // chars advancing by 96) — original whitespace preserved exactly,
+    // unlike the token variant's array_join reconstruction.
+    "prep_chunk_chars" -> ((s, dir) =>
+      graft.ops.TrainPrep.chunkDocumentsChars(docs(s, dir), "doc_id", "text",
+        chunkSize = 128, stride = 96).orderBy("doc_id", "chunk_id")),
+    // The chunked end-to-end pipeline: scrub → gate → dedup → chunk →
+    // doc-keyed split → pack chunks into token-budget sequences. The
+    // manifest a tokenizer actually consumes when training on windows.
+    "prep_corpus_chunked" -> ((s, dir) =>
+      graft.ops.TrainPrep.prepareCorpusChunked(docs(s, dir), "doc_id", "text", "lang",
+        textHash = TextAnalysis.fingerprint).orderBy("doc_id", "chunk_id")),
     // Corpus bigram-LM familiarity: perplexity-style filtering signal with
     // exact integer arithmetic (ratios of BIGINT sums) instead of
     // log-space floats — hash-checkable and order-independent.
@@ -1594,6 +1606,59 @@ object SparkEntry {
          SELECT doc_id, lang, split, n_tokens, n_redactions,
                 CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS seq_id
          FROM c ORDER BY doc_id""",
+    "prep_chunk_chars" ->
+      """WITH nz AS (
+           SELECT doc_id, text, len(text) AS n FROM documents WHERE len(text) > 0),
+         ch AS (
+           SELECT doc_id, text,
+                  CAST(i AS BIGINT) AS chunk_id, CAST(i * 96 AS BIGINT) AS start
+           FROM nz, UNNEST(range(0, 1 + (greatest(0, n - 128) + 95) // 96)) AS t(i))
+         SELECT doc_id, chunk_id,
+                substring(text, CAST(start + 1 AS INT), 128) AS chunk_text,
+                CAST(len(substring(text, CAST(start + 1 AS INT), 128)) AS BIGINT) AS n_chunk_chars
+         FROM ch ORDER BY doc_id, chunk_id""",
+    "prep_corpus_chunked" ->
+      """WITH scrub AS (
+           SELECT doc_id, lang,
+                  regexp_replace(regexp_replace(text, '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+                                 '[0-9]{4,}', '<NUM>', 'g') AS scrubbed
+           FROM documents),
+         gated AS (
+           SELECT doc_id, lang, scrubbed
+           FROM (SELECT *, list_filter(string_split(scrubbed, ' '), x -> x <> '') AS toks FROM scrub)
+           WHERE len(toks) >= 20
+             AND CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) >= 0.5),
+         fp AS (
+           SELECT doc_id,
+                  list_reduce(list_prepend(CAST(7 AS BIGINT),
+                    list_transform(list_filter(string_split(scrubbed, ''), c -> c <> ''),
+                                   c -> CAST(ascii(c) AS BIGINT))),
+                    (a, c) -> (a * 31 + c) % 1000000007) AS f
+           FROM gated),
+         keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+         surv AS (
+           SELECT g.doc_id, g.lang,
+                  list_filter(string_split(g.scrubbed, ' '), x -> x <> '') AS toks,
+                  CASE WHEN (g.doc_id * 2654435761 + 40503) % 1000 < 800 THEN 'train'
+                       WHEN (g.doc_id * 2654435761 + 40503) % 1000 < 900 THEN 'val'
+                       ELSE 'test' END AS split
+           FROM gated g JOIN keep USING (doc_id)),
+         nz AS (SELECT *, len(toks) AS n FROM surv WHERE len(toks) > 0),
+         ch AS (
+           SELECT doc_id, lang, split, toks,
+                  CAST(i AS BIGINT) AS chunk_id, CAST(i * 24 AS BIGINT) AS start
+           FROM nz, UNNEST(range(0, 1 + (greatest(0, n - 32) + 23) // 24)) AS t(i)),
+         cc AS (
+           SELECT doc_id, chunk_id, lang, split,
+                  CAST(len(toks[start + 1 : start + 32]) AS BIGINT) AS n_chunk_tokens
+           FROM ch),
+         c AS (
+           SELECT *, sum(n_chunk_tokens) OVER (PARTITION BY split, lang
+                       ORDER BY doc_id, chunk_id ROWS UNBOUNDED PRECEDING) AS cum
+           FROM cc)
+         SELECT doc_id, chunk_id, lang, split, n_chunk_tokens,
+                CAST(floor((cum - n_chunk_tokens) / 512.0) AS BIGINT) AS seq_id
+         FROM c ORDER BY doc_id, chunk_id""",
     "text_fingerprint" ->
       """SELECT doc_id,
                 list_reduce(

@@ -234,26 +234,122 @@ object TrainPrep {
       idCol: String,
       textCol: String,
       chunkSize: Int,
-      stride: Int): DataFrame = {
+      stride: Int,
+      carryCols: Seq[String] = Nil): DataFrame = {
     require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
       s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    val carry = carryCols.map(col)
     docs
-      .select(col(idCol), TextAnalysis.tokens(col(textCol)).alias("__toks"))
+      .select(col(idCol) +: carry :+ TextAnalysis.tokens(col(textCol)).alias("__toks"): _*)
       .filter(size(col("__toks")) > 0)
       // exact integer ceil((n - chunkSize) / stride): no double rounding
       .withColumn("__nchunks", expr(
         s"1L + (greatest(0L, cast(size(__toks) as bigint) - ${chunkSize}L) " +
           s"+ ${stride - 1}L) div ${stride}L"))
-      .select(col(idCol), col("__toks"),
+      .select(col(idCol) +: carry :+ col("__toks") :+
+        posexplode(expr(s"transform(sequence(0L, __nchunks - 1L), i -> i * ${stride}L)"))
+          .as(Seq("chunk_id", "__start")): _*)
+      .select(col(idCol) +: carry :+
+        col("chunk_id").cast("long").alias("chunk_id") :+
+        expr(s"array_join(slice(__toks, cast(__start + 1 as int), $chunkSize), ' ')")
+          .alias("chunk_text") :+
+        expr(s"cast(size(slice(__toks, cast(__start + 1 as int), $chunkSize)) as bigint)")
+          .alias("n_chunk_tokens"): _*)
+  }
+
+  /** Char-offset context-window chunking: the byte-faithful sibling of
+    * [[chunkDocuments]]. Token-window chunks rebuild their text with
+    * `array_join(tokens, ' ')`, which collapses runs of whitespace — fine
+    * when the consumer re-tokenizes, lossy when the original byte stream
+    * matters (code, markup, whitespace-sensitive formats). This variant
+    * slices the RAW text by character offset (`substring` windows of
+    * `chunkSize` chars advancing by `stride`), so concatenating chunks at
+    * stride offsets reproduces the document exactly.
+    *
+    * Same start-index law as the token variant (starts 0, stride, …; the
+    * last window begins at the first multiple of stride covering the
+    * tail) and the same wholly-narrow plan: zero shuffles at any size.
+    */
+  def chunkDocumentsChars(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int,
+      stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    docs
+      .select(col(idCol), col(textCol).alias("__txt"))
+      .filter(length(col("__txt")) > 0)
+      .withColumn("__nchunks", expr(
+        s"1L + (greatest(0L, cast(length(__txt) as bigint) - ${chunkSize}L) " +
+          s"+ ${stride - 1}L) div ${stride}L"))
+      .select(col(idCol), col("__txt"),
         posexplode(expr(s"transform(sequence(0L, __nchunks - 1L), i -> i * ${stride}L)"))
           .as(Seq("chunk_id", "__start")))
       .select(
         col(idCol),
         col("chunk_id").cast("long").alias("chunk_id"),
-        expr(s"array_join(slice(__toks, cast(__start + 1 as int), $chunkSize), ' ')")
+        expr(s"substring(__txt, cast(__start + 1 as int), $chunkSize)")
           .alias("chunk_text"),
-        expr(s"cast(size(slice(__toks, cast(__start + 1 as int), $chunkSize)) as bigint)")
-          .alias("n_chunk_tokens"))
+        expr(s"cast(length(substring(__txt, cast(__start + 1 as int), $chunkSize)) as bigint)")
+          .alias("n_chunk_chars"))
+  }
+
+  /** The chunked end-to-end corpus pipeline — [[prepareCorpus]] with
+    * context-window chunking in the middle, mirroring how a real pipeline
+    * feeds a tokenizer: scrub → quality gate → exact dedup → CHUNK →
+    * split → pack. The packing unit is the model-context-sized chunk, not
+    * the whole document.
+    *
+    * Split assignment stays DOC-keyed (not chunk-keyed) on purpose:
+    * overlapping windows of one document must never straddle train/val —
+    * that would leak `chunkSize − stride` shared tokens across the split
+    * boundary.
+    *
+    * Wide stages, same two as [[prepareCorpus]] (PlanSpec pins the count):
+    * the dedup fingerprint groupBy and the packing window; scrub, gate,
+    * chunking (per-row explode), and the hash split are all narrow.
+    */
+  def prepareCorpusChunked(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      minTokens: Int = 20,
+      minDistinctRatio: Double = 0.5,
+      chunkSize: Int = 32,
+      stride: Int = 24,
+      budget: Int = 512,
+      textHash: Column => Column = c => xxhash64(c)): DataFrame = {
+    val scrubbed = docs.select(
+      col(idCol), col(langCol),
+      regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+        LongNumRe, "<NUM>").alias("scrubbed"))
+    val toks = TextAnalysis.tokens(col("scrubbed"))
+    val gated = scrubbed
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("distinct_ratio",
+        size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+      .filter(col("n_tokens") >= minTokens && col("distinct_ratio") >= minDistinctRatio)
+    val keeper = gated
+      .select(col(idCol), textHash(col("scrubbed")).alias("__fp"))
+      .groupBy(col("__fp"))
+      .agg(min(col(idCol)).alias(idCol))
+      .select(col(idCol))
+    val surviving = gated.join(keeper, idCol)
+    val chunks = chunkDocuments(
+      surviving, idCol, "scrubbed", chunkSize, stride, carryCols = Seq(langCol))
+    val split = splitByHash(chunks, idCol)
+    val w = Window.partitionBy(col("split"), col(langCol))
+      .orderBy(col(idCol).asc, col("chunk_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    split
+      .withColumn("__cum", sum(col("n_chunk_tokens")).over(w))
+      .withColumn("seq_id",
+        floor((col("__cum") - col("n_chunk_tokens")) / lit(budget)).cast("long"))
+      .select(col(idCol), col("chunk_id"), col(langCol), col("split"),
+        col("n_chunk_tokens"), col("seq_id"))
   }
 
   /** Corpus bigram-LM familiarity: score each document by how typical its
@@ -311,22 +407,23 @@ object TrainPrep {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val contextCounts = bigramCounts.groupBy(col("w1"))
       .agg(sum(col("c12")).alias("c1"))
-    // (3) hot/cold split pair join: hot pairs broadcast, cold pairs
-    // shuffle-join with < hotCount probe rows per key
-    val hotPairs = broadcast(bigramCounts.filter(col("c12") >= hotCount))
+    // (3) hot/cold split pair join: hot pairs resolve via a broadcast
+    // inner join, the rest (excluded by a broadcast anti on the same tiny
+    // set) shuffle-join with < hotCount probe rows per key. The probe side
+    // is the persisted reduction, so the two branch scans are cache reads,
+    // not recomputes.
+    val hotPairs = bigramCounts.filter(col("c12") >= hotCount)
     val coldPairs = bigramCounts.filter(col("c12") < hotCount)
-    val markedPair = perDoc.join(hotPairs, Seq("w1", "w2"), "left")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val withC12 = markedPair.filter(col("c12").isNotNull).unionByName(
-      markedPair.filter(col("c12").isNull).drop("c12")
+    val withC12 = perDoc.join(broadcast(hotPairs), Seq("w1", "w2")).unionByName(
+      perDoc.join(broadcast(hotPairs.select(col("w1"), col("w2"))),
+          Seq("w1", "w2"), "left_anti")
         .join(coldPairs, Seq("w1", "w2")))
-    // same split for the context join
-    val hotCtx = broadcast(contextCounts.filter(col("c1") >= hotCount))
-    val coldCtx = contextCounts.filter(col("c1") < hotCount)
-    val markedCtx = withC12.join(hotCtx, Seq("w1"), "left")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val joined = markedCtx.filter(col("c1").isNotNull).unionByName(
-      markedCtx.filter(col("c1").isNull).drop("c1")
+    // same split for the context join
+    val hotCtx = contextCounts.filter(col("c1") >= hotCount)
+    val coldCtx = contextCounts.filter(col("c1") < hotCount)
+    val joined = withC12.join(broadcast(hotCtx), Seq("w1")).unionByName(
+      withC12.join(broadcast(hotCtx.select(col("w1"))), Seq("w1"), "left_anti")
         .join(coldCtx, Seq("w1")))
     joined
       .groupBy(col(idCol))

@@ -266,10 +266,16 @@ object TpchSuite {
   //    max-revenue row(s) via a broadcast 1-row max — the view + scalar
   //    subquery shape. Revenue doubles come from exact decimal sums, so
   //    the equality against max() is bit-safe.
+  //    `rev` feeds both the scalar max and the outer probe; the supplier
+  //    join pushes an isnotnull(l_suppkey) into the probe branch only,
+  //    which would break canonical equality and force the aggregation to
+  //    run twice. The isNotNull is therefore part of rev's own definition
+  //    (l_suppkey is a non-null key, so values are unchanged) — both
+  //    branches then share one exchange (PlanSpec pins ReusedExchange).
   def q15(s: SparkSession, dir: String): DataFrame = {
     val rev = t(s, dir, "lineitem")
       .filter(col("l_shipdate") >= ts("1996-01-01") &&
-        col("l_shipdate") < ts("1996-04-01"))
+        col("l_shipdate") < ts("1996-04-01") && col("l_suppkey").isNotNull)
       .groupBy(col("l_suppkey"))
       .agg(drev.alias("total_revenue"))
     val mx = rev.agg(max(col("total_revenue")).alias("mr"))
@@ -353,11 +359,20 @@ object TpchSuite {
   //    rescans of lineitem; the l1 row join then selects orders with
   //    nsupp ≥ 2 and exactly one late supplier. Lateness = shipped >60
   //    days after the order date; o_orderstatus = 'F'.
+  //    `lo` feeds two consumers — the per-order aggregate and the
+  //    late-line probe. The probe's `late` filter pushes below the join,
+  //    so the two subtrees don't canonicalize equal and ReuseExchange
+  //    can't dedup them; without intervention the lineitem⋈orders join
+  //    runs TWICE (a second full fact pass at 100 TB). `lo` is therefore
+  //    persisted: three narrow columns (two ids + a boolean), so the
+  //    cache is a fraction of one join's shuffle, and both consumers
+  //    read it (PlanSpec pins the two InMemoryTableScans).
   def q21(s: SparkSession, dir: String): DataFrame = {
     val lo = t(s, dir, "lineitem")
       .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), col("l_suppkey"), (shipDelayDays > 60).alias("late"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val perOrder = lo.groupBy(col("l_orderkey").alias("po_okey"))
       .agg(
         countDistinct(col("l_suppkey")).alias("nsupp"),

@@ -128,6 +128,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("prep_corpus_chunked: chunking adds NO shuffle over prep_corpus") {
+    // same two wide stages as prep_corpus — fingerprint dedup + packing
+    // window; the chunk explode and the doc-hash split are narrow
+    val p = plan("prep_corpus_chunked")
+    val hashEx = p.linesIterator.count(_.contains("Arguments: hashpartitioning"))
+    assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx:\n$p")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
   test("scd2 merge shuffles once on the key (both windows share one exchange)") {
     val p = plan("q_scd2")
     val hashExchanges = p.linesIterator
@@ -209,6 +218,39 @@ class PlanSpec extends SparkSpec {
       assert(factFilter.contains("l_orderkey"))
     } finally saved.foreach { case (k, v) =>
       v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
+  test("self-joining TPC-H plans reuse the repeated subplan's exchange") {
+    // q17 (lf = lineitem⋈part feeds the per-part average AND the outer
+    // probe), q21 (lo = lineitem⋈orders scanned for per-order counts AND
+    // the late-line probe), q11/q15 (the grouped aggregate feeds its own
+    // scalar total/max) all reference a subplan twice. At 100 TB a
+    // recompute is a second full fact pass, so the planner MUST dedup the
+    // common exchange. ReuseExchange matches canonicalized plans — the
+    // same matching AQE's runtime stage cache uses — so pin it with AQE
+    // off, where reuse is visible statically as a ReusedExchange node.
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (q <- Seq("q_tpch17", "q_tpch11", "q_tpch15")) {
+        val p = plan(q)
+        assert(p.contains("ReusedExchange"),
+          s"$q: repeated subplan must reuse its exchange, not recompute:\n${p.take(3000)}")
+      }
+      // q21's late-line probe filters `lo` BEFORE its join, so pushdown
+      // makes the two subtrees canonically unequal and ReuseExchange
+      // can't fire — the query persists `lo` instead; both consumers
+      // must read the cache, and the lineitem scan must appear only
+      // inside it (once), never as a recomputed second scan.
+      val p21 = plan("q_tpch21")
+      val memScans = "InMemoryTableScan".r.findAllIn(p21).size
+      assert(memScans >= 2,
+        s"q_tpch21: both lo consumers must read the persisted join:\n${p21.take(3000)}")
+      val lineitemScans = p21.linesIterator.count(_.contains("lineitem.parquet"))
+      assert(lineitemScans <= 1,
+        s"q_tpch21: lineitem scanned more than once ($lineitemScans scans):\n${p21.take(3000)}")
+    } finally conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   test("gold aggregate plans partial aggregation before the shuffle") {

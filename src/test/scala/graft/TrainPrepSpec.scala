@@ -193,6 +193,51 @@ class TrainPrepSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"chunking should be shuffle-free:\n$p")
   }
 
+  test("chunkDocumentsChars: byte-faithful windows, concat reproduces text") {
+    val text = "a  b\tc   d e" // runs of whitespace the token variant collapses
+    val df = Seq((1L, text), (2L, "xy")).toDF("doc_id", "text")
+    val out = graft.ops.TrainPrep.chunkDocumentsChars(df, "doc_id", "text",
+        chunkSize = 6, stride = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    val d1 = out.filter(_._1 == 1L)
+    // 12 chars, size 6, stride 4 -> starts 0,4,8; each window is the exact
+    // substring (whitespace intact)
+    assert(d1.map(_._3).toSeq == Seq("a  b\tc", "\tc   d", " d e"))
+    assert(d1.map(_._4).toSeq == Seq(6L, 6L, 4L))
+    // stride-prefixes of all but the last window + the last window
+    // reassemble the original byte-for-byte
+    val reassembled = d1.init.map(_._3.take(4)).mkString + d1.last._3
+    assert(reassembled == text, s"stride concat must reproduce the doc: '$reassembled'")
+    // short doc: one chunk, verbatim
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, "xy", 2L)))
+  }
+
+  test("prepareCorpusChunked: chunks inherit the doc split; packing respects budget") {
+    val long = (1 to 50).map(i => s"w$i").mkString(" ") // 50 distinct tokens
+    val df = (1L to 20L).map(i => (i, s"doc$i $long", "en")).toDF("doc_id", "text", "lang")
+    val out = graft.ops.TrainPrep.prepareCorpusChunked(
+      df, "doc_id", "text", "lang", chunkSize = 16, stride = 12, budget = 64)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+      r.getString(3), r.getLong(4), r.getLong(5)))
+    // every doc chunks to ceil((51-16)/12)+1 = 4 windows
+    assert(rows.groupBy(_._1).forall(_._2.length == 4), "expected 4 chunks per doc")
+    // all chunks of one doc land in ONE split (no train/val leakage)
+    for ((_, chunks) <- rows.groupBy(_._1))
+      assert(chunks.map(_._4).distinct.length == 1, "chunks straddle splits")
+    // split matches the doc-level hash law
+    for ((id, chunks) <- rows.groupBy(_._1)) {
+      val bucket = (id * 2654435761L + 40503L) % 1000L
+      val expect = if (bucket < 800) "train" else if (bucket < 900) "val" else "test"
+      assert(chunks.head._4 == expect)
+    }
+    // packing: within each (split, lang) sequence, total tokens ≤ budget
+    // unless a single chunk exceeds it (none here: chunks ≤ 16 < 64)
+    for ((_, seq) <- rows.groupBy(r => (r._4, r._3, r._6)))
+      assert(seq.map(_._5).sum <= 64 + 16,
+        "a sequence exceeded budget by more than one chunk")
+  }
+
   test("bigramFamiliarity: golden ratios on a crafted corpus") {
     // corpus: "a b" x3 (common transition), plus one doc with a unique pair
     val df = Seq(
