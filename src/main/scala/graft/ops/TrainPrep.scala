@@ -155,12 +155,15 @@ object TrainPrep {
     *
     * Scale shape: both sides' shingle hashes come from the NARROW
     * [[graft.functions.ShingleWindows]] expression (a per-row codegen'd
-    * loop — no shuffle to form n-grams); the contamination set (eval
-    * benchmarks — small by nature) collapses to distinct 8-byte hashes and
-    * broadcasts, so the only exchange over training-corpus cardinality is
-    * the per-doc hit count, keyed by doc id. Returns `docs` +
-    * `contam_ngrams` (occurrences of contaminated k-grams) +
-    * `is_contaminated`.
+    * loop — no shuffle to form n-grams); the contamination set collapses
+    * to distinct 8-byte hashes. The semi-join strategy is deliberately
+    * UNHINTED: under the broadcast threshold AQE broadcasts the hash set
+    * from its measured runtime size (the usual case — eval benchmarks are
+    * small), and beyond it the join degrades to a hash-keyed shuffle semi
+    * join instead of forcing an executor-OOM broadcast — the guard for
+    * contamination corpora at eval-suite scale (every benchmark ever
+    * published, k-grams of all of them). Returns `docs` + `contam_ngrams`
+    * (occurrences of contaminated k-grams) + `is_contaminated`.
     */
   def decontaminate(
       docs: DataFrame,
@@ -177,7 +180,7 @@ object TrainPrep {
       .select(explode(grams(col(contamTextCol))).alias("sh")).distinct()
     val hits = docs
       .select(col(idCol).alias("__id"), explode(grams(col(textCol))).alias("sh"))
-      .join(broadcast(contamSet), Seq("sh"), "left_semi")
+      .join(contamSet, Seq("sh"), "left_semi")
       .groupBy(col("__id")).agg(count(lit(1)).alias("contam_ngrams"))
       .withColumnRenamed("__id", idCol)
     docs.join(hits, Seq(idCol), "left")

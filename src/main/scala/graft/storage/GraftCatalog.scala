@@ -11,7 +11,7 @@ import org.apache.parquet.hadoop.ParquetWriter
 import org.apache.parquet.hadoop.metadata.CompressionCodecName
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
@@ -55,13 +55,18 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * profile ([[IcebergNessieProfile]]) is the production binding, this
   * catalog is the offline-runnable stand-in with the same API surface.
   *
-  * Supported: identity partitioning (what the reference uses), append,
-  * truncate, dynamic partition overwrite, create/replace/drop/rename,
-  * property alters. Not supported: bucket/days/etc. transforms, atomic
-  * swaps (non-staging catalog → REPLACE is drop+create, like Spark's
-  * built-in session catalog).
+  * Supported: identity partitioning (what the reference uses) and
+  * `bucket(n, col)` hash bucketing (the 100 TB layout for
+  * high-cardinality join keys — co-bucketed fact-fact joins run
+  * shuffle-free via SPJ; dirs are `__bucket_<col>=<id>` with
+  * `id = pmod(murmur3(col, 42), n)` and the source column kept in the
+  * data files), append, truncate, dynamic partition overwrite,
+  * create/replace/drop/rename, property alters. Not supported:
+  * days/hours/truncate transforms, mixing bucket with other transforms,
+  * atomic swaps (non-staging catalog → REPLACE is drop+create, like
+  * Spark's built-in session catalog).
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -152,11 +157,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // into one task (and `repartition(target, cols)` caps total tasks at
     // `target` — a single-task funnel for the default target=1).
     import org.apache.spark.sql.functions.{col, pmod, hash, lit}
+    // bucketed tables: the `__bucket_<col>` dir level is derived, not a
+    // data column — recompute it with the writer's exact arithmetic
+    // (hash() is murmur3 with the writer's seed 42)
+    val partExprs = meta.bucket match {
+      case Some((n, c)) => Seq(pmod(hash(col(c)), lit(n)))
+      case None => meta.partitionCols.map(col)
+    }
     val rewritten =
       if (meta.partitionCols.isEmpty) live.repartition(targetFilesPerPartition)
       else {
-        val bucket = pmod(hash(live.columns.map(col): _*), lit(targetFilesPerPartition))
-        live.repartition(meta.partitionCols.map(col) :+ bucket: _*)
+        val spread = pmod(hash(live.columns.map(col): _*), lit(targetFilesPerPartition))
+        live.repartition(partExprs :+ spread: _*)
       }
     rewritten.localCheckpoint(true)
       .writeTo(qualified).overwrite(org.apache.spark.sql.functions.lit(true))
@@ -234,15 +246,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val dir = tableDir(ident)
     if (GraftCatalog.readMeta(fs, dir).isDefined)
       throw new TableAlreadyExistsException(ident)
-    val partCols = partitions.map { t =>
-      require(t.name == "identity",
-        s"GraftCatalog supports identity partitioning only, got $t")
-      t.references()(0).fieldNames().mkString(".")
+    val specs = partitions.map { t =>
+      t.name match {
+        case "identity" => Left(t.references()(0).fieldNames().mkString("."))
+        case "bucket" =>
+          val n = t.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              l.value().asInstanceOf[Number].intValue()
+          }.getOrElse(throw new IllegalArgumentException(
+            s"bucket transform missing a bucket count: $t"))
+          require(n > 0, s"bucket count must be positive, got $n")
+          Right((n, t.references()(0).fieldNames().mkString(".")))
+        case _ => throw new IllegalArgumentException(
+          s"GraftCatalog supports identity and bucket partitioning, got $t")
+      }
     }
-    partCols.foreach(c => require(schema.fieldNames.contains(c),
-      s"partition column $c missing from schema"))
+    val bucket = specs.collectFirst { case Right(b) => b }
+    require(bucket.isEmpty || specs.length == 1,
+      "GraftCatalog: bucket(n, col) must be the table's sole partition transform")
+    bucket.foreach { case (_, c) =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"bucket column $c missing from schema"))
+      require(Seq(ByteType, ShortType, IntegerType, LongType, StringType, DateType)
+          .contains(f.dataType),
+        s"GraftCatalog: unsupported bucket column type ${f.dataType.catalogString}")
+    }
+    // partitionCols are the PHYSICAL dir levels: the hive column for
+    // identity, a derived `__bucket_<col>` level (not in the schema —
+    // the source column stays in the data files) for bucketing
+    val partCols = specs.map {
+      case Left(c) => c
+      case Right((_, c)) => s"__bucket_$c"
+    }
+    specs.collect { case Left(c) => c }.foreach(c =>
+      require(schema.fieldNames.contains(c),
+        s"partition column $c missing from schema"))
     val meta = GraftTableMeta(schema, partCols.toSeq,
-      properties.asScala.toMap - TableCatalog.PROP_LOCATION)
+      properties.asScala.toMap - TableCatalog.PROP_LOCATION, bucket)
     fs.mkdirs(dir)
     GraftCatalog.writeMeta(fs, dir, meta)
     new GraftTable(ident.toString, dir.toString, meta)
@@ -270,6 +310,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           "GraftCatalog: nested column drops not supported")
         require(!meta.partitionCols.contains(del.fieldNames()(0)),
           s"GraftCatalog: cannot drop partition column ${del.fieldNames()(0)}")
+        require(!meta.bucket.exists(_._2 == del.fieldNames()(0)),
+          s"GraftCatalog: cannot drop bucket source column ${del.fieldNames()(0)}")
         schema = StructType(schema.fields.filterNot(_.name == del.fieldNames()(0)))
       case other => throw new UnsupportedOperationException(
         s"GraftCatalog.alterTable: unsupported change $other")
@@ -292,6 +334,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     fs.mkdirs(tableDir(newIdent).getParent)
     fs.rename(tableDir(oldIdent), tableDir(newIdent))
   }
+
+  // ── functions ──────────────────────────────────────────────────────────
+  // The read side resolves a bucketed table's `bucket(n, col)` transform
+  // against this catalog's FunctionCatalog to build the TransformExpression
+  // SPJ compares across join sides — without it Spark silently drops the
+  // reported partitioning and the join falls back to a shuffle.
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name() == "bucket") org.apache.spark.sql.graftshim.GraftBucketFunction
+    else throw new NoSuchFunctionException(ident)
 
   // ── namespaces ─────────────────────────────────────────────────────────
 
@@ -329,11 +385,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 }
 
 /** Durable table metadata, stored as a java.util.Properties file (zero
-  * parser deps; schema travels as its single-line JSON form). */
+  * parser deps; schema travels as its single-line JSON form).
+  * `partitionCols` are the physical partition DIRECTORY levels; for a
+  * bucketed table that is the derived `__bucket_<col>` level and `bucket`
+  * records the `(n, sourceCol)` spec. */
 final case class GraftTableMeta(
     schema: StructType,
     partitionCols: Seq[String],
-    properties: Map[String, String])
+    properties: Map[String, String],
+    bucket: Option[(Int, String)] = None)
 
 object GraftCatalog {
 
@@ -366,7 +426,11 @@ object GraftCatalog {
         val props = p.stringPropertyNames().asScala
           .filter(_.startsWith("prop."))
           .map(k => k.stripPrefix("prop.") -> p.getProperty(k)).toMap
-        Some(GraftTableMeta(schema, parts, props))
+        val bucket = Option(p.getProperty("bucket")).map { s =>
+          val Array(n, c) = s.split(",", 2)
+          (n.toInt, c)
+        }
+        Some(GraftTableMeta(schema, parts, props, bucket))
       } finally in.close()
     }
   }
@@ -375,6 +439,7 @@ object GraftCatalog {
     val p = new util.Properties()
     p.setProperty("schema", meta.schema.json)
     p.setProperty("partitions", meta.partitionCols.mkString(","))
+    meta.bucket.foreach { case (n, c) => p.setProperty("bucket", s"$n,$c") }
     meta.properties.foreach { case (k, v) => p.setProperty(s"prop.$k", v) }
     val out = fs.create(new Path(dir, MetaFile), true)
     try p.store(out, "graft table metadata")
@@ -503,8 +568,10 @@ private[storage] class GraftTable(
 
   override def name(): String = tableName
   override def schema(): StructType = meta.schema
-  override def partitioning(): Array[Transform] =
-    meta.partitionCols.map(Expressions.identity).toArray
+  override def partitioning(): Array[Transform] = meta.bucket match {
+    case Some((n, c)) => Array(Expressions.bucket(n, c))
+    case None => meta.partitionCols.map(Expressions.identity).toArray
+  }
   override def properties(): util.Map[String, String] = meta.properties.asJava
 
   override def capabilities(): util.Set[TableCapability] =
@@ -530,10 +597,18 @@ private[storage] class GraftTable(
       classOf[ParquetFileFormat])
     // Partitioned tables report KeyGroupedPartitioning from the scan so
     // equi-joins between co-partitioned catalog tables run shuffle-free
-    // (storage-partitioned join) when v2 bucketing is enabled.
-    if (meta.partitionCols.nonEmpty)
-      org.apache.spark.sql.graftshim.Spj.keyedScanBuilder(pt, opts)
-    else pt.newScanBuilder(opts)
+    // (storage-partitioned join) when v2 bucketing is enabled. The key
+    // expressions describe how the dir levels derive from data columns:
+    // identity(col) for hive partitioning, bucket(n, col) for bucketing
+    // (resolved against this catalog's FunctionCatalog on the read side).
+    if (meta.partitionCols.nonEmpty) {
+      val keys: Seq[org.apache.spark.sql.connector.expressions.Expression] =
+        meta.bucket match {
+          case Some((n, c)) => Seq(Expressions.bucket(n, c))
+          case None => meta.partitionCols.map(Expressions.identity(_))
+        }
+      org.apache.spark.sql.graftshim.Spj.keyedScanBuilder(pt, opts, keys)
+    } else pt.newScanBuilder(opts)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -599,7 +674,8 @@ private[storage] class GraftBatchWrite(
     GraftWriterFactory(s"$dir/$stagingRel", meta.schema, meta.partitionCols,
       parquetConfs, queryId,
       meta.properties.get(GraftCatalog.TargetFileRowsProp)
-        .flatMap(_.toLongOption).filter(_ > 0).getOrElse(0L))
+        .flatMap(_.toLongOption).filter(_ > 0).getOrElse(0L),
+      meta.bucket)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(dir)
@@ -666,17 +742,21 @@ private[storage] final case class GraftWriterFactory(
     partitionCols: Seq[String],
     parquetConfs: Map[String, String],
     writeToken: String,
-    maxRowsPerFile: Long = 0L) extends DataWriterFactory {
+    maxRowsPerFile: Long = 0L,
+    bucket: Option[(Int, String)] = None) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(
       stagingDir, schema, partitionCols, parquetConfs, partitionId, taskId,
-      writeToken, maxRowsPerFile)
+      writeToken, maxRowsPerFile, bucket)
 }
 
 /** Per-task writer: routes rows to one `ParquetWriter` per partition value
-  * (hive-style dir), projecting partition columns out of the data file —
-  * the standard dynamic-partition layout, value recoverable from the path. */
+  * (hive-style dir) — the standard dynamic-partition layout, value
+  * recoverable from the path. Identity partition columns are projected out
+  * of the data file; for a bucketed table the dir level is the COMPUTED
+  * `__bucket_<col> = pmod(murmur3(col, 42), n)` and the source column
+  * stays in the data file. */
 private[storage] class GraftDataWriter(
     stagingDir: String,
     schema: StructType,
@@ -685,11 +765,21 @@ private[storage] class GraftDataWriter(
     partitionId: Int,
     taskId: Long,
     writeToken: String,
-    maxRowsPerFile: Long = 0L) extends DataWriter[InternalRow] {
+    maxRowsPerFile: Long = 0L,
+    bucket: Option[(Int, String)] = None) extends DataWriter[InternalRow] {
 
-  private val partIdx = partitionCols.map(schema.fieldIndex).toArray
+  // identity dir columns live in the schema; a derived bucket level does not
+  private val partIdx: Array[Int] =
+    if (bucket.isDefined) Array.empty
+    else partitionCols.map(schema.fieldIndex).toArray
   private val dataIdx = schema.fieldNames.indices.filterNot(partIdx.contains).toArray
   private val dataSchema = StructType(dataIdx.map(schema.fields(_)))
+
+  // the dir levels: (name, value type) — matches the key projection below
+  private val dirFields: Array[(String, DataType)] = bucket match {
+    case Some((_, c)) => Array((s"__bucket_$c", IntegerType))
+    case None => partIdx.map(i => (schema.fields(i).name, schema.fields(i).dataType))
+  }
 
   // codegen'd projection of the non-partition columns (what Spark's own
   // FileFormatDataWriter uses) — a per-row GenericInternalRow + boxed
@@ -708,33 +798,42 @@ private[storage] class GraftDataWriter(
 
   // writers keyed by the PROJECTED partition-value row (UnsafeRow: byte
   // equality/hash) — the hive-style `col=value` string is formatted once
-  // per partition value, not once per row
+  // per partition value, not once per row. For a bucketed table the
+  // projection computes the bucket id with the same catalyst expressions
+  // the scan's bucket function and `compact`'s SQL hash() reproduce.
   private val partProj = {
-    import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
-    UnsafeProjection.create(partIdx.map(i =>
-      BoundReference(i, schema.fields(i).dataType, schema.fields(i).nullable)))
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal, Murmur3Hash, Pmod, UnsafeProjection}
+    bucket match {
+      case Some((n, c)) =>
+        val i = schema.fieldIndex(c)
+        val ref = BoundReference(i, schema.fields(i).dataType, schema.fields(i).nullable)
+        UnsafeProjection.create(Seq(Pmod(new Murmur3Hash(Seq(ref)), Literal(n))))
+      case None =>
+        UnsafeProjection.create(partIdx.map(i =>
+          BoundReference(i, schema.fields(i).dataType, schema.fields(i).nullable)))
+    }
   }
   private val writers = mutable.Map.empty[InternalRow, PartState]
   private val written = mutable.ListBuffer.empty[(String, String)]
 
-  private def partValue(row: InternalRow, i: Int): String = {
-    val f = schema.fields(i)
-    if (row.isNullAt(i)) Shims.defaultPartitionName
-    else f.dataType match {
-      case StringType => Shims.escapePathName(row.getUTF8String(i).toString)
-      case DateType => java.time.LocalDate.ofEpochDay(row.getInt(i).toLong).toString
-      case IntegerType => row.getInt(i).toString
-      case LongType => row.getLong(i).toString
-      case ShortType => row.getShort(i).toString
-      case ByteType => row.getByte(i).toString
-      case BooleanType => row.getBoolean(i).toString
-      case dt => throw new UnsupportedOperationException(
-        s"GraftCatalog: unsupported partition column type $dt for ${f.name}")
+  private def partValue(key: InternalRow, j: Int): String = {
+    val (name, dt) = dirFields(j)
+    if (key.isNullAt(j)) Shims.defaultPartitionName
+    else dt match {
+      case StringType => Shims.escapePathName(key.getUTF8String(j).toString)
+      case DateType => java.time.LocalDate.ofEpochDay(key.getInt(j).toLong).toString
+      case IntegerType => key.getInt(j).toString
+      case LongType => key.getLong(j).toString
+      case ShortType => key.getShort(j).toString
+      case ByteType => key.getByte(j).toString
+      case BooleanType => key.getBoolean(j).toString
+      case other => throw new UnsupportedOperationException(
+        s"GraftCatalog: unsupported partition column type $other for $name")
     }
   }
 
-  private def partRelDir(row: InternalRow): String =
-    partIdx.map(i => s"${schema.fields(i).name}=${partValue(row, i)}").mkString("/")
+  private def partRelDir(key: InternalRow): String =
+    dirFields.indices.map(j => s"${dirFields(j)._1}=${partValue(key, j)}").mkString("/")
 
   private def openWriter(part: String, seq: Int): ParquetWriter[InternalRow] = {
     // taskId is application-scoped (resets per app run), so the per-write
@@ -762,7 +861,7 @@ private[storage] class GraftDataWriter(
     val key = partProj(row)
     var st = writers.getOrElse(key, null)
     if (st == null) {
-      val part = partRelDir(row)
+      val part = partRelDir(key)
       st = new PartState(openWriter(part, 0), 0L, 1, part)
       writers.put(key.copy(), st) // copy: the projection buffer is reused
     }

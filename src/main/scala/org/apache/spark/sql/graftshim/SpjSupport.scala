@@ -12,26 +12,33 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Storage-partitioned join (SPJ) support for [[graft.storage.GraftCatalog]]
   * tables: the scan reports `KeyGroupedPartitioning` over the table's hive
-  * partition columns, with one input split per live partition value
-  * (`HasPartitionKey`). When BOTH sides of an equi-join are catalog tables
-  * partitioned on the join key and `spark.sql.sources.v2.bucketing.enabled`
-  * is set, Spark's `EnsureRequirements` matches the two key-grouped
-  * distributions and plans the join with NO shuffle exchange on either side
-  * — at 100 TB this turns the nightly fact-fact join between co-partitioned
-  * tables from the dominant shuffle into a zero-exchange zip of partitions
-  * (Spark's own SPJ machinery, SPARK-37375).
+  * partition columns, with per-key file splits (`HasPartitionKey`). When
+  * BOTH sides of an equi-join are catalog tables partitioned on the join
+  * key and `spark.sql.sources.v2.bucketing.enabled` is set, Spark's
+  * `EnsureRequirements` matches the two key-grouped distributions and plans
+  * the join with NO shuffle exchange on either side — at 100 TB this turns
+  * the nightly fact-fact join between co-partitioned tables from the
+  * dominant shuffle into a zero-exchange zip of partitions (Spark's own SPJ
+  * machinery, SPARK-37375). Whether a given scan reports the grouping at
+  * all is governed by `spark.sql.graft.spj.preserveDataGrouping` — see
+  * [[KeyedScan]] for the parallelism trade-off.
   *
   * Lives in the `org.apache.spark.sql` package tree because
   * [[ParquetScanBuilder]] (subclassed to keep ALL of the file source's
-  * pushdown surface — catalyst filters, column pruning, aggregate pushdown,
-  * runtime filtering) is `private[sql]`-adjacent internal API.
+  * pushdown surface — catalyst filters, column pruning, aggregate
+  * pushdown) is `private[sql]`-adjacent internal API.
   */
 object Spj {
 
   /** A ScanBuilder over `table` whose built scan additionally reports
-    * key-grouped partitioning on the table's partition columns. */
-  def keyedScanBuilder(table: ParquetTable, options: CaseInsensitiveStringMap): ScanBuilder =
-    new KeyedParquetScanBuilder(table, options)
+    * key-grouped partitioning with the given key expressions — one per
+    * physical partition directory level, in order: `identity(col)` for
+    * hive partitioning, `bucket(n, col)` for hash-bucketed layout. */
+  def keyedScanBuilder(
+      table: ParquetTable,
+      options: CaseInsensitiveStringMap,
+      keys: Seq[V2Expression]): ScanBuilder =
+    new KeyedParquetScanBuilder(table, options, keys)
 }
 
 /** Delegates the full parquet pushdown surface (catalyst filters, column
@@ -39,7 +46,10 @@ object Spj {
   * `build()` differs — the scan is wrapped with the partition-key report.
   * (Composition, not inheritance: `ParquetScanBuilder.build()` has a
   * covariant `ParquetScan` return type that an override can't widen.) */
-final class KeyedParquetScanBuilder(table: ParquetTable, options: CaseInsensitiveStringMap)
+final class KeyedParquetScanBuilder(
+    table: ParquetTable,
+    options: CaseInsensitiveStringMap,
+    keys: Seq[V2Expression])
   extends ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -65,19 +75,48 @@ final class KeyedParquetScanBuilder(table: ParquetTable, options: CaseInsensitiv
   override def build(): Scan = {
     val pschema = table.fileIndex.partitionSchema
     underlying.build() match {
-      case p: ParquetScan if pschema.nonEmpty => KeyedScan(p, pschema)
+      case p: ParquetScan if pschema.nonEmpty => KeyedScan(p, pschema, keys)
       case other => other
     }
   }
 }
 
-/** Wraps a [[ParquetScan]]: regroups its planned file splits into one
-  * split per partition VALUE (the unit SPJ aligns across join sides) and
-  * reports `KeyGroupedPartitioning` over the partition columns. Reader
-  * creation, columnar support, and schemas all delegate to the parquet
-  * scan's own machinery.
+/** Wraps a [[ParquetScan]]: re-plans its file splits so every split holds
+  * files of a single partition VALUE (`HasPartitionKey` — the unit SPJ
+  * aligns across join sides) and reports `KeyGroupedPartitioning` over the
+  * partition columns. Reader creation, columnar support, and schemas all
+  * delegate to the parquet scan's own machinery.
+  *
+  * Whether to key-group AT ALL is decided per scan, because Spark's
+  * exec-side `groupPartitions` collapses a key's splits into ONE task for
+  * every read of a key-reporting scan once `v2.bucketing.enabled` is on —
+  * so an unconditional report caps plain-scan parallelism at the live
+  * partition count (few date partitions → idle cluster, one task dragging
+  * a whole skewed partition). `spark.sql.graft.spj.preserveDataGrouping`
+  * (the same trade-off Iceberg exposes under that name):
+  *
+  *  - `auto` (default): report the grouping only when it cannot cost
+  *    parallelism — the pruned partition-value count already reaches the
+  *    cluster's default parallelism, or stock file planning produced no
+  *    more splits than partition values anyway. The 100 TB fact table
+  *    (thousands of date partitions) groups and joins shuffle-free; the
+  *    20-partition dimension keeps per-file scan parallelism.
+  *  - `true` / `false`: force the report on (SPJ-first workloads) / off.
+  *
+  * Within a grouped scan, each key's files are still packed into
+  * stock-sized `FilePartition`s rather than one mega-split, so Spark's
+  * partially-clustered SPJ (skew handling) can subdivide a hot key.
+  *
+  * Runtime-filtering note: Spark 4.1.2's `ParquetScan` does not implement
+  * `SupportsRuntimeV2Filtering` (DSv2 dynamic partition pruning), so the
+  * wrapper forfeits nothing there — pruning reaches the scan through the
+  * pushed partition filters at plan time; this is a property of the file
+  * source, not of the wrapping.
   */
-final case class KeyedScan(delegate: ParquetScan, partitionSchema: StructType)
+final case class KeyedScan(
+    delegate: ParquetScan,
+    partitionSchema: StructType,
+    keys: Seq[V2Expression])
   extends Scan with Batch with SupportsReportPartitioning
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.internal.connector.SupportsMetadata {
@@ -93,20 +132,41 @@ final case class KeyedScan(delegate: ParquetScan, partitionSchema: StructType)
   override def description(): String = s"KeyGrouped(${delegate.description()})"
   override def toBatch: Batch = this
 
-  // Either passthrough partitions (unexpected split type — plan exactly as
-  // the parquet scan would) or one KeyedFilePartition per partition value.
+  // Either passthrough partitions (key grouping declined or unexpected
+  // split type — plan exactly as the parquet scan would) or per-key file
+  // splits, each carrying its partition value.
   @transient private lazy val planned: Either[Array[InputPartition], Array[InputPartition]] = {
     val parts = delegate.toBatch.planInputPartitions()
-    if (!parts.forall(_.isInstanceOf[FilePartition])) Left(parts)
+    val mode = delegate.sparkSession.conf
+      .get("spark.sql.graft.spj.preserveDataGrouping", "auto")
+    if (mode == "false" || !parts.forall(_.isInstanceOf[FilePartition])) Left(parts)
     else {
-      val files = parts.flatMap(_.asInstanceOf[FilePartition].files)
+      val fileParts = parts.map(_.asInstanceOf[FilePartition])
       val proj = UnsafeProjection.create(partitionSchema)
-      val grouped = files.groupBy(f => proj(f.partitionValues).copy())
-      // Deterministic split order (UnsafeRow bytes) — stable plans across runs.
-      val sorted = grouped.toArray.sortBy(_._1.toString)
-      Right(sorted.zipWithIndex.map { case ((key, fs), i) =>
-        KeyedFilePartition(FilePartition(i, fs), key): InputPartition
-      })
+      val grouped = fileParts.flatMap(_.files)
+        .groupBy(f => proj(f.partitionValues).copy())
+      val shouldGroup = mode == "true" ||
+        grouped.size >= delegate.sparkSession.sparkContext.defaultParallelism ||
+        parts.length <= grouped.size
+      if (!shouldGroup) Left(parts)
+      else {
+        // repack each key's (already range-split) files into splits no
+        // larger than the stock planner's largest, so a skewed key stays
+        // subdividable under partially-clustered SPJ
+        val targetBytes = math.max(1L,
+          fileParts.map(_.files.map(_.length).sum).foldLeft(0L)(math.max))
+        // Deterministic split order (UnsafeRow bytes) — stable plans across runs.
+        val sorted = grouped.toArray.sortBy(_._1.toString)
+        var idx = -1
+        Right(sorted.flatMap { case (key, fs) =>
+          FilePartition
+            .getFilePartitions(delegate.sparkSession, fs.toIndexedSeq, targetBytes)
+            .map { fp =>
+              idx += 1
+              KeyedFilePartition(FilePartition(idx, fp.files), key): InputPartition
+            }
+        })
+      }
     }
   }
 
@@ -118,11 +178,60 @@ final case class KeyedScan(delegate: ParquetScan, partitionSchema: StructType)
   }
 
   override def outputPartitioning(): Partitioning = planned match {
-    case Right(groups) if groups.nonEmpty =>
-      new KeyGroupedPartitioning(
-        partitionSchema.fields.map(f => Expressions.identity(f.name): V2Expression),
-        groups.length)
+    case Right(splits) if splits.nonEmpty =>
+      val numKeys = splits.iterator
+        .map(_.asInstanceOf[KeyedFilePartition].key).toSet.size
+      new KeyGroupedPartitioning(keys.toArray, numKeys)
     case _ => new UnknownPartitioning(0)
+  }
+}
+
+/** The catalog-exposed `bucket(n, col)` function backing GraftCatalog's
+  * hash-bucketed storage layout. Spark resolves a scan's `bucket`
+  * transform against the table's `FunctionCatalog` to build the
+  * `TransformExpression` that SPJ compares across join sides — two scans
+  * co-partition when their bound functions share a canonical name and
+  * bucket count. `produceResult` implements EXACTLY the writer's routing
+  * arithmetic (`pmod(murmur3_hash(col, seed=42), n)`,
+  * `GraftDataWriter`), so if Spark ever evaluates the function (e.g.
+  * `v2.bucketing.shuffle.enabled` shuffling an unbucketed side into this
+  * layout) the computed buckets agree with the files on disk.
+  */
+object GraftBucketFunction
+  extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.types.{DataType, IntegerType}
+
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, col): pmod(murmur3(col, 42), n) — graft storage bucketing"
+
+  override def bind(inputType: StructType)
+      : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket expects (numBuckets, col), got ${inputType.catalogString}")
+    require(inputType.fields(0).dataType == IntegerType,
+      s"bucket count must be INT, got ${inputType.fields(0).dataType.catalogString}")
+    GraftBoundBucket(inputType.fields(1).dataType)
+  }
+
+  final case class GraftBoundBucket(keyType: DataType)
+    extends org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, keyType)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "bucket"
+    override def canonicalName(): String = s"graft.bucket(${keyType.catalogString})"
+    override def isResultNullable: Boolean = false
+    override def produceResult(input: InternalRow): Integer = {
+      val n = input.getInt(0)
+      // null key: the writer's Murmur3Hash expression leaves the seed
+      // untouched for null children — mirror that, not an NPE
+      val h =
+        if (input.isNullAt(1)) 42
+        else org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+          .hash(input.get(1, keyType), keyType, 42L).toInt
+      val m = h % n
+      if (m < 0) m + n else m
+    }
   }
 }
 

@@ -28,6 +28,12 @@ class SpjSpec extends SparkSpec {
       .toDF("rid", "k", "amount")
       .writeTo("graftspj.db.facts_b").using("parquet")
       .partitionedBy(col("k")).createOrReplace()
+    // two partition values, many small files per value (8 write tasks):
+    // the shape where key-grouping would cap a plain scan at 2 tasks
+    (1 to 64).map(i => (i.toLong, i % 2, s"pad_$i" * 50))
+      .toDF("id", "k", "payload").repartition(8)
+      .writeTo("graftspj.db.wide_files").using("parquet")
+      .partitionedBy(col("k")).createOrReplace()
     dir
   }
 
@@ -35,10 +41,13 @@ class SpjSpec extends SparkSpec {
     val saved = Seq(
       "spark.sql.sources.v2.bucketing.enabled",
       "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.graft.spj.preserveDataGrouping",
       "spark.sql.autoBroadcastJoinThreshold")
       .map(k => k -> spark.conf.getOption(k))
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    // the SPJ-first setting: always key-group (the 100 TB fact-join intent)
+    spark.conf.set("spark.sql.graft.spj.preserveDataGrouping", "true")
     // force what would otherwise be a shuffle join
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try body
@@ -85,6 +94,97 @@ class SpjSpec extends SparkSpec {
         .join(spark.table("graftspj.db.facts_c"), Seq("k"), "inner").count()
       assert(n == expected)
     }
+  }
+
+  test("auto grouping declines when it would cap scan parallelism") {
+    wh
+    // key-grouping wide_files (2 values, ~8 files each) would cap the
+    // whole scan at 2 tasks. `auto` must keep stock file splits.
+    withSpjConf {
+      spark.conf.set("spark.sql.graft.spj.preserveDataGrouping", "auto")
+      val scan = spark.table("graftspj.db.wide_files")
+      val nTasks = scan.rdd.getNumPartitions
+      assert(nTasks > 2,
+        s"auto grouping collapsed a 2-value table to $nTasks tasks")
+      // forcing the grouping caps tasks at the partition-value count —
+      // the trade-off the conf exists to control
+      spark.conf.set("spark.sql.graft.spj.preserveDataGrouping", "true")
+      val groupedTasks = spark.table("graftspj.db.wide_files").rdd.getNumPartitions
+      assert(groupedTasks == 2, s"expected 2 key-grouped tasks, got $groupedTasks")
+    }
+  }
+
+  test("preserveDataGrouping=false disables the key report entirely") {
+    wh
+    withSpjConf {
+      spark.conf.set("spark.sql.graft.spj.preserveDataGrouping", "false")
+      val j = spark.table("graftspj.db.facts_a")
+        .join(spark.table("graftspj.db.facts_b"), "k")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("Exchange hashpartitioning"),
+        s"kill switch must restore the stock shuffle join:\n$plan")
+    }
+  }
+
+  test("grouped scan repacks a key's files into multiple splits (skew-ready)") {
+    wh
+    // with the grouping forced on, the per-key splits underneath the
+    // one-task-per-key grouping must still be stock-sized file partitions,
+    // not one mega-split — that's what partially-clustered SPJ subdivides
+    withSpjConf {
+      val scan = spark.table("graftspj.db.wide_files")
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      val batch = scan.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec => b }
+      assert(batch.isDefined)
+      val splits = batch.get.inputPartitions
+      val byKey = splits.groupBy(
+        _.asInstanceOf[org.apache.spark.sql.connector.read.HasPartitionKey]
+          .partitionKey().toString)
+      assert(byKey.size == 2)
+      assert(byKey.values.exists(_.size > 1),
+        "each key collapsed to a single mega-split; skewed keys would be unsplittable")
+    }
+  }
+
+  test("bucketed tables: zero-shuffle join on a high-cardinality key") {
+    wh
+    // date partitioning can't co-locate a join on a high-cardinality id —
+    // bucket(n, id) is the 100 TB layout for that: both tables hash the key
+    // into n dirs at WRITE time, and the scans report bucket(n, id) so SPJ
+    // zips bucket i with bucket i, no shuffle on either side.
+    import org.apache.spark.sql.functions.bucket
+    (1 to 400).map(i => (i.toLong, s"left_$i"))
+      .toDF("id", "lv")
+      .writeTo("graftspj.db.bucket_a").using("parquet")
+      .partitionedBy(bucket(8, col("id"))).createOrReplace()
+    (1 to 600).map(i => ((i % 200 + 1).toLong, i * 10.0))
+      .toDF("id", "amount")
+      .writeTo("graftspj.db.bucket_b").using("parquet")
+      .partitionedBy(bucket(8, col("id"))).createOrReplace()
+    withSpjConf {
+      val j = spark.table("graftspj.db.bucket_a")
+        .join(spark.table("graftspj.db.bucket_b"), "id")
+      val n = j.count()
+      val total = j.agg(sum("amount")).collect()(0).getDouble(0)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected a bucket-co-partitioned join with no shuffle, got:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      // correctness vs the un-bucketed plan
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val ref = spark.table("graftspj.db.bucket_a")
+        .join(spark.table("graftspj.db.bucket_b"), "id")
+      assert(n == ref.count())
+      assert(total == ref.agg(sum("amount")).collect()(0).getDouble(0))
+    }
+    // the bucket level is storage layout, not a column: SELECT * must show
+    // exactly the declared schema
+    assert(spark.table("graftspj.db.bucket_a").columns.toSeq == Seq("id", "lv"))
+    // and the physical layout is __bucket_id=<n> dirs
+    val dirs = new java.io.File(s"$wh/db/bucket_a").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.exists(_.startsWith("__bucket_id=")), s"unexpected layout: $dirs")
   }
 
   test("single-table reads keep pushdown through the keyed scan") {

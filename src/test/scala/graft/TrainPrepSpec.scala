@@ -193,6 +193,38 @@ class TrainPrepSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"chunking should be shuffle-free:\n$p")
   }
 
+  test("decontaminate degrades to a shuffle semi join beyond the broadcast limit") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the dog"),
+      (2L, "totally clean text with no overlap here at all"),
+      (3L, "quick brown fox story continues further")).toDF("doc_id", "text")
+    val contam = Seq("a quick brown fox appeared").toDF("bench_text")
+    def run() = graft.ops.TrainPrep
+      .decontaminate(docs, "doc_id", "text", contam, "bench_text", k = 3)
+      .select("doc_id", "contam_ngrams", "is_contaminated")
+      .orderBy("doc_id")
+    val small = run().collect().map(_.toSeq).toSeq
+    // simulate a contamination set too large to broadcast: disable the
+    // threshold so the planner must take the degrade path
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      saved.foreach { case (k, _) => conf.set(k, "-1") }
+      val big = run()
+      assert(big.collect().map(_.toSeq).toSeq == small,
+        "shuffle path must flag identical documents")
+      val plan = big.queryExecution.executedPlan.toString
+      assert(plan.contains("LeftSemi"), s"expected a semi join:\n$plan")
+      assert(!plan.contains("BroadcastHashJoin LeftSemi"),
+        s"semi join must not force a broadcast beyond the threshold:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("chunkDocumentsChars: byte-faithful windows, concat reproduces text") {
     val text = "a  b\tc   d e" // runs of whitespace the token variant collapses
     val df = Seq((1L, text), (2L, "xy")).toDF("doc_id", "text")
