@@ -35,11 +35,12 @@ object Bench {
 
   /** Headline = core19 + the heavy round-4 shapes (the most expensive
     * TPC-H plans: multi-fact joins, outer-join histogram, correlated
-    * scalar subquery, multi-way EXISTS) + the new prep operators, so the
-    * bench measures the surface CORRECTNESS added. */
+    * scalar subquery, multi-way EXISTS) + the round-4/5 prep and analysis
+    * operators, so the bench measures the surface CORRECTNESS added. */
   val headline: Seq[String] = core19 ++ Seq(
     "q_tpch8", "q_tpch9", "q_tpch13", "q_tpch17", "q_tpch21",
-    "prep_chunk", "prep_bigram_lm")
+    "prep_chunk", "prep_bigram_lm",
+    "prep_corpus_chunked", "text_source_overlap", "sim_cluster_sample")
 
   /** Warm iterations per query; the median is reported. */
   val WarmIters = 3

@@ -259,6 +259,25 @@ object SparkEntry {
       TextAnalysis.repetition(docs(s, dir), "doc_id", "text", k = 3,
           tokenHash = Dedup.oracleHash)
         .orderBy("doc_id")),
+    // Cross-source k-gram overlap matrix: distinct shared trigram hashes +
+    // Jaccard per source pair — the corpus-level leakage report. Distinct
+    // (source, hash) first, so the self-join is skew-proof by construction.
+    "text_source_overlap" -> ((s, dir) =>
+      TextAnalysis.sourceOverlap(docs(s, dir), "source", "text", k = 3,
+          tokenHash = Dedup.oracleHash)
+        .orderBy("source_a", "source_b")),
+    // Tokenizer fertility per language: exact BIGINT corpus sums + the
+    // chars-per-token / pre-tokens-per-token ratios a tokenizer team
+    // profiles before training.
+    "text_fertility" -> ((s, dir) =>
+      TextAnalysis.fertility(docs(s, dir), "lang", "text").orderBy("lang")),
+    // SemDeDup-shaped semantic diversity downsampling: nearest-centroid
+    // cells, keep the `cap` least-centroid-similar vectors per cell —
+    // cluster-then-prune with no pairwise comparisons.
+    "sim_cluster_sample" -> ((s, dir) =>
+      Similarity.clusterCapSample(embs(s, dir), "vec_id", "embedding",
+          numCentroids = 16, cap = 20)
+        .orderBy("cell", "rank")),
     // Domain-mixture sampling: deterministic per-source rate sampling that
     // hits the target language mix with maximal data retention.
     "prep_mixture" -> ((s, dir) =>
@@ -888,6 +907,47 @@ object SparkEntry {
        WHERE d.doc_id % 50 <> 0
        ORDER BY d.doc_id"""
 
+  private def sourceOverlapSql: String =
+    s"""WITH $oracleTk,
+         ${shrCte(3)},
+         sg AS (
+           SELECT DISTINCT d.source AS source, s.h
+           FROM (SELECT doc_id, unnest(hs) AS h FROM shr) s
+           JOIN documents d USING (doc_id)),
+         cnt AS (SELECT source, count(*) AS n FROM sg GROUP BY source),
+         pairs AS (
+           SELECT a.source AS source_a, b.source AS source_b,
+                  count(*) AS shared_ngrams
+           FROM sg a JOIN sg b ON a.h = b.h AND a.source < b.source
+           GROUP BY 1, 2)
+       SELECT source_a, source_b,
+              CAST(shared_ngrams AS BIGINT) AS shared_ngrams,
+              CAST(shared_ngrams AS DOUBLE)
+                / CAST(ca.n + cb.n - shared_ngrams AS DOUBLE) AS jaccard
+       FROM pairs
+       JOIN cnt ca ON ca.source = pairs.source_a
+       JOIN cnt cb ON cb.source = pairs.source_b
+       ORDER BY source_a, source_b"""
+
+  private def clusterSampleSql: String =
+    s"""WITH cent AS (
+           SELECT vec_id AS centroid_id, embedding AS centvec FROM embeddings
+           ORDER BY vec_id LIMIT 16),
+         c AS (SELECT vec_id, embedding AS cvec FROM embeddings),
+         assigned AS (
+           SELECT vec_id, centroid_id AS cell, s AS cscore FROM (
+             SELECT vec_id, centroid_id, ${cosSql("cvec", "centvec")} AS s,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY ${cosSql("cvec", "centvec")} DESC, centroid_id DESC) AS rn
+             FROM c, cent) WHERE rn = 1),
+         ranked AS (
+           SELECT vec_id, cell, cscore,
+                  row_number() OVER (PARTITION BY cell
+                                     ORDER BY cscore ASC, vec_id ASC) AS rank
+           FROM assigned)
+       SELECT vec_id, cell, cscore, CAST(rank AS INT) AS rank
+       FROM ranked WHERE rank <= 20 ORDER BY cell, rank"""
+
   private def repetitionSql: String =
     s"""WITH $oracleTk,
          ${shrCte(3)}
@@ -1124,6 +1184,22 @@ object SparkEntry {
                 count(*) AS n_events, min(event_id) AS first_event
          FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""",
     "prep_decontaminate" -> decontaminateSql,
+    "text_source_overlap" -> sourceOverlapSql,
+    "text_fertility" ->
+      """SELECT lang,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(ws) AS BIGINT) AS ws_tokens,
+                CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+                CAST(sum(chars) AS BIGINT) AS n_chars,
+                CAST(sum(chars) AS DOUBLE) / CAST(sum(ws) AS DOUBLE) AS chars_per_token,
+                CAST(sum(bpe) AS DOUBLE) / CAST(sum(ws) AS DOUBLE) AS fertility
+         FROM (SELECT lang,
+                      len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws,
+                      len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe,
+                      len(text) AS chars
+               FROM documents)
+         GROUP BY lang ORDER BY lang""",
+    "sim_cluster_sample" -> clusterSampleSql,
     "text_repetition" -> repetitionSql,
     "prep_mixture" -> mixtureSql,
     "sim_topk_lsh" -> lshTopkSql,

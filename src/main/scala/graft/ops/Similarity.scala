@@ -215,6 +215,53 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("corpus_id"), col("score"))
   }
 
+  /** SemDeDup-shaped semantic diversity downsampling: assign every vector
+    * to its nearest centroid, then keep at most `cap` vectors per cell,
+    * preferring the LEAST-centroid-similar ones — near-centroid points in
+    * a dense cell are the semantically redundant mass; the kept set
+    * maximizes intra-cell spread (deterministic: similarity then id ties).
+    * The cluster-then-prune shape of SemDeDup (Abbas et al. 2023) with a
+    * cap-per-cell keeper rule instead of a pairwise threshold, which
+    * keeps the whole operator two broadcast joins + one bounded window —
+    * no pairwise comparisons at any scale.
+    *
+    * Centroids default to the deterministic lowest-id subset (the same
+    * oracle-reproducible choice as [[ivfTopK]]); pass [[kmeansCentroids]]
+    * output for better cells. Scale shape: centroids broadcast (argmax in
+    * one pass, no shuffle of the corpus), the only exchange is the
+    * per-cell window keyed on `cell`, and the window prunes with
+    * WindowGroupLimit — each task holds top-`cap` rows per cell, never a
+    * cell's full membership.
+    */
+  def clusterCapSample(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCentroids: Int = 16,
+      cap: Int = 20,
+      fitCentroids: Option[DataFrame] = None): DataFrame = {
+    val c = corpus.select(col(idCol).alias("vec_id"), col(vecCol).alias("cvec"))
+    val centroids = fitCentroids.getOrElse(
+      c.orderBy(col("vec_id").asc).limit(numCentroids)
+        .select(col("vec_id").alias("centroid_id"), col("cvec").alias("centvec")))
+    // nearest centroid per vector (argmax with deterministic ties — the
+    // same max(struct) idiom ivfTopK's oracle reproduces)
+    val assigned = c.crossJoin(broadcast(centroids))
+      .select(col("vec_id"),
+        struct(cosine(col("cvec"), col("centvec")).alias("s"),
+          col("centroid_id").alias("cid")).alias("sc"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("sc")).alias("best"))
+      .select(col("vec_id"), col("best.cid").alias("cell"),
+        col("best.s").alias("cscore"))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("cscore").asc, col("vec_id").asc)
+    assigned
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= cap)
+      .select(col("vec_id"), col("cell"), col("cscore"), col("rank"))
+  }
+
   /** Per-vector symmetric int8 quantization: `scale = max|x| / 127`,
     * `code_i = floor(x_i/scale + 0.5)` (round-half-UP — half-steps round
     * toward +inf, e.g. -2.5 → -2; pure double ops, engine-reproducible).

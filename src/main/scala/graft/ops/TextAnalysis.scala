@@ -152,6 +152,78 @@ object TextAnalysis {
           .otherwise(col("dup_ngrams").cast("double") / col("n_ngrams")))
   }
 
+  /** Cross-source k-gram overlap matrix: for every pair of corpus
+    * sources, the count of DISTINCT shared token k-gram hashes and the
+    * Jaccard similarity of the two sources' distinct k-gram sets — the
+    * corpus-level leakage report (is subset A secretly a re-crawl of
+    * subset B? how much does adding a source actually add?). The
+    * subset-pair companion to [[graft.ops.TrainPrep.decontaminate]]'s
+    * doc-level flags.
+    *
+    * Scale shape: per-row narrow shingling (no shuffle to form k-grams),
+    * ONE distinct over (source, hash) — after which every hash key
+    * carries at most |sources| rows, so the self-join on hash is
+    * skew-proof BY CONSTRUCTION regardless of how hot a phrase is —
+    * and the per-source totals broadcast into the final ratio. Exchanges
+    * carry (source, 8-byte hash) pairs only, never text.
+    */
+  def sourceOverlap(
+      docs: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      k: Int,
+      tokenHash: Column => Column = graft.ops.Dedup.xxHash): DataFrame = {
+    import graft.functions.SketchArrayExpressions.shingleWindows
+    val grams = docs
+      .select(col(sourceCol).alias("__src"),
+        explode(shingleWindows(
+          transform(tokens(col(textCol)), t => tokenHash(t)), k)).alias("sh"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = grams.groupBy(col("__src")).agg(count(lit(1)).alias("n"))
+    val pairs = grams.select(col("__src").alias("source_a"), col("sh"))
+      .join(grams.select(col("__src").alias("source_b"), col("sh")), Seq("sh"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).alias("shared_ngrams"))
+    pairs
+      .join(broadcast(counts.select(col("__src").alias("source_a"),
+        col("n").alias("__na"))), Seq("source_a"))
+      .join(broadcast(counts.select(col("__src").alias("source_b"),
+        col("n").alias("__nb"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("shared_ngrams"),
+        (col("shared_ngrams").cast("double") /
+          (col("__na") + col("__nb") - col("shared_ngrams")).cast("double"))
+          .alias("jaccard"))
+  }
+
+  /** Tokenizer fertility statistics per language: the corpus profile a
+    * tokenizer team reads before training — document count, whitespace
+    * tokens, BPE-ish pre-tokens ([[bpePattern]]), characters, and the
+    * fertility ratios (`chars_per_token` ≈ avg word length + 1;
+    * `fertility` = pre-tokens per whitespace token, how hard the
+    * pre-tokenizer fragments this language). Exact BIGINT sums; the
+    * ratios divide the sums as doubles (bit-reproducible). One
+    * partial-aggregated shuffle keyed on language; the per-row token
+    * counting pipelines into the scan.
+    */
+  def fertility(docs: DataFrame, langCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(langCol).alias("lang"),
+        size(tokens(col(textCol))).cast("long").alias("__ws"),
+        size(bpeTokens(col(textCol))).cast("long").alias("__bpe"),
+        length(col(textCol)).cast("long").alias("__chars"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).alias("n_docs"),
+        sum(col("__ws")).alias("ws_tokens"),
+        sum(col("__bpe")).alias("bpe_tokens"),
+        sum(col("__chars")).alias("n_chars"),
+        (sum(col("__chars")).cast("double") / sum(col("__ws")).cast("double"))
+          .alias("chars_per_token"),
+        (sum(col("__bpe")).cast("double") / sum(col("__ws")).cast("double"))
+          .alias("fertility"))
+
   /** Top-k distinguishing terms per document by a TF-IDF-style rarity
     * weight: `score = tf · (N+1)/(df+1)` — the log-free rational form
     * (monotone in classic idf, so per-doc term *ranking* is identical;

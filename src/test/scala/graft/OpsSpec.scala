@@ -166,6 +166,59 @@ class OpsSpec extends SparkSpec {
     assert(part.map(_.getLong(0)).distinct.length == 3)
   }
 
+  test("clusterCapSample: cap respected per cell, keepers are least-central") {
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 1.7 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = ops.Similarity.clusterCapSample(
+        vecs, "vec_id", "embedding", numCentroids = 4, cap = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // ≤ cap rows per cell, ranks 1..n dense, ids unique across cells
+    for ((_, rows) <- out.groupBy(_._2)) {
+      assert(rows.length <= 5)
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length))
+      // ranks ascend with centroid similarity: rank 1 is the least central
+      assert(rows.sortBy(_._4).map(_._3).toSeq == rows.map(_._3).sorted.toSeq)
+    }
+    assert(out.map(_._1).distinct.length == out.length)
+    // deterministic: same input → identical sample
+    val again = ops.Similarity.clusterCapSample(
+        vecs, "vec_id", "embedding", numCentroids = 4, cap = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(out.toSeq == again.toSeq)
+  }
+
+  test("sourceOverlap: shared trigram counts and Jaccard goldens") {
+    val d = Seq(
+      (1L, "a b c d e", "web"),    // trigrams: abc bcd cde
+      (2L, "a b c x y", "books"),  // abc bcx cxy
+      (3L, "p q r s t", "code"))   // pqr qrs rst
+      .toDF("doc_id", "text", "source")
+    val out = ops.TextAnalysis.sourceOverlap(d, "source", "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // books∩web share exactly {abc}: 1 / (3 + 3 - 1)
+    assert(out(("books", "web")) == ((1L, 1.0 / 5.0)))
+    // disjoint pairs produce NO row (inner join semantics)
+    assert(!out.contains(("books", "code")) && !out.contains(("code", "web")))
+    // pairs are emitted once, lexicographically ordered
+    assert(out.keys.forall { case (a, b) => a < b })
+  }
+
+  test("fertility: per-language golden ratios") {
+    val d = Seq(
+      (1L, "ab cd", "en"),      // ws=2 bpe=2 chars=5
+      (2L, "x-1!", "en"),       // ws=1 bpe=4 chars=4
+      (3L, "hola mundo", "es")) // ws=2 bpe=2 chars=10
+      .toDF("doc_id", "text", "lang")
+    val out = ops.TextAnalysis.fertility(d, "lang", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    assert(out("en") == ((2L, 3L, 6L, 9L, 9.0 / 3.0, 6.0 / 3.0)))
+    assert(out("es") == ((1L, 2L, 2L, 10L, 10.0 / 2.0, 2.0 / 2.0)))
+  }
+
   test("bpe-ish regex tokens: letters, digits, punctuation split") {
     val d = Seq((0L, "hello world42, x-1!")).toDF("doc_id", "text")
     val n = ops.TextAnalysis.bpeTokenCount(d).collect().head.getAs[Long]("n_bpe_tokens")
