@@ -47,6 +47,30 @@ object SparkEntry {
     "q_sessionize" -> (Parity.sessionStats _),
     "q_percentiles" -> (Parity.percentiles _),
     "q_rollup" -> (Parity.rollupAgg _),
+    "q_cube" -> (Parity.cubeAgg _),
+    "q_pivot" -> (Parity.pivotStatus _),
+    "q_unpivot" -> (Parity.unpivotMetrics _),
+    // MERGE-INTO snapshot maintenance: a deterministic CDC changelog
+    // (two update waves + deletes derived from the key) applied by
+    // Relational.mergeUpsert; latest change per key wins. The oracle
+    // derives the final state independently with CASE arithmetic, so the
+    // hash match proves the windowed merge — not just echoes it.
+    "q_merge_upsert" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val o = Parity.t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderpriority"))
+      val upd1 = o.filter(pmod(col("o_orderkey"), lit(7)) === 3)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .withColumn("seq", lit(1L)).withColumn("op", lit("upsert"))
+      val upd2 = o.filter(pmod(col("o_orderkey"), lit(14)) === 3)
+        .withColumn("o_orderstatus", lit("X"))
+        .withColumn("seq", lit(2L)).withColumn("op", lit("upsert"))
+      val dels = o.filter(pmod(col("o_orderkey"), lit(7)) === 5)
+        .withColumn("seq", lit(1L)).withColumn("op", lit("delete"))
+      graft.ops.Relational.mergeUpsert(o,
+          upd1.unionByName(upd2).unionByName(dels), "o_orderkey", "seq", "op")
+        .orderBy("o_orderkey")
+    }),
     "q_set_ops" -> (Parity.setOps _),
     "q_window_rank_stats" -> (Parity.windowRankStats _),
     // range join: customers × deterministic overlapping balance bands,
@@ -1307,6 +1331,47 @@ object SparkEntry {
                 CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid
          FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
          ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS order_count,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+                CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+                count(*) FILTER (WHERE o_orderstatus = 'F') AS cnt_f,
+                CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                  FILTER (WHERE o_orderstatus = 'F'), 0) AS DOUBLE) AS rev_f,
+                count(*) FILTER (WHERE o_orderstatus = 'O') AS cnt_o,
+                CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                  FILTER (WHERE o_orderstatus = 'O'), 0) AS DOUBLE) AS rev_o,
+                count(*) FILTER (WHERE o_orderstatus = 'P') AS cnt_p,
+                CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                  FILTER (WHERE o_orderstatus = 'P'), 0) AS DOUBLE) AS rev_p
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "q_unpivot" ->
+      """WITH wide AS (
+           SELECT o_orderstatus,
+                  CAST(count(*) AS DOUBLE) AS order_count,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+                  max(o_totalprice) AS max_price
+           FROM orders GROUP BY 1)
+         SELECT o_orderstatus, 'order_count' AS metric, order_count AS value FROM wide
+         UNION ALL
+         SELECT o_orderstatus, 'total_price' AS metric, total_price AS value FROM wide
+         UNION ALL
+         SELECT o_orderstatus, 'max_price' AS metric, max_price AS value FROM wide
+         ORDER BY o_orderstatus, metric""",
+    "q_merge_upsert" ->
+      """SELECT o_orderkey,
+                CASE WHEN o_orderkey % 14 = 3 THEN 'X'
+                     ELSE o_orderstatus END AS o_orderstatus,
+                CASE WHEN o_orderkey % 14 = 3 THEN o_totalprice
+                     WHEN o_orderkey % 7 = 3 THEN o_totalprice + 1000.0
+                     ELSE o_totalprice END AS o_totalprice,
+                o_orderpriority
+         FROM orders WHERE o_orderkey % 7 <> 5
+         ORDER BY o_orderkey""",
     "q_set_ops" ->
       """SELECT c_custkey FROM (
            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'

@@ -174,6 +174,36 @@ object Relational {
       .unionByName(stitched.select(outCols.map(col): _*))
   }
 
+  /** MERGE-INTO snapshot maintenance (SCD2's current-state sibling): apply
+    * a CDC changelog of upserts and deletes to a base snapshot and return
+    * the new snapshot. Latest change per key wins (ordered by `seqCol`);
+    * base rows rank below every change; `delete` ops drop the key.
+    *
+    * One shuffle on the key — the same exchange a partitioned rewrite of
+    * the snapshot would need anyway, so at 100 TB this is the minimal
+    * CDC-apply plan: no join, no second pass, changelog never broadcast
+    * (it may be billions of rows). Deterministic for any (seq, op) input.
+    */
+  def mergeUpsert(
+      base: DataFrame,
+      changes: DataFrame,
+      keyCol: String,
+      seqCol: String,
+      opCol: String): DataFrame = {
+    val dataCols = base.columns.toSeq
+    val baseSide = base
+      .withColumn("__seq", lit(Long.MinValue))
+      .withColumn("__op", lit("upsert"))
+    val changeSide = changes.select(
+      (dataCols.map(col) :+ col(seqCol).cast("long").alias("__seq")
+        :+ col(opCol).alias("__op")): _*)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__seq").desc)
+    baseSide.unionByName(changeSide)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("__op") =!= "delete")
+      .select(dataCols.map(col): _*)
+  }
+
   /** Top-N per group by a ranking column, fully deterministic (ties broken
     * by `tieCol`). row_number + filter — Spark pushes the rank limit into
     * the sort within each partition group. */

@@ -218,6 +218,55 @@ object Parity {
       .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
+  // ── Cube: every grouping-set combination in one pass — rollup's sibling
+  //    (2^k sets instead of k+1). Same scale shape: partial aggregation
+  //    replicates per grouping set map-side, one shuffle total.
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).alias("order_count"),
+        dsum("o_totalprice").alias("total_price"),
+        grouping_id().cast("long").alias("gid"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  // ── Pivot: status values rotated into columns, one count + one exact sum
+  //    per cell. The value list is explicit, so the plan is a single
+  //    grouped aggregate (no distinct-value pre-pass) — the 100 TB form.
+  //    Empty cells are 0, matching the oracle's FILTERed aggregates.
+  def pivotStatus(s: SparkSession, dir: String): DataFrame = {
+    val wide = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(
+        count(lit(1)).alias("cnt"),
+        dsum("o_totalprice").alias("rev"))
+    wide.select(
+        col("o_orderpriority") +:
+          Seq("F", "O", "P").flatMap(v => Seq(
+            coalesce(col(s"${v}_cnt"), lit(0L)).alias(s"cnt_${v.toLowerCase}"),
+            coalesce(col(s"${v}_rev"), lit(0.0)).alias(s"rev_${v.toLowerCase}"))): _*)
+      .orderBy("o_orderpriority")
+  }
+
+  // ── Unpivot (melt): wide per-status metrics back to (status, metric,
+  //    value) rows. Narrow after the aggregate — the unpivot itself is a
+  //    per-row expansion, no extra shuffle at any scale.
+  def unpivotMetrics(s: SparkSession, dir: String): DataFrame = {
+    val wide = t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).cast("double").alias("order_count"),
+        dsum("o_totalprice").alias("total_price"),
+        max(col("o_totalprice")).alias("max_price"))
+    wide.unpivot(
+        Array(col("o_orderstatus")),
+        Array(col("order_count"), col("total_price"), col("max_price")),
+        "metric", "value")
+      .orderBy("o_orderstatus", "metric")
+  }
+
   // ── Set operations (absent from the reference — §2.5): INTERSECT /
   //    EXCEPT / UNION with set semantics.
   def setOps(s: SparkSession, dir: String): DataFrame = {

@@ -120,4 +120,26 @@ class RelationalSpec extends SparkSpec {
         r.getAs[Boolean]("is_current"))).toSet
     assert(out == Set(("a", 10, false), ("a", 11, true)))
   }
+
+  test("mergeUpsert: latest change wins, deletes drop, untouched base kept") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (1L, "a1", 1L, "upsert"),  // overwritten by seq 2
+      (1L, "a2", 2L, "upsert"),
+      (2L, "xx", 1L, "delete"),  // key 2 removed
+      (4L, "d", 1L, "upsert"))   // pure insert
+      .toDF("k", "v", "seq", "op")
+    val out = Relational.mergeUpsert(base, changes, "k", "seq", "op")
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    assert(out == Map(1L -> "a2", 3L -> "c", 4L -> "d"))
+  }
+
+  test("mergeUpsert: delete then re-upsert at a later seq resurrects the key") {
+    val base = Seq((1L, "a")).toDF("k", "v")
+    val changes = Seq((1L, "x", 1L, "delete"), (1L, "b", 2L, "upsert"))
+      .toDF("k", "v", "seq", "op")
+    val out = Relational.mergeUpsert(base, changes, "k", "seq", "op")
+      .collect().map(r => r.getAs[String]("v")).toSeq
+    assert(out == Seq("b"))
+  }
 }
