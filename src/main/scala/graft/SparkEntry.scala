@@ -290,6 +290,32 @@ object SparkEntry {
       TextAnalysis.sourceOverlap(docs(s, dir), "source", "text", k = 3,
           tokenHash = Dedup.oracleHash)
         .orderBy("source_a", "source_b")),
+    // Exact-substring dedup signal (Lee et al. 2107.06499 shape): per-doc
+    // count of 8-token windows whose hash recurs in >= 2 documents.
+    // Hash-only exchanges; the per-window doc count runs on DISTINCT
+    // (doc, hash) so boilerplate spans cannot hot-key the aggregate.
+    "dedup_span" -> ((s, dir) =>
+      Dedup.spanDups(docs(s, dir), "doc_id", "text", k = 8, minDocs = 2,
+          tokenHash = Dedup.oracleHash)
+        .orderBy("doc_id")),
+    // DSIR-shaped importance weighting toward the English subset: hashed
+    // unigram buckets, add-one smoothed frequency-ratio weight from exact
+    // BIGINT sums. Bounded (1024-row) weight table broadcast; corpus
+    // never shuffled for scoring.
+    "prep_dsir" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ops.TrainPrep.importanceWeights(d, "doc_id", "text",
+          d.filter(col("lang") === "en"), "text", numBuckets = 1024,
+          tokenHash = Dedup.oracleHash)
+        .orderBy("doc_id")
+    }),
+    // BM25 retrieval (rational idf — no ln, so every step is a fixed-order
+    // IEEE op both engines reproduce): global top-20 docs for a 3-term
+    // query. Narrow per-row tf, one broadcast 1-row stats join, TakeOrdered.
+    "text_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25(docs(s, dir), "doc_id", "text",
+          Seq("spark", "merge", "window"))
+        .orderBy(col("score").desc, col("doc_id"))),
     // Tokenizer fertility per language: exact BIGINT corpus sums + the
     // chars-per-token / pre-tokens-per-token ratios a tokenizer team
     // profiles before training.
@@ -931,6 +957,85 @@ object SparkEntry {
        WHERE d.doc_id % 50 <> 0
        ORDER BY d.doc_id"""
 
+  /** Duplicated k=8-token spans: [[graft.ops.Dedup.spanDups]] under
+    * [[Dedup.oracleHash]] — shared-window detection via count(DISTINCT doc)
+    * per window hash, raw weighted window sums as in [[shrCte]]. */
+  private def spanDupsSql: String =
+    s"""WITH $oracleTk,
+         ${shrCte(8)},
+         g AS (SELECT doc_id, unnest(hs) AS h FROM shr),
+         shared AS (
+           SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM g GROUP BY h)
+           WHERE nd >= 2),
+         dup AS (
+           SELECT doc_id, count(*) AS dup_spans FROM g
+           WHERE h IN (SELECT h FROM shared) GROUP BY doc_id)
+       SELECT s.doc_id,
+              CAST(len(s.hs) AS BIGINT) AS n_spans,
+              CAST(coalesce(d.dup_spans, 0) AS BIGINT) AS dup_spans,
+              CASE WHEN len(s.hs) = 0 THEN CAST(0.0 AS DOUBLE)
+                   ELSE CAST(coalesce(d.dup_spans, 0) AS DOUBLE)
+                        / CAST(len(s.hs) AS DOUBLE) END AS dup_frac
+       FROM shr s LEFT JOIN dup d USING (doc_id)
+       ORDER BY doc_id"""
+
+  /** DSIR importance weights: hashed-unigram buckets (th % 1024), add-one
+    * smoothed target/raw count sums — exactly
+    * [[graft.ops.TrainPrep.importanceWeights]] under [[Dedup.oracleHash]]
+    * with target = lang 'en'. */
+  private def dsirSql: String =
+    s"""WITH $oracleTk,
+         tb AS (
+           SELECT doc_id, unnest(list_transform(th, h -> h % 1024)) AS b FROM tk),
+         raw AS (SELECT b, count(*) AS rw FROM tb GROUP BY b),
+         tgt AS (
+           SELECT b, count(*) AS tw FROM tb JOIN documents USING (doc_id)
+           WHERE lang = 'en' GROUP BY b),
+         w AS (
+           SELECT raw.b, coalesce(tw, 0) + 1 AS tw, rw + 1 AS rw
+           FROM raw LEFT JOIN tgt USING (b)),
+         sc AS (
+           SELECT doc_id, sum(w.tw) AS imp_num, sum(w.rw) AS imp_den
+           FROM tb JOIN w USING (b) GROUP BY doc_id)
+       SELECT d.doc_id,
+              CAST(coalesce(imp_num, 0) AS BIGINT) AS imp_num,
+              CAST(coalesce(imp_den, 0) AS BIGINT) AS imp_den,
+              CASE WHEN imp_den IS NULL OR imp_den = 0 THEN CAST(1.0 AS DOUBLE)
+                   ELSE CAST(imp_num AS DOUBLE) / CAST(imp_den AS DOUBLE)
+              END AS weight
+       FROM documents d LEFT JOIN sc USING (doc_id)
+       ORDER BY d.doc_id"""
+
+  /** BM25 top-20 for terms (spark, merge, window), k1=1.2 b=0.75 —
+    * rational idf (no ln), every arithmetic step mirrored in the exact
+    * order [[graft.ops.TextAnalysis.bm25]] evaluates it. */
+  private def bm25Sql: String = {
+    val terms = Seq("spark", "merge", "window")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS BIGINT) AS tf$i"
+    }.mkString(",\n                  ")
+    val dfCols = terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    val scoreTerms = terms.indices.map { i =>
+      s"""(((CAST(n_docs - df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5))
+           * (CAST(tf$i AS DOUBLE) * 2.2)
+           / (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+              / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))"""
+    }.mkString("\n              + ")
+    s"""WITH t AS (
+           SELECT doc_id,
+                  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS dl,
+                  $tfCols
+           FROM documents),
+         st AS (
+           SELECT count(*) AS n_docs, sum(dl) AS sum_dl, $dfCols FROM t)
+       SELECT doc_id, dl, tf0, tf1, tf2,
+              $scoreTerms AS score
+       FROM t, st
+       ORDER BY score DESC, doc_id
+       LIMIT 20"""
+  }
+
   private def sourceOverlapSql: String =
     s"""WITH $oracleTk,
          ${shrCte(3)},
@@ -1209,6 +1314,9 @@ object SparkEntry {
          FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""",
     "prep_decontaminate" -> decontaminateSql,
     "text_source_overlap" -> sourceOverlapSql,
+    "dedup_span" -> spanDupsSql,
+    "prep_dsir" -> dsirSql,
+    "text_bm25" -> bm25Sql,
     "text_fertility" ->
       """SELECT lang,
                 CAST(count(*) AS BIGINT) AS n_docs,

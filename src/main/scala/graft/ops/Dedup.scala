@@ -397,4 +397,53 @@ object Dedup {
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).alias("jaccard"))
   }
+
+  /** Duplicated-span detection: for every k-token window, find windows
+    * whose hash occurs in at least `minDocs` distinct documents, and report
+    * per document how many of its window positions are corpus-duplicated —
+    * the signal behind exact-substring deduplication (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499; there via suffix arrays, here as the Spark-shaped
+    * hash-window equivalent over [[graft.functions.SketchArrayExpressions.shingleWindows]]).
+    *
+    * Scale shape: window hashes are computed narrow per row; every exchange
+    * carries only (id, 8-byte hash) pairs, never text. The per-hash
+    * document count runs on DISTINCT (doc, hash) first, so a boilerplate
+    * span occurring millions of times inside one document contributes one
+    * row per document to the hot key — the count aggregate is partial
+    * (map-side) on top of that. The join back is a left-semi against the
+    * deduplicated qualifying-hash set (one row per hash), so the probe side
+    * streams and no hash key can skew the build.
+    *
+    * Output: one row per input doc — `n_spans` (windows in the doc),
+    * `dup_spans` (windows whose hash is shared across >= minDocs docs),
+    * `dup_frac` (their ratio; 0 for docs shorter than k tokens).
+    */
+  def spanDups(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minDocs: Int = 2,
+      tokenHash: Column => Column = xxHash): DataFrame = {
+    import graft.functions.SketchArrayExpressions.shingleWindows
+    def windows(textC: Column): Column =
+      shingleWindows(transform(TextAnalysis.tokens(textC), t => tokenHash(t)), k)
+    val grams = docs.select(col(idCol).alias("__id"),
+      explode(windows(col(textCol))).alias("sh"))
+    val shared = grams.distinct()
+      .groupBy(col("sh")).agg(count(lit(1)).alias("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select(col("sh"))
+    val dup = grams.join(shared, Seq("sh"), "left_semi")
+      .groupBy(col("__id")).agg(count(lit(1)).alias("dup_spans"))
+    docs.select(col(idCol).alias("__id"),
+        size(windows(col(textCol))).cast("long").alias("n_spans"))
+      .join(dup, Seq("__id"), "left")
+      .withColumn("dup_spans", coalesce(col("dup_spans"), lit(0L)))
+      .withColumn("dup_frac",
+        when(col("n_spans") === 0L, lit(0.0))
+          .otherwise(col("dup_spans").cast("double") / col("n_spans").cast("double")))
+      .withColumnRenamed("__id", idCol)
+  }
 }

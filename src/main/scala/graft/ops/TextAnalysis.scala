@@ -280,4 +280,54 @@ object TextAnalysis {
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).alias("fp"))
       .orderBy("doc_id")
+
+  /** BM25 retrieval for a fixed term set (Robertson & Zaragoza, "The
+    * Probabilistic Relevance Framework: BM25 and Beyond"): score every
+    * document against `terms` and return the global top `topK`. The idf is
+    * the rational form `(N - df + 0.5) / (df + 0.5)` — BM25's odds ratio
+    * without the log wrapper, which preserves the ranking while keeping
+    * every arithmetic step a fixed-order IEEE operation any engine
+    * replicates exactly (ln is not bit-specified across runtimes).
+    *
+    * Scale shape: per-term tf is a narrow `size(filter(tokens))` inside the
+    * scan — the corpus is never exploded or shuffled. Corpus statistics
+    * (N, Σdl, per-term df) are ONE global aggregate (partial map-side, a
+    * single 1-row result) broadcast back; scoring is narrow; the global
+    * top-k plans as TakeOrdered (per-partition heads, no full sort).
+    */
+  def bm25(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 20): DataFrame = {
+    val toks = tokens(col(textCol))
+    val withTf = docs.select(
+      col(idCol).alias("doc_id") +:
+        size(toks).cast("long").alias("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(toks, x => x === lit(t))).cast("long").alias(s"tf$i")
+        }: _*)
+    val stats = withTf.agg(
+      count(lit(1)).alias("n_docs"),
+      sum(col("dl")).alias("sum_dl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0L, 1L).otherwise(0L)).alias(s"df$i")): _*)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf$i").cast("double")
+      val idf = ((col("n_docs") - col(s"df$i")).cast("double") + lit(0.5)) /
+        (col(s"df$i").cast("double") + lit(0.5))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl)))
+    }.reduce(_ + _)
+    withTf.crossJoin(broadcast(stats))
+      .withColumn("score", score)
+      .select(col("doc_id") +: col("dl") +:
+        terms.indices.map(i => col(s"tf$i")) :+ col("score"): _*)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(topK)
+  }
 }

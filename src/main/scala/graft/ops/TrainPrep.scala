@@ -437,4 +437,59 @@ object TrainPrep {
         (sum(when(col("c12") === 1, col("n")).otherwise(0L)).cast("double") /
           sum(col("n")).cast("double")).alias("novelty_ratio"))
   }
+
+  /** DSIR-shaped importance weighting (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169): score
+    * every document by how target-like its hashed-unigram profile is, so a
+    * raw corpus can be resampled toward a target domain. Features are
+    * hashed token buckets `b(t) = hash(t) mod numBuckets`; the weight is
+    * the frequency-ratio form
+    * `weight = Σ_t (tgt[b(t)]+1) / Σ_t (raw[b(t)]+1)` over the document's
+    * tokens (add-one smoothed) — exact BIGINT numerator and denominator,
+    * one final double division, so any engine reproduces it bit-for-bit
+    * (the log-likelihood form would accumulate doubles order-dependently).
+    *
+    * Scale shape: both count tables are bounded by `numBuckets` rows
+    * (partial aggregation collapses the exploded tokens map-side, so the
+    * count shuffles carry at most numBuckets rows per task) and the merged
+    * weight table is broadcast — the corpus is never shuffled for scoring;
+    * the only full shuffle is the per-doc sum on the id key. Zipf-hot
+    * tokens cannot skew anything: they hash into a bucket whose count is
+    * partial-aggregated before the exchange.
+    *
+    * Output: docs' id + `imp_num`, `imp_den` (exact sums), `weight`
+    * (num/den; 1.0 for docs with no tokens — no evidence either way).
+    */
+  def importanceWeights(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      target: DataFrame,
+      targetTextCol: String,
+      numBuckets: Int = 1024,
+      tokenHash: Column => Column = graft.ops.Dedup.xxHash): DataFrame = {
+    def buckets(df: DataFrame, textC: Column, id: Seq[Column]): DataFrame =
+      df.select(id :+ explode(transform(TextAnalysis.tokens(textC),
+        t => pmod(tokenHash(t), lit(numBuckets.toLong)))).alias("__b"): _*)
+    val tgtCounts = buckets(target, col(targetTextCol), Seq.empty)
+      .groupBy(col("__b")).agg(count(lit(1)).alias("__tgt"))
+    val rawCounts = buckets(docs, col(textCol), Seq.empty)
+      .groupBy(col("__b")).agg(count(lit(1)).alias("__raw"))
+    val weights = rawCounts.join(tgtCounts, Seq("__b"), "left")
+      .select(col("__b"),
+        (coalesce(col("__tgt"), lit(0L)) + 1L).alias("__tw"),
+        (col("__raw") + 1L).alias("__rw"))
+    val scored = buckets(docs, col(textCol), Seq(col(idCol).alias("__id")))
+      .join(broadcast(weights), Seq("__b"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__tw")).alias("imp_num"), sum(col("__rw")).alias("imp_den"))
+    docs.select(col(idCol).alias("__id"))
+      .join(scored, Seq("__id"), "left")
+      .select(col("__id").alias(idCol),
+        coalesce(col("imp_num"), lit(0L)).alias("imp_num"),
+        coalesce(col("imp_den"), lit(0L)).alias("imp_den"),
+        when(col("imp_den").isNull || col("imp_den") === 0L, lit(1.0))
+          .otherwise(col("imp_num").cast("double") / col("imp_den").cast("double"))
+          .alias("weight"))
+  }
 }

@@ -321,4 +321,43 @@ class OpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getAs[Long]("n_media"))).toMap
     assert(summary == Map("image" -> 2L, "audio" -> 1L, "video" -> 1L))
   }
+
+  test("spanDups counts windows shared across documents") {
+    val d = Seq(
+      (1L, "a b c d e"),   // windows: abc bcd cde
+      (2L, "x a b c d"),   // windows: xab abc bcd -> shares abc, bcd with 1
+      (3L, "q r s t u")).toDF("doc_id", "text")
+    val out = Dedup.spanDups(d, "doc_id", "text", k = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("dup_spans")))).toMap
+    assert(out == Map(1L -> ((3L, 2L)), 2L -> ((3L, 2L)), 3L -> ((3L, 0L))))
+  }
+
+  test("spanDups: doc shorter than k has zero spans and zero dup_frac") {
+    val d = Seq((1L, "a b"), (2L, "a b c"), (3L, "a b c")).toDF("doc_id", "text")
+    val row = Dedup.spanDups(d, "doc_id", "text", k = 3)
+      .filter(col("doc_id") === 1L).collect().head
+    assert(row.getAs[Long]("n_spans") == 0L)
+    assert(row.getAs[Double]("dup_frac") == 0.0)
+  }
+
+  test("importanceWeights: target-like docs weigh 1, off-target below") {
+    val d = Seq((1L, "a a b"), (2L, "c c c")).toDF("doc_id", "text")
+    val out = ops.TrainPrep.importanceWeights(
+        d, "doc_id", "text", d.filter(col("doc_id") === 1L), "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("weight")).toMap
+    // doc1: every token bucket has tgt==raw counts -> weight 1.0
+    // doc2: tgt[c]=0+1, raw[c]=3+1 -> 3/12 = 0.25
+    assert(out(1L) == 1.0)
+    assert(out(2L) == 0.25)
+  }
+
+  test("bm25: tf raises the score, absent terms score zero") {
+    val d = Seq((1L, "q q a"), (2L, "q a a"), (3L, "a a a")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(d, "doc_id", "text", Seq("q"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(out(1L) > out(2L))      // higher tf, same dl
+    assert(out(2L) > 0.0)
+    assert(out(3L) == 0.0)         // term absent
+  }
 }
