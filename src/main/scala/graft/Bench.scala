@@ -40,7 +40,8 @@ object Bench {
   val headline: Seq[String] = core19 ++ Seq(
     "q_tpch8", "q_tpch9", "q_tpch13", "q_tpch17", "q_tpch21",
     "prep_chunk", "prep_bigram_lm",
-    "prep_corpus_chunked", "text_source_overlap", "sim_cluster_sample")
+    "prep_corpus_chunked", "text_source_overlap", "sim_cluster_sample",
+    "dedup_span", "prep_dsir", "text_bm25", "q_merge_upsert")
 
   /** Warm iterations per query; the median is reported. */
   val WarmIters = 3

@@ -47,6 +47,18 @@ object SparkEntry {
     "q_sessionize" -> (Parity.sessionStats _),
     "q_percentiles" -> (Parity.percentiles _),
     "q_rollup" -> (Parity.rollupAgg _),
+    // GROUPING SETS proper (the marginals-only plan neither rollup nor
+    // cube expresses): via SQL — the DataFrame API has no grouping-sets
+    // entry point, and the SQL surface is part of the engine contract.
+    "q_grouping_sets" -> ((s, dir) => {
+      Parity.t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS order_count,
+                      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+                      CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid
+               FROM orders_gs
+               GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+               ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+    }),
     "q_cube" -> (Parity.cubeAgg _),
     "q_pivot" -> (Parity.pivotStatus _),
     "q_unpivot" -> (Parity.unpivotMetrics _),
@@ -89,6 +101,8 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
     "q_stats_moments" -> (Parity.statsMoments _),
+    "q_window_range_frame" -> (Parity.windowRangeFrame _),
+    "q_outliers" -> (Parity.outliers _),
     "q_semi_anti" -> (Parity.semiAntiJoin _),
     // SCD2 dimension history: customer segments as the initial open state,
     // order priorities as the timestamped update stream — one window
@@ -394,6 +408,19 @@ object SparkEntry {
     "dedup_minhash_oracle" -> (graft.queries.DedupOracle.minhashOracle _),
     "dedup_simhash_oracle" -> (graft.queries.DedupOracle.simhashOracle _),
     "dedup_jaccard_neighbors" -> (graft.queries.DedupOracle.jaccardNeighbors _),
+    // Asymmetric containment over the same deterministic neighbor pairs:
+    // |A∩B|/|A| vs /|B| — catches subset duplication Jaccard misses.
+    "dedup_containment" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = d.select(col("doc_id").alias("id_a"),
+          explode(sequence(lit(1), lit(4))).alias("__d"))
+        .withColumn("id_b", col("id_a") + col("__d"))
+        .join(d.select(col("doc_id").alias("id_b")), Seq("id_b"), "left_semi")
+        .select(col("id_a"), col("id_b"))
+      Dedup.ngramContainment(pairs, d, "doc_id", "text", k = 3,
+          tokenHash = Dedup.oracleHash)
+        .orderBy("id_a", "id_b")
+    }),
     // maxIter=64 (with the early-convergence check) guarantees labels hit
     // the true component minimum, matching the oracle's transitive closure.
     "dedup_corpus" -> ((s, dir) =>
@@ -957,6 +984,26 @@ object SparkEntry {
        WHERE d.doc_id % 50 <> 0
        ORDER BY d.doc_id"""
 
+  /** Asymmetric containment on the deterministic (id, id+d) neighbor
+    * pairs, d in 1..4 — [[graft.ops.Dedup.ngramContainment]] under
+    * [[Dedup.oracleHash]]: distinct raw window-sum trigram hash sets
+    * ([[shrCte]], no modulus — shingleWindows' arithmetic). */
+  private def containmentSql: String =
+    s"""WITH $oracleTk,
+         ${shrCte(3)},
+         sets AS (SELECT doc_id, list_distinct(hs) AS s FROM shr)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CASE WHEN len(a.s) = 0 THEN CAST(0.0 AS DOUBLE)
+                   ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                        / CAST(len(a.s) AS DOUBLE) END AS containment_a,
+              CASE WHEN len(b.s) = 0 THEN CAST(0.0 AS DOUBLE)
+                   ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                        / CAST(len(b.s) AS DOUBLE) END AS containment_b
+       FROM sets a
+       JOIN unnest([1, 2, 3, 4]) AS t(d) ON true
+       JOIN sets b ON b.doc_id = a.doc_id + t.d
+       ORDER BY id_a, id_b"""
+
   /** Duplicated k=8-token spans: [[graft.ops.Dedup.spanDups]] under
     * [[Dedup.oracleHash]] — shared-window detection via count(DISTINCT doc)
     * per window hash, raw weighted window sums as in [[shrCte]]. */
@@ -1229,6 +1276,7 @@ object SparkEntry {
     "dedup_minhash_oracle" -> minhashOracleSql,
     "dedup_simhash_oracle" -> simhashOracleSql,
     "dedup_jaccard_neighbors" -> jaccardNeighborsSql,
+    "dedup_containment" -> containmentSql,
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_simhash" -> simhashDupsSql,
     "dedup_ngram_jaccard" -> ngramJaccardProdSql,
@@ -1439,6 +1487,13 @@ object SparkEntry {
                 CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid
          FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
          ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS order_count,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+                CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS order_count,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
@@ -1519,6 +1574,37 @@ object SparkEntry {
                 sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
                   / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS stddev
          FROM a ORDER BY o_orderstatus""",
+    "q_window_range_frame" ->
+      """WITH daily AS (
+           SELECT o_orderstatus,
+                  CAST(date_diff('day', TIMESTAMP '1992-01-01', o_orderdate) AS BIGINT) AS day,
+                  count(*) AS d_cnt,
+                  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           FROM orders GROUP BY 1, 2)
+         SELECT o_orderstatus, day, d_cnt,
+                CAST(sum(rev) OVER w AS DOUBLE) AS rev_7d,
+                CAST(sum(d_cnt) OVER w AS BIGINT) AS cnt_7d
+         FROM daily
+         WINDOW w AS (PARTITION BY o_orderstatus ORDER BY day
+                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY o_orderstatus, day""",
+    "q_outliers" ->
+      """WITH a AS (
+           SELECT o_orderstatus, count(*) AS n,
+                  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s1,
+                  sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS s2
+           FROM orders GROUP BY 1),
+         m AS (
+           SELECT o_orderstatus,
+                  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                  sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS sd
+           FROM a)
+         SELECT o_orderkey, o.o_orderstatus, o_totalprice,
+                (o_totalprice - mean) / sd AS z
+         FROM orders o JOIN m ON o.o_orderstatus = m.o_orderstatus
+         WHERE abs(o_totalprice - mean) > 1.5 * sd
+         ORDER BY o_orderkey""",
     "q_semi_anti" ->
       """SELECT c_custkey, 'with_orders' AS segment FROM customer
          WHERE c_custkey IN (SELECT o_custkey FROM orders)

@@ -398,6 +398,35 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).alias("jaccard"))
   }
 
+  /** Asymmetric n-gram containment for candidate pairs: |A∩B|/|A| and
+    * |A∩B|/|B| (Broder's containment) — the near-dup signal when one text
+    * CONTAINS the other (a quoted tweet inside an article), where Jaccard
+    * stays low because the union is dominated by the longer side. Same
+    * per-row distinct shingle-hash sets and join shape as [[ngramJaccard]];
+    * docs with fewer than k tokens score 0 on their side. */
+  def ngramContainment(
+      pairs: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      tokenHash: Column => Column = xxHash): DataFrame = {
+    val sh = docs.select(
+      col(idCol).alias("j_id"),
+      array_distinct(graft.functions.SketchArrayExpressions.shingleWindows(
+        transform(TextAnalysis.tokens(col(textCol)), t => tokenHash(t)), k)).alias("sh"))
+    def contain(inter: Column, own: Column): Column =
+      when(size(own) === 0, lit(0.0))
+        .otherwise(inter / size(own).cast("double"))
+    pairs
+      .join(sh.select(col("j_id").alias("id_a"), col("sh").alias("sh_a")), "id_a")
+      .join(sh.select(col("j_id").alias("id_b"), col("sh").alias("sh_b")), "id_b")
+      .withColumn("__i", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .select(col("id_a"), col("id_b"),
+        contain(col("__i"), col("sh_a")).alias("containment_a"),
+        contain(col("__i"), col("sh_b")).alias("containment_b"))
+  }
+
   /** Duplicated-span detection: for every k-token window, find windows
     * whose hash occurs in at least `minDocs` distinct documents, and report
     * per document how many of its window positions are corpus-duplicated —

@@ -318,6 +318,58 @@ object Parity {
       .withColumn("stddev", sqrt(col("variance")))
       .orderBy("o_orderstatus")
 
+  // ── RANGE-frame trailing window: 7-day moving revenue per status — the
+  //    value-based frame (RANGE BETWEEN 6 PRECEDING), distinct from every
+  //    ROWS-frame window above: the frame follows the day VALUE, so date
+  //    gaps shrink it. Pre-aggregating to (status, day) first bounds the
+  //    window input to one row per day — at 100 TB the window runs over
+  //    thousands of rows, not billions; DECIMAL sums keep it exact.
+  def windowRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val day = datediff(col("o_orderdate"), to_date(lit("1992-01-01")))
+      .cast("long").alias("day")
+    val daily = t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"), day)
+      .agg(
+        count(lit(1)).alias("d_cnt"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).alias("__rev"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderstatus")).orderBy(col("day"))
+      .rangeBetween(-6, org.apache.spark.sql.expressions.Window.currentRow)
+    daily
+      .withColumn("rev_7d", sum(col("__rev")).over(w).cast("double"))
+      .withColumn("cnt_7d", sum(col("d_cnt")).over(w))
+      .drop("__rev")
+      .orderBy("o_orderstatus", "day")
+  }
+
+  // ── σ-outlier detection: orders beyond 1.5 standard deviations of their
+  //    status group (a uniform-ish distribution tops out at z = √3, so 2σ
+  //    would never fire on this data) — the moments come from the same
+  //    exact DECIMAL power sums as statsMoments (order-independent),
+  //    broadcast back as a 3-row table; the outlier scan itself is narrow.
+  //    The z-score is a fixed-order double expression, bit-equal in any
+  //    engine.
+  def outliers(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val m = o.groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).alias("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).alias("__s1"),
+        sum((col("o_totalprice").cast("decimal(18,2)") *
+          col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,4)")).alias("__s2"))
+      .select(
+        col("o_orderstatus"),
+        (col("__s1").cast("double") / col("n").cast("double")).alias("mean"),
+        sqrt((col("n").cast("double") * col("__s2").cast("double")
+          - col("__s1").cast("double") * col("__s1").cast("double"))
+          / (col("n").cast("double") * (col("n") - 1).cast("double"))).alias("sd"))
+    o.join(broadcast(m), Seq("o_orderstatus"))
+      .filter(abs(col("o_totalprice") - col("mean")) > lit(1.5) * col("sd"))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        ((col("o_totalprice") - col("mean")) / col("sd")).alias("z"))
+      .orderBy("o_orderkey")
+  }
+
   // ── Semi/anti joins (§2.5): customers with vs without orders — the
   //    EXISTS / NOT EXISTS shape; only the key travels, never payload.
   def semiAntiJoin(s: SparkSession, dir: String): DataFrame = {

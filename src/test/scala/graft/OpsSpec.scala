@@ -341,6 +341,17 @@ class OpsSpec extends SparkSpec {
     assert(row.getAs[Double]("dup_frac") == 0.0)
   }
 
+  test("ngramContainment: contained doc scores 1.0 on its side") {
+    val d = Seq(
+      (1L, "a b c d"),                       // 2 trigram windows, both in doc 2
+      (2L, "a b c d e f g h i j")).toDF("doc_id", "text") // 8 windows
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val row = Dedup.ngramContainment(pairs, d, "doc_id", "text", k = 3)
+      .collect().head
+    assert(row.getAs[Double]("containment_a") == 1.0)
+    assert(row.getAs[Double]("containment_b") == 0.25)
+  }
+
   test("importanceWeights: target-like docs weigh 1, off-target below") {
     val d = Seq((1L, "a a b"), (2L, "c c c")).toDF("doc_id", "text")
     val out = ops.TrainPrep.importanceWeights(

@@ -253,6 +253,27 @@ class PlanSpec extends SparkSpec {
     } finally conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("text_bm25: no corpus shuffle — broadcast stats + TakeOrdered top-k") {
+    val p = plan("text_bm25")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("BroadcastExchange")) // 1-row stats table
+    // the only exchanges are the stats aggregate's and the broadcast — the
+    // scored corpus itself is never repartitioned
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("dedup_span: semi-join against the deduplicated shared-hash set") {
+    val p = plan("dedup_span")
+    assert(p.contains("LeftSemi"))
+    // per-hash doc count aggregates partially (map-side) after the distinct
+    assert(p.contains("partial_count"))
+  }
+
+  test("prep_dsir: bucket weight table broadcasts; corpus join is broadcast-hash") {
+    val p = plan("prep_dsir")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
   test("gold aggregate plans partial aggregation before the shuffle") {
     val p = plan("q_gold_agg")
     // partial_count marks map-side (pre-shuffle) aggregation
