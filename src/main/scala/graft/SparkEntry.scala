@@ -103,6 +103,18 @@ object SparkEntry {
     "q_stats_moments" -> (Parity.statsMoments _),
     "q_window_range_frame" -> (Parity.windowRangeFrame _),
     "q_outliers" -> (Parity.outliers _),
+    "q_sample_stratified" -> (Parity.stratifiedSample _),
+    "q_histogram" -> (Parity.histogram _),
+    "q_corr" -> (Parity.corrStats _),
+    // OOV-rate against the corpus top-25 vocabulary: vocab folded to one
+    // broadcast array row; per-doc membership is a narrow array filter.
+    "prep_oov" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ops.TrainPrep.oovRate(d, "doc_id", "text",
+          graft.ops.TrainPrep.topTokens(d, "text", 25).select(col("token")),
+          "token")
+        .orderBy("doc_id")
+    }),
     "q_semi_anti" -> (Parity.semiAntiJoin _),
     // SCD2 dimension history: customer segments as the initial open state,
     // order priorities as the timestamped update stream — one window
@@ -1605,6 +1617,55 @@ object SparkEntry {
          FROM orders o JOIN m ON o.o_orderstatus = m.o_orderstatus
          WHERE abs(o_totalprice - mean) > 1.5 * sd
          ORDER BY o_orderkey""",
+    "q_sample_stratified" ->
+      """SELECT o_orderstatus, o_orderkey, rn FROM (
+           SELECT o_orderstatus, o_orderkey,
+                  CAST(row_number() OVER (
+                    PARTITION BY o_orderstatus
+                    ORDER BY (o_orderkey * 2654435761 + 101) % 1000003, o_orderkey)
+                  AS BIGINT) AS rn
+           FROM orders)
+         WHERE rn <= 50
+         ORDER BY o_orderstatus, rn""",
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+                count(*) AS n,
+                min(o_totalprice) AS lo,
+                max(o_totalprice) AS hi
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "q_corr" ->
+      """WITH a AS (
+           SELECT l_returnflag, count(*) AS n,
+                  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+                  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+                  sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy,
+                  sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sx2,
+                  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sy2
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, n,
+                (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price
+         FROM a ORDER BY l_returnflag""",
+    "prep_oov" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+           FROM documents),
+         vocab AS (
+           SELECT token FROM (
+             SELECT token, count(*) AS n FROM toks GROUP BY token
+             ORDER BY n DESC, token LIMIT 25)),
+         per AS (
+           SELECT doc_id, count(*) AS n_tokens,
+                  sum(CASE WHEN token IN (SELECT token FROM vocab) THEN 0 ELSE 1 END) AS n_oov
+           FROM toks GROUP BY doc_id)
+         SELECT d.doc_id,
+                CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+                CAST(coalesce(n_oov, 0) AS BIGINT) AS n_oov,
+                CASE WHEN n_tokens IS NULL OR n_tokens = 0 THEN CAST(0.0 AS DOUBLE)
+                     ELSE CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS oov_rate
+         FROM documents d LEFT JOIN per USING (doc_id)
+         ORDER BY d.doc_id""",
     "q_semi_anti" ->
       """SELECT c_custkey, 'with_orders' AS segment FROM customer
          WHERE c_custkey IN (SELECT o_custkey FROM orders)

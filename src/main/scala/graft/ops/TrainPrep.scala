@@ -74,6 +74,32 @@ object TrainPrep {
       .withColumn("rank", row_number().over(Window.orderBy(ord: _*)).cast("long"))
   }
 
+  /** Out-of-vocabulary rate per document against a token vocabulary (e.g.
+    * [[topTokens]]'s top-k): the coverage check a vocab choice is judged
+    * by before a tokenizer trains. The vocabulary folds into ONE array row
+    * and broadcasts — membership is a narrow per-row `array_contains`
+    * filter (no explode, no per-token join); the only aggregate in the
+    * plan is the vocabulary's own. `n_tokens`, `n_oov` are exact counts;
+    * `oov_rate` their single-division ratio (0 for empty docs).
+    */
+  def oovRate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: DataFrame,
+      tokenCol: String): DataFrame = {
+    val varr = vocab.agg(sort_array(collect_list(col(tokenCol))).alias("__vocab"))
+    val toks = TextAnalysis.tokens(col(textCol))
+    docs.crossJoin(broadcast(varr))
+      .select(col(idCol),
+        size(toks).cast("long").alias("n_tokens"),
+        size(filter(toks, t => !array_contains(col("__vocab"), t)))
+          .cast("long").alias("n_oov"))
+      .withColumn("oov_rate",
+        when(col("n_tokens") === 0L, lit(0.0))
+          .otherwise(col("n_oov").cast("double") / col("n_tokens").cast("double")))
+  }
+
   /** The full training-corpus preparation pipeline, composed end-to-end:
     *
     *  1. PII scrub ([[scrubText]]) — narrow;

@@ -370,6 +370,67 @@ object Parity {
       .orderBy("o_orderkey")
   }
 
+  // ── Deterministic stratified sampling: a FIXED-SIZE sample per stratum
+  //    by scrambled-id order — the "n per group" sibling of
+  //    TrainPrep.mixtureSample's rate-based sampling. No RNG: the scramble
+  //    is pure integer arithmetic, so reruns and any engine agree.
+  //    row_number + filter plans WindowGroupLimit: each task keeps at most
+  //    n rows per group before the shuffle.
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val scramble = pmod(col("o_orderkey") * lit(2654435761L) + lit(101L),
+      lit(1000003L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderstatus"))
+      .orderBy(scramble.asc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 50)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("rn"))
+      .orderBy("o_orderstatus", "rn")
+  }
+
+  // ── Value histogram: fixed-width bins over order totals — one grouped
+  //    aggregate (partial map-side), bin boundaries from a single floored
+  //    division both engines compute identically. min/max of 2-decimal
+  //    doubles are exact.
+  def histogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("bucket", floor(col("o_totalprice") / lit(25000.0)))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).alias("n"),
+        min(col("o_totalprice")).alias("lo"),
+        max(col("o_totalprice")).alias("hi"))
+      .orderBy("bucket")
+
+  // ── Exact Pearson correlation per group from DECIMAL power sums —
+  //    corr(quantity, price) via n, Σx, Σy, Σxy, Σx², Σy², aggregated
+  //    exactly (order-independent) with the final correlation arithmetic
+  //    one fixed-order double expression. The distributed-exact sibling of
+  //    Spark's corr(), whose double accumulation is partition-order
+  //    dependent and so cannot hash-match any oracle.
+  def corrStats(s: SparkSession, dir: String): DataFrame = {
+    val q = col("l_quantity").cast("decimal(18,2)")
+    val p = col("l_extendedprice").cast("decimal(18,2)")
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).alias("n"),
+        sum(q).alias("__sx"), sum(p).alias("__sy"),
+        sum((q * p).cast("decimal(38,4)")).alias("__sxy"),
+        sum((q * q).cast("decimal(38,4)")).alias("__sx2"),
+        sum((p * p).cast("decimal(38,4)")).alias("__sy2"))
+      .select(col("l_returnflag"), col("n"),
+        ((col("n").cast("double") * col("__sxy").cast("double")
+          - col("__sx").cast("double") * col("__sy").cast("double"))
+          / (sqrt(col("n").cast("double") * col("__sx2").cast("double")
+              - col("__sx").cast("double") * col("__sx").cast("double"))
+            * sqrt(col("n").cast("double") * col("__sy2").cast("double")
+              - col("__sy").cast("double") * col("__sy").cast("double"))))
+          .alias("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
   // ── Semi/anti joins (§2.5): customers with vs without orders — the
   //    EXISTS / NOT EXISTS shape; only the key travels, never payload.
   def semiAntiJoin(s: SparkSession, dir: String): DataFrame = {

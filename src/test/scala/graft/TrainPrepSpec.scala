@@ -326,4 +326,25 @@ class TrainPrepSpec extends SparkSpec {
     assert(uncachedExplodes.isEmpty,
       s"bigram instances must be built once inside the persisted reduction:\n$plan")
   }
+
+  test("oovRate: counts tokens outside the vocab, empty doc rates 0") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b x"), (2L, "x y"), (3L, "")).toDF("doc_id", "text")
+    val vocab = Seq("a", "b").toDF("token")
+    val out = TrainPrep.oovRate(docs, "doc_id", "text", vocab, "token")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_oov"), r.getAs[Double]("oov_rate")))).toMap
+    assert(out(1L) == ((1L, 1.0 / 3.0)))
+    assert(out(2L) == ((2L, 1.0)))
+    assert(out(3L) == ((0L, 0.0)))
+  }
+
+  test("oovRate plans narrow: one broadcast, no shuffle of the corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b x")).toDF("doc_id", "text")
+    val vocab = Seq("a").toDF("token")
+    val p = TrainPrep.oovRate(docs, "doc_id", "text", vocab, "token")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+  }
 }
