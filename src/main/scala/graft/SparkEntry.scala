@@ -104,6 +104,38 @@ object SparkEntry {
     "q_window_range_frame" -> (Parity.windowRangeFrame _),
     "q_outliers" -> (Parity.outliers _),
     "q_sample_stratified" -> (Parity.stratifiedSample _),
+    // Daily resample + forward fill of each user's event stream (ts is
+    // nanos-as-long; `div` keeps the day snap exact where a double divide
+    // would round). Values pass through untouched, so hashes match.
+    "q_resample_ffill" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      graft.ops.Relational.resampleFill(
+          Parity.t(s, dir, "events").select(col("user_id"), col("ts"),
+            col("event_id"), col("value")),
+          "user_id", "ts", "event_id", "value", period = 86400000000000L)
+        .select(col("user_id"), col("period").alias("day"), col("value"),
+          col("is_observed"))
+        .orderBy("user_id", "day")
+    }),
+    // FULL OUTER join: high-balance customers vs per-customer order
+    // counts — both unmatched sides surface (the dim filter creates
+    // right-only rows). Aggregate-then-join keeps the outer join on
+    // pre-shrunk inputs.
+    "q_full_outer" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val c = Parity.t(s, dir, "customer")
+        .filter(col("c_acctbal") > 5000.0)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val co = Parity.t(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).alias("n_orders"))
+      c.join(co, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).alias("custkey"),
+          coalesce(col("c_mktsegment"), lit("none")).alias("segment"),
+          coalesce(col("n_orders"), lit(0L)).alias("n_orders"),
+          (col("c_custkey").isNotNull && col("o_custkey").isNotNull).alias("matched"))
+        .orderBy("custkey")
+    }),
     "q_histogram" -> (Parity.histogram _),
     "q_corr" -> (Parity.corrStats _),
     // OOV-rate against the corpus top-25 vocabulary: vocab folded to one
@@ -1617,6 +1649,39 @@ object SparkEntry {
          FROM orders o JOIN m ON o.o_orderstatus = m.o_orderstatus
          WHERE abs(o_totalprice - mean) > 1.5 * sd
          ORDER BY o_orderkey""",
+    "q_resample_ffill" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) // 86400000000 AS day, value,
+                  epoch_us(ts) AS us, event_id
+           FROM events),
+         rep AS (
+           SELECT user_id, day, value FROM (
+             SELECT user_id, day, value,
+                    row_number() OVER (PARTITION BY user_id, day
+                                       ORDER BY us DESC, event_id DESC) AS rn
+             FROM e) WHERE rn = 1),
+         span AS (SELECT user_id, min(day) AS mn, max(day) AS mx FROM e GROUP BY 1),
+         grid AS (SELECT user_id, unnest(range(mn, mx + 1)) AS day FROM span),
+         j AS (
+           SELECT g.user_id, g.day, r.value
+           FROM grid g LEFT JOIN rep r ON g.user_id = r.user_id AND g.day = r.day)
+         SELECT user_id, CAST(day AS BIGINT) AS day,
+                last_value(value IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+                value IS NOT NULL AS is_observed
+         FROM j ORDER BY user_id, day""",
+    "q_full_outer" ->
+      """WITH c AS (
+           SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 5000.0),
+         co AS (
+           SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1)
+         SELECT coalesce(c_custkey, o_custkey) AS custkey,
+                coalesce(c_mktsegment, 'none') AS segment,
+                coalesce(n_orders, 0) AS n_orders,
+                c_custkey IS NOT NULL AND o_custkey IS NOT NULL AS matched
+         FROM c FULL OUTER JOIN co ON c_custkey = o_custkey
+         ORDER BY custkey""",
     "q_sample_stratified" ->
       """SELECT o_orderstatus, o_orderkey, rn FROM (
            SELECT o_orderstatus, o_orderkey,

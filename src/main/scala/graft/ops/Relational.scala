@@ -174,6 +174,48 @@ object Relational {
       .unionByName(stitched.select(outCols.map(col): _*))
   }
 
+  /** Time-series resampling with forward fill: snap each observation to a
+    * fixed `period` (integer division of the long time column — exact,
+    * no double rounding at nanosecond magnitudes), keep the LAST
+    * observation per (key, period) (ties broken by `tieCol`), expand each
+    * key to its full min..max period grid, and carry the last observed
+    * value forward into the gaps — the gap-fill step between raw events
+    * and any windowed feature/metric computation.
+    *
+    * Scale shape: everything partitions by the key — the last-observation
+    * window, the span aggregate, the grid join, and the fill window reuse
+    * the same key-hash exchange family; the grid explode is narrow and
+    * bounded by each key's own span, never a global cross product. Values
+    * pass through untouched (no arithmetic), so results hash-match any
+    * engine.
+    *
+    * Output: (key, period, value forward-filled, is_observed).
+    */
+  def resampleFill(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      tieCol: String,
+      valueCol: String,
+      period: Long): DataFrame = {
+    val snapped = df.select(col(keyCol), col(timeCol), col(tieCol),
+      col(valueCol), expr(s"`$timeCol` div ${period}L").alias("period"))
+    val wLast = Window.partitionBy(col(keyCol), col("period"))
+      .orderBy(col(timeCol).desc, col(tieCol).desc)
+    val rep = snapped
+      .withColumn("__rn", row_number().over(wLast))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), col("period"), col(valueCol))
+    val grid = snapped.groupBy(col(keyCol))
+      .agg(min(col("period")).alias("__mn"), max(col("period")).alias("__mx"))
+      .select(col(keyCol), explode(sequence(col("__mn"), col("__mx"))).alias("period"))
+    val wFill = Window.partitionBy(col(keyCol)).orderBy(col("period").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(rep, Seq(keyCol, "period"), "left")
+      .withColumn("is_observed", col(valueCol).isNotNull)
+      .withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(wFill))
+  }
+
   /** MERGE-INTO snapshot maintenance (SCD2's current-state sibling): apply
     * a CDC changelog of upserts and deletes to a base snapshot and return
     * the new snapshot. Latest change per key wins (ordered by `seqCol`);

@@ -121,6 +121,23 @@ class RelationalSpec extends SparkSpec {
     assert(out == Set(("a", 10, false), ("a", 11, true)))
   }
 
+  test("resampleFill: gaps filled forward, last observation per period wins") {
+    val df = Seq(
+      (1L, 3L, 1L, 10.0),   // period 0
+      (1L, 7L, 2L, 11.0),   // period 0, later -> wins
+      (1L, 25L, 3L, 20.0),  // period 2; period 1 is a gap
+      (2L, 42L, 4L, 5.0))   // single-period key
+      .toDF("k", "t", "id", "v")
+    val out = Relational.resampleFill(df, "k", "t", "id", "v", period = 10L)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("period")) ->
+        ((r.getAs[Double]("v"), r.getAs[Boolean]("is_observed")))).toMap
+    assert(out == Map(
+      (1L, 0L) -> ((11.0, true)),
+      (1L, 1L) -> ((11.0, false)),  // gap carries period 0's last value
+      (1L, 2L) -> ((20.0, true)),
+      (2L, 4L) -> ((5.0, true))))
+  }
+
   test("mergeUpsert: latest change wins, deletes drop, untouched base kept") {
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
     val changes = Seq(
