@@ -41,7 +41,8 @@ object Bench {
     "q_tpch8", "q_tpch9", "q_tpch13", "q_tpch17", "q_tpch21",
     "prep_chunk", "prep_bigram_lm",
     "prep_corpus_chunked", "text_source_overlap", "sim_cluster_sample",
-    "dedup_span", "prep_dsir", "text_bm25", "q_merge_upsert")
+    "dedup_span", "prep_dsir", "text_bm25", "q_merge_upsert",
+    "text_pmi", "q_resample_ffill")
 
   /** Warm iterations per query; the median is reported. */
   val WarmIters = 3

@@ -374,6 +374,44 @@ object SparkEntry {
       TextAnalysis.bm25(docs(s, dir), "doc_id", "text",
           Seq("spark", "merge", "window"))
         .orderBy(col("score").desc, col("doc_id"))),
+    // Collocation mining: top-30 bigrams by PMI ratio (exp(PMI) — exact
+    // counts, one multiply/divide, no ln). Marginals join the pair table,
+    // never the instance table.
+    "text_pmi" -> ((s, dir) =>
+      TextAnalysis.pmiPairs(docs(s, dir), "text", minCount = 5L, topK = 30)
+        .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))),
+    // Null-aware NOT IN: the with_null branch's subquery CONTAINS a NULL
+    // (nullif poisons custkey 1), so by SQL three-valued logic it must
+    // return ZERO rows — Spark plans a null-aware anti join; a naive anti
+    // join would wrongly return every unmatched customer. The no_null
+    // branch is the ordinary anti join for contrast. (Projection-context
+    // IN-subqueries are deliberately NOT used here: Spark 4 folds their
+    // UNKNOWN to false rather than NULL, diverging from ANSI.)
+    "q_null_aware_anti" -> ((s, dir) => {
+      Parity.t(s, dir, "customer").createOrReplaceTempView("customer_na")
+      Parity.t(s, dir, "orders").createOrReplaceTempView("orders_na")
+      s.sql("""SELECT c_custkey, 'no_null' AS variant FROM customer_na
+               WHERE c_custkey NOT IN (SELECT o_custkey
+                                       FROM orders_na WHERE o_orderkey % 40 = 1)
+               UNION ALL
+               SELECT c_custkey, 'with_null' AS variant FROM customer_na
+               WHERE c_custkey NOT IN (SELECT nullif(o_custkey, 1)
+                                       FROM orders_na WHERE o_orderkey % 40 = 1)
+               ORDER BY variant, c_custkey""")
+    }),
+    // Higher-order array functions as the query surface (transform /
+    // filter / aggregate / zip_with) — all narrow, zero shuffle.
+    "q_higher_order" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      docs(s, dir).select(
+          col("doc_id"),
+          aggregate(transform(toks, t => length(t).cast("long")),
+            lit(0L), (a, x) => a + x).alias("chars_in_tokens"),
+          size(filter(toks, t => length(t) >= 6)).cast("long").alias("long_words"),
+          size(filter(zip_with(toks, slice(toks, 2, 1000000), (a, b) => a === b),
+            x => x)).cast("long").alias("adjacent_repeats"))
+        .orderBy("doc_id")
+    }),
     // Tokenizer fertility per language: exact BIGINT corpus sums + the
     // chars-per-token / pre-tokens-per-token ratios a tokenizer team
     // profiles before training.
@@ -1409,6 +1447,43 @@ object SparkEntry {
     "dedup_span" -> spanDupsSql,
     "prep_dsir" -> dsirSql,
     "text_bm25" -> bm25Sql,
+    "text_pmi" ->
+      """WITH tk AS (
+           SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+           FROM documents),
+         bg AS (
+           SELECT unnest(list_transform(range(1, len(t)),
+                    i -> {'w1': t[i], 'w2': t[i+1]})) AS s
+           FROM tk WHERE len(t) >= 2),
+         pairs AS (SELECT s.w1 AS w1, s.w2 AS w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+         cx AS (SELECT w1, sum(c12) AS c1 FROM pairs GROUP BY 1),
+         cy AS (SELECT w2, sum(c12) AS c2 FROM pairs GROUP BY 1),
+         n AS (SELECT sum(c12) AS nn FROM pairs)
+         SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+                (CAST(c12 AS DOUBLE) * CAST(nn AS DOUBLE))
+                  / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)) AS pmi_ratio
+         FROM pairs JOIN cx USING (w1) JOIN cy USING (w2), n
+         WHERE c12 >= 5
+         ORDER BY pmi_ratio DESC, w1, w2 LIMIT 30""",
+    "q_null_aware_anti" ->
+      """SELECT c_custkey, 'no_null' AS variant FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey
+                                 FROM orders WHERE o_orderkey % 40 = 1)
+         UNION ALL
+         SELECT c_custkey, 'with_null' AS variant FROM customer
+         WHERE c_custkey NOT IN (SELECT nullif(o_custkey, 1)
+                                 FROM orders WHERE o_orderkey % 40 = 1)
+         ORDER BY variant, c_custkey""",
+    "q_higher_order" ->
+      """WITH tk AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+           FROM documents)
+         SELECT doc_id,
+                CAST(coalesce(list_sum(list_transform(t, w -> len(w))), 0) AS BIGINT) AS chars_in_tokens,
+                CAST(len(list_filter(t, w -> len(w) >= 6)) AS BIGINT) AS long_words,
+                CAST(len(list_filter(list_transform(range(1, len(t)), i -> t[i] = t[i+1]),
+                         x -> x)) AS BIGINT) AS adjacent_repeats
+         FROM tk ORDER BY doc_id""",
     "text_fertility" ->
       """SELECT lang,
                 CAST(count(*) AS BIGINT) AS n_docs,

@@ -281,6 +281,48 @@ object TextAnalysis {
     docs.select(col("doc_id"), fingerprint(col("text")).alias("fp"))
       .orderBy("doc_id")
 
+  /** Collocation mining by pointwise mutual information in ratio form:
+    * `pmi_ratio = c(w1,w2)·N / (c(w1)·c(w2))` — exp(PMI) rather than the
+    * log, which preserves the ranking while keeping the score one
+    * fixed-order double expression (exact BIGINT counts in, one multiply
+    * and one divide out — reproducible in any engine; ln is not).
+    * Returns the `topK` pairs with corpus count ≥ `minCount`.
+    *
+    * Scale shape: bigram instances reduce to pair counts in one partial-
+    * aggregated shuffle; the two marginal-count joins run on the PAIR
+    * table, where a token key's row count is bounded by its distinct-
+    * neighbor count (never the Zipf-skewed instance table); the global
+    * top-k plans as TakeOrdered.
+    */
+  def pmiPairs(
+      docs: DataFrame,
+      textCol: String,
+      minCount: Long = 5L,
+      topK: Int = 30): DataFrame = {
+    val toks = tokens(col(textCol))
+    val pairs = docs
+      .select(toks.alias("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("__t")) - 1),
+        i => struct((col("__t"))(i - 1).alias("w1"), (col("__t"))(i).alias("w2"))))
+        .alias("bg"))
+      .select(col("bg.w1").alias("w1"), col("bg.w2").alias("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).alias("c12"))
+    val cx = pairs.groupBy(col("w1")).agg(sum(col("c12")).alias("c1"))
+    val cy = pairs.groupBy(col("w2")).agg(sum(col("c12")).alias("c2"))
+    val n = pairs.agg(sum(col("c12")).alias("__n"))
+    pairs
+      .join(cx, Seq("w1")).join(cy, Seq("w2"))
+      .crossJoin(broadcast(n))
+      .filter(col("c12") >= minCount)
+      .select(col("w1"), col("w2"), col("c12"),
+        ((col("c12").cast("double") * col("__n").cast("double"))
+          / (col("c1").cast("double") * col("c2").cast("double"))).alias("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+  }
+
   /** BM25 retrieval for a fixed term set (Robertson & Zaragoza, "The
     * Probabilistic Relevance Framework: BM25 and Beyond"): score every
     * document against `terms` and return the global top `topK`. The idf is

@@ -352,6 +352,18 @@ class OpsSpec extends SparkSpec {
     assert(row.getAs[Double]("containment_b") == 0.25)
   }
 
+  test("pmiPairs ranks exclusive collocations above frequent ones") {
+    val d = Seq((1L, "x y"), (2L, "x y"), (3L, "x y"), (4L, "x z"), (5L, "w z"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.pmiPairs(d, "text", minCount = 1L, topK = 10)
+      .collect().map(r => (r.getAs[String]("w1"), r.getAs[String]("w2")) ->
+        r.getAs[Double]("pmi_ratio")).toMap
+    // N=5; c1: x=4 w=1; c2: y=3 z=2
+    assert(out(("w", "z")) == 2.5)   // exclusive pair, rare both sides
+    assert(out(("x", "y")) == 1.25)
+    assert(out(("x", "z")) == 0.625)
+  }
+
   test("importanceWeights: target-like docs weigh 1, off-target below") {
     val d = Seq((1L, "a a b"), (2L, "c c c")).toDF("doc_id", "text")
     val out = ops.TrainPrep.importanceWeights(
