@@ -399,6 +399,38 @@ object SparkEntry {
                                        FROM orders_na WHERE o_orderkey % 40 = 1)
                ORDER BY variant, c_custkey""")
     }),
+    // String-function surface in one narrow pass: case/pad/slice/search/
+    // translate plus edit distance (levenshtein is integer-exact in both
+    // engines). Zero shuffle.
+    "q_string_funcs" -> ((s, dir) =>
+      Parity.t(s, dir, "part").select(
+          col("p_partkey"),
+          upper(col("p_brand")).alias("brand_upper"),
+          lpad(col("p_type"), 12, ".").alias("type_padded"),
+          substring(col("p_name"), 1, 8).alias("name_prefix"),
+          instr(col("p_type"), "a").cast("long").alias("first_a"),
+          translate(col("p_name"), "aeiou", "_____").alias("devoweled"),
+          levenshtein(col("p_type"), lit("standard")).cast("long").alias("edit_dist"),
+          length(regexp_replace(col("p_name"), "[^a-z]", "")).cast("long")
+            .alias("n_lower"))
+        .orderBy("p_partkey")),
+    // Gini–Simpson lexical diversity: 1 − Σ tf² / n² — the no-log
+    // diversity measure (entropy's rational sibling), exact BIGINT sums
+    // with one final division. Per-row via token_counts: zero shuffle.
+    "text_gini" -> ((s, dir) => {
+      val tc = graft.functions.SketchArrayExpressions.tokenCounts(
+        TextAnalysis.tokens(col("text")))
+      docs(s, dir).select(
+          col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").alias("n_tokens"),
+          aggregate(transform(tc, e => e.getField("tf").cast("long") * e.getField("tf")),
+            lit(0L), (a, x) => a + x).alias("sum_tf2"))
+        .withColumn("gini",
+          when(col("n_tokens") === 0L, lit(0.0))
+            .otherwise(lit(1.0) - col("sum_tf2").cast("double")
+              / (col("n_tokens") * col("n_tokens")).cast("double")))
+        .orderBy("doc_id")
+    }),
     // Higher-order array functions as the query surface (transform /
     // filter / aggregate / zip_with) — all narrow, zero shuffle.
     "q_higher_order" -> ((s, dir) => {
@@ -1465,6 +1497,30 @@ object SparkEntry {
          FROM pairs JOIN cx USING (w1) JOIN cy USING (w2), n
          WHERE c12 >= 5
          ORDER BY pmi_ratio DESC, w1, w2 LIMIT 30""",
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+                upper(p_brand) AS brand_upper,
+                lpad(p_type, 12, '.') AS type_padded,
+                substring(p_name, 1, 8) AS name_prefix,
+                CAST(instr(p_type, 'a') AS BIGINT) AS first_a,
+                translate(p_name, 'aeiou', '_____') AS devoweled,
+                CAST(levenshtein(p_type, 'standard') AS BIGINT) AS edit_dist,
+                CAST(len(regexp_replace(p_name, '[^a-z]', '', 'g')) AS BIGINT) AS n_lower
+         FROM part ORDER BY p_partkey""",
+    "text_gini" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+           FROM documents),
+         tf AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+         agg AS (SELECT doc_id, sum(c) AS n_tokens, sum(c * c) AS sum_tf2 FROM tf GROUP BY 1)
+         SELECT d.doc_id,
+                CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+                CAST(coalesce(sum_tf2, 0) AS BIGINT) AS sum_tf2,
+                CASE WHEN n_tokens IS NULL OR n_tokens = 0 THEN CAST(0.0 AS DOUBLE)
+                     ELSE 1.0 - CAST(sum_tf2 AS DOUBLE)
+                          / CAST(n_tokens * n_tokens AS DOUBLE) END AS gini
+         FROM documents d LEFT JOIN agg USING (doc_id)
+         ORDER BY d.doc_id""",
     "q_null_aware_anti" ->
       """SELECT c_custkey, 'no_null' AS variant FROM customer
          WHERE c_custkey NOT IN (SELECT o_custkey
