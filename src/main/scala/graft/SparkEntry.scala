@@ -138,6 +138,36 @@ object SparkEntry {
     }),
     "q_histogram" -> (Parity.histogram _),
     "q_corr" -> (Parity.corrStats _),
+    // Token-id encoding — the tokenizer-apply step: top-25 vocab folded to
+    // ONE broadcast map row; per-doc encoding is a narrow transform
+    // (element_at lookup, OOV -> 0). The corpus never shuffles.
+    "prep_token_ids" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val vmap = graft.ops.TrainPrep.topTokens(d, "text", 25)
+        .agg(map_from_entries(collect_list(struct(col("token"), col("rank"))))
+          .alias("__vmap"))
+      d.crossJoin(broadcast(vmap))
+        .select(col("doc_id"),
+          transform(TextAnalysis.tokens(col("text")),
+            t => coalesce(element_at(col("__vmap"), t), lit(0L))).alias("token_ids"))
+        .orderBy("doc_id")
+    }),
+    // Contrastive (anchor, positive) pair construction from consecutive
+    // context chunks of the same doc — the training-example builder for
+    // contrastive embedding objectives. Self-join co-partitioned on
+    // (doc, chunk): one shuffle family, no cross product.
+    "prep_contrastive" -> ((s, dir) => {
+      val ch = graft.ops.TrainPrep.chunkDocuments(docs(s, dir), "doc_id",
+          "text", chunkSize = 32, stride = 24)
+        .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"))
+      val a = ch.select(col("doc_id"), col("chunk_id").alias("anchor_id"),
+        col("n_chunk_tokens").alias("anchor_tokens"))
+      val p = ch.select(col("doc_id"), (col("chunk_id") - 1L).alias("anchor_id"),
+        col("chunk_id").alias("positive_id"),
+        col("n_chunk_tokens").alias("positive_tokens"))
+      a.join(p, Seq("doc_id", "anchor_id"))
+        .orderBy("doc_id", "anchor_id")
+    }),
     // OOV-rate against the corpus top-25 vocabulary: vocab folded to one
     // broadcast array row; per-doc membership is a narrow array filter.
     "prep_oov" -> ((s, dir) => {
@@ -430,6 +460,23 @@ object SparkEntry {
             .otherwise(lit(1.0) - col("sum_tf2").cast("double")
               / (col("n_tokens") * col("n_tokens")).cast("double")))
         .orderBy("doc_id")
+    }),
+    // Batch sliding-window aggregation (1 h windows every 30 min): each
+    // event lands in exactly two windows; Spark's window() generator is
+    // narrow (no explode shuffle), the aggregate partials map-side.
+    // ts is nanos-as-long: `div 1000` converts to exact micros.
+    "q_window_sliding" -> ((s, dir) => {
+      val e = Parity.t(s, dir, "events")
+        .withColumn("__t", timestamp_micros(expr("ts div 1000L")))
+      e.groupBy(window(col("__t"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).alias("n"),
+          min(col("event_id")).alias("first_id"),
+          max(col("event_id")).alias("last_id"))
+        .select(
+          unix_micros(col("window.start")).alias("start_us"),
+          unix_micros(col("window.end")).alias("end_us"),
+          col("event_type"), col("n"), col("first_id"), col("last_id"))
+        .orderBy("start_us", "event_type")
     }),
     // Higher-order array functions as the query surface (transform /
     // filter / aggregate / zip_with) — all narrow, zero shuffle.
@@ -1497,6 +1544,54 @@ object SparkEntry {
          FROM pairs JOIN cx USING (w1) JOIN cy USING (w2), n
          WHERE c12 >= 5
          ORDER BY pmi_ratio DESC, w1, w2 LIMIT 30""",
+    "prep_token_ids" ->
+      """WITH tk AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+           FROM documents),
+         tok AS (SELECT unnest(t) AS w FROM tk),
+         vocab AS (
+           SELECT w AS token, CAST(row_number() OVER (ORDER BY n DESC, w) AS BIGINT) AS rank
+           FROM (SELECT w, count(*) AS n FROM tok GROUP BY w ORDER BY n DESC, w LIMIT 25)),
+         pos AS (
+           SELECT doc_id, unnest(t) AS w, unnest(range(1, len(t) + 1)) AS p FROM tk),
+         ids AS (
+           SELECT doc_id, p, coalesce(v.rank, 0) AS id
+           FROM pos LEFT JOIN vocab v ON v.token = pos.w)
+         SELECT tk.doc_id, coalesce(l.token_ids, []) AS token_ids
+         FROM tk LEFT JOIN (
+           SELECT doc_id, list(id ORDER BY p) AS token_ids FROM ids GROUP BY doc_id) l
+         USING (doc_id)
+         ORDER BY tk.doc_id""",
+    "prep_contrastive" ->
+      """WITH tk AS (
+           SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         nz AS (
+           SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) > 0),
+         ch AS (
+           SELECT doc_id,
+                  CAST(i AS BIGINT) AS chunk_id,
+                  CAST(len(toks[i * 24 + 1 : i * 24 + 32]) AS BIGINT) AS nt
+           FROM nz, UNNEST(range(0, 1 + (greatest(0, n - 32) + 23) // 24)) AS t(i))
+         SELECT a.doc_id, a.chunk_id AS anchor_id, a.nt AS anchor_tokens,
+                b.chunk_id AS positive_id, b.nt AS positive_tokens
+         FROM ch a JOIN ch b ON a.doc_id = b.doc_id AND b.chunk_id = a.chunk_id + 1
+         ORDER BY a.doc_id, anchor_id""",
+    "q_window_sliding" ->
+      """WITH e AS (
+           SELECT event_type, event_id, epoch_us(ts) AS us FROM events),
+         w AS (
+           SELECT event_type, event_id, us,
+                  unnest([(us // 1800000000) * 1800000000,
+                          (us // 1800000000) * 1800000000 - 1800000000]) AS wstart
+           FROM e)
+         SELECT CAST(wstart AS BIGINT) AS start_us,
+                CAST(wstart + 3600000000 AS BIGINT) AS end_us,
+                event_type, count(*) AS n,
+                min(event_id) AS first_id, max(event_id) AS last_id
+         FROM w GROUP BY 1, 2, 3
+         ORDER BY start_us, event_type""",
     "q_string_funcs" ->
       """SELECT p_partkey,
                 upper(p_brand) AS brand_upper,
