@@ -111,21 +111,117 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     new GraftTable(ident.toString, dir.toString, meta, live, writable = true)
   }
 
-  /** Time travel (`SELECT ... FROM t VERSION AS OF n`): serve the file set
-    * recorded by snapshot `n`'s manifest — every commit appends one
-    * (Iceberg's snapshot model in miniature; data files are immutable,
-    * overwrites only supersede them logically, so old snapshots stay
-    * readable until [[vacuum]]). */
+  /** Time travel (`SELECT ... FROM t VERSION AS OF x`): a numeric `x`
+    * serves the file set recorded by snapshot `x`'s manifest — every
+    * commit appends one (Iceberg's snapshot model in miniature; data files
+    * are immutable, overwrites only supersede them logically, so old
+    * snapshots stay readable until [[vacuum]]). A non-numeric `x` resolves
+    * as a named ref — tag first, then branch head — so
+    * `VERSION AS OF 'dev'` reads a branch and `VERSION AS OF 'v1.0'` a
+    * tag, Nessie's read surface on the offline catalog. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tableDir(ident)
     val meta = GraftCatalog.readMeta(fs, dir)
       .getOrElse(throw new NoSuchTableException(ident))
-    val snap = version.toLongOption.getOrElse(
-      throw new IllegalArgumentException(s"invalid snapshot id '$version'"))
-    val files = GraftCatalog.readManifest(fs, dir, snap).getOrElse(
-      throw new IllegalArgumentException(
-        s"table $ident has no snapshot $snap (latest: ${GraftCatalog.latestSnapshot(fs, dir)})"))
-    new GraftTable(s"$ident@v$snap", dir.toString, meta, Some(files), writable = false)
+    version.toLongOption match {
+      case Some(snap) =>
+        val files = GraftCatalog.readManifest(fs, dir, snap).getOrElse(
+          throw new IllegalArgumentException(
+            s"table $ident has no snapshot $snap (latest: ${GraftCatalog.latestSnapshot(fs, dir)})"))
+        new GraftTable(s"$ident@v$snap", dir.toString, meta, Some(files), writable = false)
+      case None =>
+        val asTag = GraftCatalog.readTagSnap(fs, dir, version).map { snap =>
+          GraftCatalog.readManifest(fs, dir, snap).getOrElse(
+            throw new IllegalStateException(
+              s"tag '$version' pins snapshot $snap but its manifest is gone"))
+        }
+        val files = asTag
+          .orElse(GraftCatalog.branchHeadFiles(fs, dir, version))
+          .getOrElse(throw new IllegalArgumentException(
+            s"table $ident has no ref '$version' (no such tag or branch)"))
+        new GraftTable(s"$ident@$version", dir.toString, meta, Some(files),
+          writable = false)
+    }
+  }
+
+  // ── Branches and tags (Nessie's per-table core, offline) ───────────────
+
+  /** Fork a branch at the current main head. Returns the fork base
+    * snapshot. Branch commits (writes carrying
+    * `option("graft.branch", name)`) extend the branch's own sequence;
+    * main never sees them until [[mergeBranch]]. */
+  def createBranch(ident: Identifier, branch: String): Long = {
+    require(GraftCatalog.validRefName(branch), s"invalid branch name '$branch'")
+    val dir = tableDir(ident)
+    if (GraftCatalog.readMeta(fs, dir).isEmpty) throw new NoSuchTableException(ident)
+    val base = GraftCatalog.latestSnapshot(fs, dir)
+    GraftCatalog.writeNumberFileExclusive(fs, GraftCatalog.refFile(dir, branch),
+      base, s"branch '$branch'")
+    base
+  }
+
+  /** Immutably pin the current main head (or an explicit snapshot) under a
+    * name. Tags never move; re-creating one fails. */
+  def createTag(ident: Identifier, tag: String, snapshot: Option[Long] = None): Long = {
+    require(GraftCatalog.validRefName(tag), s"invalid tag name '$tag'")
+    val dir = tableDir(ident)
+    if (GraftCatalog.readMeta(fs, dir).isEmpty) throw new NoSuchTableException(ident)
+    val snap = snapshot.getOrElse(GraftCatalog.latestSnapshot(fs, dir))
+    require(GraftCatalog.readManifest(fs, dir, snap).isDefined,
+      s"table $ident has no snapshot $snap to tag")
+    GraftCatalog.writeNumberFileExclusive(fs, GraftCatalog.tagFile(dir, tag),
+      snap, s"tag '$tag'")
+    snap
+  }
+
+  /** Delete a branch ref and its commit sequence (tags are permanent). */
+  def dropBranch(ident: Identifier, branch: String): Boolean = {
+    val dir = tableDir(ident)
+    val existed = fs.exists(GraftCatalog.refFile(dir, branch))
+    if (existed) {
+      fs.delete(GraftCatalog.refFile(dir, branch), false)
+      (1L to GraftCatalog.latestBranchSnap(fs, dir, branch)).foreach(k =>
+        fs.delete(new Path(dir, s"_bsnap-$branch-$k.manifest"), false))
+    }
+    existed
+  }
+
+  /** All named refs: (kind, name, snapshot) — branches report their fork
+    * base, tags their pinned snapshot. */
+  def listRefs(ident: Identifier): Seq[(String, String, Long)] = {
+    val dir = tableDir(ident)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath.getName).toSeq.sorted.flatMap { n =>
+      if (n.startsWith("_ref-"))
+        GraftCatalog.readBranchBase(fs, dir, n.stripPrefix("_ref-"))
+          .map(("branch", n.stripPrefix("_ref-"), _))
+      else if (n.startsWith("_tag-"))
+        GraftCatalog.readTagSnap(fs, dir, n.stripPrefix("_tag-"))
+          .map(("tag", n.stripPrefix("_tag-"), _))
+      else None
+    }
+  }
+
+  /** Fast-forward merge: make main's next snapshot the branch head's file
+    * set. Fails loudly when main advanced past the fork base (the
+    * branch's changes were not derived from main's current state — the
+    * same conflict Nessie reports; rebase by re-branching). Returns the
+    * new main snapshot. */
+  def mergeBranch(ident: Identifier, branch: String): Long = {
+    val dir = tableDir(ident)
+    val base = GraftCatalog.readBranchBase(fs, dir, branch).getOrElse(
+      throw new IllegalArgumentException(s"table $ident has no branch '$branch'"))
+    val latest = GraftCatalog.latestSnapshot(fs, dir)
+    if (latest != base)
+      throw new IllegalStateException(
+        s"merge conflict: main is at snapshot $latest but branch '$branch' " +
+          s"forked from $base — main advanced since the fork; re-branch and " +
+          "replay the work")
+    val files = GraftCatalog.branchHeadFiles(fs, dir, branch).get
+    val txns = GraftCatalog.branchHeadTxns(fs, dir, branch)
+    // exclusive create at base+1: a concurrent main commit still loses
+    // cleanly (same OCC as every commit)
+    GraftCatalog.writeSnapshotAt(fs, dir, base + 1, files, txns)
   }
 
   /** Small-file compaction (Iceberg's `rewrite_data_files`): rewrite the
@@ -223,17 +319,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     // pre-manifest ("legacy") table: the live set IS the dir listing (the
     // same fallback the read and commit paths use) — an empty-manifest
     // default here would delete every data file in the table
+    // files pinned by named refs survive any keepLast window: branch heads
+    // and tagged snapshots stay readable (Nessie refs are GC roots)
+    val refs = listRefs(ident)
+    val refLive: Set[String] = refs.flatMap {
+      case ("branch", name, _) =>
+        GraftCatalog.branchHeadFiles(fs, dir, name).getOrElse(Seq.empty)
+      case ("tag", _, snap) =>
+        GraftCatalog.readManifest(fs, dir, snap).getOrElse(Seq.empty)
+      case _ => Seq.empty
+    }.toSet
+    val tagSnaps = refs.collect { case ("tag", _, snap) => snap }.toSet
     val live: Set[String] =
-      if (latest == 0L) GraftCatalog.listDataFiles(fs, dir).toSet
-      else (oldestKept to latest)
-        .flatMap(n => GraftCatalog.readManifest(fs, dir, n)
-          .getOrElse(GraftCatalog.listDataFiles(fs, dir)))
-        .toSet
+      (if (latest == 0L) GraftCatalog.listDataFiles(fs, dir).toSet
+       else (oldestKept to latest)
+         .flatMap(n => GraftCatalog.readManifest(fs, dir, n)
+           .getOrElse(GraftCatalog.listDataFiles(fs, dir)))
+         .toSet) ++ refLive
     val all = GraftCatalog.listDataFiles(fs, dir)
     val dead = all.filterNot(live)
     dead.foreach(f => fs.delete(new Path(dir, f), false))
-    // drop expired manifests
-    (1L until oldestKept).foreach(n =>
+    // drop expired manifests — except snapshots pinned by a tag
+    (1L until oldestKept).filterNot(tagSnaps).foreach(n =>
       fs.delete(new Path(dir, s"_snap-$n.manifest"), false))
     dead.size
   }
@@ -405,6 +512,12 @@ object GraftCatalog {
   val TxnAppIdOption = "graft.txn.app-id"
   val TxnVersionOption = "graft.txn.version"
 
+  /** Write option routing a commit onto a named branch (Nessie's
+    * `ref=<branch>` intent): the commit extends the branch's own snapshot
+    * sequence and main's lineage is untouched. The branch must exist
+    * ([[GraftCatalog.createBranch]]). */
+  val BranchOption = "graft.branch"
+
   /** Table property bounding rows per data file: writers roll to a new
     * file when a partition's current file reaches the target — bounded
     * file sizes regardless of task-level data volume (Iceberg's
@@ -538,6 +651,126 @@ object GraftCatalog {
         }
       }.toMap
 
+  // ── Nessie-style named refs (offline) ──────────────────────────────────
+  // The reference deploys Nessie for git-like catalog versioning
+  // (/root/reference/spark-defaults.conf:15-31 — nessie catalog impl,
+  // `ref=main`); these helpers reproduce the per-table core of that model
+  // on the same manifest machinery: a BRANCH is a fork base (`_ref-<name>`
+  // records the main snapshot it forked from) plus its own commit sequence
+  // (`_bsnap-<name>-<k>.manifest`, exclusive-create OCC like main); a TAG
+  // (`_tag-<name>`) immutably pins a main snapshot. Main's lineage is
+  // untouched by branch commits, so existing readers never see
+  // work-in-progress data — the isolation Nessie branches exist for.
+
+  /** Branch/tag names: path- and parse-safe. */
+  private[storage] def validRefName(name: String): Boolean =
+    name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_' || c == '.')
+
+  private[storage] def refFile(dir: Path, name: String) = new Path(dir, s"_ref-$name")
+  private[storage] def tagFile(dir: Path, name: String) = new Path(dir, s"_tag-$name")
+
+  private[storage] def writeNumberFileExclusive(
+      fs: FileSystem, f: Path, n: Long, label: String): Unit = {
+    // exclusive create: two racing createBranch/createTag calls cannot
+    // silently clobber each other (same OCC shape as snapshot commits)
+    val out =
+      try fs.create(f, false)
+      catch {
+        case e: java.io.IOException =>
+          throw new java.io.IOException(s"GraftCatalog: $label already exists", e)
+      }
+    try out.write(s"$n\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readNumberFile(fs: FileSystem, f: Path): Option[Long] = {
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try {
+        val line = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, "UTF-8")).readLine()
+        Option(line).flatMap(_.trim.toLongOption)
+      } finally in.close()
+    }
+  }
+
+  /** The main snapshot a branch forked from. */
+  private[storage] def readBranchBase(fs: FileSystem, dir: Path, branch: String): Option[Long] =
+    readNumberFile(fs, refFile(dir, branch))
+
+  private[storage] def readTagSnap(fs: FileSystem, dir: Path, tag: String): Option[Long] =
+    readNumberFile(fs, tagFile(dir, tag))
+
+  /** Latest commit in the branch's own sequence (0 = none yet: the branch
+    * head is its fork base). */
+  private[storage] def latestBranchSnap(fs: FileSystem, dir: Path, branch: String): Long = {
+    val prefix = s"_bsnap-$branch-"
+    if (!fs.exists(dir)) 0L
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith(prefix) && n.endsWith(".manifest"))
+      .flatMap(_.stripPrefix(prefix).stripSuffix(".manifest").toLongOption)
+      .foldLeft(0L)(math.max)
+  }
+
+  private[storage] def writeBranchSnapshotAt(
+      fs: FileSystem, dir: Path, branch: String, next: Long,
+      files: Seq[String], txns: Map[String, Long]): Long = {
+    val header = txns.toSeq.sorted.map { case (app, v) => s"# txn:$app=$v" }
+    val out =
+      try fs.create(new Path(dir, s"_bsnap-$branch-$next.manifest"), false)
+      catch {
+        case e: java.io.IOException => throw new java.io.IOException(
+          s"GraftCatalog: concurrent commit detected on branch '$branch' — " +
+            s"commit $next was created by another writer; re-run against the " +
+            "current branch head", e)
+      }
+    try out.write(
+      ((header ++ files.sorted).mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    next
+  }
+
+  private def branchManifestLines(
+      fs: FileSystem, dir: Path, branch: String): Option[Seq[String]] = {
+    val k = latestBranchSnap(fs, dir, branch)
+    if (k == 0L) None
+    else {
+      val f = new Path(dir, s"_bsnap-$branch-$k.manifest")
+      val in = fs.open(f)
+      try {
+        val reader = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
+        Some(Iterator.continually(reader.readLine()).takeWhile(_ != null)
+          .map(_.trim).filter(_.nonEmpty).toSeq)
+      } finally in.close()
+    }
+  }
+
+  /** Branch head file set: its own latest commit, or (no commits yet) the
+    * fork-base main manifest, with the legacy dir-listing fallback. */
+  private[storage] def branchHeadFiles(
+      fs: FileSystem, dir: Path, branch: String): Option[Seq[String]] =
+    readBranchBase(fs, dir, branch).map { base =>
+      branchManifestLines(fs, dir, branch)
+        .map(_.filterNot(_.startsWith("#")))
+        .orElse(readManifest(fs, dir, base))
+        .getOrElse(listDataFiles(fs, dir))
+    }
+
+  /** Branch head writer-txn watermarks (fall back to the fork base's). */
+  private[storage] def branchHeadTxns(
+      fs: FileSystem, dir: Path, branch: String): Map[String, Long] =
+    branchManifestLines(fs, dir, branch) match {
+      case Some(lines) =>
+        lines.filter(_.startsWith("# txn:")).flatMap { l =>
+          l.stripPrefix("# txn:").split("=", 2) match {
+            case Array(app, v) => v.toLongOption.map(app -> _)
+            case _ => None
+          }
+        }.toMap
+      case None =>
+        readBranchBase(fs, dir, branch).map(readTxns(fs, dir, _)).getOrElse(Map.empty)
+    }
+
   /** SQLConf entries `ParquetWriteSupport`/the schema converter read from
     * the task-side hadoop conf (Spark's own writer injects the same set). */
   private[storage] def parquetWriteConfs(spark: SparkSession): Map[String, String] = {
@@ -641,7 +874,8 @@ private[storage] class GraftWriteBuilder(
       } yield (app, v)
       new GraftBatchWrite(
         dir, meta, mode, info.queryId(),
-        GraftCatalog.parquetWriteConfs(SparkSession.active), txn)
+        GraftCatalog.parquetWriteConfs(SparkSession.active), txn,
+        Option(info.options.get(GraftCatalog.BranchOption)))
     }
   }
 }
@@ -666,7 +900,8 @@ private[storage] class GraftBatchWrite(
     mode: String,
     queryId: String,
     parquetConfs: Map[String, String],
-    txn: Option[(String, Long)] = None) extends BatchWrite {
+    txn: Option[(String, Long)] = None,
+    branch: Option[String] = None) extends BatchWrite {
 
   private val stagingRel = s"_staging-$queryId"
 
@@ -680,8 +915,18 @@ private[storage] class GraftBatchWrite(
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(dir)
     val fs = root.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    // branch commits read and extend the BRANCH lineage; main commits the
+    // main one — same prior-state + OCC shape either way
+    branch.foreach { b =>
+      if (GraftCatalog.readBranchBase(fs, root, b).isEmpty)
+        throw new IllegalArgumentException(
+          s"unknown branch '$b' — create it with GraftCatalog.createBranch first")
+    }
     val latest = GraftCatalog.latestSnapshot(fs, root)
-    val priorTxns = GraftCatalog.readTxns(fs, root, latest)
+    val priorTxns = branch match {
+      case Some(b) => GraftCatalog.branchHeadTxns(fs, root, b)
+      case None => GraftCatalog.readTxns(fs, root, latest)
+    }
     val alreadyCommitted = txn.exists { case (app, v) =>
       priorTxns.get(app).exists(_ >= v) }
     if (alreadyCommitted) {
@@ -692,10 +937,14 @@ private[storage] class GraftBatchWrite(
       return
     }
     val staged = messages.flatMap(_.asInstanceOf[GraftCommitMessage].files)
-    // prior live set: latest manifest, or a dir listing for legacy tables
-    val prior = GraftCatalog
-      .readManifest(fs, root, latest)
-      .getOrElse(GraftCatalog.listDataFiles(fs, root))
+    // prior live set: branch head / latest manifest, or a dir listing for
+    // legacy tables
+    val prior = branch match {
+      case Some(b) => GraftCatalog.branchHeadFiles(fs, root, b).get
+      case None => GraftCatalog
+        .readManifest(fs, root, latest)
+        .getOrElse(GraftCatalog.listDataFiles(fs, root))
+    }
     staged.foreach { case (part, file) =>
       val dst = if (part.isEmpty) root else new Path(root, part)
       fs.mkdirs(dst)
@@ -723,10 +972,16 @@ private[storage] class GraftBatchWrite(
       case _ => prior ++ stagedRel // append
     }
     val txns = txn.fold(priorTxns) { case (app, v) => priorTxns + (app -> v) }
-    // snapshot id = the state this commit read (`latest`) + 1, NOT a fresh
-    // re-read: if another writer committed in between, the exclusive create
+    // snapshot id = the state this commit read + 1, NOT a fresh re-read:
+    // if another writer committed in between, the exclusive create
     // collides and this commit fails instead of silently dropping theirs
-    GraftCatalog.writeSnapshotAt(fs, root, latest + 1, live.distinct, txns)
+    branch match {
+      case Some(b) =>
+        val bk = GraftCatalog.latestBranchSnap(fs, root, b)
+        GraftCatalog.writeBranchSnapshotAt(fs, root, b, bk + 1, live.distinct, txns)
+      case None =>
+        GraftCatalog.writeSnapshotAt(fs, root, latest + 1, live.distinct, txns)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -469,4 +469,82 @@ class CatalogSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(props("write.format.default") == "parquet")
   }
+
+  // ── Branches and tags (the reference's Nessie model, offline) ──────────
+
+  private def cat = spark.sessionState.catalogManager.catalog("graftv2")
+    .asInstanceOf[GraftCatalog]
+  private def id(name: String) =
+    org.apache.spark.sql.connector.catalog.Identifier.of(Array("bronze"), name)
+
+  test("branch writes are isolated from main until merge") {
+    wh
+    t((1L, "a", "2024-01-15"), (2L, "b", "2024-01-15"))
+      .writeTo("graftv2.bronze.br1").using("parquet").createOrReplace()
+    cat.createBranch(id("br1"), "dev")
+    t((3L, "c", "2024-01-16")).writeTo("graftv2.bronze.br1")
+      .option(GraftCatalog.BranchOption, "dev").append()
+    // main untouched; branch sees base + its commit
+    assert(spark.table("graftv2.bronze.br1").count() == 2)
+    assert(spark.sql("SELECT count(*) FROM graftv2.bronze.br1 VERSION AS OF 'dev'")
+      .collect().head.getLong(0) == 3L)
+    // fast-forward merge: main's next snapshot is the branch head
+    cat.mergeBranch(id("br1"), "dev")
+    assert(spark.table("graftv2.bronze.br1").count() == 3)
+  }
+
+  test("merge conflicts when main advanced past the fork base") {
+    wh
+    t((1L, "a", "2024-01-15"))
+      .writeTo("graftv2.bronze.br2").using("parquet").createOrReplace()
+    cat.createBranch(id("br2"), "feat")
+    t((2L, "b", "2024-01-16")).writeTo("graftv2.bronze.br2")
+      .option(GraftCatalog.BranchOption, "feat").append()
+    // main moves after the fork -> the branch's state is stale
+    t((9L, "m", "2024-01-17")).writeTo("graftv2.bronze.br2").append()
+    val e = intercept[IllegalStateException] { cat.mergeBranch(id("br2"), "feat") }
+    assert(e.getMessage.contains("merge conflict"))
+    // writes to an unknown branch fail loudly
+    val e2 = intercept[Exception] {
+      t((5L, "x", "2024-01-18")).writeTo("graftv2.bronze.br2")
+        .option(GraftCatalog.BranchOption, "nope").append()
+    }
+    assert(e2.getMessage.contains("unknown branch")
+      || Option(e2.getCause).exists(_.getMessage.contains("unknown branch")))
+  }
+
+  test("tags pin a snapshot immutably and survive vacuum") {
+    wh
+    t((1L, "a", "2024-01-15"))
+      .writeTo("graftv2.bronze.tg").using("parquet").createOrReplace()
+    cat.createTag(id("tg"), "v1")
+    t((2L, "b", "2024-01-16")).writeTo("graftv2.bronze.tg").append()
+    t((3L, "c", "2024-01-17")).writeTo("graftv2.bronze.tg").append()
+    assert(spark.sql("SELECT count(*) FROM graftv2.bronze.tg VERSION AS OF 'v1'")
+      .collect().head.getLong(0) == 1L)
+    // tags never move
+    intercept[java.io.IOException] { cat.createTag(id("tg"), "v1") }
+    // vacuum keeps only the latest snapshot's files — EXCEPT tag-pinned ones
+    cat.vacuum(id("tg"), keepLast = 1)
+    assert(spark.sql("SELECT count(*) FROM graftv2.bronze.tg VERSION AS OF 'v1'")
+      .collect().head.getLong(0) == 1L)
+    assert(spark.table("graftv2.bronze.tg").count() == 3)
+    val refs = cat.listRefs(id("tg"))
+    assert(refs.exists { case (kind, name, _) => kind == "tag" && name == "v1" })
+  }
+
+  test("dropBranch removes the ref and its commits; branch reads then fail") {
+    wh
+    t((1L, "a", "2024-01-15"))
+      .writeTo("graftv2.bronze.br3").using("parquet").createOrReplace()
+    cat.createBranch(id("br3"), "tmp")
+    t((2L, "b", "2024-01-16")).writeTo("graftv2.bronze.br3")
+      .option(GraftCatalog.BranchOption, "tmp").append()
+    assert(cat.dropBranch(id("br3"), "tmp"))
+    intercept[Exception] {
+      spark.sql("SELECT count(*) FROM graftv2.bronze.br3 VERSION AS OF 'tmp'").collect()
+    }
+    assert(!cat.dropBranch(id("br3"), "tmp")) // already gone
+    assert(spark.table("graftv2.bronze.br3").count() == 1) // main intact
+  }
 }
