@@ -186,6 +186,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     existed
   }
 
+  /** Current main head snapshot id (0 = pre-manifest/empty table). */
+  def currentSnapshot(ident: Identifier): Long =
+    GraftCatalog.latestSnapshot(fs, tableDir(ident))
+
   /** All named refs: (kind, name, snapshot) — branches report their fork
     * base, tags their pinned snapshot. */
   def listRefs(ident: Identifier): Seq[(String, String, Long)] = {

@@ -533,6 +533,28 @@ class CatalogSpec extends SparkSpec {
     assert(refs.exists { case (kind, name, _) => kind == "tag" && name == "v1" })
   }
 
+  test("write-audit-publish: failing batch never reaches main, passing one does") {
+    wh
+    import graft.quality.Expectations.{NotNull, InSet}
+    import graft.storage.Wap
+    t((1L, "a", "2024-01-15"))
+      .writeTo("graftv2.bronze.wap").using("parquet").createOrReplace()
+    val rules = Seq(NotNull("name"), InSet("extraction_date",
+      Seq("2024-01-15", "2024-01-16")))
+    // bad batch: out-of-set date -> audit fails, main untouched
+    val bad = Wap.writeAuditPublish(spark, cat, id("wap"), "graftv2.bronze.wap",
+      t((2L, "b", "1999-12-31")), rules)
+    assert(!bad.published)
+    assert(spark.table("graftv2.bronze.wap").count() == 1)
+    assert(cat.listRefs(id("wap")).isEmpty) // quarantine branch cleaned up
+    // good batch: audit passes -> fast-forward publish
+    val good = Wap.writeAuditPublish(spark, cat, id("wap"), "graftv2.bronze.wap",
+      t((3L, "c", "2024-01-16")), rules)
+    assert(good.published)
+    assert(spark.table("graftv2.bronze.wap").count() == 2)
+    assert(good.report.forall(_._4))
+  }
+
   test("dropBranch removes the ref and its commits; branch reads then fail") {
     wh
     t((1L, "a", "2024-01-15"))
