@@ -214,4 +214,26 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"incremental mismatch")
     }
   }
+
+  test("mergeUpsert batch-split equivalence: apply(c1++c2) = apply(apply(c1), c2)") {
+    // the CDC-apply law that makes incremental snapshot maintenance safe:
+    // folding a changelog in two batches (ordered by seq) must equal one
+    // pass over the concatenation
+    val keyG = Gen.chooseNum(1L, 8L)
+    val opG = Gen.frequency(3 -> Gen.const("upsert"), 1 -> Gen.const("delete"))
+    val changeG = for { k <- keyG; v <- word; o <- opG } yield (k, v, o)
+    samples(Gen.listOfN(14, changeG), 6).foreach { cs =>
+      val base = Seq((1L, "b1"), (2L, "b2"), (9L, "b9")).toDF("k", "v")
+      val seqd = cs.zipWithIndex.map { case ((k, v, o), i) => (k, v, i.toLong, o) }
+      val (c1, c2) = seqd.splitAt(7)
+      def df(rows: Seq[(Long, String, Long, String)]) = rows.toDF("k", "v", "seq", "op")
+      val onePass = ops.Relational.mergeUpsert(base, df(seqd), "k", "seq", "op")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val twoPass = ops.Relational.mergeUpsert(
+          ops.Relational.mergeUpsert(base, df(c1), "k", "seq", "op"),
+          df(c2), "k", "seq", "op")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(onePass == twoPass, s"changelog fold not associative for $seqd")
+    }
+  }
 }
