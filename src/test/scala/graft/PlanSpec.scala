@@ -274,6 +274,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("merge_upsert: ONE key exchange, no join — the minimal CDC-apply plan") {
+    val p = SparkEntry.queries("q_merge_upsert")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(600))
+    assert(!p.contains("Join"), "CDC apply must fold via window, not join")
+  }
+
+  test("token_ids: corpus never shuffles — one vocab agg + broadcast map") {
+    val p = SparkEntry.queries("prep_token_ids")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the only hash exchange belongs to the bounded vocabulary aggregate;
+    // the document scan flows narrow into the broadcast join
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(600))
+    assert(p.contains("BroadcastExchange"))
+  }
+
+  test("window_sliding: window() generates narrow; one aggregate exchange") {
+    val p = SparkEntry.queries("q_window_sliding")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(600))
+  }
+
   test("gold aggregate plans partial aggregation before the shuffle") {
     val p = plan("q_gold_agg")
     // partial_count marks map-side (pre-shuffle) aggregation
