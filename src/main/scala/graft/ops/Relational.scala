@@ -218,13 +218,19 @@ object Relational {
 
   /** MERGE-INTO snapshot maintenance (SCD2's current-state sibling): apply
     * a CDC changelog of upserts and deletes to a base snapshot and return
-    * the new snapshot. Latest change per key wins (ordered by `seqCol`);
-    * base rows rank below every change; `delete` ops drop the key.
+    * the new snapshot. Latest change per key wins (by `seqCol`; `seqCol`
+    * must be unique per key, the standard CDC ordering contract — base
+    * rows rank below every change); `delete` ops drop the key.
     *
-    * One shuffle on the key — the same exchange a partitioned rewrite of
-    * the snapshot would need anyway, so at 100 TB this is the minimal
-    * CDC-apply plan: no join, no second pass, changelog never broadcast
-    * (it may be billions of rows). Deterministic for any (seq, op) input.
+    * ONE shuffle on the key (union + per-key window), no join — at
+    * cluster scale the exchange is the cost, and this plan moves each row
+    * once where the join-per-op alternative (anti join deletes +
+    * full-outer upserts) moves snapshot-sized inputs twice. All three
+    * candidate shapes are measured head-to-head in `MaintenanceBench`
+    * (SCALE.md): the window form also wins locally over a `max_by` hash
+    * aggregate, whose struct buffer forces ObjectHashAggregate (2.4×
+    * slower measured) — a declarative-looking "optimization" the
+    * measurement rejected.
     */
   def mergeUpsert(
       base: DataFrame,
