@@ -569,6 +569,13 @@ object SparkEntry {
     "dedup_minhash_oracle" -> (graft.queries.DedupOracle.minhashOracle _),
     "dedup_simhash_oracle" -> (graft.queries.DedupOracle.simhashOracle _),
     "dedup_jaccard_neighbors" -> (graft.queries.DedupOracle.jaccardNeighbors _),
+    // Corpus-level mergeable MinHash per source + sketch-estimated
+    // pairwise Jaccard — the constant-size overlap triage that stands in
+    // for the exact shared-n-gram join at scale.
+    "dedup_source_sketch" -> ((s, dir) =>
+      Dedup.groupSketchOverlap(docs(s, dir), "source", "text", k = 3,
+          numHashes = 32, tokenHash = Dedup.oracleHash)
+        .orderBy("source_a", "source_b")),
     // Asymmetric containment over the same deterministic neighbor pairs:
     // |A∩B|/|A| vs /|B| — catches subset duplication Jaccard misses.
     "dedup_containment" -> ((s, dir) => {
@@ -1145,6 +1152,35 @@ object SparkEntry {
        WHERE d.doc_id % 50 <> 0
        ORDER BY d.doc_id"""
 
+  /** Per-source 32-slot MinHash signature (MinhashAgg's permutation
+    * constants over mod-p-reduced raw window sums) + pairwise slot
+    * agreement — exactly [[graft.ops.Dedup.groupSketchOverlap]] under
+    * [[Dedup.oracleHash]]. */
+  private def sourceSketchSql: String = {
+    val slots = (0 until 32).map { i =>
+      val a = 1103515245L * (i + 1) % 2147483647L
+      val b = 12345L * (i * 2 + 1) % 2147483647L
+      s"coalesce(min(((h % 2147483647) * $a + $b) % 2147483647), 2147483647) AS m$i"
+    }.mkString(",\n                ")
+    val eqs = (0 until 32).map(i =>
+      s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH $oracleTk,
+         ${shrCte(3)},
+         g AS (
+           SELECT d.source AS source, s.h
+           FROM (SELECT doc_id, unnest(hs) AS h FROM shr) s
+           JOIN documents d USING (doc_id)),
+         sig AS (
+           SELECT source,
+                $slots
+           FROM g GROUP BY source)
+       SELECT a.source AS source_a, b.source AS source_b,
+              CAST($eqs AS BIGINT) AS eq_slots,
+              CAST($eqs AS DOUBLE) / 32.0 AS est_jaccard
+       FROM sig a JOIN sig b ON a.source < b.source
+       ORDER BY source_a, source_b"""
+  }
+
   /** Asymmetric containment on the deterministic (id, id+d) neighbor
     * pairs, d in 1..4 — [[graft.ops.Dedup.ngramContainment]] under
     * [[Dedup.oracleHash]]: distinct raw window-sum trigram hash sets
@@ -1438,6 +1474,7 @@ object SparkEntry {
     "dedup_simhash_oracle" -> simhashOracleSql,
     "dedup_jaccard_neighbors" -> jaccardNeighborsSql,
     "dedup_containment" -> containmentSql,
+    "dedup_source_sketch" -> sourceSketchSql,
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_simhash" -> simhashDupsSql,
     "dedup_ngram_jaccard" -> ngramJaccardProdSql,

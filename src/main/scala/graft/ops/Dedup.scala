@@ -398,6 +398,45 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).alias("jaccard"))
   }
 
+  /** Corpus-level mergeable MinHash: ONE signature per group (source,
+    * shard, crawl …) via [[graft.functions.MinhashAgg]], then pairwise
+    * estimated Jaccard between groups from signature-slot agreement — the
+    * O(groups² · numHashes) overlap ESTIMATE that stands in for the exact
+    * shared-n-gram join ([[graft.ops.TextAnalysis.sourceOverlap]]) when
+    * all you need is leakage triage: at 100 TB the exact join moves every
+    * distinct (group, hash) pair; this moves `numHashes` longs per group
+    * per map partition (the aggregate is mergeable, partials combine
+    * map-side), and group pairs compare in constant time.
+    */
+  def groupSketchOverlap(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String,
+      k: Int,
+      numHashes: Int,
+      tokenHash: Column => Column = xxHash): DataFrame = {
+    import graft.functions.SketchArrayExpressions.shingleWindows
+    // pre-reduce the window hash mod p BEFORE the aggregate: the permuted
+    // product then stays under 2^62 (no JVM-specific wrap), which is what
+    // makes the signature engine-reproducible
+    val sh = docs.select(col(groupCol),
+      explode(transform(
+        shingleWindows(
+          transform(TextAnalysis.tokens(col(textCol)), t => tokenHash(t)), k),
+        h => pmod(h, lit(2147483647L)))).alias("__sh"))
+    val sigs = sh.groupBy(col(groupCol))
+      .agg(graft.functions.SketchAggregates.minhashAgg(col("__sh"), numHashes)
+        .alias("sig"))
+    val a = sigs.select(col(groupCol).alias("source_a"), col("sig").alias("__sa"))
+    val b = sigs.select(col(groupCol).alias("source_b"), col("sig").alias("__sb"))
+    a.join(b, col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        graft.functions.VectorFunctions.eqCount(col("__sa"), col("__sb"))
+          .cast("long").alias("eq_slots"))
+      .withColumn("est_jaccard",
+        col("eq_slots").cast("double") / lit(numHashes.toDouble))
+  }
+
   /** Asymmetric n-gram containment for candidate pairs: |A∩B|/|A| and
     * |A∩B|/|B| (Broder's containment) — the near-dup signal when one text
     * CONTAINS the other (a quoted tweet inside an article), where Jaccard

@@ -352,6 +352,19 @@ class OpsSpec extends SparkSpec {
     assert(row.getAs[Double]("containment_b") == 0.25)
   }
 
+  test("groupSketchOverlap: identical groups estimate 1.0, disjoint near 0") {
+    val d = Seq(
+      (1L, "a", "the quick brown fox jumps over the lazy dog today"),
+      (2L, "b", "the quick brown fox jumps over the lazy dog today"), // == a
+      (3L, "c", "einz zwei drei vier funf sechs sieben acht neun zehn"))
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.groupSketchOverlap(d, "source", "text", k = 3, numHashes = 32)
+      .collect().map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        r.getAs[Double]("est_jaccard")).toMap
+    assert(out(("a", "b")) == 1.0)        // same shingle set -> same signature
+    assert(out(("a", "c")) < 0.2)         // disjoint shingles
+  }
+
   test("pmiPairs ranks exclusive collocations above frequent ones") {
     val d = Seq((1L, "x y"), (2L, "x y"), (3L, "x y"), (4L, "x z"), (5L, "w z"))
       .toDF("doc_id", "text")
