@@ -461,6 +461,62 @@ object SparkEntry {
               / (col("n_tokens") * col("n_tokens")).cast("double")))
         .orderBy("doc_id")
     }),
+    // Cohort retention: users bucketed by first-seen week, distinct-user
+    // activity per (cohort, week), retention = active/size — product
+    // analytics' standard matrix. User-keyed aggregates; the cohort-size
+    // join broadcasts (weeks are few at any scale).
+    "q_cohort_retention" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val e = Parity.t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 604800000000000L").alias("week"))
+      val cohorts = e.groupBy(col("user_id")).agg(min(col("week")).alias("cohort_week"))
+      val sizes = cohorts.groupBy(col("cohort_week"))
+        .agg(count(lit(1)).alias("cohort_size"))
+      e.distinct().join(cohorts, "user_id")
+        .groupBy(col("cohort_week"), col("week"))
+        .agg(countDistinct(col("user_id")).alias("active_users"))
+        .join(broadcast(sizes), "cohort_week")
+        .withColumn("retention",
+          col("active_users").cast("double") / col("cohort_size").cast("double"))
+        .orderBy("cohort_week", "week")
+    }),
+    // Windowed conversion funnel (view -> click -> purchase, each step
+    // within 24 h of the previous): per-user stage via ONE shuffle —
+    // events fold inside a higher-order aggregate over the user's
+    // time-sorted event array, carrying (stage, last-transition-ts)
+    // state; "first qualifying event in sorted order" is exactly the
+    // nested-min-with-bounds formulation the oracle uses. A sparse
+    // deterministic event subset keeps all four stages populated.
+    "q_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val W = 86400000000000L // 24 h in nanos
+      val e = Parity.t(s, dir, "events")
+        .filter(pmod(col("event_id"), lit(7)) < 2)
+        .select(col("user_id"), col("ts"), col("event_type"))
+      def step(st: org.apache.spark.sql.Column, ev: org.apache.spark.sql.Column,
+          from: Int, typ: String) =
+        st.getField("stage") === from && ev.getField("event_type") === typ &&
+          ev.getField("ts") > st.getField("t") &&
+          ev.getField("ts") <= st.getField("t") + lit(W)
+      val folded = e.groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(col("ts"), col("event_type"))))
+          .alias("__evs"))
+        .select(col("user_id"),
+          aggregate(col("__evs"),
+            struct(lit(0).alias("stage"), lit(Long.MinValue).alias("t")),
+            (st, ev) =>
+              when(st.getField("stage") === 0 && ev.getField("event_type") === "view",
+                struct(lit(1).alias("stage"), ev.getField("ts").alias("t")))
+              .when(step(st, ev, 1, "click"),
+                struct(lit(2).alias("stage"), ev.getField("ts").alias("t")))
+              .when(step(st, ev, 2, "purchase"),
+                struct(lit(3).alias("stage"), ev.getField("ts").alias("t")))
+              .otherwise(st),
+            st => st.getField("stage")).alias("funnel_stage"))
+      folded.groupBy(col("funnel_stage"))
+        .agg(count(lit(1)).alias("n_users"))
+        .orderBy("funnel_stage")
+    }),
     // Batch sliding-window aggregation (1 h windows every 30 min): each
     // event lands in exactly two windows; Spark's window() generator is
     // narrow (no explode shuffle), the aggregate partials map-side.
@@ -1615,6 +1671,47 @@ object SparkEntry {
                 b.chunk_id AS positive_id, b.nt AS positive_tokens
          FROM ch a JOIN ch b ON a.doc_id = b.doc_id AND b.chunk_id = a.chunk_id + 1
          ORDER BY a.doc_id, anchor_id""",
+    "q_cohort_retention" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+         cohorts AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1),
+         sizes AS (SELECT cohort_week, count(*) AS cohort_size FROM cohorts GROUP BY 1),
+         act AS (
+           SELECT c.cohort_week, d.week, count(DISTINCT d.user_id) AS active_users
+           FROM (SELECT DISTINCT user_id, week FROM e) d
+           JOIN cohorts c USING (user_id)
+           GROUP BY 1, 2)
+         SELECT cohort_week, week, CAST(active_users AS BIGINT) AS active_users,
+                CAST(cohort_size AS BIGINT) AS cohort_size,
+                CAST(active_users AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention
+         FROM act JOIN sizes USING (cohort_week)
+         ORDER BY cohort_week, week""",
+    "q_funnel" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+           WHERE event_id % 7 < 2),
+         v AS (
+           SELECT user_id, min(us) AS tv FROM e WHERE event_type = 'view' GROUP BY 1),
+         c AS (
+           SELECT e.user_id, min(us) AS tc FROM e JOIN v USING (user_id)
+           WHERE event_type = 'click' AND us > tv
+             AND us <= tv + 86400000000 GROUP BY 1),
+         p AS (
+           SELECT e.user_id, min(us) AS tp FROM e JOIN c USING (user_id)
+           WHERE event_type = 'purchase' AND us > tc
+             AND us <= tc + 86400000000 GROUP BY 1),
+         stages AS (
+           SELECT u.user_id,
+                  CASE WHEN p.user_id IS NOT NULL THEN 3
+                       WHEN c.user_id IS NOT NULL THEN 2
+                       WHEN v.user_id IS NOT NULL THEN 1
+                       ELSE 0 END AS funnel_stage
+           FROM (SELECT DISTINCT user_id FROM e) u
+           LEFT JOIN v ON u.user_id = v.user_id
+           LEFT JOIN c ON u.user_id = c.user_id
+           LEFT JOIN p ON u.user_id = p.user_id)
+         SELECT CAST(funnel_stage AS INT) AS funnel_stage, count(*) AS n_users
+         FROM stages GROUP BY 1 ORDER BY 1""",
     "q_window_sliding" ->
       """WITH e AS (
            SELECT event_type, event_id, epoch_us(ts) AS us FROM events),
