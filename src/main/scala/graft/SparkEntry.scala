@@ -461,6 +461,55 @@ object SparkEntry {
               / (col("n_tokens") * col("n_tokens")).cast("double")))
         .orderBy("doc_id")
     }),
+    // Event-transition matrix (first-order Markov over each user's event
+    // stream): lead() pairs consecutive events in ONE user-keyed shuffle;
+    // transition probability = exact count ratio per from-state.
+    "q_event_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      val pairs = Parity.t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).alias("n"))
+      val totals = pairs.groupBy(col("event_type"))
+        .agg(sum(col("n")).alias("__tot"))
+      pairs.join(broadcast(totals), "event_type")
+        .withColumn("p", col("n").cast("double") / col("__tot").cast("double"))
+        .select(col("event_type"), col("next_type"), col("n"), col("p"))
+        .orderBy("event_type", "next_type")
+    }),
+    // Two-sample A/B statistic from exact DECIMAL power sums: Welch t on
+    // order totals split by customer-key parity — every double op is
+    // fixed-order over order-independent exact sums, so the statistic
+    // itself hash-matches (Spark's avg/var_samp cannot).
+    "q_ab_test" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val g = Parity.t(s, dir, "orders")
+        .withColumn("grp", pmod(col("o_custkey"), lit(2)).cast("int"))
+        .groupBy(col("grp"))
+        .agg(
+          count(lit(1)).alias("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).alias("__s1"),
+          sum((col("o_totalprice").cast("decimal(18,2)") *
+            col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,4)")).alias("__s2"))
+        .select(col("grp"), col("n"),
+          (col("__s1").cast("double") / col("n").cast("double")).alias("mean"),
+          ((col("n").cast("double") * col("__s2").cast("double")
+            - col("__s1").cast("double") * col("__s1").cast("double"))
+            / (col("n").cast("double") * (col("n") - 1).cast("double"))).alias("variance"))
+      val a = g.filter(col("grp") === 0).select(col("n").alias("n_a"),
+        col("mean").alias("mean_a"), col("variance").alias("var_a"))
+      val b = g.filter(col("grp") === 1).select(col("n").alias("n_b"),
+        col("mean").alias("mean_b"), col("variance").alias("var_b"))
+      a.crossJoin(b).select(
+        col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        ((col("mean_a") - col("mean_b"))
+          / sqrt(col("var_a") / col("n_a").cast("double")
+            + col("var_b") / col("n_b").cast("double"))).alias("t_stat"))
+    }),
     // Cohort retention: users bucketed by first-seen week, distinct-user
     // activity per (cohort, week), retention = active/size — product
     // analytics' standard matrix. User-keyed aggregates; the cohort-size
@@ -820,6 +869,16 @@ object SparkEntry {
       graft.ops.TrainPrep.bigramFamiliarity(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
   )
+
+  /** Correctly-rounded DECIMAL(38,4)→DOUBLE for DuckDB: the naive CAST
+    * double-rounds when the unscaled value exceeds 2^53 (round to double,
+    * THEN divide by 10^4 — observed 1 ULP off Spark's BigDecimal
+    * conversion on the A/B power sums). Splitting into an exactly-
+    * representable integer part (< 2^53 for these magnitudes) plus a
+    * correctly-rounded sub-unit fraction leaves ONE rounding — matching
+    * Spark bit-for-bit. */
+  private def dec4d(e: String): String =
+    s"(CAST(CAST($e AS HUGEINT) AS DOUBLE) + CAST($e - CAST(CAST($e AS HUGEINT) AS DECIMAL(38,4)) AS DOUBLE))"
 
   /** Shared CTEs for the polynomial-hash dedup oracles: per-doc token
     * hashes (`tk`) and 3-gram shingle hashes (`sh`) in DuckDB, mirroring
@@ -1671,6 +1730,37 @@ object SparkEntry {
                 b.chunk_id AS positive_id, b.nt AS positive_tokens
          FROM ch a JOIN ch b ON a.doc_id = b.doc_id AND b.chunk_id = a.chunk_id + 1
          ORDER BY a.doc_id, anchor_id""",
+    "q_event_transitions" ->
+      """WITH p AS (
+           SELECT event_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS next_type
+           FROM events),
+         c AS (
+           SELECT event_type, next_type, count(*) AS n FROM p
+           WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT event_type, sum(n) AS tot FROM c GROUP BY 1)
+         SELECT c.event_type, next_type, CAST(n AS BIGINT) AS n,
+                CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+         FROM c JOIN t USING (event_type)
+         ORDER BY event_type, next_type""",
+    "q_ab_test" ->
+      s"""WITH g AS (
+           SELECT CAST(o_custkey % 2 AS INT) AS grp, count(*) AS n,
+                  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s1,
+                  sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS s2
+           FROM orders GROUP BY 1),
+         m AS (
+           SELECT grp, n,
+                  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                  (CAST(n AS DOUBLE) * ${dec4d("s2")} - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS variance
+           FROM g)
+         SELECT a.n AS n_a, b.n AS n_b, a.mean AS mean_a, b.mean AS mean_b,
+                (a.mean - b.mean)
+                  / sqrt(a.variance / CAST(a.n AS DOUBLE)
+                    + b.variance / CAST(b.n AS DOUBLE)) AS t_stat
+         FROM (SELECT * FROM m WHERE grp = 0) a, (SELECT * FROM m WHERE grp = 1) b""",
     "q_cohort_retention" ->
       """WITH e AS (
            SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
@@ -1966,16 +2056,16 @@ object SparkEntry {
            ON c_acctbal >= lo AND c_acctbal <= hi
          GROUP BY c_custkey ORDER BY c_custkey""",
     "q_stats_moments" ->
-      """WITH a AS (
+      s"""WITH a AS (
            SELECT o_orderstatus, count(*) AS n,
                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s1,
                   sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS s2
            FROM orders GROUP BY 1)
          SELECT o_orderstatus, n,
                 CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
-                (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                (CAST(n AS DOUBLE) * ${dec4d("s2")} - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
                   / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS variance,
-                sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                sqrt((CAST(n AS DOUBLE) * ${dec4d("s2")} - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
                   / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS stddev
          FROM a ORDER BY o_orderstatus""",
     "q_window_range_frame" ->
@@ -1993,7 +2083,7 @@ object SparkEntry {
                       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
          ORDER BY o_orderstatus, day""",
     "q_outliers" ->
-      """WITH a AS (
+      s"""WITH a AS (
            SELECT o_orderstatus, count(*) AS n,
                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s1,
                   sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS s2
@@ -2001,7 +2091,7 @@ object SparkEntry {
          m AS (
            SELECT o_orderstatus,
                   CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
-                  sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                  sqrt((CAST(n AS DOUBLE) * ${dec4d("s2")} - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
                     / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS sd
            FROM a)
          SELECT o_orderkey, o.o_orderstatus, o_totalprice,
@@ -2059,7 +2149,7 @@ object SparkEntry {
                 max(o_totalprice) AS hi
          FROM orders GROUP BY 1 ORDER BY 1""",
     "q_corr" ->
-      """WITH a AS (
+      s"""WITH a AS (
            SELECT l_returnflag, count(*) AS n,
                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
                   sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
@@ -2068,9 +2158,9 @@ object SparkEntry {
                   sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sy2
            FROM lineitem GROUP BY 1)
          SELECT l_returnflag, n,
-                (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                  / (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                     * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price
+                (CAST(n AS DOUBLE) * ${dec4d("sxy")} - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (sqrt(CAST(n AS DOUBLE) * ${dec4d("sx2")} - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * sqrt(CAST(n AS DOUBLE) * ${dec4d("sy2")} - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price
          FROM a ORDER BY l_returnflag""",
     "prep_oov" ->
       """WITH toks AS (
