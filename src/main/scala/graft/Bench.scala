@@ -42,7 +42,8 @@ object Bench {
     "prep_chunk", "prep_bigram_lm",
     "prep_corpus_chunked", "text_source_overlap", "sim_cluster_sample",
     "dedup_span", "prep_dsir", "text_bm25", "q_merge_upsert",
-    "text_pmi", "q_resample_ffill")
+    "text_pmi", "q_resample_ffill",
+    "dedup_source_sketch", "q_funnel", "prep_token_ids", "q_cohort_retention")
 
   /** Warm iterations per query; the median is reported. */
   val WarmIters = 3

@@ -82,4 +82,23 @@ class RecallSpec extends SparkSpec {
     val shifted = bf.withColumn("corpus_id", col("corpus_id") + 100000)
     assert(Similarity.recallAtK(shifted, bf) == 0.0)
   }
+
+  test("approx_percentile stays inside its rank-error bound vs exact") {
+    // the 100 TB single-pass percentile (Greenwald-Khanna, accuracy 1/eps
+    // = 1000 -> rank error <= n/1000); the exact sort-based percentile is
+    // the oracle-checked variant (q_percentiles) — this gates the scale
+    // path's accuracy against it
+    val o = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+      .select(col("o_totalprice").alias("v"))
+    val n = o.count()
+    val sorted = o.orderBy("v").collect().map(_.getDouble(0))
+    val row = o.agg(
+      expr("approx_percentile(v, 0.5, 1000)").alias("p50"),
+      expr("approx_percentile(v, 0.9, 1000)").alias("p90")).collect().head
+    for ((q, got) <- Seq(0.5 -> row.getDouble(0), 0.9 -> row.getDouble(1))) {
+      val rank = sorted.indexWhere(_ >= got)
+      val err = math.abs(rank - q * n) / n.toDouble
+      assert(err <= 0.002, s"approx p$q rank error $err exceeds 2x eps")
+    }
+  }
 }
