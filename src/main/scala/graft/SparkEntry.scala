@@ -461,6 +461,30 @@ object SparkEntry {
               / (col("n_tokens") * col("n_tokens")).cast("double")))
         .orderBy("doc_id")
     }),
+    // Truncated EWMA over the daily revenue series (α = 1/2, depth 4):
+    // α(1−α)^i weights are exact powers of two, so every product is an
+    // exact double op and the fixed-order term sum hash-matches even over
+    // arbitrary-precision inputs. Row-lag form (gaps ignored); one window
+    // shuffle over the pre-aggregated daily series.
+    "q_ewma" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val daily = Parity.t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"),
+          datediff(col("o_orderdate"), to_date(lit("1992-01-01")))
+            .cast("long").alias("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .alias("rev"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderstatus")).orderBy(col("day").asc)
+      val weights = (0 until 4).map(i => math.pow(0.5, i + 1)) // exact halves
+      val terms = (0 until 4).map(i => (lag(col("rev"), i).over(w), weights(i)))
+      val num = terms.map { case (l, wt) => coalesce(l * lit(wt), lit(0.0)) }
+        .reduce(_ + _)
+      val den = terms.map { case (l, wt) =>
+        when(l.isNotNull, lit(wt)).otherwise(lit(0.0)) }.reduce(_ + _)
+      daily.withColumn("ewma", num / den)
+        .orderBy("o_orderstatus", "day")
+    }),
     // Event-transition matrix (first-order Markov over each user's event
     // stream): lead() pairs consecutive events in ONE user-keyed shuffle;
     // transition probability = exact count ratio per from-state.
@@ -1730,6 +1754,25 @@ object SparkEntry {
                 b.chunk_id AS positive_id, b.nt AS positive_tokens
          FROM ch a JOIN ch b ON a.doc_id = b.doc_id AND b.chunk_id = a.chunk_id + 1
          ORDER BY a.doc_id, anchor_id""",
+    "q_ewma" ->
+      """WITH daily AS (
+           SELECT o_orderstatus,
+                  CAST(date_diff('day', TIMESTAMP '1992-01-01', o_orderdate) AS BIGINT) AS day,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+           FROM orders GROUP BY 1, 2),
+         l AS (
+           SELECT o_orderstatus, day, rev,
+                  lag(rev, 1) OVER w AS r1, lag(rev, 2) OVER w AS r2,
+                  lag(rev, 3) OVER w AS r3
+           FROM daily WINDOW w AS (PARTITION BY o_orderstatus ORDER BY day))
+         SELECT o_orderstatus, day, rev,
+                (coalesce(rev * 0.5, 0.0) + coalesce(r1 * 0.25, 0.0)
+                   + coalesce(r2 * 0.125, 0.0) + coalesce(r3 * 0.0625, 0.0))
+                / ((CASE WHEN rev IS NOT NULL THEN 0.5 ELSE 0.0 END)
+                   + (CASE WHEN r1 IS NOT NULL THEN 0.25 ELSE 0.0 END)
+                   + (CASE WHEN r2 IS NOT NULL THEN 0.125 ELSE 0.0 END)
+                   + (CASE WHEN r3 IS NOT NULL THEN 0.0625 ELSE 0.0 END)) AS ewma
+         FROM l ORDER BY o_orderstatus, day""",
     "q_event_transitions" ->
       """WITH p AS (
            SELECT event_type,
