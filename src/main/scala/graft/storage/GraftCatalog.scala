@@ -190,6 +190,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   def currentSnapshot(ident: Identifier): Long =
     GraftCatalog.latestSnapshot(fs, tableDir(ident))
 
+  /** Branch state: (fork base snapshot, branch commit count). */
+  def branchState(ident: Identifier, branch: String): Option[(Long, Long)] = {
+    val dir = tableDir(ident)
+    GraftCatalog.readBranchBase(fs, dir, branch)
+      .map(b => (b, GraftCatalog.latestBranchSnap(fs, dir, branch)))
+  }
+
   /** All named refs: (kind, name, snapshot) — branches report their fork
     * base, tags their pinned snapshot. */
   def listRefs(ident: Identifier): Seq[(String, String, Long)] = {

@@ -35,7 +35,11 @@ object Wap {
 
   /** Run one WAP cycle appending `batch` to `table` (a catalog-qualified
     * name, e.g. `graftv2.bronze.events`). `keepFailedBranch` leaves the
-    * quarantine branch in place for inspection instead of dropping it. */
+    * quarantine branch in place for inspection instead of dropping it.
+    * `txn` (appId, version) makes the cycle replay-idempotent: a replayed
+    * batch whose watermark already reached main commits nothing on the
+    * branch and publishes trivially (no duplicate data, no extra
+    * snapshot). */
   def writeAuditPublish(
       spark: SparkSession,
       catalog: GraftCatalog,
@@ -44,25 +48,39 @@ object Wap {
       batch: DataFrame,
       expectations: Seq[Expectation],
       branch: String = "wap_audit",
-      keepFailedBranch: Boolean = false): WapResult = {
+      keepFailedBranch: Boolean = false,
+      txn: Option[(String, Long)] = None): WapResult = {
     catalog.createBranch(ident, branch)
     try {
-      batch.writeTo(table).option(GraftCatalog.BranchOption, branch).append()
-      val audited = spark.sql(s"SELECT * FROM $table VERSION AS OF '$branch'")
-      val report = Expectations.report(audited, expectations)
-        .collect()
-        .map(r => (r.getAs[String]("rule"), r.getAs[String]("column"),
-          r.getAs[Long]("n_violations"), r.getAs[Boolean]("passed")))
-        .toSeq
-      if (report.forall(_._4)) {
-        val snap = catalog.mergeBranch(ident, branch)
+      val w0 = batch.writeTo(table).option(GraftCatalog.BranchOption, branch)
+      val w = txn.fold(w0) { case (app, v) =>
+        w0.option(GraftCatalog.TxnAppIdOption, app)
+          .option(GraftCatalog.TxnVersionOption, v.toString)
+      }
+      w.append()
+      if (catalog.branchState(ident, branch).exists(_._2 == 0L)) {
+        // replayed txn: the branch recorded no commit — nothing to audit
+        // or publish
         catalog.dropBranch(ident, branch)
-        WapResult(published = true, snapshot = snap, report = report)
+        WapResult(published = true,
+          snapshot = catalog.currentSnapshot(ident), report = Seq.empty)
       } else {
-        if (!keepFailedBranch) catalog.dropBranch(ident, branch)
-        WapResult(published = false,
-          snapshot = catalog.currentSnapshot(ident),
-          report = report)
+        val audited = spark.sql(s"SELECT * FROM $table VERSION AS OF '$branch'")
+        val report = Expectations.report(audited, expectations)
+          .collect()
+          .map(r => (r.getAs[String]("rule"), r.getAs[String]("column"),
+            r.getAs[Long]("n_violations"), r.getAs[Boolean]("passed")))
+          .toSeq
+        if (report.forall(_._4)) {
+          val snap = catalog.mergeBranch(ident, branch)
+          catalog.dropBranch(ident, branch)
+          WapResult(published = true, snapshot = snap, report = report)
+        } else {
+          if (!keepFailedBranch) catalog.dropBranch(ident, branch)
+          WapResult(published = false,
+            snapshot = catalog.currentSnapshot(ident),
+            report = report)
+        }
       }
     } catch {
       case e: Throwable =>

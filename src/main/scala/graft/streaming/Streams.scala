@@ -259,6 +259,42 @@ object Streams {
       }
       .start()
 
+  /** WAP streaming sink: every micro-batch runs a full
+    * write–audit–publish cycle on an ephemeral catalog branch
+    * ([[graft.storage.Wap]]). Unlike [[sinkToCatalogValidated]]'s
+    * per-batch gate, the audit runs against the MERGED table state on the
+    * branch — so CROSS-batch invariants (a key unique corpus-wide, a set
+    * membership over the whole table) gate the publish, which a
+    * batch-only check cannot express. Failing batches leave main
+    * untouched and land whole in `quarantineTable`; replayed batches
+    * (at-least-once sources) publish trivially via the same batchId
+    * writer-txn watermark, threaded through the branch commit. */
+  def sinkToCatalogWap(
+      stream: DataFrame,
+      catalog: graft.storage.GraftCatalog,
+      ident: org.apache.spark.sql.connector.catalog.Identifier,
+      table: String,
+      quarantineTable: String,
+      checkpointDir: String,
+      expectations: Seq[graft.quality.Expectations.Expectation])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val pinned = batch.localCheckpoint(true) // audited + maybe quarantined
+        val res = graft.storage.Wap.writeAuditPublish(
+          pinned.sparkSession, catalog, ident, table, pinned, expectations,
+          branch = s"wap_b$batchId",
+          txn = Some((checkpointDir, batchId)))
+        if (!res.published) {
+          pinned.writeTo(quarantineTable)
+            .option(graft.storage.GraftCatalog.TxnAppIdOption, s"$checkpointDir-q")
+            .option(graft.storage.GraftCatalog.TxnVersionOption, batchId.toString)
+            .append()
+        }
+      }
+      .start()
+
   /** Drift-gated streaming sink: each micro-batch's distribution of
     * `valueCol` is compared against a pinned reference corpus
     * ([[graft.quality.Drift.chiSquare]]); batches within `maxChi2` append

@@ -221,6 +221,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("WAP sink: cross-batch uniqueness gates the publish on a branch") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory("graft-wap-wh").toString
+    spark.conf.set("spark.sql.catalog.gw", classOf[graft.storage.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gw.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gw.silver")
+    spark.sql("CREATE TABLE gw.silver.keyed (k BIGINT, payload STRING) USING parquet")
+    spark.sql("CREATE TABLE gw.silver.quar (k BIGINT, payload STRING) USING parquet")
+    val cat = spark.sessionState.catalogManager.catalog("gw")
+      .asInstanceOf[graft.storage.GraftCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("silver"), "keyed")
+    val input = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-wap-ckpt").toString
+    val q = Streams.sinkToCatalogWap(
+      input.toDF().toDF("k", "payload"), cat, ident,
+      "gw.silver.keyed", "gw.silver.quar", ckpt,
+      Seq(graft.quality.Expectations.Unique("k")))
+    try {
+      input.addData((1L, "a"), (2L, "b")); q.processAllAvailable()
+      // batch 2 repeats key 1: unique WITHIN the batch, duplicate across
+      // the merged table — only the branch-merged audit can see it
+      input.addData((1L, "dup"), (3L, "c")); q.processAllAvailable()
+      input.addData((4L, "d")); q.processAllAvailable()
+      val mainRows = spark.table("gw.silver.keyed")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(mainRows == Seq(1L, 2L, 4L), s"main got $mainRows")
+      val quar = spark.table("gw.silver.quar")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(quar == Seq(1L, 3L), s"quarantine got $quar")
+      // no leftover audit branches
+      assert(cat.listRefs(ident).isEmpty)
+    } finally q.stop()
+  }
+
   test("streaming sessionization matches the batch operator on the same events") {
     implicit val sqlCtx = spark.sqlContext
     // deterministic event set: 3 users, gaps at > 1000ms
