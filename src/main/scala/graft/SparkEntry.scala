@@ -461,6 +461,29 @@ object SparkEntry {
               / (col("n_tokens") * col("n_tokens")).cast("double")))
         .orderBy("doc_id")
     }),
+    // Per-column data profile (the dbt-docs / GE "profiling" report):
+    // null count, exact distinct count, null fraction per column — ONE
+    // aggregate pass over the table (multi-countDistinct plans a single
+    // Expand), then a narrow explode into the per-column report rows.
+    "quality_profile" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val c = Parity.t(s, dir, "customer")
+      val cols = Seq("c_acctbal", "c_mktsegment", "c_name", "c_nationkey")
+      val aggs = count(lit(1)).alias("n") +: cols.flatMap(cn => Seq(
+        sum(when(col(cn).isNull, 1L).otherwise(0L)).alias(s"null_$cn"),
+        countDistinct(col(cn)).alias(s"dist_$cn")))
+      val one = c.agg(aggs.head, aggs.tail: _*)
+      one.select(explode(array(cols.map(cn => struct(
+            lit(cn).alias("column"),
+            col("n").alias("n_rows"),
+            col(s"null_$cn").alias("n_null"),
+            col(s"dist_$cn").alias("n_distinct"))): _*)).alias("r"))
+        .select(col("r.column"), col("r.n_rows"), col("r.n_null"),
+          col("r.n_distinct"))
+        .withColumn("frac_null",
+          col("n_null").cast("double") / col("n_rows").cast("double"))
+        .orderBy("column")
+    }),
     // Truncated EWMA over the daily revenue series (α = 1/2, depth 4):
     // α(1−α)^i weights are exact powers of two, so every product is an
     // exact double op and the fixed-order term sum hash-matches even over
@@ -1754,6 +1777,35 @@ object SparkEntry {
                 b.chunk_id AS positive_id, b.nt AS positive_tokens
          FROM ch a JOIN ch b ON a.doc_id = b.doc_id AND b.chunk_id = a.chunk_id + 1
          ORDER BY a.doc_id, anchor_id""",
+    "quality_profile" ->
+      """SELECT 'c_acctbal' AS "column", count(*) AS n_rows,
+                CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                count(DISTINCT c_acctbal) AS n_distinct,
+                CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS frac_null
+         FROM customer
+         UNION ALL
+         SELECT 'c_mktsegment', count(*),
+                CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                count(DISTINCT c_mktsegment),
+                CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE)
+         FROM customer
+         UNION ALL
+         SELECT 'c_name', count(*),
+                CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                count(DISTINCT c_name),
+                CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE)
+         FROM customer
+         UNION ALL
+         SELECT 'c_nationkey', count(*),
+                CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                count(DISTINCT c_nationkey),
+                CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE)
+         FROM customer
+         ORDER BY "column"""",
     "q_ewma" ->
       """WITH daily AS (
            SELECT o_orderstatus,

@@ -296,6 +296,12 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(600))
   }
 
+  test("funnel: per-user fold needs exactly two exchanges (user, then stage)") {
+    val p = SparkEntry.queries("q_funnel")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p.take(600))
+  }
+
   test("gold aggregate plans partial aggregation before the shuffle") {
     val p = plan("q_gold_agg")
     // partial_count marks map-side (pre-shuffle) aggregation
