@@ -50,6 +50,11 @@ object Wap {
       branch: String = "wap_audit",
       keepFailedBranch: Boolean = false,
       txn: Option[(String, Long)] = None): WapResult = {
+    // the audit branch is ephemeral by contract: a crashed prior cycle may
+    // have left one behind, and createBranch's exclusive create would then
+    // fail every retry — drop any leftover first (its staged data was
+    // never published, so discarding it is the correct recovery)
+    catalog.dropBranch(ident, branch)
     catalog.createBranch(ident, branch)
     try {
       val w0 = batch.writeTo(table).option(GraftCatalog.BranchOption, branch)

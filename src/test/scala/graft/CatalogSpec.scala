@@ -553,6 +553,12 @@ class CatalogSpec extends SparkSpec {
     assert(good.published)
     assert(spark.table("graftv2.bronze.wap").count() == 2)
     assert(good.report.forall(_._4))
+    // a leftover branch from a crashed prior cycle must not wedge retries
+    cat.createBranch(id("wap"), "wap_audit")
+    val retry = Wap.writeAuditPublish(spark, cat, id("wap"), "graftv2.bronze.wap",
+      t((4L, "d", "2024-01-15")), rules)
+    assert(retry.published)
+    assert(spark.table("graftv2.bronze.wap").count() == 3)
   }
 
   test("dropBranch removes the ref and its commits; branch reads then fail") {
