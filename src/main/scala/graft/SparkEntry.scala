@@ -461,6 +461,60 @@ object SparkEntry {
               / (col("n_tokens") * col("n_tokens")).cast("double")))
         .orderBy("doc_id")
     }),
+    // 2-D skyline (Pareto frontier): orders not dominated on (cheaper,
+    // later) — kept iff later than every strictly cheaper order. A naive
+    // global-ordered window is a single task at scale; this is the
+    // distributed two-level form: per-PRICE-BUCKET max (partitioned
+    // window over cents — exact integer RANGE -1 = strictly cheaper
+    // within the bucket), a running max over the tiny bucket-stats table,
+    // and a broadcast join back. Bucket b' < b implies strictly cheaper,
+    // so best = max(prev-buckets max, within-bucket strictly-cheaper max)
+    // reproduces the global frontier exactly.
+    "q_skyline" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val W = org.apache.spark.sql.expressions.Window
+      val o = Parity.t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_totalprice"),
+        datediff(col("o_orderdate"), to_date(lit("1992-01-01")))
+          .cast("long").alias("day"))
+      val cents = o.withColumn("__c",
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .withColumn("__b", floor(col("__c") / lit(1000000L)))
+      val bprev = cents.groupBy(col("__b"))
+        .agg(max(col("day")).alias("__bmax"))
+        .withColumn("__prev",
+          max(col("__bmax")).over(W.orderBy(col("__b").asc)
+            .rowsBetween(W.unboundedPreceding, -1)))
+        .select(col("__b"), col("__prev"))
+      val wIn = W.partitionBy(col("__b")).orderBy(col("__c").asc)
+        .rangeBetween(W.unboundedPreceding, -1)
+      cents.join(broadcast(bprev), "__b")
+        .withColumn("__best",
+          greatest(coalesce(max(col("day")).over(wIn), lit(Long.MinValue)),
+            coalesce(col("__prev"), lit(Long.MinValue))))
+        .filter(col("__best") === Long.MinValue || col("day") > col("__best"))
+        .select(col("o_orderkey"), col("o_totalprice"), col("day"))
+        .orderBy("o_orderkey")
+    }),
+    // Robust statistics: median + MAD per group via the bit-exact
+    // interpolated percentile (sort-based), MAD-scaled outlier counts —
+    // the robust sibling of the sigma rule, immune to the outliers it
+    // hunts. Two aggregate passes + a broadcast medians join.
+    "q_mad" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val o = Parity.t(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_totalprice"))
+      val med = o.groupBy(col("o_orderstatus"))
+        .agg(expr("percentile(o_totalprice, 0.5)").alias("med"))
+      val dev = o.join(broadcast(med), "o_orderstatus")
+        .withColumn("__dev", abs(col("o_totalprice") - col("med")))
+      dev.groupBy(col("o_orderstatus"))
+        .agg(
+          first(col("med")).alias("median"),
+          expr("percentile(__dev, 0.5)").alias("mad"),
+          count(lit(1)).alias("n"))
+        .orderBy("o_orderstatus")
+    }),
     // Per-column data profile (the dbt-docs / GE "profiling" report):
     // null count, exact distinct count, null fraction per column — ONE
     // aggregate pass over the table (multi-countDistinct plans a single
@@ -1777,6 +1831,30 @@ object SparkEntry {
                 b.chunk_id AS positive_id, b.nt AS positive_tokens
          FROM ch a JOIN ch b ON a.doc_id = b.doc_id AND b.chunk_id = a.chunk_id + 1
          ORDER BY a.doc_id, anchor_id""",
+    "q_skyline" ->
+      """WITH o AS (
+           SELECT o_orderkey, o_totalprice,
+                  CAST(date_diff('day', TIMESTAMP '1992-01-01', o_orderdate) AS BIGINT) AS day,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+           FROM orders),
+         s AS (
+           SELECT o_orderkey, o_totalprice, day,
+                  max(day) OVER (ORDER BY c
+                                 RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best
+           FROM o)
+         SELECT o_orderkey, o_totalprice, day
+         FROM s WHERE best IS NULL OR day > best
+         ORDER BY o_orderkey""",
+    "q_mad" ->
+      """WITH med AS (
+           SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med
+           FROM orders GROUP BY 1),
+         dev AS (
+           SELECT o.o_orderstatus, med, abs(o_totalprice - med) AS d
+           FROM orders o JOIN med USING (o_orderstatus))
+         SELECT o_orderstatus, min(med) AS median,
+                quantile_cont(d, 0.5) AS mad, count(*) AS n
+         FROM dev GROUP BY 1 ORDER BY 1""",
     "quality_profile" ->
       """SELECT 'c_acctbal' AS "column", count(*) AS n_rows,
                 CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
