@@ -496,6 +496,40 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_totalprice"), col("day"))
         .orderBy("o_orderkey")
     }),
+    // CUSUM changepoint detection on the daily revenue series: the day
+    // maximizing |running_sum − k·mean| per status. The running sum
+    // accumulates DECIMAL (exact, order-independent — a double running
+    // sum would depend on each engine's window aggregation tree), and the
+    // deviation arithmetic is fixed-order doubles on top.
+    "q_changepoint" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val W = org.apache.spark.sql.expressions.Window
+      val daily = Parity.t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"),
+          datediff(col("o_orderdate"), to_date(lit("1992-01-01")))
+            .cast("long").alias("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).alias("__rev"))
+      val wRun = W.partitionBy(col("o_orderstatus")).orderBy(col("day").asc)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val wAll = W.partitionBy(col("o_orderstatus"))
+      val scored = daily
+        .withColumn("__s", sum(col("__rev")).over(wRun).cast("double"))
+        .withColumn("__k", row_number().over(
+          W.partitionBy(col("o_orderstatus")).orderBy(col("day").asc)).cast("long"))
+        .withColumn("__tot", sum(col("__rev")).over(wAll).cast("double"))
+        .withColumn("__n", count(lit(1)).over(wAll).cast("long"))
+        .withColumn("cusum",
+          col("__s") - col("__k").cast("double")
+            * (col("__tot") / col("__n").cast("double")))
+      scored
+        .withColumn("__rk", row_number().over(
+          W.partitionBy(col("o_orderstatus"))
+            .orderBy(abs(col("cusum")).desc, col("day").asc)))
+        .filter(col("__rk") === 1)
+        .select(col("o_orderstatus"), col("day").alias("change_day"),
+          col("cusum"))
+        .orderBy("o_orderstatus")
+    }),
     // Robust statistics: median + MAD per group via the bit-exact
     // interpolated percentile (sort-based), MAD-scaled outlier counts —
     // the robust sibling of the sigma rule, immune to the outliers it
@@ -1845,6 +1879,31 @@ object SparkEntry {
          SELECT o_orderkey, o_totalprice, day
          FROM s WHERE best IS NULL OR day > best
          ORDER BY o_orderkey""",
+    "q_changepoint" ->
+      """WITH daily AS (
+           SELECT o_orderstatus,
+                  CAST(date_diff('day', TIMESTAMP '1992-01-01', o_orderdate) AS BIGINT) AS day,
+                  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           FROM orders GROUP BY 1, 2),
+         sc AS (
+           SELECT o_orderstatus, day,
+                  CAST(sum(rev) OVER (PARTITION BY o_orderstatus ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS s,
+                  CAST(row_number() OVER (PARTITION BY o_orderstatus ORDER BY day) AS BIGINT) AS k,
+                  CAST(sum(rev) OVER (PARTITION BY o_orderstatus) AS DOUBLE) AS tot,
+                  CAST(count(*) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS n
+           FROM daily),
+         cu AS (
+           SELECT o_orderstatus, day,
+                  s - CAST(k AS DOUBLE) * (tot / CAST(n AS DOUBLE)) AS cusum
+           FROM sc),
+         rk AS (
+           SELECT o_orderstatus, day, cusum,
+                  row_number() OVER (PARTITION BY o_orderstatus
+                                     ORDER BY abs(cusum) DESC, day) AS r
+           FROM cu)
+         SELECT o_orderstatus, day AS change_day, cusum
+         FROM rk WHERE r = 1 ORDER BY o_orderstatus""",
     "q_mad" ->
       """WITH med AS (
            SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med

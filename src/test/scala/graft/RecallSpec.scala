@@ -83,6 +83,16 @@ class RecallSpec extends SparkSpec {
     assert(Similarity.recallAtK(shifted, bf) == 0.0)
   }
 
+  test("approx_count_distinct (HLL) stays inside 5% of the exact count") {
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), explode(split(col("text"), " ")).alias("w"))
+      .withColumn("k", concat(col("w"), lit("-"), col("doc_id")))
+    val exact = d.select(countDistinct(col("k"))).collect().head.getLong(0)
+    val approx = d.select(approx_count_distinct(col("k"), 0.02)).collect().head.getLong(0)
+    val err = math.abs(approx - exact).toDouble / exact
+    assert(err <= 0.05, s"HLL err $err (exact=$exact approx=$approx)")
+  }
+
   test("approx_percentile stays inside its rank-error bound vs exact") {
     // the 100 TB single-pass percentile (Greenwald-Khanna, accuracy 1/eps
     // = 1000 -> rank error <= n/1000); the exact sort-based percentile is
