@@ -444,6 +444,37 @@ object SparkEntry {
           length(regexp_replace(col("p_name"), "[^a-z]", "")).cast("long")
             .alias("n_lower"))
         .orderBy("p_partkey")),
+    // Type-token-ratio curve: lexical richness at 25/50/100-token
+    // prefixes (TTR falls with length, so fixed-prefix measurement is the
+    // comparable form). Narrow slices per row, zero shuffle.
+    "text_ttr" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val toks = TextAnalysis.tokens(col("text"))
+      def ttr(k: Int) = {
+        val pre = slice(toks, 1, k)
+        when(size(toks) === 0, lit(0.0))
+          .otherwise(size(array_distinct(pre)).cast("double")
+            / least(size(toks), lit(k)).cast("double"))
+      }
+      docs(s, dir).select(col("doc_id"),
+          ttr(25).alias("ttr25"), ttr(50).alias("ttr50"),
+          ttr(100).alias("ttr100"))
+        .orderBy("doc_id")
+    }),
+    // Bitwise aggregates: per-status OR/AND/XOR of one-hot key flags —
+    // the bitmap-index building block (segment membership in one long).
+    "q_bit_flags" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val f = Parity.t(s, dir, "orders")
+        .withColumn("__flag", expr("shiftleft(1L, cast(o_orderkey % 60 as int))"))
+      f.groupBy(col("o_orderstatus"))
+        .agg(
+          bit_or(col("__flag")).alias("flags_or"),
+          bit_and(col("__flag")).alias("flags_and"),
+          bit_xor(col("__flag")).alias("flags_xor"),
+          bit_count(bit_or(col("__flag"))).cast("long").alias("n_flag_bits"))
+        .orderBy("o_orderstatus")
+    }),
     // Gini–Simpson lexical diversity: 1 − Σ tf² / n² — the no-log
     // diversity measure (entropy's rational sibling), exact BIGINT sums
     // with one final division. Per-row via token_counts: zero shuffle.
@@ -2058,6 +2089,32 @@ object SparkEntry {
                 CAST(levenshtein(p_type, 'standard') AS BIGINT) AS edit_dist,
                 CAST(len(regexp_replace(p_name, '[^a-z]', '', 'g')) AS BIGINT) AS n_lower
          FROM part ORDER BY p_partkey""",
+    "text_ttr" ->
+      """WITH tk AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+           FROM documents)
+         SELECT doc_id,
+                CASE WHEN len(t) = 0 THEN CAST(0.0 AS DOUBLE)
+                     ELSE CAST(len(list_distinct(t[1:25])) AS DOUBLE)
+                          / CAST(least(len(t), 25) AS DOUBLE) END AS ttr25,
+                CASE WHEN len(t) = 0 THEN CAST(0.0 AS DOUBLE)
+                     ELSE CAST(len(list_distinct(t[1:50])) AS DOUBLE)
+                          / CAST(least(len(t), 50) AS DOUBLE) END AS ttr50,
+                CASE WHEN len(t) = 0 THEN CAST(0.0 AS DOUBLE)
+                     ELSE CAST(len(list_distinct(t[1:100])) AS DOUBLE)
+                          / CAST(least(len(t), 100) AS DOUBLE) END AS ttr100
+         FROM tk ORDER BY doc_id""",
+    "q_bit_flags" ->
+      """WITH f AS (
+           SELECT o_orderstatus,
+                  (CAST(1 AS BIGINT) << CAST(o_orderkey % 60 AS INT)) AS flag
+           FROM orders)
+         SELECT o_orderstatus,
+                CAST(bit_or(flag) AS BIGINT) AS flags_or,
+                CAST(bit_and(flag) AS BIGINT) AS flags_and,
+                CAST(bit_xor(flag) AS BIGINT) AS flags_xor,
+                CAST(bit_count(bit_or(flag)) AS BIGINT) AS n_flag_bits
+         FROM f GROUP BY 1 ORDER BY 1""",
     "text_gini" ->
       """WITH tok AS (
            SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
