@@ -209,6 +209,12 @@ object SparkEntry {
       Multimodal.imageNearDups(
           Multimodal.mediaFromDocuments(docs(s, dir)), maxHamming = 3)
         .orderBy("id_a", "id_b")),
+    // Median-hash signatures, bit-for-bit: the mean-robust sibling of
+    // aHash (sort 64 samples, threshold vs the lower median — pure
+    // integer math the oracle rebuilds per bit).
+    "multimodal_image_mhash" -> ((s, dir) =>
+      Multimodal.imageMhash(Multimodal.mediaFromDocuments(docs(s, dir)))
+        .orderBy("media_id")),
     // Audio near-dup pairs: 64-bit energy-delta fingerprint over the stub
     // byte stream + the shared pigeonhole hamming blocking; all-pairs
     // oracle like the image variant.
@@ -1291,6 +1297,24 @@ object SparkEntry {
     * stride-w 64-sample grid), strict `px · n > sum` comparison — exactly
     * [[graft.ops.Multimodal.imageAhash]] — then an all-pairs hamming
     * check that must equal the blocked equi-join (pigeonhole-complete). */
+  /** Median-hash bits: same stride-w 64-sample grid as the aHash oracle,
+    * thresholded against the sorted samples' 32nd element (lower median) —
+    * exactly [[graft.ops.Multimodal.imageMhash]]. */
+  private def multimodalMhashSql: String = {
+    val bits = (0 until 64).map(b =>
+      s"CASE WHEN sm[CAST($b AS INT) + 1] > med THEN CAST(${1L << b} AS BIGINT) " +
+        "ELSE CAST(0 AS BIGINT) END")
+      .mkString("(", " + ", ")")
+    s"""WITH $multimodalDecodeCtes,
+       smp AS (
+         SELECT media_id,
+                list_transform(range(0, 64), b -> pxs[CAST(b AS INT) * CAST(w AS INT) + 1]) AS sm
+         FROM px),
+       md AS (SELECT media_id, sm, list_sort(sm)[32] AS med FROM smp)
+       SELECT media_id, $bits AS mhash
+       FROM md ORDER BY media_id"""
+  }
+
   private def multimodalAhashSql: String = {
     val bits = (0 until 64).map(b =>
       s"CASE WHEN pxs[CAST($b AS INT) * CAST(w AS INT) + 1] * (w * 64) > pxsum " +
@@ -2170,6 +2194,7 @@ object SparkEntry {
     "multimodal_decode" -> multimodalDecodeSql,
     "multimodal_decode_bands" -> multimodalDecodeBandsSql,
     "multimodal_image_neardup" -> multimodalAhashSql,
+    "multimodal_image_mhash" -> multimodalMhashSql,
     "multimodal_audio_neardup" -> multimodalAudioFpSql,
     "multimodal_video_neardup" -> multimodalVideoNearDupSql,
     "quality_drift" ->

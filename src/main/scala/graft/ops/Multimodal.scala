@@ -152,6 +152,29 @@ object Multimodal {
     }.toDF("media_id", "ahash")
   }
 
+  /** Perceptual median-hash per image: the same stride-64 sample grid as
+    * [[imageAhash]], thresholded against the samples' lower MEDIAN instead
+    * of the image mean — robust where a few very bright pixels shift the
+    * mean and flip half the aHash bits (the standard mean-vs-median hash
+    * trade-off). Pure integer math: sort 64 ints, compare — any engine
+    * reproduces every bit. */
+  def imageMhash(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "image").mapPartitions { rows =>
+      rows.map { r =>
+        val px = decodeStub(r.bytes, r.meta.width, r.meta.height)
+        val stride = math.max(1, px.length / 64)
+        val samples = Array.tabulate(64)(b => px((b * stride) % px.length))
+        val med = samples.sorted.apply(31)
+        var h = 0L
+        var b = 0
+        while (b < 64) { if (samples(b) > med) h |= (1L << b); b += 1 }
+        (r.media_id, h)
+      }
+    }.toDF("media_id", "mhash")
+  }
+
   /** Image near-duplicate pairs: average-hashes within `maxHamming` bits,
     * found with [[Dedup.hammingPairs]]' pigeonhole blocking — the same
     * provably-complete equi-join used for text SimHash, now over visual
