@@ -43,7 +43,11 @@ object Bench {
     "prep_corpus_chunked", "text_source_overlap", "sim_cluster_sample",
     "dedup_span", "prep_dsir", "text_bm25", "q_merge_upsert",
     "text_pmi", "q_resample_ffill",
-    "dedup_source_sketch", "q_funnel", "prep_token_ids", "q_cohort_retention")
+    "dedup_source_sketch", "q_funnel", "prep_token_ids", "q_cohort_retention",
+    // the multimodal family's cost profile (byte-array mapPartitions over
+    // binary columns) is unlike every other headline shape — watch its two
+    // heaviest members
+    "multimodal_decode_bands", "multimodal_audio_neardup")
 
   /** Warm iterations per query; the median is reported. */
   val WarmIters = 3
@@ -98,17 +102,23 @@ object Bench {
           val t = time(fn); spark.catalog.clearCache(); t
         }
         val median = warms.sorted.apply(warms.size / 2)
-        (name, cold, median)
+        (name, cold, median, warms)
       }
     }
     def fmt(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
-    val warmQs = fmt(results.map { case (n, _, w) => n -> w })
-    val coldQs = fmt(results.map { case (n, c, _) => n -> c })
+    val warmQs = fmt(results.map { case (n, _, w, _) => n -> w })
+    val coldQs = fmt(results.map { case (n, c, _, _) => n -> c })
+    // every warm iteration, in run order — so a median that disagrees with
+    // the cold run is attributable to a specific outlier iteration instead
+    // of being an unexplainable aggregate (the round-5 warm>cold lesson)
+    val runsQs = results.map { case (n, _, _, ws) =>
+      "\"" + n + "\":[" + ws.map(w => f"$w%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val warmTotal = results.map(_._3).sum
     val coldTotal = results.map(_._2).sum
-    val core19Total = results.collect { case (n, _, w) if core19.contains(n) => w }.sum
-    println(f"""{"metric":"total","value":$warmTotal%.3f,"unit":"sec","queries":$warmQs,"cold_total":$coldTotal%.3f,"cold_queries":$coldQs,"core19_total":$core19Total%.3f,"warm_iters":$WarmIters,"sf":"$sfDir"}""")
+    val core19Total = results.collect { case (n, _, w, _) if core19.contains(n) => w }.sum
+    println(f"""{"metric":"total","value":$warmTotal%.3f,"unit":"sec","queries":$warmQs,"cold_total":$coldTotal%.3f,"cold_queries":$coldQs,"warm_runs":$runsQs,"core19_total":$core19Total%.3f,"warm_iters":$WarmIters,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -140,16 +140,19 @@ object SparkEntry {
     "q_corr" -> (Parity.corrStats _),
     // Token-id encoding — the tokenizer-apply step: top-25 vocab folded to
     // ONE broadcast map row; per-doc encoding is a narrow transform
-    // (element_at lookup, OOV -> 0). The corpus never shuffles.
+    // (element_at lookup, OOV -> 0). The corpus never shuffles. The checked
+    // surface is scalar-only (the id sequence space-joined to a string) so
+    // the oracle harness can sort the frame; the array itself is exercised
+    // by TrainPrepSpec and by prep_contrastive's chunking.
     "prep_token_ids" -> ((s, dir) => {
       val d = docs(s, dir)
-      val vmap = graft.ops.TrainPrep.topTokens(d, "text", 25)
-        .agg(map_from_entries(collect_list(struct(col("token"), col("rank"))))
-          .alias("__vmap"))
-      d.crossJoin(broadcast(vmap))
-        .select(col("doc_id"),
-          transform(TextAnalysis.tokens(col("text")),
-            t => coalesce(element_at(col("__vmap"), t), lit(0L))).alias("token_ids"))
+      val ids = graft.ops.TrainPrep.encodeTokenIds(
+        d, "doc_id", "text",
+        graft.ops.TrainPrep.topTokens(d, "text", 25), strategy = "broadcast")
+      ids.select(col("doc_id"),
+          size(col("token_ids")).cast("long").alias("n_tokens"),
+          array_join(transform(col("token_ids"), i => i.cast("string")), " ")
+            .alias("token_ids_str"))
         .orderBy("doc_id")
     }),
     // Contrastive (anchor, positive) pair construction from consecutive
@@ -1899,7 +1902,10 @@ object SparkEntry {
          ids AS (
            SELECT doc_id, p, coalesce(v.rank, 0) AS id
            FROM pos LEFT JOIN vocab v ON v.token = pos.w)
-         SELECT tk.doc_id, coalesce(l.token_ids, []) AS token_ids
+         SELECT tk.doc_id,
+                CAST(coalesce(len(l.token_ids), 0) AS BIGINT) AS n_tokens,
+                coalesce(array_to_string(list_transform(l.token_ids,
+                  x -> CAST(x AS VARCHAR)), ' '), '') AS token_ids_str
          FROM tk LEFT JOIN (
            SELECT doc_id, list(id ORDER BY p) AS token_ids FROM ids GROUP BY doc_id) l
          USING (doc_id)

@@ -174,12 +174,15 @@ object TextAnalysis {
       k: Int,
       tokenHash: Column => Column = graft.ops.Dedup.xxHash): DataFrame = {
     import graft.functions.SketchArrayExpressions.shingleWindows
-    val grams = docs
+    // Pin: the distinct (source, hash) table feeds the self-join's two
+    // concurrent scan stages plus the totals aggregate — without eager
+    // materialization the three stages race to populate the cache and each
+    // recomputes the full shingle+distinct (measured 1.7–10.1 s swings).
+    val grams = Pin(docs
       .select(col(sourceCol).alias("__src"),
         explode(shingleWindows(
           transform(tokens(col(textCol)), t => tokenHash(t)), k)).alias("sh"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .distinct())
     val counts = grams.groupBy(col("__src")).agg(count(lit(1)).alias("n"))
     val pairs = grams.select(col("__src").alias("source_a"), col("sh"))
       .join(grams.select(col("__src").alias("source_b"), col("sh")), Seq("sh"))
@@ -281,6 +284,25 @@ object TextAnalysis {
     docs.select(col("doc_id"), fingerprint(col("text")).alias("fp"))
       .orderBy("doc_id")
 
+  /** Adjacent-token bigram instances: one row per (w1, w2) occurrence, with
+    * any `carry` columns (e.g. the doc id) threaded through. The ONE shared
+    * bigram explode — [[pmiPairs]] and [[TrainPrep.bigramFamiliarity]] both
+    * aggregate from this builder, so the tokenize/explode semantics cannot
+    * drift between the collocation and familiarity paths. Entirely narrow
+    * (tokenize → per-row index transform → explode). */
+  private[graft] def bigramInstances(
+      docs: DataFrame,
+      textCol: String,
+      carry: Seq[Column] = Nil): DataFrame =
+    docs
+      .select(carry :+ tokens(col(textCol)).alias("__toks"): _*)
+      .filter(size(col("__toks")) >= 2)
+      .select(carry :+
+        explode(transform(sequence(lit(1), size(col("__toks")) - 1),
+          i => struct((col("__toks"))(i - 1).alias("w1"),
+            (col("__toks"))(i).alias("w2")))).alias("bg"): _*)
+      .select(carry ++ Seq(col("bg.w1").alias("w1"), col("bg.w2").alias("w2")): _*)
+
   /** Collocation mining by pointwise mutual information in ratio form:
     * `pmi_ratio = c(w1,w2)·N / (c(w1)·c(w2))` — exp(PMI) rather than the
     * log, which preserves the ranking while keeping the score one
@@ -299,16 +321,15 @@ object TextAnalysis {
       textCol: String,
       minCount: Long = 5L,
       topK: Int = 30): DataFrame = {
-    val toks = tokens(col(textCol))
-    val pairs = docs
-      .select(toks.alias("__t"))
-      .filter(size(col("__t")) >= 2)
-      .select(explode(transform(sequence(lit(1), size(col("__t")) - 1),
-        i => struct((col("__t"))(i - 1).alias("w1"), (col("__t"))(i).alias("w2"))))
-        .alias("bg"))
-      .select(col("bg.w1").alias("w1"), col("bg.w2").alias("w2"))
+    // The pair-count table feeds FOUR consumers (cx, cy, n, the final join),
+    // and n is a broadcast subplan whose stage launches concurrently with
+    // the main scan. Without an eagerly-materialized persist the consumers
+    // race to populate the cache and each recomputes the full bigram
+    // aggregation (the round-5 bench's warm>cold inversion) — so the
+    // reduction is pinned, exactly like bigramFamiliarity's.
+    val pairs = Pin(bigramInstances(docs, textCol)
       .groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).alias("c12"))
+      .agg(count(lit(1)).alias("c12")))
     val cx = pairs.groupBy(col("w1")).agg(sum(col("c12")).alias("c1"))
     val cy = pairs.groupBy(col("w2")).agg(sum(col("c12")).alias("c2"))
     val n = pairs.agg(sum(col("c12")).alias("__n"))

@@ -100,6 +100,79 @@ object TrainPrep {
           .otherwise(col("n_oov").cast("double") / col("n_tokens").cast("double")))
   }
 
+  /** Token-id encoding — the tokenizer-apply step: map every token of every
+    * document to its vocabulary rank (OOV → 0), preserving order, producing
+    * `idCol, token_ids: array<bigint>`. `vocab` is a `(tokenCol, rankCol)`
+    * table, e.g. [[topTokens]]'s output.
+    *
+    * Two physical strategies, because "the vocab fits in a broadcast map" is
+    * an assumption, not a law:
+    *
+    *  - `"broadcast"`: the vocab folds into ONE map row and broadcasts;
+    *    encoding is a narrow per-row `transform`/`element_at` — the corpus
+    *    never shuffles. Right whenever the vocab is tokenizer-sized (≤ a few
+    *    million entries).
+    *  - `"join"`: the degrade path for vocabularies past any broadcast
+    *    budget (e.g. a raw corpus-wide vocabulary at 100 TB): posexplode to
+    *    (id, position, token), left-join the vocab on the token key, and
+    *    reassemble per doc with a position-sorted collect. The build side is
+    *    unique per token, so Zipf-hot probe keys are a *partition-size* skew,
+    *    not a build-side blowup — AQE's skew-join splits the oversized probe
+    *    partitions at runtime (the same posture as [[decontaminate]]'s
+    *    unhinted semi join). Two shuffles (the join + the per-doc rebuild).
+    *  - `"auto"` (default): counts the vocab up to `maxBroadcastVocab + 1`
+    *    rows (a LIMIT-bounded job — never a full scan of a huge vocab) and
+    *    picks accordingly.
+    */
+  def encodeTokenIds(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: DataFrame,
+      tokenCol: String = "token",
+      rankCol: String = "rank",
+      strategy: String = "auto",
+      maxBroadcastVocab: Long = 4000000L): DataFrame = {
+    val useBroadcast = strategy match {
+      case "broadcast" => true
+      case "join"      => false
+      case "auto" =>
+        vocab.select(col(tokenCol))
+          .limit((maxBroadcastVocab + 1L).min(Int.MaxValue.toLong).toInt)
+          .count() <= maxBroadcastVocab
+      case other =>
+        throw new IllegalArgumentException(
+          s"encodeTokenIds strategy must be auto|broadcast|join, got '$other'")
+    }
+    if (useBroadcast) {
+      val vmap = vocab.agg(
+        map_from_entries(collect_list(struct(col(tokenCol), col(rankCol).cast("long"))))
+          .alias("__vmap"))
+      docs.crossJoin(broadcast(vmap))
+        .select(col(idCol),
+          transform(TextAnalysis.tokens(col(textCol)),
+            t => coalesce(element_at(col("__vmap"), t), lit(0L))).alias("token_ids"))
+    } else {
+      val pos = docs.select(col(idCol),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("__p", "__t")))
+      val encoded = pos
+        .join(vocab.select(col(tokenCol).alias("__t"), col(rankCol).cast("long").alias("__r")),
+          Seq("__t"), "left")
+        .groupBy(col(idCol))
+        .agg(transform(
+          array_sort(collect_list(struct(col("__p"),
+            coalesce(col("__r"), lit(0L)).alias("__id")))),
+          s => s("__id")).alias("token_ids"))
+      // docs with no tokens produce no exploded rows; restore them with an
+      // empty id sequence so both strategies agree row-for-row
+      docs.select(col(idCol))
+        .join(encoded, Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("token_ids"), expr("cast(array() as array<bigint>)"))
+            .alias("token_ids"))
+    }
+  }
+
   /** The full training-corpus preparation pipeline, composed end-to-end:
     *
     *  1. PII scrub ([[scrubText]]) — narrow;
@@ -406,51 +479,60 @@ object TrainPrep {
     *  2. Both count tables derive from that reduced frame (pair counts by
     *    re-aggregation; context counts from the pair counts — never a
     *    second scan of the instances).
-    *  3. The count joins are split by a hot-key threshold: keys whose
-    *    corpus count ≥ `hotCount` — few by Zipf, covering most mass —
-    *    resolve via broadcast, and every key left in the shuffle join
-    *    carries < `hotCount` probe rows BY CONSTRUCTION (a key's probe
-    *    cardinality ≤ its corpus count), so no task can see a hot key.
+    *  3. The count joins are split by a hot-key rule: the `hotTopK` most
+    *    frequent keys that also reach `hotCount` — few by Zipf, covering
+    *    most mass — resolve via broadcast, and everything else shuffle-
+    *    joins. The TOP-K CAP makes the broadcast size corpus-invariant
+    *    (≤ hotTopK rows no matter how many pairs cross the threshold at
+    *    100 TB — an absolute threshold alone would broadcast an unbounded
+    *    hot set); the cold-side per-key probe bound becomes
+    *    max(hotCount, c(K-th hottest pair)) — still the corpus count of a
+    *    key OUTSIDE the top K, with AQE skew-join as the backstop if the
+    *    corpus is so large that the K-th pair is itself hot. Correctness
+    *    never depends on the split: hot ∪ cold is the full join either way.
     */
   def bigramFamiliarity(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      hotCount: Long = 4096L): DataFrame = {
-    val bigrams = docs
-      .select(col(idCol), TextAnalysis.tokens(col(textCol)).alias("__toks"))
-      .filter(size(col("__toks")) >= 2)
-      .select(col(idCol),
-        explode(transform(sequence(lit(1), size(col("__toks")) - 1),
-          i => struct((col("__toks"))(i - 1).alias("w1"),
-            (col("__toks"))(i).alias("w2")))).alias("bg"))
-      .select(col(idCol), col("bg.w1").alias("w1"), col("bg.w2").alias("w2"))
-    // (1) skew-free reduction: (id, w1, w2) → instance count n
-    val perDoc = bigrams
+      hotCount: Long = 4096L,
+      hotTopK: Int = 100000): DataFrame = {
+    // (1) skew-free reduction: (id, w1, w2) → instance count n, from the
+    // shared bigram explode (one implementation with pmiPairs). Pinned
+    // (persist + eager materialize): the hot/cold branches and the
+    // broadcast subplans launch concurrent stages over it — a lazy persist
+    // lets them race and recompute the explode (see [[Pin]]).
+    val perDoc = Pin(TextAnalysis.bigramInstances(docs, textCol, Seq(col(idCol)))
       .groupBy(col(idCol), col("w1"), col("w2"))
-      .agg(count(lit(1)).alias("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .agg(count(lit(1)).alias("n")))
     // (2) corpus counts, both derived from the reduced frame
-    val bigramCounts = perDoc.groupBy(col("w1"), col("w2"))
-      .agg(sum(col("n")).alias("c12"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bigramCounts = Pin(perDoc.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("n")).alias("c12")))
     val contextCounts = bigramCounts.groupBy(col("w1"))
       .agg(sum(col("c12")).alias("c1"))
-    // (3) hot/cold split pair join: hot pairs resolve via a broadcast
-    // inner join, the rest (excluded by a broadcast anti on the same tiny
-    // set) shuffle-join with < hotCount probe rows per key. The probe side
-    // is the persisted reduction, so the two branch scans are cache reads,
-    // not recomputes.
-    val hotPairs = bigramCounts.filter(col("c12") >= hotCount)
-    val coldPairs = bigramCounts.filter(col("c12") < hotCount)
-    val withC12 = perDoc.join(broadcast(hotPairs), Seq("w1", "w2")).unionByName(
+    // (3) hot/cold split pair join: the top-K hot pairs resolve via a
+    // broadcast inner join, the rest (excluded by a broadcast anti on the
+    // same ≤ K-row set) shuffle-join. The top-K plans as TakeOrdered
+    // (per-partition heads over the persisted counts — no full sort); the
+    // probe side is the persisted reduction, so the branch scans are cache
+    // reads, not recomputes.
+    val hotPairs = bigramCounts
+      .orderBy(col("c12").desc, col("w1").asc, col("w2").asc)
+      .limit(hotTopK)
+      .filter(col("c12") >= hotCount)
+    val coldPairs = bigramCounts.join(
+      broadcast(hotPairs.select(col("w1"), col("w2"))), Seq("w1", "w2"), "left_anti")
+    val withC12 = Pin(perDoc.join(broadcast(hotPairs), Seq("w1", "w2")).unionByName(
       perDoc.join(broadcast(hotPairs.select(col("w1"), col("w2"))),
           Seq("w1", "w2"), "left_anti")
-        .join(coldPairs, Seq("w1", "w2")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // same split for the context join
-    val hotCtx = contextCounts.filter(col("c1") >= hotCount)
-    val coldCtx = contextCounts.filter(col("c1") < hotCount)
+        .join(coldPairs, Seq("w1", "w2"))))
+    // same top-K-capped split for the context join
+    val hotCtx = contextCounts
+      .orderBy(col("c1").desc, col("w1").asc)
+      .limit(hotTopK)
+      .filter(col("c1") >= hotCount)
+    val coldCtx = contextCounts.join(
+      broadcast(hotCtx.select(col("w1"))), Seq("w1"), "left_anti")
     val joined = withC12.join(broadcast(hotCtx), Seq("w1")).unionByName(
       withC12.join(broadcast(hotCtx.select(col("w1"))), Seq("w1"), "left_anti")
         .join(coldCtx, Seq("w1")))

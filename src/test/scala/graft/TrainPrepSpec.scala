@@ -327,6 +327,66 @@ class TrainPrepSpec extends SparkSpec {
       s"bigram instances must be built once inside the persisted reduction:\n$plan")
   }
 
+  test("bigramFamiliarity: top-K hot-set cap is value-invariant") {
+    // The broadcast hot set is capped at hotTopK rows so its size is
+    // corpus-invariant; like hotCount, the cap only picks join strategy
+    // per key — any K must produce identical results.
+    val df = Seq(
+      (1L, "the cat the dog the end"),
+      (2L, "the cat the cat the cat"),
+      (3L, "rare pair the cat"),
+      (4L, "the end of the end")).toDF("doc_id", "text")
+    def run(k: Int) =
+      graft.ops.TrainPrep.bigramFamiliarity(df, "doc_id", "text",
+        hotCount = 1L, hotTopK = k)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val unbounded = run(1000000) // every key hot (hotCount=1, K huge)
+    val capped = run(2)          // only the 2 hottest keys broadcast
+    val none = run(0)            // cap forces everything to the cold join
+    assert(unbounded == capped, "top-K-capped hot set changed the values")
+    assert(unbounded == none, "empty hot set (all-cold) changed the values")
+  }
+
+  test("encodeTokenIds: broadcast and join strategies agree, OOV→0, empty docs kept") {
+    val docs = Seq(
+      (1L, "a b a x"), (2L, "x y"), (3L, ""), (4L, "b")).toDF("doc_id", "text")
+    val vocab = Seq(("a", 1L), ("b", 2L)).toDF("token", "rank")
+    def run(strategy: String) =
+      TrainPrep.encodeTokenIds(docs, "doc_id", "text", vocab, strategy = strategy)
+        .orderBy("doc_id").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Seq[Long]]("token_ids").toList)
+        .toMap
+    val bc = run("broadcast")
+    assert(bc(1L) == List(1L, 2L, 1L, 0L)) // OOV token → 0, order preserved
+    assert(bc(2L) == List(0L, 0L))
+    assert(bc(3L) == Nil)                  // empty doc keeps an empty sequence
+    assert(bc(4L) == List(2L))
+    assert(run("join") == bc, "join degrade path disagrees with broadcast path")
+    assert(run("auto") == bc)
+    intercept[IllegalArgumentException] {
+      TrainPrep.encodeTokenIds(docs, "doc_id", "text", vocab, strategy = "nope")
+    }
+  }
+
+  test("encodeTokenIds plans: broadcast path never shuffles the corpus; " +
+    "forced-large vocab degrades to a token-keyed shuffle join") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    val vocab = Seq(("a", 1L)).toDF("token", "rank")
+    val pBc = TrainPrep.encodeTokenIds(docs, "doc_id", "text", vocab,
+      strategy = "broadcast").queryExecution.executedPlan.toString
+    assert(!pBc.contains("ShuffleExchange") && !pBc.contains("Exchange hashpartitioning"),
+      s"broadcast encode must not shuffle the corpus:\n$pBc")
+    // auto with a forced-tiny broadcast budget must pick the join path:
+    // the vocab arrives via a token-keyed join, not a folded map row
+    val pJoin = TrainPrep.encodeTokenIds(docs, "doc_id", "text", vocab,
+      strategy = "auto", maxBroadcastVocab = 0L)
+      .queryExecution.executedPlan.toString
+    assert(!pJoin.contains("map_from_entries"),
+      s"forced-large vocab must not fold the vocab into a broadcast map:\n$pJoin")
+    assert(pJoin.contains("Join") && pJoin.contains("Generate"),
+      s"expected the token-keyed join degrade path:\n$pJoin")
+  }
+
   test("oovRate: counts tokens outside the vocab, empty doc rates 0") {
     import spark.implicits._
     val docs = Seq((1L, "a b x"), (2L, "x y"), (3L, "")).toDF("doc_id", "text")
