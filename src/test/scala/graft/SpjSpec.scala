@@ -41,6 +41,7 @@ class SpjSpec extends SparkSpec {
     val saved = Seq(
       "spark.sql.sources.v2.bucketing.enabled",
       "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled",
       "spark.sql.graft.spj.preserveDataGrouping",
       "spark.sql.autoBroadcastJoinThreshold")
       .map(k => k -> spark.conf.getOption(k))
@@ -144,6 +145,51 @@ class SpjSpec extends SparkSpec {
       assert(byKey.size == 2)
       assert(byKey.values.exists(_.size > 1),
         "each key collapsed to a single mega-split; skewed keys would be unsplittable")
+    }
+  }
+
+  test("partially-clustered SPJ subdivides a hot partition at runtime") {
+    wh
+    // skewed fact: key 0 holds ~10x the rows AND 10 files; keys 1/2 one
+    // file each — the shape where one-task-per-key serializes the hot key
+    (1 to 1000).map(i => (i.toLong, 0, s"hot_$i" * 30))
+      .toDF("id", "k", "payload").repartition(10)
+      .writeTo("graftspj.db.skew_fact").using("parquet")
+      .partitionedBy(col("k")).createOrReplace()
+    (1 to 100).map(i => (i.toLong, i % 2 + 1, s"cold_$i"))
+      .toDF("id", "k", "payload").coalesce(1)
+      .writeTo("graftspj.db.skew_fact").append()
+    (1 to 30).map(i => (i.toLong, i % 3, i * 1.0))
+      .toDF("rid", "k", "amount")
+      .writeTo("graftspj.db.skew_probe").using("parquet")
+      .partitionedBy(col("k")).createOrReplace()
+    withSpjConf {
+      def join() = spark.table("graftspj.db.skew_fact")
+        .join(spark.table("graftspj.db.skew_probe"), "k")
+      // baseline: fully-clustered SPJ = ONE task per key — the hot key's
+      // 10 splits all serialize into a single task
+      val fully = join()
+      assert(!fully.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"))
+      val fullyTasks = fully.rdd.getNumPartitions
+      assert(fullyTasks == 3, s"expected 3 one-per-key tasks, got $fullyTasks")
+      // partially-clustered: Spark zips EACH of the hot key's splits with a
+      // replica of the other side's key group — the hot partition fans out
+      // across tasks at runtime, still with zero shuffle
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled", "true")
+      val partial = join()
+      val plan = partial.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"partially-clustered SPJ must stay shuffle-free:\n$plan")
+      val partialTasks = partial.rdd.getNumPartitions
+      assert(partialTasks >= 10,
+        s"hot key not subdivided: $partialTasks tasks for 3 keys " +
+          "(expected >= 10, one per hot-key split)")
+      // and the answers agree with the stock shuffle plan
+      val n = partial.count()
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      assert(n == join().count())
     }
   }
 
