@@ -161,11 +161,14 @@ object TextAnalysis {
     * doc-level flags.
     *
     * Scale shape: per-row narrow shingling (no shuffle to form k-grams),
-    * ONE distinct over (source, hash) — after which every hash key
-    * carries at most |sources| rows, so the self-join on hash is
-    * skew-proof BY CONSTRUCTION regardless of how hot a phrase is —
-    * and the per-source totals broadcast into the final ratio. Exchanges
-    * carry (source, 8-byte hash) pairs only, never text.
+    * then ONE wide stage: hash-keyed `collect_set(source)` — the map-side
+    * partial aggregate collapses a hash's instances to its ≤ |sources|
+    * distinct sources BEFORE the exchange, so a phrase appearing in a
+    * billion documents ships once per (partition, source), and no
+    * self-join exists at all (a pair (a, b) is counted by a narrow
+    * per-row expansion of each hash's source set). Both the totals and
+    * the pair counts derive from that one aggregated table. Exchanges
+    * carry (8-byte hash, small source set) rows only, never text.
     */
   def sourceOverlap(
       docs: DataFrame,
@@ -174,19 +177,27 @@ object TextAnalysis {
       k: Int,
       tokenHash: Column => Column = graft.ops.Dedup.xxHash): DataFrame = {
     import graft.functions.SketchArrayExpressions.shingleWindows
-    // Pin: the distinct (source, hash) table feeds the self-join's two
-    // concurrent scan stages plus the totals aggregate — without eager
-    // materialization the three stages race to populate the cache and each
-    // recomputes the full shingle+distinct (measured 1.7–10.1 s swings).
-    val grams = Pin(docs
+    // Pin: the per-hash source-set table feeds the totals aggregate and
+    // the pair expansion, whose stages launch concurrently — eager
+    // materialization stops them racing to recompute it (see [[Pin]]).
+    val byHash = Pin(docs
       .select(col(sourceCol).alias("__src"),
         explode(shingleWindows(
           transform(tokens(col(textCol)), t => tokenHash(t)), k)).alias("sh"))
-      .distinct())
-    val counts = grams.groupBy(col("__src")).agg(count(lit(1)).alias("n"))
-    val pairs = grams.select(col("__src").alias("source_a"), col("sh"))
-      .join(grams.select(col("__src").alias("source_b"), col("sh")), Seq("sh"))
-      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("sh"))
+      .agg(sort_array(collect_set(col("__src"))).alias("__srcs")))
+    val counts = byHash
+      .select(explode(col("__srcs")).alias("__src"))
+      .groupBy(col("__src")).agg(count(lit(1)).alias("n"))
+    // all i<j source pairs of each hash's (sorted) set — narrow expansion
+    // bounded by C(|sources|, 2) per row
+    val pairs = byHash
+      .filter(size(col("__srcs")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(__srcs, (a, i) -> " +
+          "transform(slice(__srcs, i + 2, size(__srcs)), " +
+          "b -> struct(a as source_a, b as source_b))))")).alias("__p"))
+      .select(col("__p.source_a"), col("__p.source_b"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).alias("shared_ngrams"))
     pairs

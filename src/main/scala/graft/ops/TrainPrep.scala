@@ -476,13 +476,17 @@ object TrainPrep {
     *    this only wide stage over corpus cardinality is skew-free, and it
     *    is persisted so the counts and the final join share it instead of
     *    recomputing the explode three times.
-    *  2. Both count tables derive from that reduced frame (pair counts by
-    *    re-aggregation; context counts from the pair counts — never a
-    *    second scan of the instances).
-    *  3. The count joins are split by a hot-key rule: the `hotTopK` most
-    *    frequent keys that also reach `hotCount` — few by Zipf, covering
-    *    most mass — resolve via broadcast, and everything else shuffle-
-    *    joins. The TOP-K CAP makes the broadcast size corpus-invariant
+    *  2. The pair-count table carries BOTH corpus counts: `c12` by
+    *    re-aggregation of the reduction, and the context count `c1` as a
+    *    window sum over the pair table partitioned by `w1` — a hot
+    *    context's window partition holds its DISTINCT-NEIGHBOR rows
+    *    (bounded by vocabulary), never its Zipf-hot instances, so no
+    *    second join family exists at all.
+    *  3. The ONE remaining count join (per-doc reduction ⋈ enriched pair
+    *    table) is split by a hot-key rule: the `hotTopK` most frequent
+    *    pairs that also reach `hotCount` — few by Zipf, covering most
+    *    mass — resolve via broadcast, and everything else shuffle-joins.
+    *    The TOP-K CAP makes the broadcast size corpus-invariant
     *    (≤ hotTopK rows no matter how many pairs cross the threshold at
     *    100 TB — an absolute threshold alone would broadcast an unbounded
     *    hot set); the cold-side per-key probe bound becomes
@@ -505,37 +509,29 @@ object TrainPrep {
     val perDoc = Pin(TextAnalysis.bigramInstances(docs, textCol, Seq(col(idCol)))
       .groupBy(col(idCol), col("w1"), col("w2"))
       .agg(count(lit(1)).alias("n")))
-    // (2) corpus counts, both derived from the reduced frame
-    val bigramCounts = Pin(perDoc.groupBy(col("w1"), col("w2"))
-      .agg(sum(col("n")).alias("c12")))
-    val contextCounts = bigramCounts.groupBy(col("w1"))
-      .agg(sum(col("c12")).alias("c1"))
-    // (3) hot/cold split pair join: the top-K hot pairs resolve via a
-    // broadcast inner join, the rest (excluded by a broadcast anti on the
-    // same ≤ K-row set) shuffle-join. The top-K plans as TakeOrdered
+    // (2) pair counts enriched with their context count in ONE table: the
+    // window partitions by w1 over pair rows (distinct neighbors, not
+    // instances), so both counts ride the same (w1, w2) join below
+    val wCtx = Window.partitionBy(col("w1"))
+    val pairCounts = Pin(perDoc.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("n")).alias("c12"))
+      .withColumn("c1", sum(col("c12")).over(wCtx)))
+    // (3) the single hot/cold split join: the top-K hot pairs resolve via
+    // a broadcast inner join, the rest (excluded by a broadcast anti on
+    // the same ≤ K-row set) shuffle-join. The top-K plans as TakeOrdered
     // (per-partition heads over the persisted counts — no full sort); the
     // probe side is the persisted reduction, so the branch scans are cache
     // reads, not recomputes.
-    val hotPairs = bigramCounts
+    val hotPairs = pairCounts
       .orderBy(col("c12").desc, col("w1").asc, col("w2").asc)
       .limit(hotTopK)
       .filter(col("c12") >= hotCount)
-    val coldPairs = bigramCounts.join(
+    val coldPairs = pairCounts.join(
       broadcast(hotPairs.select(col("w1"), col("w2"))), Seq("w1", "w2"), "left_anti")
-    val withC12 = Pin(perDoc.join(broadcast(hotPairs), Seq("w1", "w2")).unionByName(
+    val joined = perDoc.join(broadcast(hotPairs), Seq("w1", "w2")).unionByName(
       perDoc.join(broadcast(hotPairs.select(col("w1"), col("w2"))),
           Seq("w1", "w2"), "left_anti")
-        .join(coldPairs, Seq("w1", "w2"))))
-    // same top-K-capped split for the context join
-    val hotCtx = contextCounts
-      .orderBy(col("c1").desc, col("w1").asc)
-      .limit(hotTopK)
-      .filter(col("c1") >= hotCount)
-    val coldCtx = contextCounts.join(
-      broadcast(hotCtx.select(col("w1"))), Seq("w1"), "left_anti")
-    val joined = withC12.join(broadcast(hotCtx), Seq("w1")).unionByName(
-      withC12.join(broadcast(hotCtx.select(col("w1"))), Seq("w1"), "left_anti")
-        .join(coldCtx, Seq("w1")))
+        .join(coldPairs, Seq("w1", "w2")))
     joined
       .groupBy(col(idCol))
       .agg(
