@@ -381,12 +381,20 @@ object SparkEntry {
           tokenHash = Dedup.oracleHash)
         .orderBy("doc_id")),
     // Cross-source k-gram overlap matrix: distinct shared trigram hashes +
-    // Jaccard per source pair — the corpus-level leakage report. Distinct
-    // (source, hash) first, so the self-join is skew-proof by construction.
+    // Jaccard per source pair — the corpus-level leakage report. One
+    // hash-keyed collect_set stage (map-side partial collapses hot
+    // phrases); pairs come from a narrow per-hash expansion, no self-join.
     "text_source_overlap" -> ((s, dir) =>
       TextAnalysis.sourceOverlap(docs(s, dir), "source", "text", k = 3,
           tokenHash = Dedup.oracleHash)
         .orderBy("source_a", "source_b")),
+    // Inverted-index construction for the 50 rarest tokens (df >= 2):
+    // sorted posting lists capped per token BEFORE the collect via
+    // WindowGroupLimit; the rare-token set broadcasts into the postings
+    // join — the corpus posting stream is never globally shuffled.
+    "text_inverted_index" -> ((s, dir) =>
+      TextAnalysis.invertedIndex(docs(s, dir), "doc_id", "text")
+        .orderBy("token")),
     // Exact-substring dedup signal (Lee et al. 2107.06499 shape): per-doc
     // count of 8-token windows whose hash recurs in >= 2 documents.
     // Hash-only exchanges; the per-window doc count runs on DISTINCT
@@ -824,6 +832,26 @@ object SparkEntry {
     // ── Dedup ──
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactByKey(docs(s, dir), "text", "doc_id").orderBy("doc_id")),
+    // Character-exact near-dup pairs: Levenshtein within prefix+length
+    // blocks — the typo-class complement to the token-set sketches. The
+    // banded DP runs only inside blocked candidate pairs, never all-pairs.
+    "dedup_editdistance" -> ((s, dir) =>
+      Dedup.editDistanceDups(docs(s, dir), "doc_id", "text", maxDist = 8)
+        .orderBy("doc_a", "doc_b")),
+    // Incremental (daily-ingest) dedup on events: history = first tenth of
+    // the id space, batch = the rest; only never-seen (user, type) keys
+    // survive, lowest event id wins. History contributes distinct keys to
+    // an unhinted anti join — yesterday's corpus is never re-deduped.
+    "dedup_incremental" -> ((s, dir) => {
+      val ev = Parity.t(s, dir, "events")
+      val thr = ev.agg(floor(max(col("event_id")) / 10).alias("__thr"))
+      val withThr = ev.crossJoin(broadcast(thr))
+      Dedup.incremental(
+        withThr.filter(col("event_id") < col("__thr")).drop("__thr"),
+        withThr.filter(col("event_id") >= col("__thr")).drop("__thr"),
+        Seq("user_id", "event_type"), "event_id")
+        .orderBy("user_id", "event_type")
+    }),
     "dedup_exact_events" -> ((s, dir) =>
       Parity.t(s, dir, "events")
         .groupBy(col("user_id"), col("event_type"))
@@ -900,6 +928,15 @@ object SparkEntry {
       val e = embs(s, dir)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id",
         "embedding", k = 5, numCentroids = 16, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }),
+    // Matryoshka funnel: 16-of-64-dim prefix cosine scan for candidates,
+    // exact full-dim rescore of k×refine — the element-count sibling of the
+    // int8 byte-count funnel below, hash-checked end to end.
+    "sim_topk_matryoshka" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.matryoshkaTopK(e, e.filter(col("vec_id") < 10), "vec_id",
+        "embedding", k = 5, prefixDim = 16, refine = 4)
         .orderBy("query_id", "rank")
     }),
     // int8-quantized candidate scan (¼ the bytes of float32) + exact float
@@ -1729,6 +1766,36 @@ object SparkEntry {
           * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
              list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, v) -> acc + v))))"""
 
+  /** Matryoshka funnel — mirrors [[graft.ops.Similarity.matryoshkaTopK]]
+    * (prefixDim=16, k=5, refine=4, queries = vec_id < 10): prefix cosine
+    * candidates, exact full-dim rescore, same-order double arithmetic. */
+  private def matryoshkaTopkSql: String =
+    s"""WITH q AS (
+         SELECT vec_id AS query_id, embedding AS qvec, embedding[1:16] AS qpre
+         FROM embeddings WHERE vec_id < 10),
+       c AS (
+         SELECT vec_id AS corpus_id, embedding AS cvec, embedding[1:16] AS cpre
+         FROM embeddings),
+       approx AS (
+         SELECT query_id, corpus_id, ${cosSql("qpre", "cpre")} AS approx,
+                qvec, cvec
+         FROM c, q WHERE query_id <> corpus_id),
+       cand AS (
+         SELECT query_id, corpus_id, qvec, cvec,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY approx DESC, corpus_id) AS arank
+         FROM approx),
+       scored AS (
+         SELECT query_id, corpus_id, ${cosSql("qvec", "cvec")} AS score
+         FROM cand WHERE arank <= 20),
+       ranked AS (
+         SELECT query_id, corpus_id, score,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, corpus_id) AS rank
+         FROM scored)
+       SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, score
+       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+
   private def bruteForceTopkSql: String =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
          c AS (SELECT vec_id AS corpus_id, embedding AS cvec FROM embeddings),
@@ -1790,6 +1857,7 @@ object SparkEntry {
     "sim_topk_bruteforce" -> bruteForceTopkSql,
     "sim_topk_ivf" -> ivfTopkSql,
     "sim_topk_int8" -> quantizedTopkSql,
+    "sim_topk_matryoshka" -> matryoshkaTopkSql,
     "q_zorder" -> zorderSql,
     "q_tpch3" ->
       """SELECT l_orderkey,
@@ -2597,6 +2665,55 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT text, min(doc_id) AS doc_id FROM documents
          GROUP BY text ORDER BY doc_id""",
+    "dedup_editdistance" ->
+      """WITH b AS (
+           SELECT doc_id, text, substr(text, 1, 24) AS pfx,
+                  len(text) // 16 AS lb
+           FROM documents)
+         SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+                CAST(levenshtein(a.text, b2.text) AS BIGINT) AS edit_distance
+         FROM b a JOIN b b2
+           ON a.pfx = b2.pfx AND a.lb = b2.lb AND a.doc_id < b2.doc_id
+         WHERE levenshtein(a.text, b2.text) <= 8
+         ORDER BY doc_a, doc_b""",
+    "dedup_incremental" ->
+      """WITH t AS (
+           SELECT CAST(floor(max(event_id) / 10) AS BIGINT) AS thr FROM events),
+         h AS (
+           SELECT DISTINCT user_id, event_type FROM events, t
+           WHERE event_id < thr),
+         bt AS (
+           SELECT user_id, event_type, event_id FROM events, t
+           WHERE event_id >= thr)
+         SELECT bt.user_id, bt.event_type, min(bt.event_id) AS event_id,
+                count(*) AS n_batch_copies
+         FROM bt
+         WHERE NOT EXISTS (
+           SELECT 1 FROM h
+           WHERE h.user_id = bt.user_id AND h.event_type = bt.event_type)
+         GROUP BY bt.user_id, bt.event_type
+         ORDER BY bt.user_id, bt.event_type""",
+    "text_inverted_index" ->
+      """WITH tk AS (
+           SELECT doc_id,
+                  unnest(list_distinct(list_filter(string_split(text, ' '),
+                    x -> x <> ''))) AS token
+           FROM documents),
+         dfq AS (SELECT token, count(*) AS df FROM tk GROUP BY token),
+         rare AS (
+           SELECT token, df FROM dfq WHERE df >= 2
+           ORDER BY df ASC, token ASC LIMIT 50),
+         p AS (
+           SELECT tk.token, tk.doc_id,
+                  row_number() OVER (PARTITION BY tk.token ORDER BY tk.doc_id) AS rn
+           FROM tk JOIN rare USING (token))
+         SELECT r.token, r.df,
+                array_to_string(list(CAST(p.doc_id AS VARCHAR) ORDER BY p.doc_id), ' ')
+                  AS postings
+         FROM p JOIN rare r USING (token)
+         WHERE p.rn <= 20
+         GROUP BY r.token, r.df
+         ORDER BY r.token""",
     "dedup_exact_events" ->
       """SELECT user_id, event_type, min(event_id) AS first_event,
                 count(*) AS copies

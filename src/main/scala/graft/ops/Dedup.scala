@@ -514,4 +514,70 @@ object Dedup {
           .otherwise(col("dup_spans").cast("double") / col("n_spans").cast("double")))
       .withColumnRenamed("__id", idCol)
   }
+
+  /** Edit-distance near-duplicate pairs with prefix+length blocking: report
+    * every doc pair whose texts are within `maxDist` Levenshtein edits, the
+    * character-exact complement to the token-set sketches (MinHash/SimHash
+    * miss transpositions and near-miss typo dups inside shared shingles;
+    * edit distance is the ground-truth metric typo-class dup detection is
+    * judged by).
+    *
+    * All-pairs Levenshtein is O(n²·len²) — never. Candidates come from an
+    * equi-join on a blocking key (`substring(text, 1, prefixLen)`,
+    * `length(text) div lengthBucket`): near-identical texts agree on both
+    * unless the edit falls in the first `prefixLen` chars (the standard
+    * prefix-blocking recall trade-off, stated rather than hidden — raise
+    * `prefixLen` for adversarial corpora, add a suffix-block pass for
+    * belt-and-braces). The join shuffles (id, text-per-block) pairs; block
+    * sizes are bounded by how many docs share a prefix AND a length bucket,
+    * and the O(len²) DP runs only inside blocks, with Spark's thresholded
+    * `levenshtein(l, r, maxDist)` bailing out at `maxDist` (band DP — cost
+    * O(len·maxDist), not O(len²), per candidate).
+    */
+  def editDistanceDups(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 8,
+      prefixLen: Int = 24,
+      lengthBucket: Int = 16): DataFrame = {
+    val blocked = docs.select(
+      substring(col(textCol), 1, prefixLen).alias("__pfx"),
+      floor(length(col(textCol)) / lengthBucket).alias("__lb"),
+      col(idCol), col(textCol))
+    val a = blocked.select(col("__pfx"), col("__lb"),
+      col(idCol).alias("doc_a"), col(textCol).alias("__ta"))
+    val b = blocked.select(col("__pfx"), col("__lb"),
+      col(idCol).alias("doc_b"), col(textCol).alias("__tb"))
+    a.join(b, Seq("__pfx", "__lb"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("edit_distance",
+        levenshtein(col("__ta"), col("__tb"), maxDist).cast("long"))
+      .filter(col("edit_distance") >= 0L) // thresholded form returns -1 past maxDist
+      .select(col("doc_a"), col("doc_b"), col("edit_distance"))
+  }
+
+  /** Incremental dedup — the daily-ingest shape: given an already-deduped
+    * `history` and a new `batch`, return one surviving row per batch key
+    * that history has never seen (lowest `idCol` wins inside the batch,
+    * like [[exactByKey]]), with the batch's copy count. At 100 TB the point
+    * is what does NOT move: history contributes only its DISTINCT keys
+    * (fingerprints in practice — 8-byte columns, never payloads) to an
+    * anti join, the batch — typically orders of magnitude smaller — is the
+    * only side aggregated, and yesterday's corpus is never re-deduped. The
+    * anti join is deliberately unhinted: AQE broadcasts the smaller side
+    * from measured runtime size, and degrades to a shuffle anti join when
+    * both sides are large ([[graft.ops.TrainPrep.decontaminate]]'s
+    * posture).
+    */
+  def incremental(
+      history: DataFrame,
+      batch: DataFrame,
+      keyCols: Seq[String],
+      idCol: String): DataFrame = {
+    val histKeys = history.select(keyCols.map(col): _*).distinct()
+    batch.join(histKeys, keyCols, "left_anti")
+      .groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).alias(idCol), count(lit(1)).alias("n_batch_copies"))
+  }
 }

@@ -335,6 +335,54 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("corpus_id"), col("score"))
   }
 
+  /** ANN top-k via Matryoshka prefix truncation with exact full-dim
+    * re-scoring (Kusupati et al., "Matryoshka Representation Learning",
+    * arXiv:2205.13147): candidate generation scores only the first
+    * `prefixDim` dimensions — for MRL-trained embeddings the information-
+    * dense prefix — and keeps `k × refine` candidates per query; only those
+    * rows touch the full vectors for the exact cosine top-k.
+    *
+    * The funnel sibling of [[quantizedTopK]]: int8 cuts bytes-per-element
+    * 4×, prefix truncation cuts ELEMENTS (dim/prefixDim ×), and the two
+    * compose. Scale shape is identical — queries broadcast, corpus never
+    * shuffled, the candidate scan reads `prefixDim/dim` of the embedding
+    * bytes (with Parquet column-chunk stats the truncated prefix can even
+    * be stored as its own column), and the full vectors are read for
+    * ~k×refine rows per query. Same-order double arithmetic end to end, so
+    * the DuckDB oracle hash-checks the whole funnel.
+    */
+  def matryoshkaTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      prefixDim: Int = 16,
+      refine: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).alias("corpus_id"), col(vecCol).alias("cvec"))
+    val q = queries.select(col(idCol).alias("query_id"), col(vecCol).alias("qvec"))
+    val ct = c.select(col("corpus_id"), slice(col("cvec"), 1, prefixDim).alias("cpre"))
+    val qt = q.select(col("query_id"), slice(col("qvec"), 1, prefixDim).alias("qpre"))
+    val approxW = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("corpus_id").asc)
+    val candidates = ct.join(broadcast(qt), col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("qpre"), col("cpre")).alias("approx"))
+      .withColumn("arank", row_number().over(approxW))
+      .filter(col("arank") <= k * refine)
+      .select(col("query_id"), col("corpus_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("corpus_id").asc)
+    candidates
+      .join(broadcast(q), Seq("query_id"))
+      .join(c, Seq("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("qvec"), col("cvec")).alias("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("score"))
+  }
+
   /** recall@k of an ANN result against the exact result: fraction of each
     * query's true top-k ids the approximate search recovered, averaged over
     * queries. Both frames use the (query_id, corpus_id) schema of

@@ -295,6 +295,44 @@ object TextAnalysis {
     docs.select(col("doc_id"), fingerprint(col("text")).alias("fp"))
       .orderBy("doc_id")
 
+  /** Inverted-index construction for the corpus's rare terms: for the
+    * `topTokens` lowest-document-frequency tokens reaching `minDf`, the
+    * posting list of the first `maxPostings` doc ids (sorted) plus the
+    * exact df — the retrieval-index primitive behind contamination lookup
+    * and rare-phrase attribution, bounded so the output is oracle-sized.
+    *
+    * Scale shape: per-doc DISTINCT tokens explode once (narrow), document
+    * frequencies partial-aggregate map-side, the rare-token pick plans as
+    * TakeOrdered (per-partition heads), and the postings join broadcasts
+    * the ≤ `topTokens`-row rare set — the corpus-sized posting stream is
+    * never shuffled except by its own (token-keyed, rare-token-only)
+    * groupBy. The per-token cap applies BEFORE the collect via a
+    * row_number window (plans as WindowGroupLimit — per-partition
+    * pruning), so no task ever buffers an unbounded posting list.
+    */
+  def invertedIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDf: Long = 2L,
+      topTokens: Int = 50,
+      maxPostings: Int = 20): DataFrame = {
+    val tk = docs.select(col(idCol).alias("__id"),
+      explode(array_distinct(tokens(col(textCol)))).alias("token"))
+    val dfq = tk.groupBy(col("token")).agg(count(lit(1)).alias("df"))
+    val rare = dfq.filter(col("df") >= minDf)
+      .orderBy(col("df").asc, col("token").asc).limit(topTokens)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("token")).orderBy(col("__id").asc)
+    tk.join(broadcast(rare), Seq("token"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPostings)
+      .groupBy(col("token"), col("df"))
+      .agg(array_join(
+        transform(array_sort(collect_list(col("__id"))), i => i.cast("string")),
+        " ").alias("postings"))
+  }
+
   /** Adjacent-token bigram instances: one row per (w1, w2) occurrence, with
     * any `carry` columns (e.g. the doc id) threaded through. The ONE shared
     * bigram explode — [[pmiPairs]] and [[TrainPrep.bigramFamiliarity]] both

@@ -388,6 +388,62 @@ class OpsSpec extends SparkSpec {
     assert(out(2L) == 0.25)
   }
 
+  test("editDistanceDups: typo pairs inside a block found, prefix edits missed") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "the quick brown fox jumps over the lazy cat near the river"),  // 3 edits
+      (3L, "THE quick brown fox jumps over the lazy dog near the river"),  // prefix edit
+      (4L, "a completely different document with nothing shared at all hm")
+    ).toDF("doc_id", "text")
+    val out = ops.Dedup.editDistanceDups(d, "doc_id", "text", maxDist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((1L, 2L) -> 3L),
+      s"expected only the in-block typo pair, got $out")
+    // the blocking trade-off is real and documented: doc 3 differs from
+    // doc 1 only in the first 24 chars, so prefix blocking misses it
+    assert(!out.contains((1L, 3L)))
+    // widening the distance budget alone cannot resurrect cross-block pairs
+    val wide = ops.Dedup.editDistanceDups(d, "doc_id", "text", maxDist = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!wide.contains((1L, 4L)), "different prefixes must never pair")
+  }
+
+  test("editDistanceDups plans a blocked equi-join, not a cartesian product") {
+    val d = Seq((1L, "aaaa"), (2L, "bbbb")).toDF("doc_id", "text")
+    val p = ops.Dedup.editDistanceDups(d, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"edit-distance candidates must come from the blocking equi-join:\n$p")
+  }
+
+  test("incremental: only never-seen keys survive, lowest batch id wins") {
+    val hist = Seq((1L, "u1", "click"), (2L, "u2", "view")).toDF("id", "u", "t")
+    val batch = Seq(
+      (10L, "u1", "click"), // seen in history -> dropped
+      (12L, "u3", "click"), (11L, "u3", "click"), // new key, 2 copies
+      (13L, "u2", "click")  // new key (u2 only ever viewed)
+    ).toDF("id", "u", "t")
+    val out = ops.Dedup.incremental(hist, batch, Seq("u", "t"), "id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("id"), r.getAs[Long]("n_batch_copies")))).toMap
+    assert(out == Map(
+      ("u3", "click") -> ((11L, 2L)),
+      ("u2", "click") -> ((13L, 1L))))
+  }
+
+  test("invertedIndex: df over distinct per-doc tokens, postings capped and sorted") {
+    val d = Seq(
+      (3L, "rare common common"), (1L, "rare common"), (2L, "common"),
+      (4L, "solo")).toDF("doc_id", "text")
+    val out = TextAnalysis.invertedIndex(d, "doc_id", "text",
+        minDf = 2L, topTokens = 10, maxPostings = 1)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // solo: df=1 < minDf, excluded; df counts DOCS (not occurrences)
+    assert(out == Map(
+      "rare" -> ((2L, "1")),      // capped at 1 posting, lowest doc id
+      "common" -> ((3L, "1"))))
+  }
+
   test("bm25: tf raises the score, absent terms score zero") {
     val d = Seq((1L, "q q a"), (2L, "q a a"), (3L, "a a a")).toDF("doc_id", "text")
     val out = TextAnalysis.bm25(d, "doc_id", "text", Seq("q"))

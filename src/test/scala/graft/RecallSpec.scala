@@ -63,6 +63,28 @@ class RecallSpec extends SparkSpec {
     assert(joined.filter(col("score") =!= col("bf_score")).count() == 0)
   }
 
+  test("matryoshka prefix funnel: 16-of-64-dim candidates, recall measured; " +
+    "rescored hits carry exact scores") {
+    val mr = Similarity.matryoshkaTopK(e, q, "vec_id", "embedding", k = 10,
+      prefixDim = 16, refine = 4)
+    val r = Similarity.recallAtK(mr, bf)
+    // fixture embeddings are near-RANDOM: a 16-dim prefix carries only 1/4
+    // of the signal (no MRL training concentrated it), so this floor is the
+    // honest worst case — MRL-trained embeddings recall far higher
+    info(f"matryoshka recall@10 = $r%.3f (prefixDim=16, refine=4)")
+    assert(r >= 0.45, f"matryoshka recall $r%.3f below the random-embedding floor")
+    // wider funnel monotonically recovers recall even on random embeddings
+    val wide = Similarity.matryoshkaTopK(e, q, "vec_id", "embedding", k = 10,
+      prefixDim = 32, refine = 8)
+    assert(Similarity.recallAtK(wide, bf) >= r,
+      "wider prefix + refine must not lose recall")
+    // rescore uses the same exact cosine as brute force
+    val joined = mr.select(col("query_id"), col("corpus_id"), col("score"))
+      .join(bf.select(col("query_id"), col("corpus_id"),
+        col("score").alias("bf_score")), Seq("query_id", "corpus_id"))
+    assert(joined.filter(col("score") =!= col("bf_score")).count() == 0)
+  }
+
   test("int8 quantization error is bounded by scale/2 per element") {
     val q8 = Similarity.quantize(e, "vec_id", "embedding")
     val err = q8.join(e, "vec_id")
