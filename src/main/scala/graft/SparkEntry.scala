@@ -388,6 +388,36 @@ object SparkEntry {
       TextAnalysis.sourceOverlap(docs(s, dir), "source", "text", k = 3,
           tokenHash = Dedup.oracleHash)
         .orderBy("source_a", "source_b")),
+    // BPE merge-candidate counting: the top adjacent char pairs within
+    // tokens — iteration one of a BPE trainer, corpus-scale shape (narrow
+    // pair explode, one partial-aggregated shuffle, TakeOrdered).
+    "prep_bpe_pairs" -> ((s, dir) =>
+      TextAnalysis.bpePairCounts(docs(s, dir), "text", topK = 30)),
+    // Event-time lateness profile per event type: per-user arrival-order
+    // high-water mark vs event time — the analytic that sizes a streaming
+    // watermark delay. Per-KEY windows (the per-key watermark semantics),
+    // never a global arrival-order sort.
+    "q_lateness_profile" -> ((s, dir) => {
+      val e = Parity.t(s, dir, "events").select(
+        col("user_id"), col("event_type"), col("event_id"),
+        expr("ts div 1000").alias("us"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("event_id").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      e.withColumn("__hwm", max(col("us")).over(w))
+        .withColumn("late_us",
+          when(col("__hwm").isNotNull && col("__hwm") > col("us"),
+            col("__hwm") - col("us")).otherwise(0L))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).alias("n_events"),
+          sum(when(col("late_us") > 0L, 1L).otherwise(0L)).alias("n_late"),
+          (sum(when(col("late_us") > 0L, 1L).otherwise(0L)).cast("double") /
+            count(lit(1)).cast("double")).alias("late_ratio"),
+          max(col("late_us")).alias("max_late_us"),
+          sum(col("late_us")).alias("total_late_us"))
+        .orderBy("event_type")
+    }),
     // Inverted-index construction for the 50 rarest tokens (df >= 2):
     // sorted posting lists capped per token BEFORE the collect via
     // WindowGroupLimit; the rare-token set broadcasts into the postings
@@ -2693,6 +2723,37 @@ object SparkEntry {
            WHERE h.user_id = bt.user_id AND h.event_type = bt.event_type)
          GROUP BY bt.user_id, bt.event_type
          ORDER BY bt.user_id, bt.event_type""",
+    "prep_bpe_pairs" ->
+      """WITH tok AS (
+           SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+           FROM documents),
+         p AS (
+           SELECT substr(tok, i, 1) AS c1, substr(tok, i + 1, 1) AS c2
+           FROM tok, UNNEST(range(1, len(tok))) AS t(i)
+           WHERE len(tok) >= 2)
+         SELECT c1, c2, count(*) AS pair_count
+         FROM p GROUP BY c1, c2
+         ORDER BY pair_count DESC, c1, c2 LIMIT 30""",
+    "q_lateness_profile" ->
+      """WITH e AS (
+           SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events),
+         h AS (
+           SELECT event_type, us,
+                  max(us) OVER (PARTITION BY user_id ORDER BY event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+           FROM e),
+         l AS (
+           SELECT event_type,
+                  CASE WHEN hwm IS NOT NULL AND hwm > us THEN hwm - us ELSE 0 END AS late_us
+           FROM h)
+         SELECT event_type,
+                count(*) AS n_events,
+                CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+                CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                  / count(*) AS late_ratio,
+                max(late_us) AS max_late_us,
+                CAST(sum(late_us) AS BIGINT) AS total_late_us
+         FROM l GROUP BY event_type ORDER BY event_type""",
     "text_inverted_index" ->
       """WITH tk AS (
            SELECT doc_id,

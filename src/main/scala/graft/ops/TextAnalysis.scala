@@ -295,6 +295,32 @@ object TextAnalysis {
     docs.select(col("doc_id"), fingerprint(col("text")).alias("fp"))
       .orderBy("doc_id")
 
+  /** BPE merge-candidate counting — iteration one of byte-pair-encoding
+    * training (Sennrich et al., arXiv:1508.07909): corpus-wide counts of
+    * adjacent character pairs WITHIN tokens, returning the `topK` most
+    * frequent (the pair a BPE trainer would merge first, then the next
+    * candidates). The trainer's subsequent iterations re-run this count
+    * over progressively merged symbols; the count itself is the step that
+    * costs at 100 TB, and it is exactly this shape.
+    *
+    * Scale shape: tokenize → per-row character-pair explode (narrow,
+    * `substring` over an index sequence — no char-array materialization
+    * beyond one token per row) → ONE partial-aggregated groupBy (the
+    * ~|alphabet|² key space collapses map-side) → TakeOrdered top-k.
+    */
+  def bpePairCounts(docs: DataFrame, textCol: String, topK: Int = 30): DataFrame =
+    docs.select(explode(tokens(col(textCol))).alias("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(tok) - 1), " +
+          "i -> struct(substring(tok, i, 1) AS c1, substring(tok, i + 1, 1) AS c2))"))
+        .alias("bg"))
+      .select(col("bg.c1").alias("c1"), col("bg.c2").alias("c2"))
+      .groupBy(col("c1"), col("c2"))
+      .agg(count(lit(1)).alias("pair_count"))
+      .orderBy(col("pair_count").desc, col("c1").asc, col("c2").asc)
+      .limit(topK)
+
   /** Inverted-index construction for the corpus's rare terms: for the
     * `topTokens` lowest-document-frequency tokens reaching `minDf`, the
     * posting list of the first `maxPostings` doc ids (sorted) plus the

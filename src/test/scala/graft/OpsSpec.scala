@@ -444,6 +444,15 @@ class OpsSpec extends SparkSpec {
       "common" -> ((3L, "1"))))
   }
 
+  test("bpePairCounts: within-token adjacent pairs, no cross-token pairs") {
+    val d = Seq((1L, "abab ab"), (2L, "ba x")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpePairCounts(d, "text", topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // "abab": ab, ba, ab; "ab": ab; "ba": ba — "x" too short; the token
+    // boundary between "abab" and "ab" contributes NO (b,a) pair
+    assert(out == Map(("a", "b") -> 3L, ("b", "a") -> 2L))
+  }
+
   test("bm25: tf raises the score, absent terms score zero") {
     val d = Seq((1L, "q q a"), (2L, "q a a"), (3L, "a a a")).toDF("doc_id", "text")
     val out = TextAnalysis.bm25(d, "doc_id", "text", Seq("q"))
