@@ -47,7 +47,11 @@ object Bench {
     // the multimodal family's cost profile (byte-array mapPartitions over
     // binary columns) is unlike every other headline shape — watch its two
     // heaviest members
-    "multimodal_decode_bands", "multimodal_audio_neardup")
+    "multimodal_decode_bands", "multimodal_audio_neardup",
+    // round-6 operators: blocked Levenshtein, rare-term posting lists,
+    // Matryoshka prefix funnel, hash-ring negatives, BPE pair counts
+    "dedup_editdistance", "text_inverted_index", "sim_topk_matryoshka",
+    "prep_negatives", "prep_bpe_pairs")
 
   /** Warm iterations per query; the median is reported. */
   val WarmIters = 3

@@ -388,6 +388,12 @@ object SparkEntry {
       TextAnalysis.sourceOverlap(docs(s, dir), "source", "text", k = 3,
           tokenHash = Dedup.oracleHash)
         .orderBy("source_a", "source_b")),
+    // Deterministic hash-ring negative sampling: k same-language negatives
+    // per doc via ONE group-partitioned window (never a candidate join) —
+    // the negative half of the contrastive training-pair builder.
+    "prep_negatives" -> ((s, dir) =>
+      graft.ops.TrainPrep.negativeSamples(docs(s, dir), "doc_id", "lang", k = 3)
+        .orderBy("doc_id", "rank")),
     // BPE merge-candidate counting: the top adjacent char pairs within
     // tokens — iteration one of a BPE trainer, corpus-scale shape (narrow
     // pair explode, one partial-aggregated shuffle, TakeOrdered).
@@ -2723,6 +2729,25 @@ object SparkEntry {
            WHERE h.user_id = bt.user_id AND h.event_type = bt.event_type)
          GROUP BY bt.user_id, bt.event_type
          ORDER BY bt.user_id, bt.event_type""",
+    "prep_negatives" ->
+      """WITH ring AS (
+           SELECT doc_id, lang,
+                  (doc_id * 2246822519 + 3266489917) % 1000000007 AS ring
+           FROM documents),
+         posed AS (
+           SELECT doc_id, lang, ring,
+                  row_number() OVER (PARTITION BY lang ORDER BY ring, doc_id) AS pos,
+                  count(*) OVER (PARTITION BY lang) AS n
+           FROM ring),
+         negs AS (
+           SELECT p.doc_id, i AS rank, p.lang,
+                  CASE WHEN p.pos + i <= p.n THEN p.pos + i
+                       ELSE p.pos + i - p.n END AS tpos
+           FROM posed p, UNNEST(range(1, 4)) AS t(i)
+           WHERE i < p.n)
+         SELECT n1.doc_id, CAST(n1.rank AS BIGINT) AS rank, p2.doc_id AS neg_id
+         FROM negs n1 JOIN posed p2 ON n1.lang = p2.lang AND n1.tpos = p2.pos
+         ORDER BY n1.doc_id, rank""",
     "prep_bpe_pairs" ->
       """WITH tok AS (
            SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok

@@ -173,6 +173,66 @@ object TrainPrep {
     }
   }
 
+  /** Deterministic negative sampling for contrastive training: for every
+    * document, `k` same-group (e.g. same-language) negatives drawn
+    * uniformly-but-reproducibly — the counterpart to positive-pair
+    * construction (`prep_contrastive`): a contrastive objective needs both.
+    *
+    * The sample is a HASH RING, not a join: each doc gets a scrambled ring
+    * position (the [[splitByHash]] multiplicative scramble, different
+    * constants), docs sort by ring position within their group, and each
+    * doc's negatives are the next `k` docs around the ring (wrapping via a
+    * doubled lead window on the ring-sorted sequence). Properties:
+    *
+    *  - deterministic: same corpus → same negatives, any engine;
+    *  - uniform-ish: ring order is hash order, uncorrelated with id order
+    *    or content;
+    *  - ONE window shuffle (group-partitioned sort) at any corpus size —
+    *    never a candidate join, never a per-doc sample of the whole group;
+    *  - wrap-around means every doc gets exactly `min(k, group size − 1)`
+    *    negatives (singleton groups get none).
+    *
+    * Output: one row per (doc, rank 1..k) with the negative's id.
+    */
+  def negativeSamples(
+      docs: DataFrame,
+      idCol: String,
+      groupCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val ring = docs.select(col(idCol), col(groupCol),
+      pmod(col(idCol) * lit(2246822519L) + lit(3266489917L), lit(1000000007L))
+        .alias("__ring"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__ring").asc, col(idCol).asc)
+    val leads = (1 to k).map(i =>
+      lead(col(idCol), i).over(w).alias(s"__lead$i"))
+    val wrapped = ring
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      .withColumn("__pos", row_number().over(w))
+      .select(Seq(col(idCol), col(groupCol), col("__n"), col("__pos")) ++ leads: _*)
+    // a null lead means the ring wrapped: the i-th negative past the end is
+    // the (pos + i - n)-th doc from the ring start — fetch via a self-union
+    // free first_value trick: recompute as lead over the DOUBLED sequence by
+    // joining the ring head positions back per group
+    val heads = ring
+      .withColumn("__pos", row_number().over(w))
+      .select(col(groupCol), col("__pos").alias("__hpos"), col(idCol).alias("__hid"))
+    val exploded = wrapped.select(
+      col(idCol), col(groupCol), col("__n"), col("__pos"),
+      posexplode(array(leads.indices.map(i => col(s"__lead${i + 1}")): _*))
+        .as(Seq("__i", "neg_id")))
+      .withColumn("rank", (col("__i") + 1).cast("long"))
+      .filter(col("rank") < col("__n")) // singleton/short groups: no wrap duplicates
+    val direct = exploded.filter(col("neg_id").isNotNull)
+      .select(col(idCol), col("rank"), col("neg_id"))
+    val wrappedTail = exploded.filter(col("neg_id").isNull)
+      .withColumn("__hpos", col("__pos") + col("rank") - col("__n"))
+      .join(heads, Seq(groupCol, "__hpos"))
+      .select(col(idCol), col("rank"), col("__hid").alias("neg_id"))
+    direct.unionByName(wrappedTail)
+  }
+
   /** The full training-corpus preparation pipeline, composed end-to-end:
     *
     *  1. PII scrub ([[scrubText]]) — narrow;

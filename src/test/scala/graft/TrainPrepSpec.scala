@@ -387,6 +387,33 @@ class TrainPrepSpec extends SparkSpec {
       s"expected the token-keyed join degrade path:\n$pJoin")
   }
 
+  test("negativeSamples: k ring-neighbors, wrap-around, never self, " +
+    "singleton groups empty") {
+    val d = Seq(
+      (1L, "en"), (2L, "en"), (3L, "en"), (4L, "en"), (5L, "en"),
+      (10L, "fr"), (11L, "fr"),
+      (20L, "zh")).toDF("doc_id", "lang")
+    val out = TrainPrep.negativeSamples(d, "doc_id", "lang", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // every en doc gets exactly 3 negatives; fr docs get 1 (group of 2);
+    // the zh singleton gets none
+    val byDoc = out.keys.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(byDoc == Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 3, 5L -> 3,
+      10L -> 1, 11L -> 1))
+    // never self, never duplicate negatives for one doc, same group only
+    for (doc <- Seq(1L, 2L, 3L, 4L, 5L)) {
+      val negs = (1L to 3L).map(r => out((doc, r)))
+      assert(!negs.contains(doc), s"doc $doc sampled itself")
+      assert(negs.distinct.size == 3, s"doc $doc repeated a negative: $negs")
+      assert(negs.forall(n => n >= 1L && n <= 5L), s"doc $doc left its group")
+    }
+    assert(out((10L, 1L)) == 11L && out((11L, 1L)) == 10L)
+    // deterministic: rerun identical
+    val again = TrainPrep.negativeSamples(d, "doc_id", "lang", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(again == out)
+  }
+
   test("oovRate: counts tokens outside the vocab, empty doc rates 0") {
     import spark.implicits._
     val docs = Seq((1L, "a b x"), (2L, "x y"), (3L, "")).toDF("doc_id", "text")
