@@ -207,18 +207,17 @@ object TrainPrep {
       .orderBy(col("__ring").asc, col(idCol).asc)
     val leads = (1 to k).map(i =>
       lead(col(idCol), i).over(w).alias(s"__lead$i"))
-    val wrapped = ring
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
-      .withColumn("__pos", row_number().over(w))
-      .select(Seq(col(idCol), col(groupCol), col("__n"), col("__pos")) ++ leads: _*)
-    // a null lead means the ring wrapped: the i-th negative past the end is
-    // the (pos + i - n)-th doc from the ring start — fetch via a self-union
-    // free first_value trick: recompute as lead over the DOUBLED sequence by
-    // joining the ring head positions back per group
-    val heads = ring
-      .withColumn("__pos", row_number().over(w))
+    // ONE window pass computes position, group size, and all k leads;
+    // pinned (persist + eager materialize) because three consumers read it
+    // — the direct branch, the wrap branch, and the ring-head lookup — and
+    // without the pin each would re-run the window shuffle (see [[Pin]]).
+    val posed = Pin(ring.select(
+      Seq(col(idCol), col(groupCol),
+        count(lit(1)).over(Window.partitionBy(col(groupCol))).alias("__n"),
+        row_number().over(w).cast("long").alias("__pos")) ++ leads: _*))
+    val heads = posed
       .select(col(groupCol), col("__pos").alias("__hpos"), col(idCol).alias("__hid"))
-    val exploded = wrapped.select(
+    val exploded = posed.select(
       col(idCol), col(groupCol), col("__n"), col("__pos"),
       posexplode(array(leads.indices.map(i => col(s"__lead${i + 1}")): _*))
         .as(Seq("__i", "neg_id")))
@@ -226,6 +225,10 @@ object TrainPrep {
       .filter(col("rank") < col("__n")) // singleton/short groups: no wrap duplicates
     val direct = exploded.filter(col("neg_id").isNotNull)
       .select(col(idCol), col("rank"), col("neg_id"))
+    // a null lead means the ring wrapped: the i-th negative past the end is
+    // the (pos + i - n)-th doc from the ring start. Wrapped rows number
+    // ≤ k per group regardless of corpus size, so this side broadcasts
+    // forever; heads streams against it unshuffled.
     val wrappedTail = exploded.filter(col("neg_id").isNull)
       .withColumn("__hpos", col("__pos") + col("rank") - col("__n"))
       .join(heads, Seq(groupCol, "__hpos"))

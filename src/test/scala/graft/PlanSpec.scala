@@ -281,6 +281,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "CDC apply must fold via window, not join")
   }
 
+  test("inverted_index: per-token cap prunes BEFORE the exchange; rare set broadcasts") {
+    val p = SparkEntry.queries("text_inverted_index")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // WindowGroupLimit must appear in Partial mode (map-side pruning of
+    // posting candidates) — a plain Window would buffer unbounded postings
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"per-token cap must prune map-side:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the <=50-row rare-token set must broadcast:\n$p")
+  }
+
+  test("negatives: one pinned window pass feeds all three consumers; no pair join") {
+    val p = SparkEntry.queries("prep_negatives")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the single ring-window pass is persisted; the direct branch, the
+    // wrap branch, and the ring-head lookup must all read the cache
+    // instead of re-running the window shuffle
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
+      s"all three consumers must read the pinned window pass:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"negative sampling must never enumerate candidate pairs:\n$p")
+  }
+
   test("token_ids: corpus never shuffles — one vocab agg + broadcast map") {
     val p = SparkEntry.queries("prep_token_ids")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -154,6 +154,55 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("editDistanceDups is exact within blocks: equals brute force " +
+    "restricted to same (prefix, length-bucket) for random edits") {
+    val base = samples(Gen.listOfN(10, word).map(_.mkString(" ")), 8)
+    // derive near-dups by random in-place edits PAST the prefix so they
+    // stay in-block; add unrelated docs as negatives
+    val docs = base.zipWithIndex.flatMap { case (t, i) =>
+      val padded = t.padTo(40, 'x')
+      val edited = padded.updated(30, 'Z').updated(35, 'Q')
+      Seq((i * 10L, padded), (i * 10L + 1L, edited))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = graft.ops.Dedup.editDistanceDups(df, "doc_id", "text", maxDist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute-force reference with the same block rule
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => i + j)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expect = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs
+      if ia < ib
+      if ta.take(24) == tb.take(24) && ta.length / 16 == tb.length / 16
+      d = lev(ta, tb) if d <= 8
+    } yield (ia, ib) -> d.toLong).toMap
+    assert(got == expect, s"blocked result diverged from in-block brute force")
+    // and every constructed edit pair was in-block, so none were lost
+    assert(base.indices.forall(i => got.contains((i * 10L, i * 10L + 1L))))
+  }
+
+  test("negativeSamples counts: min(k, group-1) negatives each, " +
+    "uniform-ish ring usage") {
+    val n = 40
+    val df = (1L to n.toLong).map(i => (i, "g")).toDF("doc_id", "lang")
+    for (k <- Seq(1, 3, 7)) {
+      val out = graft.ops.TrainPrep.negativeSamples(df, "doc_id", "lang", k)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+      assert(out.length == n * math.min(k, n - 1))
+      assert(out.forall { case (a, b) => a != b })
+      // every doc is sampled AS a negative by someone (ring coverage):
+      // each doc is the i-th successor of exactly one doc for each i<=k
+      val asNegative = out.groupBy(_._2).view.mapValues(_.size).toMap
+      assert(asNegative.values.forall(_ == math.min(k, n - 1)),
+        s"ring usage skewed: ${asNegative.values.toSeq.distinct}")
+    }
+  }
+
   test("scd2 merge equals the sequential replay reference on random updates") {
     // reference: replay updates per key in (ts, tie) order against a plain
     // in-memory state machine; scd2Merge must produce the same versions
