@@ -115,8 +115,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     * serves the file set recorded by snapshot `x`'s manifest — every
     * commit appends one (Iceberg's snapshot model in miniature; data files
     * are immutable, overwrites only supersede them logically, so old
-    * snapshots stay readable until [[vacuum]]). A non-numeric `x` resolves
-    * as a named ref — tag first, then branch head — so
+    * snapshots stay readable until [[vacuum]]). `'incr:a..b'` serves the
+    * INCREMENTAL read — see [[incrementalFiles]]. Any other non-numeric
+    * `x` resolves as a named ref — tag first, then branch head — so
     * `VERSION AS OF 'dev'` reads a branch and `VERSION AS OF 'v1.0'` a
     * tag, Nessie's read surface on the offline catalog. */
   override def loadTable(ident: Identifier, version: String): Table = {
@@ -130,18 +131,52 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
             s"table $ident has no snapshot $snap (latest: ${GraftCatalog.latestSnapshot(fs, dir)})"))
         new GraftTable(s"$ident@v$snap", dir.toString, meta, Some(files), writable = false)
       case None =>
-        val asTag = GraftCatalog.readTagSnap(fs, dir, version).map { snap =>
-          GraftCatalog.readManifest(fs, dir, snap).getOrElse(
-            throw new IllegalStateException(
-              s"tag '$version' pins snapshot $snap but its manifest is gone"))
+        version match {
+          case GraftCatalog.IncrRange(a, b) =>
+            val files = incrementalFiles(ident, a.toLong, b.toLong)
+            new GraftTable(s"$ident@incr:$a..$b", dir.toString, meta, Some(files),
+              writable = false)
+          case _ =>
+            val asTag = GraftCatalog.readTagSnap(fs, dir, version).map { snap =>
+              GraftCatalog.readManifest(fs, dir, snap).getOrElse(
+                throw new IllegalStateException(
+                  s"tag '$version' pins snapshot $snap but its manifest is gone"))
+            }
+            val files = asTag
+              .orElse(GraftCatalog.branchHeadFiles(fs, dir, version))
+              .getOrElse(throw new IllegalArgumentException(
+                s"table $ident has no ref '$version' (no such tag or branch)"))
+            new GraftTable(s"$ident@$version", dir.toString, meta, Some(files),
+              writable = false)
         }
-        val files = asTag
-          .orElse(GraftCatalog.branchHeadFiles(fs, dir, version))
-          .getOrElse(throw new IllegalArgumentException(
-            s"table $ident has no ref '$version' (no such tag or branch)"))
-        new GraftTable(s"$ident@$version", dir.toString, meta, Some(files),
-          writable = false)
     }
+  }
+
+  /** Incremental consumption (`VERSION AS OF 'incr:a..b'`): the data files
+    * present in snapshot `b`'s manifest but not in snapshot `a`'s — the
+    * rows a downstream consumer has NOT seen if it last read snapshot `a`
+    * (Iceberg's incremental append scan on the offline catalog). This is
+    * ADDED-FILES semantics: appends surface exactly once; a dynamic
+    * partition overwrite inside the range surfaces the rewritten
+    * partition's files (its full new contents), because file-level diffs
+    * cannot express row-level deletes — the checkpoint-and-resume pattern
+    * for incremental ETL, not a row-level CDC stream (that is what the
+    * streaming MERGE sinks are for). At 100 TB the point is the read cost:
+    * a consumer polls only the manifest delta, never rescans yesterday's
+    * files. `a = 0` reads everything up to `b`.
+    */
+  def incrementalFiles(ident: Identifier, from: Long, to: Long): Seq[String] = {
+    val dir = tableDir(ident)
+    require(from <= to, s"incremental range must be from <= to, got $from..$to")
+    val fromFiles: Set[String] =
+      if (from == 0L) Set.empty
+      else GraftCatalog.readManifest(fs, dir, from).getOrElse(
+        throw new IllegalArgumentException(
+          s"table $ident has no snapshot $from (latest: ${GraftCatalog.latestSnapshot(fs, dir)})")).toSet
+    val toFiles = GraftCatalog.readManifest(fs, dir, to).getOrElse(
+      throw new IllegalArgumentException(
+        s"table $ident has no snapshot $to (latest: ${GraftCatalog.latestSnapshot(fs, dir)})"))
+    toFiles.filterNot(fromFiles)
   }
 
   // ── Branches and tags (Nessie's per-table core, offline) ───────────────
@@ -674,6 +709,9 @@ object GraftCatalog {
   // work-in-progress data — the isolation Nessie branches exist for.
 
   /** Branch/tag names: path- and parse-safe. */
+  /** `incr:a..b` version-string form for incremental reads. */
+  private[storage] val IncrRange = """incr:(\d+)\.\.(\d+)""".r
+
   private[storage] def validRefName(name: String): Boolean =
     name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_' || c == '.')
 

@@ -124,6 +124,31 @@ class CatalogSpec extends SparkSpec {
     assert(!spark.catalog.tableExists("graftv2.bronze.sqlt2"))
   }
 
+  test("incremental read: 'incr:a..b' serves only files added in the range") {
+    wh
+    t((1L, "a", "2024-01-15"))
+      .writeTo("graftv2.bronze.incr").using("parquet")
+      .partitionedBy(col("extraction_date")).createOrReplace()
+    t((2L, "b", "2024-01-15")).writeTo("graftv2.bronze.incr").append()
+    t((3L, "c", "2024-01-16")).writeTo("graftv2.bronze.incr").append()
+    def ids(v: String) =
+      spark.sql(s"SELECT id FROM graftv2.bronze.incr VERSION AS OF '$v'")
+        .collect().map(_.getLong(0)).sorted.toSeq
+    // a consumer that checkpointed at snapshot 1 sees only later appends
+    assert(ids("incr:1..3") == Seq(2L, 3L))
+    assert(ids("incr:2..3") == Seq(3L))
+    // empty range is empty, not an error; from=0 means "everything up to b"
+    assert(ids("incr:2..2") == Seq.empty)
+    assert(ids("incr:0..2") == Seq(1L, 2L))
+    // added-files semantics under overwrite: the rewritten partition's new
+    // files surface in full (file diffs cannot express row deletes)
+    t((9L, "z", "2024-01-15")).writeTo("graftv2.bronze.incr").overwritePartitions()
+    assert(ids("incr:3..4") == Seq(9L))
+    // bad ranges and unknown snapshots fail loudly
+    intercept[Exception] { ids("incr:3..1") }
+    intercept[Exception] { ids("incr:1..99") }
+  }
+
   test("time travel: VERSION AS OF serves old snapshots; vacuum expires them") {
     wh
     t((1L, "a", "2024-01-15"))
