@@ -11,11 +11,12 @@ import org.apache.spark.sql.functions._
   *
   *  1. `naive_token_join` — the pre-hardening shape: per-instance rows
   *     shuffle-joined on raw tokens, the hot context in one task;
-  *  2. `harden_all_shuffle` — the per-doc reduction but with
-  *     `hotCount = MaxValue` (no broadcast split): isolates how much the
-  *     (id,w1,w2) reduction alone buys;
-  *  3. `hardened` — the production shape (reduction + hot-key broadcast
-  *     split at the default threshold).
+  *  2. `plain_shuffle` — the production default: per-doc (id,w1,w2)
+  *     reduction, window-derived context counts, ONE plain count join
+  *     (AQE skew-join subdivides hot probe partitions);
+  *  3. `hot_cold_split` — the round-5 hot-key broadcast split
+  *     (`hotCount = 4096`), retained for AQE-off deployments; measured
+  *     SLOWER than the plain join since the single-join restructure.
   *
   * Prints one JSON line; numbers recorded in SCALE.md.
   */
@@ -87,10 +88,13 @@ object BigramSkewBench {
 
     val results = Seq(
       measure("naive_token_join")(naive(corpus, "doc_id", "text")),
-      measure("harden_all_shuffle")(graft.ops.TrainPrep.bigramFamiliarity(
-        corpus, "doc_id", "text", hotCount = Long.MaxValue)),
-      measure("hardened")(graft.ops.TrainPrep.bigramFamiliarity(
-        corpus, "doc_id", "text")))
+      // production default: reduction + plain join, AQE skew-join handles
+      // hot probe partitions
+      measure("plain_shuffle")(graft.ops.TrainPrep.bigramFamiliarity(
+        corpus, "doc_id", "text")),
+      // the round-5 hot/cold broadcast split, kept for AQE-off deployments
+      measure("hot_cold_split")(graft.ops.TrainPrep.bigramFamiliarity(
+        corpus, "doc_id", "text", hotCount = 4096L)))
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     println(f"""{"metric":"bigram_skew","docs":$nDocs,"doc_len":$docLen,"vocab":$vocab,"timings":$qs}""")

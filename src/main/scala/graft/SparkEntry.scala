@@ -975,6 +975,15 @@ object SparkEntry {
         "embedding", k = 5, prefixDim = 16, refine = 4)
         .orderBy("query_id", "rank")
     }),
+    // The composed funnel: int8-quantized 16-dim prefix scan (1/16 of the
+    // float corpus bytes) + exact full-dim rescore — proof the byte and
+    // element funnels compose, hash-checked end to end.
+    "sim_topk_mrl_int8" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.matryoshkaQuantizedTopK(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, prefixDim = 16, refine = 4)
+        .orderBy("query_id", "rank")
+    }),
     // int8-quantized candidate scan (¼ the bytes of float32) + exact float
     // rescore of k×refine candidates — the oracle replicates quantization,
     // integer dot, candidate cut, and rescore, so the whole pipeline is
@@ -1832,6 +1841,47 @@ object SparkEntry {
        SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, score
        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  /** Composed funnel — mirrors
+    * [[graft.ops.Similarity.matryoshkaQuantizedTopK]] (prefixDim=16, k=5,
+    * refine=4, queries = vec_id < 10): int8 quantization OF the 16-dim
+    * prefix, integer-dot candidates, exact full-dim rescore. */
+  private def mrlInt8TopkSql: String =
+    s"""WITH sc AS (
+         SELECT vec_id, embedding, embedding[1:16] AS pre,
+                list_max(list_transform(embedding[1:16],
+                  x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+         FROM embeddings),
+       codes AS (
+         SELECT vec_id, embedding, scale,
+                CASE WHEN scale = 0.0
+                     THEN list_transform(pre, x -> CAST(0 AS BIGINT))
+                     ELSE list_transform(pre,
+                            x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))
+                END AS code
+         FROM sc),
+       approx AS (
+         SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                q.scale * c.scale *
+                  CAST(list_sum(list_transform(list_zip(q.code, c.code),
+                                               p -> p[1] * p[2])) AS DOUBLE) AS approx,
+                q.embedding AS qvec, c.embedding AS cvec
+         FROM codes q JOIN codes c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+       cand AS (
+         SELECT query_id, corpus_id, qvec, cvec,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY approx DESC, corpus_id) AS arank
+         FROM approx),
+       scored AS (
+         SELECT query_id, corpus_id, ${cosSql("qvec", "cvec")} AS score
+         FROM cand WHERE arank <= 20),
+       ranked AS (
+         SELECT query_id, corpus_id, score,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, corpus_id) AS rank
+         FROM scored)
+       SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, score
+       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+
   private def bruteForceTopkSql: String =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
          c AS (SELECT vec_id AS corpus_id, embedding AS cvec FROM embeddings),
@@ -1894,6 +1944,7 @@ object SparkEntry {
     "sim_topk_ivf" -> ivfTopkSql,
     "sim_topk_int8" -> quantizedTopkSql,
     "sim_topk_matryoshka" -> matryoshkaTopkSql,
+    "sim_topk_mrl_int8" -> mrlInt8TopkSql,
     "q_zorder" -> zorderSql,
     "q_tpch3" ->
       """SELECT l_orderkey,

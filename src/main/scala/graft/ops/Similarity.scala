@@ -383,6 +383,56 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("corpus_id"), col("score"))
   }
 
+  /** The composed funnel: int8-quantized MATRYOSHKA-PREFIX candidate scan
+    * with exact full-dim float re-scoring — [[quantizedTopK]]'s byte cut
+    * (4×) times [[matryoshkaTopK]]'s element cut (dim/prefixDim ×): the
+    * candidate scan reads `prefixDim/dim/4` of the float corpus bytes
+    * (1/16 at the 16-of-64 defaults). Proof-by-construction that the two
+    * funnels compose — same candidate-generation shape, same broadcast
+    * queries, same exact rescore, and the whole pipeline stays
+    * deterministic (integer code products in fixed-order double), so the
+    * DuckDB oracle hash-checks it end to end like its two parents.
+    */
+  def matryoshkaQuantizedTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      prefixDim: Int = 16,
+      refine: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).alias("corpus_id"), col(vecCol).alias("cvec"))
+    val q = queries.select(col(idCol).alias("query_id"), col(vecCol).alias("qvec"))
+    val cq = quantize(
+      c.select(col("corpus_id"), slice(col("cvec"), 1, prefixDim).alias("cpre")),
+      "corpus_id", "cpre")
+      .select(col("corpus_id"), col("q8_scale").alias("cscale"),
+        col("q8_codes").alias("ccodes"))
+    val qq = quantize(
+      q.select(col("query_id"), slice(col("qvec"), 1, prefixDim).alias("qpre")),
+      "query_id", "qpre")
+      .select(col("query_id"), col("q8_scale").alias("qscale"),
+        col("q8_codes").alias("qcodes"))
+    val approxW = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("corpus_id").asc)
+    val candidates = cq.join(broadcast(qq), col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        (col("qscale") * col("cscale") * dot(col("qcodes"), col("ccodes"))).alias("approx"))
+      .withColumn("arank", row_number().over(approxW))
+      .filter(col("arank") <= k * refine)
+      .select(col("query_id"), col("corpus_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("corpus_id").asc)
+    candidates
+      .join(broadcast(q), Seq("query_id"))
+      .join(c, Seq("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("qvec"), col("cvec")).alias("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("score"))
+  }
+
   /** recall@k of an ANN result against the exact result: fraction of each
     * query's true top-k ids the approximate search recovered, averaged over
     * queries. Both frames use the (query_id, corpus_id) schema of

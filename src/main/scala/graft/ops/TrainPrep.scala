@@ -546,23 +546,28 @@ object TrainPrep {
     *    (bounded by vocabulary), never its Zipf-hot instances, so no
     *    second join family exists at all.
     *  3. The ONE remaining count join (per-doc reduction ⋈ enriched pair
-    *    table) is split by a hot-key rule: the `hotTopK` most frequent
-    *    pairs that also reach `hotCount` — few by Zipf, covering most
-    *    mass — resolve via broadcast, and everything else shuffle-joins.
-    *    The TOP-K CAP makes the broadcast size corpus-invariant
-    *    (≤ hotTopK rows no matter how many pairs cross the threshold at
-    *    100 TB — an absolute threshold alone would broadcast an unbounded
-    *    hot set); the cold-side per-key probe bound becomes
-    *    max(hotCount, c(K-th hottest pair)) — still the corpus count of a
-    *    key OUTSIDE the top K, with AQE skew-join as the backstop if the
-    *    corpus is so large that the K-th pair is itself hot. Correctness
-    *    never depends on the split: hot ∪ cold is the full join either way.
+    *    table) runs, BY DEFAULT, as a plain shuffle join whose build side
+    *    is unique per (w1, w2): Zipf-hot probe partitions are exactly the
+    *    shape AQE's skew-join subdivides at runtime (the probe splits,
+    *    the 1-row build duplicates — measured working end-to-end in
+    *    SCALE.md's SPJ skew section). Measured on the 300 k-doc Zipf
+    *    corpus (`BigramSkewBench`): the plain join beats the round-5
+    *    hot/cold broadcast split 10.7 s vs 14.9 s — after the single-join
+    *    restructure, the split's broadcast/anti/union machinery costs
+    *    more than the skew it insures against. The split is RETAINED
+    *    behind `hotCount`/`hotTopK` for AQE-off deployments: pass a
+    *    finite `hotCount` and the `hotTopK` most frequent pairs above it
+    *    (top-K-capped — corpus-size-invariant broadcast) resolve via
+    *    broadcast, everything else shuffle-joins with per-key probe rows
+    *    bounded by max(hotCount, c(K-th pair)). Correctness never depends
+    *    on the choice: hot ∪ cold is the full join for any setting
+    *    (value-invariance is spec-pinned).
     */
   def bigramFamiliarity(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      hotCount: Long = 4096L,
+      hotCount: Long = Long.MaxValue,
       hotTopK: Int = 100000): DataFrame = {
     // (1) skew-free reduction: (id, w1, w2) → instance count n, from the
     // shared bigram explode (one implementation with pmiPairs). Pinned
@@ -579,22 +584,29 @@ object TrainPrep {
     val pairCounts = Pin(perDoc.groupBy(col("w1"), col("w2"))
       .agg(sum(col("n")).alias("c12"))
       .withColumn("c1", sum(col("c12")).over(wCtx)))
-    // (3) the single hot/cold split join: the top-K hot pairs resolve via
-    // a broadcast inner join, the rest (excluded by a broadcast anti on
-    // the same ≤ K-row set) shuffle-join. The top-K plans as TakeOrdered
-    // (per-partition heads over the persisted counts — no full sort); the
-    // probe side is the persisted reduction, so the branch scans are cache
-    // reads, not recomputes.
-    val hotPairs = pairCounts
-      .orderBy(col("c12").desc, col("w1").asc, col("w2").asc)
-      .limit(hotTopK)
-      .filter(col("c12") >= hotCount)
-    val coldPairs = pairCounts.join(
-      broadcast(hotPairs.select(col("w1"), col("w2"))), Seq("w1", "w2"), "left_anti")
-    val joined = perDoc.join(broadcast(hotPairs), Seq("w1", "w2")).unionByName(
-      perDoc.join(broadcast(hotPairs.select(col("w1"), col("w2"))),
-          Seq("w1", "w2"), "left_anti")
-        .join(coldPairs, Seq("w1", "w2")))
+    // (3) the single count join. Default: plain shuffle join — AQE's
+    // skew-join subdivides Zipf-hot probe partitions at runtime, and the
+    // split machinery below measures SLOWER than this (BigramSkewBench).
+    // With a finite hotCount: the top-K hot pairs resolve via a broadcast
+    // inner join (TakeOrdered over the persisted counts — no full sort),
+    // the rest (excluded by a broadcast anti on the same ≤ K-row set)
+    // shuffle-join; the probe side is the persisted reduction, so the
+    // branch scans are cache reads, not recomputes.
+    val joined =
+      if (hotCount == Long.MaxValue || hotTopK <= 0)
+        perDoc.join(pairCounts, Seq("w1", "w2"))
+      else {
+        val hotPairs = pairCounts
+          .orderBy(col("c12").desc, col("w1").asc, col("w2").asc)
+          .limit(hotTopK)
+          .filter(col("c12") >= hotCount)
+        val coldPairs = pairCounts.join(
+          broadcast(hotPairs.select(col("w1"), col("w2"))), Seq("w1", "w2"), "left_anti")
+        perDoc.join(broadcast(hotPairs), Seq("w1", "w2")).unionByName(
+          perDoc.join(broadcast(hotPairs.select(col("w1"), col("w2"))),
+              Seq("w1", "w2"), "left_anti")
+            .join(coldPairs, Seq("w1", "w2")))
+      }
     joined
       .groupBy(col(idCol))
       .agg(

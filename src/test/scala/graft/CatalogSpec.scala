@@ -149,6 +149,32 @@ class CatalogSpec extends SparkSpec {
     intercept[Exception] { ids("incr:1..99") }
   }
 
+  test("incremental ETL loop: per-range consumption folds to the full recompute") {
+    wh
+    // the checkpoint-and-resume pattern incremental reads exist for: a
+    // consumer maintains a per-key aggregate by folding ONLY each new
+    // range, and the folded state must equal recomputing over the table
+    t((1L, "a", "2024-01-15"))
+      .writeTo("graftv2.bronze.loop").using("parquet")
+      .partitionedBy(col("extraction_date")).createOrReplace()
+    t((2L, "a", "2024-01-15"), (3L, "b", "2024-01-16"))
+      .writeTo("graftv2.bronze.loop").append()
+    t((4L, "b", "2024-01-16"), (5L, "c", "2024-01-16"))
+      .writeTo("graftv2.bronze.loop").append()
+    var state = Map.empty[String, Long]
+    for (snap <- 1 to 3) {
+      val delta = spark.sql(
+        s"SELECT name, count(*) AS n FROM graftv2.bronze.loop " +
+          s"VERSION AS OF 'incr:${snap - 1}..$snap' GROUP BY name")
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      for ((k, n) <- delta) state = state.updated(k, state.getOrElse(k, 0L) + n)
+    }
+    val full = spark.table("graftv2.bronze.loop")
+      .groupBy("name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(state == full, s"incrementally folded state $state != full $full")
+  }
+
   test("time travel: VERSION AS OF serves old snapshots; vacuum expires them") {
     wh
     t((1L, "a", "2024-01-15"))

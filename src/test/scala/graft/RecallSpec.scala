@@ -83,6 +83,14 @@ class RecallSpec extends SparkSpec {
       .join(bf.select(col("query_id"), col("corpus_id"),
         col("score").alias("bf_score")), Seq("query_id", "corpus_id"))
     assert(joined.filter(col("score") =!= col("bf_score")).count() == 0)
+    // the composed int8+prefix funnel loses at most quantization noise
+    // (~1 %) relative to the float prefix funnel
+    val composed = Similarity.matryoshkaQuantizedTopK(e, q, "vec_id",
+      "embedding", k = 10, prefixDim = 16, refine = 4)
+    val rc = Similarity.recallAtK(composed, bf)
+    info(f"int8+matryoshka recall@10 = $rc%.3f")
+    assert(rc >= r - 0.05, f"composed funnel recall $rc%.3f fell past " +
+      f"quantization noise below the float prefix funnel's $r%.3f")
   }
 
   test("int8 quantization error is bounded by scale/2 per element") {
