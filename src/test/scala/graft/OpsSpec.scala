@@ -453,6 +453,31 @@ class OpsSpec extends SparkSpec {
     assert(out == Map(("a", "b") -> 3L, ("b", "a") -> 2L))
   }
 
+  test("round-6 ops tolerate degenerate inputs") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(ops.Dedup.editDistanceDups(empty, "doc_id", "text").isEmpty)
+    assert(TextAnalysis.invertedIndex(empty, "doc_id", "text").isEmpty)
+    assert(TextAnalysis.bpePairCounts(empty, "text").isEmpty)
+    // no token reaches minDf -> empty index, not an error
+    val uniq = Seq((1L, "aa"), (2L, "bb")).toDF("doc_id", "text")
+    assert(TextAnalysis.invertedIndex(uniq, "doc_id", "text", minDf = 2L).isEmpty)
+    // single-char tokens have no within-token pairs
+    assert(TextAnalysis.bpePairCounts(
+      Seq((1L, "a b c")).toDF("doc_id", "text"), "text").isEmpty)
+    // empty history -> incremental dedup degenerates to plain batch dedup
+    val batch = Seq((5L, "k1"), (6L, "k1")).toDF("id", "k")
+    val out = ops.Dedup.incremental(batch.limit(0), batch, Seq("k"), "id")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+    assert(out.toSeq == Seq("k1" -> ((5L, 2L))))
+    // prefixDim past the vector length clamps (slice semantics) — the
+    // funnel degrades to brute force, not an error
+    val e = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val full = ops.Similarity.matryoshkaTopK(e, e, "vec_id", "embedding",
+      k = 2, prefixDim = 64, refine = 1).collect()
+    assert(full.length == 6)
+  }
+
   test("bm25: tf raises the score, absent terms score zero") {
     val d = Seq((1L, "q q a"), (2L, "q a a"), (3L, "a a a")).toDF("doc_id", "text")
     val out = TextAnalysis.bm25(d, "doc_id", "text", Seq("q"))
