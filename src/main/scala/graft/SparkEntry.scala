@@ -1004,6 +1004,39 @@ object SparkEntry {
     "sim_cosine_neardup" -> ((s, dir) =>
       Similarity.cosineNearDups(embs(s, dir), "vec_id", "embedding", dim = 64,
         threshold = 0.30, bits = 6, tables = 4).orderBy("id_a", "id_b")),
+    // k-NN majority-vote label classification over the exact top-5 — the
+    // label column makes the ANN surface an end-to-end classifier; votes
+    // are integer counts, so the check is hash-exact.
+    "sim_knn_classify" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.knnClassify(e, e.filter(col("vec_id") < 10), "vec_id",
+        "embedding", "label", k = 5).orderBy("query_id")
+    }),
+    // Nearest-centroid confusion matrix: per-label centroid via the
+    // fixed-point vec_fixed_sum_agg (order-independent bigint sums — the
+    // centroid is bit-identical across engines), broadcast assignment,
+    // integer cells.
+    "sim_label_confusion" -> ((s, dir) =>
+      Similarity.labelCentroidConfusion(embs(s, dir), "vec_id", "embedding",
+        "label", dim = 64).orderBy("label", "pred")),
+    // 3-iteration damped PageRank over the part↔supplier bipartite graph
+    // from lineitem — exact 1e-12-unit bigint arithmetic (floor-division
+    // contributions), so the ranks hash-match any engine. One edge-table
+    // pass; each iteration is one join + one aggregate.
+    "q_pagerank" -> ((s, dir) => graft.ops.Graph.pageRankTop(s, dir, k = 20)),
+    // Weighted sample without replacement by priority sampling (Duffield-
+    // Lund-Thorup): q = w/u with u hashed from the id — ONE correctly-
+    // rounded division (no pow/ln libm drift); global top-50 plans as
+    // TakeOrderedAndProject.
+    "prep_priority_sample" -> ((s, dir) =>
+      graft.ops.TrainPrep.prioritySample(docs(s, dir), "doc_id",
+        col("n_chars"), k = 50)),
+    // Deterministic global training-order shuffle: contiguous 0-based pos
+    // in hash order via range sort + per-partition offset join — the
+    // scalable enumeration pattern (never a single-partition window).
+    "prep_shuffle_order" -> ((s, dir) =>
+      graft.ops.TrainPrep.shuffleOrder(docs(s, dir), "doc_id")
+        .select(col("pos"), col("doc_id"), col("h")).orderBy("pos")),
     // ── Multimodal columns ──
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.metaSummary(Multimodal.mediaFromDocuments(docs(s, dir)))),
@@ -1924,6 +1957,118 @@ object SparkEntry {
          SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, score
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  /** Mirrors [[graft.ops.Similarity.knnClassify]] (k=5, queries vec_id<10):
+    * exact top-5 by cosine, majority label, ties to the smaller label. */
+  private def knnClassifySql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+                   FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS corpus_id, embedding AS cvec, label FROM embeddings),
+         scored AS (
+           SELECT query_id, corpus_id, label, ${cosSql("qvec", "cvec")} AS score
+           FROM c, q WHERE query_id <> corpus_id),
+         ranked AS (
+           SELECT query_id, label, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, corpus_id) AS rank
+           FROM scored),
+         votes AS (
+           SELECT query_id, CAST(label AS BIGINT) AS pred_label,
+                  count(*) AS votes
+           FROM ranked WHERE rank <= 5 GROUP BY query_id, label),
+         best AS (
+           SELECT query_id, pred_label, votes, row_number() OVER (
+                  PARTITION BY query_id ORDER BY votes DESC, pred_label ASC) AS vr
+           FROM votes)
+       SELECT query_id, pred_label, votes FROM best WHERE vr = 1
+       ORDER BY query_id"""
+
+  /** Mirrors [[graft.ops.Similarity.labelCentroidConfusion]]: fixed-point
+    * (2^-24 unit) elementwise centroid sums — bigint, order-independent —
+    * then argmax-cosine assignment and integer confusion cells. */
+  private def labelConfusionSql: String =
+    s"""WITH ux AS (
+           SELECT label,
+                  unnest(list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 16777216.0) AS BIGINT))) AS fx,
+                  generate_subscripts(embedding, 1) AS ord
+           FROM embeddings),
+         sums AS (SELECT label AS c_label, ord, sum(fx) AS s
+                  FROM ux GROUP BY label, ord),
+         sizes AS (SELECT label AS c_label, count(*) AS n
+                   FROM embeddings GROUP BY label),
+         cent AS (
+           SELECT c_label, list(CAST(s AS DOUBLE) / (n * 16777216.0)
+                                ORDER BY ord) AS cvec
+           FROM sums JOIN sizes USING (c_label) GROUP BY c_label),
+         assigned AS (
+           SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+                  CAST(c.c_label AS BIGINT) AS pred,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC,
+                             c.c_label ASC) AS ar
+           FROM embeddings e, cent c)
+       SELECT label, pred, count(*) AS n FROM assigned WHERE ar = 1
+       GROUP BY label, pred ORDER BY label, pred"""
+
+  /** Mirrors [[graft.ops.Graph.pageRankTop]]: 3 unrolled iterations of the
+    * exact bigint PageRank (1e-12 units, floor division). */
+  private def pageRankSql: String = {
+    def iter(prev: String, n: Int): String =
+      s"""c$n AS (SELECT dst, CAST(sum(r // deg) AS BIGINT) AS m
+                  FROM adj JOIN $prev ON adj.src = $prev.node GROUP BY dst),
+          r$n AS (SELECT b$n.node AS node,
+                         CAST(150000000000 + (85 * COALESCE(c$n.m, 0)) // 100
+                              AS BIGINT) AS r
+                  FROM (SELECT node FROM $prev) b$n
+                  LEFT JOIN c$n ON b$n.node = c$n.dst)"""
+    s"""WITH pairs AS (
+           SELECT DISTINCT CAST(l_partkey AS BIGINT) AS p,
+                           CAST(l_suppkey AS BIGINT) AS s
+           FROM lineitem),
+         edges AS (
+           SELECT 'p:' || p AS src, 's:' || s AS dst FROM pairs
+           UNION ALL
+           SELECT 's:' || s AS src, 'p:' || p AS dst FROM pairs),
+         adj AS (
+           SELECT e.src, e.dst, d.deg
+           FROM (SELECT DISTINCT src, dst FROM edges) e
+           JOIN (SELECT src, count(*) AS deg FROM edges GROUP BY src) d
+           USING (src)),
+         r0 AS (SELECT DISTINCT src AS node,
+                       CAST(1000000000000 AS BIGINT) AS r FROM adj),
+         ${iter("r0", 1)},
+         ${iter("r1", 2)},
+         ${iter("r2", 3)}
+       SELECT node, r AS rank_units FROM r3
+       ORDER BY rank_units DESC, node LIMIT 20"""
+  }
+
+  /** Mirrors [[graft.ops.TrainPrep.prioritySample]] (k=50, weight n_chars):
+    * q = w/u, u = (knuth_hash(id) + 0.5) / 2^32 — identical op order. */
+  private def prioritySampleSql: String =
+    s"""WITH keyed AS (
+           SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+                  CAST(n_chars AS DOUBLE) /
+                    ((CAST((doc_id * 2654435761 + 97531) % 4294967296 AS DOUBLE)
+                      + 0.5) / 4294967296.0) AS priority
+           FROM documents),
+         ranked AS (
+           SELECT row_number() OVER (ORDER BY priority DESC, doc_id) AS rank,
+                  doc_id, weight, priority
+           FROM keyed)
+       SELECT CAST(rank AS INT) AS rank, doc_id, weight, priority
+       FROM ranked WHERE rank <= 50 ORDER BY rank"""
+
+  /** Mirrors [[graft.ops.TrainPrep.shuffleOrder]]: the oracle's global
+    * row_number equals the engine's offset + within-partition enumeration
+    * because the range partitioner preserves (h, doc_id) order. */
+  private def shuffleOrderSql: String =
+    s"""SELECT CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos,
+              doc_id, h
+       FROM (SELECT doc_id,
+                    (doc_id * 2654435761 + 40507) % 4294967296 AS h
+             FROM documents)
+       ORDER BY pos"""
+
   /** DuckDB-runnable oracle SQL per query (same column names and exact
     * arithmetic as the Spark side). Every query is hash-checked: the sketch
     * pipelines run their production code path under the injectable
@@ -1942,6 +2087,11 @@ object SparkEntry {
     "dedup_corpus" -> dedupCorpusSql,
     "sim_topk_bruteforce" -> bruteForceTopkSql,
     "sim_topk_ivf" -> ivfTopkSql,
+    "sim_knn_classify" -> knnClassifySql,
+    "sim_label_confusion" -> labelConfusionSql,
+    "q_pagerank" -> pageRankSql,
+    "prep_priority_sample" -> prioritySampleSql,
+    "prep_shuffle_order" -> shuffleOrderSql,
     "sim_topk_int8" -> quantizedTopkSql,
     "sim_topk_matryoshka" -> matryoshkaTopkSql,
     "sim_topk_mrl_int8" -> mrlInt8TopkSql,

@@ -140,6 +140,85 @@ case class SimhashAgg(
     copy(child = c.head)
 }
 
+/** `vec_fixed_sum_agg(vec, dim)` → array<long>: elementwise sum of vectors
+  * in 2^-24 fixed-point units (`floor(x_i * 2^24)` per element, summed as
+  * bigint).
+  *
+  * Why fixed-point and not a double sum: floating addition is not
+  * associative, so a double centroid sum depends on partition order — a
+  * different shuffle (or a retry) yields a last-ulp-different centroid and
+  * a non-reproducible nearest-centroid assignment. `x * 2^24` is EXACT for
+  * any float32 in the embedding range (power-of-two scaling only shifts the
+  * exponent), `floor` is engine-invariant, and bigint sums commute — the
+  * aggregate is bit-identical across partitionings, retries, and engines.
+  * One primitive-long buffer per group; partial aggregation map-side under
+  * ObjectHashAggregateExec like the sketch aggregates above. */
+case class VecFixedSumAgg(
+    child: Expression,
+    dim: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  private val scale = 16777216.0 // 2^24
+  @transient private lazy val et =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](dim)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = math.min(dim, arr.numElements())
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val x = et match {
+            case FloatType  => arr.getFloat(i).toDouble
+            case DoubleType => arr.getDouble(i)
+            case IntegerType => arr.getInt(i).toDouble
+            case LongType   => arr.getLong(i).toDouble
+            case other => throw new IllegalArgumentException(
+              s"vec_fixed_sum_agg: unsupported element type $other")
+          }
+          buf(i) += math.floor(x * scale).toLong
+        }
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < dim) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * dim)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(dim)(bb.getLong)
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "vec_fixed_sum_agg"
+  override def withNewMutableAggBufferOffset(o: Int): VecFixedSumAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): VecFixedSumAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+}
+
 object SketchAggregates {
 
   def minhashAgg(h: Column, numHashes: Int): Column =
@@ -147,4 +226,7 @@ object SketchAggregates {
 
   def simhashAgg(h: Column): Column =
     Shims.column(SimhashAgg(Shims.expression(h)).toAggregateExpression())
+
+  def vecFixedSumAgg(vec: Column, dim: Int): Column =
+    Shims.column(VecFixedSumAgg(Shims.expression(vec), dim).toAggregateExpression())
 }

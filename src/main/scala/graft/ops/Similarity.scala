@@ -519,4 +519,69 @@ object Similarity {
       .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).alias("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** k-NN majority-vote classification: each query's label is the most
+    * frequent label among its `k` exact nearest neighbors (ties → smaller
+    * label). Same scale shape as [[bruteForceTopK]] (broadcast queries,
+    * corpus never shuffled); the vote is a k×|queries|-row aggregate.
+    * Output: (query_id, pred_label, votes) — all integers, hash-exact. */
+  def knnClassify(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    val top = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+    val labels = corpus.select(col(idCol).alias("corpus_id"),
+      col(labelCol).cast("long").alias("nbr_label"))
+    val votes = top.join(labels, "corpus_id")
+      .groupBy(col("query_id"), col("nbr_label"))
+      .agg(count(lit(1)).alias("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("nbr_label").asc)
+    votes.withColumn("vr", row_number().over(w))
+      .filter(col("vr") === 1)
+      .select(col("query_id"), col("nbr_label").alias("pred_label"), col("votes"))
+  }
+
+  /** Nearest-centroid confusion matrix: per-label centroids (exact
+    * fixed-point elementwise mean via [[graft.functions.SketchAggregates
+    * .vecFixedSumAgg]] — order-independent bigint sums, so the centroid is
+    * bit-identical across partitionings and engines), then every vector is
+    * assigned to its highest-cosine centroid and (true label, predicted,
+    * count) cells are emitted.
+    *
+    * Scale: the centroid aggregate partially combines map-side into one
+    * 64-long buffer per label per partition; the assignment is a broadcast
+    * join against |labels| centroid rows — the corpus is scanned once and
+    * never shuffled on anything wider than the final (label, pred) cells. */
+  def labelCentroidConfusion(
+      embs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      dim: Int): DataFrame = {
+    import graft.functions.SketchAggregates.vecFixedSumAgg
+    val sums = embs.groupBy(col(labelCol).cast("long").alias("c_label"))
+      .agg(vecFixedSumAgg(col(vecCol), dim).alias("s"),
+        count(lit(1)).alias("n"))
+    // centroid_j = (Σ floor(x_j·2^24)) / (n·2^24): one correctly-rounded
+    // division of exactly-representable operands — engine-invariant.
+    val centroids = sums.select(col("c_label"),
+      transform(col("s"),
+        e => e.cast("double") / (col("n").cast("double") * lit(16777216.0)))
+        .alias("cvec"))
+    val assigned = embs
+      .select(col(idCol).alias("v_id"), col(vecCol).alias("vec"),
+        col(labelCol).cast("long").alias("label"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("score", cosine(col("vec"), col("cvec")))
+    val w = Window.partitionBy(col("v_id"))
+      .orderBy(col("score").desc, col("c_label").asc)
+    assigned.withColumn("ar", row_number().over(w))
+      .filter(col("ar") === 1)
+      .groupBy(col("label"), col("c_label").alias("pred"))
+      .agg(count(lit(1)).alias("n"))
+  }
 }

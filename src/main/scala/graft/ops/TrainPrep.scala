@@ -671,4 +671,84 @@ object TrainPrep {
           .otherwise(col("imp_num").cast("double") / col("imp_den").cast("double"))
           .alias("weight"))
   }
+
+  /** Deterministic uniform in (0,1) derived from an integer id: Knuth
+    * multiplicative hash into 32 bits, then `(h + 0.5) / 2^32` — exact in
+    * double (numerator and denominator are small integers), so every engine
+    * computes the identical value. */
+  private def unitUniform(idC: Column): Column =
+    (pmod(idC.cast("long") * lit(2654435761L) + lit(97531L), lit(4294967296L))
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+
+  /** Weighted sample without replacement via priority sampling
+    * (Duffield–Lund–Thorup, "Priority sampling for estimation of arbitrary
+    * subset sums", JACM 2007): priority q_i = w_i / u_i with u_i uniform in
+    * (0,1); the k highest-priority rows are the sample. Inclusion
+    * probability ≈ min(1, w_i/τ) — weight-proportional for small weights.
+    *
+    * Chosen over the Efraimidis–Spirtes u^(1/w) key because q = w/u is ONE
+    * correctly-rounded division of exactly-representable values —
+    * bit-identical across engines — while pow/ln are libm-dependent.
+    *
+    * Scale: global top-k plans as TakeOrderedAndProject (per-partition
+    * top-k, merge of k×partitions rows) — no global sort, no full shuffle.
+    * Deterministic: u is hashed from the id, ties broken by id. */
+  def prioritySample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: Column,
+      k: Int): DataFrame = {
+    val keyed = df
+      .withColumn("weight", weightCol.cast("double"))
+      .withColumn("priority", col("weight") / unitUniform(col(idCol)))
+    val picked = keyed
+      .orderBy(col("priority").desc, col(idCol).asc)
+      .limit(k)
+    val w = Window.orderBy(col("priority").desc, col(idCol).asc)
+    picked // window runs over k already-limited rows, not the corpus
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col(idCol), col("weight"), col("priority"))
+  }
+
+  /** Deterministic global training-order shuffle: every row gets a unique
+    * contiguous position `pos` (0-based) in hash-of-id order.
+    *
+    * The scalable global-enumeration pattern — NOT a single-partition
+    * `row_number()` window (which serializes the corpus through one task):
+    *  1. range-repartition + sort within partitions on (hash, id) — Spark
+    *     samples range bounds, so partitions are balanced;
+    *  2. count rows per partition (tiny aggregate: one row per partition);
+    *  3. prefix-sum those counts into per-partition offsets (window over
+    *     #partitions rows, not data rows);
+    *  4. broadcast-join offsets back and add the within-partition
+    *     `row_number()` (parallel: each window partition IS a data
+    *     partition).
+    * Two passes over the data, every stage parallel — the same shape RDD
+    * `zipWithIndex` uses, expressed in DataFrame operators so pushdown and
+    * codegen survive. */
+  def shuffleOrder(df: DataFrame, idCol: String): DataFrame = {
+    // Small additive constant: keeps id*mult+add inside 63 bits for any id
+    // the oracle engines see — bigint overflow WRAPS in Spark (ANSI off)
+    // but ERRORS in DuckDB, so the hash must never overflow on either side.
+    val hashed = df.withColumn("h",
+      pmod(col(idCol).cast("long") * lit(2654435761L) + lit(40507L),
+        lit(4294967296L)))
+    val parts = math.max(2, hashed.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt / 2)
+    val sorted = hashed
+      .repartitionByRange(parts, col("h"), col(idCol))
+      .sortWithinPartitions(col("h"), col(idCol))
+      .withColumn("pid", spark_partition_id())
+    val counts = sorted.groupBy("pid").agg(count(lit(1)).as("n"))
+    val offW = Window.orderBy(col("pid").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = counts // #partitions rows — the only single-task window
+      .withColumn("offset", sum(col("n")).over(offW) - col("n"))
+      .select("pid", "offset")
+    val rnW = Window.partitionBy(col("pid")).orderBy(col("h").asc, col(idCol).asc)
+    sorted
+      .join(broadcast(offsets), Seq("pid"))
+      .withColumn("pos", col("offset") + row_number().over(rnW) - 1)
+      .drop("pid", "offset")
+  }
 }

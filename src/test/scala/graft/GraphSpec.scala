@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Graph, Similarity}
+
+/** Unit tests for the graph + classifier operators: hand-computed PageRank
+  * goldens (the bigint fixed-point arithmetic makes them exactly
+  * predictable), partition-order invariance, and the k-NN / nearest-
+  * centroid classification fixtures.
+  */
+class GraphSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("pageRank: one star-graph iteration matches the hand-computed bigints") {
+    // hub a <-> leaves b, c: deg(a)=2, deg(b)=deg(c)=1, all ranks start 1e12
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "a"), ("c", "a"))
+      .toDF("src", "dst")
+    val r = Graph.pageRank(edges, iterations = 1)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    // a: 0.15 + 0.85 * (1e12 + 1e12)      = 1.85e12
+    // b: 0.15 + 0.85 * (1e12 div 2)       = 5.75e11
+    assert(r("a") == 1850000000000L)
+    assert(r("b") == 575000000000L)
+    assert(r("c") == 575000000000L)
+  }
+
+  test("pageRank: exact bigint arithmetic is partition-order invariant") {
+    val edges = Seq.tabulate(40)(i => (s"n${i % 7}", s"n${(i * 3 + 1) % 7}"))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    val once = Graph.pageRank(edges, iterations = 3)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toSortedResult
+    val shuffled = Graph.pageRank(edges.repartition(13), iterations = 3)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toSortedResult
+    assert(once == shuffled)
+  }
+
+  test("pageRank: damping mass stays bounded (no rank explosion)") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val ranks = Graph.pageRank(Graph.partSupplierEdges(li), iterations = 3)
+    val n = ranks.count()
+    val total = ranks.agg(sum("rank_units")).head.getLong(0)
+    // total mass <= N * 1.0 ranks (floor division only loses mass) and
+    // >= N * 0.15 (the base term alone)
+    assert(total <= n * 1000000000000L)
+    assert(total >= n * 150000000000L)
+  }
+
+  private lazy val labeled = Seq(
+    (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.9f, 0.1f), 0),
+    (2L, Array(0.95f, 0.05f), 0),
+    (3L, Array(0.0f, 1.0f), 1), (4L, Array(0.1f, 0.9f), 1),
+    (5L, Array(0.05f, 0.95f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("knnClassify: majority label of the true neighborhood wins") {
+    val out = Similarity.knnClassify(labeled,
+        labeled.filter(col("vec_id") === 0L), "vec_id", "embedding", "label",
+        k = 3)
+      .collect()
+    assert(out.length == 1)
+    // neighbors of (1,0): ids 2, 1 (label 0) then one of label 1 -> 2 votes
+    assert(out.head.getAs[Long]("pred_label") == 0L)
+    assert(out.head.getAs[Long]("votes") == 2L)
+  }
+
+  test("knnClassify: vote ties resolve to the smaller label") {
+    val two = Seq(
+      (0L, Array(1.0f, 1.0f), 9), (1L, Array(1.0f, 0.9f), 1),
+      (2L, Array(0.9f, 1.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(two, two.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", "label", k = 2).collect()
+    assert(out.head.getAs[Long]("pred_label") == 0L) // 1-1 tie -> label 0
+  }
+
+  test("labelCentroidConfusion: separated clusters give a diagonal matrix") {
+    val cells = Similarity.labelCentroidConfusion(labeled, "vec_id",
+        "embedding", "label", dim = 2)
+      .collect().map(r => (r.getAs[Long]("label"), r.getAs[Long]("pred"),
+        r.getAs[Long]("n"))).toSet
+    assert(cells == Set((0L, 0L, 3L), (1L, 1L, 3L)))
+  }
+
+  test("labelCentroidConfusion: fixed-point centroids are partition invariant") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = Similarity.labelCentroidConfusion(embs, "vec_id", "embedding",
+      "label", dim = 64).collect().map(_.toSeq).toSortedResult
+    val b = Similarity.labelCentroidConfusion(embs.repartition(11), "vec_id",
+      "embedding", "label", dim = 64).collect().map(_.toSeq).toSortedResult
+    assert(a == b)
+  }
+
+  private implicit class Sortable[T](xs: Array[T]) {
+    def toSortedResult: Seq[String] = xs.map(_.toString).toSeq.sorted
+  }
+}

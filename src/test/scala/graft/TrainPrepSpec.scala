@@ -434,4 +434,69 @@ class TrainPrepSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
   }
+
+  test("prioritySample: matches the priority formula computed independently") {
+    import spark.implicits._
+    val rows = Seq.tabulate(100)(i => (i.toLong, (i % 13) + 1))
+    val df = rows.toDF("id", "w")
+    val out = TrainPrep.prioritySample(df, "id", col("w"), k = 10)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("id")))
+    // reference: same arithmetic in plain Scala
+    val ref = rows.map { case (id, w) =>
+      val h = (id * 2654435761L + 97531L) % 4294967296L
+      val u = (h.toDouble + 0.5) / 4294967296.0
+      (id, w.toDouble / u)
+    }.sortBy { case (id, pr) => (-pr, id) }.take(10)
+      .zipWithIndex.map { case ((id, _), i) => (i + 1, id) }
+    assert(out.toSeq == ref)
+  }
+
+  test("prioritySample: higher weight raises inclusion odds (same hashes)") {
+    import spark.implicits._
+    // weight 1000 vs weight 1 on identical id-hash streams: the heavy
+    // rows must dominate the sample
+    val df = Seq.tabulate(200)(i =>
+      (i.toLong, if (i < 20) 1000 else 1)).toDF("id", "w")
+    val picked = TrainPrep.prioritySample(df, "id", col("w"), k = 10)
+      .collect().map(_.getAs[Long]("id"))
+    assert(picked.count(_ < 20) >= 8, s"heavy rows under-sampled: ${picked.toSeq}")
+  }
+
+  test("prioritySample plans a global top-k, not a full sort") {
+    import spark.implicits._
+    val df = Seq.tabulate(50)(i => (i.toLong, i + 1)).toDF("id", "w")
+    val p = TrainPrep.prioritySample(df, "id", col("w"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("shuffleOrder: pos is the exact (hash, id)-order permutation") {
+    import spark.implicits._
+    val df = Seq.tabulate(97)(i => (i.toLong, s"d$i")).toDF("id", "text")
+    val out = TrainPrep.shuffleOrder(df, "id")
+      .select("pos", "id", "h").collect()
+      .map(r => (r.getAs[Long]("pos"), r.getAs[Long]("id"), r.getAs[Long]("h")))
+    assert(out.map(_._1).sorted.toSeq == (0L until 97L))
+    // positions enumerate rows in (h, id) order
+    val byPos = out.sortBy(_._1).map(t => (t._3, t._2)).toSeq
+    assert(byPos == byPos.sorted)
+    // deterministic under input partitioning
+    val again = TrainPrep.shuffleOrder(df.repartition(7), "id")
+      .select("pos", "id").collect()
+      .map(r => (r.getAs[Long]("pos"), r.getAs[Long]("id"))).sortBy(_._1).toSeq
+    assert(again == out.sortBy(_._1).map(t => (t._1, t._2)).toSeq)
+  }
+
+  test("shuffleOrder: range-partitioned sort, windows never see the corpus " +
+    "in one partition") {
+    import spark.implicits._
+    val df = Seq.tabulate(50)(i => (i.toLong, s"d$i")).toDF("id", "text")
+    val plan = TrainPrep.shuffleOrder(df, "id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning") || plan.contains("RangePartitioning"))
+    // the per-partition enumeration window is keyed by pid — a non-empty
+    // windowspecdefinition, so no data-wide single-partition window
+    // (plan string, not a tree collect: AQE wraps the tree pre-execution)
+    assert(plan.contains("windowspecdefinition(pid"))
+  }
 }
