@@ -51,7 +51,11 @@ object Bench {
     // round-6 operators: blocked Levenshtein, rare-term posting lists,
     // Matryoshka prefix funnel, hash-ring negatives, BPE pair counts
     "dedup_editdistance", "text_inverted_index", "sim_topk_matryoshka",
-    "prep_negatives", "prep_bpe_pairs")
+    "prep_negatives", "prep_bpe_pairs",
+    // round-6 graph/classifier/ordering operators: the iterative PageRank
+    // (multi-job loop — a cost profile nothing else in the set has), the
+    // fixed-point centroid aggregate, and the two-pass global enumeration
+    "q_pagerank", "sim_label_confusion", "prep_shuffle_order")
 
   /** Warm iterations per query; the median is reported. */
   val WarmIters = 3

@@ -2021,13 +2021,13 @@ object SparkEntry {
                   FROM (SELECT node FROM $prev) b$n
                   LEFT JOIN c$n ON b$n.node = c$n.dst)"""
     s"""WITH pairs AS (
-           SELECT DISTINCT CAST(l_partkey AS BIGINT) AS p,
-                           CAST(l_suppkey AS BIGINT) AS s
+           SELECT DISTINCT CAST(l_partkey AS BIGINT) * 2 AS p,
+                           CAST(l_suppkey AS BIGINT) * 2 + 1 AS s
            FROM lineitem),
          edges AS (
-           SELECT 'p:' || p AS src, 's:' || s AS dst FROM pairs
+           SELECT p AS src, s AS dst FROM pairs
            UNION ALL
-           SELECT 's:' || s AS src, 'p:' || p AS dst FROM pairs),
+           SELECT s AS src, p AS dst FROM pairs),
          adj AS (
            SELECT e.src, e.dst, d.deg
            FROM (SELECT DISTINCT src, dst FROM edges) e
@@ -2037,9 +2037,13 @@ object SparkEntry {
                        CAST(1000000000000 AS BIGINT) AS r FROM adj),
          ${iter("r0", 1)},
          ${iter("r1", 2)},
-         ${iter("r2", 3)}
-       SELECT node, r AS rank_units FROM r3
-       ORDER BY rank_units DESC, node LIMIT 20"""
+         ${iter("r2", 3)},
+         top AS (SELECT node, r AS rank_units FROM r3
+                 ORDER BY rank_units DESC, node LIMIT 20)
+       SELECT CASE WHEN node % 2 = 0 THEN 'p:' || (node // 2)
+                   ELSE 's:' || ((node - 1) // 2) END AS node,
+              rank_units
+       FROM top ORDER BY rank_units DESC, node"""
   }
 
   /** Mirrors [[graft.ops.TrainPrep.prioritySample]] (k=50, weight n_chars):

