@@ -457,6 +457,14 @@ object SparkEntry {
       TextAnalysis.bm25(docs(s, dir), "doc_id", "text",
           Seq("spark", "merge", "window"))
         .orderBy(col("score").desc, col("doc_id"))),
+    // Heavy hitters with Count-Min estimates: the exact top-20 tokens,
+    // each with its estimate from a 4×64 mergeable integer sketch of the
+    // full token stream (est ≥ exact; the collision gap is part of the
+    // checked output). The sketch reduce moves a fixed-size table, never
+    // tokens.
+    "text_heavy_hitters" -> ((s, dir) =>
+      TextAnalysis.heavyHitters(docs(s, dir), "text", k = 20,
+        depth = 4, width = 64, tokenHash = Dedup.oracleHash)),
     // Collocation mining: top-30 bigrams by PMI ratio (exp(PMI) — exact
     // counts, one multiply/divide, no ln). Marginals join the pair table,
     // never the instance table.
@@ -2046,6 +2054,46 @@ object SparkEntry {
        FROM top ORDER BY rank_units DESC, node"""
   }
 
+  /** Mirrors [[graft.ops.TextAnalysis.heavyHitters]] (k=20, depth=4,
+    * width=64, polynomial token hash): rebuilds the probed Count-Min
+    * buckets per hash row and takes the min — integer arithmetic end to
+    * end, so the estimates hash-match exactly. */
+  private def heavyHittersSql: String = {
+    val p = 2147483647L
+    val rows = (0 until 4).map { i =>
+      val a = 1103515245L * (i + 1) % p
+      val b = 12345L * (i * 2 + 1) % p
+      (i, a, b)
+    }
+    val cnts = rows.map { case (i, a, b) =>
+      s"""cnt$i AS (SELECT ((h * $a + $b) % $p) % 64 AS bkt, count(*) AS c
+                    FROM inst GROUP BY 1)"""
+    }.mkString(",\n         ")
+    val joins = rows.map { case (i, a, b) =>
+      s"JOIN cnt$i ON cnt$i.bkt = ((top.h * $a + $b) % $p) % 64"
+    }.mkString("\n       ")
+    s"""WITH toks AS (
+           SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS token
+           FROM documents),
+         inst AS (
+           SELECT token,
+                  list_reduce(list_prepend(CAST(7 AS BIGINT),
+                    list_transform(list_filter(string_split(token, ''), c -> c <> ''),
+                                   c -> CAST(ascii(c) AS BIGINT))),
+                    (a, c) -> (a * 31 + c) % 1000000007) AS h
+           FROM toks),
+         top AS (
+           SELECT token, h, count(*) AS exact_count FROM inst GROUP BY 1, 2
+           ORDER BY exact_count DESC, token LIMIT 20),
+         $cnts
+       SELECT top.token AS token, top.exact_count AS exact_count,
+              least(cnt0.c, cnt1.c, cnt2.c, cnt3.c) AS est_count
+       FROM top
+       $joins
+       ORDER BY exact_count DESC, token"""
+  }
+
   /** Mirrors [[graft.ops.TrainPrep.prioritySample]] (k=50, weight n_chars):
     * q = w/u, u = (knuth_hash(id) + 0.5) / 2^32 — identical op order. */
   private def prioritySampleSql: String =
@@ -2092,6 +2140,7 @@ object SparkEntry {
     "sim_topk_bruteforce" -> bruteForceTopkSql,
     "sim_topk_ivf" -> ivfTopkSql,
     "sim_knn_classify" -> knnClassifySql,
+    "text_heavy_hitters" -> heavyHittersSql,
     "sim_label_confusion" -> labelConfusionSql,
     "q_pagerank" -> pageRankSql,
     "prep_priority_sample" -> prioritySampleSql,

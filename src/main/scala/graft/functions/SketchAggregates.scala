@@ -219,6 +219,75 @@ case class VecFixedSumAgg(
     copy(child = c.head)
 }
 
+/** `count_min_agg(h, depth, width)` → array<long> of `depth*width` counters:
+  * a Count-Min sketch (Cormode–Muthukrishnan, J.Alg 2005) over the group's
+  * 64-bit hash values. Row `i` uses the same LCG-derived pairwise hash
+  * family as [[MinhashAgg]]: `bucket_i(x) = ((a_i·x + b_i) mod p) mod w`.
+  *
+  * Why it scales: the buffer is ONE primitive-long array of depth×width
+  * per group regardless of input cardinality, counters merge by elementwise
+  * addition (partial aggregation map-side; the shuffle carries the fixed-
+  * size table, never the token stream), and estimates are `min_i
+  * cms[i][bucket_i(x)]` — always ≥ the true count, within εN with
+  * probability 1−δ for w=⌈e/ε⌉, d=⌈ln 1/δ⌉. All arithmetic is integer,
+  * so the sketch is bit-identical across partitionings and engines. */
+case class CountMinAgg(
+    child: Expression,
+    depth: Int,
+    width: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  private val p = 2147483647L
+  private val as = Array.tabulate(depth)(i => 1103515245L * (i + 1) % p)
+  private val bs = Array.tabulate(depth)(i => 12345L * (i * 2 + 1) % p)
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var i = 0
+      while (i < depth) {
+        val bkt = (((h * as(i) + bs(i)) % p) % width).toInt
+        buf(i * width + bkt) += 1L
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b1.length) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buf.length)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(depth * width)(bb.getLong)
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "count_min_agg"
+  override def withNewMutableAggBufferOffset(o: Int): CountMinAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CountMinAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+}
+
 object SketchAggregates {
 
   def minhashAgg(h: Column, numHashes: Int): Column =
@@ -229,4 +298,7 @@ object SketchAggregates {
 
   def vecFixedSumAgg(vec: Column, dim: Int): Column =
     Shims.column(VecFixedSumAgg(Shims.expression(vec), dim).toAggregateExpression())
+
+  def countMinAgg(h: Column, depth: Int, width: Int): Column =
+    Shims.column(CountMinAgg(Shims.expression(h), depth, width).toAggregateExpression())
 }

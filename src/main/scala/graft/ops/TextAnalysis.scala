@@ -468,4 +468,52 @@ object TextAnalysis {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(topK)
   }
+
+  /** Heavy hitters with Count-Min estimates: the exact top-k tokens by
+    * occurrence count, each with the estimate a [[graft.functions
+    * .CountMinAgg]] sketch of the whole token stream gives for it
+    * (`est_count ≥ exact_count` always; the gap is the sketch's collision
+    * error, surfaced in the checked output on purpose).
+    *
+    * Why this shape scales: the sketch is ONE depth×width long array built
+    * with map-side partial aggregation — the full token stream never
+    * shuffles for the estimate (only the fixed-size tables merge), so a
+    * 100 TB corpus costs one narrow pass plus a few-KB reduce. The exact
+    * side here is the verification harness; a production pipeline at scale
+    * keeps ONLY the sketch (bounded memory, mergeable across files/days)
+    * and probes candidate tokens against it.
+    *
+    * All arithmetic is integer (hash family shared with [[graft.functions
+    * .MinhashAgg]]), so sketch contents and estimates are bit-identical
+    * across partitionings and engines — the DuckDB oracle rebuilds the
+    * probed buckets and hash-matches. */
+  def heavyHitters(
+      docs: DataFrame,
+      textCol: String,
+      k: Int,
+      depth: Int = 4,
+      width: Int = 64,
+      tokenHash: Column => Column = graft.ops.Dedup.xxHash): DataFrame = {
+    val p = 2147483647L
+    val inst = docs.select(
+        explode(tokens(col(textCol))).alias("token"))
+      .withColumn("h", tokenHash(col("token")))
+    val cms = inst.agg(
+      graft.functions.SketchAggregates.countMinAgg(col("h"), depth, width)
+        .alias("cms"))
+    val top = inst.groupBy(col("token"), col("h"))
+      .agg(count(lit(1)).alias("exact_count"))
+      .orderBy(col("exact_count").desc, col("token").asc)
+      .limit(k)
+    val est = least((0 until depth).map { i =>
+      val a = 1103515245L * (i + 1) % p
+      val b = 12345L * (i * 2 + 1) % p
+      element_at(col("cms"),
+        (lit(i * width) + pmod(pmod(col("h") * a + b, lit(p)), lit(width)) + 1)
+          .cast("int"))
+    }: _*)
+    top.crossJoin(broadcast(cms))
+      .select(col("token"), col("exact_count"), est.alias("est_count"))
+      .orderBy(col("exact_count").desc, col("token").asc)
+  }
 }

@@ -478,6 +478,38 @@ class OpsSpec extends SparkSpec {
     assert(full.length == 6)
   }
 
+  test("count_min_agg: hand-computed 2x4 sketch golden") {
+    import graft.functions.SketchAggregates.countMinAgg
+    val hashes = Seq(1L, 1L, 2L).toDF("h")
+    val out = hashes.agg(countMinAgg(col("h"), depth = 2, width = 4).as("cms"))
+      .head.getSeq[Long](0)
+    // row0: a=1103515245,b=12345 -> bucket(1)=2, bucket(2)=0
+    // row1: a=59546843,b=37035   -> bucket(1)=2, bucket(2)=1
+    assert(out == Seq(1L, 0L, 2L, 0L, 0L, 1L, 2L, 0L))
+  }
+
+  test("count_min_agg: sketch is identical under repartitioning (mergeable)") {
+    import graft.functions.SketchAggregates.countMinAgg
+    val hashes = Seq.tabulate(500)(i => (i * 7919L) % 1000003L).toDF("h")
+    val one = hashes.coalesce(1)
+      .agg(countMinAgg(col("h"), 4, 32).as("cms")).head.getSeq[Long](0)
+    val many = hashes.repartition(13)
+      .agg(countMinAgg(col("h"), 4, 32).as("cms")).head.getSeq[Long](0)
+    assert(one == many)
+  }
+
+  test("heavyHitters: est >= exact for every token; exact counts right") {
+    val d = Seq((1L, "a a a b b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val out = TextAnalysis.heavyHitters(d, "text", k = 10,
+        depth = 4, width = 8, tokenHash = Dedup.oracleHash)
+      .collect().map(r => r.getAs[String]("token") ->
+        ((r.getAs[Long]("exact_count"), r.getAs[Long]("est_count")))).toMap
+    assert(out("a")._1 == 4L && out("b")._1 == 3L && out("c")._1 == 1L)
+    out.values.foreach { case (exact, est) => assert(est >= exact) }
+    // tiny width forces collisions across 4 distinct tokens in 8 buckets —
+    // the sketch property (never under-counts) is what must hold
+  }
+
   test("bm25: tf raises the score, absent terms score zero") {
     val d = Seq((1L, "q q a"), (2L, "q a a"), (3L, "a a a")).toDF("doc_id", "text")
     val out = TextAnalysis.bm25(d, "doc_id", "text", Seq("q"))
