@@ -465,6 +465,12 @@ object SparkEntry {
     "text_heavy_hitters" -> ((s, dir) =>
       TextAnalysis.heavyHitters(docs(s, dir), "text", k = 20,
         depth = 4, width = 64, tokenHash = Dedup.oracleHash)),
+    // Sparse TF-cosine doc pairs via capped posting lists (champion-list
+    // pattern): per-token fanout bounded by maxPostings² regardless of
+    // token heat; exact bigint dots/norms, one fixed-order cosine.
+    "text_sparse_cosine" -> ((s, dir) =>
+      TextAnalysis.sparseCosinePairs(docs(s, dir), "doc_id", "text",
+        minDf = 2L, maxPostings = 100, topK = 30)),
     // Collocation mining: top-30 bigrams by PMI ratio (exp(PMI) — exact
     // counts, one multiply/divide, no ln). Marginals join the pair table,
     // never the instance table.
@@ -2094,6 +2100,42 @@ object SparkEntry {
        ORDER BY exact_count DESC, token"""
   }
 
+  /** Mirrors [[graft.ops.TextAnalysis.sparseCosinePairs]] (minDf=2,
+    * maxPostings=100, topK=30): same deterministic champion cap
+    * (tf desc, doc asc), exact bigint dots/norms, identical cosine
+    * expression order. */
+  private def sparseCosineSql: String =
+    s"""WITH toks AS (
+           SELECT doc_id,
+                  unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         champ AS (
+           SELECT doc_id, token, tf FROM (
+             SELECT tf.doc_id, tf.token, tf.tf,
+                    row_number() OVER (PARTITION BY tf.token
+                      ORDER BY tf.tf DESC, tf.doc_id ASC) AS pr
+             FROM tf JOIN dfreq USING (token) WHERE df >= 2) c
+           WHERE pr <= 100),
+         norms AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
+                   FROM champ GROUP BY 1),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+           FROM champ a JOIN champ b
+             ON a.token = b.token AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+       SELECT doc_a, doc_b, dot,
+              CAST(dot AS DOUBLE) /
+                (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+                AS score
+       FROM pairs
+       JOIN norms na ON na.doc_id = doc_a
+       JOIN norms nb ON nb.doc_id = doc_b
+       ORDER BY score DESC, doc_a, doc_b LIMIT 30"""
+
   /** Mirrors [[graft.ops.TrainPrep.prioritySample]] (k=50, weight n_chars):
     * q = w/u, u = (knuth_hash(id) + 0.5) / 2^32 — identical op order. */
   private def prioritySampleSql: String =
@@ -2141,6 +2183,7 @@ object SparkEntry {
     "sim_topk_ivf" -> ivfTopkSql,
     "sim_knn_classify" -> knnClassifySql,
     "text_heavy_hitters" -> heavyHittersSql,
+    "text_sparse_cosine" -> sparseCosineSql,
     "sim_label_confusion" -> labelConfusionSql,
     "q_pagerank" -> pageRankSql,
     "prep_priority_sample" -> prioritySampleSql,

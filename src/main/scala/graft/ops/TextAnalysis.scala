@@ -516,4 +516,63 @@ object TextAnalysis {
       .select(col("token"), col("exact_count"), est.alias("est_count"))
       .orderBy(col("exact_count").desc, col("token").asc)
   }
+
+  /** Sparse TF-cosine document-pair similarity via capped posting lists —
+    * the inverted-index complement to [[Similarity]]'s dense ANN.
+    *
+    * Scale design (the champion-list pattern of classic IR engines):
+    *  - per-doc term frequencies fold INSIDE the scan
+    *    ([[graft.functions.TokenCounts]]) — the first exchange already
+    *    carries (doc, token, tf), never raw token instances;
+    *  - hapax terms (df < minDf) can't create pairs and are dropped;
+    *  - each surviving posting list is CAPPED to its `maxPostings`
+    *    highest-tf docs (WindowGroupLimit prunes per-partition before the
+    *    exchange) — the self-join fanout is ≤ maxPostings² per token no
+    *    matter how hot the token, which is what makes the operator safe on
+    *    a Zipf vocabulary at 100 TB;
+    *  - the pair aggregate partially combines map-side; dot products and
+    *    norms are exact bigint sums, the final cosine is one fixed-order
+    *    double expression — hash-exact cross-engine.
+    * The cap is the standard champion-list approximation; the ORACLE
+    * replicates the same deterministic cap (tf desc, doc asc), so the
+    * check is still bit-exact. */
+  def sparseCosinePairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDf: Long = 2L,
+      maxPostings: Int = 100,
+      topK: Int = 30): DataFrame = {
+    val tf = docs.select(col(idCol).alias("doc_id"),
+        explode(graft.functions.SketchArrayExpressions.tokenCounts(
+          tokens(col(textCol)))).alias("e"))
+      .select(col("doc_id"), col("e.token").alias("token"),
+        col("e.tf").alias("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).alias("df"))
+    val champW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("token")).orderBy(col("tf").desc, col("doc_id").asc)
+    val champ = tf.join(dfreq.filter(col("df") >= minDf), "token")
+      .withColumn("pr", row_number().over(champW))
+      .filter(col("pr") <= maxPostings)
+      .select("doc_id", "token", "tf")
+    val norms = champ.groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("tf")).alias("n2"))
+    val a = champ.select(col("doc_id").alias("doc_a"), col("token"),
+      col("tf").alias("tf_a"))
+    val b = champ.select(col("doc_id").alias("doc_b"), col("token"),
+      col("tf").alias("tf_b"))
+    val pairs = a.join(b, Seq("token"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("tf_a") * col("tf_b")).alias("dot"))
+    pairs
+      .join(norms.select(col("doc_id").alias("doc_a"), col("n2").alias("n2_a")), "doc_a")
+      .join(norms.select(col("doc_id").alias("doc_b"), col("n2").alias("n2_b")), "doc_b")
+      .withColumn("score",
+        col("dot").cast("double") /
+          (sqrt(col("n2_a").cast("double")) * sqrt(col("n2_b").cast("double"))))
+      .select(col("doc_a"), col("doc_b"), col("dot"), col("score"))
+      .orderBy(col("score").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(topK)
+  }
 }

@@ -510,6 +510,33 @@ class OpsSpec extends SparkSpec {
     // the sketch property (never under-counts) is what must hold
   }
 
+  test("sparseCosinePairs: hand-computed cosine on a 3-doc corpus") {
+    val d = Seq((1L, "x x y"), (2L, "x y y"), (3L, "z z")).toDF("doc_id", "text")
+    val out = TextAnalysis.sparseCosinePairs(d, "doc_id", "text",
+        minDf = 2L, maxPostings = 10, topK = 10)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        ((r.getAs[Long]("dot"), r.getAs[Double]("score"))))
+    // only pair (1,2): dot = 2*1 + 1*2 = 4, |v| = sqrt(5) each -> 4/5;
+    // doc 3's z is hapax-free? z has df=1 -> dropped, so 3 pairs with no one
+    assert(out.length == 1)
+    assert(out.head._1 == ((1L, 2L)))
+    assert(out.head._2._1 == 4L)
+    assert(math.abs(out.head._2._2 - 0.8) < 1e-12)
+  }
+
+  test("sparseCosinePairs: champion cap bounds the per-token fanout") {
+    // 30 docs all sharing one hot token: cap 5 -> pairs only among the
+    // 5 highest-tf docs (ties by doc id) = C(5,2) = 10 pairs
+    val d = Seq.tabulate(30)(i => (i.toLong, ("hot " * (i + 1)).trim))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.sparseCosinePairs(d, "doc_id", "text",
+        minDf = 2L, maxPostings = 5, topK = 100)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(out.length == 10)
+    // champions are the 5 highest tf = docs 25..29
+    assert(out.forall { case (a, b) => a >= 25L && b >= 25L })
+  }
+
   test("bm25: tf raises the score, absent terms score zero") {
     val d = Seq((1L, "q q a"), (2L, "q a a"), (3L, "a a a")).toDF("doc_id", "text")
     val out = TextAnalysis.bm25(d, "doc_id", "text", Seq("q"))

@@ -262,6 +262,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("text_sparse_cosine: champion cap prunes per-partition " +
+    "(WindowGroupLimit) and the top-k is a TakeOrdered, not a global sort") {
+    val p = plan("text_sparse_cosine")
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q_pagerank: one persisted adjacency feeds all three iterations") {
+    val p = plan("q_pagerank")
+    // the edge table materializes once; every iteration reads the cache
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3)
+  }
+
   test("dedup_span: semi-join against the deduplicated shared-hash set") {
     val p = plan("dedup_span")
     assert(p.contains("LeftSemi"))
