@@ -55,7 +55,9 @@ object Bench {
     // round-6 graph/classifier/ordering operators: the iterative PageRank
     // (multi-job loop — a cost profile nothing else in the set has), the
     // fixed-point centroid aggregate, and the two-pass global enumeration
-    "q_pagerank", "sim_label_confusion", "prep_shuffle_order")
+    "q_pagerank", "sim_label_confusion", "prep_shuffle_order",
+    // the mergeable count-min sketch and the capped posting-list self-join
+    "text_heavy_hitters", "text_sparse_cosine")
 
   /** Warm iterations per query; the median is reported. */
   val WarmIters = 3

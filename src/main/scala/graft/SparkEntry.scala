@@ -511,6 +511,39 @@ object SparkEntry {
           length(regexp_replace(col("p_name"), "[^a-z]", "")).cast("long")
             .alias("n_lower"))
         .orderBy("p_partkey")),
+    // Schema-full JSON parsing (from_json with an explicit struct — the
+    // typed path, vs Silver's schema-on-read get_json_object) + grouped
+    // integer aggregates over the extracted field. Narrow parse in the
+    // scan, one aggregate exchange.
+    "q_json_extract" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val ev = Parity.t(s, dir, "events")
+      ev.select(col("event_type"),
+          from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+            .getField("k").alias("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).alias("n"),
+          sum("k").alias("sum_k"),
+          min("k").alias("min_k"),
+          max("k").alias("max_k"),
+          count(when(col("k") > 90, 1)).alias("n_high"))
+        .orderBy("event_type")
+    }),
+    // Date/time function surface: year/quarter buckets with weekday sums
+    // (Spark weekday == DuckDB isodow-1 — dayofweek's Sunday origin
+    // differs between engines and is deliberately avoided), date_add and
+    // last_day extrema, and an exact datediff sum. One aggregate exchange.
+    "q_date_functions" -> ((s, dir) =>
+      Parity.t(s, dir, "orders").groupBy(
+          year(col("o_orderdate")).cast("long").alias("yr"),
+          quarter(col("o_orderdate")).cast("long").alias("qtr"))
+        .agg(count(lit(1)).alias("n"),
+          sum(weekday(col("o_orderdate")).cast("long")).alias("sum_wd"),
+          min(date_add(col("o_orderdate"), 30)).alias("min_plus30"),
+          max(last_day(col("o_orderdate"))).alias("max_month_end"),
+          sum(datediff(lit("1998-12-31").cast("date"), col("o_orderdate"))
+            .cast("long")).alias("sum_days_left"))
+        .orderBy("yr", "qtr")),
     // Type-token-ratio curve: lexical richness at 25/50/100-token
     // prefixes (TTR falls with length, so fixed-prefix measurement is the
     // comparable form). Narrow slices per row, zero shuffle.
@@ -1045,6 +1078,14 @@ object SparkEntry {
     "prep_priority_sample" -> ((s, dir) =>
       graft.ops.TrainPrep.prioritySample(docs(s, dir), "doc_id",
         col("n_chars"), k = 50)),
+    // Per-language weighted sample: the same priority key ranked within
+    // each lang — WindowGroupLimit prunes to k per group map-side.
+    "prep_priority_sample_lang" -> ((s, dir) =>
+      graft.ops.TrainPrep.prioritySampleGrouped(docs(s, dir), "doc_id",
+        col("n_chars"), "lang", k = 10)
+        .select(col("lang"), col("rank"), col("doc_id"), col("weight"),
+          col("priority"))
+        .orderBy("lang", "rank")),
     // Deterministic global training-order shuffle: contiguous 0-based pos
     // in hash order via range sort + per-partition offset join — the
     // scalable enumeration pattern (never a single-partition window).
@@ -2184,9 +2225,43 @@ object SparkEntry {
     "sim_knn_classify" -> knnClassifySql,
     "text_heavy_hitters" -> heavyHittersSql,
     "text_sparse_cosine" -> sparseCosineSql,
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(sum(k) AS BIGINT) AS sum_k,
+                min(k) AS min_k, max(k) AS max_k,
+                count(CASE WHEN k > 90 THEN 1 END) AS n_high
+         FROM (SELECT event_type,
+                      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+               FROM events) t
+         GROUP BY event_type ORDER BY event_type""",
+    "q_date_functions" ->
+      """SELECT CAST(year(d) AS BIGINT) AS yr,
+                CAST(quarter(d) AS BIGINT) AS qtr,
+                count(*) AS n,
+                CAST(sum(isodow(d) - 1) AS BIGINT) AS sum_wd,
+                min(d + 30) AS min_plus30,
+                max(last_day(d)) AS max_month_end,
+                CAST(sum(datediff('day', d, DATE '1998-12-31'))
+                     AS BIGINT) AS sum_days_left
+         FROM (SELECT CAST(o_orderdate AS DATE) AS d FROM orders) t
+         GROUP BY 1, 2 ORDER BY yr, qtr""",
     "sim_label_confusion" -> labelConfusionSql,
     "q_pagerank" -> pageRankSql,
     "prep_priority_sample" -> prioritySampleSql,
+    "prep_priority_sample_lang" ->
+      """WITH keyed AS (
+           SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS weight,
+                  CAST(n_chars AS DOUBLE) /
+                    ((CAST((doc_id * 2654435761 + 97531) % 4294967296 AS DOUBLE)
+                      + 0.5) / 4294967296.0) AS priority
+           FROM documents),
+         ranked AS (
+           SELECT lang, row_number() OVER (PARTITION BY lang
+                    ORDER BY priority DESC, doc_id) AS rank,
+                  doc_id, weight, priority
+           FROM keyed)
+       SELECT lang, CAST(rank AS INT) AS rank, doc_id, weight, priority
+       FROM ranked WHERE rank <= 10 ORDER BY lang, rank""",
     "prep_shuffle_order" -> shuffleOrderSql,
     "sim_topk_int8" -> quantizedTopkSql,
     "sim_topk_matryoshka" -> matryoshkaTopkSql,

@@ -710,6 +710,28 @@ object TrainPrep {
       .select(col("rank"), col(idCol), col("weight"), col("priority"))
   }
 
+  /** Per-stratum weighted sampling without replacement: [[prioritySample]]'s
+    * priority key ranked WITHIN each `groupCol` value — k highest-priority
+    * rows per stratum. The rank filter plans as WindowGroupLimit, so each
+    * partition prunes to k rows per group before the exchange; the full
+    * corpus never sorts globally. */
+  def prioritySampleGrouped(
+      df: DataFrame,
+      idCol: String,
+      weightCol: Column,
+      groupCol: String,
+      k: Int): DataFrame = {
+    val keyed = df
+      .withColumn("weight", weightCol.cast("double"))
+      .withColumn("priority", col("weight") / unitUniform(col(idCol)))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("priority").desc, col(idCol).asc)
+    keyed.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(groupCol), col("rank"), col(idCol), col("weight"),
+        col("priority"))
+  }
+
   /** Deterministic global training-order shuffle: every row gets a unique
     * contiguous position `pos` (0-based) in hash-of-id order.
     *

@@ -462,6 +462,27 @@ class TrainPrepSpec extends SparkSpec {
     assert(picked.count(_ < 20) >= 8, s"heavy rows under-sampled: ${picked.toSeq}")
   }
 
+  test("prioritySampleGrouped: k per stratum, WindowGroupLimit planned") {
+    import spark.implicits._
+    val df = Seq.tabulate(60)(i => (i.toLong, i % 3, i + 1)).toDF("id", "g", "w")
+    val out = TrainPrep.prioritySampleGrouped(df, "id", col("w"), "g", k = 5)
+    val rows = out.collect()
+    assert(rows.length == 15)
+    assert(rows.groupBy(_.getAs[Int]("g")).forall(_._2.length == 5))
+    // each group's picks match the globally-computed reference restricted
+    // to that group
+    val ref = Seq.tabulate(60) { i =>
+      val h = (i.toLong * 2654435761L + 97531L) % 4294967296L
+      val u = (h.toDouble + 0.5) / 4294967296.0
+      (i.toLong, i % 3, (i + 1).toDouble / u)
+    }.groupBy(_._2).view.mapValues(
+      _.sortBy(t => (-t._3, t._1)).take(5).map(_._1).toSet).toMap
+    rows.foreach { r =>
+      assert(ref(r.getAs[Int]("g")).contains(r.getAs[Long]("id")))
+    }
+    assert(out.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
   test("prioritySample plans a global top-k, not a full sort") {
     import spark.implicits._
     val df = Seq.tabulate(50)(i => (i.toLong, i + 1)).toDF("id", "w")
