@@ -251,7 +251,10 @@ case class CountMinAgg(
       val h = v.asInstanceOf[Long]
       var i = 0
       while (i < depth) {
-        val bkt = (((h * as(i) + bs(i)) % p) % width).toInt
+        // floorMod: production hashes (xxhash64) are negative half the
+        // time; for the oracle's non-negative polynomial hashes floorMod
+        // equals %, so the SQL replication is unaffected
+        val bkt = (math.floorMod(math.floorMod(h * as(i) + bs(i), p), width)).toInt
         buf(i * width + bkt) += 1L
         i += 1
       }

@@ -380,6 +380,49 @@ object Streams {
       }
       .start()
 
+  /** Streaming Count-Min maintenance: fold each micro-batch's token stream
+    * into ONE stored depth×width sketch row — continuous heavy-hitter
+    * tracking with bounded state (the sketch size never grows with the
+    * corpus, unlike a token-count table).
+    *
+    * Mergeability is the whole point: [[graft.functions.CountMinAgg]]
+    * tables merge by elementwise addition, so `stored ⊕ batch` equals the
+    * sketch of the full history — proved bit-exact against a batch-built
+    * sketch in StreamingSpec. Writes are exactly-once per batch via the
+    * writer-transaction options (replayed batches no-op), so a recovered
+    * stream cannot double-count into the sketch. */
+  def sinkWithSketchMaintenance(
+      docs: DataFrame,
+      textCol: String,
+      sketchTable: String,
+      depth: Int,
+      width: Int,
+      checkpointDir: String,
+      tokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        graft.ops.Dedup.xxHash): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.storage.GraftCatalog.{TxnAppIdOption, TxnVersionOption}
+        import org.apache.spark.sql.functions._
+        val spark = batch.sparkSession
+        val batchCms = batch
+          .select(explode(graft.ops.TextAnalysis.tokens(col(textCol))).alias("token"))
+          .withColumn("h", tokenHash(col("token")))
+          .agg(graft.functions.SketchAggregates.countMinAgg(col("h"), depth, width)
+            .alias("cms"))
+        val merged = spark.table(sketchTable).alias("p")
+          .crossJoin(batchCms.alias("b")) // 1 row × 1 row
+          .select(zip_with(col("p.cms"), col("b.cms"), (a, b) => a + b)
+            .alias("cms"))
+        merged.localCheckpoint(true) // materialize BEFORE truncating input
+          .writeTo(sketchTable)
+          .option(TxnAppIdOption, s"$checkpointDir#cms")
+          .option(TxnVersionOption, batchId.toString)
+          .overwrite(lit(true))
+      }
+      .start()
+
   /** Streaming medallion slice: raw JSON-string records (the Bronze shape)
     * through the *batch* Silver transforms — projection/filter only, so the
     * identical code plans incrementally under readStream. */

@@ -134,6 +134,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming count-min maintenance: folded sketch == batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.SketchAggregates.countMinAgg
+    val wh = java.nio.file.Files.createTempDirectory("graft-cms").toString
+    spark.conf.set("spark.sql.catalog.cms", classOf[graft.storage.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cms.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cms.s")
+    // initial state: the empty sketch (all-zero table)
+    Seq.empty[String].toDF("t")
+      .agg(countMinAgg(xxhash64(col("t")), 2, 8).as("cms"))
+      .writeTo("cms.s.sketch").using("parquet").create()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cms-ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.sinkWithSketchMaintenance(
+      input.toDF().toDF("doc_id", "text"), "text", "cms.s.sketch",
+      depth = 2, width = 8, ckpt)
+    val all = Seq((1L, "a a b"), (2L, "b c"), (3L, "a c c d"))
+    try {
+      input.addData(all(0)); q.processAllAvailable()
+      input.addData(all(1), all(2)); q.processAllAvailable()
+      spark.catalog.refreshTable("cms.s.sketch")
+      val folded = spark.table("cms.s.sketch").head.getSeq[Long](0)
+      val batch = all.toDF("doc_id", "text")
+        .select(explode(graft.ops.TextAnalysis.tokens(col("text"))).as("t"))
+        .agg(countMinAgg(xxhash64(col("t")), 2, 8).as("cms"))
+        .head.getSeq[Long](0)
+      assert(folded == batch) // mergeable across micro-batches, bit-exact
+      assert(folded.sum == 2 * 9L) // depth rows x 9 token instances
+    } finally q.stop()
+  }
+
   test("streaming exact dedup drops repeats, state bounded by watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
