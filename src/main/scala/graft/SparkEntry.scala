@@ -1120,6 +1120,13 @@ object SparkEntry {
         .toDF("media_id", "band", "value")
         .select(col("media_id"), col("band").cast("long").alias("band"), col("value"))
         .orderBy("media_id", "band")),
+    // Cross-modal retrieval plumbing: image decode-stub embeddings vs text
+    // hashing-trick embeddings in one 16-dim space; image tower broadcast,
+    // text corpus never shuffled, per-image WindowGroupLimit rank.
+    "multimodal_crossmodal" -> ((s, dir) =>
+      Multimodal.crossModalTopK(docs(s, dir), k = 3, dim = 16,
+          tokenHash = Dedup.oracleHash)
+        .orderBy("media_id", "rank")),
     "multimodal_audio" -> ((s, dir) =>
       Multimodal.audioEnergy(Multimodal.mediaFromDocuments(docs(s, dir)))
         .toDF().orderBy("media_id", "frame_index")),
@@ -1487,6 +1494,39 @@ object SparkEntry {
        SELECT media_id, $bits AS mhash
        FROM md ORDER BY media_id"""
   }
+
+  /** Mirrors [[graft.ops.Multimodal.crossModalTopK]] (k=3, dim=16,
+    * polynomial token hash): the decode-stub image embedding CTEs composed
+    * with the FeatureHash text embedding (bucket h%16, sign bit 20,
+    * zero-filled via a bucket grid), zero-norm texts filtered identically,
+    * same cosine fold. */
+  private def multimodalCrossModalSql: String =
+    s"""WITH $multimodalDecodeCtes,
+       $oracleTk,
+       inst AS (SELECT doc_id, unnest(th) AS h FROM tk),
+       bkt AS (SELECT doc_id, CAST(h % 16 AS INT) AS bucket,
+                      CASE WHEN ((h >> 20) & 1) = 1 THEN -1 ELSE 1 END AS s
+               FROM inst),
+       v AS (SELECT doc_id, bucket, sum(s) AS val FROM bkt GROUP BY 1, 2),
+       grid AS (SELECT d.doc_id, r.range AS k
+                FROM (SELECT DISTINCT doc_id FROM documents) d, range(0, 16) r),
+       tvec AS (SELECT g.doc_id,
+                       list(CAST(coalesce(v.val, 0) AS REAL) ORDER BY g.k) AS tv
+                FROM grid g
+                LEFT JOIN v ON v.doc_id = g.doc_id AND v.bucket = g.k
+                GROUP BY g.doc_id),
+       live AS (SELECT doc_id, tv FROM tvec
+                WHERE list_sum(list_transform(tv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+       scored AS (
+         SELECT e.media_id, t.doc_id, ${cosSql("e.e", "t.tv")} AS score
+         FROM emb e, live t),
+       ranked AS (
+         SELECT media_id, doc_id, score,
+                row_number() OVER (PARTITION BY media_id
+                  ORDER BY score DESC, doc_id ASC) AS rank
+         FROM scored)
+       SELECT media_id, CAST(rank AS BIGINT) AS rank, doc_id, score
+       FROM ranked WHERE rank <= 3 ORDER BY media_id, rank"""
 
   private def multimodalAhashSql: String = {
     val bits = (0 until 64).map(b =>
@@ -2675,6 +2715,7 @@ object SparkEntry {
     "sim_cosine_neardup" -> cosineNearDupSql,
     "multimodal_decode" -> multimodalDecodeSql,
     "multimodal_decode_bands" -> multimodalDecodeBandsSql,
+    "multimodal_crossmodal" -> multimodalCrossModalSql,
     "multimodal_image_neardup" -> multimodalAhashSql,
     "multimodal_image_mhash" -> multimodalMhashSql,
     "multimodal_audio_neardup" -> multimodalAudioFpSql,

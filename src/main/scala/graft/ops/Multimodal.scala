@@ -347,4 +347,42 @@ object Multimodal {
     }.toDF("media_id", "kind", "n_bytes", "byte_sum")
       .orderBy("media_id")
   }
+
+  /** Cross-modal retrieval: for each image, the top-k text documents by
+    * cosine between the image's decode-stub embedding and the text's
+    * hashing-trick embedding in a SHARED `dim`-dimensional space — the
+    * CLIP-retrieval plumbing with stub encoders on both towers (swap the
+    * stub embedding functions for model embeddings; the plan is the
+    * product).
+    *
+    * Scale shape = [[Similarity.bruteForceTopK]]: the image (query) tower
+    * broadcasts, the text corpus is scanned once and never shuffled, and
+    * the per-image rank prunes per-partition (WindowGroupLimit). Zero-norm
+    * text vectors are filtered on BOTH sides of the oracle — cosine with a
+    * zero vector is 0/0, and NaN ordering diverges between engines. */
+  def crossModalTopK(
+      docs: DataFrame,
+      k: Int,
+      dim: Int = 16,
+      tokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        graft.ops.Dedup.xxHash): DataFrame = {
+    import graft.functions.VectorFunctions
+    val imgs = decodeImages(mediaFromDocuments(docs), embeddingDim = dim)
+      .toDF()
+      .select(col("media_id"), col("embedding").alias("ivec"))
+    val texts = TextAnalysis
+      .hashEmbeddings(docs, "doc_id", "text", dim, tokenHash)
+      .select(col("doc_id"), col("embedding").alias("tvec"))
+      .filter(VectorFunctions.dot(col("tvec"), col("tvec")) > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    texts.crossJoin(broadcast(imgs))
+      .select(col("media_id"), col("doc_id"),
+        VectorFunctions.cosine(col("ivec"), col("tvec")).alias("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("media_id"), col("rank").cast("long").alias("rank"),
+        col("doc_id"), col("score"))
+  }
 }

@@ -537,6 +537,25 @@ class OpsSpec extends SparkSpec {
     assert(out.forall { case (a, b) => a >= 25L && b >= 25L })
   }
 
+  test("crossModalTopK: k texts per image, deterministic under partitioning") {
+    val d = Seq.tabulate(12)(i =>
+      (i.toLong, s"tok$i shared words tok${i % 4} more", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = ops.Multimodal.crossModalTopK(d, k = 2, dim = 8,
+      tokenHash = Dedup.oracleHash)
+    val rows = out.collect()
+    // images are the doc_id % 3 == 0 rows: 0, 3, 6, 9 -> 4 images x 2
+    assert(rows.length == 8)
+    assert(rows.map(_.getAs[Long]("media_id")).distinct.sorted.toSeq ==
+      Seq(0L, 3L, 6L, 9L))
+    rows.groupBy(_.getAs[Long]("media_id")).values.foreach { g =>
+      assert(g.map(_.getAs[Long]("rank")).sorted.toSeq == Seq(1L, 2L))
+    }
+    val again = ops.Multimodal.crossModalTopK(d.repartition(5), k = 2, dim = 8,
+      tokenHash = Dedup.oracleHash).collect()
+    assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+
   test("bm25: tf raises the score, absent terms score zero") {
     val d = Seq((1L, "q q a"), (2L, "q a a"), (3L, "a a a")).toDF("doc_id", "text")
     val out = TextAnalysis.bm25(d, "doc_id", "text", Seq("q"))
