@@ -240,6 +240,68 @@ case class TokenCounts(child: Expression) extends SketchArrayExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** `char_pair_counts(tokens)`: counts of adjacent character pairs WITHIN
+  * each token (the BPE merge-candidate statistic) folded per row —
+  * array<struct<c1,c2,tf>> in first-seen order. Characters are Unicode
+  * code points, matching SQL `substring(tok, i, 1)` semantics exactly, so
+  * the explode → double-substring spelling and this fold hash-match.
+  *
+  * Why: the HOF spelling explodes every PAIR INSTANCE (two explodes, ~L
+  * rows per doc into the aggregate); this emits each doc's DISTINCT pairs
+  * with counts in one compiled pass, so the exchange input shrinks by the
+  * per-doc repetition factor and the substring churn disappears. */
+case class CharPairCounts(child: Expression) extends SketchArrayExpression {
+
+  override protected def elemType: DataType = StringType
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("c1", StringType, nullable = false),
+      StructField("c2", StringType, nullable = false),
+      StructField("tf", LongType, nullable = false))),
+    containsNull = false)
+
+  override def compute(arr: ArrayData): Any = {
+    val n = arr.numElements()
+    // LinkedHashMap: first-seen iteration order -> deterministic output.
+    // Key = both code points packed in one long (each fits 21 bits) -- no
+    // separator-collision hazard, no per-pair string churn in the loop.
+    val counts = new java.util.LinkedHashMap[java.lang.Long, java.lang.Long]()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val cps = arr.getUTF8String(i).toString.codePoints().toArray
+        var j = 0
+        while (j < cps.length - 1) {
+          val key = java.lang.Long.valueOf((cps(j).toLong << 21) | cps(j + 1).toLong)
+          val prev = counts.get(key)
+          counts.put(key, if (prev == null) java.lang.Long.valueOf(1L)
+                          else java.lang.Long.valueOf(prev.longValue + 1L))
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Any](counts.size())
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      val k = e.getKey.longValue
+      out(j) = org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          new String(Character.toChars((k >> 21).toInt))),
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          new String(Character.toChars((k & 0x1FFFFF).toInt))),
+        e.getValue.longValue)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def prettyName: String = "char_pair_counts"
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
 /** `z_value(bins, bits)`: Morton (Z-order) interleave of the lowest `bits`
   * bits of each element — element c's bit b lands at output bit
   * `b·n + c`, so nearby points in ALL dimensions get nearby z-values.
@@ -351,6 +413,8 @@ object SketchArrayExpressions {
     Shims.column(ZValueArray(Shims.expression(bins), bits))
   def tokenCounts(toks: Column): Column =
     Shims.column(TokenCounts(Shims.expression(toks)))
+  def charPairCounts(toks: Column): Column =
+    Shims.column(CharPairCounts(Shims.expression(toks)))
   def srpKeys(vec: Column, dim: Int, bits: Int, tables: Int): Column =
     Shims.column(SrpKeys(Shims.expression(vec), dim, bits, tables))
 }

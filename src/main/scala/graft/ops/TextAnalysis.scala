@@ -309,15 +309,17 @@ object TextAnalysis {
     * ~|alphabet|² key space collapses map-side) → TakeOrdered top-k.
     */
   def bpePairCounts(docs: DataFrame, textCol: String, topK: Int = 30): DataFrame =
-    docs.select(explode(tokens(col(textCol))).alias("tok"))
-      .filter(length(col("tok")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, length(tok) - 1), " +
-          "i -> struct(substring(tok, i, 1) AS c1, substring(tok, i + 1, 1) AS c2))"))
-        .alias("bg"))
-      .select(col("bg.c1").alias("c1"), col("bg.c2").alias("c2"))
+    // Per-row fold ([[graft.functions.CharPairCounts]]): each doc's
+    // DISTINCT pairs with counts in one compiled pass — the exchange input
+    // shrinks by the per-doc repetition factor vs exploding every pair
+    // instance through two substring passes (measured 1.29 s → 0.57 s warm
+    // at sf0.1; parity with the instance-explode spelling is spec-pinned).
+    docs.select(explode(graft.functions.SketchArrayExpressions.charPairCounts(
+        tokens(col(textCol)))).alias("bg"))
+      .select(col("bg.c1").alias("c1"), col("bg.c2").alias("c2"),
+        col("bg.tf").alias("tf"))
       .groupBy(col("c1"), col("c2"))
-      .agg(count(lit(1)).alias("pair_count"))
+      .agg(sum(col("tf")).alias("pair_count"))
       .orderBy(col("pair_count").desc, col("c1").asc, col("c2").asc)
       .limit(topK)
 

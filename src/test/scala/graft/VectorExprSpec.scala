@@ -143,6 +143,25 @@ class VectorExprSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("char_pair_counts matches the instance-explode spelling exactly") {
+    import graft.functions.SketchArrayExpressions.charPairCounts
+    val docs = Seq("abab ab x ba", "spark spark table", "", "a b c")
+      .toDF("text")
+    val toks = graft.ops.TextAnalysis.tokens($"text")
+    val fold = docs.select(explode(charPairCounts(toks)).alias("bg"))
+      .groupBy($"bg.c1", $"bg.c2").agg(sum($"bg.tf").alias("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val ref = docs.select(explode(toks).alias("tok"))
+      .filter(length($"tok") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(tok) - 1), " +
+          "i -> struct(substring(tok, i, 1) AS c1, substring(tok, i + 1, 1) AS c2))"))
+        .alias("bg"))
+      .groupBy($"bg.c1", $"bg.c2").agg(count(lit(1)).alias("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(fold == ref && fold.nonEmpty)
+  }
+
   test("codegen path actually compiles (no fallback): run over enough rows") {
     // 1000 rows through a projection exercises WholeStageCodegen; a codegen
     // bug would throw CompileException and fail loudly here.
