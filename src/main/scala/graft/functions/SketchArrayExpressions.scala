@@ -302,6 +302,55 @@ case class CharPairCounts(child: Expression) extends SketchArrayExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** `word_pair_counts(tokens)`: counts of ADJACENT TOKEN pairs across the
+  * document (the bigram statistic behind the bigram-LM familiarity and PMI
+  * operators) folded per row -- array<struct<w1,w2,tf>> in first-seen
+  * order. Equivalent to exploding every bigram instance and grouping by
+  * (doc, w1, w2), but computed narrow: the per-doc reduction that fed the
+  * first exchange of both bigram pipelines disappears into the scan. */
+case class WordPairCounts(child: Expression) extends SketchArrayExpression {
+
+  override protected def elemType: DataType = StringType
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("w1", StringType, nullable = false),
+      StructField("w2", StringType, nullable = false),
+      StructField("tf", LongType, nullable = false))),
+    containsNull = false)
+
+  override def compute(arr: ArrayData): Any = {
+    val n = arr.numElements()
+    // first-seen order -> deterministic output; UTF8String keys are copied
+    // at insert (the input array may be backed by a reused row buffer)
+    val counts = new scala.collection.mutable.LinkedHashMap[
+      (org.apache.spark.unsafe.types.UTF8String,
+       org.apache.spark.unsafe.types.UTF8String), Long]()
+    var i = 0
+    while (i < n - 1) {
+      if (!arr.isNullAt(i) && !arr.isNullAt(i + 1)) {
+        val k = (arr.getUTF8String(i), arr.getUTF8String(i + 1))
+        counts.get(k) match {
+          case Some(c) => counts.update(k, c + 1L)
+          case None    => counts.update((k._1.copy(), k._2.copy()), 1L)
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    var j = 0
+    val it = counts.iterator
+    while (it.hasNext) {
+      val ((w1, w2), c) = it.next()
+      out(j) = org.apache.spark.sql.catalyst.InternalRow(w1, w2, c)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def prettyName: String = "word_pair_counts"
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
 /** `z_value(bins, bits)`: Morton (Z-order) interleave of the lowest `bits`
   * bits of each element — element c's bit b lands at output bit
   * `b·n + c`, so nearby points in ALL dimensions get nearby z-values.
@@ -415,6 +464,8 @@ object SketchArrayExpressions {
     Shims.column(TokenCounts(Shims.expression(toks)))
   def charPairCounts(toks: Column): Column =
     Shims.column(CharPairCounts(Shims.expression(toks)))
+  def wordPairCounts(toks: Column): Column =
+    Shims.column(WordPairCounts(Shims.expression(toks)))
   def srpKeys(vec: Column, dim: Int, bits: Int, tables: Int): Column =
     Shims.column(SrpKeys(Shims.expression(vec), dim, bits, tables))
 }

@@ -287,7 +287,8 @@ object VectorFunctions {
       FeatureHash(args(0), intArg(args(1), "feature_hash")) },
     "z_value" -> { args => ZValueArray(args(0), intArg(args(1), "z_value")) },
     "token_counts" -> { args => TokenCounts(args(0)) },
-    "char_pair_counts" -> { args => CharPairCounts(args(0)) })
+    "char_pair_counts" -> { args => CharPairCounts(args(0)) },
+    "word_pair_counts" -> { args => WordPairCounts(args(0)) })
 
   /** Imperative registration for an existing session (tests, Verify). */
   def register(spark: SparkSession): Unit = registry.foreach { case (name, builder) =>

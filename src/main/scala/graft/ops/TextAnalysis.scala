@@ -404,9 +404,14 @@ object TextAnalysis {
     // race to populate the cache and each recomputes the full bigram
     // aggregation (the round-5 bench's warm>cold inversion) — so the
     // reduction is pinned, exactly like bigramFamiliarity's.
-    val pairs = Pin(bigramInstances(docs, textCol)
-      .groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).alias("c12")))
+    // Per-row `word_pair_counts` fold: the aggregate input is each doc's
+    // DISTINCT bigrams with counts (narrow), not every instance — same
+    // shared implementation as bigramFamiliarity's perDoc reduction.
+    val pairs = Pin(docs.select(
+        explode(graft.functions.SketchArrayExpressions.wordPairCounts(
+          tokens(col(textCol)))).alias("bg"))
+      .groupBy(col("bg.w1").alias("w1"), col("bg.w2").alias("w2"))
+      .agg(sum(col("bg.tf")).alias("c12")))
     val cx = pairs.groupBy(col("w1")).agg(sum(col("c12")).alias("c1"))
     val cy = pairs.groupBy(col("w2")).agg(sum(col("c12")).alias("c2"))
     val n = pairs.agg(sum(col("c12")).alias("__n"))

@@ -569,14 +569,18 @@ object TrainPrep {
       textCol: String,
       hotCount: Long = Long.MaxValue,
       hotTopK: Int = 100000): DataFrame = {
-    // (1) skew-free reduction: (id, w1, w2) → instance count n, from the
-    // shared bigram explode (one implementation with pmiPairs). Pinned
-    // (persist + eager materialize): the hot/cold branches and the
+    // (1) skew-free reduction: (id, w1, w2) → instance count n, folded
+    // per row by the shared `word_pair_counts` codegen expression (one
+    // implementation with pmiPairs) — the per-doc reduction happens inside
+    // the scan, so the exchange this groupBy used to pay disappears.
+    // Pinned (persist + eager materialize): the hot/cold branches and the
     // broadcast subplans launch concurrent stages over it — a lazy persist
     // lets them race and recompute the explode (see [[Pin]]).
-    val perDoc = Pin(TextAnalysis.bigramInstances(docs, textCol, Seq(col(idCol)))
-      .groupBy(col(idCol), col("w1"), col("w2"))
-      .agg(count(lit(1)).alias("n")))
+    val perDoc = Pin(docs.select(col(idCol),
+        explode(graft.functions.SketchArrayExpressions.wordPairCounts(
+          TextAnalysis.tokens(col(textCol)))).alias("bg"))
+      .select(col(idCol), col("bg.w1").alias("w1"), col("bg.w2").alias("w2"),
+        col("bg.tf").alias("n")))
     // (2) pair counts enriched with their context count in ONE table: the
     // window partitions by w1 over pair rows (distinct neighbors, not
     // instances), so both counts ride the same (w1, w2) join below

@@ -162,6 +162,22 @@ class VectorExprSpec extends SparkSpec {
     assert(fold == ref && fold.nonEmpty)
   }
 
+  test("word_pair_counts matches the bigram instance-explode spelling") {
+    import graft.functions.SketchArrayExpressions.wordPairCounts
+    val docs = Seq((1L, "a b a b c"), (2L, "x"), (3L, ""), (4L, "y y y"))
+      .toDF("id", "text")
+    val toks = graft.ops.TextAnalysis.tokens($"text")
+    val fold = docs.select($"id", explode(wordPairCounts(toks)).alias("bg"))
+      .select($"id", $"bg.w1", $"bg.w2", $"bg.tf")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    val ref = graft.ops.TextAnalysis
+      .bigramInstances(docs, "text", Seq($"id"))
+      .groupBy($"id", $"w1", $"w2").agg(count(lit(1)).alias("tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    assert(fold == ref)
+    assert(fold((1L, "a", "b")) == 2L && fold((4L, "y", "y")) == 2L)
+  }
+
   test("codegen path actually compiles (no fallback): run over enough rows") {
     // 1000 rows through a projection exercises WholeStageCodegen; a codegen
     // bug would throw CompileException and fail loudly here.
