@@ -465,6 +465,13 @@ object SparkEntry {
     "text_heavy_hitters" -> ((s, dir) =>
       TextAnalysis.heavyHitters(docs(s, dir), "text", k = 20,
         depth = 4, width = 64, tokenHash = Dedup.oracleHash)),
+    // Hybrid retrieval: BM25 top-100 + dense hash-embedding-cosine top-100
+    // fused by reciprocal-rank fusion (1/(60+rank) each) — integer ranks,
+    // two fixed-order divisions, hash-exact.
+    "text_hybrid_rrf" -> ((s, dir) =>
+      TextAnalysis.hybridRrf(docs(s, dir), "doc_id", "text",
+        Seq("spark", "merge", "window"), listSize = 100, k = 20,
+        rrfK = 60, dim = 64, tokenHash = Dedup.oracleHash)),
     // Sparse TF-cosine doc pairs via capped posting lists (champion-list
     // pattern): per-token fanout bounded by maxPostings² regardless of
     // token heat; exact bigint dots/norms, one fixed-order cosine.
@@ -1051,6 +1058,14 @@ object SparkEntry {
     "sim_cosine_neardup" -> ((s, dir) =>
       Similarity.cosineNearDups(embs(s, dir), "vec_id", "embedding", dim = 64,
         threshold = 0.30, bits = 6, tables = 4).orderBy("id_a", "id_b")),
+    // Metadata-filtered vector search: top-5 within the query's label
+    // stratum — the attribute equality is part of the broadcast join
+    // condition (pre-filter), so scoring never touches other strata.
+    "sim_topk_filtered" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.filteredTopK(e, e.filter(col("vec_id") < 10), "vec_id",
+        "embedding", "label", k = 5).orderBy("query_id", "rank")
+    }),
     // k-NN majority-vote label classification over the exact top-5 — the
     // label column makes the ANN surface an end-to-end classifier; votes
     // are integer counts, so the check is hash-exact.
@@ -2052,6 +2067,23 @@ object SparkEntry {
          SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, score
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  /** Mirrors [[graft.ops.Similarity.filteredTopK]] (k=5, attr=label,
+    * queries vec_id<10): pre-filtered by label equality in the join. */
+  private def filteredTopkSql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec, label
+                   FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS corpus_id, embedding AS cvec, label FROM embeddings),
+         scored AS (
+           SELECT query_id, corpus_id, ${cosSql("qvec", "cvec")} AS score
+           FROM c JOIN q ON c.label = q.label AND query_id <> corpus_id),
+         ranked AS (
+           SELECT query_id, corpus_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, corpus_id) AS rank
+           FROM scored)
+       SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, score
+       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+
   /** Mirrors [[graft.ops.Similarity.knnClassify]] (k=5, queries vec_id<10):
     * exact top-5 by cosine, majority label, ties to the smaller label. */
   private def knnClassifySql: String =
@@ -2181,6 +2213,86 @@ object SparkEntry {
        ORDER BY exact_count DESC, token"""
   }
 
+  /** Mirrors [[graft.ops.TextAnalysis.hybridRrf]] (terms spark/merge/window,
+    * listSize=100, k=20, rrfK=60, dim=64, polynomial hash): the BM25 tower
+    * CTEs + the FeatureHash tower (doc vectors AND the literal query
+    * vector), each ranked and cut to its list, fused by
+    * 1/(60+rank) + 1/(60+rank) in the same operation order. */
+  private def hybridRrfSql: String = {
+    val terms = Seq("spark", "merge", "window")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS BIGINT) AS tf$i"
+    }.mkString(",\n                  ")
+    val dfCols = terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    val scoreTerms = terms.indices.map { i =>
+      s"""(((CAST(n_docs - df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5))
+           * (CAST(tf$i AS DOUBLE) * 2.2)
+           / (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+              / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))"""
+    }.mkString("\n              + ")
+    val hashFold =
+      """list_reduce(list_prepend(CAST(7 AS BIGINT),
+           list_transform(list_filter(string_split(token, ''), c -> c <> ''),
+                          c -> CAST(ascii(c) AS BIGINT))),
+           (a, c) -> (a * 31 + c) % 1000000007)"""
+    s"""WITH t AS (
+           SELECT doc_id,
+                  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS dl,
+                  $tfCols
+           FROM documents),
+         st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl, $dfCols FROM t),
+         bscored AS (SELECT doc_id, $scoreTerms AS score FROM t, st),
+         sr AS (SELECT doc_id,
+                       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+                         AS rank_sparse
+                FROM bscored ORDER BY score DESC, doc_id LIMIT 100),
+         $oracleTk,
+         dinst AS (SELECT doc_id, unnest(th) AS h FROM tk),
+         dbkt AS (SELECT doc_id, CAST(h % 64 AS INT) AS bucket,
+                         CASE WHEN ((h >> 20) & 1) = 1 THEN -1 ELSE 1 END AS s
+                  FROM dinst),
+         dv AS (SELECT doc_id, bucket, sum(s) AS val FROM dbkt GROUP BY 1, 2),
+         dgrid AS (SELECT d.doc_id, r.range AS bk
+                   FROM (SELECT DISTINCT doc_id FROM documents) d, range(0, 64) r),
+         tvec AS (SELECT g.doc_id,
+                         list(CAST(coalesce(dv.val, 0) AS REAL) ORDER BY g.bk) AS tv
+                  FROM dgrid g
+                  LEFT JOIN dv ON dv.doc_id = g.doc_id AND dv.bucket = g.bk
+                  GROUP BY g.doc_id),
+         live AS (SELECT doc_id, tv FROM tvec
+                  WHERE list_sum(list_transform(tv,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+         qtok AS (SELECT unnest(list_filter(
+                    string_split('${terms.mkString(" ")}', ' '), x -> x <> '')) AS token),
+         qh AS (SELECT $hashFold AS h FROM qtok),
+         qb AS (SELECT CAST(h % 64 AS INT) AS bucket,
+                       CASE WHEN ((h >> 20) & 1) = 1 THEN -1 ELSE 1 END AS s
+                FROM qh),
+         qv0 AS (SELECT bucket, sum(s) AS val FROM qb GROUP BY 1),
+         qv AS (SELECT list(CAST(coalesce(qv0.val, 0) AS REAL) ORDER BY r.range) AS qvec
+                FROM range(0, 64) r LEFT JOIN qv0 ON qv0.bucket = r.range),
+         dscored AS (
+           SELECT l.doc_id, ${cosSql("q.qvec", "l.tv")} AS dscore
+           FROM live l, qv q),
+         dr AS (SELECT doc_id,
+                       CAST(row_number() OVER (ORDER BY dscore DESC, doc_id) AS BIGINT)
+                         AS rank_dense
+                FROM dscored ORDER BY dscore DESC, doc_id LIMIT 100),
+         fused AS (
+           SELECT COALESCE(sr.doc_id, dr.doc_id) AS doc_id,
+                  CAST(COALESCE(rank_sparse, 0) AS BIGINT) AS rank_sparse,
+                  CAST(COALESCE(rank_dense, 0) AS BIGINT) AS rank_dense,
+                  (CASE WHEN rank_sparse IS NULL THEN 0.0
+                        ELSE 1.0 / (CAST(60 AS DOUBLE) + CAST(rank_sparse AS DOUBLE)) END
+                   + CASE WHEN rank_dense IS NULL THEN 0.0
+                          ELSE 1.0 / (CAST(60 AS DOUBLE) + CAST(rank_dense AS DOUBLE)) END)
+                    AS rrf
+           FROM sr FULL OUTER JOIN dr ON sr.doc_id = dr.doc_id)
+       SELECT doc_id, rank_sparse, rank_dense, rrf
+       FROM fused ORDER BY rrf DESC, doc_id LIMIT 20"""
+  }
+
   /** Mirrors [[graft.ops.TextAnalysis.sparseCosinePairs]] (minDf=2,
     * maxPostings=100, topK=30): same deterministic champion cap
     * (tf desc, doc asc), exact bigint dots/norms, identical cosine
@@ -2263,8 +2375,10 @@ object SparkEntry {
     "sim_topk_bruteforce" -> bruteForceTopkSql,
     "sim_topk_ivf" -> ivfTopkSql,
     "sim_knn_classify" -> knnClassifySql,
+    "sim_topk_filtered" -> filteredTopkSql,
     "text_heavy_hitters" -> heavyHittersSql,
     "text_sparse_cosine" -> sparseCosineSql,
+    "text_hybrid_rrf" -> hybridRrfSql,
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,
                 CAST(sum(k) AS BIGINT) AS sum_k,

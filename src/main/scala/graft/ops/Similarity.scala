@@ -520,6 +520,35 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Filtered vector search: exact top-k restricted to corpus rows whose
+    * `attrCol` equals the query's — the metadata-filtered ANN primitive
+    * (pre-filtering, not post-filtering: the attribute equality is PART of
+    * the broadcast join condition, so non-matching corpus rows are dropped
+    * before any scoring, and k results are guaranteed when the stratum has
+    * them — a post-filter of an unfiltered top-k can come up short).
+    * Same scale shape as [[bruteForceTopK]]. */
+  def filteredTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      attrCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).alias("corpus_id"),
+      col(vecCol).alias("cvec"), col(attrCol).alias("c_attr"))
+    val q = queries.select(col(idCol).alias("query_id"),
+      col(vecCol).alias("qvec"), col(attrCol).alias("q_attr"))
+    val scored = c.join(broadcast(q),
+        col("c_attr") === col("q_attr") && col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("qvec"), col("cvec")).alias("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("score"))
+  }
+
   /** k-NN majority-vote classification: each query's label is the most
     * frequent label among its `k` exact nearest neighbors (ties → smaller
     * label). Same scale shape as [[bruteForceTopK]] (broadcast queries,

@@ -524,6 +524,71 @@ object TextAnalysis {
       .orderBy(col("exact_count").desc, col("token").asc)
   }
 
+  /** Hybrid retrieval by reciprocal-rank fusion (Cormack et al., SIGIR'09):
+    * fuse a sparse BM25 top-`listSize` list and a dense embedding-cosine
+    * top-`listSize` list into `rrf(d) = Σ_lists 1/(rrfK + rank_d)` —
+    * the standard sparse+dense fusion that needs no score calibration.
+    *
+    * Scale shape: each tower produces its list with its own scalable plan
+    * (BM25: narrow tf + one broadcast stats row + TakeOrdered; dense:
+    * broadcast 1-row query vector, corpus scanned once, TakeOrdered);
+    * fusion then runs on ≤ 2·listSize rows — the rank windows never see
+    * the corpus. Ranks are integers and the RRF sum is two fixed-order
+    * divisions, so the fused scores hash-match across engines. Docs
+    * missing from a list contribute 0 (rank reported as 0 = absent). */
+  def hybridRrf(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      listSize: Int = 100,
+      k: Int = 20,
+      rrfK: Int = 60,
+      dim: Int = 64,
+      tokenHash: Column => Column = graft.ops.Dedup.xxHash): DataFrame = {
+    import graft.functions.VectorFunctions
+    val sparseW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val sparse = bm25(docs, idCol, textCol, terms, topK = listSize)
+      .select(col("doc_id"), col("score"))
+      .withColumn("rank_sparse", row_number().over(sparseW).cast("long"))
+      .select(col("doc_id"), col("rank_sparse"))
+    val emb = hashEmbeddings(docs, idCol, textCol, dim, tokenHash)
+      .select(col(idCol).alias("doc_id"), col("embedding").alias("tvec"))
+      .filter(VectorFunctions.dot(col("tvec"), col("tvec")) > 0)
+    val qEmb = hashEmbeddings(
+        docs.sparkSession.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row(0L, terms.mkString(" "))),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("qid",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("qtext",
+              org.apache.spark.sql.types.StringType)))),
+        "qid", "qtext", dim, tokenHash)
+      .select(col("embedding").alias("qvec"))
+    val denseW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("dscore").desc, col("doc_id").asc)
+    val dense = emb.crossJoin(broadcast(qEmb))
+      .select(col("doc_id"),
+        VectorFunctions.cosine(col("qvec"), col("tvec")).alias("dscore"))
+      .orderBy(col("dscore").desc, col("doc_id").asc)
+      .limit(listSize)
+      .withColumn("rank_dense", row_number().over(denseW).cast("long"))
+      .select(col("doc_id"), col("rank_dense"))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("rank_sparse"), lit(0L)).alias("rank_sparse"),
+        coalesce(col("rank_dense"), lit(0L)).alias("rank_dense"),
+        (when(col("rank_sparse").isNotNull,
+            lit(1.0) / (lit(rrfK).cast("double") + col("rank_sparse").cast("double")))
+          .otherwise(lit(0.0)) +
+         when(col("rank_dense").isNotNull,
+            lit(1.0) / (lit(rrfK).cast("double") + col("rank_dense").cast("double")))
+          .otherwise(lit(0.0))).alias("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Sparse TF-cosine document-pair similarity via capped posting lists —
     * the inverted-index complement to [[Similarity]]'s dense ANN.
     *

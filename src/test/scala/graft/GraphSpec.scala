@@ -75,6 +75,22 @@ class GraphSpec extends SparkSpec {
     assert(out.head.getAs[Long]("pred_label") == 0L) // 1-1 tie -> label 0
   }
 
+  test("filteredTopK: results stay in the query's stratum and match the " +
+    "restricted brute force") {
+    val out = Similarity.filteredTopK(labeled,
+        labeled.filter(col("vec_id") === 0L), "vec_id", "embedding", "label",
+        k = 5)
+      .collect()
+    // label-0 stratum minus self = ids 1, 2 only
+    assert(out.map(_.getAs[Long]("corpus_id")).toSet == Set(1L, 2L))
+    val restricted = Similarity.bruteForceTopK(
+        labeled.filter(col("label") === 0), labeled.filter(col("vec_id") === 0L),
+        "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getAs[Long]("corpus_id"), r.getAs[Int]("rank"))).toSet
+    assert(out.map(r => (r.getAs[Long]("corpus_id"), r.getAs[Int]("rank"))).toSet
+      == restricted)
+  }
+
   test("labelCentroidConfusion: separated clusters give a diagonal matrix") {
     val cells = Similarity.labelCentroidConfusion(labeled, "vec_id",
         "embedding", "label", dim = 2)

@@ -556,6 +556,33 @@ class OpsSpec extends SparkSpec {
     assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
   }
 
+  test("hybridRrf: doc leading both lists tops the fusion; ranks reported") {
+    val d = Seq(
+      (1L, "q q q q unique rare terms here abc"), // strong sparse + dense
+      (2L, "q q other words entirely xyz"),
+      (3L, "nothing relevant at all zzz"),
+      (4L, "q appears once among filler mno")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.hybridRrf(d, "doc_id", "text", Seq("q"),
+        listSize = 10, k = 4, rrfK = 60, dim = 16,
+        tokenHash = Dedup.oracleHash)
+      .collect()
+    val byDoc = out.map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Long]("rank_sparse"), r.getAs[Long]("rank_dense"),
+        r.getAs[Double]("rrf")))).toMap
+    // doc 1 has the highest tf for 'q' -> sparse rank 1; fusion must put a
+    // doc present in both lists above one present in just one
+    assert(byDoc(1L)._1 == 1L)
+    val fused = out.map(_.getAs[Double]("rrf"))
+    assert(fused.sorted.reverse.toSeq == fused.toSeq) // ordered by rrf desc
+    // every reported rrf equals the reconstruction from its ranks
+    byDoc.values.foreach { case (rs, rd, rrf) =>
+      val want = (if (rs > 0) 1.0 / (60.0 + rs) else 0.0) +
+        (if (rd > 0) 1.0 / (60.0 + rd) else 0.0)
+      assert(math.abs(rrf - want) < 1e-15)
+    }
+  }
+
   test("bm25: tf raises the score, absent terms score zero") {
     val d = Seq((1L, "q q a"), (2L, "q a a"), (3L, "a a a")).toDF("doc_id", "text")
     val out = TextAnalysis.bm25(d, "doc_id", "text", Seq("q"))
