@@ -56,8 +56,9 @@ object Bench {
     // (multi-job loop — a cost profile nothing else in the set has), the
     // fixed-point centroid aggregate, and the two-pass global enumeration
     "q_pagerank", "sim_label_confusion", "prep_shuffle_order",
-    // the mergeable count-min sketch and the capped posting-list self-join
-    "text_heavy_hitters", "text_sparse_cosine")
+    // the mergeable count-min sketch, the capped posting-list self-join,
+    // and the two-tower sparse+dense fusion
+    "text_heavy_hitters", "text_sparse_cosine", "text_hybrid_rrf")
 
   /** Warm iterations per query; the median is reported. */
   val WarmIters = 3
