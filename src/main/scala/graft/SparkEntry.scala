@@ -465,6 +465,13 @@ object SparkEntry {
     "text_heavy_hitters" -> ((s, dir) =>
       TextAnalysis.heavyHitters(docs(s, dir), "text", k = 20,
         depth = 4, width = 64, tokenHash = Dedup.oracleHash)),
+    // Per-source distinct-token cardinality: exact count beside the
+    // HyperLogLog estimate from a 64-register mergeable sketch — register
+    // contents AND the double estimate hash-match (trailing-zero rank,
+    // bit-shift powers of two — no libm anywhere).
+    "text_hll_distinct" -> ((s, dir) =>
+      TextAnalysis.distinctCardinality(docs(s, dir), "source", "text",
+        p = 6, tokenHash = Dedup.oracleHash)),
     // Hybrid retrieval: BM25 top-100 + dense hash-embedding-cosine top-100
     // fused by reciprocal-rank fusion (1/(60+rank) each) — integer ranks,
     // two fixed-order divisions, hash-exact.
@@ -2379,6 +2386,49 @@ object SparkEntry {
     "text_heavy_hitters" -> heavyHittersSql,
     "text_sparse_cosine" -> sparseCosineSql,
     "text_hybrid_rrf" -> hybridRrfSql,
+    "text_hll_distinct" ->
+      """WITH toks AS (
+           SELECT source AS grp,
+                  unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS token
+           FROM documents),
+         inst AS (
+           SELECT grp, token,
+                  list_reduce(list_prepend(CAST(7 AS BIGINT),
+                    list_transform(list_filter(string_split(token, ''), c -> c <> ''),
+                                   c -> CAST(ascii(c) AS BIGINT))),
+                    (a, c) -> (a * 31 + c) % 1000000007) AS h
+           FROM toks),
+         exact AS (SELECT grp, count(DISTINCT token) AS n_exact
+                   FROM inst GROUP BY 1),
+         rk AS (SELECT grp, CAST(h & 63 AS INT) AS idx,
+                       CASE WHEN (h >> 6) = 0 THEN 59
+                            ELSE bit_count(((h >> 6) & -(h >> 6)) - 1) + 1
+                       END AS rank
+                FROM inst),
+         mx AS (SELECT grp, idx, max(rank) AS mr FROM rk GROUP BY 1, 2),
+         grid AS (SELECT g.grp, r.range AS idx
+                  FROM (SELECT DISTINCT source AS grp FROM documents) g,
+                       range(0, 64) r),
+         regs AS (SELECT g.grp,
+                         list(CAST(coalesce(mx.mr, 0) AS BIGINT)
+                              ORDER BY g.idx) AS rl
+                  FROM grid g
+                  LEFT JOIN mx ON mx.grp = g.grp AND mx.idx = g.idx
+                  GROUP BY g.grp),
+         est AS (SELECT grp,
+                        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                          list_transform(rl, M ->
+                            1.0 / CAST((CAST(1 AS BIGINT) << CAST(M AS INT))
+                                       AS DOUBLE))),
+                          (a, v) -> a + v) AS sum_inv,
+                        len(list_filter(rl, M -> M = 0)) AS nz
+                 FROM regs)
+       SELECT e.grp AS grp, x.n_exact,
+              0.709 * 64.0 * 64.0 / e.sum_inv AS hll_est,
+              CAST(e.nz AS BIGINT) AS n_zero_regs
+       FROM est e JOIN exact x ON x.grp = e.grp
+       ORDER BY grp""",
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,
                 CAST(sum(k) AS BIGINT) AS sum_k,

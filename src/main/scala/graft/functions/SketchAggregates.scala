@@ -291,6 +291,75 @@ case class CountMinAgg(
     copy(child = c.head)
 }
 
+/** `hll_registers_agg(h, p)` → array<long> of `2^p` HyperLogLog registers
+  * (Flajolet et al. 2007) over the group's hash values: register
+  * `h & (2^p - 1)` keeps the max rank of the remaining bits, where rank =
+  * trailing-zero count + 1 (the PCSA-style convention — chosen because
+  * `bit_count((w & -w) - 1) + 1` reproduces it in ANY engine with exact
+  * integer ops; the leading-zeros convention needs a log2 or a 58-way
+  * CASE). Empty stream → all-zero registers.
+  *
+  * Scale: the buffer is 2^p longs per group regardless of cardinality,
+  * registers merge by elementwise MAX (commutative, idempotent — partial
+  * aggregation map-side, retries harmless), and the estimate is a
+  * fixed-order fold downstream (`0.709·m²/Σ2^-M_j`, powers of two via bit
+  * shift — no libm). The sketch contents are bit-identical across
+  * partitionings and engines. */
+case class HllRegistersAgg(
+    child: Expression,
+    p: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  private val m = 1 << p
+  private val maxRank = 64 - p + 1
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](m)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      val idx = (h & (m - 1)).toInt
+      val w = h >>> p
+      val rank =
+        if (w == 0L) maxRank
+        else java.lang.Long.numberOfTrailingZeros(w) + 1
+      if (rank > buf(idx)) buf(idx) = rank.toLong
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < m) { if (b2(i) > b1(i)) b1(i) = b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * m)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(m)(bb.getLong)
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "hll_registers_agg"
+  override def withNewMutableAggBufferOffset(o: Int): HllRegistersAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllRegistersAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+}
+
 object SketchAggregates {
 
   def minhashAgg(h: Column, numHashes: Int): Column =
@@ -304,4 +373,7 @@ object SketchAggregates {
 
   def countMinAgg(h: Column, depth: Int, width: Int): Column =
     Shims.column(CountMinAgg(Shims.expression(h), depth, width).toAggregateExpression())
+
+  def hllRegistersAgg(h: Column, p: Int): Column =
+    Shims.column(HllRegistersAgg(Shims.expression(h), p).toAggregateExpression())
 }

@@ -524,6 +524,49 @@ object TextAnalysis {
       .orderBy(col("exact_count").desc, col("token").asc)
   }
 
+  /** Per-group distinct-token cardinality: exact count side-by-side with a
+    * HyperLogLog estimate from [[graft.functions.HllRegistersAgg]] (2^p
+    * registers, elementwise-max merge).
+    *
+    * Scale: the exact side shuffles distinct (group, token-hash) pairs —
+    * fine at test scale, and it is the verification harness; the SKETCH
+    * side shuffles one 2^p-long register array per group per partition no
+    * matter the cardinality, and registers merge across files/days/
+    * engines (max is commutative + idempotent, so retries and replays are
+    * harmless). The estimate is the raw HLL formula `0.709·m²/Σ2^-M_j`
+    * with powers of two as bit shifts — every step fixed-order IEEE, no
+    * libm, so the oracle reproduces the DOUBLE bit-for-bit. Zero-register
+    * count is surfaced so consumers can apply small-range corrections
+    * without re-scanning. */
+  def distinctCardinality(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String,
+      p: Int = 6,
+      tokenHash: Column => Column = graft.ops.Dedup.xxHash): DataFrame = {
+    val m = 1 << p
+    val inst = docs.select(col(groupCol).alias("grp"),
+        explode(tokens(col(textCol))).alias("token"))
+      .withColumn("h", tokenHash(col("token")))
+    val exact = inst.groupBy(col("grp"))
+      .agg(countDistinct(col("token")).alias("n_exact"))
+    val regs = inst.groupBy(col("grp"))
+      .agg(graft.functions.SketchAggregates.hllRegistersAgg(col("h"), p)
+        .alias("regs"))
+    // SQL-string lambda: the Column-API shiftleft only takes literal bit
+    // counts; the SQL form shifts by the register value. Powers of two via
+    // shift (not pow) keep every term exact in both engines.
+    val sumInv = expr(
+      "aggregate(regs, cast(0.0 as double), (acc, r) -> " +
+        "acc + 1.0d / cast(shiftleft(1L, cast(r as int)) as double))")
+    regs.join(exact, Seq("grp"))
+      .select(col("grp"),
+        col("n_exact"),
+        (lit(0.709) * lit(m.toDouble) * lit(m.toDouble) / sumInv).alias("hll_est"),
+        size(filter(col("regs"), r => r === 0L)).cast("long").alias("n_zero_regs"))
+      .orderBy("grp")
+  }
+
   /** Hybrid retrieval by reciprocal-rank fusion (Cormack et al., SIGIR'09):
     * fuse a sparse BM25 top-`listSize` list and a dense embedding-cosine
     * top-`listSize` list into `rrf(d) = Σ_lists 1/(rrfK + rank_d)` —

@@ -498,6 +498,44 @@ class OpsSpec extends SparkSpec {
     assert(one == many)
   }
 
+  test("hll_registers_agg: hand-computed p=2 registers") {
+    import graft.functions.SketchAggregates.hllRegistersAgg
+    // h=5 (101b): idx=1, w=1 -> rank 1; h=8 (1000b): idx=0, w=2 -> rank 2
+    // h=4 (100b): idx=0, w=1 -> rank 1 (loses to h=8's 2); h=0: idx=0, w=0
+    // -> maxRank 63
+    val out = Seq(5L, 8L, 4L, 0L).toDF("h")
+      .agg(hllRegistersAgg(col("h"), p = 2).as("r")).head.getSeq[Long](0)
+    assert(out == Seq(63L, 1L, 0L, 0L))
+  }
+
+  test("hll_registers_agg: registers identical under repartitioning") {
+    import graft.functions.SketchAggregates.hllRegistersAgg
+    val hashes = Seq.tabulate(2000)(i => (i * 2654435761L) % 1000000007L).toDF("h")
+    val one = hashes.coalesce(1).agg(hllRegistersAgg(col("h"), 6).as("r")).head.getSeq[Long](0)
+    val many = hashes.repartition(17).agg(hllRegistersAgg(col("h"), 6).as("r")).head.getSeq[Long](0)
+    assert(one == many)
+  }
+
+  test("distinctCardinality: corrected estimate tracks the exact count") {
+    val d = Seq.tabulate(40)(i =>
+      (i.toLong, Seq.tabulate(25)(j => s"w${(i * 25 + j) % 600}").mkString(" "), "g"))
+      .toDF("doc_id", "text", "source")
+    // production hash (xxhash64): the polynomial oracle hash's low bits
+    // avalanche poorly, which biases trailing-zero ranks — fine for the
+    // cross-engine register check, not for estimate QUALITY
+    val r = TextAnalysis.distinctCardinality(d, "source", "text", p = 6)
+      .collect().head
+    val exact = r.getAs[Long]("n_exact").toDouble
+    val raw = r.getAs[Double]("hll_est")
+    val nz = r.getAs[Long]("n_zero_regs")
+    // apply the standard small-range correction the query leaves to the
+    // consumer (ln is libm-dependent, so it can't be in the hash-checked
+    // output): linear counting when zero registers remain
+    val est = if (nz > 0 && raw < 2.5 * 64) 64.0 * math.log(64.0 / nz) else raw
+    assert(math.abs(est - exact) / exact < 0.35,
+      s"exact=$exact raw=$raw corrected=$est nz=$nz")
+  }
+
   test("heavyHitters: est >= exact for every token; exact counts right") {
     val d = Seq((1L, "a a a b b c"), (2L, "a b d")).toDF("doc_id", "text")
     val out = TextAnalysis.heavyHitters(d, "text", k = 10,
