@@ -491,6 +491,19 @@ class TrainPrepSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("end-to-end: prepared corpus composes with the global shuffle order") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val prepped = TrainPrep.prepareCorpus(docs, "doc_id", "text", "lang")
+    val ordered = TrainPrep.shuffleOrder(prepped, "doc_id")
+    val n = prepped.count()
+    val rows = ordered.select("pos", "doc_id").collect()
+    // ordering adds/drops nothing and assigns a contiguous permutation
+    assert(rows.length == n)
+    assert(rows.map(_.getAs[Long]("pos")).sorted.toSeq == (0L until n))
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == n)
+  }
+
   test("shuffleOrder: pos is the exact (hash, id)-order permutation") {
     import spark.implicits._
     val df = Seq.tabulate(97)(i => (i.toLong, s"d$i")).toDF("id", "text")
