@@ -558,6 +558,20 @@ object SparkEntry {
           sum(datediff(lit("1998-12-31").cast("date"), col("o_orderdate"))
             .cast("long")).alias("sum_days_left"))
         .orderBy("yr", "qtr")),
+    // Array set-operation surface (intersect/union/except, all dedup
+    // semantics): narrow per-row, outputs normalized by sort+join so
+    // element order can't differ between engines.
+    "q_array_setops" -> ((s, dir) => {
+      val a = TextAnalysis.tokens(lower(col("p_name")))
+      val b = TextAnalysis.tokens(lower(col("p_type")))
+      Parity.t(s, dir, "part").select(
+          col("p_partkey"),
+          size(array_intersect(a, b)).cast("long").alias("n_common"),
+          size(array_union(a, b)).cast("long").alias("n_union"),
+          size(array_except(a, b)).cast("long").alias("n_only_name"),
+          array_join(array_sort(array_intersect(a, b)), " ").alias("common_str"))
+        .orderBy("p_partkey")
+    }),
     // Type-token-ratio curve: lexical richness at 25/50/100-token
     // prefixes (TTR falls with length, so fixed-prefix measurement is the
     // comparable form). Narrow slices per row, zero shuffle.
@@ -2429,6 +2443,18 @@ object SparkEntry {
               CAST(e.nz AS BIGINT) AS n_zero_regs
        FROM est e JOIN exact x ON x.grp = e.grp
        ORDER BY grp""",
+    "q_array_setops" ->
+      """SELECT p_partkey,
+                CAST(len(list_intersect(a, b)) AS BIGINT) AS n_common,
+                CAST(len(list_distinct(list_concat(a, b))) AS BIGINT) AS n_union,
+                CAST(len(list_filter(list_distinct(a),
+                         x -> NOT list_contains(b, x))) AS BIGINT) AS n_only_name,
+                COALESCE(array_to_string(list_sort(list_intersect(a, b)), ' '), '') AS common_str
+         FROM (SELECT p_partkey,
+                      list_filter(string_split(lower(p_name), ' '), x -> x <> '') AS a,
+                      list_filter(string_split(lower(p_type), ' '), x -> x <> '') AS b
+               FROM part) t
+         ORDER BY p_partkey""",
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,
                 CAST(sum(k) AS BIGINT) AS sum_k,
