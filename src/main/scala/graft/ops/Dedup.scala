@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines.
@@ -540,14 +541,32 @@ object Dedup {
       textCol: String,
       maxDist: Int = 8,
       prefixLen: Int = 24,
-      lengthBucket: Int = 16): DataFrame = {
+      lengthBucket: Int = 16,
+      blockCap: Int = 256): DataFrame = {
     val blocked = docs.select(
       substring(col(textCol), 1, prefixLen).alias("__pfx"),
       floor(length(col(textCol)) / lengthBucket).alias("__lb"),
       col(idCol), col(textCol))
-    val a = blocked.select(col("__pfx"), col("__lb"),
+    // Champion-list cap on block participation: pair fanout is quadratic
+    // in block size, and real crawl corpora concentrate boilerplate-prefix
+    // documents (license headers, templated pages) into single blocks —
+    // unbounded, one hot block is O(n²) pairs that AQE can re-balance but
+    // never shrink. Rank-within-block + filter plans as WindowGroupLimit
+    // (each map task prunes to ≤ blockCap rows per block BEFORE the
+    // exchange), so the worst block costs ≤ blockCap² candidate pairs.
+    // Deterministic (lowest ids win, matching the lowest-id-survives
+    // convention elsewhere in this file); recall inside a hot block
+    // degrades gracefully and the cap is stated, like
+    // [[graft.ops.TextAnalysis]]'s `maxPostings` champion lists.
+    val capW = Window.partitionBy(col("__pfx"), col("__lb"))
+      .orderBy(col(idCol).asc)
+    val capped = blocked
+      .withColumn("__brank", row_number().over(capW))
+      .filter(col("__brank") <= blockCap)
+      .drop("__brank")
+    val a = capped.select(col("__pfx"), col("__lb"),
       col(idCol).alias("doc_a"), col(textCol).alias("__ta"))
-    val b = blocked.select(col("__pfx"), col("__lb"),
+    val b = capped.select(col("__pfx"), col("__lb"),
       col(idCol).alias("doc_b"), col(textCol).alias("__tb"))
     a.join(b, Seq("__pfx", "__lb"))
       .filter(col("doc_a") < col("doc_b"))

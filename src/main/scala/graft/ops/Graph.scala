@@ -82,11 +82,18 @@ object Graph {
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy("dst").agg(sum("c").as("in_mass"))
       // Every node keeps a base rank even with no in-edges this round.
+      // Damping as floor(85·m/100) WITHOUT forming 85·m: with m = 100q + s,
+      // floor(85m/100) = 85q + floor(85s/100) exactly. The naive product
+      // overflows int64 once a node's in-mass exceeds ~1.08e17 units
+      // (≈1e5 full-rank in-neighbors — plausible for hubs at scale), and
+      // Spark with ANSI off would WRAP silently while the DuckDB oracle
+      // errors. This form keeps every intermediate ≤ 85·(m div 100) + 8415.
       ranks = nodes
         .join(contrib, nodes("node") === contrib("dst"), "left")
         .select(col("node"),
           (lit(base) +
-            expr("(85 * coalesce(in_mass, cast(0 as bigint))) div 100")).as("r"))
+            expr("""(coalesce(in_mass, cast(0 as bigint)) div 100) * 85
+                    + ((coalesce(in_mass, cast(0 as bigint)) % 100) * 85) div 100""")).as("r"))
     }
     ranks.select(col("node"), col("r").as("rank_units"))
   }

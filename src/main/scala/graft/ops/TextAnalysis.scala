@@ -177,21 +177,31 @@ object TextAnalysis {
       k: Int,
       tokenHash: Column => Column = graft.ops.Dedup.xxHash): DataFrame = {
     import graft.functions.SketchArrayExpressions.shingleWindows
-    // Pin: the per-hash source-set table feeds the totals aggregate and
-    // the pair expansion, whose stages launch concurrently — eager
-    // materialization stops them racing to recompute it (see [[Pin]]).
-    val byHash = Pin(docs
+    val grams = docs
       .select(col(sourceCol).alias("__src"),
         explode(shingleWindows(
           transform(tokens(col(textCol)), t => tokenHash(t)), k)).alias("sh"))
-      .groupBy(col("sh"))
-      .agg(sort_array(collect_set(col("__src"))).alias("__srcs")))
-    val counts = byHash
-      .select(explode(col("__srcs")).alias("__src"))
-      .groupBy(col("__src")).agg(count(lit(1)).alias("n"))
+    // Per-source totals straight off the gram stream: count(distinct sh)
+    // plans as a two-phase aggregate whose exchange carries map-side-
+    // deduped (src, hash) pairs — no cache of the per-hash source sets is
+    // needed for the totals at all. Pinned because the result (one row per
+    // SOURCE) feeds two broadcast subplans below whose exchanges don't
+    // canonically match — without the pin each would rerun this corpus
+    // scan. This replaces the former whole-surface pin of the per-hash
+    // source-set table: at crawl scale nearly every shingle hash is
+    // single-source, so caching all of them bought the totals (derivable
+    // as here) at the price of a corpus-sized cache and the residual warm
+    // variance BENCH_r06 showed. Now NOTHING corpus-sized is cached: the
+    // multi-source rows below flow straight into their single consumer.
+    val counts = Pin(grams
+      .groupBy(col("__src")).agg(count_distinct(col("sh")).alias("n")))
     // all i<j source pairs of each hash's (sorted) set — narrow expansion
-    // bounded by C(|sources|, 2) per row
-    val pairs = byHash
+    // bounded by C(|sources|, 2) per row; single consumer, so the
+    // aggregate is NOT cached (the ≥2-source filter keeps only the tiny
+    // cross-source tail of the hash space)
+    val pairs = grams
+      .groupBy(col("sh"))
+      .agg(sort_array(collect_set(col("__src"))).alias("__srcs"))
       .filter(size(col("__srcs")) >= 2)
       .select(explode(expr(
         "flatten(transform(__srcs, (a, i) -> " +

@@ -37,26 +37,83 @@ object TrainPrep {
           .otherwise("test"))
   }
 
+  /** Per-group global running sum WITHOUT a group-wide sort task — the
+    * [[shuffleOrder]] two-pass enumeration generalized to groups.
+    *
+    * `Window.partitionBy(group)` puts each group's ENTIRE corpus through
+    * ONE task's sort: at 100 TB with O(30) languages that is a ~30-task
+    * serialization of the biggest shuffle in the prep pipeline. Here
+    * instead:
+    *  1. range-repartition + sort on (group ++ order) — Spark samples
+    *     bounds, so a big group spans MANY balanced partitions and a
+    *     small one shares a partition with its neighbors;
+    *  2. per-(partition, group) value sums — tiny aggregate;
+    *  3. per-group exclusive prefix over partition ids (window over
+    *     #partitions×#groups-spanning rows, never data rows);
+    *  4. broadcast the offsets back; each row's running sum = its group's
+    *     offset in this partition + the within-(partition, group) running
+    *     sum (that window re-keys on (pid, group): every task handles a
+    *     bounded partition SLICE of a group, never the whole group).
+    * Two passes over the data, every stage parallel; output values are
+    * identical to the serial single-window form (and invariant to the
+    * partition count — offsets re-derive the same global order).
+    *
+    * The range-partitioned frame is pinned (persist + eager count): range
+    * bounds are SAMPLED, and both the counts and the final join must
+    * observe the same bounds — exchange reuse normally guarantees that,
+    * but it is an optimization, not a contract.
+    */
+  private[graft] def groupedRunningSum(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      value: Column,
+      out: String): DataFrame = {
+    val keys = (groupCols ++ orderCols).map(col)
+    val parts = math.max(2, df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt / 2)
+    val parted = Pin(df
+      .withColumn("__grs_v", value.cast("long"))
+      .repartitionByRange(parts, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .withColumn("__grs_pid", spark_partition_id()))
+    val sums = parted
+      .groupBy(("__grs_pid" +: groupCols).map(col): _*)
+      .agg(sum(col("__grs_v")).alias("__grs_s"))
+    val offW = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__grs_pid").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sums // #(partition, group) rows — the only serial window
+      .withColumn("__grs_off", coalesce(sum(col("__grs_s")).over(offW), lit(0L)))
+      .select(("__grs_pid" +: groupCols).map(col) :+ col("__grs_off"): _*)
+    val rnW = Window.partitionBy(("__grs_pid" +: groupCols).map(col): _*)
+      .orderBy(orderCols.map(col(_).asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted.join(broadcast(offsets), "__grs_pid" +: groupCols)
+      .withColumn(out, col("__grs_off") + sum(col("__grs_v")).over(rnW))
+      .drop("__grs_v", "__grs_pid", "__grs_off")
+  }
+
   /** Pack documents into fixed token-budget training sequences: within each
     * `groupCol` (e.g. language), docs ordered by `idCol` fill sequences of
-    * at most `budget` tokens — next-fit bin packing as a running-sum
-    * window: `seq_id = floor(exclusive_cumsum / budget)`. One shuffle (the
-    * group partitioning); docs larger than the budget take dedicated
-    * sequences. Deterministic: same corpus → same packing. */
+    * at most `budget` tokens — next-fit bin packing as a running sum:
+    * `seq_id = floor(exclusive_cumsum / budget)`. The cumsum is the
+    * [[groupedRunningSum]] two-pass form, so no task ever sorts a whole
+    * group; docs larger than the budget take dedicated sequences.
+    * Deterministic: same corpus → same packing. Callers should prune to
+    * the columns they need first — the two-pass pin materializes the
+    * input schema as-is. */
   def packSequences(
       df: DataFrame,
       idCol: String,
       groupCol: String,
       tokenCountCol: Column,
-      budget: Int): DataFrame = {
-    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol).asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("n_tokens", tokenCountCol)
-      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      budget: Int): DataFrame =
+    groupedRunningSum(df.withColumn("n_tokens", tokenCountCol),
+      Seq(groupCol), Seq(idCol), col("n_tokens"), "__cum")
       .withColumn("seq_id",
         floor((col("__cum") - col("n_tokens")) / lit(budget)).cast("long"))
       .drop("__cum")
-  }
 
   /** Global token vocabulary: the `k` most frequent whitespace tokens with
     * occurrence counts, ties broken lexicographically. Exploded counts
@@ -178,17 +235,20 @@ object TrainPrep {
     * uniformly-but-reproducibly — the counterpart to positive-pair
     * construction (`prep_contrastive`): a contrastive objective needs both.
     *
-    * The sample is a HASH RING, not a join: each doc gets a scrambled ring
-    * position (the [[splitByHash]] multiplicative scramble, different
-    * constants), docs sort by ring position within their group, and each
-    * doc's negatives are the next `k` docs around the ring (wrapping via a
-    * doubled lead window on the ring-sorted sequence). Properties:
+    * The sample is a HASH RING, not a candidate join: each doc gets a
+    * scrambled ring position (the [[splitByHash]] multiplicative scramble,
+    * different constants), docs order by ring position within their group,
+    * and each doc's negatives are the next `k` docs around the ring
+    * (wrapping modulo the group size). Properties:
     *
     *  - deterministic: same corpus → same negatives, any engine;
     *  - uniform-ish: ring order is hash order, uncorrelated with id order
     *    or content;
-    *  - ONE window shuffle (group-partitioned sort) at any corpus size —
-    *    never a candidate join, never a per-doc sample of the whole group;
+    *  - positions come from [[groupedRunningSum]]'s two-pass enumeration —
+    *    no task ever sorts a whole group (the former
+    *    `Window.partitionBy(group)` serialized each language through one
+    *    task at scale); the neighbor lookup is a position-keyed self-join,
+    *    hash-parallel across positions;
     *  - wrap-around means every doc gets exactly `min(k, group size − 1)`
     *    negatives (singleton groups get none).
     *
@@ -203,37 +263,24 @@ object TrainPrep {
     val ring = docs.select(col(idCol), col(groupCol),
       pmod(col(idCol) * lit(2246822519L) + lit(3266489917L), lit(1000000007L))
         .alias("__ring"))
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(col("__ring").asc, col(idCol).asc)
-    val leads = (1 to k).map(i =>
-      lead(col(idCol), i).over(w).alias(s"__lead$i"))
-    // ONE window pass computes position, group size, and all k leads;
-    // pinned (persist + eager materialize) because three consumers read it
-    // — the direct branch, the wrap branch, and the ring-head lookup — and
-    // without the pin each would re-run the window shuffle (see [[Pin]]).
-    val posed = Pin(ring.select(
-      Seq(col(idCol), col(groupCol),
-        count(lit(1)).over(Window.partitionBy(col(groupCol))).alias("__n"),
-        row_number().over(w).cast("long").alias("__pos")) ++ leads: _*))
-    val heads = posed
-      .select(col(groupCol), col("__pos").alias("__hpos"), col(idCol).alias("__hid"))
-    val exploded = posed.select(
-      col(idCol), col(groupCol), col("__n"), col("__pos"),
-      posexplode(array(leads.indices.map(i => col(s"__lead${i + 1}")): _*))
-        .as(Seq("__i", "neg_id")))
-      .withColumn("rank", (col("__i") + 1).cast("long"))
-      .filter(col("rank") < col("__n")) // singleton/short groups: no wrap duplicates
-    val direct = exploded.filter(col("neg_id").isNotNull)
+    // global per-group ring positions; pinned — three consumers (sizes,
+    // the exploded targets, the position lookup) must not race (see [[Pin]])
+    val posed = Pin(groupedRunningSum(ring, Seq(groupCol),
+      Seq("__ring", idCol), lit(1L), "__pos"))
+    val sizes = posed.groupBy(col(groupCol)).agg(count(lit(1)).alias("__n"))
+    // the i-th negative of the doc at pos is the doc at
+    // ((pos − 1 + i) mod n) + 1 — wrap is just modular arithmetic, so one
+    // equi-join on (group, position) fetches direct AND wrapped neighbors
+    val targets = posed
+      .join(broadcast(sizes), Seq(groupCol))
+      .select(col(groupCol), col(idCol), col("__n"), col("__pos"),
+        explode(sequence(lit(1L), lit(k.toLong))).alias("rank"))
+      .filter(col("rank") < col("__n")) // singleton/short groups: no self/dups
+      .withColumn("__tpos", pmod(col("__pos") - 1 + col("rank"), col("__n")) + 1)
+    val lookup = posed.select(col(groupCol), col("__pos").alias("__tpos"),
+      col(idCol).alias("neg_id"))
+    targets.join(lookup, Seq(groupCol, "__tpos"))
       .select(col(idCol), col("rank"), col("neg_id"))
-    // a null lead means the ring wrapped: the i-th negative past the end is
-    // the (pos + i - n)-th doc from the ring start. Wrapped rows number
-    // ≤ k per group regardless of corpus size, so this side broadcasts
-    // forever; heads streams against it unshuffled.
-    val wrappedTail = exploded.filter(col("neg_id").isNull)
-      .withColumn("__hpos", col("__pos") + col("rank") - col("__n"))
-      .join(heads, Seq(groupCol, "__hpos"))
-      .select(col(idCol), col("rank"), col("__hid").alias("neg_id"))
-    direct.unionByName(wrappedTail)
   }
 
   /** The full training-corpus preparation pipeline, composed end-to-end:
@@ -285,11 +332,14 @@ object TrainPrep {
       .agg(min(col(idCol)).alias(idCol))
       .select(col(idCol))
     val surviving = gated.join(keeper, idCol)
+    // prune to the manifest columns BEFORE the two-pass packing: its pin
+    // materializes the input schema as-is, and the scrubbed text must not
+    // ride into the cache
     val split = splitByHash(surviving, idCol)
-    val w = Window.partitionBy(col("split"), col(langCol)).orderBy(col(idCol).asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    split
-      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .select(col(idCol), col(langCol), col("split"), col("n_tokens"),
+        col("n_redactions"))
+    groupedRunningSum(split, Seq("split", langCol), Seq(idCol),
+      col("n_tokens"), "__cum")
       .withColumn("seq_id",
         floor((col("__cum") - col("n_tokens")) / lit(budget)).cast("long"))
       .select(col(idCol), col(langCol), col("split"), col("n_tokens"),
@@ -505,12 +555,13 @@ object TrainPrep {
     val surviving = gated.join(keeper, idCol)
     val chunks = chunkDocuments(
       surviving, idCol, "scrubbed", chunkSize, stride, carryCols = Seq(langCol))
+    // prune to the manifest columns BEFORE the two-pass packing (its pin
+    // materializes the input schema as-is; chunk text must not ride along)
     val split = splitByHash(chunks, idCol)
-    val w = Window.partitionBy(col("split"), col(langCol))
-      .orderBy(col(idCol).asc, col("chunk_id").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    split
-      .withColumn("__cum", sum(col("n_chunk_tokens")).over(w))
+      .select(col(idCol), col("chunk_id"), col(langCol), col("split"),
+        col("n_chunk_tokens"))
+    groupedRunningSum(split, Seq("split", langCol), Seq(idCol, "chunk_id"),
+      col("n_chunk_tokens"), "__cum")
       .withColumn("seq_id",
         floor((col("__cum") - col("n_chunk_tokens")) / lit(budget)).cast("long"))
       .select(col(idCol), col("chunk_id"), col(langCol), col("split"),
@@ -759,22 +810,11 @@ object TrainPrep {
     val hashed = df.withColumn("h",
       pmod(col(idCol).cast("long") * lit(2654435761L) + lit(40507L),
         lit(4294967296L)))
-    val parts = math.max(2, hashed.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "32").toInt / 2)
-    val sorted = hashed
-      .repartitionByRange(parts, col("h"), col(idCol))
-      .sortWithinPartitions(col("h"), col(idCol))
-      .withColumn("pid", spark_partition_id())
-    val counts = sorted.groupBy("pid").agg(count(lit(1)).as("n"))
-    val offW = Window.orderBy(col("pid").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = counts // #partitions rows — the only single-task window
-      .withColumn("offset", sum(col("n")).over(offW) - col("n"))
-      .select("pid", "offset")
-    val rnW = Window.partitionBy(col("pid")).orderBy(col("h").asc, col(idCol).asc)
-    sorted
-      .join(broadcast(offsets), Seq("pid"))
-      .withColumn("pos", col("offset") + row_number().over(rnW) - 1)
-      .drop("pid", "offset")
+    // the degenerate (single global group) case of the two-pass per-group
+    // enumeration; the helper pins its range-partitioned frame, so the
+    // sampled bounds are observed exactly once by both consumers
+    groupedRunningSum(hashed, Nil, Seq("h", idCol), lit(1L), "__pos")
+      .withColumn("pos", col("__pos") - 1)
+      .drop("__pos")
   }
 }

@@ -409,11 +409,35 @@ class OpsSpec extends SparkSpec {
   }
 
   test("editDistanceDups plans a blocked equi-join, not a cartesian product") {
-    val d = Seq((1L, "aaaa"), (2L, "bbbb")).toDF("doc_id", "text")
-    val p = ops.Dedup.editDistanceDups(d, "doc_id", "text")
+    // blockCap below the source's maxRows — InferWindowGroupLimit skips
+    // the rewrite when it can prove the child can't exceed the cap
+    val d = spark.range(10).select(col("id").alias("doc_id"),
+      concat(lit("t"), col("id").cast("string")).alias("text"))
+    val p = ops.Dedup.editDistanceDups(d, "doc_id", "text", blockCap = 4)
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"edit-distance candidates must come from the blocking equi-join:\n$p")
+    // the champion cap prunes hot blocks map-side, before the exchange
+    assert(p.contains("WindowGroupLimit"),
+      s"blockCap rank filter must plan as WindowGroupLimit:\n$p")
+  }
+
+  test("editDistanceDups: a boilerplate-prefix corpus stays sub-quadratic " +
+    "(blockCap bounds the hot block's pair fanout)") {
+    // 2,000 docs sharing one 24-char prefix AND one length bucket — the
+    // license-header / templated-page shape. Uncapped this is ~2M pairs;
+    // the cap keeps participation to blockCap docs -> <= cap*(cap-1)/2.
+    val boiler = "Apache License Version " // exactly 24 chars, one block
+    val d = spark.range(2000)
+      .select(col("id").alias("doc_id"),
+        concat(lit(boiler), lpad(col("id").cast("string"), 8, "0")).alias("text"))
+    val cap = 64
+    val out = ops.Dedup.editDistanceDups(d, "doc_id", "text",
+      maxDist = 50, blockCap = cap)
+    assert(out.count() == cap.toLong * (cap - 1) / 2,
+      "hot-block pair count must be capped at C(blockCap, 2)")
+    // lowest ids are the champions, deterministically
+    assert(out.agg(max("doc_b")).head.getLong(0) == cap - 1L)
   }
 
   test("incremental: only never-seen keys survive, lowest batch id wins") {

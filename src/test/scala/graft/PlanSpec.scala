@@ -118,22 +118,39 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("Partial"))
   }
 
-  test("prep_corpus: two wide shuffles (dedup groupBy + packing window)") {
+  /** The packing stage is the two-pass grouped enumeration
+    * ([[graft.ops.TrainPrep.groupedRunningSum]]): its data-wide shuffles
+    * are the sampled RANGE partition plus ONE hash exchange for the
+    * (pid, group)-sliced running-sum window — no task ever sorts a whole
+    * (split, lang) group. The remaining hash exchanges carry reduced rows:
+    * the per-(pid, group) partial-aggregate and the #partitions-sized
+    * offsets prefix-sum. Signature census (dedup'd by grouping keys, so
+    * the pinned cache's double-rendered subplan doesn't double-count). */
+  private def hashExchangeKeys(p: String): Set[String] =
+    p.linesIterator.filter(_.contains("Arguments: hashpartitioning"))
+      .map(_.replaceAll(".*hashpartitioning\\(", "").replaceAll("#\\d+L?", "")
+        .replaceAll(", \\d+\\).*", "")).toSet
+
+  test("prep_corpus: dedup groupBy + two-pass packing, no group-wide window") {
     val p = plan("prep_corpus")
-    // the survivor-id join broadcasts at this scale; the only hash
-    // exchanges are the fingerprint dedup and the packing window (the
-    // final ORDER BY adds a range exchange, not a hash one)
-    val hashEx = p.linesIterator.count(_.contains("Arguments: hashpartitioning"))
-    assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx:\n$p")
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      s"packing must range-partition (two-pass enumeration):\n$p")
+    val keys = hashExchangeKeys(p)
+    assert(keys == Set("__fp", "__grs_pid, split, lang", "split, lang"),
+      s"unexpected hash-exchange key census: $keys\n$p")
+    // every data-sized window is (pid, group)-sliced
+    assert(p.contains("windowspecdefinition(__grs_pid"), p)
     assert(p.contains("BroadcastHashJoin"))
   }
 
   test("prep_corpus_chunked: chunking adds NO shuffle over prep_corpus") {
-    // same two wide stages as prep_corpus — fingerprint dedup + packing
-    // window; the chunk explode and the doc-hash split are narrow
+    // same wide stages as prep_corpus — fingerprint dedup + the two-pass
+    // packing; the chunk explode and the doc-hash split are narrow
     val p = plan("prep_corpus_chunked")
-    val hashEx = p.linesIterator.count(_.contains("Arguments: hashpartitioning"))
-    assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx:\n$p")
+    assert(p.toLowerCase.contains("rangepartitioning"), p)
+    val keys = hashExchangeKeys(p)
+    assert(keys == Set("__fp", "__grs_pid, split, lang", "split, lang"),
+      s"unexpected hash-exchange key census: $keys\n$p")
     assert(p.contains("BroadcastHashJoin"))
   }
 

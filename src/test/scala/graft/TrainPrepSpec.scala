@@ -531,6 +531,30 @@ class TrainPrepSpec extends SparkSpec {
     // the per-partition enumeration window is keyed by pid — a non-empty
     // windowspecdefinition, so no data-wide single-partition window
     // (plan string, not a tree collect: AQE wraps the tree pre-execution)
-    assert(plan.contains("windowspecdefinition(pid"))
+    assert(plan.contains("windowspecdefinition(__grs_pid"))
+  }
+
+  test("packSequences/negativeSamples: two-pass grouped enumeration — " +
+    "range partitioning, no group-wide window over the data") {
+    val df = Seq.tabulate(60)(i => (i.toLong, if (i % 3 == 0) "en" else "fr", 10L))
+      .toDF("doc_id", "lang", "toks")
+    val pPack = TrainPrep.packSequences(df, "doc_id", "lang", col("toks"), 512)
+      .queryExecution.executedPlan.toString
+    assert(pPack.toLowerCase.contains("rangepartitioning"),
+      s"packing must range-partition, not hash the whole group to one task:\n$pPack")
+    // every data-sized window is keyed by (pid, group) — a whole group
+    // never sorts in one task; the only lang-keyed windowspec without a
+    // pid prefix is the offsets prefix-sum over #partitions-sized input
+    assert(pPack.contains("windowspecdefinition(__grs_pid"),
+      s"expected the (pid, group)-sliced running-sum window:\n$pPack")
+    assert(!pPack.contains("windowspecdefinition(lang#") ||
+      pPack.contains("windowspecdefinition(__grs_pid"),
+      s"group-wide data window found:\n$pPack")
+    val pNeg = TrainPrep.negativeSamples(df, "doc_id", "lang", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(pNeg.toLowerCase.contains("rangepartitioning"),
+      s"ring positions must come from the two-pass enumeration:\n$pNeg")
+    assert(pNeg.contains("windowspecdefinition(__grs_pid"),
+      s"expected the (pid, group)-sliced position window:\n$pNeg")
   }
 }
