@@ -1050,6 +1050,18 @@ object SparkEntry {
         "embedding", k = 5, prefixDim = 16, refine = 4)
         .orderBy("query_id", "rank")
     }),
+    // The bucketed Matryoshka funnel: IVF cells fit/assigned/probed on the
+    // 16-dim prefix, prefix-cosine candidates inside nprobe=4 of 16 cells
+    // only (1/4 of the corpus rows × 1/4 of the bytes), exact full-dim
+    // rescore of k×refine — the candidate stage no longer scans the whole
+    // corpus per query, and the whole funnel stays hash-checked.
+    "sim_topk_matryoshka_ivf" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.matryoshkaIvfTopK(e, e.filter(col("vec_id") < 10), "vec_id",
+        "embedding", k = 5, prefixDim = 16, refine = 4,
+        numCentroids = 16, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }),
     // The composed funnel: int8-quantized 16-dim prefix scan (1/16 of the
     // float corpus bytes) + exact full-dim rescore — proof the byte and
     // element funnels compose, hash-checked end to end.
@@ -2005,6 +2017,59 @@ object SparkEntry {
        SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, score
        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  /** Bucketed Matryoshka funnel — mirrors
+    * [[graft.ops.Similarity.matryoshkaIvfTopK]] (prefixDim=16, k=5,
+    * refine=4, numCentroids=16, nprobe=4, queries = vec_id < 10): IVF
+    * cells fit/assigned/probed on the 16-dim prefix (assignment ties to
+    * the LARGER centroid id — max(struct) semantics; probe ties to the
+    * smaller cell id), prefix-cosine candidates inside probed cells,
+    * exact full-dim rescore of the top k×refine. */
+  private def matryoshkaIvfTopkSql: String =
+    s"""WITH cent AS (
+           SELECT vec_id AS centroid_id, embedding[1:16] AS centvec
+           FROM embeddings ORDER BY vec_id LIMIT 16),
+         c AS (SELECT vec_id AS corpus_id, embedding AS cvec,
+                      embedding[1:16] AS cpre FROM embeddings),
+         q AS (SELECT vec_id AS query_id, embedding AS qvec,
+                      embedding[1:16] AS qpre FROM embeddings
+               WHERE vec_id < 10),
+         assigned AS (
+           SELECT corpus_id, cpre, centroid_id AS cell FROM (
+             SELECT corpus_id, cpre, centroid_id,
+                    row_number() OVER (PARTITION BY corpus_id
+                      ORDER BY ${cosSql("cpre", "centvec")} DESC, centroid_id DESC) AS rn
+             FROM c, cent) WHERE rn = 1),
+         probed AS (
+           SELECT query_id, qpre, cell FROM (
+             SELECT query_id, qpre, centroid_id AS cell,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY ${cosSql("qpre", "centvec")} DESC, centroid_id ASC) AS pr
+             FROM q, cent) WHERE pr <= 4),
+         approx AS (
+           SELECT query_id, corpus_id,
+                  ${cosSql("qpre", "cpre")} AS approx
+           FROM assigned JOIN probed USING (cell)
+           WHERE query_id <> corpus_id),
+         cand AS (
+           SELECT query_id, corpus_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY approx DESC, corpus_id) AS arank
+           FROM approx),
+         scored AS (
+           SELECT cand.query_id, cand.corpus_id,
+                  ${cosSql("q.qvec", "c2.cvec")} AS score
+           FROM cand
+           JOIN q ON q.query_id = cand.query_id
+           JOIN c c2 ON c2.corpus_id = cand.corpus_id
+           WHERE arank <= 20),
+         ranked AS (
+           SELECT query_id, corpus_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, corpus_id) AS rank
+           FROM scored)
+       SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, score
+       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+
   /** Composed funnel — mirrors
     * [[graft.ops.Similarity.matryoshkaQuantizedTopK]] (prefixDim=16, k=5,
     * refine=4, queries = vec_id < 10): int8 quantization OF the 16-dim
@@ -2191,7 +2256,7 @@ object SparkEntry {
        SELECT CASE WHEN node % 2 = 0 THEN 'p:' || (node // 2)
                    ELSE 's:' || ((node - 1) // 2) END AS node,
               rank_units
-       FROM top ORDER BY rank_units DESC, node"""
+       FROM top ORDER BY rank_units DESC, top.node"""
   }
 
   /** Mirrors [[graft.ops.TextAnalysis.heavyHitters]] (k=20, depth=4,
@@ -2461,7 +2526,7 @@ object SparkEntry {
                 min(k) AS min_k, max(k) AS max_k,
                 count(CASE WHEN k > 90 THEN 1 END) AS n_high
          FROM (SELECT event_type,
-                      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                      TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
                FROM events) t
          GROUP BY event_type ORDER BY event_type""",
     "q_date_functions" ->
@@ -2495,6 +2560,7 @@ object SparkEntry {
     "prep_shuffle_order" -> shuffleOrderSql,
     "sim_topk_int8" -> quantizedTopkSql,
     "sim_topk_matryoshka" -> matryoshkaTopkSql,
+    "sim_topk_matryoshka_ivf" -> matryoshkaIvfTopkSql,
     "sim_topk_mrl_int8" -> mrlInt8TopkSql,
     "q_zorder" -> zorderSql,
     "q_tpch3" ->
@@ -3305,10 +3371,16 @@ object SparkEntry {
       """SELECT text, min(doc_id) AS doc_id FROM documents
          GROUP BY text ORDER BY doc_id""",
     "dedup_editdistance" ->
-      """WITH b AS (
+      """WITH b0 AS (
            SELECT doc_id, text, substr(text, 1, 24) AS pfx,
                   len(text) // 16 AS lb
-           FROM documents)
+           FROM documents),
+         b AS (
+           SELECT doc_id, text, pfx, lb FROM (
+             SELECT b0.*, row_number() OVER (PARTITION BY pfx, lb
+                      ORDER BY doc_id) AS rn
+             FROM b0) t
+           WHERE rn <= 256)
          SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
                 CAST(levenshtein(a.text, b2.text) AS BIGINT) AS edit_distance
          FROM b a JOIN b b2

@@ -433,6 +433,86 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("corpus_id"), col("score"))
   }
 
+  /** The BUCKETED Matryoshka funnel: IVF cell partitioning ON THE PREFIX
+    * DIMS composed with [[matryoshkaTopK]]'s exact full-dim rescore.
+    * [[matryoshkaTopK]] alone cuts bytes-per-candidate (prefixDim/dim of
+    * the floats) but its candidate stage still scans the WHOLE corpus per
+    * query (a broadcast NLJ); this variant adds [[ivfTopK]]'s candidate
+    * pruning so the scan touches only `nprobe / numCentroids` of the
+    * corpus ROWS as well — at the 4-of-16 × 16-of-64 defaults the
+    * candidate stage reads 1/4 of the rows × 1/4 of the bytes = 1/16 of
+    * the prefix-scan volume, and recall is tuned by `nprobe`/`refine`
+    * without touching the stored assignment.
+    *
+    * Everything before the rescore lives in prefix space: centroids are
+    * prefix vectors (deterministic lowest-id subset by default, a kmeans
+    * fit on prefixes slots into `fitCentroids`), assignment and probing
+    * score prefix cosines, and only the ≤ k×refine candidates per query
+    * touch the full vectors. Same-order double arithmetic end to end, so
+    * the DuckDB oracle hash-checks the whole funnel like its parents.
+    *
+    * 100 TB shape: corpus partitioned by cell once (the only corpus-wide
+    * exchange), centroids and queries broadcast, full vectors re-attached
+    * by id equi-join for the candidate tail only.
+    */
+  def matryoshkaIvfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      prefixDim: Int = 16,
+      refine: Int = 4,
+      numCentroids: Int = 16,
+      nprobe: Int = 4,
+      fitCentroids: Option[DataFrame] = None): DataFrame = {
+    val c = corpus.select(col(idCol).alias("corpus_id"), col(vecCol).alias("cvec"))
+    val q = queries.select(col(idCol).alias("query_id"), col(vecCol).alias("qvec"))
+    val ct = c.select(col("corpus_id"), slice(col("cvec"), 1, prefixDim).alias("cpre"))
+    val qt = q.select(col("query_id"), slice(col("qvec"), 1, prefixDim).alias("qpre"))
+    val centroids = fitCentroids.getOrElse(
+      ct.orderBy(col("corpus_id").asc).limit(numCentroids)
+        .select(col("corpus_id").alias("centroid_id"), col("cpre").alias("centvec")))
+    // nearest prefix-centroid per corpus vector (argmax, deterministic
+    // ties to the larger centroid id — max(struct) semantics)
+    val assigned = ct.crossJoin(broadcast(centroids))
+      .select(col("corpus_id"), col("cpre"),
+        struct(cosine(col("cpre"), col("centvec")).alias("s"),
+          col("centroid_id").alias("cid")).alias("sc"))
+      .groupBy(col("corpus_id"))
+      .agg(first(col("cpre")).alias("cpre"), max(col("sc")).alias("best"))
+      .select(col("corpus_id"), col("cpre"), col("best.cid").alias("cell"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("ps").desc, col("cell").asc)
+    val probed = qt.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("qpre"),
+        cosine(col("qpre"), col("centvec")).alias("ps"),
+        col("centroid_id").alias("cell"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("qpre"), col("cell"))
+    // prefix-cosine candidates inside probed cells only
+    val approxW = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("corpus_id").asc)
+    val candidates = assigned.join(probed, Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("qpre"), col("cpre")).alias("approx"))
+      .withColumn("arank", row_number().over(approxW))
+      .filter(col("arank") <= k * refine)
+      .select(col("query_id"), col("corpus_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("corpus_id").asc)
+    candidates
+      .join(broadcast(q), Seq("query_id"))
+      .join(c, Seq("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("qvec"), col("cvec")).alias("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("score"))
+  }
+
   /** recall@k of an ANN result against the exact result: fraction of each
     * query's true top-k ids the approximate search recovered, averaged over
     * queries. Both frames use the (query_id, corpus_id) schema of

@@ -93,6 +93,33 @@ class RecallSpec extends SparkSpec {
       f"quantization noise below the float prefix funnel's $r%.3f")
   }
 
+  test("bucketed matryoshka (ivf-on-prefix) funnel: recall measured; " +
+    "probing ALL cells recovers the plain prefix funnel exactly") {
+    val mr = Similarity.matryoshkaTopK(e, q, "vec_id", "embedding", k = 10,
+      prefixDim = 16, refine = 4)
+    val bucketed = Similarity.matryoshkaIvfTopK(e, q, "vec_id", "embedding",
+      k = 10, prefixDim = 16, refine = 4, numCentroids = 16, nprobe = 4)
+    val r = Similarity.recallAtK(bucketed, bf)
+    val rPlain = Similarity.recallAtK(mr, bf)
+    // candidate stage touches nprobe/numCentroids = 1/4 of the corpus rows
+    // (× 1/4 of the bytes via the prefix) — recall gives up ground on
+    // RANDOM embeddings where cells carry no structure; floor just under
+    // the measured value
+    info(f"ivf+matryoshka recall@10 = $r%.3f (vs plain prefix $rPlain%.3f)")
+    assert(r >= 0.25, f"bucketed matryoshka recall $r%.3f below floor")
+    // probing every cell = the full prefix scan: the funnel must then be
+    // IDENTICAL to the plain matryoshka result, not merely close
+    val allCells = Similarity.matryoshkaIvfTopK(e, q, "vec_id", "embedding",
+      k = 10, prefixDim = 16, refine = 4, numCentroids = 16, nprobe = 16)
+    assert(allCells.exceptAll(mr).isEmpty && mr.exceptAll(allCells).isEmpty,
+      "nprobe = numCentroids must recover the unbucketed funnel exactly")
+    // rescored hits carry exact scores (same vec_cosine as brute force)
+    val joined = bucketed.select(col("query_id"), col("corpus_id"), col("score"))
+      .join(bf.select(col("query_id"), col("corpus_id"),
+        col("score").alias("bf_score")), Seq("query_id", "corpus_id"))
+    assert(joined.filter(col("score") =!= col("bf_score")).count() == 0)
+  }
+
   test("int8 quantization error is bounded by scale/2 per element") {
     val q8 = Similarity.quantize(e, "vec_id", "embedding")
     val err = q8.join(e, "vec_id")
