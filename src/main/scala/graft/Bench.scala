@@ -58,7 +58,10 @@ object Bench {
     "q_pagerank", "sim_label_confusion", "prep_shuffle_order",
     // the mergeable count-min sketch, the capped posting-list self-join,
     // and the two-tower sparse+dense fusion
-    "text_heavy_hitters", "text_sparse_cosine", "text_hybrid_rrf")
+    "text_heavy_hitters", "text_sparse_cosine", "text_hybrid_rrf",
+    // round-7: the IVF-bucketed Matryoshka funnel (candidate stage touches
+    // nprobe/numCentroids of the corpus instead of scanning it per query)
+    "sim_topk_matryoshka_ivf")
 
   /** Warm iterations per query; the median is reported. */
   val WarmIters = 3
