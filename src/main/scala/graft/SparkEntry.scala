@@ -1015,6 +1015,22 @@ object SparkEntry {
         minJaccard = 0.5, k = 3, numHashes = 32, bands = 8,
         tokenHash = Dedup.oracleHash, maxIter = 64)
         .select(col("doc_id"), col("n_chars")).orderBy("doc_id")),
+    // Connected components over the near-dup pair graph by pointer-doubling
+    // min-label propagation (O(log diameter) rounds) — every doc labelled
+    // with the smallest doc_id in its duplicate cluster; singletons keep
+    // their own id. Checked against the oracle's full transitive closure.
+    "q_connected_components" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashLsh(d, "doc_id", "text", k = 3, numHashes = 32,
+          bands = 8, minJaccard = 0.5, tokenHash = Dedup.oracleHash)
+        .select("id_a", "id_b")
+      d.select(col("doc_id"))
+        .join(Dedup.clustersFast(pairs, maxIter = 25)
+          .withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).alias("cluster_id"))
+        .orderBy("doc_id")
+    }),
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val d = docs(s, dir)
       val pairs = Dedup.minhashLsh(d, "doc_id", "text", k = 2, numHashes = 32,
@@ -1434,6 +1450,35 @@ object SparkEntry {
          SELECT doc_id, n_chars FROM documents
          WHERE doc_id NOT IN (SELECT DISTINCT id FROM reach WHERE r < id)
          ORDER BY doc_id"""
+
+  /** Mirrors the `q_connected_components` pipeline: the same LSH pair
+    * derivation as [[dedupCorpusSql]], then the FULL transitive closure —
+    * each doc's label is the minimum id reachable at ANY distance, which a
+    * converged pointer-doubling propagation must equal exactly. */
+  private def connectedComponentsSql: String =
+    s"""WITH RECURSIVE $oracleTk,
+         ${shrCte(3)},
+         ${sigCte(32)},
+         prs AS (
+           SELECT id_a, id_b FROM (
+             SELECT a.doc_id AS id_a, bb.doc_id AS id_b, ${estExpr(32)} AS est
+             FROM sig a JOIN sig bb
+               ON a.doc_id < bb.doc_id AND (${bandCond(8, 4)}))
+           WHERE est >= CAST(0.5 AS DOUBLE)),
+         edges AS (
+           SELECT id_a AS s, id_b AS d FROM prs
+           UNION
+           SELECT id_b AS s, id_a AS d FROM prs),
+         reach(id, r) AS (
+           SELECT s, d FROM edges
+           UNION
+           SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s)
+         SELECT d.doc_id,
+                LEAST(d.doc_id, COALESCE(m.mr, d.doc_id)) AS cluster_id
+         FROM documents d
+         LEFT JOIN (SELECT id, min(r) AS mr FROM reach GROUP BY id) m
+           ON m.id = d.doc_id
+         ORDER BY d.doc_id"""
 
   // ── SRP-LSH oracles ────────────────────────────────────────────────────
   // The murmur-mixed ±1 plane matrix is emitted as literal arrays; the
@@ -2458,6 +2503,7 @@ object SparkEntry {
     "dedup_simhash" -> simhashDupsSql,
     "dedup_ngram_jaccard" -> ngramJaccardProdSql,
     "dedup_corpus" -> dedupCorpusSql,
+    "q_connected_components" -> connectedComponentsSql,
     "sim_topk_bruteforce" -> bruteForceTopkSql,
     "sim_topk_ivf" -> ivfTopkSql,
     "sim_knn_classify" -> knnClassifySql,

@@ -326,6 +326,59 @@ object Dedup {
     labels.withColumnRenamed("label", "cluster_id")
   }
 
+  /** Connected components in O(log diameter) rounds: min-label propagation
+    * WITH POINTER DOUBLING (shortcutting) — each round every node takes the
+    * minimum of (its label, its neighbors' labels, its LABEL'S label). The
+    * third term is the doubling step: the distance a label has travelled
+    * doubles every round, so a path graph of diameter D converges in
+    * ~log₂ D rounds where [[clusters]]' pure propagation needs D — the
+    * difference between 17 rounds and 100 000 on a 100 k-node chain. Same
+    * output as a converged [[clusters]]: every node labelled with the
+    * smallest id in its component.
+    *
+    * Each round is three shuffles (neighbor-min aggregate, the label-table
+    * self-join, the convergence check) over the LABEL table — never more
+    * than one row per node — plus one pass of the static edge list.
+    * Intermediate frames are localCheckpoint'd (the [[clusters]] /
+    * [[graft.ops.Graph.pageRank]] iterative-lineage hygiene). This is the
+    * default component engine for the dedup pipelines; near-dup clusters
+    * have tiny diameters, but a boilerplate chain (doc A≈B, B≈C, …) is
+    * exactly the adversarial shape crawl corpora produce.
+    */
+  def clustersFast(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").alias("src"), col("id_b").alias("dst"))
+      .unionByName(pairs.select(col("id_b").alias("src"), col("id_a").alias("dst")))
+      .localCheckpoint(false)
+    var labels = edges.select(col("src").alias("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(false)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val viaNbr = edges
+        .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
+        .groupBy(col("src").alias("id"))
+        .agg(min(col("label")).alias("nbr_label"))
+      val stepped = labels.join(viaNbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .alias("label"))
+      // doubling: labels are always node ids, so label's label exists
+      val next = stepped
+        .join(stepped.select(col("id").alias("pid"), col("label").alias("plabel")),
+          stepped("label") === col("pid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("plabel"), col("label")))
+            .alias("label"))
+        .localCheckpoint(false)
+      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
   /** End-to-end corpus dedup: MinHash-LSH near-dup pairs above
     * `minJaccard` → connected components → keep the lowest-id doc per
     * cluster. Docs in no near-dup pair survive untouched. Returns the
@@ -342,7 +395,7 @@ object Dedup {
       maxIter: Int = 5): DataFrame = {
     val pairs = minhashLsh(docs, idCol, textCol, k, numHashes, bands, minJaccard, tokenHash)
       .select("id_a", "id_b")
-    val comp = clusters(pairs, maxIter)
+    val comp = clustersFast(pairs, maxIter)
     val drop = comp.filter(col("id") =!= col("cluster_id")).select(col("id"))
     docs.join(drop.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
@@ -366,7 +419,7 @@ object Dedup {
     val pairs = Similarity
       .cosineNearDups(corpus, idCol, vecCol, dim, threshold, bits, tables)
       .select(col("id_a"), col("id_b"))
-    val comp = clusters(pairs, maxIter)
+    val comp = clustersFast(pairs, maxIter)
     val drop = comp.filter(col("id") =!= col("cluster_id")).select(col("id"))
     corpus.join(drop.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }

@@ -109,6 +109,29 @@ class OpsSpec extends SparkSpec {
     assert(Seq(7L, 8L, 9L, 10L).forall(comp(_) == 7L)) // 4-node chain
   }
 
+  test("clustersFast: pointer doubling converges in O(log D) where bounded " +
+    "propagation does not — exact on a 300-node chain in <= 10 rounds") {
+    // a path 0-1-2-…-299: diameter 299. Pure propagation moves the min
+    // label ONE hop per round, so maxIter=10 leaves most of the chain
+    // unconverged; doubling reaches 2^rounds hops.
+    val chain = (0L until 299L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val fast = ops.Dedup.clustersFast(chain, maxIter = 10).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(fast.size == 300 && fast.values.forall(_ == 0L),
+      "doubling must label the whole chain with the component minimum")
+    val slow = ops.Dedup.clusters(chain, maxIter = 10).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(slow(299L) != 0L,
+      "bounded pure propagation cannot cross a 299-hop chain in 10 rounds " +
+        "(if it did, this test's premise is wrong)")
+    // and on the multi-component graph it matches clusters exactly
+    val pairs = Seq((2L, 1L), (2L, 3L), (5L, 4L), (7L, 8L), (8L, 9L), (9L, 10L))
+      .toDF("id_a", "id_b")
+    val a = ops.Dedup.clusters(pairs, maxIter = 6).orderBy("id")
+    val b = ops.Dedup.clustersFast(pairs, maxIter = 6).orderBy("id")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("dedupCorpus keeps one representative per near-dup cluster") {
     val corpus = Seq(
       (0L, "the quick brown fox jumps over the lazy dog tonight"),
