@@ -1249,6 +1249,32 @@ object SparkEntry {
         size(TextAnalysis.tokens(col("text"))).cast("long"), budget = 512)
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("seq_id"))
         .orderBy("doc_id")),
+    // Loader-facing pack manifest: per-doc sequence id, within-sequence
+    // token offset, and whether the doc spills across the boundary — what
+    // a training data-reader needs to slice packed token streams. Same
+    // enumeration as prep_pack (projections of one running sum).
+    "prep_pack_manifest" -> ((s, dir) =>
+      graft.ops.TrainPrep.packManifest(docs(s, dir), "doc_id", "lang",
+        size(TextAnalysis.tokens(col("text"))).cast("long"), budget = 512)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("seq_id"),
+          col("seq_offset"), col("spills_into_next"))
+        .orderBy("doc_id")),
+    // Per-doc triangle counts over the near-dup pair graph (degree-oriented
+    // wedge join — each node's oriented out-degree is O(sqrt(m)), so no
+    // power-law key melts the join). Triangles measure clique-ness of dup
+    // clusters; checked against the oracle's id-ordered enumeration.
+    "q_triangle_counts" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashLsh(d, "doc_id", "text", k = 3, numHashes = 32,
+          bands = 8, minJaccard = 0.5, tokenHash = Dedup.oracleHash)
+        .select("id_a", "id_b")
+      d.select(col("doc_id"))
+        .join(graft.ops.Graph.triangleCounts(pairs)
+          .withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_triangles"), lit(0L)).alias("n_triangles"))
+        .orderBy("doc_id")
+    }),
     "prep_vocab" -> ((s, dir) =>
       graft.ops.TrainPrep.topTokens(docs(s, dir), "text", k = 50)
         .orderBy("rank")),
@@ -1478,6 +1504,35 @@ object SparkEntry {
          FROM documents d
          LEFT JOIN (SELECT id, min(r) AS mr FROM reach GROUP BY id) m
            ON m.id = d.doc_id
+         ORDER BY d.doc_id"""
+
+  /** Mirrors `q_triangle_counts`: same LSH pair derivation, then the
+    * id-ordered triangle enumeration a < b < c — orientation-free, so it
+    * independently checks the Spark side's degree-oriented wedge join
+    * (both must find the identical triangle set). */
+  private def triangleCountsSql: String =
+    s"""WITH RECURSIVE $oracleTk,
+         ${shrCte(3)},
+         ${sigCte(32)},
+         prs AS (
+           SELECT id_a, id_b FROM (
+             SELECT a.doc_id AS id_a, bb.doc_id AS id_b, ${estExpr(32)} AS est
+             FROM sig a JOIN sig bb
+               ON a.doc_id < bb.doc_id AND (${bandCond(8, 4)}))
+           WHERE est >= CAST(0.5 AS DOUBLE)),
+         ce AS (SELECT DISTINCT id_a AS u, id_b AS v FROM prs),
+         tri AS (
+           SELECT e1.u AS a, e1.v AS b, e2.v AS c
+           FROM ce e1
+           JOIN ce e2 ON e2.u = e1.v
+           JOIN ce e3 ON e3.u = e1.u AND e3.v = e2.v),
+         pernode AS (
+           SELECT unnest([a, b, c]) AS node FROM tri)
+         SELECT d.doc_id,
+                CAST(COALESCE(cnt.c, 0) AS BIGINT) AS n_triangles
+         FROM documents d
+         LEFT JOIN (SELECT node, count(*) AS c FROM pernode GROUP BY node) cnt
+           ON cnt.node = d.doc_id
          ORDER BY d.doc_id"""
 
   // ── SRP-LSH oracles ────────────────────────────────────────────────────
@@ -2504,6 +2559,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ngramJaccardProdSql,
     "dedup_corpus" -> dedupCorpusSql,
     "q_connected_components" -> connectedComponentsSql,
+    "q_triangle_counts" -> triangleCountsSql,
     "sim_topk_bruteforce" -> bruteForceTopkSql,
     "sim_topk_ivf" -> ivfTopkSql,
     "sim_knn_classify" -> knnClassifySql,
@@ -3692,6 +3748,25 @@ object SparkEntry {
          SELECT doc_id, lang, n_tokens,
                 CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS seq_id
          FROM c ORDER BY doc_id""",
+    "prep_pack_manifest" ->
+      """WITH tk AS (
+           SELECT doc_id, lang,
+                  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, lang, n_tokens,
+                  sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+           FROM tk),
+         m AS (
+           SELECT doc_id, lang, n_tokens,
+                  CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS seq_id,
+                  cum - n_tokens AS before
+           FROM c)
+         SELECT doc_id, lang, n_tokens, seq_id,
+                CAST(before - seq_id * 512 AS BIGINT) AS seq_offset,
+                (before - seq_id * 512 + n_tokens) > 512 AS spills_into_next
+         FROM m ORDER BY doc_id""",
     "prep_vocab" ->
       """SELECT token, n_occurrences, rank FROM (
            SELECT token, count(*) AS n_occurrences,

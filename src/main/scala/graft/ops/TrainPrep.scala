@@ -115,6 +115,34 @@ object TrainPrep {
         floor((col("__cum") - col("n_tokens")) / lit(budget)).cast("long"))
       .drop("__cum")
 
+  /** [[packSequences]] plus the LOADER-FACING manifest columns a training
+    * data-reader needs to slice token streams without re-tokenizing:
+    *
+    *  - `seq_offset`: the doc's starting token offset WITHIN its sequence
+    *    (`cum_before − seq_id·budget`);
+    *  - `spills_into_next`: whether the doc's tokens cross the sequence
+    *    boundary (contiguous-stream packing splits the tail into the
+    *    following sequence(s) — the standard pack-then-split layout).
+    *
+    * Same single enumeration as [[packSequences]] (the manifest columns are
+    * pure projections of the running sum — no extra shuffle), same
+    * determinism: corpus → identical manifest on any engine. */
+  def packManifest(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      tokenCountCol: Column,
+      budget: Int): DataFrame =
+    groupedRunningSum(df.withColumn("n_tokens", tokenCountCol),
+      Seq(groupCol), Seq(idCol), col("n_tokens"), "__cum")
+      .withColumn("seq_id",
+        floor((col("__cum") - col("n_tokens")) / lit(budget)).cast("long"))
+      .withColumn("seq_offset",
+        (col("__cum") - col("n_tokens") - col("seq_id") * lit(budget)).cast("long"))
+      .withColumn("spills_into_next",
+        (col("seq_offset") + col("n_tokens")) > lit(budget))
+      .drop("__cum")
+
   /** Global token vocabulary: the `k` most frequent whitespace tokens with
     * occurrence counts, ties broken lexicographically. Exploded counts
     * partially aggregate map-side; the global top-k plans as

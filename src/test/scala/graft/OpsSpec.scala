@@ -132,6 +132,24 @@ class OpsSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("triangleCounts: degree-oriented wedge join finds each triangle once") {
+    // K4 on {1,2,3,4} (4 triangles, every node in 3) + pendant 5-1 (none);
+    // duplicate and reversed pairs must not double-count
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (2L, 1L), (3L, 1L), // reversed duplicates
+      (5L, 1L)).toDF("id_a", "id_b")
+    val t = ops.Graph.triangleCounts(pairs).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("n_triangles")).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(t(_) == 3L), s"got $t")
+    assert(!t.contains(5L), "pendant node participates in no triangle")
+    // wedge enumeration is an equi-join on the oriented source — never a
+    // cartesian or nested-loop expansion
+    val p = ops.Graph.triangleCounts(pairs)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("dedupCorpus keeps one representative per near-dup cluster") {
     val corpus = Seq(
       (0L, "the quick brown fox jumps over the lazy dog tonight"),

@@ -38,6 +38,27 @@ class TrainPrepSpec extends SparkSpec {
     assert(out(10L) == 0L && out(11L) == 1L)
   }
 
+  test("packManifest: within-sequence offsets and boundary-spill flags") {
+    val docs = Seq(
+      (0L, "g", 4L), (1L, "g", 5L), (2L, "g", 3L), (3L, "g", 8L)
+    ).toDF("doc_id", "grp", "toks")
+    val m = TrainPrep.packManifest(docs, "doc_id", "grp", col("toks"), budget = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("seq_id"), r.getAs[Long]("seq_offset"),
+          r.getAs[Boolean]("spills_into_next")))).toMap
+    // cum-before: 0,4,9,12 -> seq floor(before/10): 0,0,0,1
+    assert(m(0L) == ((0L, 0L, false)))
+    assert(m(1L) == ((0L, 4L, false))) // 4+5=9 fits
+    assert(m(2L) == ((0L, 9L, true))) // 9+3=12 crosses into seq 1
+    assert(m(3L) == ((1L, 2L, false))) // starts at 12 = seq1 offset 2; 2+8=10 fits exactly
+    // manifest agrees with packSequences on the seq assignment
+    val p = TrainPrep.packSequences(docs, "doc_id", "grp", col("toks"), budget = 10)
+      .select("doc_id", "seq_id")
+    val mm = TrainPrep.packManifest(docs, "doc_id", "grp", col("toks"), budget = 10)
+      .select("doc_id", "seq_id")
+    assert(p.exceptAll(mm).isEmpty && mm.exceptAll(p).isEmpty)
+  }
+
   test("topTokens: counts and lexicographic tie-break") {
     val docs = Seq((0L, "b a b c"), (1L, "a b  a")).toDF("doc_id", "text")
     val top = TrainPrep.topTokens(docs, "text", 2).collect()
