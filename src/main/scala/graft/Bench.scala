@@ -60,8 +60,11 @@ object Bench {
     // and the two-tower sparse+dense fusion
     "text_heavy_hitters", "text_sparse_cosine", "text_hybrid_rrf",
     // round-7: the IVF-bucketed Matryoshka funnel (candidate stage touches
-    // nprobe/numCentroids of the corpus instead of scanning it per query)
-    "sim_topk_matryoshka_ivf")
+    // nprobe/numCentroids of the corpus instead of scanning it per query),
+    // pointer-doubling connected components (iterative label table — a
+    // multi-round cost profile like q_pagerank but label-sized), and the
+    // degree-oriented triangle wedge join
+    "sim_topk_matryoshka_ivf", "q_connected_components", "q_triangle_counts")
 
   /** Warm iterations per query; the median is reported. */
   val WarmIters = 3
