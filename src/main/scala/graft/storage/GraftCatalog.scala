@@ -107,8 +107,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       .getOrElse(throw new NoSuchTableException(ident))
     // live view = the latest manifest (data files are immutable; overwrites
     // supersede logically). Pre-manifest tables fall back to dir listing.
-    val live = GraftCatalog.readManifest(fs, dir, GraftCatalog.latestSnapshot(fs, dir))
-    new GraftTable(ident.toString, dir.toString, meta, live, writable = true)
+    val latest = GraftCatalog.latestSnapshot(fs, dir)
+    val live = GraftCatalog.readManifest(fs, dir, latest)
+    new GraftTable(ident.toString, dir.toString, meta, live, writable = true,
+      fileStats = GraftCatalog.readStats(fs, dir, latest))
   }
 
   /** Time travel (`SELECT ... FROM t VERSION AS OF x`): a numeric `x`
@@ -129,7 +131,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         val files = GraftCatalog.readManifest(fs, dir, snap).getOrElse(
           throw new IllegalArgumentException(
             s"table $ident has no snapshot $snap (latest: ${GraftCatalog.latestSnapshot(fs, dir)})"))
-        new GraftTable(s"$ident@v$snap", dir.toString, meta, Some(files), writable = false)
+        new GraftTable(s"$ident@v$snap", dir.toString, meta, Some(files), writable = false,
+          fileStats = GraftCatalog.readStats(fs, dir, snap))
       case None =>
         version match {
           case GraftCatalog.IncrRange(a, b) =>
@@ -640,14 +643,139 @@ object GraftCatalog {
       txns: Map[String, Long] = Map.empty): Long =
     writeSnapshotAt(fs, dir, latestSnapshot(fs, dir) + 1, files, txns)
 
+  // ── file-level column statistics (manifest data-skipping) ─────────────
+  // `# stats:<file>=<col>|<kind>|<nulls>|<b64min>|<b64max>;...` header
+  // lines carry per-file min/max/null-count for top-level primitive
+  // columns — Iceberg's manifest-stats model in miniature. Data files are
+  // immutable, so a file's stats are computed ONCE (from its parquet
+  // footer, at the commit that introduces it) and carried forward into
+  // every later manifest; the scan side prunes whole files against pushed
+  // predicates BEFORE any footer is opened ([[org.apache.spark.sql
+  // .graftshim.Spj]]), which at warehouse scale is the difference between
+  // planning over the touched fraction and opening every footer in the
+  // table. Composes with [[GraftCatalog.clusterTable]]: Z-ordered files
+  // cover compact hyper-rectangles, so range predicates on any clustered
+  // column drop most files here, at plan time.
+
+  /** One column's file-level stats. `kind`: "l" integral (incl. date as
+    * epoch days), "d" floating, "s" UTF-8 string. min/max are decimal or
+    * raw strings; comparisons happen in [[FileStatsPruning]]. */
+  final case class ColStat(kind: String, nulls: Long, min: String, max: String)
+
+  // unpadded: '=' stays free for the file/body separator; the decoder
+  // accepts unpadded input
+  private def b64e(s: String): String =
+    java.util.Base64.getEncoder.withoutPadding.encodeToString(s.getBytes("UTF-8"))
+  private def b64d(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+
+  private[storage] def renderStats(file: String, cols: Map[String, ColStat]): String =
+    s"# stats:${b64e(file)}=" + cols.toSeq.sortBy(_._1).map { case (c, st) =>
+      s"${b64e(c)}|${st.kind}|${st.nulls}|${b64e(st.min)}|${b64e(st.max)}"
+    }.mkString(";")
+
+  private[storage] def readStats(
+      fs: FileSystem, dir: Path, snap: Long): Map[String, Map[String, ColStat]] =
+    manifestLines(fs, dir, snap).getOrElse(Seq.empty)
+      .filter(_.startsWith("# stats:"))
+      .flatMap { l =>
+        l.stripPrefix("# stats:").split("=", 2) match {
+          case Array(f0, body) =>
+            val f = b64d(f0)
+            val cols = body.split(";").toSeq.flatMap { e =>
+              e.split("\\|", 5) match {
+                case Array(c, k, n, mn, mx) =>
+                  n.toLongOption.map(nl => b64d(c) -> ColStat(k, nl, b64d(mn), b64d(mx)))
+                case _ => None
+              }
+            }.toMap
+            if (cols.nonEmpty) Some(f -> cols) else None
+          case _ => None
+        }
+      }.toMap
+
+  /** Per-column (min, max, nulls) from a parquet file's footer, aggregated
+    * across row groups. Only top-level primitives with reliable stats:
+    * INT32/INT64 (plain or date), FLOAT/DOUBLE, UTF-8 BINARY. A column is
+    * dropped entirely if any row group lacks stats for it — absence must
+    * mean "unknown", never "narrower than reality". */
+  private[storage] def footerStats(
+      fs: FileSystem, dir: Path, file: String): Map[String, ColStat] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val in = HadoopInputFile.fromPath(new Path(dir, file), fs.getConf)
+    val reader = ParquetFileReader.open(in)
+    try {
+      val md = reader.getFooter.getBlocks.asScala
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      val out = scala.collection.mutable.Map.empty[String, ColStat]
+      schema.getFields.asScala.filter(_.isPrimitive).foreach { f =>
+        val p = f.asPrimitiveType()
+        val name = f.getName
+        val logical = Option(p.getLogicalTypeAnnotation)
+        val kind = p.getPrimitiveTypeName match {
+          case INT32 | INT64
+            if logical.forall(l =>
+              l.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] ||
+              l.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation]) => Some("l")
+          case FLOAT | DOUBLE if logical.isEmpty => Some("d")
+          case BINARY
+            if logical.exists(_.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]) => Some("s")
+          case _ => None
+        }
+        kind.foreach { k =>
+          val chunks = md.map(_.getColumns.asScala.find(
+            _.getPath.toDotString == name))
+          val stats = chunks.map(_.map(_.getStatistics))
+          if (stats.nonEmpty && stats.forall(s => s.exists(st =>
+              st != null && !st.isEmpty && (st.hasNonNullValue || st.getNumNulls >= 0)))) {
+            val ss = stats.map(_.get)
+            val nulls = ss.map(s => math.max(s.getNumNulls, 0L)).sum
+            val nonNull = ss.filter(_.hasNonNullValue)
+            if (nonNull.nonEmpty) {
+              val (mn, mx) = k match {
+                case "s" =>
+                  (nonNull.map(_.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+                    .toStringUsingUTF8).min,
+                   nonNull.map(_.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+                    .toStringUsingUTF8).max)
+                case _ =>
+                  (nonNull.map(s => BigDecimal(s.genericGetMin.toString)).min.toString,
+                   nonNull.map(s => BigDecimal(s.genericGetMax.toString)).max.toString)
+              }
+              out(name) = ColStat(k, nulls, mn, mx)
+            } else if (nulls > 0) {
+              // all-null column: dedicated kind so an empty-string MIN on a
+              // real string column can never be mistaken for it
+              out(name) = ColStat("n", nulls, "", "")
+            }
+          }
+        }
+      }
+      out.toMap
+    } finally reader.close()
+  }
+
   /** Write snapshot `next` exclusively. `next` must be derived from the
     * SAME table-state read the manifest contents were based on — that is
     * what makes the exclusive create a real conflict check rather than a
-    * re-read (see commit()). */
+    * re-read (see commit()). Per-file column stats are carried forward
+    * from snapshot `next − 1` and computed from parquet footers for files
+    * new to main's lineage (one footer read per new file, once ever). */
   private[storage] def writeSnapshotAt(
       fs: FileSystem, dir: Path, next: Long, files: Seq[String],
       txns: Map[String, Long] = Map.empty): Long = {
-    val header = txns.toSeq.sorted.map { case (app, v) => s"# txn:$app=$v" }
+    val carried = readStats(fs, dir, next - 1)
+    val stats = files.sorted.flatMap { f =>
+      val st = carried.getOrElse(f,
+        try footerStats(fs, dir, f)
+        catch { case _: Exception => Map.empty[String, ColStat] })
+      if (st.nonEmpty) Some(renderStats(f, st)) else None
+    }
+    val header = stats ++
+      txns.toSeq.sorted.map { case (app, v) => s"# txn:$app=$v" }
     // exclusive create (overwrite=false) = optimistic concurrency control:
     // two writers that both based their manifest on snapshot `next-1` race
     // to create `_snap-next`; the loser gets FileAlreadyExists instead of
@@ -846,7 +974,9 @@ private[storage] class GraftTable(
     dir: String,
     meta: GraftTableMeta,
     pinnedFiles: Option[Seq[String]] = None,
-    writable: Boolean = true) extends Table with SupportsRead with SupportsWrite {
+    writable: Boolean = true,
+    fileStats: Map[String, Map[String, GraftCatalog.ColStat]] = Map.empty)
+  extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = tableName
   override def schema(): StructType = meta.schema
@@ -883,14 +1013,17 @@ private[storage] class GraftTable(
     // expressions describe how the dir levels derive from data columns:
     // identity(col) for hive partitioning, bucket(n, col) for bucketing
     // (resolved against this catalog's FunctionCatalog on the read side).
-    if (meta.partitionCols.nonEmpty) {
-      val keys: Seq[org.apache.spark.sql.connector.expressions.Expression] =
-        meta.bucket match {
-          case Some((n, c)) => Seq(Expressions.bucket(n, c))
-          case None => meta.partitionCols.map(Expressions.identity(_))
-        }
-      org.apache.spark.sql.graftshim.Spj.keyedScanBuilder(pt, opts, keys)
-    } else pt.newScanBuilder(opts)
+    // ALL scans route through the shim builder for manifest-stats file
+    // skipping: pushed predicates drop provably-non-matching files before
+    // any footer is opened (keys empty = pruning only).
+    val keys: Seq[org.apache.spark.sql.connector.expressions.Expression] =
+      if (meta.partitionCols.isEmpty) Seq.empty
+      else meta.bucket match {
+        case Some((n, c)) => Seq(Expressions.bucket(n, c))
+        case None => meta.partitionCols.map(Expressions.identity(_))
+      }
+    org.apache.spark.sql.graftshim.Spj.prunedScanBuilder(
+      pt, opts, keys, fileStats, dir)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

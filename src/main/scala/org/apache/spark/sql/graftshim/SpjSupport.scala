@@ -38,31 +38,81 @@ object Spj {
       table: ParquetTable,
       options: CaseInsensitiveStringMap,
       keys: Seq[V2Expression]): ScanBuilder =
-    new KeyedParquetScanBuilder(table, options, keys)
+    new KeyedParquetScanBuilder(table, options, keys, Map.empty, "")
+
+  /** [[keyedScanBuilder]] plus MANIFEST-STATS FILE SKIPPING: before filters
+    * reach the parquet source, every pushed predicate is evaluated against
+    * the per-file min/max/null stats the catalog recorded at commit time
+    * ([[graft.storage.GraftCatalog]] `# stats:` manifest lines), and files
+    * that provably contain no matching row are dropped from the scan's
+    * file set entirely — no footer open, no task. `keys` may be empty
+    * (unpartitioned table: pruning only). */
+  def prunedScanBuilder(
+      table: ParquetTable,
+      options: CaseInsensitiveStringMap,
+      keys: Seq[V2Expression],
+      fileStats: Map[String, Map[String, graft.storage.GraftCatalog.ColStat]],
+      tableDir: String): ScanBuilder =
+    new KeyedParquetScanBuilder(table, options, keys, fileStats, tableDir)
 }
 
 /** Delegates the full parquet pushdown surface (catalyst filters, column
-  * pruning, aggregate pushdown) to a real [[ParquetScanBuilder]]; only
-  * `build()` differs — the scan is wrapped with the partition-key report.
-  * (Composition, not inheritance: `ParquetScanBuilder.build()` has a
-  * covariant `ParquetScan` return type that an override can't widen.) */
+  * pruning, aggregate pushdown) to a real [[ParquetScanBuilder]]; two
+  * additions — `pushFilters` first prunes the FILE SET against manifest
+  * column stats (rebuilding the delegate over the surviving files), and
+  * `build()` wraps the scan with the partition-key report when `keys` are
+  * present. (Composition, not inheritance: `ParquetScanBuilder.build()`
+  * has a covariant `ParquetScan` return type that an override can't
+  * widen.) Spark's push order — filters, then aggregates, then column
+  * pruning, then build — makes the delegate swap in `pushFilters` safe:
+  * nothing has been pushed to the old delegate yet. */
 final class KeyedParquetScanBuilder(
     table: ParquetTable,
     options: CaseInsensitiveStringMap,
-    keys: Seq[V2Expression])
+    keys: Seq[V2Expression],
+    fileStats: Map[String, Map[String, graft.storage.GraftCatalog.ColStat]],
+    tableDir: String)
   extends ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
-  private val underlying = ParquetScanBuilder(
+  private var servedTable: ParquetTable = table
+  private var underlying = ParquetScanBuilder(
     table.sparkSession, table.fileIndex, table.schema, table.dataSchema, options)
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     underlying.pruneColumns(requiredSchema)
   override def pushFilters(
-      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    if (fileStats.nonEmpty && filters.nonEmpty) {
+      val translated = filters.flatMap(e =>
+        org.apache.spark.sql.execution.datasources.DataSourceStrategy
+          .translateFilter(e, supportNestedPredicatePushdown = true))
+      if (translated.nonEmpty) {
+        val all = table.fileIndex.inputFiles
+        val prefix = tableDir.stripSuffix("/") + "/"
+        val kept = all.filter { p =>
+          val rel = if (p.startsWith(prefix)) p.stripPrefix(prefix)
+            else if (p.contains(prefix)) p.substring(p.indexOf(prefix) + prefix.length)
+            else p.substring(p.lastIndexOf('/') + 1)
+          fileStats.get(rel)
+            .forall(st => graft.storage.FileStatsPruning.mayMatchAll(st, translated))
+        }
+        if (kept.length < all.length) {
+          // every file pruned: serve ONE file — its footer stats reject all
+          // rows anyway, and an empty-path ParquetTable cannot be built
+          val served = if (kept.nonEmpty) kept.toSeq else all.take(1).toSeq
+          servedTable = ParquetTable(table.name, table.sparkSession, options,
+            served, table.userSpecifiedSchema, table.fallbackFileFormat)
+          underlying = ParquetScanBuilder(servedTable.sparkSession,
+            servedTable.fileIndex, servedTable.schema, servedTable.dataSchema,
+            options)
+        }
+      }
+    }
     underlying.pushFilters(filters)
+  }
   override def pushedFilters(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     underlying.pushedFilters
   override def pushAggregation(
@@ -73,9 +123,10 @@ final class KeyedParquetScanBuilder(
     underlying.supportCompletePushDown(aggregation)
 
   override def build(): Scan = {
-    val pschema = table.fileIndex.partitionSchema
+    val pschema = servedTable.fileIndex.partitionSchema
     underlying.build() match {
-      case p: ParquetScan if pschema.nonEmpty => KeyedScan(p, pschema, keys)
+      case p: ParquetScan if pschema.nonEmpty && keys.nonEmpty =>
+        KeyedScan(p, pschema, keys)
       case other => other
     }
   }

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.KeyedScan
+
+import graft.storage.GraftCatalog
+
+/** Manifest-stats file skipping: the catalog records per-file column
+  * min/max/null stats at commit time (parquet footers, once per file,
+  * carried forward in manifests) and the scan drops provably-non-matching
+  * files at filter-pushdown time — before any footer is opened. These
+  * specs pin the pruning (scan file counts), the conservatism (files
+  * without stats survive), and the composition with the Z-order rewrite.
+  */
+class FileSkippingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val wh = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-skipwh").toString
+    spark.conf.set("spark.sql.catalog.skipcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.skipcat.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS skipcat.s")
+    dir
+  }
+
+  /** Files the (pre-AQE) physical scan would read. */
+  private def scannedFiles(df: DataFrame): Int =
+    df.queryExecution.sparkPlan.collect {
+      case b: BatchScanExec => b.scan
+    }.map {
+      case k: KeyedScan => k.delegate.fileIndex.inputFiles.length
+      case p: ParquetScan => p.fileIndex.inputFiles.length
+      case other => fail(s"unexpected scan: $other")
+    }.head
+
+  test("disjoint-range appends: a range predicate scans only matching files") {
+    wh
+    spark.range(0, 100).select(col("id"), concat(lit("low"), col("id")).as("tag"))
+      .writeTo("skipcat.s.ranges").using("parquet").createOrReplace()
+    spark.range(1000, 1100).select(col("id"), concat(lit("high"), col("id")).as("tag"))
+      .writeTo("skipcat.s.ranges").append()
+    val all = spark.table("skipcat.s.ranges")
+    val total = scannedFiles(all)
+    assert(total >= 2, s"expected at least two data files, got $total")
+    val low = all.filter(col("id") < 50)
+    assert(scannedFiles(low) < total,
+      "id < 50 must drop every file of the 1000-1100 append")
+    assert(low.count() == 50)
+    val high = all.filter(col("id") >= 1000)
+    assert(scannedFiles(high) < total)
+    assert(high.count() == 100)
+    // equality outside every range: everything pruned (one sentinel file
+    // kept so the scan can build; footer stats reject its rows)
+    val none = all.filter(col("id") === 500L)
+    assert(scannedFiles(none) === 1)
+    assert(none.count() === 0)
+  }
+
+  test("string stats prune; correctness equals the unpruned result") {
+    wh
+    Seq((1L, "apple"), (2L, "banana")).toDF("id", "w")
+      .writeTo("skipcat.s.words").using("parquet").createOrReplace()
+    Seq((3L, "melon"), (4L, "zebra")).toDF("id", "w")
+      .writeTo("skipcat.s.words").append()
+    val all = spark.table("skipcat.s.words")
+    val total = scannedFiles(all)
+    assert(total >= 2)
+    val q = all.filter(col("w") === "zebra")
+    assert(scannedFiles(q) < total, "w = 'zebra' must skip the apple/banana file")
+    assert(q.select("id").collect().map(_.getLong(0)).toSeq == Seq(4L))
+    // prefix predicate
+    val pre = all.filter(col("w").startsWith("ap"))
+    assert(scannedFiles(pre) < total)
+    assert(pre.count() == 1)
+  }
+
+  test("stats are carried forward across commits and survive more appends") {
+    wh
+    spark.range(0, 10).select(col("id"), lit("x").as("p")).repartition(1)
+      .writeTo("skipcat.s.carry").using("parquet").createOrReplace()
+    spark.range(100, 110).select(col("id"), lit("x").as("p")).repartition(1)
+      .writeTo("skipcat.s.carry").append()
+    spark.range(200, 210).select(col("id"), lit("x").as("p")).repartition(1)
+      .writeTo("skipcat.s.carry").append()
+    val all = spark.table("skipcat.s.carry")
+    assert(scannedFiles(all) === 3)
+    // predicate touching only the FIRST commit's range: both later files
+    // pruned via stats carried into the latest manifest
+    val q = all.filter(col("id") < 5)
+    assert(scannedFiles(q) === 1)
+    assert(q.count() == 5)
+  }
+
+  test("time travel prunes with the snapshot's own stats") {
+    wh
+    spark.range(0, 10).select(col("id")).writeTo("skipcat.s.tt")
+      .using("parquet").createOrReplace()
+    spark.range(100, 110).select(col("id")).writeTo("skipcat.s.tt").append()
+    val v2 = spark.sql("SELECT * FROM skipcat.s.tt VERSION AS OF 2")
+    assert(scannedFiles(v2.filter(col("id") >= 100)) <
+      scannedFiles(v2))
+    assert(v2.filter(col("id") >= 100).count() == 10)
+  }
+
+  test("Z-order rewrite composes: clustered files prune on range predicates") {
+    wh
+    // x ∈ [0, 256): unclustered single-commit files have full-range stats;
+    // after clusterTable the Morton layout gives each file a compact x span
+    spark.range(0, 4096)
+      .select((col("id") % 256).as("x"), (col("id") / 16 % 256).as("y"),
+        col("id").as("payload"))
+      .writeTo("skipcat.s.zorder").using("parquet").createOrReplace()
+    val cat = spark.sessionState.catalogManager.catalog("skipcat")
+      .asInstanceOf[GraftCatalog]
+    cat.clusterTable(spark, "s.zorder", Seq("x", "y"), bits = 8, numFiles = 8)
+    val all = spark.table("skipcat.s.zorder")
+    val total = scannedFiles(all)
+    assert(total >= 4, s"cluster rewrite should emit several files, got $total")
+    val q = all.filter(col("x") < 16 && col("y") < 16)
+    assert(scannedFiles(q) < total,
+      "a compact (x, y) box must not scan every z-ordered file")
+    assert(q.count() == all.filter(col("x") < 16 && col("y") < 16)
+      .collect().length.toLong)
+  }
+
+  test("partitioned tables keep SPJ keys AND prune data files by stats") {
+    wh
+    Seq((1L, 5L, "a"), (2L, 6L, "a")).toDF("id", "v", "part")
+      .writeTo("skipcat.s.parted").using("parquet")
+      .partitionedBy(col("part")).createOrReplace()
+    Seq((3L, 500L, "a"), (4L, 600L, "a")).toDF("id", "v", "part")
+      .writeTo("skipcat.s.parted").append()
+    val all = spark.table("skipcat.s.parted")
+    val total = scannedFiles(all)
+    assert(total >= 2)
+    val q = all.filter(col("v") > 100)
+    assert(scannedFiles(q) < total,
+      "stats pruning must drop the low-v file inside the same partition")
+    assert(q.count() == 2)
+  }
+}
