@@ -171,9 +171,16 @@ object Bench {
     val warmTotal = results.map(_._3).sum
     val coldTotal = results.map(_._2).sum
     val core19Total = results.collect { case (n, _, w, _, _) if core19.contains(n) => w }.sum
-    // headline scalars FIRST: the driver's tail capture must never lose
-    // value/cold_total/core19_total to line truncation (round-6 lesson)
-    println(f"""{"metric":"total","value":$warmTotal%.3f,"unit":"sec","cold_total":$coldTotal%.3f,"core19_total":$core19Total%.3f,"warm_iters":$WarmIters,"gc_between":$gcBetween,"sf":"$sfDir","queries":$warmQs,"cold_queries":$coldQs,"warm_runs":$runsQs,"gc_runs":$gcQs}""")
+    // Full diagnostic line first (per-iteration runs + GC shares), then a
+    // COMPACT line LAST. The driver's artifact capture keeps the TAIL of
+    // stdout, so whatever prints last is what survives truncation: round 6
+    // lost a scalar off the end of one long line, round 7's "fix" moved the
+    // scalars to the FRONT and lost all of them. The only ordering that is
+    // safe under tail capture is a short final line that is a complete JSON
+    // object on its own — scalars + per-query warm medians, no
+    // warm_runs/gc_runs arrays.
+    println(f"""{"metric":"total_full","value":$warmTotal%.3f,"unit":"sec","cold_total":$coldTotal%.3f,"core19_total":$core19Total%.3f,"warm_iters":$WarmIters,"gc_between":$gcBetween,"sf":"$sfDir","queries":$warmQs,"cold_queries":$coldQs,"warm_runs":$runsQs,"gc_runs":$gcQs}""")
+    println(f"""{"metric":"total","value":$warmTotal%.3f,"unit":"sec","cold_total":$coldTotal%.3f,"core19_total":$core19Total%.3f,"sf":"$sfDir","queries":$warmQs}""")
     spark.stop()
   }
 }

@@ -1031,6 +1031,35 @@ object SparkEntry {
           coalesce(col("cluster_id"), col("doc_id")).alias("cluster_id"))
         .orderBy("doc_id")
     }),
+    // Incremental component maintenance replayed as a daily ingest: docs
+    // with doc_id % 5 == 0 are "today's batch", the rest are history whose
+    // labels converged yesterday (clustersFast over old-only pairs). The
+    // batch's pairs fold in via clustersIncremental — pointer doubling runs
+    // on the CONTRACTED batch graph, so rounds scale with the day's data —
+    // yet the result must hash-match the full-corpus transitive closure
+    // (same oracle as q_connected_components).
+    "dedup_incremental_components" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashLsh(d, "doc_id", "text", k = 3, numHashes = 32,
+          bands = 8, minJaccard = 0.5, tokenHash = Dedup.oracleHash)
+        .select("id_a", "id_b").localCheckpoint(false)
+      val isNew = (c: org.apache.spark.sql.Column) => c % 5 === 0
+      val oldPairs = pairs.filter(!isNew(col("id_a")) && !isNew(col("id_b")))
+      val newPairs = pairs.filter(isNew(col("id_a")) || isNew(col("id_b")))
+      // yesterday's converged labels over EVERY old doc (paired or singleton)
+      val history = d.filter(!isNew(col("doc_id")))
+        .select(col("doc_id").alias("id"))
+        .join(Dedup.clustersFast(oldPairs, maxIter = 25), Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("cluster_id"), col("id")).alias("cluster_id"))
+      val labels = Dedup.clustersIncremental(history, newPairs, maxIter = 25)
+        .withColumnRenamed("id", "doc_id")
+      d.select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).alias("cluster_id"))
+        .orderBy("doc_id")
+    }),
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val d = docs(s, dir)
       val pairs = Dedup.minhashLsh(d, "doc_id", "text", k = 2, numHashes = 32,
@@ -2559,6 +2588,9 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ngramJaccardProdSql,
     "dedup_corpus" -> dedupCorpusSql,
     "q_connected_components" -> connectedComponentsSql,
+    // incremental maintenance must land on the SAME fixpoint as the
+    // from-scratch closure — the oracle is deliberately identical
+    "dedup_incremental_components" -> connectedComponentsSql,
     "q_triangle_counts" -> triangleCountsSql,
     "sim_topk_bruteforce" -> bruteForceTopkSql,
     "sim_topk_ivf" -> ivfTopkSql,

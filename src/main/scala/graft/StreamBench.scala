@@ -45,7 +45,6 @@ object StreamBench {
         org.apache.spark.sql.streaming.StreamingQuery): Unit = {
       implicit val sqlCtx = spark.sqlContext
       val wh = java.nio.file.Files.createTempDirectory(s"sb-$label-wh").toString
-      val ckpt = java.nio.file.Files.createTempDirectory(s"sb-$label-ck").toString
       val cat = s"sb$label"
       spark.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.storage.GraftCatalog].getName)

@@ -311,6 +311,9 @@ object Dedup {
       .localCheckpoint(false)
     var iter = 0
     var converged = false
+    // carry the prior round's checksum forward — re-aggregating the
+    // previous label table every round would double the probe cost
+    var lastSum = labelChecksum(labels)
     while (iter < maxIter && !converged) {
       val propagated = edges
         .join(labels.withColumnRenamed("id", "dst2"),
@@ -321,7 +324,9 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).alias("label"))
         .localCheckpoint(false)
-      converged = labelChecksum(next) == labelChecksum(labels)
+      val nextSum = labelChecksum(next)
+      converged = nextSum == lastSum
+      lastSum = nextSum
       labels = next
       iter += 1
     }
@@ -363,7 +368,14 @@ object Dedup {
     * have tiny diameters, but a boilerplate chain (doc A≈B, B≈C, …) is
     * exactly the adversarial shape crawl corpora produce.
     */
-  def clustersFast(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def clustersFast(pairs: DataFrame, maxIter: Int = 25): DataFrame =
+    clustersFastCounted(pairs, maxIter)._1
+
+  /** [[clustersFast]] plus the number of rounds the loop executed —
+    * exposed so [[clustersIncremental]] can PROVE its round count is
+    * bounded by the new batch's diameter, not the corpus's. */
+  private[graft] def clustersFastCounted(
+      pairs: DataFrame, maxIter: Int = 25): (DataFrame, Int) = {
     val p0 = pairs.select(col("id_a"), col("id_b")).localCheckpoint(false)
     val edges = p0.select(col("id_a").alias("src"), col("id_b").alias("dst"))
       .unionByName(p0.select(col("id_b").alias("src"), col("id_a").alias("dst")))
@@ -373,6 +385,8 @@ object Dedup {
       .localCheckpoint(false)
     var iter = 0
     var converged = false
+    // carry the prior round's checksum forward (see [[clusters]])
+    var lastSum = labelChecksum(labels)
     while (iter < maxIter && !converged) {
       val viaNbr = edges
         .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
@@ -390,11 +404,76 @@ object Dedup {
           least(col("label"), coalesce(col("plabel"), col("label")))
             .alias("label"))
         .localCheckpoint(false)
-      converged = labelChecksum(next) == labelChecksum(labels)
+      val nextSum = labelChecksum(next)
+      converged = nextSum == lastSum
+      lastSum = nextSum
       labels = next
       iter += 1
     }
-    labels.withColumnRenamed("label", "cluster_id")
+    (labels.withColumnRenamed("label", "cluster_id"), iter)
+  }
+
+  /** Incremental connected components: fold a batch of NEW pairs into
+    * yesterday's converged labels without re-walking the history graph.
+    *
+    * `history` is `(id, cluster_id)` — a converged labelling where
+    * `cluster_id` is the smallest id in the component (any prior
+    * [[clustersFast]] / [[clustersIncremental]] output; singleton nodes
+    * carry their own id). Because the labelling is converged, each history
+    * component can be CONTRACTED to its representative: the new pairs'
+    * endpoints are mapped through their labels (ids absent from history
+    * pass through — they're new nodes), intra-cluster pairs vanish as
+    * self-loops, and pointer doubling runs on that contracted batch graph
+    * only. Representatives are component minima, so the contracted
+    * component's minimum IS the merged component's true minimum — the
+    * output equals a from-scratch [[clustersFast]] over the union graph
+    * (history edges + new pairs) exactly, while rounds scale with the NEW
+    * batch's contracted diameter, O(log D_batch). The history contributes
+    * two label joins (shuffles sized by the BATCH, since the pair table
+    * drives them) plus one relabel join over the label table — at 100 TB,
+    * the daily cost of corpus-wide component maintenance becomes the
+    * day's batch, not the corpus.
+    *
+    * Output covers every history id plus every id in `newPairs`.
+    */
+  def clustersIncremental(
+      history: DataFrame, newPairs: DataFrame, maxIter: Int = 25): DataFrame =
+    clustersIncrementalCounted(history, newPairs, maxIter)._1
+
+  private[graft] def clustersIncrementalCounted(
+      history: DataFrame, newPairs: DataFrame,
+      maxIter: Int = 25): (DataFrame, Int) = {
+    val h = history.select(col("id"), col("cluster_id"))
+    val p0 = newPairs.select(col("id_a"), col("id_b")).localCheckpoint(false)
+    // contract each endpoint to its history representative; new ids pass
+    // through (they are their own contracted node)
+    val byA = h.select(col("id").alias("id_a"), col("cluster_id").alias("__ra"))
+    val byB = h.select(col("id").alias("id_b"), col("cluster_id").alias("__rb"))
+    val contracted = p0
+      .join(byA, Seq("id_a"), "left")
+      .join(byB, Seq("id_b"), "left")
+      .select(
+        coalesce(col("__ra"), col("id_a")).alias("id_a"),
+        coalesce(col("__rb"), col("id_b")).alias("id_b"))
+      .filter(col("id_a") =!= col("id_b")) // intra-cluster edges contract away
+    val (cl, rounds) = clustersFastCounted(contracted, maxIter)
+    // history members follow their representative's new label (unchanged
+    // representatives are absent from `cl` — keep the old label)
+    val rep = cl.select(
+      col("id").alias("cluster_id"), col("cluster_id").alias("__relabel"))
+    val hOut = h.join(rep, Seq("cluster_id"), "left")
+      .select(col("id"),
+        coalesce(col("__relabel"), col("cluster_id")).alias("cluster_id"))
+    // batch-only nodes: labelled by the contracted run, or themselves if
+    // every one of their pairs contracted to a self-loop
+    val newNodes = p0.select(col("id_a").alias("id"))
+      .unionByName(p0.select(col("id_b").alias("id")))
+      .distinct()
+      .join(h.select(col("id")), Seq("id"), "left_anti")
+    val nOut = newNodes.join(cl, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_id"), col("id")).alias("cluster_id"))
+    (hOut.unionByName(nOut), rounds)
   }
 
   /** End-to-end corpus dedup: MinHash-LSH near-dup pairs above

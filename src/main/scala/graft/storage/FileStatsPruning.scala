@@ -12,10 +12,16 @@ import graft.storage.GraftCatalog.ColStat
   *
   * Comparisons: integral/floating stats compare as BigDecimal (exact for
   * every int64 and every parquet double rendered via toString); string
-  * stats compare lexicographically, matching parquet's UTF-8 binary
-  * ordering for the codepoint ranges Spark's string comparison agrees on
-  * (an incomparable value keeps the file). Date values normalize to epoch
-  * days, mirroring the footer's INT32 date physical form.
+  * stats compare as UNSIGNED UTF-8 BYTES — the one order Spark's
+  * `UTF8String.compareTo` and parquet's BINARY footer min/max agree on.
+  * `java.lang.String.compareTo` (UTF-16 code units) is NOT that order:
+  * supplementary-plane codepoints encode as surrogate pairs (code units
+  * 0xD800–0xDFFF) and sort BELOW U+E000–U+FFFF under code-unit order but
+  * ABOVE them in UTF-8 bytes, so a code-unit comparison can prune a file
+  * that contains matching rows. A null-count of -1 means UNKNOWN (some row
+  * group's writer omitted it): null-sensitive checks keep the file. Date
+  * values normalize to epoch days, mirroring the footer's INT32 date
+  * physical form.
   */
 object FileStatsPruning {
 
@@ -25,7 +31,7 @@ object FileStatsPruning {
   def mayMatch(stats: Map[String, ColStat], f: Filter): Boolean = f match {
     case EqualTo(a, v) => rangeMayContain(stats.get(a), v)
     case EqualNullSafe(a, v) =>
-      if (v == null) stats.get(a).forall(_.nulls > 0)
+      if (v == null) stats.get(a).forall(mayHaveNulls)
       else rangeMayContain(stats.get(a), v)
     case GreaterThan(a, v) => cmpMax(stats.get(a), v).forall(_ > 0)
     case GreaterThanOrEqual(a, v) => cmpMax(stats.get(a), v).forall(_ >= 0)
@@ -33,14 +39,19 @@ object FileStatsPruning {
     case LessThanOrEqual(a, v) => cmpMin(stats.get(a), v).forall(_ <= 0)
     case In(a, vs) =>
       vs == null || vs.isEmpty || vs.exists(v => rangeMayContain(stats.get(a), v))
-    case IsNull(a) => stats.get(a).forall(_.nulls > 0)
+    case IsNull(a) => stats.get(a).forall(mayHaveNulls)
     case IsNotNull(a) => stats.get(a).forall(_.kind != "n")
     case StringStartsWith(a, p) =>
-      // a value starting with p sits in [p, p + maxChar): min <= p-extended
-      // and max >= p under prefix comparison
+      // values starting with p form the byte-order interval [p, succ(p));
+      // truncating the stats to p's BYTE length (not UTF-16 code units — a
+      // code-unit cut can split a surrogate pair and corrupt the encoding)
+      // gives: may-match iff minPrefix <= p-bytes <= maxPrefix
       stats.get(a).forall { st =>
-        st.kind != "s" || st.min.isEmpty ||
-          (st.min.take(p.length) <= p && st.max.take(p.length) >= p)
+        st.kind != "s" || {
+          val pb = utf8(p)
+          cmpBytes(utf8(st.min).take(pb.length), pb) <= 0 &&
+            cmpBytes(utf8(st.max).take(pb.length), pb) >= 0
+        }
       }
     case And(l, r) => mayMatch(stats, l) && mayMatch(stats, r)
     case Or(l, r) => mayMatch(stats, l) || mayMatch(stats, r)
@@ -59,12 +70,37 @@ object FileStatsPruning {
       yield compare(s.kind, mn, value)
 
   private def rangeMayContain(st: Option[ColStat], v: Any): Boolean =
-    if (v == null) st.forall(_.nulls > 0)
+    if (v == null) st.forall(mayHaveNulls)
     else cmpMin(st, v).forall(_ <= 0) && cmpMax(st, v).forall(_ >= 0)
 
+  /** nulls == -1 means the writer omitted the count — unknown keeps the
+    * file; only a recorded 0 proves the absence of nulls. */
+  private def mayHaveNulls(st: ColStat): Boolean = st.nulls != 0
+
   private def compare(kind: String, statSide: Any, value: Any): Int = kind match {
-    case "s" => statSide.asInstanceOf[String].compareTo(value.asInstanceOf[String])
+    case "s" => utf8Compare(statSide.asInstanceOf[String], value.asInstanceOf[String])
     case _ => statSide.asInstanceOf[BigDecimal].compare(value.asInstanceOf[BigDecimal])
+  }
+
+  /** Unsigned byte-wise comparison of the UTF-8 encodings — the order
+    * `UTF8String.compareTo` uses and parquet BINARY footer stats are
+    * computed in. Exposed for [[GraftCatalog.footerStats]]'s cross-row-group
+    * min/max re-aggregation, which must use the SAME order. */
+  private[storage] def utf8Compare(a: String, b: String): Int =
+    cmpBytes(utf8(a), utf8(b))
+
+  private def utf8(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
   }
 
   private def statVal(kind: String, raw: String): Option[Any] =

@@ -730,17 +730,31 @@ object GraftCatalog {
             _.getPath.toDotString == name))
           val stats = chunks.map(_.map(_.getStatistics))
           if (stats.nonEmpty && stats.forall(s => s.exists(st =>
-              st != null && !st.isEmpty && (st.hasNonNullValue || st.getNumNulls >= 0)))) {
+              st != null && !st.isEmpty && (st.hasNonNullValue || st.isNumNullsSet)))) {
             val ss = stats.map(_.get)
-            val nulls = ss.map(s => math.max(s.getNumNulls, 0L)).sum
+            // a writer may omit null counts (getNumNulls == -1 when unset);
+            // clamping to 0 would let IsNull pruning drop a file that DOES
+            // hold nulls, so an unset count in any row group makes the
+            // file's total UNKNOWN (-1) and null-sensitive checks keep it
+            val nulls =
+              if (ss.forall(_.isNumNullsSet)) ss.map(_.getNumNulls).sum else -1L
             val nonNull = ss.filter(_.hasNonNullValue)
             if (nonNull.nonEmpty) {
               val (mn, mx) = k match {
                 case "s" =>
-                  (nonNull.map(_.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
-                    .toStringUsingUTF8).min,
-                   nonNull.map(_.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
-                    .toStringUsingUTF8).max)
+                  // re-aggregate row-group bounds in UTF-8 byte order — the
+                  // order the footers were computed in; UTF-16 .min/.max
+                  // (String's natural order) diverges above U+E000
+                  val byUtf8 = Ordering.comparatorToOrdering(
+                    new java.util.Comparator[String] {
+                      def compare(a: String, b: String): Int =
+                        FileStatsPruning.utf8Compare(a, b)
+                    })
+                  val mins = nonNull.toSeq.map(s => s.genericGetMin
+                    .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+                  val maxs = nonNull.toSeq.map(s => s.genericGetMax
+                    .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+                  (mins.min(byUtf8), maxs.max(byUtf8))
                 case _ =>
                   (nonNull.map(s => BigDecimal(s.genericGetMin.toString)).min.toString,
                    nonNull.map(s => BigDecimal(s.genericGetMax.toString)).max.toString)

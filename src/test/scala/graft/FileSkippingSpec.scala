@@ -127,6 +127,45 @@ class FileSkippingSpec extends SparkSpec {
       .collect().length.toLong)
   }
 
+  test("string pruning uses UTF-8 byte order (supplementary plane vs U+E000)") {
+    wh
+    // Spark's UTF8String and parquet footers order strings by UTF-8 bytes;
+    // UTF-16 code units disagree above U+E000: the emoji's surrogates
+    // (0xD83D...) sort BELOW U+E000 in code units but its UTF-8 lead byte
+    // (0xF0) sorts ABOVE U+E000's (0xEE). A code-unit comparison prunes the
+    // U+E000 file for `w < '😀'` even though every row in it matches.
+    Seq((1L, ""), (2L, "x")).toDF("id", "w")
+      .writeTo("skipcat.s.utf8ord").using("parquet").createOrReplace()
+    Seq((3L, "😀")).toDF("id", "w")
+      .writeTo("skipcat.s.utf8ord").append()
+    val all = spark.table("skipcat.s.utf8ord")
+    assert(all.filter(col("w") < "😀").count() === 2,
+      "U+E000 rows sort below the emoji in Spark's UTF-8 order — file must not be pruned")
+    assert(all.filter(col("w") > "x").count() === 1,
+      "the emoji row sorts above U+E000x in UTF-8 order — file must not be pruned")
+    assert(all.filter(col("w") === "😀").count() === 1)
+  }
+
+  test("mayMatch: unsigned UTF-8 byte order and unknown null counts") {
+    import org.apache.spark.sql.sources._
+    import graft.storage.{FileStatsPruning => P}
+    import graft.storage.GraftCatalog.ColStat
+    val e000 = Map("w" -> ColStat("s", 0L, "", ""))
+    assert(P.mayMatch(e000, LessThan("w", "😀")),
+      "U+E000 < U+1F600 in UTF-8 bytes (UTF-16 code units say otherwise)")
+    assert(!P.mayMatch(e000, GreaterThan("w", "😀")))
+    // prefix truncation happens in byte space, never mid-surrogate-pair
+    val emoji = Map("w" -> ColStat("s", 0L, "😀a", "😀z"))
+    assert(P.mayMatch(emoji, StringStartsWith("w", "😀")))
+    assert(!P.mayMatch(emoji, StringStartsWith("w", "")))
+    // nulls == -1 (writer omitted the count) must keep the file; only a
+    // recorded 0 proves absence
+    val unknownNulls = Map("c" -> ColStat("l", -1L, "0", "9"))
+    assert(P.mayMatch(unknownNulls, IsNull("c")))
+    assert(P.mayMatch(unknownNulls, EqualNullSafe("c", null)))
+    assert(!P.mayMatch(Map("c" -> ColStat("l", 0L, "0", "9")), IsNull("c")))
+  }
+
   test("partitioned tables keep SPJ keys AND prune data files by stats") {
     wh
     Seq((1L, 5L, "a"), (2L, 6L, "a")).toDF("id", "v", "part")

@@ -132,6 +132,35 @@ class OpsSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("clustersIncremental: equals from-scratch on the union graph; " +
+    "rounds bounded by the batch diameter, not the history's") {
+    // history: a 300-node chain, already converged (everything labelled 0)
+    // — from scratch this costs ~log2(300) ≈ 9 doubling rounds
+    val chainPairs = (0L until 299L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (history, histRounds) = ops.Dedup.clustersFastCounted(chainPairs, maxIter = 15)
+    val h = history.localCheckpoint(false)
+    // today's batch: extend the chain by two nodes, merge a fresh 2-cluster,
+    // and one redundant intra-cluster pair that must contract away
+    val batch = Seq((299L, 300L), (300L, 301L), (400L, 401L), (5L, 250L))
+      .toDF("id_a", "id_b")
+    val (inc, incRounds) = ops.Dedup.clustersIncrementalCounted(h, batch, maxIter = 15)
+    val got = inc.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    // equality with a from-scratch run over history edges + batch
+    val scratch = ops.Dedup.clustersFast(chainPairs.unionByName(batch), maxIter = 15)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(got == scratch, "incremental must equal from-scratch on the union graph")
+    assert(got(301L) == 0L && got(300L) == 0L, "chain extension joins component 0")
+    assert(got(400L) == 400L && got(401L) == 400L, "fresh cluster keeps its own min")
+    assert(got.size == 304)
+    // the contracted batch graph has diameter 2 — convergence plus its
+    // detection round must come in far under the history's doubling cost
+    assert(incRounds <= 4,
+      s"batch of diameter 2 took $incRounds rounds (history needed $histRounds)")
+    assert(histRounds >= 7,
+      "premise: the 300-chain history itself needs ~log2(300) rounds")
+  }
+
   test("triangleCounts: degree-oriented wedge join finds each triangle once") {
     // K4 on {1,2,3,4} (4 triangles, every node in 3) + pendant 5-1 (none);
     // duplicate and reversed pairs must not double-count
