@@ -64,7 +64,11 @@ object Bench {
     // pointer-doubling connected components (iterative label table — a
     // multi-round cost profile like q_pagerank but label-sized), and the
     // degree-oriented triangle wedge join
-    "sim_topk_matryoshka_ivf", "q_connected_components", "q_triangle_counts")
+    "sim_topk_matryoshka_ivf", "q_connected_components", "q_triangle_counts",
+    // round-8: the fully-composed ANN funnel (IVF rows × MRL elements ×
+    // int8 bytes) and incremental component maintenance (contracted-batch
+    // pointer doubling — the daily-ingest cost profile)
+    "sim_topk_mrl_ivf_int8", "dedup_incremental_components")
 
   /** Warm iterations per query; the median is reported. */
   val WarmIters = 3

@@ -1107,6 +1107,17 @@ object SparkEntry {
         numCentroids = 16, nprobe = 4)
         .orderBy("query_id", "rank")
     }),
+    // The FULL funnel: IVF cells × Matryoshka prefix × int8 codes + exact
+    // rescore — the candidate scan touches nprobe/numCentroids of the rows
+    // × prefixDim/dim of the elements × ¼ of the bytes (1/256 of the float
+    // corpus volume at these knobs), hash-checked end to end.
+    "sim_topk_mrl_ivf_int8" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.matryoshkaIvfQuantizedTopK(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, prefixDim = 16, refine = 4,
+        numCentroids = 16, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }),
     // The composed funnel: int8-quantized 16-dim prefix scan (1/16 of the
     // float corpus bytes) + exact full-dim rescore — proof the byte and
     // element funnels compose, hash-checked end to end.
@@ -2199,6 +2210,82 @@ object SparkEntry {
        SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, score
        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  /** Full funnel — mirrors
+    * [[graft.ops.Similarity.matryoshkaIvfQuantizedTopK]] (prefixDim=16,
+    * k=5, refine=4, numCentroids=16, nprobe=4, queries = vec_id < 10):
+    * float-prefix IVF assignment/probing (same cells as
+    * [[matryoshkaIvfTopkSql]]), int8-quantized prefix codes for the
+    * per-cell candidate scan, exact full-dim rescore of the top k×refine. */
+  private def mrlIvfInt8TopkSql: String =
+    s"""WITH cent AS (
+           SELECT vec_id AS centroid_id, embedding[1:16] AS centvec
+           FROM embeddings ORDER BY vec_id LIMIT 16),
+         c AS (SELECT vec_id AS corpus_id, embedding AS cvec,
+                      embedding[1:16] AS cpre FROM embeddings),
+         q AS (SELECT vec_id AS query_id, embedding AS qvec,
+                      embedding[1:16] AS qpre FROM embeddings
+               WHERE vec_id < 10),
+         assigned AS (
+           SELECT corpus_id, cpre, centroid_id AS cell FROM (
+             SELECT corpus_id, cpre, centroid_id,
+                    row_number() OVER (PARTITION BY corpus_id
+                      ORDER BY ${cosSql("cpre", "centvec")} DESC, centroid_id DESC) AS rn
+             FROM c, cent) WHERE rn = 1),
+         probed AS (
+           SELECT query_id, qpre, cell FROM (
+             SELECT query_id, qpre, centroid_id AS cell,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY ${cosSql("qpre", "centvec")} DESC, centroid_id ASC) AS pr
+             FROM q, cent) WHERE pr <= 4),
+         cq AS (
+           SELECT corpus_id, cell, cscale,
+                  CASE WHEN cscale = 0.0
+                       THEN list_transform(cpre, x -> CAST(0 AS BIGINT))
+                       ELSE list_transform(cpre,
+                              x -> CAST(floor(CAST(x AS DOUBLE) / cscale + 0.5) AS BIGINT))
+                  END AS ccode
+           FROM (SELECT corpus_id, cell, cpre,
+                        list_max(list_transform(cpre,
+                          x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS cscale
+                 FROM assigned)),
+         pq AS (
+           SELECT query_id, cell, qscale,
+                  CASE WHEN qscale = 0.0
+                       THEN list_transform(qpre, x -> CAST(0 AS BIGINT))
+                       ELSE list_transform(qpre,
+                              x -> CAST(floor(CAST(x AS DOUBLE) / qscale + 0.5) AS BIGINT))
+                  END AS qcode
+           FROM (SELECT query_id, cell, qpre,
+                        list_max(list_transform(qpre,
+                          x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS qscale
+                 FROM probed)),
+         approx AS (
+           SELECT query_id, corpus_id,
+                  qscale * cscale *
+                    CAST(list_sum(list_transform(list_zip(qcode, ccode),
+                                                 p -> p[1] * p[2])) AS DOUBLE) AS approx
+           FROM cq JOIN pq USING (cell)
+           WHERE query_id <> corpus_id),
+         cand AS (
+           SELECT query_id, corpus_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY approx DESC, corpus_id) AS arank
+           FROM approx),
+         scored AS (
+           SELECT cand.query_id, cand.corpus_id,
+                  ${cosSql("q.qvec", "c2.cvec")} AS score
+           FROM cand
+           JOIN q ON q.query_id = cand.query_id
+           JOIN c c2 ON c2.corpus_id = cand.corpus_id
+           WHERE arank <= 20),
+         ranked AS (
+           SELECT query_id, corpus_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, corpus_id) AS rank
+           FROM scored)
+       SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, score
+       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+
   /** Composed funnel — mirrors
     * [[graft.ops.Similarity.matryoshkaQuantizedTopK]] (prefixDim=16, k=5,
     * refine=4, queries = vec_id < 10): int8 quantization OF the 16-dim
@@ -2696,6 +2783,7 @@ object SparkEntry {
     "sim_topk_matryoshka" -> matryoshkaTopkSql,
     "sim_topk_matryoshka_ivf" -> matryoshkaIvfTopkSql,
     "sim_topk_mrl_int8" -> mrlInt8TopkSql,
+    "sim_topk_mrl_ivf_int8" -> mrlIvfInt8TopkSql,
     "q_zorder" -> zorderSql,
     "q_tpch3" ->
       """SELECT l_orderkey,

@@ -275,16 +275,21 @@ object Similarity {
     * code lambda (CollapseProject leaves multi-referenced non-cheap
     * expressions alone). */
   def quantize(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    df.select(col(idCol),
-        col(vecCol).alias("__v"),
-        (array_max(transform(col(vecCol), x => abs(x.cast("double")))) / 127.0)
-          .alias("q8_scale"))
-      .select(col(idCol), col("q8_scale"),
-        when(col("q8_scale") === 0.0,
-          transform(col("__v"), _ => lit(0).cast("byte")))
-        .otherwise(transform(col("__v"), x =>
-          floor(x.cast("double") / col("q8_scale") + 0.5).cast("long").cast("byte")))
-        .alias("q8_codes"))
+    withQ8(df.select(col(idCol), col(vecCol)), vecCol, "q8_")
+      .select(col(idCol), col("q8_scale"), col("q8_codes"))
+
+  /** Append `<prefix>scale`/`<prefix>codes` int8 quantization columns for
+    * `vecCol`, keeping every existing column — the building block behind
+    * [[quantize]] and the composed funnels, where the quantized frame must
+    * carry its IVF cell along. */
+  private def withQ8(df: DataFrame, vecCol: String, prefix: String): DataFrame =
+    df.withColumn(s"${prefix}scale",
+        array_max(transform(col(vecCol), x => abs(x.cast("double")))) / 127.0)
+      .withColumn(s"${prefix}codes",
+        when(col(s"${prefix}scale") === 0.0,
+          transform(col(vecCol), _ => lit(0).cast("byte")))
+        .otherwise(transform(col(vecCol), x =>
+          floor(x.cast("double") / col(s"${prefix}scale") + 0.5).cast("long").cast("byte"))))
 
   /** ANN top-k over int8-quantized embeddings with exact float re-scoring.
     *
@@ -498,6 +503,88 @@ object Similarity {
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
         cosine(col("qpre"), col("cpre")).alias("approx"))
+      .withColumn("arank", row_number().over(approxW))
+      .filter(col("arank") <= k * refine)
+      .select(col("query_id"), col("corpus_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("corpus_id").asc)
+    candidates
+      .join(broadcast(q), Seq("query_id"))
+      .join(c, Seq("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("qvec"), col("cvec")).alias("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("score"))
+  }
+
+  /** The FULL production funnel: IVF cells × Matryoshka prefix × int8
+    * codes, then exact rescore — all three reductions composed. At the
+    * 4-of-16 × 16-of-64 × int8 defaults the candidate scan touches
+    * `nprobe/numCentroids` of the corpus ROWS (IVF) × `prefixDim/dim` of
+    * the ELEMENTS (MRL) × ¼ of the BYTES per element (int8) = **1/256 of
+    * the float corpus volume**, and only ≤ k×refine rows per query ever
+    * read their full vector. This is the shape a 100 TB embedding store
+    * actually serves from: cells are the partition key (one corpus-wide
+    * exchange, ever), the quantized prefix codes are the only columns the
+    * scan reads (a fraction small enough to pin in memory), and recall is
+    * tuned by `nprobe`/`refine` without touching stored data.
+    *
+    * Cell assignment and probing run on FLOAT prefixes (centroid tables
+    * are broadcast-sized; quantizing them saves nothing and would change
+    * the cells vs [[matryoshkaIvfTopK]]); the int8 codes pay off where the
+    * volume is — the per-cell candidate scan. Quantization, integer dot,
+    * candidate cut, and rescore all use the same fixed-order double
+    * arithmetic as the parent funnels, so the DuckDB oracle hash-checks
+    * the whole composition end to end.
+    */
+  def matryoshkaIvfQuantizedTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      prefixDim: Int = 16,
+      refine: Int = 4,
+      numCentroids: Int = 16,
+      nprobe: Int = 4,
+      fitCentroids: Option[DataFrame] = None): DataFrame = {
+    val c = corpus.select(col(idCol).alias("corpus_id"), col(vecCol).alias("cvec"))
+    val q = queries.select(col(idCol).alias("query_id"), col(vecCol).alias("qvec"))
+    val ct = c.select(col("corpus_id"), slice(col("cvec"), 1, prefixDim).alias("cpre"))
+    val qt = q.select(col("query_id"), slice(col("qvec"), 1, prefixDim).alias("qpre"))
+    val centroids = fitCentroids.getOrElse(
+      ct.orderBy(col("corpus_id").asc).limit(numCentroids)
+        .select(col("corpus_id").alias("centroid_id"), col("cpre").alias("centvec")))
+    // float-prefix assignment — identical cells to matryoshkaIvfTopK
+    val assigned = ct.crossJoin(broadcast(centroids))
+      .select(col("corpus_id"), col("cpre"),
+        struct(cosine(col("cpre"), col("centvec")).alias("s"),
+          col("centroid_id").alias("cid")).alias("sc"))
+      .groupBy(col("corpus_id"))
+      .agg(first(col("cpre")).alias("cpre"), max(col("sc")).alias("best"))
+      .select(col("corpus_id"), col("cpre"), col("best.cid").alias("cell"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("ps").desc, col("cell").asc)
+    val probed = qt.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("qpre"),
+        cosine(col("qpre"), col("centvec")).alias("ps"),
+        col("centroid_id").alias("cell"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("qpre"), col("cell"))
+    // int8 codes for the per-cell candidate scan — the hot-volume columns
+    val cq = withQ8(assigned, "cpre", "c")
+      .select(col("corpus_id"), col("cell"), col("cscale"), col("ccodes"))
+    val pq = withQ8(probed, "qpre", "q")
+      .select(col("query_id"), col("cell"), col("qscale"), col("qcodes"))
+    val approxW = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("corpus_id").asc)
+    val candidates = cq.join(pq, Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        (col("qscale") * col("cscale") * dot(col("qcodes"), col("ccodes")))
+          .alias("approx"))
       .withColumn("arank", row_number().over(approxW))
       .filter(col("arank") <= k * refine)
       .select(col("query_id"), col("corpus_id"))

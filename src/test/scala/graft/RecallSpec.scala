@@ -120,6 +120,41 @@ class RecallSpec extends SparkSpec {
     assert(joined.filter(col("score") =!= col("bf_score")).count() == 0)
   }
 
+  test("full funnel (ivf × matryoshka × int8): recall measured; probing " +
+    "all cells recovers the int8 prefix funnel exactly") {
+    val full = Similarity.matryoshkaIvfQuantizedTopK(e, q, "vec_id",
+      "embedding", k = 10, prefixDim = 16, refine = 4,
+      numCentroids = 16, nprobe = 4)
+    val r = Similarity.recallAtK(full, bf)
+    // the candidate scan reads 1/4 rows × 1/4 elements × 1/4 bytes = 1/64
+    // of the float corpus volume (1/256 at dim-adjusted byte count); on
+    // these near-random fixtures the bucketed float funnel measures ~0.29
+    // and int8 costs only quantization noise — floor just under that
+    val bucketedFloat = Similarity.matryoshkaIvfTopK(e, q, "vec_id",
+      "embedding", k = 10, prefixDim = 16, refine = 4,
+      numCentroids = 16, nprobe = 4)
+    val rFloat = Similarity.recallAtK(bucketedFloat, bf)
+    info(f"ivf×mrl×int8 recall@10 = $r%.3f (float-prefix bucketed $rFloat%.3f)")
+    assert(r >= 0.25, f"full funnel recall $r%.3f below the random-embedding floor")
+    assert(r >= rFloat - 0.05,
+      f"int8 codes cost $r%.3f vs $rFloat%.3f — more than quantization noise")
+    // nprobe = numCentroids must recover the UNBUCKETED int8 prefix funnel
+    // exactly: same candidates, same rescore
+    val allCells = Similarity.matryoshkaIvfQuantizedTopK(e, q, "vec_id",
+      "embedding", k = 10, prefixDim = 16, refine = 4,
+      numCentroids = 16, nprobe = 16)
+    val unbucketed = Similarity.matryoshkaQuantizedTopK(e, q, "vec_id",
+      "embedding", k = 10, prefixDim = 16, refine = 4)
+    assert(allCells.exceptAll(unbucketed).isEmpty &&
+      unbucketed.exceptAll(allCells).isEmpty,
+      "nprobe = numCentroids must recover the unbucketed int8 funnel exactly")
+    // rescored hits carry exact scores (same vec_cosine as brute force)
+    val joined = full.select(col("query_id"), col("corpus_id"), col("score"))
+      .join(bf.select(col("query_id"), col("corpus_id"),
+        col("score").alias("bf_score")), Seq("query_id", "corpus_id"))
+    assert(joined.filter(col("score") =!= col("bf_score")).count() == 0)
+  }
+
   test("int8 quantization error is bounded by scale/2 per element") {
     val q8 = Similarity.quantize(e, "vec_id", "embedding")
     val err = q8.join(e, "vec_id")
