@@ -662,6 +662,11 @@ object GraftCatalog {
     * raw strings; comparisons happen in [[FileStatsPruning]]. */
   final case class ColStat(kind: String, nulls: Long, min: String, max: String)
 
+  /** Reserved stats-map key carrying a file's row count (kind "r", count in
+    * the `nulls` slot) — the empty string is not a legal parquet field
+    * name, so it can never shadow a real column. */
+  val RowCountKey: String = ""
+
   // unpadded: '=' stays free for the file/body separator; the decoder
   // accepts unpadded input
   private def b64e(s: String): String =
@@ -711,6 +716,13 @@ object GraftCatalog {
       val md = reader.getFooter.getBlocks.asScala
       val schema = reader.getFooter.getFileMetaData.getSchema
       val out = scala.collection.mutable.Map.empty[String, ColStat]
+      // the file's ROW COUNT rides along under the reserved empty column
+      // name (parquet forbids empty field names, so "" can never collide):
+      // kind "r", count in the nulls slot. It round-trips through
+      // renderStats/readStats/carry-forward untouched, and filter pruning
+      // never sees it (lookups go by real attribute names). This is what
+      // lets metadata-only aggregates answer count(*) without a footer.
+      out(RowCountKey) = ColStat("r", md.map(_.getRowCount).sum, "", "")
       schema.getFields.asScala.filter(_.isPrimitive).foreach { f =>
         val p = f.asPrimitiveType()
         val name = f.getName

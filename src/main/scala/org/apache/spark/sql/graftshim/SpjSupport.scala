@@ -80,23 +80,34 @@ final class KeyedParquetScanBuilder(
   private var servedTable: ParquetTable = table
   private var underlying = ParquetScanBuilder(
     table.sparkSession, table.fileIndex, table.schema, table.dataSchema, options)
+  // set once pushFilters saw ANY predicate — manifest stats describe whole
+  // files, so metadata-only aggregate answering is only sound filter-free
+  private var sawFilters = false
+  // a metadata-answered aggregate: the scan-side partial schema + its one
+  // row, computed from manifest stats (see ManifestAggregates)
+  private var manifestAgg: Option[(StructType, InternalRow)] = None
+
+  /** Manifest stats are keyed by table-dir-relative paths. */
+  private def relPath(p: String): String = {
+    val prefix = tableDir.stripSuffix("/") + "/"
+    if (p.startsWith(prefix)) p.stripPrefix(prefix)
+    else if (p.contains(prefix)) p.substring(p.indexOf(prefix) + prefix.length)
+    else p.substring(p.lastIndexOf('/') + 1)
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     underlying.pruneColumns(requiredSchema)
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    if (filters.nonEmpty) sawFilters = true
     if (fileStats.nonEmpty && filters.nonEmpty) {
       val translated = filters.flatMap(e =>
         org.apache.spark.sql.execution.datasources.DataSourceStrategy
           .translateFilter(e, supportNestedPredicatePushdown = true))
       if (translated.nonEmpty) {
         val all = table.fileIndex.inputFiles
-        val prefix = tableDir.stripSuffix("/") + "/"
         val kept = all.filter { p =>
-          val rel = if (p.startsWith(prefix)) p.stripPrefix(prefix)
-            else if (p.contains(prefix)) p.substring(p.indexOf(prefix) + prefix.length)
-            else p.substring(p.lastIndexOf('/') + 1)
-          fileStats.get(rel)
+          fileStats.get(relPath(p))
             .forall(st => graft.storage.FileStatsPruning.mayMatchAll(st, translated))
         }
         if (kept.length < all.length) {
@@ -116,20 +127,48 @@ final class KeyedParquetScanBuilder(
   override def pushedFilters(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     underlying.pushedFilters
   override def pushAggregation(
-      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    underlying.pushAggregation(aggregation)
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    // metadata-only answering first: filter-free min/max/count whose every
+    // input file carries manifest stats never touches a footer — the scan
+    // plans as a LocalTableScan of ONE pre-aggregated row. Partial-pushdown
+    // protocol (supportCompletePushDown stays false), so Spark's final
+    // aggregate folds that row with full-scan semantics.
+    manifestAgg =
+      if (sawFilters || fileStats.isEmpty ||
+        table.sparkSession.conf
+          .get("spark.sql.graft.manifestAggregates", "true") != "true") None
+      else graft.storage.ManifestAggregates.tryAnswer(
+        table.schema, table.fileIndex.inputFiles.toSeq.map(relPath),
+        fileStats, aggregation)
+    if (manifestAgg.isDefined) true else underlying.pushAggregation(aggregation)
+  }
   override def supportCompletePushDown(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    underlying.supportCompletePushDown(aggregation)
+    if (manifestAgg.isDefined) false
+    else underlying.supportCompletePushDown(aggregation)
 
-  override def build(): Scan = {
-    val pschema = servedTable.fileIndex.partitionSchema
-    underlying.build() match {
-      case p: ParquetScan if pschema.nonEmpty && keys.nonEmpty =>
-        KeyedScan(p, pschema, keys)
-      case other => other
-    }
+  override def build(): Scan = manifestAgg match {
+    case Some((schema, row)) => ManifestAggScan(table.name, schema, row)
+    case None =>
+      val pschema = servedTable.fileIndex.partitionSchema
+      underlying.build() match {
+        case p: ParquetScan if pschema.nonEmpty && keys.nonEmpty =>
+          KeyedScan(p, pschema, keys)
+        case other => other
+      }
   }
+}
+
+/** A manifest-answered aggregate scan: one pre-aggregated row, served
+  * driver-locally ([[org.apache.spark.sql.connector.read.LocalScan]] plans
+  * as `LocalTableScan` — zero input files, zero tasks). */
+final case class ManifestAggScan(
+    tableName: String, aggSchema: StructType, row: InternalRow)
+  extends org.apache.spark.sql.connector.read.LocalScan {
+  override def readSchema(): StructType = aggSchema
+  override def rows(): Array[InternalRow] = Array(row)
+  override def description(): String =
+    s"ManifestAggregates($tableName, ${aggSchema.fieldNames.mkString(", ")})"
 }
 
 /** Wraps a [[ParquetScan]]: re-plans its file splits so every split holds

@@ -166,6 +166,67 @@ class FileSkippingSpec extends SparkSpec {
     assert(!P.mayMatch(Map("c" -> ColStat("l", 0L, "0", "9")), IsNull("c")))
   }
 
+  test("metadata-only aggregates: min/max/count answered from manifest " +
+    "stats, zero files scanned, values equal the full scan") {
+    wh
+    Seq((1L, Some(5.5), "apple"), (2L, None, "banana"))
+      .toDF("id", "v", "w")
+      .writeTo("skipcat.s.magg").using("parquet").createOrReplace()
+    Seq((30L, Some(-2.25), "zebra"), (40L, None, "melon"))
+      .toDF("id", "v", "w")
+      .writeTo("skipcat.s.magg").append()
+    val sql = "SELECT min(id) AS mn, max(id) AS mx, count(*) AS c, " +
+      "count(v) AS cv, min(w) AS wmn, max(w) AS wmx, min(v) AS vmn " +
+      "FROM skipcat.s.magg"
+    val agg = spark.sql(sql)
+    // the scan IS the answer: LocalTableScan of one pre-aggregated row,
+    // no BatchScan, hence no parquet file (or footer) ever opened
+    assert(agg.queryExecution.sparkPlan.collect {
+      case b: BatchScanExec => b }.isEmpty,
+      "a manifest-answered aggregate must not plan a file scan")
+    assert(agg.queryExecution.sparkPlan.collect {
+      case l: org.apache.spark.sql.execution.LocalTableScanExec => l }.nonEmpty,
+      "expected the pre-aggregated LocalTableScan")
+    val got = agg.collect().head
+    // correctness vs the real scan (manifest answering disabled)
+    spark.conf.set("spark.sql.graft.manifestAggregates", "false")
+    try {
+      val full = spark.sql(sql)
+      assert(full.queryExecution.sparkPlan.collect {
+        case b: BatchScanExec => b }.nonEmpty, "conf off must plan a real scan")
+      assert(got == full.collect().head,
+        s"manifest answer $got != full-scan answer ${full.collect().head}")
+    } finally spark.conf.set("spark.sql.graft.manifestAggregates", "true")
+    assert(got.getLong(0) == 1L && got.getLong(1) == 40L &&
+      got.getLong(2) == 4L && got.getLong(3) == 2L &&
+      got.getString(4) == "apple" && got.getString(5) == "zebra" &&
+      got.getDouble(6) == -2.25)
+  }
+
+  test("metadata-only aggregates stay conservative: filters, grouping, " +
+    "distinct, and unsupported functions fall back to a real scan") {
+    wh
+    Seq((1L, "a"), (2L, "b")).toDF("id", "w")
+      .writeTo("skipcat.s.maggfb").using("parquet").createOrReplace()
+    def scans(q: String): Boolean =
+      spark.sql(q).queryExecution.sparkPlan.collect {
+        case b: BatchScanExec => b }.nonEmpty
+    // a filter makes per-file stats insufficient — must scan (and stay right)
+    assert(scans("SELECT max(id) FROM skipcat.s.maggfb WHERE w = 'a'"))
+    assert(spark.sql("SELECT max(id) AS m FROM skipcat.s.maggfb WHERE w = 'a'")
+      .collect().head.getLong(0) == 1L)
+    // grouping, distinct counts, sums: not stats-answerable
+    assert(scans("SELECT w, max(id) FROM skipcat.s.maggfb GROUP BY w"))
+    assert(scans("SELECT count(DISTINCT id) FROM skipcat.s.maggfb"))
+    assert(scans("SELECT sum(id) FROM skipcat.s.maggfb"))
+    // answers update with the table: an append moves max and count
+    Seq((9L, "z")).toDF("id", "w").writeTo("skipcat.s.maggfb").append()
+    val r = spark.sql("SELECT max(id) AS m, count(*) AS c FROM skipcat.s.maggfb")
+    assert(r.queryExecution.sparkPlan.collect {
+      case b: BatchScanExec => b }.isEmpty)
+    assert(r.collect().head == org.apache.spark.sql.Row(9L, 3L))
+  }
+
   test("partitioned tables keep SPJ keys AND prune data files by stats") {
     wh
     Seq((1L, 5L, "a"), (2L, 6L, "a")).toDF("id", "v", "part")
