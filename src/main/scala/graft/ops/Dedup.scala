@@ -298,7 +298,13 @@ object Dedup {
     * frames are localCheckpoint'd so the plan doesn't grow exponentially
     * with iterations — the standard Spark iterative-algorithm hygiene.
     */
-  def clusters(pairs: DataFrame, maxIter: Int = 5): DataFrame = {
+  def clusters(pairs: DataFrame, maxIter: Int = 5): DataFrame =
+    clustersCounted(pairs, maxIter)._1
+
+  /** [[clusters]] plus the executed round count — the pure-propagation
+    * baseline [[graft.GraphSkewBench]] measures pointer doubling against. */
+  private[graft] def clustersCounted(
+      pairs: DataFrame, maxIter: Int = 5): (DataFrame, Int) = {
     // pin the pair table FIRST: the symmetric union references it twice,
     // and an unpinned union evaluates the (possibly expensive — LSH) pair
     // pipeline once per branch at materialization
@@ -330,7 +336,7 @@ object Dedup {
       labels = next
       iter += 1
     }
-    labels.withColumnRenamed("label", "cluster_id")
+    (labels.withColumnRenamed("label", "cluster_id"), iter)
   }
 
   /** Convergence probe for the label-propagation loops: per-node labels

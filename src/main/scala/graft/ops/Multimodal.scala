@@ -83,7 +83,7 @@ object Multimodal {
   // body of this function (e.g. with javax.imageio / ffmpeg JNI); callers
   // and plan shape stay identical.
   // ───────────────────────────────────────────────────────────────────────
-  private[ops] def decodeStub(bytes: Array[Byte], w: Int, h: Int): Array[Int] = {
+  private[graft] def decodeStub(bytes: Array[Byte], w: Int, h: Int): Array[Int] = {
     // pseudo "pixels": cycle the payload bytes to w*h unsigned intensities
     val n = math.max(1, w * h)
     val out = new Array[Int](n)
@@ -130,25 +130,42 @@ object Multimodal {
     * is `px · n > sum`, no division, so any engine reproduces it exactly).
     * 8 bytes per image regardless of resolution: the shuffle-able content
     * fingerprint for image-level near-dup detection. */
+  /** The aHash kernel both spellings share — the typed `mapPartitions`
+    * path and the codegen'd [[graft.functions.ImageAhash]] expression call
+    * THIS function, so their bits cannot diverge. */
+  private[graft] def ahashKernel(bytes: Array[Byte], w: Int, h: Int): Long = {
+    val px = decodeStub(bytes, w, h)
+    var sum = 0L
+    var i = 0
+    while (i < px.length) { sum += px(i); i += 1 }
+    val stride = math.max(1, px.length / 64)
+    var ahash = 0L
+    var b = 0
+    while (b < 64) {
+      val p = px((b * stride) % px.length)
+      if (p.toLong * px.length > sum) ahash |= (1L << b)
+      b += 1
+    }
+    ahash
+  }
+
+  /** The median-hash kernel — see [[ahashKernel]] for why it is shared. */
+  private[graft] def mhashKernel(bytes: Array[Byte], w: Int, h: Int): Long = {
+    val px = decodeStub(bytes, w, h)
+    val stride = math.max(1, px.length / 64)
+    val samples = Array.tabulate(64)(b => px((b * stride) % px.length))
+    val med = samples.sorted.apply(31)
+    var hash = 0L
+    var b = 0
+    while (b < 64) { if (samples(b) > med) hash |= (1L << b); b += 1 }
+    hash
+  }
+
   def imageAhash(media: Dataset[MediaRow]): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.filter(_.kind == "image").mapPartitions { rows =>
-      rows.map { r =>
-        val px = decodeStub(r.bytes, r.meta.width, r.meta.height)
-        var sum = 0L
-        var i = 0
-        while (i < px.length) { sum += px(i); i += 1 }
-        val stride = math.max(1, px.length / 64)
-        var ahash = 0L
-        var b = 0
-        while (b < 64) {
-          val p = px((b * stride) % px.length)
-          if (p.toLong * px.length > sum) ahash |= (1L << b)
-          b += 1
-        }
-        (r.media_id, ahash)
-      }
+      rows.map(r => (r.media_id, ahashKernel(r.bytes, r.meta.width, r.meta.height)))
     }.toDF("media_id", "ahash")
   }
 
@@ -162,16 +179,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.filter(_.kind == "image").mapPartitions { rows =>
-      rows.map { r =>
-        val px = decodeStub(r.bytes, r.meta.width, r.meta.height)
-        val stride = math.max(1, px.length / 64)
-        val samples = Array.tabulate(64)(b => px((b * stride) % px.length))
-        val med = samples.sorted.apply(31)
-        var h = 0L
-        var b = 0
-        while (b < 64) { if (samples(b) > med) h |= (1L << b); b += 1 }
-        (r.media_id, h)
-      }
+      rows.map(r => (r.media_id, mhashKernel(r.bytes, r.meta.width, r.meta.height)))
     }.toDF("media_id", "mhash")
   }
 

@@ -343,6 +343,36 @@ class OpsSpec extends SparkSpec {
     assert(feats(0).mean_intensity > 0)
   }
 
+  test("multimodal: codegen img_ahash/img_mhash equal the typed decode path " +
+    "and plan without an object boundary") {
+    import graft.functions.MediaExpressions.{img_ahash, img_mhash}
+    // relational twin of mediaFromDocuments' image branch: same ids, same
+    // payload bytes, same stub dims — but NO typed map anywhere, so the
+    // whole hash stage stays inside the relational plan
+    val mdf = Seq((0L, "image doc zero"), (1L, "audio doc one"),
+        (2L, "video doc two"), (3L, "another image")).toDF("doc_id", "text")
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select(col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("bytes"),
+        (lit(64) + pmod(col("media_id"), lit(8)).cast("int") * 16).as("w"),
+        lit(64).as("h"))
+    val viaExpr = mdf.select(col("media_id"),
+      img_ahash(col("bytes"), col("w"), col("h")).as("ahash"),
+      img_mhash(col("bytes"), col("w"), col("h")).as("mhash"))
+    val typed = ops.Multimodal.imageAhash(media)
+      .join(ops.Multimodal.imageMhash(media), "media_id")
+    assert(viaExpr.exceptAll(typed).isEmpty && typed.exceptAll(viaExpr).isEmpty,
+      "expression and mapPartitions spellings must be bit-identical")
+    // the expression path stays relational: no DeserializeToObject fence
+    // (the typed path necessarily has one)
+    def hasObjectBoundary(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect {
+        case d: org.apache.spark.sql.catalyst.plans.logical.DeserializeToObject => d
+      }.nonEmpty
+    assert(!hasObjectBoundary(viaExpr))
+    assert(hasObjectBoundary(ops.Multimodal.imageAhash(media)))
+  }
+
   test("multimodal: resize updates metadata, frame sampling yields stride frames") {
     val resized = ops.Multimodal.resizeImages(media, 32, 32).collect()
       .filter(_.kind == "image")

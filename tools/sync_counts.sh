@@ -1,0 +1,29 @@
+#!/usr/bin/env bash
+# Regenerate the doc-cited counts from the artifacts themselves:
+#   - ScalaTest case count: from an actual `sbt test` run
+#   - query / oracle counts: from SparkEntry (graft.Counts)
+# then rewrite the three number-bearing doc lines in place. Run from the
+# repo root after adding queries or tests; commit the doc diff it makes.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "running sbt test (also verifies green)..." >&2
+TESTS=$(sbt -batch test 2>&1 | tee /tmp/sync_counts_test.log |
+  grep -oE "Total number of tests run: [0-9]+" | tail -1 | grep -oE "[0-9]+$")
+grep -q "All tests passed." /tmp/sync_counts_test.log ||
+  { echo "test suite not green — aborting doc sync" >&2; exit 1; }
+
+QUERIES=$(sbt -batch "runMain graft.Counts" 2>&1 |
+  grep -oE "queries=[0-9]+" | head -1 | grep -oE "[0-9]+")
+ORACLES=$(sbt -batch "runMain graft.Counts" 2>&1 |
+  grep -oE "oracle_backed=[0-9]+" | head -1 | grep -oE "[0-9]+")
+
+echo "tests=$TESTS queries=$QUERIES oracles=$ORACLES"
+
+sed -i -E "s/- [0-9]+ queries: \*\*[0-9]+\/[0-9]+ oracle-backed/- $QUERIES queries: **$ORACLES\/$ORACLES oracle-backed/" COVERAGE.md
+sed -i -E "s/- [0-9]+ ScalaTest cases:/- $TESTS ScalaTest cases:/" COVERAGE.md
+sed -i -E "s/Every one of the [0-9]+ oracle-checked queries/Every one of the $ORACLES oracle-checked queries/" README.md
+
+echo "doc lines now:"
+grep -nE "queries: \*\*|ScalaTest cases:" COVERAGE.md
+grep -nE "oracle-checked queries" README.md
