@@ -53,20 +53,36 @@ import graft.storage.GraftCatalog.{ColStat, RowCountKey}
   */
 object ManifestAggregates {
 
-  /** The scan-side schema+row for `agg` if every aggregate is answerable
-    * from `stats` over exactly `files`; None = plan a real scan. */
+  /** The scan-side schema+row for an UNGROUPED `agg` if every aggregate is
+    * answerable from `stats` over exactly `files`; None = plan a real
+    * scan. */
   def tryAnswer(
       schema: StructType,
       files: Seq[String],
       stats: Map[String, Map[String, ColStat]],
-      agg: Aggregation): Option[(StructType, InternalRow)] = {
-    if (agg.groupByExpressions.nonEmpty) return None
+      agg: Aggregation): Option[(StructType, InternalRow)] =
+    if (agg.groupByExpressions.nonEmpty) None
+    else tryAnswerGrouped(schema, Seq.empty, Seq(Seq.empty -> files), stats, agg)
+      .map { case (st, rows) => st -> rows.head }
+
+  /** Grouped answering — the caller has already resolved the GROUP BY to
+    * `groupFields` (partition columns) and split the file set into one
+    * `(groupValues, files)` entry per live group, so `SELECT part,
+    * count(*) … GROUP BY part` costs zero file opens. The scan schema
+    * follows Spark's pushed-aggregate convention: group columns first,
+    * then aggregate columns, one partial row per group (the final
+    * aggregate re-groups, so semantics match a real scan exactly). */
+  def tryAnswerGrouped(
+      schema: StructType,
+      groupFields: Seq[StructField],
+      groups: Seq[(Seq[Any], Seq[String])],
+      stats: Map[String, Map[String, ColStat]],
+      agg: Aggregation): Option[(StructType, Seq[InternalRow])] = {
     if (agg.aggregateExpressions.isEmpty) return None
-    val perFile: Option[Seq[Map[String, ColStat]]] = {
+    val perGroup = groups.map { case (gv, files) =>
       val got = files.map(stats.get)
-      if (got.forall(_.isDefined)) Some(got.map(_.get)) else None
-    }
-    perFile.flatMap { fs =>
+      if (!got.forall(_.isDefined)) return None
+      val fs = got.map(_.get)
       val answered = agg.aggregateExpressions.toSeq.map {
         case _: CountStar =>
           rowCounts(fs).map(rs =>
@@ -84,13 +100,33 @@ object ManifestAggregates {
             .map { case (dt, v) => StructField(s"max($col)", dt, nullable = true) -> v })
         case _ => None
       }
-      if (answered.exists(_.isEmpty)) None
-      else {
-        val fields = answered.map(_.get)
-        Some(StructType(fields.map(_._1)) ->
-          (new GenericInternalRow(fields.map(_._2).toArray): InternalRow))
-      }
+      if (answered.exists(_.isEmpty)) return None
+      gv -> answered.map(_.get)
     }
+    val aggFields = perGroup.headOption.map(_._2.map(_._1))
+      .getOrElse(agg.aggregateExpressions.toSeq.map {
+        // no live groups (empty table, ungrouped caller passes one group so
+        // this is the grouped-empty case: zero output rows, schema still
+        // needed)
+        case _: CountStar => StructField("count(*)", LongType, nullable = false)
+        case c: Count => StructField(
+          s"count(${singleCol(c.column).getOrElse(return None)})",
+          LongType, nullable = false)
+        case m: Min =>
+          val col = singleCol(m.column).getOrElse(return None)
+          StructField(s"min($col)",
+            schema.fields.find(_.name == col).getOrElse(return None).dataType)
+        case m: Max =>
+          val col = singleCol(m.column).getOrElse(return None)
+          StructField(s"max($col)",
+            schema.fields.find(_.name == col).getOrElse(return None).dataType)
+        case _ => return None
+      })
+    val outSchema = StructType(groupFields ++ aggFields)
+    val rows = perGroup.map { case (gv, fields) =>
+      new GenericInternalRow((gv ++ fields.map(_._2)).toArray): InternalRow
+    }
+    Some(outSchema -> rows)
   }
 
   private def singleCol(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =

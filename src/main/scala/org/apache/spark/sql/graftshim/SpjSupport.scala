@@ -83,9 +83,10 @@ final class KeyedParquetScanBuilder(
   // set once pushFilters saw ANY predicate — manifest stats describe whole
   // files, so metadata-only aggregate answering is only sound filter-free
   private var sawFilters = false
-  // a metadata-answered aggregate: the scan-side partial schema + its one
-  // row, computed from manifest stats (see ManifestAggregates)
-  private var manifestAgg: Option[(StructType, InternalRow)] = None
+  // a metadata-answered aggregate: the scan-side partial schema + its rows
+  // (one per live group; one total when ungrouped), computed from manifest
+  // stats (see ManifestAggregates)
+  private var manifestAgg: Option[(StructType, Seq[InternalRow])] = None
 
   /** Manifest stats are keyed by table-dir-relative paths. */
   private def relPath(p: String): String = {
@@ -137,9 +138,32 @@ final class KeyedParquetScanBuilder(
       if (sawFilters || fileStats.isEmpty ||
         table.sparkSession.conf
           .get("spark.sql.graft.manifestAggregates", "true") != "true") None
-      else graft.storage.ManifestAggregates.tryAnswer(
-        table.schema, table.fileIndex.inputFiles.toSeq.map(relPath),
-        fileStats, aggregation)
+      else {
+        val gb = aggregation.groupByExpressions.toSeq.map {
+          case n: org.apache.spark.sql.connector.expressions.NamedReference
+            if n.fieldNames.length == 1 => Some(n.fieldNames()(0))
+          case _ => None
+        }
+        val pschema = table.fileIndex.partitionSchema
+        if (gb.isEmpty)
+          graft.storage.ManifestAggregates.tryAnswer(
+            table.schema, table.fileIndex.inputFiles.toSeq.map(relPath),
+            fileStats, aggregation).map { case (s, r) => s -> Seq(r) }
+        else if (gb.forall(_.exists(pschema.fieldNames.contains))) {
+          // GROUP BY partition columns: one row per live partition-value
+          // group — the file index already carries each directory's typed
+          // partition values, so grouping costs no I/O either
+          val idx = gb.map(g => pschema.fieldIndex(g.get))
+          val groups = table.fileIndex.listFiles(Nil, Nil)
+            .groupBy(d => idx.map(i => d.values.get(i, pschema(i).dataType)))
+            .toSeq.sortBy(_._1.toString)
+            .map { case (k, ds) =>
+              k -> ds.flatMap(_.files).map(f => relPath(f.getPath.toString))
+            }
+          graft.storage.ManifestAggregates.tryAnswerGrouped(
+            table.schema, idx.map(pschema(_)), groups, fileStats, aggregation)
+        } else None
+      }
     if (manifestAgg.isDefined) true else underlying.pushAggregation(aggregation)
   }
   override def supportCompletePushDown(
@@ -148,7 +172,7 @@ final class KeyedParquetScanBuilder(
     else underlying.supportCompletePushDown(aggregation)
 
   override def build(): Scan = manifestAgg match {
-    case Some((schema, row)) => ManifestAggScan(table.name, schema, row)
+    case Some((schema, rows)) => ManifestAggScan(table.name, schema, rows)
     case None =>
       val pschema = servedTable.fileIndex.partitionSchema
       underlying.build() match {
@@ -159,14 +183,15 @@ final class KeyedParquetScanBuilder(
   }
 }
 
-/** A manifest-answered aggregate scan: one pre-aggregated row, served
-  * driver-locally ([[org.apache.spark.sql.connector.read.LocalScan]] plans
-  * as `LocalTableScan` — zero input files, zero tasks). */
+/** A manifest-answered aggregate scan: pre-aggregated rows (one per
+  * group), served driver-locally ([[org.apache.spark.sql.connector.read
+  * .LocalScan]] plans as `LocalTableScan` — zero input files, zero
+  * tasks). */
 final case class ManifestAggScan(
-    tableName: String, aggSchema: StructType, row: InternalRow)
+    tableName: String, aggSchema: StructType, preRows: Seq[InternalRow])
   extends org.apache.spark.sql.connector.read.LocalScan {
   override def readSchema(): StructType = aggSchema
-  override def rows(): Array[InternalRow] = Array(row)
+  override def rows(): Array[InternalRow] = preRows.toArray
   override def description(): String =
     s"ManifestAggregates($tableName, ${aggSchema.fieldNames.mkString(", ")})"
 }

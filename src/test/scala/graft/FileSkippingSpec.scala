@@ -227,6 +227,37 @@ class FileSkippingSpec extends SparkSpec {
     assert(r.collect().head == org.apache.spark.sql.Row(9L, 3L))
   }
 
+  test("metadata-only aggregates: GROUP BY partition columns answered " +
+    "from stats + the file index's partition values, zero files scanned") {
+    wh
+    Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "part")
+      .writeTo("skipcat.s.maggp").using("parquet")
+      .partitionedBy(col("part")).createOrReplace()
+    Seq((10L, "b"), (11L, "c")).toDF("id", "part")
+      .writeTo("skipcat.s.maggp").append()
+    val q = "SELECT part, count(*) AS c, max(id) AS m, min(id) AS mn " +
+      "FROM skipcat.s.maggp GROUP BY part"
+    val df = spark.sql(q)
+    assert(df.queryExecution.sparkPlan.collect {
+      case b: BatchScanExec => b }.isEmpty,
+      "a partition-grouped stats aggregate must not plan a file scan")
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(("a", 2L, 2L, 1L), ("b", 2L, 10L, 3L), ("c", 1L, 11L, 11L)))
+    // equality with the real scan
+    spark.conf.set("spark.sql.graft.manifestAggregates", "false")
+    try {
+      val full = spark.sql(q)
+      assert(full.queryExecution.sparkPlan.collect {
+        case b: BatchScanExec => b }.nonEmpty)
+      assert(full.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet == got)
+    } finally spark.conf.set("spark.sql.graft.manifestAggregates", "true")
+    // grouping by a NON-partition column is not stats-answerable
+    assert(spark.sql("SELECT id, count(*) FROM skipcat.s.maggp GROUP BY id")
+      .queryExecution.sparkPlan.collect { case b: BatchScanExec => b }.nonEmpty)
+  }
+
   test("partitioned tables keep SPJ keys AND prune data files by stats") {
     wh
     Seq((1L, 5L, "a"), (2L, 6L, "a")).toDF("id", "v", "part")
