@@ -68,7 +68,10 @@ object Bench {
     // round-8: the fully-composed ANN funnel (IVF rows × MRL elements ×
     // int8 bytes) and incremental component maintenance (contracted-batch
     // pointer doubling — the daily-ingest cost profile)
-    "sim_topk_mrl_ivf_int8", "dedup_incremental_components")
+    "sim_topk_mrl_ivf_int8", "dedup_incremental_components",
+    // Bloom-gated incremental dedup: same result as dedup_incremental,
+    // cost shape of the sketch-split path
+    "dedup_incremental_bloom")
 
   /** Warm iterations per query; the median is reported. */
   val WarmIters = 3

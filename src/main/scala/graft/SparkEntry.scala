@@ -963,6 +963,21 @@ object SparkEntry {
         Seq("user_id", "event_type"), "event_id")
         .orderBy("user_id", "event_type")
     }),
+    // Same split as dedup_incremental, through the Bloom-gated path: the
+    // sketch splits the batch into definitely-new (bloom miss — provably
+    // unseen, no join) vs possibly-seen (exact anti join); output must
+    // hash-match the ungated oracle exactly — correctness never rides on
+    // the sketch.
+    "dedup_incremental_bloom" -> ((s, dir) => {
+      val ev = Parity.t(s, dir, "events")
+      val thr = ev.agg(floor(max(col("event_id")) / 10).alias("__thr"))
+      val withThr = ev.crossJoin(broadcast(thr))
+      Dedup.incrementalBloom(
+        withThr.filter(col("event_id") < col("__thr")).drop("__thr"),
+        withThr.filter(col("event_id") >= col("__thr")).drop("__thr"),
+        Seq("user_id", "event_type"), "event_id")
+        .orderBy("user_id", "event_type")
+    }),
     "dedup_exact_events" -> ((s, dir) =>
       Parity.t(s, dir, "events")
         .groupBy(col("user_id"), col("event_type"))
@@ -2664,6 +2679,28 @@ object SparkEntry {
     * polynomial hash, the SRP-LSH queries are checked against the literal
     * plane matrix, and the `*_oracle` variants additionally pin the raw
     * signature values. */
+  /** Ungated incremental dedup — serves as the oracle for BOTH
+    * `dedup_incremental` and `dedup_incremental_bloom` (the Bloom filter
+    * only routes rows between the fast and exact paths; it cannot change
+    * the result). */
+  private def incrementalDedupSql: String =
+    """WITH t AS (
+         SELECT CAST(floor(max(event_id) / 10) AS BIGINT) AS thr FROM events),
+       h AS (
+         SELECT DISTINCT user_id, event_type FROM events, t
+         WHERE event_id < thr),
+       bt AS (
+         SELECT user_id, event_type, event_id FROM events, t
+         WHERE event_id >= thr)
+       SELECT bt.user_id, bt.event_type, min(bt.event_id) AS event_id,
+              count(*) AS n_batch_copies
+       FROM bt
+       WHERE NOT EXISTS (
+         SELECT 1 FROM h
+         WHERE h.user_id = bt.user_id AND h.event_type = bt.event_type)
+       GROUP BY bt.user_id, bt.event_type
+       ORDER BY bt.user_id, bt.event_type"""
+
   def oracleSql: Map[String, String] = Map(
     "dedup_minhash_oracle" -> minhashOracleSql,
     "dedup_simhash_oracle" -> simhashOracleSql,
@@ -3609,23 +3646,10 @@ object SparkEntry {
            ON a.pfx = b2.pfx AND a.lb = b2.lb AND a.doc_id < b2.doc_id
          WHERE levenshtein(a.text, b2.text) <= 8
          ORDER BY doc_a, doc_b""",
-    "dedup_incremental" ->
-      """WITH t AS (
-           SELECT CAST(floor(max(event_id) / 10) AS BIGINT) AS thr FROM events),
-         h AS (
-           SELECT DISTINCT user_id, event_type FROM events, t
-           WHERE event_id < thr),
-         bt AS (
-           SELECT user_id, event_type, event_id FROM events, t
-           WHERE event_id >= thr)
-         SELECT bt.user_id, bt.event_type, min(bt.event_id) AS event_id,
-                count(*) AS n_batch_copies
-         FROM bt
-         WHERE NOT EXISTS (
-           SELECT 1 FROM h
-           WHERE h.user_id = bt.user_id AND h.event_type = bt.event_type)
-         GROUP BY bt.user_id, bt.event_type
-         ORDER BY bt.user_id, bt.event_type""",
+    "dedup_incremental" -> incrementalDedupSql,
+    // the Bloom gate is a pure routing optimization — the ORACLE is the
+    // ungated incremental dedup, verbatim
+    "dedup_incremental_bloom" -> incrementalDedupSql,
     "prep_negatives" ->
       """WITH ring AS (
            SELECT doc_id, lang,

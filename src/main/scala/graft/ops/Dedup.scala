@@ -755,4 +755,53 @@ object Dedup {
       .groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).alias(idCol), count(lit(1)).alias("n_batch_copies"))
   }
+
+  /** [[incremental]] with a Bloom-filter pre-gate — SAME output, exactly
+    * (asserted in OpsSpec under both negligible and adversarial
+    * false-positive rates), different cost shape at scale.
+    *
+    * History's keys fold into one `bits/8`-byte bitset
+    * ([[graft.functions.BloomAgg]] — OR-mergeable, so in production it is
+    * MAINTAINED across days like the corpus itself rather than rebuilt:
+    * yesterday's filter ORs with the new batch's), which broadcasts to the
+    * aggregated batch. Bloom filters have no false negatives, so a miss
+    * PROVES history never saw the key: those rows ship straight to the
+    * output, and only the possibly-seen remainder — true dups plus the fp
+    * rate — enters the exact anti join. On a fresh-content daily batch
+    * (most keys genuinely new) the join's probe side shrinks from the
+    * whole batch to its duplicate fraction, and with a persisted filter
+    * the history table isn't even scanned for the majority path. False
+    * positives only route rows to the slow exact path — correctness never
+    * depends on the sketch.
+    */
+  def incrementalBloom(
+      history: DataFrame,
+      batch: DataFrame,
+      keyCols: Seq[String],
+      idCol: String,
+      numBits: Int = graft.functions.BloomFunctions.DefaultBits,
+      numHashes: Int = graft.functions.BloomFunctions.DefaultHashes,
+      precomputed: Option[DataFrame] = None): DataFrame = {
+    import graft.functions.BloomFunctions.{bloom_agg, bloom_might_contain}
+    val kh = xxhash64(keyCols.map(col): _*)
+    // `precomputed`: a persisted one-row (bloom: array<bigint>) frame —
+    // e.g. the table [[graft.streaming.Streams.sinkWithBloomMaintenance]]
+    // maintains — built with the SAME numBits/numHashes over the history's
+    // xxhash64 key hashes; the history table then isn't scanned to build
+    // the gate at all
+    val bloom = precomputed.map(_.select(col("bloom").alias("__bloom")))
+      .getOrElse(history.agg(bloom_agg(kh, numBits, numHashes).alias("__bloom")))
+    val gated = batch
+      .groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).alias(idCol), count(lit(1)).alias("n_batch_copies"))
+      .crossJoin(broadcast(bloom))
+      .withColumn("__maybe",
+        bloom_might_contain(col("__bloom"), kh, numBits, numHashes))
+      .drop("__bloom")
+    val definitelyNew = gated.filter(!col("__maybe")).drop("__maybe")
+    val histKeys = history.select(keyCols.map(col): _*).distinct()
+    val checked = gated.filter(col("__maybe")).drop("__maybe")
+      .join(histKeys, keyCols, "left_anti")
+    definitelyNew.unionByName(checked)
+  }
 }

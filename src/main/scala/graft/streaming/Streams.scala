@@ -423,6 +423,45 @@ object Streams {
       }
       .start()
 
+  /** Streaming maintenance of the dedup Bloom filter
+    * ([[graft.functions.BloomAgg]]): each micro-batch's key-hash bitset ORs
+    * into ONE stored `bits/64`-long row — OR is commutative and idempotent,
+    * so the folded filter is bit-identical to one built over the whole
+    * corpus in batch (proved in StreamingSpec), and the batchId writer txn
+    * makes replays no-ops. The day's ingest then gates its exact dedup
+    * with `spark.table(bloomTable)` via
+    * [[graft.ops.Dedup.incrementalBloom]]'s `precomputed` parameter —
+    * membership state for an unbounded corpus in a constant-size row,
+    * maintained exactly like the corpus itself. */
+  def sinkWithBloomMaintenance(
+      events: DataFrame,
+      keyCols: Seq[String],
+      bloomTable: String,
+      checkpointDir: String,
+      numBits: Int = graft.functions.BloomFunctions.DefaultBits,
+      numHashes: Int = graft.functions.BloomFunctions.DefaultHashes)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.storage.GraftCatalog.{TxnAppIdOption, TxnVersionOption}
+        import org.apache.spark.sql.functions._
+        val spark = batch.sparkSession
+        val batchBloom = batch
+          .agg(graft.functions.BloomFunctions.bloom_agg(
+            xxhash64(keyCols.map(col): _*), numBits, numHashes).alias("bloom"))
+        val merged = spark.table(bloomTable).alias("p")
+          .crossJoin(batchBloom.alias("b")) // 1 row × 1 row
+          .select(zip_with(col("p.bloom"), col("b.bloom"),
+            (a, b) => a.bitwiseOR(b)).alias("bloom"))
+        merged.localCheckpoint(true) // materialize BEFORE truncating input
+          .writeTo(bloomTable)
+          .option(TxnAppIdOption, s"$checkpointDir#bloom")
+          .option(TxnVersionOption, batchId.toString)
+          .overwrite(lit(true))
+      }
+      .start()
+
   /** Streaming medallion slice: raw JSON-string records (the Bronze shape)
     * through the *batch* Silver transforms — projection/filter only, so the
     * identical code plans incrementally under readStream. */

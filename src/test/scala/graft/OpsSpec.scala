@@ -132,6 +132,38 @@ class OpsSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("bloom filter: no false negatives ever; fp rate sane; gated " +
+    "incremental dedup equals ungated under clean AND saturated filters") {
+    import graft.functions.BloomFunctions.{bloom_agg, bloom_might_contain}
+    val bits = 1 << 16
+    val keys = spark.range(0, 5000).select(xxhash64(col("id")).as("h"))
+    val bloom = keys.agg(bloom_agg(col("h"), bits, 5).as("b"))
+    // every inserted key MUST test positive (exactness of the gate rides
+    // on this direction only)
+    assert(keys.crossJoin(broadcast(bloom))
+      .filter(!bloom_might_contain(col("b"), col("h"), bits, 5)).count() == 0)
+    // disjoint keys mostly test negative (5k keys in 64k bits ≈ few % fp)
+    val fresh = spark.range(100000, 105000).select(xxhash64(col("id")).as("h"))
+    val fp = fresh.crossJoin(broadcast(bloom))
+      .filter(bloom_might_contain(col("b"), col("h"), bits, 5)).count()
+    assert(fp < 1000, s"fp rate implausible: $fp/5000 at 7.6% load")
+    // gated == ungated on the events-shaped fixture…
+    val ev = Seq((1L, 10L, "a"), (2L, 10L, "a"), (3L, 11L, "b"), (4L, 12L, "c"),
+        (5L, 10L, "a"), (6L, 13L, "d"), (7L, 11L, "b"), (8L, 14L, "e"))
+      .toDF("event_id", "user_id", "event_type")
+    val hist = ev.filter(col("event_id") <= 4)
+    val batch = ev.filter(col("event_id") > 4)
+    val plain = ops.Dedup.incremental(hist, batch, Seq("user_id", "event_type"), "event_id")
+    val gated = ops.Dedup.incrementalBloom(hist, batch, Seq("user_id", "event_type"), "event_id")
+    assert(gated.exceptAll(plain).isEmpty && plain.exceptAll(gated).isEmpty)
+    // …and under an ADVERSARIAL 64-bit filter (everything collides →
+    // every row takes the exact path): correctness never rides on the fp
+    // rate
+    val saturated = ops.Dedup.incrementalBloom(hist, batch,
+      Seq("user_id", "event_type"), "event_id", numBits = 64, numHashes = 1)
+    assert(saturated.exceptAll(plain).isEmpty && plain.exceptAll(saturated).isEmpty)
+  }
+
   test("clustersIncremental: equals from-scratch on the union graph; " +
     "rounds bounded by the batch diameter, not the history's") {
     // history: a 300-node chain, already converged (everything labelled 0)

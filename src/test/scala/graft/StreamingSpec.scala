@@ -165,6 +165,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming bloom maintenance: folded filter == batch filter; " +
+    "persisted gate yields exact incremental dedup with no history scan") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.BloomFunctions.bloom_agg
+    val bits = 1 << 10
+    val wh = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    spark.conf.set("spark.sql.catalog.blm", classOf[graft.storage.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.blm.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS blm.s")
+    // initial state: the empty filter (all-zero bitset)
+    Seq.empty[(Long, String)].toDF("user_id", "event_type")
+      .agg(bloom_agg(xxhash64(col("user_id"), col("event_type")), bits, 5).as("bloom"))
+      .writeTo("blm.s.filter").using("parquet").create()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-bloom-ckpt").toString
+    val input = MemoryStream[(Long, Long, String)]
+    val q = Streams.sinkWithBloomMaintenance(
+      input.toDF().toDF("event_id", "user_id", "event_type"),
+      Seq("user_id", "event_type"), "blm.s.filter", ckpt,
+      numBits = bits, numHashes = 5)
+    val hist = Seq((1L, 10L, "a"), (2L, 11L, "b"), (3L, 12L, "c"), (4L, 10L, "a"))
+    try {
+      input.addData(hist(0), hist(1)); q.processAllAvailable()
+      input.addData(hist(2), hist(3)); q.processAllAvailable()
+      spark.catalog.refreshTable("blm.s.filter")
+      val folded = spark.table("blm.s.filter").head.getSeq[Long](0)
+      val batch = hist.toDF("event_id", "user_id", "event_type")
+        .agg(bloom_agg(xxhash64(col("user_id"), col("event_type")), bits, 5).as("bloom"))
+        .head.getSeq[Long](0)
+      assert(folded == batch, "OR-fold across micro-batches must be bit-exact")
+      // the persisted filter gates a daily batch exactly
+      val histDf = hist.toDF("event_id", "user_id", "event_type")
+      val today = Seq((5L, 10L, "a"), (6L, 13L, "d"), (7L, 13L, "d"))
+        .toDF("event_id", "user_id", "event_type")
+      val gated = graft.ops.Dedup.incrementalBloom(histDf, today,
+        Seq("user_id", "event_type"), "event_id", numBits = bits,
+        precomputed = Some(spark.table("blm.s.filter")))
+      val plain = graft.ops.Dedup.incremental(histDf, today,
+        Seq("user_id", "event_type"), "event_id")
+      assert(gated.exceptAll(plain).isEmpty && plain.exceptAll(gated).isEmpty)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup drops repeats, state bounded by watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
