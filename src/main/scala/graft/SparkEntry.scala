@@ -1101,6 +1101,23 @@ object SparkEntry {
         "embedding", k = 5, numCentroids = 16, nprobe = 4)
         .orderBy("query_id", "rank")
     }),
+    // The PERSISTED IVF index (VectorIndex: codebook + cell-partitioned
+    // inverted-list catalog tables): build once, search from the stored
+    // lists — same cells, same fixed-order rescore, so the indexed search
+    // hash-matches sim_topk_ivf's oracle verbatim.
+    "sim_topk_ivf_indexed" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val whDir = java.nio.file.Files.createTempDirectory("graft-vidxq").toString
+      s.conf.set("spark.sql.catalog.vidxq",
+        classOf[graft.storage.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.vidxq.warehouse", whDir)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS vidxq.s")
+      ops.VectorIndex.build(s, e, "vec_id", "embedding", "vidxq.s.emb",
+        numCentroids = 16)
+      ops.VectorIndex.search(s, e.filter(col("vec_id") < 10), "vec_id",
+        "embedding", "vidxq.s.emb", k = 5, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }),
     // Matryoshka funnel: 16-of-64-dim prefix cosine scan for candidates,
     // exact full-dim rescore of k×refine — the element-count sibling of the
     // int8 byte-count funnel below, hash-checked end to end.
@@ -2718,6 +2735,9 @@ object SparkEntry {
     "q_triangle_counts" -> triangleCountsSql,
     "sim_topk_bruteforce" -> bruteForceTopkSql,
     "sim_topk_ivf" -> ivfTopkSql,
+    // the persisted index changes WHERE the lists live, not what they
+    // contain — the inline IVF oracle is the indexed oracle
+    "sim_topk_ivf_indexed" -> ivfTopkSql,
     "sim_knn_classify" -> knnClassifySql,
     "sim_topk_filtered" -> filteredTopkSql,
     "text_heavy_hitters" -> heavyHittersSql,
