@@ -60,7 +60,13 @@ object VectorIndex {
       else Similarity.kmeansCentroids(c, "corpus_id", "vec", numCentroids, kmeansIters)
         .select(col("centroid_id"), col("centvec"))
     centroids.writeTo(s"${tablePrefix}_centroids").using("parquet").createOrReplace()
-    assignTo(spark, c, tablePrefix).writeTo(s"${tablePrefix}_assign")
+    // repartition ON the cell key before writing: each inverted list lands
+    // as ONE file (not one per write task) — without this a 32-task build
+    // leaves ~tasks×cells small files and every later search pays their
+    // open cost; with it the list layout is the few-big-files shape scans
+    // want from day one (appends re-fragment; catalog compact() re-folds)
+    assignTo(spark, c, tablePrefix).repartition(col("cell"))
+      .writeTo(s"${tablePrefix}_assign")
       .using("parquet")
       .partitionedBy(col("cell"))
       .createOrReplace()
@@ -88,11 +94,20 @@ object VectorIndex {
       newRows: DataFrame,
       idCol: String,
       vecCol: String,
-      tablePrefix: String): Unit =
-    assignTo(spark,
+      tablePrefix: String,
+      txn: Option[(String, Long)] = None): Unit = {
+    val w = assignTo(spark,
       newRows.select(col(idCol).alias("corpus_id"), col(vecCol).alias("vec")),
       tablePrefix)
-      .writeTo(s"${tablePrefix}_assign").append()
+      .repartition(col("cell"))
+      .writeTo(s"${tablePrefix}_assign")
+    // a (appId, version) writer txn makes the append replay-idempotent —
+    // what the streaming maintenance sink threads its batchId through
+    txn.fold(w) { case (app, v) =>
+      w.option(graft.storage.GraftCatalog.TxnAppIdOption, app)
+        .option(graft.storage.GraftCatalog.TxnVersionOption, v.toString)
+    }.append()
+  }
 
   /** Top-k by exact cosine inside the `nprobe` nearest cells per query,
     * served from the stored inverted lists. Output schema matches
@@ -117,9 +132,19 @@ object VectorIndex {
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nprobe)
       .select(col("query_id"), col("qvec"), col("cell"))
+    // Static cell pruning: the union of probed cells is bounded by the
+    // CODEBOOK size (≤ numCentroids values — a driver-side set the size of
+    // a partition-pruning decision, not a data collect), and turning it
+    // into an `isin` filter lets the catalog scan prune whole cell
+    // partitions at plan time: a lookup probing 8 of 1024 cells reads 8
+    // cells' files and opens no other footer. A broad query batch probes
+    // most cells and prunes little — exactly the shape where reading the
+    // lists was necessary anyway.
+    val cells = probed.select(col("cell")).distinct().collect().map(_.get(0))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("corpus_id").asc)
-    assigned.join(broadcast(probed), Seq("cell"))
+    assigned.filter(col("cell").isInCollection(cells))
+      .join(broadcast(probed), Seq("cell"))
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
         cosine(col("qvec"), col("vec")).alias("score"))

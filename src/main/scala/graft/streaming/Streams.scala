@@ -462,6 +462,28 @@ object Streams {
       }
       .start()
 
+  /** Streaming maintenance of a persisted IVF index
+    * ([[graft.ops.VectorIndex]]): each micro-batch of new embeddings is
+    * assigned against the FROZEN codebook and appended to the
+    * cell-partitioned inverted lists — the day's index cost is the day's
+    * vectors, served queries see them at the next batch boundary, and the
+    * batchId writer txn makes replays no-ops. Codebook drift is handled
+    * the way production ANN stores do: periodic re-[[graft.ops.VectorIndex
+    * .build]], not per-batch refits. */
+  def sinkWithIndexMaintenance(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tablePrefix: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    embeddings.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.VectorIndex.append(batch.sparkSession, batch, idCol, vecCol,
+          tablePrefix, txn = Some((s"$checkpointDir#vidx", batchId)))
+      }
+      .start()
+
   /** Streaming medallion slice: raw JSON-string records (the Bronze shape)
     * through the *batch* Silver transforms — projection/filter only, so the
     * identical code plans incrementally under readStream. */

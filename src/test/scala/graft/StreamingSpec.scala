@@ -207,6 +207,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming IVF index maintenance: appended micro-batches searchable, " +
+    "equal to inline search over the union with the frozen codebook") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory("graft-vidxs").toString
+    spark.conf.set("spark.sql.catalog.vis", classOf[graft.storage.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.vis.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS vis.s")
+    val all = graft.queries.Parity.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val initial = all.filter(col("vec_id") % 3 === 0)
+    graft.ops.VectorIndex.build(spark, initial, "vec_id", "embedding",
+      "vis.s.emb", numCentroids = 8)
+    val stored = spark.table("vis.s.emb_centroids")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-vidxs-ckpt").toString
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.sinkWithIndexMaintenance(
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      "vis.s.emb", ckpt)
+    val newRows = all.filter(col("vec_id") % 3 =!= 0)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    try {
+      input.addData(newRows.take(newRows.length / 2).toSeq: _*); q.processAllAvailable()
+      input.addData(newRows.drop(newRows.length / 2).toSeq: _*); q.processAllAvailable()
+      spark.catalog.refreshTable("vis.s.emb_assign")
+      val queries = all.filter(col("vec_id") < 5)
+      val indexed = graft.ops.VectorIndex.search(spark, queries, "vec_id",
+        "embedding", "vis.s.emb", k = 5, nprobe = 3)
+      val inline = graft.ops.Similarity.ivfTopK(all, queries, "vec_id",
+        "embedding", k = 5, numCentroids = 8, nprobe = 3,
+        fitCentroids = Some(stored))
+      assert(indexed.exceptAll(inline).isEmpty && inline.exceptAll(indexed).isEmpty,
+        "streamed-in vectors must be searchable and equal the inline result")
+      assert(spark.table("vis.s.emb_assign").count() == all.count())
+    } finally q.stop()
+  }
+
   test("streaming exact dedup drops repeats, state bounded by watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
