@@ -1300,6 +1300,13 @@ object SparkEntry {
     "text_tf_rarity" -> ((s, dir) =>
       TextAnalysis.tfRarity(docs(s, dir), "doc_id", "text", k = 3)
         .orderBy("doc_id", "rank")),
+    // Hashed linear quality classifier: per-token weight lookup + exact
+    // bigint logit fold (micro-units) — the learned-filter gate as one
+    // narrow projection; stub weights stand in for a trained model.
+    "prep_quality_logit" -> ((s, dir) =>
+      TextAnalysis.qualityLogit(docs(s, dir), "doc_id", "text", dim = 64,
+        tokenHash = Dedup.oracleHash)
+        .orderBy("doc_id")),
     // ── Data quality ──
     "quality_report" -> ((s, dir) => {
       import graft.quality.Expectations._
@@ -3946,6 +3953,16 @@ object SparkEntry {
                 CAST(len(regexp_extract_all(text, '[A-Za-z0-9._]+@[A-Za-z0-9.]+'))
                      + len(regexp_extract_all(text, '[0-9]{4,}')) AS BIGINT) AS n_redactions
          FROM documents ORDER BY doc_id""",
+    "prep_quality_logit" ->
+      s"""WITH $oracleTk
+         SELECT doc_id,
+                CAST(coalesce(list_sum(list_transform(th,
+                  h -> ((h % 64) * 2654435761 + 12345) % 1000000007 % 2000001
+                       - 1000000)), 0) AS BIGINT) AS logit_micro,
+                CAST(coalesce(list_sum(list_transform(th,
+                  h -> ((h % 64) * 2654435761 + 12345) % 1000000007 % 2000001
+                       - 1000000)), 0) > 0 AS BOOLEAN) AS keep
+         FROM tk ORDER BY doc_id""",
     "text_hash_embed" ->
       s"""WITH $oracleTk,
          e AS (SELECT doc_id, unnest(th) AS h FROM tk),

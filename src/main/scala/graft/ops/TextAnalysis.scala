@@ -305,6 +305,49 @@ object TextAnalysis {
     docs.select(col("doc_id"), fingerprint(col("text")).alias("fp"))
       .orderBy("doc_id")
 
+  /** Deterministic stand-in weights for [[qualityLogit]] — what a real
+    * deployment replaces with its trained model's micro-unit weights
+    * (the formula is the stub, the plumbing is the product). */
+  private[graft] def stubWeightsMicro(dim: Int): Seq[Long] =
+    (0 until dim).map(b =>
+      ((b.toLong * 2654435761L + 12345L) % 1000000007L) % 2000001L - 1000000L)
+
+  /** Hashed-linear-classifier quality scoring — the fastText/CCNet-style
+    * "does a learned filter keep this document" signal, scored at corpus
+    * scale: each token hashes to one of `dim` weight buckets and the
+    * document's logit is the sum of its tokens' weights. The weight
+    * vector is model data (broadcast-sized; the default is a
+    * deterministic stub — a real deployment passes its trained weights in
+    * micro-units), and the whole operator is one narrow codegen'd
+    * projection: tokenize → hash → `element_at` lookup → fold, zero
+    * shuffles, pipelined into the scan.
+    *
+    * Arithmetic is EXACT: weights are integer micro-units (1e-6), the
+    * logit a bigint sum — no float accumulation order to disagree on, so
+    * any engine reproduces every score bit-for-bit (the DuckDB oracle
+    * hash-checks logits, not a tolerance). `keep` = logit > 0, the
+    * filter-gate consumers actually branch on. `tokenHash` injectable
+    * like the dedup sketches.
+    */
+  def qualityLogit(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dim: Int = 64,
+      weightsMicro: Option[Seq[Long]] = None,
+      tokenHash: Column => Column = graft.ops.Dedup.xxHash): DataFrame = {
+    val w = weightsMicro.getOrElse(stubWeightsMicro(dim))
+    require(w.length == dim, s"need $dim weights, got ${w.length}")
+    val warr = array(w.map(lit): _*)
+    docs.select(
+        col(idCol),
+        aggregate(
+          transform(tokens(col(textCol)),
+            t => element_at(warr, pmod(tokenHash(t), lit(dim)).cast("int") + 1)),
+          lit(0L), (a, x) => a + x).alias("logit_micro"))
+      .withColumn("keep", col("logit_micro") > 0L)
+  }
+
   /** BPE merge-candidate counting — iteration one of byte-pair-encoding
     * training (Sennrich et al., arXiv:1508.07909): corpus-wide counts of
     * adjacent character pairs WITHIN tokens, returning the `topK` most

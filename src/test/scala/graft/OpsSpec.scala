@@ -347,6 +347,30 @@ class OpsSpec extends SparkSpec {
     assert(fps.toSeq == fps2.toSeq)
   }
 
+  test("qualityLogit: exact integer logit equals the hand-computed fold; " +
+    "custom weights and empty docs behave") {
+    val d = Seq((1L, "a b a"), (2L, ""), (3L, "zzz")).toDF("doc_id", "text")
+    // mirror the operator arithmetic directly (oracle polynomial hash)
+    def polyHash(w: String): Long =
+      w.foldLeft(7L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    def stubW(b: Long): Long =
+      (b * 2654435761L + 12345L) % 1000000007L % 2000001L - 1000000L
+    val got = TextAnalysis.qualityLogit(d, "doc_id", "text",
+        tokenHash = ops.Dedup.oracleHash)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val exp1 = Seq("a", "b", "a").map(w => stubW(polyHash(w) % 64)).sum
+    val exp3 = stubW(polyHash("zzz") % 64)
+    assert(got(1L) == (exp1, exp1 > 0), s"got ${got(1L)}, want $exp1")
+    assert(got(2L) == (0L, false), "empty doc scores the empty-sum logit")
+    assert(got(3L) == (exp3, exp3 > 0))
+    // caller-supplied weights: all-positive weights keep everything non-empty
+    val allPos = TextAnalysis.qualityLogit(d, "doc_id", "text",
+        weightsMicro = Some(Seq.fill(64)(1L)), tokenHash = ops.Dedup.oracleHash)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(allPos == Map(1L -> 3L, 2L -> 0L, 3L -> 1L),
+      "unit weights must count tokens exactly")
+  }
+
   test("tokens drop empties: trailing/leading/double spaces don't count") {
     val d3 = Seq((20L, " a  b c ")).toDF("doc_id", "text")
     assert(TextAnalysis.tokenCount(d3).collect().head.getAs[Long]("n_tokens") == 3L)
