@@ -360,4 +360,35 @@ class PlanSpec extends SparkSpec {
     // partial_count marks map-side (pre-shuffle) aggregation
     assert(p.contains("partial_count") || p.contains("Partial"))
   }
+
+  test("prep_quality_logit: one narrow projection — zero exchanges") {
+    val p = SparkEntry.queries("prep_quality_logit")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the only exchange allowed is the final ORDER BY's range partitioning;
+    // the scoring itself must add no hash exchange
+    assert(!p.contains("Exchange hashpartitioning"), p.take(600))
+  }
+
+  test("dedup_incremental_bloom: filter fold partial-aggregates map-side; " +
+    "history keys never broadcast to the batch rows") {
+    val df = SparkEntry.queries("dedup_incremental_bloom")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the bloom bitset fold runs under ObjectHashAggregate with a partial
+    // phase — the history stream merges map-side before one tiny exchange
+    assert(p.contains("ObjectHashAggregate"), p.take(600))
+    assert(p.contains("bloom_agg"), "the sketch aggregate must be in the plan")
+  }
+
+  test("sim_topk_ivf_indexed: probed-cell isin filter reaches the list scan " +
+    "as a partition filter") {
+    val df = SparkEntry.queries("sim_topk_ivf_indexed")(spark, sf)
+    val p = df.queryExecution.explainString(FormattedMode)
+    // the assign-table scan is partition-filtered on cell (static pruning
+    // from the probe set) — not a full-list read
+    assert(p.contains("cell"), p.take(800))
+    val scanLines = p.linesIterator.filter(l =>
+      l.contains("PartitionFilters") && l.contains("cell")).toList
+    assert(scanLines.nonEmpty,
+      "expected a PartitionFilters entry on the cell column:\n" + p.take(1200))
+  }
 }
