@@ -136,21 +136,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       case None =>
         version match {
           case GraftCatalog.IncrRange(a, b) =>
+            // incremental files all live in snapshot b's manifest, which
+            // carries their stats — the delta read prunes and answers
+            // metadata aggregates like any snapshot read
             val files = incrementalFiles(ident, a.toLong, b.toLong)
             new GraftTable(s"$ident@incr:$a..$b", dir.toString, meta, Some(files),
-              writable = false)
+              writable = false,
+              fileStats = GraftCatalog.readStats(fs, dir, b.toLong))
           case _ =>
-            val asTag = GraftCatalog.readTagSnap(fs, dir, version).map { snap =>
-              GraftCatalog.readManifest(fs, dir, snap).getOrElse(
-                throw new IllegalStateException(
-                  s"tag '$version' pins snapshot $snap but its manifest is gone"))
+            GraftCatalog.readTagSnap(fs, dir, version) match {
+              case Some(snap) =>
+                val files = GraftCatalog.readManifest(fs, dir, snap).getOrElse(
+                  throw new IllegalStateException(
+                    s"tag '$version' pins snapshot $snap but its manifest is gone"))
+                new GraftTable(s"$ident@$version", dir.toString, meta, Some(files),
+                  writable = false,
+                  fileStats = GraftCatalog.readStats(fs, dir, snap))
+              case None =>
+                val files = GraftCatalog.branchHeadFiles(fs, dir, version)
+                  .getOrElse(throw new IllegalArgumentException(
+                    s"table $ident has no ref '$version' (no such tag or branch)"))
+                // branch manifests record no stats; files inherited from
+                // the fork base keep the base manifest's (files are
+                // immutable), branch-written files simply have none —
+                // pruning's per-file forall and the metadata-aggregate
+                // all-files-covered gate both stay conservative
+                val baseStats = GraftCatalog.readBranchBase(fs, dir, version)
+                  .map(b => GraftCatalog.readStats(fs, dir, b))
+                  .getOrElse(Map.empty[String, Map[String, GraftCatalog.ColStat]])
+                new GraftTable(s"$ident@$version", dir.toString, meta, Some(files),
+                  writable = false, fileStats = baseStats)
             }
-            val files = asTag
-              .orElse(GraftCatalog.branchHeadFiles(fs, dir, version))
-              .getOrElse(throw new IllegalArgumentException(
-                s"table $ident has no ref '$version' (no such tag or branch)"))
-            new GraftTable(s"$ident@$version", dir.toString, meta, Some(files),
-              writable = false)
         }
     }
   }

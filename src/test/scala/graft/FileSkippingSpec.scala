@@ -258,6 +258,47 @@ class FileSkippingSpec extends SparkSpec {
       .queryExecution.sparkPlan.collect { case b: BatchScanExec => b }.nonEmpty)
   }
 
+  test("tag, branch, and incremental reads carry stats: refs prune files " +
+    "and answer metadata aggregates like snapshot reads") {
+    wh
+    import org.apache.spark.sql.connector.catalog.Identifier
+    spark.range(0, 10).select(col("id")).writeTo("skipcat.s.refs")
+      .using("parquet").createOrReplace()
+    spark.range(100, 110).select(col("id")).writeTo("skipcat.s.refs").append()
+    val cat = spark.sessionState.catalogManager.catalog("skipcat")
+      .asInstanceOf[GraftCatalog]
+    val ident = Identifier.of(Array("s"), "refs")
+    cat.createTag(ident, "v1")
+    cat.createBranch(ident, "dev")
+    // tag read: stats from the pinned snapshot — pruning works
+    val tagged = spark.sql("SELECT * FROM skipcat.s.refs VERSION AS OF 'v1'")
+    assert(scannedFiles(tagged.filter(col("id") >= 100)) < scannedFiles(tagged))
+    // ...and a filter-free aggregate answers from metadata (zero files)
+    val tagAgg = spark.sql(
+      "SELECT max(id) AS m, count(*) AS c FROM skipcat.s.refs VERSION AS OF 'v1'")
+    assert(tagAgg.queryExecution.sparkPlan.collect {
+      case b: BatchScanExec => b }.isEmpty, "tag metadata aggregate must not scan")
+    assert(tagAgg.collect().head == org.apache.spark.sql.Row(109L, 20L))
+    // incremental read (files new in snap 2): b-snapshot stats prune
+    val incr = spark.sql("SELECT * FROM skipcat.s.refs VERSION AS OF 'incr:1..2'")
+    assert(incr.count() == 10)
+    assert(scannedFiles(incr.filter(col("id") < 50)) < scannedFiles(
+      spark.sql("SELECT * FROM skipcat.s.refs")))
+    // branch read: fork-base stats prune inherited files; branch-new files
+    // (no stats anywhere) are conservatively kept
+    spark.range(1000, 1010).select(col("id"))
+      .writeTo("skipcat.s.refs").option("graft.branch", "dev").append()
+    val dev = spark.sql("SELECT * FROM skipcat.s.refs VERSION AS OF 'dev'")
+    assert(dev.count() == 30)
+    val devTotal = scannedFiles(dev)
+    assert(scannedFiles(dev.filter(col("id") >= 1000)) < devTotal,
+      "base-file stats must prune the base files for a branch-only range")
+    assert(dev.filter(col("id") >= 1000).count() == 10)
+    // branch-new files lack stats → a base-range query still reads them
+    // (conservative) but drops the other base file
+    assert(dev.filter(col("id") < 50).count() == 10)
+  }
+
   test("partitioned tables keep SPJ keys AND prune data files by stats") {
     wh
     Seq((1L, 5L, "a"), (2L, 6L, "a")).toDF("id", "v", "part")
