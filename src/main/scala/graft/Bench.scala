@@ -130,54 +130,72 @@ object Bench {
     // SPARK_GRAFT_BENCH_GC=0 turns it off (the round-6 code path).
     val gcBetween = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "1") != "0"
 
-    def time(fn: (SparkSession, String) => DataFrame): (Double, Double) = {
+    // A query that THROWS must surface as failed, not as a (fast) runtime:
+    // round 9 recorded three analysis exceptions as 4-6× "speedups"
+    // because the catch swallowed the error and the elapsed time of the
+    // exception was reported as the query's time. `ok` carries failure out.
+    def time(fn: (SparkSession, String) => DataFrame): (Double, Double, Boolean) = {
       val g0 = gcMillis()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      ((System.nanoTime() - t0) / 1e9, (gcMillis() - g0) / 1e3)
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] query failed: ${e.getMessage}"); false
+        }
+      ((System.nanoTime() - t0) / 1e9, (gcMillis() - g0) / 1e3, ok)
     }
 
     val results = headline.flatMap { name =>
       productionVariants.get(name).orElse(SparkEntry.queries.get(name)).map { fn =>
-        val (cold, _) = time(fn)
+        val (cold, _, coldOk) = time(fn)
         // the sketch pipelines persist() their signature table; drop it so
         // each warm run re-executes the full pipeline, not a cache read
         spark.catalog.clearCache()
-        // one UNTIMED settling run: multi-stage plans (iterative PageRank,
-        // multi-fact TPC-H) keep JIT-compiling through their first warm
-        // execution — r7 measured q_pagerank 3.58→2.31→2.48 s and q_tpch9
-        // 1.09→0.85→0.69 s warm runs, a monotone DECREASE that skews the
-        // median upward and trips in-run stability checks. One settled
-        // execution between cold and the timed iterations absorbs it.
-        time(fn); spark.catalog.clearCache()
-        val timed = (1 to WarmIters).map { _ =>
-          val t = time(fn); spark.catalog.clearCache(); t
+        if (!coldOk) {
+          // broken query: no warm runs — it would throw WarmIters more
+          // times and pollute the log; report it in failed:[...] only
+          (name, cold, Double.NaN, Seq.empty[Double], Seq.empty[Double], false)
+        } else {
+          // one UNTIMED settling run: multi-stage plans (iterative PageRank,
+          // multi-fact TPC-H) keep JIT-compiling through their first warm
+          // execution — r7 measured q_pagerank 3.58→2.31→2.48 s and q_tpch9
+          // 1.09→0.85→0.69 s warm runs, a monotone DECREASE that skews the
+          // median upward and trips in-run stability checks. One settled
+          // execution between cold and the timed iterations absorbs it.
+          time(fn); spark.catalog.clearCache()
+          val timed = (1 to WarmIters).map { _ =>
+            val t = time(fn); spark.catalog.clearCache(); t
+          }
+          val warms = timed.map(_._1)
+          val gcs = timed.map(_._2)
+          val ok = timed.forall(_._3)
+          val median = warms.sorted.apply(warms.size / 2)
+          if (gcBetween) System.gc()
+          (name, cold, median, warms, gcs, ok)
         }
-        val warms = timed.map(_._1)
-        val gcs = timed.map(_._2)
-        val median = warms.sorted.apply(warms.size / 2)
-        if (gcBetween) System.gc()
-        (name, cold, median, warms, gcs)
       }
     }
+    val (okResults, failedResults) = results.partition(_._6)
+    val failedList = failedResults.map { case (n, _, _, _, _, _) => "\"" + n + "\"" }
+      .mkString("[", ",", "]")
     def fmt(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
     def fmtRuns(xs: Seq[(String, Seq[Double])]): String =
       xs.map { case (n, ws) =>
         "\"" + n + "\":[" + ws.map(w => f"$w%.3f").mkString(",") + "]"
       }.mkString("{", ",", "}")
-    val warmQs = fmt(results.map { case (n, _, w, _, _) => n -> w })
-    val coldQs = fmt(results.map { case (n, c, _, _, _) => n -> c })
+    val warmQs = fmt(okResults.map { case (n, _, w, _, _, _) => n -> w })
+    val coldQs = fmt(okResults.map { case (n, c, _, _, _, _) => n -> c })
     // every warm iteration, in run order — so a median that disagrees with
     // the cold run is attributable to a specific outlier iteration instead
     // of being an unexplainable aggregate (the round-5 warm>cold lesson);
     // gc_runs is each iteration's GC-pause share of that wall time, so an
     // outlier is attributable to collector pressure vs the query itself
-    val runsQs = fmtRuns(results.map { case (n, _, _, ws, _) => n -> ws })
-    val gcQs = fmtRuns(results.map { case (n, _, _, _, gs) => n -> gs })
-    val warmTotal = results.map(_._3).sum
-    val coldTotal = results.map(_._2).sum
-    val core19Total = results.collect { case (n, _, w, _, _) if core19.contains(n) => w }.sum
+    val runsQs = fmtRuns(okResults.map { case (n, _, _, ws, _, _) => n -> ws })
+    val gcQs = fmtRuns(okResults.map { case (n, _, _, _, gs, _) => n -> gs })
+    val warmTotal = okResults.map(_._3).sum
+    val coldTotal = okResults.map(_._2).sum
+    val core19Total = okResults.collect { case (n, _, w, _, _, _) if core19.contains(n) => w }.sum
     // Full diagnostic line first (per-iteration runs + GC shares), then a
     // COMPACT line LAST. The driver's artifact capture keeps the TAIL of
     // stdout, so whatever prints last is what survives truncation: round 6
@@ -186,8 +204,8 @@ object Bench {
     // safe under tail capture is a short final line that is a complete JSON
     // object on its own — scalars + per-query warm medians, no
     // warm_runs/gc_runs arrays.
-    println(f"""{"metric":"total_full","value":$warmTotal%.3f,"unit":"sec","cold_total":$coldTotal%.3f,"core19_total":$core19Total%.3f,"warm_iters":$WarmIters,"gc_between":$gcBetween,"sf":"$sfDir","queries":$warmQs,"cold_queries":$coldQs,"warm_runs":$runsQs,"gc_runs":$gcQs}""")
-    println(f"""{"metric":"total","value":$warmTotal%.3f,"unit":"sec","cold_total":$coldTotal%.3f,"core19_total":$core19Total%.3f,"sf":"$sfDir","queries":$warmQs}""")
+    println(f"""{"metric":"total_full","value":$warmTotal%.3f,"unit":"sec","cold_total":$coldTotal%.3f,"core19_total":$core19Total%.3f,"warm_iters":$WarmIters,"gc_between":$gcBetween,"sf":"$sfDir","failed":$failedList,"queries":$warmQs,"cold_queries":$coldQs,"warm_runs":$runsQs,"gc_runs":$gcQs}""")
+    println(f"""{"metric":"total","value":$warmTotal%.3f,"unit":"sec","cold_total":$coldTotal%.3f,"core19_total":$core19Total%.3f,"sf":"$sfDir","failed":$failedList,"queries":$warmQs}""")
     spark.stop()
   }
 }

@@ -104,15 +104,16 @@ object SparkEntry {
     "q_window_range_frame" -> (Parity.windowRangeFrame _),
     "q_outliers" -> (Parity.outliers _),
     "q_sample_stratified" -> (Parity.stratifiedSample _),
-    // Daily resample + forward fill of each user's event stream (ts is
-    // nanos-as-long; `div` keeps the day snap exact where a double divide
-    // would round). Values pass through untouched, so hashes match.
+    // Daily resample + forward fill of each user's event stream (ts
+    // normalized to epoch-micros long; integer `div` keeps the day snap
+    // exact where a double divide would round). Values pass through
+    // untouched, so hashes match.
     "q_resample_ffill" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       graft.ops.Relational.resampleFill(
-          Parity.t(s, dir, "events").select(col("user_id"), col("ts"),
+          Parity.eventsUs(s, dir).select(col("user_id"), col("ts"),
             col("event_id"), col("value")),
-          "user_id", "ts", "event_id", "value", period = 86400000000000L)
+          "user_id", "ts", "event_id", "value", period = 86400000000L)
         .select(col("user_id"), col("period").alias("day"), col("value"),
           col("is_observed"))
         .orderBy("user_id", "day")
@@ -350,9 +351,9 @@ object SparkEntry {
     // [start, last+gap) as half-open, so a gap of exactly `gap` starts a
     // new session (oracle uses >=, the custom op uses >).
     "q_session_window" -> ((s, dir) => {
-      val e = Parity.t(s, dir, "events")
+      val e = Parity.eventsUs(s, dir)
         .select(col("user_id"), col("event_id"),
-          timestamp_micros(expr("ts div 1000")).alias("ets"))
+          timestamp_micros(col("ts")).alias("ets"))
       e.groupBy(col("user_id"), session_window(col("ets"), "12 hours"))
         .agg(count(lit(1)).alias("n_events"), min("event_id").alias("first_event"))
         .select(col("user_id"),
@@ -404,9 +405,9 @@ object SparkEntry {
     // watermark delay. Per-KEY windows (the per-key watermark semantics),
     // never a global arrival-order sort.
     "q_lateness_profile" -> ((s, dir) => {
-      val e = Parity.t(s, dir, "events").select(
+      val e = Parity.eventsUs(s, dir).select(
         col("user_id"), col("event_type"), col("event_id"),
-        expr("ts div 1000").alias("us"))
+        col("ts").alias("us"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("event_id").asc)
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -810,8 +811,8 @@ object SparkEntry {
     // join broadcasts (weeks are few at any scale).
     "q_cohort_retention" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      val e = Parity.t(s, dir, "events")
-        .select(col("user_id"), expr("ts div 604800000000000L").alias("week"))
+      val e = Parity.eventsUs(s, dir)
+        .select(col("user_id"), expr("ts div 604800000000L").alias("week"))
       val cohorts = e.groupBy(col("user_id")).agg(min(col("week")).alias("cohort_week"))
       val sizes = cohorts.groupBy(col("cohort_week"))
         .agg(count(lit(1)).alias("cohort_size"))
@@ -832,8 +833,8 @@ object SparkEntry {
     // deterministic event subset keeps all four stages populated.
     "q_funnel" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      val W = 86400000000000L // 24 h in nanos
-      val e = Parity.t(s, dir, "events")
+      val W = 86400000000L // 24 h in micros
+      val e = Parity.eventsUs(s, dir)
         .filter(pmod(col("event_id"), lit(7)) < 2)
         .select(col("user_id"), col("ts"), col("event_type"))
       def step(st: org.apache.spark.sql.Column, ev: org.apache.spark.sql.Column,
@@ -863,10 +864,10 @@ object SparkEntry {
     // Batch sliding-window aggregation (1 h windows every 30 min): each
     // event lands in exactly two windows; Spark's window() generator is
     // narrow (no explode shuffle), the aggregate partials map-side.
-    // ts is nanos-as-long: `div 1000` converts to exact micros.
+    // ts normalized to exact epoch-micros long (Parity.eventsUs).
     "q_window_sliding" -> ((s, dir) => {
-      val e = Parity.t(s, dir, "events")
-        .withColumn("__t", timestamp_micros(expr("ts div 1000L")))
+      val e = Parity.eventsUs(s, dir)
+        .withColumn("__t", timestamp_micros(col("ts")))
       e.groupBy(window(col("__t"), "1 hour", "30 minutes"), col("event_type"))
         .agg(count(lit(1)).alias("n"),
           min(col("event_id")).alias("first_id"),

@@ -36,6 +36,35 @@ object Parity {
     * DOUBLE — bit-identical across engines and partition orders. */
   private def dsum(c: String) = sum(col(c).cast("decimal(18,2)")).cast("double")
 
+  /** `events` with `ts` normalized to exact epoch-MICROSECONDS BIGINT —
+    * the unit every events-time oracle uses (DuckDB `epoch_us(ts)`).
+    *
+    * The driver's testdata has shipped `ts` in two parquet shapes across
+    * generations, and this helper accepts both:
+    *  - TIMESTAMP(NANOS): Spark can't represent nanos, so under
+    *    `spark.sql.legacy.parquet.nanosAsLong` (set in [[Engine.tune]]) it
+    *    surfaces as plain LongType of nanos → `div 1000` is exact micros;
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads
+    *    TIMESTAMP_NTZ → cast to the pinned-UTC session's TIMESTAMP and
+    *    take `unix_micros` (the NTZ wall-clock IS the UTC instant, same
+    *    value DuckDB's `epoch_us` computes on the naive timestamp);
+    *  - TIMESTAMP(MICROS, adjusted): plain `unix_micros`.
+    * A one-column projection on top of the scan — stays inside whole-stage
+    * codegen, column pruning unaffected. */
+  def eventsUs(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val e = t(spark, sfDir, "events")
+    val us = e.schema("ts").dataType match {
+      case LongType         => expr("ts div 1000")
+      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+      case TimestampType    => unix_micros(col("ts"))
+      case dt => throw new IllegalStateException(
+        s"events.ts: unsupported parquet-surfaced type $dt (expected " +
+          "LongType nanos, TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
+    e.withColumn("ts", us)
+  }
+
   // ── Q-bronze: wrap a raw JSON-string column with a run-date partition key
   //    (reference: breweries_bronze_processors.py:139-146). Narrow, no
   //    shuffle; at 100 TB this is a pure map stage.
@@ -181,8 +210,8 @@ object Parity {
   // ── Gap sessionization over the event stream (12 h inactivity gap),
   //    compared on exact integer microseconds.
   def sessionStats(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "events")
-      .select(col("user_id"), col("event_id"), expr("ts div 1000").alias("us"))
+    val e = eventsUs(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts").alias("us"))
     graft.ops.Relational.sessionize(e, "user_id", "us", "event_id", gap = 43200000000L)
       .groupBy(col("user_id"), col("session_id"))
       .agg(

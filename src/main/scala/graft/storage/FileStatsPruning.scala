@@ -19,7 +19,10 @@ import graft.storage.GraftCatalog.ColStat
   * 0xD800–0xDFFF) and sort BELOW U+E000–U+FFFF under code-unit order but
   * ABOVE them in UTF-8 bytes, so a code-unit comparison can prune a file
   * that contains matching rows. A null-count of -1 means UNKNOWN (some row
-  * group's writer omitted it): null-sensitive checks keep the file. Date
+  * group's writer omitted it): null-sensitive checks keep the file. Kind
+  * "u" (bounds scrubbed by the writer — e.g. a float row group containing
+  * NaN — null count still exact) never prunes on range: its empty min/max
+  * fail statVal, so every comparison evaluates unknown → keep. Date
   * values normalize to epoch days, mirroring the footer's INT32 date
   * physical form.
   */

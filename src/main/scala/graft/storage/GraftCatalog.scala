@@ -754,21 +754,33 @@ object GraftCatalog {
           case _ => None
         }
         kind.foreach { k =>
-          val chunks = md.map(_.getColumns.asScala.find(
-            _.getPath.toDotString == name))
-          val stats = chunks.map(_.map(_.getStatistics))
-          if (stats.nonEmpty && stats.forall(s => s.exists(st =>
-              st != null && !st.isEmpty && (st.hasNonNullValue || st.isNumNullsSet)))) {
-            val ss = stats.map(_.get)
+          val groups = md.map(b => b.getRowCount -> b.getColumns.asScala
+            .find(_.getPath.toDotString == name).map(_.getStatistics))
+          if (groups.nonEmpty && groups.forall { case (_, s) => s.exists(st =>
+              st != null && !st.isEmpty && (st.hasNonNullValue || st.isNumNullsSet)) }) {
+            val ss = groups.map { case (rc, s) => rc -> s.get }
             // a writer may omit null counts (getNumNulls == -1 when unset);
             // clamping to 0 would let IsNull pruning drop a file that DOES
             // hold nulls, so an unset count in any row group makes the
             // file's total UNKNOWN (-1) and null-sensitive checks keep it
             val nulls =
-              if (ss.forall(_.isNumNullsSet)) ss.map(_.getNumNulls).sum else -1L
-            val nonNull = ss.filter(_.hasNonNullValue)
-            if (nonNull.nonEmpty) {
-              val (mn, mx) = k match {
+              if (ss.forall(_._2.isNumNullsSet)) ss.map(_._2.getNumNulls).sum else -1L
+            // A group with no recorded bounds may still hold real values
+            // whose stats the writer SCRUBBED — parquet-mr drops a
+            // float/double group's min/max when it contains NaN. Taking
+            // bounds from the surviving groups only would record a range
+            // NARROWER than the data (wrong metadata-only min/max), and
+            // calling the file all-null would let IsNotNull pruning drop
+            // real rows. A group is trustworthy in exactly two states:
+            // bounds recorded, or provably all-null (numNulls == rowCount).
+            val accounted = ss.forall { case (rc, st) =>
+              st.hasNonNullValue || (st.isNumNullsSet && st.getNumNulls == rc) }
+            val allNull = ss.forall { case (rc, st) =>
+              st.isNumNullsSet && st.getNumNulls == rc }
+            val nonNull = ss.map(_._2).filter(_.hasNonNullValue)
+            val bounds: Option[(String, String)] =
+              if (!(accounted && nonNull.nonEmpty)) None
+              else k match {
                 case "s" =>
                   // re-aggregate row-group bounds in UTF-8 byte order — the
                   // order the footers were computed in; UTF-16 .min/.max
@@ -782,16 +794,31 @@ object GraftCatalog {
                     .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
                   val maxs = nonNull.toSeq.map(s => s.genericGetMax
                     .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
-                  (mins.min(byUtf8), maxs.max(byUtf8))
+                  Some((mins.min(byUtf8), maxs.max(byUtf8)))
                 case _ =>
-                  (nonNull.map(s => BigDecimal(s.genericGetMin.toString)).min.toString,
-                   nonNull.map(s => BigDecimal(s.genericGetMax.toString)).max.toString)
+                  // NaN-tolerant numeric parse: some parquet-java writers
+                  // emit a raw NaN bound instead of scrubbing the group
+                  // (Spark's own writer does — verified on this JVM);
+                  // BigDecimal rejects "NaN", and that column must degrade
+                  // to "u" — not throw and void the whole FILE's stats map
+                  scala.util.Try {
+                    (nonNull.map(s => BigDecimal(s.genericGetMin.toString)).min.toString,
+                     nonNull.map(s => BigDecimal(s.genericGetMax.toString)).max.toString)
+                  }.toOption
               }
-              out(name) = ColStat(k, nulls, mn, mx)
-            } else if (nulls > 0) {
-              // all-null column: dedicated kind so an empty-string MIN on a
-              // real string column can never be mistaken for it
-              out(name) = ColStat("n", nulls, "", "")
+            bounds match {
+              case Some((mn, mx)) => out(name) = ColStat(k, nulls, mn, mx)
+              case None if allNull && nulls > 0 =>
+                // all-null column: dedicated kind so an empty-string MIN on
+                // a real string column can never be mistaken for it
+                out(name) = ColStat("n", nulls, "", "")
+              case None if nulls >= 0 =>
+                // bounds unrecoverable (scrubbed or NaN in some group) but
+                // the null count is exact: keep it under the bounds-unknown
+                // kind — count(x)/IsNull stay answerable, range pruning and
+                // metadata min/max bail conservatively on "u"
+                out(name) = ColStat("u", nulls, "", "")
+              case None => // null count unknown too: no stats line at all
             }
           }
         }

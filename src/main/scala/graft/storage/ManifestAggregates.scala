@@ -47,9 +47,12 @@ import graft.storage.GraftCatalog.{ColStat, RowCountKey}
   * exact extreme VALUES, which holds for files this catalog wrote
   * (parquet-mr's default statistics truncation length is unlimited) —
   * [[GraftCatalog.footerStats]] only ever reads this catalog's own
-  * commits. NaN never reaches a stats line (a NaN bound fails decimal
-  * parsing at record time, dropping the file's stats entirely), so a
-  * float/double column containing NaN always falls back to a real scan.
+  * commits. NaN never corrupts a bound: parquet-mr SCRUBS a float/double
+  * row group's min/max when the group contains NaN, and footerStats
+  * records such files under the bounds-unknown kind "u" (null count only)
+  * rather than letting the surviving groups claim a too-narrow range — so
+  * a column containing NaN always falls back to a real scan here (`bound`
+  * accepts kinds matching the column or "n" only).
   */
 object ManifestAggregates {
 

@@ -299,6 +299,53 @@ class FileSkippingSpec extends SparkSpec {
     assert(dev.filter(col("id") < 50).count() == 10)
   }
 
+  test("NaN double stats degrade conservatively: no false all-null, no " +
+    "metadata max, IsNotNull and range predicates keep the file") {
+    wh
+    // file(s) 1: clean doubles; file(s) 2: NaN + the true max + a null.
+    // Spark's parquet writer records a raw NaN max for the second group
+    // (verified on this JVM); older parquet-java readers scrub such stats
+    // to "no bounds" instead. Either way the manifest must NOT (a) call
+    // the file all-null — IsNotNull pruning would drop real rows — or
+    // (b) answer max() from the surviving clean bounds (too narrow).
+    Seq((1L, Some(1.5)), (2L, Some(2.5))).toDF("id", "v").coalesce(1)
+      .writeTo("skipcat.s.nans").using("parquet").createOrReplace()
+    Seq((3L, Some(Double.NaN)), (4L, Some(99.5)), (5L, None)).toDF("id", "v")
+      .coalesce(1)
+      .writeTo("skipcat.s.nans").append()
+    val all = spark.table("skipcat.s.nans")
+    val total = scannedFiles(all)
+    assert(total == 2)
+    // max(v) must fall back to a real scan (a manifest answer would be
+    // 2.5 — or NaN-poisoned); the scan's answer is Spark's NaN-greatest
+    val agg = spark.sql("SELECT max(v) AS m FROM skipcat.s.nans")
+    assert(agg.queryExecution.sparkPlan.collect {
+      case b: BatchScanExec => b }.nonEmpty,
+      "max() over a NaN-polluted column must plan a real scan")
+    assert(agg.collect().head.getDouble(0).isNaN)
+    // null counts survive the degradation: count(*)/count(v) still answer
+    // from the manifest with zero files opened
+    val cnt = spark.sql("SELECT count(*) AS c, count(v) AS cv FROM skipcat.s.nans")
+    assert(cnt.queryExecution.sparkPlan.collect {
+      case b: BatchScanExec => b }.isEmpty,
+      "counts stay metadata-answerable (null count is exact)")
+    assert(cnt.collect().head == org.apache.spark.sql.Row(5L, 4L))
+    // IsNotNull must keep the NaN file (it holds 3 real rows — the
+    // pre-fix code called a bounds-scrubbed file "all-null" and dropped it)
+    val nn = all.filter(col("v").isNotNull)
+    assert(scannedFiles(nn) == total, "IsNotNull must not drop the NaN file")
+    assert(nn.count() == 4)
+    // range predicate: the clean file prunes on its max (2.5 < 50), the
+    // bounds-unknown file survives (NaN and 99.5 qualify — Spark orders
+    // NaN greater than every double)
+    val hi = all.filter(col("v") > 50.0)
+    assert(scannedFiles(hi) == 1, "clean file prunes; bounds-unknown file stays")
+    assert(hi.count() == 2)
+    // IsNull still prunes the clean file (its recorded null count is 0)
+    // and keeps the NaN file (its null count, 1, survived degradation)
+    assert(all.filter(col("v").isNull).count() == 1)
+  }
+
   test("partitioned tables keep SPJ keys AND prune data files by stats") {
     wh
     Seq((1L, 5L, "a"), (2L, 6L, "a")).toDF("id", "v", "part")
