@@ -788,8 +788,21 @@ object Dedup {
     // e.g. the table [[graft.streaming.Streams.sinkWithBloomMaintenance]]
     // maintains — built with the SAME numBits/numHashes over the history's
     // xxhash64 key hashes; the history table then isn't scanned to build
-    // the gate at all
-    val bloom = precomputed.map(_.select(col("bloom").alias("__bloom")))
+    // the gate at all. The bitset length is the one parameter the frame
+    // itself can witness, and a mismatch is NOT a soft error: probing a
+    // filter built at different numBits indexes the wrong bits and yields
+    // FALSE NEGATIVES — dup rows skipping the exact join — so it fails the
+    // query loudly instead (numHashes is validated where the filter is
+    // persisted; see sinkWithBloomMaintenance's parameter row).
+    val words = numBits / 64
+    val bloom = precomputed.map(_.select(
+        when(size(col("bloom")) === words, col("bloom"))
+          .otherwise(raise_error(format_string(
+            "incrementalBloom: precomputed filter has %s 64-bit words, " +
+              s"expected $words for numBits=$numBits — the filter was built " +
+              "with different parameters; probing it would yield false " +
+              "negatives (missed duplicates)", size(col("bloom")))))
+          .alias("__bloom")))
       .getOrElse(history.agg(bloom_agg(kh, numBits, numHashes).alias("__bloom")))
     val gated = batch
       .groupBy(keyCols.map(col): _*)

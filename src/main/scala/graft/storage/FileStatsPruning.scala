@@ -48,9 +48,11 @@ object FileStatsPruning {
       // values starting with p form the byte-order interval [p, succ(p));
       // truncating the stats to p's BYTE length (not UTF-16 code units — a
       // code-unit cut can split a surrogate pair and corrupt the encoding)
-      // gives: may-match iff minPrefix <= p-bytes <= maxPrefix
+      // gives: may-match iff minPrefix <= p-bytes <= maxPrefix. Kind "t"
+      // (writer-truncated bounds) joins in: prefix-taking preserves byte
+      // order, so widened bounds only ever widen the kept interval.
       stats.get(a).forall { st =>
-        st.kind != "s" || {
+        (st.kind != "s" && st.kind != "t") || {
           val pb = utf8(p)
           cmpBytes(utf8(st.min).take(pb.length), pb) <= 0 &&
             cmpBytes(utf8(st.max).take(pb.length), pb) >= 0
@@ -81,7 +83,8 @@ object FileStatsPruning {
   private def mayHaveNulls(st: ColStat): Boolean = st.nulls != 0
 
   private def compare(kind: String, statSide: Any, value: Any): Int = kind match {
-    case "s" => utf8Compare(statSide.asInstanceOf[String], value.asInstanceOf[String])
+    case "s" | "t" =>
+      utf8Compare(statSide.asInstanceOf[String], value.asInstanceOf[String])
     case _ => statSide.asInstanceOf[BigDecimal].compare(value.asInstanceOf[BigDecimal])
   }
 
@@ -107,15 +110,15 @@ object FileStatsPruning {
   }
 
   private def statVal(kind: String, raw: String): Option[Any] =
-    if (raw.isEmpty && kind != "s") None
-    else if (kind == "s") Some(raw)
+    if (kind == "s" || kind == "t") Some(raw)
+    else if (raw.isEmpty) None
     else scala.util.Try(BigDecimal(raw)).toOption
 
   /** Normalize a pushed-filter literal to the stat domain. */
   private def norm(kind: String, v: Any): Option[Any] = (kind, v) match {
     case (_, null) => None
-    case ("s", s: String) => Some(s)
-    case ("s", _) => None
+    case ("s" | "t", s: String) => Some(s)
+    case ("s" | "t", _) => None
     case (_, d: java.sql.Date) => Some(BigDecimal(d.toLocalDate.toEpochDay))
     case (_, d: java.time.LocalDate) => Some(BigDecimal(d.toEpochDay))
     case (_, n: java.lang.Number) => scala.util.Try(BigDecimal(n.toString)).toOption

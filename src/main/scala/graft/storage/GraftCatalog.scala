@@ -739,6 +739,21 @@ object GraftCatalog {
       // never sees it (lookups go by real attribute names). This is what
       // lets metadata-only aggregates answer count(*) without a footer.
       out(RowCountKey) = ColStat("r", md.map(_.getRowCount).sum, "", "")
+      // String bounds are recorded as exact VALUES (kind "s") only when the
+      // writer's statistics truncation is unlimited — parquet-mr's default.
+      // A finite `parquet.statistics.truncate.length` writes a PREFIX for
+      // min and an incremented prefix for max: still valid BOUNDS (range
+      // pruning with them can never drop a matching file) but not values
+      // present in the data, so metadata-only min()/max() must not serve
+      // them. Kind "t" keeps such bounds prunable while refusing them to
+      // ManifestAggregates (whose bound() accepts the exact kinds only).
+      // the session's hadoop conf, not fs.getConf: FileSystem instances are
+      // JVM-cached per scheme, so fs.getConf can predate the setting
+      val stringKind =
+        if (scala.util.Try(SparkSession.active.sparkContext.hadoopConfiguration)
+          .getOrElse(fs.getConf)
+          .getInt("parquet.statistics.truncate.length",
+            Int.MaxValue) != Int.MaxValue) "t" else "s"
       schema.getFields.asScala.filter(_.isPrimitive).foreach { f =>
         val p = f.asPrimitiveType()
         val name = f.getName
@@ -750,7 +765,7 @@ object GraftCatalog {
               l.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation]) => Some("l")
           case FLOAT | DOUBLE if logical.isEmpty => Some("d")
           case BINARY
-            if logical.exists(_.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]) => Some("s")
+            if logical.exists(_.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]) => Some(stringKind)
           case _ => None
         }
         kind.foreach { k =>
@@ -781,7 +796,7 @@ object GraftCatalog {
             val bounds: Option[(String, String)] =
               if (!(accounted && nonNull.nonEmpty)) None
               else k match {
-                case "s" =>
+                case "s" | "t" =>
                   // re-aggregate row-group bounds in UTF-8 byte order — the
                   // order the footers were computed in; UTF-16 .min/.max
                   // (String's natural order) diverges above U+E000

@@ -450,10 +450,23 @@ object Streams {
         val batchBloom = batch
           .agg(graft.functions.BloomFunctions.bloom_agg(
             xxhash64(keyCols.map(col): _*), numBits, numHashes).alias("bloom"))
+        // zip_with NULL-PADS on length mismatch — a stored row built with
+        // different numBits would silently merge into a corrupt filter
+        // whose probes miss real duplicates. A mismatch fails the batch
+        // loudly (the checkpoint retries it after the operator is fixed).
+        val words = numBits / 64
         val merged = spark.table(bloomTable).alias("p")
           .crossJoin(batchBloom.alias("b")) // 1 row × 1 row
-          .select(zip_with(col("p.bloom"), col("b.bloom"),
-            (a, b) => a.bitwiseOR(b)).alias("bloom"))
+          .select(
+            when(size(col("p.bloom")) === words,
+              zip_with(col("p.bloom"), col("b.bloom"),
+                (a, b) => a.bitwiseOR(b)))
+            .otherwise(raise_error(format_string(
+              s"sinkWithBloomMaintenance($bloomTable): stored filter has " +
+                s"%s 64-bit words, expected $words for numBits=$numBits — " +
+                "refusing to merge (null-padding would corrupt the gate)",
+              size(col("p.bloom")))))
+            .alias("bloom"))
         merged.localCheckpoint(true) // materialize BEFORE truncating input
           .writeTo(bloomTable)
           .option(TxnAppIdOption, s"$checkpointDir#bloom")

@@ -346,6 +346,40 @@ class FileSkippingSpec extends SparkSpec {
     assert(all.filter(col("v").isNull).count() == 1)
   }
 
+  test("finite parquet.statistics.truncate.length: string bounds still " +
+    "prune (valid bounds) but metadata min/max refuses them (not values)") {
+    wh
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.setInt("parquet.statistics.truncate.length", 2)
+    try {
+      Seq((1L, "apple"), (2L, "banana")).toDF("id", "w").coalesce(1)
+        .writeTo("skipcat.s.trunc").using("parquet").createOrReplace()
+      Seq((3L, "melon"), (4L, "zebra")).toDF("id", "w").coalesce(1)
+        .writeTo("skipcat.s.trunc").append()
+      val all = spark.table("skipcat.s.trunc")
+      val total = scannedFiles(all)
+      assert(total == 2)
+      // min(w)/max(w) must NOT answer from the manifest: the recorded max
+      // is an incremented 2-byte prefix ("zebra" → "zf"-ish), an upper
+      // BOUND but not a value any row holds
+      val agg = spark.sql("SELECT min(w) AS mn, max(w) AS mx FROM skipcat.s.trunc")
+      assert(agg.queryExecution.sparkPlan.collect {
+        case b: BatchScanExec => b }.nonEmpty,
+        "truncated string bounds must fall back to a real scan for min/max")
+      assert(agg.collect().head == org.apache.spark.sql.Row("apple", "zebra"))
+      // ...while range pruning with the same truncated bounds stays valid:
+      // the apple/banana file's truncated max bounds every value below "x"
+      val hi = all.filter(col("w") >= "x")
+      assert(scannedFiles(hi) < total, "truncated bounds must still prune")
+      assert(hi.count() == 1)
+      // numeric metadata aggregates are unaffected by string truncation
+      val ids = spark.sql("SELECT min(id) AS mn, max(id) AS mx FROM skipcat.s.trunc")
+      assert(ids.queryExecution.sparkPlan.collect {
+        case b: BatchScanExec => b }.isEmpty)
+      assert(ids.collect().head == org.apache.spark.sql.Row(1L, 4L))
+    } finally hc.unset("parquet.statistics.truncate.length")
+  }
+
   test("partitioned tables keep SPJ keys AND prune data files by stats") {
     wh
     Seq((1L, 5L, "a"), (2L, 6L, "a")).toDF("id", "v", "part")

@@ -164,6 +164,36 @@ class OpsSpec extends SparkSpec {
     assert(saturated.exceptAll(plain).isEmpty && plain.exceptAll(saturated).isEmpty)
   }
 
+  test("incrementalBloom: a precomputed filter built at different numBits " +
+    "fails the query loudly instead of yielding false negatives") {
+    import graft.functions.BloomFunctions.bloom_agg
+    val ev = Seq((1L, 10L, "a"), (2L, 11L, "b"), (3L, 12L, "c"))
+      .toDF("event_id", "user_id", "event_type")
+    val hist = ev.filter(col("event_id") <= 2)
+    val batch = ev.filter(col("event_id") > 2)
+    // filter persisted at 128 bits; the query probes expecting 1024
+    val wrong = hist.agg(bloom_agg(
+      xxhash64(col("user_id"), col("event_type")), 128, 5).as("bloom"))
+    val ex = intercept[Throwable] {
+      ops.Dedup.incrementalBloom(hist, batch, Seq("user_id", "event_type"),
+        "event_id", numBits = 1 << 10, numHashes = 5,
+        precomputed = Some(wrong)).collect()
+    }
+    val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("precomputed filter") && msgs.contains("false"),
+      s"expected the parameter-mismatch error, got: $msgs")
+    // matching parameters still pass (same precomputed shape)
+    val right = hist.agg(bloom_agg(
+      xxhash64(col("user_id"), col("event_type")), 1 << 10, 5).as("bloom"))
+    val gated = ops.Dedup.incrementalBloom(hist, batch,
+      Seq("user_id", "event_type"), "event_id", numBits = 1 << 10,
+      numHashes = 5, precomputed = Some(right))
+    val plain = ops.Dedup.incremental(hist, batch,
+      Seq("user_id", "event_type"), "event_id")
+    assert(gated.exceptAll(plain).isEmpty && plain.exceptAll(gated).isEmpty)
+  }
+
   test("clustersIncremental: equals from-scratch on the union graph; " +
     "rounds bounded by the batch diameter, not the history's") {
     // history: a 300-node chain, already converged (everything labelled 0)

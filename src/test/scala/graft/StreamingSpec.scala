@@ -207,6 +207,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming bloom maintenance: a stored filter of the wrong size " +
+    "fails the batch loudly instead of null-padding into a corrupt gate") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.BloomFunctions.bloom_agg
+    val wh = java.nio.file.Files.createTempDirectory("graft-bloommis").toString
+    spark.conf.set("spark.sql.catalog.blmm", classOf[graft.storage.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.blmm.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS blmm.s")
+    // stored filter built at 64 bits (1 word); the sink runs at 1024 (16)
+    Seq.empty[(Long, String)].toDF("user_id", "event_type")
+      .agg(bloom_agg(xxhash64(col("user_id"), col("event_type")), 64, 5).as("bloom"))
+      .writeTo("blmm.s.filter").using("parquet").create()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-bloommis-ckpt").toString
+    val input = MemoryStream[(Long, Long, String)]
+    val q = Streams.sinkWithBloomMaintenance(
+      input.toDF().toDF("event_id", "user_id", "event_type"),
+      Seq("user_id", "event_type"), "blmm.s.filter", ckpt,
+      numBits = 1 << 10, numHashes = 5)
+    try {
+      input.addData((1L, 10L, "a"))
+      val ex = intercept[Throwable] { q.processAllAvailable() }
+      val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+        .map(m => String.valueOf(m.getMessage)).mkString(" | ")
+      assert(msgs.contains("refusing to merge"),
+        s"expected the size-mismatch refusal, got: $msgs")
+      // the stored filter is untouched — corruption never reached the table
+      spark.catalog.refreshTable("blmm.s.filter")
+      assert(spark.table("blmm.s.filter").head.getSeq[Long](0).length == 1)
+    } finally q.stop()
+  }
+
   test("streaming IVF index maintenance: appended micro-batches searchable, " +
     "equal to inline search over the union with the frozen codebook") {
     implicit val sqlCtx = spark.sqlContext
