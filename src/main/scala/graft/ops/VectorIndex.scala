@@ -109,6 +109,88 @@ object VectorIndex {
     }.append()
   }
 
+  /** Split every over-full inverted list into `splitWays` finer sub-cells —
+    * the bounded-hot-cell maintenance a skewed corpus needs. A natural
+    * cluster holding half the vectors makes one cell's list half the
+    * corpus: every probe that touches it rescans ~N/2 rows regardless of
+    * numCentroids, and at 100 TB that hot partition is the whole query
+    * cost. The split is LOCAL maintenance, priced like compaction:
+    *
+    *  - hot = cells whose list exceeds `capFactor ×` the mean list size
+    *    (sizes are one codebook-bounded aggregate — ≤ numCentroids rows,
+    *    the same driver-side decision class as search's probed-cell set);
+    *  - each hot cell reassigns ONLY ITS OWN rows to `splitWays` sub-seeds
+    *    drawn deterministically from its members (lowest corpus_ids; each
+    *    seed is its own member, so no sub-cell is empty);
+    *  - sub-cell #0 INHERITS the parent's cell id, so the dynamic
+    *    partition overwrite replaces the fat partition in place and
+    *    creates the fresh sub-partitions — cold cells' files are never
+    *    read, rewritten, or logically touched;
+    *  - the codebook stays FLAT: the parent's centroid row is replaced by
+    *    the sub-centroids, so [[search]] and [[append]] are UNCHANGED —
+    *    probes simply see finer centroids where the data is dense (the
+    *    two-level/IMI idea expressed as data, not as a second index
+    *    structure).
+    *
+    * After a split, cold rows keep their old-codebook assignment (that is
+    * the point — no corpus rewrite), so indexed results may differ from an
+    * inline re-run under the new codebook; the recall trade is measured in
+    * VectorIndexSpec and SCALE.md. Returns the number of cells split. */
+  def splitHotCells(
+      spark: SparkSession,
+      tablePrefix: String,
+      capFactor: Double = 4.0,
+      splitWays: Int = 4): Int = {
+    require(splitWays >= 2, s"splitWays must be >= 2, got $splitWays")
+    val assigned = spark.table(s"${tablePrefix}_assign")
+    val centroids = spark.table(s"${tablePrefix}_centroids")
+    val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).alias("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val numCells = centroids.count()
+    val cap = capFactor * sizes.values.sum.toDouble / numCells
+    val hot = sizes.filter(_._2 > cap).keys.toSeq.sorted
+    if (hot.isEmpty) return 0
+    // deterministic sub-seeds: the splitWays lowest-id members per hot
+    // cell — codebook-sized collect (≤ hot × splitWays rows)
+    val seedW = Window.partitionBy(col("cell")).orderBy(col("corpus_id").asc)
+    val seeds = assigned.filter(col("cell").isInCollection(hot))
+      .withColumn("sr", row_number().over(seedW))
+      .filter(col("sr") <= splitWays)
+      .select(col("cell"), col("sr"), col("vec"))
+      .collect()
+    val maxId = centroids.agg(max(col("centroid_id"))).head.getLong(0)
+    val hotIndex = hot.zipWithIndex.toMap
+    val subRows = seeds.map { r =>
+      val cell = r.getLong(0); val sr = r.getInt(1)
+      val id =
+        if (sr == 1) cell
+        else maxId + 1 + hotIndex(cell).toLong * (splitWays - 1) + (sr - 2)
+      (id, r.getSeq[Float](2), cell)
+    }.toSeq
+    import spark.implicits._
+    val subCentroids = subRows.toDF("centroid_id", "centvec", "parent")
+    // reassign the hot cells' rows among their OWN sub-seeds (the argmax +
+    // tie convention of assignTo); every other partition is untouched
+    val reassigned = assigned.filter(col("cell").isInCollection(hot))
+      .crossJoin(broadcast(subCentroids)).filter(col("cell") === col("parent"))
+      .select(col("corpus_id"), col("vec"),
+        struct(cosine(col("vec"), col("centvec")).alias("s"),
+          col("centroid_id").alias("cid")).alias("sc"))
+      .groupBy(col("corpus_id"))
+      .agg(first(col("vec")).alias("vec"), max(col("sc")).alias("best"))
+      .select(col("corpus_id"), col("vec"), col("best.cid").alias("cell"))
+    reassigned.repartition(col("cell"))
+      .writeTo(s"${tablePrefix}_assign").overwritePartitions()
+    // swap the fat parents' rows for the sub-centroids (codebook-sized
+    // table; full replace is the cheap side of this operation)
+    val kept = centroids.filter(!col("centroid_id").isInCollection(hot))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val newBook = (kept ++ subRows.map(t => (t._1, t._2))).toSeq
+      .sortBy(_._1).toDF("centroid_id", "centvec")
+    newBook.writeTo(s"${tablePrefix}_centroids").using("parquet").createOrReplace()
+    hot.size
+  }
+
   /** Top-k by exact cosine inside the `nprobe` nearest cells per query,
     * served from the stored inverted lists. Output schema matches
     * [[Similarity.ivfTopK]]: (query_id, rank, corpus_id, score). */
@@ -119,10 +201,22 @@ object VectorIndex {
       vecCol: String,
       tablePrefix: String,
       k: Int,
-      nprobe: Int = 4): DataFrame = {
-    val q = queries.select(col(idCol).alias("query_id"), col(vecCol).alias("qvec"))
-    val centroids = spark.table(s"${tablePrefix}_centroids")
-    val assigned = spark.table(s"${tablePrefix}_assign")
+      nprobe: Int = 4): DataFrame =
+    searchOver(
+      spark.table(s"${tablePrefix}_centroids"),
+      spark.table(s"${tablePrefix}_assign"),
+      queries.select(col(idCol).alias("query_id"), col(vecCol).alias("qvec")),
+      k, nprobe)
+
+  /** [[search]] over explicit centroid/list frames — what [[refresh]]'s
+    * audit runs against a BRANCH view before anything publishes. `q` is
+    * already (query_id, qvec). */
+  private def searchOver(
+      centroids: DataFrame,
+      assigned: DataFrame,
+      q: DataFrame,
+      k: Int,
+      nprobe: Int): DataFrame = {
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("ps").desc, col("cell").asc)
     val probed = q.crossJoin(broadcast(centroids))
@@ -151,5 +245,157 @@ object VectorIndex {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("corpus_id"), col("score"))
+  }
+
+  private def catalogAndIdent(spark: SparkSession, table: String)
+      : (graft.storage.GraftCatalog, org.apache.spark.sql.connector.catalog.Identifier) = {
+    val parts = table.split('.')
+    require(parts.length >= 2, s"expected a catalog-qualified table, got $table")
+    val cat = spark.sessionState.catalogManager.catalog(parts.head)
+      .asInstanceOf[graft.storage.GraftCatalog]
+    (cat, org.apache.spark.sql.connector.catalog.Identifier.of(
+      parts.drop(1).dropRight(1), parts.last))
+  }
+
+  /** Codebook refresh under drift — the rebuild every frozen-codebook ANN
+    * store eventually owes, priced and gated like a production one:
+    *
+    *  1. re-train the codebook with k-means over a DETERMINISTIC
+    *     hash-sample of the stored vectors (`samplePerMille` of the
+    *     corpus — the fit cost is the sample, not the corpus);
+    *  2. re-assign the whole corpus against the new codebook in ONE
+    *     broadcast pass (this is the inherent cost of a refresh; the
+    *     cheap daily path stays [[append]] against the frozen book);
+    *  3. commit via write-audit-publish: both tables are rewritten on a
+    *     quarantine branch, the audit proves row preservation AND
+    *     search-result parity between the branch index and the inline
+    *     funnel on the new codebook ([[Similarity.ivfTopK]]), and only a
+    *     passing audit fast-forwards main — a failed audit leaves main
+    *     byte-identical and drops the branch.
+    *
+    * The two merges publish back-to-back (a reader between them can pair
+    * the new codebook with the old lists for one query — same class of
+    * window as any two-table publish without a cross-table transaction;
+    * the audited snapshots themselves are immutable branch heads).
+    * Returns true iff the refresh published. */
+  def refresh(
+      spark: SparkSession,
+      tablePrefix: String,
+      numCentroids: Int = 16,
+      kmeansIters: Int = 2,
+      samplePerMille: Int = 100,
+      auditQueries: Int = 8,
+      auditK: Int = 5,
+      auditNprobe: Int = 4,
+      branch: String = "vidx_refresh"): Boolean = {
+    require(samplePerMille > 0 && samplePerMille <= 1000,
+      s"samplePerMille in (0, 1000], got $samplePerMille")
+    val corpus = spark.table(s"${tablePrefix}_assign")
+      .select(col("corpus_id"), col("vec"))
+    val nRows = corpus.count()
+    val sample = corpus.filter(
+      pmod(xxhash64(col("corpus_id")), lit(1000)) < samplePerMille)
+    val newBook = Similarity.kmeansCentroids(sample, "corpus_id", "vec",
+      numCentroids, kmeansIters).select(col("centroid_id"), col("centvec"))
+      .localCheckpoint(false)
+    val reassigned = corpus.crossJoin(broadcast(newBook))
+      .select(col("corpus_id"), col("vec"),
+        struct(cosine(col("vec"), col("centvec")).alias("s"),
+          col("centroid_id").alias("cid")).alias("sc"))
+      .groupBy(col("corpus_id"))
+      .agg(first(col("vec")).alias("vec"), max(col("sc")).alias("best"))
+      .select(col("corpus_id"), col("vec"), col("best.cid").alias("cell"))
+    val (catC, idC) = catalogAndIdent(spark, s"${tablePrefix}_centroids")
+    val (catA, idA) = catalogAndIdent(spark, s"${tablePrefix}_assign")
+    // a crashed prior refresh may have left the quarantine branch behind;
+    // its staged state never published, so discarding it is the recovery
+    catC.dropBranch(idC, branch); catC.createBranch(idC, branch)
+    catA.dropBranch(idA, branch); catA.createBranch(idA, branch)
+    try {
+      newBook.writeTo(s"${tablePrefix}_centroids")
+        .option(graft.storage.GraftCatalog.BranchOption, branch)
+        .overwrite(lit(true))
+      reassigned.repartition(col("cell"))
+        .writeTo(s"${tablePrefix}_assign")
+        .option(graft.storage.GraftCatalog.BranchOption, branch)
+        .overwrite(lit(true))
+      // AUDIT — against the branch heads, the exact snapshots that publish
+      val bCent = spark.sql(
+        s"SELECT * FROM ${tablePrefix}_centroids VERSION AS OF '$branch'")
+      val bAssign = spark.sql(
+        s"SELECT * FROM ${tablePrefix}_assign VERSION AS OF '$branch'")
+      val rowsOk = bAssign.count() == nRows
+      val qs = corpus.orderBy(col("corpus_id").asc).limit(auditQueries)
+        .localCheckpoint(false)
+      val indexed = searchOver(bCent, bAssign,
+        qs.select(col("corpus_id").alias("query_id"), col("vec").alias("qvec")),
+        auditK, auditNprobe)
+      val inline = Similarity.ivfTopK(
+        bAssign.select(col("corpus_id"), col("vec")), qs, "corpus_id", "vec",
+        k = auditK, numCentroids = numCentroids, nprobe = auditNprobe,
+        fitCentroids = Some(bCent))
+      val parity = rowsOk &&
+        indexed.exceptAll(inline).isEmpty && inline.exceptAll(indexed).isEmpty
+      if (parity) {
+        catC.mergeBranch(idC, branch)
+        catA.mergeBranch(idA, branch)
+      }
+      catC.dropBranch(idC, branch); catA.dropBranch(idA, branch)
+      parity
+    } catch { case e: Throwable =>
+      catC.dropBranch(idC, branch); catA.dropBranch(idA, branch); throw e
+    }
+  }
+
+  /** Drift gate recommending a [[refresh]], wired through
+    * [[graft.quality.Drift.histogramDrift]]: histogram the ASSIGNMENT-FIT
+    * (each vector's best cosine against the frozen codebook, milli-scaled)
+    * of a corpus sample vs the new batch on the shared exact grid, then
+    * read the batch's LOW-FIT tail one-sidedly — fire when more than
+    * `threshold` of the batch fits worse than all but `lowTail` of the
+    * corpus. One-sided on purpose: a symmetric distribution-equality test
+    * (chi-square over the full grid) fires forever on a MIXTURE corpus —
+    * a batch drawn entirely from one well-covered region never matches
+    * the corpus-wide mixture even though the codebook serves it
+    * perfectly. Only "the batch fits WORSE than the corpus" means the
+    * codebook is stale. Unmeasurable (either side empty) recommends the
+    * refresh — a gate that can't measure must not wave data through. */
+  def refreshRecommended(
+      spark: SparkSession,
+      newBatch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tablePrefix: String,
+      threshold: Double = 0.2,
+      samplePerMille: Int = 100,
+      lowTail: Double = 0.05): Boolean = {
+    val centroids = spark.table(s"${tablePrefix}_centroids")
+    def fitMilli(df: DataFrame, id: String, v: String): DataFrame = df
+      .select(col(id).alias("__id"), col(v).alias("__v"))
+      .crossJoin(broadcast(centroids))
+      .groupBy(col("__id"))
+      .agg(max(cosine(col("__v"), col("centvec"))).alias("__fit"))
+      .select((col("__fit") * 1000).cast("long").alias("fit_milli"))
+    val ref = fitMilli(spark.table(s"${tablePrefix}_assign").filter(
+      pmod(xxhash64(col("corpus_id")), lit(1000)) < samplePerMille),
+      "corpus_id", "vec")
+    val cur = fitMilli(newBatch, idCol, vecCol)
+    // ≤ 2^bits rows — the same bounded histogram Drift's chi-square reads
+    val bins = graft.quality.Drift.histogramDrift(ref, cur, "fit_milli", bits = 6)
+      .collect().sortBy(_.getAs[Long]("bin"))
+    val nRef = bins.map(_.getAs[Long]("cnt_ref")).sum
+    val nCur = bins.map(_.getAs[Long]("cnt_cur")).sum
+    if (nRef == 0L || nCur == 0L) return true
+    // the reference's lowTail line: smallest bin prefix holding >= lowTail
+    // of the corpus; batch mass STRICTLY below that prefix's end fits
+    // worse than (1 - lowTail) of the corpus
+    var cumRef = 0L; var line = 0L
+    val it = bins.iterator
+    while (it.hasNext && cumRef < (lowTail * nRef)) {
+      val r = it.next(); cumRef += r.getAs[Long]("cnt_ref"); line = r.getAs[Long]("bin")
+    }
+    val curLow = bins.filter(_.getAs[Long]("bin") < line)
+      .map(_.getAs[Long]("cnt_cur")).sum
+    curLow.toDouble / nCur > threshold
   }
 }

@@ -82,4 +82,138 @@ class VectorIndexSpec extends SparkSpec {
       numCentroids = 8, nprobe = 3, fitCentroids = Some(storedK))
     assert(indexedK.exceptAll(inlineK).isEmpty && inlineK.exceptAll(indexedK).isEmpty)
   }
+
+  test("splitHotCells: a skewed corpus's fat list splits into bounded " +
+    "sub-cells in place — cold lists untouched, recall holds") {
+    wh
+    import spark.implicits._
+    val dim = 16
+    // deterministic skew: ids >= 1000 sit in one tight cluster (half the
+    // corpus, away from the lowest-id codebook seeds), the rest scatter —
+    // the natural-cluster shape that makes one inverted list half the data
+    def vec(i: Int): Seq[Float] =
+      if (i >= 1000)
+        (0 until dim).map(d =>
+          (if (d == 0) 10f else 0f) + ((i * 31 + d * 7) % 11 - 5) * 0.01f)
+      else (0 until dim).map(d => math.sin(i * 0.7 + d * 1.3).toFloat)
+    val corpus = (0 until 2000).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    VectorIndex.build(spark, corpus, "vec_id", "embedding",
+      "vidx.s.skew", numCentroids = 8, kmeansIters = 2)
+    def cellSizes() = spark.table("vidx.s.skew_assign")
+      .groupBy(col("cell")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = cellSizes()
+    val beforeMax = before.values.max
+    assert(beforeMax >= 900, s"fixture must be skewed, hot cell = $beforeMax")
+    val queries = corpus.filter(col("vec_id") < 10 || col("vec_id") >= 1990) // both regions
+    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id",
+      "embedding", k = 5)
+    val recallBefore = Similarity.recallAtK(
+      VectorIndex.search(spark, queries, "vec_id", "embedding",
+        "vidx.s.skew", k = 5, nprobe = 3), exact)
+    val coldCells = before.keySet.filter(c => before(c) * 4 <= beforeMax)
+    val coldAssignBefore = spark.table("vidx.s.skew_assign")
+      .filter(col("cell").isInCollection(coldCells))
+      .select("corpus_id", "cell").collect().toSet
+    val nSplit = VectorIndex.splitHotCells(spark, "vidx.s.skew",
+      capFactor = 2.0, splitWays = 4)
+    assert(nSplit >= 1, "the hot cell must be detected and split")
+    spark.catalog.refreshTable("vidx.s.skew_assign")
+    spark.catalog.refreshTable("vidx.s.skew_centroids")
+    val after = cellSizes()
+    assert(after.values.sum == 2000L, "no row lost or duplicated")
+    assert(after.values.max < beforeMax,
+      s"hot list must shrink: ${after.values.max} vs $beforeMax")
+    assert(after.values.max <= beforeMax / 2,
+      s"4-way split should at least halve the hot list (got ${after.values.max})")
+    // cold cells' assignments byte-identical (their partitions were never
+    // logically touched)
+    val coldAssignAfter = spark.table("vidx.s.skew_assign")
+      .filter(col("cell").isInCollection(coldCells))
+      .select("corpus_id", "cell").collect().toSet
+    assert(coldAssignAfter == coldAssignBefore)
+    // the codebook grew by (splitWays-1) per split and search still runs
+    // unchanged over the finer cells; recall is re-priced: probing the
+    // same nprobe over finer cells must stay within 0.1 of the fat-cell
+    // recall (it read half the corpus; the split reads a bounded slice)
+    assert(spark.table("vidx.s.skew_centroids").count() == 8 + nSplit * 3)
+    val recallAfter = Similarity.recallAtK(
+      VectorIndex.search(spark, queries, "vec_id", "embedding",
+        "vidx.s.skew", k = 5, nprobe = 3), exact)
+    assert(recallAfter >= recallBefore - 0.1,
+      s"recall $recallBefore -> $recallAfter")
+    // append still works against the finer codebook
+    VectorIndex.append(spark, Seq((5000L, vec(4)), (5001L, vec(9)))
+      .toDF("vec_id", "embedding"), "vec_id", "embedding", "vidx.s.skew")
+    spark.catalog.refreshTable("vidx.s.skew_assign")
+    assert(spark.table("vidx.s.skew_assign").count() == 2002L)
+  }
+
+  test("refresh: drift gate recommends, WAP-committed retrain re-fits the " +
+    "codebook, audit proves parity, recall recovers on drifted data") {
+    wh
+    import spark.implicits._
+    val dim = 16
+    // region A (build-time data): scattered deterministic vectors
+    def vecA(i: Int): Seq[Float] =
+      (0 until dim).map(d => math.sin(i * 0.7 + d * 1.3).toFloat)
+    // region B (post-build drift): a tight cluster far from region A
+    def vecB(i: Int): Seq[Float] =
+      (0 until dim).map(d =>
+        (if (d == dim - 1) -8f else 0f) + ((i * 13 + d * 5) % 7 - 3) * 0.02f)
+    val corpusA = (0 until 1000).map(i => (i.toLong, vecA(i)))
+      .toDF("vec_id", "embedding")
+    VectorIndex.build(spark, corpusA, "vec_id", "embedding",
+      "vidx.s.drift", numCentroids = 8, kmeansIters = 2)
+    // in-distribution batch: gate stays quiet
+    val sameDist = (2000 until 2200).map(i => (i.toLong, vecA(i)))
+      .toDF("vec_id", "embedding")
+    assert(!VectorIndex.refreshRecommended(spark, sameDist, "vec_id",
+      "embedding", "vidx.s.drift", samplePerMille = 1000),
+      "an in-distribution batch must not trigger a refresh")
+    // drifted batch: fit scores collapse, gate fires
+    val drifted = (3000 until 3200).map(i => (i.toLong, vecB(i)))
+      .toDF("vec_id", "embedding")
+    assert(VectorIndex.refreshRecommended(spark, drifted, "vec_id",
+      "embedding", "vidx.s.drift", samplePerMille = 1000),
+      "a drifted batch must trigger a refresh")
+    // the drifted rows join the index (frozen codebook dumps them into
+    // whatever old cell is least-far — the hot mislabeled shape)
+    VectorIndex.append(spark, drifted, "vec_id", "embedding", "vidx.s.drift")
+    spark.catalog.refreshTable("vidx.s.drift_assign")
+    val queries = drifted.filter(col("vec_id") < 3010)
+    val exact = Similarity.bruteForceTopK(
+      corpusA.unionByName(drifted), queries, "vec_id", "embedding", k = 5)
+    val recallFrozen = Similarity.recallAtK(
+      VectorIndex.search(spark, queries, "vec_id", "embedding",
+        "vidx.s.drift", k = 5, nprobe = 2), exact)
+    // refresh: retrain on the stored corpus (sample = all of it at this
+    // size), re-assign, audit, publish
+    val published = VectorIndex.refresh(spark, "vidx.s.drift",
+      numCentroids = 8, kmeansIters = 2, samplePerMille = 1000)
+    assert(published, "audit must pass and publish")
+    spark.catalog.refreshTable("vidx.s.drift_assign")
+    spark.catalog.refreshTable("vidx.s.drift_centroids")
+    assert(spark.table("vidx.s.drift_assign").count() == 1200L)
+    assert(spark.table("vidx.s.drift_centroids").count() == 8L)
+    // quarantine branches are gone
+    val cat = spark.sessionState.catalogManager.catalog("vidx")
+      .asInstanceOf[GraftCatalog]
+    import org.apache.spark.sql.connector.catalog.Identifier
+    assert(cat.listRefs(Identifier.of(Array("s"), "drift_assign")).isEmpty)
+    assert(cat.listRefs(Identifier.of(Array("s"), "drift_centroids")).isEmpty)
+    // the refreshed codebook dedicates centroids to region B: recall on
+    // drifted queries recovers (and never regresses)
+    val recallAfter = Similarity.recallAtK(
+      VectorIndex.search(spark, queries, "vec_id", "embedding",
+        "vidx.s.drift", k = 5, nprobe = 2), exact)
+    assert(recallAfter >= recallFrozen,
+      s"refresh must not lose recall: $recallFrozen -> $recallAfter")
+    assert(recallAfter >= 0.9,
+      s"refreshed codebook must localize the drifted cluster, got $recallAfter")
+    // and the gate is quiet again for region-B data
+    assert(!VectorIndex.refreshRecommended(spark, drifted, "vec_id",
+      "embedding", "vidx.s.drift", samplePerMille = 1000))
+  }
 }
