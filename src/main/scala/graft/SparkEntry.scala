@@ -1384,6 +1384,21 @@ object SparkEntry {
     "prep_corpus_chunked" -> ((s, dir) =>
       graft.ops.TrainPrep.prepareCorpusChunked(docs(s, dir), "doc_id", "text", "lang",
         textHash = TextAnalysis.fingerprint).orderBy("doc_id", "chunk_id")),
+    // The incremental training-data DAY as one composed pipeline: docs with
+    // doc_id % 5 == 0 play today's batch against the rest as immutable
+    // history — bloom-gated exact dedup (first-seen wins), incremental
+    // near-dup component fold, shared scrub/gate front, re-pack over the
+    // union manifest. The oracle is the FROM-SCRATCH pipeline over the
+    // merged corpus with history-wins priority: the fold must be
+    // indistinguishable from rebuilding the world.
+    "prep_corpus_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val isNew = pmod(col("doc_id"), lit(5)) === 0
+      graft.ops.TrainPrep.prepareCorpusIncremental(
+          d.filter(!isNew), d.filter(isNew), "doc_id", "text", "lang",
+          tokenHash = Dedup.oracleHash, textHash = TextAnalysis.fingerprint)
+        .orderBy("doc_id")
+    }),
     // Corpus bigram-LM familiarity: perplexity-style filtering signal with
     // exact integer arithmetic (ratios of BIGINT sums) instead of
     // log-space floats — hash-checkable and order-independent.
@@ -1556,6 +1571,78 @@ object SparkEntry {
          SELECT doc_id, n_chars FROM documents
          WHERE doc_id NOT IN (SELECT DISTINCT id FROM reach WHERE r < id)
          ORDER BY doc_id"""
+
+  /** From-scratch mirror of `prep_corpus_incremental`: scrub → gate →
+    * exact dedup with HISTORY-WINS priority (a batch doc — doc_id % 5 == 0
+    * — never displaces a history doc sharing its scrubbed fingerprint,
+    * regardless of id order: that is the immutable-history contract the
+    * incremental fold implements) → LSH near-dup transitive closure over
+    * the survivors' SCRUBBED text, keep each component's min id → split →
+    * pack. The `tk` CTE feeds [[shrCte]]/[[sigCte]] from the survivor set
+    * instead of raw documents. */
+  private def prepCorpusIncrementalSql: String = {
+    val charFold = (e: String) =>
+      s"""list_reduce(list_prepend(CAST(7 AS BIGINT),
+            list_transform(list_filter(string_split($e, ''), c -> c <> ''),
+                           c -> CAST(ascii(c) AS BIGINT))),
+          (a, c) -> (a * 31 + c) % 1000000007)"""
+    s"""WITH RECURSIVE scrub AS (
+         SELECT doc_id, lang,
+                regexp_replace(regexp_replace(text, '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+                               '[0-9]{4,}', '<NUM>', 'g') AS scrubbed,
+                CAST(len(regexp_extract_all(text, '[A-Za-z0-9._]+@[A-Za-z0-9.]+'))
+                     + len(regexp_extract_all(text, '[0-9]{4,}')) AS BIGINT) AS n_redactions
+         FROM documents),
+       gated AS (
+         SELECT doc_id, lang, scrubbed, n_redactions,
+                CAST(len(toks) AS BIGINT) AS n_tokens
+         FROM (SELECT *, list_filter(string_split(scrubbed, ' '), x -> x <> '') AS toks FROM scrub)
+         WHERE len(toks) >= 20
+           AND CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) >= 0.5),
+       fp AS (
+         SELECT doc_id, ${charFold("scrubbed")} AS f FROM gated),
+       keep AS (
+         SELECT arg_min(doc_id,
+                  (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) * 1000000000000 + doc_id)
+                AS doc_id
+         FROM fp GROUP BY f),
+       surv AS (SELECT g.* FROM gated g JOIN keep USING (doc_id)),
+       tk AS (
+         SELECT doc_id,
+                list_transform(list_filter(string_split(scrubbed, ' '), x -> x <> ''),
+                  w -> ${charFold("w")}) AS th
+         FROM surv),
+       ${shrCte(3)},
+       ${sigCte(32)},
+       prs AS (
+         SELECT id_a, id_b FROM (
+           SELECT a.doc_id AS id_a, bb.doc_id AS id_b, ${estExpr(32)} AS est
+           FROM sig a JOIN sig bb
+             ON a.doc_id < bb.doc_id AND (${bandCond(8, 4)}))
+         WHERE est >= CAST(0.5 AS DOUBLE)),
+       edges AS (
+         SELECT id_a AS s, id_b AS d FROM prs
+         UNION
+         SELECT id_b AS s, id_a AS d FROM prs),
+       reach(id, r) AS (
+         SELECT s, d FROM edges
+         UNION
+         SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s),
+       fin AS (
+         SELECT s.doc_id, s.lang, s.n_tokens, s.n_redactions,
+                CASE WHEN (s.doc_id * 2654435761 + 40503) % 1000 < 800 THEN 'train'
+                     WHEN (s.doc_id * 2654435761 + 40503) % 1000 < 900 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM surv s
+         WHERE s.doc_id NOT IN (SELECT DISTINCT id FROM reach WHERE r < id)),
+       c AS (
+         SELECT *, sum(n_tokens) OVER (PARTITION BY split, lang ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS cum
+         FROM fin)
+       SELECT doc_id, lang, split, n_tokens, n_redactions,
+              CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS seq_id
+       FROM c ORDER BY doc_id"""
+  }
 
   /** Mirrors the `q_connected_components` pipeline: the same LSH pair
     * derivation as [[dedupCorpusSql]], then the FULL transitive closure —
@@ -2736,6 +2823,7 @@ object SparkEntry {
     "dedup_simhash" -> simhashDupsSql,
     "dedup_ngram_jaccard" -> ngramJaccardProdSql,
     "dedup_corpus" -> dedupCorpusSql,
+    "prep_corpus_incremental" -> prepCorpusIncrementalSql,
     "q_connected_components" -> connectedComponentsSql,
     // incremental maintenance must land on the SAME fixpoint as the
     // from-scratch closure — the oracle is deliberately identical

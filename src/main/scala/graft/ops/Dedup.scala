@@ -158,22 +158,36 @@ object Dedup {
       bands: Int = 8,
       minJaccard: Double = 0.5,
       tokenHash: Column => Column = xxHash): DataFrame = {
-    val rowsPerBand = numHashes / bands
     // The signature table is referenced three times below (both sides of
     // the band join + the scoring join); persist it so the shingle
     // explode/aggregate pipeline runs once. It is tiny relative to the
     // corpus: numHashes longs per doc.
     val sig = minhashSignatures(docs, idCol, textCol, k, numHashes, tokenHash)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // explode into (band, bucket) keys — sig stays behind, only the 8-byte
-    // bucket key + id travel into the join
-    val banded = sig.select(
+    minhashLshFromSigs(sig, numHashes, bands, minJaccard)
+  }
+
+  /** (band, bucket) keys for a signature table — sig stays behind, only
+    * the 8-byte bucket key + id travel into the band join. */
+  private def bandKeys(sig: DataFrame, numHashes: Int, bands: Int): DataFrame =
+    sig.select(
       col("mh_id"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))))))
+        b => xxhash64(slice(col("sig"), b * lit(numHashes / bands) + lit(1),
+          lit(numHashes / bands))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
+
+  /** [[minhashLsh]] from a PRECOMPUTED signature table (mh_id, sig) — what
+    * an incremental pipeline stores instead of re-shingling its corpus
+    * every day. */
+  def minhashLshFromSigs(
+      sig: DataFrame,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      minJaccard: Double = 0.5): DataFrame = {
+    val banded = bandKeys(sig, numHashes, bands)
     // candidate pairs first (dedup across bands BEFORE scoring, so each
     // pair's signature comparison happens exactly once)
     val cand = banded.alias("a")
@@ -183,6 +197,39 @@ object Dedup {
         col("a.mh_id") < col("b.mh_id"))
       .select(col("a.mh_id").alias("id_a"), col("b.mh_id").alias("id_b"))
       .distinct()
+    scorePairs(cand, sig, numHashes, minJaccard)
+  }
+
+  /** The DAILY pair generation of an incremental near-dup pipeline: every
+    * LSH candidate pair touching at least one NEW document — the band
+    * join probes the batch's keys against the full key set (stored sigs ∪
+    * batch sigs), so its cost scales with the BATCH's band keys, not the
+    * corpus squared. `allSigs` must contain `newSigs`' rows. Identical to
+    * filtering [[minhashLshFromSigs]](allSigs) down to pairs with a new
+    * end (the replay spelling the oracle checks). */
+  def minhashPairsAgainst(
+      newSigs: DataFrame,
+      allSigs: DataFrame,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      minJaccard: Double = 0.5): DataFrame = {
+    val bNew = bandKeys(newSigs, numHashes, bands)
+    val bAll = bandKeys(allSigs, numHashes, bands)
+    val cand = bNew.alias("a")
+      .join(bAll.alias("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.mh_id") =!= col("b.mh_id"))
+      .select(
+        least(col("a.mh_id"), col("b.mh_id")).alias("id_a"),
+        greatest(col("a.mh_id"), col("b.mh_id")).alias("id_b"))
+      .distinct()
+    scorePairs(cand, allSigs, numHashes, minJaccard)
+  }
+
+  private def scorePairs(
+      cand: DataFrame, sig: DataFrame, numHashes: Int,
+      minJaccard: Double): DataFrame = {
     cand
       .join(sig.select(col("mh_id").alias("id_a"), col("sig").alias("sig_a")), "id_a")
       .join(sig.select(col("mh_id").alias("id_b"), col("sig").alias("sig_b")), "id_b")

@@ -99,6 +99,39 @@ class TrainPrepSpec extends SparkSpec {
     assert(out.toSeq == Seq(0L, 3L))
   }
 
+  test("prepareCorpusIncremental: fold == from-scratch over the merged " +
+    "corpus (history-wins), and replaying the same batch is a no-op") {
+    val d = queries.Parity.t(spark, "/root/testdata/sf0.001", "documents")
+    val isNew = pmod(col("doc_id"), lit(5)) === 0
+    val history = d.filter(!isNew)
+    val batch = d.filter(isNew)
+    val inc = graft.ops.TrainPrep.prepareCorpusIncremental(
+      history, batch, "doc_id", "text", "lang")
+    // from-scratch over the union with batch rows DEPRIORITIZED on exact
+    // ties — the immutable-history contract's from-scratch equivalent
+    val scratch = graft.ops.TrainPrep.prepareCorpusNearDup(
+      d, "doc_id", "text", "lang",
+      priority = when(isNew, lit(1L)).otherwise(lit(0L)))
+    assert(inc.exceptAll(scratch).isEmpty && scratch.exceptAll(inc).isEmpty,
+      "incremental fold must equal the from-scratch pipeline")
+    // replay idempotence: fold the already-ingested batch again — every
+    // row exact-dups the (new) history, so the manifest is unchanged
+    val replay = graft.ops.TrainPrep.prepareCorpusIncremental(
+      d, batch, "doc_id", "text", "lang")
+    assert(replay.exceptAll(scratch).isEmpty && scratch.exceptAll(replay).isEmpty,
+      "replaying an ingested batch must be a no-op")
+    // the exact gate really is first-seen-wins: a batch doc with a smaller
+    // id than its history fingerprint-mate still loses
+    val h2 = Seq((7L, ("w" + (1 to 30).mkString(" w")), "en"))
+      .toDF("doc_id", "text", "lang")
+    val b2 = Seq((2L, ("w" + (1 to 30).mkString(" w")), "en"))
+      .toDF("doc_id", "text", "lang")
+    val kept = graft.ops.TrainPrep.prepareCorpusIncremental(
+      h2, b2, "doc_id", "text", "lang")
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(kept == Seq(7L), s"history must win the exact tie, kept $kept")
+  }
+
   test("tfRarity: rare terms outrank common ones, golden scores") {
     val docs = Seq((0L, "a a b"), (1L, "b c")).toDF("doc_id", "text")
     val out = TextAnalysis.tfRarity(docs, "doc_id", "text", k = 2)
