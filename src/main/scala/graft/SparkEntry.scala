@@ -1301,13 +1301,33 @@ object SparkEntry {
     "text_tf_rarity" -> ((s, dir) =>
       TextAnalysis.tfRarity(docs(s, dir), "doc_id", "text", k = 3)
         .orderBy("doc_id", "rank")),
-    // Hashed linear quality classifier: per-token weight lookup + exact
-    // bigint logit fold (micro-units) — the learned-filter gate as one
-    // narrow projection; stub weights stand in for a trained model.
-    "prep_quality_logit" -> ((s, dir) =>
-      TextAnalysis.qualityLogit(docs(s, dir), "doc_id", "text", dim = 64,
-        tokenHash = Dedup.oracleHash)
-        .orderBy("doc_id")),
+    // In-engine quality-gate training: one count pass of balanced
+    // Laplace-smoothed Naive-Bayes posteriors per hash bucket over a
+    // deterministically-labeled fixture (positive = lang 'en'), exact
+    // integer micro-unit weights out. The 64-row weight table IS the
+    // model — collect-able, versionable as a catalog table.
+    "prep_quality_train" -> ((s, dir) =>
+      TextAnalysis.trainQualityWeights(
+          docs(s, dir).select(col("doc_id"), col("text"),
+            (col("lang") === "en").cast("long").alias("y")),
+          "text", "y", dim = 64, tokenHash = Dedup.oracleHash)
+        .orderBy("bucket")),
+    // Hashed linear quality classifier scored with the IN-ENGINE-TRAINED
+    // weights (train on the lang-labeled fixture, then one narrow
+    // projection scores the corpus): per-token weight lookup + exact
+    // bigint logit fold. The 64-long collect is codebook-sized — the
+    // same driver-set class as IVF's probed cells.
+    "prep_quality_logit" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val w = TextAnalysis.trainQualityWeights(
+          d.select(col("doc_id"), col("text"),
+            (col("lang") === "en").cast("long").alias("y")),
+          "text", "y", dim = 64, tokenHash = Dedup.oracleHash)
+        .orderBy("bucket").collect().map(_.getAs[Long]("weight_micro")).toSeq
+      TextAnalysis.qualityLogit(d, "doc_id", "text", dim = 64,
+        weightsMicro = w, tokenHash = Dedup.oracleHash)
+        .orderBy("doc_id")
+    }),
     // ── Data quality ──
     "quality_report" -> ((s, dir) => {
       import graft.quality.Expectations._
@@ -1429,6 +1449,31 @@ object SparkEntry {
                                         c -> CAST(ascii(c) AS BIGINT))),
                        (a, c) -> (a * 31 + c) % 1000000007)) AS th
          FROM documents)"""
+
+  /** Balanced Laplace-smoothed NB posterior weights per token-hash bucket,
+    * trained on the lang='en' labeling — integer-exact arithmetic
+    * mirroring [[graft.ops.TextAnalysis.trainQualityWeights]] (`//` is
+    * DuckDB floor division; all operands positive, matching Spark's
+    * `div`). Composes after [[oracleTk]]. */
+  private def qualityWeightsCtes: String =
+    """lab AS (
+         SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+       bc AS (
+         SELECT h % 64 AS bucket, sum(l.y) AS pos_b, sum(1 - l.y) AS neg_b
+         FROM (SELECT doc_id, unnest(th) AS h FROM tk) u JOIN lab l USING (doc_id)
+         GROUP BY 1),
+       tot AS (
+         SELECT coalesce(sum(pos_b), 0) AS pt, coalesce(sum(neg_b), 0) AS nt FROM bc),
+       grid AS (SELECT unnest(range(0, 64)) AS bucket),
+       w AS (
+         SELECT g.bucket,
+                CAST(coalesce(pos_b, 0) AS BIGINT) AS pos_b,
+                CAST(coalesce(neg_b, 0) AS BIGINT) AS neg_b,
+                CAST((1000000 * (coalesce(pos_b, 0) + 1) * (nt + 64))
+                     // ((coalesce(pos_b, 0) + 1) * (nt + 64)
+                         + (coalesce(neg_b, 0) + 1) * (pt + 64))
+                     - 500000 AS BIGINT) AS weight_micro
+         FROM grid g LEFT JOIN bc ON bc.bucket = g.bucket CROSS JOIN tot)"""
 
   private val oracleSh =
     """sh AS (
@@ -4042,16 +4087,20 @@ object SparkEntry {
                 CAST(len(regexp_extract_all(text, '[A-Za-z0-9._]+@[A-Za-z0-9.]+'))
                      + len(regexp_extract_all(text, '[0-9]{4,}')) AS BIGINT) AS n_redactions
          FROM documents ORDER BY doc_id""",
+    "prep_quality_train" ->
+      s"""WITH $oracleTk,
+         $qualityWeightsCtes
+         SELECT bucket, pos_b, neg_b, weight_micro FROM w ORDER BY bucket""",
     "prep_quality_logit" ->
-      s"""WITH $oracleTk
+      s"""WITH $oracleTk,
+         $qualityWeightsCtes,
+         wl AS (SELECT list(weight_micro ORDER BY bucket) AS l FROM w)
          SELECT doc_id,
                 CAST(coalesce(list_sum(list_transform(th,
-                  h -> ((h % 64) * 2654435761 + 12345) % 1000000007 % 2000001
-                       - 1000000)), 0) AS BIGINT) AS logit_micro,
+                  h -> l[CAST(h % 64 AS INT) + 1])), 0) AS BIGINT) AS logit_micro,
                 CAST(coalesce(list_sum(list_transform(th,
-                  h -> ((h % 64) * 2654435761 + 12345) % 1000000007 % 2000001
-                       - 1000000)), 0) > 0 AS BOOLEAN) AS keep
-         FROM tk ORDER BY doc_id""",
+                  h -> l[CAST(h % 64 AS INT) + 1])), 0) > 0 AS BOOLEAN) AS keep
+         FROM tk CROSS JOIN wl ORDER BY doc_id""",
     "text_hash_embed" ->
       s"""WITH $oracleTk,
          e AS (SELECT doc_id, unnest(th) AS h FROM tk),

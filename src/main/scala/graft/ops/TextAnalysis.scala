@@ -305,22 +305,64 @@ object TextAnalysis {
     docs.select(col("doc_id"), fingerprint(col("text")).alias("fp"))
       .orderBy("doc_id")
 
-  /** Deterministic stand-in weights for [[qualityLogit]] — what a real
-    * deployment replaces with its trained model's micro-unit weights
-    * (the formula is the stub, the plumbing is the product). */
-  private[graft] def stubWeightsMicro(dim: Int): Seq[Long] =
-    (0 until dim).map(b =>
-      ((b.toLong * 2654435761L + 12345L) % 1000000007L) % 2000001L - 1000000L)
+  /** Train the [[qualityLogit]] weight vector IN-ENGINE from a labeled
+    * fixture — ONE count pass (explode tokens → bucket × label counts,
+    * the only shuffle) and a dim-row weight table out:
+    *
+    *   weight_micro(b) = ⌊10⁶ · P̂(pos | b)⌋ − 500000, with the balanced
+    *   Laplace-smoothed posterior
+    *   P̂(pos|b) = (pos_b+1)(negT+dim) / ((pos_b+1)(negT+dim) + (neg_b+1)(posT+dim))
+    *
+    * — the centered smoothed posterior under equal class priors. Its SIGN
+    * equals the sign of the per-bucket Naive-Bayes log-odds
+    * log((pos_b+1)/(posT+dim)) − log((neg_b+1)/(negT+dim)) (the logistic
+    * is monotone), and it is computed with INTEGER arithmetic only —
+    * `ln` is not bit-reproducible across engines (Java's Math.log and
+    * libm may differ in the last ulp), so true log-odds could not be
+    * hash-checked; the centered posterior can, exactly. Count longs are
+    * exact to ~2·10⁶ tokens per class at micro scale (10⁶·count·total <
+    * 2⁶³); widen the three products to DECIMAL(38,0) past that.
+    *
+    * Unseen buckets get the prior weight (counts 0). Returns
+    * (bucket, pos_b, neg_b, weight_micro) — `collect` the dim rows and
+    * pass them to [[qualityLogit]]; the trained gate replaces any
+    * hand-written stub. */
+  def trainQualityWeights(
+      labeled: DataFrame,
+      textCol: String,
+      labelCol: String,
+      dim: Int = 64,
+      tokenHash: Column => Column = graft.ops.Dedup.xxHash): DataFrame = {
+    val perTok = labeled.select(col(labelCol).cast("long").alias("__y"),
+        explode(tokens(col(textCol))).alias("__t"))
+      .select(col("__y"), pmod(tokenHash(col("__t")), lit(dim)).alias("bucket"))
+    val counts = perTok.groupBy(col("bucket"))
+      .agg(sum(col("__y")).alias("pos_b"), sum(lit(1L) - col("__y")).alias("neg_b"))
+    val totals = counts.agg(
+      sum(col("pos_b")).alias("__pt"), sum(col("neg_b")).alias("__nt"))
+    val grid = labeled.sparkSession.range(dim).select(col("id").alias("bucket"))
+    grid.join(counts, Seq("bucket"), "left").crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        coalesce(col("pos_b"), lit(0L)).alias("pos_b"),
+        coalesce(col("neg_b"), lit(0L)).alias("neg_b"),
+        coalesce(col("__pt"), lit(0L)).alias("__pt"),
+        coalesce(col("__nt"), lit(0L)).alias("__nt"))
+      .withColumn("weight_micro", expr(
+        s"""(CAST(1000000 AS BIGINT) * (pos_b + 1) * (__nt + $dim))
+            div ((pos_b + 1) * (__nt + $dim) + (neg_b + 1) * (__pt + $dim))
+            - CAST(500000 AS BIGINT)"""))
+      .select(col("bucket"), col("pos_b"), col("neg_b"), col("weight_micro"))
+  }
 
   /** Hashed-linear-classifier quality scoring — the fastText/CCNet-style
     * "does a learned filter keep this document" signal, scored at corpus
     * scale: each token hashes to one of `dim` weight buckets and the
     * document's logit is the sum of its tokens' weights. The weight
-    * vector is model data (broadcast-sized; the default is a
-    * deterministic stub — a real deployment passes its trained weights in
-    * micro-units), and the whole operator is one narrow codegen'd
-    * projection: tokenize → hash → `element_at` lookup → fold, zero
-    * shuffles, pipelined into the scan.
+    * vector is model data (broadcast-sized) — train it in-engine with
+    * [[trainQualityWeights]] or pass a model's micro-unit weights — and
+    * the whole operator is one narrow codegen'd projection: tokenize →
+    * hash → `element_at` lookup → fold, zero shuffles, pipelined into the
+    * scan.
     *
     * Arithmetic is EXACT: weights are integer micro-units (1e-6), the
     * logit a bigint sum — no float accumulation order to disagree on, so
@@ -333,10 +375,10 @@ object TextAnalysis {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      dim: Int = 64,
-      weightsMicro: Option[Seq[Long]] = None,
+      dim: Int,
+      weightsMicro: Seq[Long],
       tokenHash: Column => Column = graft.ops.Dedup.xxHash): DataFrame = {
-    val w = weightsMicro.getOrElse(stubWeightsMicro(dim))
+    val w = weightsMicro
     require(w.length == dim, s"need $dim weights, got ${w.length}")
     val warr = array(w.map(lit): _*)
     docs.select(

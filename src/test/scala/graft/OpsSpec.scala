@@ -380,13 +380,16 @@ class OpsSpec extends SparkSpec {
   test("qualityLogit: exact integer logit equals the hand-computed fold; " +
     "custom weights and empty docs behave") {
     val d = Seq((1L, "a b a"), (2L, ""), (3L, "zzz")).toDF("doc_id", "text")
-    // mirror the operator arithmetic directly (oracle polynomial hash)
+    // mirror the operator arithmetic directly (oracle polynomial hash);
+    // the deterministic stub weights live HERE — production trains real
+    // weights with TextAnalysis.trainQualityWeights
     def polyHash(w: String): Long =
       w.foldLeft(7L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
     def stubW(b: Long): Long =
       (b * 2654435761L + 12345L) % 1000000007L % 2000001L - 1000000L
-    val got = TextAnalysis.qualityLogit(d, "doc_id", "text",
-        tokenHash = ops.Dedup.oracleHash)
+    val stub = (0 until 64).map(b => stubW(b.toLong))
+    val got = TextAnalysis.qualityLogit(d, "doc_id", "text", dim = 64,
+        weightsMicro = stub, tokenHash = ops.Dedup.oracleHash)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
     val exp1 = Seq("a", "b", "a").map(w => stubW(polyHash(w) % 64)).sum
     val exp3 = stubW(polyHash("zzz") % 64)
@@ -394,11 +397,50 @@ class OpsSpec extends SparkSpec {
     assert(got(2L) == (0L, false), "empty doc scores the empty-sum logit")
     assert(got(3L) == (exp3, exp3 > 0))
     // caller-supplied weights: all-positive weights keep everything non-empty
-    val allPos = TextAnalysis.qualityLogit(d, "doc_id", "text",
-        weightsMicro = Some(Seq.fill(64)(1L)), tokenHash = ops.Dedup.oracleHash)
+    val allPos = TextAnalysis.qualityLogit(d, "doc_id", "text", dim = 64,
+        weightsMicro = Seq.fill(64)(1L), tokenHash = ops.Dedup.oracleHash)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(allPos == Map(1L -> 3L, 2L -> 0L, 3L -> 1L),
       "unit weights must count tokens exactly")
+  }
+
+  test("trainQualityWeights: hand-computed NB posterior weights; trained " +
+    "gate separates the classes it was trained on") {
+    // 2 positive docs of token 'aa', 2 negative of 'bb' — buckets differ
+    val labeled = Seq(
+      (1L, "aa aa aa", 1L), (2L, "aa aa", 1L),
+      (3L, "bb bb bb", 0L), (4L, "bb", 0L)
+    ).toDF("doc_id", "text", "y")
+    val w = TextAnalysis.trainQualityWeights(labeled, "text", "y", dim = 64,
+        tokenHash = ops.Dedup.oracleHash)
+      .collect().map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("pos_b"), r.getAs[Long]("neg_b"),
+          r.getAs[Long]("weight_micro"))).toMap
+    def polyHash(s: String): Long =
+      s.foldLeft(7L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    val bA = polyHash("aa") % 64
+    val bB = polyHash("bb") % 64
+    assert(bA != bB, "fixture tokens must land in distinct buckets")
+    // totals: pt = 5 'aa' instances, nt = 4 'bb' instances
+    def weight(pos: Long, neg: Long): Long =
+      1000000L * (pos + 1) * (4 + 64) /
+        ((pos + 1) * (4 + 64) + (neg + 1) * (5 + 64)) - 500000L
+    assert(w(bA) == ((5L, 0L, weight(5, 0))), s"got ${w(bA)}")
+    assert(w(bB) == ((0L, 4L, weight(0, 4))), s"got ${w(bB)}")
+    assert(w(bA)._3 > 0 && w(bB)._3 < 0,
+      "positive-class bucket weighs positive, negative negative")
+    // unseen bucket: prior-only weight (counts 0)
+    val unseen = (0 until 64).map(_.toLong)
+      .find(b => b != bA && b != bB).get
+    assert(w(unseen) == ((0L, 0L, weight(0, 0))))
+    // the trained gate keeps positives and drops negatives
+    val weights = TextAnalysis.trainQualityWeights(labeled, "text", "y",
+        dim = 64, tokenHash = ops.Dedup.oracleHash)
+      .orderBy("bucket").collect().map(_.getAs[Long]("weight_micro")).toSeq
+    val kept = TextAnalysis.qualityLogit(labeled, "doc_id", "text", dim = 64,
+        weightsMicro = weights, tokenHash = ops.Dedup.oracleHash)
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    assert(kept == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false))
   }
 
   test("tokens drop empties: trailing/leading/double spaces don't count") {
