@@ -586,8 +586,24 @@ object TrainPrep {
         batchSigs, historySigs.unionByName(batchSigs), numHashes, bands, minJaccard)
       .select("id_a", "id_b")
     val labels = graft.ops.Dedup.clustersIncremental(historyLabels, newPairs, maxIter)
-    val kept = historyGated.unionByName(survB)
-      .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+    manifestFromState(historyGated.unionByName(survB), labels, idCol, langCol, budget)
+  }
+
+  /** The manifest read-path over maintained corpus state: keep each
+    * near-dup component's representative (docs absent from `labels` are
+    * singletons and keep themselves), then split + pack. `gated` is the
+    * exact-dedup survivors table, `labels` the (id, cluster_id) component
+    * labelling — exactly the tables
+    * [[graft.streaming.Streams.sinkWithCorpusMaintenance]] maintains. */
+  def manifestFromState(
+      gated: DataFrame,
+      labels: DataFrame,
+      idCol: String,
+      langCol: String,
+      budget: Int = 512): DataFrame = {
+    val kept = gated
+      .join(labels.withColumnRenamed("id", idCol)
+        .select(col(idCol), col("cluster_id")), Seq(idCol), "left")
       .filter(coalesce(col("cluster_id"), col(idCol)) === col(idCol))
       .drop("cluster_id")
     packManifest(kept, idCol, langCol, budget)

@@ -475,6 +475,155 @@ object Streams {
       }
       .start()
 
+  /** Create the four corpus-state tables [[sinkWithCorpusMaintenance]]
+    * maintains, seeded empty (stream everything through the sink) —
+    * schemas come from running the real operators on zero rows, so they
+    * can never drift from what the sink writes:
+    *
+    *  - `<prefix>_gated`  — exact-dedup survivors' gated rows;
+    *  - `<prefix>_sigs`   — their minhash signatures;
+    *  - `<prefix>_labels` — APPEND-ONLY component-label deltas
+    *    (id, cluster_id, seq): a batch appends rows only for ids whose
+    *    label changed or is new, and readers resolve latest-seq-wins
+    *    ([[latestLabels]]) — the corpus-sized labelling is never
+    *    rewritten, the day's write is the day's changes;
+    *  - `<prefix>_bloom`  — the one-row OR-folded fingerprint filter.
+    */
+  def bootstrapCorpusState(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      dim: Int = graft.functions.BloomFunctions.DefaultBits,
+      numHashes: Int = graft.functions.BloomFunctions.DefaultHashes,
+      k: Int = 3,
+      sigHashes: Int = 32): Unit = {
+    import org.apache.spark.sql.types._
+    val emptyDocs = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField(idCol, LongType), StructField(textCol, StringType),
+        StructField(langCol, StringType))))
+    val g = graft.ops.TrainPrep.gatedFront(emptyDocs, idCol, textCol, langCol)
+    g.writeTo(s"${tablePrefix}_gated").using("parquet").createOrReplace()
+    graft.ops.Dedup.minhashSignatures(g.select(col(idCol), col("scrubbed")),
+        idCol, "scrubbed", k, sigHashes)
+      .writeTo(s"${tablePrefix}_sigs").using("parquet").createOrReplace()
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("id", LongType), StructField("cluster_id", LongType),
+          StructField("seq", LongType))))
+      .writeTo(s"${tablePrefix}_labels").using("parquet").createOrReplace()
+    emptyDocs.agg(graft.functions.BloomFunctions.bloom_agg(
+        xxhash64(col(idCol)), dim, numHashes).alias("bloom"))
+      .writeTo(s"${tablePrefix}_bloom").using("parquet").createOrReplace()
+  }
+
+  /** Latest-seq-wins resolution of the append-only label-delta table:
+    * (id, cluster_id) as of the newest delta per id. One groupBy over
+    * id+delta rows — delta volume, not corpus volume, per maintained id. */
+  def latestLabels(
+      spark: org.apache.spark.sql.SparkSession, tablePrefix: String): DataFrame =
+    spark.table(s"${tablePrefix}_labels")
+      .groupBy(col("id"))
+      .agg(max(struct(col("seq"), col("cluster_id"))).alias("__w"))
+      .select(col("id"), col("__w.cluster_id").alias("cluster_id"))
+
+  /** Streaming maintenance of the WHOLE incremental-corpus state
+    * ([[graft.ops.TrainPrep.incrementalFold]]'s inputs) — the
+    * training-data pipeline as a maintained system rather than a nightly
+    * rebuild. Each micro-batch:
+    *
+    *  1. gates narrowly ([[graft.ops.TrainPrep.gatedFront]]);
+    *  2. exact-dedups through the MAINTAINED bloom row (first-seen wins —
+    *     a fingerprint the corpus ever saw never re-enters);
+    *  3. probes the batch's band keys against the STORED signatures
+    *     ([[graft.ops.Dedup.minhashPairsAgainst]] — batch-proportional);
+    *  4. folds components ([[graft.ops.Dedup.clustersIncremental]]) and
+    *     appends only the CHANGED labels as deltas;
+    *  5. appends survivors + signatures, OR-folds the bloom row.
+    *
+    * Every write carries the batchId writer txn, so a replayed
+    * micro-batch re-commits nothing; and re-INGESTING already-seen docs
+    * is a pipeline-level no-op (they exact-dup the history). The current
+    * manifest is [[graft.ops.TrainPrep.manifestFromState]] over
+    * `<prefix>_gated` × [[latestLabels]] at any point — StreamingSpec
+    * proves it equals the batch [[graft.ops.TrainPrep
+    * .prepareCorpusNearDup]] over everything ingested, arrival-ordered. */
+  def sinkWithCorpusMaintenance(
+      docs: DataFrame,
+      tablePrefix: String,
+      checkpointDir: String,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      minJaccard: Double = 0.5,
+      k: Int = 3,
+      sigHashes: Int = 32,
+      bands: Int = 8,
+      numBits: Int = graft.functions.BloomFunctions.DefaultBits,
+      numHashes: Int = graft.functions.BloomFunctions.DefaultHashes,
+      tokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        graft.ops.Dedup.xxHash,
+      textHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        c => xxhash64(c),
+      maxIter: Int = 25): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.storage.GraftCatalog.{TxnAppIdOption, TxnVersionOption}
+        val spark = batch.sparkSession
+        def txnTo(t: String)(w: org.apache.spark.sql.DataFrameWriterV2[_]) = w
+          .option(TxnAppIdOption, s"$checkpointDir#$t")
+          .option(TxnVersionOption, batchId.toString)
+        val storedGated = spark.table(s"${tablePrefix}_gated")
+        val gb = graft.ops.TrainPrep.gatedFront(batch, idCol, textCol, langCol,
+          textHash = textHash)
+        // materialize each state delta BEFORE any table it reads is
+        // appended to (same discipline as the sketch sinks)
+        val survB = gb.join(
+          graft.ops.Dedup.incrementalBloom(storedGated, gb, Seq("__fp"), idCol,
+              numBits, numHashes,
+              precomputed = Some(spark.table(s"${tablePrefix}_bloom")))
+            .select(col(idCol)), Seq(idCol))
+          .localCheckpoint(true)
+        val batchSigs = graft.ops.Dedup.minhashSignatures(
+            survB.select(col(idCol), col("scrubbed")), idCol, "scrubbed",
+            k, sigHashes, tokenHash)
+          .localCheckpoint(true)
+        val newPairs = graft.ops.Dedup.minhashPairsAgainst(batchSigs,
+            spark.table(s"${tablePrefix}_sigs").unionByName(batchSigs),
+            sigHashes, bands, minJaccard)
+          .select("id_a", "id_b")
+        val cur = latestLabels(spark, tablePrefix).localCheckpoint(true)
+        val labels = graft.ops.Dedup.clustersIncremental(cur, newPairs, maxIter)
+        val delta = labels
+          .join(cur.withColumnRenamed("cluster_id", "__old"), Seq("id"), "left")
+          .filter(col("__old").isNull || col("__old") =!= col("cluster_id"))
+          .select(col("id"), col("cluster_id"), lit(batchId).alias("seq"))
+          .localCheckpoint(true)
+        val batchBloom = survB.agg(graft.functions.BloomFunctions.bloom_agg(
+          xxhash64(col("__fp")), numBits, numHashes).alias("bloom"))
+        val words = numBits / 64
+        val mergedBloom = spark.table(s"${tablePrefix}_bloom").alias("p")
+          .crossJoin(batchBloom.alias("b")) // 1 row × 1 row
+          .select(
+            when(size(col("p.bloom")) === words,
+              zip_with(col("p.bloom"), col("b.bloom"),
+                (a, b) => a.bitwiseOR(b)))
+            .otherwise(raise_error(format_string(
+              s"sinkWithCorpusMaintenance($tablePrefix): stored filter has " +
+                s"%s words, expected $words for numBits=$numBits",
+              size(col("p.bloom")))))
+            .alias("bloom"))
+          .localCheckpoint(true)
+        txnTo("gated")(survB.writeTo(s"${tablePrefix}_gated")).append()
+        txnTo("sigs")(batchSigs.writeTo(s"${tablePrefix}_sigs")).append()
+        txnTo("labels")(delta.writeTo(s"${tablePrefix}_labels")).append()
+        txnTo("bloom")(mergedBloom.writeTo(s"${tablePrefix}_bloom"))
+          .overwrite(lit(true))
+      }
+      .start()
+
   /** Streaming maintenance of a persisted IVF index
     * ([[graft.ops.VectorIndex]]): each micro-batch of new embeddings is
     * assigned against the FROZEN codebook and appended to the

@@ -207,6 +207,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming corpus maintenance: folded state manifests equal the " +
+    "batch pipeline over everything ingested; re-ingest is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory("graft-corpus").toString
+    spark.conf.set("spark.sql.catalog.corp", classOf[graft.storage.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.corp.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS corp.s")
+    Streams.bootstrapCorpusState(spark, "corp.s.docs", "doc_id", "text", "lang")
+    val all = graft.queries.Parity.t(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text", "lang")
+    val rows = all.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // arrival order: day d ingests docs with doc_id % 3 == d
+    def day(d: Int) = rows.filter(_._1 % 3 == d)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-corpus-ckpt").toString
+    val input = MemoryStream[(Long, String, String)]
+    val q = Streams.sinkWithCorpusMaintenance(
+      input.toDF().toDF("doc_id", "text", "lang"),
+      "corp.s.docs", ckpt, "doc_id", "text", "lang")
+    def refreshAll(): Unit = Seq("gated", "sigs", "labels", "bloom")
+      .foreach(t => spark.catalog.refreshTable(s"corp.s.docs_$t"))
+    def manifest(): org.apache.spark.sql.DataFrame =
+      graft.ops.TrainPrep.manifestFromState(
+        spark.table("corp.s.docs_gated"),
+        Streams.latestLabels(spark, "corp.s.docs"),
+        "doc_id", "lang")
+    try {
+      input.addData(day(0).toSeq: _*); q.processAllAvailable()
+      input.addData(day(1).toSeq: _*); q.processAllAvailable()
+      input.addData(day(2).toSeq: _*); q.processAllAvailable()
+      refreshAll()
+      // the maintained state's manifest == the batch pipeline over the
+      // full corpus with arrival-order priority (first seen wins)
+      val scratch = graft.ops.TrainPrep.prepareCorpusNearDup(
+        all, "doc_id", "text", "lang",
+        priority = pmod(col("doc_id"), lit(3)))
+      val got = manifest()
+      assert(got.exceptAll(scratch).isEmpty && scratch.exceptAll(got).isEmpty,
+        "folded corpus state must manifest exactly the batch pipeline")
+      // re-ingesting an already-seen day: every doc exact-dups history —
+      // state tables gain nothing, the manifest is unchanged
+      val gatedBefore = spark.table("corp.s.docs_gated").count()
+      val labelsBefore = spark.table("corp.s.docs_labels").count()
+      input.addData(day(1).toSeq: _*); q.processAllAvailable()
+      refreshAll()
+      assert(spark.table("corp.s.docs_gated").count() == gatedBefore,
+        "re-ingest must add no survivors")
+      assert(spark.table("corp.s.docs_labels").count() == labelsBefore,
+        "re-ingest must change no labels")
+      val again = manifest()
+      assert(again.exceptAll(scratch).isEmpty && scratch.exceptAll(again).isEmpty)
+    } finally q.stop()
+  }
+
   test("streaming bloom maintenance: a stored filter of the wrong size " +
     "fails the batch loudly instead of null-padding into a corrupt gate") {
     implicit val sqlCtx = spark.sqlContext
