@@ -74,8 +74,10 @@ object Bench {
     "dedup_incremental_bloom",
     // round-10: the incremental day composed end-to-end (bloom exact gate →
     // incremental near-dup fold → gate → re-pack) — the daily-pipeline
-    // cost profile as ONE measured query
-    "prep_corpus_incremental")
+    // cost profile as ONE measured query — and exact duplicate-span
+    // excision (the corpus-rewriting substring dedup: two narrow text
+    // passes around one hash-keyed aggregate)
+    "prep_corpus_incremental", "dedup_excise")
 
   /** Warm iterations per query; the median is reported. */
   val WarmIters = 3

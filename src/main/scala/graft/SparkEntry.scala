@@ -440,6 +440,14 @@ object SparkEntry {
       Dedup.spanDups(docs(s, dir), "doc_id", "text", k = 8, minDocs = 2,
           tokenHash = Dedup.oracleHash)
         .orderBy("doc_id")),
+    // Exact duplicate-span EXCISION (Lee et al. substring dedup): every
+    // 8-token window occurring more than once keeps its first occurrence
+    // (smallest (doc, pos)) and is cut elsewhere; the oracle rebuilds the
+    // cleaned text with the identical mask.
+    "dedup_excise" -> ((s, dir) =>
+      Dedup.exciseDuplicateSpans(docs(s, dir), "doc_id", "text", k = 8,
+          tokenHash = Dedup.oracleHash)
+        .orderBy("doc_id")),
     // DSIR-shaped importance weighting toward the English subset: hashed
     // unigram buckets, add-one smoothed frequency-ratio weight from exact
     // BIGINT sums. Bounded (1024-row) weight table broadcast; corpus
@@ -2101,6 +2109,46 @@ object SparkEntry {
        FROM shr s LEFT JOIN dup d USING (doc_id)
        ORDER BY doc_id"""
 
+  /** Mirrors `dedup_excise` ([[graft.ops.Dedup.exciseDuplicateSpans]]):
+    * same 8-token windows as [[spanDupsSql]], occurrence count >= 2 keeps
+    * the smallest (doc, pos) — encoded doc·10⁶+pos, exact while docs stay
+    * under a million tokens — and every other occurrence's window is cut;
+    * the cleaned text is rebuilt from the surviving token indices with
+    * the identical exists-mask. */
+  private def exciseSql: String =
+    s"""WITH $oracleTk,
+         ${shrCte(8)},
+         occ AS (
+           SELECT doc_id, i, hs[CAST(i + 1 AS INT)] AS h
+           FROM shr, UNNEST(range(0, len(hs))) AS t(i)),
+         dup AS (
+           SELECT h, min(doc_id * 1000000 + i) AS keep
+           FROM occ GROUP BY h HAVING count(*) >= 2),
+         cut AS (
+           SELECT o.doc_id, o.i
+           FROM occ o JOIN dup d USING (h)
+           WHERE o.doc_id * 1000000 + o.i <> d.keep),
+         cl AS (SELECT doc_id, list(i ORDER BY i) AS xs FROM cut GROUP BY doc_id),
+         tox AS (
+           SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS tw
+           FROM documents),
+         fin AS (
+           SELECT t.doc_id, t.tw, coalesce(c.xs, CAST([] AS BIGINT[])) AS xs
+           FROM tox t LEFT JOIN cl c USING (doc_id)),
+         kept AS (
+           SELECT doc_id,
+                  CAST(len(tw) AS BIGINT) AS n_tokens,
+                  list_transform(
+                    list_filter(range(0, len(tw)),
+                      i -> len(list_filter(xs, p -> p <= i AND i < p + 8)) = 0),
+                    i -> tw[CAST(i + 1 AS INT)]) AS kt
+           FROM fin)
+       SELECT doc_id, n_tokens,
+              CAST(n_tokens - len(kt) AS BIGINT) AS n_removed,
+              coalesce(array_to_string(kt, ' '), '') AS clean_text
+       FROM kept ORDER BY doc_id"""
+
   /** DSIR importance weights: hashed-unigram buckets (th % 1024), add-one
     * smoothed target/raw count sums — exactly
     * [[graft.ops.TrainPrep.importanceWeights]] under [[Dedup.oracleHash]]
@@ -3061,6 +3109,7 @@ object SparkEntry {
     "prep_decontaminate" -> decontaminateSql,
     "text_source_overlap" -> sourceOverlapSql,
     "dedup_span" -> spanDupsSql,
+    "dedup_excise" -> exciseSql,
     "prep_dsir" -> dsirSql,
     "text_bm25" -> bm25Sql,
     "text_pmi" ->

@@ -719,6 +719,62 @@ object Dedup {
       .withColumnRenamed("__id", idCol)
   }
 
+  /** EXACT duplicate-span EXCISION (Lee et al., arXiv:2107.06499 — the
+    * "deduplicating training data" substring pass): any `k`-token window
+    * whose hash occurs MORE THAN ONCE in the corpus (across docs or
+    * within one) keeps its FIRST occurrence (smallest (doc, pos)) and is
+    * cut from every other; overlapping cut windows merge implicitly.
+    * The complement to [[spanDups]], which only counts: this one rewrites
+    * the text. Output per doc: original token count, tokens removed, and
+    * the cleaned text (surviving tokens joined by single spaces —
+    * tokenizer-normalized, like every token-level op here).
+    *
+    * Scale shape: windows come from the narrow
+    * [[graft.functions.ShingleWindows]] expression (per-row loop, no
+    * shuffle); the occurrence count + first-occurrence argmin is ONE
+    * hash-keyed aggregate carrying (8-byte hash, id, pos) — never text;
+    * the cut positions come back as one doc-keyed aggregation (positions
+    * bounded by the doc's own length); and the excision itself is a
+    * per-row higher-order rewrite (`filter` × `exists` over the token
+    * index — O(len × cuts) per doc, the two-pointer merge is the
+    * book-length-doc refinement). The corpus text is touched exactly
+    * twice, both narrow: windowing and rewriting. */
+  def exciseDuplicateSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      tokenHash: Column => Column = xxHash): DataFrame = {
+    import graft.functions.SketchArrayExpressions.shingleWindows
+    val toks = TextAnalysis.tokens(col(textCol))
+    val base = docs.select(col(idCol).alias("__id"), toks.alias("__toks"))
+      .withColumn("__hs",
+        shingleWindows(transform(col("__toks"), t => tokenHash(t)), k))
+    val occ = base.select(col("__id"), posexplode(col("__hs")))
+      .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__sh")
+    val dup = occ.groupBy(col("__sh"))
+      .agg(count(lit(1)).alias("__n"),
+        min(struct(col("__id"), col("__pos"))).alias("__keep"))
+      .filter(col("__n") >= 2)
+    val cuts = occ.join(dup, Seq("__sh"))
+      .filter(!(col("__keep.__id") === col("__id") &&
+        col("__keep.__pos") === col("__pos")))
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_set(col("__pos"))).alias("__xs"))
+    val joined = base.join(cuts, Seq("__id"), "left")
+      .withColumn("__xs", coalesce(col("__xs"), array().cast("array<int>")))
+    val idxs = when(size(col("__toks")) === 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), size(col("__toks")) - 1))
+    val keptIdx = filter(idxs,
+      i => !exists(col("__xs"), p => p <= i && i < p + lit(k)))
+    joined.select(
+      col("__id").alias(idCol),
+      size(col("__toks")).cast("long").alias("n_tokens"),
+      (size(col("__toks")) - size(keptIdx)).cast("long").alias("n_removed"),
+      array_join(transform(keptIdx,
+        i => element_at(col("__toks"), i + 1)), " ").alias("clean_text"))
+  }
+
   /** Edit-distance near-duplicate pairs with prefix+length blocking: report
     * every doc pair whose texts are within `maxDist` Levenshtein edits, the
     * character-exact complement to the token-set sketches (MinHash/SimHash

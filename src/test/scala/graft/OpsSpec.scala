@@ -404,6 +404,40 @@ class OpsSpec extends SparkSpec {
       "unit weights must count tokens exactly")
   }
 
+  test("exciseDuplicateSpans: first occurrence survives, later ones cut; " +
+    "overlaps merge; whole-doc excision and short docs behave") {
+    val d = Seq(
+      (1L, "a b c d e f g h i j"),      // first occurrence of a..f
+      (2L, "x y a b c d e f q r"),      // shares the a..f span -> cut
+      (3L, "a b c d e f"),              // entirely a duplicate span
+      (4L, "tiny doc"),                 // shorter than k: untouched
+      (5L, "p q r s p q r s p q r s")   // WITHIN-doc repeat: keep first
+    ).toDF("doc_id", "text")
+    val out = ops.Dedup.exciseDuplicateSpans(d, "doc_id", "text", k = 3,
+        tokenHash = ops.Dedup.oracleHash)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("clean_text"))).toMap
+    // doc 1 holds every first occurrence of its windows -> untouched
+    assert(out(1L) == ((10L, 0L, "a b c d e f g h i j")))
+    // doc 2: windows (a b c)..(d e f) are dups; tokens a..f cut, x y q r stay
+    assert(out(2L) == ((10L, 6L, "x y q r")))
+    // doc 3: every window duplicated -> fully excised, empty text kept
+    assert(out(3L) == ((6L, 6L, "")))
+    assert(out(4L) == ((2L, 0L, "tiny doc")))
+    // doc 5: 12 tokens of period-4 repeats; every window after the first
+    // period duplicates an earlier one -> exactly the first 4 survive +
+    // whatever no duplicated window covers
+    val (n5, rm5, txt5) = out(5L)
+    assert(n5 == 12L && txt5.startsWith("p q r s") && rm5 == 12L - txt5.split(" ").length)
+    assert(rm5 >= 6L, s"later periods must be largely excised, removed $rm5")
+    // count preservation: removed + surviving == original, every doc
+    out.values.foreach { case (n, rm, txt) =>
+      val kept = if (txt.isEmpty) 0 else txt.split(" ").length
+      assert(kept + rm == n)
+    }
+  }
+
   test("trainQualityWeights: hand-computed NB posterior weights; trained " +
     "gate separates the classes it was trained on") {
     // 2 positive docs of token 'aa', 2 negative of 'bb' — buckets differ
