@@ -737,8 +737,12 @@ object Dedup {
     * bounded by the doc's own length); and the excision itself is a
     * per-row higher-order rewrite (`filter` × `exists` over the token
     * index — O(len × cuts) per doc, the two-pointer merge is the
-    * book-length-doc refinement). The corpus text is touched exactly
-    * twice, both narrow: windowing and rewriting. */
+    * book-length-doc refinement). The corpus text is scanned three
+    * times, all narrow (the window pass feeding the span aggregate, the
+    * window pass probing it, the rewrite) — re-scanning is deliberate:
+    * materializing the (hash, id, pos) table to save a scan would
+    * persist ~24 bytes per TOKEN, a corpus-sized intermediate.
+    * PlanSpec pins the shape. */
   def exciseDuplicateSpans(
       docs: DataFrame,
       idCol: String,

@@ -13,6 +13,22 @@ class PlanSpec extends SparkSpec {
   private def plan(q: String): String =
     SparkEntry.queries(q)(spark, sf).queryExecution.explainString(FormattedMode)
 
+  test("dedup_excise: span aggregates exchange hashes and positions only; " +
+    "three narrow corpus passes, no wide text movement") {
+    val p = plan("dedup_excise")
+    // exactly two data shuffles — the dup-hash aggregate and the per-doc
+    // cut-position aggregate — plus the final orderBy's range exchange;
+    // both carry (hash, id, pos)-sized rows, never tokens
+    assert(p.linesIterator.count(_.contains("Arguments: hashpartitioning")) == 2,
+      "expected exactly the two span-aggregate shuffles")
+    // both span aggregates partial-aggregate map-side before their shuffle
+    assert("SortAggregate".r.findAllIn(p).size + "ObjectHashAggregate".r.findAllIn(p).size >= 4)
+    // the corpus text is read by three NARROW passes (two windowing, one
+    // rewrite); the joins stay broadcast at this scale
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 3)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("q_slice: both predicates push into the parquet scan") {
     val p = plan("q_slice")
     assert(p.contains("EqualTo(c_mktsegment,BUILDING)"))
