@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, lit}
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
@@ -261,6 +262,91 @@ class PropertySpec extends SparkSpec {
       val want = finalRows.groupBy(_._1).map { case (g, vs) =>
         (g, vs.size.toLong, vs.map(_._2).sum) }.filter(_._2 > 0).toSet
       assert(got == want, s"incremental mismatch")
+    }
+  }
+
+  test("minhashPairsAgainst completeness: equals the full LSH filtered to " +
+    "pairs touching a batch doc, for any corpus split") {
+    // the daily pair-generation law the incremental corpus pipeline rides
+    // on: probing batch band keys against stored+batch signatures finds
+    // EXACTLY the full self-join's pairs with >= 1 batch end
+    val docG = for {
+      base <- Gen.chooseNum(0, 5)
+      tail <- word
+    } yield (0 until 6).map(j => s"t${base}x$j").mkString(" ") + " " + tail
+    samples(Gen.listOfN(14, docG), 5).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val sigs = ops.Dedup.minhashSignatures(docs, "doc_id", "text",
+        k = 2, numHashes = 16).localCheckpoint(false)
+      val full = ops.Dedup.minhashLshFromSigs(sigs, numHashes = 16,
+          bands = 4, minJaccard = 0.3)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batchIds = (0L until 14L).filter(_ % 3 == 0).toSet
+      val batchSigs = sigs.filter(col("mh_id").isInCollection(batchIds))
+      val got = ops.Dedup.minhashPairsAgainst(batchSigs, sigs,
+          numHashes = 16, bands = 4, minJaccard = 0.3)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = full.filter { case (a, b) =>
+        batchIds.contains(a) || batchIds.contains(b) }
+      assert(got == want, s"batch probe != filtered full join: $got vs $want")
+    }
+  }
+
+  test("exciseDuplicateSpans conservation: kept + removed = original, and " +
+    "every duplicated window loses all but its first occurrence") {
+    val docG = Gen.listOfN(8, Gen.oneOf("aa", "bb", "cc", "dd"))
+      .map(_.mkString(" "))
+    samples(Gen.listOfN(6, docG), 5).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val k = 2
+      val out = ops.Dedup.exciseDuplicateSpans(docs, "doc_id", "text", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3)))
+      out.foreach { case (_, n, rm, txt) =>
+        val kept = if (txt.isEmpty) 0 else txt.split(" ").length
+        assert(kept + rm == n, s"token conservation violated: $n $rm '$txt'")
+      }
+      // windows that occur once corpus-wide are never touched: a doc with
+      // entirely unique windows survives verbatim
+      val windows = texts.zipWithIndex.flatMap { case (t, i) =>
+        t.split(" ").sliding(k).map(w => w.mkString(" ") -> i) }
+      val dupWins = windows.groupBy(_._1).filter(_._2.size > 1).keySet
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val mine = t.split(" ").sliding(k).map(_.mkString(" ")).toSeq
+        if (mine.forall(w => !dupWins.contains(w))) {
+          val row = out.find(_._1 == i.toLong).get
+          assert(row._4 == t, s"doc with unique windows must be untouched")
+        }
+      }
+    }
+  }
+
+  test("trainQualityWeights invariants: counts total, weights centered in " +
+    "(-500000, 500000], flipping all labels negates nothing but the sign") {
+    val docG = for { t <- text; y <- Gen.oneOf(0L, 1L) } yield (t, y)
+    samples(Gen.listOfN(8, docG), 5).foreach { rows =>
+      val labeled = rows.zipWithIndex.map { case ((t, y), i) => (i.toLong, t, y) }
+        .toDF("doc_id", "text", "y")
+      val w = ops.TextAnalysis.trainQualityWeights(labeled, "text", "y", dim = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(w.length == 16, "one weight per bucket, always")
+      val totTokens = rows.map(_._1.split(" ").count(_.nonEmpty)).sum
+      assert(w.map(r => r._2 + r._3).sum == totTokens,
+        "bucket counts must total the corpus token instances")
+      w.foreach { case (_, _, _, wt) =>
+        assert(wt > -500000L && wt <= 500000L, s"weight out of range: $wt")
+      }
+      // label flip swaps pos/neg counts bucket-for-bucket
+      val flipped = ops.TextAnalysis.trainQualityWeights(
+          labeled.withColumn("y", lit(1L) - col("y")), "text", "y", dim = 16)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      w.foreach { case (b, p, ng, _) =>
+        assert(flipped(b) == ((ng, p)), s"flip must swap counts at bucket $b")
+      }
     }
   }
 
