@@ -82,6 +82,44 @@ object StreamBench {
         s"$cat.s.t", s"$cat.s.q", ckptOf(cat),
         Seq(graft.quality.Expectations.Unique("k")))
     }
+
+    // corpus-state maintenance: the heaviest sink — per batch it runs the
+    // gate, the bloom exact-dedup, the band probe against stored sigs,
+    // the incremental component fold, and four state-table commits
+    {
+      implicit val sqlCtx = spark.sqlContext
+      val wh = java.nio.file.Files.createTempDirectory("sb-corp-wh").toString
+      spark.conf.set("spark.sql.catalog.sbcorp",
+        classOf[graft.storage.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.sbcorp.warehouse", wh)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS sbcorp.s")
+      Streams.bootstrapCorpusState(spark, "sbcorp.s.docs", "doc_id", "text", "lang")
+      val docs: Array[(Long, String, String)] = spark.read
+        .parquet(s"$sfDir/documents.parquet")
+        .selectExpr("doc_id", "text", "lang")
+        .as[(Long, String, String)].collect()
+      val dSlices = docs.grouped(math.max(1, docs.length / batches)).toSeq
+      val input = MemoryStream[(Long, String, String)]
+      val q = Streams.sinkWithCorpusMaintenance(
+        input.toDF().toDF("doc_id", "text", "lang"),
+        "sbcorp.s.docs", ckptOf("sbcorp"), "doc_id", "text", "lang")
+      val lat = new scala.collection.mutable.ArrayBuffer[Double]
+      val t0 = System.nanoTime()
+      try {
+        dSlices.foreach { s =>
+          val b0 = System.nanoTime()
+          input.addData(s.toIndexedSeq)
+          q.processAllAvailable()
+          lat += (System.nanoTime() - b0) / 1e9
+        }
+      } finally q.stop()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val kept = spark.table("sbcorp.s.docs_gated").count()
+      val med = lat.sorted.apply(lat.size / 2)
+      println(f"[streambench] corpus_maintenance: ${docs.length} docs " +
+        f"($kept survivors) in $wall%.2f s = ${docs.length / wall}%.0f docs/s" +
+        f" (median batch ${med}%.3f s, max ${lat.max}%.3f s)")
+    }
     spark.stop()
   }
 
