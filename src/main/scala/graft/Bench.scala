@@ -93,6 +93,9 @@ object Bench {
     "dedup_simhash" -> ((s, dir) =>
       ops.Dedup.simhashDups(queries.Parity.t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 3)),
+    "dedup_excise" -> ((s, dir) =>
+      ops.Dedup.exciseDuplicateSpans(queries.Parity.t(s, dir, "documents"),
+        "doc_id", "text", k = 8)), // production xxhash64 shingles
     "prep_corpus" -> ((s, dir) =>
       ops.TrainPrep.prepareCorpus(queries.Parity.t(s, dir, "documents"),
         "doc_id", "text", "lang")), // default xxhash64 text fingerprint

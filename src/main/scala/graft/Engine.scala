@@ -48,9 +48,11 @@ object Engine {
     // Reference parity: idempotent same-date re-runs replace only the
     // run-date partition (breweries_bronze_processors.py:133).
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    // The driver testdata's events.ts is parquet TIMESTAMP(NANOS), which
-    // Spark's reader rejects by default; read it as nanos-since-epoch LONG
-    // (convert with timestamp_micros(ts div 1000) where event time matters).
+    // The driver testdata's events.ts has shipped as both TIMESTAMP(NANOS)
+    // — which Spark's reader rejects by default; this conf surfaces it as
+    // nanos-since-epoch LONG — and TIMESTAMP(MICROS, isAdjustedToUTC=0),
+    // which reads as TIMESTAMP_NTZ. Parity.eventsUs normalizes either
+    // shape to epoch-micros where event time matters.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Storage-partitioned joins: honor the KeyGroupedPartitioning that
     // GraftCatalog partitioned-table scans report, so equi-joins between

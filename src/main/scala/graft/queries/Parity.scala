@@ -16,8 +16,10 @@ import graft.Engine
   *    bits in both engines regardless of partial-aggregation order;
   *  - every query ORDER BYs a key column — cheap at these result sizes and
   *    immune to any order-sensitivity in the comparator;
-  *  - no raw TIMESTAMP columns in outputs (events.ts is parquet NANOS which
-  *    the two engines surface differently); dates are compared as DATE.
+  *  - no raw TIMESTAMP columns in outputs (events.ts has shipped as both
+  *    parquet NANOS and MICROS-NTZ, which the two engines surface
+  *    differently — [[eventsUs]] normalizes to epoch-micros BIGINT);
+  *    dates are compared as DATE.
   *
   * Scale notes are on each query — the plan shapes here (partial agg before
   * shuffle, broadcast dims, pushed filters) are the ones that survive 100 TB.
