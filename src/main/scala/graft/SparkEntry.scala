@@ -917,6 +917,13 @@ object SparkEntry {
       graft.ops.TrainPrep.mixtureSample(docs(s, dir), "lang", "doc_id",
           Map("en" -> 0.4, "zh" -> 0.2, "es" -> 0.2, "de" -> 0.1, "fr" -> 0.1))
         .select(col("doc_id"), col("lang")).orderBy("doc_id")),
+    // Temperature-flattened source mixing (p ∝ n^(1/2)) with exact-integer
+    // square-root weights and Hamilton largest-remainder quotas —
+    // cross-engine reproducible where pow/ln-based temperatures are not.
+    "prep_mixture_temperature" -> ((s, dir) =>
+      graft.ops.TrainPrep.temperatureMixture(docs(s, dir), "doc_id", "source",
+          total = 200L)
+        .orderBy("doc_id")),
     // Z-order layout key: min/max-binned Morton interleave over two
     // dimensions of events — the value Layout.cluster range-partitions by.
     // Pure integer arithmetic, reproduced bit-for-bit by the oracle.
@@ -3436,6 +3443,35 @@ object SparkEntry {
     "sim_cluster_sample" -> clusterSampleSql,
     "text_repetition" -> repetitionSql,
     "prep_mixture" -> mixtureSql,
+    "prep_mixture_temperature" ->
+      """WITH c AS (SELECT source, count(*) AS n_source FROM documents GROUP BY source),
+         wsrc AS (
+           SELECT source, n_source,
+                  CAST(floor(sqrt(n_source)) AS BIGINT) AS w FROM c),
+         tot AS (SELECT sum(w) AS tw FROM wsrc),
+         q0 AS (
+           SELECT source, n_source, w,
+                  (200 * w) // tw AS base, (200 * w) % tw AS rem
+           FROM wsrc, tot),
+         b AS (SELECT sum(base) AS sb FROM q0),
+         q1 AS (
+           SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS er
+           FROM q0),
+         q AS (
+           SELECT source,
+                  least(CASE WHEN er <= 200 - sb THEN base + 1 ELSE base END,
+                        n_source) AS quota
+           FROM q1, b),
+         r AS (
+           SELECT d.doc_id, d.source,
+                  row_number() OVER (PARTITION BY d.source
+                    ORDER BY (d.doc_id * 2654435761 + 40503) % 1000000007,
+                             d.doc_id) AS pick_rank
+           FROM documents d)
+         SELECT r.doc_id, r.source, CAST(r.pick_rank AS BIGINT) AS pick_rank
+         FROM r JOIN q USING (source)
+         WHERE r.pick_rank <= q.quota
+         ORDER BY r.doc_id""",
     "sim_topk_lsh" -> lshTopkSql,
     "sim_cosine_neardup" -> cosineNearDupSql,
     "multimodal_decode" -> multimodalDecodeSql,

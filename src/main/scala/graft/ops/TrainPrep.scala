@@ -676,6 +676,60 @@ object TrainPrep {
     * differ from [[splitByHash]]'s so sampling and split assignment stay
     * decorrelated.
     */
+  /** Temperature-flattened source mixing (the GPT-3/PaLM-style
+    * `p_s ∝ n_s^(1/T)` re-weighting at T = 2), with EXACT integer
+    * arithmetic end to end — every step is cross-engine reproducible:
+    *
+    *  - source weight `w_s = ⌊√n_s⌋`: IEEE-754 `sqrt` is CORRECTLY
+    *    ROUNDED (unlike `pow`/`ln`), so floor of it is the exact integer
+    *    square root for any count below 2⁵² in every engine;
+    *  - quotas by largest remainder: `base_s = ⌊N·w_s / W⌋` (integer
+    *    div), the `N − Σ base` leftovers go to the largest
+    *    `(N·w_s) mod W` (ties by source name) — the Hamilton
+    *    apportionment, all-integer;
+    *  - per-source picks in deterministic hash order (the splitByHash
+    *    multiplier), capped at the source's own size — a tiny source
+    *    whose flattened quota exceeds its population contributes all of
+    *    itself (one-pass; rerunning on the residual redistributes).
+    *
+    * Scale shape: two codebook-sized aggregates over source counts
+    * (window over #sources rows, not data), one broadcast quota join,
+    * one per-source WindowGroupLimit pick — the corpus never shuffles
+    * except the per-source rank. */
+  def temperatureMixture(
+      docs: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      total: Long): DataFrame = {
+    // the weight table is #sources rows — its two scalar totals are
+    // one-row driver lookups, the same bounded class as a probe set
+    val weighted = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).alias("n_source"))
+      .withColumn("__w", floor(sqrt(col("n_source"))).cast("long"))
+      .localCheckpoint(false)
+    val wSum = weighted.agg(sum(col("__w"))).head.getLong(0)
+    require(wSum > 0L, "temperatureMixture: empty corpus")
+    val quotas0 = weighted
+      .withColumn("__base", expr(s"(${total}L * __w) div ${wSum}L"))
+      .withColumn("__rem", expr(s"(${total}L * __w) % ${wSum}L"))
+    val bSum = quotas0.agg(sum(col("__base"))).head.getLong(0)
+    val er = Window.orderBy(col("__rem").desc, col(sourceCol).asc)
+    val quotas = quotas0
+      .withColumn("__er", row_number().over(er).cast("long"))
+      .withColumn("quota",
+        col("__base") + when(col("__er") <= lit(total - bSum), 1L)
+          .otherwise(0L))
+      .select(col(sourceCol), least(col("quota"), col("n_source")).alias("quota"))
+    val pick = Window.partitionBy(col(sourceCol))
+      .orderBy(pmod(col(idCol) * lit(2654435761L) + lit(40503L),
+        lit(1000000007L)).asc, col(idCol).asc)
+    docs.select(col(idCol), col(sourceCol))
+      .join(broadcast(quotas), Seq(sourceCol))
+      .withColumn("pick_rank", row_number().over(pick).cast("long"))
+      .filter(col("pick_rank") <= col("quota"))
+      .select(col(idCol), col(sourceCol), col("pick_rank"))
+  }
+
   def mixtureSample(
       df: DataFrame,
       sourceCol: String,

@@ -132,6 +132,33 @@ class TrainPrepSpec extends SparkSpec {
     assert(kept == Seq(7L), s"history must win the exact tie, kept $kept")
   }
 
+  test("temperatureMixture: sqrt weights flatten source skew; Hamilton " +
+    "quotas sum to the target; tiny sources cap at their size") {
+    // 900 / 100 / 4 docs: raw proportions 90/10/0.4%; sqrt weights
+    // 30/10/2 -> flattened 71/24/5%
+    val docs = ((0 until 900).map(i => (i.toLong, "big")) ++
+      (1000 until 1100).map(i => (i.toLong, "mid")) ++
+      (2000 until 2004).map(i => (i.toLong, "tiny")))
+      .toDF("doc_id", "source")
+    val out = graft.ops.TrainPrep.temperatureMixture(docs, "doc_id", "source",
+        total = 100L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+    val bySource = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // w = (30, 10, 2), W = 42: base = (71, 23, 4), rem = (18, 32, 32);
+    // 2 leftovers go to the largest remainders (mid, tiny by name order) —
+    // but tiny caps at its 4 docs, so the realized split is 71/24/4
+    assert(bySource("big") == 71, s"got $bySource")
+    assert(bySource("mid") == 24)
+    assert(bySource("tiny") == 4, "tiny source contributes all of itself")
+    // raw sampling would give big ~90: the flattening is the point
+    assert(bySource("big") < 80 && bySource("mid") > 15)
+    // picks are deterministic: same call, same docs
+    val again = graft.ops.TrainPrep.temperatureMixture(docs, "doc_id", "source",
+        total = 100L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+    assert(out.toSet == again.toSet)
+  }
+
   test("tfRarity: rare terms outrank common ones, golden scores") {
     val docs = Seq((0L, "a a b"), (1L, "b c")).toDF("doc_id", "text")
     val out = TextAnalysis.tfRarity(docs, "doc_id", "text", k = 2)
