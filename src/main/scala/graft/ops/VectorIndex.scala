@@ -135,12 +135,32 @@ object VectorIndex {
     * After a split, cold rows keep their old-codebook assignment (that is
     * the point — no corpus rewrite), so indexed results may differ from an
     * inline re-run under the new codebook; the recall trade is measured in
-    * VectorIndexSpec and SCALE.md. Returns the number of cells split. */
+    * VectorIndexSpec and SCALE.md.
+    *
+    * The publish is write-audit-publish, the same machinery as [[refresh]]:
+    * both the re-assigned lists and the new codebook are staged on a
+    * quarantine branch, the audit proves (a) every row survived, (b) every
+    * inverted list's cell id exists in the staged codebook (the
+    * crash-stranded state a naive two-commit publish can leave), (c) the
+    * hot region's members are exactly the parent's, and (d) search over
+    * the split index keeps `minAuditRecall` of the pre-split results on
+    * the sub-seed queries — only then do both branches fast-forward main.
+    * A crash or failed audit leaves main byte-identical (failed audit
+    * throws). The two merges publish codebook FIRST, then lists: in the
+    * window between them every stored row is still probeable (sub-cell #0
+    * inherits the parent id, so the old fat list pairs consistently with
+    * the new finer codebook) — the intermediate state degrades recall for
+    * one query at worst, never strands a row. Returns the number of cells
+    * split. */
   def splitHotCells(
       spark: SparkSession,
       tablePrefix: String,
       capFactor: Double = 4.0,
-      splitWays: Int = 4): Int = {
+      splitWays: Int = 4,
+      minAuditRecall: Double = 0.8,
+      auditK: Int = 5,
+      auditNprobe: Int = 3,
+      branch: String = "vidx_split"): Int = {
     require(splitWays >= 2, s"splitWays must be >= 2, got $splitWays")
     val assigned = spark.table(s"${tablePrefix}_assign")
     val centroids = spark.table(s"${tablePrefix}_centroids")
@@ -179,16 +199,78 @@ object VectorIndex {
       .groupBy(col("corpus_id"))
       .agg(first(col("vec")).alias("vec"), max(col("sc")).alias("best"))
       .select(col("corpus_id"), col("vec"), col("best.cid").alias("cell"))
-    reassigned.repartition(col("cell"))
-      .writeTo(s"${tablePrefix}_assign").overwritePartitions()
     // swap the fat parents' rows for the sub-centroids (codebook-sized
     // table; full replace is the cheap side of this operation)
     val kept = centroids.filter(!col("centroid_id").isInCollection(hot))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
     val newBook = (kept ++ subRows.map(t => (t._1, t._2))).toSeq
       .sortBy(_._1).toDF("centroid_id", "centvec")
-    newBook.writeTo(s"${tablePrefix}_centroids").using("parquet").createOrReplace()
-    hot.size
+    // ── write-audit-publish (same shape as refresh) ──
+    val (catC, idC) = catalogAndIdent(spark, s"${tablePrefix}_centroids")
+    val (catA, idA) = catalogAndIdent(spark, s"${tablePrefix}_assign")
+    // a crashed prior split may have left the quarantine branch behind; its
+    // staged state never published, so discarding it is the recovery
+    catC.dropBranch(idC, branch); catC.createBranch(idC, branch)
+    catA.dropBranch(idA, branch); catA.createBranch(idA, branch)
+    try {
+      newBook.writeTo(s"${tablePrefix}_centroids")
+        .option(graft.storage.GraftCatalog.BranchOption, branch)
+        .overwrite(lit(true))
+      reassigned.repartition(col("cell"))
+        .writeTo(s"${tablePrefix}_assign")
+        .option(graft.storage.GraftCatalog.BranchOption, branch)
+        .overwritePartitions()
+      // AUDIT — against the branch heads, the exact snapshots that publish
+      val bCent = spark.sql(
+        s"SELECT * FROM ${tablePrefix}_centroids VERSION AS OF '$branch'")
+      val bAssign = spark.sql(
+        s"SELECT * FROM ${tablePrefix}_assign VERSION AS OF '$branch'")
+      val nRows = sizes.values.sum
+      val rowsOk = bAssign.count() == nRows
+      // every inverted list must point at a live centroid — the exact
+      // inconsistency a partial two-table publish strands (codebook-sized
+      // driver sets on both sides)
+      val bookIds = bCent.select(col("centroid_id")).collect()
+        .map(_.getLong(0)).toSet
+      val listCells = bAssign.select(col("cell")).distinct().collect()
+        .map(_.getLong(0)).toSet
+      val closureOk = listCells.subsetOf(bookIds)
+      // hot membership preserved exactly: the sub-cells' union holds the
+      // parents' members, nothing more, nothing less (cold partitions are
+      // untouched by the dynamic overwrite, so this pins the whole change)
+      val subIds = subRows.map(_._1)
+      val hotBefore = assigned.filter(col("cell").isInCollection(hot))
+        .select(col("corpus_id"))
+      val hotAfter = bAssign.filter(col("cell").isInCollection(subIds))
+        .select(col("corpus_id"))
+      val membersOk = hotAfter.exceptAll(hotBefore).isEmpty &&
+        hotBefore.exceptAll(hotAfter).isEmpty
+      // recall gate on the sub-seed queries (hot-region members, already a
+      // codebook-sized driver set): the split index must keep
+      // minAuditRecall of what the fat-cell scan returned
+      val auditQ = subRows.map(t => (t._1, t._2))
+        .toDF("query_id", "qvec").localCheckpoint(false)
+      val preRes = searchOver(centroids, assigned, auditQ, auditK, auditNprobe)
+      val postRes = searchOver(bCent, bAssign, auditQ, auditK, auditNprobe)
+      val recall = Similarity.recallAtK(postRes, preRes)
+      val recallOk = recall >= minAuditRecall
+      if (!(rowsOk && closureOk && membersOk && recallOk)) {
+        catC.dropBranch(idC, branch); catA.dropBranch(idA, branch)
+        throw new IllegalStateException(
+          s"splitHotCells audit failed (rows=$rowsOk closure=$closureOk " +
+            s"members=$membersOk recall=$recall>=$minAuditRecall=$recallOk) " +
+            "— main left byte-identical, quarantine branch dropped")
+      }
+      // codebook first, then lists: between the merges the old fat list
+      // still pairs with a codebook that contains its cell id (sub-cell #0
+      // = parent), so no row is ever unreachable
+      catC.mergeBranch(idC, branch)
+      catA.mergeBranch(idA, branch)
+      catC.dropBranch(idC, branch); catA.dropBranch(idA, branch)
+      hot.size
+    } catch { case e: Throwable =>
+      catC.dropBranch(idC, branch); catA.dropBranch(idA, branch); throw e
+    }
   }
 
   /** Top-k by exact cosine inside the `nprobe` nearest cells per query,

@@ -150,6 +150,74 @@ class VectorIndexSpec extends SparkSpec {
     assert(spark.table("vidx.s.skew_assign").count() == 2002L)
   }
 
+  test("splitHotCells is write-audit-publish: a failed audit leaves both " +
+    "tables byte-identical; the merge-order window never strands a row") {
+    wh
+    import spark.implicits._
+    val dim = 16
+    def vec(i: Int): Seq[Float] =
+      if (i >= 1000)
+        (0 until dim).map(d =>
+          (if (d == 0) 10f else 0f) + ((i * 31 + d * 7) % 11 - 5) * 0.01f)
+      else (0 until dim).map(d => math.sin(i * 0.7 + d * 1.3).toFloat)
+    val corpus = (0 until 2000).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    VectorIndex.build(spark, corpus, "vec_id", "embedding",
+      "vidx.s.wap", numCentroids = 8, kmeansIters = 2)
+    val cat = spark.sessionState.catalogManager.catalog("vidx")
+      .asInstanceOf[GraftCatalog]
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val idA = Identifier.of(Array("s"), "wap_assign")
+    val idC = Identifier.of(Array("s"), "wap_centroids")
+    val snapA0 = cat.currentSnapshot(idA)
+    val snapC0 = cat.currentSnapshot(idC)
+    val bookBefore = spark.table("vidx.s.wap_centroids").collect().toSet
+    val assignBefore = spark.table("vidx.s.wap_assign").collect().toSet
+    // (b) failed audit: an unattainable recall floor makes the audit fail —
+    // the op throws, main's snapshots never move, the quarantine branch is
+    // gone, and both tables read back byte-identical
+    val ex = intercept[IllegalStateException] {
+      VectorIndex.splitHotCells(spark, "vidx.s.wap",
+        capFactor = 2.0, splitWays = 4, minAuditRecall = 1.1)
+    }
+    assert(ex.getMessage.contains("audit failed"))
+    assert(cat.currentSnapshot(idA) == snapA0 &&
+      cat.currentSnapshot(idC) == snapC0,
+      "a failed audit must not advance either table's main snapshot")
+    assert(cat.listRefs(idA).isEmpty && cat.listRefs(idC).isEmpty,
+      "the quarantine branch must be dropped on failure")
+    spark.catalog.refreshTable("vidx.s.wap_assign")
+    spark.catalog.refreshTable("vidx.s.wap_centroids")
+    assert(spark.table("vidx.s.wap_centroids").collect().toSet == bookBefore)
+    assert(spark.table("vidx.s.wap_assign").collect().toSet == assignBefore)
+    // now the real split publishes (staging happened on the branch; main
+    // moved only at the audited fast-forwards)
+    val nSplit = VectorIndex.splitHotCells(spark, "vidx.s.wap",
+      capFactor = 2.0, splitWays = 4)
+    assert(nSplit >= 1)
+    spark.catalog.refreshTable("vidx.s.wap_assign")
+    spark.catalog.refreshTable("vidx.s.wap_centroids")
+    assert(cat.listRefs(idA).isEmpty && cat.listRefs(idC).isEmpty)
+    // (a) the publish window: the codebook merges FIRST, so the only state
+    // a reader between the two commits can see is (new codebook, old
+    // lists). Reconstruct exactly that pair via time travel and prove the
+    // closure property the order buys: every old list's cell id is still a
+    // live centroid (sub-cell #0 inherited the parent id), so no stored
+    // row is unreachable in the window — the reader sees fully-old results
+    // or finer-codebook results, never a stranded row.
+    val oldLists = spark.sql(
+      s"SELECT * FROM vidx.s.wap_assign VERSION AS OF $snapA0")
+    val newBook = spark.table("vidx.s.wap_centroids")
+    val bookIds = newBook.select(col("centroid_id")).collect()
+      .map(_.getLong(0)).toSet
+    val oldCells = oldLists.select(col("cell")).distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(oldCells.subsetOf(bookIds),
+      s"window state must keep every old cell probeable: ${oldCells -- bookIds}")
+    // and the fully-new state preserved every row
+    assert(spark.table("vidx.s.wap_assign").count() == 2000L)
+  }
+
   test("refresh: drift gate recommends, WAP-committed retrain re-fits the " +
     "codebook, audit proves parity, recall recovers on drifted data") {
     wh
