@@ -180,6 +180,9 @@ object Bench {
         .write.mode("overwrite").parquet(s"$incStateDir/corpus_labels")
       survH.agg(graft.functions.BloomFunctions.bloom_agg(
           xxhash64(col("__fp"))).alias("bloom"))
+        .select(col("bloom"),
+          lit(graft.functions.BloomFunctions.DefaultBits).alias("num_bits"),
+          lit(graft.functions.BloomFunctions.DefaultHashes).alias("num_hashes"))
         .write.mode("overwrite").parquet(s"$incStateDir/corpus_bloom")
     }))
 

@@ -56,6 +56,8 @@ object BloomGateBench {
     val persisted = history
       .agg(bloom_agg(xxhash64(col("user_id"), col("event_type")), bits, 5)
         .alias("bloom"))
+      .select(col("bloom"), lit(bits).alias("num_bits"),
+        lit(5).alias("num_hashes"))
       .localCheckpoint(false)
 
     def time(label: String)(fn: => org.apache.spark.sql.DataFrame): (Long, Double) = {

@@ -891,26 +891,38 @@ object Dedup {
       precomputed: Option[DataFrame] = None): DataFrame = {
     import graft.functions.BloomFunctions.{bloom_agg, bloom_might_contain}
     val kh = xxhash64(keyCols.map(col): _*)
-    // `precomputed`: a persisted one-row (bloom: array<bigint>) frame —
-    // e.g. the table [[graft.streaming.Streams.sinkWithBloomMaintenance]]
-    // maintains — built with the SAME numBits/numHashes over the history's
-    // xxhash64 key hashes; the history table then isn't scanned to build
-    // the gate at all. The bitset length is the one parameter the frame
-    // itself can witness, and a mismatch is NOT a soft error: probing a
-    // filter built at different numBits indexes the wrong bits and yields
-    // FALSE NEGATIVES — dup rows skipping the exact join — so it fails the
-    // query loudly instead (numHashes is validated where the filter is
-    // persisted; see sinkWithBloomMaintenance's parameter row).
+    // `precomputed`: a persisted one-row (bloom: array<bigint>, num_bits:
+    // int, num_hashes: int) frame — e.g. the table
+    // [[graft.streaming.Streams.sinkWithBloomMaintenance]] maintains —
+    // built over the history's xxhash64 key hashes. BOTH build parameters
+    // ride with the bitset, and a mismatch is NOT a soft error: a filter
+    // built at different numBits indexes the wrong bits, and one built
+    // with different numHashes tests the wrong bit count — either way
+    // probes yield FALSE NEGATIVES (dup rows skipping the exact join) —
+    // so a mismatched filter fails the query loudly instead. With a
+    // matching filter the history table isn't scanned to build the gate
+    // at all.
     val words = numBits / 64
-    val bloom = precomputed.map(_.select(
-        when(size(col("bloom")) === words, col("bloom"))
+    val bloom = precomputed.map { pf =>
+      require(
+        pf.columns.contains("num_bits") && pf.columns.contains("num_hashes"),
+        "incrementalBloom: precomputed filter must carry its build " +
+          "parameters as (num_bits, num_hashes) columns next to the " +
+          "bitset — without them a numHashes mismatch is unwitnessable " +
+          "and probing would yield false negatives (missed duplicates)")
+      pf.select(
+        when(size(col("bloom")) === words &&
+            col("num_bits") === numBits && col("num_hashes") === numHashes,
+          col("bloom"))
           .otherwise(raise_error(format_string(
-            "incrementalBloom: precomputed filter has %s 64-bit words, " +
-              s"expected $words for numBits=$numBits — the filter was built " +
-              "with different parameters; probing it would yield false " +
-              "negatives (missed duplicates)", size(col("bloom")))))
-          .alias("__bloom")))
-      .getOrElse(history.agg(bloom_agg(kh, numBits, numHashes).alias("__bloom")))
+            "incrementalBloom: precomputed filter was built with " +
+              "num_bits=%s, num_hashes=%s (%s 64-bit words) but the probe " +
+              s"expects numBits=$numBits, numHashes=$numHashes ($words " +
+              "words) — probing it would yield false negatives (missed " +
+              "duplicates)",
+            col("num_bits"), col("num_hashes"), size(col("bloom")))))
+          .alias("__bloom"))
+    }.getOrElse(history.agg(bloom_agg(kh, numBits, numHashes).alias("__bloom")))
     val gated = batch
       .groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).alias(idCol), count(lit(1)).alias("n_batch_copies"))

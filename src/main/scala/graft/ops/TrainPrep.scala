@@ -543,8 +543,10 @@ object TrainPrep {
     *  - `historyLabels`: yesterday's converged component labels
     *    (id, cluster_id);
     *  - `bloom`: optionally, the maintained one-row fingerprint filter
-    *    ([[graft.streaming.Streams.sinkWithBloomMaintenance]]) so the
-    *    exact gate skips the history scan on the provably-new majority.
+    *    with its build parameters — (bloom, num_bits, num_hashes), the
+    *    row [[graft.streaming.Streams.sinkWithBloomMaintenance]] keeps —
+    *    so the exact gate skips the history scan on the provably-new
+    *    majority.
     *
     * The batch gates narrowly, exact-dedups through the Bloom gate
     * (first-seen wins), its pair generation probes batch band keys

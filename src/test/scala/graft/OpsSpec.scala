@@ -164,31 +164,45 @@ class OpsSpec extends SparkSpec {
     assert(saturated.exceptAll(plain).isEmpty && plain.exceptAll(saturated).isEmpty)
   }
 
-  test("incrementalBloom: a precomputed filter built at different numBits " +
-    "fails the query loudly instead of yielding false negatives") {
+  test("incrementalBloom: a precomputed filter built with different " +
+    "parameters fails the query loudly instead of yielding false negatives") {
     import graft.functions.BloomFunctions.bloom_agg
     val ev = Seq((1L, 10L, "a"), (2L, 11L, "b"), (3L, 12L, "c"))
       .toDF("event_id", "user_id", "event_type")
     val hist = ev.filter(col("event_id") <= 2)
     val batch = ev.filter(col("event_id") > 2)
-    // filter persisted at 128 bits; the query probes expecting 1024
-    val wrong = hist.agg(bloom_agg(
-      xxhash64(col("user_id"), col("event_type")), 128, 5).as("bloom"))
-    val ex = intercept[Throwable] {
+    def persistedAt(bits: Int, hashes: Int) = hist
+      .agg(bloom_agg(
+        xxhash64(col("user_id"), col("event_type")), bits, hashes).as("bloom"))
+      .select(col("bloom"), lit(bits).alias("num_bits"),
+        lit(hashes).alias("num_hashes"))
+    def probe(pf: org.apache.spark.sql.DataFrame): Unit =
       ops.Dedup.incrementalBloom(hist, batch, Seq("user_id", "event_type"),
         "event_id", numBits = 1 << 10, numHashes = 5,
-        precomputed = Some(wrong)).collect()
+        precomputed = Some(pf)).collect()
+    def chain(ex: Throwable): String = Iterator.iterate(ex)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    // filter persisted at 128 bits; the query probes expecting 1024
+    val exBits = intercept[Throwable] { probe(persistedAt(128, 5)) }
+    assert(chain(exBits).contains("precomputed filter") &&
+      chain(exBits).contains("false"),
+      s"expected the parameter-mismatch error, got: ${chain(exBits)}")
+    // SAME bitset size but a different numHashes: invisible to the bitset
+    // itself, still guaranteed false negatives — the carried parameter row
+    // is what witnesses it
+    val exHashes = intercept[Throwable] { probe(persistedAt(1 << 10, 3)) }
+    assert(chain(exHashes).contains("num_hashes=3"),
+      s"expected the numHashes-mismatch error, got: ${chain(exHashes)}")
+    // a bare (bloom)-only frame cannot witness numHashes at all — refused
+    // up front
+    val exBare = intercept[IllegalArgumentException] {
+      probe(persistedAt(1 << 10, 5).select(col("bloom")))
     }
-    val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
-      .map(_.getMessage).mkString(" | ")
-    assert(msgs.contains("precomputed filter") && msgs.contains("false"),
-      s"expected the parameter-mismatch error, got: $msgs")
+    assert(exBare.getMessage.contains("num_bits, num_hashes"))
     // matching parameters still pass (same precomputed shape)
-    val right = hist.agg(bloom_agg(
-      xxhash64(col("user_id"), col("event_type")), 1 << 10, 5).as("bloom"))
     val gated = ops.Dedup.incrementalBloom(hist, batch,
       Seq("user_id", "event_type"), "event_id", numBits = 1 << 10,
-      numHashes = 5, precomputed = Some(right))
+      numHashes = 5, precomputed = Some(persistedAt(1 << 10, 5)))
     val plain = ops.Dedup.incremental(hist, batch,
       Seq("user_id", "event_type"), "event_id")
     assert(gated.exceptAll(plain).isEmpty && plain.exceptAll(gated).isEmpty)
