@@ -452,21 +452,30 @@ object Streams {
             xxhash64(keyCols.map(col): _*), numBits, numHashes).alias("bloom"))
         // zip_with NULL-PADS on length mismatch — a stored row built with
         // different numBits would silently merge into a corrupt filter
-        // whose probes miss real duplicates. A mismatch fails the batch
-        // loudly (the checkpoint retries it after the operator is fixed).
+        // whose probes miss real duplicates; a different numHashes is
+        // invisible to the bitset but equally corrupting, which is why the
+        // stored row carries BOTH parameters as columns. A mismatch fails
+        // the batch loudly (the checkpoint retries it after the operator
+        // is fixed).
         val words = numBits / 64
         val merged = spark.table(bloomTable).alias("p")
           .crossJoin(batchBloom.alias("b")) // 1 row × 1 row
           .select(
-            when(size(col("p.bloom")) === words,
+            when(size(col("p.bloom")) === words &&
+                col("p.num_bits") === numBits &&
+                col("p.num_hashes") === numHashes,
               zip_with(col("p.bloom"), col("b.bloom"),
                 (a, b) => a.bitwiseOR(b)))
             .otherwise(raise_error(format_string(
-              s"sinkWithBloomMaintenance($bloomTable): stored filter has " +
-                s"%s 64-bit words, expected $words for numBits=$numBits — " +
-                "refusing to merge (null-padding would corrupt the gate)",
-              size(col("p.bloom")))))
-            .alias("bloom"))
+              s"sinkWithBloomMaintenance($bloomTable): stored filter was " +
+                "built with num_bits=%s, num_hashes=%s (%s 64-bit words) " +
+                s"but the sink runs at numBits=$numBits, " +
+                s"numHashes=$numHashes ($words words) — refusing to merge " +
+                "(a parameter mismatch would corrupt the gate)",
+              col("p.num_bits"), col("p.num_hashes"), size(col("p.bloom")))))
+            .alias("bloom"),
+            lit(numBits).alias("num_bits"),
+            lit(numHashes).alias("num_hashes"))
         merged.localCheckpoint(true) // materialize BEFORE truncating input
           .writeTo(bloomTable)
           .option(TxnAppIdOption, s"$checkpointDir#bloom")
@@ -487,7 +496,10 @@ object Streams {
     *    label changed or is new, and readers resolve latest-seq-wins
     *    ([[latestLabels]]) — the corpus-sized labelling is never
     *    rewritten, the day's write is the day's changes;
-    *  - `<prefix>_bloom`  — the one-row OR-folded fingerprint filter.
+    *  - `<prefix>_bloom`  — the one-row OR-folded fingerprint filter,
+    *    carrying its (num_bits, num_hashes) build parameters so every
+    *    probe/merge site can witness them (a mismatch means false
+    *    negatives, so it fails loudly instead).
     */
   def bootstrapCorpusState(
       spark: org.apache.spark.sql.SparkSession,
@@ -515,18 +527,51 @@ object Streams {
       .writeTo(s"${tablePrefix}_labels").using("parquet").createOrReplace()
     emptyDocs.agg(graft.functions.BloomFunctions.bloom_agg(
         xxhash64(col(idCol)), dim, numHashes).alias("bloom"))
+      .select(col("bloom"), lit(dim).alias("num_bits"),
+        lit(numHashes).alias("num_hashes"))
       .writeTo(s"${tablePrefix}_bloom").using("parquet").createOrReplace()
   }
 
   /** Latest-seq-wins resolution of the append-only label-delta table:
     * (id, cluster_id) as of the newest delta per id. One groupBy over
-    * id+delta rows — delta volume, not corpus volume, per maintained id. */
+    * the STORED delta rows — which is why the delta table needs a
+    * [[squashLabels]] cadence: without one the read side grows with every
+    * batch ever appended (O(all deltas)), with one it is O(corpus). */
   def latestLabels(
       spark: org.apache.spark.sql.SparkSession, tablePrefix: String): DataFrame =
     spark.table(s"${tablePrefix}_labels")
       .groupBy(col("id"))
       .agg(max(struct(col("seq"), col("cluster_id"))).alias("__w"))
       .select(col("id"), col("__w.cluster_id").alias("cluster_id"))
+
+  /** Compact the append-only label-delta table to ONE row per id — the
+    * checkpoint that bounds [[latestLabels]]'s read. Delta APPEND is the
+    * right per-batch write shape (the day's write is the day's changes),
+    * but the read side replays the whole delta history; squashing on a
+    * cadence rewrites `<prefix>_labels` to latest-(seq, cluster_id)-per-id
+    * under one truncating snapshot — the same maintenance class as
+    * [[graft.storage.GraftCatalog.compact]], and every resolved label is
+    * unchanged (latest-seq-wins over a squashed table is the identity;
+    * spec-proved). Each id keeps its winning `seq`, so deltas appended
+    * after the squash still resolve by the same rule. The `(appId,
+    * version)` writer txn makes a replayed squash a no-op. */
+  def squashLabels(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String,
+      txn: Option[(String, Long)] = None): Unit = {
+    val latest = spark.table(s"${tablePrefix}_labels")
+      .groupBy(col("id"))
+      .agg(max(struct(col("seq"), col("cluster_id"))).alias("__w"))
+      .select(col("id"), col("__w.cluster_id").alias("cluster_id"),
+        col("__w.seq").alias("seq"))
+      .localCheckpoint(true) // materialize BEFORE truncating the input
+    val w = latest.select(col("id"), col("cluster_id"), col("seq"))
+      .writeTo(s"${tablePrefix}_labels")
+    import graft.storage.GraftCatalog.{TxnAppIdOption, TxnVersionOption}
+    txn.fold(w) { case (app, v) =>
+      w.option(TxnAppIdOption, app).option(TxnVersionOption, v.toString)
+    }.overwrite(lit(true))
+  }
 
   /** Streaming maintenance of the WHOLE incremental-corpus state
     * ([[graft.ops.TrainPrep.incrementalFold]]'s inputs) — the
@@ -540,7 +585,11 @@ object Streams {
     *     ([[graft.ops.Dedup.minhashPairsAgainst]] — batch-proportional);
     *  4. folds components ([[graft.ops.Dedup.clustersIncremental]]) and
     *     appends only the CHANGED labels as deltas;
-    *  5. appends survivors + signatures, OR-folds the bloom row.
+    *  5. appends survivors + signatures, OR-folds the bloom row;
+    *  6. every `squashLabelsEvery` batches (0 = never), [[squashLabels]]
+    *     compacts the delta table to latest-per-id so the per-batch
+    *     [[latestLabels]] read stays O(corpus) instead of growing with
+    *     every delta ever appended.
     *
     * Every write carries the batchId writer txn, so a replayed
     * micro-batch re-commits nothing; and re-INGESTING already-seen docs
@@ -566,7 +615,8 @@ object Streams {
         graft.ops.Dedup.xxHash,
       textHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         c => xxhash64(c),
-      maxIter: Int = 25): org.apache.spark.sql.streaming.StreamingQuery =
+      maxIter: Int = 25,
+      squashLabelsEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -607,20 +657,31 @@ object Streams {
         val mergedBloom = spark.table(s"${tablePrefix}_bloom").alias("p")
           .crossJoin(batchBloom.alias("b")) // 1 row × 1 row
           .select(
-            when(size(col("p.bloom")) === words,
+            when(size(col("p.bloom")) === words &&
+                col("p.num_bits") === numBits &&
+                col("p.num_hashes") === numHashes,
               zip_with(col("p.bloom"), col("b.bloom"),
                 (a, b) => a.bitwiseOR(b)))
             .otherwise(raise_error(format_string(
-              s"sinkWithCorpusMaintenance($tablePrefix): stored filter has " +
-                s"%s words, expected $words for numBits=$numBits",
-              size(col("p.bloom")))))
-            .alias("bloom"))
+              s"sinkWithCorpusMaintenance($tablePrefix): stored filter was " +
+                "built with num_bits=%s, num_hashes=%s (%s words) but the " +
+                s"sink runs at numBits=$numBits, numHashes=$numHashes " +
+                s"($words words) — refusing to merge",
+              col("p.num_bits"), col("p.num_hashes"), size(col("p.bloom")))))
+            .alias("bloom"),
+            lit(numBits).alias("num_bits"),
+            lit(numHashes).alias("num_hashes"))
           .localCheckpoint(true)
         txnTo("gated")(survB.writeTo(s"${tablePrefix}_gated")).append()
         txnTo("sigs")(batchSigs.writeTo(s"${tablePrefix}_sigs")).append()
         txnTo("labels")(delta.writeTo(s"${tablePrefix}_labels")).append()
         txnTo("bloom")(mergedBloom.writeTo(s"${tablePrefix}_bloom"))
           .overwrite(lit(true))
+        // the squash rides its own writer txn (distinct appId), so a
+        // replayed batch re-runs neither the delta append nor the compact
+        if (squashLabelsEvery > 0 && (batchId + 1) % squashLabelsEvery == 0)
+          squashLabels(spark, tablePrefix,
+            txn = Some((s"$checkpointDir#labelsquash", batchId)))
       }
       .start()
 

@@ -174,9 +174,11 @@ class StreamingSpec extends SparkSpec {
     spark.conf.set("spark.sql.catalog.blm", classOf[graft.storage.GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.blm.warehouse", wh)
     spark.sql("CREATE NAMESPACE IF NOT EXISTS blm.s")
-    // initial state: the empty filter (all-zero bitset)
+    // initial state: the empty filter (all-zero bitset) with its build
+    // parameters riding alongside
     Seq.empty[(Long, String)].toDF("user_id", "event_type")
       .agg(bloom_agg(xxhash64(col("user_id"), col("event_type")), bits, 5).as("bloom"))
+      .select(col("bloom"), lit(bits).as("num_bits"), lit(5).as("num_hashes"))
       .writeTo("blm.s.filter").using("parquet").create()
     val ckpt = java.nio.file.Files.createTempDirectory("graft-bloom-ckpt").toString
     val input = MemoryStream[(Long, Long, String)]
@@ -260,6 +262,77 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("label squash: latest-per-id resolution unchanged, replayed squash " +
+    "is a no-op, post-squash deltas still win, sink cadence bounds the table") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory("graft-lsq").toString
+    spark.conf.set("spark.sql.catalog.lsq", classOf[graft.storage.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lsq.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lsq.s")
+    Streams.bootstrapCorpusState(spark, "lsq.s.docs", "doc_id", "text", "lang")
+    // a delta history with relabels: ids 1 and 2 change cluster across seqs
+    Seq((1L, 1L, 0L), (2L, 2L, 0L), (1L, 5L, 1L), (3L, 3L, 1L), (2L, 5L, 2L))
+      .toDF("id", "cluster_id", "seq")
+      .writeTo("lsq.s.docs_labels").append()
+    def labelsT() = { spark.catalog.refreshTable("lsq.s.docs_labels")
+      spark.table("lsq.s.docs_labels") }
+    val before = Streams.latestLabels(spark, "lsq.s.docs").collect().toSet
+    assert(labelsT().count() == 5)
+    Streams.squashLabels(spark, "lsq.s.docs", txn = Some(("t#sq", 7L)))
+    assert(labelsT().count() == 3, "squash must leave one row per id")
+    assert(Streams.latestLabels(spark, "lsq.s.docs").collect().toSet == before,
+      "squash must not change any resolved label")
+    // a replayed squash (same writer txn) commits nothing
+    val cat = spark.sessionState.catalogManager.catalog("lsq")
+      .asInstanceOf[graft.storage.GraftCatalog]
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val identL = Identifier.of(Array("s"), "docs_labels")
+    val snap = cat.currentSnapshot(identL)
+    Streams.squashLabels(spark, "lsq.s.docs", txn = Some(("t#sq", 7L)))
+    assert(cat.currentSnapshot(identL) == snap,
+      "a replayed squash must be a no-op commit")
+    // ids keep their winning seq through the squash, so later deltas with
+    // higher seqs still resolve by the same latest-seq-wins rule
+    Seq((1L, 9L, 8L)).toDF("id", "cluster_id", "seq")
+      .writeTo("lsq.s.docs_labels").append()
+    val resolved = Streams.latestLabels(spark, "lsq.s.docs")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resolved(1L) == 9L && resolved(2L) == 5L && resolved(3L) == 3L)
+    // cadence: the corpus sink squashing EVERY batch still manifests the
+    // batch pipeline exactly, and the delta table stays one-row-per-id
+    val wh2 = java.nio.file.Files.createTempDirectory("graft-lsq2").toString
+    spark.conf.set("spark.sql.catalog.lsq2", classOf[graft.storage.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lsq2.warehouse", wh2)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lsq2.s")
+    Streams.bootstrapCorpusState(spark, "lsq2.s.docs", "doc_id", "text", "lang")
+    val all = graft.queries.Parity.t(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text", "lang")
+    val rows = all.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-lsq-ckpt").toString
+    val input = MemoryStream[(Long, String, String)]
+    val q = Streams.sinkWithCorpusMaintenance(
+      input.toDF().toDF("doc_id", "text", "lang"),
+      "lsq2.s.docs", ckpt, "doc_id", "text", "lang", squashLabelsEvery = 1)
+    try {
+      input.addData(rows.filter(_._1 % 2 == 0).toSeq: _*); q.processAllAvailable()
+      input.addData(rows.filter(_._1 % 2 == 1).toSeq: _*); q.processAllAvailable()
+      Seq("gated", "sigs", "labels", "bloom")
+        .foreach(t => spark.catalog.refreshTable(s"lsq2.s.docs_$t"))
+      val got = graft.ops.TrainPrep.manifestFromState(
+        spark.table("lsq2.s.docs_gated"),
+        Streams.latestLabels(spark, "lsq2.s.docs"),
+        "doc_id", "lang")
+      val scratch = graft.ops.TrainPrep.prepareCorpusNearDup(
+        all, "doc_id", "text", "lang",
+        priority = pmod(col("doc_id"), lit(2)))
+      assert(got.exceptAll(scratch).isEmpty && scratch.exceptAll(got).isEmpty,
+        "squash-on-cadence must not change the manifested corpus")
+      val lbl = spark.table("lsq2.s.docs_labels")
+      assert(lbl.count() == lbl.select(col("id")).distinct().count(),
+        "with a squash cadence the delta table stays one row per id")
+    } finally q.stop()
+  }
+
   test("streaming bloom maintenance: a stored filter of the wrong size " +
     "fails the batch loudly instead of null-padding into a corrupt gate") {
     implicit val sqlCtx = spark.sqlContext
@@ -271,6 +344,7 @@ class StreamingSpec extends SparkSpec {
     // stored filter built at 64 bits (1 word); the sink runs at 1024 (16)
     Seq.empty[(Long, String)].toDF("user_id", "event_type")
       .agg(bloom_agg(xxhash64(col("user_id"), col("event_type")), 64, 5).as("bloom"))
+      .select(col("bloom"), lit(64).as("num_bits"), lit(5).as("num_hashes"))
       .writeTo("blmm.s.filter").using("parquet").create()
     val ckpt = java.nio.file.Files.createTempDirectory("graft-bloommis-ckpt").toString
     val input = MemoryStream[(Long, Long, String)]
