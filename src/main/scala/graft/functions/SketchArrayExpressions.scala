@@ -449,9 +449,71 @@ case class SrpKeys(child: Expression, dim: Int, bits: Int, tables: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** `excise_keep_indices(n_tokens, cuts, k)`: the surviving token indices
+  * of [[graft.ops.Dedup.exciseDuplicateSpans]]'s rewrite — every index not
+  * covered by any cut window `[p, p+k)` for a start `p` in the SORTED cut
+  * array. The sorted-cuts two-pointer merge: one forward pass over the
+  * token indices advancing a cursor through the cuts and carrying the
+  * furthest covered end — O(n + cuts) per row, vs the O(n × cuts) a
+  * `filter(idxs, i -> exists(cuts, ...))` HOF spelling pays (quadratic
+  * for a book-length doc dense with duplicated spans, the exact shape the
+  * excision pass exists for at crawl scale). */
+case class ExciseKeepIndices(left: Expression, right: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (IntegerType, ArrayType(IntegerType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(
+          s"$prettyName requires (int, array<int>), got ($l, $r)")
+    }
+
+  def compute(n: Int, cuts: ArrayData): Any = {
+    val m = cuts.numElements()
+    val out = new Array[Int](math.max(n, 0))
+    var c = 0        // cursor into the sorted cut starts
+    var coverEnd = 0 // exclusive end of the furthest cut window started
+    var kept = 0
+    var i = 0
+    while (i < n) {
+      while (c < m && cuts.getInt(c) <= i) {
+        val e = cuts.getInt(c) + k
+        if (e > coverEnd) coverEnd = e
+        c += 1
+      }
+      if (i >= coverEnd) { out(kept) = i; kept += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, kept))
+  }
+
+  override def nullSafeEval(n: Any, cuts: Any): Any =
+    compute(n.asInstanceOf[Int], cuts.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj(prettyName, this, classOf[ExciseKeepIndices].getName)
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+    nullSafeCodeGen(ctx, ev, (n, cuts) =>
+      s"${ev.value} = (${CodeGenerator.javaType(dataType)}) $self.compute($n, $cuts);")
+  }
+
+  override def prettyName: String = "excise_keep_indices"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object SketchArrayExpressions {
   def shingleWindows(th: Column, k: Int): Column =
     Shims.column(ShingleWindows(Shims.expression(th), k))
+  def exciseKeepIndices(nTokens: Column, cuts: Column, k: Int): Column =
+    Shims.column(ExciseKeepIndices(
+      Shims.expression(nTokens), Shims.expression(cuts), k))
   def minhashArray(sh: Column, numHashes: Int): Column =
     Shims.column(MinhashArray(Shims.expression(sh), numHashes))
   def simhashArray(th: Column): Column =

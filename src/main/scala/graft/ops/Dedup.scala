@@ -734,10 +734,12 @@ object Dedup {
     * shuffle); the occurrence count + first-occurrence argmin is ONE
     * hash-keyed aggregate carrying (8-byte hash, id, pos) — never text;
     * the cut positions come back as one doc-keyed aggregation (positions
-    * bounded by the doc's own length); and the excision itself is a
-    * per-row higher-order rewrite (`filter` × `exists` over the token
-    * index — O(len × cuts) per doc, the two-pointer merge is the
-    * book-length-doc refinement). The corpus text is scanned three
+    * bounded by the doc's own length); and the excision itself is the
+    * sorted-cuts two-pointer merge
+    * ([[graft.functions.ExciseKeepIndices]] — O(len + cuts) per doc; a
+    * `filter` × `exists` HOF spelling is O(len × cuts), quadratic on the
+    * book-length dense-dup docs this pass exists for — measured in
+    * SCALE.md §excise). The corpus text is scanned three
     * times, all narrow (the window pass feeding the span aggregate, the
     * window pass probing it, the rewrite) — re-scanning is deliberate:
     * materializing the (hash, id, pos) table to save a scan would
@@ -767,10 +769,8 @@ object Dedup {
       .agg(sort_array(collect_set(col("__pos"))).alias("__xs"))
     val joined = base.join(cuts, Seq("__id"), "left")
       .withColumn("__xs", coalesce(col("__xs"), array().cast("array<int>")))
-    val idxs = when(size(col("__toks")) === 0, array().cast("array<int>"))
-      .otherwise(sequence(lit(0), size(col("__toks")) - 1))
-    val keptIdx = filter(idxs,
-      i => !exists(col("__xs"), p => p <= i && i < p + lit(k)))
+    val keptIdx = graft.functions.SketchArrayExpressions
+      .exciseKeepIndices(size(col("__toks")), col("__xs"), k)
     joined.select(
       col("__id").alias(idCol),
       size(col("__toks")).cast("long").alias("n_tokens"),

@@ -325,6 +325,50 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("exciseDuplicateSpans on a dense long doc: two-pointer rewrite " +
+    "matches a reference interval-cover computation") {
+    // a book-length doc built from a tiny vocabulary: nearly every window
+    // is duplicated, so the cut list is dense — the shape where the old
+    // O(len × cuts) HOF rewrite went quadratic and the two-pointer merge
+    // must stay exact
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val rng = new scala.util.Random(42)
+    val longDoc = Seq.fill(3000)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    val uniqueDoc = (0 until 50).map(i => s"u$i").mkString(" ")
+    val docs = Seq((0L, longDoc), (1L, longDoc), (2L, uniqueDoc))
+      .toDF("doc_id", "text")
+    val k = 3
+    val out = ops.Dedup.exciseDuplicateSpans(docs, "doc_id", "text", k)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // reference: compute duplicated windows and the covered index set
+    // directly (first (doc, pos) occurrence survives, all others cut)
+    val toks = Map(0L -> longDoc.split(" "), 1L -> longDoc.split(" "),
+      2L -> uniqueDoc.split(" "))
+    val occ = for {
+      (id, ts) <- toks.toSeq; i <- 0 to ts.length - k
+    } yield (ts.slice(i, i + k).mkString(" "), (id, i))
+    val first = occ.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val dupWins = occ.groupBy(_._1).filter(_._2.size > 1).keySet
+    toks.foreach { case (id, ts) =>
+      val cut = (0 to ts.length - k).filter { i =>
+        val w = ts.slice(i, i + k).mkString(" ")
+        dupWins.contains(w) && first(w) != ((id, i))
+      }
+      val covered = cut.flatMap(p => p until p + k).toSet
+      val expectKept = ts.indices.filterNot(covered)
+      val (n, rm, txt) = out(id)
+      assert(n == ts.length)
+      assert(rm == covered.size, s"doc $id: removed $rm vs ${covered.size}")
+      assert(txt == expectKept.map(ts).mkString(" "), s"doc $id text mismatch")
+    }
+    // conservation still holds on the dense fixture
+    out.values.foreach { case (n, rm, txt) =>
+      val kept = if (txt.isEmpty) 0 else txt.split(" ").length
+      assert(kept + rm == n)
+    }
+  }
+
   test("trainQualityWeights invariants: counts total, weights centered in " +
     "(-500000, 500000], flipping all labels negates nothing but the sign") {
     val docG = for { t <- text; y <- Gen.oneOf(0L, 1L) } yield (t, y)
