@@ -319,9 +319,14 @@ object TextAnalysis {
     * is monotone), and it is computed with INTEGER arithmetic only —
     * `ln` is not bit-reproducible across engines (Java's Math.log and
     * libm may differ in the last ulp), so true log-odds could not be
-    * hash-checked; the centered posterior can, exactly. Count longs are
-    * exact to ~2·10⁶ tokens per class at micro scale (10⁶·count·total <
-    * 2⁶³); widen the three products to DECIMAL(38,0) past that.
+    * hash-checked; the centered posterior can, exactly. The three
+    * products are computed in DECIMAL(38,0) unconditionally: in BIGINT
+    * they overflow silently past ~2·10⁶ tokens per class
+    * (10⁶·count·total > 2⁶³ — far below a production corpus), while the
+    * decimal spelling is exact to ~10¹⁶ tokens per class and DuckDB's
+    * HUGEINT oracle agrees bit-for-bit (overflow regression in
+    * TextAnalysisSpec). `div` truncates the decimal ratio back to the
+    * BIGINT micro-weight.
     *
     * Unseen buckets get the prior weight (counts 0). Returns
     * (bucket, pos_b, neg_b, weight_micro) — `collect` the dim rows and
@@ -348,8 +353,9 @@ object TextAnalysis {
         coalesce(col("__pt"), lit(0L)).alias("__pt"),
         coalesce(col("__nt"), lit(0L)).alias("__nt"))
       .withColumn("weight_micro", expr(
-        s"""(CAST(1000000 AS BIGINT) * (pos_b + 1) * (__nt + $dim))
-            div ((pos_b + 1) * (__nt + $dim) + (neg_b + 1) * (__pt + $dim))
+        s"""(CAST(1000000 AS DECIMAL(38,0)) * (pos_b + 1) * (__nt + $dim))
+            div (CAST(pos_b + 1 AS DECIMAL(38,0)) * (__nt + $dim)
+                 + CAST(neg_b + 1 AS DECIMAL(38,0)) * (__pt + $dim))
             - CAST(500000 AS BIGINT)"""))
       .select(col("bucket"), col("pos_b"), col("neg_b"), col("weight_micro"))
   }

@@ -491,6 +491,43 @@ class OpsSpec extends SparkSpec {
     assert(kept == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false))
   }
 
+  test("trainQualityWeights: products widen to DECIMAL(38,0) — no silent " +
+    "BIGINT overflow past ~2M tokens per class") {
+    // 310 positive docs x 10k 'aa' + 310 negative x 10k 'bb' puts
+    // 10^6·(pos_b+1)·(nt+dim) past Long.MaxValue — the BIGINT spelling
+    // silently wrapped (sign-flipped weights); the DECIMAL(38,0) products
+    // must stay exact
+    val posText = Array.fill(10000)("aa").mkString(" ")
+    val negText = Array.fill(10000)("bb").mkString(" ")
+    val labeled = spark.range(620).select(
+      col("id").alias("doc_id"),
+      when(col("id") < 310, lit(posText)).otherwise(lit(negText)).alias("text"),
+      when(col("id") < 310, lit(1L)).otherwise(lit(0L)).alias("y"))
+    val pt = BigInt(310) * 10000; val nt = BigInt(310) * 10000
+    assert(BigInt(1000000) * (pt + 1) * (nt + 64) > BigInt(Long.MaxValue),
+      "fixture must exceed the BIGINT product range")
+    val w = TextAnalysis.trainQualityWeights(labeled, "text", "y", dim = 64,
+        tokenHash = ops.Dedup.oracleHash)
+      .collect().map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("pos_b"), r.getAs[Long]("neg_b"),
+          r.getAs[Long]("weight_micro")))).toMap
+    def polyHash(s: String): Long =
+      s.foldLeft(7L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    val bA = polyHash("aa") % 64
+    val bB = polyHash("bb") % 64
+    def weight(pos: BigInt, neg: BigInt): Long =
+      ((BigInt(1000000) * (pos + 1) * (nt + 64)) /
+        ((pos + 1) * (nt + 64) + (neg + 1) * (pt + 64)) - 500000).toLong
+    assert(w(bA) == ((pt.toLong, 0L, weight(pt, 0))), s"got ${w(bA)}")
+    assert(w(bB) == ((0L, nt.toLong, weight(0, nt))), s"got ${w(bB)}")
+    assert(w(bA)._3 > 0 && w(bB)._3 < 0,
+      "a wrapped product would flip these signs")
+    // -500000 itself is attainable here: with pos_b = 0 against a huge
+    // negative class the floored posterior is exactly 0
+    w.values.foreach { case (_, _, v) =>
+      assert(v >= -500000L && v <= 500000L, s"weight out of range: $v") }
+  }
+
   test("tokens drop empties: trailing/leading/double spaces don't count") {
     val d3 = Seq((20L, " a  b c ")).toDF("doc_id", "text")
     assert(TextAnalysis.tokenCount(d3).collect().head.getAs[Long]("n_tokens") == 3L)
