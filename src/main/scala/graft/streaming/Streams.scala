@@ -690,20 +690,83 @@ object Streams {
     * assigned against the FROZEN codebook and appended to the
     * cell-partitioned inverted lists — the day's index cost is the day's
     * vectors, served queries see them at the next batch boundary, and the
-    * batchId writer txn makes replays no-ops. Codebook drift is handled
-    * the way production ANN stores do: periodic re-[[graft.ops.VectorIndex
-    * .build]], not per-batch refits. */
+    * batchId writer txn makes replays no-ops.
+    *
+    * With `maintainEvery > 0` the sink also CLOSES the maintenance loop
+    * every that-many batches (the gates the index owns but an append-only
+    * sink never consulted):
+    *
+    *  - [[graft.ops.VectorIndex.refreshRecommended]] reads the batch's
+    *    assignment-fit against the frozen codebook; on fire it runs the
+    *    full [[graft.ops.VectorIndex.refresh]] — retrain, re-assign,
+    *    write-audit-publish, so queries only ever see the old index or
+    *    the audited new one, never a partial state;
+    *  - `splitCapFactor > 0` additionally runs
+    *    [[graft.ops.VectorIndex.splitHotCells]] (itself WAP-committed),
+    *    bounding any inverted list a skewed stream grows past the cap.
+    *
+    * Actions are recorded in `<prefix>_maintenance` (batch_id, action)
+    * under the batch's writer txn — replays re-run no maintenance and
+    * re-log nothing. The gate checks cost a corpus-SAMPLE pass plus a
+    * codebook-bounded size aggregate (not batch-proportional), which is
+    * exactly why they ride a cadence instead of every batch; appends
+    * between maintenance batches stay the day's-rows cost. */
   def sinkWithIndexMaintenance(
       embeddings: DataFrame,
       idCol: String,
       vecCol: String,
       tablePrefix: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointDir: String,
+      maintainEvery: Int = 0,
+      driftThreshold: Double = 0.2,
+      splitCapFactor: Double = 0.0,
+      numCentroids: Int = 16,
+      kmeansIters: Int = 2,
+      samplePerMille: Int = 100): org.apache.spark.sql.streaming.StreamingQuery =
     embeddings.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ops.VectorIndex.append(batch.sparkSession, batch, idCol, vecCol,
+        import graft.storage.GraftCatalog.{TxnAppIdOption, TxnVersionOption}
+        val spark = batch.sparkSession
+        // the batch feeds both the drift gate and the append — pin it so
+        // the source isn't re-read across the two consumers
+        val b = if (maintainEvery > 0) batch.localCheckpoint(true) else batch
+        // gate BEFORE append: the question is whether the INCOMING batch
+        // fits the codebook as-it-stands — appending first would fold the
+        // batch into the very corpus sample it is compared against
+        val maintaining = maintainEvery > 0 && (batchId + 1) % maintainEvery == 0
+        val driftFired = maintaining &&
+          graft.ops.VectorIndex.refreshRecommended(spark, b, idCol, vecCol,
+            tablePrefix, threshold = driftThreshold,
+            samplePerMille = samplePerMille)
+        graft.ops.VectorIndex.append(spark, b, idCol, vecCol,
           tablePrefix, txn = Some((s"$checkpointDir#vidx", batchId)))
+        if (maintaining) {
+          val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+          if (driftFired) {
+            val published = graft.ops.VectorIndex.refresh(spark, tablePrefix,
+              numCentroids = numCentroids, kmeansIters = kmeansIters,
+              samplePerMille = samplePerMille)
+            actions += (if (published) "refresh" else "refresh_audit_failed")
+          }
+          if (splitCapFactor > 0) {
+            val nSplit = graft.ops.VectorIndex.splitHotCells(spark, tablePrefix,
+              capFactor = splitCapFactor)
+            if (nSplit > 0) actions += s"split:$nSplit"
+          }
+          if (actions.nonEmpty) {
+            import spark.implicits._
+            val log = actions.toSeq.map(a => (batchId, a))
+              .toDF("batch_id", "action")
+            val t = s"${tablePrefix}_maintenance"
+            if (!spark.catalog.tableExists(t))
+              log.writeTo(t).using("parquet").create()
+            else log.writeTo(t)
+              .option(TxnAppIdOption, s"$checkpointDir#vidxmaint")
+              .option(TxnVersionOption, batchId.toString)
+              .append()
+          }
+        }
       }
       .start()
 

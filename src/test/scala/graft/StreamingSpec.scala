@@ -400,6 +400,81 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming IVF maintenance loop: drift gate fires once, WAP refresh " +
+    "runs, gate quiet after; no query ever sees a partial index") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-viml").toString
+    spark.conf.set("spark.sql.catalog.vim", classOf[graft.storage.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.vim.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS vim.s")
+    val dim = 16
+    def vecA(i: Int): Seq[Float] =
+      (0 until dim).map(d => math.sin(i * 0.7 + d * 1.3).toFloat)
+    def vecB(i: Int): Seq[Float] =
+      (0 until dim).map(d =>
+        (if (d == dim - 1) -8f else 0f) + ((i * 13 + d * 5) % 7 - 3) * 0.02f)
+    val corpusA = (0 until 1000).map(i => (i.toLong, vecA(i)))
+      .toDF("vec_id", "embedding")
+    graft.ops.VectorIndex.build(spark, corpusA, "vec_id", "embedding",
+      "vim.s.idx", numCentroids = 8, kmeansIters = 2)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-viml-ckpt").toString
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.sinkWithIndexMaintenance(
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      "vim.s.idx", ckpt, maintainEvery = 1, numCentroids = 8,
+      kmeansIters = 2, samplePerMille = 1000)
+    def refreshAll(): Unit = Seq("assign", "centroids")
+      .foreach(t => spark.catalog.refreshTable(s"vim.s.idx_$t"))
+    try {
+      // batch 0: in-distribution — appended, gate quiet, no maintenance
+      input.addData((2000 until 2200).map(i => (i.toLong, vecA(i))): _*)
+      q.processAllAvailable(); refreshAll()
+      assert(!spark.catalog.tableExists("vim.s.idx_maintenance"),
+        "an in-distribution batch must trigger no maintenance")
+      assert(spark.table("vim.s.idx_assign").count() == 1200L)
+      // batch 1: drifted — gate fires, the sink runs the audited refresh
+      input.addData((3000 until 3200).map(i => (i.toLong, vecB(i))): _*)
+      q.processAllAvailable(); refreshAll()
+      spark.catalog.refreshTable("vim.s.idx_maintenance")
+      val actions = spark.table("vim.s.idx_maintenance")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(actions.toSeq == Seq((1L, "refresh")),
+        s"expected one refresh at batch 1, got ${actions.toSeq}")
+      // the refresh re-assigned the WHOLE corpus (including this batch)
+      // under the retrained codebook: no partial state — every stored row
+      // probes through a live centroid, and search equals the inline
+      // funnel on the published codebook
+      assert(spark.table("vim.s.idx_assign").count() == 1400L)
+      val book = spark.table("vim.s.idx_centroids")
+      val bookIds = book.collect().map(_.getLong(0)).toSet
+      val cells = spark.table("vim.s.idx_assign").select(col("cell"))
+        .distinct().collect().map(_.getLong(0)).toSet
+      assert(cells.subsetOf(bookIds), "every list must probe through the codebook")
+      val allRows = corpusA
+        .unionByName((2000 until 2200).map(i => (i.toLong, vecA(i)))
+          .toDF("vec_id", "embedding"))
+        .unionByName((3000 until 3200).map(i => (i.toLong, vecB(i)))
+          .toDF("vec_id", "embedding"))
+      val queries = (3000 until 3010).map(i => (i.toLong, vecB(i)))
+        .toDF("vec_id", "embedding")
+      val indexed = graft.ops.VectorIndex.search(spark, queries, "vec_id",
+        "embedding", "vim.s.idx", k = 5, nprobe = 2)
+      val inline = graft.ops.Similarity.ivfTopK(allRows, queries, "vec_id",
+        "embedding", k = 5, numCentroids = 8, nprobe = 2,
+        fitCentroids = Some(book))
+      assert(indexed.exceptAll(inline).isEmpty && inline.exceptAll(indexed).isEmpty)
+      // batch 2: more region-B — the refreshed codebook serves it, gate
+      // stays quiet, no second refresh
+      input.addData((4000 until 4200).map(i => (i.toLong, vecB(i))): _*)
+      q.processAllAvailable(); refreshAll()
+      spark.catalog.refreshTable("vim.s.idx_maintenance")
+      assert(spark.table("vim.s.idx_maintenance").count() == 1L,
+        "the gate must be quiet after the refresh")
+      assert(spark.table("vim.s.idx_assign").count() == 1600L)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup drops repeats, state bounded by watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
