@@ -590,6 +590,15 @@ object GraftCatalog {
     * this writer streams without size feedback). 0/absent = unlimited. */
   val TargetFileRowsProp = "write.target-file-rows"
 
+  /** Footer key-value key stamping the `parquet.statistics.truncate
+    * .length` a file was WRITTEN under ("none" = unlimited, the parquet
+    * default). Statistics classification (exact string values, kind "s",
+    * vs writer-truncated prefixes, kind "t") reads THIS stamp, never the
+    * session conf of whoever happens to record the stats later — a file
+    * is the only witness of how its own bounds were produced. */
+  val StatsTruncateMetaKey = "graft.stats.truncate.length"
+  private[storage] val ParquetTruncateConfKey = "parquet.statistics.truncate.length"
+
   def readMeta(fs: FileSystem, dir: Path): Option[GraftTableMeta] = {
     val f = new Path(dir, MetaFile)
     if (!fs.exists(f)) None
@@ -740,20 +749,29 @@ object GraftCatalog {
       // lets metadata-only aggregates answer count(*) without a footer.
       out(RowCountKey) = ColStat("r", md.map(_.getRowCount).sum, "", "")
       // String bounds are recorded as exact VALUES (kind "s") only when the
-      // writer's statistics truncation is unlimited — parquet-mr's default.
-      // A finite `parquet.statistics.truncate.length` writes a PREFIX for
-      // min and an incremented prefix for max: still valid BOUNDS (range
-      // pruning with them can never drop a matching file) but not values
-      // present in the data, so metadata-only min()/max() must not serve
-      // them. Kind "t" keeps such bounds prunable while refusing them to
-      // ManifestAggregates (whose bound() accepts the exact kinds only).
-      // the session's hadoop conf, not fs.getConf: FileSystem instances are
-      // JVM-cached per scheme, so fs.getConf can predate the setting
+      // writer's statistics truncation was unlimited — parquet-mr's
+      // default. A finite `parquet.statistics.truncate.length` writes a
+      // PREFIX for min and an incremented prefix for max: still valid
+      // BOUNDS (range pruning with them can never drop a matching file)
+      // but not values present in the data, so metadata-only min()/max()
+      // must not serve them. Kind "t" keeps such bounds prunable while
+      // refusing them to ManifestAggregates (whose bound() accepts the
+      // exact kinds only). The classification reads the FILE'S OWN stamp
+      // ([[GraftCatalog.StatsTruncateMetaKey]], written by
+      // [[StampingParquetWriteSupport]]) — never the recording session's
+      // conf: stats are recorded lazily (carry-forward, legacy adoption,
+      // branch merges), so the session that records them may not be the
+      // session that wrote the file, and sniffing ITS conf would classify
+      // a truncated file "s" and serve a prefix no row holds as a
+      // metadata-only min()/max(). A file without the stamp (foreign
+      // writer) gets "t": bounds of unproven exactness prune but are
+      // never served as values.
       val stringKind =
-        if (scala.util.Try(SparkSession.active.sparkContext.hadoopConfiguration)
-          .getOrElse(fs.getConf)
-          .getInt("parquet.statistics.truncate.length",
-            Int.MaxValue) != Int.MaxValue) "t" else "s"
+        Option(reader.getFooter.getFileMetaData.getKeyValueMetaData
+            .get(GraftCatalog.StatsTruncateMetaKey)) match {
+          case Some("none") => "s"
+          case _ => "t"
+        }
       schema.getFields.asScala.filter(_.isPrimitive).foreach { f =>
         val p = f.asPrimitiveType()
         val name = f.getName
@@ -1033,9 +1051,14 @@ object GraftCatalog {
     }
 
   /** SQLConf entries `ParquetWriteSupport`/the schema converter read from
-    * the task-side hadoop conf (Spark's own writer injects the same set). */
+    * the task-side hadoop conf (Spark's own writer injects the same set),
+    * plus the statistics-truncation setting captured from the SESSION
+    * hadoop conf at write time — the writer both honors it and stamps it
+    * into the file footer ([[StatsTruncateMetaKey]]). */
   private[storage] def parquetWriteConfs(spark: SparkSession): Map[String, String] = {
     val sc = spark.sessionState.conf
+    Option(spark.sparkContext.hadoopConfiguration.get(ParquetTruncateConfKey))
+      .map(v => Map(ParquetTruncateConfKey -> v)).getOrElse(Map.empty) ++
     Map(
       SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key -> sc.writeLegacyParquetFormat.toString,
       SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key -> sc.parquetOutputTimestampType.toString,
@@ -1257,6 +1280,23 @@ private[storage] class GraftBatchWrite(
   }
 }
 
+/** [[ParquetWriteSupport]] that stamps the statistics-truncation setting
+  * the file is being written under into its OWN footer metadata
+  * ([[GraftCatalog.StatsTruncateMetaKey]]): "none" = unlimited (exact
+  * bounds), otherwise the configured prefix length. Stats classification
+  * reads the stamp back, so it can never depend on which session later
+  * records the stats. */
+private[storage] class StampingParquetWriteSupport(truncLen: Option[String])
+    extends ParquetWriteSupport {
+  override def init(configuration: Configuration)
+      : org.apache.parquet.hadoop.api.WriteSupport.WriteContext = {
+    val ctx = super.init(configuration)
+    val md = new java.util.HashMap[String, String](ctx.getExtraMetaData)
+    md.put(GraftCatalog.StatsTruncateMetaKey, truncLen.getOrElse("none"))
+    new org.apache.parquet.hadoop.api.WriteSupport.WriteContext(ctx.getSchema, md)
+  }
+}
+
 private[storage] final case class GraftWriterFactory(
     stagingDir: String,
     schema: StructType,
@@ -1371,7 +1411,10 @@ private[storage] class GraftDataWriter(
     parquetConfs.foreach { case (k, v) => conf.set(k, v) }
     written += ((part, file))
     new ParquetWriter[InternalRow](
-      path, new ParquetWriteSupport, CompressionCodecName.SNAPPY,
+      path,
+      new StampingParquetWriteSupport(
+        parquetConfs.get(GraftCatalog.ParquetTruncateConfKey)),
+      CompressionCodecName.SNAPPY,
       ParquetWriter.DEFAULT_BLOCK_SIZE, ParquetWriter.DEFAULT_PAGE_SIZE,
       ParquetWriter.DEFAULT_PAGE_SIZE, ParquetWriter.DEFAULT_IS_DICTIONARY_ENABLED,
       ParquetWriter.DEFAULT_IS_VALIDATING_ENABLED,

@@ -380,6 +380,35 @@ class FileSkippingSpec extends SparkSpec {
     } finally hc.unset("parquet.statistics.truncate.length")
   }
 
+  test("a foreign file written under truncation, adopted by a session " +
+    "WITHOUT the conf, still classifies 't': metadata min/max refuses it") {
+    wh
+    // a foreign writer (Spark's own, no graft stamp) writes under a finite
+    // truncation conf...
+    val dir = s"$wh/s/adopt"
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.setInt("parquet.statistics.truncate.length", 2)
+    try {
+      Seq((1L, "apple"), (2L, "zebra")).toDF("id", "w").coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+    } finally hc.unset("parquet.statistics.truncate.length")
+    // ...and the file is adopted into the catalog in a session where the
+    // conf is UNSET — the recording session can't witness how the file's
+    // bounds were produced, so sniffing ITS conf would classify "s" and
+    // serve a truncated prefix as a metadata-only min()/max(). The stamp
+    // (absent on a foreign file) must classify "t" instead.
+    spark.sql("CREATE TABLE skipcat.s.adopt (id BIGINT, w STRING) USING parquet")
+    Seq((3L, "melon")).toDF("id", "w").writeTo("skipcat.s.adopt").append()
+    val agg = spark.sql("SELECT min(w) AS mn, max(w) AS mx FROM skipcat.s.adopt")
+    assert(agg.queryExecution.sparkPlan.collect {
+      case b: BatchScanExec => b }.nonEmpty,
+      "adopted foreign string bounds must fall back to a real scan")
+    assert(agg.collect().head == org.apache.spark.sql.Row("apple", "zebra"))
+    // numeric bounds are truncation-immune: still metadata-only
+    val ids = spark.sql("SELECT min(id) AS mn, max(id) AS mx FROM skipcat.s.adopt")
+    assert(ids.collect().head == org.apache.spark.sql.Row(1L, 3L))
+  }
+
   test("partitioned tables keep SPJ keys AND prune data files by stats") {
     wh
     Seq((1L, 5L, "a"), (2L, 6L, "a")).toDF("id", "v", "part")
