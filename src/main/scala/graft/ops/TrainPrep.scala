@@ -148,7 +148,10 @@ object TrainPrep {
     * partially aggregate map-side; the global top-k plans as
     * TakeOrderedAndProject (per-partition top-k, merged on the driver) —
     * never a single-partition sort of the whole vocabulary. The rank
-    * window runs over k rows only. */
+    * window runs over k rows only — it is partition-free on purpose
+    * (Spark logs its "No Partition Defined" warning at plan time; the
+    * input is the limit(k) result, so the single partition holds ≤ k
+    * rows, not data). */
   def topTokens(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     val ord = Seq(col("n_occurrences").desc, col("token").asc)
     docs.select(explode(TextAnalysis.tokens(col(textCol))).alias("token"))

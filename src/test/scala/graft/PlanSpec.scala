@@ -351,6 +351,13 @@ class PlanSpec extends SparkSpec {
   }
 
   test("token_ids: corpus never shuffles — one vocab agg + broadcast map") {
+    // Planning this query logs two "WindowExec: No Partition Defined"
+    // warnings (EnsureRequirements consults requiredChildDistribution
+    // twice). Provenance verified: they come from TrainPrep.topTokens'
+    // rank window, which is deliberately partition-free — it runs over
+    // the ALREADY-limit(k)-ed vocabulary (<= topK rows), never the
+    // corpus; the corpus-scale guards below are what this spec pins. A
+    // partition-free window over anything unbounded would be a real bug.
     val p = SparkEntry.queries("prep_token_ids")(spark, sf)
       .queryExecution.executedPlan.toString
     // the only hash exchange belongs to the bounded vocabulary aggregate;

@@ -24,6 +24,20 @@ sed -i -E "s/- [0-9]+ queries: \*\*[0-9]+\/[0-9]+ oracle-backed/- $QUERIES queri
 sed -i -E "s/- [0-9]+ ScalaTest cases:/- $TESTS ScalaTest cases:/" COVERAGE.md
 sed -i -E "s/Every one of the [0-9]+ oracle-checked queries/Every one of the $ORACLES oracle-checked queries/" README.md
 
+# SCALE.md cites the oracle tally inline as "N/N green oracle rows" /
+# "(N/N)" — rewrite any such count-shaped literal, then FAIL if a stale
+# X/X (same number twice, not the current tally) survives anywhere in the
+# three docs: a silent stale count is how the round-10 "(169/169)" drifted.
+sed -i -E "s/[0-9]+\/[0-9]+ green oracle rows/$ORACLES\/$ORACLES green oracle rows/g" SCALE.md
+STALE=$(grep -nE "\b([0-9]{2,})/\1\b" SCALE.md COVERAGE.md README.md |
+  grep -vE "\b$ORACLES/$ORACLES\b" || true)
+if [ -n "$STALE" ]; then
+  echo "stale count-shaped literals (fix or re-point at the tally):" >&2
+  echo "$STALE" >&2
+  exit 1
+fi
+
 echo "doc lines now:"
 grep -nE "queries: \*\*|ScalaTest cases:" COVERAGE.md
 grep -nE "oracle-checked queries" README.md
+grep -nE "green oracle rows" SCALE.md
