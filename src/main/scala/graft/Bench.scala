@@ -77,7 +77,12 @@ object Bench {
     // cost profile as ONE measured query — and exact duplicate-span
     // excision (the corpus-rewriting substring dedup: two narrow text
     // passes around one hash-keyed aggregate)
-    "prep_corpus_incremental", "dedup_excise")
+    "prep_corpus_incremental", "dedup_excise",
+    // round-11: in-engine BPE tokenizer training — a multi-round
+    // driver-loop profile like q_pagerank but over the VOCABULARY-sized
+    // merge state (the corpus is scanned once), and the composed
+    // train-then-segment inference pass (narrow per-row folds)
+    "text_bpe_train", "text_bpe_segment")
 
   /** Warm iterations per query; the median is reported. */
   val WarmIters = 3

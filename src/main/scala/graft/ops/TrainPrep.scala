@@ -705,12 +705,61 @@ object TrainPrep {
       docs: DataFrame,
       idCol: String,
       sourceCol: String,
-      total: Long): DataFrame = {
+      total: Long): DataFrame =
+    mixtureFromWeights(docs, idCol, sourceCol, total,
+      floor(sqrt(col("n_source"))).cast("long"))
+
+  /** Exact integer t-th root `⌊n^(1/t)⌋` for 1 ≤ n < 2⁵², as a column
+    * expression with no loops: seed with libm `pow(n, 1/t)` (faithfully
+    * rounded — within 1–2 ulp, i.e. within ±2 of the true integer root at
+    * these magnitudes), then pick the LARGEST candidate in seed±2 whose
+    * exact integer t-th power (t literal multiplications in BIGINT, no
+    * overflow below 2⁵²·small) is ≤ n. The correction step absorbs any
+    * cross-engine libm difference, so the result is engine-exact the same
+    * way `floor(sqrt(n))` is for t = 2. Inputs ≥ 2⁵² fail loudly
+    * (raise_error) rather than silently mis-rooting.
+    */
+  private[graft] def intRoot(n: Column, t: Int): Column = {
+    require(t >= 2, s"intRoot: need t >= 2, got $t")
+    def ipow(c: Column): Column = Seq.fill(t)(c).reduce(_ * _)
+    val seed = floor(pow(n.cast("double"), lit(1.0 / t))).cast("long")
+    val guarded = when(n <= lit(4503599627370496L), seed) // 2^52
+      .otherwise(raise_error(format_string(
+        "intRoot: count %s exceeds 2^52; the pow seed is no longer " +
+          "within the +-2 correction window", n.cast("string"))))
+    val cands = (2 to -2 by -1).map(d => greatest(guarded + lit(d.toLong), lit(0L)))
+    cands.dropRight(1).foldRight(cands.last: Column)((c, rest) =>
+      when(ipow(c) <= n, c).otherwise(rest))
+  }
+
+  /** [[temperatureMixture]] at an arbitrary integer temperature t ≥ 2:
+    * `p_s ∝ n_s^(1/t)` with the weight spelled as the EXACT integer t-th
+    * root ([[intRoot]] — pow-seeded, ±2-corrected, engine-exact), then the
+    * same all-integer Hamilton apportionment and deterministic hash-order
+    * picks. t = 2 reduces to [[temperatureMixture]] (sqrt seed vs pow seed
+    * land on the same corrected root). Scale shape identical: the weight
+    * table is #sources rows; the corpus shuffles only for the per-source
+    * rank. */
+  def temperatureMixtureT(
+      docs: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      total: Long,
+      t: Int): DataFrame =
+    mixtureFromWeights(docs, idCol, sourceCol, total,
+      intRoot(col("n_source"), t))
+
+  private def mixtureFromWeights(
+      docs: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      total: Long,
+      weight: Column): DataFrame = {
     // the weight table is #sources rows — its two scalar totals are
     // one-row driver lookups, the same bounded class as a probe set
     val weighted = docs.groupBy(col(sourceCol))
       .agg(count(lit(1)).alias("n_source"))
-      .withColumn("__w", floor(sqrt(col("n_source"))).cast("long"))
+      .withColumn("__w", weight)
       .localCheckpoint(false)
     val wSum = weighted.agg(sum(col("__w"))).head.getLong(0)
     require(wSum > 0L, "temperatureMixture: empty corpus")

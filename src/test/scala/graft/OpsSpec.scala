@@ -966,4 +966,94 @@ class OpsSpec extends SparkSpec {
     assert(out(2L) > 0.0)
     assert(out(3L) == 0.0)         // term absent
   }
+
+  test("mergePairFold: greedy leftmost, run semantics, multi-char tokens") {
+    val d = Seq(
+      (1L, Seq("a", "a", "a")),          // run of the pair with l = r
+      (2L, Seq("a", "b", "a", "b")),     // disjoint occurrences both merge
+      (3L, Seq("x", "a", "a", "a", "a")),// even run inside a word
+      (4L, Seq("a")),                    // no pairs
+      (5L, Seq.empty[String])
+    ).toDF("id", "toks")
+    val aa = d.select(col("id"),
+        TextAnalysis.mergePairFold(col("toks"), lit("a"), lit("a")).alias("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(aa(1L) == List("aa", "a"))
+    assert(aa(3L) == List("x", "aa", "aa"))
+    assert(aa(4L) == List("a"))
+    assert(aa(5L) == Nil)
+    val ab = d.select(col("id"),
+        TextAnalysis.mergePairFold(col("toks"), lit("a"), lit("b")).alias("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(ab(2L) == List("ab", "ab"))
+    // second round on multi-char tokens: ["aa","a"] under (aa, a) -> ["aaa"]
+    val second = d.filter(col("id") === 1L)
+      .select(TextAnalysis.mergePairFold(
+        TextAnalysis.mergePairFold(col("toks"), lit("a"), lit("a")),
+        lit("aa"), lit("a")).alias("m"))
+      .head.getSeq[String](0).toList
+    assert(second == List("aaa"))
+  }
+
+  test("bpeTrainMerges: hand-computed merges on the Sennrich toy corpus, " +
+    "overlap counting, lexicographic tie-break") {
+    // "low low lower" char pairs: (l,o) x3, (o,w) x3, (w,e) x1, (e,r) x1 —
+    // tie between (l,o) and (o,w) resolves lexicographically to (l,o);
+    // round 2 then has (lo,w) x3 winning.
+    val d = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeTrainMerges(d, "text", numMerges = 2)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toList
+    assert(m == List((1L, "l", "o", "lo", 3L), (2L, "lo", "w", "low", 3L)))
+    // overlapping pairs count per occurrence: "aaaa" has (a,a) x3
+    val d2 = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val m2 = TextAnalysis.bpeTrainMerges(d2, "text", numMerges = 2)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toList
+    // round 1: (a,a) x3; after the greedy merge "aaaa" -> [aa, aa], so
+    // round 2 learns (aa, aa) x1
+    assert(m2 == List(("a", "a", 3L), ("aa", "aa", 1L)))
+    // exhaustion: single-char vocabulary stops early instead of looping
+    val d3 = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeTrainMerges(d3, "text", numMerges = 4).count() == 0L)
+  }
+
+  test("bpeSegmentedTokenCount: counts match a driver-side re-segmentation") {
+    val d = Seq((1L, "low lower lowest"), (2L, "slow slower"), (3L, ""))
+      .toDF("doc_id", "text")
+    val merges = Seq(("l", "o"), ("lo", "w"), ("e", "r"))
+    val got = TextAnalysis.bpeSegmentedTokenCount(d, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def seg(w: String): Int = {
+      var toks = w.map(_.toString).toList
+      merges.foreach { case (l, r) =>
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        var pend: String = null
+        toks.foreach { t =>
+          if (pend == l && t == r) { out += (l + r); pend = null }
+          else { if (pend != null) out += pend; pend = t }
+        }
+        if (pend != null) out += pend
+        toks = out.toList
+      }
+      toks.size
+    }
+    // low=1(low) lower=3(low,e,r->low,er) lowest=4; slow=2(s,low) slower=4
+    assert(got(1L) == seg("low") + seg("lower") + seg("lowest"))
+    assert(got(2L) == seg("slow") + seg("slower"))
+    assert(!got.contains(3L)) // empty text drops, matching the oracle join
+  }
+
+  test("bpeSegmentedTokenCountDict: identical to the fold spelling") {
+    val d = Seq((1L, "low lower lowest low"), (2L, "slow slower slow"),
+      (3L, "a!b 99 low"), (4L, "")).toDF("doc_id", "text")
+    val merges = Seq(("l", "o"), ("lo", "w"), ("e", "r"), ("low", "er"))
+    val a = TextAnalysis.bpeSegmentedTokenCount(d, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    val b = TextAnalysis.bpeSegmentedTokenCountDict(d, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(a == b)
+    assert(a.nonEmpty && !a.exists(_._1 == 4L))
+  }
 }

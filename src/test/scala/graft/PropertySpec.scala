@@ -415,4 +415,29 @@ class PropertySpec extends SparkSpec {
       assert(onePass == twoPass, s"changelog fold not associative for $seqd")
     }
   }
+
+  test("intRoot is the exact integer t-th root for t in 2..6, including " +
+    "perfect powers and their neighbours") {
+    // adversarial inputs: n = r^t - 1, r^t, r^t + 1 stress the pow seed's
+    // rounding on exactly the values where off-by-one flips the floor
+    val rG = Gen.chooseNum(1L, 1000000L)
+    val cases = (2 to 6).flatMap { t =>
+      val roots = samples(rG, 8).filter(r => BigInt(r).pow(t) < BigInt(2).pow(52))
+      roots.flatMap { r =>
+        val p = BigInt(r).pow(t).toLong
+        Seq(p - 1, p, p + 1).filter(_ >= 1).map(n => (n, t))
+      } ++ samples(Gen.chooseNum(1L, 4503599627370496L), 8).map(n => (n, t))
+    }
+    val df = cases.toDF("n", "t")
+    (2 to 6).foreach { t =>
+      val got = df.filter(col("t") === t)
+        .select(col("n"), ops.TrainPrep.intRoot(col("n"), t).alias("r"))
+        .collect()
+      got.foreach { row =>
+        val n = row.getLong(0); val r = row.getLong(1)
+        assert(BigInt(r).pow(t) <= BigInt(n) && BigInt(r + 1).pow(t) > BigInt(n),
+          s"intRoot($n, $t) = $r is not the floor root")
+      }
+    }
+  }
 }
