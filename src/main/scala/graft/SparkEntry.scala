@@ -421,6 +421,13 @@ object SparkEntry {
         .collect().map(r => (r.getString(1), r.getString(2))).toSeq
       TextAnalysis.bpeSegmentedTokenCountDict(docs(s, dir), "doc_id", "text", m)
     }),
+    // The vocabulary artifact: top-64 tokens by corpus frequency after the
+    // six merges, with contiguous ids — the table a tokenizer ships next
+    // to its merge list. Vocabulary-sized aggregate over the trainer's
+    // final state; the id window runs over the LIMITed 64 rows only.
+    "text_bpe_vocab" -> ((s, dir) =>
+      TextAnalysis.bpeVocab(docs(s, dir), "text", numMerges = 6, topK = 64)
+        .orderBy("token_id")),
     // Event-time lateness profile per event type: per-user arrival-order
     // high-water mark vs event time — the analytic that sizes a streaming
     // watermark delay. Per-KEY windows (the per-key watermark semantics),
@@ -1565,6 +1572,17 @@ object SparkEntry {
         s"l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM best$k")
       .mkString("\n      UNION ALL ") + """
     ) ORDER BY merge_rank"""
+
+  private def bpeVocabSql(rounds: Int, topK: Int): String =
+    bpeStateCtes(rounds) + s""",
+    v AS (
+      SELECT u.tok AS token, sum(t.cnt) AS freq
+      FROM st$rounds t, UNNEST(t.toks) AS u(tok)
+      GROUP BY 1)
+    SELECT token, CAST(freq AS BIGINT) AS freq,
+           CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT)
+             AS token_id
+    FROM v ORDER BY token_id LIMIT $topK"""
 
   private def bpeSegmentSql(rounds: Int): String =
     bpeStateCtes(rounds) + s""",
@@ -4071,6 +4089,7 @@ object SparkEntry {
          ORDER BY pair_count DESC, c1, c2 LIMIT 30""",
     "text_bpe_train" -> bpeTrainSql(6),
     "text_bpe_segment" -> bpeSegmentSql(6),
+    "text_bpe_vocab" -> bpeVocabSql(6, 64),
     "q_lateness_profile" ->
       """WITH e AS (
            SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events),

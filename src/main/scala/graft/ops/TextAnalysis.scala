@@ -856,9 +856,21 @@ object TextAnalysis {
       docs: DataFrame,
       textCol: String,
       numMerges: Int): DataFrame = {
-    require(numMerges >= 1, s"bpeTrainMerges: need numMerges >= 1, got $numMerges")
     val sp = docs.sparkSession
     import sp.implicits._
+    bpeTrainCore(docs, textCol, numMerges)._1
+      .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** The trainer loop shared by [[bpeTrainMerges]] (which returns the
+    * merge table) and [[bpeVocab]] (which also needs the final
+    * segmentation state): returns the learned merges AND the post-merge
+    * vocabulary state `(word, cnt, toks)`. */
+  private def bpeTrainCore(
+      docs: DataFrame,
+      textCol: String,
+      numMerges: Int): (Seq[(Long, String, String, String, Long)], DataFrame) = {
+    require(numMerges >= 1, s"bpeTrainMerges: need numMerges >= 1, got $numMerges")
     var state = docs
       .select(explode(bpeTokens(col(textCol))).alias("word"))
       .groupBy(col("word")).agg(count(lit(1)).alias("cnt"))
@@ -885,8 +897,32 @@ object TextAnalysis {
         k += 1
       }
     }
-    merges.result()
-      .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+    (merges.result(), state)
+  }
+
+  /** The tokenizer's vocabulary artifact: after `numMerges` training
+    * rounds, the `topK` highest-frequency tokens in the final
+    * segmentation state with contiguous ids in (freq desc, token asc)
+    * order. The frequency aggregate is vocabulary-sized (it reads the
+    * trainer's word-level state, not the corpus); the id window runs over
+    * the already-LIMITed topK rows — rank within the top-k equals global
+    * rank because the orderings are identical, so no data-wide window
+    * exists at any scale. */
+  def bpeVocab(
+      docs: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      topK: Int): DataFrame = {
+    val state = bpeTrainCore(docs, textCol, numMerges)._2
+    val freq = state
+      .select(col("cnt"), explode(col("toks")).alias("token"))
+      .groupBy(col("token")).agg(sum(col("cnt")).alias("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(topK)
+    freq.withColumn("token_id",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").desc, col("token").asc)).cast("long"))
+      .select(col("token"), col("freq"), col("token_id"))
   }
 
   /** Apply a learned BPE merge list (rank order) and count each document's

@@ -1045,6 +1045,19 @@ class OpsSpec extends SparkSpec {
     assert(!got.contains(3L)) // empty text drops, matching the oracle join
   }
 
+  test("bpeVocab: frequencies over the merged state, contiguous ids") {
+    // "low low lower" after 2 merges: low -> [low], lower -> [low, e, r]
+    val d = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val v = TextAnalysis.bpeVocab(d, "text", numMerges = 2, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    // freqs: low 3 (2 from "low" + 1 from "lower"), e 1, r 1 — ties by token
+    assert(v == List(("low", 3L, 1L), ("e", 1L, 2L), ("r", 1L, 3L)))
+    // topK truncates but keeps the global rank order
+    val v2 = TextAnalysis.bpeVocab(d, "text", numMerges = 2, topK = 2)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toList
+    assert(v2 == List(("low", 1L), ("e", 2L)))
+  }
+
   test("bpeSegmentedTokenCountDict: identical to the fold spelling") {
     val d = Seq((1L, "low lower lowest low"), (2L, "slow slower slow"),
       (3L, "a!b 99 low"), (4L, "")).toDF("doc_id", "text")
