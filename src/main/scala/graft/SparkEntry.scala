@@ -428,6 +428,14 @@ object SparkEntry {
     "text_bpe_vocab" -> ((s, dir) =>
       TextAnalysis.bpeVocab(docs(s, dir), "text", numMerges = 6, topK = 64)
         .orderBy("token_id")),
+    // The tokenizer composed end to end: train → vocab (top-16, so the
+    // UNK path is exercised — out-of-vocabulary tokens encode as 0) →
+    // every document as its token-id array, dictionary-spelled (per-WORD
+    // id lists broadcast onto the instance stream; one id-keyed
+    // re-aggregation).
+    "text_bpe_encode" -> ((s, dir) =>
+      TextAnalysis.bpeEncode(docs(s, dir), "doc_id", "text",
+        numMerges = 6, topK = 16)),
     // Event-time lateness profile per event type: per-user arrival-order
     // high-water mark vs event time — the analytic that sizes a streaming
     // watermark delay. Per-KEY windows (the per-key watermark semantics),
@@ -1583,6 +1591,31 @@ object SparkEntry {
            CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT)
              AS token_id
     FROM v ORDER BY token_id LIMIT $topK"""
+
+  private def bpeEncodeSql(rounds: Int, topK: Int): String =
+    bpeStateCtes(rounds) + s""",
+    vv AS MATERIALIZED (
+      SELECT token, CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT)
+               AS token_id
+      FROM (SELECT u.tok AS token, sum(t.cnt) AS freq
+            FROM st$rounds t, UNNEST(t.toks) AS u(tok) GROUP BY 1)
+      ORDER BY token_id LIMIT $topK),
+    wi AS MATERIALIZED (
+      SELECT word, list(coalesce(token_id, 0) ORDER BY i) AS ids
+      FROM (SELECT t.word AS word, CAST(p.i AS BIGINT) AS i, t.toks[p.i] AS tok
+            FROM st$rounds t, UNNEST(range(1, len(t.toks)+1)) AS p(i)) q
+      LEFT JOIN vv ON vv.token = q.tok
+      GROUP BY word),
+    sq AS (
+      SELECT d.doc_id, CAST(w.i AS BIGINT) AS wpos,
+             regexp_extract_all(d.text, '${TextAnalysis.bpePattern}')[w.i] AS word
+      FROM documents d,
+           UNNEST(range(1,
+             len(regexp_extract_all(d.text, '${TextAnalysis.bpePattern}'))+1))
+             AS w(i))
+    SELECT s.doc_id, flatten(list(wi.ids ORDER BY s.wpos)) AS token_ids
+    FROM sq s JOIN wi USING (word)
+    GROUP BY s.doc_id ORDER BY s.doc_id"""
 
   private def bpeSegmentSql(rounds: Int): String =
     bpeStateCtes(rounds) + s""",
@@ -4090,6 +4123,7 @@ object SparkEntry {
     "text_bpe_train" -> bpeTrainSql(6),
     "text_bpe_segment" -> bpeSegmentSql(6),
     "text_bpe_vocab" -> bpeVocabSql(6, 64),
+    "text_bpe_encode" -> bpeEncodeSql(6, 16),
     "q_lateness_profile" ->
       """WITH e AS (
            SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events),

@@ -912,8 +912,10 @@ object TextAnalysis {
       docs: DataFrame,
       textCol: String,
       numMerges: Int,
-      topK: Int): DataFrame = {
-    val state = bpeTrainCore(docs, textCol, numMerges)._2
+      topK: Int): DataFrame =
+    vocabFromState(bpeTrainCore(docs, textCol, numMerges)._2, topK)
+
+  private def vocabFromState(state: DataFrame, topK: Int): DataFrame = {
     val freq = state
       .select(col("cnt"), explode(col("toks")).alias("token"))
       .groupBy(col("token")).agg(sum(col("cnt")).alias("freq"))
@@ -923,6 +925,42 @@ object TextAnalysis {
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("freq").desc, col("token").asc)).cast("long"))
       .select(col("token"), col("freq"), col("token_id"))
+  }
+
+  /** The composed tokenizer path: train `numMerges` merges, build the
+    * `topK` vocabulary, and encode every document as its token-id array
+    * (tokens outside the vocabulary map to id 0, the UNK convention).
+    * Dictionary-spelled end to end: the per-WORD id lists are computed
+    * once over the trainer's vocabulary-sized state (one broadcast of the
+    * id map onto it), broadcast onto the word-instance stream, and
+    * reassembled per document in pre-token order — the corpus pays one
+    * narrow pre-tokenize pass plus one id-keyed re-aggregation
+    * (map-side-combined), never a fold per instance. Documents with no
+    * pre-tokens are dropped, matching [[bpeSegmentedTokenCountDict]].
+    */
+  def bpeEncode(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numMerges: Int,
+      topK: Int): DataFrame = {
+    val state = bpeTrainCore(docs, textCol, numMerges)._2
+    val vmap = vocabFromState(state, topK)
+      .agg(map_from_entries(
+        collect_list(struct(col("token"), col("token_id")))).alias("__vmap"))
+    val wordIds = state.select(col("word"), col("toks"))
+      .crossJoin(broadcast(vmap))
+      .select(col("word"),
+        transform(col("toks"),
+          t => coalesce(element_at(col("__vmap"), t), lit(0L))).alias("__ids"))
+    val inst = docs.select(col(idCol),
+      posexplode(bpeTokens(col(textCol))).as(Seq("__p", "word")))
+    inst.join(broadcast(wordIds), Seq("word"))
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("__p"), col("__ids").alias("__i")))),
+        s => s("__i"))).alias("token_ids"))
+      .orderBy(col(idCol))
   }
 
   /** Apply a learned BPE merge list (rank order) and count each document's

@@ -1058,6 +1058,18 @@ class OpsSpec extends SparkSpec {
     assert(v2 == List(("low", 1L), ("e", 2L)))
   }
 
+  test("bpeEncode: pre-token order preserved, OOV maps to 0, " +
+    "ids agree with bpeVocab") {
+    val d = Seq((1L, "low lower zz"), (2L, "zz low")).toDF("doc_id", "text")
+    // 2 merges learn (l,o) then (lo,w); state: low=[low] lower=[low,e,r]
+    // zz=[z,z]; freqs: low 3, z 4, e 1, r 1 → vocab(top2): z id1, low id2
+    val got = TextAnalysis.bpeEncode(d, "doc_id", "text", numMerges = 2,
+        topK = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(got(1L) == List(2L, 2L, 0L, 0L, 1L, 1L)) // low | low,e,r | z,z
+    assert(got(2L) == List(1L, 1L, 2L))             // z,z | low
+  }
+
   test("bpeSegmentedTokenCountDict: identical to the fold spelling") {
     val d = Seq((1L, "low lower lowest low"), (2L, "slow slower slow"),
       (3L, "a!b 99 low"), (4L, "")).toDF("doc_id", "text")
