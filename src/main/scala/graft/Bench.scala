@@ -298,11 +298,22 @@ object Bench {
     val unstable = okResults.filter { case (_, _, _, ws, _, _) =>
       ws.nonEmpty && ws.max / ws.min > 2.0 }.map(_._1)
     val remeasured = unstable.flatMap { name =>
-      productionVariants.get(name).orElse(SparkEntry.queries.get(name)).map { fn =>
+      productionVariants.get(name).orElse(SparkEntry.queries.get(name)).flatMap { fn =>
         clearAll(); if (gcBetween) System.gc()
-        time(fn); clearAll() // settle
+        val settleOk = time(fn)._3; clearAll()
         val t2 = (1 to WarmIters).map { _ => val t = time(fn); clearAll(); t }
-        name -> t2.map(_._1).sorted.apply(t2.size / 2)
+        // A tail-pass failure must NOT overwrite the valid in-suite number
+        // with a time-to-exception (the exact round-9 failure mode `ok`
+        // exists to prevent): keep the original median and skip the
+        // remeasure entry entirely — the instability stays visible in
+        // warm_runs.
+        if (settleOk && t2.forall(_._3))
+          Some(name -> t2.map(_._1).sorted.apply(t2.size / 2))
+        else {
+          System.err.println(s"[bench] remeasure of $name failed; " +
+            "keeping the in-suite median")
+          None
+        }
       }
     }.toMap
     val finalResults = okResults.map { case r @ (n, c, _, ws, gs, ok) =>

@@ -59,7 +59,10 @@ object BpeBench {
         s""""merges":6,"sec":$t}""")
     }
 
-    // segmentation crossover at growing merge counts on the 1× corpus
+    // segmentation crossover at growing merge counts on the full
+    // `repl`-times-replicated corpus: |instances| is held fixed at its
+    // largest value while |merges| sweeps — the variable the fold
+    // spelling's cost is linear in
     val c1 = corpus(repl)
     c1.count()
     val learned = graft.ops.TextAnalysis

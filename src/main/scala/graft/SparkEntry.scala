@@ -1522,6 +1522,12 @@ object SparkEntry {
   // run trick: adjacent (l,r) hits can only be consecutive when l = r, in
   // which case greedy-leftmost keeps the odd-ranked hits of each
   // consecutive run (gaps-and-islands), matching mergePairFold's fold.
+  // When pair merges EXHAUST before the unrolled round count (a corpus of
+  // single-character words), best$k emits one all-NULL sentinel row so the
+  // pos$k cross join still matches and the state CARRIES FORWARD — a bare
+  // LIMIT 1 over an empty pc$k would zero out st$k and every downstream
+  // CTE, silently diverging from bpeTrainCore's early stop; the train
+  // output filters the sentinel back out (WHERE l IS NOT NULL).
   private def bpeRoundCtes(k: Int): String = {
     val p = k - 1
     s"""
@@ -1530,14 +1536,18 @@ object SparkEntry {
              sum(s.cnt) AS c
       FROM st$p s, UNNEST(list_zip(s.toks[:len(s.toks)-1], s.toks[2:])) AS u(pair)
       GROUP BY 1, 2),
-    best$k AS MATERIALIZED (SELECT l, r, c FROM pc$k ORDER BY c DESC, l, r LIMIT 1),
+    best$k AS MATERIALIZED (
+      (SELECT l, r, c FROM pc$k ORDER BY c DESC, l, r LIMIT 1)
+      UNION ALL
+      (SELECT CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), NULL
+       WHERE (SELECT count(*) FROM pc$k) = 0)),
     pos$k AS (
       SELECT s.word, s.cnt, s.toks, CAST(i.i AS BIGINT) AS i, len(s.toks) AS n,
              b.l AS bl, b.r AS br
       FROM st$p s, UNNEST(range(1, len(s.toks)+1)) AS i(i), best$k b),
     m$k AS (
       SELECT word, cnt, toks, i, n,
-             (i < n AND toks[i] = bl AND toks[i+1] = br) AS hit
+             coalesce(i < n AND toks[i] = bl AND toks[i+1] = br, FALSE) AS hit
       FROM pos$k),
     r$k AS (
       SELECT *, CASE WHEN hit THEN i - row_number()
@@ -1577,7 +1587,8 @@ object SparkEntry {
     bpeStateCtes(rounds) + """
     SELECT * FROM (""" + (1 to rounds).map(k =>
       s"SELECT CAST($k AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, " +
-        s"l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM best$k")
+        s"l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM best$k " +
+        "WHERE l IS NOT NULL")
       .mkString("\n      UNION ALL ") + """
     ) ORDER BY merge_rank"""
 

@@ -189,16 +189,28 @@ object VectorIndex {
     }.toSeq
     import spark.implicits._
     val subCentroids = subRows.toDF("centroid_id", "centvec", "parent")
-    // reassign the hot cells' rows among their OWN sub-seeds (the argmax +
-    // tie convention of assignTo); every other partition is untouched
+    // reassign the hot cells' rows among their OWN sub-seeds. Ties break
+    // to the LOWEST cid — deliberately the opposite of assignTo's
+    // max(struct(s, cid)) convention: sub-cell #0 keeps the parent's id,
+    // which is the only PRE-EXISTING partition, and the dynamic overwrite
+    // only clears partitions that receive rows. Seed #1's own row scores
+    // cosine 1.0 against its own centroid, and with tie-low that row can
+    // never be poached by a duplicate sub-seed (whose id is always
+    // higher), so the parent partition is guaranteed non-empty and the
+    // fat parent list is always overwritten. (Under tie-HIGH, a hot cell
+    // whose lowest-id seeds share a direction left sub-cell #0 empty, the
+    // stale fat list survived on the branch, and the audit failed on
+    // every attempt — a permanent wedge via the streaming maintenance
+    // path.) Empty NEW sub-cells are harmless: their partitions never
+    // existed, so there is nothing stale to clear.
     val reassigned = assigned.filter(col("cell").isInCollection(hot))
       .crossJoin(broadcast(subCentroids)).filter(col("cell") === col("parent"))
       .select(col("corpus_id"), col("vec"),
         struct(cosine(col("vec"), col("centvec")).alias("s"),
-          col("centroid_id").alias("cid")).alias("sc"))
+          (-col("centroid_id")).alias("ncid")).alias("sc"))
       .groupBy(col("corpus_id"))
       .agg(first(col("vec")).alias("vec"), max(col("sc")).alias("best"))
-      .select(col("corpus_id"), col("vec"), col("best.cid").alias("cell"))
+      .select(col("corpus_id"), col("vec"), (-col("best.ncid")).alias("cell"))
     // swap the fat parents' rows for the sub-centroids (codebook-sized
     // table; full replace is the cheap side of this operation)
     val kept = centroids.filter(!col("centroid_id").isInCollection(hot))

@@ -423,6 +423,25 @@ object Streams {
       }
       .start()
 
+  /** Guard for parameter-carrying bloom tables: a filter persisted BEFORE
+    * the (num_bits, num_hashes) columns were added would otherwise fail
+    * the sinks with an unresolved-column AnalysisException deep inside the
+    * merge select — a confusing schema error instead of the designed
+    * parameter-mismatch message. Fails with a targeted migration hint
+    * instead: the legacy row cannot be adopted, because its numHashes is
+    * exactly the unwitnessable parameter the columns exist to witness. */
+  private def requireBloomSchema(stored: DataFrame, site: String): DataFrame = {
+    val missing = Seq("num_bits", "num_hashes").filterNot(stored.columns.contains)
+    require(missing.isEmpty,
+      s"$site: the stored bloom table lacks column(s) ${missing.mkString(", ")} " +
+        "— it predates parameter-carrying filters. Its build parameters are " +
+        "unwitnessable (a numHashes mismatch would silently skip real " +
+        "duplicates), so rebuild the filter with the current code (e.g. " +
+        "bootstrapCorpusState, or drop the table and let the sink re-create " +
+        "it) before resuming")
+    stored
+  }
+
   /** Streaming maintenance of the dedup Bloom filter
     * ([[graft.functions.BloomAgg]]): each micro-batch's key-hash bitset ORs
     * into ONE stored `bits/64`-long row — OR is commutative and idempotent,
@@ -458,7 +477,8 @@ object Streams {
         // the batch loudly (the checkpoint retries it after the operator
         // is fixed).
         val words = numBits / 64
-        val merged = spark.table(bloomTable).alias("p")
+        val merged = requireBloomSchema(spark.table(bloomTable),
+            s"sinkWithBloomMaintenance($bloomTable)").alias("p")
           .crossJoin(batchBloom.alias("b")) // 1 row × 1 row
           .select(
             when(size(col("p.bloom")) === words &&
@@ -654,7 +674,9 @@ object Streams {
         val batchBloom = survB.agg(graft.functions.BloomFunctions.bloom_agg(
           xxhash64(col("__fp")), numBits, numHashes).alias("bloom"))
         val words = numBits / 64
-        val mergedBloom = spark.table(s"${tablePrefix}_bloom").alias("p")
+        val mergedBloom = requireBloomSchema(
+            spark.table(s"${tablePrefix}_bloom"),
+            s"sinkWithCorpusMaintenance($tablePrefix)").alias("p")
           .crossJoin(batchBloom.alias("b")) // 1 row × 1 row
           .select(
             when(size(col("p.bloom")) === words &&
@@ -706,8 +728,14 @@ object Streams {
     *    bounding any inverted list a skewed stream grows past the cap.
     *
     * Actions are recorded in `<prefix>_maintenance` (batch_id, action)
-    * under the batch's writer txn — replays re-run no maintenance and
-    * re-log nothing. The gate checks cost a corpus-SAMPLE pass plus a
+    * under the batch's writer txn. A replayed maintenance batch whose
+    * prior attempt LOGGED skips the gates entirely (checked against the
+    * log) and the txn'd append re-logs nothing; one that crashed before
+    * logging re-runs its gates — each action is WAP-committed and
+    * self-quiescing (a refreshed codebook reads as fit, a split cell as
+    * under-cap), so the worst case is paying a gate check twice, never a
+    * partial index or duplicate log rows. The gate checks cost a
+    * corpus-SAMPLE pass plus a
     * codebook-bounded size aggregate (not batch-proportional), which is
     * exactly why they ride a cadence instead of every batch; appends
     * between maintenance batches stay the day's-rows cost. */
@@ -728,20 +756,33 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import graft.storage.GraftCatalog.{TxnAppIdOption, TxnVersionOption}
         val spark = batch.sparkSession
-        // the batch feeds both the drift gate and the append — pin it so
-        // the source isn't re-read across the two consumers
-        val b = if (maintainEvery > 0) batch.localCheckpoint(true) else batch
+        val maintaining = maintainEvery > 0 && (batchId + 1) % maintainEvery == 0
+        // the batch feeds both the drift gate and the append on a
+        // maintenance batch — pin it so the source isn't re-read across
+        // the two consumers. Ordinary batches have ONE consumer (the
+        // append); pinning them too would pay an eager materialization on
+        // every batch for nothing.
+        val b = if (maintaining) batch.localCheckpoint(true) else batch
+        val maintT = s"${tablePrefix}_maintenance"
+        // replay detection: a replayed maintenance batch whose prior
+        // attempt already LOGGED must not re-run the gates (the actions
+        // are self-quiescing — a refreshed codebook reads as fit, a split
+        // cell as under-cap — but a re-run would still pay the retrain
+        // and could double-log). A prior attempt that crashed BEFORE
+        // logging re-runs its gates on replay; every action behind them
+        // is WAP-committed, so the index is never left partial either way.
+        val alreadyLogged = maintaining && spark.catalog.tableExists(maintT) &&
+          !spark.table(maintT).filter(col("batch_id") === batchId).isEmpty
         // gate BEFORE append: the question is whether the INCOMING batch
         // fits the codebook as-it-stands — appending first would fold the
         // batch into the very corpus sample it is compared against
-        val maintaining = maintainEvery > 0 && (batchId + 1) % maintainEvery == 0
-        val driftFired = maintaining &&
+        val driftFired = maintaining && !alreadyLogged &&
           graft.ops.VectorIndex.refreshRecommended(spark, b, idCol, vecCol,
             tablePrefix, threshold = driftThreshold,
             samplePerMille = samplePerMille)
         graft.ops.VectorIndex.append(spark, b, idCol, vecCol,
           tablePrefix, txn = Some((s"$checkpointDir#vidx", batchId)))
-        if (maintaining) {
+        if (maintaining && !alreadyLogged) {
           val actions = scala.collection.mutable.ArrayBuffer.empty[String]
           if (driftFired) {
             val published = graft.ops.VectorIndex.refresh(spark, tablePrefix,
@@ -758,10 +799,13 @@ object Streams {
             import spark.implicits._
             val log = actions.toSeq.map(a => (batchId, a))
               .toDF("batch_id", "action")
-            val t = s"${tablePrefix}_maintenance"
-            if (!spark.catalog.tableExists(t))
-              log.writeTo(t).using("parquet").create()
-            else log.writeTo(t)
+            // create the table EMPTY first so the data rows only ever land
+            // through the txn'd append — a crash between an untxn'd
+            // create-with-rows and the checkpoint commit would duplicate
+            // them on replay
+            if (!spark.catalog.tableExists(maintT))
+              log.limit(0).writeTo(maintT).using("parquet").create()
+            log.writeTo(maintT)
               .option(TxnAppIdOption, s"$checkpointDir#vidxmaint")
               .option(TxnVersionOption, batchId.toString)
               .append()

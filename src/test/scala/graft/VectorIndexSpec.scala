@@ -150,6 +150,49 @@ class VectorIndexSpec extends SparkSpec {
     assert(spark.table("vidx.s.skew_assign").count() == 2002L)
   }
 
+  test("splitHotCells survives duplicate low-id seed vectors: the parent " +
+    "partition always receives rows, so the fat list is always cleared") {
+    // regression: sub-seeds are the lowest-id members, and when two of
+    // them share a direction the cosine argmax TIES on every duplicate
+    // row. Under the old tie-to-highest-cid convention sub-cell #0 (the
+    // parent id — the only pre-existing partition) could receive ZERO
+    // rows, the dynamic overwrite never cleared the fat parent list, and
+    // the audit threw on every attempt — a permanent wedge via streaming
+    // maintenance. Tie-to-lowest guarantees seed #1's own row stays home.
+    wh
+    import spark.implicits._
+    val dim = 8
+    def vec(i: Int): Seq[Float] =
+      if (i < 300) {
+        val base = (0 until dim).map(d => if (d == 0) 10f else 0f)
+        if (i <= 1) base // ids 0 and 1: EXACT duplicates — the tie seeds
+        else base.zipWithIndex.map { case (v, d) =>
+          v + ((i * 31 + d * 7) % 11 - 5) * 0.01f }
+      } else (0 until dim).map(d => math.sin(i * 0.7 + d * 1.3).toFloat)
+    val corpus = (0 until 400).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    VectorIndex.build(spark, corpus, "vec_id", "embedding",
+      "vidx.s.dup", numCentroids = 4, kmeansIters = 2)
+    val before = spark.table("vidx.s.dup_assign")
+      .groupBy(col("cell")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hotCell = before.maxBy(_._2)._1
+    assert(before(hotCell) >= 250, s"fixture must be skewed: $before")
+    val nSplit = VectorIndex.splitHotCells(spark, "vidx.s.dup",
+      capFactor = 2.0, splitWays = 4)
+    assert(nSplit >= 1, "split must succeed despite the duplicate seeds")
+    spark.catalog.refreshTable("vidx.s.dup_assign")
+    spark.catalog.refreshTable("vidx.s.dup_centroids")
+    val after = spark.table("vidx.s.dup_assign")
+      .groupBy(col("cell")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after.values.sum == 400L, s"no row lost or duplicated: $after")
+    assert(after.getOrElse(hotCell, 0L) > 0L,
+      "the parent sub-cell must hold the duplicate-direction rows")
+    assert(after.values.max < before(hotCell),
+      s"hot list must shrink: ${after.values.max} vs ${before(hotCell)}")
+  }
+
   test("splitHotCells is write-audit-publish: a failed audit leaves both " +
     "tables byte-identical; the merge-order window never strands a row") {
     wh

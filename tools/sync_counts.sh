@@ -25,12 +25,17 @@ sed -i -E "s/- [0-9]+ ScalaTest cases:/- $TESTS ScalaTest cases:/" COVERAGE.md
 sed -i -E "s/Every one of the [0-9]+ oracle-checked queries/Every one of the $ORACLES oracle-checked queries/" README.md
 
 # SCALE.md cites the oracle tally inline as "N/N green oracle rows" /
-# "(N/N)" — rewrite any such count-shaped literal, then FAIL if a stale
-# X/X (same number twice, not the current tally) survives anywhere in the
-# three docs: a silent stale count is how the round-10 "(169/169)" drifted.
-sed -i -E "s/[0-9]+\/[0-9]+ green oracle rows/$ORACLES\/$ORACLES green oracle rows/g" SCALE.md
-STALE=$(grep -nE "\b([0-9]{2,})/\1\b" SCALE.md COVERAGE.md README.md |
-  grep -vE "\b$ORACLES/$ORACLES\b" || true)
+# "(N/N)" — rewrite EQUAL-pair literals only (a backreference pins X/X; a
+# legitimate partial tally like "169/171 green" must never be rewritten to
+# fully-green), then FAIL if a stale X/X (same number twice, not the
+# current tally) survives anywhere in the three docs: a silent stale count
+# is how the round-10 "(169/169)" drifted. grep -o extracts each match so
+# a stale literal sharing a LINE with a current one still surfaces.
+# (Backreferences in ERE are GNU sed/grep behavior — fine here, the
+# toolchain container is GNU; revisit if this ever runs elsewhere.)
+sed -i -E "s/([0-9]+)\/\1 green oracle rows/$ORACLES\/$ORACLES green oracle rows/g" SCALE.md
+STALE=$(grep -noE "\b([0-9]{2,})/\1\b" SCALE.md COVERAGE.md README.md |
+  grep -vE ":$ORACLES/$ORACLES\$" || true)
 if [ -n "$STALE" ]; then
   echo "stale count-shaped literals (fix or re-point at the tally):" >&2
   echo "$STALE" >&2
