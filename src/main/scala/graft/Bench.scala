@@ -91,7 +91,7 @@ object Bench {
     * hash so DuckDB can check them; the bench measures the PRODUCTION
     * default (xxhash64 — codegen'd, no per-char fold). Same code path,
     * production hash. */
-  private def productionVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
+  private[graft] def productionVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_lsh" -> ((s, dir) =>
       ops.Dedup.minhashLsh(queries.Parity.t(s, dir, "documents"), "doc_id", "text",
         k = 3, numHashes = 32, bands = 16, minJaccard = 0.2)),
@@ -147,7 +147,7 @@ object Bench {
     * state a production deployment would already hold (yesterday's labels,
     * the day's pair table) so the timed section measures the daily
     * operator, not scenario replay. */
-  private def productionSetup: Map[String, (SparkSession, String) => Unit] = Map(
+  private[graft] def productionSetup: Map[String, (SparkSession, String) => Unit] = Map(
     "dedup_incremental_components" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val d = queries.Parity.t(s, dir, "documents")

@@ -56,7 +56,17 @@ object BenchOne {
     if (pollute > 0)
       println(f"[benchone] polluted session with $pollute queries; heap=${heapMb()}m")
 
-    val fn = SparkEntry.queries(name)
+    // measure EXACTLY what Bench measures in-suite: the production variant
+    // (and its untimed setup) when one exists, the correctness entry
+    // otherwise — before this, a variant-backed query (e.g.
+    // prep_corpus_incremental) was silently re-measured as its full
+    // scenario REPLAY, and the isolated number could not be compared to
+    // the in-suite one it was supposed to adjudicate
+    Bench.productionSetup.get(name).foreach { prep =>
+      println(s"[benchone] running untimed production setup for $name")
+      prep(spark, sfDir); spark.catalog.clearCache()
+    }
+    val fn = Bench.productionVariants.getOrElse(name, SparkEntry.queries(name))
     (1 to iters).foreach { i =>
       val g0 = gcMillis()
       val t0 = System.nanoTime()
