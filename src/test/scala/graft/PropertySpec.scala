@@ -416,6 +416,68 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bpeTrainMerges + segment counts equal an independent fold " +
+    "reference on random small-alphabet corpora") {
+    // a 3-letter alphabet forces dense pair collisions, ties, l = r runs,
+    // and multi-char merges within a few rounds — the shapes where greedy
+    // fold semantics and overlap counting can silently diverge
+    val wordG = Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val docG = Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, wordG).map(_.mkString(" ")))
+    def refMerge(toks: List[String], l: String, r: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var pend: String = null
+      toks.foreach { t =>
+        if (pend == l && t == r) { out += (l + r); pend = null }
+        else { if (pend != null) out += pend; pend = t }
+      }
+      if (pend != null) out += pend
+      out.toList
+    }
+    samples(Gen.listOfN(6, docG), 5).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val k = 4
+      val got = ops.TextAnalysis.bpeTrainMerges(df, "text", numMerges = k)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toList
+      // reference: word-frequency state, all-adjacent-pair counting,
+      // (count desc, l, r) argmax, greedy-leftmost merge
+      var vocab = texts.flatMap(_.split(" ").filter(_.nonEmpty))
+        .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+      var state = vocab.keys.map(w => w -> w.map(_.toString).toList).toMap
+      val refMerges = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+      var done = false
+      (1 to k).foreach { _ =>
+        if (!done) {
+          val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+          state.foreach { case (w, toks) =>
+            toks.zip(toks.drop(1)).foreach { p =>
+              pc(p) = pc.getOrElse(p, 0L) + vocab(w)
+            }
+          }
+          if (pc.isEmpty) done = true
+          else {
+            val ((l, r), c) = pc.toSeq.sortBy { case ((l, r), c) => (-c, l, r) }.head
+            refMerges += ((l, r, c))
+            state = state.map { case (w, toks) => w -> refMerge(toks, l, r) }
+          }
+        }
+      }
+      assert(got == refMerges.toList, s"merge tables differ on corpus $texts")
+      val segGot = ops.TextAnalysis.bpeSegmentedTokenCountDict(
+          df, "doc_id", "text", refMerges.toList.map(m => (m._1, m._2)))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val segRef = texts.zipWithIndex.flatMap { case (t, i) =>
+        val ws = t.split(" ").filter(_.nonEmpty)
+        if (ws.isEmpty) None
+        else Some(i.toLong -> ws.map(w => state(w).size.toLong).sum)
+      }.toMap
+      assert(segGot == segRef, s"segment counts differ on corpus $texts")
+    }
+  }
+
   test("intRoot is the exact integer t-th root for t in 2..6, including " +
     "perfect powers and their neighbours") {
     // adversarial inputs: n = r^t - 1, r^t, r^t + 1 stress the pow seed's
