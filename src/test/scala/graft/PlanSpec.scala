@@ -414,4 +414,29 @@ class PlanSpec extends SparkSpec {
     assert(scanLines.nonEmpty,
       "expected a PartitionFilters entry on the cell column:\n" + p.take(1200))
   }
+
+  test("text_bpe_segment: per-word length dictionary broadcasts; no " +
+    "sort-merge join anywhere in the inference plan") {
+    // the trainer runs during query construction (driver loop over
+    // vocab-sized state); the captured plan is the INFERENCE side. Its
+    // joins must all be broadcast — the word-keyed exchange that remains
+    // is the dictionary's own distinct (map-side-deduped, vocab-bounded
+    // rows on the wire), and the instance stream exchanges only for the
+    // per-doc re-aggregation.
+    val df = SparkEntry.queries("text_bpe_segment")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange"), p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "dictionary must broadcast, not sort-merge:\n" + p.take(800))
+  }
+
+  test("text_bpe_encode: word-instance stream never shuffles on the word " +
+    "key — per-word id lists broadcast onto it") {
+    val p = plan("text_bpe_encode")
+    val keys = hashExchangeKeys(p)
+    assert(!keys.exists(_.contains("word")),
+      s"instance stream must not hash-exchange on word (dict is broadcast): $keys")
+    assert(p.contains("BroadcastExchange"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
 }
