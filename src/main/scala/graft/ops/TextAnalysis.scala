@@ -927,6 +927,57 @@ object TextAnalysis {
       .select(col("token"), col("freq"), col("token_id"))
   }
 
+  /** One trainer run, both shipped artifacts: the merge table AND the
+    * vocabulary — the pair a tokenizer deploys together and
+    * [[graft.streaming.Streams.sinkWithTokenizerMonitor]] maintains as
+    * catalog tables. Avoids the double-train a separate
+    * [[bpeTrainMerges]] + [[bpeVocab]] call would pay. */
+  def bpeTrainArtifacts(
+      docs: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      topK: Int): (DataFrame, DataFrame) = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val (merges, state) = bpeTrainCore(docs, textCol, numMerges)
+    (merges.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count"),
+      vocabFromState(state, topK))
+  }
+
+  /** Instance-weighted UNK share of a batch under a SHIPPED tokenizer
+    * (merge list + vocabulary): segment each DISTINCT word of the batch
+    * with the merges, count post-merge token instances whose token is
+    * outside the vocabulary. This is the tokenizer-staleness signal — the
+    * fraction of the batch that would encode to id 0 — rising exactly
+    * when the corpus drifts away from what the tokenizer was trained on.
+    * Cost: batch-vocabulary-sized folds plus one broadcast of the (≤topK)
+    * vocab array; the batch itself is scanned once.
+    */
+  def bpeUnkRate(
+      docs: DataFrame,
+      textCol: String,
+      merges: Seq[(String, String)],
+      vocab: DataFrame): Double = {
+    val words = docs
+      .select(explode(bpeTokens(col(textCol))).alias("word"))
+      .groupBy(col("word")).agg(count(lit(1)).alias("n"))
+      .withColumn("toks",
+        merges.foldLeft(split(col("word"), ""): Column) { case (c, (l, r)) =>
+          mergePairFold(c, lit(l), lit(r))
+        })
+    val varr = vocab.agg(sort_array(collect_list(col("token"))).alias("__vocab"))
+    val row = words.crossJoin(broadcast(varr))
+      .select(col("n"),
+        size(col("toks")).cast("long").alias("nt"),
+        size(filter(col("toks"),
+          t => !array_contains(col("__vocab"), t))).cast("long").alias("nu"))
+      .agg(sum(col("n") * col("nt")).alias("t"),
+        sum(col("n") * col("nu")).alias("u"))
+      .head()
+    if (row.isNullAt(0) || row.getLong(0) == 0L) 0.0
+    else row.getLong(1).toDouble / row.getLong(0).toDouble
+  }
+
   /** The composed tokenizer path: train `numMerges` merges, build the
     * `topK` vocabulary, and encode every document as its token-id array
     * (tokens outside the vocabulary map to id 0, the UNK convention).

@@ -814,6 +814,102 @@ object Streams {
       }
       .start()
 
+  /** Bootstrap the tokenizer-monitor state: train the initial merge table
+    * and vocabulary over a seed corpus and persist all three tables the
+    * sink maintains (`<prefix>_docs` — the accumulated corpus,
+    * `<prefix>_merges`, `<prefix>_vocab`). */
+  def bootstrapTokenizer(
+      spark: org.apache.spark.sql.SparkSession,
+      seed: DataFrame,
+      idCol: String,
+      textCol: String,
+      tablePrefix: String,
+      numMerges: Int = 6,
+      topK: Int = 64): Unit = {
+    seed.select(col(idCol), col(textCol))
+      .writeTo(s"${tablePrefix}_docs").using("parquet").createOrReplace()
+    val (m, v) = graft.ops.TextAnalysis.bpeTrainArtifacts(
+      spark.table(s"${tablePrefix}_docs"), textCol, numMerges, topK)
+    m.writeTo(s"${tablePrefix}_merges").using("parquet").createOrReplace()
+    v.writeTo(s"${tablePrefix}_vocab").using("parquet").createOrReplace()
+  }
+
+  /** Streaming tokenizer-staleness maintenance — the
+    * [[sinkWithIndexMaintenance]] pattern applied to the BPE artifacts:
+    * each micro-batch appends to the accumulated corpus under the batchId
+    * writer txn; every `checkEvery` batches the gate measures the
+    * INCOMING batch's instance-weighted UNK share under the SHIPPED
+    * merges+vocab ([[graft.ops.TextAnalysis.bpeUnkRate]] — the fraction
+    * of the batch that would encode to id 0). Past `maxUnkRate`, the
+    * tokenizer retrains IN-ENGINE over everything accumulated
+    * ([[graft.ops.TextAnalysis.bpeTrainArtifacts]] — one corpus scan plus
+    * vocabulary-priced rounds) and both artifact tables are replaced;
+    * the next drifted batch then measures against the refreshed
+    * tokenizer and the gate is quiet — fires once per drift, not per
+    * batch.
+    *
+    * Replay semantics mirror the index sink: actions log to
+    * `<prefix>_maintenance` under the batch's txn; a replayed maintenance
+    * batch whose prior attempt logged skips the gate, one that crashed
+    * pre-log re-runs it (the retrain is a full createOrReplace of both
+    * artifacts — idempotent over the same accumulated corpus, since the
+    * trainer is deterministic). The gate itself costs batch-vocabulary-
+    * sized folds, not a corpus pass — why it rides the batch cadence
+    * while the retrain rides the gate. */
+  def sinkWithTokenizerMonitor(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tablePrefix: String,
+      checkpointDir: String,
+      checkEvery: Int = 1,
+      maxUnkRate: Double = 0.3,
+      numMerges: Int = 6,
+      topK: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.storage.GraftCatalog.{TxnAppIdOption, TxnVersionOption}
+        val spark = batch.sparkSession
+        val maintaining = checkEvery > 0 && (batchId + 1) % checkEvery == 0
+        val b = if (maintaining) batch.localCheckpoint(true) else batch
+        val maintT = s"${tablePrefix}_maintenance"
+        val alreadyLogged = maintaining && spark.catalog.tableExists(maintT) &&
+          !spark.table(maintT).filter(col("batch_id") === batchId).isEmpty
+        // gate BEFORE append, against the CURRENT artifacts: the question
+        // is whether the incoming batch still tokenizes well under what
+        // is shipped
+        val unk =
+          if (maintaining && !alreadyLogged) {
+            val merges = spark.table(s"${tablePrefix}_merges")
+              .orderBy("merge_rank").collect()
+              .map(r => (r.getString(1), r.getString(2))).toSeq
+            graft.ops.TextAnalysis.bpeUnkRate(b, textCol, merges,
+              spark.table(s"${tablePrefix}_vocab"))
+          } else 0.0
+        b.select(col(idCol), col(textCol))
+          .writeTo(s"${tablePrefix}_docs")
+          .option(TxnAppIdOption, s"$checkpointDir#tokdocs")
+          .option(TxnVersionOption, batchId.toString)
+          .append()
+        if (maintaining && !alreadyLogged && unk > maxUnkRate) {
+          val (m, v) = graft.ops.TextAnalysis.bpeTrainArtifacts(
+            spark.table(s"${tablePrefix}_docs"), textCol, numMerges, topK)
+          m.writeTo(s"${tablePrefix}_merges").using("parquet").createOrReplace()
+          v.writeTo(s"${tablePrefix}_vocab").using("parquet").createOrReplace()
+          import spark.implicits._
+          val log = Seq((batchId, f"retrain:unk=$unk%.3f"))
+            .toDF("batch_id", "action")
+          if (!spark.catalog.tableExists(maintT))
+            log.limit(0).writeTo(maintT).using("parquet").create()
+          log.writeTo(maintT)
+            .option(TxnAppIdOption, s"$checkpointDir#tokmaint")
+            .option(TxnVersionOption, batchId.toString)
+            .append()
+        }
+      }
+      .start()
+
   /** Streaming medallion slice: raw JSON-string records (the Bronze shape)
     * through the *batch* Silver transforms — projection/filter only, so the
     * identical code plans incrementally under readStream. */

@@ -1070,6 +1070,19 @@ class OpsSpec extends SparkSpec {
     assert(got(2L) == List(1L, 1L, 2L))             // z,z | low
   }
 
+  test("bpeUnkRate: 0 against a covering vocab, instance-weighted " +
+    "fraction against a partial one") {
+    val d = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    val (m, v) = TextAnalysis.bpeTrainArtifacts(d, "text", numMerges = 1,
+      topK = 16)
+    val merges = m.collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(TextAnalysis.bpeUnkRate(d, "text", merges, v) == 0.0)
+    // drop everything but the merged token: "ab" covers 2 of the 4
+    // post-merge token instances ([ab], [ab], [c, d])
+    val partial = v.filter(col("token") === "ab")
+    assert(TextAnalysis.bpeUnkRate(d, "text", merges, partial) == 0.5)
+  }
+
   test("bpeSegmentedTokenCountDict: identical to the fold spelling") {
     val d = Seq((1L, "low lower lowest low"), (2L, "slow slower slow"),
       (3L, "a!b 99 low"), (4L, "")).toDF("doc_id", "text")

@@ -475,6 +475,69 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming tokenizer monitor: UNK gate quiet in-distribution, " +
+    "fires once on vocabulary drift, in-engine retrain quiets it") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-tok").toString
+    spark.conf.set("spark.sql.catalog.tok", classOf[graft.storage.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.tok.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS tok.s")
+    // seed corpus: lowercase latin words — merges and vocab learn this shape
+    val latin = Seq("the", "brewery", "pours", "amber", "ale", "stone", "hops")
+    def latinDoc(i: Int) =
+      (0 until 8).map(j => latin((i * 7 + j * 3) % latin.size)).mkString(" ")
+    val seed = (0 until 60).map(i => (i.toLong, latinDoc(i))).toDF("doc_id", "text")
+    Streams.bootstrapTokenizer(spark, seed, "doc_id", "text", "tok.s.bpe",
+      numMerges = 4, topK = 32)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tok-ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.sinkWithTokenizerMonitor(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      "tok.s.bpe", ckpt, checkEvery = 1, maxUnkRate = 0.3,
+      numMerges = 4, topK = 32)
+    def refreshAll(): Unit = Seq("docs", "merges", "vocab")
+      .foreach(t => spark.catalog.refreshTable(s"tok.s.bpe_$t"))
+    try {
+      // batch 0: same distribution — gate quiet, artifacts untouched
+      val mergesBefore = spark.table("tok.s.bpe_merges").collect().toSet
+      input.addData((100 until 120).map(i => (i.toLong, latinDoc(i))): _*)
+      q.processAllAvailable(); refreshAll()
+      assert(!spark.catalog.tableExists("tok.s.bpe_maintenance"),
+        "an in-distribution batch must trigger no retrain")
+      assert(spark.table("tok.s.bpe_docs").count() == 80L)
+      assert(spark.table("tok.s.bpe_merges").collect().toSet == mergesBefore)
+      // batch 1: digit-heavy drift — every pre-token is OOV under the
+      // latin vocab, the gate fires, the tokenizer retrains over the
+      // ACCUMULATED corpus (latin + digits)
+      def digitDoc(i: Int) =
+        (0 until 8).map(j => ((i * 17 + j * 5) % 9000 + 1000).toString).mkString(" ")
+      input.addData((200 until 240).map(i => (i.toLong, digitDoc(i))): _*)
+      q.processAllAvailable(); refreshAll()
+      spark.catalog.refreshTable("tok.s.bpe_maintenance")
+      val actions = spark.table("tok.s.bpe_maintenance")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(actions.length == 1 && actions.head._1 == 1L &&
+        actions.head._2.startsWith("retrain:unk="),
+        s"expected one retrain at batch 1, got ${actions.toSeq}")
+      assert(spark.table("tok.s.bpe_merges").collect().toSet != mergesBefore,
+        "the retrain must replace the merge table")
+      // the refreshed vocab now carries digit tokens
+      val vocabNow = spark.table("tok.s.bpe_vocab")
+        .collect().map(_.getString(0)).toSet
+      assert(vocabNow.exists(_.forall(_.isDigit)),
+        s"retrained vocab must cover the drifted batch: $vocabNow")
+      // batch 2: more digits — the refreshed tokenizer serves it, the
+      // gate stays quiet, no second retrain
+      input.addData((300 until 320).map(i => (i.toLong, digitDoc(i))): _*)
+      q.processAllAvailable(); refreshAll()
+      spark.catalog.refreshTable("tok.s.bpe_maintenance")
+      assert(spark.table("tok.s.bpe_maintenance").count() == 1L,
+        "the gate must be quiet after the retrain")
+      assert(spark.table("tok.s.bpe_docs").count() == 140L)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup drops repeats, state bounded by watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
