@@ -996,14 +996,49 @@ object TextAnalysis {
       numMerges: Int,
       topK: Int): DataFrame = {
     val state = bpeTrainCore(docs, textCol, numMerges)._2
-    val vmap = vocabFromState(state, topK)
-      .agg(map_from_entries(
-        collect_list(struct(col("token"), col("token_id")))).alias("__vmap"))
     val wordIds = state.select(col("word"), col("toks"))
-      .crossJoin(broadcast(vmap))
+      .crossJoin(broadcast(vocabMap(vocabFromState(state, topK))))
       .select(col("word"),
         transform(col("toks"),
           t => coalesce(element_at(col("__vmap"), t), lit(0L))).alias("__ids"))
+    encodeInstances(docs, idCol, textCol, wordIds)
+  }
+
+  /** [[bpeEncode]] against SHIPPED artifacts — the merge list and
+    * vocabulary a prior training run (or
+    * [[graft.streaming.Streams.sinkWithTokenizerMonitor]]'s maintained
+    * tables) produced — so inference never retrains: the word dictionary
+    * is built by folding the CORPUS'S OWN distinct words through the
+    * merges (batch-vocabulary-sized work), then the same broadcast +
+    * id-keyed reassembly as [[bpeEncode]]. */
+  def bpeEncodeWith(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)],
+      vocab: DataFrame): DataFrame = {
+    val wordIds = docs
+      .select(explode(bpeTokens(col(textCol))).alias("word")).distinct()
+      .withColumn("toks",
+        merges.foldLeft(split(col("word"), ""): Column) { case (c, (l, r)) =>
+          mergePairFold(c, lit(l), lit(r))
+        })
+      .crossJoin(broadcast(vocabMap(vocab)))
+      .select(col("word"),
+        transform(col("toks"),
+          t => coalesce(element_at(col("__vmap"), t), lit(0L))).alias("__ids"))
+    encodeInstances(docs, idCol, textCol, wordIds)
+  }
+
+  private def vocabMap(vocab: DataFrame): DataFrame =
+    vocab.agg(map_from_entries(
+      collect_list(struct(col("token"), col("token_id")))).alias("__vmap"))
+
+  private def encodeInstances(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      wordIds: DataFrame): DataFrame = {
     val inst = docs.select(col(idCol),
       posexplode(bpeTokens(col(textCol))).as(Seq("__p", "word")))
     inst.join(broadcast(wordIds), Seq("word"))

@@ -1070,6 +1070,26 @@ class OpsSpec extends SparkSpec {
     assert(got(2L) == List(1L, 1L, 2L))             // z,z | low
   }
 
+  test("bpeEncodeWith shipped artifacts equals the train-inline bpeEncode") {
+    val d = Seq((1L, "low lower zz"), (2L, "zz low"), (3L, "aqx"))
+      .toDF("doc_id", "text")
+    val inline = TextAnalysis.bpeEncode(d, "doc_id", "text", numMerges = 2,
+        topK = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val (m, v) = TextAnalysis.bpeTrainArtifacts(d, "text", numMerges = 2,
+      topK = 2)
+    val merges = m.orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val shipped = TextAnalysis.bpeEncodeWith(d, "doc_id", "text", merges, v)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(inline == shipped)
+    // and against a corpus the artifacts have never seen (pure OOV)
+    val fresh = Seq((9L, "qq pp")).toDF("doc_id", "text")
+    val enc = TextAnalysis.bpeEncodeWith(fresh, "doc_id", "text", merges, v)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(enc(9L) == List(0L, 0L, 0L, 0L), s"unseen words encode as UNK: $enc")
+  }
+
   test("bpeUnkRate: 0 against a covering vocab, instance-weighted " +
     "fraction against a partial one") {
     val d = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
