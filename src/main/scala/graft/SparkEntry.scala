@@ -1338,6 +1338,9 @@ object SparkEntry {
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
     "text_langid" -> ((s, dir) => TextAnalysis.languageId(docs(s, dir))),
     "text_quality_filter" -> ((s, dir) => TextAnalysis.qualityFilter(docs(s, dir))),
+    // Gopher rule battery (Rae et al. 2112.11446 §A1.1) — all thresholds
+    // as exact integer comparisons, one narrow pass.
+    "text_gopher_rules" -> ((s, dir) => TextAnalysis.gopherRules(docs(s, dir))),
     "text_lang_confusion" -> ((s, dir) => {
       val d = docs(s, dir)
       TextAnalysis.languageId(d)
@@ -4272,6 +4275,33 @@ object SparkEntry {
          SELECT doc_id, n_tokens, stopword_ratio, distinct_ratio FROM m
          WHERE n_tokens >= 20 AND stopword_ratio <= 0.25 AND distinct_ratio >= 0.5
          ORDER BY doc_id""",
+    "text_gopher_rules" ->
+      """WITH tk AS (
+           SELECT doc_id, text,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+                  CAST(len(toks) AS BIGINT) AS n_words,
+                  CAST(coalesce(list_sum(list_transform(toks, w -> len(w))), 0) AS BIGINT) AS sum_word_len,
+                  CAST(len(text) - len(regexp_replace(text, '[#…]', '', 'g')) AS BIGINT) AS n_symbols,
+                  CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+                  CAST(len(list_intersect(list_distinct(toks),
+                    ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stopwords_distinct
+           FROM tk)
+         SELECT doc_id, n_words, sum_word_len, n_symbols, n_alpha_words,
+                n_stopwords_distinct,
+                (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+                (sum_word_len >= n_words * 3 AND sum_word_len <= n_words * 10) AS ok_mean_len,
+                (n_symbols * 10 <= n_words) AS ok_symbol_ratio,
+                (n_alpha_words * 5 >= n_words * 4) AS ok_alpha_words,
+                (n_stopwords_distinct >= 2) AS ok_stopwords,
+                ((n_words >= 50 AND n_words <= 100000)
+                  AND (sum_word_len >= n_words * 3 AND sum_word_len <= n_words * 10)
+                  AND (n_symbols * 10 <= n_words)
+                  AND (n_alpha_words * 5 >= n_words * 4)
+                  AND (n_stopwords_distinct >= 2)) AS keep
+         FROM m ORDER BY doc_id""",
     "text_lang_confusion" ->
       """WITH tk AS (
            SELECT doc_id, lang, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks

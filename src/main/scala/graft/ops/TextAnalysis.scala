@@ -1109,4 +1109,67 @@ object TextAnalysis {
       .filter(col("n_tokens") > 0L)
       .orderBy(col(idCol))
   }
+
+  /** Gopher's "required stop words" set — a doc must contain at least two
+    * DISTINCT members to pass the stop-word rule (Rae et al.,
+    * arXiv:2112.11446 §A1.1). */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher quality-rule flags (Rae et al., arXiv:2112.11446 §A1.1): the
+    * published rule battery for crawl-scale document filtering, one boolean
+    * per rule plus the conjunction, computed per-row over one scan.
+    *
+    * Every threshold comparison is spelled in EXACT integer arithmetic —
+    * `3 ≤ mean_word_len ≤ 10` as `3·n ≤ Σlen ≤ 10·n`, `symbol_ratio ≤ 0.1`
+    * as `10·symbols ≤ n` — so there is no float division anywhere and any
+    * engine reproduces the booleans bit-for-bit. The rules:
+    *
+    *  - `ok_word_count`:   minWords ≤ n_words ≤ maxWords (paper: 50..100k)
+    *  - `ok_mean_len`:     3 ≤ mean word length ≤ 10 characters
+    *  - `ok_symbol_ratio`: (# of '#' or '…' symbols) / n_words ≤ 0.1
+    *  - `ok_alpha_words`:  ≥ 80 % of words contain ≥ 1 alphabetic char
+    *  - `ok_stopwords`:    ≥ 2 distinct [[gopherStopwords]] present
+    *  - `keep` = all of the above.
+    *
+    * The paper's line-level rules (bullet-start / ellipsis-end fractions)
+    * live on the line table, not the doc table — compose with a
+    * `split(text, '\n')` explode where corpora carry newlines; the fixture
+    * corpus is single-line so they would be vacuous here.
+    *
+    * 100 TB shape: narrow projection, no shuffle, pipelines into the scan
+    * with (doc_id, text) pruning; the filter composes with
+    * [[qualityFilter]] and [[repetition]] in the same stage. */
+  def gopherRules(
+      docs: DataFrame,
+      minWords: Long = 50L,
+      maxWords: Long = 100000L): DataFrame = {
+    val toks = tokens(col("text"))
+    val nWords = size(toks).cast("long")
+    // Σ word length — exact, for the integer-form mean bound.
+    val sumLen = coalesce(
+      aggregate(toks, lit(0L), (a, w) => a + length(w).cast("long")), lit(0L))
+    // '#' and '…' occurrences over the whole text (symbols, not words).
+    val nSym = (length(col("text")) -
+      length(regexp_replace(col("text"), "[#…]", ""))).cast("long")
+    val nAlpha = size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("long")
+    val nStop = size(array_intersect(array_distinct(toks),
+      array(gopherStopwords.map(lit): _*))).cast("long")
+    docs.select(
+        col("doc_id"),
+        nWords.alias("n_words"),
+        sumLen.alias("sum_word_len"),
+        nSym.alias("n_symbols"),
+        nAlpha.alias("n_alpha_words"),
+        nStop.alias("n_stopwords_distinct"),
+        (nWords >= minWords && nWords <= maxWords).alias("ok_word_count"),
+        (sumLen >= nWords * 3L && sumLen <= nWords * 10L).alias("ok_mean_len"),
+        (nSym * 10L <= nWords).alias("ok_symbol_ratio"),
+        (nAlpha * 5L >= nWords * 4L).alias("ok_alpha_words"),
+        (nStop >= 2L).alias("ok_stopwords"))
+      .withColumn("keep",
+        col("ok_word_count") && col("ok_mean_len") && col("ok_symbol_ratio") &&
+          col("ok_alpha_words") && col("ok_stopwords"))
+      .orderBy("doc_id")
+  }
 }

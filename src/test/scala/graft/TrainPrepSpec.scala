@@ -225,6 +225,37 @@ class TrainPrepSpec extends SparkSpec {
     assert(out(3L) == (0L, 0L, 0.0))
   }
 
+  test("gopher rules: each rule gates on its own exact integer bound") {
+    import spark.implicits._
+    val good = "the of " + Seq.fill(48)("word").mkString(" ")  // 50 words
+    val short = "the of and"                                   // 3 words, mean 2.67
+    val symbols = "the of " + Seq.fill(10)("####").mkString(" ") +
+      " " + Seq.fill(38)("word").mkString(" ")                 // 40 '#' on 50 words
+    val numeric = Seq.fill(50)("12345").mkString(" ")          // no alpha, no stops
+    val d = Seq((1L, good), (2L, short), (3L, symbols), (4L, numeric))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.gopherRules(d)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // good: every rule passes
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(out(1L).getAs[Long]("n_words") == 50L)
+    assert(out(1L).getAs[Long]("n_stopwords_distinct") == 2L)
+    // short: word count under 50 AND mean word length 8/3 < 3
+    assert(!out(2L).getAs[Boolean]("ok_word_count"))
+    assert(!out(2L).getAs[Boolean]("ok_mean_len"))
+    assert(out(2L).getAs[Boolean]("ok_stopwords")) // the/of/and = 3 distinct
+    // symbols: 40 '#' over 50 words fails the 10% symbol ratio; the
+    // 40-of-50 alpha fraction sits exactly on the 80% boundary (passes)
+    assert(!out(3L).getAs[Boolean]("ok_symbol_ratio"))
+    assert(out(3L).getAs[Boolean]("ok_alpha_words"))
+    assert(out(3L).getAs[Long]("n_symbols") == 40L)
+    // numeric: no alphabetic words, no stop words
+    assert(!out(4L).getAs[Boolean]("ok_alpha_words"))
+    assert(!out(4L).getAs[Boolean]("ok_stopwords"))
+    assert(out(4L).getAs[Boolean]("ok_word_count"))
+    assert(!out(4L).getAs[Boolean]("keep"))
+  }
+
   test("mixture sampling hits target proportions deterministically") {
     import spark.implicits._
     val df = ((1L to 80L).map(i => (i, "web")) ++ (81L to 120L).map(i => (i, "code")))
