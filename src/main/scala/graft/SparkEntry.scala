@@ -536,6 +536,11 @@ object SparkEntry {
     "text_pmi" -> ((s, dir) =>
       TextAnalysis.pmiPairs(docs(s, dir), "text", minCount = 5L, topK = 30)
         .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))),
+    // Interpolated Kneser–Ney bigram probabilities with d = 3/4 as ONE
+    // exact rational per pair (⌊10^6·num/den⌋, DECIMAL(38,0) products) —
+    // the perplexity-filter LM, marginals all on the pair table.
+    "text_kneser_ney" -> ((s, dir) =>
+      TextAnalysis.kneserNey(docs(s, dir), "text")),
     // Null-aware NOT IN: the with_null branch's subquery CONTAINS a NULL
     // (nullif poisons custkey 1), so by SQL three-valued logic it must
     // return ZERO rows — Spark plans a null-aware anti join; a naive anti
@@ -3290,6 +3295,27 @@ object SparkEntry {
     "dedup_excise" -> exciseSql,
     "prep_dsir" -> dsirSql,
     "text_bm25" -> bm25Sql,
+    "text_kneser_ney" ->
+      """WITH tk AS (
+           SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+           FROM documents),
+         bg AS (
+           SELECT unnest(list_transform(range(1, len(t)),
+                    i -> {'w1': t[i], 'w2': t[i+1]})) AS s
+           FROM tk WHERE len(t) >= 2),
+         pairs AS (SELECT s.w1 AS w1, s.w2 AS w2,
+                          CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+         ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                        CAST(count(*) AS BIGINT) AS n1p_w1 FROM pairs GROUP BY 1),
+         hist AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p_w2 FROM pairs GROUP BY 1),
+         np AS (SELECT CAST(count(*) AS HUGEINT) AS np FROM pairs)
+         SELECT p.w1, p.w2, p.c12, c.c1, c.n1p_w1, h.n1p_w2,
+                CAST(((greatest(4 * CAST(p.c12 AS HUGEINT) - 3, 0) * np.np
+                        + 3 * CAST(c.n1p_w1 AS HUGEINT) * CAST(h.n1p_w2 AS HUGEINT))
+                       * 1000000)
+                     // (4 * CAST(c.c1 AS HUGEINT) * np.np) AS BIGINT) AS p_micro
+         FROM pairs p JOIN ctx c USING (w1) JOIN hist h USING (w2) CROSS JOIN np
+         ORDER BY w1, w2""",
     "text_pmi" ->
       """WITH tk AS (
            SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t

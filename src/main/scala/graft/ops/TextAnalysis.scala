@@ -1110,6 +1110,65 @@ object TextAnalysis {
       .orderBy(col(idCol))
   }
 
+  /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney, ICASSP
+    * 1995; Chen & Goodman, TR-10-98) with the standard discount d = 0.75 —
+    * the n-gram-LM smoothing used for perplexity-style data filtering —
+    * computed in EXACT integer arithmetic so the result hash-matches any
+    * engine.
+    *
+    * With d = 3/4, every term is rational over the corpus counts:
+    *
+    * {{{
+    *   P_KN(w2|w1) = max(c12 − 3/4, 0)/c1  +  (3/4)·N1+(w1,·)/c1 · N1+(·,w2)/N1+(·,·)
+    *               = [ max(4·c12 − 3, 0)·Np  +  3·N1w1·N1w2 ] / (4·c1·Np)
+    * }}}
+    *
+    * where `c12` is the bigram instance count, `c1 = Σ_w c(w1,w)` the
+    * context instance count, `N1w1 = N1+(w1,·)` the distinct continuations
+    * of w1, `N1w2 = N1+(·,w2)` the distinct histories of w2, and
+    * `Np = N1+(·,·)` the number of distinct bigram types. The emitted
+    * probability is the exact floor `p_micro = ⌊10^6·num/den⌋`, with the
+    * products widened to DECIMAL(38,0) so no count magnitude can overflow
+    * (the DuckDB oracle widens to HUGEINT — both floor non-negative
+    * quotients, so they agree bit-for-bit).
+    *
+    * Scale shape: identical to [[pmiPairs]] — instances reduce to the
+    * pair-count table map-side via the per-row `word_pair_counts` fold
+    * (one partial-aggregated shuffle), all four statistics (c1, N1w1,
+    * N1w2, Np) are aggregates OVER THE PAIR TABLE whose per-key row count
+    * is bounded by distinct-neighbor counts (never the Zipf-skewed
+    * instance stream), and Np is a one-row broadcast. */
+  def kneserNey(docs: DataFrame, textCol: String): DataFrame = {
+    val pairs = Pin(docs.select(
+        explode(graft.functions.SketchArrayExpressions.wordPairCounts(
+          tokens(col(textCol)))).alias("bg"))
+      .groupBy(col("bg.w1").alias("w1"), col("bg.w2").alias("w2"))
+      .agg(sum(col("bg.tf")).alias("c12")))
+    val ctx = pairs.groupBy(col("w1")).agg(
+      sum(col("c12")).alias("c1"),
+      count(lit(1)).alias("n1p_w1"))
+    val hist = pairs.groupBy(col("w2")).agg(count(lit(1)).alias("n1p_w2"))
+    val np = pairs.agg(count(lit(1)).alias("__np"))
+    val dec = "DECIMAL(38,0)"
+    pairs
+      .join(ctx, Seq("w1")).join(hist, Seq("w2"))
+      .crossJoin(broadcast(np))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        col("n1p_w1"), col("n1p_w2"),
+        ((greatest(col("c12") * 4L - 3L, lit(0L)).cast(dec) *
+            col("__np").cast(dec) +
+          lit(3L).cast(dec) * col("n1p_w1").cast(dec) * col("n1p_w2").cast(dec))
+          * lit(1000000L).cast(dec)).alias("__num"),
+        (lit(4L).cast(dec) * col("c1").cast(dec) * col("__np").cast(dec))
+          .alias("__den"))
+      // `div` (IntegralDivide) floors the exact decimal quotient — no
+      // intermediate rounding, unlike floor(a / b) whose decimal division
+      // result is scale-capped and rounded first.
+      .selectExpr("w1", "w2", "c12", "c1", "n1p_w1", "n1p_w2",
+        "CAST(__num div __den AS BIGINT) AS p_micro")
+      .orderBy("w1", "w2")
+  }
+
   /** Gopher's "required stop words" set — a doc must contain at least two
     * DISTINCT members to pass the stop-word rule (Rae et al.,
     * arXiv:2112.11446 §A1.1). */

@@ -225,6 +225,25 @@ class TrainPrepSpec extends SparkSpec {
     assert(out(3L) == (0L, 0L, 0.0))
   }
 
+  test("kneser-ney: hand-computed exact rational probabilities") {
+    import spark.implicits._
+    // pairs: (a,b):2  (a,c):1  (b,a):1  →  Np = 3 bigram types
+    // ctx a: c1=3, 2 continuations; ctx b: c1=1, 1 continuation
+    // every w2 has exactly 1 distinct history
+    val d = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.kneserNey(d, "text")
+      .collect().map(r => (r.getAs[String]("w1"), r.getAs[String]("w2")) ->
+        (r.getAs[Long]("c12"), r.getAs[Long]("c1"), r.getAs[Long]("p_micro"))).toMap
+    // P(b|a) = (max(4·2−3,0)·3 + 3·2·1) / (4·3·3) = 21/36 = 0.583333…
+    assert(out(("a", "b")) == (2L, 3L, 583333L))
+    // P(c|a) = (1·3 + 3·2·1) / 36 = 9/36 = 0.25
+    assert(out(("a", "c")) == (1L, 3L, 250000L))
+    // P(a|b) = (1·3 + 3·1·1) / (4·1·3) = 6/12 = 0.5
+    assert(out(("b", "a")) == (1L, 1L, 500000L))
+    // discount reserves mass for unseen continuations: Σ_w2 P(w2|a) < 1
+    assert(583333L + 250000L < 1000000L)
+  }
+
   test("gopher rules: each rule gates on its own exact integer bound") {
     import spark.implicits._
     val good = "the of " + Seq.fill(48)("word").mkString(" ")  // 50 words
