@@ -484,6 +484,13 @@ object SparkEntry {
       Dedup.exciseDuplicateSpans(docs(s, dir), "doc_id", "text", k = 8,
           tokenHash = Dedup.oracleHash)
         .orderBy("doc_id")),
+    // Distributed suffix-array ranks by prefix doubling (Manber–Myers /
+    // Flick–Aluru; the Lee et al. 2107.06499 §4 index) — ⌈log₂ maxlen⌉
+    // rounds of bounded shuffles, dense ranks via the range-sort
+    // enumeration, never a single-partition window.
+    "dedup_suffix_array" -> ((s, dir) =>
+      Dedup.suffixRanks(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id", "pos")),
     // DSIR-shaped importance weighting toward the English subset: hashed
     // unigram buckets, add-one smoothed frequency-ratio weight from exact
     // BIGINT sums. Bounded (1024-row) weight table broadcast; corpus
@@ -3293,6 +3300,17 @@ object SparkEntry {
     "text_source_overlap" -> sourceOverlapSql,
     "dedup_span" -> spanDupsSql,
     "dedup_excise" -> exciseSql,
+    "dedup_suffix_array" ->
+      """WITH tk AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+           FROM documents),
+         sfx AS (
+           SELECT doc_id, i AS pos, t[i:] AS suffix
+           FROM tk, UNNEST(range(1, len(t) + 1)) AS g(i)
+           WHERE len(t) >= 1)
+         SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                CAST(dense_rank() OVER (ORDER BY suffix) AS BIGINT) AS rank
+         FROM sfx ORDER BY doc_id, pos""",
     "prep_dsir" -> dsirSql,
     "text_bm25" -> bm25Sql,
     "text_kneser_ney" ->

@@ -936,4 +936,71 @@ object Dedup {
       .join(histKeys, keyCols, "left_anti")
     definitelyNew.unionByName(checked)
   }
+
+  /** Distributed suffix-array ranks by prefix doubling (Manber & Myers,
+    * SODA 1990; the distributed spelling of Flick & Aluru, SC'15) over the
+    * corpus's TOKEN stream: for every (doc, position), the global rank of
+    * the token suffix starting there among all suffixes of all documents.
+    * This is the index structure Lee et al. (arXiv:2107.06499 §4) build
+    * their exact substring dedup on — adjacent ranks with long common
+    * prefixes are the duplicated spans [[spanDups]]/[[exciseDuplicateSpans]]
+    * find by fixed-k hashing; the suffix array answers it for EVERY k at
+    * once, and equal ranks are exactly the suffixes duplicated verbatim.
+    *
+    * Round structure: ranks over 2^j-token prefixes refine to 2^(j+1) by
+    * pairing each position's rank with the rank at `pos + 2^j` (0 past the
+    * end — a proper prefix sorts before every extension, matching
+    * lexicographic list order), so ⌈log₂(longest doc)⌉ rounds total, NOT
+    * O(longest doc). Each round is three bounded shuffles: the (doc,pos)
+    * self-join that aligns the shifted ranks (per-key fanout exactly 1 —
+    * no skew at any corpus shape), a DISTINCT over rank pairs, and the
+    * [[graft.ops.TrainPrep.groupedRunningSum]] range-sort enumeration that
+    * assigns dense ranks to the distinct pairs — never a data-wide
+    * single-partition window. Rounds exit early once all ranks are unique
+    * (checked against the pinned distinct-pair count, one cached scalar).
+    * Iterative lineage is localCheckpoint-truncated, the
+    * [[clustersFast]]/PageRank hygiene.
+    *
+    * Output: (doc, 1-based pos, rank) with ranks dense over the whole
+    * corpus — equal rank ⇔ byte-identical suffix.
+    */
+  def suffixRanks(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.ops.{TrainPrep => TP}
+    val base = docs.select(col(idCol).alias("__id"),
+        posexplode(graft.ops.TextAnalysis.tokens(col(textCol)))
+          .as(Seq("__p0", "__tok")))
+      .select(col("__id"), (col("__p0") + 1L).cast("long").alias("pos"),
+        col("__tok"))
+      .localCheckpoint(false)
+    val nRows = base.count()
+    val maxLen = base.groupBy(col("__id")).agg(count(lit(1)).alias("n"))
+      .agg(max(col("n"))).collect()(0).getLong(0)
+    // round 0: dense ranks of single tokens — vocabulary-sized
+    val tokRanks = TP.groupedRunningSum(
+      base.select(col("__tok")).distinct(), Nil, Seq("__tok"), lit(1L), "r")
+    var cur = base.join(tokRanks, Seq("__tok"))
+      .select(col("__id"), col("pos"), col("r"))
+      .localCheckpoint(false)
+    var k = 1L
+    var unique = false
+    while (k < maxLen && !unique) {
+      val shifted = cur.select(col("__id"), (col("pos") - k).alias("pos"),
+        col("r").alias("__r2"))
+      val paired = cur.withColumnRenamed("r", "__r1")
+        .join(shifted, Seq("__id", "pos"), "left")
+        .select(col("__id"), col("pos"), col("__r1"),
+          coalesce(col("__r2"), lit(0L)).alias("__r2"))
+        .localCheckpoint(false)
+      val keys = Pin(paired.select(col("__r1"), col("__r2")).distinct())
+      val ranks = TP.groupedRunningSum(keys, Nil, Seq("__r1", "__r2"),
+        lit(1L), "r")
+      cur = paired.join(ranks, Seq("__r1", "__r2"))
+        .select(col("__id"), col("pos"), col("r"))
+        .localCheckpoint(false)
+      unique = keys.count() == nRows
+      keys.unpersist()
+      k *= 2
+    }
+    cur.select(col("__id").alias(idCol), col("pos"), col("r").alias("rank"))
+  }
 }

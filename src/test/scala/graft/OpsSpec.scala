@@ -418,6 +418,46 @@ class OpsSpec extends SparkSpec {
       "unit weights must count tokens exactly")
   }
 
+  test("suffixRanks: hand-checked dense ranks; ties are shared suffixes") {
+    import spark.implicits._
+    // sorted suffixes: [a b] (doc1@2, doc2@1)  <  [b]  <  [b a b]
+    val d = Seq((1L, "b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val out = ops.Dedup.suffixRanks(d, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos")) ->
+        r.getAs[Long]("rank")).toMap
+    assert(out == Map((1L, 1L) -> 3L, (1L, 2L) -> 1L, (1L, 3L) -> 2L,
+      (2L, 1L) -> 1L, (2L, 2L) -> 2L))
+  }
+
+  test("suffixRanks: matches a local brute-force suffix sort on a " +
+    "random corpus (incl. long repeated runs that force many rounds)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val docsSeq = (1L to 12L).map { i =>
+      // doc 7 is one token repeated 70 times: ranks stay tied until the
+      // doubling passes the run length, exercising the late rounds
+      val toks = if (i == 7L) Seq.fill(70)("a")
+        else Seq.fill(5 + rnd.nextInt(60))(vocab(rnd.nextInt(vocab.size)))
+      (i, toks.mkString(" "))
+    }
+    val expected = docsSeq.flatMap { case (id, text) =>
+      val t = text.split(" ").toSeq
+      (1 to t.size).map(p => (id, p.toLong, t.drop(p - 1)))
+    }
+    val sortedSfx = expected.map(_._3).distinct
+      .sorted(math.Ordering.Implicits.seqOrdering[Seq, String])
+    val rankOf = sortedSfx.zipWithIndex.map { case (s, i) => s -> (i + 1L) }.toMap
+    val out = ops.Dedup.suffixRanks(docsSeq.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos")) ->
+        r.getAs[Long]("rank")).toMap
+    assert(out.size == expected.size)
+    expected.foreach { case (id, p, sfx) =>
+      assert(out((id, p)) == rankOf(sfx), s"doc $id pos $p")
+    }
+  }
+
   test("exciseDuplicateSpans: first occurrence survives, later ones cut; " +
     "overlaps merge; whole-doc excision and short docs behave") {
     val d = Seq(
