@@ -1241,6 +1241,15 @@ object SparkEntry {
       Similarity.quantizedTopK(e, e.filter(col("vec_id") < 10), "vec_id",
         "embedding", k = 5, refine = 4).orderBy("query_id", "rank")
     }),
+    // Product quantization (Jégou et al., TPAMI 2011): 4 sub-codebooks ×
+    // 16 codes = 4 code bytes per vector (64× under float32); ADC
+    // candidate scan with j-ordered partial folds, exact cosine rescore.
+    "sim_topk_pq" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.pqTopK(e, e.filter(col("vec_id") < 10), "vec_id",
+        "embedding", k = 5, numSub = 4, numCodes = 16, refine = 4)
+        .orderBy("query_id", "rank")
+    }),
     // Semantic (embedding-space) corpus dedup: the model-space companion
     // to lexical dedup_corpus — catches paraphrase-grade duplicates that
     // share no n-grams. Survivor set checked against a transitive-closure
@@ -2779,6 +2788,73 @@ object SparkEntry {
          SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, score
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  /** Numerator-only fixed-order dot fold (the [[cosSql]] numerator). */
+  private def dotFoldSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+           (acc, v) -> acc + v)"""
+
+  /** Fixed-order squared-norm fold (the [[cosSql]] denominator term). */
+  private def norm2FoldSql(a: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, v) -> acc + v)"""
+
+  /** Mirrors [[graft.ops.Similarity.pqTopK]] (4 subspaces × 16 codes,
+    * k=5, refine=4, queries vec_id<10): sub-codebooks from the lowest-id
+    * seeds, argmax-cosine encoding (ties to the larger code), ADC approx
+    * scores as j-ORDERED partial folds — `list(x ORDER BY j)` then the
+    * fixed fold, matching Spark's sorted-struct `aggregate` grouping —
+    * and exact cosine rescore of the 20 candidates. */
+  private def pqTopkSql: String =
+    s"""WITH seeds AS (
+           SELECT vec_id AS code_id, embedding FROM embeddings
+           ORDER BY vec_id LIMIT 16),
+         cbn AS (
+           SELECT code_id, j, embedding[j*16+1:(j+1)*16] AS csub,
+                  ${norm2FoldSql("embedding[j*16+1:(j+1)*16]")} AS cnorm2
+           FROM seeds, UNNEST(range(0, 4)) AS t(j)),
+         c AS (SELECT vec_id AS corpus_id, embedding AS cvec FROM embeddings),
+         xs AS (
+           SELECT corpus_id, j, cvec[j*16+1:(j+1)*16] AS xsub
+           FROM c, UNNEST(range(0, 4)) AS t(j)),
+         enc AS (
+           SELECT corpus_id, j, code_id FROM (
+             SELECT corpus_id, j, code_id,
+                    row_number() OVER (PARTITION BY corpus_id, j
+                      ORDER BY ${cosSql("xsub", "csub")} DESC, code_id DESC) AS rn
+             FROM xs JOIN cbn USING (j)) WHERE rn = 1),
+         q AS (SELECT vec_id AS query_id, embedding AS qvec
+               FROM embeddings WHERE vec_id < 10),
+         sd AS (
+           SELECT query_id, qvec, corpus_id, j,
+                  ${dotFoldSql("qvec[j*16+1:(j+1)*16]", "csub")} AS subdot,
+                  cnorm2
+           FROM enc JOIN cbn USING (j, code_id), q
+           WHERE query_id <> corpus_id),
+         grp AS (
+           SELECT query_id, any_value(qvec) AS qvec, corpus_id,
+                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list(subdot ORDER BY j)), (a, v) -> a + v) AS num,
+                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list(cnorm2 ORDER BY j)), (a, v) -> a + v) AS rnorm2
+           FROM sd GROUP BY query_id, corpus_id),
+         cand AS (
+           SELECT query_id, qvec, corpus_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY num / (sqrt(${norm2FoldSql("qvec")}) * sqrt(rnorm2)) DESC,
+                             corpus_id ASC) AS cr
+           FROM grp),
+         scored AS (
+           SELECT query_id, corpus_id, ${cosSql("qvec", "cvec")} AS score
+           FROM cand JOIN c USING (corpus_id) WHERE cr <= 20),
+         ranked AS (
+           SELECT query_id, corpus_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, corpus_id) AS rank
+           FROM scored)
+         SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, score
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+
   /** Mirrors [[graft.ops.Similarity.filteredTopK]] (k=5, attr=label,
     * queries vec_id<10): pre-filtered by label equality in the join. */
   private def filteredTopkSql: String =
@@ -3216,6 +3292,7 @@ object SparkEntry {
        FROM ranked WHERE rank <= 10 ORDER BY lang, rank""",
     "prep_shuffle_order" -> shuffleOrderSql,
     "sim_topk_int8" -> quantizedTopkSql,
+    "sim_topk_pq" -> pqTopkSql,
     "sim_topk_matryoshka" -> matryoshkaTopkSql,
     "sim_topk_matryoshka_ivf" -> matryoshkaIvfTopkSql,
     "sim_topk_mrl_int8" -> mrlInt8TopkSql,

@@ -262,6 +262,109 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("cscore"), col("rank"))
   }
 
+  /** Product-quantized ANN top-k with exact re-scoring (Jégou, Douze &
+    * Schmid, "Product Quantization for Nearest Neighbor Search", TPAMI
+    * 2011; the IVFADC + refine shape of FAISS). The corpus representation
+    * is `numSub` sub-codebook CODES per vector — at the 4-of-64 × 16-code
+    * defaults that is 4 bytes per vector against 256 float bytes, a 64×
+    * compression, which at 100 TB is the difference between an in-memory
+    * code scan and a disk-bound float scan.
+    *
+    * Stages, all engine-exact:
+    *  1. Sub-codebooks: each of the `numSub` contiguous `dim/numSub` slices
+    *     of the `numCodes` lowest-id corpus vectors (the family's
+    *     deterministic oracle-reproducible seeding; compose with
+    *     [[kmeansCentroids]] per subspace for trained codebooks).
+    *  2. Encode: per (vector, subspace), the argmax-cosine code —
+    *     `max(struct(s, code))` ties to the larger code, the idiom every
+    *     oracle in this family reproduces with `ORDER BY s DESC, code DESC`.
+    *  3. ADC candidate scan: the approximate score is
+    *     `Σ_j lut[j][code_j] / (‖q‖ · √Σ_j ‖cb[j][code_j]‖²)` where
+    *     `lut[j][code] = q_j · cb[j][code]` — the asymmetric-distance
+    *     lookup table, `numSub × numCodes` sub-dots per query. Both sums
+    *     fold in ascending-j order (sorted struct array → `aggregate`),
+    *     because float addition is order-sensitive and the oracle's
+    *     `list(x ORDER BY j)` fold must see the same grouping — this is
+    *     deliberately NOT spelled as a flat dot over the reconstruction,
+    *     whose single 64-term fold parenthesizes differently.
+    *  4. Exact re-score: the top `k × refine` candidates (approx-score
+    *     ties to the smaller id) re-join the float corpus; emitted scores
+    *     are exact cosines, PQ only chose the candidate set.
+    *
+    * Scale shape: codebook and queries broadcast; the code table (the only
+    * corpus-sized artifact) is scanned once per query batch and never
+    * shuffled; the per-query candidate cap bounds the rescore join; the
+    * top-k windows prune with WindowGroupLimit. */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numSub: Int = 4,
+      numCodes: Int = 16,
+      refine: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).alias("corpus_id"), col(vecCol).alias("cvec"))
+    val q = queries.select(col(idCol).alias("query_id"), col(vecCol).alias("qvec"))
+    val subs = explode(sequence(lit(0), lit(numSub - 1))).alias("j")
+    def sub(v: Column, j: Column, subDim: Int): Column =
+      slice(v, j * subDim + 1, lit(subDim))
+    // dim from the codebook seeds — driver-side scalar, codebook-sized
+    val seeds = c.orderBy(col("corpus_id").asc).limit(numCodes)
+      .select(col("corpus_id").alias("code_id"), col("cvec"))
+    val dim = seeds.select(size(col("cvec"))).head().getInt(0)
+    require(dim % numSub == 0, s"dim $dim not divisible by numSub $numSub")
+    val subDim = dim / numSub
+    // (1) sub-codebooks with their exact sub-norms²
+    val cb = seeds.select(col("code_id"), col("cvec"), subs)
+      .select(col("code_id"), col("j"),
+        sub(col("cvec"), col("j"), subDim).alias("csub"))
+      .withColumn("cnorm2", dot(col("csub"), col("csub")))
+    // (2) encode: argmax-cosine code per (corpus vector, subspace)
+    val codes = c.select(col("corpus_id"), col("cvec"), subs)
+      .select(col("corpus_id"), col("j"),
+        sub(col("cvec"), col("j"), subDim).alias("xsub"))
+      .join(broadcast(cb), Seq("j"))
+      .select(col("corpus_id"), col("j"),
+        struct(cosine(col("xsub"), col("csub")).alias("s"),
+          col("code_id").alias("code")).alias("sc"))
+      .groupBy(col("corpus_id"), col("j"))
+      .agg(max(col("sc")).alias("best"))
+      .select(col("corpus_id"), col("j"), col("best.code").alias("code_id"))
+    // (3) ADC: per-(query, corpus) sub-dot partials folded in j order
+    val subdots = codes
+      .join(broadcast(cb.select(col("j"), col("code_id"), col("csub"),
+        col("cnorm2"))), Seq("j", "code_id"))
+      .crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("qvec"), col("corpus_id"),
+        struct(col("j"),
+          dot(sub(col("qvec"), col("j"), subDim), col("csub")).alias("sd"),
+          col("cnorm2")).alias("part"))
+    val candW = Window.partitionBy(col("query_id"))
+      .orderBy(col("ascore").desc, col("corpus_id").asc)
+    val candidates = subdots
+      .groupBy(col("query_id"), col("corpus_id"))
+      .agg(first(col("qvec")).alias("qvec"),
+        array_sort(collect_list(col("part"))).alias("parts"))
+      .select(col("query_id"), col("qvec"), col("corpus_id"),
+        (aggregate(col("parts"), lit(0.0), (a, p) => a + p.getField("sd")) /
+          (sqrt(dot(col("qvec"), col("qvec"))) *
+            sqrt(aggregate(col("parts"), lit(0.0),
+              (a, p) => a + p.getField("cnorm2"))))).alias("ascore"))
+      .withColumn("cr", row_number().over(candW))
+      .filter(col("cr") <= k * refine)
+    // (4) exact cosine re-score of the candidate set only
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("corpus_id").asc)
+    candidates.join(c, Seq("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("qvec"), col("cvec")).alias("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("score"))
+  }
+
   /** Per-vector symmetric int8 quantization: `scale = max|x| / 127`,
     * `code_i = floor(x_i/scale + 0.5)` (round-half-UP — half-steps round
     * toward +inf, e.g. -2.5 → -2; pure double ops, engine-reproducible).
