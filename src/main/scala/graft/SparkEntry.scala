@@ -491,6 +491,14 @@ object SparkEntry {
     "dedup_suffix_array" -> ((s, dir) =>
       Dedup.suffixRanks(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id", "pos")),
+    // Suffix-array LCP statistics: per distinct suffix, occurrence count
+    // and longest common prefix with the next rank (capped at 32) — the
+    // every-k-at-once duplicated-span report, via the descending-doubling
+    // walk over the prefix-doubling level stack (log(cap) rank joins,
+    // never a token-array comparison).
+    "dedup_lcp_stats" -> ((s, dir) =>
+      Dedup.lcpStats(docs(s, dir), "doc_id", "text", lcpCap = 32)
+        .orderBy("rank")),
     // DSIR-shaped importance weighting toward the English subset: hashed
     // unigram buckets, add-one smoothed frequency-ratio weight from exact
     // BIGINT sums. Bounded (1024-row) weight table broadcast; corpus
@@ -3388,6 +3396,33 @@ object SparkEntry {
          SELECT doc_id, CAST(pos AS BIGINT) AS pos,
                 CAST(dense_rank() OVER (ORDER BY suffix) AS BIGINT) AS rank
          FROM sfx ORDER BY doc_id, pos""",
+    "dedup_lcp_stats" ->
+      """WITH tk AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+           FROM documents),
+         sfx AS (
+           SELECT doc_id, i AS pos, t[i:] AS suffix
+           FROM tk, UNNEST(range(1, len(t) + 1)) AS g(i)
+           WHERE len(t) >= 1),
+         cls AS (
+           SELECT suffix, n_occurrences, doc_id, pos,
+                  CAST(dense_rank() OVER (ORDER BY suffix) AS BIGINT) AS rank
+           FROM (
+             SELECT suffix, doc_id, pos,
+                    CAST(count(*) OVER (PARTITION BY suffix) AS BIGINT) AS n_occurrences,
+                    row_number() OVER (PARTITION BY suffix ORDER BY doc_id, pos) AS rn
+             FROM sfx) WHERE rn = 1),
+         nxt AS (
+           SELECT rank, n_occurrences, doc_id, pos, suffix,
+                  lead(suffix) OVER (ORDER BY rank) AS nsuf
+           FROM cls)
+         SELECT rank, n_occurrences, doc_id, CAST(pos AS BIGINT) AS pos,
+                CAST(CASE WHEN nsuf IS NULL THEN 0
+                     ELSE coalesce(list_sum(
+                       list_transform(range(1, least(least(len(suffix), len(nsuf)), 32) + 1),
+                         i -> CASE WHEN suffix[1:i] = nsuf[1:i] THEN 1 ELSE 0 END)), 0)
+                     END AS BIGINT) AS lcp_next
+         FROM nxt ORDER BY rank""",
     "prep_dsir" -> dsirSql,
     "text_bm25" -> bm25Sql,
     "text_kneser_ney" ->

@@ -964,7 +964,17 @@ object Dedup {
     * Output: (doc, 1-based pos, rank) with ranks dense over the whole
     * corpus — equal rank ⇔ byte-identical suffix.
     */
-  def suffixRanks(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def suffixRanks(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    suffixRankLevels(docs, idCol, textCol)._1
+      .select(col("__id").alias(idCol), col("pos"), col("r").alias("rank"))
+
+  /** [[suffixRanks]] keeping every round's rank table: returns
+    * `(final ranks, levels)` where `levels(j)` ranks 2^j-token blocks —
+    * the level stack [[lcpStats]]'s descending-doubling LCP walk consumes
+    * (all frames are localCheckpoint'd, columns `(__id, pos, r)`). */
+  private[graft] def suffixRankLevels(
+      docs: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, Seq[DataFrame]) = {
     import graft.ops.{TrainPrep => TP}
     val base = docs.select(col(idCol).alias("__id"),
         posexplode(graft.ops.TextAnalysis.tokens(col(textCol)))
@@ -981,6 +991,7 @@ object Dedup {
     var cur = base.join(tokRanks, Seq("__tok"))
       .select(col("__id"), col("pos"), col("r"))
       .localCheckpoint(false)
+    val levels = scala.collection.mutable.ArrayBuffer(cur)
     var k = 1L
     var unique = false
     while (k < maxLen && !unique) {
@@ -997,10 +1008,83 @@ object Dedup {
       cur = paired.join(ranks, Seq("__r1", "__r2"))
         .select(col("__id"), col("pos"), col("r"))
         .localCheckpoint(false)
+      levels += cur
       unique = keys.count() == nRows
       keys.unpersist()
       k *= 2
     }
-    cur.select(col("__id").alias(idCol), col("pos"), col("r").alias("rank"))
+    (cur, levels.toSeq)
+  }
+
+  /** Suffix-array LCP statistics — the repeated-span report Lee et al.
+    * (arXiv:2107.06499 §4) derive from the suffix array: one row per
+    * DISTINCT suffix (= per dense rank), with its occurrence count (> 1 ⇔
+    * that whole suffix is duplicated verbatim) and the longest common
+    * prefix with the NEXT suffix in rank order, capped at `lcpCap` tokens.
+    * `max(lcp_prev, lcp_next) ≥ k` is exactly "a duplicated k-token span
+    * starts here" — the every-k-at-once generalization of the fixed-k
+    * [[spanDups]].
+    *
+    * The LCP walk is the classic descending doubling over
+    * [[suffixRankLevels]]' level stack: starting from `acc = 0`, for block
+    * sizes 2^j from the largest level under the cap down to 1, if the two
+    * suffixes' level-j ranks at offset `acc` agree (both present — a
+    * missing position means one suffix ended, which can never extend a
+    * common prefix), the prefix provably extends by 2^j. Each level is ONE
+    * (doc,pos)-keyed join of the rank-class-representative pair table
+    * (≤ one row per distinct suffix) against that level's rank table —
+    * per-key fanout 1, log(cap) rounds, never a comparison of token
+    * arrays.
+    *
+    * Output: `(rank, n_occurrences, doc, pos, lcp_next)` — `(doc, pos)`
+    * is the rank class's smallest occurrence, `lcp_next` is 0 for the
+    * highest rank. */
+  def lcpStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      lcpCap: Int = 32): DataFrame = {
+    val (ranks, levels) = suffixRankLevels(docs, idCol, textCol)
+    // one representative (smallest (doc,pos)) + occurrence count per rank
+    val classes = ranks
+      .groupBy(col("r"))
+      .agg(count(lit(1)).alias("n_occurrences"),
+        min(struct(col("__id"), col("pos"))).alias("rep"))
+      .select(col("r"), col("n_occurrences"),
+        col("rep.__id").alias("doc_a"), col("rep.pos").alias("pos_a"))
+      .localCheckpoint(false)
+    // rank-adjacent pairs: class r against class r+1's representative
+    var pairs = classes.join(
+        classes.select((col("r") - 1L).alias("r"),
+          col("doc_a").alias("doc_b"), col("pos_a").alias("pos_b")),
+        Seq("r"), "left")
+      .withColumn("acc", lit(0L))
+      .localCheckpoint(false)
+    // descending doubling: levels(j) ranks 2^j-token blocks; stay under
+    // the cap so the emitted value is exactly least(true lcp, cap)
+    val top = math.min(levels.size - 1,
+      (31 - Integer.numberOfLeadingZeros(math.max(1, lcpCap))))
+    for (j <- top to 0 by -1) {
+      val lvl = levels(j)
+      val width = 1L << j
+      val ra = lvl.select(col("__id").alias("__da"), col("pos").alias("__pa"),
+        col("r").alias("__ra"))
+      val rb = lvl.select(col("__id").alias("__db"), col("pos").alias("__pb"),
+        col("r").alias("__rb"))
+      pairs = pairs
+        .join(ra, col("doc_a") === col("__da") &&
+          (col("pos_a") + col("acc")) === col("__pa"), "left")
+        .join(rb, col("doc_b") === col("__db") &&
+          (col("pos_b") + col("acc")) === col("__pb"), "left")
+        .withColumn("acc",
+          when(col("__ra").isNotNull && col("__rb").isNotNull &&
+            col("__ra") === col("__rb") && col("acc") + width <= lcpCap,
+            col("acc") + width).otherwise(col("acc")))
+        .drop("__da", "__pa", "__ra", "__db", "__pb", "__rb")
+        .localCheckpoint(false)
+    }
+    pairs.select(col("r").alias("rank"), col("n_occurrences"),
+      col("doc_a").alias(idCol), col("pos_a").alias("pos"),
+      col("acc").alias("lcp_next"))
   }
 }

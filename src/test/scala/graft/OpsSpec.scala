@@ -458,6 +458,32 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("lcpStats: hand-checked ranks, occurrence counts, and capped LCPs") {
+    import spark.implicits._
+    // distinct suffixes sorted: [a b](×2) < [a b c a b] < [b](×2)
+    //                           < [b c a b] < [c a b](×2)
+    val d = Seq((1L, "a b c a b"), (2L, "c a b")).toDF("doc_id", "text")
+    val out = ops.Dedup.lcpStats(d, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("rank") ->
+        (r.getAs[Long]("n_occurrences"), r.getAs[Long]("doc_id"),
+          r.getAs[Long]("pos"), r.getAs[Long]("lcp_next"))).toMap
+    assert(out == Map(
+      1L -> (2L, 1L, 4L, 2L),  // [a b] vs [a b c a b]: lcp 2
+      2L -> (1L, 1L, 1L, 0L),  // [a b c a b] vs [b]: lcp 0
+      3L -> (2L, 1L, 5L, 1L),  // [b] vs [b c a b]: lcp 1
+      4L -> (1L, 1L, 2L, 0L),  // [b c a b] vs [c a b]: lcp 0
+      5L -> (2L, 1L, 3L, 0L))) // last rank: lcp 0
+    // the cap truncates long common prefixes exactly at lcpCap
+    val long = Seq((1L, "x y z w q"), (2L, "x y z w r")).toDF("doc_id", "text")
+    // the [x y z w q] / [x y z w r] pair (doc 1, pos 1) has true lcp 4
+    def lcpAt(cap: Int): Long =
+      ops.Dedup.lcpStats(long, "doc_id", "text", lcpCap = cap)
+        .filter(col("doc_id") === 1L && col("pos") === 1L)
+        .collect().head.getAs[Long]("lcp_next")
+    assert(lcpAt(2) == 2L, "true lcp 4 must cap at 2")
+    assert(lcpAt(32) == 4L)
+  }
+
   test("exciseDuplicateSpans: first occurrence survives, later ones cut; " +
     "overlaps merge; whole-doc excision and short docs behave") {
     val d = Seq(
