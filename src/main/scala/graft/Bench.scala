@@ -82,7 +82,14 @@ object Bench {
     // driver-loop profile like q_pagerank but over the VOCABULARY-sized
     // merge state (the corpus is scanned once), and the composed
     // train-then-segment inference pass (narrow per-row folds)
-    "text_bpe_train", "text_bpe_segment")
+    "text_bpe_train", "text_bpe_segment",
+    // round-11 additions: the PQ code-scan ANN and the pair-table
+    // Kneser-Ney smoothing. The suffix-array family (dedup_suffix_array /
+    // dedup_lcp_stats) is deliberately NOT headline: its ~13 s sf0.1 cost
+    // is the algorithm's documented nature (log-round global sorts) and
+    // would swamp the suite's round-over-round comparability — it is
+    // measured standalone in SCALE.md §suffix-array via BenchOne.
+    "sim_topk_pq", "text_kneser_ney")
 
   /** Warm iterations per query; the median is reported. */
   val WarmIters = 3

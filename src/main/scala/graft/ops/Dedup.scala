@@ -964,20 +964,38 @@ object Dedup {
     * Output: (doc, 1-based pos, rank) with ranks dense over the whole
     * corpus — equal rank ⇔ byte-identical suffix.
     */
-  def suffixRanks(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    suffixRankLevels(docs, idCol, textCol)._1
+  def suffixRanks(
+      docs: DataFrame, idCol: String, textCol: String,
+      startWidth: Int = 8): DataFrame =
+    suffixRankLevels(docs, idCol, textCol, startWidth)._1
       .select(col("__id").alias(idCol), col("pos"), col("r").alias("rank"))
 
   /** [[suffixRanks]] keeping every round's rank table: returns
-    * `(final ranks, levels)` where `levels(j)` ranks 2^j-token blocks —
-    * the level stack [[lcpStats]]'s descending-doubling LCP walk consumes
-    * (all frames are localCheckpoint'd, columns `(__id, pos, r)`). */
+    * `(final ranks, levels)` where `levels(j)` ranks `startWidth·2^j`-token
+    * blocks — the level stack [[lcpStats]]'s descending-doubling LCP walk
+    * consumes (all frames are localCheckpoint'd, columns `(__id, pos, r)`).
+    *
+    * `startWidth` (a power of two) is the Flick–Aluru initial-k-mer
+    * optimization: round 0 ranks the first `startWidth` tokens of every
+    * suffix directly (one enumeration ordered on the token-array slice —
+    * array ordering is shorter-prefix-first, exactly the suffix sentinel
+    * convention), so log₂(startWidth) doubling rounds never run. Natural
+    * text is near-unique by 8 tokens, so `startWidth = 8` typically
+    * converges in 1-2 doubling rounds instead of 4-5; each skipped round
+    * is a global sort + two joins. [[lcpStats]] passes 1 because its LCP
+    * walk needs every power-of-two level. */
   private[graft] def suffixRankLevels(
-      docs: DataFrame, idCol: String, textCol: String)
+      docs: DataFrame, idCol: String, textCol: String, startWidth: Int = 1)
       : (DataFrame, Seq[DataFrame]) = {
     import graft.ops.{TrainPrep => TP}
+    require(startWidth >= 1 && Integer.bitCount(startWidth) == 1,
+      s"startWidth must be a power of two, got $startWidth")
+    val toks = graft.ops.TextAnalysis.tokens(col(textCol))
     val base = docs.select(col(idCol).alias("__id"),
-        posexplode(graft.ops.TextAnalysis.tokens(col(textCol)))
+        posexplode(
+          if (startWidth == 1) toks
+          else transform(sequence(lit(1), size(toks)),
+            p => slice(toks, p, lit(startWidth))))
           .as(Seq("__p0", "__tok")))
       .select(col("__id"), (col("__p0") + 1L).cast("long").alias("pos"),
         col("__tok"))
@@ -985,16 +1003,26 @@ object Dedup {
     val nRows = base.count()
     val maxLen = base.groupBy(col("__id")).agg(count(lit(1)).alias("n"))
       .agg(max(col("n"))).collect()(0).getLong(0)
-    // round 0: dense ranks of single tokens — vocabulary-sized
+    // round 0: dense ranks of startWidth-token blocks (single tokens →
+    // vocabulary-sized; slices → suffix-prefix-sized)
     val tokRanks = TP.groupedRunningSum(
       base.select(col("__tok")).distinct(), Nil, Seq("__tok"), lit(1L), "r")
     var cur = base.join(tokRanks, Seq("__tok"))
       .select(col("__id"), col("pos"), col("r"))
       .localCheckpoint(false)
     val levels = scala.collection.mutable.ArrayBuffer(cur)
-    var k = 1L
-    var unique = false
-    while (k < maxLen && !unique) {
+    var k = startWidth.toLong
+    var converged = false
+    // distinct-rank count of the PREVIOUS round: ranks refine
+    // monotonically, so an unchanged count means no class split this
+    // round — and a round with zero splits is a fixpoint (any class still
+    // differing at offset δ implies the class shifted to δ−2^j differs
+    // within 2^j+1 ≤ 2^{j+1} and would have split), so further rounds are
+    // provably no-ops. `== nRows` (all unique) alone never fires on a
+    // corpus with verbatim-duplicated suffixes — exactly the corpora this
+    // operator exists for, since equal final ranks ARE those duplicates.
+    var prevRanks = -1L
+    while (k < maxLen && !converged) {
       val shifted = cur.select(col("__id"), (col("pos") - k).alias("pos"),
         col("r").alias("__r2"))
       val paired = cur.withColumnRenamed("r", "__r1")
@@ -1009,7 +1037,9 @@ object Dedup {
         .select(col("__id"), col("pos"), col("r"))
         .localCheckpoint(false)
       levels += cur
-      unique = keys.count() == nRows
+      val nRanks = keys.count()
+      converged = nRanks == nRows || nRanks == prevRanks
+      prevRanks = nRanks
       keys.unpersist()
       k *= 2
     }
