@@ -1111,6 +1111,15 @@ object SparkEntry {
         minJaccard = 0.5, k = 3, numHashes = 32, bands = 8,
         tokenHash = Dedup.oracleHash, maxIter = 64)
         .select(col("doc_id"), col("n_chars")).orderBy("doc_id")),
+    // Canonical selection: same clusters as dedup_corpus, but each one
+    // keeps its LONGEST member (ties → smaller id) — the keep-the-best
+    // policy, one cluster-keyed argmax over the labelled corpus.
+    "dedup_corpus_canonical" -> ((s, dir) =>
+      Dedup.dedupCorpusCanonical(docs(s, dir), "doc_id", "text",
+        quality = length(col("text")).cast("long"),
+        minJaccard = 0.5, k = 3, numHashes = 32, bands = 8,
+        tokenHash = Dedup.oracleHash, maxIter = 64)
+        .select(col("doc_id"), col("n_chars")).orderBy("doc_id")),
     // Connected components over the near-dup pair graph by pointer-doubling
     // min-label propagation (O(log diameter) rounds) — every doc labelled
     // with the smallest doc_id in its duplicate cluster; singletons keep
@@ -1421,6 +1430,11 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     // ── Data quality ──
+    // One-row corpus datasheet (Gebru et al., CACM 2021): volumes,
+    // breadth, exact-dup mass, quality-gate pass count — single
+    // aggregate pass, every figure exact BIGINT.
+    "quality_datasheet" -> ((s, dir) =>
+      TextAnalysis.corpusDatasheet(docs(s, dir))),
     "quality_report" -> ((s, dir) => {
       import graft.quality.Expectations._
       report(Parity.t(s, dir, "customer"), Seq(
@@ -1809,6 +1823,41 @@ object SparkEntry {
          JOIN sets sa ON sa.doc_id = id_a
          JOIN sets sb ON sb.doc_id = id_b
          ORDER BY id_a, id_b"""
+
+  /** Mirrors [[graft.ops.Dedup.dedupCorpusCanonical]] with
+    * quality = length(text): the same transitive-closure clusters as
+    * [[dedupCorpusSql]], winner per cluster by (len DESC, id ASC). */
+  private def dedupCorpusCanonicalSql: String =
+    s"""WITH RECURSIVE $oracleTk,
+         ${shrCte(3)},
+         ${sigCte(32)},
+         prs AS (
+           SELECT id_a, id_b FROM (
+             SELECT a.doc_id AS id_a, bb.doc_id AS id_b, ${estExpr(32)} AS est
+             FROM sig a JOIN sig bb
+               ON a.doc_id < bb.doc_id AND (${bandCond(8, 4)}))
+           WHERE est >= CAST(0.5 AS DOUBLE)),
+         edges AS (
+           SELECT id_a AS s, id_b AS d FROM prs
+           UNION
+           SELECT id_b AS s, id_a AS d FROM prs),
+         reach(id, r) AS (
+           SELECT s, d FROM edges
+           UNION
+           SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s),
+         lbl AS (
+           SELECT doc_id, text,
+                  least(doc_id, coalesce(
+                    (SELECT min(reach.r) FROM reach WHERE reach.id = doc_id),
+                    doc_id)) AS cl
+           FROM documents),
+         win AS (
+           SELECT doc_id, row_number() OVER (PARTITION BY cl
+                    ORDER BY len(text) DESC, doc_id ASC) AS rn
+           FROM lbl)
+         SELECT doc_id, n_chars FROM documents
+         WHERE doc_id IN (SELECT doc_id FROM win WHERE rn = 1)
+         ORDER BY doc_id"""
 
   private def dedupCorpusSql: String =
     s"""WITH RECURSIVE $oracleTk,
@@ -3190,6 +3239,7 @@ object SparkEntry {
     "dedup_simhash" -> simhashDupsSql,
     "dedup_ngram_jaccard" -> ngramJaccardProdSql,
     "dedup_corpus" -> dedupCorpusSql,
+    "dedup_corpus_canonical" -> dedupCorpusCanonicalSql,
     "prep_corpus_incremental" -> prepCorpusIncrementalSql,
     "q_connected_components" -> connectedComponentsSql,
     // incremental maintenance must land on the SAME fixpoint as the
@@ -4458,6 +4508,26 @@ object SparkEntry {
                   AND (n_alpha_words * 5 >= n_words * 4)
                   AND (n_stopwords_distinct >= 2)) AS keep
          FROM m ORDER BY doc_id""",
+    "quality_datasheet" ->
+      """WITH tk AS (
+           SELECT doc_id, text, lang, source,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         m AS (
+           SELECT text, lang, source,
+                  CAST(len(toks) AS BIGINT) AS nt,
+                  CAST(len(list_filter(toks, w -> w IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS ns,
+                  CAST(len(list_distinct(toks)) AS BIGINT) AS nu
+           FROM tk)
+         SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_exact_dup_docs,
+                CAST(sum(nt) AS BIGINT) AS n_tokens,
+                CAST(max(nt) AS BIGINT) AS max_doc_tokens,
+                CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                CAST(sum(CASE WHEN nt >= 20 AND ns * 4 <= nt AND nu * 2 >= nt
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass
+         FROM m""",
     "text_lang_confusion" ->
       """WITH tk AS (
            SELECT doc_id, lang, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks

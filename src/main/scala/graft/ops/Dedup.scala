@@ -779,6 +779,46 @@ object Dedup {
         i => element_at(col("__toks"), i + 1)), " ").alias("clean_text"))
   }
 
+  /** [[dedupCorpus]] keeping the best-QUALITY member of every near-dup
+    * cluster instead of the smallest id (ties → smaller id) — the
+    * canonical-selection policy real cleaning pipelines want: when a
+    * boilerplate family collapses, keep its longest / highest-scoring
+    * representative, not whichever crawled first. `quality` is any
+    * deterministic per-row Column over `docs`' columns (`length(text)`,
+    * a [[graft.ops.TextAnalysis.qualityScore]] metric, a
+    * `prep_quality_logit` score…).
+    *
+    * Scale shape: identical to [[dedupCorpus]] (LSH band joins, pointer-
+    * doubling components) plus ONE cluster-keyed argmax — `max(struct)`
+    * partial-aggregates map-side, so the exchange carries one candidate
+    * row per (partition, cluster), and the winner list semi-joins back.
+    * Ids are negated inside the struct so the tie-break is min-id under
+    * max (ids ≥ 0 by the same convention the family's oracles assume). */
+  def dedupCorpusCanonical(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      quality: Column,
+      minJaccard: Double = 0.5,
+      k: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      tokenHash: Column => Column = xxHash,
+      maxIter: Int = 5): DataFrame = {
+    val pairs = minhashLsh(docs, idCol, textCol, k, numHashes, bands, minJaccard, tokenHash)
+      .select("id_a", "id_b")
+    val comp = clustersFast(pairs, maxIter)
+    val labeled = docs
+      .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("__cl", coalesce(col("cluster_id"), col(idCol)))
+    val winners = labeled
+      .groupBy(col("__cl"))
+      .agg(max(struct(quality.alias("q"),
+        (-col(idCol)).alias("nid"))).alias("best"))
+      .select((-col("best.nid")).alias(idCol))
+    docs.join(winners, Seq(idCol), "left_semi")
+  }
+
   /** Edit-distance near-duplicate pairs with prefix+length blocking: report
     * every doc pair whose texts are within `maxDist` Levenshtein edits, the
     * character-exact complement to the token-set sketches (MinHash/SimHash

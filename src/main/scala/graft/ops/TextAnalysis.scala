@@ -1169,6 +1169,37 @@ object TextAnalysis {
       .orderBy("w1", "w2")
   }
 
+  /** Corpus datasheet: the one-row "data card" summary a training-data
+    * release ships with (Gebru et al., "Datasheets for Datasets", CACM
+    * 2021) — document/token volumes, source/language breadth, exact-dup
+    * mass, and quality-gate pass count, every figure an exact BIGINT so
+    * the card is reproducible on any engine.
+    *
+    * Scale shape: ONE aggregate pass over the corpus (all counts partial-
+    * aggregate map-side; the distinct-text exact-dup figure rides the same
+    * shuffle as a two-phase distinct). No joins, no windows. */
+  def corpusDatasheet(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val nStop = size(filter(toks, w => w.isin(stopwords: _*))).cast("long")
+    val nUniq = size(array_distinct(toks)).cast("long")
+    docs.select(col("doc_id"), col("text"), col("lang"), col("source"),
+        nTok.alias("__nt"), nStop.alias("__ns"), nUniq.alias("__nu"))
+      .agg(
+        count(lit(1)).alias("n_docs"),
+        (count(lit(1)) - count_distinct(col("text"))).alias("n_exact_dup_docs"),
+        sum(col("__nt")).alias("n_tokens"),
+        max(col("__nt")).alias("max_doc_tokens"),
+        count_distinct(col("lang")).alias("n_langs"),
+        count_distinct(col("source")).alias("n_sources"),
+        // the qualityFilter gate, counted: ≥20 tokens, stopword ratio
+        // ≤ 0.25, distinct ratio ≥ 0.5 — spelled integer-exact
+        sum(when(col("__nt") >= 20L &&
+            col("__ns") * 4L <= col("__nt") &&
+            col("__nu") * 2L >= col("__nt"), 1L).otherwise(0L))
+          .alias("n_quality_pass"))
+  }
+
   /** Gopher's "required stop words" set — a doc must contain at least two
     * DISTINCT members to pass the stop-word rule (Rae et al.,
     * arXiv:2112.11446 §A1.1). */

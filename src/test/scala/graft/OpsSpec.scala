@@ -458,6 +458,42 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("dedupCorpusCanonical: clusters keep the best-quality member, " +
+    "not the smallest id; singletons survive") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e f g h"),        // near-dup of 2, shorter
+      (2L, "a b c d e f g h i"),      // longest in the cluster -> canonical
+      (3L, "x y z w q r s t u v"))    // singleton
+      .toDF("doc_id", "text")
+    val kept = ops.Dedup.dedupCorpusCanonical(d, "doc_id", "text",
+        quality = length(col("text")).cast("long"), minJaccard = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+    // min-id policy (dedupCorpus) keeps 1 instead — the policies differ
+    val minId = ops.Dedup.dedupCorpus(d, "doc_id", "text", minJaccard = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(minId == Set(1L, 3L))
+  }
+
+  test("corpusDatasheet: hand-computed one-row card") {
+    import spark.implicits._
+    val twenty = (1 to 20).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, twenty, "en", "s1"),   // 20 distinct tokens: passes the gate
+      (2L, twenty, "en", "s1"),   // exact duplicate of 1
+      (3L, "a b", "es", "s2"))    // too short for the gate
+      .toDF("doc_id", "text", "lang", "source")
+    val r = ops.TextAnalysis.corpusDatasheet(d).collect().head
+    assert(r.getAs[Long]("n_docs") == 3L)
+    assert(r.getAs[Long]("n_exact_dup_docs") == 1L)
+    assert(r.getAs[Long]("n_tokens") == 42L)
+    assert(r.getAs[Long]("max_doc_tokens") == 20L)
+    assert(r.getAs[Long]("n_langs") == 2L)
+    assert(r.getAs[Long]("n_sources") == 2L)
+    assert(r.getAs[Long]("n_quality_pass") == 2L)
+  }
+
   test("lcpStats: hand-checked ranks, occurrence counts, and capped LCPs") {
     import spark.implicits._
     // distinct suffixes sorted: [a b](×2) < [a b c a b] < [b](×2)
