@@ -1267,6 +1267,16 @@ object SparkEntry {
         "embedding", k = 5, numSub = 4, numCodes = 16, refine = 4)
         .orderBy("query_id", "rank")
     }),
+    // The composed IVFADC (FAISS) shape: coarse cells prune to
+    // nprobe/numCentroids of the ROWS, PQ codes cut the scanned bytes
+    // 64× — ~1/256 of the corpus volume before the exact rescore.
+    "sim_topk_ivf_pq" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10), "vec_id",
+        "embedding", k = 5, numCentroids = 16, nprobe = 4,
+        numSub = 4, numCodes = 16, refine = 4)
+        .orderBy("query_id", "rank")
+    }),
     // Semantic (embedding-space) corpus dedup: the model-space companion
     // to lexical dedup_corpus — catches paraphrase-grade duplicates that
     // share no n-grams. Survivor set checked against a transitive-closure
@@ -2912,6 +2922,77 @@ object SparkEntry {
          SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, score
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  /** Mirrors [[graft.ops.Similarity.ivfPqTopK]] (16 cells, nprobe=4,
+    * 4 subspaces × 16 codes, k=5, refine=4, queries vec_id<10): the
+    * [[pqTopkSql]] stages with the candidate pair stream restricted to
+    * the ivf-probed cells before any distance arithmetic. */
+  private def ivfPqTopkSql: String =
+    s"""WITH cent AS (
+           SELECT vec_id AS centroid_id, embedding AS centvec FROM embeddings
+           ORDER BY vec_id LIMIT 16),
+         c AS (SELECT vec_id AS corpus_id, embedding AS cvec FROM embeddings),
+         q AS (SELECT vec_id AS query_id, embedding AS qvec
+               FROM embeddings WHERE vec_id < 10),
+         assigned AS (
+           SELECT corpus_id, cell FROM (
+             SELECT corpus_id, centroid_id AS cell,
+                    row_number() OVER (PARTITION BY corpus_id
+                      ORDER BY ${cosSql("cvec", "centvec")} DESC, centroid_id DESC) AS rn
+             FROM c, cent) WHERE rn = 1),
+         probed AS (
+           SELECT query_id, qvec, cell FROM (
+             SELECT query_id, qvec, centroid_id AS cell,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY ${cosSql("qvec", "centvec")} DESC, centroid_id ASC) AS pr
+             FROM q, cent) WHERE pr <= 4),
+         seeds AS (
+           SELECT vec_id AS code_id, embedding FROM embeddings
+           ORDER BY vec_id LIMIT 16),
+         cbn AS (
+           SELECT code_id, j, embedding[j*16+1:(j+1)*16] AS csub,
+                  ${norm2FoldSql("embedding[j*16+1:(j+1)*16]")} AS cnorm2
+           FROM seeds, UNNEST(range(0, 4)) AS t(j)),
+         xs AS (
+           SELECT corpus_id, j, cvec[j*16+1:(j+1)*16] AS xsub
+           FROM c, UNNEST(range(0, 4)) AS t(j)),
+         enc AS (
+           SELECT corpus_id, j, code_id FROM (
+             SELECT corpus_id, j, code_id,
+                    row_number() OVER (PARTITION BY corpus_id, j
+                      ORDER BY ${cosSql("xsub", "csub")} DESC, code_id DESC) AS rn
+             FROM xs JOIN cbn USING (j)) WHERE rn = 1),
+         sd AS (
+           SELECT query_id, qvec, corpus_id, j,
+                  ${dotFoldSql("qvec[j*16+1:(j+1)*16]", "csub")} AS subdot,
+                  cnorm2
+           FROM enc JOIN cbn USING (j, code_id)
+                JOIN assigned USING (corpus_id)
+                JOIN probed USING (cell)
+           WHERE query_id <> corpus_id),
+         grp AS (
+           SELECT query_id, any_value(qvec) AS qvec, corpus_id,
+                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list(subdot ORDER BY j)), (a, v) -> a + v) AS num,
+                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list(cnorm2 ORDER BY j)), (a, v) -> a + v) AS rnorm2
+           FROM sd GROUP BY query_id, corpus_id),
+         cand AS (
+           SELECT query_id, qvec, corpus_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY num / (sqrt(${norm2FoldSql("qvec")}) * sqrt(rnorm2)) DESC,
+                             corpus_id ASC) AS cr
+           FROM grp),
+         scored AS (
+           SELECT query_id, corpus_id, ${cosSql("qvec", "cvec")} AS score
+           FROM cand JOIN c USING (corpus_id) WHERE cr <= 20),
+         ranked AS (
+           SELECT query_id, corpus_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, corpus_id) AS rank
+           FROM scored)
+         SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, score
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+
   /** Mirrors [[graft.ops.Similarity.filteredTopK]] (k=5, attr=label,
     * queries vec_id<10): pre-filtered by label equality in the join. */
   private def filteredTopkSql: String =
@@ -3351,6 +3432,7 @@ object SparkEntry {
     "prep_shuffle_order" -> shuffleOrderSql,
     "sim_topk_int8" -> quantizedTopkSql,
     "sim_topk_pq" -> pqTopkSql,
+    "sim_topk_ivf_pq" -> ivfPqTopkSql,
     "sim_topk_matryoshka" -> matryoshkaTopkSql,
     "sim_topk_matryoshka_ivf" -> matryoshkaIvfTopkSql,
     "sim_topk_mrl_int8" -> mrlInt8TopkSql,

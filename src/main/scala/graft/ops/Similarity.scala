@@ -306,24 +306,36 @@ object Similarity {
       refine: Int = 4): DataFrame = {
     val c = corpus.select(col(idCol).alias("corpus_id"), col(vecCol).alias("cvec"))
     val q = queries.select(col(idCol).alias("query_id"), col(vecCol).alias("qvec"))
+    val (cb, codes, subDim) = pqArtifacts(c, numSub, numCodes)
+    // ADC over the FULL code table: every (query, corpus) pair scanned
+    val pairsIn = codes
+      .join(broadcast(cb.select(col("j"), col("code_id"), col("csub"),
+        col("cnorm2"))), Seq("j", "code_id"))
+      .crossJoin(broadcast(q))
+    pqScore(pairsIn, c, k, refine, subDim)
+  }
+
+  /** Sub-codebooks + code table for [[pqTopK]]/[[ivfPqTopK]]: returns
+    * `(cb(j, code_id, csub, cnorm2), codes(corpus_id, j, code_id), subDim)`.
+    * Codebooks are the `numCodes` lowest-id corpus vectors' slices (the
+    * family's deterministic seeding); encoding is argmax-cosine with ties
+    * to the larger code — the `max(struct)` idiom the oracles reproduce. */
+  private def pqArtifacts(
+      c: DataFrame, numSub: Int, numCodes: Int): (DataFrame, DataFrame, Int) = {
     val subs = explode(sequence(lit(0), lit(numSub - 1))).alias("j")
-    def sub(v: Column, j: Column, subDim: Int): Column =
-      slice(v, j * subDim + 1, lit(subDim))
     // dim from the codebook seeds — driver-side scalar, codebook-sized
     val seeds = c.orderBy(col("corpus_id").asc).limit(numCodes)
       .select(col("corpus_id").alias("code_id"), col("cvec"))
     val dim = seeds.select(size(col("cvec"))).head().getInt(0)
     require(dim % numSub == 0, s"dim $dim not divisible by numSub $numSub")
     val subDim = dim / numSub
-    // (1) sub-codebooks with their exact sub-norms²
     val cb = seeds.select(col("code_id"), col("cvec"), subs)
       .select(col("code_id"), col("j"),
-        sub(col("cvec"), col("j"), subDim).alias("csub"))
+        pqSub(col("cvec"), col("j"), subDim).alias("csub"))
       .withColumn("cnorm2", dot(col("csub"), col("csub")))
-    // (2) encode: argmax-cosine code per (corpus vector, subspace)
     val codes = c.select(col("corpus_id"), col("cvec"), subs)
       .select(col("corpus_id"), col("j"),
-        sub(col("cvec"), col("j"), subDim).alias("xsub"))
+        pqSub(col("cvec"), col("j"), subDim).alias("xsub"))
       .join(broadcast(cb), Seq("j"))
       .select(col("corpus_id"), col("j"),
         struct(cosine(col("xsub"), col("csub")).alias("s"),
@@ -331,15 +343,26 @@ object Similarity {
       .groupBy(col("corpus_id"), col("j"))
       .agg(max(col("sc")).alias("best"))
       .select(col("corpus_id"), col("j"), col("best.code").alias("code_id"))
-    // (3) ADC: per-(query, corpus) sub-dot partials folded in j order
-    val subdots = codes
-      .join(broadcast(cb.select(col("j"), col("code_id"), col("csub"),
-        col("cnorm2"))), Seq("j", "code_id"))
-      .crossJoin(broadcast(q))
+    (cb, codes, subDim)
+  }
+
+  private def pqSub(v: Column, j: Column, subDim: Int): Column =
+    slice(v, j * subDim + 1, lit(subDim))
+
+  /** ADC scoring + exact rescore shared by the PQ searches. `pairsIn` is
+    * the (query_id, qvec, corpus_id, j, csub, cnorm2) pair stream — the
+    * caller decides which (query, corpus) pairs exist (full scan for
+    * [[pqTopK]], probed-cells-only for [[ivfPqTopK]]). Partials fold in
+    * ascending-j order (sorted struct array → `aggregate`) so the oracle's
+    * `list(x ORDER BY j)` fold sees the same float-addition grouping. */
+  private def pqScore(
+      pairsIn: DataFrame, c: DataFrame, k: Int, refine: Int,
+      subDim: Int): DataFrame = {
+    val subdots = pairsIn
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("qvec"), col("corpus_id"),
         struct(col("j"),
-          dot(sub(col("qvec"), col("j"), subDim), col("csub")).alias("sd"),
+          dot(pqSub(col("qvec"), col("j"), subDim), col("csub")).alias("sd"),
           col("cnorm2")).alias("part"))
     val candW = Window.partitionBy(col("query_id"))
       .orderBy(col("ascore").desc, col("corpus_id").asc)
@@ -354,7 +377,6 @@ object Similarity {
               (a, p) => a + p.getField("cnorm2"))))).alias("ascore"))
       .withColumn("cr", row_number().over(candW))
       .filter(col("cr") <= k * refine)
-    // (4) exact cosine re-score of the candidate set only
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("corpus_id").asc)
     candidates.join(c, Seq("corpus_id"))
@@ -363,6 +385,64 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("corpus_id"), col("score"))
+  }
+
+  /** The composed IVF × PQ search — FAISS's IVFADC shape (Jégou et al.
+    * TPAMI 2011 §IV): a coarse quantizer prunes the corpus to `nprobe` of
+    * `numCentroids` cells, and only THOSE cells' PQ codes are ADC-scanned,
+    * so the candidate stage touches `nprobe/numCentroids` of the rows ×
+    * `numSub` code bytes of the bytes — at the 4-of-16 × 4×16 defaults,
+    * 1/4 of the rows at 1/64 of the float bytes = ~1/256 of the corpus
+    * volume, before the exact top-`k × refine` rescore.
+    *
+    * This is flat PQ under IVF (codes quantize the vector itself, not the
+    * cell residual — FAISS's OPQ/residual refinement changes the codebook,
+    * not the plan shape). Coarse centroids and sub-codebooks both use the
+    * family's deterministic lowest-id seeding so the oracle reproduces
+    * every stage; `nprobe = numCentroids` provably recovers [[pqTopK]]
+    * (every cell probed ⇒ the same full pair stream — spec-asserted). */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numCentroids: Int = 16,
+      nprobe: Int = 4,
+      numSub: Int = 4,
+      numCodes: Int = 16,
+      refine: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).alias("corpus_id"), col(vecCol).alias("cvec"))
+    val q = queries.select(col(idCol).alias("query_id"), col(vecCol).alias("qvec"))
+    val centroids = c.orderBy(col("corpus_id").asc).limit(numCentroids)
+      .select(col("corpus_id").alias("centroid_id"), col("cvec").alias("centvec"))
+    // nearest cell per corpus vector (the ivfTopK assignment idiom)
+    val assigned = c.crossJoin(broadcast(centroids))
+      .select(col("corpus_id"),
+        struct(cosine(col("cvec"), col("centvec")).alias("s"),
+          col("centroid_id").alias("cid")).alias("sc"))
+      .groupBy(col("corpus_id"))
+      .agg(max(col("sc")).alias("best"))
+      .select(col("corpus_id"), col("best.cid").alias("cell"))
+    // nprobe nearest cells per query
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("ps").desc, col("cell").asc)
+    val probed = q.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("qvec"),
+        cosine(col("qvec"), col("centvec")).alias("ps"),
+        col("centroid_id").alias("cell"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("cell"))
+    val (cb, codes, subDim) = pqArtifacts(c, numSub, numCodes)
+    // pair stream restricted to probed cells: the code scan is pruned
+    // BEFORE any distance arithmetic runs
+    val pairsIn = codes
+      .join(broadcast(cb.select(col("j"), col("code_id"), col("csub"),
+        col("cnorm2"))), Seq("j", "code_id"))
+      .join(assigned, Seq("corpus_id"))
+      .join(broadcast(probed), Seq("cell"))
+    pqScore(pairsIn, c, k, refine, subDim)
   }
 
   /** Per-vector symmetric int8 quantization: `scale = max|x| / 127`,
