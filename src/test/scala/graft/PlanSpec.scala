@@ -439,4 +439,44 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p.take(800))
     assert(!p.contains("SortMergeJoin"), p.take(800))
   }
+
+  test("text_gopher_rules: one narrow pass — scan pruned to (doc_id, text), " +
+    "zero hash exchanges") {
+    val df = SparkEntry.queries("text_gopher_rules")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      "rule battery must add no shuffle:\n" + p.take(600))
+    val read = plan("text_gopher_rules").linesIterator
+      .find(_.contains("ReadSchema")).get
+    assert(read.contains("doc_id") && read.contains("text") &&
+      !read.contains("lang") && !read.contains("source"),
+      s"scan must prune to (doc_id, text): $read")
+  }
+
+  test("text_kneser_ney: ONE corpus scan feeds the pinned pair table; " +
+    "all marginals aggregate the cache, Np broadcasts") {
+    val df = SparkEntry.queries("text_kneser_ney")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // every consumer (c1/N1w1, N1w2, Np, final join) reads the pinned
+    // cache, never the instance stream (the nested InMemoryRelation text
+    // repeats the original scan, so scans-in-text can't be counted — the
+    // cache reads can)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 4,
+      "all four consumers must read the pinned pair table:\n" + p.take(800))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the one-row Np must broadcast:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("pq searches: candidate and final top-k windows prune with " +
+    "WindowGroupLimit; codebooks and queries broadcast") {
+    for (q <- Seq("sim_topk_pq", "sim_topk_ivf_pq")) {
+      val p = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+        s"$q: both rank filters must prune per-partition:\n" + p.take(800))
+      assert(p.contains("BroadcastExchange"), s"$q: " + p.take(800))
+      assert(!p.contains("CartesianProduct"), s"$q: " + p.take(800))
+    }
+  }
 }
