@@ -1208,6 +1208,25 @@ object SparkEntry {
         "embedding", "vidxq.s.emb", k = 5, nprobe = 4)
         .orderBy("query_id", "rank")
     }),
+    // The persisted IVFADC: PQ codebook + cell-partitioned 4-byte code
+    // table derived from the stored lists; the candidate scan reads ONLY
+    // the probed cells' code partitions, the float lists only serve the
+    // exact rescore. Same stages as sim_topk_ivf_pq — hash-matches its
+    // oracle verbatim.
+    "sim_topk_pq_indexed" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val whDir = java.nio.file.Files.createTempDirectory("graft-vpqq").toString
+      s.conf.set("spark.sql.catalog.vpqq",
+        classOf[graft.storage.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.vpqq.warehouse", whDir)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS vpqq.s")
+      ops.VectorIndex.build(s, e, "vec_id", "embedding", "vpqq.s.emb",
+        numCentroids = 16)
+      ops.VectorIndex.buildPqCodes(s, "vpqq.s.emb", numSub = 4, numCodes = 16)
+      ops.VectorIndex.searchPq(s, e.filter(col("vec_id") < 10), "vec_id",
+        "embedding", "vpqq.s.emb", k = 5, nprobe = 4, refine = 4)
+        .orderBy("query_id", "rank")
+    }),
     // Matryoshka funnel: 16-of-64-dim prefix cosine scan for candidates,
     // exact full-dim rescore of k×refine — the element-count sibling of the
     // int8 byte-count funnel below, hash-checked end to end.
@@ -3433,6 +3452,7 @@ object SparkEntry {
     "sim_topk_int8" -> quantizedTopkSql,
     "sim_topk_pq" -> pqTopkSql,
     "sim_topk_ivf_pq" -> ivfPqTopkSql,
+    "sim_topk_pq_indexed" -> ivfPqTopkSql,
     "sim_topk_matryoshka" -> matryoshkaTopkSql,
     "sim_topk_matryoshka_ivf" -> matryoshkaIvfTopkSql,
     "sim_topk_mrl_int8" -> mrlInt8TopkSql,

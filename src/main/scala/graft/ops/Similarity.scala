@@ -320,7 +320,7 @@ object Similarity {
     * Codebooks are the `numCodes` lowest-id corpus vectors' slices (the
     * family's deterministic seeding); encoding is argmax-cosine with ties
     * to the larger code — the `max(struct)` idiom the oracles reproduce. */
-  private def pqArtifacts(
+  private[ops] def pqArtifacts(
       c: DataFrame, numSub: Int, numCodes: Int): (DataFrame, DataFrame, Int) = {
     val subs = explode(sequence(lit(0), lit(numSub - 1))).alias("j")
     // dim from the codebook seeds — driver-side scalar, codebook-sized
@@ -346,7 +346,7 @@ object Similarity {
     (cb, codes, subDim)
   }
 
-  private def pqSub(v: Column, j: Column, subDim: Int): Column =
+  private[ops] def pqSub(v: Column, j: Column, subDim: Int): Column =
     slice(v, j * subDim + 1, lit(subDim))
 
   /** ADC scoring + exact rescore shared by the PQ searches. `pairsIn` is
@@ -355,7 +355,7 @@ object Similarity {
     * [[pqTopK]], probed-cells-only for [[ivfPqTopK]]). Partials fold in
     * ascending-j order (sorted struct array → `aggregate`) so the oracle's
     * `list(x ORDER BY j)` fold sees the same float-addition grouping. */
-  private def pqScore(
+  private[ops] def pqScore(
       pairsIn: DataFrame, c: DataFrame, k: Int, refine: Int,
       subDim: Int): DataFrame = {
     val subdots = pairsIn

@@ -341,6 +341,85 @@ object VectorIndex {
       .select(col("query_id"), col("rank"), col("corpus_id"), col("score"))
   }
 
+  /** Derive the PQ layer of a built index: `<prefix>_pq_codebook`
+    * (j, code_id, csub, cnorm2 — numSub × numCodes rows, broadcast-sized)
+    * and `<prefix>_pq_codes` (corpus_id, codes array, cell — PARTITIONED
+    * BY cell like the inverted lists). The code table is the 4-bytes-per-
+    * vector scan representation ([[Similarity.pqTopK]]'s compression
+    * argument, persisted): [[searchPq]]'s candidate stage reads ONLY this
+    * table's probed partitions, never the float lists; the float `_assign`
+    * table is touched only by the exact rescore of `k × refine` candidate
+    * rows per query. Sub-codebooks use the same deterministic lowest-id
+    * seeding as the inline [[Similarity.ivfPqTopK]], so the indexed search
+    * reproduces it bit-for-bit (spec-asserted). Derivation scans the
+    * stored lists once; [[append]]-ed rows need a re-derive or an
+    * analogous code append — the same frozen-artifact trade as the
+    * codebook itself. */
+  def buildPqCodes(
+      spark: SparkSession,
+      tablePrefix: String,
+      numSub: Int = 4,
+      numCodes: Int = 16): Unit = {
+    val assign = spark.table(s"${tablePrefix}_assign")
+    val c = assign.select(col("corpus_id"), col("vec").alias("cvec"))
+    val (cb, codes, _) = Similarity.pqArtifacts(c, numSub, numCodes)
+    cb.select(col("j"), col("code_id"), col("csub"), col("cnorm2"))
+      .writeTo(s"${tablePrefix}_pq_codebook").using("parquet").createOrReplace()
+    codes
+      .groupBy(col("corpus_id"))
+      .agg(array_sort(collect_list(struct(col("j"), col("code_id")))).alias("a"))
+      .select(col("corpus_id"),
+        transform(col("a"), x => x.getField("code_id")).alias("codes"))
+      .join(assign.select(col("corpus_id"), col("cell")), Seq("corpus_id"))
+      .repartition(col("cell"))
+      .writeTo(s"${tablePrefix}_pq_codes")
+      .using("parquet")
+      .partitionedBy(col("cell"))
+      .createOrReplace()
+  }
+
+  /** IVFADC search from the STORED code tables: probe `nprobe` cells
+    * against the stored centroids, ADC-scan only those cells' PQ codes
+    * (a partition-pruned scan of the 4-byte representation — the probed
+    * cells become an `isin` literal exactly as in [[search]]), then
+    * exact-rescore the top `k × refine` candidates against the float
+    * lists. Equals the inline [[Similarity.ivfPqTopK]] on the same corpus
+    * bit-for-bit when the index was built with `kmeansIters = 0`. */
+  def searchPq(
+      spark: SparkSession,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tablePrefix: String,
+      k: Int,
+      nprobe: Int = 4,
+      refine: Int = 4): DataFrame = {
+    val centroids = spark.table(s"${tablePrefix}_centroids")
+    val q = queries.select(col(idCol).alias("query_id"), col(vecCol).alias("qvec"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("ps").desc, col("cell").asc)
+    val probed = q.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("qvec"),
+        cosine(col("qvec"), col("centvec")).alias("ps"),
+        col("centroid_id").alias("cell"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("cell"))
+    val cells = probed.select(col("cell")).distinct().collect().map(_.get(0))
+    val cb = spark.table(s"${tablePrefix}_pq_codebook")
+    val subDim = cb.select(size(col("csub"))).head().getInt(0)
+    val pairsIn = spark.table(s"${tablePrefix}_pq_codes")
+      .filter(col("cell").isInCollection(cells))
+      .select(col("corpus_id"), col("cell"),
+        posexplode(col("codes")).as(Seq("j", "code_id")))
+      .join(broadcast(cb), Seq("j", "code_id"))
+      .join(broadcast(probed), Seq("cell"))
+    Similarity.pqScore(pairsIn,
+      spark.table(s"${tablePrefix}_assign")
+        .select(col("corpus_id"), col("vec").alias("cvec")),
+      k, refine, subDim)
+  }
+
   private def catalogAndIdent(spark: SparkSession, table: String)
       : (graft.storage.GraftCatalog, org.apache.spark.sql.connector.catalog.Identifier) = {
     val parts = table.split('.')

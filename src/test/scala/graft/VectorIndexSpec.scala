@@ -83,6 +83,32 @@ class VectorIndexSpec extends SparkSpec {
     assert(indexedK.exceptAll(inlineK).isEmpty && inlineK.exceptAll(indexedK).isEmpty)
   }
 
+  test("persisted PQ codes: searchPq == inline ivfPqTopK bit-for-bit; " +
+    "the code table is cell-partitioned and 4 codes wide") {
+    wh
+    val q = e.filter(col("vec_id") < 10)
+    VectorIndex.build(spark, e, "vec_id", "embedding", "vidx.s.pq",
+      numCentroids = 8)
+    VectorIndex.buildPqCodes(spark, "vidx.s.pq", numSub = 4, numCodes = 16)
+    val indexed = VectorIndex.searchPq(spark, q, "vec_id", "embedding",
+      "vidx.s.pq", k = 5, nprobe = 3, refine = 4)
+    val inline = Similarity.ivfPqTopK(e, q, "vec_id", "embedding", k = 5,
+      numCentroids = 8, nprobe = 3, numSub = 4, numCodes = 16, refine = 4)
+    assert(indexed.exceptAll(inline).isEmpty && inline.exceptAll(indexed).isEmpty,
+      "stored-code IVFADC must equal the inline composition bit-for-bit")
+    // the code table carries numSub code ids per vector and lives
+    // cell-partitioned like the inverted lists
+    val codes = spark.table("vidx.s.pq_pq_codes")
+    assert(codes.count() == e.count())
+    assert(codes.select(size(col("codes"))).distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(4))
+    val codesDir = new java.io.File(s"$wh/s/pq_pq_codes")
+    assert(codesDir.listFiles().exists(f =>
+      f.isDirectory && f.getName.startsWith("cell=")))
+    // the codebook is numSub × numCodes rows — broadcast-sized
+    assert(spark.table("vidx.s.pq_pq_codebook").count() == 4L * 16L)
+  }
+
   test("splitHotCells: a skewed corpus's fat list splits into bounded " +
     "sub-cells in place — cold lists untouched, recall holds") {
     wh
