@@ -333,7 +333,17 @@ object Similarity {
       .select(col("code_id"), col("j"),
         pqSub(col("cvec"), col("j"), subDim).alias("csub"))
       .withColumn("cnorm2", dot(col("csub"), col("csub")))
-    val codes = c.select(col("corpus_id"), col("cvec"), subs)
+    (cb, pqEncode(c, cb, numSub, subDim), subDim)
+  }
+
+  /** Encode (corpus_id, cvec) rows against a GIVEN sub-codebook — the
+    * argmax-cosine code per (vector, subspace), ties to the larger code.
+    * Shared by [[pqArtifacts]] (fresh codebook) and
+    * [[VectorIndex.appendPqCodes]] (the STORED frozen codebook). */
+  private[ops] def pqEncode(
+      c: DataFrame, cb: DataFrame, numSub: Int, subDim: Int): DataFrame =
+    c.select(col("corpus_id"), col("cvec"),
+        explode(sequence(lit(0), lit(numSub - 1))).alias("j"))
       .select(col("corpus_id"), col("j"),
         pqSub(col("cvec"), col("j"), subDim).alias("xsub"))
       .join(broadcast(cb), Seq("j"))
@@ -343,8 +353,6 @@ object Similarity {
       .groupBy(col("corpus_id"), col("j"))
       .agg(max(col("sc")).alias("best"))
       .select(col("corpus_id"), col("j"), col("best.code").alias("code_id"))
-    (cb, codes, subDim)
-  }
 
   private[ops] def pqSub(v: Column, j: Column, subDim: Int): Column =
     slice(v, j * subDim + 1, lit(subDim))

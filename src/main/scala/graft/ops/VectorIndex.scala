@@ -378,6 +378,42 @@ object VectorIndex {
       .createOrReplace()
   }
 
+  /** Fold a new batch's PQ codes in against the FROZEN stored sub-codebook
+    * — the code-table sibling of [[append]], so the 4-byte scan layer
+    * never goes stale. Call AFTER [[append]] (cells are read back from
+    * the stored lists by id — one batch-sized join, the corpus is never
+    * rescanned). Same `(appId, version)` writer-txn idempotence contract
+    * as [[append]], so a streaming maintenance sink can thread one batchId
+    * through both. */
+  def appendPqCodes(
+      spark: SparkSession,
+      newRows: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tablePrefix: String,
+      txn: Option[(String, Long)] = None): Unit = {
+    val cb = spark.table(s"${tablePrefix}_pq_codebook")
+    val subDim = cb.select(size(col("csub"))).head().getInt(0)
+    val numSub = cb.agg(max(col("j"))).head().getInt(0) + 1
+    val batch = newRows.select(col(idCol).alias("corpus_id"),
+      col(vecCol).alias("cvec"))
+    val cells = spark.table(s"${tablePrefix}_assign")
+      .select(col("corpus_id"), col("cell"))
+      .join(batch.select(col("corpus_id")), Seq("corpus_id"), "left_semi")
+    val w = Similarity.pqEncode(batch, cb, numSub, subDim)
+      .groupBy(col("corpus_id"))
+      .agg(array_sort(collect_list(struct(col("j"), col("code_id")))).alias("a"))
+      .select(col("corpus_id"),
+        transform(col("a"), x => x.getField("code_id")).alias("codes"))
+      .join(cells, Seq("corpus_id"))
+      .repartition(col("cell"))
+      .writeTo(s"${tablePrefix}_pq_codes")
+    txn.fold(w) { case (app, v) =>
+      w.option(graft.storage.GraftCatalog.TxnAppIdOption, app)
+        .option(graft.storage.GraftCatalog.TxnVersionOption, v.toString)
+    }.append()
+  }
+
   /** IVFADC search from the STORED code tables: probe `nprobe` cells
     * against the stored centroids, ADC-scan only those cells' PQ codes
     * (a partition-pruned scan of the 4-byte representation — the probed

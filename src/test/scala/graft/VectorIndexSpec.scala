@@ -109,6 +109,31 @@ class VectorIndexSpec extends SparkSpec {
     assert(spark.table("vidx.s.pq_pq_codebook").count() == 4L * 16L)
   }
 
+  test("appendPqCodes: the code layer folds a batch in against the frozen " +
+    "sub-codebook — appended search equals the inline composition") {
+    wh
+    // corpus0 holds the lowest ids, so the union's deterministic seeds
+    // (centroids = lowest 8, PQ seeds = lowest 16) are IDENTICAL to the
+    // frozen stored artifacts and the inline run reproduces them
+    val corpus0 = e.filter(col("vec_id") < 400)
+    val batch = e.filter(col("vec_id") >= 400)
+    val q = e.filter(col("vec_id") < 10)
+    VectorIndex.build(spark, corpus0, "vec_id", "embedding", "vidx.s.pqa",
+      numCentroids = 8)
+    VectorIndex.buildPqCodes(spark, "vidx.s.pqa", numSub = 4, numCodes = 16)
+    VectorIndex.append(spark, batch, "vec_id", "embedding", "vidx.s.pqa")
+    VectorIndex.appendPqCodes(spark, batch, "vec_id", "embedding", "vidx.s.pqa")
+    assert(spark.table("vidx.s.pqa_pq_codes").count() == e.count(),
+      "every appended row must carry codes")
+    val indexed = VectorIndex.searchPq(spark, q, "vec_id", "embedding",
+      "vidx.s.pqa", k = 5, nprobe = 3, refine = 4)
+    val inline = Similarity.ivfPqTopK(corpus0.unionByName(batch), q,
+      "vec_id", "embedding", k = 5, numCentroids = 8, nprobe = 3,
+      numSub = 4, numCodes = 16, refine = 4)
+    assert(indexed.exceptAll(inline).isEmpty && inline.exceptAll(indexed).isEmpty,
+      "appended code layer must equal the inline composition bit-for-bit")
+  }
+
   test("splitHotCells: a skewed corpus's fat list splits into bounded " +
     "sub-cells in place — cold lists untouched, recall holds") {
     wh
