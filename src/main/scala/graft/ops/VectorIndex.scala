@@ -414,6 +414,29 @@ object VectorIndex {
     }.append()
   }
 
+  /** Re-align the code table's cell layout after a [[refresh]] or
+    * [[splitHotCells]] rewrote the assignments. The CODES themselves stay
+    * valid (the sub-codebook quantizes vectors, not cells, and both
+    * maintenance ops leave it frozen) — only the `cell` partition column
+    * is stale, which would make [[searchPq]] prune the wrong partitions.
+    * One batch: stored codes re-join the rewritten lists by id and the
+    * table rewrites under the new layout. Never re-encodes a vector. */
+  def refreshPqCells(spark: SparkSession, tablePrefix: String): Unit = {
+    // materialize before the createOrReplace below reads-and-replaces the
+    // same table
+    val codes = spark.table(s"${tablePrefix}_pq_codes")
+      .select(col("corpus_id"), col("codes"))
+      .localCheckpoint(true)
+    codes
+      .join(spark.table(s"${tablePrefix}_assign")
+        .select(col("corpus_id"), col("cell")), Seq("corpus_id"))
+      .repartition(col("cell"))
+      .writeTo(s"${tablePrefix}_pq_codes")
+      .using("parquet")
+      .partitionedBy(col("cell"))
+      .createOrReplace()
+  }
+
   /** IVFADC search from the STORED code tables: probe `nprobe` cells
     * against the stored centroids, ADC-scan only those cells' PQ codes
     * (a partition-pruned scan of the 4-byte representation — the probed

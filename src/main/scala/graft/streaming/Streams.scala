@@ -782,18 +782,38 @@ object Streams {
             samplePerMille = samplePerMille)
         graft.ops.VectorIndex.append(spark, b, idCol, vecCol,
           tablePrefix, txn = Some((s"$checkpointDir#vidx", batchId)))
+        // when the PQ layer exists, keep it fresh in the same batch: codes
+        // fold in against the FROZEN sub-codebook under their own writer
+        // txn (same batchId → replays are no-ops on both tables)
+        val pqMaintained =
+          spark.catalog.tableExists(s"${tablePrefix}_pq_codebook")
+        if (pqMaintained)
+          graft.ops.VectorIndex.appendPqCodes(spark, b, idCol, vecCol,
+            tablePrefix, txn = Some((s"$checkpointDir#vidxpq", batchId)))
         if (maintaining && !alreadyLogged) {
           val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+          var cellsRewritten = false
           if (driftFired) {
             val published = graft.ops.VectorIndex.refresh(spark, tablePrefix,
               numCentroids = numCentroids, kmeansIters = kmeansIters,
               samplePerMille = samplePerMille)
+            cellsRewritten ||= published
             actions += (if (published) "refresh" else "refresh_audit_failed")
           }
           if (splitCapFactor > 0) {
             val nSplit = graft.ops.VectorIndex.splitHotCells(spark, tablePrefix,
               capFactor = splitCapFactor)
+            cellsRewritten ||= nSplit > 0
             if (nSplit > 0) actions += s"split:$nSplit"
+          }
+          // a refresh/split rewrites cell assignments, which the code
+          // table carries for partition pruning — re-align it from the
+          // rewritten lists. The codes themselves stay valid (the frozen
+          // sub-codebook quantizes vectors, not cells), so this is an
+          // id-keyed cell rewrite, never a re-encode.
+          if (pqMaintained && cellsRewritten) {
+            graft.ops.VectorIndex.refreshPqCells(spark, tablePrefix)
+            actions += "pq_cells_realigned"
           }
           if (actions.nonEmpty) {
             import spark.implicits._

@@ -400,6 +400,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming PQ code maintenance: streamed batches' codes fold in " +
+    "against the frozen sub-codebook; stored-code search equals inline") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory("graft-vpqs").toString
+    spark.conf.set("spark.sql.catalog.vps", classOf[graft.storage.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.vps.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS vps.s")
+    val all = graft.queries.Parity.t(spark, "/root/testdata/sf0.001", "embeddings")
+    // the initial corpus holds the LOWEST ids, so the frozen deterministic
+    // seeds (centroids + PQ sub-codebook) equal the union's and the inline
+    // composition reproduces the stored artifacts
+    val initial = all.filter(col("vec_id") < 400)
+    graft.ops.VectorIndex.build(spark, initial, "vec_id", "embedding",
+      "vps.s.emb", numCentroids = 8)
+    graft.ops.VectorIndex.buildPqCodes(spark, "vps.s.emb",
+      numSub = 4, numCodes = 16)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-vpqs-ckpt").toString
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.sinkWithIndexMaintenance(
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      "vps.s.emb", ckpt)
+    val newRows = all.filter(col("vec_id") >= 400)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    try {
+      input.addData(newRows.take(newRows.length / 2).toSeq: _*); q.processAllAvailable()
+      input.addData(newRows.drop(newRows.length / 2).toSeq: _*); q.processAllAvailable()
+      Seq("assign", "pq_codes").foreach(t =>
+        spark.catalog.refreshTable(s"vps.s.emb_$t"))
+      assert(spark.table("vps.s.emb_pq_codes").count() == all.count(),
+        "every streamed row must carry codes")
+      val queries = all.filter(col("vec_id") < 5)
+      val indexed = graft.ops.VectorIndex.searchPq(spark, queries, "vec_id",
+        "embedding", "vps.s.emb", k = 5, nprobe = 3, refine = 4)
+      val inline = graft.ops.Similarity.ivfPqTopK(all, queries, "vec_id",
+        "embedding", k = 5, numCentroids = 8, nprobe = 3,
+        numSub = 4, numCodes = 16, refine = 4)
+      assert(indexed.exceptAll(inline).isEmpty && inline.exceptAll(indexed).isEmpty,
+        "streamed-in codes must serve the IVFADC search exactly")
+    } finally q.stop()
+  }
+
   test("streaming IVF maintenance loop: drift gate fires once, WAP refresh " +
     "runs, gate quiet after; no query ever sees a partial index") {
     implicit val sqlCtx = spark.sqlContext

@@ -134,6 +134,34 @@ class VectorIndexSpec extends SparkSpec {
       "appended code layer must equal the inline composition bit-for-bit")
   }
 
+  test("refreshPqCells: after a codebook refresh rewrites the lists, the " +
+    "cell realignment equals a full re-derive without re-encoding") {
+    wh
+    val q = e.filter(col("vec_id") < 10)
+    VectorIndex.build(spark, e, "vec_id", "embedding", "vidx.s.pqr",
+      numCentroids = 8)
+    VectorIndex.buildPqCodes(spark, "vidx.s.pqr", numSub = 4, numCodes = 16)
+    // a kmeans refresh re-fits centroids and re-assigns every row — the
+    // code table's cell column is now stale
+    assert(VectorIndex.refresh(spark, "vidx.s.pqr", numCentroids = 8,
+      kmeansIters = 2, samplePerMille = 1000))
+    VectorIndex.refreshPqCells(spark, "vidx.s.pqr")
+    // consistency: every code row's cell equals its list assignment
+    val mismatch = spark.table("vidx.s.pqr_pq_codes").alias("c")
+      .join(spark.table("vidx.s.pqr_assign").alias("a"), Seq("corpus_id"))
+      .filter(col("c.cell") =!= col("a.cell")).count()
+    assert(mismatch == 0, s"$mismatch stale cells after realignment")
+    val realigned = VectorIndex.searchPq(spark, q, "vec_id", "embedding",
+      "vidx.s.pqr", k = 5, nprobe = 3).collect().toSeq
+    // the corpus vectors are unchanged, so a full re-derive (same frozen
+    // seeds → same codes) must give the identical search — realignment
+    // bought the same state without re-encoding anything
+    VectorIndex.buildPqCodes(spark, "vidx.s.pqr", numSub = 4, numCodes = 16)
+    val rederived = VectorIndex.searchPq(spark, q, "vec_id", "embedding",
+      "vidx.s.pqr", k = 5, nprobe = 3).collect().toSeq
+    assert(realigned == rederived)
+  }
+
   test("splitHotCells: a skewed corpus's fat list splits into bounded " +
     "sub-cells in place — cold lists untouched, recall holds") {
     wh
