@@ -1488,6 +1488,13 @@ object SparkEntry {
     // token offset, and whether the doc spills across the boundary — what
     // a training data-reader needs to slice packed token streams. Same
     // enumeration as prep_pack (projections of one running sum).
+    // Packing-efficiency report: per language, sequence counts, padding
+    // waste, and boundary-split documents — the loader-facing cost sheet
+    // of the contiguous pack layout, one group aggregate over the same
+    // enumeration.
+    "prep_pack_efficiency" -> ((s, dir) =>
+      graft.ops.TrainPrep.packEfficiency(docs(s, dir), "doc_id", "lang",
+        size(TextAnalysis.tokens(col("text"))).cast("long"), budget = 512)),
     "prep_pack_manifest" -> ((s, dir) =>
       graft.ops.TrainPrep.packManifest(docs(s, dir), "doc_id", "lang",
         size(TextAnalysis.tokens(col("text"))).cast("long"), budget = 512)
@@ -4724,6 +4731,27 @@ object SparkEntry {
                 CAST(before - seq_id * 512 AS BIGINT) AS seq_offset,
                 (before - seq_id * 512 + n_tokens) > 512 AS spills_into_next
          FROM m ORDER BY doc_id""",
+    "prep_pack_efficiency" ->
+      """WITH tk AS (
+           SELECT doc_id, lang,
+                  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, lang, n_tokens,
+                  sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+           FROM tk),
+         m AS (
+           SELECT lang, n_tokens,
+                  (cum - n_tokens) - ((cum - n_tokens) // 512) * 512 AS seq_offset
+           FROM c)
+         SELECT lang,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                CAST((sum(n_tokens) + 511) // 512 AS BIGINT) AS n_seqs,
+                CAST(((sum(n_tokens) + 511) // 512) * 512 - sum(n_tokens) AS BIGINT) AS waste_tokens,
+                CAST(sum(CASE WHEN seq_offset + n_tokens > 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+         FROM m GROUP BY lang ORDER BY lang""",
     "prep_vocab" ->
       """SELECT token, n_occurrences, rank FROM (
            SELECT token, count(*) AS n_occurrences,

@@ -143,6 +143,35 @@ object TrainPrep {
         (col("seq_offset") + col("n_tokens")) > lit(budget))
       .drop("__cum")
 
+  /** Packing-efficiency report over [[packSequences]]' layout: per group,
+    * the document/token volume, sequence count, padding waste
+    * (`n_seqs·budget − n_tokens` — the tokens the loader pads the final
+    * partial sequence with), and how many documents the contiguous-stream
+    * layout SPLITS across a sequence boundary (the training-relevance
+    * trade of pack-then-split: zero padding inside full sequences, at the
+    * price of split documents). Every figure exact BIGINT; rides the same
+    * single enumeration as [[packManifest]] plus one group aggregate. */
+  def packEfficiency(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      tokenCountCol: Column,
+      budget: Int): DataFrame =
+    packManifest(df, idCol, groupCol, tokenCountCol, budget)
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).alias("n_docs"),
+        sum(col("n_tokens")).alias("n_tokens"),
+        sum(when(col("spills_into_next"), 1L).otherwise(0L))
+          .alias("n_split_docs"))
+      .withColumn("n_seqs",
+        expr(s"CAST((n_tokens + ${budget - 1}) div $budget AS BIGINT)"))
+      .withColumn("waste_tokens",
+        col("n_seqs") * budget.toLong - col("n_tokens"))
+      .select(col(groupCol), col("n_docs"), col("n_tokens"), col("n_seqs"),
+        col("waste_tokens"), col("n_split_docs"))
+      .orderBy(groupCol)
+
   /** Global token vocabulary: the `k` most frequent whitespace tokens with
     * occurrence counts, ties broken lexicographically. Exploded counts
     * partially aggregate map-side; the global top-k plans as

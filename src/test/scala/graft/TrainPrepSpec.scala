@@ -225,6 +225,25 @@ class TrainPrepSpec extends SparkSpec {
     assert(out(3L) == (0L, 0L, 0.0))
   }
 
+  test("packEfficiency: waste and split counts hand-checked") {
+    import spark.implicits._
+    // group g: docs of 300+300+100 tokens, budget 512 → total 700,
+    // 2 seqs, waste 1024-700=324; doc2 starts at offset 300 and crosses
+    // the boundary (300+300 > 512) → 1 split doc
+    val d = Seq(
+      (1L, "g", 300L), (2L, "g", 300L), (3L, "g", 100L),
+      (4L, "h", 512L))  // exactly one full sequence: zero waste, no split
+      .toDF("doc_id", "grp", "n")
+    val out = graft.ops.TrainPrep.packEfficiency(d, "doc_id", "grp",
+        col("n"), budget = 512)
+      .collect().map(r => r.getAs[String]("grp") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_seqs"), r.getAs[Long]("waste_tokens"),
+          r.getAs[Long]("n_split_docs"))).toMap
+    assert(out("g") == (3L, 700L, 2L, 324L, 1L))
+    assert(out("h") == (1L, 512L, 1L, 0L, 0L))
+  }
+
   test("kneser-ney: hand-computed exact rational probabilities") {
     import spark.implicits._
     // pairs: (a,b):2  (a,c):1  (b,a):1  →  Np = 3 bigram types
