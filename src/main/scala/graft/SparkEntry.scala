@@ -1185,6 +1185,15 @@ object SparkEntry {
         "embedding", dim = 64, k = 5, bits = 6, tables = 4)
         .orderBy("query_id", "rank")
     }),
+    // Multi-probe LSH (Lv et al. VLDB'07): each query also probes the two
+    // nearest-boundary single-bit-flip buckets per table — recall tunes
+    // per-query while the corpus index stays ONE key per table.
+    "sim_topk_lsh_multiprobe" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.lshTopKMultiProbe(e, e.filter(col("vec_id") < 10), "vec_id",
+        "embedding", dim = 64, k = 5, bits = 6, tables = 4, numProbes = 2)
+        .orderBy("query_id", "rank")
+    }),
     "sim_topk_ivf" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id",
@@ -2073,6 +2082,59 @@ object SparkEntry {
                 ${srpKeyExpr("embedding", 2, 6, 64)} AS bk2,
                 ${srpKeyExpr("embedding", 3, 6, 64)} AS bk3
          FROM embeddings)"""
+
+  /** One plane's raw projection (the signed fold inside [[srpKeyExpr]]). */
+  private def srpProjExpr(vecExpr: String, plane: Int, dim: Int): String = {
+    val signs = graft.ops.Similarity.planeSignVector(plane, dim)
+      .map(s => if (s > 0) "1" else "-1").mkString("[", ", ", "]")
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list_transform(list_zip($vecExpr, $signs), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+         (acc, x) -> acc + x)"""
+  }
+
+  /** Mirrors [[graft.ops.Similarity.lshTopKMultiProbe]] (bits=6, tables=4,
+    * numProbes=2, k=5, queries vec_id<10): per query and table, the base
+    * bucket plus the two nearest-boundary single-bit flips — flip order by
+    * (|projection|, plane) via a struct list_sort, masks in the structs —
+    * joined against the corpus's ONE key per table. */
+  private def lshMultiprobeSql: String = {
+    val bits = 6; val tables = 4; val numProbes = 2
+    val probeParts = (0 until tables).map { t =>
+      val structs = (0 until bits).map { p =>
+        s"{'a': abs(${srpProjExpr("v", t * bits + p, 64)}), 'p': $p, 'm': ${1L << p}}"
+      }.mkString("[", ", ", "]")
+      s"""SELECT vec_id, $t AS tbl, bk$t AS bkey FROM qk
+          UNION ALL
+          SELECT vec_id, $t AS tbl, xor(bk$t, s.m) AS bkey FROM (
+            SELECT vec_id, bk$t,
+                   unnest((list_sort($structs))[1:$numProbes]) AS s
+            FROM qk)"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $srpKeyedCte,
+         qk AS (SELECT vec_id, v, bk0, bk1, bk2, bk3 FROM keyed WHERE vec_id < 10),
+         probes AS ($probeParts),
+         ck AS (
+           SELECT vec_id AS corpus_id, u.tbl AS tbl, u.bkey AS bkey
+           FROM (SELECT vec_id,
+                        unnest([{'tbl': 0, 'bkey': bk0}, {'tbl': 1, 'bkey': bk1},
+                                {'tbl': 2, 'bkey': bk2}, {'tbl': 3, 'bkey': bk3}]) AS u
+                 FROM keyed)),
+         cand AS (
+           SELECT DISTINCT p.vec_id AS query_id, ck.corpus_id
+           FROM probes p JOIN ck ON p.tbl = ck.tbl AND p.bkey = ck.bkey
+           WHERE p.vec_id <> ck.corpus_id),
+         scored AS (
+           SELECT c.query_id, c.corpus_id, ${cosSql("q.v", "cc.v")} AS score
+           FROM cand c
+           JOIN keyed q ON q.vec_id = c.query_id
+           JOIN keyed cc ON cc.vec_id = c.corpus_id),
+         ranked AS (
+           SELECT query_id, corpus_id, score,
+                  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, corpus_id) AS rank
+           FROM scored)
+         SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, score
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+  }
 
   private def lshTopkSql: String =
     s"""WITH $srpKeyedCte,
@@ -3996,6 +4058,7 @@ object SparkEntry {
          WHERE r.pick_rank <= q.quota
          ORDER BY r.doc_id""",
     "sim_topk_lsh" -> lshTopkSql,
+    "sim_topk_lsh_multiprobe" -> lshMultiprobeSql,
     "sim_cosine_neardup" -> cosineNearDupSql,
     "multimodal_decode" -> multimodalDecodeSql,
     "multimodal_decode_bands" -> multimodalDecodeBandsSql,

@@ -141,6 +141,76 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("corpus_id"), col("score"))
   }
 
+  /** Multi-probe SRP-LSH top-k (Lv, Josephson, Wang, Charikar & Li,
+    * "Multi-Probe LSH", VLDB 2007, in its standard single-bit-flip form):
+    * each query probes its base bucket PLUS the `numProbes` buckets
+    * reached by flipping the hyperplane bits whose projections sit
+    * closest to the boundary — the buckets a near-miss neighbor most
+    * likely fell into. Same recall lever as adding tables, WITHOUT
+    * growing the corpus-side index: the corpus still stores/joins ONE key
+    * per table; only the (tiny) query side fans out ×(1+numProbes).
+    * At 100 TB that asymmetry is the whole point — index size and the
+    * corpus shuffle are fixed by `tables`, and recall tunes per-query.
+    *
+    * Determinism: flip order sorts by (|projection| asc, plane asc) — an
+    * `array_sort` over (abs, p) structs any engine reproduces (the
+    * projections are the same fixed-order dot folds as the keys
+    * themselves). `numProbes = 0` is exactly [[lshTopK]] (spec-asserted);
+    * candidates are a superset of it for any `numProbes`, so recall is
+    * monotone in the knob. */
+  def lshTopKMultiProbe(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      bits: Int = 8,
+      tables: Int = 2,
+      numProbes: Int = 2): DataFrame = {
+    val c = corpus.select(col(idCol).alias("corpus_id"), col(vecCol).alias("cvec"))
+    val q = queries.select(col(idCol).alias("query_id"), col(vecCol).alias("qvec"))
+    val corpusKeys = explodeKeys(c, col("corpus_id"), col("cvec"), dim, bits, tables)
+      .select(col("corpus_id"), col("tbl"), col("bkey"))
+    // query-side probe fan-out: per table, the base key then the
+    // numProbes nearest-boundary single-bit flips
+    val allKeys = graft.functions.SketchArrayExpressions
+      .srpKeys(col("qvec"), dim, bits, tables)
+    val probeRows = (0 until tables).map { t =>
+      val base = element_at(allKeys, t + 1)
+      val flips = array((0 until bits).map { p =>
+        val proj = dot(col("qvec"),
+          typedLit(planeSignVector(t * bits + p, dim)))
+        // the flip MASK rides in the struct (shift amounts must be
+        // literals); sort order is decided by (a, p) alone
+        struct(abs(proj).alias("a"), lit(p).alias("p"),
+          lit(1L << p).alias("m"))
+      }: _*)
+      val probeKeys = concat(
+        array(base),
+        transform(slice(array_sort(flips), 1, numProbes),
+          s => base.bitwiseXOR(s.getField("m"))))
+      q.select(col("query_id"), col("qvec"), lit(t).alias("tbl"),
+        explode(probeKeys).alias("bkey"))
+    }.reduce(_.unionByName(_))
+    val candidates = corpusKeys
+      .join(probeRows.select(col("query_id"), col("tbl"), col("bkey")),
+        Seq("tbl", "bkey"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("corpus_id").asc)
+    candidates
+      .join(broadcast(q), Seq("query_id"))
+      .join(c, Seq("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("qvec"), col("cvec")).alias("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("score"))
+  }
+
   /** One row per (id, table, bucket-key): all tables' SRP keys computed in
     * a single pass over the embedding ([[graft.functions.SrpKeys]] — the
     * per-plane `vec_dot` spelling re-traverses the array `tables × bits`

@@ -179,6 +179,29 @@ class RecallSpec extends SparkSpec {
     assert(joined.filter(col("score") =!= col("bf_score")).count() == 0)
   }
 
+  test("multi-probe lsh: numProbes=0 IS lshTopK; probing lifts recall " +
+    "monotonically without touching the corpus-side index") {
+    val base = Similarity.lshTopK(e, q, "vec_id", "embedding",
+      dim = 64, k = 10, bits = 5, tables = 8)
+    val zero = Similarity.lshTopKMultiProbe(e, q, "vec_id", "embedding",
+      dim = 64, k = 10, bits = 5, tables = 8, numProbes = 0)
+    assert(zero.exceptAll(base).isEmpty && base.exceptAll(zero).isEmpty,
+      "numProbes=0 must equal plain lshTopK bit-for-bit")
+    val r0 = Similarity.recallAtK(base, bf)
+    val r2 = Similarity.recallAtK(Similarity.lshTopKMultiProbe(e, q,
+      "vec_id", "embedding", dim = 64, k = 10, bits = 5, tables = 8,
+      numProbes = 2), bf)
+    val r4 = Similarity.recallAtK(Similarity.lshTopKMultiProbe(e, q,
+      "vec_id", "embedding", dim = 64, k = 10, bits = 5, tables = 8,
+      numProbes = 4), bf)
+    info(f"lsh recall@10: probes 0 → $r0%.3f, 2 → $r2%.3f, 4 → $r4%.3f " +
+      "(bits=5, tables=8)")
+    // candidates are supersets of the base candidates → recall can only rise
+    assert(r2 >= r0 && r4 >= r2, f"recall must be monotone: $r0 $r2 $r4")
+    assert(r4 > r0, "probing 4 flip buckets must recover some misses at " +
+      "bits=5/tables=8 (base recall 0.736 leaves room)")
+  }
+
   test("ivf × pq (IVFADC): recall measured; nprobe = numCentroids " +
     "recovers the unbucketed PQ search bit-for-bit") {
     val ivfpq = Similarity.ivfPqTopK(e, q, "vec_id", "embedding", k = 10,
