@@ -285,9 +285,114 @@ object VectorIndex {
     }
   }
 
+  /** The index's tombstone set, if any deletes have been recorded.
+    * Missing table (an index that has never seen a [[delete]]) reads as
+    * None — every search path treats that as "no deletes". */
+  private def tombstonesOpt(spark: SparkSession, tablePrefix: String): Option[DataFrame] =
+    try Some(spark.table(s"${tablePrefix}_tombstones"))
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  /** Mask `assigned`-shaped rows (anything with a corpus_id column) by the
+    * tombstone set: a broadcast anti join against a table bounded by the
+    * un-vacuumed delete count — the read-side cost of LSM-style deletes. */
+  private def maskDeleted(
+      spark: SparkSession, rows: DataFrame, tablePrefix: String): DataFrame =
+    tombstonesOpt(spark, tablePrefix).fold(rows)(t =>
+      rows.join(broadcast(t), Seq("corpus_id"), "left_anti"))
+
+  /** Tombstone-delete: record the ids in `<prefix>_tombstones` (created on
+    * first use) — an O(batch) append, no list rewrite, the LSM delete
+    * shape. Every search path anti-joins the tombstones BEFORE ranking, so
+    * top-k backfills with live rows immediately; [[vacuum]] later reclaims
+    * the storage. Unknown ids are harmless (the mask is an anti join; the
+    * next [[vacuum]] drops them). Same `(appId, version)` writer-txn
+    * idempotence contract as [[append]] for streaming replay safety. */
+  def delete(
+      spark: SparkSession,
+      ids: DataFrame,
+      idCol: String,
+      tablePrefix: String,
+      txn: Option[(String, Long)] = None): Unit = {
+    val t = ids.select(col(idCol).cast("long").alias("corpus_id")).distinct()
+    if (tombstonesOpt(spark, tablePrefix).isEmpty) {
+      t.writeTo(s"${tablePrefix}_tombstones").using("parquet").create()
+      return
+    }
+    val w = t.writeTo(s"${tablePrefix}_tombstones")
+    txn.fold(w) { case (app, v) =>
+      w.option(graft.storage.GraftCatalog.TxnAppIdOption, app)
+        .option(graft.storage.GraftCatalog.TxnVersionOption, v.toString)
+    }.append()
+  }
+
+  /** Reclaim tombstoned rows' storage: rewrite ONLY the inverted-list
+    * partitions that hold dead rows AND have at least one survivor (a
+    * dynamic partition overwrite — cold cells' files are never read or
+    * touched; the affected-cell set is bounded by the tombstone count and
+    * the codebook size), mirror the rewrite onto the PQ code table when
+    * one exists, then shrink the tombstone table to the masks still
+    * needed. A cell whose rows are ALL dead cannot be cleared by a
+    * dynamic overwrite (no surviving row lands in it), so its tombstones
+    * are KEPT — the rows stay masked, and the storage is reclaimed by the
+    * first vacuum after an append lands a live row in that cell (or by
+    * any maintenance rewrite). Write order is crash-safe by construction:
+    * lists first, then codes, tombstones LAST — every intermediate state
+    * still masks every dead row, so a crash anywhere leaves search
+    * correct, only the reclaim unfinished. Returns the number of rows
+    * physically removed. */
+  def vacuum(spark: SparkSession, tablePrefix: String): Long = {
+    val tOpt = tombstonesOpt(spark, tablePrefix)
+    if (tOpt.isEmpty) return 0L
+    val t = tOpt.get.localCheckpoint(true)
+    if (t.isEmpty) return 0L
+    // Each cell-partitioned layer is processed independently: a dynamic
+    // partition overwrite can only clear a partition some surviving row
+    // lands in, and `_assign` and `_pq_codes` can disagree per cell (an
+    // [[append]]-ed row has no code row until [[appendPqCodes]]). A
+    // layer's dead row keeps its mask until ITS cell is rewritten in that
+    // layer; the tombstone survives as long as ANY layer still owes it.
+    // Returns (masks this layer still owes, rows physically removed).
+    def reclaim(df: DataFrame, table: String): (DataFrame, Long) = {
+      val dead = df.join(broadcast(t), Seq("corpus_id"), "left_semi")
+        .select(col("corpus_id"), col("cell")).localCheckpoint(true)
+      val affected = dead.select(col("cell")).distinct().collect().map(_.get(0))
+      if (affected.isEmpty) return (dead.select(col("corpus_id")), 0L)
+      // ≤ codebook-sized driver decision, like search's probed-cell set
+      val survivors = df.filter(col("cell").isInCollection(affected))
+        .join(broadcast(t), Seq("corpus_id"), "left_anti")
+        .select(col("cell")).distinct().collect().map(_.get(0))
+      if (survivors.nonEmpty) {
+        df.filter(col("cell").isInCollection(survivors))
+          .join(broadcast(t), Seq("corpus_id"), "left_anti")
+          .repartition(col("cell"))
+          .writeTo(table)
+          .overwritePartitions()
+      }
+      val owed = dead.filter(!col("cell").isInCollection(
+          if (survivors.isEmpty) Seq(-1L) else survivors.toSeq))
+        .select(col("corpus_id")).localCheckpoint(true)
+      (owed, dead.count() - owed.count())
+    }
+    val (owedA, removed) =
+      reclaim(spark.table(s"${tablePrefix}_assign"), s"${tablePrefix}_assign")
+    val owedPq =
+      try Some(reclaim(
+        spark.table(s"${tablePrefix}_pq_codes"), s"${tablePrefix}_pq_codes")._1)
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    // shrink the tombstones LAST (crash-safe: every earlier state still
+    // masks every dead row); unknown-id masks vanish here — they are owed
+    // by no layer
+    val remaining = owedPq.fold(owedA)(owedA.unionByName(_))
+      .distinct().localCheckpoint(true)
+    remaining.writeTo(s"${tablePrefix}_tombstones").overwrite(lit(true))
+    removed
+  }
+
   /** Top-k by exact cosine inside the `nprobe` nearest cells per query,
-    * served from the stored inverted lists. Output schema matches
-    * [[Similarity.ivfTopK]]: (query_id, rank, corpus_id, score). */
+    * served from the stored inverted lists. Tombstoned rows ([[delete]])
+    * are masked before ranking, so the top-k backfills with live rows.
+    * Output schema matches [[Similarity.ivfTopK]]:
+    * (query_id, rank, corpus_id, score). */
   def search(
       spark: SparkSession,
       queries: DataFrame,
@@ -298,7 +403,7 @@ object VectorIndex {
       nprobe: Int = 4): DataFrame =
     searchOver(
       spark.table(s"${tablePrefix}_centroids"),
-      spark.table(s"${tablePrefix}_assign"),
+      maskDeleted(spark, spark.table(s"${tablePrefix}_assign"), tablePrefix),
       queries.select(col(idCol).alias("query_id"), col(vecCol).alias("qvec")),
       k, nprobe)
 
@@ -467,7 +572,10 @@ object VectorIndex {
     val cells = probed.select(col("cell")).distinct().collect().map(_.get(0))
     val cb = spark.table(s"${tablePrefix}_pq_codebook")
     val subDim = cb.select(size(col("csub"))).head().getInt(0)
-    val pairsIn = spark.table(s"${tablePrefix}_pq_codes")
+    // tombstones mask the CANDIDATE stage, so every one of the k × refine
+    // rescore slots is spent on a live row
+    val pairsIn = maskDeleted(spark,
+      spark.table(s"${tablePrefix}_pq_codes"), tablePrefix)
       .filter(col("cell").isInCollection(cells))
       .select(col("corpus_id"), col("cell"),
         posexplode(col("codes")).as(Seq("j", "code_id")))

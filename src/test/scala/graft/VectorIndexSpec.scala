@@ -109,6 +109,94 @@ class VectorIndexSpec extends SparkSpec {
     assert(spark.table("vidx.s.pq_pq_codebook").count() == 4L * 16L)
   }
 
+  test("tombstone delete masks rows before ranking (top-k backfills with " +
+    "live rows); vacuum reclaims only affected cells; a fully-dead cell " +
+    "stays masked until it can be rewritten") {
+    wh
+    val q = e.filter(col("vec_id") < 10)
+    VectorIndex.build(spark, e, "vec_id", "embedding", "vidx.s.del",
+      numCentroids = 8)
+    VectorIndex.buildPqCodes(spark, "vidx.s.del", numSub = 4, numCodes = 16)
+    val stored = spark.table("vidx.s.del_centroids")
+    val live = e.filter(col("vec_id") % 7 =!= 3)
+    val nAll = e.count(); val nLive = live.count()
+    assert(nLive < nAll, "test needs a non-empty delete set")
+    // delete ~1/7 of the corpus: an O(batch) tombstone append, no rewrite
+    VectorIndex.delete(spark, e.filter(col("vec_id") % 7 === 3)
+      .select(col("vec_id")), "vec_id", "vidx.s.del")
+    assert(spark.table("vidx.s.del_assign").count() == nAll,
+      "delete must not touch the inverted lists")
+    // masked search == the inline funnel over the LIVE corpus with the
+    // SAME frozen codebook (assignment is per-row, so masking after
+    // assignment equals assigning only live rows)
+    val masked = VectorIndex.search(spark, q, "vec_id", "embedding",
+      "vidx.s.del", k = 5, nprobe = 3)
+    val inline = Similarity.ivfTopK(live, q, "vec_id", "embedding", k = 5,
+      numCentroids = 8, nprobe = 3, fitCentroids = Some(stored))
+    assert(masked.exceptAll(inline).isEmpty && inline.exceptAll(masked).isEmpty,
+      "tombstoned search must equal inline over the surviving rows")
+    assert(masked.filter(col("corpus_id") % 7 === 3).isEmpty,
+      "no dead row may appear in results")
+    // the PQ candidate stage is masked too
+    val maskedPq = VectorIndex.searchPq(spark, q, "vec_id", "embedding",
+      "vidx.s.del", k = 5, nprobe = 3, refine = 4)
+    assert(maskedPq.filter(col("corpus_id") % 7 === 3).isEmpty)
+    // vacuum: physically removes the dead rows from lists AND code table,
+    // rewriting only the affected cells' partitions; search is unchanged
+    val removed = VectorIndex.vacuum(spark, "vidx.s.del")
+    assert(removed == nAll - nLive, s"expected ${nAll - nLive} reclaimed, got $removed")
+    assert(spark.table("vidx.s.del_assign").count() == nLive)
+    assert(spark.table("vidx.s.del_pq_codes").count() == nLive)
+    assert(spark.table("vidx.s.del_tombstones").isEmpty,
+      "all masks reclaimed -> tombstone table empty")
+    val after = VectorIndex.search(spark, q, "vec_id", "embedding",
+      "vidx.s.del", k = 5, nprobe = 3)
+    assert(after.exceptAll(inline).isEmpty && inline.exceptAll(after).isEmpty,
+      "vacuum must not change search results")
+    // idempotent re-vacuum; unknown-id deletes are masked-then-dropped
+    assert(VectorIndex.vacuum(spark, "vidx.s.del") == 0L)
+    VectorIndex.delete(spark, spark.range(900000, 900003)
+      .select(col("id").alias("vec_id")), "vec_id", "vidx.s.del")
+    assert(VectorIndex.vacuum(spark, "vidx.s.del") == 0L)
+    assert(spark.table("vidx.s.del_tombstones").isEmpty)
+    // fully-dead cell: delete EVERY member of one cell — a dynamic
+    // partition overwrite cannot clear a partition no surviving row lands
+    // in, so the masks are KEPT and search stays correct; the storage is
+    // reclaimed by the first vacuum after a live append lands in the cell
+    val assign = spark.table("vidx.s.del_assign")
+    val victim = assign.groupBy(col("cell")).count()
+      .orderBy(col("count").asc, col("cell").asc).head.getLong(0)
+    val members = assign.filter(col("cell") === victim)
+      .select(col("corpus_id")).cache()
+    val nMembers = members.count()
+    VectorIndex.delete(spark, members, "corpus_id", "vidx.s.del")
+    VectorIndex.vacuum(spark, "vidx.s.del")
+    assert(spark.table("vidx.s.del_tombstones").count() == nMembers,
+      "fully-dead cell's masks must survive the vacuum")
+    val afterDead = VectorIndex.search(spark, q, "vec_id", "embedding",
+      "vidx.s.del", k = 5, nprobe = 3)
+    val inlineDead = Similarity.ivfTopK(
+      live.join(members, live("vec_id") === members("corpus_id"), "left_anti"),
+      q, "vec_id", "embedding", k = 5,
+      numCentroids = 8, nprobe = 3, fitCentroids = Some(stored))
+    assert(afterDead.exceptAll(inlineDead).isEmpty &&
+      inlineDead.exceptAll(afterDead).isEmpty,
+      "fully-dead cell's rows must stay masked")
+    // a live append into the victim cell makes the next vacuum reclaim it:
+    // re-append one of the cell's vectors under a fresh id (same vector ->
+    // same cell under the frozen codebook), code it, vacuum again
+    val srcVec = e.join(members, e("vec_id") === members("corpus_id"))
+      .select((e("vec_id") + 1000000).alias("vec_id"), col("embedding"))
+      .orderBy(col("vec_id").asc).limit(1)
+    VectorIndex.append(spark, srcVec, "vec_id", "embedding", "vidx.s.del")
+    VectorIndex.appendPqCodes(spark, srcVec, "vec_id", "embedding", "vidx.s.del")
+    VectorIndex.vacuum(spark, "vidx.s.del")
+    assert(spark.table("vidx.s.del_tombstones").isEmpty,
+      "post-append vacuum reclaims the formerly fully-dead cell")
+    assert(spark.table("vidx.s.del_assign")
+      .filter(col("cell") === victim).count() == 1L)
+  }
+
   test("appendPqCodes: the code layer folds a batch in against the frozen " +
     "sub-codebook — appended search equals the inline composition") {
     wh
