@@ -436,6 +436,25 @@ object SparkEntry {
     "text_bpe_encode" -> ((s, dir) =>
       TextAnalysis.bpeEncode(docs(s, dir), "doc_id", "text",
         numMerges = 6, topK = 16)),
+    // Unigram-LM tokenizer (Kudo 1804.10959, the SentencePiece model) as
+    // hard-EM in exact integer arithmetic: substring seed vocab → Viterbi
+    // segment under centi-bit quantized scores → usage recount, twice;
+    // every stage vocabulary-sized, the corpus scanned once.
+    "text_unigram_train" -> ((s, dir) =>
+      TextAnalysis.unigramTrain(docs(s, dir), "text",
+        maxPieceLen = 4, seedSize = 60, emIters = 2, minCount = 2L)),
+    // Inference under the trained unigram model: per-doc token counts,
+    // dictionary-spelled (Viterbi once per DISTINCT word, per-word piece
+    // counts broadcast onto the instance stream — no word-key shuffle).
+    "text_unigram_segment" -> ((s, dir) =>
+      TextAnalysis.unigramSegmentCounts(docs(s, dir), "doc_id", "text",
+        maxPieceLen = 4, seedSize = 60, emIters = 2, minCount = 2L)),
+    // The composed unigram path: train → contiguous ids by (freq desc,
+    // piece asc) → every document as its token-id array in pre-token
+    // order — the bpeEncode plan shape with the Viterbi dictionary.
+    "text_unigram_encode" -> ((s, dir) =>
+      TextAnalysis.unigramEncode(docs(s, dir), "doc_id", "text",
+        maxPieceLen = 4, seedSize = 60, emIters = 2, minCount = 2L)),
     // Event-time lateness profile per event type: per-user arrival-order
     // high-water mark vs event time — the analytic that sizes a streaming
     // watermark delay. Per-KEY windows (the per-key watermark semantics),
@@ -556,6 +575,12 @@ object SparkEntry {
     // the perplexity-filter LM, marginals all on the pair table.
     "text_kneser_ney" -> ((s, dir) =>
       TextAnalysis.kneserNey(docs(s, dir), "text")),
+    // CCNet perplexity bucketing (Wenzek et al. 1911.00359): per-doc
+    // integer-quantized bits under the KN bigram LM, equal-mass
+    // head/middle/tail by VALUE cutoffs over the bounded cost domain —
+    // no data-wide sort, the cutoffs are a ≤20001-row driver decision.
+    "text_perplexity_buckets" -> ((s, dir) =>
+      TextAnalysis.perplexityBuckets(docs(s, dir), "doc_id", "text")),
     // Null-aware NOT IN: the with_null branch's subquery CONTAINS a NULL
     // (nullif poisons custkey 1), so by SQL three-valued logic it must
     // return ZERO rows — Spark plans a null-aware anti join; a naive anti
@@ -1217,6 +1242,29 @@ object SparkEntry {
         "embedding", "vidxq.s.emb", k = 5, nprobe = 4)
         .orderBy("query_id", "rank")
     }),
+    // Tombstone deletes on the persisted index: delete is an O(batch)
+    // marker append (no list rewrite), every search anti-joins the masks
+    // BEFORE ranking so top-k backfills with live rows, and vacuum
+    // physically reclaims only the affected cells' partitions. The whole
+    // lifecycle — build, delete 1/7 of the corpus, vacuum, search — runs
+    // inside the verified query; the oracle is the inline IVF funnel over
+    // the surviving rows under the full-corpus codebook.
+    "sim_topk_ivf_deleted" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val whDir = java.nio.file.Files.createTempDirectory("graft-vidxd").toString
+      s.conf.set("spark.sql.catalog.vidxd",
+        classOf[graft.storage.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.vidxd.warehouse", whDir)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS vidxd.s")
+      ops.VectorIndex.build(s, e, "vec_id", "embedding", "vidxd.s.emb",
+        numCentroids = 16)
+      ops.VectorIndex.delete(s, e.filter(col("vec_id") % 7 === 3)
+        .select(col("vec_id")), "vec_id", "vidxd.s.emb")
+      ops.VectorIndex.vacuum(s, "vidxd.s.emb")
+      ops.VectorIndex.search(s, e.filter(col("vec_id") < 10), "vec_id",
+        "embedding", "vidxd.s.emb", k = 5, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }),
     // The persisted IVFADC: PQ codebook + cell-partitioned 4-byte code
     // table derived from the stored lists; the candidate scan reads ONLY
     // the probed cells' code partitions, the float lists only serve the
@@ -1728,6 +1776,131 @@ object SparkEntry {
     SELECT s.doc_id, CAST(sum(len(t.toks)) AS BIGINT) AS n_tokens
     FROM seg s JOIN st$rounds t USING (word)
     GROUP BY s.doc_id ORDER BY s.doc_id"""
+
+  /** CTE chain mirroring [[TextAnalysis.unigramTrain]]'s hard-EM loop:
+    * substring seed → per-round (scores → Viterbi DP as a recursive CTE
+    * over word positions → backtrace → usage recount) × emIters → final
+    * model. The DP minimizes the same (cost, n_pieces, −lastLen) struct
+    * lexicographically (DuckDB list_sort[1] == Spark array_min), so the
+    * segmentations agree bit-for-bit. */
+  private def unigramCtes(
+      maxLen: Int, seed: Int, emIters: Int, minCount: Long): String = {
+    val base = s"""
+      tk AS (
+        SELECT doc_id, regexp_extract_all(text, '${TextAnalysis.bpePattern}') AS t
+        FROM documents),
+      wc AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(t) AS word FROM tk) GROUP BY 1),
+      candrows AS (
+        SELECT word, cnt, a.i AS i, a.l AS l, a.piece AS piece
+        FROM (
+          SELECT word, cnt,
+                 unnest(flatten(list_transform(range(1, len(word) + 1), i ->
+                   list_transform(range(1, least($maxLen, i) + 1), l ->
+                     {'i': i, 'l': l, 'piece': word[i-l+1:i]})))) AS a
+          FROM wc)),
+      subs AS (
+        SELECT piece, CAST(sum(cnt) AS BIGINT) AS freq FROM candrows GROUP BY 1),
+      chars AS (SELECT piece, freq FROM subs WHERE len(piece) = 1),
+      v0 AS (
+        SELECT piece, freq FROM chars
+        UNION ALL
+        SELECT piece, freq FROM (
+          SELECT piece, freq FROM subs WHERE len(piece) > 1 AND freq >= $minCount
+          ORDER BY freq DESC, piece ASC LIMIT $seed))"""
+    def dpChain(tag: String, model: String, src: String): String = s"""
+      arcs$tag AS (
+        SELECT c.word AS word, any_value(c.cnt) AS cnt, len(c.word) AS n,
+               list({'i': c.i, 'l': c.l, 'w': mc.w}) AS arcs
+        FROM candrows c JOIN $model mc ON c.piece = mc.piece
+        GROUP BY c.word),
+      dp$tag AS (
+        SELECT word, cnt, arcs, n, 0 AS i,
+               [{'c': CAST(0 AS BIGINT), 'np': CAST(0 AS BIGINT),
+                 'nl': CAST(0 AS BIGINT)}] AS best
+        FROM arcs$tag
+        UNION ALL
+        SELECT word, cnt, arcs, n, i + 1,
+               list_append(best, list_sort(list_transform(
+                 list_filter(arcs, a -> a.i = i + 1),
+                 a -> {'c': struct_extract(best[i + 2 - a.l], 'c') + a.w,
+                       'np': struct_extract(best[i + 2 - a.l], 'np') + 1,
+                       'nl': -CAST(a.l AS BIGINT)}))[1])
+        FROM dp$tag WHERE i < n),
+      fin$tag AS (SELECT word, cnt, n, best FROM dp$tag WHERE i = n),
+      bt$tag AS (
+        SELECT word, cnt, best, CAST(n AS BIGINT) AS pos,
+               CAST([] AS VARCHAR[]) AS ps
+        FROM fin$tag
+        UNION ALL
+        SELECT word, cnt, best,
+               pos + struct_extract(best[pos + 1], 'nl'),
+               list_prepend(word[CAST(pos + struct_extract(best[pos + 1], 'nl') AS INT) + 1 : CAST(pos AS INT)], ps)
+        FROM bt$tag WHERE pos > 0),
+      seg$tag AS (SELECT word, cnt, ps FROM bt$tag WHERE pos = 0)"""
+    def modelCte(tag: String, src: String): String = s"""
+      m$tag AS (
+        SELECT piece, freq,
+               greatest(1, CAST((CAST(freq AS HUGEINT) * 1000000)
+                 // (SELECT CAST(sum(freq) AS HUGEINT) FROM $src) AS BIGINT)) AS p_micro
+        FROM $src),
+      mc$tag AS (
+        SELECT piece,
+               2000 - CAST(floor(100 * log2(p_micro)) AS BIGINT) AS w FROM m$tag)"""
+    val rounds = (1 to emIters).map { r =>
+      modelCte(r.toString, s"v${r - 1}") + "," +
+        dpChain(r.toString, s"mc$r", "") + s""",
+      u$r AS (
+        SELECT piece, CAST(sum(cnt) AS BIGINT) AS freq
+        FROM (SELECT cnt, unnest(ps) AS piece FROM seg$r) GROUP BY 1),
+      v$r AS (
+        SELECT c.piece AS piece, CAST(coalesce(u.freq, 0) AS BIGINT) AS freq
+        FROM chars c LEFT JOIN u$r u USING (piece)
+        UNION ALL
+        SELECT u.piece AS piece, u.freq AS freq
+        FROM u$r u ANTI JOIN chars c USING (piece))"""
+    }.mkString(",")
+    "WITH RECURSIVE " + base + "," + rounds + "," +
+      modelCte("F", s"v$emIters") + "," + dpChain("F", "mcF", "")
+  }
+
+  private def unigramTrainSql(
+      maxLen: Int, seed: Int, emIters: Int, minCount: Long): String =
+    unigramCtes(maxLen, seed, emIters, minCount) + """
+      SELECT piece, freq, p_micro,
+             2000 - CAST(floor(100 * log2(p_micro)) AS BIGINT) AS cost_centi
+      FROM mF ORDER BY piece"""
+
+  private def unigramSegmentSql(
+      maxLen: Int, seed: Int, emIters: Int, minCount: Long): String =
+    unigramCtes(maxLen, seed, emIters, minCount) + """
+      SELECT di.doc_id, CAST(sum(len(s.ps)) AS BIGINT) AS n_tokens
+      FROM (SELECT doc_id, unnest(t) AS word FROM tk) di
+      JOIN segF s USING (word)
+      GROUP BY 1 ORDER BY 1"""
+
+  private def unigramEncodeSql(
+      maxLen: Int, seed: Int, emIters: Int, minCount: Long): String =
+    unigramCtes(maxLen, seed, emIters, minCount) + """,
+      ids AS (
+        SELECT piece,
+               CAST(row_number() OVER (ORDER BY freq DESC, piece ASC) AS BIGINT) AS token_id
+        FROM mF),
+      wx AS (
+        SELECT word, unnest(ps) AS piece, unnest(range(1, len(ps) + 1)) AS o
+        FROM segF),
+      wids AS (
+        SELECT wx.word AS word, list(ids.token_id ORDER BY wx.o) AS idl
+        FROM wx JOIN ids ON wx.piece = ids.piece GROUP BY wx.word),
+      di AS (
+        SELECT doc_id, unnest(t) AS word, unnest(range(1, len(t) + 1)) AS wp
+        FROM tk),
+      enc AS (
+        SELECT di.doc_id AS doc_id,
+               flatten(list(w.idl ORDER BY di.wp)) AS token_ids
+        FROM di JOIN wids w USING (word) GROUP BY 1)
+      SELECT doc_id, token_ids FROM enc ORDER BY doc_id"""
 
   private def qualityWeightsCtes: String =
     """lab AS (
@@ -2914,11 +3087,16 @@ object SparkEntry {
          SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, score
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
 
-  private def ivfTopkSql: String =
+  /** `corpusWhere` filters the CORPUS side only (centroid seeding and the
+    * query set stay on the full table) — the tombstone-delete oracle's
+    * shape: the index was built before the deletes, so the frozen codebook
+    * saw every row, and masking after assignment equals assigning only the
+    * survivors because assignment is per-row. */
+  private def ivfTopkSql(corpusWhere: String = ""): String =
     s"""WITH cent AS (
            SELECT vec_id AS centroid_id, embedding AS centvec FROM embeddings
            ORDER BY vec_id LIMIT 16),
-         c AS (SELECT vec_id AS corpus_id, embedding AS cvec FROM embeddings),
+         c AS (SELECT vec_id AS corpus_id, embedding AS cvec FROM embeddings $corpusWhere),
          q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
          assigned AS (
            SELECT corpus_id, cvec, centroid_id AS cell FROM (
@@ -3416,10 +3594,14 @@ object SparkEntry {
     "dedup_incremental_components" -> connectedComponentsSql,
     "q_triangle_counts" -> triangleCountsSql,
     "sim_topk_bruteforce" -> bruteForceTopkSql,
-    "sim_topk_ivf" -> ivfTopkSql,
+    "sim_topk_ivf" -> ivfTopkSql(),
     // the persisted index changes WHERE the lists live, not what they
     // contain — the inline IVF oracle is the indexed oracle
-    "sim_topk_ivf_indexed" -> ivfTopkSql,
+    "sim_topk_ivf_indexed" -> ivfTopkSql(),
+    // tombstone-deleted index: the codebook saw every row (built before
+    // the deletes), the corpus side excludes the deleted rows — masking
+    // after assignment == assigning only survivors (per-row argmax)
+    "sim_topk_ivf_deleted" -> ivfTopkSql("WHERE vec_id % 7 <> 3"),
     "sim_knn_classify" -> knnClassifySql,
     "sim_topk_filtered" -> filteredTopkSql,
     "text_heavy_hitters" -> heavyHittersSql,
@@ -3667,6 +3849,53 @@ object SparkEntry {
                      // (4 * CAST(c.c1 AS HUGEINT) * np.np) AS BIGINT) AS p_micro
          FROM pairs p JOIN ctx c USING (w1) JOIN hist h USING (w2) CROSS JOIN np
          ORDER BY w1, w2""",
+    "text_perplexity_buckets" ->
+      """WITH tk AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+           FROM documents),
+         bg AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                    i -> {'w1': t[i], 'w2': t[i+1]})) AS s
+           FROM tk WHERE len(t) >= 2),
+         pairs AS (SELECT s.w1 AS w1, s.w2 AS w2,
+                          CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+         ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                        CAST(count(*) AS BIGINT) AS n1p_w1 FROM pairs GROUP BY 1),
+         hist AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p_w2 FROM pairs GROUP BY 1),
+         np AS (SELECT CAST(count(*) AS HUGEINT) AS np FROM pairs),
+         kn AS (
+           SELECT p.w1, p.w2,
+                  CAST(((greatest(4 * CAST(p.c12 AS HUGEINT) - 3, 0) * np.np
+                          + 3 * CAST(c.n1p_w1 AS HUGEINT) * CAST(h.n1p_w2 AS HUGEINT))
+                         * 1000000)
+                       // (4 * CAST(c.c1 AS HUGEINT) * np.np) AS BIGINT) AS p_micro
+           FROM pairs p JOIN ctx c USING (w1) JOIN hist h USING (w2) CROSS JOIN np),
+         dpairs AS (
+           SELECT doc_id, s.w1 AS w1, s.w2 AS w2, CAST(count(*) AS BIGINT) AS tf
+           FROM bg GROUP BY 1, 2, 3),
+         dsc AS (
+           SELECT d.doc_id, sum(d.tf) AS n_bigrams,
+                  sum(d.tf * (20 - CAST(floor(log2(greatest(k.p_micro, 1))) AS BIGINT)))
+                    AS total_cost
+           FROM dpairs d JOIN kn k USING (w1, w2) GROUP BY 1),
+         sc AS (
+           SELECT doc.doc_id,
+                  CAST(coalesce(dsc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                  CAST(CASE WHEN dsc.n_bigrams IS NULL THEN 20000
+                       ELSE dsc.total_cost * 1000 // dsc.n_bigrams END AS BIGINT)
+                    AS cost_milli
+           FROM documents doc LEFT JOIN dsc USING (doc_id)),
+         dist AS (SELECT cost_milli, count(*) AS c FROM sc GROUP BY 1),
+         cum AS (SELECT cost_milli,
+                        sum(c) OVER (ORDER BY cost_milli) AS cm FROM dist),
+         n AS (SELECT count(*) AS n FROM sc),
+         cut1 AS (SELECT min(cost_milli) AS v FROM cum, n WHERE cm * 3 >= n.n),
+         cut2 AS (SELECT min(cost_milli) AS v FROM cum, n WHERE cm * 3 >= 2 * n.n)
+         SELECT sc.doc_id, sc.n_bigrams, sc.cost_milli,
+                CASE WHEN sc.cost_milli <= cut1.v THEN 'head'
+                     WHEN sc.cost_milli <= cut2.v THEN 'middle'
+                     ELSE 'tail' END AS bucket
+         FROM sc, cut1, cut2 ORDER BY sc.doc_id""",
     "text_pmi" ->
       """WITH tk AS (
            SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
@@ -4516,6 +4745,9 @@ object SparkEntry {
     "text_bpe_segment" -> bpeSegmentSql(6),
     "text_bpe_vocab" -> bpeVocabSql(6, 64),
     "text_bpe_encode" -> bpeEncodeSql(6, 16),
+    "text_unigram_train" -> unigramTrainSql(4, 60, 2, 2L),
+    "text_unigram_segment" -> unigramSegmentSql(4, 60, 2, 2L),
+    "text_unigram_encode" -> unigramEncodeSql(4, 60, 2, 2L),
     "q_lateness_profile" ->
       """WITH e AS (
            SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events),

@@ -1110,6 +1110,220 @@ object TextAnalysis {
       .orderBy(col(idCol))
   }
 
+  // ──────────────────── Unigram-LM tokenizer (SentencePiece) ─────────────────
+
+  /** The distinct-word frequency table every unigram stage works over —
+    * vocabulary-sized, the corpus itself is read once. */
+  private def unigramWordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(bpeTokens(col(textCol))).alias("word"))
+      .groupBy(col("word")).agg(count(lit(1)).alias("cnt"))
+
+  /** Seed candidate vocabulary for [[unigramTrain]]: every substring of
+    * every distinct word up to `maxPieceLen` chars, frequency-weighted by
+    * corpus word counts; ALL single characters are kept unconditionally
+    * (they are what keeps every word segmentable at every EM round), plus
+    * the `seedSize` most frequent multi-char pieces at `minCount`+. The
+    * candidate stream is vocabulary × ≤ len·maxPieceLen — never the
+    * corpus; the top-k is a TakeOrdered, not a sort. */
+  private[graft] def unigramSeedPieces(
+      words: DataFrame,
+      maxPieceLen: Int,
+      seedSize: Int,
+      minCount: Long): DataFrame = {
+    val subs = words.select(col("cnt"),
+        explode(flatten(transform(sequence(lit(1), length(col("word")).cast("int")),
+          i => transform(sequence(lit(1), least(lit(maxPieceLen), i)),
+            l => col("word").substr(i - l + 1, l))))).alias("piece"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).alias("freq"))
+    subs.filter(length(col("piece")) === 1).unionByName(
+      subs.filter(length(col("piece")) > 1 && col("freq") >= minCount)
+        .orderBy(col("freq").desc, col("piece").asc).limit(seedSize))
+  }
+
+  /** Integer-exact piece scores: `p_micro = max(1, ⌊10⁶·freq/Σfreq⌋)`
+    * (DECIMAL(38,0) product, so no corpus magnitude overflows) and the
+    * Viterbi edge weight `cost_centi = 2000 − ⌊100·log₂ p_micro⌋` — a
+    * centi-bit quantization of −log₂ p. The floor is stable across
+    * engines: consecutive integer inputs are ≥ 1.44·10⁻⁴/p··· apart on
+    * the 100·log₂ scale while double error is ~10⁻¹³, so both engines
+    * floor the same integer unless the TRUE value sits within ~10⁻¹³ of a
+    * boundary (verified empirically against DuckDB on the fixture
+    * corpora; [[perplexityBuckets]] uses the coarser whole-bit form of
+    * the same argument). */
+  private def unigramScores(vocab: DataFrame): DataFrame = {
+    val tot = vocab.agg(sum(col("freq")).cast("decimal(38,0)").alias("__tot"))
+    vocab.crossJoin(broadcast(tot))
+      .withColumn("p_micro", greatest(lit(1L),
+        expr("CAST((CAST(freq AS DECIMAL(38,0)) * 1000000) div __tot AS BIGINT)")))
+      .withColumn("cost_centi",
+        lit(2000L) - floor(lit(100.0) * log2(col("p_micro"))))
+      .select(col("piece"), col("freq"), col("p_micro"), col("cost_centi"))
+  }
+
+  /** Exact Viterbi segmentation of every distinct word under a piece-cost
+    * model: minimize `(Σ cost_centi, n_pieces, −last_piece_len)`
+    * lexicographically — the integer total order that makes the argmax
+    * path unique and engine-reproducible. The DP is ONE narrow
+    * `aggregate` fold per word over its ≤ len·maxPieceLen arc list
+    * (candidate pieces that exist in the model, attached by one
+    * vocabulary-sized equi-join); the backtrace is a second ≤ len-step
+    * fold. No shuffle beyond the arc join; the word table is
+    * vocabulary-sized at any corpus scale. Returns
+    * (word, cnt, pieces array). Every word must be coverable by the
+    * model's single characters — [[unigramTrain]] guarantees it. */
+  private[graft] def viterbiSegments(
+      words: DataFrame,
+      model: DataFrame,
+      maxPieceLen: Int): DataFrame = {
+    val cand = words.select(col("word"), col("cnt"),
+        explode(flatten(transform(sequence(lit(1), length(col("word")).cast("int")),
+          i => transform(sequence(lit(1), least(lit(maxPieceLen), i)),
+            l => struct(i.alias("i"), l.alias("l"),
+              col("word").substr(i - l + 1, l).alias("piece")))))).alias("a"))
+      .select(col("word"), col("cnt"),
+        col("a.i").alias("i"), col("a.l").alias("l"), col("a.piece").alias("piece"))
+    val arcs = cand
+      .join(model.select(col("piece"), col("cost_centi").alias("w")), Seq("piece"))
+      .groupBy(col("word"), col("cnt"))
+      .agg(collect_list(struct(col("i"), col("l"), col("w"))).alias("arcs"))
+      .withColumn("len", length(col("word")).cast("int"))
+    // best[p+1] = (cost, pieces, −lastLen) of the best segmentation of the
+    // p-char prefix; struct comparison is field-order lexicographic in
+    // both Spark and DuckDB, which IS the tie-break
+    val zero = array(struct(lit(0L).alias("c"), lit(0L).alias("np"), lit(0L).alias("nl")))
+    val withBest = arcs.withColumn("best",
+      aggregate(sequence(lit(1), col("len")), zero, (acc, i) =>
+        concat(acc, array(array_min(transform(
+          filter(col("arcs"), a => a.getField("i") === i),
+          a => struct(
+            (element_at(acc, i - a.getField("l") + 1).getField("c") +
+              a.getField("w")).alias("c"),
+            (element_at(acc, i - a.getField("l") + 1).getField("np") +
+              lit(1L)).alias("np"),
+            (-a.getField("l").cast("long")).alias("nl"))))))))
+    withBest.select(col("word"), col("cnt"),
+      aggregate(sequence(lit(1), col("len")),
+        struct(col("len").alias("pos"),
+          array().cast("array<string>").alias("ps")),
+        (acc, _) => {
+          val pos = acc.getField("pos")
+          val l = (-element_at(col("best"), pos + 1).getField("nl")).cast("int")
+          when(pos > 0,
+            struct((pos - l).alias("pos"),
+              concat(array(col("word").substr(pos - l + 1, l)),
+                acc.getField("ps")).alias("ps")))
+            .otherwise(acc)
+        },
+        acc => acc.getField("ps")).alias("pieces"))
+  }
+
+  /** In-engine unigram-LM tokenizer training (Kudo, arXiv:1804.10959 —
+    * the SentencePiece unigram model), as hard (Viterbi) EM over the
+    * DISTINCT-WORD table in exact integer arithmetic:
+    *
+    *  1. seed: all ≤ `maxPieceLen`-char substrings at `minCount`+
+    *     frequency ([[unigramSeedPieces]]) plus every single character;
+    *  2. E-step: Viterbi-segment every word under the current
+    *     integer-quantized scores ([[viterbiSegments]]);
+    *  3. M-step: piece frequency ← corpus-weighted usage in those best
+    *     segmentations; multi-char pieces with zero usage drop out,
+    *     single characters persist (at zero freq → the p_micro ≥ 1
+    *     floor), keeping every word segmentable;
+    *  4. repeat `emIters` times; ship `(piece, freq, p_micro,
+    *     cost_centi)`.
+    *
+    * Deviation from the paper, stated: the paper's soft-EM expected
+    * counts and loss-ranked pruning are replaced by Viterbi counts and
+    * zero-usage pruning — the hard-EM variant — because expected counts
+    * are irrational (forward–backward ratios) and could never
+    * hash-verify across engines; Viterbi counts are exact integers.
+    *
+    * Scale shape: the corpus is scanned ONCE (the word count); every EM
+    * round is vocabulary-sized fold work plus one piece-keyed equi-join,
+    * the same state-not-corpus trick as [[bpeTrainMerges]], with the
+    * driver loop bounded by `emIters`. */
+  def unigramTrain(
+      docs: DataFrame,
+      textCol: String,
+      maxPieceLen: Int = 4,
+      seedSize: Int = 60,
+      emIters: Int = 2,
+      minCount: Long = 2L): DataFrame = {
+    require(emIters >= 1, s"unigramTrain: need emIters >= 1, got $emIters")
+    val words = unigramWordTable(docs, textCol).localCheckpoint(false)
+    val chars = words
+      .select(explode(split(col("word"), "")).alias("piece"))
+      .filter(col("piece") =!= "").distinct().localCheckpoint(false)
+    var vocab = unigramSeedPieces(words, maxPieceLen, seedSize, minCount)
+      .localCheckpoint(false)
+    for (_ <- 1 to emIters) {
+      val segs = viterbiSegments(words, unigramScores(vocab), maxPieceLen)
+      val usage = segs.select(col("cnt"), explode(col("pieces")).alias("piece"))
+        .groupBy(col("piece")).agg(sum(col("cnt")).alias("freq"))
+      vocab = chars.join(usage, Seq("piece"), "left_outer")
+        .select(col("piece"), coalesce(col("freq"), lit(0L)).alias("freq"))
+        .unionByName(usage.join(chars, Seq("piece"), "left_anti"))
+        .localCheckpoint(false)
+    }
+    unigramScores(vocab).orderBy(col("piece"))
+  }
+
+  /** Per-document token counts under a trained unigram model — the
+    * inference side of [[unigramTrain]], dictionary-spelled like
+    * [[bpeSegmentedTokenCountDict]]: the Viterbi runs once per DISTINCT
+    * word, the per-word piece counts broadcast onto the instance stream
+    * (no word-key shuffle), one doc-keyed re-aggregation. Documents with
+    * no pre-tokens are dropped, matching the BPE family's join
+    * semantics. */
+  def unigramSegmentCounts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxPieceLen: Int = 4,
+      seedSize: Int = 60,
+      emIters: Int = 2,
+      minCount: Long = 2L): DataFrame = {
+    val model = unigramTrain(docs, textCol, maxPieceLen, seedSize, emIters, minCount)
+    val words = unigramWordTable(docs, textCol)
+    val dict = viterbiSegments(words, model, maxPieceLen)
+      .select(col("word"), size(col("pieces")).cast("long").alias("__np"))
+    docs.select(col(idCol), explode(bpeTokens(col(textCol))).alias("word"))
+      .join(broadcast(dict), Seq("word"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__np")).alias("n_tokens"))
+      .orderBy(col(idCol))
+  }
+
+  /** Encode every document as its unigram token-id array: ids are
+    * contiguous in (freq desc, piece asc) order over the trained
+    * vocabulary (a vocabulary-sized window, the same bounded class as
+    * [[bpeVocab]]'s), per-word id lists broadcast onto the instance
+    * stream, documents reassembled in pre-token order — the
+    * [[bpeEncode]] plan shape with the Viterbi dictionary in place of
+    * the merge fold. */
+  def unigramEncode(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxPieceLen: Int = 4,
+      seedSize: Int = 60,
+      emIters: Int = 2,
+      minCount: Long = 2L): DataFrame = {
+    val model = unigramTrain(docs, textCol, maxPieceLen, seedSize, emIters, minCount)
+    val ids = model
+      .withColumn("token_id",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").desc, col("piece").asc)).cast("long"))
+      .select(col("piece").alias("token"), col("token_id"))
+    val words = unigramWordTable(docs, textCol)
+    val wordIds = viterbiSegments(words, model, maxPieceLen)
+      .crossJoin(broadcast(vocabMap(ids)))
+      .select(col("word"),
+        transform(col("pieces"),
+          p => coalesce(element_at(col("__vmap"), p), lit(0L))).alias("__ids"))
+    encodeInstances(docs, idCol, textCol, wordIds)
+  }
+
   /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney, ICASSP
     * 1995; Chen & Goodman, TR-10-98) with the standard discount d = 0.75 —
     * the n-gram-LM smoothing used for perplexity-style data filtering —
@@ -1167,6 +1381,82 @@ object TextAnalysis {
       .selectExpr("w1", "w2", "c12", "c1", "n1p_w1", "n1p_w2",
         "CAST(__num div __den AS BIGINT) AS p_micro")
       .orderBy("w1", "w2")
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al., arXiv:1911.00359
+    * §4.3): score every document by its cost under a Kneser–Ney bigram LM
+    * ([[kneserNey]], trained on `reference` — defaulting to the corpus
+    * itself) and split the corpus into equal-mass head / middle / tail
+    * buckets, the crawl-filtering recipe that keeps `head` (lowest
+    * perplexity ≈ most reference-like) for training.
+    *
+    * Exactness: true perplexity needs floating logs, which no two engines
+    * reproduce bit-for-bit. The score here is the INTEGER-QUANTIZED cost
+    * `Σ_instances (20 − ⌊log₂ p_micro⌋)` — `p_micro ∈ [1, 10⁶]` is
+    * [[kneserNey]]'s exact integer probability, and `⌊log₂ n⌋` of an
+    * integer is exact in ANY IEEE implementation (an integer's log₂ is
+    * never within 10⁻⁶ of a wrong integer boundary for n ≤ 10⁶, while
+    * double error is ~10⁻¹⁶), so the whole score is reproducible
+    * bit-for-bit. Each bigram instance costs its probability's
+    * bits-rounded-up-ish (1 cost unit ≈ 1 bit), `cost_milli` is the exact
+    * per-bigram normalization `⌊1000·Σcost / n_bigrams⌋`, and unscoreable
+    * docs (< 2 tokens, or p_micro = 0 under an external reference) take
+    * the worst cost 20 per bigram / 20000 milli.
+    *
+    * Bucketing is by VALUE thresholds, not global rank: the cost_milli
+    * domain is bounded ([0, 20000]), so the distribution is a ≤ 20001-row
+    * aggregate; the two cutoffs (smallest values covering ⅓ and ⅔ of the
+    * corpus) are a driver-side decision the size of a codebook — no
+    * data-wide sort or window anywhere, the 100 TB shape. Ties at a
+    * cutoff share its bucket (value tertiles), which keeps the result
+    * deterministic without a total order.
+    *
+    * Scale shape: one [[kneserNey]] pass over the reference (pair-table
+    * bounded), one map-side bigram fold per doc, one (w1,w2) equi-join
+    * against the pair table, one groupBy(doc). */
+  def perplexityBuckets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      reference: Option[DataFrame] = None): DataFrame = {
+    val kn = kneserNey(reference.getOrElse(docs), textCol)
+      .select(col("w1"), col("w2"), col("p_micro"))
+    val docPairs = docs.select(col(idCol),
+        explode(graft.functions.SketchArrayExpressions.wordPairCounts(
+          tokens(col(textCol)))).alias("bg"))
+      .select(col(idCol), col("bg.w1").alias("w1"), col("bg.w2").alias("w2"),
+        col("bg.tf").cast("long").alias("tf"))
+    val scored = docPairs.join(kn, Seq("w1", "w2"), "left")
+      .select(col(idCol), col("tf"),
+        // 20 − ⌊log₂ p⌋ ∈ [1, 20] for p ∈ [1, 10⁶]; unseen/zero → 20
+        (lit(20L) - floor(log2(greatest(
+          coalesce(col("p_micro"), lit(1L)), lit(1L))))).alias("__cost"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).alias("n_bigrams"),
+        sum(col("tf") * col("__cost")).alias("__total"))
+    val sc = docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).alias("n_bigrams"),
+        when(col("n_bigrams").isNull, lit(20000L))
+          .otherwise(expr("(__total * 1000) div n_bigrams"))
+          .alias("cost_milli"))
+    // bounded-domain distribution → two exact cutoff values; ≤ 20001 rows
+    // is the same driver-side decision class as a probed-cell set
+    val dist = sc.groupBy(col("cost_milli")).agg(count(lit(1)).alias("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = dist.map(_._2).sum
+    var cum = 0L; var c1 = 20000L; var c2 = 20000L
+    var seen1 = false; var seen2 = false
+    dist.foreach { case (v, c) =>
+      cum += c
+      if (!seen1 && cum * 3 >= n) { c1 = v; seen1 = true }
+      if (!seen2 && cum * 3 >= 2 * n) { c2 = v; seen2 = true }
+    }
+    sc.select(col(idCol), col("n_bigrams"), col("cost_milli"),
+        when(col("cost_milli") <= c1, lit("head"))
+          .when(col("cost_milli") <= c2, lit("middle"))
+          .otherwise(lit("tail")).alias("bucket"))
+      .orderBy(col(idCol))
   }
 
   /** Corpus datasheet: the one-row "data card" summary a training-data

@@ -244,6 +244,46 @@ class TrainPrepSpec extends SparkSpec {
     assert(out("h") == (1L, 512L, 1L, 0L, 0L))
   }
 
+  test("unigram tokenizer: EM keeps chars + used pieces, Viterbi picks the " +
+    "cheapest segmentation with deterministic tie-breaks, encode is " +
+    "id-faithful") {
+    import spark.implicits._
+    // 'abab' is frequent -> 'ab' (and 'abab') become high-probability
+    // pieces; 'xy' appears once below any multi-char usefulness
+    val d = (Seq.fill(6)("abab abab ab").zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      :+ (6L, "xy")).toDF("doc_id", "text")
+    val model = graft.ops.TextAnalysis.unigramTrain(d, "text",
+      maxPieceLen = 4, seedSize = 8, emIters = 2, minCount = 2)
+    val pieces = model.collect().map(r => r.getAs[String]("piece") ->
+      (r.getAs[Long]("freq"), r.getAs[Long]("p_micro"), r.getAs[Long]("cost_centi"))).toMap
+    // every corpus char survives training; zero-usage chars at the floor
+    assert(Set("a", "b", "x", "y").subsetOf(pieces.keySet))
+    assert(pieces("x")._1 >= 1L && pieces("y")._1 >= 1L)
+    // the dominant word segments as one piece if 'abab' survived, so its
+    // usage dwarfs raw chars; all costs positive and bounded
+    assert(pieces.values.forall(v => v._3 >= 7L && v._3 <= 2000L))
+    assert(pieces.keySet.contains("abab") || pieces.keySet.contains("ab"))
+    val counts = graft.ops.TextAnalysis.unigramSegmentCounts(d, "doc_id", "text",
+      maxPieceLen = 4, seedSize = 8, emIters = 2, minCount = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    // 'abab abab ab' must segment into at most 5 pieces (<= char count 10,
+    // >= 3 words); 'xy' (unseen multi) falls back to chars -> 2
+    assert(counts(0L) >= 3L && counts(0L) <= 10L)
+    assert(counts(6L) == 2L)
+    val enc = graft.ops.TextAnalysis.unigramEncode(d, "doc_id", "text",
+      maxPieceLen = 4, seedSize = 8, emIters = 2, minCount = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getSeq[Long](r.fieldIndex("token_ids"))).toMap
+    // id arrays align with the segment counts and contain no UNK (0) —
+    // the model was trained on this very corpus
+    assert(enc(0L).length == counts(0L))
+    assert(enc.values.flatten.forall(_ > 0L))
+    // determinism: retrain reproduces bit-identical artifacts
+    val model2 = graft.ops.TextAnalysis.unigramTrain(d, "text",
+      maxPieceLen = 4, seedSize = 8, emIters = 2, minCount = 2)
+    assert(model.collect().toSeq == model2.collect().toSeq)
+  }
+
   test("kneser-ney: hand-computed exact rational probabilities") {
     import spark.implicits._
     // pairs: (a,b):2  (a,c):1  (b,a):1  →  Np = 3 bigram types
@@ -261,6 +301,27 @@ class TrainPrepSpec extends SparkSpec {
     assert(out(("b", "a")) == (1L, 1L, 500000L))
     // discount reserves mass for unseen continuations: Σ_w2 P(w2|a) < 1
     assert(583333L + 250000L < 1000000L)
+  }
+
+  test("perplexity buckets: integer-quantized KN cost ranks reference-like " +
+    "docs into head, unscoreable docs into the worst cost; value tertiles " +
+    "are equal-mass up to ties") {
+    import spark.implicits._
+    // six docs from a repetitive "in-distribution" phrase, one shuffled
+    // outlier (rare bigrams -> higher cost), one single-token doc
+    // (unscoreable -> cost 20000)
+    val common = (1 to 6).map(i => (i.toLong, "a b a b a b a b"))
+    val d = (common :+ (7L, "b b a a c a") :+ (8L, "x")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.perplexityBuckets(d, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("cost_milli"),
+          r.getAs[String]("bucket"))).toMap
+    assert(out.size == 8, "every doc gets a row")
+    assert(out(8L) == (0L, 20000L, "tail"), "no bigrams -> worst cost, tail")
+    assert(out(1L)._3 == "head", "in-distribution docs take the head")
+    assert(out(7L)._2 > out(1L)._2, "rare bigrams cost more than common ones")
+    // equal docs share a value -> share a bucket (ties never split)
+    assert((1 to 6).map(i => out(i.toLong)).distinct.size == 1)
   }
 
   test("gopher rules: each rule gates on its own exact integer bound") {
