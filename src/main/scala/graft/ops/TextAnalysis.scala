@@ -1324,6 +1324,70 @@ object TextAnalysis {
     encodeInstances(docs, idCol, textCol, wordIds)
   }
 
+  /** Which of the batch's distinct words the shipped model can segment at
+    * all: a word is coverable iff every character is a model piece (the
+    * single-character floor [[unigramTrain]] maintains guarantees the
+    * Viterbi then completes). Returns (word, covered). */
+  private def unigramCoverage(words: DataFrame, model: DataFrame): DataFrame = {
+    val charSet = model.filter(length(col("piece")) === 1)
+      .agg(sort_array(collect_list(col("piece"))).alias("__chars"))
+    words.crossJoin(broadcast(charSet))
+      .withColumn("covered",
+        forall(filter(split(col("word"), ""), c => c =!= lit("")),
+          c => array_contains(col("__chars"), c)))
+  }
+
+  /** Encode a batch against a SHIPPED unigram model — the inference path
+    * that never retrains, the [[bpeEncodeWith]] sibling: Viterbi the
+    * batch's DISTINCT coverable words under the stored piece costs, map
+    * pieces through the stored ids, broadcast the per-word id lists onto
+    * the instance stream. A word with a character the model has never
+    * seen cannot be segmented at all and encodes as a single UNK (id 0)
+    * — the same convention as the BPE family's out-of-vocabulary id.
+    * `model` is [[unigramTrain]]'s output (or the maintained catalog
+    * table), with ids assigned in its (freq desc, piece asc) order. */
+  def unigramEncodeWith(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: DataFrame,
+      maxPieceLen: Int = 4): DataFrame = {
+    val ids = model
+      .withColumn("token_id",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").desc, col("piece").asc)).cast("long"))
+      .select(col("piece").alias("token"), col("token_id"))
+    val words = unigramWordTable(docs, textCol)
+    val cov = unigramCoverage(words, model).localCheckpoint(false)
+    val segIds = viterbiSegments(cov.filter(col("covered")), model, maxPieceLen)
+      .crossJoin(broadcast(vocabMap(ids)))
+      .select(col("word"),
+        transform(col("pieces"),
+          p => coalesce(element_at(col("__vmap"), p), lit(0L))).alias("__ids"))
+    val unkIds = cov.filter(!col("covered"))
+      .select(col("word"), array(lit(0L)).alias("__ids"))
+    encodeInstances(docs, idCol, textCol, segIds.unionByName(unkIds))
+  }
+
+  /** Instance-weighted share of the batch a shipped unigram model cannot
+    * segment (characters outside the model) — the staleness signal the
+    * BPE family reads via [[bpeUnkRate]], for the same monitoring loop:
+    * rises exactly when the corpus drifts to scripts/symbols the
+    * tokenizer never saw. Batch-vocabulary-sized work plus one broadcast
+    * of the model's character floor. */
+  def unigramUnkRate(
+      docs: DataFrame,
+      textCol: String,
+      model: DataFrame): Double = {
+    val words = unigramWordTable(docs, textCol)
+    val row = unigramCoverage(words, model)
+      .agg(sum(col("cnt")).alias("t"),
+        sum(when(col("covered"), lit(0L)).otherwise(col("cnt"))).alias("u"))
+      .head()
+    if (row.isNullAt(0) || row.getLong(0) == 0L) 0.0
+    else row.getLong(1).toDouble / row.getLong(0).toDouble
+  }
+
   /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney, ICASSP
     * 1995; Chen & Goodman, TR-10-98) with the standard discount d = 0.75 —
     * the n-gram-LM smoothing used for perplexity-style data filtering —

@@ -440,6 +440,41 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(800))
   }
 
+  test("text_unigram_segment: Viterbi dictionary broadcasts onto the " +
+    "instance stream — no word-key shuffle, no sort-merge join") {
+    // training runs during query construction (driver EM loop over
+    // vocab-sized state); the captured plan is inference: distinct-word
+    // Viterbi folds on the dictionary side, instances join it broadcast
+    val df = SparkEntry.queries("text_unigram_segment")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange"), p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "Viterbi dictionary must broadcast, not sort-merge:\n" + p.take(800))
+  }
+
+  test("text_perplexity_buckets: bucketing is by broadcast value cutoffs — " +
+    "no data-wide window, no global sort before the output order") {
+    val df = SparkEntry.queries("text_perplexity_buckets")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the head/middle/tail thresholds were resolved driver-side from the
+    // bounded distribution; the plan must hold no WindowExec at all
+    assert(!p.contains("Window"), "no window may survive:\n" + p.take(800))
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastExchange"),
+      p.take(800))
+  }
+
+  test("sim_topk_ivf_deleted: tombstone mask is a broadcast anti join; " +
+    "probed-cell pruning still reaches the list scan") {
+    val df = SparkEntry.queries("sim_topk_ivf_deleted")(spark, sf)
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "mask must anti-join broadcast:\n" + p.take(1000))
+    // the probed cells appear as an isin/in partition filter on the
+    // cell-partitioned list table, as in the undeleted indexed search
+    assert(p.contains("PartitionFilters") && p.contains("cell"),
+      p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+  }
+
   test("text_gopher_rules: one narrow pass — scan pruned to (doc_id, text), " +
     "zero hash exchanges") {
     val df = SparkEntry.queries("text_gopher_rules")(spark, sf)

@@ -284,6 +284,34 @@ class TrainPrepSpec extends SparkSpec {
     assert(model.collect().toSeq == model2.collect().toSeq)
   }
 
+  test("unigram shipped-artifact inference: encodeWith(trained model) == " +
+    "the composed encode; unseen characters -> single UNK and a nonzero " +
+    "unk rate") {
+    import spark.implicits._
+    val d = (Seq.fill(6)("abab abab ab").zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      :+ (6L, "xy")).toDF("doc_id", "text")
+    val model = graft.ops.TextAnalysis.unigramTrain(d, "text",
+      maxPieceLen = 4, seedSize = 8, emIters = 2, minCount = 2)
+      .localCheckpoint(false)
+    val composed = graft.ops.TextAnalysis.unigramEncode(d, "doc_id", "text",
+      maxPieceLen = 4, seedSize = 8, emIters = 2, minCount = 2)
+    val shipped = graft.ops.TextAnalysis.unigramEncodeWith(d, "doc_id", "text",
+      model, maxPieceLen = 4)
+    assert(shipped.exceptAll(composed).isEmpty && composed.exceptAll(shipped).isEmpty,
+      "shipped-artifact inference must reproduce the composed path")
+    // in-distribution batch: fully coverable
+    assert(graft.ops.TextAnalysis.unigramUnkRate(d, "text", model) == 0.0)
+    // drifted batch: 'zq' has chars the model never saw -> single UNK,
+    // and the unk rate counts it instance-weighted (2 of 3 instances)
+    val drift = Seq((1L, "zq ab zq")).toDF("doc_id", "text")
+    val encD = graft.ops.TextAnalysis.unigramEncodeWith(drift, "doc_id", "text",
+      model, maxPieceLen = 4)
+      .collect().map(r => r.getSeq[Long](r.fieldIndex("token_ids"))).head
+    assert(encD.count(_ == 0L) == 2 && encD.count(_ > 0L) >= 1)
+    assert(math.abs(graft.ops.TextAnalysis.unigramUnkRate(drift, "text", model)
+      - 2.0 / 3.0) < 1e-12)
+  }
+
   test("kneser-ney: hand-computed exact rational probabilities") {
     import spark.implicits._
     // pairs: (a,b):2  (a,c):1  (b,a):1  →  Np = 3 bigram types
