@@ -117,8 +117,10 @@ case class BloomMightContain(
 }
 
 /** The shared probe math — agg and membership expression call the same
-  * code, so a bit set is a bit found. */
-private[functions] object BloomBits {
+  * code, so a bit set is a bit found. Visible to `graft.storage` so the
+  * manifest bloom index ([[graft.storage.GraftCatalog.buildBloomIndex]])
+  * probes with EXACTLY the bits [[BloomAgg]] set. */
+private[graft] object BloomBits {
   /** Stafford variant-13 finalizer (SplitMix64's mix) — decorrelates h2
     * from h1 so the i·h2 stride isn't a constant shift of h1. */
   private def mix(z0: Long): Long = {
@@ -136,6 +138,19 @@ private[functions] object BloomBits {
       buf(b >>> 6) |= (1L << (b & 63))
       i += 1
     }
+  }
+
+  /** Driver-side probe over a raw bitset (the manifest bloom index's
+    * deserialized form) — same arithmetic as the [[ArrayData]] overload. */
+  def mightContain(bits: Array[Long], h: Long, numBits: Int, numHashes: Int): Boolean = {
+    val h2 = mix(h) | 1L
+    var i = 0
+    while (i < numHashes) {
+      val b = java.lang.Long.remainderUnsigned(h + i * h2, numBits).toInt
+      if ((bits(b >>> 6) & (1L << (b & 63))) == 0L) return false
+      i += 1
+    }
+    true
   }
 
   def mightContain(arr: ArrayData, h: Long, numBits: Int, numHashes: Int): Boolean = {

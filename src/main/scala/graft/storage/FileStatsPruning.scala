@@ -31,6 +31,73 @@ object FileStatsPruning {
   def mayMatchAll(stats: Map[String, ColStat], filters: Seq[Filter]): Boolean =
     filters.forall(f => mayMatch(stats, f))
 
+  /** [[mayMatchAll]] plus FILE-BLOOM probing for equality shapes: a file
+    * whose bloom provably excludes every probed value is dropped even when
+    * its min/max range straddles the value — the point-lookup case on a
+    * high-cardinality unclustered column, where range stats never prune.
+    * Bloom semantics guarantee no false negatives, so `false` here keeps
+    * the same contract as the stats path: PROVABLY no matching row. */
+  def mayMatchAll(
+      stats: Map[String, ColStat],
+      blooms: Map[String, GraftCatalog.FileBloom],
+      filters: Seq[Filter]): Boolean =
+    filters.forall(f => mayMatch(stats, f) && bloomMayMatch(blooms, f))
+
+  /** Conservative bloom evaluation: only equality-shaped predicates on a
+    * bloom-indexed column can veto; everything else — no bloom for the
+    * column, an unsupported literal type, a range/null shape — keeps the
+    * file. The literal is hashed EXACTLY as the build side hashed the
+    * column ([[graft.storage.GraftCatalog.buildBloomIndex]]): integrals
+    * and dates canonicalize to INT64 before `xxhash64`, strings hash as
+    * UTF-8; a literal type the canonicalization doesn't cover returns
+    * "unknown", never a wrong hash. */
+  private[storage] def bloomMayMatch(
+      blooms: Map[String, GraftCatalog.FileBloom], f: Filter): Boolean = f match {
+    case EqualTo(a, v) => bloomContains(blooms.get(a), v)
+    case EqualNullSafe(a, v) if v != null => bloomContains(blooms.get(a), v)
+    case In(a, vs) =>
+      vs == null || vs.isEmpty || vs.exists(v => bloomContains(blooms.get(a), v))
+    case And(l, r) => bloomMayMatch(blooms, l) && bloomMayMatch(blooms, r)
+    case Or(l, r) => bloomMayMatch(blooms, l) || bloomMayMatch(blooms, r)
+    case _ => true
+  }
+
+  private def bloomContains(b: Option[GraftCatalog.FileBloom], v: Any): Boolean =
+    b match {
+      case None => true
+      case Some(bloom) =>
+        literalHash(v) match {
+          case None => true // unsupported literal type: unknown, keep
+          case Some(h) =>
+            graft.functions.BloomBits.mightContain(
+              bloom.bits, h, bloom.numBits, bloom.numHashes)
+        }
+    }
+
+  /** xxhash64 (seed 42, Spark's `xxhash64` function) of the literal in its
+    * build-side canonical form: INT64 for integrals and epoch-day dates,
+    * UTF8 string as-is. Returns None for types the build side refuses
+    * (float/decimal/timestamp/boolean) — those columns can't have an
+    * index, but a schema drift or a widened filter must degrade to "keep",
+    * never to a mis-hashed probe. */
+  private def literalHash(v: Any): Option[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val lit: Option[Literal] = v match {
+      case null => None
+      case n: java.lang.Byte => Some(Literal(n.longValue(), LongType))
+      case n: java.lang.Short => Some(Literal(n.longValue(), LongType))
+      case n: java.lang.Integer => Some(Literal(n.longValue(), LongType))
+      case n: java.lang.Long => Some(Literal(n.longValue(), LongType))
+      case d: java.sql.Date => Some(Literal(d.toLocalDate.toEpochDay, LongType))
+      case d: java.time.LocalDate => Some(Literal(d.toEpochDay, LongType))
+      case s: String => Some(Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), StringType))
+      case _ => None
+    }
+    lit.map(l => new XxHash64(Seq(l)).eval(null).asInstanceOf[Long])
+  }
+
   def mayMatch(stats: Map[String, ColStat], f: Filter): Boolean = f match {
     case EqualTo(a, v) => rangeMayContain(stats.get(a), v)
     case EqualNullSafe(a, v) =>

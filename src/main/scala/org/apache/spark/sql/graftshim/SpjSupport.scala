@@ -54,6 +54,20 @@ object Spj {
       fileStats: Map[String, Map[String, graft.storage.GraftCatalog.ColStat]],
       tableDir: String): ScanBuilder =
     new KeyedParquetScanBuilder(table, options, keys, fileStats, tableDir)
+
+  /** [[prunedScanBuilder]] plus the catalog's FILE BLOOM INDEX
+    * (`_bloomidx-*` sidecars): equality predicates additionally probe each
+    * file's per-column Bloom bitset, dropping files whose min/max range
+    * straddles the probe value but whose bloom proves absence — the
+    * point-lookup skipping min/max can't provide. */
+  def prunedScanBuilder(
+      table: ParquetTable,
+      options: CaseInsensitiveStringMap,
+      keys: Seq[V2Expression],
+      fileStats: Map[String, Map[String, graft.storage.GraftCatalog.ColStat]],
+      tableDir: String,
+      fileBlooms: Map[String, Map[String, graft.storage.GraftCatalog.FileBloom]]): ScanBuilder =
+    new KeyedParquetScanBuilder(table, options, keys, fileStats, tableDir, fileBlooms)
 }
 
 /** Delegates the full parquet pushdown surface (catalyst filters, column
@@ -71,7 +85,8 @@ final class KeyedParquetScanBuilder(
     options: CaseInsensitiveStringMap,
     keys: Seq[V2Expression],
     fileStats: Map[String, Map[String, graft.storage.GraftCatalog.ColStat]],
-    tableDir: String)
+    tableDir: String,
+    fileBlooms: Map[String, Map[String, graft.storage.GraftCatalog.FileBloom]] = Map.empty)
   extends ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -101,15 +116,17 @@ final class KeyedParquetScanBuilder(
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
     if (filters.nonEmpty) sawFilters = true
-    if (fileStats.nonEmpty && filters.nonEmpty) {
+    if ((fileStats.nonEmpty || fileBlooms.nonEmpty) && filters.nonEmpty) {
       val translated = filters.flatMap(e =>
         org.apache.spark.sql.execution.datasources.DataSourceStrategy
           .translateFilter(e, supportNestedPredicatePushdown = true))
       if (translated.nonEmpty) {
         val all = table.fileIndex.inputFiles
         val kept = all.filter { p =>
-          fileStats.get(relPath(p))
-            .forall(st => graft.storage.FileStatsPruning.mayMatchAll(st, translated))
+          val rel = relPath(p)
+          graft.storage.FileStatsPruning.mayMatchAll(
+            fileStats.getOrElse(rel, Map.empty),
+            fileBlooms.getOrElse(rel, Map.empty), translated)
         }
         if (kept.length < all.length) {
           // every file pruned: serve ONE file — its footer stats reject all

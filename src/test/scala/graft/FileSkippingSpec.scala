@@ -409,6 +409,126 @@ class FileSkippingSpec extends SparkSpec {
     assert(ids.collect().head == org.apache.spark.sql.Row(1L, 3L))
   }
 
+  test("file bloom index: point lookups prune files min/max can't") {
+    wh
+    val cat = spark.sessionState.catalogManager.catalog("skipcat")
+      .asInstanceOf[GraftCatalog]
+    // two files with fully OVERLAPPING id ranges (evens vs odds over
+    // [0, 200)): every point probe passes both files' min/max, so range
+    // stats prune nothing — exactly the shape the bloom index exists for
+    spark.range(0, 200, 2)
+      .select(col("id").cast("int").as("id"), concat(lit("w"), col("id")).as("tag"))
+      .repartition(1)
+      .writeTo("skipcat.s.blm").using("parquet").createOrReplace()
+    spark.range(1, 200, 2)
+      .select(col("id").cast("int").as("id"), concat(lit("w"), col("id")).as("tag"))
+      .repartition(1)
+      .writeTo("skipcat.s.blm").append()
+    val all = spark.table("skipcat.s.blm")
+    assert(scannedFiles(all) === 2)
+    assert(scannedFiles(all.filter(col("id") === 42)) === 2,
+      "overlapping ranges: min/max alone cannot prune a point lookup")
+    val (fresh, total) = cat.buildBloomIndex(spark, "s.blm", Seq("id", "tag"))
+    assert(fresh === 2 && total === 2)
+    // int equality: present value → only its file; absent → everything
+    // pruned (one sentinel file kept so the scan can build)
+    val hit = spark.table("skipcat.s.blm").filter(col("id") === 42)
+    assert(scannedFiles(hit) === 1)
+    assert(hit.count() === 1)
+    val miss = spark.table("skipcat.s.blm").filter(col("id") === 1000)
+    assert(scannedFiles(miss) === 1)
+    assert(miss.count() === 0)
+    // string equality and IN-lists probe the same way
+    val stag = spark.table("skipcat.s.blm").filter(col("tag") === "w43")
+    assert(scannedFiles(stag) === 1)
+    assert(stag.select("id").collect().map(_.getInt(0)).toSeq == Seq(43))
+    val inq = spark.table("skipcat.s.blm")
+      .filter(col("id").isin(2, 4, 6))
+    assert(scannedFiles(inq) === 1)
+    assert(inq.count() === 3)
+    // a range predicate ignores blooms (and stays correct)
+    assert(spark.table("skipcat.s.blm").filter(col("id") < 10).count() === 10)
+  }
+
+  test("file bloom index: unindexed files are kept; re-index is incremental") {
+    wh
+    val cat = spark.sessionState.catalogManager.catalog("skipcat")
+      .asInstanceOf[GraftCatalog]
+    spark.range(0, 100, 2).select(col("id")).repartition(1)
+      .writeTo("skipcat.s.blmi").using("parquet").createOrReplace()
+    spark.range(1, 100, 2).select(col("id")).repartition(1)
+      .writeTo("skipcat.s.blmi").append()
+    assert(cat.buildBloomIndex(spark, "s.blmi", Seq("id")) === ((2, 2)))
+    // append AFTER the index build, with a RANGE-OVERLAPPING file (0,4,…,96
+    // — min/max can't prune it either): no bloom entry — every probe keeps
+    // it (conservative), correctness never at risk
+    spark.range(0, 100, 4).select(col("id")).repartition(1)
+      .writeTo("skipcat.s.blmi").append()
+    val probe = spark.table("skipcat.s.blmi").filter(col("id") === 43)
+    assert(scannedFiles(probe) === 2,
+      "indexed even-file pruned; unindexed append kept conservatively")
+    assert(probe.count() === 1)
+    // second invocation indexes exactly the missing file
+    assert(cat.buildBloomIndex(spark, "s.blmi", Seq("id")) === ((1, 3)))
+    assert(scannedFiles(spark.table("skipcat.s.blmi")
+      .filter(col("id") === 43)) === 1)
+    // and a fully-indexed table re-invokes as a no-op
+    assert(cat.buildBloomIndex(spark, "s.blmi", Seq("id")) === ((0, 3)))
+  }
+
+  test("file bloom index: date columns canonicalize to epoch days on both sides") {
+    wh
+    val cat = spark.sessionState.catalogManager.catalog("skipcat")
+      .asInstanceOf[GraftCatalog]
+    // interleaved days of one month: overlapping date ranges in both files
+    spark.range(1, 28, 2)
+      .select(expr("date_add(DATE'2020-01-01', CAST(id AS INT))").as("d"))
+      .repartition(1)
+      .writeTo("skipcat.s.blmd").using("parquet").createOrReplace()
+    spark.range(2, 28, 2)
+      .select(expr("date_add(DATE'2020-01-01', CAST(id AS INT))").as("d"))
+      .repartition(1)
+      .writeTo("skipcat.s.blmd").append()
+    cat.buildBloomIndex(spark, "s.blmd", Seq("d"))
+    val q = spark.table("skipcat.s.blmd").filter(col("d") === lit("2020-01-16").cast("date"))
+    assert(scannedFiles(q) === 1)
+    assert(q.count() === 1)
+  }
+
+  test("file bloom index: vacuum consolidates sidecars and drops dead entries") {
+    wh
+    val cat = spark.sessionState.catalogManager.catalog("skipcat")
+      .asInstanceOf[GraftCatalog]
+    spark.range(0, 50).select(col("id")).repartition(1)
+      .writeTo("skipcat.s.blmv").using("parquet").createOrReplace()
+    cat.buildBloomIndex(spark, "s.blmv", Seq("id"))
+    spark.range(50, 100).select(col("id")).repartition(1)
+      .writeTo("skipcat.s.blmv").append()
+    cat.buildBloomIndex(spark, "s.blmv", Seq("id")) // second sidecar generation
+    // truncate overwrite: the old files leave the live set, then vacuum
+    spark.range(1000, 1050).select(col("id")).repartition(1)
+      .writeTo("skipcat.s.blmv").overwrite(lit(true))
+    cat.buildBloomIndex(spark, "s.blmv", Seq("id"))
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("s"), "blmv")
+    assert(cat.vacuum(ident, keepLast = 1) > 0)
+    val dir = new org.apache.hadoop.fs.Path(s"$wh/s/blmv")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val idxFiles = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("_bloomidx-"))
+    assert(idxFiles.length === 1, s"expected one consolidated sidecar, got ${idxFiles.toSeq}")
+    // one line per (file, column): only the live file's entry survives
+    val in = fs.open(new org.apache.hadoop.fs.Path(dir, idxFiles.head))
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    assert(lines.count(_.nonEmpty) === 1,
+      s"only the live file's entry survives consolidation, got $lines")
+    // the consolidated index still prunes
+    val q = spark.table("skipcat.s.blmv").filter(col("id") === 5L)
+    assert(scannedFiles(q) === 1) // all pruned -> sentinel
+    assert(q.count() === 0)
+    assert(spark.table("skipcat.s.blmv").filter(col("id") === 1005L).count() === 1)
+  }
+
   test("partitioned tables keep SPJ keys AND prune data files by stats") {
     wh
     Seq((1L, 5L, "a"), (2L, 6L, "a")).toDF("id", "v", "part")
