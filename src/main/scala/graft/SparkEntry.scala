@@ -455,6 +455,30 @@ object SparkEntry {
     "text_unigram_encode" -> ((s, dir) =>
       TextAnalysis.unigramEncode(docs(s, dir), "doc_id", "text",
         maxPieceLen = 4, seedSize = 60, emIters = 2, minCount = 2L)),
+    // WordPiece (the third tokenizer scheme, BERT's): positional-piece
+    // vocabulary — char floor + topK multi-char pieces, continuations
+    // ##-prefixed — ids 1-based by (freq desc, token asc).
+    "text_wordpiece_vocab" -> ((s, dir) =>
+      TextAnalysis.wordPieceVocab(docs(s, dir), "text",
+          maxPieceLen = 4, topK = 64)
+        .orderBy("token_id")),
+    // Greedy longest-match WordPiece inference: each DISTINCT word folds
+    // once under the broadcast vocabulary map (no word-key shuffle),
+    // unsegmentable words collapse to [UNK]=0, documents reassemble in
+    // pre-token order.
+    "text_wordpiece_encode" -> ((s, dir) =>
+      TextAnalysis.wordPieceEncode(docs(s, dir), "doc_id", "text",
+        maxPieceLen = 4, topK = 64)),
+    // Tokenizer staleness for the WordPiece scheme: vocabulary trained on
+    // the English subset, probed by the full multilingual corpus — exact
+    // instance counts (the rate's numerator/denominator), one row.
+    "text_wordpiece_unk" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.wordPieceUnkCounts(d, "text",
+        TextAnalysis.wordPieceVocab(d.filter(col("lang") === "en"), "text",
+          maxPieceLen = 4, topK = 64),
+        maxPieceLen = 4)
+    }),
     // Event-time lateness profile per event type: per-user arrival-order
     // high-water mark vs event time — the analytic that sizes a streaming
     // watermark delay. Per-KEY windows (the per-key watermark semantics),
@@ -1921,6 +1945,105 @@ object SparkEntry {
                          + (coalesce(neg_b, 0) + 1) * (pt + 64))
                      - 500000 AS BIGINT) AS weight_micro
          FROM grid g LEFT JOIN bc ON bc.bucket = g.bucket CROSS JOIN tot)"""
+
+  /** CTE chain mirroring [[TextAnalysis.wordPieceVocab]] and the greedy
+    * longest-match walk of [[TextAnalysis.wordPieceEncodeWith]]:
+    * positional substring candidates (train set) → char floor + topK
+    * vocabulary → a per-(word, pos) longest-match table (finite:
+    * vocabulary × ≤ word length, built join-only) → the greedy
+    * segmentation as a recursive CTE that LEFT JOINs that table. The
+    * recursion is deliberately join-only: DuckDB evaluates a correlated
+    * scalar subquery inside a recursive term to NULL, so the argmax must
+    * be precomputed outside the recursion. `trainWhere` restricts the
+    * vocabulary's training corpus (the unk probe trains on English only);
+    * segmentation always covers every distinct word of the full corpus. */
+  private def wordPieceCtes(maxLen: Int, topK: Int, trainWhere: String): String =
+    s"""WITH RECURSIVE w0 AS (
+      SELECT u.word AS word, count(*) AS cnt
+      FROM documents d,
+           UNNEST(regexp_extract_all(d.text, '${TextAnalysis.bpePattern}')) AS u(word)
+      GROUP BY u.word),
+    w0t AS (
+      SELECT u.word AS word, count(*) AS cnt
+      FROM documents d,
+           UNNEST(regexp_extract_all(d.text, '${TextAnalysis.bpePattern}')) AS u(word)
+      $trainWhere
+      GROUP BY u.word),
+    cand AS (
+      SELECT u.piece AS piece, CAST(sum(w.cnt) AS BIGINT) AS freq
+      FROM w0t w, UNNEST(flatten(list_transform(range(1, len(w.word)+1), i ->
+        list_transform(range(1, least($maxLen, len(w.word)-i+1)+1), l ->
+          CASE WHEN i = 1 THEN substr(w.word, CAST(i AS INT), CAST(l AS INT))
+               ELSE '##' || substr(w.word, CAST(i AS INT), CAST(l AS INT)) END))))
+        AS u(piece)
+      GROUP BY 1),
+    vocab AS MATERIALIZED (
+      SELECT token, freq,
+             CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS token_id
+      FROM (
+        SELECT piece AS token, freq FROM cand
+        WHERE (CASE WHEN piece LIKE '##%' THEN len(piece)-2 ELSE len(piece) END) = 1
+        UNION ALL
+        SELECT token, freq FROM (
+          SELECT piece AS token, freq FROM cand
+          WHERE (CASE WHEN piece LIKE '##%' THEN len(piece)-2 ELSE len(piece) END) > 1
+          ORDER BY freq DESC, piece LIMIT $topK))),
+    dw AS (SELECT DISTINCT word FROM w0),
+    lm AS MATERIALIZED (
+      SELECT p.word, p.pos,
+             max(CASE WHEN p.pos = 1 THEN len(v.token) ELSE len(v.token) - 2 END) AS bl
+      FROM (SELECT word, CAST(p.i AS INT) AS pos
+            FROM dw, UNNEST(range(1, len(word)+1)) AS p(i)) p
+      JOIN vocab v
+        ON CASE WHEN p.pos = 1
+                THEN v.token NOT LIKE '##%'
+                     AND v.token = substr(p.word, p.pos, len(v.token))
+                ELSE v.token LIKE '##%' AND len(v.token) > 2
+                     AND substr(v.token, 3) = substr(p.word, p.pos, len(v.token) - 2)
+           END
+      GROUP BY 1, 2),
+    lmid AS MATERIALIZED (
+      SELECT l.word, l.pos, l.bl, v.token_id
+      FROM lm l JOIN vocab v
+        ON v.token = CASE WHEN l.pos = 1 THEN substr(l.word, l.pos, l.bl)
+                          ELSE '##' || substr(l.word, l.pos, l.bl) END),
+    seg(word, pos, ids, ok) AS (
+      SELECT word, 1, CAST([] AS BIGINT[]), true FROM dw
+      UNION ALL
+      SELECT s.word,
+             CASE WHEN m.bl IS NULL THEN s.pos ELSE s.pos + m.bl END,
+             CASE WHEN m.bl IS NULL THEN s.ids ELSE list_append(s.ids, m.token_id) END,
+             m.bl IS NOT NULL
+      FROM seg s LEFT JOIN lmid m ON m.word = s.word AND m.pos = s.pos
+      WHERE s.ok AND s.pos <= len(s.word)),
+    wseg AS (
+      SELECT word, ok,
+             CASE WHEN ok THEN ids ELSE [CAST(0 AS BIGINT)] END AS ids
+      FROM seg WHERE (NOT ok) OR pos > len(word))"""
+
+  private def wordPieceVocabSql(maxLen: Int, topK: Int): String =
+    wordPieceCtes(maxLen, topK, "") + """
+    SELECT token, freq, token_id FROM vocab ORDER BY token_id"""
+
+  private def wordPieceEncodeSql(maxLen: Int, topK: Int): String =
+    wordPieceCtes(maxLen, topK, "") + s""",
+    sq AS (
+      SELECT d.doc_id, CAST(w.i AS BIGINT) AS wpos,
+             regexp_extract_all(d.text, '${TextAnalysis.bpePattern}')[w.i] AS word
+      FROM documents d,
+           UNNEST(range(1,
+             len(regexp_extract_all(d.text, '${TextAnalysis.bpePattern}'))+1))
+             AS w(i))
+    SELECT s.doc_id, flatten(list(w.ids ORDER BY s.wpos)) AS token_ids
+    FROM sq s JOIN wseg w USING (word)
+    GROUP BY s.doc_id ORDER BY s.doc_id"""
+
+  private def wordPieceUnkSql(maxLen: Int, topK: Int): String =
+    wordPieceCtes(maxLen, topK, "WHERE d.lang = 'en'") + """
+    SELECT CAST(coalesce(sum(w0.cnt), 0) AS BIGINT) AS n_instances,
+           CAST(coalesce(sum(CASE WHEN s.ok THEN 0 ELSE w0.cnt END), 0) AS BIGINT)
+             AS n_unk
+    FROM wseg s JOIN w0 USING (word)"""
 
   private val oracleSh =
     """sh AS (
@@ -4747,6 +4870,9 @@ object SparkEntry {
     "text_bpe_encode" -> bpeEncodeSql(6, 16),
     "text_unigram_train" -> unigramTrainSql(4, 60, 2, 2L),
     "text_unigram_segment" -> unigramSegmentSql(4, 60, 2, 2L),
+    "text_wordpiece_vocab" -> wordPieceVocabSql(4, 64),
+    "text_wordpiece_encode" -> wordPieceEncodeSql(4, 64),
+    "text_wordpiece_unk" -> wordPieceUnkSql(4, 64),
     "text_unigram_encode" -> unigramEncodeSql(4, 60, 2, 2L),
     "q_lateness_profile" ->
       """WITH e AS (

@@ -1388,6 +1388,158 @@ object TextAnalysis {
     else row.getLong(1).toDouble / row.getLong(0).toDouble
   }
 
+  // ──────────────────── WordPiece tokenizer (BERT) ────────────────────
+
+  /** WordPiece vocabulary from the corpus — the third tokenizer scheme
+    * next to BPE and unigram-LM, completing the family a training-data
+    * pipeline ships (Devlin et al. 1810.04805; the greedy inference is
+    * Schuster & Nakajima's original WordPiece decoding). Pieces are
+    * POSITIONAL: word-INITIAL pieces keep their raw spelling, continuation
+    * pieces carry BERT's `##` prefix. `##` can never collide with real
+    * text: [[bpePattern]] emits multi-char words only from [A-Za-z0-9]
+    * runs and lone punctuation marks, so no word longer than one char
+    * contains '#'.
+    *
+    * Candidates are every ≤ `maxPieceLen`-char substring of every DISTINCT
+    * word in its positional form, frequency-weighted by corpus word counts
+    * — vocabulary × len·maxPieceLen work, never corpus-sized; the corpus
+    * is read once by the word table. Every observed single-character piece
+    * is kept unconditionally (the coverage floor that keeps greedy
+    * segmentation total on the training corpus — mirroring
+    * [[unigramSeedPieces]]'s char floor); the `topK` most frequent
+    * multi-char pieces join them, a TakeOrdered, not a sort. token_id is
+    * 1-based by (freq desc, token asc); id 0 is the [UNK] every
+    * unsegmentable word collapses to at encode time. */
+  def wordPieceVocab(
+      docs: DataFrame,
+      textCol: String,
+      maxPieceLen: Int = 6,
+      topK: Int = 256): DataFrame = {
+    val words = unigramWordTable(docs, textCol)
+    val len = length(col("word")).cast("int")
+    val subs = words.select(col("cnt"),
+        explode(flatten(transform(sequence(lit(1), len), i =>
+          transform(sequence(lit(1), least(lit(maxPieceLen), len - i + 1)), l =>
+            when(i === 1, col("word").substr(i, l))
+              .otherwise(concat(lit("##"), col("word").substr(i, l)))))))
+          .alias("piece"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).alias("freq"))
+    val bare = when(col("piece").startsWith("##"), length(col("piece")) - 2)
+      .otherwise(length(col("piece")))
+    subs.filter(bare === 1)
+      .unionByName(subs.filter(bare > 1)
+        .orderBy(col("freq").desc, col("piece").asc).limit(topK))
+      .withColumn("token_id",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").desc, col("piece").asc)).cast("long"))
+      .select(col("piece").alias("token"), col("freq"), col("token_id"))
+  }
+
+  /** Greedy longest-match-first segmentation of each input word under the
+    * broadcast vocabulary map: ONE narrow `aggregate` fold per word over
+    * its ≤ len positions — at each position the longest vocab piece
+    * prefixing the remainder (continuation candidates `##`-prefixed) is
+    * taken; no match aborts the word to [UNK] (WordPiece semantics: the
+    * WHOLE word becomes id 0, partial segmentations are never emitted).
+    * Preserves the input's columns and appends `__ids` (the id array, or
+    * `[0]` for UNK) and `__ok`. No shuffle: the vocabulary rides in as one
+    * broadcast map, the fold is per-row. */
+  private def wordPieceWordIds(
+      words: DataFrame,
+      vocab: DataFrame,
+      maxPieceLen: Int): DataFrame = {
+    val len = length(col("word")).cast("int")
+    def cand(pos: Column, l: Column): Column =
+      concat(when(pos > 1, lit("##")).otherwise(lit("")),
+        col("word").substr(pos, l))
+    val init = struct(lit(1).cast("int").alias("p"),
+      array().cast("array<long>").alias("ids"), lit(true).alias("ok"))
+    val folded = aggregate(
+      sequence(lit(1), len),
+      init,
+      (acc, _) => {
+        val pos = acc.getField("p")
+        val bestL = array_max(filter(
+          sequence(lit(1), least(lit(maxPieceLen), len - pos + 1)),
+          l => element_at(col("__vmap"), cand(pos, l)).isNotNull))
+        when(!acc.getField("ok") || pos > len, acc)
+          .otherwise(when(bestL.isNull,
+            struct(pos.alias("p"), acc.getField("ids").alias("ids"),
+              lit(false).alias("ok")))
+          .otherwise(struct(
+            (pos + bestL).cast("int").alias("p"),
+            concat(acc.getField("ids"),
+              array(element_at(col("__vmap"), cand(pos, bestL)))).alias("ids"),
+            lit(true).alias("ok"))))
+      })
+    val inCols = words.columns.toSeq
+    words.crossJoin(broadcast(vocabMap(vocab)))
+      .withColumn("__seg", folded)
+      .select(inCols.map(col) ++ Seq(
+        when(col("__seg").getField("ok"), col("__seg").getField("ids"))
+          .otherwise(array(lit(0L))).alias("__ids"),
+        col("__seg").getField("ok").alias("__ok")): _*)
+  }
+
+  /** Greedy WordPiece inference against a SHIPPED vocabulary (the
+    * [[bpeEncodeWith]]/[[unigramEncodeWith]] contract for the third
+    * scheme): each DISTINCT word of the batch is segmented once
+    * (batch-vocabulary-sized fold work), then the per-word id lists
+    * broadcast onto the instance stream and reassemble per document in
+    * pre-token order. Unsegmentable words encode as `[0]` ([UNK]).
+    * Returns (idCol, token_ids); documents with no pre-tokens drop,
+    * matching the other encoders. */
+  def wordPieceEncodeWith(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: DataFrame,
+      maxPieceLen: Int = 6): DataFrame = {
+    val words = docs
+      .select(explode(bpeTokens(col(textCol))).alias("word")).distinct()
+    encodeInstances(docs, idCol, textCol,
+      wordPieceWordIds(words, vocab, maxPieceLen)
+        .select(col("word"), col("__ids")))
+  }
+
+  /** Train-and-encode in one call: [[wordPieceVocab]] then
+    * [[wordPieceEncodeWith]]. */
+  def wordPieceEncode(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxPieceLen: Int = 6,
+      topK: Int = 256): DataFrame =
+    wordPieceEncodeWith(docs, idCol, textCol,
+      wordPieceVocab(docs, textCol, maxPieceLen, topK), maxPieceLen)
+
+  /** (total word instances, [UNK] word instances) of a batch under a
+    * shipped WordPiece vocabulary — one row, exact BIGINTs, the
+    * oracle-checkable form behind [[wordPieceUnkRate]]. */
+  def wordPieceUnkCounts(
+      docs: DataFrame,
+      textCol: String,
+      vocab: DataFrame,
+      maxPieceLen: Int = 6): DataFrame =
+    wordPieceWordIds(unigramWordTable(docs, textCol), vocab, maxPieceLen)
+      .agg(coalesce(sum(col("cnt")), lit(0L)).alias("n_instances"),
+        coalesce(sum(when(col("__ok"), lit(0L)).otherwise(col("cnt"))), lit(0L))
+          .alias("n_unk"))
+
+  /** Instance-weighted share of the batch's words a shipped WordPiece
+    * vocabulary cannot segment — the staleness signal [[bpeUnkRate]] and
+    * [[unigramUnkRate]] provide for their schemes, for the same
+    * monitoring loop. */
+  def wordPieceUnkRate(
+      docs: DataFrame,
+      textCol: String,
+      vocab: DataFrame,
+      maxPieceLen: Int = 6): Double = {
+    val row = wordPieceUnkCounts(docs, textCol, vocab, maxPieceLen).head()
+    if (row.isNullAt(0) || row.getLong(0) == 0L) 0.0
+    else row.getLong(1).toDouble / row.getLong(0).toDouble
+  }
+
   /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney, ICASSP
     * 1995; Chen & Goodman, TR-10-98) with the standard discount d = 0.75 —
     * the n-gram-LM smoothing used for perplexity-style data filtering —

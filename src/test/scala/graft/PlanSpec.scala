@@ -452,6 +452,19 @@ class PlanSpec extends SparkSpec {
       "Viterbi dictionary must broadcast, not sort-merge:\n" + p.take(800))
   }
 
+  test("text_wordpiece_encode: greedy fold runs per DISTINCT word under a " +
+    "broadcast vocabulary map — every join broadcast, no sort-merge join") {
+    // the word-keyed exchange that remains is the dictionary's own
+    // distinct (map-side-deduped, vocab-bounded rows on the wire — the
+    // text_bpe_segment shape); the instance stream itself joins the
+    // per-word id lists as a broadcast and exchanges only for the per-doc
+    // re-aggregation
+    val p = plan("text_wordpiece_encode")
+    assert(p.contains("BroadcastExchange"), p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "vocabulary and per-word ids must broadcast, not sort-merge:\n" + p.take(800))
+  }
+
   test("text_perplexity_buckets: bucketing is by broadcast value cutoffs — " +
     "no data-wide window, no global sort before the output order") {
     val df = SparkEntry.queries("text_perplexity_buckets")(spark, sf)

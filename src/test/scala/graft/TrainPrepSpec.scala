@@ -312,6 +312,92 @@ class TrainPrepSpec extends SparkSpec {
       - 2.0 / 3.0) < 1e-12)
   }
 
+  test("wordpiece: greedy longest-match-first (not Viterbi), positional " +
+    "pieces, whole-word UNK, shipped-vocab inference equals composed") {
+    import spark.implicits._
+    val d = Seq.fill(5)("ababab abab cd").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val vocab = graft.ops.TextAnalysis.wordPieceVocab(d, "text",
+      maxPieceLen = 4, topK = 16).localCheckpoint(false)
+    val ids = vocab.collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("token_id")).toMap
+    // char floor present in positional forms
+    assert(Set("a", "c", "##b", "##d").subsetOf(ids.keySet))
+    assert(ids.contains("abab") && ids.contains("##ab"))
+    val enc = graft.ops.TextAnalysis.wordPieceEncodeWith(d, "doc_id", "text",
+      vocab, maxPieceLen = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getSeq[Long](r.fieldIndex("token_ids"))).toMap
+    // GREEDY semantics: 'ababab' takes the longest piece first ->
+    // [abab, ##ab], never [ab, ##ab, ##ab] or a char walk
+    assert(enc(0L) == Seq(ids("abab"), ids("##ab"),
+      ids("abab"), ids("cd")))
+    // composed path == shipped-vocab path
+    val composed = graft.ops.TextAnalysis.wordPieceEncode(d, "doc_id", "text",
+      maxPieceLen = 4, topK = 16)
+    val shipped = graft.ops.TextAnalysis.wordPieceEncodeWith(d, "doc_id", "text",
+      vocab, maxPieceLen = 4)
+    assert(shipped.exceptAll(composed).isEmpty && composed.exceptAll(shipped).isEmpty)
+    // whole-word UNK: a word with any unseen char collapses to [0] —
+    // WordPiece never emits partial segmentations
+    val drift = Seq((1L, "abq ab abq")).toDF("doc_id", "text")
+    val encD = graft.ops.TextAnalysis.wordPieceEncodeWith(drift, "doc_id", "text",
+      vocab, maxPieceLen = 4)
+      .collect().map(r => r.getSeq[Long](r.fieldIndex("token_ids"))).head
+    assert(encD == Seq(0L, ids("ab"), 0L))
+    // instance-weighted unk counts (2 of 3 word instances)
+    val cnts = graft.ops.TextAnalysis.wordPieceUnkCounts(drift, "text", vocab,
+      maxPieceLen = 4).head()
+    assert(cnts.getLong(0) == 3L && cnts.getLong(1) == 2L)
+    assert(math.abs(graft.ops.TextAnalysis.wordPieceUnkRate(drift, "text", vocab,
+      maxPieceLen = 4) - 2.0 / 3.0) < 1e-12)
+    // in-distribution: zero unk (char floor covers the training corpus)
+    assert(graft.ops.TextAnalysis.wordPieceUnkRate(d, "text", vocab,
+      maxPieceLen = 4) == 0.0)
+  }
+
+  test("wordpiece: engine fold equals a plain-Scala greedy reference over " +
+    "a generated corpus") {
+    import spark.implicits._
+    // deterministic pseudo-random words over {a,b,c}: enough collisions to
+    // give multi-char pieces real frequency mass, enough variety to hit
+    // every greedy branch (longest-match, mid-word fallback to chars)
+    val rnd = new scala.util.Random(7)
+    val words = (1 to 200).map(_ =>
+      (1 to (1 + rnd.nextInt(9))).map(_ => "abc" (rnd.nextInt(3))).mkString)
+    val d = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val maxLen = 4
+    val vocab = graft.ops.TextAnalysis.wordPieceVocab(d, "text",
+      maxPieceLen = maxLen, topK = 24).localCheckpoint(false)
+    val vmap = vocab.collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("token_id")).toMap
+    def greedy(w: String): Seq[Long] = {
+      var pos = 0
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (pos < w.length) {
+        val ls = (math.min(maxLen, w.length - pos) to 1 by -1).find { l =>
+          val c = (if (pos > 0) "##" else "") + w.substring(pos, pos + l)
+          vmap.contains(c)
+        }
+        ls match {
+          case None => return Seq(0L)
+          case Some(l) =>
+            out += vmap((if (pos > 0) "##" else "") + w.substring(pos, pos + l))
+            pos += l
+        }
+      }
+      out.toSeq
+    }
+    val got = graft.ops.TextAnalysis.wordPieceEncodeWith(d, "doc_id", "text",
+      vocab, maxPieceLen = maxLen)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getSeq[Long](r.fieldIndex("token_ids"))).toMap
+    words.zipWithIndex.foreach { case (w, i) =>
+      assert(got(i.toLong) == greedy(w), s"word '$w'")
+    }
+  }
+
   test("kneser-ney: hand-computed exact rational probabilities") {
     import spark.implicits._
     // pairs: (a,b):2  (a,c):1  (b,a):1  →  Np = 3 bigram types
