@@ -391,27 +391,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     * computed ONCE (one narrow column scan of files NOT yet indexed —
     * re-invocations are batch-proportional, the same incremental contract
     * as manifest stats), stored `numBits/8` bytes per (file, column) in
-    * `_bloomidx-*` sidecars (4 KiB at the 32768-bit default — ~0.4% of a
-    * 128 MB data file; fp ≈ 0.03% at 10k distinct keys/file). The probe
-    * side hashes the pushed literal with the SAME `xxhash64` the build
-    * side applied ([[FileStatsPruning]]): integrals and dates canonicalize
-    * to INT64, strings hash their UTF-8 bytes. Unsupported column types
-    * (float/decimal/timestamp) are rejected here rather than silently
-    * recorded under a hash the probe side can't reproduce.
+    * `_bloomidx-*` sidecars. `numBits = 0` (the default) SIZES THE BITSET
+    * FROM THE DATA: 10 bits per row of the largest file in this build —
+    * read from the manifest's per-file row counts, zero I/O — for ≈ 0.9%
+    * fp at 5 probes (an undersized bloom saturates to all-ones and prunes
+    * NOTHING, silently; a 128 MB parquet file of bigints holds ~10⁶ rows
+    * → ~1.2 MB per (file, column), ~1% of the data file, the same order
+    * Iceberg Puffin blobs and parquet's own bloom filters land at). The
+    * probe side hashes the pushed literal with the SAME `xxhash64` the
+    * build side applied ([[FileStatsPruning]]): integrals and dates
+    * canonicalize to INT64, strings hash their UTF-8 bytes. Unsupported
+    * column types (float/decimal/timestamp) are rejected here rather than
+    * silently recorded under a hash the probe side can't reproduce.
     *
     * Returns (filesNewlyIndexed, filesIndexedTotal). Files appended after
     * the last invocation simply have no entry — pruning keeps them
-    * (conservative), and the next invocation indexes exactly those.
+    * (conservative), and the next invocation indexes exactly those, sized
+    * to their own row counts (each entry carries its geometry).
     */
   def buildBloomIndex(
       spark: SparkSession,
       table: String,
       cols: Seq[String],
-      numBits: Int = 32768,
+      numBits: Int = 0,
       numHashes: Int = 5): (Int, Int) = {
     import org.apache.spark.sql.functions.{col => c, input_file_name, xxhash64, unix_date}
     require(cols.nonEmpty, "buildBloomIndex needs at least one column")
-    require(numBits > 0 && numBits % 64 == 0, "numBits must be a positive multiple of 64")
+    require(numBits >= 0 && numBits % 64 == 0,
+      "numBits must be 0 (auto-size from row counts) or a positive multiple of 64")
     val ident = Identifier.of(
       table.split("\\.").dropRight(1), table.split("\\.").last)
     val dir = tableDir(ident)
@@ -440,12 +447,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       cols.forall(col => existing.get(f).exists(_.contains(col))))
     if (missing.isEmpty) return (0, existing.size)
     val prefix = dir.toString.stripSuffix("/") + "/"
+    // auto-size: 10 bits per row of the LARGEST file in this build (every
+    // entry carries its geometry, so later builds over differently-sized
+    // files pick their own). Row counts come from the manifest's per-file
+    // stats when present (zero I/O); files without a recorded count fall
+    // back to one footer-served count query over exactly those files.
+    val bits =
+      if (numBits > 0) numBits
+      else {
+        val latest = GraftCatalog.latestSnapshot(fs, dir)
+        val recorded = GraftCatalog.readStats(fs, dir, latest).flatMap {
+          case (f, m) => m.get(GraftCatalog.RowCountKey)
+            .filter(_.kind == "r").map(f -> _.nulls)
+        }
+        val maxRows: Long =
+          if (missing.forall(recorded.contains)) missing.map(recorded).max
+          else spark.read.parquet(missing.map(f => s"$prefix$f"): _*)
+            .groupBy(input_file_name()).count()
+            .agg(org.apache.spark.sql.functions.max(c("count"))).head().getLong(0)
+        val target = math.min(math.max(maxRows * 10L, 32768L), 1L << 25)
+        ((target + 63L) / 64L * 64L).toInt
+      }
     val rows = spark.read.parquet(missing.map(f => s"$prefix$f"): _*)
       .groupBy(input_file_name().alias("__file"))
       .agg(graft.functions.BloomFunctions.bloom_agg(
-            hashed(cols.head), numBits, numHashes).alias(cols.head),
+            hashed(cols.head), bits, numHashes).alias(cols.head),
         cols.tail.map(n => graft.functions.BloomFunctions.bloom_agg(
-            hashed(n), numBits, numHashes).alias(n)): _*)
+            hashed(n), bits, numHashes).alias(n)): _*)
       .collect()
     val entries: Seq[(String, String, GraftCatalog.FileBloom)] = rows.toSeq.flatMap { r =>
       val full = r.getString(0)
@@ -453,7 +481,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         if (full.contains(prefix)) full.substring(full.indexOf(prefix) + prefix.length)
         else full.substring(full.lastIndexOf('/') + 1)
       cols.zipWithIndex.map { case (n, i) =>
-        (rel, n, GraftCatalog.FileBloom(numBits, numHashes,
+        (rel, n, GraftCatalog.FileBloom(bits, numHashes,
           r.getSeq[Long](i + 1).toArray))
       }
     }
@@ -847,7 +875,33 @@ object GraftCatalog {
       .filter(_.startsWith("_bloomidx-"))
       .flatMap(_.stripPrefix("_bloomidx-").toLongOption).toSeq.sorted
 
+  // Parsed-sidecar cache: the index is re-read on EVERY table load (each
+  // query plans a fresh GraftTable), and a well-sized index over a large
+  // table is tens of MB of base64 — parsing it per plan would cost more
+  // than the scan it prunes. Keyed by table dir, validated by the sidecar
+  // files' (name, length, mtime) fingerprint, so a build/vacuum/compact
+  // invalidates naturally. Driver-side memory, same order as the index on
+  // disk — the Iceberg-manifest-cache trade.
+  private val bloomIdxCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(String, Long, Long)], Map[String, Map[String, FileBloom]])]()
+
   private[storage] def readBloomIndex(
+      fs: FileSystem, dir: Path): Map[String, Map[String, FileBloom]] = {
+    val fp: Seq[(String, Long, Long)] =
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir)
+        .filter(_.getPath.getName.startsWith("_bloomidx-"))
+        .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+        .toSeq.sortBy(_._1)
+    if (fp.isEmpty) { bloomIdxCache.remove(dir.toString); return Map.empty }
+    val cached = bloomIdxCache.get(dir.toString)
+    if (cached != null && cached._1 == fp) return cached._2
+    val parsed = parseBloomIndex(fs, dir)
+    bloomIdxCache.put(dir.toString, (fp, parsed))
+    parsed
+  }
+
+  private def parseBloomIndex(
       fs: FileSystem, dir: Path): Map[String, Map[String, FileBloom]] = {
     val all = bloomIdxNums(fs, dir).flatMap { n =>
       val f = new Path(dir, s"_bloomidx-$n")
