@@ -529,6 +529,89 @@ class FileSkippingSpec extends SparkSpec {
     assert(spark.table("skipcat.s.blmv").filter(col("id") === 1005L).count() === 1)
   }
 
+  test("deleteWhere: copy-on-write rewrites only bloom-pruned candidates; " +
+    "time travel keeps the old rows; no-match is a no-op") {
+    wh
+    val cat = spark.sessionState.catalogManager.catalog("skipcat")
+      .asInstanceOf[GraftCatalog]
+    // four files with interleaved ids (k, k+4, k+8, …): every file's range
+    // spans the domain, so only the bloom index narrows the rewrite set
+    spark.range(0, 100).select((col("id") * 4).as("id")).repartition(1)
+      .writeTo("skipcat.s.del").using("parquet").createOrReplace()
+    (1 to 3).foreach { k =>
+      spark.range(0, 100).select((col("id") * 4 + k).as("id")).repartition(1)
+        .writeTo("skipcat.s.del").append()
+    }
+    cat.buildBloomIndex(spark, "s.del", Seq("id"))
+    assert(scannedFiles(spark.table("skipcat.s.del")) === 4)
+    val (rw, kept, n) = cat.deleteWhere(spark, "s.del", col("id") === 42L)
+    assert(rw === 1, "bloom narrows the rewrite to the one file holding 42")
+    assert(kept === 3 && n === 1L)
+    spark.catalog.refreshTable("skipcat.s.del")
+    assert(spark.table("skipcat.s.del").count() === 399)
+    assert(spark.table("skipcat.s.del").filter(col("id") === 42L).count() === 0)
+    // every other row of the rewritten file survives
+    assert(spark.table("skipcat.s.del").filter(col("id") % 4 === 2).count() === 99)
+    // the pre-delete snapshot still serves the row (copy-on-write)
+    val old = spark.sql("SELECT * FROM skipcat.s.del VERSION AS OF 4")
+    assert(old.filter(col("id") === 42L).count() === 1)
+    // no-match predicate: nothing rewritten, nothing committed
+    val latestBefore = spark.sql("SELECT * FROM skipcat.s.del VERSION AS OF 5").count()
+    val (rw2, _, n2) = cat.deleteWhere(spark, "s.del", col("id") === -5L)
+    assert(rw2 === 0 && n2 === 0L)
+    assert(latestBefore === 399)
+    intercept[IllegalArgumentException] {
+      spark.sql("SELECT * FROM skipcat.s.del VERSION AS OF 6").count()
+    }
+  }
+
+  test("updateWhere: copy-on-write assignment over the bloom-pruned " +
+    "rewrite set; self-referencing expressions; schema types held") {
+    wh
+    val cat = spark.sessionState.catalogManager.catalog("skipcat")
+      .asInstanceOf[GraftCatalog]
+    spark.range(0, 100).select((col("id") * 2).as("id"),
+        (col("id") % 7).cast("int").as("v")).repartition(1)
+      .writeTo("skipcat.s.upd").using("parquet").createOrReplace()
+    spark.range(0, 100).select((col("id") * 2 + 1).as("id"),
+        (col("id") % 7).cast("int").as("v")).repartition(1)
+      .writeTo("skipcat.s.upd").append()
+    cat.buildBloomIndex(spark, "s.upd", Seq("id"))
+    val (rw, kept, n) = cat.updateWhere(spark, "s.upd",
+      col("id") === 42L, Map("v" -> (col("v") + 1000L)))
+    assert(rw === 1 && kept === 1 && n === 1L,
+      "bloom narrows the rewrite to the even file")
+    spark.catalog.refreshTable("skipcat.s.upd")
+    val updated = spark.table("skipcat.s.upd").filter(col("id") === 42L)
+      .select("v").head().getInt(0)
+    assert(updated === (21 % 7) + 1000, "self-referencing increment applied")
+    // neighbors in the SAME rewritten file untouched; schema type held INT
+    assert(spark.table("skipcat.s.upd").filter(col("id") === 44L)
+      .select("v").head().getInt(0) === 22 % 7)
+    assert(spark.table("skipcat.s.upd").schema("v").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    assert(spark.table("skipcat.s.upd").count() === 200)
+    // time travel shows the pre-update value
+    assert(spark.sql("SELECT v FROM skipcat.s.upd VERSION AS OF 2")
+      .where(col("v") >= 1000).count() === 0)
+  }
+
+  test("deleteWhere: NULL-condition rows are kept (SQL DELETE semantics)") {
+    wh
+    val cat = spark.sessionState.catalogManager.catalog("skipcat")
+      .asInstanceOf[GraftCatalog]
+    import spark.implicits._
+    Seq((1L, "drop"), (2L, "keep"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "tag").repartition(1)
+      .writeTo("skipcat.s.delnull").using("parquet").createOrReplace()
+    val (_, _, n) = cat.deleteWhere(spark, "s.delnull", col("tag") === "drop")
+    assert(n === 1L)
+    spark.catalog.refreshTable("skipcat.s.delnull")
+    val left = spark.table("skipcat.s.delnull").select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(left == Seq(2L, 3L), "the NULL-tag row must survive")
+  }
+
   test("partitioned tables keep SPJ keys AND prune data files by stats") {
     wh
     Seq((1L, 5L, "a"), (2L, 6L, "a")).toDF("id", "v", "part")
