@@ -504,6 +504,48 @@ object Streams {
       }
       .start()
 
+  /** Append a stream into a catalog table and keep its FILE BLOOM INDEX
+    * ([[graft.storage.GraftCatalog.buildBloomIndex]]) fresh: every
+    * `indexEvery`-th batch extends the index over exactly the files that
+    * lack an entry — batch-proportional work, never a table rescan, the
+    * same incremental contract the other maintenance sinks keep. The
+    * append is a writer txn ((checkpoint, batchId) — replays are no-ops);
+    * the index build is IDEMPOTENT BY CONSTRUCTION (a replayed build sees
+    * no missing files and writes nothing), so the cadence needs no
+    * maintenance log. Files appended between cadence firings simply have
+    * no entry yet: point-lookup pruning keeps them conservatively —
+    * correctness never waits on maintenance, only the skip rate does. */
+  def sinkWithFileBloomIndex(
+      rows: DataFrame,
+      table: String,
+      bloomCols: Seq[String],
+      checkpointDir: String,
+      indexEvery: Int = 1): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.storage.GraftCatalog.{TxnAppIdOption, TxnVersionOption}
+        val spark = batch.sparkSession
+        if (!spark.catalog.tableExists(table))
+          batch.limit(0).writeTo(table).using("parquet").create()
+        batch.writeTo(table)
+          .option(TxnAppIdOption, s"$checkpointDir#fbloom")
+          .option(TxnVersionOption, batchId.toString)
+          .append()
+        if (indexEvery > 0 && (batchId + 1) % indexEvery == 0) {
+          val parts = table.split("\\.", 2)
+          spark.sessionState.catalogManager.catalog(parts(0)) match {
+            case g: graft.storage.GraftCatalog =>
+              g.buildBloomIndex(spark, parts(1), bloomCols)
+            case other => throw new IllegalArgumentException(
+              s"sinkWithFileBloomIndex: $table resolves to ${other.getClass.getName}, " +
+                "not a GraftCatalog — the file bloom index lives in its sidecars")
+          }
+        }
+        ()
+      }
+      .start()
+
   /** Create the four corpus-state tables [[sinkWithCorpusMaintenance]]
     * maintains, seeded empty (stream everything through the sink) —
     * schemas come from running the real operators on zero rows, so they
@@ -924,6 +966,83 @@ object Streams {
             log.limit(0).writeTo(maintT).using("parquet").create()
           log.writeTo(maintT)
             .option(TxnAppIdOption, s"$checkpointDir#tokmaint")
+            .option(TxnVersionOption, batchId.toString)
+            .append()
+        }
+      }
+      .start()
+
+  /** Bootstrap the WordPiece-monitor state ([[sinkWithWordPieceMonitor]]):
+    * accumulate the seed corpus and train the initial positional-piece
+    * vocabulary (`<prefix>_docs`, `<prefix>_vocab` — WordPiece ships one
+    * artifact, the vocabulary; there is no merge list). */
+  def bootstrapWordPiece(
+      spark: org.apache.spark.sql.SparkSession,
+      seed: DataFrame,
+      idCol: String,
+      textCol: String,
+      tablePrefix: String,
+      maxPieceLen: Int = 4,
+      topK: Int = 64): Unit = {
+    seed.select(col(idCol), col(textCol))
+      .writeTo(s"${tablePrefix}_docs").using("parquet").createOrReplace()
+    graft.ops.TextAnalysis.wordPieceVocab(
+        spark.table(s"${tablePrefix}_docs"), textCol, maxPieceLen, topK)
+      .writeTo(s"${tablePrefix}_vocab").using("parquet").createOrReplace()
+  }
+
+  /** [[sinkWithTokenizerMonitor]]'s loop for the WordPiece scheme: each
+    * batch appends to the accumulated corpus under the batchId writer txn;
+    * every `checkEvery` batches the gate measures the incoming batch's
+    * instance-weighted whole-word UNK share under the SHIPPED vocabulary
+    * ([[graft.ops.TextAnalysis.wordPieceUnkRate]] — greedy segmentation
+    * failing on any word collapses the whole word, so drift to unseen
+    * scripts fires it immediately); past `maxUnkRate` the vocabulary
+    * retrains over everything accumulated and is replaced. Same replay
+    * contract as the BPE monitor: actions log under the batch txn, a
+    * logged batch skips its gate on replay, the retrain is deterministic
+    * over the accumulated corpus. */
+  def sinkWithWordPieceMonitor(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tablePrefix: String,
+      checkpointDir: String,
+      checkEvery: Int = 1,
+      maxUnkRate: Double = 0.3,
+      maxPieceLen: Int = 4,
+      topK: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.storage.GraftCatalog.{TxnAppIdOption, TxnVersionOption}
+        val spark = batch.sparkSession
+        val maintaining = checkEvery > 0 && (batchId + 1) % checkEvery == 0
+        val b = if (maintaining) batch.localCheckpoint(true) else batch
+        val maintT = s"${tablePrefix}_maintenance"
+        val alreadyLogged = maintaining && spark.catalog.tableExists(maintT) &&
+          !spark.table(maintT).filter(col("batch_id") === batchId).isEmpty
+        val unk =
+          if (maintaining && !alreadyLogged)
+            graft.ops.TextAnalysis.wordPieceUnkRate(b, textCol,
+              spark.table(s"${tablePrefix}_vocab"), maxPieceLen)
+          else 0.0
+        b.select(col(idCol), col(textCol))
+          .writeTo(s"${tablePrefix}_docs")
+          .option(TxnAppIdOption, s"$checkpointDir#wpdocs")
+          .option(TxnVersionOption, batchId.toString)
+          .append()
+        if (maintaining && !alreadyLogged && unk > maxUnkRate) {
+          graft.ops.TextAnalysis.wordPieceVocab(
+              spark.table(s"${tablePrefix}_docs"), textCol, maxPieceLen, topK)
+            .writeTo(s"${tablePrefix}_vocab").using("parquet").createOrReplace()
+          import spark.implicits._
+          val log = Seq((batchId, f"retrain:unk=$unk%.3f"))
+            .toDF("batch_id", "action")
+          if (!spark.catalog.tableExists(maintT))
+            log.limit(0).writeTo(maintT).using("parquet").create()
+          log.writeTo(maintT)
+            .option(TxnAppIdOption, s"$checkpointDir#wpmaint")
             .option(TxnVersionOption, batchId.toString)
             .append()
         }

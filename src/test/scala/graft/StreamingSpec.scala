@@ -209,6 +209,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming file-bloom-index maintenance: appended files get indexed " +
+    "on cadence, point lookups prune, unindexed tail stays conservative") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory("graft-fbloom").toString
+    spark.conf.set("spark.sql.catalog.fbl", classOf[graft.storage.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.fbl.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS fbl.s")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-fbloom-ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.sinkWithFileBloomIndex(
+      input.toDF().toDF("id", "tag").repartition(1),
+      "fbl.s.evts", Seq("id"), ckpt, indexEvery = 2)
+    def scanned(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }.map {
+        case k: org.apache.spark.sql.graftshim.KeyedScan =>
+          k.delegate.fileIndex.inputFiles.length
+        case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+          p.fileIndex.inputFiles.length
+        case other => fail(s"unexpected scan: $other")
+      }.head
+    try {
+      // overlapping id ranges across batches so min/max never prunes
+      input.addData((0L, "a"), (100L, "b")); q.processAllAvailable()
+      input.addData((1L, "c"), (101L, "d")); q.processAllAvailable() // cadence fires
+      spark.catalog.refreshTable("fbl.s.evts")
+      assert(spark.table("fbl.s.evts").count() === 4)
+      val hit = spark.table("fbl.s.evts").filter(col("id") === 100L)
+      assert(scanned(hit) === 1, "both batch files indexed; probe plans one")
+      assert(hit.count() === 1)
+      // absent-but-in-range: everything bloom-pruned (sentinel file)
+      val miss = spark.table("fbl.s.evts").filter(col("id") === 50L)
+      assert(scanned(miss) === 1)
+      assert(miss.count() === 0)
+      // a batch AFTER the cadence firing: its file has no entry — kept
+      // conservatively, correctness intact. Probe a value the UNINDEXED
+      // file's range straddles but only an indexed file holds: the holder
+      // is kept by its bloom, the other indexed file bloom-pruned, the
+      // tail kept blind
+      input.addData((2L, "e"), (102L, "f")); q.processAllAvailable()
+      spark.catalog.refreshTable("fbl.s.evts")
+      val probe = spark.table("fbl.s.evts").filter(col("id") === 100L)
+      assert(scanned(probe) === 2, "one indexed holder + the unindexed tail")
+      assert(probe.count() === 1)
+      assert(spark.table("fbl.s.evts").filter(col("id") === 102L).count() === 1)
+      // next cadence firing indexes exactly the tail file: the probe now
+      // plans the holder alone
+      input.addData((3L, "g"), (103L, "h")); q.processAllAvailable()
+      spark.catalog.refreshTable("fbl.s.evts")
+      assert(scanned(spark.table("fbl.s.evts").filter(col("id") === 100L)) === 1)
+      assert(spark.table("fbl.s.evts").count() === 8)
+    } finally q.stop()
+  }
+
   test("streaming corpus maintenance: folded state manifests equal the " +
     "batch pipeline over everything ingested; re-ingest is a no-op") {
     implicit val sqlCtx = spark.sqlContext
@@ -576,6 +631,63 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("tok.s.bpe_maintenance").count() == 1L,
         "the gate must be quiet after the retrain")
       assert(spark.table("tok.s.bpe_docs").count() == 140L)
+    } finally q.stop()
+  }
+
+  test("streaming wordpiece monitor: whole-word UNK gate fires once on " +
+    "script drift, vocab-only retrain quiets it") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-wp").toString
+    spark.conf.set("spark.sql.catalog.wpt", classOf[graft.storage.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.wpt.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS wpt.s")
+    val latin = Seq("the", "brewery", "pours", "amber", "ale", "stone", "hops")
+    def latinDoc(i: Int) =
+      (0 until 8).map(j => latin((i * 7 + j * 3) % latin.size)).mkString(" ")
+    val seed = (0 until 60).map(i => (i.toLong, latinDoc(i))).toDF("doc_id", "text")
+    Streams.bootstrapWordPiece(spark, seed, "doc_id", "text", "wpt.s.wp",
+      maxPieceLen = 4, topK = 32)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-wp-ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.sinkWithWordPieceMonitor(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      "wpt.s.wp", ckpt, checkEvery = 1, maxUnkRate = 0.3,
+      maxPieceLen = 4, topK = 32)
+    def refreshAll(): Unit = Seq("docs", "vocab")
+      .foreach(t => spark.catalog.refreshTable(s"wpt.s.wp_$t"))
+    try {
+      // in-distribution: the char floor covers every latin word — quiet
+      val vocabBefore = spark.table("wpt.s.wp_vocab").collect().toSet
+      input.addData((100 until 120).map(i => (i.toLong, latinDoc(i))): _*)
+      q.processAllAvailable(); refreshAll()
+      assert(!spark.catalog.tableExists("wpt.s.wp_maintenance"))
+      assert(spark.table("wpt.s.wp_vocab").collect().toSet == vocabBefore)
+      // digit drift: every word holds chars the vocab never saw — greedy
+      // segmentation aborts whole words, the gate fires, vocab retrains
+      def digitDoc(i: Int) =
+        (0 until 8).map(j => ((i * 17 + j * 5) % 9000 + 1000).toString).mkString(" ")
+      input.addData((200 until 240).map(i => (i.toLong, digitDoc(i))): _*)
+      q.processAllAvailable(); refreshAll()
+      spark.catalog.refreshTable("wpt.s.wp_maintenance")
+      val actions = spark.table("wpt.s.wp_maintenance")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(actions.length == 1 && actions.head._1 == 1L &&
+        actions.head._2.startsWith("retrain:unk="),
+        s"expected one retrain at batch 1, got ${actions.toSeq}")
+      val vocabNow = spark.table("wpt.s.wp_vocab")
+        .collect().map(_.getString(0)).toSet
+      assert(vocabNow.exists(t => t.stripPrefix("##").forall(_.isDigit) &&
+        t.stripPrefix("##").nonEmpty),
+        s"retrained vocab must cover digits: $vocabNow")
+      // quiet after retrain — same digit family (WordPiece pieces are
+      // POSITIONAL: a fresh initial digit would be honest drift again, so
+      // batch 2 re-draws from batch 1's value range with new doc ids)
+      input.addData((300 until 320).map(i => (i.toLong, digitDoc(i - 100))): _*)
+      q.processAllAvailable(); refreshAll()
+      spark.catalog.refreshTable("wpt.s.wp_maintenance")
+      assert(spark.table("wpt.s.wp_maintenance").count() == 1L)
+      assert(spark.table("wpt.s.wp_docs").count() == 140L)
     } finally q.stop()
   }
 
