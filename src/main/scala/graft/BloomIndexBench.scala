@@ -96,6 +96,11 @@ object BloomIndexBench {
     val idxBytes = new java.io.File(s"$wh/s/pts").listFiles()
       .filter(_.getName.startsWith("_bloomidx-")).map(_.length()).sum
 
+    // copy-on-write point DELETE: with the index, the rewrite set is the
+    // one file holding the key; without it, every file is a candidate
+    val ((delRw, delKept, delRows), delS) =
+      time(cat.deleteWhere(spark, "s.pts", col("id") === present.head))
+
     println(s"""{"bench":"bloom_index","n":$n,"files":$files,""" +
       s""""pre_files":$preFiles,"pre_hit3_s":${f"$preHit%.3f"},""" +
       s""""pre_miss_s":${f"$preMiss%.3f"},""" +
@@ -104,7 +109,9 @@ object BloomIndexBench {
       s""""post_files":$postFiles,"post_miss_files":$postMissFiles,""" +
       s""""post_tag_files":$postTagFiles,""" +
       s""""post_hit3_s":${f"$postHit%.3f"},"post_miss_s":${f"$postMiss%.3f"},""" +
-      s""""post_tag_s":${f"$postTag%.3f"}}""")
+      s""""post_tag_s":${f"$postTag%.3f"},""" +
+      s""""delete_rewritten":$delRw,"delete_carried":$delKept,""" +
+      s""""delete_rows":$delRows,"delete_s":${f"$delS%.3f"}}""")
     spark.stop()
   }
 }
