@@ -502,9 +502,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     * carried forward. Rows where `cond` is NULL are KEPT (SQL DELETE
     * semantics: only provably-true rows go).
     *
-    * Partitioned/bucketed tables are refused for now: their rewritten
-    * files would need partition-aware placement — whole-partition deletes
-    * already have `overwritePartitions`.
+    * Hive-partitioned tables work too: rewritten rows land back in their
+    * partition directories (the staged write partitions by the table's
+    * partition columns and promotion preserves the directory path).
+    * Bucketed tables are refused — a rewrite would need the writer's
+    * bucket routing.
     *
     * Returns (filesRewritten, filesCarried, rowsDeleted). A predicate
     * matching nothing (or pruning to zero candidates) commits nothing. */
@@ -512,6 +514,62 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       spark: SparkSession,
       table: String,
       cond: org.apache.spark.sql.Column): (Int, Int, Long) = {
+    cowRewrite(spark, table, cond, "del", (candDf, hit) => candDf.filter(!hit))
+  }
+
+  /** Row-level UPDATE, copy-on-write with the same pruned rewrite set as
+    * [[deleteWhere]]: files that may hold a matching row (manifest stats +
+    * bloom index) are rewritten with `assignments` applied to their
+    * matching rows; everything else carries forward untouched. Assignment
+    * expressions may reference the row's own columns (`v -> col("v") + 1`
+    * is an increment); columns not assigned keep their values; output
+    * columns are cast back to the table schema's types so a widened
+    * literal cannot drift the file schema. NULL-condition rows are NOT
+    * updated (SQL UPDATE semantics). Hive-partitioned tables work like
+    * [[deleteWhere]]'s — and an assignment to a partition COLUMN moves
+    * the row to its new partition directory naturally, because placement
+    * comes from the rewritten row's value, not the source file's path.
+    *
+    * Returns (filesRewritten, filesCarried, rowsUpdated). */
+  def updateWhere(
+      spark: SparkSession,
+      table: String,
+      cond: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column]): (Int, Int, Long) = {
+    import org.apache.spark.sql.functions.{when => fwhen, col => fcol}
+    require(assignments.nonEmpty, "updateWhere needs at least one assignment")
+    cowRewrite(spark, table, cond, "upd", (candDf, hit) => {
+      val schema = org.apache.spark.sql.types.StructType(
+        candDf.schema.fields)
+      assignments.keys.foreach(k => require(schema.fieldNames.contains(k),
+        s"updateWhere: no such column $k"))
+      candDf.select(schema.fields.map { f =>
+        assignments.get(f.name) match {
+          case Some(expr) =>
+            fwhen(hit, expr.cast(f.dataType)).otherwise(fcol(f.name)).alias(f.name)
+          case None => fcol(f.name)
+        }
+      }.toSeq: _*)
+    })
+  }
+
+  /** The shared copy-on-write core of [[deleteWhere]]/[[updateWhere]]:
+    * candidate files = what the PRUNED scan plans for `cond` (manifest
+    * min/max + bloom index — an unpushable predicate prunes nothing and
+    * every live file is a candidate, conservative and correct); `rewrite`
+    * maps the candidate rows (with `hit` = the NULL-safe condition) to
+    * the rows that replace them; staged files promote under unique names
+    * — into their partition directories for hive layouts — and the
+    * commit is the usual exclusive-create OCC with txn watermarks
+    * carried forward. A crash mid-way leaves orphans no manifest
+    * references; vacuum reclaims them. */
+  private def cowRewrite(
+      spark: SparkSession,
+      table: String,
+      cond: org.apache.spark.sql.Column,
+      stampPrefix: String,
+      rewrite: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.Column)
+        => org.apache.spark.sql.DataFrame): (Int, Int, Long) = {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
     import org.apache.spark.sql.functions.{coalesce, lit}
@@ -520,20 +578,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val dir = tableDir(ident)
     val meta = GraftCatalog.readMeta(fs, dir)
       .getOrElse(throw new NoSuchTableException(ident))
-    require(meta.partitionCols.isEmpty && meta.bucket.isEmpty,
-      s"deleteWhere: $table is partitioned/bucketed — rewritten files need " +
-        "partition-aware placement; use overwritePartitions for " +
-        "whole-partition deletes")
+    require(meta.bucket.isEmpty,
+      s"row-level DML: $table is hash-bucketed — a rewrite would need the " +
+        "writer's bucket routing")
     val latest = GraftCatalog.latestSnapshot(fs, dir)
     val live = GraftCatalog.readManifest(fs, dir, latest)
       .getOrElse(GraftCatalog.listDataFiles(fs, dir))
     if (live.isEmpty) return (0, 0, 0L)
     val prefix = dir.toString.stripSuffix("/") + "/"
-    // candidate files = what the PRUNED scan plans for `cond`: pushed
-    // predicates run against manifest min/max AND the bloom index, so a
-    // point delete on an indexed column narrows to the files that may
-    // actually hold the row. An unpushable predicate prunes nothing and
-    // every file is a candidate — conservative, never wrong.
     val cands: Set[String] = spark.table(s"$catalogName.$table").filter(cond)
       .queryExecution.sparkPlan.collect { case b: BatchScanExec => b.scan }
       .flatMap {
@@ -549,25 +601,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       .toSet.intersect(live.toSet)
     if (cands.isEmpty) return (0, live.size, 0L)
     val candPaths = cands.toSeq.sorted.map(f => s"$prefix$f")
-    val candDf = spark.read.schema(meta.schema).parquet(candPaths: _*)
-    val rowsDeleted = candDf.filter(coalesce(cond, lit(false))).count()
-    if (rowsDeleted == 0L) return (0, live.size, 0L)
-    val remaining = candDf.filter(!coalesce(cond, lit(false)))
-      .coalesce(math.max(1, cands.size))
-    // stage under an underscore dir (invisible to listDataFiles), then
-    // promote with unique names; a crash leaves orphans no manifest
-    // references — vacuum reclaims them
+    val reader = spark.read.schema(meta.schema)
+    val candDf =
+      if (meta.partitionCols.isEmpty) reader.parquet(candPaths: _*)
+      else reader.option("basePath", dir.toString).parquet(candPaths: _*)
+    val hit = coalesce(cond, lit(false))
+    val rowsAffected = candDf.filter(hit).count()
+    if (rowsAffected == 0L) return (0, live.size, 0L)
+    val out = rewrite(candDf, hit).coalesce(math.max(1, cands.size))
     val stamp = java.util.UUID.randomUUID().toString.take(8)
-    val stageRel = s"_stage_del_$stamp"
+    val stageRel = s"_stage_${stampPrefix}_$stamp"
     val stagePath = new Path(dir, stageRel)
-    remaining.write.mode("overwrite").parquet(stagePath.toString)
-    val staged = fs.listStatus(stagePath).map(_.getPath.getName)
-      .filter(n => n.endsWith(".parquet") && !n.startsWith("_")).sorted
-    val promoted = staged.zipWithIndex.map { case (name, i) =>
-      val target = s"del-$stamp-$i.parquet"
-      if (!fs.rename(new Path(stagePath, name), new Path(dir, target)))
+    val writer = out.write.mode("overwrite")
+    (if (meta.partitionCols.isEmpty) writer
+     else writer.partitionBy(meta.partitionCols: _*))
+      .parquet(stagePath.toString)
+    // promote every staged parquet file, preserving its partition subpath
+    val it = fs.listFiles(stagePath, true)
+    val stagedFiles = Seq.newBuilder[String]
+    val stageUri = stagePath.toUri.getPath
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toUri.getPath.stripPrefix(stageUri).stripPrefix("/")
+      if (rel.endsWith(".parquet") && !rel.split("/").exists(_.startsWith("_")))
+        stagedFiles += rel
+    }
+    val promoted = stagedFiles.result().sorted.zipWithIndex.map { case (rel, i) =>
+      val sub = rel.split("/").dropRight(1)
+      val target =
+        (sub :+ s"$stampPrefix-$stamp-$i.parquet").mkString("/")
+      if (sub.nonEmpty) fs.mkdirs(new Path(dir, sub.mkString("/")))
+      if (!fs.rename(new Path(stagePath, rel), new Path(dir, target)))
         throw new java.io.IOException(
-          s"deleteWhere: cannot promote $stageRel/$name to $target")
+          s"row-level DML: cannot promote $stageRel/$rel to $target")
       target
     }
     fs.delete(stagePath, true)
@@ -580,93 +646,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       promoted.foreach(f => fs.delete(new Path(dir, f), false))
       throw e
     }
-    (cands.size, kept.size, rowsDeleted)
-  }
-
-  /** Row-level UPDATE, copy-on-write with the same pruned rewrite set as
-    * [[deleteWhere]]: files that may hold a matching row (manifest stats +
-    * bloom index) are rewritten with `assignments` applied to their
-    * matching rows; everything else carries forward untouched. Assignment
-    * expressions may reference the row's own columns (`v -> col("v") + 1`
-    * is an increment); columns not assigned keep their values; output
-    * columns are cast back to the table schema's types so a widened
-    * literal cannot drift the file schema. NULL-condition rows are NOT
-    * updated (SQL UPDATE semantics). Unpartitioned tables only, like
-    * [[deleteWhere]].
-    *
-    * Returns (filesRewritten, filesCarried, rowsUpdated). */
-  def updateWhere(
-      spark: SparkSession,
-      table: String,
-      cond: org.apache.spark.sql.Column,
-      assignments: Map[String, org.apache.spark.sql.Column]): (Int, Int, Long) = {
-    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
-    import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
-    import org.apache.spark.sql.functions.{coalesce, lit, when => fwhen, col => fcol}
-    require(assignments.nonEmpty, "updateWhere needs at least one assignment")
-    val ident = Identifier.of(
-      table.split("\\.").dropRight(1), table.split("\\.").last)
-    val dir = tableDir(ident)
-    val meta = GraftCatalog.readMeta(fs, dir)
-      .getOrElse(throw new NoSuchTableException(ident))
-    require(meta.partitionCols.isEmpty && meta.bucket.isEmpty,
-      s"updateWhere: $table is partitioned/bucketed — rewritten files need " +
-        "partition-aware placement")
-    assignments.keys.foreach(k => require(meta.schema.fieldNames.contains(k),
-      s"updateWhere: no such column $k"))
-    val latest = GraftCatalog.latestSnapshot(fs, dir)
-    val live = GraftCatalog.readManifest(fs, dir, latest)
-      .getOrElse(GraftCatalog.listDataFiles(fs, dir))
-    if (live.isEmpty) return (0, 0, 0L)
-    val prefix = dir.toString.stripSuffix("/") + "/"
-    val cands: Set[String] = spark.table(s"$catalogName.$table").filter(cond)
-      .queryExecution.sparkPlan.collect { case b: BatchScanExec => b.scan }
-      .flatMap {
-        case k: org.apache.spark.sql.graftshim.KeyedScan =>
-          k.delegate.fileIndex.inputFiles
-        case p: ParquetScan => p.fileIndex.inputFiles
-        case _ => Array.empty[String]
-      }
-      .map { p =>
-        if (p.contains(prefix)) p.substring(p.indexOf(prefix) + prefix.length)
-        else p.substring(p.lastIndexOf('/') + 1)
-      }
-      .toSet.intersect(live.toSet)
-    if (cands.isEmpty) return (0, live.size, 0L)
-    val candPaths = cands.toSeq.sorted.map(f => s"$prefix$f")
-    val candDf = spark.read.schema(meta.schema).parquet(candPaths: _*)
-    val hit = coalesce(cond, lit(false))
-    val rowsUpdated = candDf.filter(hit).count()
-    if (rowsUpdated == 0L) return (0, live.size, 0L)
-    val rewritten = candDf.select(meta.schema.fields.map { f =>
-      assignments.get(f.name) match {
-        case Some(expr) =>
-          fwhen(hit, expr.cast(f.dataType)).otherwise(fcol(f.name)).alias(f.name)
-        case None => fcol(f.name)
-      }
-    }.toSeq: _*).coalesce(math.max(1, cands.size))
-    val stamp = java.util.UUID.randomUUID().toString.take(8)
-    val stageRel = s"_stage_upd_$stamp"
-    val stagePath = new Path(dir, stageRel)
-    rewritten.write.mode("overwrite").parquet(stagePath.toString)
-    val staged = fs.listStatus(stagePath).map(_.getPath.getName)
-      .filter(n => n.endsWith(".parquet") && !n.startsWith("_")).sorted
-    val promoted = staged.zipWithIndex.map { case (name, i) =>
-      val target = s"upd-$stamp-$i.parquet"
-      if (!fs.rename(new Path(stagePath, name), new Path(dir, target)))
-        throw new java.io.IOException(
-          s"updateWhere: cannot promote $stageRel/$name to $target")
-      target
-    }
-    fs.delete(stagePath, true)
-    val kept = live.filterNot(cands)
-    try GraftCatalog.writeSnapshotAt(fs, dir, latest + 1,
-      kept ++ promoted, GraftCatalog.readTxns(fs, dir, latest))
-    catch { case e: Throwable =>
-      promoted.foreach(f => fs.delete(new Path(dir, f), false))
-      throw e
-    }
-    (cands.size, kept.size, rowsUpdated)
+    (cands.size, kept.size, rowsAffected)
   }
 
   /** Expire all but the last `keepLast` snapshots and physically delete

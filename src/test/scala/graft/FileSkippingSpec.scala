@@ -596,6 +596,37 @@ class FileSkippingSpec extends SparkSpec {
       .where(col("v") >= 1000).count() === 0)
   }
 
+  test("row-level DML on hive-partitioned tables: rewritten rows return " +
+    "to their partition dirs; a partition-column update moves the row") {
+    wh
+    val cat = spark.sessionState.catalogManager.catalog("skipcat")
+      .asInstanceOf[GraftCatalog]
+    import spark.implicits._
+    spark.sql("CREATE TABLE skipcat.s.pdel (id BIGINT, p STRING) " +
+      "USING parquet PARTITIONED BY (p)")
+    Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"))
+      .toDF("id", "p").repartition(1)
+      .writeTo("skipcat.s.pdel").append()
+    val (rwD, _, nD) = cat.deleteWhere(spark, "s.pdel", col("id") === 3L)
+    assert(nD === 1L)
+    assert(rwD >= 1)
+    spark.catalog.refreshTable("skipcat.s.pdel")
+    assert(spark.table("skipcat.s.pdel").count() === 3)
+    // partition pruning still serves the layout after the rewrite
+    assert(spark.table("skipcat.s.pdel").filter(col("p") === "b")
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(4L))
+    // updating the PARTITION column moves the row to its new directory
+    val (_, _, nU) = cat.updateWhere(spark, "s.pdel",
+      col("id") === 2L, Map("p" -> lit("c")))
+    assert(nU === 1L)
+    spark.catalog.refreshTable("skipcat.s.pdel")
+    assert(spark.table("skipcat.s.pdel").filter(col("p") === "c")
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(spark.table("skipcat.s.pdel").filter(col("p") === "a")
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(spark.table("skipcat.s.pdel").count() === 3)
+  }
+
   test("deleteWhere: NULL-condition rows are kept (SQL DELETE semantics)") {
     wh
     val cat = spark.sessionState.catalogManager.catalog("skipcat")
