@@ -596,6 +596,38 @@ class FileSkippingSpec extends SparkSpec {
       .where(col("v") >= 1000).count() === 0)
   }
 
+  test("deleteWhere under a concurrent commit: conflict surfaces loudly, " +
+    "promoted files are dropped, the table is untouched") {
+    wh
+    val cat = spark.sessionState.catalogManager.catalog("skipcat")
+      .asInstanceOf[GraftCatalog]
+    spark.range(0, 50).select(col("id")).repartition(1)
+      .writeTo("skipcat.s.delocc").using("parquet").createOrReplace()
+    val dir = new org.apache.hadoop.fs.Path(s"$wh/s/delocc")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // another writer claims snapshot 2 BETWEEN our read and our commit:
+    // a side-effecting predicate term (unpushable, so it also exercises
+    // the prune-nothing degrade) creates the competing manifest the first
+    // time the condition is evaluated — i.e. mid-deleteWhere
+    val conflictFile = new java.io.File(s"$wh/s/delocc/_snap-2.manifest")
+    val mkConflict = udf { (id: Long) =>
+      if (!conflictFile.exists())
+        java.nio.file.Files.write(conflictFile.toPath, "\n".getBytes("UTF-8"))
+      false
+    }
+    val e = intercept[java.io.IOException] {
+      cat.deleteWhere(spark, "s.delocc",
+        col("id") === 7L || mkConflict(col("id")))
+    }
+    assert(e.getMessage.contains("concurrent commit"))
+    // no orphaned promoted files, no stage dir left behind
+    val leftovers = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("del-") || n.startsWith("_stage_del"))
+    assert(leftovers.isEmpty, s"orphans: ${leftovers.toSeq}")
+    // snapshot 1's data is intact
+    assert(spark.sql("SELECT * FROM skipcat.s.delocc VERSION AS OF 1").count() === 50)
+  }
+
   test("row-level DML on hive-partitioned tables: rewritten rows return " +
     "to their partition dirs; a partition-column update moves the row") {
     wh
