@@ -375,6 +375,17 @@ object SparkEntry {
         .select(col("doc_id"), col("contam_ngrams"), col("is_contaminated"))
         .orderBy("doc_id")
     }),
+    // Per-source k-gram novelty vs the English reference: how much of
+    // each source's distinct trigram space the reference never saw — the
+    // is-this-slice-worth-adding freshness signal, the aggregate dual of
+    // prep_decontaminate. Both sides collapse to distinct 8-byte hashes
+    // before the anti join; strategy left to AQE.
+    "text_novelty" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.sourceNovelty(d, "source", "text",
+        d.filter(col("lang") === "en"), "text", k = 3,
+        tokenHash = Dedup.oracleHash)
+    }),
     // Gopher/C4-style repetition filter signal: duplicate-trigram fraction
     // per doc, computed entirely per-row (no shuffle).
     "text_repetition" -> ((s, dir) =>
@@ -2688,6 +2699,30 @@ object SparkEntry {
        WHERE d.doc_id % 50 <> 0
        ORDER BY d.doc_id"""
 
+  /** Per-source k-gram novelty against the English reference — mirrors
+    * [[graft.ops.TextAnalysis.sourceNovelty]]: distinct (source, hash)
+    * pairs, distinct reference hashes, anti-membership counts, one
+    * fixed-order ratio division. */
+  private def sourceNoveltySql: String =
+    s"""WITH $oracleTk,
+         ${shrCte(3)},
+         srcg AS (
+           SELECT DISTINCT d.source AS source, s.h AS h
+           FROM (SELECT doc_id, unnest(hs) AS h FROM shr) s
+           JOIN documents d USING (doc_id)),
+         refs AS (
+           SELECT DISTINCT s.h AS h
+           FROM (SELECT doc_id, unnest(hs) AS h FROM shr) s
+           JOIN documents d USING (doc_id) WHERE d.lang = 'en'),
+         agg AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_kgrams,
+                  CAST(sum(CASE WHEN h IN (SELECT h FROM refs) THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n_novel
+           FROM srcg GROUP BY source)
+       SELECT source, n_kgrams, n_novel,
+              CAST(n_novel AS DOUBLE) / CAST(n_kgrams AS DOUBLE) AS novelty
+       FROM agg ORDER BY source"""
+
   /** Per-source 32-slot MinHash signature (MinhashAgg's permutation
     * constants over mod-p-reduced raw window sums) + pairwise slot
     * agreement — exactly [[graft.ops.Dedup.groupSketchOverlap]] under
@@ -3908,6 +3943,7 @@ object SparkEntry {
                 count(*) AS n_events, min(event_id) AS first_event
          FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""",
     "prep_decontaminate" -> decontaminateSql,
+    "text_novelty" -> sourceNoveltySql,
     "text_source_overlap" -> sourceOverlapSql,
     "dedup_span" -> spanDupsSql,
     "dedup_excise" -> exciseSql,

@@ -248,6 +248,51 @@ object TextAnalysis {
         (sum(col("__bpe")).cast("double") / sum(col("__ws")).cast("double"))
           .alias("fertility"))
 
+  /** Per-source k-gram NOVELTY against a reference corpus: how much of
+    * each source's distinct k-gram space the reference has never seen —
+    * the data-freshness/diversity signal behind "is this crawl slice
+    * worth adding", the aggregate dual of [[graft.ops.TrainPrep
+    * .decontaminate]]'s per-document flagging. Returns one row per
+    * source: distinct k-gram count, the NOVEL count (absent from the
+    * reference), and their exact ratio — all BIGINT-derived, the ratio a
+    * single fixed-order division.
+    *
+    * Shape at scale: both sides collapse to DISTINCT 8-byte shingle
+    * hashes before anything joins ([[graft.functions.ShingleWindows]] —
+    * the k-grams never shuffle as text); the reference set enters a LEFT
+    * ANTI join with the strategy left to AQE — broadcast under the
+    * threshold, hash-keyed shuffle degrade beyond, exactly the
+    * decontaminate posture. */
+  def sourceNovelty(
+      docs: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      reference: DataFrame,
+      refTextCol: String,
+      k: Int,
+      tokenHash: Column => Column = graft.ops.Dedup.xxHash): DataFrame = {
+    import graft.functions.SketchArrayExpressions.shingleWindows
+    def grams(d: DataFrame, textC: String): DataFrame =
+      d.select(explode(shingleWindows(
+        transform(tokens(col(textC)), t => tokenHash(t)), k)).alias("sh"))
+    val srcGrams = docs
+      .select(col(sourceCol).alias("source"),
+        explode(shingleWindows(
+          transform(tokens(col(textCol)), t => tokenHash(t)), k)).alias("sh"))
+      .distinct()
+    val refSet = grams(reference, refTextCol).distinct()
+    val novel = srcGrams.join(refSet, Seq("sh"), "left_anti")
+      .groupBy(col("source")).agg(count(lit(1)).alias("n_novel"))
+    srcGrams.groupBy(col("source"))
+      .agg(count(lit(1)).alias("n_kgrams"))
+      .join(novel, Seq("source"), "left")
+      .select(col("source"), col("n_kgrams"),
+        coalesce(col("n_novel"), lit(0L)).alias("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_kgrams").cast("double"))
+      .orderBy("source")
+  }
+
   /** Top-k distinguishing terms per document by a TF-IDF-style rarity
     * weight: `score = tf · (N+1)/(df+1)` — the log-free rational form
     * (monotone in classic idf, so per-doc term *ranking* is identical;
