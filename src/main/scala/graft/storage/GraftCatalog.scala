@@ -414,7 +414,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       table: String,
       cols: Seq[String],
       numBits: Int = 0,
-      numHashes: Int = 5): (Int, Int) = {
+      numHashes: Int = 5,
+      chunkBudgetBytes: Long = 256L << 20): (Int, Int) = {
     import org.apache.spark.sql.functions.{col => c, input_file_name, xxhash64, unix_date}
     require(cols.nonEmpty, "buildBloomIndex needs at least one column")
     require(numBits >= 0 && numBits % 64 == 0,
@@ -468,24 +469,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         val target = math.min(math.max(maxRows * 10L, 32768L), 1L << 25)
         ((target + 63L) / 64L * 64L).toInt
       }
-    val rows = spark.read.parquet(missing.map(f => s"$prefix$f"): _*)
-      .groupBy(input_file_name().alias("__file"))
-      .agg(graft.functions.BloomFunctions.bloom_agg(
-            hashed(cols.head), bits, numHashes).alias(cols.head),
-        cols.tail.map(n => graft.functions.BloomFunctions.bloom_agg(
-            hashed(n), bits, numHashes).alias(n)): _*)
-      .collect()
-    val entries: Seq[(String, String, GraftCatalog.FileBloom)] = rows.toSeq.flatMap { r =>
-      val full = r.getString(0)
-      val rel =
-        if (full.contains(prefix)) full.substring(full.indexOf(prefix) + prefix.length)
-        else full.substring(full.lastIndexOf('/') + 1)
-      cols.zipWithIndex.map { case (n, i) =>
-        (rel, n, GraftCatalog.FileBloom(bits, numHashes,
-          r.getSeq[Long](i + 1).toArray))
-      }
+    // bound the driver's resident bitset volume: each collected row is
+    // cols × bits/8 bytes, so chunk the build to ~chunkBudgetBytes of
+    // bitsets at a time (at the 4 MB auto-size cap and the 256 MB default
+    // that is 64 files per chunk with one column). Each chunk appends its
+    // own sidecar — a mid-build crash keeps every completed chunk (the
+    // next invocation resumes from the remaining files; resumability IS
+    // the incremental contract).
+    val perFileBytes = cols.size.toLong * (bits / 8)
+    val chunkFiles =
+      math.max(1, (chunkBudgetBytes / math.max(1L, perFileBytes)).toInt)
+    missing.grouped(chunkFiles).foreach { group =>
+      val rows = spark.read.parquet(group.map(f => s"$prefix$f"): _*)
+        .groupBy(input_file_name().alias("__file"))
+        .agg(graft.functions.BloomFunctions.bloom_agg(
+              hashed(cols.head), bits, numHashes).alias(cols.head),
+          cols.tail.map(n => graft.functions.BloomFunctions.bloom_agg(
+              hashed(n), bits, numHashes).alias(n)): _*)
+        .collect()
+      val entries: Seq[(String, String, GraftCatalog.FileBloom)] =
+        rows.toSeq.flatMap { r =>
+          val full = r.getString(0)
+          val rel =
+            if (full.contains(prefix)) full.substring(full.indexOf(prefix) + prefix.length)
+            else full.substring(full.lastIndexOf('/') + 1)
+          cols.zipWithIndex.map { case (n, i) =>
+            (rel, n, GraftCatalog.FileBloom(bits, numHashes,
+              r.getSeq[Long](i + 1).toArray))
+          }
+        }
+      GraftCatalog.appendBloomIndex(fs, dir, entries)
     }
-    GraftCatalog.appendBloomIndex(fs, dir, entries)
     (missing.size, existing.size + missing.size)
   }
 

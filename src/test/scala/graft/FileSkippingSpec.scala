@@ -476,6 +476,32 @@ class FileSkippingSpec extends SparkSpec {
     assert(cat.buildBloomIndex(spark, "s.blmi", Seq("id")) === ((0, 3)))
   }
 
+  test("file bloom index: a budget-chunked build appends per-chunk " +
+    "sidecars and resumes; pruning equals the one-shot build") {
+    wh
+    val cat = spark.sessionState.catalogManager.catalog("skipcat")
+      .asInstanceOf[GraftCatalog]
+    spark.range(0, 100).select((col("id") * 4).as("id")).repartition(1)
+      .writeTo("skipcat.s.blmc").using("parquet").createOrReplace()
+    (1 to 3).foreach { k =>
+      spark.range(0, 100).select((col("id") * 4 + k).as("id")).repartition(1)
+        .writeTo("skipcat.s.blmc").append()
+    }
+    // a one-file budget: 4 files -> 4 chunks, each its own sidecar
+    assert(cat.buildBloomIndex(spark, "s.blmc", Seq("id"),
+      chunkBudgetBytes = 1L) === ((4, 4)))
+    val dir = new org.apache.hadoop.fs.Path(s"$wh/s/blmc")
+    val fsys = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sidecars = fsys.listStatus(dir).map(_.getPath.getName)
+      .count(_.startsWith("_bloomidx-"))
+    assert(sidecars === 4, s"one sidecar per chunk, got $sidecars")
+    // all four files indexed: a point probe plans exactly its holder
+    val q = spark.table("skipcat.s.blmc").filter(col("id") === 43L)
+    assert(scannedFiles(q) === 1)
+    assert(q.count() === 1)
+    assert(cat.buildBloomIndex(spark, "s.blmc", Seq("id")) === ((0, 4)))
+  }
+
   test("file bloom index: date columns canonicalize to epoch days on both sides") {
     wh
     val cat = spark.sessionState.catalogManager.catalog("skipcat")
