@@ -503,6 +503,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     (missing.size, existing.size + missing.size)
   }
 
+  /** Snapshot history (Delta `DESCRIBE HISTORY` / Iceberg `snapshots`
+    * analog), metadata-only: one entry per retained snapshot —
+    * (snapshot, nFiles, totalRows, filesAdded, filesRemoved), rows from
+    * the manifest's per-file row-count stats (−1 when any live file lacks
+    * one — absence must read "unknown", never a low count), adds/removes
+    * as file-set diffs against the previous RETAINED snapshot (vacuumed
+    * gaps diff against what remains, matching what time travel can still
+    * serve). Zero data I/O: manifests only. */
+  def history(ident: Identifier): Seq[(Long, Int, Long, Int, Int)] = {
+    val dir = tableDir(ident)
+    if (GraftCatalog.readMeta(fs, dir).isEmpty) throw new NoSuchTableException(ident)
+    val latest = GraftCatalog.latestSnapshot(fs, dir)
+    val snaps = (1L to latest).flatMap(n =>
+      GraftCatalog.readManifest(fs, dir, n).map(n -> _))
+    snaps.foldLeft((Seq.empty[(Long, Int, Long, Int, Int)], Set.empty[String])) {
+      case ((acc, prev), (snap, files)) =>
+        val stats = GraftCatalog.readStats(fs, dir, snap)
+        val rowCounts = files.map(f => stats.get(f)
+          .flatMap(_.get(GraftCatalog.RowCountKey)).filter(_.kind == "r")
+          .map(_.nulls))
+        val totalRows =
+          if (rowCounts.forall(_.isDefined)) rowCounts.flatten.sum else -1L
+        val cur = files.toSet
+        (acc :+ ((snap, files.size, totalRows,
+          (cur -- prev).size, (prev -- cur).size)), cur)
+    }._1
+  }
+
   /** Row-level DELETE, copy-on-write with FILE PRUNING (Iceberg's
     * copy-on-write `DELETE FROM` shape): only files that MAY hold a
     * matching row — decided by the same manifest-stats + bloom-index

@@ -427,6 +427,31 @@ class CatalogSpec extends SparkSpec {
     assert(spark.table("graftv2.bronze.occ").count() == 2)
   }
 
+  test("history: per-snapshot file/row counts and add/remove diffs, " +
+    "metadata-only; vacuumed snapshots drop out") {
+    wh
+    spark.range(0, 10).select(col("id")).repartition(1)
+      .writeTo("graftv2.bronze.hist").using("parquet").createOrReplace()
+    spark.range(10, 15).select(col("id")).repartition(1)
+      .writeTo("graftv2.bronze.hist").append()
+    spark.range(100, 103).select(col("id")).repartition(1)
+      .writeTo("graftv2.bronze.hist").overwrite(lit(true))
+    val cat = new GraftCatalog
+    cat.initialize("graftv2", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("warehouse", wh)))
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("bronze"), "hist")
+    val h = cat.history(ident)
+    assert(h.map(e => (e._1, e._2, e._3, e._4, e._5)) == Seq(
+      (1L, 1, 10L, 1, 0),   // create: one file, ten rows
+      (2L, 2, 15L, 1, 0),   // append: +1 file, 15 rows total
+      (3L, 1, 3L, 1, 2)))   // truncate overwrite: 1 new file, both old gone
+    // vacuum drops snapshot 1-2; history reflects what remains
+    cat.vacuum(ident, keepLast = 1)
+    val h2 = cat.history(ident)
+    assert(h2.map(_._1) == Seq(3L))
+    assert(h2.head._3 == 3L)
+  }
+
   test("vacuum retention: keepLast preserves a time-travel window") {
     wh
     t((1L, "a", "2024-01-15"))
