@@ -466,6 +466,13 @@ object SparkEntry {
     "text_unigram_encode" -> ((s, dir) =>
       TextAnalysis.unigramEncode(docs(s, dir), "doc_id", "text",
         maxPieceLen = 4, seedSize = 60, emIters = 2, minCount = 2L)),
+    // WordPiece MERGE training: likelihood-scored argmax — the pair
+    // maximizing the exact quotient c·10^12/(uc_l·uc_r) merges, where BPE
+    // takes raw count; the learned list composes with the whole BPE
+    // inference surface unchanged.
+    "text_wordpiece_train" -> ((s, dir) =>
+      TextAnalysis.wordPieceTrainMerges(docs(s, dir), "text", numMerges = 6)
+        .orderBy("merge_rank")),
     // WordPiece (the third tokenizer scheme, BERT's): positional-piece
     // vocabulary — char floor + topK multi-char pieces, continuations
     // ##-prefixed — ids 1-based by (freq desc, token asc).
@@ -1756,6 +1763,87 @@ object SparkEntry {
       SELECT word, cnt,
              list_transform(range(1, length(word)+1), i -> word[i]) AS toks
       FROM w0),""" + (1 to rounds).map(bpeRoundCtes).mkString(",")
+
+  /** [[bpeRoundCtes]] with WordPiece's likelihood argmax: the round's
+    * best pair maximizes the exact integer quotient
+    * `⌊c·10¹² / (uc_l·uc_r)⌋` over the CURRENT unit counts (un$k), ties
+    * lexicographic — mirroring
+    * [[graft.ops.TextAnalysis.wordPieceTrainMerges]]. The merge pass is
+    * bpe's verbatim (gaps-and-islands greedy-leftmost). */
+  private def wpRoundCtes(k: Int): String = {
+    val p = k - 1
+    s"""
+    un$k AS MATERIALIZED (
+      SELECT u.t AS tok, sum(s.cnt) AS uc
+      FROM st$p s, UNNEST(s.toks) AS u(t) GROUP BY 1),
+    pc$k AS MATERIALIZED (
+      SELECT struct_extract(u.pair, 1) AS l, struct_extract(u.pair, 2) AS r,
+             sum(s.cnt) AS c
+      FROM st$p s, UNNEST(list_zip(s.toks[:len(s.toks)-1], s.toks[2:])) AS u(pair)
+      GROUP BY 1, 2),
+    best$k AS MATERIALIZED (
+      (SELECT l, r, c, sq FROM (
+         SELECT pc.l AS l, pc.r AS r, pc.c AS c,
+                CAST((CAST(pc.c AS HUGEINT) * 1000000000000)
+                     // (CAST(ul.uc AS HUGEINT) * ur.uc) AS BIGINT) AS sq
+         FROM pc$k pc
+         JOIN un$k ul ON ul.tok = pc.l
+         JOIN un$k ur ON ur.tok = pc.r)
+       ORDER BY sq DESC, l, r LIMIT 1)
+      UNION ALL
+      (SELECT CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), NULL, NULL
+       WHERE (SELECT count(*) FROM pc$k) = 0)),
+    pos$k AS (
+      SELECT s.word, s.cnt, s.toks, CAST(i.i AS BIGINT) AS i, len(s.toks) AS n,
+             b.l AS bl, b.r AS br
+      FROM st$p s, UNNEST(range(1, len(s.toks)+1)) AS i(i), best$k b),
+    m$k AS (
+      SELECT word, cnt, toks, i, n,
+             coalesce(i < n AND toks[i] = bl AND toks[i+1] = br, FALSE) AS hit
+      FROM pos$k),
+    r$k AS (
+      SELECT *, CASE WHEN hit THEN i - row_number()
+                  OVER (PARTITION BY word, hit ORDER BY i) END AS run
+      FROM m$k),
+    s$k AS (
+      SELECT *, CASE WHEN hit THEN (row_number()
+                  OVER (PARTITION BY word, run ORDER BY i) % 2 = 1)
+                ELSE FALSE END AS sel
+      FROM r$k),
+    e$k AS (
+      SELECT word, cnt, i,
+             CASE WHEN sel THEN toks[i] || toks[i+1] ELSE toks[i] END AS tok,
+             CASE WHEN sel THEN TRUE
+                  WHEN lag(sel, 1, FALSE) OVER (PARTITION BY word ORDER BY i)
+                    THEN FALSE
+                  ELSE TRUE END AS keep
+      FROM s$k),
+    st$k AS MATERIALIZED (
+      SELECT word, max(cnt) AS cnt,
+             list(tok ORDER BY i) FILTER (WHERE keep) AS toks
+      FROM e$k GROUP BY word)"""
+  }
+
+  private def wpStateCtes(rounds: Int): String =
+    s"""WITH w0 AS (
+      SELECT u.word AS word, count(*) AS cnt
+      FROM documents d,
+           UNNEST(regexp_extract_all(d.text, '${TextAnalysis.bpePattern}')) AS u(word)
+      GROUP BY u.word),
+    st0 AS MATERIALIZED (
+      SELECT word, cnt,
+             list_transform(range(1, length(word)+1), i -> word[i]) AS toks
+      FROM w0),""" + (1 to rounds).map(wpRoundCtes).mkString(",")
+
+  private def wpTrainSql(rounds: Int): String =
+    wpStateCtes(rounds) + """
+    SELECT * FROM (""" + (1 to rounds).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, " +
+        s"l || r AS merged, CAST(c AS BIGINT) AS pair_count, " +
+        s"CAST(sq AS BIGINT) AS score_q FROM best$k " +
+        "WHERE l IS NOT NULL")
+      .mkString("\n      UNION ALL ") + """
+    ) ORDER BY merge_rank"""
 
   private def bpeTrainSql(rounds: Int): String =
     bpeStateCtes(rounds) + """
@@ -4906,6 +4994,7 @@ object SparkEntry {
     "text_bpe_encode" -> bpeEncodeSql(6, 16),
     "text_unigram_train" -> unigramTrainSql(4, 60, 2, 2L),
     "text_unigram_segment" -> unigramSegmentSql(4, 60, 2, 2L),
+    "text_wordpiece_train" -> wpTrainSql(6),
     "text_wordpiece_vocab" -> wordPieceVocabSql(4, 64),
     "text_wordpiece_encode" -> wordPieceEncodeSql(4, 64),
     "text_wordpiece_unk" -> wordPieceUnkSql(4, 64),

@@ -1480,6 +1480,69 @@ object TextAnalysis {
       .select(col("piece").alias("token"), col("freq"), col("token_id"))
   }
 
+  /** In-engine WordPiece MERGE training (Schuster & Nakajima, ICASSP 2012
+    * — the likelihood-scored sibling of [[bpeTrainMerges]]): each round
+    * merges the adjacent pair maximizing `count(pair)/(count(l)·count(r))`
+    * — the pair whose union most increases corpus likelihood under a
+    * unigram model — where BPE takes the raw pair count. Scores compare
+    * as the EXACT integer quotient `⌊c·10¹² / (uc_l·uc_r)⌋`
+    * (DECIMAL(38,0) products, `div` integral floor; quantization ties
+    * break lexicographically on (l, r)), so the per-round argmax is
+    * cross-engine deterministic — no float division anywhere.
+    *
+    * Cost shape is [[bpeTrainMerges]]'s: the corpus is read once into the
+    * frequency-weighted distinct-word state; each round adds ONE extra
+    * vocabulary-sized aggregate (current unit counts) joined onto the
+    * pair table. The learned merge list composes with the whole BPE
+    * inference surface ([[mergePairFold]], [[bpeSegmentedTokenCountDict]],
+    * [[bpeEncodeWith]], [[bpeUnkRate]]) unchanged — ranking is the only
+    * thing that differs between the two schemes' merge artifacts.
+    * Returns (merge_rank, lhs, rhs, merged, pair_count, score_q). */
+  def wordPieceTrainMerges(
+      docs: DataFrame,
+      textCol: String,
+      numMerges: Int): DataFrame = {
+    require(numMerges >= 1, s"wordPieceTrainMerges: need numMerges >= 1, got $numMerges")
+    val sp = docs.sparkSession
+    import sp.implicits._
+    var state = docs
+      .select(explode(bpeTokens(col(textCol))).alias("word"))
+      .groupBy(col("word")).agg(count(lit(1)).alias("cnt"))
+      .withColumn("toks", split(col("word"), ""))
+      .localCheckpoint(false)
+    val merges = Seq.newBuilder[(Long, String, String, String, Long, Long)]
+    var k = 0
+    var exhausted = false
+    while (k < numMerges && !exhausted) {
+      val units = state.select(col("cnt"), explode(col("toks")).alias("t"))
+        .groupBy(col("t")).agg(sum(col("cnt")).alias("uc"))
+      val best = state
+        .select(col("cnt"), explode(adjacentPairs(col("toks"))).alias("p"))
+        .groupBy(col("p.l").alias("l"), col("p.r").alias("r"))
+        .agg(sum(col("cnt")).alias("c"))
+        .join(units.select(col("t").alias("l"), col("uc").alias("ucl")), Seq("l"))
+        .join(units.select(col("t").alias("r"), col("uc").alias("ucr")), Seq("r"))
+        .withColumn("sq", expr(
+          "CAST((CAST(c AS DECIMAL(38,0)) * 1000000000000) div " +
+            "(CAST(ucl AS DECIMAL(38,0)) * CAST(ucr AS DECIMAL(38,0))) AS BIGINT)"))
+        .orderBy(col("sq").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val r0 = best.head
+        val (l, r) = (r0.getAs[String]("l"), r0.getAs[String]("r"))
+        merges += (((k + 1).toLong, l, r, l + r,
+          r0.getAs[Long]("c"), r0.getAs[Long]("sq")))
+        state = state
+          .withColumn("toks", mergePairFold(col("toks"), lit(l), lit(r)))
+          .localCheckpoint(false)
+        k += 1
+      }
+    }
+    merges.result()
+      .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count", "score_q")
+  }
+
   /** Greedy longest-match-first segmentation of each input word under the
     * broadcast vocabulary map: ONE narrow `aggregate` fold per word over
     * its ≤ len positions — at each position the longest vocab piece

@@ -356,6 +356,38 @@ class TrainPrepSpec extends SparkSpec {
       maxPieceLen = 4) == 0.0)
   }
 
+  test("wordpiece merge training: likelihood argmax diverges from BPE's " +
+    "count argmax exactly where it should; merges compose with the BPE " +
+    "inference surface") {
+    import spark.implicits._
+    // (a,b) is the most FREQUENT pair but a and b are everywhere (low
+    // association); (x,y) is rarer but x occurs ONLY before y — WordPiece
+    // must merge xy first, BPE ab
+    val d = (Seq.fill(10)("ab ab ba") ++ Seq.fill(3)("xy"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val wp = graft.ops.TextAnalysis.wordPieceTrainMerges(d, "text", numMerges = 1)
+      .collect().head
+    assert((wp.getAs[String]("lhs"), wp.getAs[String]("rhs")) == ("x", "y"),
+      s"likelihood argmax must pick the exclusive pair, got $wp")
+    val bpe = graft.ops.TextAnalysis.bpeTrainMerges(d, "text", numMerges = 1)
+      .collect().head
+    assert((bpe.getAs[String]("lhs"), bpe.getAs[String]("rhs")) == ("a", "b"),
+      s"count argmax must pick the frequent pair, got $bpe")
+    // score_q is the exact integer quotient: c=3, uc_x=3, uc_y=3 ->
+    // 3e12/9 = 333333333333
+    assert(wp.getAs[Long]("score_q") == 3000000000000L / 9L)
+    // the learned list drives the existing BPE inference machinery
+    val merges = Seq(("x", "y"))
+    val counts = graft.ops.TextAnalysis.bpeSegmentedTokenCountDict(
+        d, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts(10L) == 1L, "xy segments as one piece under the wp merge")
+    assert(counts(0L) == 6L, "ab ab ba stays char-split (3 words x 2 chars)")
+    // determinism: retrain reproduces bit-identical artifacts
+    val again = graft.ops.TextAnalysis.wordPieceTrainMerges(d, "text", 1).collect()
+    assert(again.toSeq == Seq(wp))
+  }
+
   test("wordpiece: engine fold equals a plain-Scala greedy reference over " +
     "a generated corpus") {
     import spark.implicits._
