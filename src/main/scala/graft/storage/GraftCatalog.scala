@@ -111,7 +111,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val live = GraftCatalog.readManifest(fs, dir, latest)
     new GraftTable(ident.toString, dir.toString, meta, live, writable = true,
       fileStats = GraftCatalog.readStats(fs, dir, latest),
-      fileBlooms = GraftCatalog.readBloomIndex(fs, dir))
+      fileBlooms = GraftCatalog.readBloomIndex(fs, dir),
+      owner = Some(this))
   }
 
   /** Time travel (`SELECT ... FROM t VERSION AS OF x`): a numeric `x`
@@ -1057,6 +1058,39 @@ object GraftCatalog {
         }
       }.toMap
 
+  /** DSv2 pushed-filter → Column translation for the SQL `DELETE FROM`
+    * path ([[GraftTable]]'s `SupportsDelete`): None marks a shape the
+    * copy-on-write rewrite can't express — `canDeleteWhere` then refuses
+    * and Spark surfaces the unsupported condition instead of silently
+    * deleting the wrong rows. */
+  private[storage] def filterColumn(
+      f: org.apache.spark.sql.sources.Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v) => Some(col(a) === lit(v))
+      case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case GreaterThan(a, v) => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v) => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case In(a, vs) => Some(col(a).isInCollection(vs.toSeq))
+      case IsNull(a) => Some(col(a).isNull)
+      case IsNotNull(a) => Some(col(a).isNotNull)
+      case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case StringContains(a, v) => Some(col(a).contains(v))
+      case And(l, r) =>
+        for { lc <- filterColumn(l); rc <- filterColumn(r) } yield lc && rc
+      case Or(l, r) =>
+        for { lc <- filterColumn(l); rc <- filterColumn(r) } yield lc || rc
+      case Not(c) => filterColumn(c).map(!_)
+      case AlwaysTrue() => Some(lit(true))
+      case AlwaysFalse() => Some(lit(false))
+      case _ => None
+    }
+  }
+
   // ── file bloom index (point-lookup file skipping) ─────────────────────
   // `_bloomidx-<n>` sidecar files carry per-(file, column) Bloom bitsets —
   // Iceberg's Puffin statistics-file pattern in miniature. Sidecars are
@@ -1508,8 +1542,31 @@ private[storage] class GraftTable(
     pinnedFiles: Option[Seq[String]] = None,
     writable: Boolean = true,
     fileStats: Map[String, Map[String, GraftCatalog.ColStat]] = Map.empty,
-    fileBlooms: Map[String, Map[String, GraftCatalog.FileBloom]] = Map.empty)
-  extends Table with SupportsRead with SupportsWrite {
+    fileBlooms: Map[String, Map[String, GraftCatalog.FileBloom]] = Map.empty,
+    owner: Option[GraftCatalog] = None)
+  extends Table with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  // SQL `DELETE FROM <cat>.<ns>.<t> WHERE ...` routes here when every
+  // pushed filter translates; the execution is the catalog's
+  // copy-on-write [[GraftCatalog.deleteWhere]] — pruned rewrite set,
+  // OCC commit, time-travelable prior snapshot. Untranslatable shapes
+  // refuse via canDeleteWhere so Spark reports the condition instead of
+  // this table deleting the wrong rows.
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    writable && owner.nonEmpty &&
+      filters.forall(f => GraftCatalog.filterColumn(f).isDefined)
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    require(writable && owner.nonEmpty,
+      s"$tableName is a read-only snapshot — DELETE targets the live table")
+    val cond = filters.toSeq.flatMap(GraftCatalog.filterColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    owner.get.deleteWhere(SparkSession.active, tableName, cond)
+  }
 
   override def name(): String = tableName
   override def schema(): StructType = meta.schema

@@ -685,6 +685,34 @@ class FileSkippingSpec extends SparkSpec {
     assert(spark.table("skipcat.s.pdel").count() === 3)
   }
 
+  test("SQL DELETE FROM routes through the copy-on-write path: bloom-" +
+    "narrowed rewrite, time travel intact, history shows the file diff") {
+    wh
+    val cat = spark.sessionState.catalogManager.catalog("skipcat")
+      .asInstanceOf[GraftCatalog]
+    spark.range(0, 100).select((col("id") * 2).as("id")).repartition(1)
+      .writeTo("skipcat.s.sqldel").using("parquet").createOrReplace()
+    spark.range(0, 100).select((col("id") * 2 + 1).as("id")).repartition(1)
+      .writeTo("skipcat.s.sqldel").append()
+    cat.buildBloomIndex(spark, "s.sqldel", Seq("id"))
+    spark.sql("DELETE FROM skipcat.s.sqldel WHERE id = 42")
+    spark.catalog.refreshTable("skipcat.s.sqldel")
+    assert(spark.table("skipcat.s.sqldel").count() === 199)
+    assert(spark.table("skipcat.s.sqldel").filter(col("id") === 42L).count() === 0)
+    assert(spark.sql("SELECT * FROM skipcat.s.sqldel VERSION AS OF 2")
+      .filter(col("id") === 42L).count() === 1)
+    // history: the delete snapshot swapped exactly the even file
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("s"), "sqldel")
+    val last = cat.history(ident).last
+    assert(last._1 === 3L && last._4 === 1 && last._5 === 1,
+      s"expected +1/-1 files at snapshot 3, got $last")
+    assert(last._3 === 199L)
+    // compound conditions translate too
+    spark.sql("DELETE FROM skipcat.s.sqldel WHERE id >= 10 AND id < 14")
+    spark.catalog.refreshTable("skipcat.s.sqldel")
+    assert(spark.table("skipcat.s.sqldel").count() === 195)
+  }
+
   test("deleteWhere: NULL-condition rows are kept (SQL DELETE semantics)") {
     wh
     val cat = spark.sessionState.catalogManager.catalog("skipcat")
