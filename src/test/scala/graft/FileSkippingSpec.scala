@@ -713,6 +713,17 @@ class FileSkippingSpec extends SparkSpec {
     assert(spark.table("skipcat.s.sqldel").count() === 195)
   }
 
+  test("SQL TRUNCATE TABLE empties the live table via the delete path; " +
+    "the pre-truncate snapshot stays readable") {
+    wh
+    spark.range(0, 30).select(col("id")).repartition(1)
+      .writeTo("skipcat.s.trunc").using("parquet").createOrReplace()
+    spark.sql("TRUNCATE TABLE skipcat.s.trunc")
+    spark.catalog.refreshTable("skipcat.s.trunc")
+    assert(spark.table("skipcat.s.trunc").count() === 0)
+    assert(spark.sql("SELECT * FROM skipcat.s.trunc VERSION AS OF 1").count() === 30)
+  }
+
   test("deleteWhere: NULL-condition rows are kept (SQL DELETE semantics)") {
     wh
     val cat = spark.sessionState.catalogManager.catalog("skipcat")
