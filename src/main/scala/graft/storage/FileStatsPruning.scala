@@ -43,6 +43,66 @@ object FileStatsPruning {
       filters: Seq[Filter]): Boolean =
     filters.forall(f => mayMatch(stats, f) && bloomMayMatch(blooms, f))
 
+  /** The PROOF dual of [[mayMatch]]: `true` means EVERY row of the file
+    * provably satisfies all `filters` — the license for a metadata-only
+    * DELETE to drop the whole file without reading it. Everything
+    * unknown is `false` (keep = rewrite), the safe direction.
+    *
+    * Kind discipline mirrors the bounds' semantics: RANGE proofs accept
+    * writer-truncated "t" string bounds (truncation only WIDENS — the
+    * recorded min is ≤ the true min and the recorded max ≥ the true max,
+    * so `recordedMin > v` still proves every value > v); EQUALITY and
+    * prefix proofs need exact bounds ("s"/numeric), because a truncated
+    * bound is not a value any row holds. Null counts must be exactly 0
+    * for any non-null-ness proof — a NULL row satisfies no comparison,
+    * so a file with nulls (or an unknown count) can never fully match. */
+  def mustMatchAll(stats: Map[String, ColStat], filters: Seq[Filter]): Boolean =
+    filters.forall(f => mustMatch(stats, f))
+
+  private def mustMatch(stats: Map[String, ColStat], f: Filter): Boolean = f match {
+    case EqualTo(a, v) => constEquals(stats.get(a), v)
+    case EqualNullSafe(a, v) =>
+      if (v == null) stats.get(a).exists(_.kind == "n")
+      else constEquals(stats.get(a), v)
+    case GreaterThan(a, v) =>
+      noNulls(stats.get(a)) && cmpMin(stats.get(a), v).exists(_ > 0)
+    case GreaterThanOrEqual(a, v) =>
+      noNulls(stats.get(a)) && cmpMin(stats.get(a), v).exists(_ >= 0)
+    case LessThan(a, v) =>
+      noNulls(stats.get(a)) && cmpMax(stats.get(a), v).exists(_ < 0)
+    case LessThanOrEqual(a, v) =>
+      noNulls(stats.get(a)) && cmpMax(stats.get(a), v).exists(_ <= 0)
+    case In(a, vs) =>
+      vs != null && vs.exists(v => constEquals(stats.get(a), v))
+    case IsNull(a) => stats.get(a).exists(_.kind == "n")
+    case IsNotNull(a) => noNulls(stats.get(a))
+    case StringStartsWith(a, p) =>
+      // all values lie in [min, max]; if both bounds share the prefix,
+      // lexicographic order forces every value between them to share it.
+      // Exact bounds only: a truncated bound could share a prefix the
+      // true extremum does not.
+      stats.get(a).exists(st => st.kind == "s" && st.nulls == 0 && {
+        val pb = utf8(p)
+        utf8(st.min).take(pb.length).sameElements(pb) &&
+          utf8(st.max).take(pb.length).sameElements(pb)
+      })
+    case And(l, r) => mustMatch(stats, l) && mustMatch(stats, r)
+    case Or(l, r) => mustMatch(stats, l) || mustMatch(stats, r)
+    case _ => false
+  }
+
+  /** Every row equals `v`: exact-kind bounds, min == max == v, zero
+    * nulls. */
+  private def constEquals(st: Option[ColStat], v: Any): Boolean =
+    st.exists(s => s.kind != "t" && s.kind != "u" && s.kind != "n" &&
+      s.nulls == 0 &&
+      (for (value <- norm(s.kind, v); mn <- statVal(s.kind, s.min);
+            mx <- statVal(s.kind, s.max))
+        yield compare(s.kind, mn, value) == 0 &&
+          compare(s.kind, mx, value) == 0).getOrElse(false))
+
+  private def noNulls(st: Option[ColStat]): Boolean = st.exists(_.nulls == 0)
+
   /** Conservative bloom evaluation: only equality-shaped predicates on a
     * bloom-indexed column can veto; everything else — no bloom for the
     * column, an unsupported literal type, a range/null shape — keeps the

@@ -545,19 +545,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     * carried forward. Rows where `cond` is NULL are KEPT (SQL DELETE
     * semantics: only provably-true rows go).
     *
+    * Candidates whose stats PROVE every row matches take the
+    * METADATA-ONLY path (Iceberg's metadata delete): the file is dropped
+    * from the new manifest without ever being read — the retention-expiry
+    * shape (`DELETE WHERE event_date < cutoff` over range-partitioned
+    * files commits in manifest time, no matter how many terabytes
+    * expire). The proof ([[FileStatsPruning.mustMatchAll]]) requires the
+    * COMPLETE condition to translate to source filters and zero nulls in
+    * the proved columns; anything unprovable is rewritten as usual.
+    *
     * Hive-partitioned tables work too: rewritten rows land back in their
     * partition directories (the staged write partitions by the table's
     * partition columns and promotion preserves the directory path).
     * Bucketed tables are refused — a rewrite would need the writer's
     * bucket routing.
     *
-    * Returns (filesRewritten, filesCarried, rowsDeleted). A predicate
-    * matching nothing (or pruning to zero candidates) commits nothing. */
+    * Returns (filesRemoved, filesCarried, rowsDeleted) — removed =
+    * rewritten + metadata-dropped. A predicate matching nothing (or
+    * pruning to zero candidates) commits nothing. */
   def deleteWhere(
       spark: SparkSession,
       table: String,
       cond: org.apache.spark.sql.Column): (Int, Int, Long) = {
-    cowRewrite(spark, table, cond, "del", (candDf, hit) => candDf.filter(!hit))
+    cowRewrite(spark, table, cond, "del",
+      (candDf, hit) => candDf.filter(!hit), metadataDrop = true)
   }
 
   /** Row-level UPDATE, copy-on-write with the same pruned rewrite set as
@@ -612,7 +623,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       cond: org.apache.spark.sql.Column,
       stampPrefix: String,
       rewrite: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.Column)
-        => org.apache.spark.sql.DataFrame): (Int, Int, Long) = {
+        => org.apache.spark.sql.DataFrame,
+      metadataDrop: Boolean = false): (Int, Int, Long) = {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
     import org.apache.spark.sql.functions.{coalesce, lit}
@@ -629,7 +641,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       .getOrElse(GraftCatalog.listDataFiles(fs, dir))
     if (live.isEmpty) return (0, 0, 0L)
     val prefix = dir.toString.stripSuffix("/") + "/"
-    val cands: Set[String] = spark.table(s"$catalogName.$table").filter(cond)
+    val filteredDf = spark.table(s"$catalogName.$table").filter(cond)
+    val allCands: Set[String] = filteredDf
       .queryExecution.sparkPlan.collect { case b: BatchScanExec => b.scan }
       .flatMap {
         case k: org.apache.spark.sql.graftshim.KeyedScan =>
@@ -642,15 +655,71 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         else p.substring(p.lastIndexOf('/') + 1)
       }
       .toSet.intersect(live.toSet)
-    if (cands.isEmpty) return (0, live.size, 0L)
+    if (allCands.isEmpty) return (0, live.size, 0L)
+    // METADATA-ONLY DELETE (Iceberg's metadata delete; the retention-
+    // expiry shape): a candidate whose stats PROVE every row matches is
+    // dropped from the manifest without ever being read. The proof
+    // demands the COMPLETE condition translate to source filters — a
+    // partially-translated conjunction would prove files against only
+    // some conjuncts and delete rows the full predicate keeps. The
+    // resolved condition comes from the analyzed Filter node (the raw
+    // Column holds unresolved attributes translateFilter can't match).
+    val proven: Set[String] =
+      if (!metadataDrop) Set.empty
+      else {
+        def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+            : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+          case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+            conjuncts(l) ++ conjuncts(r)
+          case x => Seq(x)
+        }
+        val resolved = filteredDf.queryExecution.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+        }
+        val fullTranslation: Option[Seq[org.apache.spark.sql.sources.Filter]] =
+          resolved.flatMap { c =>
+            val ts = conjuncts(c)
+              .map(org.apache.spark.sql.graftshim.Spj.translateFilter)
+            if (ts.forall(_.isDefined)) Some(ts.flatten) else None
+          }
+        fullTranslation.fold(Set.empty[String]) { filters =>
+          val stats = GraftCatalog.readStats(fs, dir, latest)
+          allCands.filter(f => stats.get(f)
+            .exists(st => FileStatsPruning.mustMatchAll(st, filters)))
+        }
+      }
+    val provenRows: Long =
+      if (proven.isEmpty) 0L
+      else spark.read.schema(meta.schema)
+        .parquet(proven.toSeq.sorted.map(f => s"$prefix$f"): _*)
+        .count() // parquet count(*) answers from footers — no data read
+    val cands = allCands -- proven
+    if (cands.isEmpty) {
+      // pure metadata delete: no staging, no rewrite — just a manifest
+      // that omits the proven files
+      if (provenRows == 0L) return (0, live.size, 0L)
+      val kept = live.filterNot(proven)
+      GraftCatalog.writeSnapshotAt(fs, dir, latest + 1,
+        kept, GraftCatalog.readTxns(fs, dir, latest))
+      return (proven.size, kept.size, provenRows)
+    }
     val candPaths = cands.toSeq.sorted.map(f => s"$prefix$f")
     val reader = spark.read.schema(meta.schema)
     val candDf =
       if (meta.partitionCols.isEmpty) reader.parquet(candPaths: _*)
       else reader.option("basePath", dir.toString).parquet(candPaths: _*)
     val hit = coalesce(cond, lit(false))
-    val rowsAffected = candDf.filter(hit).count()
+    val candMatched = candDf.filter(hit).count()
+    val rowsAffected = candMatched + provenRows
     if (rowsAffected == 0L) return (0, live.size, 0L)
+    if (candMatched == 0L) {
+      // only the proven files change: drop them, carry everything else —
+      // no staging, no rewrite of the unmatched candidates
+      val kept = live.filterNot(proven)
+      GraftCatalog.writeSnapshotAt(fs, dir, latest + 1,
+        kept, GraftCatalog.readTxns(fs, dir, latest))
+      return (proven.size, kept.size, provenRows)
+    }
     val out = rewrite(candDf, hit).coalesce(math.max(1, cands.size))
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     val stageRel = s"_stage_${stampPrefix}_$stamp"
@@ -680,7 +749,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       target
     }
     fs.delete(stagePath, true)
-    val kept = live.filterNot(cands)
+    val kept = live.filterNot(allCands)
     try GraftCatalog.writeSnapshotAt(fs, dir, latest + 1,
       kept ++ promoted, GraftCatalog.readTxns(fs, dir, latest))
     catch { case e: Throwable =>
@@ -689,7 +758,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       promoted.foreach(f => fs.delete(new Path(dir, f), false))
       throw e
     }
-    (cands.size, kept.size, rowsAffected)
+    (allCands.size, kept.size, rowsAffected)
   }
 
   /** Expire all but the last `keepLast` snapshots and physically delete

@@ -30,6 +30,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 object Spj {
 
+  /** Forwarder for [[graft.storage.GraftCatalog]]'s metadata-delete
+    * proof: translate one catalyst predicate to a source Filter (None =
+    * untranslatable — the caller must then treat the file as unprovable).
+    * Lives here because DataSourceStrategy is `sql`-internal. */
+  def translateFilter(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = true)
+
   /** A ScanBuilder over `table` whose built scan additionally reports
     * key-grouped partitioning with the given key expressions — one per
     * physical partition directory level, in order: `identity(col)` for

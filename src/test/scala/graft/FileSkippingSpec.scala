@@ -713,6 +713,44 @@ class FileSkippingSpec extends SparkSpec {
     assert(spark.table("skipcat.s.sqldel").count() === 195)
   }
 
+  test("metadata-only delete: files whose stats prove full containment " +
+    "drop without a read; partial files rewrite; untouched files carry") {
+    wh
+    val cat = spark.sessionState.catalogManager.catalog("skipcat")
+      .asInstanceOf[GraftCatalog]
+    // three files with DISJOINT ranges — the retention-expiry layout
+    spark.range(0, 100).select(col("id")).repartition(1)
+      .writeTo("skipcat.s.mdel").using("parquet").createOrReplace()
+    spark.range(100, 200).select(col("id")).repartition(1)
+      .writeTo("skipcat.s.mdel").append()
+    spark.range(200, 300).select(col("id")).repartition(1)
+      .writeTo("skipcat.s.mdel").append()
+    // id < 150: file1 provably all-match (max 99 < 150) -> metadata drop;
+    // file2 partial -> rewritten; file3 pruned outright (min 200)
+    val (removed, carried, rows) =
+      cat.deleteWhere(spark, "s.mdel", col("id") < 150L)
+    assert(removed === 2 && carried === 1 && rows === 150L)
+    spark.catalog.refreshTable("skipcat.s.mdel")
+    assert(spark.table("skipcat.s.mdel").count() === 150)
+    assert(spark.table("skipcat.s.mdel").agg(min(col("id"))).head.getLong(0) === 150L)
+    // exactly ONE rewritten file was produced (file2's remainder); the
+    // proven file left no del- artifact beyond it
+    val dir = new org.apache.hadoop.fs.Path(s"$wh/s/mdel")
+    val fsys = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fsys.listStatus(dir).map(_.getPath.getName)
+      .count(_.startsWith("del-")) === 1)
+    // PURE metadata delete: every candidate proven -> no rewrite at all
+    val (r2, c2, n2) = cat.deleteWhere(spark, "s.mdel", col("id") < 200L)
+    assert(r2 === 1 && n2 === 50L)
+    spark.catalog.refreshTable("skipcat.s.mdel")
+    assert(spark.table("skipcat.s.mdel").count() === 100)
+    assert(fsys.listStatus(dir).map(_.getPath.getName)
+      .count(_.startsWith("del-")) === 1, "no new rewrite artifact")
+    // both prior snapshots stay time-travelable
+    assert(spark.sql("SELECT count(*) FROM skipcat.s.mdel VERSION AS OF 3")
+      .head.getLong(0) === 300)
+  }
+
   test("SQL TRUNCATE TABLE empties the live table via the delete path; " +
     "the pre-truncate snapshot stays readable") {
     wh
