@@ -101,6 +101,15 @@ object BloomIndexBench {
     val ((delRw, delKept, delRows), delS) =
       time(cat.deleteWhere(spark, "s.pts", col("id") === present.head))
 
+    // METADATA-ONLY retention delete: a range-laid-out table (each file a
+    // disjoint id range — the event-time append shape) expires half its
+    // files in manifest time, zero data reads; the boundary file rewrites
+    spark.range(n).select(col("id"))
+      .repartitionByRange(files, col("id"))
+      .writeTo("bb.s.ret").using("parquet").createOrReplace()
+    val ((retRm, retKept, retRows), retS) =
+      time(cat.deleteWhere(spark, "s.ret", col("id") < n / 2))
+
     println(s"""{"bench":"bloom_index","n":$n,"files":$files,""" +
       s""""pre_files":$preFiles,"pre_hit3_s":${f"$preHit%.3f"},""" +
       s""""pre_miss_s":${f"$preMiss%.3f"},""" +
@@ -111,7 +120,9 @@ object BloomIndexBench {
       s""""post_hit3_s":${f"$postHit%.3f"},"post_miss_s":${f"$postMiss%.3f"},""" +
       s""""post_tag_s":${f"$postTag%.3f"},""" +
       s""""delete_rewritten":$delRw,"delete_carried":$delKept,""" +
-      s""""delete_rows":$delRows,"delete_s":${f"$delS%.3f"}}""")
+      s""""delete_rows":$delRows,"delete_s":${f"$delS%.3f"},""" +
+      s""""retention_removed":$retRm,"retention_carried":$retKept,""" +
+      s""""retention_rows":$retRows,"retention_s":${f"$retS%.3f"}}""")
     spark.stop()
   }
 }
