@@ -66,7 +66,25 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * atomic swaps (non-staging catalog → REPLACE is drop+create, like
   * Spark's built-in session catalog).
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+
+  // SQL maintenance surface: CALL <cat>.system.vacuum/build_bloom_index/
+  // cluster/history — see [[GraftProcedures]]
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftProcedures.names.map(n => Identifier.of(namespace, n)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    val ok = ident.namespace.sameElements(Array("system"))
+    (if (ok) GraftProcedures.load(this, ident.name) else None).getOrElse(
+      throw new IllegalArgumentException(
+        s"no such procedure: $ident (have: " +
+          GraftProcedures.names.map(n => s"system.$n").mkString(", ") + ")"))
+  }
 
   private var catalogName: String = _
   private var warehouse: Path = _

@@ -1,0 +1,130 @@
+package graft.storage
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL stored procedures for the catalog's maintenance surface — the
+  * Iceberg `CALL catalog.system.<proc>(...)` UX on the offline catalog
+  * (Spark 4's `ProcedureCatalog`/`BoundProcedure` contract, SPARK-44167):
+  *
+  * {{{
+  *   CALL cat.system.vacuum('ns.t', 2)
+  *   CALL cat.system.build_bloom_index('ns.t', 'id,tag')
+  *   CALL cat.system.cluster('ns.t', 'x,y')
+  *   CALL cat.system.history('ns.t')
+  * }}}
+  *
+  * Each call returns its report as a result set (a [[LocalScan]] — one
+  * driver-local row, or one per snapshot for `history`), so maintenance
+  * runs from ANY SQL client exactly like a query — the operational
+  * surface a warehouse team automates against, no Scala entry point
+  * needed. Arguments are positional and required; Spark's analyzer
+  * coerces literals to the declared parameter types.
+  */
+object GraftProcedures {
+
+  private final case class ProcResultScan(schema: StructType, rs: Seq[InternalRow])
+    extends LocalScan {
+    override def readSchema(): StructType = schema
+    override def rows(): Array[InternalRow] = rs.toArray
+    override def description(): String = "GraftProcedureResult"
+  }
+
+  private def result(schema: StructType, rs: Seq[InternalRow]): java.util.Iterator[Scan] =
+    java.util.List.of[Scan](ProcResultScan(schema, rs)).iterator()
+
+  private def in(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+
+  /** One procedure = unbound + bound in one object (no overload
+    * resolution to do — bind validates arity only; type coercion is the
+    * analyzer's job against [[parameters]]). */
+  private abstract class Proc(
+      procName: String,
+      params: Seq[ProcedureParameter],
+      val outSchema: StructType)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = s"graft maintenance procedure $procName"
+    override def bind(inputType: StructType): BoundProcedure = {
+      require(inputType.fields.length == params.length,
+        s"$procName expects ${params.length} arguments " +
+          s"(${params.map(p => s"${p.name} ${p.dataType.simpleString}").mkString(", ")}), " +
+          s"got ${inputType.fields.length}")
+      this
+    }
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+    override def isDeterministic: Boolean = false
+  }
+
+  private def row(values: Any*): InternalRow =
+    new GenericInternalRow(values.toArray)
+
+  def names: Seq[String] = Seq("vacuum", "build_bloom_index", "cluster", "history")
+
+  def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] = name match {
+    case "vacuum" => Some(new Proc("vacuum",
+      Seq(in("table", StringType), in("keep_last", IntegerType)),
+      StructType(Seq(StructField("deleted_files", IntegerType, nullable = false)))) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val ident = Identifier.of(
+          table.split("\\.").dropRight(1), table.split("\\.").last)
+        val deleted = cat.vacuum(ident, keepLast = input.getInt(1))
+        result(outSchema, Seq(row(deleted)))
+      }
+    })
+    case "build_bloom_index" => Some(new Proc("build_bloom_index",
+      Seq(in("table", StringType), in("cols", StringType)),
+      StructType(Seq(
+        StructField("files_indexed", IntegerType, nullable = false),
+        StructField("files_total", IntegerType, nullable = false)))) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val (fresh, total) = cat.buildBloomIndex(SparkSession.active,
+          input.getUTF8String(0).toString,
+          input.getUTF8String(1).toString.split(",").map(_.trim).toSeq)
+        result(outSchema, Seq(row(fresh, total)))
+      }
+    })
+    case "cluster" => Some(new Proc("cluster",
+      Seq(in("table", StringType), in("cols", StringType)),
+      StructType(Seq(
+        StructField("files_before", IntegerType, nullable = false),
+        StructField("files_after", IntegerType, nullable = false)))) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val (before, after) = cat.clusterTable(SparkSession.active,
+          input.getUTF8String(0).toString,
+          input.getUTF8String(1).toString.split(",").map(_.trim).toSeq)
+        result(outSchema, Seq(row(before, after)))
+      }
+    })
+    case "history" => Some(new Proc("history",
+      Seq(in("table", StringType)),
+      StructType(Seq(
+        StructField("snapshot", LongType, nullable = false),
+        StructField("n_files", IntegerType, nullable = false),
+        StructField("n_rows", LongType, nullable = false),
+        StructField("files_added", IntegerType, nullable = false),
+        StructField("files_removed", IntegerType, nullable = false)))) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val ident = Identifier.of(
+          table.split("\\.").dropRight(1), table.split("\\.").last)
+        val rs = cat.history(ident).map { case (s, nf, nr, fa, fr) =>
+          row(s, nf, nr, fa, fr)
+        }
+        result(outSchema, rs)
+      }
+    })
+    case _ => None
+  }
+
+  // compile-time guard: UTF8String import is load-bearing for getUTF8String
+  private val _ = classOf[UTF8String]
+}

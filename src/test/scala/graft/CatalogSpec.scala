@@ -452,6 +452,31 @@ class CatalogSpec extends SparkSpec {
     assert(h2.head._3 == 3L)
   }
 
+  test("SQL CALL procedures: history, build_bloom_index, and vacuum run " +
+    "from SQL and return their reports as result sets") {
+    wh
+    spark.range(0, 50, 2).select(col("id")).repartition(1)
+      .writeTo("graftv2.bronze.proc").using("parquet").createOrReplace()
+    spark.range(1, 50, 2).select(col("id")).repartition(1)
+      .writeTo("graftv2.bronze.proc").append()
+    val hist = spark.sql("CALL graftv2.system.history('bronze.proc')").collect()
+    assert(hist.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq ==
+      Seq((1L, 1, 25L), (2L, 2, 50L)))
+    val built = spark.sql(
+      "CALL graftv2.system.build_bloom_index('bronze.proc', 'id')").collect()
+    assert(built.head.getInt(0) === 2 && built.head.getInt(1) === 2)
+    // the SQL-built index prunes like the API-built one
+    spark.catalog.refreshTable("graftv2.bronze.proc")
+    assert(spark.table("graftv2.bronze.proc").filter(col("id") === 43L).count() === 1)
+    // truncate-overwrite then vacuum via SQL: old files reclaimed
+    spark.range(100, 110).select(col("id")).repartition(1)
+      .writeTo("graftv2.bronze.proc").overwrite(lit(true))
+    val vac = spark.sql("CALL graftv2.system.vacuum('bronze.proc', 1)").collect()
+    assert(vac.head.getInt(0) === 2, s"both pre-overwrite files reclaimed: ${vac.toSeq}")
+    spark.catalog.refreshTable("graftv2.bronze.proc")
+    assert(spark.table("graftv2.bronze.proc").count() === 10)
+  }
+
   test("vacuum retention: keepLast preserves a time-travel window") {
     wh
     t((1L, "a", "2024-01-15"))
