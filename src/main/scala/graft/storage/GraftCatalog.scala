@@ -1632,7 +1632,21 @@ private[storage] class GraftTable(
     fileBlooms: Map[String, Map[String, GraftCatalog.FileBloom]] = Map.empty,
     owner: Option[GraftCatalog] = None)
   extends Table with SupportsRead with SupportsWrite
-  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  with org.apache.spark.sql.connector.catalog.SupportsDelete
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  // SQL UPDATE / MERGE INTO (group-based copy-on-write rewrite —
+  // [[GraftRowLevelOperation]]); translatable DELETEs stay on the
+  // metadata/copy-on-write SupportsDelete path via Spark's
+  // metadata-only-delete optimization
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    if (!writable)
+      throw new UnsupportedOperationException(
+        s"$tableName is a read-only snapshot — row-level DML targets the live table")
+    () => new GraftRowLevelOperation(dir, meta, tableName, info.command())
+  }
 
   // SQL `DELETE FROM <cat>.<ns>.<t> WHERE ...` routes here when every
   // pushed filter translates; the execution is the catalog's

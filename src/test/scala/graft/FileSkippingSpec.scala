@@ -751,6 +751,55 @@ class FileSkippingSpec extends SparkSpec {
       .head.getLong(0) === 300)
   }
 
+  test("SQL UPDATE: group-based copy-on-write rewrites only the " +
+    "stats/bloom-pruned files; results and time travel correct") {
+    wh
+    val cat = spark.sessionState.catalogManager.catalog("skipcat")
+      .asInstanceOf[GraftCatalog]
+    spark.range(0, 100).select((col("id") * 2).as("id"),
+        lit(0L).as("v")).repartition(1)
+      .writeTo("skipcat.s.squpd").using("parquet").createOrReplace()
+    spark.range(0, 100).select((col("id") * 2 + 1).as("id"),
+        lit(0L).as("v")).repartition(1)
+      .writeTo("skipcat.s.squpd").append()
+    cat.buildBloomIndex(spark, "s.squpd", Seq("id"))
+    spark.sql("UPDATE skipcat.s.squpd SET v = v + 7 WHERE id = 42")
+    spark.catalog.refreshTable("skipcat.s.squpd")
+    assert(spark.table("skipcat.s.squpd").filter(col("id") === 42L)
+      .head.getLong(1) === 7L)
+    assert(spark.table("skipcat.s.squpd").filter(col("v") =!= 0L).count() === 1)
+    assert(spark.table("skipcat.s.squpd").count() === 200)
+    // the rewrite replaced only the bloom-pruned even file: the odd file
+    // survives in the new manifest untouched
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("s"), "squpd")
+    val last = cat.history(ident).last
+    assert(last._5 === 1, s"exactly one file replaced, got $last")
+    assert(last._3 === 200L)
+    // time travel: pre-update value intact
+    assert(spark.sql("SELECT v FROM skipcat.s.squpd VERSION AS OF 2")
+      .filter(col("v") =!= 0L).count() === 0)
+  }
+
+  test("SQL MERGE INTO: upserts and deletes against the live table") {
+    wh
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "w").repartition(1)
+      .writeTo("skipcat.s.sqmrg").using("parquet").createOrReplace()
+    Seq((2L, "B", "u"), (3L, "c", "d"), (4L, "D", "u"))
+      .toDF("id", "w", "op").createOrReplaceTempView("changes")
+    spark.sql("""
+      MERGE INTO skipcat.s.sqmrg t USING changes s ON t.id = s.id
+      WHEN MATCHED AND s.op = 'd' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET w = s.w
+      WHEN NOT MATCHED THEN INSERT (id, w) VALUES (s.id, s.w)""")
+    spark.catalog.refreshTable("skipcat.s.sqmrg")
+    val out = spark.table("skipcat.s.sqmrg").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "a"), (2L, "B"), (4L, "D")), s"got $out")
+    // prior snapshot intact
+    assert(spark.sql("SELECT * FROM skipcat.s.sqmrg VERSION AS OF 1").count() === 3)
+  }
+
   test("SQL TRUNCATE TABLE empties the live table via the delete path; " +
     "the pre-truncate snapshot stays readable") {
     wh
