@@ -800,6 +800,30 @@ class FileSkippingSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM skipcat.s.sqmrg VERSION AS OF 1").count() === 3)
   }
 
+  test("SQL MERGE INTO a hive-partitioned table: rewritten rows return " +
+    "to partition dirs, inserts land in theirs") {
+    wh
+    import spark.implicits._
+    Seq((1L, 10L, "a"), (2L, 20L, "a"), (3L, 30L, "b")).toDF("id", "v", "p")
+      .repartition(1)
+      .writeTo("skipcat.s.pmrg").using("parquet")
+      .partitionedBy(col("p")).createOrReplace()
+    Seq((2L, 200L, "a"), (9L, 900L, "c")).toDF("id", "v", "p")
+      .createOrReplaceTempView("pchanges")
+    spark.sql("""
+      MERGE INTO skipcat.s.pmrg t USING pchanges s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (id, v, p) VALUES (s.id, s.v, s.p)""")
+    spark.catalog.refreshTable("skipcat.s.pmrg")
+    val out = spark.table("skipcat.s.pmrg").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(out == Seq((1L, 10L, "a"), (2L, 200L, "a"), (3L, 30L, "b"),
+      (9L, 900L, "c")), s"got $out")
+    // partition pruning still serves the layout post-merge
+    assert(spark.table("skipcat.s.pmrg").filter(col("p") === "c")
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(9L))
+  }
+
   test("SQL TRUNCATE TABLE empties the live table via the delete path; " +
     "the pre-truncate snapshot stays readable") {
     wh
