@@ -824,6 +824,34 @@ class FileSkippingSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSeq == Seq(9L))
   }
 
+  test("SQL MERGE INTO a bucketed table: rewritten rows re-route to " +
+    "their buckets; the layout survives the rewrite") {
+    wh
+    import spark.implicits._
+    import org.apache.spark.sql.functions.bucket
+    (1 to 40).map(i => (i.toLong, i * 10L)).toDF("id", "v")
+      .writeTo("skipcat.s.bmrg").using("parquet")
+      .partitionedBy(bucket(4, col("id"))).createOrReplace()
+    Seq((7L, 7000L), (100L, 1L)).toDF("id", "v")
+      .createOrReplaceTempView("bchanges")
+    spark.sql("""
+      MERGE INTO skipcat.s.bmrg t USING bchanges s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""")
+    spark.catalog.refreshTable("skipcat.s.bmrg")
+    assert(spark.table("skipcat.s.bmrg").count() === 41)
+    assert(spark.table("skipcat.s.bmrg").filter(col("id") === 7L)
+      .head.getLong(1) === 7000L)
+    assert(spark.table("skipcat.s.bmrg").filter(col("id") === 100L).count() === 1)
+    // rewritten files landed under __bucket_id=N dirs (the writer's
+    // routing), not at the table root
+    val dir = new org.apache.hadoop.fs.Path(s"$wh/s/bmrg")
+    val fsys = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fsys.listStatus(dir).filter(_.isFile)
+      .map(_.getPath.getName).forall(n => n.startsWith("_") || n.startsWith(".")),
+      "no data file may sit at the table root of a bucketed layout")
+  }
+
   test("SQL TRUNCATE TABLE empties the live table via the delete path; " +
     "the pre-truncate snapshot stays readable") {
     wh
