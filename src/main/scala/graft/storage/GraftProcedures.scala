@@ -66,7 +66,8 @@ object GraftProcedures {
   private def row(values: Any*): InternalRow =
     new GenericInternalRow(values.toArray)
 
-  def names: Seq[String] = Seq("vacuum", "build_bloom_index", "cluster", "history")
+  def names: Seq[String] =
+    Seq("vacuum", "build_bloom_index", "cluster", "compact", "history")
 
   def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] = name match {
     case "vacuum" => Some(new Proc("vacuum",
@@ -101,6 +102,17 @@ object GraftProcedures {
         val (before, after) = cat.clusterTable(SparkSession.active,
           input.getUTF8String(0).toString,
           input.getUTF8String(1).toString.split(",").map(_.trim).toSeq)
+        result(outSchema, Seq(row(before, after)))
+      }
+    })
+    case "compact" => Some(new Proc("compact",
+      Seq(in("table", StringType), in("target_files_per_partition", IntegerType)),
+      StructType(Seq(
+        StructField("files_before", IntegerType, nullable = false),
+        StructField("files_after", IntegerType, nullable = false)))) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val (before, after) = cat.compact(SparkSession.active,
+          input.getUTF8String(0).toString, input.getInt(1))
         result(outSchema, Seq(row(before, after)))
       }
     })

@@ -475,6 +475,13 @@ class CatalogSpec extends SparkSpec {
     assert(vac.head.getInt(0) === 2, s"both pre-overwrite files reclaimed: ${vac.toSeq}")
     spark.catalog.refreshTable("graftv2.bronze.proc")
     assert(spark.table("graftv2.bronze.proc").count() === 10)
+    // small-file compaction from SQL
+    spark.range(200, 205).select(col("id")).repartition(1)
+      .writeTo("graftv2.bronze.proc").append()
+    val cmp = spark.sql("CALL graftv2.system.compact('bronze.proc', 1)").collect()
+    assert(cmp.head.getInt(0) === 2 && cmp.head.getInt(1) === 1, s"${cmp.toSeq}")
+    spark.catalog.refreshTable("graftv2.bronze.proc")
+    assert(spark.table("graftv2.bronze.proc").count() === 15)
   }
 
   test("vacuum retention: keepLast preserves a time-travel window") {
