@@ -88,6 +88,7 @@ object FileStatsPruning {
       })
     case And(l, r) => mustMatch(stats, l) && mustMatch(stats, r)
     case Or(l, r) => mustMatch(stats, l) || mustMatch(stats, r)
+    case AlwaysTrue() => true // TRUNCATE's condition: every file all-match
     case _ => false
   }
 

@@ -660,7 +660,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     if (live.isEmpty) return (0, 0, 0L)
     val prefix = dir.toString.stripSuffix("/") + "/"
     val filteredDf = spark.table(s"$catalogName.$table").filter(cond)
-    val allCands: Set[String] = filteredDf
+    val scanCands: Set[String] = filteredDf
       .queryExecution.sparkPlan.collect { case b: BatchScanExec => b.scan }
       .flatMap {
         case k: org.apache.spark.sql.graftshim.KeyedScan =>
@@ -673,39 +673,46 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         else p.substring(p.lastIndexOf('/') + 1)
       }
       .toSet.intersect(live.toSet)
+    if (scanCands.isEmpty) return (0, live.size, 0L)
+    // Resolved per-conjunct translations, shared by the partition-aware
+    // narrowing below and the metadata-drop proof. The resolved condition
+    // comes from the analyzed Filter node (the raw Column holds
+    // unresolved attributes translateFilter can't match).
+    def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    val perConj: Seq[Option[org.apache.spark.sql.sources.Filter]] =
+      filteredDf.queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.map(c => conjuncts(c).map(org.apache.spark.sql.graftshim.Spj.translateFilter))
+        .getOrElse(Seq.empty)
+    val translated = perConj.flatten
+    val stats = GraftCatalog.readStats(fs, dir, latest)
+    // VIRTUAL partition-column stats from the file path: the scan's
+    // introspection prunes by DATA-column stats/blooms only — partition
+    // values live in dir names, so `WHERE p = 'a'` would otherwise make
+    // EVERY file a rewrite candidate (churning untouched partitions
+    // through identical copies)
+    def statsFor(f: String): Map[String, GraftCatalog.ColStat] =
+      GraftCatalog.partitionPathStats(f, meta) ++ stats.getOrElse(f, Map.empty)
+    val allCands =
+      if (translated.isEmpty) scanCands
+      else scanCands.filter(f =>
+        FileStatsPruning.mayMatchAll(statsFor(f), translated))
     if (allCands.isEmpty) return (0, live.size, 0L)
     // METADATA-ONLY DELETE (Iceberg's metadata delete; the retention-
-    // expiry shape): a candidate whose stats PROVE every row matches is
-    // dropped from the manifest without ever being read. The proof
-    // demands the COMPLETE condition translate to source filters — a
+    // expiry and drop-partition shapes): a candidate whose stats PROVE
+    // every row matches is dropped from the manifest without ever being
+    // read. The proof demands the COMPLETE condition translate — a
     // partially-translated conjunction would prove files against only
-    // some conjuncts and delete rows the full predicate keeps. The
-    // resolved condition comes from the analyzed Filter node (the raw
-    // Column holds unresolved attributes translateFilter can't match).
+    // some conjuncts and delete rows the full predicate keeps.
     val proven: Set[String] =
-      if (!metadataDrop) Set.empty
-      else {
-        def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
-            : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
-          case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
-            conjuncts(l) ++ conjuncts(r)
-          case x => Seq(x)
-        }
-        val resolved = filteredDf.queryExecution.analyzed.collectFirst {
-          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-        }
-        val fullTranslation: Option[Seq[org.apache.spark.sql.sources.Filter]] =
-          resolved.flatMap { c =>
-            val ts = conjuncts(c)
-              .map(org.apache.spark.sql.graftshim.Spj.translateFilter)
-            if (ts.forall(_.isDefined)) Some(ts.flatten) else None
-          }
-        fullTranslation.fold(Set.empty[String]) { filters =>
-          val stats = GraftCatalog.readStats(fs, dir, latest)
-          allCands.filter(f => stats.get(f)
-            .exists(st => FileStatsPruning.mustMatchAll(st, filters)))
-        }
-      }
+      if (!metadataDrop || perConj.isEmpty || perConj.exists(_.isEmpty)) Set.empty
+      else allCands.filter(f =>
+        FileStatsPruning.mustMatchAll(statsFor(f), translated))
     val provenRows: Long =
       if (proven.isEmpty) 0L
       else spark.read.schema(meta.schema)
@@ -1144,6 +1151,42 @@ object GraftCatalog {
           case _ => None
         }
       }.toMap
+
+  /** VIRTUAL per-file column stats for hive partition columns, derived
+    * from the file's own directory path: every row of `p=a/part-x.parquet`
+    * provably has `p = 'a'` (min = max = 'a', zero nulls; the
+    * `__HIVE_DEFAULT_PARTITION__` dir is the all-null kind). Data files
+    * carry no footer stats for partition columns — they are not IN the
+    * files — so without this a partition-value predicate prunes nothing at
+    * the file level and proves nothing for metadata deletes. With it,
+    * `WHERE p = 'a'` scopes a rewrite to one partition's files and a
+    * whole-partition DELETE takes the pure metadata path (drop-partition
+    * in manifest time). Bucket dir levels (`__bucket_*`) are skipped —
+    * they are derived routing, not schema columns. */
+  private[storage] def partitionPathStats(
+      relPath: String, meta: GraftTableMeta): Map[String, ColStat] =
+    relPath.split("/").dropRight(1).flatMap { seg =>
+      seg.split("=", 2) match {
+        case Array(c, raw) if meta.partitionCols.contains(c) && !c.startsWith("__bucket_") =>
+          meta.schema.fields.find(_.name == c).flatMap { fld =>
+            import org.apache.spark.sql.types._
+            if (raw == org.apache.spark.sql.graftshim.Shims.defaultPartitionName)
+              Some(c -> ColStat("n", 1L, "", ""))
+            else fld.dataType match {
+              case StringType =>
+                val v = org.apache.spark.sql.graftshim.Shims.unescapePathName(raw)
+                Some(c -> ColStat("s", 0L, v, v))
+              case ByteType | ShortType | IntegerType | LongType =>
+                raw.toLongOption.map(v => c -> ColStat("l", 0L, v.toString, v.toString))
+              case DateType =>
+                scala.util.Try(java.time.LocalDate.parse(raw).toEpochDay).toOption
+                  .map(d => c -> ColStat("l", 0L, d.toString, d.toString))
+              case _ => None
+            }
+          }
+        case _ => None
+      }
+    }.toMap
 
   /** DSv2 pushed-filter → Column translation for the SQL `DELETE FROM`
     * path ([[GraftTable]]'s `SupportsDelete`): None marks a shape the

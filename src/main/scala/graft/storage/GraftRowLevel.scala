@@ -97,9 +97,11 @@ private[storage] final class CowScanBuilder(
       val latest = GraftCatalog.latestSnapshot(fs, root)
       val stats = GraftCatalog.readStats(fs, root, latest)
       val blooms = GraftCatalog.readBloomIndex(fs, root)
+      // virtual partition-column stats from each file's dir path: an
+      // UPDATE scoped to a partition rewrites that partition's files only
       kept = live.filter(f => FileStatsPruning.mayMatchAll(
-        stats.getOrElse(f, Map.empty), blooms.getOrElse(f, Map.empty),
-        translated))
+        GraftCatalog.partitionPathStats(f, meta) ++ stats.getOrElse(f, Map.empty),
+        blooms.getOrElse(f, Map.empty), translated))
     }
     filters // nothing claimed: the condition must run row-side, post-scan
   }

@@ -20,4 +20,7 @@ object Shims {
 
   def defaultPartitionName: String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+
+  def unescapePathName(part: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(part)
 }

@@ -861,6 +861,50 @@ class FileSkippingSpec extends SparkSpec {
     spark.catalog.refreshTable("skipcat.s.trunc")
     assert(spark.table("skipcat.s.trunc").count() === 0)
     assert(spark.sql("SELECT * FROM skipcat.s.trunc VERSION AS OF 1").count() === 30)
+    // and it took the metadata path: no rewrite artifact exists
+    val dir = new org.apache.hadoop.fs.Path(s"$wh/s/trunc")
+    val fsys = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fsys.listStatus(dir).map(_.getPath.getName)
+      .count(_.startsWith("del-")) === 0)
+  }
+
+  test("partition-value DML: virtual path stats scope the rewrite; a " +
+    "whole-partition DELETE is a pure metadata drop") {
+    wh
+    val cat = spark.sessionState.catalogManager.catalog("skipcat")
+      .asInstanceOf[GraftCatalog]
+    import spark.implicits._
+    Seq((1L, 10L, "a"), (2L, 20L, "a"), (3L, 30L, "b"), (4L, 40L, "c"))
+      .toDF("id", "v", "p").repartition(1)
+      .writeTo("skipcat.s.pv").using("parquet")
+      .partitionedBy(col("p")).createOrReplace()
+    // drop-partition: every file of p='b' provably all-match via the
+    // path-derived stats -> metadata-only, zero rewrite artifacts
+    val (rm, _, n) = cat.deleteWhere(spark, "s.pv", col("p") === "b")
+    assert(n === 1L && rm === 1)
+    spark.catalog.refreshTable("skipcat.s.pv")
+    assert(spark.table("skipcat.s.pv").count() === 3)
+    val dir = new org.apache.hadoop.fs.Path(s"$wh/s/pv")
+    val fsys = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def rewrites(prefix: String): Int = {
+      val it = fsys.listFiles(dir, true)
+      var c = 0
+      while (it.hasNext) { if (it.next().getPath.getName.startsWith(prefix)) c += 1 }
+      c
+    }
+    assert(rewrites("del-") === 0, "drop-partition must not stage a rewrite")
+    // partition-scoped UPDATE through SQL: only p='a' files rewrite
+    spark.sql("UPDATE skipcat.s.pv SET v = v + 100 WHERE p = 'a'")
+    spark.catalog.refreshTable("skipcat.s.pv")
+    assert(spark.table("skipcat.s.pv").filter(col("p") === "a")
+      .agg(sum(col("v"))).head.getLong(0) === 230L)
+    assert(spark.table("skipcat.s.pv").filter(col("p") === "c")
+      .head.getLong(1) === 40L)
+    // the c partition's file was carried, not rewritten: still exactly
+    // one data file under p=c
+    val cfiles = fsys.listStatus(new org.apache.hadoop.fs.Path(dir, "p=c"))
+      .map(_.getPath.getName).count(_.endsWith(".parquet"))
+    assert(cfiles === 1)
   }
 
   test("deleteWhere: NULL-condition rows are kept (SQL DELETE semantics)") {
