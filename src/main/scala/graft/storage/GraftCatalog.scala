@@ -574,9 +574,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     *
     * Hive-partitioned tables work too: rewritten rows land back in their
     * partition directories (the staged write partitions by the table's
-    * partition columns and promotion preserves the directory path).
-    * Bucketed tables are refused — a rewrite would need the writer's
-    * bucket routing.
+    * partition columns and promotion preserves the directory path), and
+    * bucketed tables re-route rewritten rows by recomputing the derived
+    * bucket level with the writer's exact hash arithmetic.
     *
     * Returns (filesRemoved, filesCarried, rowsDeleted) — removed =
     * rewritten + metadata-dropped. A predicate matching nothing (or
@@ -651,9 +651,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val dir = tableDir(ident)
     val meta = GraftCatalog.readMeta(fs, dir)
       .getOrElse(throw new NoSuchTableException(ident))
-    require(meta.bucket.isEmpty,
-      s"row-level DML: $table is hash-bucketed — a rewrite would need the " +
-        "writer's bucket routing")
     val latest = GraftCatalog.latestSnapshot(fs, dir)
     val live = GraftCatalog.readManifest(fs, dir, latest)
       .getOrElse(GraftCatalog.listDataFiles(fs, dir))
@@ -745,7 +742,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         kept, GraftCatalog.readTxns(fs, dir, latest))
       return (proven.size, kept.size, provenRows)
     }
-    val out = rewrite(candDf, hit).coalesce(math.max(1, cands.size))
+    // bucketed layout: rewritten rows re-route by recomputing the derived
+    // `__bucket_<col>` dir level with the writer's exact arithmetic
+    // (pmod(murmur3(col, 42), n) — hash() IS Murmur3 seed 42, and a null
+    // key hashes to the bare seed on both sides)
+    val out0 = rewrite(candDf, hit)
+    val out = (meta.bucket match {
+      case Some((n, c)) if !out0.columns.contains(s"__bucket_$c") =>
+        out0.withColumn(s"__bucket_$c",
+          org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.hash(
+              org.apache.spark.sql.functions.col(c)), lit(n)))
+      case _ => out0
+    }).coalesce(math.max(1, cands.size))
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     val stageRel = s"_stage_${stampPrefix}_$stamp"
     val stagePath = new Path(dir, stageRel)
@@ -760,7 +769,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     while (it.hasNext) {
       val st = it.next()
       val rel = st.getPath.toUri.getPath.stripPrefix(stageUri).stripPrefix("/")
-      if (rel.endsWith(".parquet") && !rel.split("/").exists(_.startsWith("_")))
+      // skip marker FILES (_SUCCESS and friends) only — dir segments may
+      // legitimately start with "_" (the bucketed layout's __bucket_<col>=N)
+      if (rel.endsWith(".parquet") && !rel.split("/").last.startsWith("_"))
         stagedFiles += rel
     }
     val promoted = stagedFiles.result().sorted.zipWithIndex.map { case (rel, i) =>
@@ -1078,8 +1089,12 @@ object GraftCatalog {
     while (it.hasNext) {
       val st = it.next()
       val rel = st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
-      // skip metadata, manifests, staging
-      if (!rel.split("/").exists(_.startsWith("_"))) out += rel
+      // skip metadata, manifests, staging — but NOT the bucketed layout's
+      // `__bucket_<col>=N` data dirs: excluding them made bucketed data
+      // files invisible to vacuum's dead-file listing (they could never
+      // be reclaimed) and to the legacy live-set fallback
+      if (!rel.split("/").exists(s =>
+          s.startsWith("_") && !s.startsWith("__bucket_"))) out += rel
     }
     out.result().sorted
   }

@@ -868,6 +868,43 @@ class FileSkippingSpec extends SparkSpec {
       .count(_.startsWith("del-")) === 0)
   }
 
+  test("row-level DML on bucketed tables: rewritten rows re-route to " +
+    "their hash buckets") {
+    wh
+    val cat = spark.sessionState.catalogManager.catalog("skipcat")
+      .asInstanceOf[GraftCatalog]
+    import spark.implicits._
+    import org.apache.spark.sql.functions.bucket
+    (1 to 40).map(i => (i.toLong, i * 10L)).toDF("id", "v")
+      .writeTo("skipcat.s.bdml").using("parquet")
+      .partitionedBy(bucket(4, col("id"))).createOrReplace()
+    val (_, _, nDel) = cat.deleteWhere(spark, "s.bdml", col("id") === 7L)
+    assert(nDel === 1L)
+    spark.catalog.refreshTable("skipcat.s.bdml")
+    assert(spark.table("skipcat.s.bdml").count() === 39)
+    val (_, _, nUpd) = cat.updateWhere(spark, "s.bdml",
+      col("id") === 8L, Map("v" -> lit(8000L)))
+    assert(nUpd === 1L)
+    spark.catalog.refreshTable("skipcat.s.bdml")
+    assert(spark.table("skipcat.s.bdml").filter(col("id") === 8L)
+      .head.getLong(1) === 8000L)
+    // the rewritten rows live under __bucket_id=N dirs, none at the root
+    val dir = new org.apache.hadoop.fs.Path(s"$wh/s/bdml")
+    val fsys = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fsys.listStatus(dir).filter(_.isFile).map(_.getPath.getName)
+      .forall(n => n.startsWith("_") || n.startsWith(".")))
+    // and the bucket layout still answers a bucketed read correctly
+    assert(spark.table("skipcat.s.bdml").agg(sum(col("v"))).head.getLong(0)
+      === (1 to 40).map(_ * 10L).sum - 70L - 80L + 8000L)
+    // vacuum reclaims the superseded bucketed files (they live under
+    // __bucket_* dirs, which the dead-file listing must not skip)
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("s"), "bdml")
+    assert(cat.vacuum(ident, keepLast = 1) >= 2,
+      "the delete- and update-superseded bucket files must be reclaimed")
+    spark.catalog.refreshTable("skipcat.s.bdml")
+    assert(spark.table("skipcat.s.bdml").count() === 39)
+  }
+
   test("partition-value DML: virtual path stats scope the rewrite; a " +
     "whole-partition DELETE is a pure metadata drop") {
     wh
