@@ -519,7 +519,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         }
       GraftCatalog.appendBloomIndex(fs, dir, entries)
     }
-    (missing.size, existing.size + missing.size)
+    // a file already indexed under OTHER columns is not a second file
+    (missing.size, (existing.keySet ++ missing).size)
   }
 
   /** Snapshot history (Delta `DESCRIBE HISTORY` / Iceberg `snapshots`
@@ -905,6 +906,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       .getOrElse(throw new NoSuchTableException(ident))
     val props = mutable.Map(meta.properties.toSeq: _*)
     var schema = meta.schema
+    val droppedCols = mutable.Set.empty[String]
     changes.foreach {
       case set: TableChange.SetProperty => props(set.property) = set.value
       case rm: TableChange.RemoveProperty => props -= rm.property
@@ -924,8 +926,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         require(!meta.bucket.exists(_._2 == del.fieldNames()(0)),
           s"GraftCatalog: cannot drop bucket source column ${del.fieldNames()(0)}")
         schema = StructType(schema.fields.filterNot(_.name == del.fieldNames()(0)))
+        droppedCols += del.fieldNames()(0)
       case other => throw new UnsupportedOperationException(
         s"GraftCatalog.alterTable: unsupported change $other")
+    }
+    // purge dropped columns' bloom-index entries: a same-named column
+    // added later (possibly with a different type) would otherwise probe
+    // bitsets hashed under the OLD column's canonicalization — a silent
+    // false-negative generator. Consolidation mirrors vacuum's.
+    val idxNums = GraftCatalog.bloomIdxNums(fs, dir)
+    if (droppedCols.nonEmpty && idxNums.nonEmpty) {
+      val keep = GraftCatalog.readBloomIndex(fs, dir)
+        .toSeq.flatMap { case (f, cs) =>
+          cs.toSeq.collect { case (c, b) if !droppedCols(c) => (f, c, b) }
+        }
+      GraftCatalog.appendBloomIndex(fs, dir, keep)
+      idxNums.foreach(n => fs.delete(new Path(dir, s"_bloomidx-$n"), false))
     }
     val next = meta.copy(schema = schema, properties = props.toMap)
     GraftCatalog.writeMeta(fs, dir, next)

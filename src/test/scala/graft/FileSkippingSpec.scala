@@ -521,6 +521,36 @@ class FileSkippingSpec extends SparkSpec {
     assert(q.count() === 1)
   }
 
+  test("file bloom index: dropping a column purges its sidecar entries — " +
+    "a re-added same-name column starts unindexed, never mis-probed") {
+    wh
+    val cat = spark.sessionState.catalogManager.catalog("skipcat")
+      .asInstanceOf[GraftCatalog]
+    import spark.implicits._
+    (0 until 50).map(i => (i.toLong, s"w$i")).toDF("id", "tag").repartition(1)
+      .writeTo("skipcat.s.blmdrop").using("parquet").createOrReplace()
+    (50 until 100).map(i => (i.toLong, s"w$i")).toDF("id", "tag").repartition(1)
+      .writeTo("skipcat.s.blmdrop").append()
+    cat.buildBloomIndex(spark, "s.blmdrop", Seq("id", "tag"))
+    spark.sql("ALTER TABLE skipcat.s.blmdrop DROP COLUMN tag")
+    // the id entries survive; the tag entries are gone
+    val dir = new org.apache.hadoop.fs.Path(s"$wh/s/blmdrop")
+    val fsys = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val idxFiles = fsys.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("_bloomidx-"))
+    assert(idxFiles.length === 1, s"consolidated to one sidecar: ${idxFiles.toSeq}")
+    val in = fsys.open(new org.apache.hadoop.fs.Path(dir, idxFiles.head))
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    assert(lines.count(_.nonEmpty) === 2, "one id entry per file, no tag entries")
+    // id pruning still works after the purge
+    spark.catalog.refreshTable("skipcat.s.blmdrop")
+    assert(spark.table("skipcat.s.blmdrop").filter(col("id") === 7L).count() === 1)
+    // re-indexing the re-added column starts from scratch
+    spark.sql("ALTER TABLE skipcat.s.blmdrop ADD COLUMN tag STRING")
+    assert(cat.buildBloomIndex(spark, "s.blmdrop", Seq("tag")) === ((2, 2)))
+  }
+
   test("file bloom index: vacuum consolidates sidecars and drops dead entries") {
     wh
     val cat = spark.sessionState.catalogManager.catalog("skipcat")
