@@ -882,6 +882,21 @@ class FileSkippingSpec extends SparkSpec {
       "no data file may sit at the table root of a bucketed layout")
   }
 
+  test("SQL DELETE with an untranslatable condition falls back to the " +
+    "group-based rewrite (it used to refuse) and stays correct") {
+    wh
+    spark.range(0, 100).select(col("id")).repartition(1)
+      .writeTo("skipcat.s.udel").using("parquet").createOrReplace()
+    // id % 7 = 3 does not translate to a source filter -> the
+    // SupportsDelete fast path declines and the row-level rewrite runs
+    spark.sql("DELETE FROM skipcat.s.udel WHERE id % 7 = 3")
+    spark.catalog.refreshTable("skipcat.s.udel")
+    assert(spark.table("skipcat.s.udel").count() ===
+      (0L until 100L).count(_ % 7 != 3))
+    assert(spark.table("skipcat.s.udel").filter(col("id") % 7 === 3).count() === 0)
+    assert(spark.sql("SELECT * FROM skipcat.s.udel VERSION AS OF 1").count() === 100)
+  }
+
   test("SQL TRUNCATE TABLE empties the live table via the delete path; " +
     "the pre-truncate snapshot stays readable") {
     wh
