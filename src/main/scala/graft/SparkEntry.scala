@@ -487,6 +487,11 @@ object SparkEntry {
     "text_wordpiece_encode" -> ((s, dir) =>
       TextAnalysis.wordPieceEncode(docs(s, dir), "doc_id", "text",
         maxPieceLen = 4, topK = 64)),
+    // Per-doc token counts under greedy WordPiece — the dictionary-spelled
+    // segment-count query the other two schemes also ship.
+    "text_wordpiece_segment" -> ((s, dir) =>
+      TextAnalysis.wordPieceSegmentCounts(docs(s, dir), "doc_id", "text",
+        maxPieceLen = 4, topK = 64)),
     // Tokenizer staleness for the WordPiece scheme: vocabulary trained on
     // the English subset, probed by the full multilingual corpus — exact
     // instance counts (the rate's numerator/denominator), one row.
@@ -2134,6 +2139,19 @@ object SparkEntry {
              len(regexp_extract_all(d.text, '${TextAnalysis.bpePattern}'))+1))
              AS w(i))
     SELECT s.doc_id, flatten(list(w.ids ORDER BY s.wpos)) AS token_ids
+    FROM sq s JOIN wseg w USING (word)
+    GROUP BY s.doc_id ORDER BY s.doc_id"""
+
+  private def wordPieceSegmentSql(maxLen: Int, topK: Int): String =
+    wordPieceCtes(maxLen, topK, "") + s""",
+    sq AS (
+      SELECT d.doc_id,
+             regexp_extract_all(d.text, '${TextAnalysis.bpePattern}')[w.i] AS word
+      FROM documents d,
+           UNNEST(range(1,
+             len(regexp_extract_all(d.text, '${TextAnalysis.bpePattern}'))+1))
+             AS w(i))
+    SELECT s.doc_id, CAST(sum(len(w.ids)) AS BIGINT) AS n_tokens
     FROM sq s JOIN wseg w USING (word)
     GROUP BY s.doc_id ORDER BY s.doc_id"""
 
@@ -4997,6 +5015,7 @@ object SparkEntry {
     "text_wordpiece_train" -> wpTrainSql(6),
     "text_wordpiece_vocab" -> wordPieceVocabSql(4, 64),
     "text_wordpiece_encode" -> wordPieceEncodeSql(4, 64),
+    "text_wordpiece_segment" -> wordPieceSegmentSql(4, 64),
     "text_wordpiece_unk" -> wordPieceUnkSql(4, 64),
     "text_unigram_encode" -> unigramEncodeSql(4, 60, 2, 2L),
     "q_lateness_profile" ->

@@ -1621,6 +1621,29 @@ object TextAnalysis {
     wordPieceEncodeWith(docs, idCol, textCol,
       wordPieceVocab(docs, textCol, maxPieceLen, topK), maxPieceLen)
 
+  /** Per-document token counts under greedy WordPiece — the
+    * [[bpeSegmentedTokenCountDict]]/[[unigramSegmentCounts]] contract for
+    * the third scheme: each DISTINCT word's piece count computed once,
+    * broadcast onto the instance stream, re-aggregated per document.
+    * UNK words count 1 (the single [UNK] id the encoder emits). */
+  def wordPieceSegmentCounts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxPieceLen: Int = 6,
+      topK: Int = 256): DataFrame = {
+    val vocab = wordPieceVocab(docs, textCol, maxPieceLen, topK)
+    val words = docs
+      .select(explode(bpeTokens(col(textCol))).alias("word")).distinct()
+    val dict = wordPieceWordIds(words, vocab, maxPieceLen)
+      .select(col("word"), size(col("__ids")).cast("long").alias("__len"))
+    docs.select(col(idCol), explode(bpeTokens(col(textCol))).alias("word"))
+      .join(broadcast(dict), Seq("word"))
+      .groupBy(col(idCol)).agg(sum(col("__len")).alias("n_tokens"))
+      .filter(col("n_tokens") > 0L)
+      .orderBy(idCol)
+  }
+
   /** (total word instances, [UNK] word instances) of a batch under a
     * shipped WordPiece vocabulary — one row, exact BIGINTs, the
     * oracle-checkable form behind [[wordPieceUnkRate]]. */
