@@ -444,9 +444,16 @@ object SparkEntry {
     // every document as its token-id array, dictionary-spelled (per-WORD
     // id lists broadcast onto the instance stream; one id-keyed
     // re-aggregation).
+    // token_ids spelled as a space-joined string (not a raw array): the
+    // driver's comparator sorts result columns with pandas, which cannot
+    // order ndarray cells — the string keeps per-token exactness AND is
+    // hashable. The engine API (bpeEncode) still returns the typed array.
     "text_bpe_encode" -> ((s, dir) =>
       TextAnalysis.bpeEncode(docs(s, dir), "doc_id", "text",
-        numMerges = 6, topK = 16)),
+          numMerges = 6, topK = 16)
+        .select(col("doc_id"),
+          array_join(transform(col("token_ids"), _.cast("string")), " ")
+            .as("token_ids"))),
     // Unigram-LM tokenizer (Kudo 1804.10959, the SentencePiece model) as
     // hard-EM in exact integer arithmetic: substring seed vocab → Viterbi
     // segment under centi-bit quantized scores → usage recount, twice;
@@ -465,7 +472,10 @@ object SparkEntry {
     // order — the bpeEncode plan shape with the Viterbi dictionary.
     "text_unigram_encode" -> ((s, dir) =>
       TextAnalysis.unigramEncode(docs(s, dir), "doc_id", "text",
-        maxPieceLen = 4, seedSize = 60, emIters = 2, minCount = 2L)),
+          maxPieceLen = 4, seedSize = 60, emIters = 2, minCount = 2L)
+        .select(col("doc_id"),
+          array_join(transform(col("token_ids"), _.cast("string")), " ")
+            .as("token_ids"))),
     // WordPiece MERGE training: likelihood-scored argmax — the pair
     // maximizing the exact quotient c·10^12/(uc_l·uc_r) merges, where BPE
     // takes raw count; the learned list composes with the whole BPE
@@ -486,7 +496,10 @@ object SparkEntry {
     // pre-token order.
     "text_wordpiece_encode" -> ((s, dir) =>
       TextAnalysis.wordPieceEncode(docs(s, dir), "doc_id", "text",
-        maxPieceLen = 4, topK = 64)),
+          maxPieceLen = 4, topK = 64)
+        .select(col("doc_id"),
+          array_join(transform(col("token_ids"), _.cast("string")), " ")
+            .as("token_ids"))),
     // Per-doc token counts under greedy WordPiece — the dictionary-spelled
     // segment-count query the other two schemes also ship.
     "text_wordpiece_segment" -> ((s, dir) =>
@@ -1891,7 +1904,9 @@ object SparkEntry {
            UNNEST(range(1,
              len(regexp_extract_all(d.text, '${TextAnalysis.bpePattern}'))+1))
              AS w(i))
-    SELECT s.doc_id, flatten(list(wi.ids ORDER BY s.wpos)) AS token_ids
+    SELECT s.doc_id,
+           array_to_string(flatten(list(wi.ids ORDER BY s.wpos)), ' ')
+             AS token_ids
     FROM sq s JOIN wi USING (word)
     GROUP BY s.doc_id ORDER BY s.doc_id"""
 
@@ -2028,7 +2043,8 @@ object SparkEntry {
         SELECT di.doc_id AS doc_id,
                flatten(list(w.idl ORDER BY di.wp)) AS token_ids
         FROM di JOIN wids w USING (word) GROUP BY 1)
-      SELECT doc_id, token_ids FROM enc ORDER BY doc_id"""
+      SELECT doc_id, array_to_string(token_ids, ' ') AS token_ids
+      FROM enc ORDER BY doc_id"""
 
   private def qualityWeightsCtes: String =
     """lab AS (
@@ -2138,7 +2154,9 @@ object SparkEntry {
            UNNEST(range(1,
              len(regexp_extract_all(d.text, '${TextAnalysis.bpePattern}'))+1))
              AS w(i))
-    SELECT s.doc_id, flatten(list(w.ids ORDER BY s.wpos)) AS token_ids
+    SELECT s.doc_id,
+           array_to_string(flatten(list(w.ids ORDER BY s.wpos)), ' ')
+             AS token_ids
     FROM sq s JOIN wseg w USING (word)
     GROUP BY s.doc_id ORDER BY s.doc_id"""
 
