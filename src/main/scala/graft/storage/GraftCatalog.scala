@@ -652,7 +652,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val dir = tableDir(ident)
     val meta = GraftCatalog.readMeta(fs, dir)
       .getOrElse(throw new NoSuchTableException(ident))
-    val latest = GraftCatalog.latestSnapshot(fs, dir)
+    val latest: Long = {
+      val l = GraftCatalog.latestSnapshot(fs, dir)
+      if (l > 0L) l
+      else {
+        // legacy (pre-manifest) table: readers resolve the live set by
+        // LISTING the directory, so promoting rewritten files in place
+        // would transiently expose originals + rewrites together
+        // (duplicates). Adopt the current listing into a first manifest so
+        // the rewrite publishes through a manifest flip like every other
+        // commit; a concurrent adopter loses the exclusive create loudly.
+        val listed = GraftCatalog.listDataFiles(fs, dir)
+        if (listed.isEmpty) l
+        else GraftCatalog.writeSnapshotAt(fs, dir, 1L, listed)
+      }
+    }
     val live = GraftCatalog.readManifest(fs, dir, latest)
       .getOrElse(GraftCatalog.listDataFiles(fs, dir))
     if (live.isEmpty) return (0, 0, 0L)
@@ -822,7 +836,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         GraftCatalog.readManifest(fs, dir, snap).getOrElse(Seq.empty)
       case _ => Seq.empty
     }.toSet
-    val tagSnaps = refs.collect { case ("tag", _, snap) => snap }.toSet
+    // snapshots that must stay resolvable by manifest: tag pins, AND every
+    // branch's fork base — a commit-less branch's head IS its fork-base
+    // manifest (branchHeadFiles falls back to it, then to a directory
+    // listing); deleting that manifest would silently widen the branch to
+    // post-fork main data, breaking branch isolation
+    val pinnedSnaps = refs.collect { case ("tag", _, snap) => snap }.toSet ++
+      refs.collect { case ("branch", _, base) => base }
     val live: Set[String] =
       (if (latest == 0L) GraftCatalog.listDataFiles(fs, dir).toSet
        else (oldestKept to latest)
@@ -832,8 +852,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val all = GraftCatalog.listDataFiles(fs, dir)
     val dead = all.filterNot(live)
     dead.foreach(f => fs.delete(new Path(dir, f), false))
-    // drop expired manifests — except snapshots pinned by a tag
-    (1L until oldestKept).filterNot(tagSnaps).foreach(n =>
+    // drop expired manifests — except snapshots pinned by a tag or serving
+    // as a branch fork base
+    (1L until oldestKept).filterNot(pinnedSnaps).foreach(n =>
       fs.delete(new Path(dir, s"_snap-$n.manifest"), false))
     // consolidate the bloom-index sidecars: entries for just-deleted files
     // are garbage (their file name can never recur — writer part files are
@@ -1760,8 +1781,9 @@ private[storage] class GraftTable(
     val spark = SparkSession.active
     val opts = new CaseInsensitiveStringMap(
       (options.asScala.toMap + ("basePath" -> dir)).asJava)
-    // live table: list the directory at plan time so committed writes are
-    // visible; snapshot: serve exactly the manifest's file set
+    // live tables serve the latest manifest read at load time; snapshots
+    // serve exactly the pinned manifest's file set. Only a legacy
+    // (pre-manifest) table falls through to listing the directory.
     val paths = pinnedFiles match {
       case Some(files) if files.nonEmpty => files.map(f => s"$dir/$f")
       case Some(_) => // empty snapshot: a hidden, always-empty directory

@@ -47,6 +47,13 @@ private[storage] final class GraftRowLevelOperation(
     * replaces. Set exactly once, when the scan is built. */
   @volatile private[storage] var scannedFiles: Seq[String] = Seq.empty
 
+  /** Snapshot id the rewrite scan planned against. Commit publishes at
+    * exactly this+1 so a concurrent commit that lands between scan and
+    * commit fails the exclusive create instead of being silently folded
+    * into a manifest computed from stale rows (e.g. resurrecting rows a
+    * concurrent DELETE removed). -1 until the scan is built. */
+  @volatile private[storage] var scanSnapshot: Long = -1L
+
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"GraftCowOperation($cmd, $tableName)"
 
@@ -79,8 +86,9 @@ private[storage] final class CowScanBuilder(
   private val spark = SparkSession.active
   private val root = new Path(dir)
   private val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val scanSnapshot: Long = GraftCatalog.latestSnapshot(fs, root)
   private val live: Seq[String] = GraftCatalog
-    .readManifest(fs, root, GraftCatalog.latestSnapshot(fs, root))
+    .readManifest(fs, root, scanSnapshot)
     .getOrElse(GraftCatalog.listDataFiles(fs, root))
   private var kept: Seq[String] = live
   private var requiredSchema: Option[StructType] = None
@@ -112,6 +120,7 @@ private[storage] final class CowScanBuilder(
 
   override def build(): Scan = {
     op.scannedFiles = kept
+    op.scanSnapshot = scanSnapshot
     val prefix = dir.stripSuffix("/") + "/"
     val paths =
       if (kept.nonEmpty) kept.map(f => s"$prefix$f")
@@ -197,8 +206,15 @@ private[storage] final class CowBatchWrite(
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(dir)
     val fs = root.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
-    val latest = GraftCatalog.latestSnapshot(fs, root)
-    val prior = GraftCatalog.readManifest(fs, root, latest)
+    // Commit against the snapshot the rewrite scan PLANNED on, not the
+    // current latest: `prior − scanned + staged` is only meaningful
+    // relative to the scanned state, so a commit that landed in between
+    // must surface as an exclusive-create conflict rather than be folded
+    // into a manifest computed from stale rows.
+    val scanSnap = op.scanSnapshot
+    require(scanSnap >= 0,
+      "row-level commit without a planned rewrite scan")
+    val prior = GraftCatalog.readManifest(fs, root, scanSnap)
       .getOrElse(GraftCatalog.listDataFiles(fs, root))
     val staged = messages.flatMap(_.asInstanceOf[GraftCommitMessage].files)
     staged.foreach { case (part, file) =>
@@ -215,8 +231,8 @@ private[storage] final class CowBatchWrite(
     val stagedRel = staged.map { case (p, f) => if (p.isEmpty) f else s"$p/$f" }
     val scanned = op.scannedFiles.toSet
     val live = prior.filterNot(scanned) ++ stagedRel
-    GraftCatalog.writeSnapshotAt(fs, root, latest + 1, live.distinct,
-      GraftCatalog.readTxns(fs, root, latest))
+    GraftCatalog.writeSnapshotAt(fs, root, scanSnap + 1, live.distinct,
+      GraftCatalog.readTxns(fs, root, scanSnap))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -641,6 +641,24 @@ class CatalogSpec extends SparkSpec {
     assert(refs.exists { case (kind, name, _) => kind == "tag" && name == "v1" })
   }
 
+  test("vacuum preserves a commit-less branch's fork base") {
+    wh
+    t((1L, "a", "2024-01-15"))
+      .writeTo("graftv2.bronze.brvac").using("parquet").createOrReplace()
+    cat.createBranch(id("brvac"), "frozen")
+    // main advances past the fork; the branch never commits
+    t((2L, "b", "2024-01-16")).writeTo("graftv2.bronze.brvac").append()
+    t((3L, "c", "2024-01-17")).writeTo("graftv2.bronze.brvac").append()
+    cat.vacuum(id("brvac"), keepLast = 1)
+    // the branch head IS its fork-base manifest: it must survive vacuum,
+    // or the branch read silently widens to a directory listing holding
+    // post-fork main data (isolation break)
+    assert(spark.sql(
+      "SELECT count(*) FROM graftv2.bronze.brvac VERSION AS OF 'frozen'")
+      .collect().head.getLong(0) == 1L)
+    assert(spark.table("graftv2.bronze.brvac").count() == 3)
+  }
+
   test("write-audit-publish: failing batch never reaches main, passing one does") {
     wh
     import graft.quality.Expectations.{NotNull, InSet}
