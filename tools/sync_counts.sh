@@ -24,6 +24,33 @@ sed -i -E "s/- [0-9]+ queries: \*\*[0-9]+\/[0-9]+ oracle-backed/- $QUERIES queri
 sed -i -E "s/- [0-9]+ ScalaTest cases:/- $TESTS ScalaTest cases:/" COVERAGE.md
 sed -i -E "s/Every one of the [0-9]+ oracle-checked queries/Every one of the $ORACLES oracle-checked queries/" README.md
 
+# Driver artifact: the per-round CORRECTNESS_r*.json is the HARD signal —
+# the docs must carry its tally verbatim, not just the local harness's.
+# Rewrite the driver-artifact lines from the newest artifact, then fail
+# if either anchor line went missing (deleting it is how an overclaim
+# would sneak back in).
+ART=$(ls CORRECTNESS_r*.json 2>/dev/null | sort -V | tail -1 || true)
+if [ -n "$ART" ]; then
+  read -r DGREEN DTOTAL <<<"$(python3 - "$ART" <<'EOF'
+import json, sys
+d = json.load(open(sys.argv[1]))
+qs = d["queries"] if isinstance(d.get("queries"), dict) else d
+green = sum(1 for v in qs.values() if isinstance(v, dict)
+            and v.get("rows_match") and v.get("schema_match")
+            and v.get("hash_match"))
+print(green, len(qs))
+EOF
+)"
+  RND=$(echo "$ART" | grep -oE "[0-9]+" | head -1 | sed 's/^0*//')
+  echo "driver artifact: $ART -> $DGREEN/$DTOTAL green"
+  sed -i -E "s/- driver artifact: [0-9]+\/[0-9]+ green in CORRECTNESS_r[0-9]+\.json/- driver artifact: $DGREEN\/$DTOTAL green in CORRECTNESS_r$RND.json/" COVERAGE.md
+  perl -0pi -e "s/the driver's latest artifact\s+records \d+\/\d+ green \(CORRECTNESS_r\d+\.json\)/the driver's latest artifact\nrecords $DGREEN\/$DTOTAL green (CORRECTNESS_r$RND.json)/" README.md
+  grep -q "driver artifact: $DGREEN/$DTOTAL green in CORRECTNESS_r$RND.json" COVERAGE.md ||
+    { echo "COVERAGE.md lost its driver-artifact line — restore it" >&2; exit 1; }
+  grep -qE "records $DGREEN/$DTOTAL green \(CORRECTNESS_r$RND\.json\)" README.md ||
+    { echo "README.md lost its driver-artifact line — restore it" >&2; exit 1; }
+fi
+
 # SCALE.md cites the oracle tally inline as "N/N green oracle rows" /
 # "(N/N)" — rewrite EQUAL-pair literals only (a backreference pins X/X; a
 # legitimate partial tally like "169/171 green" must never be rewritten to
