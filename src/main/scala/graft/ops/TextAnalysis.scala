@@ -736,7 +736,7 @@ object TextAnalysis {
       dim: Int = 64,
       tokenHash: Column => Column = graft.ops.Dedup.xxHash): DataFrame = {
     import graft.functions.VectorFunctions
-    val sparseW = org.apache.spark.sql.expressions.Window
+    val sparseW = BoundedWindow
       .orderBy(col("score").desc, col("doc_id").asc)
     val sparse = bm25(docs, idCol, textCol, terms, topK = listSize)
       .select(col("doc_id"), col("score"))
@@ -755,7 +755,7 @@ object TextAnalysis {
               org.apache.spark.sql.types.StringType)))),
         "qid", "qtext", dim, tokenHash)
       .select(col("embedding").alias("qvec"))
-    val denseW = org.apache.spark.sql.expressions.Window
+    val denseW = BoundedWindow
       .orderBy(col("dscore").desc, col("doc_id").asc)
     val dense = emb.crossJoin(broadcast(qEmb))
       .select(col("doc_id"),
@@ -967,7 +967,7 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("token").asc)
       .limit(topK)
     freq.withColumn("token_id",
-        row_number().over(org.apache.spark.sql.expressions.Window
+        row_number().over(BoundedWindow
           .orderBy(col("freq").desc, col("token").asc)).cast("long"))
       .select(col("token"), col("freq"), col("token_id"))
   }
@@ -1357,7 +1357,7 @@ object TextAnalysis {
     val model = unigramTrain(docs, textCol, maxPieceLen, seedSize, emIters, minCount)
     val ids = model
       .withColumn("token_id",
-        row_number().over(org.apache.spark.sql.expressions.Window
+        row_number().over(BoundedWindow
           .orderBy(col("freq").desc, col("piece").asc)).cast("long"))
       .select(col("piece").alias("token"), col("token_id"))
     val words = unigramWordTable(docs, textCol)
@@ -1399,7 +1399,7 @@ object TextAnalysis {
       maxPieceLen: Int = 4): DataFrame = {
     val ids = model
       .withColumn("token_id",
-        row_number().over(org.apache.spark.sql.expressions.Window
+        row_number().over(BoundedWindow
           .orderBy(col("freq").desc, col("piece").asc)).cast("long"))
       .select(col("piece").alias("token"), col("token_id"))
     val words = unigramWordTable(docs, textCol)
@@ -1475,7 +1475,7 @@ object TextAnalysis {
       .unionByName(subs.filter(bare > 1)
         .orderBy(col("freq").desc, col("piece").asc).limit(topK))
       .withColumn("token_id",
-        row_number().over(org.apache.spark.sql.expressions.Window
+        row_number().over(BoundedWindow
           .orderBy(col("freq").desc, col("piece").asc)).cast("long"))
       .select(col("piece").alias("token"), col("freq"), col("token_id"))
   }

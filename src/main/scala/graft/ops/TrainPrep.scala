@@ -80,7 +80,9 @@ object TrainPrep {
     val sums = parted
       .groupBy(("__grs_pid" +: groupCols).map(col): _*)
       .agg(sum(col("__grs_v")).alias("__grs_s"))
-    val offW = Window.partitionBy(groupCols.map(col): _*)
+    // #(partition, group)-row frame; ungrouped calls take BoundedWindow's
+    // constant key so the (bounded) serial window never reads as data-wide
+    val offW = BoundedWindow.partitionBy(groupCols.map(col))
       .orderBy(col("__grs_pid").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = sums // #(partition, group) rows — the only serial window
@@ -177,10 +179,8 @@ object TrainPrep {
     * partially aggregate map-side; the global top-k plans as
     * TakeOrderedAndProject (per-partition top-k, merged on the driver) —
     * never a single-partition sort of the whole vocabulary. The rank
-    * window runs over k rows only — it is partition-free on purpose
-    * (Spark logs its "No Partition Defined" warning at plan time; the
-    * input is the limit(k) result, so the single partition holds ≤ k
-    * rows, not data). */
+    * window runs over k rows only (the limit(k) result, never data) —
+    * [[BoundedWindow]]'s constant key states that intent in the plan. */
   def topTokens(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     val ord = Seq(col("n_occurrences").desc, col("token").asc)
     docs.select(explode(TextAnalysis.tokens(col(textCol))).alias("token"))
@@ -188,7 +188,7 @@ object TrainPrep {
       .agg(count(lit(1)).alias("n_occurrences"))
       .orderBy(ord: _*)
       .limit(k)
-      .withColumn("rank", row_number().over(Window.orderBy(ord: _*)).cast("long"))
+      .withColumn("rank", row_number().over(BoundedWindow.orderBy(ord: _*)).cast("long"))
   }
 
   /** Out-of-vocabulary rate per document against a token vocabulary (e.g.
@@ -796,7 +796,7 @@ object TrainPrep {
       .withColumn("__base", expr(s"(${total}L * __w) div ${wSum}L"))
       .withColumn("__rem", expr(s"(${total}L * __w) % ${wSum}L"))
     val bSum = quotas0.agg(sum(col("__base"))).head.getLong(0)
-    val er = Window.orderBy(col("__rem").desc, col(sourceCol).asc)
+    val er = BoundedWindow.orderBy(col("__rem").desc, col(sourceCol).asc)
     val quotas = quotas0
       .withColumn("__er", row_number().over(er).cast("long"))
       .withColumn("quota",
@@ -1159,7 +1159,7 @@ object TrainPrep {
     val picked = keyed
       .orderBy(col("priority").desc, col(idCol).asc)
       .limit(k)
-    val w = Window.orderBy(col("priority").desc, col(idCol).asc)
+    val w = BoundedWindow.orderBy(col("priority").desc, col(idCol).asc)
     picked // window runs over k already-limited rows, not the corpus
       .withColumn("rank", row_number().over(w))
       .select(col("rank"), col(idCol), col("weight"), col("priority"))

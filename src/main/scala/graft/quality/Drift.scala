@@ -77,7 +77,7 @@ object Drift {
       a.agg(sum(col("cnt_ref")).cast("double").alias("__na"))
         .crossJoin(b.agg(sum(col("cnt_cur")).cast("double").alias("__nb"))))
     val grid = reference.sparkSession.range(buckets).select(col("id").alias("bin"))
-    val w = Window.orderBy(col("bin"))
+    val w = graft.ops.BoundedWindow.orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid
       .join(a, Seq("bin"), "left").join(b, Seq("bin"), "left")

@@ -351,19 +351,41 @@ class PlanSpec extends SparkSpec {
   }
 
   test("token_ids: corpus never shuffles — one vocab agg + broadcast map") {
-    // Planning this query logs two "WindowExec: No Partition Defined"
-    // warnings (EnsureRequirements consults requiredChildDistribution
-    // twice). Provenance verified: they come from TrainPrep.topTokens'
-    // rank window, which is deliberately partition-free — it runs over
-    // the ALREADY-limit(k)-ed vocabulary (<= topK rows), never the
-    // corpus; the corpus-scale guards below are what this spec pins. A
-    // partition-free window over anything unbounded would be a real bug.
     val p = SparkEntry.queries("prep_token_ids")(spark, sf)
       .queryExecution.executedPlan.toString
     // the only hash exchange belongs to the bounded vocabulary aggregate;
-    // the document scan flows narrow into the broadcast join
+    // the document scan flows narrow into the broadcast join. topTokens'
+    // rank window carries BoundedWindow's constant key (frame = the
+    // limit(k) vocabulary, <= topK rows) but adds NO exchange: the
+    // TakeOrderedAndProject child is already a single partition, which
+    // satisfies the constant-key clustering trivially.
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(600))
     assert(p.contains("BroadcastExchange"))
+  }
+
+  test("no partition-free WindowExec in the windowed query surface") {
+    // Every global rank/cumulative window in the engine runs over a frame
+    // bounded by construction and carries BoundedWindow's constant key,
+    // so WindowExec's data-wide "No Partition Defined" warning stays
+    // meaningful: if this spec finds a bare window, either a real
+    // data-wide window crept in (a scale bug) or a bounded one forgot
+    // its key (re-burying the warning signal). The list covers every
+    // BoundedWindow call site plus the ordinary keyed-window queries.
+    val names = Seq("prep_token_ids", "prep_vocab", "text_hybrid_rrf",
+      "text_bpe_vocab", "text_unigram_train", "text_wordpiece_vocab",
+      "prep_mixture_temperature", "prep_priority_sample", "quality_drift",
+      "q_resample_ffill", "q_funnel", "q_cohort_retention")
+    for (n <- names) {
+      val bare = SparkEntry.queries(n)(spark, sf)
+        .queryExecution.sparkPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+          case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+            if w.partitionSpec.isEmpty => w
+        }
+      assert(bare.isEmpty,
+        s"$n plans a partition-free window:\n${bare.mkString("\n")}")
+    }
   }
 
   test("window_sliding: window() generates narrow; one aggregate exchange") {
