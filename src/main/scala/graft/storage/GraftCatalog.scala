@@ -130,7 +130,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     new GraftTable(ident.toString, dir.toString, meta, live, writable = true,
       fileStats = GraftCatalog.readStats(fs, dir, latest),
       fileBlooms = GraftCatalog.readBloomIndex(fs, dir),
-      owner = Some(this))
+      owner = Some(this),
+      eqDeletes = GraftCatalog.readEqDels(fs, dir, latest),
+      addSeq = GraftCatalog.readAddMap(fs, dir, latest))
   }
 
   /** Time travel (`SELECT ... FROM t VERSION AS OF x`): a numeric `x`
@@ -156,7 +158,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           throw new IllegalArgumentException(
             s"table $ident has no snapshot $snap (latest: ${GraftCatalog.latestSnapshot(fs, dir)})"))
         new GraftTable(s"$ident@v$snap", dir.toString, meta, Some(files), writable = false,
-          fileStats = GraftCatalog.readStats(fs, dir, snap), fileBlooms = blooms)
+          fileStats = GraftCatalog.readStats(fs, dir, snap), fileBlooms = blooms,
+          eqDeletes = GraftCatalog.readEqDels(fs, dir, snap),
+          addSeq = GraftCatalog.readAddMap(fs, dir, snap))
       case None =>
         version match {
           case GraftCatalog.IncrRange(a, b) =>
@@ -164,10 +168,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
             // carries their stats — the delta read prunes and answers
             // metadata aggregates like any snapshot read
             val files = incrementalFiles(ident, a.toLong, b.toLong)
+            // the range's files carry add sequences >= a+1 > any eqdel at
+            // or before a; deletes from WITHIN the range still apply (a
+            // merge later in the range deleting a row added earlier in it)
             new GraftTable(s"$ident@incr:$a..$b", dir.toString, meta, Some(files),
               writable = false,
               fileStats = GraftCatalog.readStats(fs, dir, b.toLong),
-              fileBlooms = blooms)
+              fileBlooms = blooms,
+              eqDeletes = GraftCatalog.readEqDels(fs, dir, b.toLong),
+              addSeq = GraftCatalog.readAddMap(fs, dir, b.toLong))
           case _ =>
             GraftCatalog.readTagSnap(fs, dir, version) match {
               case Some(snap) =>
@@ -177,7 +186,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
                 new GraftTable(s"$ident@$version", dir.toString, meta, Some(files),
                   writable = false,
                   fileStats = GraftCatalog.readStats(fs, dir, snap),
-                  fileBlooms = blooms)
+                  fileBlooms = blooms,
+                  eqDeletes = GraftCatalog.readEqDels(fs, dir, snap),
+                  addSeq = GraftCatalog.readAddMap(fs, dir, snap))
               case None =>
                 val files = GraftCatalog.branchHeadFiles(fs, dir, version)
                   .getOrElse(throw new IllegalArgumentException(
@@ -190,8 +201,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
                 val baseStats = GraftCatalog.readBranchBase(fs, dir, version)
                   .map(b => GraftCatalog.readStats(fs, dir, b))
                   .getOrElse(Map.empty[String, Map[String, GraftCatalog.ColStat]])
+                // branch reads apply the FORK BASE's pending deletes: they
+                // were live state when the branch forked; branch commits
+                // themselves are appends and add no deletes
+                val baseDels = GraftCatalog.readBranchBase(fs, dir, version)
+                  .map(b => (GraftCatalog.readEqDels(fs, dir, b),
+                    GraftCatalog.readAddMap(fs, dir, b)))
+                  .getOrElse((Seq.empty, Map.empty[String, Long]))
                 new GraftTable(s"$ident@$version", dir.toString, meta, Some(files),
-                  writable = false, fileStats = baseStats, fileBlooms = blooms)
+                  writable = false, fileStats = baseStats, fileBlooms = blooms,
+                  eqDeletes = baseDels._1, addSeq = baseDels._2)
             }
         }
     }
@@ -670,6 +689,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val live = GraftCatalog.readManifest(fs, dir, latest)
       .getOrElse(GraftCatalog.listDataFiles(fs, dir))
     if (live.isEmpty) return (0, 0, 0L)
+    // pending equality deletes (merge-on-read): candidate reads must
+    // apply them (a deleted row copied back by the rewrite would be
+    // resurrected), and no footer/stats count can be trusted row-exact
+    val eqDels = GraftCatalog.readEqDels(fs, dir, latest)
+    val addMap = GraftCatalog.readAddMap(fs, dir, latest)
     val prefix = dir.toString.stripSuffix("/") + "/"
     val filteredDf = spark.table(s"$catalogName.$table").filter(cond)
     val scanCands: Set[String] = filteredDf
@@ -677,6 +701,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       .flatMap {
         case k: org.apache.spark.sql.graftshim.KeyedScan =>
           k.delegate.fileIndex.inputFiles
+        case e: org.apache.spark.sql.graftshim.EqDeleteScan => e.delegate match {
+          case p: ParquetScan => p.fileIndex.inputFiles
+          case _ => Array.empty[String]
+        }
         case p: ParquetScan => p.fileIndex.inputFiles
         case _ => Array.empty[String]
       }
@@ -722,7 +750,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     // partially-translated conjunction would prove files against only
     // some conjuncts and delete rows the full predicate keeps.
     val proven: Set[String] =
-      if (!metadataDrop || perConj.isEmpty || perConj.exists(_.isEmpty)) Set.empty
+      if (!metadataDrop || eqDels.nonEmpty ||
+        perConj.isEmpty || perConj.exists(_.isEmpty)) Set.empty
       else allCands.filter(f =>
         FileStatsPruning.mustMatchAll(statsFor(f), translated))
     val provenRows: Long =
@@ -740,11 +769,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         kept, GraftCatalog.readTxns(fs, dir, latest))
       return (proven.size, kept.size, provenRows)
     }
-    val candPaths = cands.toSeq.sorted.map(f => s"$prefix$f")
     val reader = spark.read.schema(meta.schema)
+    def readFiles(files: Seq[String]): org.apache.spark.sql.DataFrame = {
+      val paths = files.sorted.map(f => s"$prefix$f")
+      if (meta.partitionCols.isEmpty) reader.parquet(paths: _*)
+      else reader.option("basePath", dir.toString).parquet(paths: _*)
+    }
     val candDf =
-      if (meta.partitionCols.isEmpty) reader.parquet(candPaths: _*)
-      else reader.option("basePath", dir.toString).parquet(candPaths: _*)
+      if (eqDels.isEmpty) readFiles(cands.toSeq)
+      else {
+        // group candidates by add sequence and anti-join each group with
+        // the strictly-newer deletes — the same sequence rule the table
+        // scan applies, spelled as a broadcast anti join over the
+        // delta-sized delete set
+        val dels = GraftCatalog.eqDelDf(spark, fs, dir, meta, eqDels)
+        val keyCols = meta.properties(GraftCatalog.MergeKeyProp)
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        cands.groupBy(f => addMap.getOrElse(f, Long.MaxValue)).toSeq
+          .map { case (seq, fsq) =>
+            val df = readFiles(fsq.toSeq)
+            val applicable = dels
+              .filter(org.apache.spark.sql.functions.col("__dsnap") > seq)
+              .select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+              .distinct()
+            df.join(org.apache.spark.sql.functions.broadcast(applicable),
+              keyCols, "left_anti")
+          }.reduce(_ unionByName _)
+      }
     val hit = coalesce(cond, lit(false))
     val candMatched = candDf.filter(hit).count()
     val rowsAffected = candMatched + provenRows
@@ -856,6 +907,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     // as a branch fork base
     (1L until oldestKept).filterNot(pinnedSnaps).foreach(n =>
       fs.delete(new Path(dir, s"_snap-$n.manifest"), false))
+    // equality-delete sidecars referenced by NO retained manifest are
+    // garbage (their deletes were folded in by compaction, expired with
+    // their snapshots, or orphaned by a failed delta commit)
+    val liveDels: Set[String] =
+      ((math.max(1L, oldestKept) to latest) ++ pinnedSnaps)
+        .flatMap(n => GraftCatalog.readEqDels(fs, dir, n).map(_._1)).toSet
+    fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("_eqdel-") && n.endsWith(".bin"))
+      .filterNot(liveDels)
+      .foreach(n => fs.delete(new Path(dir, n), false))
     // consolidate the bloom-index sidecars: entries for just-deleted files
     // are garbage (their file name can never recur — writer part files are
     // UUID-named), so rewrite the live entries into one fresh sidecar and
@@ -1066,6 +1127,28 @@ object GraftCatalog {
     * this writer streams without size feedback). 0/absent = unlimited. */
   val TargetFileRowsProp = "write.target-file-rows"
 
+  /** Table property selecting how SQL UPDATE / MERGE INTO execute
+    * (Iceberg's property of the same name): `copy-on-write` (default) —
+    * group-based rewrite of every file that may hold a match;
+    * `merge-on-read` — a delta commit of replacement rows plus an
+    * equality-delete sidecar, priced by the DELTA, never the table.
+    * merge-on-read requires [[MergeKeyProp]]. */
+  val MergeModeProp = "write.merge.mode"
+
+  /** Comma-separated columns identifying a row for merge-on-read
+    * (Iceberg's identifier fields): the delta write records deleted /
+    * replaced rows by these values, and reads drop matching older rows.
+    * Must be atomic, non-floating types — the read-side application
+    * compares serialized key bytes. */
+  val MergeKeyProp = "merge.key"
+
+  /** Key types whose UnsafeRow serialization is value-canonical (equal
+    * values ⇒ equal bytes): what merge-on-read keys may be made of.
+    * Floats/doubles are excluded (-0.0 vs 0.0, NaN payloads). */
+  private[storage] val MergeKeyTypes: Set[DataType] =
+    Set(ByteType, ShortType, IntegerType, LongType, BooleanType,
+      StringType, DateType, TimestampType, TimestampNTZType)
+
   /** Footer key-value key stamping the `parquet.statistics.truncate
     * .length` a file was WRITTEN under ("none" = unlimited, the parquet
     * default). Statistics classification (exact string values, kind "s",
@@ -1203,6 +1286,110 @@ object GraftCatalog {
           case _ => None
         }
       }.toMap
+
+  /** Per-file add-sequence map (`# add:` headers) of snapshot `snap`. */
+  private[storage] def readAddMap(
+      fs: FileSystem, dir: Path, snap: Long): Map[String, Long] =
+    manifestLines(fs, dir, snap).getOrElse(Seq.empty)
+      .filter(_.startsWith("# add:"))
+      .flatMap { l =>
+        l.stripPrefix("# add:").split("=", 2) match {
+          case Array(f, s) => s.toLongOption.map(b64d(f) -> _)
+          case _ => None
+        }
+      }.toMap
+
+  /** Equality-delete sidecars (`# eqdel:` headers) of snapshot `snap`:
+    * (table-relative sidecar path, commit snapshot). */
+  private[storage] def readEqDels(
+      fs: FileSystem, dir: Path, snap: Long): Seq[(String, Long)] =
+    manifestLines(fs, dir, snap).getOrElse(Seq.empty)
+      .filter(_.startsWith("# eqdel:"))
+      .flatMap { l =>
+        l.stripPrefix("# eqdel:").split("=", 2) match {
+          case Array(f, s) => s.toLongOption.map(b64d(f) -> _)
+          case _ => None
+        }
+      }
+
+  // ── equality-delete sidecars (merge-on-read) ──────────────────────────
+  // `_eqdel-<uuid>.bin`: the delete half of a merge-on-read row-level
+  // commit — the rowId (merge.key) values of every row the commit deleted
+  // or replaced, as length-prefixed UnsafeRow bytes (byte-stable for the
+  // atomic key types the mode requires, so read-side application is one
+  // hash probe per row). The `_` prefix keeps sidecars out of
+  // listDataFiles and every directory-listing reader.
+  private[storage] val EqDelMagic = "graft-eqdel-v1"
+
+  private[storage] def writeEqDelSidecar(
+      fs: FileSystem, path: Path, keyCols: Seq[String],
+      keys: Iterator[Array[Byte]]): Long = {
+    val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(fs.create(path, false)))
+    var n = 0L
+    try {
+      out.writeUTF(EqDelMagic)
+      out.writeUTF(keyCols.mkString(","))
+      keys.foreach { k => out.writeInt(k.length); out.write(k); n += 1 }
+    } finally out.close()
+    n
+  }
+
+  /** Reads a sidecar's key rows back as raw UnsafeRow bytes; validates
+    * the key columns against the caller's (a table whose `merge.key` was
+    * altered after deletes were committed must fail loudly, not apply
+    * deletes against the wrong columns). */
+  private[storage] def readEqDelSidecar(
+      fs: FileSystem, path: Path, expectKeyCols: Seq[String]): Seq[Array[Byte]] = {
+    val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(fs.open(path)))
+    try {
+      val magic = in.readUTF()
+      require(magic == EqDelMagic, s"$path: not an equality-delete sidecar")
+      val cols = in.readUTF()
+      require(cols == expectKeyCols.mkString(","),
+        s"$path records deletes on key [$cols] but the table's merge.key " +
+          s"is [${expectKeyCols.mkString(",")}] — altering merge.key with " +
+          "deletes pending is not supported; compact the table first")
+      val acc = Seq.newBuilder[Array[Byte]]
+      var done = false
+      while (!done) {
+        val len = try in.readInt() catch { case _: java.io.EOFException => done = true; -1 }
+        if (!done) { val b = new Array[Byte](len); in.readFully(b); acc += b }
+      }
+      acc.result()
+    } finally in.close()
+  }
+
+  /** Pending equality deletes as a DataFrame `(keyCols..., __dsnap)` —
+    * the driver-side spelling [[GraftCatalog.cowRewrite]] anti-joins
+    * against when copy-on-write machinery runs over a table with
+    * merge-on-read deletes pending. Delta-sized by construction. */
+  private[storage] def eqDelDf(
+      spark: SparkSession, fs: FileSystem, dir: Path,
+      meta: GraftTableMeta, eqDels: Seq[(String, Long)])
+      : org.apache.spark.sql.DataFrame = {
+    val keyCols = meta.properties.getOrElse(MergeKeyProp,
+        throw new IllegalStateException(
+          s"$dir has pending equality deletes but no $MergeKeyProp"))
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val keyFields = keyCols.map(c => meta.schema(meta.schema.fieldIndex(c)))
+    val schema = StructType(keyFields :+ StructField("__dsnap", LongType, nullable = false))
+    val converters = keyFields.map(f =>
+      org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToScalaConverter(f.dataType))
+    val rows: Seq[org.apache.spark.sql.Row] = eqDels.flatMap { case (rel, snap) =>
+      readEqDelSidecar(fs, new Path(dir, rel), keyCols).map { bytes =>
+        val ur = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(keyCols.length)
+        ur.pointTo(bytes, bytes.length)
+        org.apache.spark.sql.Row.fromSeq(keyFields.indices.map { i =>
+          if (ur.isNullAt(i)) null
+          else converters(i)(ur.get(i, keyFields(i).dataType))
+        } :+ snap)
+      }
+    }
+    spark.createDataFrame(rows.asJava, schema)
+  }
 
   /** VIRTUAL per-file column stats for hive partition columns, derived
     * from the file's own directory path: every row of `p=a/part-x.parquet`
@@ -1509,7 +1696,8 @@ object GraftCatalog {
     * new to main's lineage (one footer read per new file, once ever). */
   private[storage] def writeSnapshotAt(
       fs: FileSystem, dir: Path, next: Long, files: Seq[String],
-      txns: Map[String, Long] = Map.empty): Long = {
+      txns: Map[String, Long] = Map.empty,
+      newEqDels: Seq[String] = Seq.empty): Long = {
     val carried = readStats(fs, dir, next - 1)
     val stats = files.sorted.flatMap { f =>
       val st = carried.getOrElse(f,
@@ -1517,7 +1705,28 @@ object GraftCatalog {
         catch { case _: Exception => Map.empty[String, ColStat] })
       if (st.nonEmpty) Some(renderStats(f, st)) else None
     }
+    // Per-file ADD SEQUENCE (`# add:`): the snapshot a file first joined
+    // the manifest, carried forward while the file stays live. Equality
+    // deletes scope by it — an eqdel committed at snapshot N applies only
+    // to rows of files with add < N, so a key re-inserted AFTER its
+    // delete is never suppressed (Iceberg's sequence-number rule). A file
+    // live in the previous manifest but never stamped (written before
+    // this header existed) gets 0: it provably predates every eqdel.
+    val prevAdd = readAddMap(fs, dir, next - 1)
+    val prevFiles: Set[String] =
+      readManifest(fs, dir, next - 1).getOrElse(Seq.empty).toSet
+    val addMap: Map[String, Long] = files.map { f =>
+      f -> prevAdd.getOrElse(f, if (prevFiles.contains(f)) 0L else next)
+    }.toMap
+    // Equality-delete sidecars (`# eqdel:`): carried while ANY live file
+    // is old enough for them to apply (add < eqdel snap); self-cleaning
+    // once compaction/overwrites rotate every older file out.
+    val minAdd = if (addMap.isEmpty) Long.MaxValue else addMap.values.min
+    val eqdels = (readEqDels(fs, dir, next - 1).filter(_._2 > minAdd) ++
+      newEqDels.map(_ -> next)).distinct
     val header = stats ++
+      addMap.toSeq.sorted.map { case (f, s) => s"# add:${b64e(f)}=$s" } ++
+      eqdels.sorted.map { case (f, s) => s"# eqdel:${b64e(f)}=$s" } ++
       txns.toSeq.sorted.map { case (app, v) => s"# txn:$app=$v" }
     // exclusive create (overwrite=false) = optimistic concurrency control:
     // two writers that both based their manifest on snapshot `next-1` race
@@ -1725,22 +1934,77 @@ private[storage] class GraftTable(
     writable: Boolean = true,
     fileStats: Map[String, Map[String, GraftCatalog.ColStat]] = Map.empty,
     fileBlooms: Map[String, Map[String, GraftCatalog.FileBloom]] = Map.empty,
-    owner: Option[GraftCatalog] = None)
+    owner: Option[GraftCatalog] = None,
+    eqDeletes: Seq[(String, Long)] = Seq.empty,
+    addSeq: Map[String, Long] = Map.empty)
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
-  // SQL UPDATE / MERGE INTO (group-based copy-on-write rewrite —
-  // [[GraftRowLevelOperation]]); translatable DELETEs stay on the
-  // metadata/copy-on-write SupportsDelete path via Spark's
-  // metadata-only-delete optimization
+  /** The declared merge-on-read row identity, validated: columns exist
+    * and carry byte-stable atomic types. */
+  private def mergeKeyCols: Seq[String] = {
+    val raw = meta.properties.getOrElse(GraftCatalog.MergeKeyProp,
+      throw new IllegalArgumentException(
+        s"$tableName: ${GraftCatalog.MergeModeProp}=merge-on-read requires " +
+          s"${GraftCatalog.MergeKeyProp} (comma-separated row-identity columns)"))
+    val cols = raw.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(cols.nonEmpty, s"$tableName: empty ${GraftCatalog.MergeKeyProp}")
+    cols.foreach { c =>
+      val f = meta.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"$tableName: ${GraftCatalog.MergeKeyProp} column $c not in schema"))
+      require(GraftCatalog.MergeKeyTypes.contains(f.dataType),
+        s"$tableName: ${GraftCatalog.MergeKeyProp} column $c has type " +
+          s"${f.dataType.catalogString}; merge-on-read keys must be atomic " +
+          "non-floating types")
+    }
+    cols
+  }
+
+  /** Pending equality deletes resolved for the read side: sidecar entries
+    * loaded (driver-side, delta-sized) plus the per-file add sequences
+    * they scope by. None when the table has no pending deletes. */
+  private def eqDeleteSpec: Option[org.apache.spark.sql.graftshim.EqDeleteSpec] =
+    if (eqDeletes.isEmpty) None
+    else {
+      val keyCols = mergeKeyCols
+      val root = new Path(dir)
+      val fs = root.getFileSystem(
+        SparkSession.active.sparkContext.hadoopConfiguration)
+      val entries = eqDeletes.flatMap { case (rel, snap) =>
+        GraftCatalog.readEqDelSidecar(fs, new Path(root, rel), keyCols)
+          .map(_ -> snap)
+      }
+      Some(org.apache.spark.sql.graftshim.EqDeleteSpec(
+        keyCols, entries, addSeq, dir))
+    }
+
+  // SQL UPDATE / MERGE INTO: group-based copy-on-write rewrite by default
+  // ([[GraftRowLevelOperation]]), or — when the table declares
+  // `write.merge.mode=merge-on-read` — a delta commit of replacement rows
+  // plus an equality-delete sidecar ([[GraftDeltaOperation]]), priced by
+  // the delta rather than the candidate file set. Translatable DELETEs
+  // stay on the metadata/copy-on-write SupportsDelete path via Spark's
+  // metadata-only-delete optimization either way.
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     if (!writable)
       throw new UnsupportedOperationException(
         s"$tableName is a read-only snapshot — row-level DML targets the live table")
-    () => new GraftRowLevelOperation(dir, meta, tableName, info.command())
+    val mor = meta.properties.get(GraftCatalog.MergeModeProp)
+      .map(_.trim.toLowerCase(java.util.Locale.ROOT)) match {
+      case Some("merge-on-read") => true
+      case Some("copy-on-write") | None => false
+      case Some(other) => throw new IllegalArgumentException(
+        s"$tableName: unknown ${GraftCatalog.MergeModeProp} '$other' " +
+          "(copy-on-write | merge-on-read)")
+    }
+    if (mor) { mergeKeyCols; () => new GraftDeltaOperation(
+      dir, meta, tableName, info.command(), mergeKeyCols, eqDeleteSpec) }
+    else () => new GraftRowLevelOperation(
+      dir, meta, tableName, info.command(), eqDeleteSpec)
   }
 
   // SQL `DELETE FROM <cat>.<ns>.<t> WHERE ...` routes here when every
@@ -1765,7 +2029,23 @@ private[storage] class GraftTable(
   }
 
   override def name(): String = tableName
-  override def schema(): StructType = meta.schema
+
+  // merge-on-read row-identity columns are REQUIRED (Iceberg's identifier
+  // fields): report them non-nullable — Spark's delta rewrite refuses
+  // nullable rowId attributes, and the write side then enforces that no
+  // append can introduce a null key
+  private val morKeyCols: Set[String] =
+    if (meta.properties.get(GraftCatalog.MergeModeProp)
+        .exists(_.trim.equalsIgnoreCase("merge-on-read")))
+      meta.properties.get(GraftCatalog.MergeKeyProp)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty)
+    else Set.empty
+
+  override def schema(): StructType =
+    if (morKeyCols.isEmpty) meta.schema
+    else StructType(meta.schema.fields.map(f =>
+      if (morKeyCols.contains(f.name)) f.copy(nullable = false) else f))
   override def partitioning(): Array[Transform] = meta.bucket match {
     case Some((n, c)) => Array(Expressions.bucket(n, c))
     case None => meta.partitionCols.map(Expressions.identity).toArray
@@ -1810,7 +2090,7 @@ private[storage] class GraftTable(
         case None => meta.partitionCols.map(Expressions.identity(_))
       }
     org.apache.spark.sql.graftshim.Spj.prunedScanBuilder(
-      pt, opts, keys, fileStats, dir, fileBlooms)
+      pt, opts, keys, fileStats, dir, fileBlooms, eqDeleteSpec)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

@@ -37,11 +37,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * may hold matches; a MERGE (whose ON condition is not a static filter)
   * rewrites the table's live set — the documented copy-on-write
   * worst case, correct and loud rather than subtly partial. */
-private[storage] final class GraftRowLevelOperation(
+private[storage] class GraftRowLevelOperation(
     dir: String,
     meta: GraftTableMeta,
     tableName: String,
-    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+    cmd: RowLevelOperation.Command,
+    eqDel: Option[org.apache.spark.sql.graftshim.EqDeleteSpec] = None)
+  extends RowLevelOperation {
 
   /** Table-dir-relative files the rewrite scan planned — what commit
     * replaces. Set exactly once, when the scan is built. */
@@ -58,7 +60,7 @@ private[storage] final class GraftRowLevelOperation(
   override def description(): String = s"GraftCowOperation($cmd, $tableName)"
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CowScanBuilder(this, dir, meta, options)
+    new CowScanBuilder(this, dir, meta, options, eqDel)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -78,7 +80,8 @@ private[storage] final class CowScanBuilder(
     op: GraftRowLevelOperation,
     dir: String,
     meta: GraftTableMeta,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    eqDel: Option[org.apache.spark.sql.graftshim.EqDeleteSpec] = None)
   extends ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
@@ -137,8 +140,33 @@ private[storage] final class CowScanBuilder(
       Some(meta.schema), classOf[ParquetFileFormat])
     val underlying = ParquetScanBuilder(
       spark, pt.fileIndex, pt.schema, pt.dataSchema, opts)
-    requiredSchema.foreach(underlying.pruneColumns)
-    underlying.build()
+    // pending equality deletes: the rewrite scan must not see deleted
+    // rows (a stale row would re-match the MERGE source or be copied
+    // back by the rewrite) — force the key columns into the read and
+    // wrap with the same row-side apply every table read gets
+    val extended = (requiredSchema, eqDel) match {
+      case (Some(r), Some(spec)) =>
+        Some(StructType(r.fields ++ spec.keyCols
+          .filterNot(r.fieldNames.contains)
+          .map(k => meta.schema(meta.schema.fieldIndex(k)))))
+      case (r, _) => r
+    }
+    extended.foreach(underlying.pruneColumns)
+    val scan = underlying.build()
+    eqDel match {
+      case Some(spec) =>
+        val full = scan.readSchema()
+        val requested = requiredSchema.getOrElse(meta.schema)
+        val forced = spec.keyCols.filterNot(requested.fieldNames.contains).toSet
+        val outFields = full.fields.filterNot(f => forced.contains(f.name))
+        org.apache.spark.sql.graftshim.EqDeleteScan(scan,
+          StructType(outFields),
+          outFields.map(f => full.fieldIndex(f.name)).toSeq,
+          spec.keyCols.map(full.fieldIndex),
+          spec.keyCols.map(k => full(full.fieldIndex(k)).dataType),
+          spec)
+      case None => scan
+    }
   }
 }
 
@@ -240,4 +268,213 @@ private[storage] final class CowBatchWrite(
     val fs = root.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
     fs.delete(new Path(root, stagingRel), true)
   }
+}
+
+// ── merge-on-read (DELTA-based) row-level operations ─────────────────────
+
+/** DELTA-based (merge-on-read) row-level operation — selected by table
+  * property `write.merge.mode=merge-on-read` with `merge.key` naming the
+  * row identity. Spark plans a `WriteDelta` instead of a full-group
+  * rewrite: only MATCHED rows (plus inserts) flow to the writer, which
+  * records replaced/deleted rows as key values in an equality-delete
+  * sidecar and new rows as ordinary appended data files. Commit publishes
+  * `prior + newFiles + sidecar` — nothing is rewritten, so merge cost is
+  * proportional to the DELTA (the Iceberg MoR cost model); reads apply
+  * the sidecars row-side ([[org.apache.spark.sql.graftshim.EqDeleteScan]])
+  * until compaction folds them in. */
+private[storage] final class GraftDeltaOperation(
+    dir: String,
+    meta: GraftTableMeta,
+    tableName: String,
+    cmd: RowLevelOperation.Command,
+    keyCols: Seq[String],
+    eqDel: Option[org.apache.spark.sql.graftshim.EqDeleteSpec])
+  extends GraftRowLevelOperation(dir, meta, tableName, cmd, eqDel)
+  with org.apache.spark.sql.connector.write.SupportsDelta {
+
+  override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    keyCols.map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+
+  override def description(): String = s"GraftDeltaOperation($cmd, $tableName)"
+
+  override def newWriteBuilder(info: LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new org.apache.spark.sql.connector.write.DeltaWrite {
+          override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite =
+            new GraftDeltaBatchWrite(GraftDeltaOperation.this, dir, meta,
+              keyCols, info.queryId())
+        }
+    }
+}
+
+private[storage] final case class GraftDeltaCommitMessage(
+    files: Seq[(String, String)],
+    deleteFragment: Option[String],
+    numDeletes: Long) extends WriterCommitMessage
+
+/** Publishes a delta commit: promote the appended data files like any
+  * write, consolidate the per-task delete-key fragments into ONE
+  * `_eqdel-*` sidecar at the table root, and write the next manifest as
+  * `prior + staged` with the sidecar recorded in an `# eqdel:` header —
+  * at (scan snapshot + 1), so a concurrent commit fails the exclusive
+  * create exactly like the copy-on-write path. */
+private[storage] final class GraftDeltaBatchWrite(
+    op: GraftRowLevelOperation,
+    dir: String,
+    meta: GraftTableMeta,
+    keyCols: Seq[String],
+    queryId: String)
+  extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+
+  private val stagingRel = s"_staging-$queryId"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriterFactory = {
+    val inner = GraftWriterFactory(s"$dir/$stagingRel", meta.schema,
+      meta.partitionCols,
+      GraftCatalog.parquetWriteConfs(SparkSession.active), queryId,
+      meta.properties.get(GraftCatalog.TargetFileRowsProp)
+        .flatMap(_.toLongOption).filter(_ > 0).getOrElse(0L),
+      meta.bucket)
+    val keyTypes = keyCols.map(c =>
+      meta.schema(meta.schema.fieldIndex(c)).dataType)
+    GraftDeltaWriterFactory(inner, s"$dir/$stagingRel", keyCols, keyTypes)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    val scanSnap = op.scanSnapshot
+    require(scanSnap >= 0, "delta commit without a planned rewrite scan")
+    val prior = GraftCatalog.readManifest(fs, root, scanSnap)
+      .getOrElse(GraftCatalog.listDataFiles(fs, root))
+    val msgs = messages.map(_.asInstanceOf[GraftDeltaCommitMessage])
+    val staged = msgs.flatMap(_.files)
+    staged.foreach { case (part, file) =>
+      val dst = if (part.isEmpty) root else new Path(root, part)
+      fs.mkdirs(dst)
+      val src = if (part.isEmpty) new Path(root, s"$stagingRel/$file")
+                else new Path(root, s"$stagingRel/$part/$file")
+      val target = new Path(dst, file)
+      if (fs.exists(target) || !fs.rename(src, target))
+        throw new java.io.IOException(
+          s"delta commit failed: cannot promote $src to $target")
+    }
+    // consolidate the per-task delete fragments (delta-sized) into one
+    // sidecar; written root-side BEFORE the manifest so a conflicting
+    // commit leaves only an unreferenced sidecar for vacuum to reclaim
+    val fragKeys: Seq[Array[Byte]] = msgs.toSeq.flatMap(_.deleteFragment).flatMap { frag =>
+      GraftCatalog.readEqDelSidecar(fs, new Path(root, s"$stagingRel/$frag"), keyCols)
+    }
+    val sidecar: Option[String] =
+      if (fragKeys.isEmpty) None
+      else {
+        val name = s"_eqdel-${java.util.UUID.randomUUID().toString.take(12)}.bin"
+        GraftCatalog.writeEqDelSidecar(fs, new Path(root, name), keyCols,
+          fragKeys.iterator)
+        Some(name)
+      }
+    fs.delete(new Path(root, stagingRel), true)
+    val stagedRel = staged.map { case (p, f) => if (p.isEmpty) f else s"$p/$f" }
+    try GraftCatalog.writeSnapshotAt(fs, root, scanSnap + 1,
+      (prior ++ stagedRel).distinct,
+      GraftCatalog.readTxns(fs, root, scanSnap),
+      newEqDels = sidecar.toSeq)
+    catch { case e: Throwable =>
+      sidecar.foreach(s => fs.delete(new Path(root, s), false))
+      throw e
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(root, stagingRel), true)
+  }
+}
+
+private[storage] final case class GraftDeltaWriterFactory(
+    inner: DataWriterFactory,
+    stagingDir: String,
+    keyCols: Seq[String],
+    keyTypes: Seq[org.apache.spark.sql.types.DataType])
+  extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] =
+    new GraftDeltaWriter(inner.createWriter(partitionId, taskId),
+      stagingDir, keyCols, keyTypes, partitionId, taskId)
+}
+
+/** Per-task delta writer: inserts (and the new halves of updates) go to
+  * the ordinary partition-routing data writer; deleted / replaced rows'
+  * key values stream to a per-task fragment in the staging dir as
+  * length-prefixed UnsafeRow bytes (byte-stable for the validated atomic
+  * key types — the exact representation the read side probes). */
+private[storage] final class GraftDeltaWriter(
+    inner: org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow],
+    stagingDir: String,
+    keyCols: Seq[String],
+    keyTypes: Seq[org.apache.spark.sql.types.DataType],
+    partitionId: Int,
+    taskId: Long)
+  extends org.apache.spark.sql.connector.write.DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+
+  private val fragRel = s"_eqdel-frag-$partitionId-$taskId.bin"
+  private var out: java.io.DataOutputStream = _
+  private var nDel = 0L
+  // the id row is Spark's rowId projection: fields in rowId() order
+  private val keyProj = UnsafeProjection.create(
+    keyTypes.zipWithIndex.map { case (t, i) =>
+      BoundReference(i, t, nullable = true)
+    }.toIndexedSeq)
+
+  private def delOut(): java.io.DataOutputStream = {
+    if (out == null) {
+      val p = new Path(s"$stagingDir/$fragRel")
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      out = new java.io.DataOutputStream(
+        new java.io.BufferedOutputStream(fs.create(p, false)))
+      out.writeUTF(GraftCatalog.EqDelMagic)
+      out.writeUTF(keyCols.mkString(","))
+    }
+    out
+  }
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+    val k = keyProj(id)
+    val bytes = k.getBytes
+    val o = delOut()
+    o.writeInt(bytes.length)
+    o.write(bytes)
+    nDel += 1
+  }
+
+  override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+    delete(metadata, id)
+    insert(row)
+  }
+
+  override def insert(row: InternalRow): Unit = inner.write(row)
+
+  override def commit(): WriterCommitMessage = {
+    if (out != null) out.close()
+    val files = inner.commit().asInstanceOf[GraftCommitMessage].files
+    GraftDeltaCommitMessage(files,
+      if (nDel > 0) Some(fragRel) else None, nDel)
+  }
+
+  override def abort(): Unit = {
+    if (out != null) { try out.close() catch { case _: Throwable => () } }
+    inner.abort()
+  }
+
+  override def close(): Unit = inner.close()
 }

@@ -75,8 +75,10 @@ object Spj {
       keys: Seq[V2Expression],
       fileStats: Map[String, Map[String, graft.storage.GraftCatalog.ColStat]],
       tableDir: String,
-      fileBlooms: Map[String, Map[String, graft.storage.GraftCatalog.FileBloom]]): ScanBuilder =
-    new KeyedParquetScanBuilder(table, options, keys, fileStats, tableDir, fileBlooms)
+      fileBlooms: Map[String, Map[String, graft.storage.GraftCatalog.FileBloom]],
+      eqDeletes: Option[EqDeleteSpec] = None): ScanBuilder =
+    new KeyedParquetScanBuilder(table, options, keys, fileStats, tableDir,
+      fileBlooms, eqDeletes)
 }
 
 /** Delegates the full parquet pushdown surface (catalyst filters, column
@@ -95,7 +97,8 @@ final class KeyedParquetScanBuilder(
     keys: Seq[V2Expression],
     fileStats: Map[String, Map[String, graft.storage.GraftCatalog.ColStat]],
     tableDir: String,
-    fileBlooms: Map[String, Map[String, graft.storage.GraftCatalog.FileBloom]] = Map.empty)
+    fileBlooms: Map[String, Map[String, graft.storage.GraftCatalog.FileBloom]] = Map.empty,
+    eqDeletes: Option[EqDeleteSpec] = None)
   extends ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -120,8 +123,24 @@ final class KeyedParquetScanBuilder(
     else p.substring(p.lastIndexOf('/') + 1)
   }
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    underlying.pruneColumns(requiredSchema)
+  // original pruning request, kept so the equality-delete wrapper can
+  // hide the key columns it forced into the read
+  private var requestedSchema: Option[StructType] = None
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    requestedSchema = Some(requiredSchema)
+    val extended = eqDeletes match {
+      case Some(spec) =>
+        // pending deletes need the key columns to probe — force any the
+        // query didn't ask for into the read; build() projects them off
+        val missing = spec.keyCols
+          .filterNot(requiredSchema.fieldNames.contains)
+          .map(k => table.schema(table.schema.fieldIndex(k)))
+        StructType(requiredSchema.fields ++ missing)
+      case None => requiredSchema
+    }
+    underlying.pruneColumns(extended)
+  }
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
     if (filters.nonEmpty) sawFilters = true
@@ -160,6 +179,10 @@ final class KeyedParquetScanBuilder(
     // plans as a LocalTableScan of ONE pre-aggregated row. Partial-pushdown
     // protocol (supportCompletePushDown stays false), so Spark's final
     // aggregate folds that row with full-scan semantics.
+    // pending equality deletes: neither manifest row counts nor parquet
+    // footer counts see the deleted rows — no aggregate pushdown of any
+    // kind until compaction folds the deletes in
+    if (eqDeletes.isDefined) { manifestAgg = None; return false }
     manifestAgg =
       if (sawFilters || fileStats.isEmpty ||
         table.sparkSession.conf
@@ -194,18 +217,36 @@ final class KeyedParquetScanBuilder(
   }
   override def supportCompletePushDown(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    if (manifestAgg.isDefined) false
+    if (manifestAgg.isDefined || eqDeletes.isDefined) false
     else underlying.supportCompletePushDown(aggregation)
 
   override def build(): Scan = manifestAgg match {
     case Some((schema, rows)) => ManifestAggScan(table.name, schema, rows)
-    case None =>
-      val pschema = servedTable.fileIndex.partitionSchema
-      underlying.build() match {
-        case p: ParquetScan if pschema.nonEmpty && keys.nonEmpty =>
-          KeyedScan(p, pschema, keys)
-        case other => other
-      }
+    case None => eqDeletes match {
+      case Some(spec) =>
+        // merge-on-read with pending deletes: wrap the parquet scan with
+        // the row-side delete apply. No SPJ grouping while deletes are
+        // pending (the wrapper re-plans to single-file partitions) — the
+        // documented read tax compaction clears.
+        val scan = underlying.build()
+        val full = scan.readSchema()
+        val requested = requestedSchema.getOrElse(table.schema)
+        val forced = spec.keyCols.filterNot(requested.fieldNames.contains).toSet
+        val outFields = full.fields.filterNot(f => forced.contains(f.name))
+        EqDeleteScan(scan,
+          StructType(outFields),
+          outFields.map(f => full.fieldIndex(f.name)).toSeq,
+          spec.keyCols.map(full.fieldIndex),
+          spec.keyCols.map(k => full(full.fieldIndex(k)).dataType),
+          spec)
+      case None =>
+        val pschema = servedTable.fileIndex.partitionSchema
+        underlying.build() match {
+          case p: ParquetScan if pschema.nonEmpty && keys.nonEmpty =>
+            KeyedScan(p, pschema, keys)
+          case other => other
+        }
+    }
   }
 }
 

@@ -1,0 +1,212 @@
+package graft.storage
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Merge-on-read row-level DML (`write.merge.mode=merge-on-read` +
+  * `merge.key`): SQL MERGE/UPDATE commit a DELTA — appended replacement
+  * rows plus an equality-delete sidecar — instead of rewriting candidate
+  * files, and every read path applies the pending deletes with Iceberg's
+  * sequence rule (a delete applies only to rows of files ADDED before
+  * it, so re-inserted keys are never suppressed). Compaction folds the
+  * deletes into data files; vacuum reclaims unreferenced sidecars. */
+class MergeOnReadSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val wh = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-morwh").toString
+    spark.conf.set("spark.sql.catalog.morcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.morcat.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS morcat.s")
+    dir
+  }
+
+  private def cat = spark.sessionState.catalogManager.catalog("morcat")
+    .asInstanceOf[GraftCatalog]
+  private def id(name: String) =
+    org.apache.spark.sql.connector.catalog.Identifier.of(Array("s"), name)
+
+  private def createMor(name: String, rows: Seq[(Long, String)]): Unit =
+    rows.toDF("id", "w").repartition(1)
+      .writeTo(s"morcat.s.$name").using("parquet")
+      .tableProperty(GraftCatalog.MergeModeProp, "merge-on-read")
+      .tableProperty(GraftCatalog.MergeKeyProp, "id")
+      .createOrReplace()
+
+  private def manifestFiles(name: String): Seq[String] = {
+    val dir = new Path(s"$wh/s/$name")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    GraftCatalog.readManifest(fs, dir,
+      GraftCatalog.latestSnapshot(fs, dir)).get
+  }
+
+  private def eqDels(name: String): Seq[(String, Long)] = {
+    val dir = new Path(s"$wh/s/$name")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    GraftCatalog.readEqDels(fs, dir, GraftCatalog.latestSnapshot(fs, dir))
+  }
+
+  test("MERGE INTO commits a delta: no data file rewritten, results and " +
+    "time travel correct, counts right with deletes pending") {
+    wh
+    createMor("m1", Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    val before = manifestFiles("m1").toSet
+    Seq((2L, "B", "u"), (3L, "c", "d"), (4L, "D", "u"))
+      .toDF("id", "w", "op").createOrReplaceTempView("m1_changes")
+    spark.sql("""
+      MERGE INTO morcat.s.m1 t USING m1_changes s ON t.id = s.id
+      WHEN MATCHED AND s.op = 'd' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET w = s.w
+      WHEN NOT MATCHED THEN INSERT (id, w) VALUES (s.id, s.w)""")
+    spark.catalog.refreshTable("morcat.s.m1")
+    val out = spark.table("morcat.s.m1").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "a"), (2L, "B"), (4L, "D")), s"got $out")
+    // THE merge-on-read contract: every pre-merge file is still live —
+    // the commit only ADDED files (and one delete sidecar)
+    assert(before.subsetOf(manifestFiles("m1").toSet),
+      "merge-on-read must not drop or rewrite existing files")
+    assert(eqDels("m1").size == 1)
+    val hist = cat.history(id("m1")).last
+    assert(hist._5 == 0, s"no file removed by the delta commit, got $hist")
+    // aggregates cannot be answered from footers/manifest row counts
+    // while deletes are pending
+    assert(spark.table("morcat.s.m1").count() == 3L)
+    assert(spark.table("morcat.s.m1").filter(col("id") === 3L).count() == 0L)
+    // pre-merge snapshot unaffected
+    assert(spark.sql("SELECT * FROM morcat.s.m1 VERSION AS OF 1").count() == 3L)
+    assert(spark.sql(
+      "SELECT w FROM morcat.s.m1 VERSION AS OF 1 WHERE id = 2")
+      .head.getString(0) == "b")
+  }
+
+  test("sequence rule: a key re-inserted AFTER its delete survives; " +
+    "stacked merges apply newest-wins") {
+    wh
+    createMor("m2", Seq((1L, "a"), (2L, "b")))
+    Seq((2L, "x")).toDF("id", "w").createOrReplaceTempView("m2_del")
+    spark.sql("""MERGE INTO morcat.s.m2 t USING m2_del s ON t.id = s.id
+      WHEN MATCHED THEN DELETE""")
+    spark.catalog.refreshTable("morcat.s.m2")
+    assert(spark.table("morcat.s.m2").count() == 1L)
+    // plain append re-inserts the deleted key: the old delete must NOT
+    // suppress the new row (its file is newer than the delete)
+    Seq((2L, "b2")).toDF("id", "w").writeTo("morcat.s.m2").append()
+    spark.catalog.refreshTable("morcat.s.m2")
+    val out = spark.table("morcat.s.m2").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "a"), (2L, "b2")), s"got $out")
+    // a SECOND merge deletes the re-inserted row: two sidecars pending,
+    // the newer one applies to the newer file
+    spark.sql("""MERGE INTO morcat.s.m2 t USING m2_del s ON t.id = s.id
+      WHEN MATCHED THEN DELETE""")
+    spark.catalog.refreshTable("morcat.s.m2")
+    assert(spark.table("morcat.s.m2").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(eqDels("m2").size == 2)
+  }
+
+  test("SQL UPDATE on a merge-on-read table routes through the delta " +
+    "path: prior files intact") {
+    wh
+    createMor("m3", Seq((1L, "a"), (2L, "b")))
+    val before = manifestFiles("m3").toSet
+    spark.sql("UPDATE morcat.s.m3 SET w = 'Z' WHERE id = 1")
+    spark.catalog.refreshTable("morcat.s.m3")
+    val out = spark.table("morcat.s.m3").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "Z"), (2L, "b")), s"got $out")
+    assert(before.subsetOf(manifestFiles("m3").toSet))
+    assert(eqDels("m3").nonEmpty)
+  }
+
+  test("compaction folds pending deletes into data files; vacuum " +
+    "reclaims the sidecars") {
+    wh
+    createMor("m4", Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    Seq((2L, "B", "u"), (3L, "c", "d")).toDF("id", "w", "op")
+      .createOrReplaceTempView("m4_changes")
+    spark.sql("""MERGE INTO morcat.s.m4 t USING m4_changes s ON t.id = s.id
+      WHEN MATCHED AND s.op = 'd' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET w = s.w""")
+    spark.catalog.refreshTable("morcat.s.m4")
+    assert(eqDels("m4").nonEmpty)
+    cat.compact(spark, "s.m4")
+    spark.catalog.refreshTable("morcat.s.m4")
+    // the deletes are folded in: manifest carries no eqdel refs, results
+    // unchanged
+    assert(eqDels("m4").isEmpty,
+      "compaction must clear pending equality deletes")
+    val out = spark.table("morcat.s.m4").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "a"), (2L, "B")), s"got $out")
+    cat.vacuum(id("m4"), keepLast = 1)
+    val dir = new Path(s"$wh/s/m4")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sidecars = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("_eqdel-"))
+    assert(sidecars.isEmpty, s"vacuum must reclaim sidecars, left ${sidecars.toSeq}")
+    assert(spark.table("morcat.s.m4").count() == 2L)
+  }
+
+  test("partitioned merge-on-read table: delta rows land in their " +
+    "partitions, reads stay partition-prunable and delete-correct") {
+    wh
+    Seq((1L, "a", "p1"), (2L, "b", "p1"), (3L, "c", "p2"))
+      .toDF("id", "w", "p").repartition(1)
+      .writeTo("morcat.s.m5").using("parquet")
+      .tableProperty(GraftCatalog.MergeModeProp, "merge-on-read")
+      .tableProperty(GraftCatalog.MergeKeyProp, "id")
+      .partitionedBy(col("p"))
+      .createOrReplace()
+    Seq((2L, "B2", "p1", "u"), (3L, "c", "p2", "d"), (4L, "D", "p2", "u"))
+      .toDF("id", "w", "p", "op").createOrReplaceTempView("m5_changes")
+    spark.sql("""MERGE INTO morcat.s.m5 t USING m5_changes s ON t.id = s.id
+      WHEN MATCHED AND s.op = 'd' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET w = s.w
+      WHEN NOT MATCHED THEN INSERT (id, w, p) VALUES (s.id, s.w, s.p)""")
+    spark.catalog.refreshTable("morcat.s.m5")
+    val out = spark.table("morcat.s.m5").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(out == Seq((1L, "a", "p1"), (2L, "B2", "p1"), (4L, "D", "p2")),
+      s"got $out")
+    // partition filter composes with the delete apply
+    assert(spark.table("morcat.s.m5").filter(col("p") === "p2")
+      .collect().map(_.getLong(0)).toSeq == Seq(4L))
+  }
+
+  test("copy-on-write machinery on a table with pending deletes does not " +
+    "resurrect deleted rows") {
+    wh
+    createMor("m6", Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    Seq((2L, "x")).toDF("id", "w").createOrReplaceTempView("m6_del")
+    spark.sql("""MERGE INTO morcat.s.m6 t USING m6_del s ON t.id = s.id
+      WHEN MATCHED THEN DELETE""")
+    spark.catalog.refreshTable("morcat.s.m6")
+    // Scala-side copy-on-write delete (the SupportsDelete path): it
+    // rewrites candidate FILES, whose raw bytes still hold row id=2 —
+    // the rewrite must apply the pending delete, not copy it back
+    cat.deleteWhere(spark, "s.m6", col("id") === 3L)
+    spark.catalog.refreshTable("morcat.s.m6")
+    val out = spark.table("morcat.s.m6").collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(1L), s"got ${out.toSeq}")
+  }
+
+  test("merge-on-read without merge.key fails loudly") {
+    wh
+    Seq((1L, "a")).toDF("id", "w")
+      .writeTo("morcat.s.m7").using("parquet")
+      .tableProperty(GraftCatalog.MergeModeProp, "merge-on-read")
+      .createOrReplace()
+    Seq((1L, "b")).toDF("id", "w").createOrReplaceTempView("m7_changes")
+    val e = intercept[Exception] {
+      spark.sql("""MERGE INTO morcat.s.m7 t USING m7_changes s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET w = s.w""")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("merge.key")), s"got $e")
+  }
+}
