@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.storage.GraftCatalog
+
+/** Scale probe for the merge-on-read cost claim: the SAME delta-sized
+  * MERGE INTO against a table big enough that the copy-on-write rewrite
+  * cost is visible (the sf0.1 DML bench group's 5 k-row tables are too
+  * small — there, CoW's full rewrite is trivially cheap and MoR's fixed
+  * overhead dominates).
+  *
+  * Builds an n-row table in `files` data files twice — once
+  * copy-on-write, once merge-on-read — and merges a `delta`-row change
+  * set (half updates, half inserts) into each. Reports seconds, the
+  * number of pre-merge files still live after the commit, and the
+  * post-merge read time (MoR pays a read tax until compaction — that's
+  * the trade being measured, not hidden). Prints one JSON line; numbers
+  * recorded in SCALE.md §merge-on-read.
+  */
+object MergeScaleBench {
+
+  private def time[A](f: => A): (Double, A) = {
+    val t0 = System.nanoTime(); val a = f; ((System.nanoTime() - t0) / 1e9, a)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(2000000L)
+    val files = args.lift(1).map(_.toInt).getOrElse(64)
+    val delta = args.lift(2).map(_.toLong).getOrElse(10000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val wh = java.nio.file.Files.createTempDirectory("graft-mergescale").toString
+    spark.conf.set("spark.sql.catalog.msb", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.msb.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS msb.s")
+
+    def base = spark.range(n).select(col("id"),
+      (col("id") % 9973).alias("v"),
+      concat(lit("row-"), col("id")).alias("payload"))
+    // half the delta updates existing spread-out keys, half inserts new
+    def src = spark.range(0, delta / 2).select(
+        (col("id") * lit(n / (delta / 2))).alias("id"),
+        lit(-1L).alias("v"), lit("updated").alias("payload"))
+      .unionByName(spark.range(n, n + delta / 2).select(col("id"),
+        lit(-2L).alias("v"), lit("inserted").alias("payload")))
+
+    def build(name: String, mor: Boolean): Unit = {
+      val w = base.repartition(files)
+        .writeTo(s"msb.s.$name").using("parquet")
+      (if (mor)
+        w.tableProperty(GraftCatalog.MergeModeProp, "merge-on-read")
+          .tableProperty(GraftCatalog.MergeKeyProp, "id")
+      else w).createOrReplace()
+    }
+
+    def liveFiles(name: String): Set[String] = {
+      val dir = new Path(s"$wh/s/$name")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      GraftCatalog.liveDataFiles(fs, dir).toSet
+    }
+
+    def merge(name: String): Double = {
+      src.createOrReplaceTempView("msb_src")
+      val (sec, _) = time {
+        spark.sql(s"""MERGE INTO msb.s.$name t USING msb_src s ON t.id = s.id
+          WHEN MATCHED THEN UPDATE SET v = s.v, payload = s.payload
+          WHEN NOT MATCHED THEN INSERT *""")
+      }
+      spark.catalog.refreshTable(s"msb.s.$name")
+      sec
+    }
+
+    build("cow", mor = false); build("mor", mor = true)
+    val cowBefore = liveFiles("cow"); val morBefore = liveFiles("mor")
+    val cowSec = merge("cow")
+    val morSec = merge("mor")
+    val cowSurvived = (cowBefore intersect liveFiles("cow")).size
+    val morSurvived = (morBefore intersect liveFiles("mor")).size
+    val (cowRead, cowCnt) = time(spark.table("msb.s.cow").count())
+    val (morRead, morCnt) = time(spark.table("msb.s.mor").count())
+    require(cowCnt == morCnt, s"result divergence: $cowCnt vs $morCnt")
+    val (compactSec, _) = time {
+      spark.sessionState.catalogManager.catalog("msb")
+        .asInstanceOf[GraftCatalog].compact(spark, "s.mor", 8)
+    }
+    spark.catalog.refreshTable("msb.s.mor")
+    val (morReadAfter, _) = time(spark.table("msb.s.mor").count())
+    println(f"""{"bench":"merge_scale","rows":$n,"files":$files,"delta":$delta,"cow_merge_sec":$cowSec%.3f,"mor_merge_sec":$morSec%.3f,"cow_files_survived":$cowSurvived,"cow_files_before":${cowBefore.size},"mor_files_survived":$morSurvived,"mor_files_before":${morBefore.size},"cow_read_sec":$cowRead%.3f,"mor_read_sec":$morRead%.3f,"rows_after":$cowCnt,"mor_compact_sec":$compactSec%.3f,"mor_read_after_compact_sec":$morReadAfter%.3f}""")
+    spark.stop()
+  }
+}

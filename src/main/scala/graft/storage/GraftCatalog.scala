@@ -1287,6 +1287,12 @@ object GraftCatalog {
         }
       }.toMap
 
+  /** Live data-file set of the dir's latest snapshot (diagnostics /
+    * benches: lets a caller verify which files a commit left in place). */
+  def liveDataFiles(fs: FileSystem, dir: Path): Seq[String] =
+    readManifest(fs, dir, latestSnapshot(fs, dir))
+      .getOrElse(listDataFiles(fs, dir))
+
   /** Per-file add-sequence map (`# add:` headers) of snapshot `snap`. */
   private[storage] def readAddMap(
       fs: FileSystem, dir: Path, snap: Long): Map[String, Long] =
