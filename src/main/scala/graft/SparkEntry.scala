@@ -563,6 +563,14 @@ object SparkEntry {
       Dedup.exciseDuplicateSpans(docs(s, dir), "doc_id", "text", k = 8,
           tokenHash = Dedup.oracleHash)
         .orderBy("doc_id")),
+    // The SAME excision derived from the suffix array (Lee et al. §4's
+    // actual construction): rank-adjacent classes chained by
+    // lcp_next >= k are the distinct duplicated windows — one index
+    // answers every span length, no per-k hash pass. Bit-identical
+    // output, checked against the fixed-k oracle.
+    "dedup_excise_sa" -> ((s, dir) =>
+      Dedup.exciseDuplicateSpansSA(docs(s, dir), "doc_id", "text", k = 8)
+        .orderBy("doc_id")),
     // Distributed suffix-array ranks by prefix doubling (Manber–Myers /
     // Flick–Aluru; the Lee et al. 2107.06499 §4 index) — ⌈log₂ maxlen⌉
     // rounds of bounded shuffles, dense ranks via the range-sort
@@ -4071,6 +4079,9 @@ object SparkEntry {
     "text_source_overlap" -> sourceOverlapSql,
     "dedup_span" -> spanDupsSql,
     "dedup_excise" -> exciseSql,
+    // the suffix-array derivation must reproduce the fixed-k excision
+    // bit-for-bit — same oracle
+    "dedup_excise_sa" -> exciseSql,
     "dedup_suffix_array" ->
       """WITH tk AS (
            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t

@@ -1115,6 +1115,26 @@ object Dedup {
       textCol: String,
       lcpCap: Int = 32): DataFrame = {
     val (ranks, levels) = suffixRankLevels(docs, idCol, textCol)
+    lcpClasses(ranks, levels, startWidth = 1, cap = lcpCap)
+      .select(col("r").alias("rank"), col("n_occurrences"),
+        col("doc_a").alias(idCol), col("pos_a").alias("pos"),
+        col("acc").alias("lcp_next"))
+  }
+
+  /** The shared LCP core: one row per dense rank class —
+    * `(r, n_occurrences, doc_a, pos_a, acc)` where `(doc_a, pos_a)` is
+    * the class's smallest occurrence and `acc = min(lcp with the next
+    * class in rank order, cap)`. The walk is the classic descending
+    * doubling over [[suffixRankLevels]]' level stack, generalized to its
+    * `startWidth`: `levels(j)` ranks `startWidth·2^j`-token blocks, so
+    * each agreeing level extends the proven common prefix by that width.
+    * `cap` must be reachable by the available widths (guaranteed when
+    * `startWidth` divides it). */
+  private def lcpClasses(
+      ranks: DataFrame,
+      levels: Seq[DataFrame],
+      startWidth: Int,
+      cap: Int): DataFrame = {
     // one representative (smallest (doc,pos)) + occurrence count per rank
     val classes = ranks
       .groupBy(col("r"))
@@ -1130,13 +1150,13 @@ object Dedup {
         Seq("r"), "left")
       .withColumn("acc", lit(0L))
       .localCheckpoint(false)
-    // descending doubling: levels(j) ranks 2^j-token blocks; stay under
-    // the cap so the emitted value is exactly least(true lcp, cap)
+    // descending doubling under the cap, so the emitted value is exactly
+    // least(true lcp, cap)
     val top = math.min(levels.size - 1,
-      (31 - Integer.numberOfLeadingZeros(math.max(1, lcpCap))))
+      31 - Integer.numberOfLeadingZeros(math.max(1, cap / startWidth)))
     for (j <- top to 0 by -1) {
       val lvl = levels(j)
-      val width = 1L << j
+      val width = startWidth.toLong << j
       val ra = lvl.select(col("__id").alias("__da"), col("pos").alias("__pa"),
         col("r").alias("__ra"))
       val rb = lvl.select(col("__id").alias("__db"), col("pos").alias("__pb"),
@@ -1148,13 +1168,84 @@ object Dedup {
           (col("pos_b") + col("acc")) === col("__pb"), "left")
         .withColumn("acc",
           when(col("__ra").isNotNull && col("__rb").isNotNull &&
-            col("__ra") === col("__rb") && col("acc") + width <= lcpCap,
+            col("__ra") === col("__rb") && col("acc") + width <= cap,
             col("acc") + width).otherwise(col("acc")))
         .drop("__da", "__pa", "__ra", "__db", "__pb", "__rb")
         .localCheckpoint(false)
     }
-    pairs.select(col("r").alias("rank"), col("n_occurrences"),
-      col("doc_a").alias(idCol), col("pos_a").alias("pos"),
-      col("acc").alias("lcp_next"))
+    pairs.select(col("r"), col("n_occurrences"),
+      col("doc_a"), col("pos_a"), col("acc"))
+  }
+
+  /** [[exciseDuplicateSpans]] driven by the SUFFIX ARRAY instead of
+    * fixed-k window hashes — Lee et al.'s (arXiv:2107.06499 §4) actual
+    * construction: build the rank/LCP index ONCE, then derive any span
+    * length's cut list from it. Two positions host the same k-token
+    * window iff their suffixes share a k-prefix, i.e. they fall in the
+    * same maximal RUN of rank-adjacent classes chained by
+    * `lcp_next >= k` — so runs ARE the distinct duplicated windows, the
+    * run's smallest (doc, pos) is the kept first occurrence, and every
+    * other valid window start in the run is cut. Output and semantics
+    * are bit-identical to the fixed-k path (same oracle); the win is
+    * that ONE index answers every k (re-run this derivation per k), vs
+    * one full hash pass per k.
+    *
+    * Scale shape: the index is [[suffixRankLevels]]' log-round bounded
+    * shuffles (built with `startWidth` = the largest power of two
+    * dividing k, so the LCP walk's widths can express exactly k); the
+    * run assignment is one two-pass [[graft.ops.TrainPrep
+    * .groupedRunningSum]] over the CLASS table in rank order; cuts and
+    * the rewrite are the fixed-k path's own tail (one run-keyed
+    * aggregate, the two-pointer excision). */
+  def exciseDuplicateSpansSA(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"span length must be positive, got $k")
+    import graft.ops.{TrainPrep => TP}
+    val sw = Integer.highestOneBit(k & -k) // largest power of two dividing k
+    val (ranks, levels) = suffixRankLevels(docs, idCol, textCol, sw)
+    val cls = lcpClasses(ranks, levels, sw, cap = k).localCheckpoint(false)
+    // a class STARTS a new run when its predecessor does not k-extend
+    // into it (lcp(prev, this) < k); run id = inclusive running count of
+    // starts in rank order — rank-contiguity of equal k-prefixes makes
+    // runs exactly the distinct duplicated windows
+    val prevLcp = cls.select((col("r") + 1L).alias("r"),
+      col("acc").alias("__plcp"))
+    val brk = cls.join(prevLcp, Seq("r"), "left")
+      .select(col("r"),
+        when(coalesce(col("__plcp"), lit(0L)) >= k, 0L).otherwise(1L)
+          .alias("__brk"))
+    val runs = TP.groupedRunningSum(brk, Nil, Seq("r"), col("__brk"), "run")
+      .select(col("r"), col("run"))
+    val base = docs.select(col(idCol).alias("__id"),
+      TextAnalysis.tokens(col(textCol)).alias("__toks"))
+    val lens = base.select(col("__id"),
+      size(col("__toks")).cast("long").alias("__len"))
+    // only positions that can START a k-window count or get cut
+    val valid = ranks.join(lens, Seq("__id"))
+      .filter(col("pos") <= col("__len") - k + 1)
+      .join(runs, Seq("r"))
+    val dupRuns = valid.groupBy(col("run"))
+      .agg(count(lit(1)).alias("__n"),
+        min(struct(col("__id"), col("pos"))).alias("__keep"))
+      .filter(col("__n") >= 2)
+    val cuts = valid.join(dupRuns, Seq("run"))
+      .filter(!(col("__keep.__id") === col("__id") &&
+        col("__keep.pos") === col("pos")))
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_set((col("pos") - 1).cast("int")))
+        .alias("__xs")) // ranks are 1-based; the excision is 0-based
+    val joined = base.join(cuts, Seq("__id"), "left")
+      .withColumn("__xs", coalesce(col("__xs"), array().cast("array<int>")))
+    val keptIdx = graft.functions.SketchArrayExpressions
+      .exciseKeepIndices(size(col("__toks")), col("__xs"), k)
+    joined.select(
+      col("__id").alias(idCol),
+      size(col("__toks")).cast("long").alias("n_tokens"),
+      (size(col("__toks")) - size(keptIdx)).cast("long").alias("n_removed"),
+      array_join(transform(keptIdx,
+        i => element_at(col("__toks"), i + 1)), " ").alias("clean_text"))
   }
 }

@@ -554,6 +554,27 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("exciseDuplicateSpansSA: the suffix-array derivation reproduces " +
+    "the fixed-k excision bit-for-bit, for power-of-two and odd k") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x y a b c d e f q r"),
+      (3L, "a b c d e f"),
+      (4L, "tiny doc"),
+      (5L, "p q r s p q r s p q r s"),   // within-doc period-4 repeats
+      (6L, "m n o m n o zz"),            // short-period within-doc repeat
+      (7L, "a b c d e f")                // identical whole doc (same class)
+    ).toDF("doc_id", "text")
+    for (k <- Seq(2, 3, 4, 6, 8)) {
+      val fixed = ops.Dedup.exciseDuplicateSpans(d, "doc_id", "text", k)
+        .orderBy("doc_id").collect().map(_.toString).toSeq
+      val sa = ops.Dedup.exciseDuplicateSpansSA(d, "doc_id", "text", k)
+        .orderBy("doc_id").collect().map(_.toString).toSeq
+      assert(sa == fixed, s"k=$k: SA excision diverged from fixed-k")
+    }
+  }
+
   test("trainQualityWeights: hand-computed NB posterior weights; trained " +
     "gate separates the classes it was trained on") {
     // 2 positive docs of token 'aa', 2 negative of 'bb' — buckets differ
