@@ -259,6 +259,65 @@ object Streams {
       }
       .start()
 
+  /** Streaming CDC upsert into a MERGE-ON-READ catalog table: each
+    * micro-batch resolves to one row per key (highest `seqCol` wins,
+    * `opCol` ∈ upsert/delete — [[graft.ops.Relational.mergeUpsert]]'s
+    * changelog convention) and applies as ONE SQL `MERGE INTO`. Because
+    * the target declares `write.merge.mode=merge-on-read`, every batch
+    * is a DELTA commit — appended rows plus an equality-delete sidecar,
+    * never a table rewrite — so per-batch cost tracks the BATCH, the
+    * streaming analogue of SCALE.md §merge-on-read (the truncating
+    * [[graft.storage.V2CatalogWarehouse.upsert]] rewrites the table per
+    * batch; at 100 TB that is the difference between a sink that keeps
+    * up and one that can't). Compaction on a cadence folds the
+    * accumulated sidecars, exactly as for batch merges.
+    *
+    * Effect-idempotent under at-least-once replay WITHOUT a writer txn:
+    * a keyed MERGE re-applied over the same source rows maps inserts of
+    * already-inserted keys to identical updates, updates to identical
+    * updates, and deletes of deleted keys to no matches — the end state
+    * is unchanged (the batch itself must be deterministic, as with every
+    * foreachBatch sink here). */
+  def sinkMergeMor(
+      stream: DataFrame,
+      table: String,
+      keyCol: String,
+      seqCol: String,
+      opCol: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val dataCols = spark.table(table).schema.fieldNames.toSeq
+        require(dataCols.contains(keyCol), s"$table has no column $keyCol")
+        // one row per key: the batch's newest change wins (keyed window,
+        // deterministic tie-break on the op so replays resolve alike)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol))
+          .orderBy(col(seqCol).desc, col(opCol).asc)
+        val resolved = batch
+          .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+          .localCheckpoint(true) // scanned by the merge's join twice
+        val view = s"__mor_sink_${math.abs(table.hashCode)}_$batchId"
+        resolved.createOrReplaceTempView(view)
+        val sets = dataCols.filterNot(_ == keyCol)
+          .map(c => s"$c = s.$c").mkString(", ")
+        val ins = dataCols.mkString(", ")
+        val insVals = dataCols.map(c => s"s.$c").mkString(", ")
+        spark.sql(s"""MERGE INTO $table t USING $view s
+          ON t.$keyCol = s.$keyCol
+          WHEN MATCHED AND s.$opCol = 'delete' THEN DELETE
+          WHEN MATCHED THEN UPDATE SET $sets
+          WHEN NOT MATCHED AND s.$opCol != 'delete'
+            THEN INSERT ($ins) VALUES ($insVals)""")
+        spark.catalog.refreshTable(table)
+        spark.catalog.dropTempView(view)
+        ()
+      }
+      .start()
+
   /** WAP streaming sink: every micro-batch runs a full
     * write–audit–publish cycle on an ephemeral catalog branch
     * ([[graft.storage.Wap]]). Unlike [[sinkToCatalogValidated]]'s

@@ -955,4 +955,50 @@ class StreamingSpec extends SparkSpec {
       assert(row.getAs[Double]("longitude") == 1.5)
     } finally q.stop()
   }
+
+  test("sinkMergeMor: streaming CDC upserts land as DELTA commits on a " +
+    "merge-on-read table — no file rewritten, replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory("graft-mor-sink").toString
+    spark.conf.set("spark.sql.catalog.morsink", classOf[graft.storage.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.morsink.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS morsink.s")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "w").repartition(1)
+      .writeTo("morsink.s.t").using("parquet")
+      .tableProperty(graft.storage.GraftCatalog.MergeModeProp, "merge-on-read")
+      .tableProperty(graft.storage.GraftCatalog.MergeKeyProp, "id")
+      .createOrReplace()
+    val dir = new org.apache.hadoop.fs.Path(s"$wh/s/t")
+    val fsys = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = graft.storage.GraftCatalog.liveDataFiles(fsys, dir).toSet
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-mor-ckpt").toString
+    val input = MemoryStream[(Long, String, Long, String)]
+    val q = Streams.sinkMergeMor(
+      input.toDF().toDF("id", "w", "seq", "op"),
+      "morsink.s.t", "id", "seq", "op", ckpt)
+    try {
+      // batch 1: update 2, delete 3, insert 4 — with an in-batch
+      // superseded change for key 2 (seq 1 loses to seq 2)
+      input.addData((2L, "OLD", 1L, "upsert"), (2L, "B", 2L, "upsert"),
+        (3L, "c", 1L, "delete"), (4L, "D", 1L, "upsert"))
+      q.processAllAvailable()
+      spark.catalog.refreshTable("morsink.s.t")
+      val out1 = spark.table("morsink.s.t").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(out1 == Seq((1L, "a"), (2L, "B"), (4L, "D")), s"got $out1")
+      // the defining MoR property: every pre-stream file is still live
+      assert(before.subsetOf(
+        graft.storage.GraftCatalog.liveDataFiles(fsys, dir).toSet),
+        "a streaming merge batch must not rewrite data files")
+      // batch 2 REPLAYS batch 1's changes (at-least-once source): keyed
+      // merge is effect-idempotent — same end state
+      input.addData((2L, "B", 2L, "upsert"), (3L, "c", 1L, "delete"),
+        (4L, "D", 1L, "upsert"))
+      q.processAllAvailable()
+      spark.catalog.refreshTable("morsink.s.t")
+      val out2 = spark.table("morsink.s.t").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(out2 == out1, s"replay must be a no-op, got $out2")
+    } finally q.stop()
+  }
 }

@@ -194,6 +194,109 @@ class MergeOnReadSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L), s"got ${out.toSeq}")
   }
 
+  test("untranslatable DELETE on a merge-on-read table is a SIDECAR-ONLY " +
+    "commit: zero data files written, zero rewritten") {
+    wh
+    createMor("m8", (0L until 100L).map(i => (i, s"w$i")))
+    val before = manifestFiles("m8").toSet
+    // id % 7 = 3 does not translate to a source filter -> the metadata
+    // delete path declines; on a MoR table the fallback is the DELTA
+    // path, whose delete-only commit writes a sidecar and nothing else
+    spark.sql("DELETE FROM morcat.s.m8 WHERE id % 7 = 3")
+    spark.catalog.refreshTable("morcat.s.m8")
+    assert(spark.table("morcat.s.m8").count() ==
+      (0L until 100L).count(_ % 7 != 3))
+    assert(manifestFiles("m8").toSet == before,
+      "a delete-only delta commit must add no data files")
+    assert(eqDels("m8").size == 1)
+    assert(spark.sql("SELECT * FROM morcat.s.m8 VERSION AS OF 1").count() == 100)
+  }
+
+  test("bucketed merge-on-read table: delta inserts re-route to their " +
+    "bucket dirs; deletes apply under bucketed reads") {
+    wh
+    import org.apache.spark.sql.functions.bucket
+    Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "w")
+      .repartition(1)
+      .writeTo("morcat.s.m9").using("parquet")
+      .tableProperty(GraftCatalog.MergeModeProp, "merge-on-read")
+      .tableProperty(GraftCatalog.MergeKeyProp, "id")
+      .partitionedBy(bucket(4, col("id")))
+      .createOrReplace()
+    Seq((2L, "B", "u"), (3L, "c", "d"), (9L, "I", "u"))
+      .toDF("id", "w", "op").createOrReplaceTempView("m9_changes")
+    spark.sql("""MERGE INTO morcat.s.m9 t USING m9_changes s ON t.id = s.id
+      WHEN MATCHED AND s.op = 'd' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET w = s.w
+      WHEN NOT MATCHED THEN INSERT (id, w) VALUES (s.id, s.w)""")
+    spark.catalog.refreshTable("morcat.s.m9")
+    val out = spark.table("morcat.s.m9").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "a"), (2L, "B"), (4L, "d"), (9L, "I")), s"got $out")
+    // the delta rows landed under __bucket_id=<pmod(hash(id),4)> dirs
+    // like every other write (the writer's routing, not a flat dump)
+    val dir = new Path(s"$wh/s/m9")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(manifestFiles("m9").forall(_.startsWith("__bucket_id=")),
+      s"delta files must bucket-route: ${manifestFiles("m9")}")
+  }
+
+  test("file pruning still reaches merge-on-read reads with deletes " +
+    "pending: a point probe scans one range's files, not the table") {
+    wh
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    spark.range(0, 1000)
+      .select(col("id"), (col("id") % 13).alias("v"))
+      .repartitionByRange(8, col("id"))
+      .writeTo("morcat.s.m10").using("parquet")
+      .tableProperty(GraftCatalog.MergeModeProp, "merge-on-read")
+      .tableProperty(GraftCatalog.MergeKeyProp, "id")
+      .createOrReplace()
+    Seq((500L, -1L)).toDF("id", "v").createOrReplaceTempView("m10_del")
+    spark.sql("""MERGE INTO morcat.s.m10 t USING m10_del s ON t.id = s.id
+      WHEN MATCHED THEN DELETE""")
+    spark.catalog.refreshTable("morcat.s.m10")
+    assert(eqDels("m10").nonEmpty)
+    val probe = spark.table("morcat.s.m10").filter(col("id") === 7L)
+    // manifest-stats pruning runs BEFORE the delete-applying wrap: the
+    // probe must plan over one range's file, not all 8
+    val scanned = probe.queryExecution.sparkPlan.collect {
+      case b: BatchScanExec => b.scan
+    }.map {
+      case e: org.apache.spark.sql.graftshim.EqDeleteScan => e.delegate match {
+        case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+          p.fileIndex.inputFiles.length
+        case other => fail(s"unexpected delegate $other")
+      }
+      case other => fail(s"expected the delete-applying scan, got $other")
+    }.head
+    assert(scanned == 1, s"point probe must prune to one file, scanned $scanned")
+    assert(probe.collect().map(_.getLong(0)).toSeq == Seq(7L))
+    // and the deleted key is gone even under a pruned read of ITS range
+    assert(spark.table("morcat.s.m10").filter(col("id") === 500L).count() == 0)
+  }
+
+  test("snapshot diff across a merge-on-read commit emits ROW-LEVEL " +
+    "deletes — the changelog file-level diffs cannot express") {
+    wh
+    createMor("m11", Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    Seq((2L, "B", "u"), (3L, "c", "d"), (4L, "D", "u"))
+      .toDF("id", "w", "op").createOrReplaceTempView("m11_changes")
+    spark.sql("""MERGE INTO morcat.s.m11 t USING m11_changes s ON t.id = s.id
+      WHEN MATCHED AND s.op = 'd' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET w = s.w
+      WHEN NOT MATCHED THEN INSERT (id, w) VALUES (s.id, s.w)""")
+    spark.catalog.refreshTable("morcat.s.m11")
+    // time-travel reads apply each snapshot's own pending deletes, so the
+    // bag diff sees the merge's row-level effect exactly: an update is
+    // delete+insert, the delete surfaces even though no file was removed
+    val d = Snapshots.diff(spark, "morcat.s.m11", 1L, 2L)
+      .collect().map(r => (r.getString(2), r.getLong(0), r.getString(1))).toSet
+    assert(d == Set(
+      ("insert", 2L, "B"), ("insert", 4L, "D"),
+      ("delete", 2L, "b"), ("delete", 3L, "c")), s"got $d")
+  }
+
   test("merge-on-read without merge.key fails loudly") {
     wh
     Seq((1L, "a")).toDF("id", "w")
