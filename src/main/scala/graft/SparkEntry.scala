@@ -83,6 +83,48 @@ object SparkEntry {
           upd1.unionByName(upd2).unionByName(dels), "o_orderkey", "seq", "op")
         .orderBy("o_orderkey")
     }),
+    // MERGE-ON-READ row-level DML, driver-verified end to end: build a
+    // merge-on-read catalog table from 3/4 of the documents, run ONE SQL
+    // MERGE (updates, deletes, inserts — a delta commit: appended rows +
+    // an equality-delete sidecar, zero files rewritten), and return the
+    // final table through the delete-applying read. The oracle derives
+    // the same end state with CASE arithmetic over the raw documents.
+    "q_merge_mor" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-qmor").toString
+      s.conf.set("spark.sql.catalog.qmor",
+        classOf[graft.storage.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.qmor.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS qmor.s")
+      val d = docs(s, dir).select(
+        coalesce(col("doc_id"), lit(-1L)).alias("doc_id"),
+        col("source"), col("n_chars"))
+      d.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+        .writeTo("qmor.s.t").using("parquet")
+        .tableProperty(graft.storage.GraftCatalog.MergeModeProp,
+          "merge-on-read")
+        .tableProperty(graft.storage.GraftCatalog.MergeKeyProp, "doc_id")
+        .createOrReplace()
+      d.filter(pmod(col("doc_id"), lit(8)) === 1)
+        .withColumn("source", lit("upd")).withColumn("op", lit("u"))
+        .unionByName(d.filter(pmod(col("doc_id"), lit(8)) === 2)
+          .withColumn("op", lit("d")))
+        .unionByName(d.filter(pmod(col("doc_id"), lit(4)) === 0)
+          .withColumn("source", lit("ins")).withColumn("op", lit("u")))
+        .createOrReplaceTempView("qmor_changes")
+      s.sql("""MERGE INTO qmor.s.t t USING qmor_changes s
+        ON t.doc_id = s.doc_id
+        WHEN MATCHED AND s.op = 'd' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET source = s.source
+        WHEN NOT MATCHED AND s.op != 'd'
+          THEN INSERT (doc_id, source, n_chars)
+          VALUES (s.doc_id, s.source, s.n_chars)""")
+      s.catalog.refreshTable("qmor.s.t")
+      s.table("qmor.s.t")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
     "q_set_ops" -> (Parity.setOps _),
     "q_window_rank_stats" -> (Parity.windowRankStats _),
     // range join: customers × deterministic overlapping balance bands,
@@ -4726,6 +4768,18 @@ object SparkEntry {
          UNION ALL
          SELECT o_orderstatus, 'max_price' AS metric, max_price AS value FROM wide
          ORDER BY o_orderstatus, metric""",
+    // the merge-on-read end state, derived independently: base = docs
+    // with doc_id % 4 != 0, minus the % 8 = 2 deletes, source rewritten
+    // for the % 8 = 1 updates; plus the % 4 = 0 inserts
+    "q_merge_mor" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 4 = 0 THEN 'ins'
+                     WHEN doc_id % 8 = 1 THEN 'upd'
+                     ELSE source END AS source,
+                n_chars
+         FROM documents
+         WHERE doc_id % 8 <> 2
+         ORDER BY doc_id""",
     "q_merge_upsert" ->
       """SELECT o_orderkey,
                 CASE WHEN o_orderkey % 14 = 3 THEN 'X'

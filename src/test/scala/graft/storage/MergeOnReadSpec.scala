@@ -297,6 +297,57 @@ class MergeOnReadSpec extends SparkSpec {
       ("delete", 2L, "b"), ("delete", 3L, "c")), s"got $d")
   }
 
+  test("vacuum keeps sidecars referenced by retained manifests: pending " +
+    "deletes survive a vacuum, and time travel within the window too") {
+    wh
+    createMor("m12", Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    Seq((2L, "x")).toDF("id", "w").createOrReplaceTempView("m12_del")
+    spark.sql("""MERGE INTO morcat.s.m12 t USING m12_del s ON t.id = s.id
+      WHEN MATCHED THEN DELETE""")
+    spark.catalog.refreshTable("morcat.s.m12")
+    Seq((5L, "e")).toDF("id", "w").writeTo("morcat.s.m12").append()
+    spark.catalog.refreshTable("morcat.s.m12")
+    cat.vacuum(id("m12"), keepLast = 2)
+    // the delete sidecar is referenced by both retained manifests — it
+    // must survive, and both views stay delete-correct
+    assert(eqDels("m12").size == 1)
+    assert(spark.table("morcat.s.m12").orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L, 5L))
+    assert(spark.sql("SELECT id FROM morcat.s.m12 VERSION AS OF 2")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("incremental read across a merge-on-read commit: added files only, " +
+    "with in-range deletes applied by the sequence rule") {
+    wh
+    createMor("m13", Seq((1L, "a"), (2L, "b")))
+    // snap 2: delta commit inserts 3 and 4
+    Seq((3L, "c", "u"), (4L, "d", "u")).toDF("id", "w", "op")
+      .createOrReplaceTempView("m13_c1")
+    spark.sql("""MERGE INTO morcat.s.m13 t USING m13_c1 s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET w = s.w
+      WHEN NOT MATCHED THEN INSERT (id, w) VALUES (s.id, s.w)""")
+    // snap 3: delta commit deletes 3 (inserted WITHIN the incr range)
+    // and 1 (outside it)
+    Seq((3L, "c", "d"), (1L, "a", "d")).toDF("id", "w", "op")
+      .createOrReplaceTempView("m13_c2")
+    spark.sql("""MERGE INTO morcat.s.m13 t USING m13_c2 s ON t.id = s.id
+      WHEN MATCHED AND s.op = 'd' THEN DELETE""")
+    spark.catalog.refreshTable("morcat.s.m13")
+    // incr:1..3 serves files ADDED after snap 1 — the (3, 4) insert file —
+    // with snapshot 3's deletes applied: 3 was added at snap 2 and
+    // deleted at snap 3 (strictly newer), so only 4 surfaces; the delete
+    // of 1 is invisible (added-files semantics — its file predates the
+    // range)
+    val out = spark.sql(
+      "SELECT id FROM morcat.s.m13 VERSION AS OF 'incr:1..3'")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(4L), s"got $out")
+    // the live view agrees end-to-end
+    assert(spark.table("morcat.s.m13").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(2L, 4L))
+  }
+
   test("merge-on-read without merge.key fails loudly") {
     wh
     Seq((1L, "a")).toDF("id", "w")
