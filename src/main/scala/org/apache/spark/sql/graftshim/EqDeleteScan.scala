@@ -85,18 +85,29 @@ private[graftshim] final case class EqDeleteReaderFactory(
 
   override def supportColumnarReads(partition: InputPartition): Boolean = false
 
-  // key -> newest delete snapshot; one build per task (entries are
-  // delta-sized and broadcast once per scan)
+  // the newest delete snapshot anywhere: a file added at or after it can
+  // skip the per-row probe entirely (no delete is strictly newer)
+  private lazy val maxDeleteSnap: Long =
+    entries.value.foldLeft(Long.MinValue) { case (m, (_, s)) => math.max(m, s) }
+
+  // key -> newest delete snapshot; built once per EXECUTOR per scan (the
+  // single-file partitions mean many tasks share one broadcast)
   private def keyMap(): java.util.HashMap[UnsafeRow, java.lang.Long] = {
-    val m = new java.util.HashMap[UnsafeRow, java.lang.Long]()
-    val n = keyOrdinals.length
-    entries.value.foreach { case (bytes, snap) =>
-      val r = new UnsafeRow(n)
-      r.pointTo(bytes, bytes.length)
-      val prev = m.get(r)
-      if (prev == null || prev.longValue() < snap) m.put(r, snap)
-    }
-    m
+    // bound the per-executor footprint: a long session scans many delete
+    // sets (one broadcast each); wholesale clear is fine — entries rebuild
+    // from the still-live broadcast on the next probe
+    if (EqDeleteReaderFactory.cache.size > 64) EqDeleteReaderFactory.cache.clear()
+    EqDeleteReaderFactory.cache.computeIfAbsent(entries.id, _ => {
+      val m = new java.util.HashMap[UnsafeRow, java.lang.Long]()
+      val n = keyOrdinals.length
+      entries.value.foreach { case (bytes, snap) =>
+        val r = new UnsafeRow(n)
+        r.pointTo(bytes, bytes.length)
+        val prev = m.get(r)
+        if (prev == null || prev.longValue() < snap) m.put(r, snap)
+      }
+      m
+    })
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -116,12 +127,7 @@ private[graftshim] final case class EqDeleteReaderFactory(
     // a file absent from the add map (staged same-commit or legacy) gets
     // Long.MaxValue: no delete can be newer, none apply
     val fileSeq = addSeq.getOrElse(rel, Long.MaxValue)
-    val deletes = keyMap()
     val reader = inner.createReader(partition)
-    val keyProj = UnsafeProjection.create(
-      keyOrdinals.zip(keyTypes).map { case (i, t) =>
-        BoundReference(i, t, nullable = true)
-      }.toIndexedSeq)
     val project =
       if (outputSchema.length == readArity) null
       else UnsafeProjection.create(
@@ -129,21 +135,49 @@ private[graftshim] final case class EqDeleteReaderFactory(
           BoundReference(outputOrdinals(i), outputSchema(i).dataType,
             outputSchema(i).nullable)).toIndexedSeq)
 
-    new PartitionReader[InternalRow] {
-      private var current: InternalRow = _
-      override def next(): Boolean = {
-        while (reader.next()) {
+    if (fileSeq >= maxDeleteSnap) {
+      // no pending delete is strictly newer than this file (it was added
+      // by or after the newest delete's commit — the steady-state shape
+      // of post-merge appends): skip the per-row key probe entirely
+      new PartitionReader[InternalRow] {
+        override def next(): Boolean = reader.next()
+        override def get(): InternalRow = {
           val row = reader.get()
-          val snap = deletes.get(keyProj(row))
-          if (snap == null || snap.longValue() <= fileSeq) {
-            current = if (project == null) row else project(row)
-            return true
-          }
+          if (project == null) row else project(row)
         }
-        false
+        override def close(): Unit = reader.close()
       }
-      override def get(): InternalRow = current
-      override def close(): Unit = reader.close()
+    } else {
+      val deletes = keyMap()
+      val keyProj = UnsafeProjection.create(
+        keyOrdinals.zip(keyTypes).map { case (i, t) =>
+          BoundReference(i, t, nullable = true)
+        }.toIndexedSeq)
+      new PartitionReader[InternalRow] {
+        private var current: InternalRow = _
+        override def next(): Boolean = {
+          while (reader.next()) {
+            val row = reader.get()
+            val snap = deletes.get(keyProj(row))
+            if (snap == null || snap.longValue() <= fileSeq) {
+              current = if (project == null) row else project(row)
+              return true
+            }
+          }
+          false
+        }
+        override def get(): InternalRow = current
+        override def close(): Unit = reader.close()
+      }
     }
   }
+}
+
+private[graftshim] object EqDeleteReaderFactory {
+  // per-executor key-map cache, one entry per delete-set broadcast; the
+  // broadcast id is process-unique and the maps are delta-sized, so a
+  // bounded soft footprint beats rebuilding per single-file task
+  private[graftshim] val cache =
+    new java.util.concurrent.ConcurrentHashMap[
+      Long, java.util.HashMap[UnsafeRow, java.lang.Long]]()
 }
