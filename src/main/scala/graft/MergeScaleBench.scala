@@ -95,7 +95,30 @@ object MergeScaleBench {
     }
     spark.catalog.refreshTable("msb.s.mor")
     val (morReadAfter, _) = time(spark.table("msb.s.mor").count())
-    println(f"""{"bench":"merge_scale","rows":$n,"files":$files,"delta":$delta,"cow_merge_sec":$cowSec%.3f,"mor_merge_sec":$morSec%.3f,"cow_files_survived":$cowSurvived,"cow_files_before":${cowBefore.size},"mor_files_survived":$morSurvived,"mor_files_before":${morBefore.size},"cow_read_sec":$cowRead%.3f,"mor_read_sec":$morRead%.3f,"rows_after":$cowCnt,"mor_compact_sec":$compactSec%.3f,"mor_read_after_compact_sec":$morReadAfter%.3f}""")
+
+    // TARGETED delete compaction on a key-clustered table under a
+    // LOCALIZED delete set (the daily-retention shape): candidacy =
+    // sequence rule ∧ key-stats overlap, so only the ranges actually
+    // holding deleted keys rewrite
+    base.repartitionByRange(files, col("id"))
+      .writeTo("msb.s.mor2").using("parquet")
+      .tableProperty(GraftCatalog.MergeModeProp, "merge-on-read")
+      .tableProperty(GraftCatalog.MergeKeyProp, "id")
+      .createOrReplace()
+    spark.range(0, delta).select(col("id"), lit(-3L).alias("v"),
+        lit("x").alias("payload"))
+      .createOrReplaceTempView("msb_localdel")
+    spark.sql("""MERGE INTO msb.s.mor2 t USING msb_localdel s ON t.id = s.id
+      WHEN MATCHED THEN DELETE""")
+    spark.catalog.refreshTable("msb.s.mor2")
+    val (delcSec, delc) = time {
+      spark.sessionState.catalogManager.catalog("msb")
+        .asInstanceOf[GraftCatalog].compactDeletes(spark, "s.mor2")
+    }
+    spark.catalog.refreshTable("msb.s.mor2")
+    val (mor2Read, mor2Cnt) = time(spark.table("msb.s.mor2").count())
+    require(mor2Cnt == n - delta, s"targeted compaction lost rows: $mor2Cnt")
+    println(f"""{"bench":"merge_scale","rows":$n,"files":$files,"delta":$delta,"cow_merge_sec":$cowSec%.3f,"mor_merge_sec":$morSec%.3f,"cow_files_survived":$cowSurvived,"cow_files_before":${cowBefore.size},"mor_files_survived":$morSurvived,"mor_files_before":${morBefore.size},"cow_read_sec":$cowRead%.3f,"mor_read_sec":$morRead%.3f,"rows_after":$cowCnt,"mor_compact_sec":$compactSec%.3f,"mor_read_after_compact_sec":$morReadAfter%.3f,"delc_files_rewritten":${delc._1},"delc_files_untouched":${delc._2},"delc_sec":$delcSec%.3f,"read_after_delc_sec":$mor2Read%.3f}""")
     spark.stop()
   }
 }

@@ -70,7 +70,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   // SQL maintenance surface: CALL <cat>.system.vacuum/build_bloom_index/
-  // cluster/history — see [[GraftProcedures]]
+  // cluster/compact/rewrite_deletes/history — see [[GraftProcedures]]
   override def listProcedures(namespace: Array[String])
       : Array[Identifier] =
     if (namespace.sameElements(Array("system")))
@@ -382,6 +382,105 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       .readManifest(fs, dir, GraftCatalog.latestSnapshot(fs, dir))
       .map(_.size).getOrElse(0)
     (before, after)
+  }
+
+  /** MINOR (delete) compaction — Iceberg's `rewrite_position_delete_files`
+    * intent for the equality-delete layer: fold a merge-on-read table's
+    * pending deletes by rewriting ONLY the files that may actually hold
+    * deleted rows, leaving the rest untouched. Candidacy is the sequence
+    * rule (file older than some pending delete) intersected with key
+    * stats/bloom overlap against the delete set (single-column keys;
+    * multi-column keys degrade to the sequence rule alone) — so on a
+    * key-clustered layout a localized delete set compacts a few files,
+    * not the table. Untouched candidates PROVABLY hold no deleted key,
+    * which licenses clearing the eqdel refs outright (the age-based
+    * self-clean alone would carry them forever against innocent old
+    * files). Dead deletes (no file can hold their keys) clear with a
+    * metadata-only commit. Returns (filesRewritten, filesUntouched). */
+  def compactDeletes(spark: SparkSession, table: String): (Int, Int) = {
+    val ident = Identifier.of(
+      table.split("\\.").dropRight(1), table.split("\\.").last)
+    val dir = tableDir(ident)
+    val meta = GraftCatalog.readMeta(fs, dir)
+      .getOrElse(throw new NoSuchTableException(ident))
+    val latest = GraftCatalog.latestSnapshot(fs, dir)
+    val live = GraftCatalog.readManifest(fs, dir, latest)
+      .getOrElse(GraftCatalog.listDataFiles(fs, dir))
+    val eqDels = GraftCatalog.readEqDels(fs, dir, latest)
+    if (eqDels.isEmpty) return (0, live.size)
+    val addMap = GraftCatalog.readAddMap(fs, dir, latest)
+    val keyCols = meta.properties(GraftCatalog.MergeKeyProp)
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    def seqOf(f: String) = addMap.getOrElse(f, 0L)
+    val seqCand = live.filter(f => eqDels.exists(_._2 > seqOf(f)))
+    val stats = GraftCatalog.readStats(fs, dir, latest)
+    val blooms = GraftCatalog.readBloomIndex(fs, dir)
+    val affected: Seq[String] =
+      if (keyCols.length != 1) seqCand
+      else {
+        val kc = keyCols.head
+        val delRows = GraftCatalog.eqDelDf(spark, fs, dir, meta, eqDels).collect()
+        seqCand.filter { f =>
+          val sq = seqOf(f)
+          val vals = delRows.iterator
+            .filter(r => r.getLong(r.fieldIndex("__dsnap")) > sq)
+            .map(r => r.get(r.fieldIndex(kc))).toArray
+          vals.nonEmpty && FileStatsPruning.mayMatchAll(
+            GraftCatalog.partitionPathStats(f, meta) ++ stats.getOrElse(f, Map.empty),
+            blooms.getOrElse(f, Map.empty),
+            Seq(org.apache.spark.sql.sources.In(kc, vals)))
+        }
+      }
+    if (affected.isEmpty) {
+      // dead deletes: no live file can hold their keys — clear with a
+      // files-unchanged, metadata-only commit
+      GraftCatalog.writeSnapshotAt(fs, dir, latest + 1, live,
+        GraftCatalog.readTxns(fs, dir, latest), clearEqDels = true)
+      return (0, live.size)
+    }
+    val out0 = GraftCatalog.readFilesWithDeletes(
+      spark, dir, meta, affected, eqDels, addMap)
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val out = (meta.bucket match {
+      case Some((n, c)) if !out0.columns.contains(s"__bucket_$c") =>
+        out0.withColumn(s"__bucket_$c", pmod(hash(col(c)), lit(n)))
+      case _ => out0
+    }).coalesce(math.max(1, affected.size))
+    // stage → promote → snapshot, the cowRewrite promotion discipline
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val stageRel = s"_stage_delc_$stamp"
+    val stagePath = new Path(dir, stageRel)
+    val writer = out.write.mode("overwrite")
+    (if (meta.partitionCols.isEmpty) writer
+     else writer.partitionBy(meta.partitionCols: _*))
+      .parquet(stagePath.toString)
+    val it = fs.listFiles(stagePath, true)
+    val stagedFiles = Seq.newBuilder[String]
+    val stageUri = stagePath.toUri.getPath
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toUri.getPath.stripPrefix(stageUri).stripPrefix("/")
+      if (rel.endsWith(".parquet") && !rel.split("/").last.startsWith("_"))
+        stagedFiles += rel
+    }
+    val promoted = stagedFiles.result().sorted.zipWithIndex.map { case (rel, i) =>
+      val sub = rel.split("/").dropRight(1)
+      val target = (sub :+ s"delc-$stamp-$i.parquet").mkString("/")
+      if (sub.nonEmpty) fs.mkdirs(new Path(dir, sub.mkString("/")))
+      if (!fs.rename(new Path(stagePath, rel), new Path(dir, target)))
+        throw new java.io.IOException(
+          s"compactDeletes: cannot promote $stageRel/$rel to $target")
+      target
+    }
+    fs.delete(stagePath, true)
+    val kept = live.filterNot(affected.toSet)
+    try GraftCatalog.writeSnapshotAt(fs, dir, latest + 1, kept ++ promoted,
+      GraftCatalog.readTxns(fs, dir, latest), clearEqDels = true)
+    catch { case e: Throwable =>
+      promoted.foreach(f => fs.delete(new Path(dir, f), false))
+      throw e
+    }
+    (affected.size, kept.size)
   }
 
   /** Z-order rewrite (Delta/Iceberg `OPTIMIZE ZORDER BY` analog): rewrite
@@ -769,33 +868,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         kept, GraftCatalog.readTxns(fs, dir, latest))
       return (proven.size, kept.size, provenRows)
     }
-    val reader = spark.read.schema(meta.schema)
-    def readFiles(files: Seq[String]): org.apache.spark.sql.DataFrame = {
-      val paths = files.sorted.map(f => s"$prefix$f")
-      if (meta.partitionCols.isEmpty) reader.parquet(paths: _*)
-      else reader.option("basePath", dir.toString).parquet(paths: _*)
-    }
-    val candDf =
-      if (eqDels.isEmpty) readFiles(cands.toSeq)
-      else {
-        // group candidates by add sequence and anti-join each group with
-        // the strictly-newer deletes — the same sequence rule the table
-        // scan applies, spelled as a broadcast anti join over the
-        // delta-sized delete set
-        val dels = GraftCatalog.eqDelDf(spark, fs, dir, meta, eqDels)
-        val keyCols = meta.properties(GraftCatalog.MergeKeyProp)
-          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        cands.groupBy(f => addMap.getOrElse(f, Long.MaxValue)).toSeq
-          .map { case (seq, fsq) =>
-            val df = readFiles(fsq.toSeq)
-            val applicable = dels
-              .filter(org.apache.spark.sql.functions.col("__dsnap") > seq)
-              .select(keyCols.map(org.apache.spark.sql.functions.col): _*)
-              .distinct()
-            df.join(org.apache.spark.sql.functions.broadcast(applicable),
-              keyCols, "left_anti")
-          }.reduce(_ unionByName _)
-      }
+    // candidates read with pending deletes applied — the same sequence
+    // rule the table scan uses, as broadcast anti joins per add-seq group
+    val candDf = GraftCatalog.readFilesWithDeletes(
+      spark, dir, meta, cands.toSeq, eqDels, addMap)
     val hit = coalesce(cond, lit(false))
     val candMatched = candDf.filter(hit).count()
     val rowsAffected = candMatched + provenRows
@@ -1397,6 +1473,39 @@ object GraftCatalog {
     spark.createDataFrame(rows.asJava, schema)
   }
 
+  /** Read table-relative `files` with pending equality deletes applied —
+    * the driver-side spelling of the scan's row-side apply: files group
+    * by add sequence and each group anti-joins its strictly-newer
+    * deletes (broadcast — the delete set is delta-sized). Used by every
+    * copy-on-write code path that reads raw file bytes on a table with
+    * merge-on-read deletes pending. */
+  private[storage] def readFilesWithDeletes(
+      spark: SparkSession, dir: Path, meta: GraftTableMeta,
+      files: Seq[String], eqDels: Seq[(String, Long)],
+      addMap: Map[String, Long]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val prefix = dir.toString.stripSuffix("/") + "/"
+    val reader = spark.read.schema(meta.schema)
+    def read(fsq: Seq[String]): org.apache.spark.sql.DataFrame = {
+      val paths = fsq.sorted.map(f => s"$prefix$f")
+      if (meta.partitionCols.isEmpty) reader.parquet(paths: _*)
+      else reader.option("basePath", dir.toString).parquet(paths: _*)
+    }
+    if (eqDels.isEmpty) read(files)
+    else {
+      val fsys = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val dels = eqDelDf(spark, fsys, dir, meta, eqDels)
+      val keyCols = meta.properties(MergeKeyProp)
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      files.groupBy(f => addMap.getOrElse(f, Long.MaxValue)).toSeq
+        .map { case (seq, fsq) =>
+          val applicable = dels.filter(col("__dsnap") > seq)
+            .select(keyCols.map(col): _*).distinct()
+          read(fsq).join(broadcast(applicable), keyCols, "left_anti")
+        }.reduce(_ unionByName _)
+    }
+  }
+
   /** VIRTUAL per-file column stats for hive partition columns, derived
     * from the file's own directory path: every row of `p=a/part-x.parquet`
     * provably has `p = 'a'` (min = max = 'a', zero nulls; the
@@ -1703,7 +1812,8 @@ object GraftCatalog {
   private[storage] def writeSnapshotAt(
       fs: FileSystem, dir: Path, next: Long, files: Seq[String],
       txns: Map[String, Long] = Map.empty,
-      newEqDels: Seq[String] = Seq.empty): Long = {
+      newEqDels: Seq[String] = Seq.empty,
+      clearEqDels: Boolean = false): Long = {
     val carried = readStats(fs, dir, next - 1)
     val stats = files.sorted.flatMap { f =>
       val st = carried.getOrElse(f,
@@ -1727,9 +1837,14 @@ object GraftCatalog {
     // Equality-delete sidecars (`# eqdel:`): carried while ANY live file
     // is old enough for them to apply (add < eqdel snap); self-cleaning
     // once compaction/overwrites rotate every older file out.
+    // `clearEqDels` drops the carried set explicitly — for commits that
+    // PROVED the remaining old files hold none of the deleted keys
+    // (targeted delete compaction), which the age rule alone can't see.
     val minAdd = if (addMap.isEmpty) Long.MaxValue else addMap.values.min
-    val eqdels = (readEqDels(fs, dir, next - 1).filter(_._2 > minAdd) ++
-      newEqDels.map(_ -> next)).distinct
+    val carriedDels =
+      if (clearEqDels) Seq.empty
+      else readEqDels(fs, dir, next - 1).filter(_._2 > minAdd)
+    val eqdels = (carriedDels ++ newEqDels.map(_ -> next)).distinct
     val header = stats ++
       addMap.toSeq.sorted.map { case (f, s) => s"# add:${b64e(f)}=$s" } ++
       eqdels.sorted.map { case (f, s) => s"# eqdel:${b64e(f)}=$s" } ++

@@ -67,7 +67,8 @@ object GraftProcedures {
     new GenericInternalRow(values.toArray)
 
   def names: Seq[String] =
-    Seq("vacuum", "build_bloom_index", "cluster", "compact", "history")
+    Seq("vacuum", "build_bloom_index", "cluster", "compact",
+      "rewrite_deletes", "history")
 
   def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] = name match {
     case "vacuum" => Some(new Proc("vacuum",
@@ -114,6 +115,17 @@ object GraftProcedures {
         val (before, after) = cat.compact(SparkSession.active,
           input.getUTF8String(0).toString, input.getInt(1))
         result(outSchema, Seq(row(before, after)))
+      }
+    })
+    case "rewrite_deletes" => Some(new Proc("rewrite_deletes",
+      Seq(in("table", StringType)),
+      StructType(Seq(
+        StructField("files_rewritten", IntegerType, nullable = false),
+        StructField("files_untouched", IntegerType, nullable = false)))) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val (rewritten, untouched) = cat.compactDeletes(
+          SparkSession.active, input.getUTF8String(0).toString)
+        result(outSchema, Seq(row(rewritten, untouched)))
       }
     })
     case "history" => Some(new Proc("history",
