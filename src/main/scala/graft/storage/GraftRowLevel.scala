@@ -136,10 +136,6 @@ private[storage] final class CowScanBuilder(
       }
     val opts = new CaseInsensitiveStringMap(
       java.util.Map.of("basePath", dir))
-    val pt = ParquetTable(s"cow-rewrite", spark, opts, paths,
-      Some(meta.schema), classOf[ParquetFileFormat])
-    val underlying = ParquetScanBuilder(
-      spark, pt.fileIndex, pt.schema, pt.dataSchema, opts)
     // pending equality deletes: the rewrite scan must not see deleted
     // rows (a stale row would re-match the MERGE source or be copied
     // back by the rewrite) — force the key columns into the read and
@@ -151,21 +147,97 @@ private[storage] final class CowScanBuilder(
           .map(k => meta.schema(meta.schema.fieldIndex(k)))))
       case (r, _) => r
     }
-    extended.foreach(underlying.pruneColumns)
-    val scan = underlying.build()
-    eqDel match {
-      case Some(spec) =>
-        val full = scan.readSchema()
-        val requested = requiredSchema.getOrElse(meta.schema)
-        val forced = spec.keyCols.filterNot(requested.fieldNames.contains).toSet
-        val outFields = full.fields.filterNot(f => forced.contains(f.name))
-        org.apache.spark.sql.graftshim.EqDeleteScan(scan,
-          StructType(outFields),
-          outFields.map(f => full.fieldIndex(f.name)).toSeq,
-          spec.keyCols.map(full.fieldIndex),
-          spec.keyCols.map(k => full(full.fieldIndex(k)).dataType),
-          spec)
-      case None => scan
+    def rebuild(files: Seq[String]): Scan = {
+      val servedPaths =
+        if (files.nonEmpty) files.map(f => s"$prefix$f")
+        else {
+          // empty (possibly runtime-filtered-to-nothing) rewrite set:
+          // serve the hidden always-empty dir so the scan can build
+          val empty = new Path(root, "_empty")
+          fs.mkdirs(empty)
+          Seq(empty.toString)
+        }
+      val pt = ParquetTable(s"cow-rewrite", spark, opts, servedPaths,
+        Some(meta.schema), classOf[ParquetFileFormat])
+      val underlying = ParquetScanBuilder(
+        spark, pt.fileIndex, pt.schema, pt.dataSchema, opts)
+      extended.foreach(underlying.pruneColumns)
+      val scan = underlying.build()
+      eqDel match {
+        case Some(spec) =>
+          val full = scan.readSchema()
+          val requested = requiredSchema.getOrElse(meta.schema)
+          val forced = spec.keyCols.filterNot(requested.fieldNames.contains).toSet
+          val outFields = full.fields.filterNot(f => forced.contains(f.name))
+          org.apache.spark.sql.graftshim.EqDeleteScan(scan,
+            StructType(outFields),
+            outFields.map(f => full.fieldIndex(f.name)).toSeq,
+            spec.keyCols.map(full.fieldIndex),
+            spec.keyCols.map(k => full(full.fieldIndex(k)).dataType),
+            spec)
+        case None => scan
+      }
+    }
+    val base = rebuild(kept)
+    // RUNTIME GROUP FILTERING (identity-partitioned tables, group-based
+    // ops only — delta ops never replace files): Spark's
+    // RowLevelOperationRuntimeGroupFiltering injects the DISTINCT
+    // partition values of the rows the command actually MATCHES, and the
+    // scan narrows its file set — AND the commit's replace set — to the
+    // partitions holding them. A MERGE whose source touches one
+    // partition stops rewriting the cold ones.
+    if (meta.bucket.isEmpty && meta.partitionCols.nonEmpty &&
+      !op.isInstanceOf[org.apache.spark.sql.connector.write.SupportsDelta])
+      new GroupFilterableScan(op, meta, kept, base, rebuild)
+    else base
+  }
+}
+
+/** The group-based rewrite scan behind Spark's runtime group filtering
+  * (`SupportsRuntimeV2Filtering`): `filterAttributes` reports the
+  * table's identity partition columns; at runtime Spark hands back
+  * `In(partitionCol, <distinct values of the matched rows>)` and the
+  * scan re-prunes its planned file set by the virtual partition-path
+  * stats — narrowing BOTH the read and, via `op.scannedFiles`, the file
+  * set the commit replaces. Conservative by construction: a pruned file
+  * provably holds no matching row, so its untouched survival is exactly
+  * copy-on-write semantics. */
+private[storage] final class GroupFilterableScan(
+    op: GraftRowLevelOperation,
+    meta: GraftTableMeta,
+    initialFiles: Seq[String],
+    initialScan: Scan,
+    rebuild: Seq[String] => Scan)
+  extends Scan
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  @volatile private var files: Seq[String] = initialFiles
+  @volatile private var delegate: Scan = initialScan
+
+  override def readSchema(): StructType = delegate.readSchema()
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    delegate.toBatch
+  override def description(): String =
+    s"GroupFilterable(${files.size} files) " + delegate.description()
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    meta.partitionCols.filter(meta.schema.fieldNames.contains)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val v1 = predicates.toSeq.flatMap(p =>
+      org.apache.spark.sql.graftshim.Shims.predicateToV1(p))
+    if (v1.nonEmpty) {
+      val kept = files.filter(f => FileStatsPruning.mayMatchAll(
+        GraftCatalog.partitionPathStats(f, meta), Map.empty, v1))
+      if (kept.size < files.size) {
+        files = kept
+        op.scannedFiles = kept
+        delegate = rebuild(kept)
+      }
     }
   }
 }

@@ -12,6 +12,14 @@ object Shims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** V2 `Predicate` → V1 `Filter` (`PredicateUtils` is `private[sql]`):
+    * runtime group filtering hands the rewrite scan V2 predicates, and
+    * the catalog's stats pruning speaks V1. */
+  def predicateToV1(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.internal.connector.PredicateUtils.toV1(p)
+
   /** Hive-compatible partition-path escaping (`ExternalCatalogUtils` is
     * `private[sql]`): [[graft.storage.GraftCatalog]]'s writer must encode
     * partition directory names exactly as Spark's readers decode them. */

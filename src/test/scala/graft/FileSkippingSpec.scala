@@ -882,6 +882,43 @@ class FileSkippingSpec extends SparkSpec {
       "no data file may sit at the table root of a bucketed layout")
   }
 
+  test("runtime group filtering: a MERGE whose source touches ONE " +
+    "partition stops rewriting the cold partitions") {
+    wh
+    val cat = spark.sessionState.catalogManager.catalog("skipcat")
+      .asInstanceOf[GraftCatalog]
+    import spark.implicits._
+    // three partitions, two files each
+    (1 to 60).map(i => (i.toLong, i * 10L, s"p${i % 3}"))
+      .toDF("id", "v", "p").repartition(2)
+      .writeTo("skipcat.s.rgfm").using("parquet")
+      .partitionedBy(col("p")).createOrReplace()
+    val dir = new org.apache.hadoop.fs.Path(s"$wh/s/rgfm")
+    val fsys = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = GraftCatalog.liveDataFiles(fsys, dir)
+    val coldBefore = before.filterNot(_.startsWith("p=p1/")).toSet
+    assert(before.count(_.startsWith("p=p1/")) == 2)
+    // source rows only match ids whose partition is p1 (id % 3 == 1);
+    // the ON condition itself says nothing about partitions — the
+    // runtime filter must discover that from the MATCHED rows
+    Seq((1L, -1L), (4L, -4L), (7L, -7L)).toDF("id", "v")
+      .createOrReplaceTempView("rgfm_src")
+    spark.sql("""MERGE INTO skipcat.s.rgfm t USING rgfm_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.v""")
+    spark.catalog.refreshTable("skipcat.s.rgfm")
+    // correctness: exactly the three matched rows updated
+    assert(spark.table("skipcat.s.rgfm").filter(col("v") < 0).count() === 3)
+    assert(spark.table("skipcat.s.rgfm").count() === 60)
+    // the commit replaced only p1's files — the cold partitions' files
+    // are byte-identical survivors
+    val after = GraftCatalog.liveDataFiles(fsys, dir).toSet
+    assert(coldBefore.subsetOf(after),
+      s"cold partitions must not be rewritten:\n lost ${coldBefore -- after}")
+    assert(before.toSet.intersect(after)
+      .forall(!_.startsWith("p=p1/")),
+      "the hot partition's files must have been replaced")
+  }
+
   test("SQL DELETE with an untranslatable condition falls back to the " +
     "group-based rewrite (it used to refuse) and stays correct") {
     wh
