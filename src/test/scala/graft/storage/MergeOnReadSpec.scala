@@ -401,6 +401,69 @@ class MergeOnReadSpec extends SparkSpec {
       == Seq(1L))
   }
 
+  test("multi-column merge key: composite row identity deletes and " +
+    "re-inserts correctly") {
+    wh
+    Seq((1L, "en", "a"), (1L, "es", "b"), (2L, "en", "c"))
+      .toDF("id", "lang", "w").repartition(1)
+      .writeTo("morcat.s.m16").using("parquet")
+      .tableProperty(GraftCatalog.MergeModeProp, "merge-on-read")
+      .tableProperty(GraftCatalog.MergeKeyProp, "id,lang")
+      .createOrReplace()
+    Seq((1L, "en", "A", "u"), (1L, "es", "b", "d"), (3L, "fr", "F", "u"))
+      .toDF("id", "lang", "w", "op").createOrReplaceTempView("m16_changes")
+    spark.sql("""MERGE INTO morcat.s.m16 t USING m16_changes s
+      ON t.id = s.id AND t.lang = s.lang
+      WHEN MATCHED AND s.op = 'd' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET w = s.w
+      WHEN NOT MATCHED THEN INSERT (id, lang, w) VALUES (s.id, s.lang, s.w)""")
+    spark.catalog.refreshTable("morcat.s.m16")
+    val out = spark.table("morcat.s.m16").orderBy("id", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    // (1, es) deleted; (1, en) updated — the OTHER (1, *) row untouched:
+    // the composite key must not collapse to its first column
+    assert(out == Seq((1L, "en", "A"), (2L, "en", "c"), (3L, "fr", "F")),
+      s"got $out")
+    // re-insert the deleted composite key: sequence rule on both columns
+    Seq((1L, "es", "b2")).toDF("id", "lang", "w")
+      .writeTo("morcat.s.m16").append()
+    spark.catalog.refreshTable("morcat.s.m16")
+    assert(spark.table("morcat.s.m16")
+      .filter(col("id") === 1L && col("lang") === "es")
+      .collect().map(_.getString(2)).toSeq == Seq("b2"))
+    // compactDeletes degrades to the sequence rule for composite keys
+    // but still folds and clears
+    val (rw, _) = cat.compactDeletes(spark, "s.m16")
+    spark.catalog.refreshTable("morcat.s.m16")
+    assert(rw >= 1 && eqDels("m16").isEmpty)
+    assert(spark.table("morcat.s.m16").count() == 4L)
+  }
+
+  test("ALTER TABLE to merge-on-read: pre-existing files (no add " +
+    "sequence) count as oldest — deletes apply to all of them") {
+    wh
+    // created copy-on-write, rows written BEFORE the mode flip
+    Seq((1L, "a"), (2L, "b")).toDF("id", "w").repartition(1)
+      .writeTo("morcat.s.m17").using("parquet").createOrReplace()
+    spark.sql(s"""ALTER TABLE morcat.s.m17 SET TBLPROPERTIES (
+      '${GraftCatalog.MergeModeProp}' = 'merge-on-read',
+      '${GraftCatalog.MergeKeyProp}' = 'id')""")
+    spark.catalog.refreshTable("morcat.s.m17")
+    val before = manifestFiles("m17").toSet
+    Seq((2L, "B", "u"), (3L, "C", "u")).toDF("id", "w", "op")
+      .createOrReplaceTempView("m17_changes")
+    spark.sql("""MERGE INTO morcat.s.m17 t USING m17_changes s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET w = s.w
+      WHEN NOT MATCHED THEN INSERT (id, w) VALUES (s.id, s.w)""")
+    spark.catalog.refreshTable("morcat.s.m17")
+    val out = spark.table("morcat.s.m17").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "a"), (2L, "B"), (3L, "C")), s"got $out")
+    assert(before.subsetOf(manifestFiles("m17").toSet),
+      "the delta path must hold after the mode flip")
+    assert(eqDels("m17").nonEmpty)
+  }
+
   test("merge-on-read without merge.key fails loudly") {
     wh
     Seq((1L, "a")).toDF("id", "w")
