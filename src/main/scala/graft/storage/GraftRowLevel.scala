@@ -231,8 +231,19 @@ private[storage] final class GroupFilterableScan(
     val v1 = predicates.toSeq.flatMap(p =>
       org.apache.spark.sql.graftshim.Shims.predicateToV1(p))
     if (v1.nonEmpty) {
-      val kept = files.filter(f => FileStatsPruning.mayMatchAll(
-        GraftCatalog.partitionPathStats(f, meta), Map.empty, v1))
+      // the handed predicates are LITERAL here (the matched rows' value
+      // set), so an empty IN means NO group matches — prune everything.
+      // mayMatch's conservative empty-IN reading is for static pushdown,
+      // where a degenerate filter must not drop data.
+      val noMatches = v1.exists {
+        case org.apache.spark.sql.sources.In(_, vs) =>
+          vs != null && vs.isEmpty
+        case _ => false
+      }
+      val kept =
+        if (noMatches) Seq.empty[String]
+        else files.filter(f => FileStatsPruning.mayMatchAll(
+          GraftCatalog.partitionPathStats(f, meta), Map.empty, v1))
       if (kept.size < files.size) {
         files = kept
         op.scannedFiles = kept

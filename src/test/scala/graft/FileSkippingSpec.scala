@@ -919,6 +919,33 @@ class FileSkippingSpec extends SparkSpec {
       "the hot partition's files must have been replaced")
   }
 
+  test("runtime group filtering: an insert-only MERGE (source matches " +
+    "nothing) filters the scan to zero files and rewrites nothing") {
+    wh
+    import spark.implicits._
+    (1 to 30).map(i => (i.toLong, i * 10L, s"p${i % 3}"))
+      .toDF("id", "v", "p").repartition(2)
+      .writeTo("skipcat.s.rgfi").using("parquet")
+      .partitionedBy(col("p")).createOrReplace()
+    val dir = new org.apache.hadoop.fs.Path(s"$wh/s/rgfi")
+    val fsys = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = GraftCatalog.liveDataFiles(fsys, dir).toSet
+    // ids far outside the table: zero matches -> the runtime filter's
+    // matched-partition set is empty, the rewrite scan collapses to the
+    // empty set, and the commit replaces nothing while inserts land
+    Seq((1000L, -1L, "p9"), (1001L, -2L, "p9")).toDF("id", "v", "p")
+      .createOrReplaceTempView("rgfi_src")
+    spark.sql("""MERGE INTO skipcat.s.rgfi t USING rgfi_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (id, v, p) VALUES (s.id, s.v, s.p)""")
+    spark.catalog.refreshTable("skipcat.s.rgfi")
+    assert(spark.table("skipcat.s.rgfi").count() === 32)
+    assert(spark.table("skipcat.s.rgfi").filter(col("p") === "p9").count() === 2)
+    val after = GraftCatalog.liveDataFiles(fsys, dir).toSet
+    assert(before.subsetOf(after),
+      s"an insert-only merge must rewrite nothing: lost ${before -- after}")
+  }
+
   test("SQL DELETE with an untranslatable condition falls back to the " +
     "group-based rewrite (it used to refuse) and stays correct") {
     wh
