@@ -464,6 +464,42 @@ class MergeOnReadSpec extends SparkSpec {
     assert(eqDels("m17").nonEmpty)
   }
 
+  test("plan shape: pending deletes disable metadata/parquet aggregate " +
+    "answering; compaction restores it") {
+    wh
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    createMor("m18", Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    def countPlan() = spark.sql("SELECT count(*) AS c FROM morcat.s.m18")
+      .queryExecution.sparkPlan
+    def isMetadataAnswered = countPlan().collect {
+      case b: BatchScanExec => b }.isEmpty &&
+      countPlan().collect {
+        case l: org.apache.spark.sql.execution.LocalTableScanExec => l }.nonEmpty
+    // clean table: the filter-free count answers from manifest stats
+    // (LocalTableScan, zero files) like every catalog table
+    assert(isMetadataAnswered,
+      s"clean MoR table must metadata-answer:\n${countPlan().toString.take(500)}")
+    Seq((2L, "x")).toDF("id", "w").createOrReplaceTempView("m18_del")
+    spark.sql("""MERGE INTO morcat.s.m18 t USING m18_del s ON t.id = s.id
+      WHEN MATCHED THEN DELETE""")
+    spark.catalog.refreshTable("morcat.s.m18")
+    // deletes pending: manifest row counts and parquet footer counts
+    // both overcount — the count must run through the delete-applying
+    // scan with NO pushed aggregation
+    val scans = countPlan().collect { case b: BatchScanExec => b.scan }
+    assert(scans.nonEmpty &&
+      scans.forall(_.isInstanceOf[org.apache.spark.sql.graftshim.EqDeleteScan]),
+      s"the count must read through the delete apply:\n" +
+        countPlan().toString.take(500))
+    assert(!countPlan().toString.contains("PushedAggregation: [COUNT"),
+      "no parquet aggregate pushdown with deletes pending")
+    assert(spark.table("morcat.s.m18").count() == 2L)
+    cat.compactDeletes(spark, "s.m18")
+    spark.catalog.refreshTable("morcat.s.m18")
+    assert(isMetadataAnswered, "compaction must restore metadata answering")
+    assert(spark.table("morcat.s.m18").count() == 2L)
+  }
+
   test("merge-on-read without merge.key fails loudly") {
     wh
     Seq((1L, "a")).toDF("id", "w")
