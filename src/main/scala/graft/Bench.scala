@@ -501,7 +501,19 @@ object Bench {
         }
       }
     } catch { case e: Throwable =>
-      s"""{"verdict":"error","msg":"${e.getMessage}"}"""
+      // the message lands inside the one JSON object the driver's tail
+      // capture depends on — escape it or a stray quote corrupts the line
+      val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        .flatMap {
+          case '"' => "\\\""
+          case '\\' => "\\\\"
+          case '\n' => "\\n"
+          case '\r' => "\\r"
+          case '\t' => "\\t"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        }.take(200)
+      s"""{"verdict":"error","msg":"$msg"}"""
     }
     // Full diagnostic line first (per-iteration runs + GC shares), then a
     // COMPACT line LAST. The driver's artifact capture keeps the TAIL of

@@ -93,6 +93,33 @@ private[storage] final class CowScanBuilder(
   private val live: Seq[String] = GraftCatalog
     .readManifest(fs, root, scanSnapshot)
     .getOrElse(GraftCatalog.listDataFiles(fs, root))
+  // The pending-delete spec is RE-DERIVED at scanSnapshot rather than
+  // taken from table-load time (`eqDel`): a delta commit landing between
+  // table resolution and scan planning would otherwise give a
+  // mixed-snapshot rewrite — planned over the newer live set but applying
+  // the older delete set — and since commit OCC pins to scanSnapshot the
+  // in-between deletes would be silently resurrected by the rewrite. The
+  // load-time spec only contributes its key columns as a fallback for a
+  // table whose merge.key property was since dropped (sidecar headers
+  // self-validate the columns either way).
+  private val eqDelAtScan: Option[org.apache.spark.sql.graftshim.EqDeleteSpec] = {
+    val dels = GraftCatalog.readEqDels(fs, root, scanSnapshot)
+    if (dels.isEmpty) None
+    else {
+      val keyCols = meta.properties.get(GraftCatalog.MergeKeyProp)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .filter(_.nonEmpty)
+        .orElse(eqDel.map(_.keyCols))
+        .getOrElse(throw new IllegalStateException(
+          s"$dir has pending equality deletes but no ${GraftCatalog.MergeKeyProp}"))
+      val entries = dels.flatMap { case (rel, snap) =>
+        GraftCatalog.readEqDelSidecar(fs, new Path(root, rel), keyCols)
+          .map(_ -> snap)
+      }
+      Some(org.apache.spark.sql.graftshim.EqDeleteSpec(
+        keyCols, entries, GraftCatalog.readAddMap(fs, root, scanSnapshot), dir))
+    }
+  }
   private var kept: Seq[String] = live
   private var requiredSchema: Option[StructType] = None
 
@@ -140,7 +167,7 @@ private[storage] final class CowScanBuilder(
     // rows (a stale row would re-match the MERGE source or be copied
     // back by the rewrite) — force the key columns into the read and
     // wrap with the same row-side apply every table read gets
-    val extended = (requiredSchema, eqDel) match {
+    val extended = (requiredSchema, eqDelAtScan) match {
       case (Some(r), Some(spec)) =>
         Some(StructType(r.fields ++ spec.keyCols
           .filterNot(r.fieldNames.contains)
@@ -163,7 +190,7 @@ private[storage] final class CowScanBuilder(
         spark, pt.fileIndex, pt.schema, pt.dataSchema, opts)
       extended.foreach(underlying.pruneColumns)
       val scan = underlying.build()
-      eqDel match {
+      eqDelAtScan match {
         case Some(spec) =>
           val full = scan.readSchema()
           val requested = requiredSchema.getOrElse(meta.schema)

@@ -291,6 +291,18 @@ object Streams {
         val spark = batch.sparkSession
         val dataCols = spark.table(table).schema.fieldNames.toSeq
         require(dataCols.contains(keyCol), s"$table has no column $keyCol")
+        require(dataCols.exists(_ != keyCol),
+          s"$table has no non-key columns — the generated MERGE's UPDATE " +
+            "SET clause would be empty; a key-only table has nothing to " +
+            "upsert (use a plain append or delete-only CDC)")
+        // every table column must arrive in the batch, or the generated
+        // MERGE fails deep in analysis with an opaque unresolved-column
+        // error — surface the contract violation here, by name
+        val missing = dataCols.filterNot(batch.schema.fieldNames.contains)
+        require(missing.isEmpty,
+          s"sinkMergeMor batch is missing table column(s) " +
+            s"${missing.mkString(", ")} required to MERGE into $table " +
+            s"(batch columns: ${batch.schema.fieldNames.mkString(", ")})")
         // one row per key: the batch's newest change wins (keyed window,
         // deterministic tie-break on the op so replays resolve alike)
         val w = org.apache.spark.sql.expressions.Window

@@ -118,15 +118,26 @@ private[graftshim] final case class EqDeleteReaderFactory(
         fp.files.head.filePath.toPath.toUri.getPath
       case other => throw new IllegalStateException(s"unexpected partition $other")
     }
+    // the partition file path is scheme-stripped (toUri.getPath), so the
+    // prefix must normalize the same way: a raw tableDir compare breaks
+    // under a scheme-qualified warehouse (file://, hdfs://, s3a://) and a
+    // missed match would silently skip the delete apply
     val rel = {
-      val prefix = tableDir.stripSuffix("/") + "/"
+      val prefix = new org.apache.hadoop.fs.Path(tableDir)
+        .toUri.getPath.stripSuffix("/") + "/"
       if (file.contains(prefix))
         file.substring(file.indexOf(prefix) + prefix.length)
       else file.substring(file.lastIndexOf('/') + 1)
     }
-    // a file absent from the add map (staged same-commit or legacy) gets
-    // Long.MaxValue: no delete can be newer, none apply
-    val fileSeq = addSeq.getOrElse(rel, Long.MaxValue)
+    // every manifest-listed file carries an add sequence (stamped by every
+    // snapshot write), so a miss here is a path-resolution bug — and the
+    // only safe response is to fail loudly: any default either skips
+    // pending deletes (resurrected rows) or applies deletes to
+    // possibly-newer rows
+    val fileSeq = addSeq.getOrElse(rel, throw new IllegalStateException(
+      s"equality-delete apply: file '$rel' (from '$file') has no add " +
+        s"sequence in the scan snapshot's manifest — cannot scope pending " +
+        s"deletes; known files: ${addSeq.keys.take(3).mkString(", ")}…"))
     val reader = inner.createReader(partition)
     val project =
       if (outputSchema.length == readArity) null

@@ -1001,4 +1001,36 @@ class StreamingSpec extends SparkSpec {
       assert(out2 == out1, s"replay must be a no-op, got $out2")
     } finally q.stop()
   }
+
+  test("sinkMergeMor: a batch missing a table column fails by NAME, not " +
+    "with an opaque analysis error") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory("graft-mor-sinkv").toString
+    spark.conf.set("spark.sql.catalog.morsinkv",
+      classOf[graft.storage.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.morsinkv.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS morsinkv.s")
+    Seq((1L, "a", 0.5)).toDF("id", "w", "score").repartition(1)
+      .writeTo("morsinkv.s.t").using("parquet")
+      .tableProperty(graft.storage.GraftCatalog.MergeModeProp, "merge-on-read")
+      .tableProperty(graft.storage.GraftCatalog.MergeKeyProp, "id")
+      .createOrReplace()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-morv-ckpt").toString
+    val input = MemoryStream[(Long, String, Long, String)]
+    // batch carries (id, w, seq, op) but the table also needs `score`
+    val q = Streams.sinkMergeMor(
+      input.toDF().toDF("id", "w", "seq", "op"),
+      "morsinkv.s.t", "id", "seq", "op", ckpt)
+    try {
+      input.addData((2L, "B", 1L, "upsert"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(m => m.contains("score") && m.contains("missing")),
+        s"expected the missing column named, got $e")
+    } finally q.stop()
+  }
 }

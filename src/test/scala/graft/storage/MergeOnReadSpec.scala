@@ -500,6 +500,69 @@ class MergeOnReadSpec extends SparkSpec {
     assert(spark.table("morcat.s.m18").count() == 2L)
   }
 
+  test("rewrite scan pins the delete set to the SCAN snapshot: a delta " +
+    "delete landing after table load is still applied by the scan") {
+    wh
+    createMor("m_ltc", Seq((1L, "a"), (2L, "b")))
+    val dir = new Path(s"$wh/s/m_ltc")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = GraftCatalog.readMeta(fs, dir).get
+    // a stale operation handle: built with a LOAD-TIME spec of None (the
+    // table had no pending deletes when resolved) …
+    val op = new GraftRowLevelOperation(dir.toString, meta, "m_ltc",
+      org.apache.spark.sql.connector.write.RowLevelOperation.Command.MERGE,
+      eqDel = None)
+    // … then a delta DELETE lands BEFORE the scan is planned
+    Seq((2L, "x")).toDF("id", "w").createOrReplaceTempView("mltc_del")
+    spark.sql("""MERGE INTO morcat.s.m_ltc t USING mltc_del s
+      ON t.id = s.id WHEN MATCHED THEN DELETE""")
+    // planning the rewrite scan from the stale handle must re-derive the
+    // delete set at the scan snapshot — reading through it must NOT see
+    // the deleted row (the old behavior resurrected it)
+    val sb = op.newScanBuilder(
+      org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+    sb.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+      .pruneColumns(meta.schema)
+    val scan = sb.build()
+    assert(scan.description().contains("EqDeleteApply"),
+      s"scan must apply scan-snapshot deletes, got: ${scan.description()}")
+    val batch = scan.toBatch
+    val rf = batch.createReaderFactory()
+    val ids = batch.planInputPartitions().flatMap { p =>
+      val r = rf.createReader(p)
+      val b = Seq.newBuilder[Long]
+      try { while (r.next()) b += r.get().getLong(0) } finally r.close()
+      b.result()
+    }
+    assert(ids.toSet == Set(1L),
+      s"scan must not resurrect the concurrently deleted row, got ${ids.toSeq}")
+  }
+
+  test("scheme-qualified warehouse: pending deletes still apply on a " +
+    "partitioned table (path-form mismatch must not skip the delete)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-morwh2").toString
+    spark.conf.set("spark.sql.catalog.morcat2", classOf[GraftCatalog].getName)
+    // file:-qualified warehouse — partition file paths come back
+    // scheme-stripped, so the reader's prefix must normalize the same way
+    spark.conf.set("spark.sql.catalog.morcat2.warehouse", s"file:$dir")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS morcat2.s")
+    Seq((1L, "p1", "a"), (2L, "p1", "b"), (3L, "p2", "c"))
+      .toDF("id", "p", "w").repartition(1)
+      .writeTo("morcat2.s.msq").using("parquet")
+      .partitionedBy(col("p"))
+      .tableProperty(GraftCatalog.MergeModeProp, "merge-on-read")
+      .tableProperty(GraftCatalog.MergeKeyProp, "id")
+      .createOrReplace()
+    Seq((2L, "x")).toDF("id", "w").createOrReplaceTempView("msq_del")
+    spark.sql("""MERGE INTO morcat2.s.msq t USING msq_del s
+      ON t.id = s.id WHEN MATCHED THEN DELETE""")
+    spark.catalog.refreshTable("morcat2.s.msq")
+    val out = spark.table("morcat2.s.msq").orderBy("id")
+      .select("id").as[Long].collect().toSeq
+    assert(out == Seq(1L, 3L),
+      s"pending delete must apply under a scheme-qualified warehouse, got $out")
+  }
+
   test("merge-on-read without merge.key fails loudly") {
     wh
     Seq((1L, "a")).toDF("id", "w")
