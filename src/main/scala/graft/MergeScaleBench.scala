@@ -111,14 +111,31 @@ object MergeScaleBench {
     spark.sql("""MERGE INTO msb.s.mor2 t USING msb_localdel s ON t.id = s.id
       WHEN MATCHED THEN DELETE""")
     spark.catalog.refreshTable("msb.s.mor2")
-    val (delcSec, delc) = time {
-      spark.sessionState.catalogManager.catalog("msb")
-        .asInstanceOf[GraftCatalog].compactDeletes(spark, "s.mor2")
-    }
+    val msbCat = spark.sessionState.catalogManager.catalog("msb")
+      .asInstanceOf[GraftCatalog]
+    // candidate test in isolation (dry run): the distributed
+    // keys × file-stats join, no rewrite — timed at 1× and 4× the delta
+    // to show the test scales with the DELETE SET, not the table
+    val (cand1Sec, cand1) = time(msbCat.compactDeletesDryRun(spark, "s.mor2"))
+    val (delcSec, delc) = time(msbCat.compactDeletes(spark, "s.mor2"))
     spark.catalog.refreshTable("msb.s.mor2")
     val (mor2Read, mor2Cnt) = time(spark.table("msb.s.mor2").count())
     require(mor2Cnt == n - delta, s"targeted compaction lost rows: $mor2Cnt")
-    println(f"""{"bench":"merge_scale","rows":$n,"files":$files,"delta":$delta,"cow_merge_sec":$cowSec%.3f,"mor_merge_sec":$morSec%.3f,"cow_files_survived":$cowSurvived,"cow_files_before":${cowBefore.size},"mor_files_survived":$morSurvived,"mor_files_before":${morBefore.size},"cow_read_sec":$cowRead%.3f,"mor_read_sec":$morRead%.3f,"rows_after":$cowCnt,"mor_compact_sec":$compactSec%.3f,"mor_read_after_compact_sec":$morReadAfter%.3f,"delc_files_rewritten":${delc._1},"delc_files_untouched":${delc._2},"delc_sec":$delcSec%.3f,"read_after_delc_sec":$mor2Read%.3f}""")
+    require(cand1.size == delc._1,
+      s"dry run must price the real rewrite: ${cand1.size} vs ${delc._1}")
+    base.repartitionByRange(files, col("id"))
+      .writeTo("msb.s.mor3").using("parquet")
+      .tableProperty(GraftCatalog.MergeModeProp, "merge-on-read")
+      .tableProperty(GraftCatalog.MergeKeyProp, "id")
+      .createOrReplace()
+    spark.range(0, 4 * delta).select(col("id"), lit(-4L).alias("v"),
+        lit("x").alias("payload"))
+      .createOrReplaceTempView("msb_localdel4")
+    spark.sql("""MERGE INTO msb.s.mor3 t USING msb_localdel4 s ON t.id = s.id
+      WHEN MATCHED THEN DELETE""")
+    spark.catalog.refreshTable("msb.s.mor3")
+    val (cand4Sec, cand4) = time(msbCat.compactDeletesDryRun(spark, "s.mor3"))
+    println(f"""{"bench":"merge_scale","rows":$n,"files":$files,"delta":$delta,"cow_merge_sec":$cowSec%.3f,"mor_merge_sec":$morSec%.3f,"cow_files_survived":$cowSurvived,"cow_files_before":${cowBefore.size},"mor_files_survived":$morSurvived,"mor_files_before":${morBefore.size},"cow_read_sec":$cowRead%.3f,"mor_read_sec":$morRead%.3f,"rows_after":$cowCnt,"mor_compact_sec":$compactSec%.3f,"mor_read_after_compact_sec":$morReadAfter%.3f,"delc_files_rewritten":${delc._1},"delc_files_untouched":${delc._2},"delc_sec":$delcSec%.3f,"read_after_delc_sec":$mor2Read%.3f,"cand_1x_sec":$cand1Sec%.3f,"cand_1x_files":${cand1.size},"cand_4x_sec":$cand4Sec%.3f,"cand_4x_files":${cand4.size}}""")
     spark.stop()
   }
 }

@@ -116,6 +116,52 @@ case class BloomMightContain(
     copy(left = newLeft, right = newRight)
 }
 
+/** `bloom_might_contain_dyn(bitset, h, numBits, numHashes)` — the
+  * [[BloomMightContain]] probe with PER-ROW geometry: numBits/numHashes
+  * arrive as columns, not constructor constants. The file bloom index
+  * auto-sizes each file's bitset from its row count, so a relation of
+  * per-file bloom entries carries heterogeneous geometries — a join
+  * probing delete keys against many files' blooms (the distributed
+  * delete-compaction candidate test) needs the geometry per row. */
+case class BloomMightContainDyn(
+    bitset: Expression, h: Expression, numBits: Expression, numHashes: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain_dyn"
+  override def first: Expression = bitset
+  override def second: Expression = h
+  override def third: Expression = numBits
+  override def fourth: Expression = numHashes
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (bitset.dataType, h.dataType, numBits.dataType, numHashes.dataType) match {
+      case (ArrayType(LongType, _), LongType, IntegerType, IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, bigint, int, int), got $t")
+    }
+
+  def compute(arr: ArrayData, hv: Long, nb: Int, nh: Int): Boolean =
+    BloomBits.mightContain(arr, hv, nb, nh)
+
+  override def nullSafeEval(arr: Any, hv: Any, nb: Any, nh: Any): Any =
+    compute(arr.asInstanceOf[ArrayData], hv.asInstanceOf[Long],
+      nb.asInstanceOf[Int], nh.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj(prettyName, this,
+      classOf[BloomMightContainDyn].getName)
+    nullSafeCodeGen(ctx, ev, (a, hv, nb, nh) =>
+      s"${ev.value} = $self.compute($a, $hv, $nb, $nh);")
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(bitset = f, h = s, numBits = t, numHashes = q)
+}
+
 /** The shared probe math — agg and membership expression call the same
   * code, so a bit set is a bit found. Visible to `graft.storage` so the
   * manifest bloom index ([[graft.storage.GraftCatalog.buildBloomIndex]])
@@ -179,4 +225,10 @@ object BloomFunctions {
       numBits: Int = DefaultBits, numHashes: Int = DefaultHashes): Column =
     Shims.column(BloomMightContain(
       Shims.expression(bitset), Shims.expression(h), numBits, numHashes))
+
+  def bloom_might_contain_dyn(bitset: Column, h: Column,
+      numBits: Column, numHashes: Column): Column =
+    Shims.column(BloomMightContainDyn(
+      Shims.expression(bitset), Shims.expression(h),
+      Shims.expression(numBits), Shims.expression(numHashes)))
 }

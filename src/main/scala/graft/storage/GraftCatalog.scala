@@ -389,15 +389,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     * pending deletes by rewriting ONLY the files that may actually hold
     * deleted rows, leaving the rest untouched. Candidacy is the sequence
     * rule (file older than some pending delete) intersected with key
-    * stats/bloom overlap against the delete set (single-column keys;
-    * multi-column keys degrade to the sequence rule alone) — so on a
-    * key-clustered layout a localized delete set compacts a few files,
-    * not the table. Untouched candidates PROVABLY hold no deleted key,
+    * stats/bloom overlap against the delete set, evaluated as ONE
+    * distributed join ([[GraftCatalog.deleteCandidateFiles]] — composite
+    * keys prune by per-column conjunction; the driver holds file names
+    * only) — so on a key-clustered layout a localized delete set compacts
+    * a few files, not the table.
+    * Untouched candidates PROVABLY hold no deleted key,
     * which licenses clearing the eqdel refs outright (the age-based
     * self-clean alone would carry them forever against innocent old
     * files). Dead deletes (no file can hold their keys) clear with a
     * metadata-only commit. Returns (filesRewritten, filesUntouched). */
   def compactDeletes(spark: SparkSession, table: String): (Int, Int) = {
+    val (dir, meta, latest, live, eqDels, addMap, affected) =
+      deleteCompactionPlan(spark, table)
+    if (eqDels.isEmpty) return (0, live.size)
+    runDeleteCompaction(spark, dir, meta, latest, live, eqDels, addMap, affected)
+  }
+
+  /** Dry-run of [[compactDeletes]]: the table-relative files a targeted
+    * delete compaction WOULD rewrite — same distributed candidate test,
+    * no commit. The operational "price this compaction" call. */
+  def compactDeletesDryRun(spark: SparkSession, table: String): Seq[String] =
+    deleteCompactionPlan(spark, table)._7
+
+  private def deleteCompactionPlan(spark: SparkSession, table: String)
+      : (Path, GraftTableMeta, Long, Seq[String], Seq[(String, Long)],
+         Map[String, Long], Seq[String]) = {
     val ident = Identifier.of(
       table.split("\\.").dropRight(1), table.split("\\.").last)
     val dir = tableDir(ident)
@@ -407,30 +424,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val live = GraftCatalog.readManifest(fs, dir, latest)
       .getOrElse(GraftCatalog.listDataFiles(fs, dir))
     val eqDels = GraftCatalog.readEqDels(fs, dir, latest)
-    if (eqDels.isEmpty) return (0, live.size)
     val addMap = GraftCatalog.readAddMap(fs, dir, latest)
-    val keyCols = meta.properties(GraftCatalog.MergeKeyProp)
-      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     def seqOf(f: String) = addMap.getOrElse(f, 0L)
     val seqCand = live.filter(f => eqDels.exists(_._2 > seqOf(f)))
     val stats = GraftCatalog.readStats(fs, dir, latest)
     val blooms = GraftCatalog.readBloomIndex(fs, dir)
+    // distributed candidate test: delete keys never touch the driver, and
+    // composite merge keys prune by per-column conjunction instead of
+    // degrading to the sequence rule
     val affected: Seq[String] =
-      if (keyCols.length != 1) seqCand
-      else {
-        val kc = keyCols.head
-        val delRows = GraftCatalog.eqDelDf(spark, fs, dir, meta, eqDels).collect()
-        seqCand.filter { f =>
-          val sq = seqOf(f)
-          val vals = delRows.iterator
-            .filter(r => r.getLong(r.fieldIndex("__dsnap")) > sq)
-            .map(r => r.get(r.fieldIndex(kc))).toArray
-          vals.nonEmpty && FileStatsPruning.mayMatchAll(
-            GraftCatalog.partitionPathStats(f, meta) ++ stats.getOrElse(f, Map.empty),
-            blooms.getOrElse(f, Map.empty),
-            Seq(org.apache.spark.sql.sources.In(kc, vals)))
-        }
-      }
+      if (seqCand.isEmpty) Seq.empty
+      else GraftCatalog.deleteCandidateFiles(
+        spark, dir, meta, seqCand, seqOf, eqDels, stats, blooms)
+    (dir, meta, latest, live, eqDels, addMap, affected)
+  }
+
+  private def runDeleteCompaction(
+      spark: SparkSession, dir: Path, meta: GraftTableMeta, latest: Long,
+      live: Seq[String], eqDels: Seq[(String, Long)],
+      addMap: Map[String, Long], affected: Seq[String]): (Int, Int) = {
     if (affected.isEmpty) {
       // dead deletes: no live file can hold their keys — clear with a
       // files-unchanged, metadata-only commit
@@ -1471,6 +1483,154 @@ object GraftCatalog {
       }
     }
     spark.createDataFrame(rows.asJava, schema)
+  }
+
+  /** The stat/bloom comparison domain for a merge-key column: integrals
+    * and dates compare as INT64 (the form manifest stats record — dates
+    * as epoch days — and the form the bloom build hashes), strings as
+    * Spark's binary UTF-8 order (the order [[FileStatsPruning]] and the
+    * parquet footers use). None = no per-file pruning possible for the
+    * column (timestamp/boolean keys): its tests degrade to always-may-
+    * match, never to a wrong comparison. */
+  private def statDomain(dt: DataType): Option[DataType] = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType => Some(LongType)
+    case StringType => Some(StringType)
+    case _ => None
+  }
+
+  /** DISTRIBUTED delete-compaction candidate test: which of `seqCand` may
+    * actually hold a deleted key? Spelled as one DataFrame join —
+    * `distinct delete keys × broadcast(per-file stats/bloom entries)` with
+    * the sequence rule and a per-column conjunction of range + bloom tests
+    * as the join condition — so the driver never materializes a delete
+    * key: the delta-sized side stays distributed ([[eqDelDfDist]]), the
+    * broadcast side is file-count-sized metadata the driver already holds,
+    * and the result is FILE NAMES ONLY. Composite merge keys prune by the
+    * conjunction of their columns' tests (each conservative, so the
+    * conjunction is), where the old driver loop degraded them to the
+    * sequence rule alone. Cost: O(|distinct keys| × |candidate files|)
+    * compiled comparisons, distributed — the same pair count the driver
+    * loop burned single-threaded. */
+  private[storage] def deleteCandidateFiles(
+      spark: SparkSession, dir: Path, meta: GraftTableMeta,
+      seqCand: Seq[String], seqOf: String => Long,
+      eqDels: Seq[(String, Long)],
+      stats: Map[String, Map[String, ColStat]],
+      blooms: Map[String, Map[String, FileBloom]]): Seq[String] = {
+    import org.apache.spark.sql.functions.{broadcast, col, max, unix_date, xxhash64}
+    val keyCols = meta.properties(MergeKeyProp)
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val keyFields = keyCols.map(c => meta.schema(meta.schema.fieldIndex(c)))
+    val keyDoms: Seq[Option[DataType]] = keyFields.map(f => statDomain(f.dataType))
+    def boundsFor(st: Option[ColStat], dom: DataType): (Any, Any) = dom match {
+      case StringType => st match {
+        case Some(s) if s.kind == "s" || s.kind == "t" => (s.min, s.max)
+        case _ => (null, null)
+      }
+      case _ => st match {
+        case Some(s) if s.kind == "l" =>
+          val mn = scala.util.Try(BigDecimal(s.min)).toOption
+            .filter(_.isValidLong).map(v => Long.box(v.toLong))
+          val mx = scala.util.Try(BigDecimal(s.max)).toOption
+            .filter(_.isValidLong).map(v => Long.box(v.toLong))
+          if (mn.isDefined && mx.isDefined) (mn.get, mx.get) else (null, null)
+        case _ => (null, null)
+      }
+    }
+    val fSchema = StructType(
+      Seq(StructField("__file", StringType, nullable = false),
+        StructField("__seq", LongType, nullable = false)) ++
+      keyCols.indices.flatMap { i =>
+        val dom = keyDoms(i).getOrElse(StringType) // unsupported: always-null
+        Seq(StructField(s"__min_$i", dom, nullable = true),
+          StructField(s"__max_$i", dom, nullable = true),
+          StructField(s"__bloom_$i", ArrayType(LongType, containsNull = false),
+            nullable = true),
+          StructField(s"__bnb_$i", IntegerType, nullable = true),
+          StructField(s"__bnh_$i", IntegerType, nullable = true))
+      })
+    val fRows: Seq[org.apache.spark.sql.Row] = seqCand.map { f =>
+      val st = partitionPathStats(f, meta) ++ stats.getOrElse(f, Map.empty)
+      val bl = blooms.getOrElse(f, Map.empty)
+      org.apache.spark.sql.Row.fromSeq(
+        Seq(f, Long.box(seqOf(f))) ++ keyCols.zipWithIndex.flatMap { case (c, i) =>
+          val (mn, mx) = keyDoms(i) match {
+            case Some(dom) => boundsFor(st.get(c), dom)
+            case None => (null, null)
+          }
+          val b = bl.get(c)
+          Seq(mn, mx, b.map(_.bits.toSeq).orNull,
+            b.map(v => Int.box(v.numBits)).orNull,
+            b.map(v => Int.box(v.numHashes)).orNull)
+        })
+    }
+    val filesDf = spark.createDataFrame(fRows.asJava, fSchema)
+    // one row per distinct key, newest delete snapshot — only the max
+    // matters for `∃ delete with dsnap > seq`
+    val delKeys = eqDelDfDist(spark, dir, meta, eqDels)
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(col("__dsnap")).as("__dsnap"))
+    var cond: org.apache.spark.sql.Column = col("__dsnap") > col("__seq")
+    keyCols.zipWithIndex.foreach { case (c, i) =>
+      keyDoms(i).foreach { _ =>
+        val probe = keyFields(i).dataType match {
+          case StringType => col(c)
+          case DateType => unix_date(col(c)).cast(LongType)
+          case _ => col(c).cast(LongType)
+        }
+        cond = cond && (col(s"__min_$i").isNull ||
+          (probe >= col(s"__min_$i") && probe <= col(s"__max_$i")))
+        cond = cond && (col(s"__bloom_$i").isNull ||
+          graft.functions.BloomFunctions.bloom_might_contain_dyn(
+            col(s"__bloom_$i"), xxhash64(probe),
+            col(s"__bnb_$i"), col(s"__bnh_$i")))
+      }
+    }
+    delKeys.join(broadcast(filesDf), cond, "inner")
+      .select(col("__file")).distinct()
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  /** [[eqDelDf]]'s DISTRIBUTED twin: the sidecars are parsed on
+    * EXECUTORS (one task per sidecar, the per-commit delta grain), so no
+    * delete key ever materializes on the driver — the spelling for paths
+    * that must scale past "the delta fits in driver memory", e.g. the
+    * delete-compaction candidate test at a deferred-compaction extreme.
+    * Same output schema as [[eqDelDf]]: `(keyCols..., __dsnap)`. */
+  private[storage] def eqDelDfDist(
+      spark: SparkSession, dir: Path,
+      meta: GraftTableMeta, eqDels: Seq[(String, Long)])
+      : org.apache.spark.sql.DataFrame = {
+    val keyCols = meta.properties.getOrElse(MergeKeyProp,
+        throw new IllegalStateException(
+          s"$dir has pending equality deletes but no $MergeKeyProp"))
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val keyFields = keyCols.map(c => meta.schema(meta.schema.fieldIndex(c)))
+    val schema = StructType(keyFields :+
+      StructField("__dsnap", LongType, nullable = false))
+    val keyTypes = keyFields.map(_.dataType)
+    val nKeys = keyCols.length
+    val paths: Seq[(String, Long)] = eqDels.map { case (rel, snap) =>
+      (new Path(dir, rel).toString, snap)
+    }
+    val rdd = spark.sparkContext
+      .parallelize(paths, math.max(1, math.min(paths.size, 32)))
+      .flatMap { case (p, snap) =>
+        val sidecar = new Path(p)
+        val fsx = sidecar.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val converters = keyTypes.map(t =>
+          org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .createToScalaConverter(t))
+        readEqDelSidecar(fsx, sidecar, keyCols).iterator.map { bytes =>
+          val ur = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(nKeys)
+          ur.pointTo(bytes, bytes.length)
+          org.apache.spark.sql.Row.fromSeq(keyTypes.indices.map { i =>
+            if (ur.isNullAt(i)) null
+            else converters(i)(ur.get(i, keyTypes(i)))
+          } :+ snap)
+        }
+      }
+    spark.createDataFrame(rdd, schema)
   }
 
   /** Read table-relative `files` with pending equality deletes applied —

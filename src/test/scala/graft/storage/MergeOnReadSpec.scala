@@ -380,6 +380,42 @@ class MergeOnReadSpec extends SparkSpec {
       .filter(col("id") >= 10 && col("id") < 20).count() == 0L)
   }
 
+  test("compactDeletes on a COMPOSITE-key clustered table rewrites 1 of " +
+    "N files (per-column conjunction, not the sequence rule)") {
+    wh
+    // composite identity (src, id); 8 range files clustered by src so
+    // each src's rows live in a known file subset
+    spark.range(0, 800).select(
+        (col("id") / 100).cast("long").alias("src"),
+        col("id"),
+        (col("id") % 5).alias("v"))
+      .repartitionByRange(8, col("src"))
+      .writeTo("morcat.s.m_ck").using("parquet")
+      .tableProperty(GraftCatalog.MergeModeProp, "merge-on-read")
+      .tableProperty(GraftCatalog.MergeKeyProp, "src,id")
+      .createOrReplace()
+    // localized composite deletes: all in src=3 (one range file)
+    spark.range(310, 320).select(lit(3L).alias("src"), col("id"))
+      .createOrReplaceTempView("mck_del")
+    spark.sql("""MERGE INTO morcat.s.m_ck t
+      USING mck_del s ON t.src = s.src AND t.id = s.id
+      WHEN MATCHED THEN DELETE""")
+    spark.catalog.refreshTable("morcat.s.m_ck")
+    val before = manifestFiles("m_ck").toSet
+    assert(before.size == 8 && eqDels("m_ck").nonEmpty)
+    val (rewritten, untouched) = cat.compactDeletes(spark, "s.m_ck")
+    spark.catalog.refreshTable("morcat.s.m_ck")
+    assert(rewritten == 1,
+      s"composite keys must prune to the one src-overlapping file, got $rewritten")
+    assert(untouched == 7)
+    assert(eqDels("m_ck").isEmpty)
+    assert((before intersect manifestFiles("m_ck").toSet).size == 7)
+    assert(spark.table("morcat.s.m_ck").count() == 790L)
+    assert(spark.table("morcat.s.m_ck")
+      .filter(col("src") === 3L && col("id") >= 310 && col("id") < 320)
+      .count() == 0L)
+  }
+
   test("compactDeletes with dead deletes (keys already compacted away) " +
     "is a metadata-only clear; SQL CALL surface works") {
     wh
