@@ -482,6 +482,29 @@ object Bench {
           val verdict =
             if (mr > 1.2) "inflated"
             else if (mr < 0.83) "improved" else "stable"
+          // PER-QUERY outliers: the session verdict is a median, so a
+          // handful of real regressions can hide under "stable" (r12:
+          // prep_bpe_pairs ran 1.6× its history median unflagged). Any
+          // query > 1.4× its pinned median gets named AND re-measured
+          // settled in this JVM — if the settled number recovers the
+          // inflation was in-suite pressure, if not it's attributable
+          val outliers = finalResults.flatMap { case (n, _, w, _, _, _) =>
+            base.get(n).filter(_ >= 0.1).map(b => (n, w, b, w / b))
+          }.filter(_._4 > 1.4).sortBy(-_._4)
+          val outJson =
+            if (outliers.isEmpty) ""
+            else {
+              clearAll(); System.gc()
+              val rows = outliers.map { case (n, w, b, r) =>
+                val settled = productionVariants.get(n)
+                  .orElse(SparkEntry.queries.get(n))
+                  .map { fn => val t = time(fn); clearAll(); t }
+                  .collect { case (sec, _, true) => sec }.getOrElse(-1.0)
+                f"""{"q":"$n","warm":$w%.3f,"history_median":$b%.3f,""" +
+                  f""""ratio":$r%.2f,"settled":$settled%.3f}"""
+              }
+              s""","outliers":[${rows.mkString(",")}]"""
+            }
           val retail =
             if (verdict != "inflated") ""
             else {
@@ -497,7 +520,7 @@ object Bench {
               }.collect { case (sec, _, true) => sec }.sum
               f""","core19_retail":$t%.3f"""
             }
-          f"""{"median_ratio":$mr%.3f,"verdict":"$verdict","baselined":${ratios.size}$retail}"""
+          f"""{"median_ratio":$mr%.3f,"verdict":"$verdict","baselined":${ratios.size}$retail$outJson}"""
         }
       }
     } catch { case e: Throwable =>

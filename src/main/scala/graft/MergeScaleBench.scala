@@ -113,6 +113,11 @@ object MergeScaleBench {
     spark.catalog.refreshTable("msb.s.mor2")
     val msbCat = spark.sessionState.catalogManager.catalog("msb")
       .asInstanceOf[GraftCatalog]
+    // pending-delete read on the CLUSTERED table: the localized delete
+    // set clears almost every file's key range, so the stats-based
+    // probe skip should make this read nearly clean BEFORE compaction
+    val (mor2PendRead, mor2PendCnt) = time(spark.table("msb.s.mor2").count())
+    require(mor2PendCnt == n - delta, s"pending read wrong: $mor2PendCnt")
     // candidate test in isolation (dry run): the distributed
     // keys × file-stats join, no rewrite — timed at 1× and 4× the delta
     // to show the test scales with the DELETE SET, not the table
@@ -135,7 +140,7 @@ object MergeScaleBench {
       WHEN MATCHED THEN DELETE""")
     spark.catalog.refreshTable("msb.s.mor3")
     val (cand4Sec, cand4) = time(msbCat.compactDeletesDryRun(spark, "s.mor3"))
-    println(f"""{"bench":"merge_scale","rows":$n,"files":$files,"delta":$delta,"cow_merge_sec":$cowSec%.3f,"mor_merge_sec":$morSec%.3f,"cow_files_survived":$cowSurvived,"cow_files_before":${cowBefore.size},"mor_files_survived":$morSurvived,"mor_files_before":${morBefore.size},"cow_read_sec":$cowRead%.3f,"mor_read_sec":$morRead%.3f,"rows_after":$cowCnt,"mor_compact_sec":$compactSec%.3f,"mor_read_after_compact_sec":$morReadAfter%.3f,"delc_files_rewritten":${delc._1},"delc_files_untouched":${delc._2},"delc_sec":$delcSec%.3f,"read_after_delc_sec":$mor2Read%.3f,"cand_1x_sec":$cand1Sec%.3f,"cand_1x_files":${cand1.size},"cand_4x_sec":$cand4Sec%.3f,"cand_4x_files":${cand4.size}}""")
+    println(f"""{"bench":"merge_scale","rows":$n,"files":$files,"delta":$delta,"cow_merge_sec":$cowSec%.3f,"mor_merge_sec":$morSec%.3f,"cow_files_survived":$cowSurvived,"cow_files_before":${cowBefore.size},"mor_files_survived":$morSurvived,"mor_files_before":${morBefore.size},"cow_read_sec":$cowRead%.3f,"mor_read_sec":$morRead%.3f,"rows_after":$cowCnt,"mor_compact_sec":$compactSec%.3f,"mor_read_after_compact_sec":$morReadAfter%.3f,"clustered_pending_read_sec":$mor2PendRead%.3f,"delc_files_rewritten":${delc._1},"delc_files_untouched":${delc._2},"delc_sec":$delcSec%.3f,"read_after_delc_sec":$mor2Read%.3f,"cand_1x_sec":$cand1Sec%.3f,"cand_1x_files":${cand1.size},"cand_4x_sec":$cand4Sec%.3f,"cand_4x_files":${cand4.size}}""")
     spark.stop()
   }
 }

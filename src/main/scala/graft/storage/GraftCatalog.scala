@@ -1375,6 +1375,26 @@ object GraftCatalog {
         }
       }.toMap
 
+  /** Per-file [min,max] of a SINGLE integral merge key, read off manifest
+    * column stats (kind "l": byte/short/int/long/date — the same value
+    * domain the delete probe compares in). Feeds [[org.apache.spark.sql
+    * .graftshim.EqDeleteSpec.fileKeyRange]]: the delete-applying reader
+    * passes a file through probe-free when no pending delete key falls in
+    * its range, which on a key-clustered table under a localized delete
+    * set makes the pre-compaction read tax proportional to the AFFECTED
+    * files, not the table. Empty (conservative) for composite or
+    * non-integral keys. */
+  private[storage] def eqDelKeyRanges(
+      stats: Map[String, Map[String, ColStat]],
+      keyCols: Seq[String]): Map[String, (Long, Long)] =
+    if (keyCols.length != 1) Map.empty
+    else stats.flatMap { case (f, cols) =>
+      cols.get(keyCols.head).filter(_.kind == "l").flatMap { st =>
+        for (mn <- st.min.toLongOption; mx <- st.max.toLongOption)
+          yield f -> (mn, mx)
+      }
+    }
+
   /** Live data-file set of the dir's latest snapshot (diagnostics /
     * benches: lets a caller verify which files a commit left in place). */
   def liveDataFiles(fs: FileSystem, dir: Path): Seq[String] =
@@ -2258,7 +2278,8 @@ private[storage] class GraftTable(
           .map(_ -> snap)
       }
       Some(org.apache.spark.sql.graftshim.EqDeleteSpec(
-        keyCols, entries, addSeq, dir))
+        keyCols, entries, addSeq, dir,
+        fileKeyRange = GraftCatalog.eqDelKeyRanges(fileStats, keyCols)))
     }
 
   // SQL UPDATE / MERGE INTO: group-based copy-on-write rewrite by default

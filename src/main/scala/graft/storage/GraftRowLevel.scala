@@ -117,7 +117,9 @@ private[storage] final class CowScanBuilder(
           .map(_ -> snap)
       }
       Some(org.apache.spark.sql.graftshim.EqDeleteSpec(
-        keyCols, entries, GraftCatalog.readAddMap(fs, root, scanSnapshot), dir))
+        keyCols, entries, GraftCatalog.readAddMap(fs, root, scanSnapshot), dir,
+        fileKeyRange = GraftCatalog.eqDelKeyRanges(
+          GraftCatalog.readStats(fs, root, scanSnapshot), keyCols)))
     }
   }
   private var kept: Seq[String] = live

@@ -599,6 +599,76 @@ class MergeOnReadSpec extends SparkSpec {
       s"pending delete must apply under a scheme-qualified warehouse, got $out")
   }
 
+  test("reads with deletes pending stay COLUMNAR: the selection view " +
+    "drops only deleted rows, across scalar/string/array columns") {
+    wh
+    val rows = Seq(
+      (1L, "a", 1.5, Seq(1L, 10L)),
+      (2L, "b", 2.5, Seq(2L)),
+      (3L, null.asInstanceOf[String], 3.5, Seq(3L, 30L, 300L)),
+      (4L, "d", 4.5, Seq.empty[Long]),
+      (5L, "e", 5.5, Seq(5L)))
+    rows.toDF("id", "w", "x", "arr").repartition(1)
+      .writeTo("morcat.s.mcol").using("parquet")
+      .tableProperty(GraftCatalog.MergeModeProp, "merge-on-read")
+      .tableProperty(GraftCatalog.MergeKeyProp, "id")
+      .createOrReplace()
+    // delete two MID-FILE keys so the probed selection-view path (not
+    // fresh-file pass-through, not whole-batch drop) serves the read
+    Seq(2L, 4L).toDF("id").createOrReplaceTempView("mcol_del")
+    spark.sql("""MERGE INTO morcat.s.mcol t USING mcol_del s
+      ON t.id = s.id WHEN MATCHED THEN DELETE""")
+    spark.catalog.refreshTable("morcat.s.mcol")
+    assert(eqDels("mcol").size == 1)
+
+    val df = spark.table("morcat.s.mcol")
+    val batch = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.getOrElse(fail("no BatchScanExec in the delete-applying plan"))
+    assert(batch.scan.description().startsWith("EqDeleteApply"),
+      s"expected the delete-applying scan, got ${batch.scan.description()}")
+    // THE pin: pending deletes must not force the read row-based
+    assert(batch.supportsColumnar,
+      "delete-applying read must stay columnar when the parquet reader is")
+
+    val out = df.orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getSeq[Long](3))).toSeq
+    assert(out == Seq(
+      (1L, "a", 1.5, Seq(1L, 10L)),
+      (3L, null, 3.5, Seq(3L, 30L, 300L)),
+      (5L, "e", 5.5, Seq(5L))), s"got $out")
+    // narrow projection through the view (forced key column dropped off)
+    assert(df.select("w").collect().map(_.getString(0)).toSet ==
+      Set("a", null, "e"))
+    assert(df.agg(sum("x")).head.getDouble(0) == 1.5 + 3.5 + 5.5)
+  }
+
+  test("columnar delete apply: whole-batch deletion skips the file's " +
+    "batch; a fresh file appended after the delete passes through") {
+    wh
+    createMor("mcol2", Seq((1L, "a"), (2L, "b")))
+    // second file whose EVERY row is deleted → the k == 0 columnar path
+    Seq((10L, "x"), (11L, "y")).toDF("id", "w")
+      .repartition(1).writeTo("morcat.s.mcol2").append()
+    Seq(10L, 11L).toDF("id").createOrReplaceTempView("mcol2_del")
+    spark.sql("""MERGE INTO morcat.s.mcol2 t USING mcol2_del s
+      ON t.id = s.id WHEN MATCHED THEN DELETE""")
+    spark.catalog.refreshTable("morcat.s.mcol2")
+    // fresh file AFTER the delete: the deleted keys re-inserted must
+    // survive (pass-through branch, no probe)
+    Seq((10L, "x2")).toDF("id", "w").writeTo("morcat.s.mcol2").append()
+    spark.catalog.refreshTable("morcat.s.mcol2")
+    val df = spark.table("morcat.s.mcol2")
+    val batch = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    assert(batch.supportsColumnar, "columnar read expected")
+    val out = df.orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "a"), (2L, "b"), (10L, "x2")), s"got $out")
+  }
+
   test("merge-on-read without merge.key fails loudly") {
     wh
     Seq((1L, "a")).toDF("id", "w")
