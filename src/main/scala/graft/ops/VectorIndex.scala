@@ -315,7 +315,13 @@ object VectorIndex {
       txn: Option[(String, Long)] = None): Unit = {
     val t = ids.select(col(idCol).cast("long").alias("corpus_id")).distinct()
     if (tombstonesOpt(spark, tablePrefix).isEmpty) {
-      t.writeTo(s"${tablePrefix}_tombstones").using("parquet").create()
+      // the txn must be recorded on the CREATE too, or the first delete
+      // of a table's life is silently outside the replay guard
+      val w0 = t.writeTo(s"${tablePrefix}_tombstones").using("parquet")
+      txn.fold(w0) { case (app, v) =>
+        w0.option(graft.storage.GraftCatalog.TxnAppIdOption, app)
+          .option(graft.storage.GraftCatalog.TxnVersionOption, v.toString)
+      }.create()
       return
     }
     val w = t.writeTo(s"${tablePrefix}_tombstones")
@@ -323,6 +329,39 @@ object VectorIndex {
       w.option(graft.storage.GraftCatalog.TxnAppIdOption, app)
         .option(graft.storage.GraftCatalog.TxnVersionOption, v.toString)
     }.append()
+  }
+
+  /** Sync the index with a base table's MERGE-ON-READ DML: a delta commit
+    * deletes/replaces visible rows without touching the files the index
+    * was built from, so the index goes stale silently — searches keep
+    * returning rows the table no longer holds. This reads the row keys
+    * deleted (or replaced by an update) in `(fromSnapshot, toSnapshot]`
+    * off the table's equality-delete sidecars
+    * ([[graft.storage.GraftCatalog.deletedKeys]] — delta-sized, never a
+    * table diff) and tombstones them; the normal [[append]] over the
+    * table's incremental read (`VERSION AS OF 'incr:a..b'`) then folds
+    * in the delta's NEW/replacement vectors, completing an update.
+    * Requires a single-column integral row identity (the index's
+    * `corpus_id` domain). Idempotent per `toSnapshot` via the writer-txn
+    * contract. Returns the number of keys tombstoned. */
+  def applyTableDeletes(
+      spark: SparkSession,
+      table: String,
+      fromSnapshot: Long,
+      toSnapshot: Long,
+      tablePrefix: String): Long = {
+    val (cat, ident) = catalogAndIdent(spark, table)
+    val keys = cat.deletedKeys(spark,
+      (ident.namespace :+ ident.name).mkString("."),
+      fromSnapshot, toSnapshot)
+    require(keys.schema.length == 1,
+      s"index sync needs a single-column row identity, " +
+        s"got ${keys.columns.mkString(",")}")
+    val n = keys.count()
+    if (n > 0)
+      delete(spark, keys, keys.columns.head, tablePrefix,
+        txn = Some((s"graft-index-sync-$table-$tablePrefix", toSnapshot)))
+    n
   }
 
   /** Reclaim tombstoned rows' storage: rewrite ONLY the inverted-list

@@ -343,7 +343,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   def compact(
       spark: SparkSession,
       table: String,
-      targetFilesPerPartition: Int = 1): (Int, Int) = {
+      targetFilesPerPartition: Int = 1,
+      refreshBloomIndex: Boolean = true): (Int, Int) = {
     val ident = Identifier.of(
       table.split("\\.").dropRight(1), table.split("\\.").last)
     val dir = tableDir(ident)
@@ -381,6 +382,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val after = GraftCatalog
       .readManifest(fs, dir, GraftCatalog.latestSnapshot(fs, dir))
       .map(_.size).getOrElse(0)
+    // the rewrite replaced every file: an existing bloom index must be
+    // re-pointed at the new files or point lookups lose their pruning
+    if (refreshBloomIndex) refreshBloomIndexIfPresent(spark, table)
     (before, after)
   }
 
@@ -399,11 +403,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     * self-clean alone would carry them forever against innocent old
     * files). Dead deletes (no file can hold their keys) clear with a
     * metadata-only commit. Returns (filesRewritten, filesUntouched). */
-  def compactDeletes(spark: SparkSession, table: String): (Int, Int) = {
+  def compactDeletes(
+      spark: SparkSession, table: String,
+      refreshBloomIndex: Boolean = true): (Int, Int) = {
     val (dir, meta, latest, live, eqDels, addMap, affected) =
       deleteCompactionPlan(spark, table)
     if (eqDels.isEmpty) return (0, live.size)
-    runDeleteCompaction(spark, dir, meta, latest, live, eqDels, addMap, affected)
+    val out =
+      runDeleteCompaction(spark, dir, meta, latest, live, eqDels, addMap, affected)
+    // the affected files were replaced: re-index them into an existing
+    // bloom index (buildBloomIndex only touches files without entries)
+    if (refreshBloomIndex && out._1 > 0) refreshBloomIndexIfPresent(spark, table)
+    out
   }
 
   /** Dry-run of [[compactDeletes]]: the table-relative files a targeted
@@ -411,6 +422,62 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     * no commit. The operational "price this compaction" call. */
   def compactDeletesDryRun(spark: SparkSession, table: String): Seq[String] =
     deleteCompactionPlan(spark, table)._7
+
+  /** Row-identity keys DELETED (or replaced by an update) by the
+    * merge-on-read commits in `(fromSnapshot, toSnapshot]`, as a
+    * DataFrame of the table's merge-key columns. This is the DELTA-SIZED
+    * sync feed for derived structures (ANN indexes, caches, downstream
+    * marts) that are maintained from appends and therefore go stale when
+    * a delta commit changes visible rows without touching their indexed
+    * files: it reads the equality-delete SIDECARS committed in the range
+    * (executor-side, [[GraftCatalog.eqDelDfDist]]) — never a table-sized
+    * snapshot diff. Sidecars already folded by a later compaction still
+    * surface (each commit's manifest lists its own), so the feed is
+    * complete for any range within the vacuum retention window. */
+  def deletedKeys(
+      spark: SparkSession, table: String,
+      fromSnapshot: Long, toSnapshot: Long): org.apache.spark.sql.DataFrame = {
+    require(fromSnapshot <= toSnapshot,
+      s"deletedKeys: empty range $fromSnapshot..$toSnapshot")
+    val ident = Identifier.of(
+      table.split("\\.").dropRight(1), table.split("\\.").last)
+    val dir = tableDir(ident)
+    val meta = GraftCatalog.readMeta(fs, dir)
+      .getOrElse(throw new NoSuchTableException(ident))
+    // a sidecar committed at snapshot s first appears in s's manifest
+    // with commit stamp s — collecting per-snapshot keeps sidecars that a
+    // LATER compaction in the range already folded away
+    val dels = ((fromSnapshot + 1) to toSnapshot).flatMap { s =>
+      GraftCatalog.readEqDels(fs, dir, s).filter(_._2 == s)
+    }.distinct
+    if (dels.isEmpty) {
+      val keyCols = meta.properties.getOrElse(GraftCatalog.MergeKeyProp, "")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      require(keyCols.nonEmpty,
+        s"$table: deletedKeys needs ${GraftCatalog.MergeKeyProp}")
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(
+          keyCols.map(c => meta.schema(meta.schema.fieldIndex(c)))))
+    } else
+      GraftCatalog.eqDelDfDist(spark, dir, meta, dels)
+        .drop("__dsnap").distinct()
+  }
+
+  /** Re-index a table's NEW files into an EXISTING bloom index: a
+    * compaction rewrite replaces files, and replacement files have no
+    * bloom entries until re-indexed — reads stay correct either way
+    * (missing entries are never skipped), but point lookups lose their
+    * pruning on exactly the files a compaction just created. No-op when
+    * the table carries no bloom index. */
+  private def refreshBloomIndexIfPresent(
+      spark: SparkSession, table: String): Unit = {
+    val ident = Identifier.of(
+      table.split("\\.").dropRight(1), table.split("\\.").last)
+    val cols = GraftCatalog.readBloomIndex(fs, tableDir(ident))
+      .values.flatMap(_.keys).toSet
+    if (cols.nonEmpty) buildBloomIndex(spark, table, cols.toSeq.sorted)
+  }
 
   private def deleteCompactionPlan(spark: SparkSession, table: String)
       : (Path, GraftTableMeta, Long, Seq[String], Seq[(String, Long)],

@@ -28,14 +28,17 @@ class FileSkippingSpec extends SparkSpec {
   }
 
   /** Files the (pre-AQE) physical scan would read. */
-  private def scannedFiles(df: DataFrame): Int =
-    df.queryExecution.sparkPlan.collect {
-      case b: BatchScanExec => b.scan
-    }.map {
+  private def scannedFiles(df: DataFrame): Int = {
+    def count(s: org.apache.spark.sql.connector.read.Scan): Int = s match {
       case k: KeyedScan => k.delegate.fileIndex.inputFiles.length
       case p: ParquetScan => p.fileIndex.inputFiles.length
+      case e: org.apache.spark.sql.graftshim.EqDeleteScan => count(e.delegate)
       case other => fail(s"unexpected scan: $other")
-    }.head
+    }
+    df.queryExecution.sparkPlan.collect {
+      case b: BatchScanExec => b.scan
+    }.map(count).head
+  }
 
   test("disjoint-range appends: a range predicate scans only matching files") {
     wh
@@ -448,6 +451,57 @@ class FileSkippingSpec extends SparkSpec {
     assert(inq.count() === 3)
     // a range predicate ignores blooms (and stays correct)
     assert(spark.table("skipcat.s.blm").filter(col("id") < 10).count() === 10)
+  }
+
+  test("merge-on-read × bloom index: point lookups prune through pending " +
+    "deletes, deleted keys return nothing, and delete compaction " +
+    "re-indexes its replacement files") {
+    wh
+    val cat = spark.sessionState.catalogManager.catalog("skipcat")
+      .asInstanceOf[GraftCatalog]
+    // the overlapping evens/odds shape (min/max can't prune a point
+    // probe), on a MERGE-ON-READ table
+    spark.range(0, 200, 2)
+      .select(col("id"), concat(lit("w"), col("id")).as("tag"))
+      .repartition(1)
+      .writeTo("skipcat.s.blmor").using("parquet")
+      .tableProperty(GraftCatalog.MergeModeProp, "merge-on-read")
+      .tableProperty(GraftCatalog.MergeKeyProp, "id")
+      .createOrReplace()
+    spark.range(1, 200, 2)
+      .select(col("id"), concat(lit("w"), col("id")).as("tag"))
+      .repartition(1)
+      .writeTo("skipcat.s.blmor").append()
+    assert(cat.buildBloomIndex(spark, "s.blmor", Seq("id")) === ((2, 2)))
+    // pending equality delete of one key in the evens file
+    Seq(42L).toDF("id").createOrReplaceTempView("blmor_del")
+    spark.sql("""MERGE INTO skipcat.s.blmor t USING blmor_del s
+      ON t.id = s.id WHEN MATCHED THEN DELETE""")
+    spark.catalog.refreshTable("skipcat.s.blmor")
+    // the bloom index keeps pruning THROUGH the delete-applying scan: the
+    // deleted key's probe plans only its (bloom-matched) file, and the
+    // delete applies on what it scans — zero rows, no resurrect
+    val hit = spark.table("skipcat.s.blmor").filter(col("id") === 42)
+    assert(scannedFiles(hit) === 1,
+      "bloom pruning must reach the delete-applying read")
+    assert(hit.count() === 0, "the pending delete must apply")
+    val live = spark.table("skipcat.s.blmor").filter(col("id") === 43)
+    assert(scannedFiles(live) === 1)
+    assert(live.count() === 1)
+    // delete compaction rewrites the evens file; the wired refresh gives
+    // the REPLACEMENT file a bloom entry, so point pruning survives the
+    // rewrite without a manual re-index
+    val (rewritten, _) = cat.compactDeletes(spark, "s.blmor")
+    assert(rewritten === 1)
+    spark.catalog.refreshTable("skipcat.s.blmor")
+    // replacement file indexed (else this probe would keep BOTH files —
+    // missing entries are never skipped)
+    val post = spark.table("skipcat.s.blmor").filter(col("id") === 44)
+    assert(scannedFiles(post) === 1,
+      "the compacted replacement file must prune by its refreshed bloom")
+    assert(post.count() === 1)
+    assert(spark.table("skipcat.s.blmor").filter(col("id") === 42).count() === 0)
+    assert(spark.table("skipcat.s.blmor").count() === 199)
   }
 
   test("file bloom index: unindexed files are kept; re-index is incremental") {

@@ -197,6 +197,66 @@ class VectorIndexSpec extends SparkSpec {
       .filter(col("cell") === victim).count() == 1L)
   }
 
+  test("merge-on-read DML on the BASE table syncs into the index: " +
+    "applyTableDeletes tombstones off the sidecar feed (delta-sized), " +
+    "searches stop returning deleted rows, re-apply is idempotent") {
+    wh
+    // the corpus lives as a MERGE-ON-READ catalog table; the index is
+    // built from it, then the table's rows change WITHOUT the indexed
+    // files being touched — the staleness applyTableDeletes exists for
+    e.select(col("vec_id"), col("embedding")).repartition(2)
+      .writeTo("vidx.s.cmor").using("parquet")
+      .tableProperty(GraftCatalog.MergeModeProp, "merge-on-read")
+      .tableProperty(GraftCatalog.MergeKeyProp, "vec_id")
+      .createOrReplace()
+    VectorIndex.build(spark, spark.table("vidx.s.cmor"),
+      "vec_id", "embedding", "vidx.s.cmors", numCentroids = 8)
+    val stored = spark.table("vidx.s.cmors_centroids")
+    val q = e.filter(col("vec_id") < 5)
+    val before = VectorIndex.search(spark, q, "vec_id", "embedding",
+      "vidx.s.cmors", k = 3, nprobe = 8)
+    // delete rows that demonstrably RANK today — staleness must be visible
+    val victimIds = before.select(col("corpus_id")).distinct().limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(victimIds.nonEmpty)
+    import spark.implicits._
+    victimIds.toDF("vid").createOrReplaceTempView("cmor_del")
+    // MoR DELETE: a sidecar-only delta commit (snapshot 1 = create,
+    // 2 = merge)
+    spark.sql("""MERGE INTO vidx.s.cmor t USING cmor_del s
+      ON t.vec_id = s.vid WHEN MATCHED THEN DELETE""")
+    spark.catalog.refreshTable("vidx.s.cmor")
+    assert(spark.table("vidx.s.cmor")
+      .filter(col("vec_id").isin(victimIds: _*)).isEmpty)
+    // the index is STALE until synced — then the sidecar feed tombstones
+    // exactly the deleted keys
+    val n = VectorIndex.applyTableDeletes(
+      spark, "vidx.s.cmor", 1L, 2L, "vidx.s.cmors")
+    assert(n == victimIds.size,
+      s"expected ${victimIds.size} deleted keys off the sidecar, got $n")
+    val after = VectorIndex.search(spark, q, "vec_id", "embedding",
+      "vidx.s.cmors", k = 3, nprobe = 8)
+    assert(after.filter(col("corpus_id").isin(victimIds: _*)).isEmpty,
+      "synced search must not return base-table-deleted rows")
+    // and equals the inline funnel over the CURRENT table state with the
+    // same frozen codebook
+    val inline = Similarity.ivfTopK(spark.table("vidx.s.cmor"), q,
+      "vec_id", "embedding", k = 3, numCentroids = 8, nprobe = 8,
+      fitCentroids = Some(stored))
+    assert(after.exceptAll(inline).isEmpty && inline.exceptAll(after).isEmpty,
+      "synced index must equal inline over the live table")
+    // idempotence: re-applying the same snapshot range is a no-op append
+    // (writer-txn contract) — the tombstone table does not grow
+    val tombs = spark.table("vidx.s.cmors_tombstones").count()
+    assert(VectorIndex.applyTableDeletes(
+      spark, "vidx.s.cmor", 1L, 2L, "vidx.s.cmors") == victimIds.size)
+    assert(spark.table("vidx.s.cmors_tombstones").count() == tombs,
+      "duplicate sync must not re-append tombstones")
+    // an empty range yields nothing and writes nothing
+    assert(VectorIndex.applyTableDeletes(
+      spark, "vidx.s.cmor", 2L, 2L, "vidx.s.cmors") == 0)
+  }
+
   test("appendPqCodes: the code layer folds a batch in against the frozen " +
     "sub-codebook — appended search equals the inline composition") {
     wh
