@@ -1203,10 +1203,53 @@ object Dedup {
       textCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"span length must be positive, got $k")
-    import graft.ops.{TrainPrep => TP}
     val sw = Integer.highestOneBit(k & -k) // largest power of two dividing k
     val (ranks, levels) = suffixRankLevels(docs, idCol, textCol, sw)
     val cls = lcpClasses(ranks, levels, sw, cap = k).localCheckpoint(false)
+    val base = docs.select(col(idCol).alias("__id"),
+      TextAnalysis.tokens(col(textCol)).alias("__toks"))
+    deriveSpanExcision(ranks, cls, base, idCol, k)
+  }
+
+  /** [[exciseDuplicateSpansSA]] for MANY span lengths off ONE index —
+    * the amortization the suffix array exists for: the rank/LCP build
+    * (the log-round shuffles, the expensive half) runs once with
+    * `cap = max k` and a start width dividing every requested k, and
+    * each k's cut list is just the per-k run derivation (one grouped
+    * running count + one run-keyed aggregate — batch-bounded). The LCP
+    * cap generalizes exactly: `acc = min(lcp, max k) ≥ k ⟺ lcp ≥ k`
+    * for every k ≤ max k, so each returned frame is bit-identical to
+    * the single-k path (spec-pinned). */
+  def exciseDuplicateSpansSAMany(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      ks: Seq[Int]): Map[Int, DataFrame] = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"bad span lengths: $ks")
+    // the start width must divide EVERY k it serves (the LCP walk's
+    // reachable lengths are its multiples): the smallest of the per-k
+    // power-of-two divisors divides them all
+    val sw = ks.map(k => Integer.highestOneBit(k & -k)).min
+    val (ranks, levels) = suffixRankLevels(docs, idCol, textCol, sw)
+    val cls = lcpClasses(ranks, levels, sw, cap = ks.max)
+      .localCheckpoint(false)
+    val base = docs.select(col(idCol).alias("__id"),
+        TextAnalysis.tokens(col(textCol)).alias("__toks"))
+      .localCheckpoint(false)
+    ks.distinct.map(k =>
+      k -> deriveSpanExcision(ranks, cls, base, idCol, k)).toMap
+  }
+
+  /** The derive-half shared by the single-k and many-k span excisions:
+    * run assignment over the class table, cut list, two-pointer rewrite.
+    * `cls`'s `acc` may be capped at any value ≥ k. */
+  private def deriveSpanExcision(
+      ranks: DataFrame,
+      cls: DataFrame,
+      base: DataFrame,
+      idCol: String,
+      k: Int): DataFrame = {
+    import graft.ops.{TrainPrep => TP}
     // a class STARTS a new run when its predecessor does not k-extend
     // into it (lcp(prev, this) < k); run id = inclusive running count of
     // starts in rank order — rank-contiguity of equal k-prefixes makes
@@ -1219,8 +1262,6 @@ object Dedup {
           .alias("__brk"))
     val runs = TP.groupedRunningSum(brk, Nil, Seq("r"), col("__brk"), "run")
       .select(col("r"), col("run"))
-    val base = docs.select(col(idCol).alias("__id"),
-      TextAnalysis.tokens(col(textCol)).alias("__toks"))
     val lens = base.select(col("__id"),
       size(col("__toks")).cast("long").alias("__len"))
     // only positions that can START a k-window count or get cut

@@ -573,6 +573,17 @@ class OpsSpec extends SparkSpec {
         .orderBy("doc_id").collect().map(_.toString).toSeq
       assert(sa == fixed, s"k=$k: SA excision diverged from fixed-k")
     }
+    // build-once/derive-many: ONE index (cap = max k, shared start
+    // width) serves every k bit-identically to the per-k paths
+    val many = ops.Dedup.exciseDuplicateSpansSAMany(
+      d, "doc_id", "text", Seq(2, 3, 4, 6, 8))
+    assert(many.keySet == Set(2, 3, 4, 6, 8))
+    for ((k, df) <- many) {
+      val fixed = ops.Dedup.exciseDuplicateSpans(d, "doc_id", "text", k)
+        .orderBy("doc_id").collect().map(_.toString).toSeq
+      assert(df.orderBy("doc_id").collect().map(_.toString).toSeq == fixed,
+        s"k=$k: shared-index excision diverged from fixed-k")
+    }
   }
 
   test("trainQualityWeights: hand-computed NB posterior weights; trained " +
