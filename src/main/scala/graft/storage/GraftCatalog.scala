@@ -423,6 +423,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   def compactDeletesDryRun(spark: SparkSession, table: String): Seq[String] =
     deleteCompactionPlan(spark, table)._7
 
+  /** The table's pending equality-delete sidecars at its latest snapshot:
+    * (table-relative sidecar path, commit snapshot). The operational
+    * "how much merge-on-read debt is pending" probe — alongside
+    * [[compactDeletesDryRun]], it prices the compaction cadence (many
+    * sidecars = growing read-side probe sets and delta files). */
+  def pendingDeletes(table: String): Seq[(String, Long)] = {
+    val ident = Identifier.of(
+      table.split("\\.").dropRight(1), table.split("\\.").last)
+    val dir = tableDir(ident)
+    GraftCatalog.readEqDels(fs, dir, GraftCatalog.latestSnapshot(fs, dir))
+  }
+
   /** Row-identity keys DELETED (or replaced by an update) by the
     * merge-on-read commits in `(fromSnapshot, toSnapshot]`, as a
     * DataFrame of the table's merge-key columns. This is the DELTA-SIZED

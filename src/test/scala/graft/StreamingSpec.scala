@@ -1002,6 +1002,67 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sinkMergeMor under sustained load: N micro-batches fold to the " +
+    "batch answer, sidecars accumulate one per delta commit, and " +
+    "targeted delete compaction folds them with results unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory("graft-mor-sinkn").toString
+    spark.conf.set("spark.sql.catalog.morsinkn",
+      classOf[graft.storage.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.morsinkn.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS morsinkn.s")
+    (0L to 9L).map(i => (i, s"v$i")).toDF("id", "w").repartition(1)
+      .writeTo("morsinkn.s.t").using("parquet")
+      .tableProperty(graft.storage.GraftCatalog.MergeModeProp, "merge-on-read")
+      .tableProperty(graft.storage.GraftCatalog.MergeKeyProp, "id")
+      .createOrReplace()
+    def eqDelCount: Int = spark.sessionState.catalogManager
+      .catalog("morsinkn").asInstanceOf[graft.storage.GraftCatalog]
+      .pendingDeletes("s.t").size
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-morn-ckpt").toString
+    val input = MemoryStream[(Long, String, Long, String)]
+    val q = Streams.sinkMergeMor(
+      input.toDF().toDF("id", "w", "seq", "op"),
+      "morsinkn.s.t", "id", "seq", "op", ckpt)
+    // five micro-batches with cross-batch key overlap, re-inserts after
+    // deletes, and monotone seqs — the sustained-CDC shape
+    val batches = Seq(
+      Seq((0L, "b1", 1L, "upsert"), (1L, "x1", 1L, "upsert"),
+        (10L, "n1", 1L, "upsert")),
+      Seq((1L, "x2", 2L, "upsert"), (2L, "", 2L, "delete")),
+      Seq((3L, "y3", 3L, "upsert"), (10L, "n3", 3L, "upsert")),
+      Seq((0L, "", 4L, "delete"), (11L, "m4", 4L, "upsert")),
+      Seq((11L, "m5", 5L, "upsert"), (4L, "z5", 5L, "upsert"),
+        (2L, "back2", 5L, "upsert"))) // re-insert of a deleted key
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    spark.catalog.refreshTable("morsinkn.s.t")
+    // the BATCH answer: newest-wins fold of the whole change log over the
+    // initial state, hand-applied
+    val expected = Seq(
+      1L -> "x2", 2L -> "back2", 3L -> "y3", 4L -> "z5",
+      5L -> "v5", 6L -> "v6", 7L -> "v7", 8L -> "v8", 9L -> "v9",
+      10L -> "n3", 11L -> "m5") // 0 deleted at seq 4
+    val out = spark.table("morsinkn.s.t").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == expected, s"folded state diverged from the batch answer: $out")
+    // every batch MATCHED at least one live key → one sidecar per commit
+    assert(eqDelCount == batches.size,
+      s"expected ${batches.size} accumulated sidecars, got $eqDelCount")
+    // targeted delete compaction folds the accumulated deletes: refs
+    // clear, the folded state is byte-for-byte the same
+    val cat = spark.sessionState.catalogManager.catalog("morsinkn")
+      .asInstanceOf[graft.storage.GraftCatalog]
+    val (rew, _) = cat.compactDeletes(spark, "s.t")
+    assert(rew > 0)
+    spark.catalog.refreshTable("morsinkn.s.t")
+    assert(eqDelCount == 0, "compaction must clear the eqdel refs")
+    val outC = spark.table("morsinkn.s.t").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(outC == expected, s"compaction changed the answer: $outC")
+  }
+
   test("sinkMergeMor: a batch missing a table column fails by NAME, not " +
     "with an opaque analysis error") {
     implicit val sqlCtx = spark.sqlContext
