@@ -435,6 +435,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     GraftCatalog.readEqDels(fs, dir, GraftCatalog.latestSnapshot(fs, dir))
   }
 
+  /** The table's latest committed snapshot id — the offset domain for
+    * incremental (`VERSION AS OF 'incr:a..b'`) and streaming reads. */
+  def latestSnapshot(table: String): Long = {
+    val ident = Identifier.of(
+      table.split("\\.").dropRight(1), table.split("\\.").last)
+    GraftCatalog.latestSnapshot(fs, tableDir(ident))
+  }
+
   /** Row-identity keys DELETED (or replaced by an update) by the
     * merge-on-read commits in `(fromSnapshot, toSnapshot]`, as a
     * DataFrame of the table's merge-key columns. This is the DELTA-SIZED

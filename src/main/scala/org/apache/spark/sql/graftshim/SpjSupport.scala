@@ -226,7 +226,7 @@ final class KeyedParquetScanBuilder(
       case Some(spec) =>
         // merge-on-read with pending deletes: wrap the parquet scan with
         // the row-side delete apply. No SPJ grouping while deletes are
-        // pending (the wrapper re-plans to single-file partitions) — the
+        // pending (the wrapper reports no partition keys) — part of the
         // documented read tax compaction clears.
         val scan = underlying.build()
         val full = scan.readSchema()

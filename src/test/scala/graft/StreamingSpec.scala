@@ -1002,6 +1002,75 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("graft-table streaming SOURCE: a catalog table tails as a " +
+    "micro-batch stream — appends and MoR upserts surface exactly once, " +
+    "in-range deletes apply, no retraction of earlier batches") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-src-wh").toString
+    spark.conf.set("spark.sql.catalog.tailcat",
+      classOf[graft.storage.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.tailcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS tailcat.s")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "w").repartition(1)
+      .writeTo("tailcat.s.src").using("parquet")
+      .tableProperty(graft.storage.GraftCatalog.MergeModeProp, "merge-on-read")
+      .tableProperty(graft.storage.GraftCatalog.MergeKeyProp, "id")
+      .createOrReplace()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-src-ckpt").toString
+    val q = spark.readStream.format("graft-table")
+      .option("table", "tailcat.s.src")
+      .load()
+      .writeStream.format("memory").queryName("tail_out")
+      .option("checkpointLocation", ckpt)
+      .start()
+    def seen(): Seq[(Long, String)] = spark.table("tail_out")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    try {
+      // batch 1: the initial snapshot (startingSnapshot defaults to 0)
+      q.processAllAvailable()
+      assert(seen() == Seq((1L, "a"), (2L, "b")), s"got ${seen()}")
+      // an append surfaces ONLY its own rows
+      Seq((3L, "c")).toDF("id", "w").writeTo("tailcat.s.src").append()
+      q.processAllAvailable()
+      assert(seen() == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+      // a MoR upsert surfaces the REPLACEMENT row (new data file); the
+      // old version emitted earlier is not retracted — added-rows
+      // semantics, documented
+      Seq((2L, "B2")).toDF("id", "w").createOrReplaceTempView("tail_up")
+      spark.sql("""MERGE INTO tailcat.s.src t USING tail_up s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET w = s.w""")
+      q.processAllAvailable()
+      assert(seen() == Seq((1L, "a"), (2L, "B2"), (2L, "b"), (3L, "c")))
+    } finally q.stop()
+    // three commits land while the stream is DOWN — an insert, a MERGE
+    // deleting it, and a real append. The restarted stream reads them as
+    // ONE incr range: the in-range delete applies (sequence rule), so
+    // the short-lived row never surfaces, and nothing replays
+    Seq((9L, "ghost")).toDF("id", "w").writeTo("tailcat.s.src").append()
+    Seq(9L).toDF("id").createOrReplaceTempView("tail_del")
+    spark.sql("""MERGE INTO tailcat.s.src t USING tail_del s ON t.id = s.id
+      WHEN MATCHED THEN DELETE""")
+    Seq((4L, "d")).toDF("id", "w").writeTo("tailcat.s.src").append()
+    // (the memory sink cannot recover a checkpoint; foreachBatch can)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val q2 = spark.readStream.format("graft-table")
+      .option("table", "tailcat.s.src")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => got.add((r.getLong(0), r.getString(1)))); ()
+      }
+      .start()
+    try {
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val out2 = got.asScala.toSeq.sorted
+      assert(out2 == Seq((4L, "d")),
+        s"restart must resume at the checkpointed snapshot, apply the " +
+          s"in-range delete, and replay nothing — got $out2")
+    } finally q2.stop()
+  }
+
   test("sinkMergeMor under sustained load: N micro-batches fold to the " +
     "batch answer, sidecars accumulate one per delta commit, and " +
     "targeted delete compaction folds them with results unchanged") {
