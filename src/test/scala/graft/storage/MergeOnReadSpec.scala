@@ -669,6 +669,40 @@ class MergeOnReadSpec extends SparkSpec {
     assert(out == Seq((1L, "a"), (2L, "b"), (10L, "x2")), s"got $out")
   }
 
+  test("STRING merge key: deletes, updates, and the sequence rule apply " +
+    "through the UTF8 probe; reads stay columnar") {
+    wh
+    Seq(("doc-a", 1L), ("doc-b", 2L), ("doc-c", 3L))
+      .toDF("k", "n").repartition(1)
+      .writeTo("morcat.s.mstr").using("parquet")
+      .tableProperty(GraftCatalog.MergeModeProp, "merge-on-read")
+      .tableProperty(GraftCatalog.MergeKeyProp, "k")
+      .createOrReplace()
+    Seq(("doc-a", 10L, "u"), ("doc-b", 0L, "d"))
+      .toDF("k", "n", "op").createOrReplaceTempView("mstr_changes")
+    spark.sql("""MERGE INTO morcat.s.mstr t USING mstr_changes s ON t.k = s.k
+      WHEN MATCHED AND s.op = 'd' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET n = s.n""")
+    spark.catalog.refreshTable("morcat.s.mstr")
+    val batch = spark.table("morcat.s.mstr").queryExecution.executedPlan
+      .collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.get
+    assert(batch.scan.description().startsWith("EqDeleteApply"))
+    assert(batch.supportsColumnar, "string-keyed delete apply stays columnar")
+    val out = spark.table("morcat.s.mstr").orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("doc-a", 10L), ("doc-c", 3L)), s"got $out")
+    // sequence rule with string identity: a re-inserted key survives the
+    // older delete
+    Seq(("doc-b", 22L)).toDF("k", "n").writeTo("morcat.s.mstr").append()
+    spark.catalog.refreshTable("morcat.s.mstr")
+    val out2 = spark.table("morcat.s.mstr").orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out2 == Seq(("doc-a", 10L), ("doc-b", 22L), ("doc-c", 3L)),
+      s"got $out2")
+  }
+
   test("merge-on-read without merge.key fails loudly") {
     wh
     Seq((1L, "a")).toDF("id", "w")
