@@ -96,7 +96,10 @@ object Bench {
     // MERGE against a merge-on-read table vs a copy-on-write one (the
     // pair is the SCALE.md §merge-on-read cost claim, measured per round)
     "q_dml_point_delete", "q_dml_partition_update",
-    "q_dml_merge_mor", "q_dml_merge_cow")
+    "q_dml_merge_mor", "q_dml_merge_cow",
+    // round-13: the same delta-sized MERGE against a KEY-LESS
+    // merge-on-read table — the position-delete path (rowId = _file/_pos)
+    "q_dml_merge_pos")
 
   /** Warm iterations per query; the median is reported. */
   val WarmIters = 3
@@ -167,7 +170,8 @@ object Bench {
       s.range(1).toDF("ok")
     }),
     "q_dml_merge_mor" -> ((s, dir) => dmlMerge(s, dir, "benchcat.b.docs_mor")),
-    "q_dml_merge_cow" -> ((s, dir) => dmlMerge(s, dir, "benchcat.b.docs_cowm")))
+    "q_dml_merge_cow" -> ((s, dir) => dmlMerge(s, dir, "benchcat.b.docs_cowm")),
+    "q_dml_merge_pos" -> ((s, dir) => dmlMerge(s, dir, "benchcat.b.docs_pos")))
 
   private lazy val incStateDir =
     java.nio.file.Files.createTempDirectory("graft-bench-incstate").toString
@@ -207,6 +211,11 @@ object Bench {
         .tableProperty(graft.storage.GraftCatalog.MergeKeyProp, "doc_id")
         .createOrReplace()
       docs.repartition(8).writeTo("benchcat.b.docs_cowm").using("parquet")
+        .createOrReplace()
+      // key-less merge-on-read: rows addressed by (_file, _pos), the
+      // MERGE commits position-delete sidecars instead of key deletes
+      docs.repartition(8).writeTo("benchcat.b.docs_pos").using("parquet")
+        .tableProperty(graft.storage.GraftCatalog.MergeModeProp, "merge-on-read")
         .createOrReplace()
       docs.select(col("doc_id")).filter(pmod(col("doc_id"), lit(37)) === 0)
         .limit(64).collect().foreach(r => dmlDeleteIds.add(r.getLong(0)))
@@ -283,7 +292,8 @@ object Bench {
     "q_dml_point_delete" -> ((s, dir) => dmlSetup(s, dir)),
     "q_dml_partition_update" -> ((s, dir) => dmlSetup(s, dir)),
     "q_dml_merge_mor" -> ((s, dir) => dmlSetup(s, dir)),
-    "q_dml_merge_cow" -> ((s, dir) => dmlSetup(s, dir)))
+    "q_dml_merge_cow" -> ((s, dir) => dmlSetup(s, dir)),
+    "q_dml_merge_pos" -> ((s, dir) => dmlSetup(s, dir)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

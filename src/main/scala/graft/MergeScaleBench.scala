@@ -54,12 +54,14 @@ object MergeScaleBench {
       .unionByName(spark.range(n, n + delta / 2).select(col("id"),
         lit(-2L).alias("v"), lit("inserted").alias("payload")))
 
-    def build(name: String, mor: Boolean): Unit = {
+    def build(name: String, mor: Boolean, keyed: Boolean = true): Unit = {
       val w = base.repartition(files)
         .writeTo(s"msb.s.$name").using("parquet")
-      (if (mor)
+      (if (mor && keyed)
         w.tableProperty(GraftCatalog.MergeModeProp, "merge-on-read")
           .tableProperty(GraftCatalog.MergeKeyProp, "id")
+      else if (mor)
+        w.tableProperty(GraftCatalog.MergeModeProp, "merge-on-read")
       else w).createOrReplace()
     }
 
@@ -81,14 +83,22 @@ object MergeScaleBench {
     }
 
     build("cow", mor = false); build("mor", mor = true)
+    // the KEY-LESS variant: same table, no merge.key — the MERGE goes
+    // through the position-delete path (rowId = _file/_pos)
+    build("pos", mor = true, keyed = false)
     val cowBefore = liveFiles("cow"); val morBefore = liveFiles("mor")
+    val posBefore = liveFiles("pos")
     val cowSec = merge("cow")
     val morSec = merge("mor")
+    val posSec = merge("pos")
     val cowSurvived = (cowBefore intersect liveFiles("cow")).size
     val morSurvived = (morBefore intersect liveFiles("mor")).size
+    val posSurvived = (posBefore intersect liveFiles("pos")).size
     val (cowRead, cowCnt) = time(spark.table("msb.s.cow").count())
     val (morRead, morCnt) = time(spark.table("msb.s.mor").count())
-    require(cowCnt == morCnt, s"result divergence: $cowCnt vs $morCnt")
+    val (posRead, posCnt) = time(spark.table("msb.s.pos").count())
+    require(cowCnt == morCnt && cowCnt == posCnt,
+      s"result divergence: $cowCnt vs $morCnt vs $posCnt")
     val (compactSec, _) = time {
       spark.sessionState.catalogManager.catalog("msb")
         .asInstanceOf[GraftCatalog].compact(spark, "s.mor", 8)
@@ -140,7 +150,27 @@ object MergeScaleBench {
       WHEN MATCHED THEN DELETE""")
     spark.catalog.refreshTable("msb.s.mor3")
     val (cand4Sec, cand4) = time(msbCat.compactDeletesDryRun(spark, "s.mor3"))
-    println(f"""{"bench":"merge_scale","rows":$n,"files":$files,"delta":$delta,"cow_merge_sec":$cowSec%.3f,"mor_merge_sec":$morSec%.3f,"cow_files_survived":$cowSurvived,"cow_files_before":${cowBefore.size},"mor_files_survived":$morSurvived,"mor_files_before":${morBefore.size},"cow_read_sec":$cowRead%.3f,"mor_read_sec":$morRead%.3f,"rows_after":$cowCnt,"mor_compact_sec":$compactSec%.3f,"mor_read_after_compact_sec":$morReadAfter%.3f,"clustered_pending_read_sec":$mor2PendRead%.3f,"delc_files_rewritten":${delc._1},"delc_files_untouched":${delc._2},"delc_sec":$delcSec%.3f,"read_after_delc_sec":$mor2Read%.3f,"cand_1x_sec":$cand1Sec%.3f,"cand_1x_files":${cand1.size},"cand_4x_sec":$cand4Sec%.3f,"cand_4x_files":${cand4.size}}""")
+
+    // position-delete targeted compaction: a LOCALIZED row-level delete
+    // on a clustered KEY-LESS table. Position deletes name their target
+    // files outright (target liveness, no stats/bloom candidate test),
+    // so compaction rewrites exactly the files holding deleted rows —
+    // on any layout, with no key column declared at all
+    base.repartitionByRange(files, col("id"))
+      .writeTo("msb.s.pos2").using("parquet")
+      .tableProperty(GraftCatalog.MergeModeProp, "merge-on-read")
+      .createOrReplace()
+    // length() keeps the predicate untranslatable → row-level plan
+    spark.sql(s"""DELETE FROM msb.s.pos2
+      WHERE id < $delta AND length(payload) > 0""")
+    spark.catalog.refreshTable("msb.s.pos2")
+    val (pos2PendRead, pos2PendCnt) = time(spark.table("msb.s.pos2").count())
+    require(pos2PendCnt == n - delta, s"pos pending read wrong: $pos2PendCnt")
+    val (posDelcSec, posDelc) = time(msbCat.compactDeletes(spark, "s.pos2"))
+    spark.catalog.refreshTable("msb.s.pos2")
+    val (pos2Read, pos2Cnt) = time(spark.table("msb.s.pos2").count())
+    require(pos2Cnt == n - delta, s"pos targeted compaction lost rows: $pos2Cnt")
+    println(f"""{"bench":"merge_scale","rows":$n,"files":$files,"delta":$delta,"cow_merge_sec":$cowSec%.3f,"mor_merge_sec":$morSec%.3f,"pos_merge_sec":$posSec%.3f,"cow_files_survived":$cowSurvived,"cow_files_before":${cowBefore.size},"mor_files_survived":$morSurvived,"mor_files_before":${morBefore.size},"pos_files_survived":$posSurvived,"pos_files_before":${posBefore.size},"cow_read_sec":$cowRead%.3f,"mor_read_sec":$morRead%.3f,"pos_read_sec":$posRead%.3f,"rows_after":$cowCnt,"mor_compact_sec":$compactSec%.3f,"mor_read_after_compact_sec":$morReadAfter%.3f,"clustered_pending_read_sec":$mor2PendRead%.3f,"delc_files_rewritten":${delc._1},"delc_files_untouched":${delc._2},"delc_sec":$delcSec%.3f,"read_after_delc_sec":$mor2Read%.3f,"cand_1x_sec":$cand1Sec%.3f,"cand_1x_files":${cand1.size},"cand_4x_sec":$cand4Sec%.3f,"cand_4x_files":${cand4.size},"pos_pending_read_sec":$pos2PendRead%.3f,"pos_delc_files_rewritten":${posDelc._1},"pos_delc_files_untouched":${posDelc._2},"pos_delc_sec":$posDelcSec%.3f,"pos_read_after_delc_sec":$pos2Read%.3f}""")
     spark.stop()
   }
 }

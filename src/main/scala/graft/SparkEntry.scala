@@ -125,6 +125,48 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy("doc_id")
     }),
+    // POSITION-delete row-level DML, driver-verified end to end: the
+    // same merge-on-read discipline on a table WITHOUT a merge key —
+    // rows addressed by physical identity (_file, _pos), one SQL MERGE
+    // committing appended rows + a position-delete sidecar (zero files
+    // rewritten; an UPDATE is delete + insert), then a row-level DELETE
+    // committing a sidecar-only delta. The oracle derives the same end
+    // state with CASE arithmetic over the raw documents.
+    "q_merge_pos" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-qpos").toString
+      s.conf.set("spark.sql.catalog.qpos",
+        classOf[graft.storage.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.qpos.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS qpos.s")
+      val d = docs(s, dir).select(
+        coalesce(col("doc_id"), lit(-1L)).alias("doc_id"),
+        col("source"), col("n_chars"))
+      d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        .writeTo("qpos.s.t").using("parquet")
+        .tableProperty(graft.storage.GraftCatalog.MergeModeProp,
+          "merge-on-read") // no merge.key → position deletes
+        .createOrReplace()
+      d.filter(pmod(col("doc_id"), lit(10)) === 1)
+        .withColumn("source", lit("upd")).withColumn("op", lit("u"))
+        .unionByName(d.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .withColumn("source", lit("ins")).withColumn("op", lit("u")))
+        .createOrReplaceTempView("qpos_changes")
+      s.sql("""MERGE INTO qpos.s.t t USING qpos_changes s
+        ON t.doc_id = s.doc_id
+        WHEN MATCHED THEN UPDATE SET source = s.source
+        WHEN NOT MATCHED THEN INSERT (doc_id, source, n_chars)
+          VALUES (s.doc_id, s.source, s.n_chars)""")
+      s.catalog.refreshTable("qpos.s.t")
+      // sidecar-only delta: length() keeps the predicate row-level
+      s.sql("""DELETE FROM qpos.s.t
+        WHERE doc_id % 10 = 3 AND length(source) >= 0""")
+      s.catalog.refreshTable("qpos.s.t")
+      s.table("qpos.s.t")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
     "q_set_ops" -> (Parity.setOps _),
     "q_window_rank_stats" -> (Parity.windowRankStats _),
     // range join: customers × deterministic overlapping balance bands,
@@ -4779,6 +4821,18 @@ object SparkEntry {
                 n_chars
          FROM documents
          WHERE doc_id % 8 <> 2
+         ORDER BY doc_id""",
+    // the position-delete end state, derived independently: base = docs
+    // with doc_id % 5 != 0, source rewritten for the % 10 = 1 updates,
+    // plus the % 5 = 0 inserts, minus the % 10 = 3 row-level deletes
+    "q_merge_pos" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 5 = 0 THEN 'ins'
+                     WHEN doc_id % 10 = 1 THEN 'upd'
+                     ELSE source END AS source,
+                n_chars
+         FROM documents
+         WHERE doc_id % 10 <> 3
          ORDER BY doc_id""",
     "q_merge_upsert" ->
       """SELECT o_orderkey,

@@ -132,7 +132,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       fileBlooms = GraftCatalog.readBloomIndex(fs, dir),
       owner = Some(this),
       eqDeletes = GraftCatalog.readEqDels(fs, dir, latest),
-      addSeq = GraftCatalog.readAddMap(fs, dir, latest))
+      addSeq = GraftCatalog.readAddMap(fs, dir, latest),
+      posDeletes = GraftCatalog.readPosDels(fs, dir, latest))
   }
 
   /** Time travel (`SELECT ... FROM t VERSION AS OF x`): a numeric `x`
@@ -160,7 +161,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         new GraftTable(s"$ident@v$snap", dir.toString, meta, Some(files), writable = false,
           fileStats = GraftCatalog.readStats(fs, dir, snap), fileBlooms = blooms,
           eqDeletes = GraftCatalog.readEqDels(fs, dir, snap),
-          addSeq = GraftCatalog.readAddMap(fs, dir, snap))
+          addSeq = GraftCatalog.readAddMap(fs, dir, snap),
+          posDeletes = GraftCatalog.readPosDels(fs, dir, snap))
       case None =>
         version match {
           case GraftCatalog.IncrRange(a, b) =>
@@ -176,7 +178,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
               fileStats = GraftCatalog.readStats(fs, dir, b.toLong),
               fileBlooms = blooms,
               eqDeletes = GraftCatalog.readEqDels(fs, dir, b.toLong),
-              addSeq = GraftCatalog.readAddMap(fs, dir, b.toLong))
+              addSeq = GraftCatalog.readAddMap(fs, dir, b.toLong),
+              posDeletes = GraftCatalog.readPosDels(fs, dir, b.toLong))
           case _ =>
             GraftCatalog.readTagSnap(fs, dir, version) match {
               case Some(snap) =>
@@ -188,7 +191,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
                   fileStats = GraftCatalog.readStats(fs, dir, snap),
                   fileBlooms = blooms,
                   eqDeletes = GraftCatalog.readEqDels(fs, dir, snap),
-                  addSeq = GraftCatalog.readAddMap(fs, dir, snap))
+                  addSeq = GraftCatalog.readAddMap(fs, dir, snap),
+                  posDeletes = GraftCatalog.readPosDels(fs, dir, snap))
               case None =>
                 val files = GraftCatalog.branchHeadFiles(fs, dir, version)
                   .getOrElse(throw new IllegalArgumentException(
@@ -204,13 +208,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
                 // branch reads apply the FORK BASE's pending deletes: they
                 // were live state when the branch forked; branch commits
                 // themselves are appends and add no deletes
-                val baseDels = GraftCatalog.readBranchBase(fs, dir, version)
+                val branchBase = GraftCatalog.readBranchBase(fs, dir, version)
+                val baseDels = branchBase
                   .map(b => (GraftCatalog.readEqDels(fs, dir, b),
                     GraftCatalog.readAddMap(fs, dir, b)))
                   .getOrElse((Seq.empty, Map.empty[String, Long]))
                 new GraftTable(s"$ident@$version", dir.toString, meta, Some(files),
                   writable = false, fileStats = baseStats, fileBlooms = blooms,
-                  eqDeletes = baseDels._1, addSeq = baseDels._2)
+                  eqDeletes = baseDels._1, addSeq = baseDels._2,
+                  posDeletes = branchBase
+                    .map(b => GraftCatalog.readPosDels(fs, dir, b))
+                    .getOrElse(Seq.empty))
             }
         }
     }
@@ -406,11 +414,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   def compactDeletes(
       spark: SparkSession, table: String,
       refreshBloomIndex: Boolean = true): (Int, Int) = {
-    val (dir, meta, latest, live, eqDels, addMap, affected) =
+    val (dir, meta, latest, live, eqDels, addMap, affected, posDels) =
       deleteCompactionPlan(spark, table)
-    if (eqDels.isEmpty) return (0, live.size)
+    if (eqDels.isEmpty && posDels.isEmpty) return (0, live.size)
     val out =
-      runDeleteCompaction(spark, dir, meta, latest, live, eqDels, addMap, affected)
+      runDeleteCompaction(spark, dir, meta, latest, live, eqDels, addMap,
+        affected, posDels)
     // the affected files were replaced: re-index them into an existing
     // bloom index (buildBloomIndex only touches files without entries)
     if (refreshBloomIndex && out._1 > 0) refreshBloomIndexIfPresent(spark, table)
@@ -433,6 +442,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       table.split("\\.").dropRight(1), table.split("\\.").last)
     val dir = tableDir(ident)
     GraftCatalog.readEqDels(fs, dir, GraftCatalog.latestSnapshot(fs, dir))
+  }
+
+  /** The key-less counterpart of [[pendingDeletes]]: pending POSITION-
+    * delete entries at the latest snapshot, as (table-relative sidecar
+    * path, target data file, commit snapshot) — the compaction-cadence
+    * probe for tables whose merge-on-read rows are addressed by
+    * `(_file, _pos)` instead of a merge key. The target list doubles as
+    * the exact compaction plan: position deletes name their rewrite set
+    * outright, no stats/bloom candidate test involved. */
+  def pendingPositionDeletes(table: String): Seq[(String, String, Long)] = {
+    val ident = Identifier.of(
+      table.split("\\.").dropRight(1), table.split("\\.").last)
+    val dir = tableDir(ident)
+    GraftCatalog.readPosDels(fs, dir, GraftCatalog.latestSnapshot(fs, dir))
   }
 
   /** The table's latest committed snapshot id — the offset domain for
@@ -484,6 +507,52 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         .drop("__dsnap").distinct()
   }
 
+  /** The key-less counterpart of [[deletedKeys]]: the full ROWS deleted by
+    * the position-delta commits in `(fromSnapshot, toSnapshot]`. Position
+    * deletes tombstone physical rows of files they never touch, so the
+    * deleted rows are still present in their target files — this reads the
+    * range's position-delete sidecars (delta-sized), then scans ONLY the
+    * named target files with a broadcast semi-join on
+    * (`_metadata.file_path`, `_metadata.row_index`). Complete for any
+    * range within the vacuum retention window (a later compaction rewrites
+    * targets into NEW files; the originals persist until vacuum). */
+  def deletedRows(
+      spark: SparkSession, table: String,
+      fromSnapshot: Long, toSnapshot: Long): org.apache.spark.sql.DataFrame = {
+    require(fromSnapshot <= toSnapshot,
+      s"deletedRows: empty range $fromSnapshot..$toSnapshot")
+    val ident = Identifier.of(
+      table.split("\\.").dropRight(1), table.split("\\.").last)
+    val dir = tableDir(ident)
+    val meta = GraftCatalog.readMeta(fs, dir)
+      .getOrElse(throw new NoSuchTableException(ident))
+    val dels = ((fromSnapshot + 1) to toSnapshot).flatMap { s =>
+      GraftCatalog.readPosDels(fs, dir, s).filter(_._3 == s)
+    }.distinct
+    if (dels.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
+    val pm = GraftCatalog.posDelMap(fs, dir, dels, dels.map(_._2).toSet)
+    import org.apache.spark.sql.functions.{broadcast, col, expr}
+    import spark.implicits._
+    val prefix = dir.toString.stripSuffix("/") + "/"
+    val dirPath = dir.toUri.getPath.stripSuffix("/") + "/"
+    val delDf = pm.toSeq
+      .flatMap { case (t, ps) => ps.map(p => (t, p)) }
+      .toDF("__pfile", "__ppos")
+    val paths = pm.keys.toSeq.sorted.map(f => s"$prefix$f")
+    val reader = spark.read.schema(meta.schema)
+    val df =
+      if (meta.partitionCols.isEmpty) reader.parquet(paths: _*)
+      else reader.option("basePath", dir.toString).parquet(paths: _*)
+    df.withColumn("__pfile", expr(
+        s"substring(_metadata.file_path, " +
+          s"instr(_metadata.file_path, '$dirPath') + ${dirPath.length})"))
+      .withColumn("__ppos", col("_metadata.row_index"))
+      .join(broadcast(delDf), Seq("__pfile", "__ppos"), "left_semi")
+      .drop("__pfile", "__ppos")
+  }
+
   /** Re-index a table's NEW files into an EXISTING bloom index: a
     * compaction rewrite replaces files, and replacement files have no
     * bloom entries until re-indexed — reads stay correct either way
@@ -501,7 +570,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   private def deleteCompactionPlan(spark: SparkSession, table: String)
       : (Path, GraftTableMeta, Long, Seq[String], Seq[(String, Long)],
-         Map[String, Long], Seq[String]) = {
+         Map[String, Long], Seq[String], Map[String, Array[Long]]) = {
     val ident = Identifier.of(
       table.split("\\.").dropRight(1), table.split("\\.").last)
     val dir = tableDir(ident)
@@ -519,26 +588,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     // distributed candidate test: delete keys never touch the driver, and
     // composite merge keys prune by per-column conjunction instead of
     // degrading to the sequence rule
-    val affected: Seq[String] =
+    val eqAffected: Seq[String] =
       if (seqCand.isEmpty) Seq.empty
       else GraftCatalog.deleteCandidateFiles(
         spark, dir, meta, seqCand, seqOf, eqDels, stats, blooms)
-    (dir, meta, latest, live, eqDels, addMap, affected)
+    // position deletes name their targets outright — no candidate test
+    val posDels = GraftCatalog.posDelMap(fs, dir,
+      GraftCatalog.readPosDels(fs, dir, latest), live.toSet)
+    val affected = (eqAffected ++ posDels.keys.filterNot(eqAffected.toSet))
+    (dir, meta, latest, live, eqDels, addMap, affected, posDels)
   }
 
   private def runDeleteCompaction(
       spark: SparkSession, dir: Path, meta: GraftTableMeta, latest: Long,
       live: Seq[String], eqDels: Seq[(String, Long)],
-      addMap: Map[String, Long], affected: Seq[String]): (Int, Int) = {
+      addMap: Map[String, Long], affected: Seq[String],
+      posDels: Map[String, Array[Long]] = Map.empty): (Int, Int) = {
     if (affected.isEmpty) {
       // dead deletes: no live file can hold their keys — clear with a
-      // files-unchanged, metadata-only commit
+      // files-unchanged, metadata-only commit (position deletes always
+      // have live targets, so an empty affected set means eq-only)
       GraftCatalog.writeSnapshotAt(fs, dir, latest + 1, live,
         GraftCatalog.readTxns(fs, dir, latest), clearEqDels = true)
       return (0, live.size)
     }
     val out0 = GraftCatalog.readFilesWithDeletes(
-      spark, dir, meta, affected, eqDels, addMap)
+      spark, dir, meta, affected, eqDels, addMap, posDels)
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}
     val out = (meta.bucket match {
       case Some((n, c)) if !out0.columns.contains(s"__bucket_$c") =>
@@ -892,6 +967,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     // resurrected), and no footer/stats count can be trusted row-exact
     val eqDels = GraftCatalog.readEqDels(fs, dir, latest)
     val addMap = GraftCatalog.readAddMap(fs, dir, latest)
+    val posDels = GraftCatalog.posDelMap(fs, dir,
+      GraftCatalog.readPosDels(fs, dir, latest), live.toSet)
     val prefix = dir.toString.stripSuffix("/") + "/"
     val filteredDf = spark.table(s"$catalogName.$table").filter(cond)
     val scanCands: Set[String] = filteredDf
@@ -948,7 +1025,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     // partially-translated conjunction would prove files against only
     // some conjuncts and delete rows the full predicate keeps.
     val proven: Set[String] =
-      if (!metadataDrop || eqDels.nonEmpty ||
+      if (!metadataDrop || eqDels.nonEmpty || posDels.nonEmpty ||
         perConj.isEmpty || perConj.exists(_.isEmpty)) Set.empty
       else allCands.filter(f =>
         FileStatsPruning.mustMatchAll(statsFor(f), translated))
@@ -970,7 +1047,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     // candidates read with pending deletes applied — the same sequence
     // rule the table scan uses, as broadcast anti joins per add-seq group
     val candDf = GraftCatalog.readFilesWithDeletes(
-      spark, dir, meta, cands.toSeq, eqDels, addMap)
+      spark, dir, meta, cands.toSeq, eqDels, addMap, posDels)
     val hit = coalesce(cond, lit(false))
     val candMatched = candDf.filter(hit).count()
     val rowsAffected = candMatched + provenRows
@@ -1091,6 +1168,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     fs.listStatus(dir).map(_.getPath.getName)
       .filter(n => n.startsWith("_eqdel-") && n.endsWith(".bin"))
       .filterNot(liveDels)
+      .foreach(n => fs.delete(new Path(dir, n), false))
+    // position-delete sidecars GC by the same rule: unreferenced by every
+    // retained manifest (folded by compaction, target rewritten, expired,
+    // or orphaned by a failed position-delta commit) → reclaim
+    val livePosDels: Set[String] =
+      ((math.max(1L, oldestKept) to latest) ++ pinnedSnaps)
+        .flatMap(n => GraftCatalog.readPosDels(fs, dir, n).map(_._1)).toSet
+    fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("_posdel-") && n.endsWith(".bin"))
+      .filterNot(livePosDels)
       .foreach(n => fs.delete(new Path(dir, n), false))
     // consolidate the bloom-index sidecars: entries for just-deleted files
     // are garbage (their file name can never recur — writer part files are
@@ -1513,6 +1600,55 @@ object GraftCatalog {
         }
       }
 
+  /** Position-delete sidecar entries (`# posdel:` headers) of snapshot
+    * `snap`: (table-relative sidecar path, table-relative TARGET data
+    * file, commit snapshot) — one line per (sidecar, target) pair, so
+    * carry-pruning is exact without opening any sidecar: an entry lives
+    * exactly as long as its target file does. */
+  private[storage] def readPosDels(
+      fs: FileSystem, dir: Path, snap: Long): Seq[(String, String, Long)] =
+    manifestLines(fs, dir, snap).getOrElse(Seq.empty)
+      .filter(_.startsWith("# posdel:"))
+      .flatMap { l =>
+        l.stripPrefix("# posdel:").split("=", 2) match {
+          case Array(st, s) => st.split(":", 2) match {
+            case Array(sc, t) => s.toLongOption.map((b64d(sc), b64d(t), _))
+            case _ => None
+          }
+          case _ => None
+        }
+      }
+
+  /** Pending position deletes resolved for the read side: target file →
+    * ascending distinct deleted positions. Each distinct sidecar is read
+    * once (driver-side, delta-sized); entries whose target fell out of
+    * `served` are skipped — the carry rule drops them at the next commit
+    * anyway. */
+  private[storage] def posDelMap(
+      fs: FileSystem, dir: Path,
+      entries: Seq[(String, String, Long)],
+      served: Set[String]): Map[String, Array[Long]] = {
+    if (entries.isEmpty) return Map.empty
+    val wanted = entries.collect {
+      case (sc, t, _) if served.contains(t) => (sc, t)
+    }
+    if (wanted.isEmpty) return Map.empty
+    val bySidecar = wanted.groupBy(_._1)
+    val acc = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+    bySidecar.foreach { case (sc, pairs) =>
+      val targets = pairs.map(_._2).toSet
+      readPosDelSidecar(fs, new Path(dir, sc)).foreach { case (t, ps) =>
+        if (targets.contains(t))
+          acc.getOrElseUpdate(t,
+            scala.collection.mutable.ArrayBuffer.empty[Long]) ++= ps
+      }
+    }
+    acc.iterator.map { case (t, buf) =>
+      t -> buf.toArray.sorted.distinct
+    }.toMap
+  }
+
   // ── equality-delete sidecars (merge-on-read) ──────────────────────────
   // `_eqdel-<uuid>.bin`: the delete half of a merge-on-read row-level
   // commit — the rowId (merge.key) values of every row the commit deleted
@@ -1521,6 +1657,78 @@ object GraftCatalog {
   // hash probe per row). The `_` prefix keeps sidecars out of
   // listDataFiles and every directory-listing reader.
   private[storage] val EqDelMagic = "graft-eqdel-v1"
+
+  // ── position-delete sidecars (merge-on-read, KEY-LESS tables) ─────────
+  // `_posdel-<uuid>.bin`: the delete half of a key-less merge-on-read
+  // row-level commit — rows addressed by PHYSICAL IDENTITY (serving data
+  // file, parquet row index) instead of a merge key, the other half of
+  // Iceberg's v2 delete-file model. No sequence scoping: a position names
+  // one immutable row of one live file, and any rewrite of the file
+  // retires its entries via the manifest carry rule.
+  private[storage] val PosDelMagic = "graft-posdel-v1"
+
+  private[storage] def writePosDelSidecar(
+      fs: FileSystem, path: Path,
+      dels: Seq[(String, Array[Long])]): Unit = {
+    val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(fs.create(path, false)))
+    try {
+      out.writeUTF(PosDelMagic)
+      dels.foreach { case (target, positions) =>
+        out.writeUTF(target)
+        out.writeInt(positions.length)
+        positions.foreach(out.writeLong)
+      }
+    } finally out.close()
+  }
+
+  /** Per-task position-delete fragment: a flat (target file, position)
+    * record stream — grouping/sorting happens once, at commit. */
+  private[storage] val PosDelFragMagic = "graft-posdel-frag-v1"
+
+  private[storage] def readPosDelFragment(
+      fs: FileSystem, path: Path): Seq[(String, Long)] = {
+    val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(fs.open(path)))
+    try {
+      val magic = in.readUTF()
+      require(magic == PosDelFragMagic, s"$path: not a position-delete fragment")
+      val acc = Seq.newBuilder[(String, Long)]
+      var done = false
+      while (!done) {
+        val t = try in.readUTF() catch {
+          case _: java.io.EOFException => done = true; null
+        }
+        if (!done) acc += ((t, in.readLong()))
+      }
+      acc.result()
+    } finally in.close()
+  }
+
+  private[storage] def readPosDelSidecar(
+      fs: FileSystem, path: Path): Seq[(String, Array[Long])] = {
+    val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(fs.open(path)))
+    try {
+      val magic = in.readUTF()
+      require(magic == PosDelMagic, s"$path: not a position-delete sidecar")
+      val acc = Seq.newBuilder[(String, Array[Long])]
+      var done = false
+      while (!done) {
+        val target = try in.readUTF() catch {
+          case _: java.io.EOFException => done = true; null
+        }
+        if (!done) {
+          val n = in.readInt()
+          val ps = new Array[Long](n)
+          var i = 0
+          while (i < n) { ps(i) = in.readLong(); i += 1 }
+          acc += ((target, ps))
+        }
+      }
+      acc.result()
+    } finally in.close()
+  }
 
   private[storage] def writeEqDelSidecar(
       fs: FileSystem, path: Path, keyCols: Seq[String],
@@ -1749,14 +1957,38 @@ object GraftCatalog {
   private[storage] def readFilesWithDeletes(
       spark: SparkSession, dir: Path, meta: GraftTableMeta,
       files: Seq[String], eqDels: Seq[(String, Long)],
-      addMap: Map[String, Long]): org.apache.spark.sql.DataFrame = {
+      addMap: Map[String, Long],
+      posDels: Map[String, Array[Long]] = Map.empty)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val prefix = dir.toString.stripSuffix("/") + "/"
+    val dirPath = dir.toUri.getPath.stripSuffix("/") + "/"
     val reader = spark.read.schema(meta.schema)
+    // pending POSITION deletes (key-less merge-on-read): anti-join on the
+    // row's physical identity — `_metadata.file_path` (normalized to the
+    // table-relative spelling the sidecars record) and parquet's generated
+    // `_metadata.row_index`. The delete side is delta-sized → broadcast.
+    def applyPos(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      if (posDels.isEmpty) df
+      else {
+        import org.apache.spark.sql.functions.expr
+        import spark.implicits._
+        val delDf = posDels.toSeq
+          .flatMap { case (t, ps) => ps.map(p => (t, p)) }
+          .toDF("__pfile", "__ppos")
+        df.withColumn("__pfile", expr(
+            s"substring(_metadata.file_path, " +
+              s"instr(_metadata.file_path, '$dirPath') + ${dirPath.length})"))
+          .withColumn("__ppos", col("_metadata.row_index"))
+          .join(broadcast(delDf), Seq("__pfile", "__ppos"), "left_anti")
+          .drop("__pfile", "__ppos")
+      }
     def read(fsq: Seq[String]): org.apache.spark.sql.DataFrame = {
       val paths = fsq.sorted.map(f => s"$prefix$f")
-      if (meta.partitionCols.isEmpty) reader.parquet(paths: _*)
-      else reader.option("basePath", dir.toString).parquet(paths: _*)
+      applyPos(
+        if (meta.partitionCols.isEmpty) reader.parquet(paths: _*)
+        else reader.option("basePath", dir.toString).parquet(paths: _*))
     }
     if (eqDels.isEmpty) read(files)
     else {
@@ -2080,7 +2312,8 @@ object GraftCatalog {
       fs: FileSystem, dir: Path, next: Long, files: Seq[String],
       txns: Map[String, Long] = Map.empty,
       newEqDels: Seq[String] = Seq.empty,
-      clearEqDels: Boolean = false): Long = {
+      clearEqDels: Boolean = false,
+      newPosDels: Seq[(String, String)] = Seq.empty): Long = {
     val carried = readStats(fs, dir, next - 1)
     val stats = files.sorted.flatMap { f =>
       val st = carried.getOrElse(f,
@@ -2112,9 +2345,21 @@ object GraftCatalog {
       if (clearEqDels) Seq.empty
       else readEqDels(fs, dir, next - 1).filter(_._2 > minAdd)
     val eqdels = (carriedDels ++ newEqDels.map(_ -> next)).distinct
+    // Position-delete entries (`# posdel:`) carry by TARGET LIVENESS —
+    // exact, not age-based: a position names one physical row of one
+    // specific file, so the entry is meaningful exactly while that file
+    // is live. Any rewrite (compaction, CoW DML, overwrite) that retires
+    // the target retires the entry with it, no clear flag needed.
+    val fileSet = files.toSet
+    val carriedPos = readPosDels(fs, dir, next - 1)
+      .filter { case (_, target, _) => fileSet.contains(target) }
+    val posdels =
+      (carriedPos ++ newPosDels.map { case (sc, t) => (sc, t, next) }).distinct
     val header = stats ++
       addMap.toSeq.sorted.map { case (f, s) => s"# add:${b64e(f)}=$s" } ++
       eqdels.sorted.map { case (f, s) => s"# eqdel:${b64e(f)}=$s" } ++
+      posdels.sorted.map { case (sc, t, s) =>
+        s"# posdel:${b64e(sc)}:${b64e(t)}=$s" } ++
       txns.toSeq.sorted.map { case (app, v) => s"# txn:$app=$v" }
     // exclusive create (overwrite=false) = optimistic concurrency control:
     // two writers that both based their manifest on snapshot `next-1` race
@@ -2324,10 +2569,35 @@ private[storage] class GraftTable(
     fileBlooms: Map[String, Map[String, GraftCatalog.FileBloom]] = Map.empty,
     owner: Option[GraftCatalog] = None,
     eqDeletes: Seq[(String, Long)] = Seq.empty,
-    addSeq: Map[String, Long] = Map.empty)
+    addSeq: Map[String, Long] = Map.empty,
+    posDeletes: Seq[(String, String, Long)] = Seq.empty)
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete
-  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** Iceberg-style metadata columns, synthesized by the read path: the
+    * serving data file's table-relative path and the row's physical
+    * position in it (parquet row index — exact under pushdown). Besides
+    * diagnostics (`SELECT _file, _pos FROM t`), they are the ROW IDENTITY
+    * of key-less merge-on-read tables: position-delete DML rows are
+    * addressed as (file, pos). */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = Array(
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = org.apache.spark.sql.graftshim.FileMetaCols.File
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "table-relative path of the serving data file"
+    },
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = org.apache.spark.sql.graftshim.FileMetaCols.Pos
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = false
+      override def comment(): String = "physical row position within the serving file"
+    })
 
   /** The declared merge-on-read row identity, validated: columns exist
     * and carry byte-stable atomic types. */
@@ -2369,6 +2639,18 @@ private[storage] class GraftTable(
         fileKeyRange = GraftCatalog.eqDelKeyRanges(fileStats, keyCols)))
     }
 
+  /** Pending position deletes resolved for the read side: target file →
+    * ascending deleted positions, restricted to the served file set. */
+  private lazy val posDelMap: Map[String, Array[Long]] =
+    if (posDeletes.isEmpty) Map.empty
+    else {
+      val root = new Path(dir)
+      val fs = root.getFileSystem(
+        SparkSession.active.sparkContext.hadoopConfiguration)
+      GraftCatalog.posDelMap(fs, root, posDeletes,
+        pinnedFiles.map(_.toSet).getOrElse(posDeletes.map(_._2).toSet))
+    }
+
   // SQL UPDATE / MERGE INTO: group-based copy-on-write rewrite by default
   // ([[GraftRowLevelOperation]]), or — when the table declares
   // `write.merge.mode=merge-on-read` — a delta commit of replacement rows
@@ -2390,8 +2672,18 @@ private[storage] class GraftTable(
         s"$tableName: unknown ${GraftCatalog.MergeModeProp} '$other' " +
           "(copy-on-write | merge-on-read)")
     }
-    if (mor) { mergeKeyCols; () => new GraftDeltaOperation(
-      dir, meta, tableName, info.command(), mergeKeyCols, eqDeleteSpec) }
+    if (mor) {
+      // keyed tables delete by merge key (equality deletes); KEY-LESS
+      // tables delete by physical identity — (_file, _pos) position
+      // deletes, the other half of Iceberg's v2 delete-file model
+      if (meta.properties.contains(GraftCatalog.MergeKeyProp)) {
+        mergeKeyCols
+        () => new GraftDeltaOperation(
+          dir, meta, tableName, info.command(), mergeKeyCols, eqDeleteSpec)
+      } else
+        () => new GraftPosDeltaOperation(
+          dir, meta, tableName, info.command())
+    }
     else () => new GraftRowLevelOperation(
       dir, meta, tableName, info.command(), eqDeleteSpec)
   }
@@ -2479,7 +2771,7 @@ private[storage] class GraftTable(
         case None => meta.partitionCols.map(Expressions.identity(_))
       }
     org.apache.spark.sql.graftshim.Spj.prunedScanBuilder(
-      pt, opts, keys, fileStats, dir, fileBlooms, eqDeleteSpec)
+      pt, opts, keys, fileStats, dir, fileBlooms, eqDeleteSpec, posDelMap)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

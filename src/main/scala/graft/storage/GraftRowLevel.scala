@@ -122,8 +122,28 @@ private[storage] final class CowScanBuilder(
           GraftCatalog.readStats(fs, root, scanSnapshot), keyCols)))
     }
   }
+  // Pending POSITION deletes at the scan snapshot (key-less merge-on-read
+  // tables): the rewrite scan must not serve physically-deleted rows — a
+  // stale row would re-match the MERGE source, and a position-delta
+  // commit would then stamp the wrong surviving positions.
+  private val posAtScan: Map[String, Array[Long]] =
+    GraftCatalog.posDelMap(fs, root,
+      GraftCatalog.readPosDels(fs, root, scanSnapshot), live.toSet)
   private var kept: Seq[String] = live
   private var requiredSchema: Option[StructType] = None
+
+  import org.apache.spark.sql.graftshim.FileMetaCols
+
+  /** `_file`/`_pos` metadata columns Spark resolved into the rewrite
+    * read (the rowId of position-delta operations). Synthesized by the
+    * wrapper scan, never handed to the parquet delegate. */
+  private def metaRequested: Seq[String] =
+    requiredSchema.map(_.fieldNames.toSeq
+      .filter(n => n == FileMetaCols.File || n == FileMetaCols.Pos))
+      .getOrElse(Seq.empty)
+
+  private def needRowIdx: Boolean =
+    metaRequested.contains(FileMetaCols.Pos) || posAtScan.nonEmpty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     this.requiredSchema = Some(requiredSchema)
@@ -168,14 +188,22 @@ private[storage] final class CowScanBuilder(
     // pending equality deletes: the rewrite scan must not see deleted
     // rows (a stale row would re-match the MERGE source or be copied
     // back by the rewrite) — force the key columns into the read and
-    // wrap with the same row-side apply every table read gets
-    val extended = (requiredSchema, eqDelAtScan) match {
-      case (Some(r), Some(spec)) =>
-        Some(StructType(r.fields ++ spec.keyCols
-          .filterNot(r.fieldNames.contains)
-          .map(k => meta.schema(meta.schema.fieldIndex(k)))))
-      case (r, _) => r
+    // wrap with the same row-side apply every table read gets. `_file`/
+    // `_pos` (the position-delta rowId) and pending position deletes ride
+    // the same wrapper: meta columns are synthesized per sub-file, never
+    // asked of parquet (except the row index, generated by the reader).
+    val requested = requiredSchema.getOrElse(meta.schema)
+    val dataFields = requested.fields.filterNot(f =>
+      f.name == FileMetaCols.File || f.name == FileMetaCols.Pos)
+    val withKeys = eqDelAtScan match {
+      case Some(spec) =>
+        dataFields ++ spec.keyCols
+          .filterNot(n => dataFields.exists(_.name == n))
+          .map(k => meta.schema(meta.schema.fieldIndex(k)))
+      case None => dataFields
     }
+    val parquetSchema = StructType(
+      if (needRowIdx) withKeys :+ FileMetaCols.rowIndexField else withKeys)
     def rebuild(files: Seq[String]): Scan = {
       val servedPaths =
         if (files.nonEmpty) files.map(f => s"$prefix$f")
@@ -190,21 +218,30 @@ private[storage] final class CowScanBuilder(
         Some(meta.schema), classOf[ParquetFileFormat])
       val underlying = ParquetScanBuilder(
         spark, pt.fileIndex, pt.schema, pt.dataSchema, opts)
-      extended.foreach(underlying.pruneColumns)
+      underlying.pruneColumns(parquetSchema)
       val scan = underlying.build()
-      eqDelAtScan match {
-        case Some(spec) =>
-          val full = scan.readSchema()
-          val requested = requiredSchema.getOrElse(meta.schema)
-          val forced = spec.keyCols.filterNot(requested.fieldNames.contains).toSet
-          val outFields = full.fields.filterNot(f => forced.contains(f.name))
-          org.apache.spark.sql.graftshim.EqDeleteScan(scan,
-            StructType(outFields),
-            outFields.map(f => full.fieldIndex(f.name)).toSeq,
-            spec.keyCols.map(full.fieldIndex),
-            spec.keyCols.map(k => full(full.fieldIndex(k)).dataType),
-            spec)
-        case None => scan
+      if (eqDelAtScan.isEmpty && posAtScan.isEmpty && metaRequested.isEmpty)
+        scan
+      else {
+        val full = scan.readSchema()
+        val rowIdxOrd =
+          if (needRowIdx) full.fieldIndex(FileMetaCols.rowIndexName) else -1
+        val outFields = requested.fields
+        val outOrds = outFields.toSeq.map { f =>
+          if (f.name == FileMetaCols.File) FileMetaCols.FileOrdinal
+          else if (f.name == FileMetaCols.Pos) rowIdxOrd
+          else full.fieldIndex(f.name)
+        }
+        val keyCols = eqDelAtScan.map(_.keyCols).getOrElse(Seq.empty)
+        org.apache.spark.sql.graftshim.EqDeleteScan(scan,
+          StructType(outFields),
+          outOrds,
+          keyCols.map(full.fieldIndex),
+          keyCols.map(k => full(full.fieldIndex(k)).dataType),
+          eqDelAtScan.getOrElse(org.apache.spark.sql.graftshim.EqDeleteSpec(
+            Seq.empty, Seq.empty, Map.empty, dir)),
+          posAtScan,
+          rowIdxOrd)
       }
     }
     val base = rebuild(kept)
@@ -607,6 +644,245 @@ private[storage] final class GraftDeltaWriter(
     if (out != null) out.close()
     val files = inner.commit().asInstanceOf[GraftCommitMessage].files
     GraftDeltaCommitMessage(files,
+      if (nDel > 0) Some(fragRel) else None, nDel)
+  }
+
+  override def abort(): Unit = {
+    if (out != null) { try out.close() catch { case _: Throwable => () } }
+    inner.abort()
+  }
+
+  override def close(): Unit = inner.close()
+}
+
+// ── merge-on-read POSITION-delete operations (key-less tables) ───────────
+
+/** DELTA-based row-level operation for merge-on-read tables WITHOUT a
+  * declared merge key: rows are addressed by PHYSICAL identity — the
+  * `(_file, _pos)` metadata columns every catalog read synthesizes — and
+  * deletes land as POSITION-delete sidecars (target data file → row
+  * positions), completing Iceberg's v2 delete-file model (equality
+  * deletes for keyed tables, position deletes for key-less ones).
+  *
+  * UPDATE is represented as DELETE + INSERT ([[representUpdateAsDeleteAndInsert]]):
+  * a rewritten row is a NEW physical row, so its identity cannot survive
+  * an in-place update — exactly Iceberg's position-delta semantics.
+  * Commit publishes `prior + newFiles + posdel sidecar`; nothing is
+  * rewritten, so a MERGE into a 100 TB key-less table is priced by its
+  * delta. Reads drop (file, pos) matches via the same columnar
+  * selection-view apply equality deletes use; compaction rewrites exactly
+  * the targeted files and the manifest's target-liveness carry rule
+  * retires the entries. */
+private[storage] final class GraftPosDeltaOperation(
+    dir: String,
+    meta: GraftTableMeta,
+    tableName: String,
+    cmd: RowLevelOperation.Command)
+  extends GraftRowLevelOperation(dir, meta, tableName, cmd, None)
+  with org.apache.spark.sql.connector.write.SupportsDelta {
+
+  override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(
+      org.apache.spark.sql.connector.expressions.Expressions.column(
+        org.apache.spark.sql.graftshim.FileMetaCols.File),
+      org.apache.spark.sql.connector.expressions.Expressions.column(
+        org.apache.spark.sql.graftshim.FileMetaCols.Pos))
+
+  // a physical row identity cannot be carried onto a rewritten row
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def description(): String = s"GraftPosDeltaOperation($cmd, $tableName)"
+
+  override def newWriteBuilder(info: LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new org.apache.spark.sql.connector.write.DeltaWrite
+          with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+          override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite =
+            new GraftPosDeltaBatchWrite(GraftPosDeltaOperation.this, dir,
+              meta, info.queryId())
+          // cluster replacement/inserted rows by the table's partition
+          // columns (same motivation as the keyed path: one file per
+          // partition value per commit, not one per task); an
+          // unpartitioned table coalesces via the AQE rebalance too
+          override def requiredDistribution
+              : org.apache.spark.sql.connector.distributions.Distribution = {
+            val parts = meta.partitionCols
+              .filter(meta.schema.fieldNames.contains)
+            if (parts.isEmpty)
+              org.apache.spark.sql.connector.distributions.Distributions
+                .unspecified()
+            else
+              org.apache.spark.sql.connector.distributions.Distributions
+                .clustered(parts.map(c =>
+                  org.apache.spark.sql.connector.expressions.Expressions
+                    .identity(c)).toArray)
+          }
+          override def requiredOrdering
+              : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+            Array.empty
+          override def distributionStrictlyRequired(): Boolean = false
+        }
+    }
+}
+
+private[storage] final case class GraftPosDeltaCommitMessage(
+    files: Seq[(String, String)],
+    deleteFragment: Option[String],
+    numDeletes: Long) extends WriterCommitMessage
+
+/** Publishes a position-delta commit: promote appended files, consolidate
+  * the per-task (file, position) fragments into ONE `_posdel-*` sidecar
+  * (positions sorted and deduped per target file — the read side's merge
+  * walk and the columnar retain pass both require ascending positions),
+  * and write the next manifest with one `# posdel:` entry per (sidecar,
+  * target) at scan snapshot + 1 — same OCC as every row-level commit. */
+private[storage] final class GraftPosDeltaBatchWrite(
+    op: GraftRowLevelOperation,
+    dir: String,
+    meta: GraftTableMeta,
+    queryId: String)
+  extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+
+  private val stagingRel = s"_staging-$queryId"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriterFactory = {
+    val inner = GraftWriterFactory(s"$dir/$stagingRel", meta.schema,
+      meta.partitionCols,
+      GraftCatalog.parquetWriteConfs(SparkSession.active), queryId,
+      meta.properties.get(GraftCatalog.TargetFileRowsProp)
+        .flatMap(_.toLongOption).filter(_ > 0).getOrElse(0L),
+      meta.bucket)
+    GraftPosDeltaWriterFactory(inner, s"$dir/$stagingRel")
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    val scanSnap = op.scanSnapshot
+    require(scanSnap >= 0, "position-delta commit without a planned rewrite scan")
+    val prior = GraftCatalog.readManifest(fs, root, scanSnap)
+      .getOrElse(GraftCatalog.listDataFiles(fs, root))
+    val msgs = messages.map(_.asInstanceOf[GraftPosDeltaCommitMessage])
+    val staged = msgs.flatMap(_.files)
+    staged.foreach { case (part, file) =>
+      val dst = if (part.isEmpty) root else new Path(root, part)
+      fs.mkdirs(dst)
+      val src = if (part.isEmpty) new Path(root, s"$stagingRel/$file")
+                else new Path(root, s"$stagingRel/$part/$file")
+      val target = new Path(dst, file)
+      if (fs.exists(target) || !fs.rename(src, target))
+        throw new java.io.IOException(
+          s"position-delta commit failed: cannot promote $src to $target")
+    }
+    // consolidate per-task fragments (delta-sized) into one sidecar,
+    // positions sorted+deduped per target; deletes against files not in
+    // the scanned snapshot's manifest are a scan/commit bug — fail loudly
+    val priorSet = prior.toSet
+    val byTarget = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+    msgs.toSeq.flatMap(_.deleteFragment).foreach { frag =>
+      GraftCatalog.readPosDelFragment(
+        fs, new Path(root, s"$stagingRel/$frag")).foreach { case (t, p) =>
+        require(priorSet.contains(t),
+          s"position delete targets '$t', which is not in snapshot $scanSnap")
+        byTarget.getOrElseUpdate(t,
+          scala.collection.mutable.ArrayBuffer.empty[Long]) += p
+      }
+    }
+    val sidecar: Option[(String, Seq[String])] =
+      if (byTarget.isEmpty) None
+      else {
+        val name = s"_posdel-${java.util.UUID.randomUUID().toString.take(12)}.bin"
+        val dels = byTarget.toSeq.sortBy(_._1).map { case (t, ps) =>
+          t -> ps.toArray.sorted.distinct
+        }
+        GraftCatalog.writePosDelSidecar(fs, new Path(root, name), dels)
+        Some((name, dels.map(_._1)))
+      }
+    fs.delete(new Path(root, stagingRel), true)
+    val stagedRel = staged.map { case (p, f) => if (p.isEmpty) f else s"$p/$f" }
+    try GraftCatalog.writeSnapshotAt(fs, root, scanSnap + 1,
+      (prior ++ stagedRel).distinct,
+      GraftCatalog.readTxns(fs, root, scanSnap),
+      newPosDels = sidecar.toSeq.flatMap { case (sc, ts) => ts.map(sc -> _) })
+    catch { case e: Throwable =>
+      sidecar.foreach { case (sc, _) => fs.delete(new Path(root, sc), false) }
+      throw e
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(root, stagingRel), true)
+  }
+}
+
+private[storage] final case class GraftPosDeltaWriterFactory(
+    inner: DataWriterFactory,
+    stagingDir: String)
+  extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] =
+    new GraftPosDeltaWriter(inner.createWriter(partitionId, taskId),
+      stagingDir, partitionId, taskId)
+}
+
+/** Per-task position-delta writer: inserts go to the ordinary
+  * partition-routing data writer; deleted rows' physical identities —
+  * the `(_file, _pos)` rowId Spark projects from the rewrite read —
+  * stream to a per-task fragment as (UTF file, long position) records. */
+private[storage] final class GraftPosDeltaWriter(
+    inner: org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow],
+    stagingDir: String,
+    partitionId: Int,
+    taskId: Long)
+  extends org.apache.spark.sql.connector.write.DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  private val fragRel = s"_posdel-frag-$partitionId-$taskId.bin"
+  private var out: java.io.DataOutputStream = _
+  private var nDel = 0L
+
+  private def delOut(): java.io.DataOutputStream = {
+    if (out == null) {
+      val p = new Path(s"$stagingDir/$fragRel")
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      out = new java.io.DataOutputStream(
+        new java.io.BufferedOutputStream(fs.create(p, false)))
+      out.writeUTF(GraftCatalog.PosDelFragMagic)
+    }
+    out
+  }
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+    // id fields in rowId() order: (_file string, _pos long)
+    val o = delOut()
+    o.writeUTF(id.getUTF8String(0).toString)
+    o.writeLong(id.getLong(1))
+    nDel += 1
+  }
+
+  override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+    // unreachable under representUpdateAsDeleteAndInsert, kept as the
+    // semantically-equivalent fallback
+    delete(metadata, id)
+    insert(row)
+  }
+
+  override def insert(row: InternalRow): Unit = inner.write(row)
+
+  override def commit(): WriterCommitMessage = {
+    if (out != null) out.close()
+    val files = inner.commit().asInstanceOf[GraftCommitMessage].files
+    GraftPosDeltaCommitMessage(files,
       if (nDel > 0) Some(fragRel) else None, nDel)
   }
 

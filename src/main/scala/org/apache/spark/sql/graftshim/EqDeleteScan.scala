@@ -28,6 +28,33 @@ final case class EqDeleteSpec(
       * composite/string keys or when stats are absent — conservative. */
     fileKeyRange: Map[String, (Long, Long)] = Map.empty)
 
+/** The read-side column names of [[graft.storage.GraftCatalog]] tables'
+  * METADATA COLUMNS (Iceberg's spelling): the serving file's
+  * table-relative path and the row's physical position in it. `_pos`
+  * rides parquet's native row-index generation (exact under filter
+  * pushdown and row-group pruning), surfaced to the delegate scan as the
+  * reader-recognized temporary column. */
+object FileMetaCols {
+  val File = "_file"
+  val Pos = "_pos"
+  /** Output-ordinal sentinel: synthesize the sub-file's relative path. */
+  val FileOrdinal: Int = -1
+  /** The parquet reader's magic row-index field: the TEMPORARY column
+    * name is what triggers generation ([[org.apache.spark.sql.execution
+    * .datasources.parquet.ParquetRowIndexUtil
+    * .findRowIndexColumnIndexInSchema]] matches it by name) — the public
+    * `row_index` name would be demanded from the file instead. */
+  def rowIndexName: String =
+    org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+      .ROW_INDEX_TEMPORARY_COLUMN_NAME
+  def rowIndexField: org.apache.spark.sql.types.StructField =
+    // NULLABLE is load-bearing: the column is absent from every data file
+    // (the reader GENERATES it), and the parquet reader's checkColumn
+    // rejects missing required columns before generation is considered
+    org.apache.spark.sql.types.StructField(
+      rowIndexName, org.apache.spark.sql.types.LongType, nullable = true)
+}
+
 /** Wraps a parquet [[Scan]] to apply pending equality deletes row-side.
   *
   *  - the delegate's input partitions are kept AS PLANNED (multi-file
@@ -57,13 +84,33 @@ final case class EqDeleteScan(
     outputOrdinals: Seq[Int],
     keyOrdinals: Seq[Int],
     keyTypes: Seq[DataType],
-    spec: EqDeleteSpec) extends Scan with Batch {
+    spec: EqDeleteSpec,
+    /** Pending POSITION deletes: table-relative file → sorted deleted row
+      * positions (parquet row indexes). No sequence scoping — a position
+      * names one physical row of one live file; rewriting the file
+      * retires its entries. */
+    posDels: Map[String, Array[Long]] = Map.empty,
+    /** Delegate ordinal of the parquet row-index column (forced into the
+      * read when `_pos` is requested or position deletes pend); -1 when
+      * absent. `outputOrdinals` may reference it directly (a `_pos`
+      * projection) — only [[FileMetaCols.FileOrdinal]] is synthesized. */
+    rowIdxOrdinal: Int = -1) extends Scan with Batch {
 
   override def readSchema(): StructType = outputSchema
   override def toBatch: Batch = this
-  override def description(): String =
-    s"EqDeleteApply(${spec.entries.size} deletes, keys=${spec.keyCols.mkString(",")}) " +
-      delegate.description()
+  override def description(): String = {
+    val eq =
+      if (spec.entries.nonEmpty)
+        s"EqDeleteApply(${spec.entries.size} deletes, keys=${spec.keyCols.mkString(",")}) "
+      else ""
+    val pos =
+      if (posDels.nonEmpty)
+        s"PosDeleteApply(${posDels.valuesIterator.map(_.length).sum} deletes, ${posDels.size} files) "
+      else ""
+    val meta =
+      if (eq.isEmpty && pos.isEmpty) "FileMetaRead " else ""
+    eq + pos + meta + delegate.description()
+  }
 
   private lazy val delegateBatch = delegate.toBatch
 
@@ -82,17 +129,24 @@ final case class EqDeleteScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val bc = SparkSession.active.sparkContext.broadcast(spec.entries.toArray)
+    val bc = SparkSession.active.sparkContext
+      .broadcast(DeleteSets(spec.entries.toArray, posDels))
     EqDeleteReaderFactory(delegateBatch.createReaderFactory(), bc,
       keyOrdinals.toArray, keyTypes.toArray, outputSchema,
       outputOrdinals.toArray, delegate.readSchema().length,
-      spec.addSeq, spec.tableDir, spec.fileKeyRange)
+      spec.addSeq, spec.tableDir, spec.fileKeyRange, rowIdxOrdinal)
   }
 }
 
+/** One broadcast for both pending delete families — delta-sized by the
+  * merge-on-read contract (an outsized set is the compaction signal). */
+private[graftshim] final case class DeleteSets(
+    eq: Array[(Array[Byte], Long)],
+    pos: Map[String, Array[Long]])
+
 private[graftshim] final case class EqDeleteReaderFactory(
     inner: PartitionReaderFactory,
-    entries: Broadcast[Array[(Array[Byte], Long)]],
+    entries: Broadcast[DeleteSets],
     keyOrdinals: Array[Int],
     keyTypes: Array[DataType],
     outputSchema: StructType,
@@ -100,7 +154,8 @@ private[graftshim] final case class EqDeleteReaderFactory(
     readArity: Int,
     addSeq: Map[String, Long],
     tableDir: String,
-    keyRanges: Map[String, (Long, Long)]) extends PartitionReaderFactory {
+    keyRanges: Map[String, (Long, Long)],
+    rowIdxOrdinal: Int = -1) extends PartitionReaderFactory {
 
   // Spark requires the columnar decision to be UNIFORM across a scan's
   // partitions ("Cannot mix row-based and columnar input partitions"),
@@ -112,7 +167,7 @@ private[graftshim] final case class EqDeleteReaderFactory(
   // the newest delete snapshot anywhere: a file added at or after it can
   // skip the per-row probe entirely (no delete is strictly newer)
   private lazy val maxDeleteSnap: Long =
-    entries.value.foldLeft(Long.MinValue) { case (m, (_, s)) => math.max(m, s) }
+    entries.value.eq.foldLeft(Long.MinValue) { case (m, (_, s)) => math.max(m, s) }
 
   // delete-set probe; built once per EXECUTOR per scan (the broadcast id
   // is process-unique) and shared across this scan's task threads
@@ -122,7 +177,7 @@ private[graftshim] final case class EqDeleteReaderFactory(
     // rebuilds from the still-live broadcast on the next access
     if (EqDeleteReaderFactory.cache.size > 64) EqDeleteReaderFactory.cache.clear()
     EqDeleteReaderFactory.cache.computeIfAbsent(entries.id,
-      _ => KeyProbe.build(entries.value, keyOrdinals, keyTypes))
+      _ => KeyProbe.build(entries.value.eq, keyOrdinals, keyTypes))
   }
 
   /** (manifest-relative path, add sequence) of a partitioned file. */
@@ -145,8 +200,11 @@ private[graftshim] final case class EqDeleteReaderFactory(
     // snapshot write), so a miss here is a path-resolution bug — and the
     // only safe response is to fail loudly: any default either skips
     // pending deletes (resurrected rows) or applies deletes to
-    // possibly-newer rows
-    rel -> addSeq.getOrElse(rel, throw new IllegalStateException(
+    // possibly-newer rows. With no equality deletes pending the sequence
+    // is never consulted (metadata-only or position-delete reads can
+    // serve legacy no-manifest tables) — report probe-free directly.
+    if (entries.value.eq.isEmpty) rel -> Long.MaxValue
+    else rel -> addSeq.getOrElse(rel, throw new IllegalStateException(
       s"equality-delete apply: file '$rel' (from '$file') has no add " +
         s"sequence in the scan snapshot's manifest — cannot scope pending " +
         s"deletes; known files: ${addSeq.keys.take(3).mkString(", ")}…"))
@@ -170,17 +228,36 @@ private[graftshim] final case class EqDeleteReaderFactory(
         throw new IllegalStateException(s"unexpected partition $other")
     }
 
+  /** Whether the output is a pure IDENTITY pass-through of the delegate
+    * (no dropped forced columns, no synthesized `_file`, no column
+    * reordering — the ordinal map must be 0,1,2,…). */
+  private def passThroughOutput: Boolean =
+    outputSchema.length == readArity &&
+      outputOrdinals.indices.forall(i => outputOrdinals(i) == i)
+
+  /** Per-sub-file output projection: delegate ordinals bind directly
+    * (`_pos` is just the row-index delegate column); the `_file`
+    * sentinel becomes a constant — the file's table-relative path. */
+  private def projectionFor(rel: String): UnsafeProjection =
+    UnsafeProjection.create(
+      outputSchema.indices.map { i =>
+        val ord = outputOrdinals(i)
+        if (ord == FileMetaCols.FileOrdinal)
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            UTF8String.fromString(rel), StringType)
+            : org.apache.spark.sql.catalyst.expressions.Expression
+        else
+          BoundReference(ord, outputSchema(i).dataType,
+            outputSchema(i).nullable)
+      }.toIndexedSeq)
+
   private def rowReaderFor(sub: FilePartition): PartitionReader[InternalRow] = {
     val (rel, fileSeq) = fileInfoOf(sub.files.head)
     val reader = inner.createReader(sub)
-    val project =
-      if (outputSchema.length == readArity) null
-      else UnsafeProjection.create(
-        outputSchema.indices.map(i =>
-          BoundReference(outputOrdinals(i), outputSchema(i).dataType,
-            outputSchema(i).nullable)).toIndexedSeq)
+    val project = if (passThroughOutput) null else projectionFor(rel)
+    val positions = entries.value.pos.getOrElse(rel, null)
 
-    if (probeFree(rel, fileSeq)) {
+    if (probeFree(rel, fileSeq) && positions == null) {
       // no pending delete can target this file — it predates none of them
       // (the steady-state shape of post-merge appends) or its key range
       // holds no delete key: skip the per-row key probe entirely
@@ -193,13 +270,19 @@ private[graftshim] final case class EqDeleteReaderFactory(
         override def close(): Unit = reader.close()
       }
     } else {
-      val deletes = probe()
+      val eqApplies = !probeFree(rel, fileSeq)
+      val deletes = if (eqApplies) probe() else null
+      require(positions == null || rowIdxOrdinal >= 0,
+        s"position deletes pend for '$rel' but the scan carries no row-index column")
       new PartitionReader[InternalRow] {
         private var current: InternalRow = _
         override def next(): Boolean = {
           while (reader.next()) {
             val row = reader.get()
-            if (deletes.snapOf(row) <= fileSeq) {
+            val posDeleted = positions != null &&
+              java.util.Arrays.binarySearch(positions,
+                row.getLong(rowIdxOrdinal)) >= 0
+            if (!posDeleted && (!eqApplies || deletes.snapOf(row) <= fileSeq)) {
               current = if (project == null) row else project(row)
               return true
             }
@@ -215,15 +298,19 @@ private[graftshim] final case class EqDeleteReaderFactory(
   private def colReaderFor(sub: FilePartition): PartitionReader[ColumnarBatch] = {
     val (rel, fileSeq) = fileInfoOf(sub.files.head)
     val rdr = inner.createColumnarReader(sub)
-    val project = outputSchema.length != readArity
+    val relUtf8 = UTF8String.fromString(rel)
+    def col(b: ColumnarBatch, ord: Int): ColumnVector =
+      if (ord == FileMetaCols.FileOrdinal) new ConstUtf8Vector(relUtf8)
+      else b.column(ord)
     def projected(b: ColumnarBatch, n: Int): ColumnarBatch =
-      if (!project) b
+      if (passThroughOutput) b
       else new ColumnarBatch(
-        outputOrdinals.map(b.column(_): ColumnVector), n)
-    if (probeFree(rel, fileSeq)) {
+        outputOrdinals.map(col(b, _)), n)
+    val positions = entries.value.pos.getOrElse(rel, null)
+    if (probeFree(rel, fileSeq) && positions == null) {
       // no pending delete can target this file (fresh, or key range clear
       // of delete keys): batches pass through untouched (modulo dropping
-      // the forced key columns)
+      // the forced key columns / adding the constant `_file`)
       new PartitionReader[ColumnarBatch] {
         override def next(): Boolean = rdr.next()
         override def get(): ColumnarBatch = {
@@ -233,24 +320,34 @@ private[graftshim] final case class EqDeleteReaderFactory(
         override def close(): Unit = rdr.close()
       }
     } else {
-      val deletes = probe()
+      val eqApplies = !probeFree(rel, fileSeq)
+      val deletes = if (eqApplies) probe() else null
+      require(positions == null || rowIdxOrdinal >= 0,
+        s"position deletes pend for '$rel' but the scan carries no row-index column")
       new PartitionReader[ColumnarBatch] {
         private var current: ColumnarBatch = _
         override def next(): Boolean = {
           while (rdr.next()) {
             val b = rdr.get()
             val n = b.numRows()
-            // probe every row's key; common case — no deleted key in the
-            // batch — passes the vectors through with zero copies
+            // probe every row's key/position; common case — no deleted
+            // row in the batch — passes the vectors through, zero copies
             val kept = new Array[Int](n)
-            val k = deletes.fillKept(b, fileSeq, kept)
+            var k =
+              if (eqApplies) deletes.fillKept(b, fileSeq, kept)
+              else { var i = 0; while (i < n) { kept(i) = i; i += 1 }; n }
+            if (positions != null && k > 0)
+              k = PosFilter.retain(b.column(rowIdxOrdinal), positions, kept, k)
             if (k == n) { current = projected(b, n); return true }
             else if (k > 0) {
               // some rows deleted: serve a zero-copy selection view over
               // the surviving ordinals — works for every column type
               current = new ColumnarBatch(
-                outputOrdinals.map(ord =>
-                  new SelectedColumnVector(b.column(ord), kept): ColumnVector),
+                outputOrdinals.map { ord =>
+                  val c = col(b, ord)
+                  if (ord == FileMetaCols.FileOrdinal) c // constant: selection-invariant
+                  else new SelectedColumnVector(c, kept): ColumnVector
+                },
                 k)
               return true
             }
@@ -565,4 +662,66 @@ private[graftshim] object EqDeleteReaderFactory {
   // bounded soft footprint beats rebuilding per task
   private[graftshim] val cache =
     new java.util.concurrent.ConcurrentHashMap[Long, KeyProbe]()
+}
+
+/** Position-delete retain pass over a batch's already-kept ordinals: both
+  * the batch's row-index column and the file's deleted-position list are
+  * ascending, so one merge walk filters the kept set — no per-row binary
+  * search. */
+private[graftshim] object PosFilter {
+  def retain(
+      rowIdx: ColumnVector,
+      positions: Array[Long],
+      kept: Array[Int],
+      k: Int): Int = {
+    var out = 0
+    var i = 0
+    var p = 0
+    while (i < k) {
+      val pos = rowIdx.getLong(kept(i))
+      while (p < positions.length && positions(p) < pos) p += 1
+      if (p >= positions.length || positions(p) != pos) {
+        kept(out) = kept(i); out += 1
+      }
+      i += 1
+    }
+    out
+  }
+}
+
+/** A constant string vector — the columnar spelling of the synthesized
+  * `_file` metadata column (one table-relative path per sub-file reader).
+  * Selection-invariant: every row reads the same value, so the
+  * delete-apply's selection view passes it through unwrapped. */
+private[graftshim] final class ConstUtf8Vector(v: UTF8String)
+  extends ColumnVector(StringType) {
+  override def close(): Unit = ()
+  override def hasNull: Boolean = false
+  override def numNulls: Int = 0
+  override def isNullAt(rowId: Int): Boolean = false
+  override def getUTF8String(rowId: Int): UTF8String = v
+  override def getBoolean(rowId: Int): Boolean =
+    throw new UnsupportedOperationException
+  override def getByte(rowId: Int): Byte =
+    throw new UnsupportedOperationException
+  override def getShort(rowId: Int): Short =
+    throw new UnsupportedOperationException
+  override def getInt(rowId: Int): Int =
+    throw new UnsupportedOperationException
+  override def getLong(rowId: Int): Long =
+    throw new UnsupportedOperationException
+  override def getFloat(rowId: Int): Float =
+    throw new UnsupportedOperationException
+  override def getDouble(rowId: Int): Double =
+    throw new UnsupportedOperationException
+  override def getArray(rowId: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+    throw new UnsupportedOperationException
+  override def getMap(rowId: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+    throw new UnsupportedOperationException
+  override def getDecimal(rowId: Int, precision: Int, scale: Int)
+      : org.apache.spark.sql.types.Decimal =
+    throw new UnsupportedOperationException
+  override def getBinary(rowId: Int): Array[Byte] = v.getBytes
+  override def getChild(ordinal: Int): ColumnVector =
+    throw new UnsupportedOperationException
 }

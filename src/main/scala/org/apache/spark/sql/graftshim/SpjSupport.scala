@@ -76,9 +76,10 @@ object Spj {
       fileStats: Map[String, Map[String, graft.storage.GraftCatalog.ColStat]],
       tableDir: String,
       fileBlooms: Map[String, Map[String, graft.storage.GraftCatalog.FileBloom]],
-      eqDeletes: Option[EqDeleteSpec] = None): ScanBuilder =
+      eqDeletes: Option[EqDeleteSpec] = None,
+      posDeletes: Map[String, Array[Long]] = Map.empty): ScanBuilder =
     new KeyedParquetScanBuilder(table, options, keys, fileStats, tableDir,
-      fileBlooms, eqDeletes)
+      fileBlooms, eqDeletes, posDeletes)
 }
 
 /** Delegates the full parquet pushdown surface (catalyst filters, column
@@ -98,7 +99,8 @@ final class KeyedParquetScanBuilder(
     fileStats: Map[String, Map[String, graft.storage.GraftCatalog.ColStat]],
     tableDir: String,
     fileBlooms: Map[String, Map[String, graft.storage.GraftCatalog.FileBloom]] = Map.empty,
-    eqDeletes: Option[EqDeleteSpec] = None)
+    eqDeletes: Option[EqDeleteSpec] = None,
+    posDeletes: Map[String, Array[Long]] = Map.empty)
   extends ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -127,19 +129,41 @@ final class KeyedParquetScanBuilder(
   // hide the key columns it forced into the read
   private var requestedSchema: Option[StructType] = None
 
+  /** `_file` / `_pos` metadata columns the query asked for — synthesized
+    * by the wrapper scan, never handed to the parquet delegate. */
+  private def metaRequested: Seq[String] =
+    requestedSchema.map(_.fieldNames.toSeq
+      .filter(n => n == FileMetaCols.File || n == FileMetaCols.Pos))
+      .getOrElse(Seq.empty)
+
+  /** Whether the delegate read needs parquet's row-index column: the
+    * query asked for `_pos`, or pending position deletes must be scoped
+    * to physical rows. */
+  private def needRowIdx: Boolean =
+    metaRequested.contains(FileMetaCols.Pos) || posDeletes.nonEmpty
+
   override def pruneColumns(requiredSchema: StructType): Unit = {
     requestedSchema = Some(requiredSchema)
-    val extended = eqDeletes match {
+    val dataFields = requiredSchema.fields.filterNot(f =>
+      f.name == FileMetaCols.File || f.name == FileMetaCols.Pos)
+    val withKeys = eqDeletes match {
       case Some(spec) =>
         // pending deletes need the key columns to probe — force any the
         // query didn't ask for into the read; build() projects them off
         val missing = spec.keyCols
-          .filterNot(requiredSchema.fieldNames.contains)
+          .filterNot(n => dataFields.exists(_.name == n))
           .map(k => table.schema(table.schema.fieldIndex(k)))
-        StructType(requiredSchema.fields ++ missing)
-      case None => requiredSchema
+        dataFields ++ missing
+      case None => dataFields
     }
-    underlying.pruneColumns(extended)
+    // `_pos` (and position-delete scoping) rides parquet's native
+    // row-index generation: the reader recognizes this field BY NAME and
+    // fills exact physical row indexes, correct under filter pushdown
+    // and row-group pruning
+    val extended =
+      if (needRowIdx) withKeys :+ FileMetaCols.rowIndexField
+      else withKeys
+    underlying.pruneColumns(StructType(extended))
   }
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
@@ -179,10 +203,10 @@ final class KeyedParquetScanBuilder(
     // plans as a LocalTableScan of ONE pre-aggregated row. Partial-pushdown
     // protocol (supportCompletePushDown stays false), so Spark's final
     // aggregate folds that row with full-scan semantics.
-    // pending equality deletes: neither manifest row counts nor parquet
-    // footer counts see the deleted rows — no aggregate pushdown of any
-    // kind until compaction folds the deletes in
-    if (eqDeletes.isDefined) { manifestAgg = None; return false }
+    // pending equality/position deletes: neither manifest row counts nor
+    // parquet footer counts see the deleted rows — no aggregate pushdown
+    // of any kind until compaction folds the deletes in
+    if (eqDeletes.isDefined || posDeletes.nonEmpty) { manifestAgg = None; return false }
     manifestAgg =
       if (sawFilters || fileStats.isEmpty ||
         table.sparkSession.conf
@@ -217,36 +241,52 @@ final class KeyedParquetScanBuilder(
   }
   override def supportCompletePushDown(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    if (manifestAgg.isDefined || eqDeletes.isDefined) false
+    if (manifestAgg.isDefined || eqDeletes.isDefined || posDeletes.nonEmpty) false
     else underlying.supportCompletePushDown(aggregation)
 
   override def build(): Scan = manifestAgg match {
     case Some((schema, rows)) => ManifestAggScan(table.name, schema, rows)
-    case None => eqDeletes match {
-      case Some(spec) =>
-        // merge-on-read with pending deletes: wrap the parquet scan with
-        // the row-side delete apply. No SPJ grouping while deletes are
-        // pending (the wrapper reports no partition keys) — part of the
-        // documented read tax compaction clears.
+    case None =>
+      if (eqDeletes.isDefined || posDeletes.nonEmpty || metaRequested.nonEmpty) {
+        // merge-on-read with pending deletes, and/or `_file`/`_pos`
+        // metadata-column reads: wrap the parquet scan with the row-side
+        // apply/synthesis. No SPJ grouping through the wrapper — for
+        // deletes it's part of the documented read tax compaction clears;
+        // metadata reads are diagnostics, not join fast paths.
         val scan = underlying.build()
         val full = scan.readSchema()
         val requested = requestedSchema.getOrElse(table.schema)
-        val forced = spec.keyCols.filterNot(requested.fieldNames.contains).toSet
-        val outFields = full.fields.filterNot(f => forced.contains(f.name))
+        val rowIdxOrd =
+          if (needRowIdx) full.fieldIndex(FileMetaCols.rowIndexName) else -1
+        // output: exactly the requested fields, in request order —
+        // delegate ordinals for data columns, the row-index delegate
+        // column for `_pos`, the synthesis sentinel for `_file`
+        val outFields = requested.fields
+        val outOrds = outFields.toSeq.map { f =>
+          if (f.name == FileMetaCols.File) FileMetaCols.FileOrdinal
+          else if (f.name == FileMetaCols.Pos) rowIdxOrd
+          else full.fieldIndex(f.name)
+        }
+        val keyCols = eqDeletes.map(_.keyCols).getOrElse(Seq.empty)
         EqDeleteScan(scan,
-          StructType(outFields),
-          outFields.map(f => full.fieldIndex(f.name)).toSeq,
-          spec.keyCols.map(full.fieldIndex),
-          spec.keyCols.map(k => full(full.fieldIndex(k)).dataType),
-          spec)
-      case None =>
+          StructType(outFields.map(f =>
+            if (f.name == FileMetaCols.Pos)
+              f.copy(dataType = org.apache.spark.sql.types.LongType)
+            else f)),
+          outOrds,
+          keyCols.map(full.fieldIndex),
+          keyCols.map(k => full(full.fieldIndex(k)).dataType),
+          eqDeletes.getOrElse(EqDeleteSpec(Seq.empty, Seq.empty, Map.empty, tableDir)),
+          posDeletes,
+          rowIdxOrd)
+      } else {
         val pschema = servedTable.fileIndex.partitionSchema
         underlying.build() match {
           case p: ParquetScan if pschema.nonEmpty && keys.nonEmpty =>
             KeyedScan(p, pschema, keys)
           case other => other
         }
-    }
+      }
   }
 }
 

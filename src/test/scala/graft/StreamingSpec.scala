@@ -1132,6 +1132,62 @@ class StreamingSpec extends SparkSpec {
     assert(outC == expected, s"compaction changed the answer: $outC")
   }
 
+  test("sinkMergeMor on a KEY-LESS merge-on-read table: each batch lands " +
+    "as a position-delta commit (sidecar per batch, zero rewrites), the " +
+    "folded state matches, and replay is effect-idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory("graft-pos-sink").toString
+    spark.conf.set("spark.sql.catalog.possink",
+      classOf[graft.storage.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.possink.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS possink.s")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "w").repartition(1)
+      .writeTo("possink.s.t").using("parquet")
+      .tableProperty(graft.storage.GraftCatalog.MergeModeProp, "merge-on-read")
+      .createOrReplace() // no merge.key → the position-delete path
+    val dir = new org.apache.hadoop.fs.Path(s"$wh/s/t")
+    val fsys = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = graft.storage.GraftCatalog.liveDataFiles(fsys, dir).toSet
+    val cat = spark.sessionState.catalogManager.catalog("possink")
+      .asInstanceOf[graft.storage.GraftCatalog]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-pos-ckpt").toString
+    val input = MemoryStream[(Long, String, Long, String)]
+    val q = Streams.sinkMergeMor(
+      input.toDF().toDF("id", "w", "seq", "op"),
+      "possink.s.t", "id", "seq", "op", ckpt)
+    try {
+      input.addData((2L, "B", 1L, "upsert"), (3L, "c", 1L, "delete"),
+        (4L, "D", 1L, "upsert"))
+      q.processAllAvailable()
+      spark.catalog.refreshTable("possink.s.t")
+      val out1 = spark.table("possink.s.t").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(out1 == Seq((1L, "a"), (2L, "B"), (4L, "D")), s"got $out1")
+      assert(before.subsetOf(
+        graft.storage.GraftCatalog.liveDataFiles(fsys, dir).toSet),
+        "a key-less streaming merge batch must not rewrite data files")
+      assert(cat.pendingPositionDeletes("s.t").nonEmpty,
+        "the batch's deletes must land as a position sidecar")
+      // replay the same changes: matched rows update again (a new
+      // position delta), end state unchanged
+      input.addData((2L, "B", 1L, "upsert"), (3L, "c", 1L, "delete"),
+        (4L, "D", 1L, "upsert"))
+      q.processAllAvailable()
+      spark.catalog.refreshTable("possink.s.t")
+      val out2 = spark.table("possink.s.t").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(out2 == out1, s"replay must be effect-idempotent, got $out2")
+      // compaction folds the accumulated position deltas, results fixed
+      val (rew, _) = cat.compactDeletes(spark, "s.t")
+      assert(rew > 0)
+      spark.catalog.refreshTable("possink.s.t")
+      assert(cat.pendingPositionDeletes("s.t").isEmpty)
+      val outC = spark.table("possink.s.t").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(outC == out1, s"compaction changed the answer: $outC")
+    } finally q.stop()
+  }
+
   test("sinkMergeMor: a batch missing a table column fails by NAME, not " +
     "with an opaque analysis error") {
     implicit val sqlCtx = spark.sqlContext

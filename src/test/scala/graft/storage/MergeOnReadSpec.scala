@@ -703,19 +703,24 @@ class MergeOnReadSpec extends SparkSpec {
       s"got $out2")
   }
 
-  test("merge-on-read without merge.key fails loudly") {
+  test("merge-on-read without merge.key takes the POSITION-delete path: " +
+    "the MERGE commits, no data file is rewritten") {
     wh
-    Seq((1L, "a")).toDF("id", "w")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "w").repartition(1)
       .writeTo("morcat.s.m7").using("parquet")
       .tableProperty(GraftCatalog.MergeModeProp, "merge-on-read")
       .createOrReplace()
-    Seq((1L, "b")).toDF("id", "w").createOrReplaceTempView("m7_changes")
-    val e = intercept[Exception] {
-      spark.sql("""MERGE INTO morcat.s.m7 t USING m7_changes s ON t.id = s.id
-        WHEN MATCHED THEN UPDATE SET w = s.w""")
-    }
-    def msgs(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(e).exists(_.contains("merge.key")), s"got $e")
+    val before = manifestFiles("m7").toSet
+    Seq((1L, "A")).toDF("id", "w").createOrReplaceTempView("m7_changes")
+    spark.sql("""MERGE INTO morcat.s.m7 t USING m7_changes s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET w = s.w""")
+    assert(spark.table("morcat.s.m7").as[(Long, String)].collect().toSet ===
+      Set((1L, "A"), (2L, "b")))
+    // the original file survived untouched (merge-on-read, not rewrite)
+    assert(before.subsetOf(manifestFiles("m7").toSet))
+    val dir = new Path(s"$wh/s/m7")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(GraftCatalog.readPosDels(fs, dir,
+      GraftCatalog.latestSnapshot(fs, dir)).nonEmpty)
   }
 }
