@@ -1271,6 +1271,62 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           s"GraftCatalog: cannot drop bucket source column ${del.fieldNames()(0)}")
         schema = StructType(schema.fields.filterNot(_.name == del.fieldNames()(0)))
         droppedCols += del.fieldNames()(0)
+      case upd: TableChange.UpdateColumnType =>
+        // Iceberg-style SAFE type promotion: existing files keep their
+        // narrower physical type and the parquet readers widen at read
+        // time (Spark 4 supports widening reads in both the vectorized
+        // and row-based paths); new files write the widened type. Every
+        // derived structure stays valid by construction: manifest column
+        // stats compare in the VALUE domain (kind "l"/"d", not physical
+        // type — FileStatsPruning), and the bloom index canonicalizes
+        // integrals to INT64 before hashing, so pre-widening entries
+        // still answer post-widening probes exactly.
+        require(upd.fieldNames().length == 1,
+          "GraftCatalog: nested column type changes not supported")
+        val name = upd.fieldNames()(0)
+        val idx = schema.fields.indexWhere(_.name == name)
+        require(idx >= 0, s"GraftCatalog: no such column: $name")
+        val from = schema.fields(idx).dataType
+        val to = upd.newDataType()
+        require(GraftCatalog.widens(from, to),
+          s"GraftCatalog: unsafe type change $name: ${from.simpleString} -> " +
+            s"${to.simpleString} (safe widenings only: integral up-casts, " +
+            "float->double, same-scale decimal precision increase)")
+        // equality-delete sidecars serialize merge-key values in the
+        // key's byte encoding AT COMMIT TIME; a pending sidecar written
+        // under the narrower type would misparse under the widened one
+        // and silently resurrect deleted rows — fold the deletes first
+        val keyCols = meta.properties.getOrElse(GraftCatalog.MergeKeyProp, "")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSet
+        if (keyCols.contains(name)) {
+          val latest = GraftCatalog.latestSnapshot(fs, dir)
+          require(GraftCatalog.readEqDels(fs, dir, latest).isEmpty,
+            s"GraftCatalog: cannot widen merge-key column $name while " +
+              "equality-delete sidecars are pending (their serialized keys " +
+              "use the old type's encoding) — run rewrite_deletes first")
+        }
+        schema = StructType(schema.fields.updated(idx,
+          schema.fields(idx).copy(dataType = to)))
+      case upd: TableChange.UpdateColumnNullability =>
+        // RELAXING to nullable is metadata-only and always safe;
+        // TIGHTENING to NOT NULL would assert a fact no existing file
+        // was checked against — rejected, same stance as Iceberg
+        require(upd.fieldNames().length == 1,
+          "GraftCatalog: nested nullability changes not supported")
+        require(upd.nullable(),
+          s"GraftCatalog: cannot add NOT NULL to ${upd.fieldNames()(0)} — " +
+            "existing files were never verified against it")
+        val nIdx = schema.fields.indexWhere(_.name == upd.fieldNames()(0))
+        require(nIdx >= 0, s"GraftCatalog: no such column: ${upd.fieldNames()(0)}")
+        schema = StructType(schema.fields.updated(nIdx,
+          schema.fields(nIdx).copy(nullable = true)))
+      case upd: TableChange.UpdateColumnComment =>
+        require(upd.fieldNames().length == 1,
+          "GraftCatalog: nested column comments not supported")
+        val cIdx = schema.fields.indexWhere(_.name == upd.fieldNames()(0))
+        require(cIdx >= 0, s"GraftCatalog: no such column: ${upd.fieldNames()(0)}")
+        schema = StructType(schema.fields.updated(cIdx,
+          schema.fields(cIdx).withComment(upd.newComment())))
       case other => throw new UnsupportedOperationException(
         s"GraftCatalog.alterTable: unsupported change $other")
     }
@@ -1403,6 +1459,21 @@ object GraftCatalog {
     * Must be atomic, non-floating types — the read-side application
     * compares serialized key bytes. */
   val MergeKeyProp = "merge.key"
+
+  /** Safe (lossless, order-preserving) type promotions — the widenings
+    * parquet readers serve from narrower physical types at read time.
+    * Matches Iceberg's allowed schema-evolution promotions. */
+  private[storage] def widens(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (f, t) if f == t => false // not a change
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale == f.scale && t.precision > f.precision
+      case _ => false
+    }
 
   /** Key types whose UnsafeRow serialization is value-canonical (equal
     * values ⇒ equal bytes): what merge-on-read keys may be made of.

@@ -223,6 +223,120 @@ class CatalogSpec extends SparkSpec {
     assert(!spark.table("graftv2.bronze.evo").schema.fieldNames.contains("score"))
   }
 
+  test("schema evolution: SAFE type widening — old narrow files read " +
+    "under the widened schema; stats pruning and the bloom index built " +
+    "BEFORE the widening still answer probes after it") {
+    wh
+    // int ids + float score, two range-clustered files
+    Seq.tabulate(100)(i => (i, i / 2.0f))
+      .toDF("id", "score")
+      .repartitionByRange(2, col("id"))
+      .writeTo("graftv2.bronze.widen").using("parquet").createOrReplace()
+    cat.buildBloomIndex(spark, "bronze.widen", Seq("id"))
+    spark.sql("ALTER TABLE graftv2.bronze.widen ALTER COLUMN id TYPE BIGINT")
+    spark.sql("ALTER TABLE graftv2.bronze.widen ALTER COLUMN score TYPE DOUBLE")
+    val df = spark.table("graftv2.bronze.widen")
+    assert(df.schema("id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(df.schema("score").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    // old INT32/FLOAT files widen at read time
+    assert(df.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0)
+      == (0 until 100).sum.toLong)
+    assert(df.filter(col("id") === 7L).head.getDouble(1) == 3.5)
+    // new files write the widened types; a mixed read is seamless
+    Seq((1000000000000L, 1.5e300)).toDF("id", "score")
+      .writeTo("graftv2.bronze.widen").append()
+    assert(spark.table("graftv2.bronze.widen").count() == 101)
+    assert(spark.table("graftv2.bronze.widen")
+      .filter(col("id") === 1000000000000L).head.getDouble(1) == 1.5e300)
+    // the PRE-widening bloom index + file stats still prune and still
+    // hit: integrals canonicalize to INT64 before hashing, stats compare
+    // in the value domain — a point probe on a long literal plans one
+    // file and returns the row
+    // min/max/count over MIXED-width files (pushdown or metadata path
+    // must widen old INT32 footer values, not misparse them)
+    val mm = spark.table("graftv2.bronze.widen")
+      .agg(org.apache.spark.sql.functions.min("id"),
+        org.apache.spark.sql.functions.max("id"),
+        org.apache.spark.sql.functions.count("*")).head
+    assert((mm.getLong(0), mm.getLong(1), mm.getLong(2)) ==
+      (0L, 1000000000000L, 101L), s"got $mm")
+    val probe = spark.table("graftv2.bronze.widen").filter(col("id") === 7L)
+    assert(probe.count() == 1)
+    val planned = probe.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputRDD.getNumPartitions
+    }
+    assert(planned.exists(_ <= 1), s"expected <=1 planned split, got $planned")
+  }
+
+  test("schema evolution: unsafe type changes are rejected; widening a " +
+    "merge-key column with pending equality deletes is rejected") {
+    wh
+    Seq((1, "a")).toDF("id", "w")
+      .writeTo("graftv2.bronze.widen2").using("parquet")
+      .tableProperty(GraftCatalog.MergeModeProp, "merge-on-read")
+      .tableProperty(GraftCatalog.MergeKeyProp, "id")
+      .createOrReplace()
+    // narrowing dies in Spark's analyzer (canUpCast gate) before the
+    // catalog is consulted
+    val down = intercept[Exception](spark.sql(
+      "ALTER TABLE graftv2.bronze.widen2 ALTER COLUMN id TYPE SHORT"))
+    assert(down.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"),
+      down.getMessage)
+    // int -> string IS a Spark up-cast, but parquet files cannot serve it
+    // without a rewrite — the catalog's own widening gate rejects it
+    val toStr = intercept[Exception](spark.sql(
+      "ALTER TABLE graftv2.bronze.widen2 ALTER COLUMN id TYPE STRING"))
+    assert(toStr.getMessage.contains("unsafe type change"), toStr.getMessage)
+    // pending eqdels encode int key bytes: widening must demand compaction
+    Seq((1, "x")).toDF("id", "w").createOrReplaceTempView("widen2_del")
+    spark.sql("""MERGE INTO graftv2.bronze.widen2 t USING widen2_del s
+      ON t.id = s.id WHEN MATCHED THEN DELETE""")
+    spark.catalog.refreshTable("graftv2.bronze.widen2")
+    val pend = intercept[Exception](spark.sql(
+      "ALTER TABLE graftv2.bronze.widen2 ALTER COLUMN id TYPE BIGINT"))
+    assert(pend.getMessage.contains("rewrite_deletes"), pend.getMessage)
+    // after folding the deletes the widening is licensed, and the
+    // delete survives it
+    cat.compactDeletes(spark, "bronze.widen2")
+    spark.catalog.refreshTable("graftv2.bronze.widen2")
+    spark.sql("ALTER TABLE graftv2.bronze.widen2 ALTER COLUMN id TYPE BIGINT")
+    assert(spark.table("graftv2.bronze.widen2").count() == 0)
+    // keyed DML keeps working under the widened key type
+    Seq((5L, "e")).toDF("id", "w").writeTo("graftv2.bronze.widen2").append()
+    Seq((5L, "E")).toDF("id", "w").createOrReplaceTempView("widen2_upd")
+    spark.sql("""MERGE INTO graftv2.bronze.widen2 t USING widen2_upd s
+      ON t.id = s.id WHEN MATCHED THEN UPDATE SET w = s.w""")
+    spark.catalog.refreshTable("graftv2.bronze.widen2")
+    assert(spark.table("graftv2.bronze.widen2").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((5L, "E")))
+  }
+
+  test("schema evolution: nullability relaxes (never tightens) and " +
+    "column comments persist through the meta round-trip") {
+    wh
+    Seq((1, "a")).toDF("id", "w")
+      .writeTo("graftv2.bronze.nully").using("parquet").createOrReplace()
+    spark.sql("ALTER TABLE graftv2.bronze.nully ALTER COLUMN id DROP NOT NULL")
+    assert(spark.table("graftv2.bronze.nully").schema("id").nullable)
+    // Spark's analyzer itself refuses nullable -> NOT NULL for v2 tables
+    // that can't prove it; whichever layer fires, the change must fail
+    val tighten = intercept[Exception](spark.sql(
+      "ALTER TABLE graftv2.bronze.nully ALTER COLUMN w SET NOT NULL"))
+    assert(tighten.getMessage.contains("NOT NULL") ||
+      tighten.getMessage.contains("nullable"), tighten.getMessage)
+    spark.sql("ALTER TABLE graftv2.bronze.nully ALTER COLUMN w " +
+      "COMMENT 'the payload'")
+    assert(spark.table("graftv2.bronze.nully").schema("w")
+      .getComment().contains("the payload"))
+    // survives a fresh catalog load (meta file round-trip)
+    spark.catalog.refreshTable("graftv2.bronze.nully")
+    assert(spark.table("graftv2.bronze.nully").schema("w")
+      .getComment().contains("the payload"))
+  }
+
   test("null partition values round-trip via the default partition dir") {
     wh
     Seq((1L, "a", Option("2024-01-15")), (2L, "b", Option.empty[String]))

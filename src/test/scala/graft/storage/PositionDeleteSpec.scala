@@ -295,6 +295,51 @@ class PositionDeleteSpec extends SparkSpec {
       s"feed must survive compaction within the vacuum window, got $fedAfter")
   }
 
+  test("MIXED delete families: a key-less table ALTERed to keyed keeps " +
+    "its pending position deletes while new merges emit equality " +
+    "deletes — one read applies both; compaction folds both") {
+    wh
+    createPos("p11", Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    // position delta while key-less
+    spark.sql("DELETE FROM poscat.s.p11 WHERE id = 2 AND length(w) > 0")
+    spark.catalog.refreshTable("poscat.s.p11")
+    assert(posDels("p11").nonEmpty)
+    // declare a merge key: subsequent row-level DML is equality-based
+    spark.sql("ALTER TABLE poscat.s.p11 SET TBLPROPERTIES " +
+      s"('${GraftCatalog.MergeKeyProp}' = 'id')")
+    Seq((3L, "C3"), (5L, "E5")).toDF("id", "w")
+      .createOrReplaceTempView("p11_changes")
+    spark.sql("""MERGE INTO poscat.s.p11 t USING p11_changes s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET w = s.w
+      WHEN NOT MATCHED THEN INSERT (id, w) VALUES (s.id, s.w)""")
+    spark.catalog.refreshTable("poscat.s.p11")
+    val (fs, dir) = fsDir("p11")
+    val latest = GraftCatalog.latestSnapshot(fs, dir)
+    assert(GraftCatalog.readEqDels(fs, dir, latest).nonEmpty,
+      "the keyed merge must land an equality-delete sidecar")
+    assert(GraftCatalog.readPosDels(fs, dir, latest).nonEmpty,
+      "the older position sidecar must still be pending")
+    // one read applies BOTH families
+    assert(collectIdW("p11") == Seq((1L, "a"), (3L, "C3"), (4L, "d"),
+      (5L, "E5")))
+    val batch = spark.table("poscat.s.p11").queryExecution.executedPlan
+      .collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.get
+    assert(batch.scan.description().contains("PosDeleteApply") &&
+      batch.scan.description().contains("EqDeleteApply"),
+      s"both applies expected, got ${batch.scan.description()}")
+    // compaction folds both families in one pass
+    val (rew, _) = cat.compactDeletes(spark, "s.p11")
+    assert(rew > 0)
+    spark.catalog.refreshTable("poscat.s.p11")
+    assert(posDels("p11").isEmpty &&
+      GraftCatalog.readEqDels(fs, dir,
+        GraftCatalog.latestSnapshot(fs, dir)).isEmpty)
+    assert(collectIdW("p11") == Seq((1L, "a"), (3L, "C3"), (4L, "d"),
+      (5L, "E5")))
+  }
+
   test("narrow projection and pushed filter through the position apply: " +
     "pruning still reaches parquet, results correct") {
     wh
