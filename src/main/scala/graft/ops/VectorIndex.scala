@@ -343,17 +343,28 @@ object VectorIndex {
     * in the delta's NEW/replacement vectors, completing an update.
     * Requires a single-column integral row identity (the index's
     * `corpus_id` domain). Idempotent per `toSnapshot` via the writer-txn
-    * contract. Returns the number of keys tombstoned. */
+    * contract. Returns the number of keys tombstoned.
+    *
+    * KEY-LESS tables (position-delete merge-on-read) have no merge key to
+    * read off sidecars — pass `idCol`: the feed becomes
+    * [[graft.storage.GraftCatalog.deletedRows]] (the range's tombstoned
+    * rows, read from the sidecars + ONLY the named target files — still
+    * O(delta), never a table diff), projected to the index's id column. */
   def applyTableDeletes(
       spark: SparkSession,
       table: String,
       fromSnapshot: Long,
       toSnapshot: Long,
-      tablePrefix: String): Long = {
+      tablePrefix: String,
+      idCol: Option[String] = None): Long = {
     val (cat, ident) = catalogAndIdent(spark, table)
-    val keys = cat.deletedKeys(spark,
-      (ident.namespace :+ ident.name).mkString("."),
-      fromSnapshot, toSnapshot)
+    val name = (ident.namespace :+ ident.name).mkString(".")
+    val keys = idCol match {
+      case Some(c) =>
+        cat.deletedRows(spark, name, fromSnapshot, toSnapshot)
+          .select(c).distinct()
+      case None => cat.deletedKeys(spark, name, fromSnapshot, toSnapshot)
+    }
     require(keys.schema.length == 1,
       s"index sync needs a single-column row identity, " +
         s"got ${keys.columns.mkString(",")}")

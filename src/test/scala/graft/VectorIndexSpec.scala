@@ -257,6 +257,49 @@ class VectorIndexSpec extends SparkSpec {
       spark, "vidx.s.cmor", 2L, 2L, "vidx.s.cmors") == 0)
   }
 
+  test("KEY-LESS (position-delete) base table syncs too: " +
+    "applyTableDeletes with idCol feeds off deletedRows, searches stop " +
+    "returning deleted rows, re-apply is idempotent") {
+    wh
+    e.select(col("vec_id"), col("embedding")).repartition(2)
+      .writeTo("vidx.s.cpos").using("parquet")
+      .tableProperty(GraftCatalog.MergeModeProp, "merge-on-read")
+      .createOrReplace() // no merge.key → position deletes
+    VectorIndex.build(spark, spark.table("vidx.s.cpos"),
+      "vec_id", "embedding", "vidx.s.cposs", numCentroids = 8)
+    val q = e.filter(col("vec_id") < 5)
+    val before = VectorIndex.search(spark, q, "vec_id", "embedding",
+      "vidx.s.cposs", k = 3, nprobe = 8)
+    val victimIds = before.select(col("corpus_id")).distinct().limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(victimIds.nonEmpty)
+    import spark.implicits._
+    victimIds.toDF("vid").createOrReplaceTempView("cpos_del")
+    spark.sql("""MERGE INTO vidx.s.cpos t USING cpos_del s
+      ON t.vec_id = s.vid WHEN MATCHED THEN DELETE""")
+    spark.catalog.refreshTable("vidx.s.cpos")
+    assert(spark.table("vidx.s.cpos")
+      .filter(col("vec_id").isin(victimIds: _*)).isEmpty)
+    // no merge key: the keyed feed fails loudly, the row feed syncs
+    val noKey = intercept[Exception](VectorIndex.applyTableDeletes(
+      spark, "vidx.s.cpos", 1L, 2L, "vidx.s.cposs"))
+    assert(noKey.getMessage.contains("merge.key"), noKey.getMessage)
+    val n = VectorIndex.applyTableDeletes(
+      spark, "vidx.s.cpos", 1L, 2L, "vidx.s.cposs", idCol = Some("vec_id"))
+    assert(n == victimIds.size,
+      s"expected ${victimIds.size} deleted ids off deletedRows, got $n")
+    val after = VectorIndex.search(spark, q, "vec_id", "embedding",
+      "vidx.s.cposs", k = 3, nprobe = 8)
+    assert(after.filter(col("corpus_id").isin(victimIds: _*)).isEmpty,
+      "synced search must not return base-table-deleted rows")
+    // idempotence via the writer-txn contract
+    val tombs = spark.table("vidx.s.cposs_tombstones").count()
+    assert(VectorIndex.applyTableDeletes(spark, "vidx.s.cpos", 1L, 2L,
+      "vidx.s.cposs", idCol = Some("vec_id")) == victimIds.size)
+    assert(spark.table("vidx.s.cposs_tombstones").count() == tombs,
+      "duplicate sync must not re-append tombstones")
+  }
+
   test("appendPqCodes: the code layer folds a batch in against the frozen " +
     "sub-codebook — appended search equals the inline composition") {
     wh

@@ -295,6 +295,54 @@ class PositionDeleteSpec extends SparkSpec {
       s"feed must survive compaction within the vacuum window, got $fedAfter")
   }
 
+  test("incremental read across a position-delta commit: added files " +
+    "only, in-range deletes suppress in-range rows, out-of-range targets " +
+    "are left to the consumer's earlier batches") {
+    wh
+    createPos("p12", Seq((1L, "a"), (2L, "b")))                 // snap 1: file A
+    Seq((10L, "x"), (11L, "y")).toDF("id", "w").repartition(1)
+      .writeTo("poscat.s.p12").append()                         // snap 2: file B
+    // snap 3: one position delta — deletes rows in A (pre-range) AND B
+    // (in-range), inserts a new row (file C)
+    Seq((1L, "", "d"), (10L, "", "d"), (20L, "z", "u"))
+      .toDF("id", "w", "op").createOrReplaceTempView("p12_changes")
+    spark.sql("""MERGE INTO poscat.s.p12 t USING p12_changes s ON t.id = s.id
+      WHEN MATCHED AND s.op = 'd' THEN DELETE
+      WHEN NOT MATCHED AND s.op != 'd'
+        THEN INSERT (id, w) VALUES (s.id, s.w)""")
+    spark.catalog.refreshTable("poscat.s.p12")
+    // live state: 2, 11, 20
+    assert(collectIdW("p12").map(_._1) == Seq(2L, 11L, 20L))
+    // incr:1..3 = files added after snap 1 (B + C); B's in-range delete
+    // applies (10 gone), A's delete does NOT retract rows this range
+    // never served (added-rows semantics — retractions are the CDC feed)
+    val incr = spark.sql(
+      "SELECT id FROM poscat.s.p12 VERSION AS OF 'incr:1..3'")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(incr == Seq(11L, 20L), s"got $incr")
+    // the retraction consumers need IS the position CDC feed
+    assert(cat.deletedRows(spark, "s.p12", 1L, 3L)
+      .collect().map(_.getLong(0)).toSeq.sorted == Seq(1L, 10L))
+  }
+
+  test("snapshot diff across a position-delta commit emits ROW-LEVEL " +
+    "changes: the delete and both halves of the update") {
+    wh
+    createPos("p13", Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    Seq((2L, "B", "u"), (3L, "", "d"))
+      .toDF("id", "w", "op").createOrReplaceTempView("p13_changes")
+    spark.sql("""MERGE INTO poscat.s.p13 t USING p13_changes s ON t.id = s.id
+      WHEN MATCHED AND s.op = 'd' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET w = s.w""")
+    spark.catalog.refreshTable("poscat.s.p13")
+    val d = Snapshots.diff(spark, "poscat.s.p13", 1L, 2L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(d == Set(
+      (2L, "b", "delete"), (2L, "B", "insert"), // update = delete + insert
+      (3L, "c", "delete")), s"got $d")
+  }
+
   test("MIXED delete families: a key-less table ALTERed to keyed keeps " +
     "its pending position deletes while new merges emit equality " +
     "deletes — one read applies both; compaction folds both") {
