@@ -533,7 +533,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
     val pm = GraftCatalog.posDelMap(fs, dir, dels, dels.map(_._2).toSet)
-    import org.apache.spark.sql.functions.{broadcast, col, expr}
+    import org.apache.spark.sql.functions.{broadcast, col, instr, lit}
     import spark.implicits._
     val prefix = dir.toString.stripSuffix("/") + "/"
     val dirPath = dir.toUri.getPath.stripSuffix("/") + "/"
@@ -545,9 +545,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val df =
       if (meta.partitionCols.isEmpty) reader.parquet(paths: _*)
       else reader.option("basePath", dir.toString).parquet(paths: _*)
-    df.withColumn("__pfile", expr(
-        s"substring(_metadata.file_path, " +
-          s"instr(_metadata.file_path, '$dirPath') + ${dirPath.length})"))
+    df.withColumn("__pfile", col("_metadata.file_path").substr(
+        instr(col("_metadata.file_path"), dirPath) + lit(dirPath.length),
+        lit(Int.MaxValue)))
       .withColumn("__ppos", col("_metadata.row_index"))
       .join(broadcast(delDf), Seq("__pfile", "__ppos"), "left_semi")
       .drop("__pfile", "__ppos")
@@ -2043,14 +2043,14 @@ object GraftCatalog {
         : org.apache.spark.sql.DataFrame =
       if (posDels.isEmpty) df
       else {
-        import org.apache.spark.sql.functions.expr
+        import org.apache.spark.sql.functions.{instr, lit}
         import spark.implicits._
         val delDf = posDels.toSeq
           .flatMap { case (t, ps) => ps.map(p => (t, p)) }
           .toDF("__pfile", "__ppos")
-        df.withColumn("__pfile", expr(
-            s"substring(_metadata.file_path, " +
-              s"instr(_metadata.file_path, '$dirPath') + ${dirPath.length})"))
+        df.withColumn("__pfile", col("_metadata.file_path").substr(
+            instr(col("_metadata.file_path"), dirPath) + lit(dirPath.length),
+            lit(Int.MaxValue)))
           .withColumn("__ppos", col("_metadata.row_index"))
           .join(broadcast(delDf), Seq("__pfile", "__ppos"), "left_anti")
           .drop("__pfile", "__ppos")

@@ -468,9 +468,13 @@ private[storage] final class GraftDeltaOperation(
               : org.apache.spark.sql.connector.distributions.Distribution = {
             // derived partition levels (__bucket_*) are not query columns —
             // cluster only on real schema columns; the writer re-derives
-            // bucket routing from the data either way
-            val parts = meta.partitionCols
-              .filter(meta.schema.fieldNames.contains)
+            // bucket routing from the data either way. A pure DELETE plan
+            // carries ONLY (__row_operation, rowId…) — naming partition
+            // DATA columns there fails analysis, and a delete-only delta
+            // writes no data files anyway, so cluster by the rowId alone
+            val parts =
+              if (cmd == RowLevelOperation.Command.DELETE) Seq.empty
+              else meta.partitionCols.filter(meta.schema.fieldNames.contains)
             org.apache.spark.sql.connector.distributions.Distributions.clustered(
               (parts ++ keyCols.filterNot(parts.contains))
                 .map(c => org.apache.spark.sql.connector.expressions.Expressions
@@ -705,11 +709,15 @@ private[storage] final class GraftPosDeltaOperation(
           // cluster replacement/inserted rows by the table's partition
           // columns (same motivation as the keyed path: one file per
           // partition value per commit, not one per task); an
-          // unpartitioned table coalesces via the AQE rebalance too
+          // unpartitioned table coalesces via the AQE rebalance too.
+          // A pure DELETE plan carries only (__row_operation, _file,
+          // _pos) — partition DATA columns are unresolvable there, and a
+          // delete-only delta writes no data files: leave it unspecified
           override def requiredDistribution
               : org.apache.spark.sql.connector.distributions.Distribution = {
-            val parts = meta.partitionCols
-              .filter(meta.schema.fieldNames.contains)
+            val parts =
+              if (cmd == RowLevelOperation.Command.DELETE) Seq.empty
+              else meta.partitionCols.filter(meta.schema.fieldNames.contains)
             if (parts.isEmpty)
               org.apache.spark.sql.connector.distributions.Distributions
                 .unspecified()

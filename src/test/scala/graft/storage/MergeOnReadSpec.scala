@@ -574,6 +574,28 @@ class MergeOnReadSpec extends SparkSpec {
       s"scan must not resurrect the concurrently deleted row, got ${ids.toSeq}")
   }
 
+  test("row-level DELETE on a PARTITIONED merge-on-read table: the " +
+    "delete-only delta plan (no data columns) still commits a sidecar") {
+    wh
+    Seq((1L, "p1", "a"), (2L, "p1", "bb"), (3L, "p2", "cc"))
+      .toDF("id", "p", "w").repartition(1)
+      .writeTo("morcat.s.mpd").using("parquet")
+      .partitionedBy(col("p"))
+      .tableProperty(GraftCatalog.MergeModeProp, "merge-on-read")
+      .tableProperty(GraftCatalog.MergeKeyProp, "id")
+      .createOrReplace()
+    val before = manifestFiles("mpd").toSet
+    // length() keeps the predicate row-level: the plan carries ONLY
+    // (__row_operation, id) — no partition data column to cluster on
+    spark.sql("DELETE FROM morcat.s.mpd WHERE length(w) > 1")
+    spark.catalog.refreshTable("morcat.s.mpd")
+    assert(spark.table("morcat.s.mpd").select("id").as[Long]
+      .collect().toSeq == Seq(1L))
+    assert(manifestFiles("mpd").toSet == before,
+      "a delete-only delta must write no data files and drop none")
+    assert(eqDels("mpd").size == 1)
+  }
+
   test("scheme-qualified warehouse: pending deletes still apply on a " +
     "partitioned table (path-form mismatch must not skip the delete)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-morwh2").toString

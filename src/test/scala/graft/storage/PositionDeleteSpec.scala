@@ -388,6 +388,41 @@ class PositionDeleteSpec extends SparkSpec {
       (5L, "E5")))
   }
 
+  test("scheme-qualified warehouse: position deletes still apply on a " +
+    "partitioned table, and compaction + the CDC feed resolve the same " +
+    "relative paths") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-poswh2").toString
+    spark.conf.set("spark.sql.catalog.poscat2", classOf[GraftCatalog].getName)
+    // file:-qualified warehouse — partition file paths come back
+    // scheme-stripped, so every path-keyed structure (sidecar targets,
+    // the reader's rel-path resolution, the CDC feed's substring) must
+    // normalize the same way
+    spark.conf.set("spark.sql.catalog.poscat2.warehouse", s"file:$dir")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS poscat2.s")
+    Seq((1L, "p1", "a"), (2L, "p1", "b"), (3L, "p2", "c"))
+      .toDF("id", "p", "w").repartition(1)
+      .writeTo("poscat2.s.psq").using("parquet")
+      .partitionedBy(col("p"))
+      .tableProperty(GraftCatalog.MergeModeProp, "merge-on-read")
+      .createOrReplace() // key-less
+    spark.sql("DELETE FROM poscat2.s.psq WHERE id = 2 AND length(w) > 0")
+    spark.catalog.refreshTable("poscat2.s.psq")
+    val out = spark.table("poscat2.s.psq").orderBy("id")
+      .select("id").as[Long].collect().toSeq
+    assert(out == Seq(1L, 3L),
+      s"position delete must apply under a scheme-qualified warehouse, got $out")
+    val cat2 = spark.sessionState.catalogManager.catalog("poscat2")
+      .asInstanceOf[GraftCatalog]
+    val fed = cat2.deletedRows(spark, "s.psq", 1L, 2L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(fed == Seq(2L), s"CDC feed under scheme-qualified paths: $fed")
+    val (rew, _) = cat2.compactDeletes(spark, "s.psq")
+    assert(rew == 1, s"targeted compaction must rewrite 1 file, got $rew")
+    spark.catalog.refreshTable("poscat2.s.psq")
+    assert(spark.table("poscat2.s.psq").orderBy("id")
+      .select("id").as[Long].collect().toSeq == Seq(1L, 3L))
+  }
+
   test("narrow projection and pushed filter through the position apply: " +
     "pruning still reaches parquet, results correct") {
     wh
