@@ -359,12 +359,15 @@ object VectorIndex {
       idCol: Option[String] = None): Long = {
     val (cat, ident) = catalogAndIdent(spark, table)
     val name = (ident.namespace :+ ident.name).mkString(".")
-    val keys = idCol match {
+    // delta-sized by contract, but the plan behind it is not free (the
+    // row feed scans the targeted files): checkpoint once so count() and
+    // the tombstone write don't evaluate it twice
+    val keys = (idCol match {
       case Some(c) =>
         cat.deletedRows(spark, name, fromSnapshot, toSnapshot)
           .select(c).distinct()
       case None => cat.deletedKeys(spark, name, fromSnapshot, toSnapshot)
-    }
+    }).localCheckpoint(true)
     require(keys.schema.length == 1,
       s"index sync needs a single-column row identity, " +
         s"got ${keys.columns.mkString(",")}")

@@ -213,9 +213,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
                   .map(b => (GraftCatalog.readEqDels(fs, dir, b),
                     GraftCatalog.readAddMap(fs, dir, b)))
                   .getOrElse((Seq.empty, Map.empty[String, Long]))
+                // BRANCH-written files are absent from the fork base's add
+                // map (branch manifests carry no add sequences) but
+                // post-date every fork-base delete by construction — stamp
+                // them newest-possible so the read's fail-loudly add-seq
+                // resolution (a genuine-miss guard) doesn't reject the
+                // branch's own appends
+                val branchAdd = baseDels._2 ++
+                  files.filterNot(baseDels._2.contains)
+                    .map(_ -> Long.MaxValue)
                 new GraftTable(s"$ident@$version", dir.toString, meta, Some(files),
                   writable = false, fileStats = baseStats, fileBlooms = blooms,
-                  eqDeletes = baseDels._1, addSeq = baseDels._2,
+                  eqDeletes = baseDels._1, addSeq = branchAdd,
                   posDeletes = branchBase
                     .map(b => GraftCatalog.readPosDels(fs, dir, b))
                     .getOrElse(Seq.empty))
@@ -533,24 +542,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
     val pm = GraftCatalog.posDelMap(fs, dir, dels, dels.map(_._2).toSet)
-    import org.apache.spark.sql.functions.{broadcast, col, instr, lit}
-    import spark.implicits._
     val prefix = dir.toString.stripSuffix("/") + "/"
-    val dirPath = dir.toUri.getPath.stripSuffix("/") + "/"
-    val delDf = pm.toSeq
-      .flatMap { case (t, ps) => ps.map(p => (t, p)) }
-      .toDF("__pfile", "__ppos")
     val paths = pm.keys.toSeq.sorted.map(f => s"$prefix$f")
     val reader = spark.read.schema(meta.schema)
     val df =
       if (meta.partitionCols.isEmpty) reader.parquet(paths: _*)
       else reader.option("basePath", dir.toString).parquet(paths: _*)
-    df.withColumn("__pfile", col("_metadata.file_path").substr(
-        instr(col("_metadata.file_path"), dirPath) + lit(dirPath.length),
-        lit(Int.MaxValue)))
-      .withColumn("__ppos", col("_metadata.row_index"))
-      .join(broadcast(delDf), Seq("__pfile", "__ppos"), "left_semi")
-      .drop("__pfile", "__ppos")
+    GraftCatalog.posIdentityJoin(spark, dir, df, pm, "left_semi")
   }
 
   /** Re-index a table's NEW files into an EXISTING bloom index: a
@@ -1237,6 +1235,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     specs.collect { case Left(c) => c }.foreach(c =>
       require(schema.fieldNames.contains(c),
         s"partition column $c missing from schema"))
+    GraftCatalog.requireNoReservedNames(schema.fieldNames)
     val meta = GraftTableMeta(schema, partCols.toSeq,
       properties.asScala.toMap - TableCatalog.PROP_LOCATION, bucket)
     fs.mkdirs(dir)
@@ -1261,6 +1260,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           "GraftCatalog: nested column additions not supported")
         require(add.isNullable,
           "GraftCatalog: added columns must be nullable (old files have no values)")
+        GraftCatalog.requireNoReservedNames(Seq(add.fieldNames()(0)))
         schema = schema.add(add.fieldNames()(0), add.dataType(), nullable = true)
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames().length == 1,
@@ -1459,6 +1459,22 @@ object GraftCatalog {
     * Must be atomic, non-floating types — the read-side application
     * compares serialized key bytes. */
   val MergeKeyProp = "merge.key"
+
+  /** `_file`/`_pos` are RESERVED: every catalog read synthesizes them as
+    * metadata columns and the scan wrapper resolves them BY NAME — a data
+    * column spelled the same would be silently shadowed by the synthesized
+    * value (Spark's metadata-column contract says the data column should
+    * win, which the by-name wrapper cannot honor). Rejected at create/add
+    * time so the ambiguity is unrepresentable. */
+  private[storage] def requireNoReservedNames(names: Seq[String]): Unit = {
+    val reserved = Set(
+      org.apache.spark.sql.graftshim.FileMetaCols.File,
+      org.apache.spark.sql.graftshim.FileMetaCols.Pos)
+    val hit = names.filter(reserved.contains)
+    require(hit.isEmpty,
+      s"GraftCatalog: column name(s) ${hit.mkString(", ")} are reserved " +
+        "for the synthesized metadata columns (_file, _pos)")
+  }
 
   /** Safe (lossless, order-preserving) type promotions — the widenings
     * parquet readers serve from narrower physical types at read time.
@@ -1964,9 +1980,14 @@ object GraftCatalog {
           case DateType => unix_date(col(c)).cast(LongType)
           case _ => col(c).cast(LongType)
         }
-        cond = cond && (col(s"__min_$i").isNull ||
+        // a NULL delete key cannot be stats- or bloom-tested (stats
+        // describe values, not nulls; a null comparison would null-kill
+        // the whole conjunction and silently DROP the file from the
+        // candidate set — deleted rows resurrected by the compaction) —
+        // conservative: a null key keeps every sequence-eligible file
+        cond = cond && (probe.isNull || col(s"__min_$i").isNull ||
           (probe >= col(s"__min_$i") && probe <= col(s"__max_$i")))
-        cond = cond && (col(s"__bloom_$i").isNull ||
+        cond = cond && (probe.isNull || col(s"__bloom_$i").isNull ||
           graft.functions.BloomFunctions.bloom_might_contain_dyn(
             col(s"__bloom_$i"), xxhash64(probe),
             col(s"__bnb_$i"), col(s"__bnh_$i")))
@@ -2025,6 +2046,32 @@ object GraftCatalog {
     * deletes (broadcast — the delete set is delta-sized). Used by every
     * copy-on-write code path that reads raw file bytes on a table with
     * merge-on-read deletes pending. */
+  /** Join `df` against a pending position-delete set on the row's
+    * PHYSICAL identity: `_metadata.file_path` normalized to the
+    * table-relative spelling the sidecars record, and parquet's generated
+    * `_metadata.row_index`. The delete side is delta-sized → broadcast.
+    * `left_anti` drops deleted rows (the read path); `left_semi` keeps
+    * exactly them (the CDC feed). One definition so a path-normalization
+    * fix can never reach one caller and miss the other. */
+  private[storage] def posIdentityJoin(
+      spark: SparkSession, dir: Path,
+      df: org.apache.spark.sql.DataFrame,
+      posDels: Map[String, Array[Long]],
+      joinType: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, instr, lit}
+    import spark.implicits._
+    val dirPath = dir.toUri.getPath.stripSuffix("/") + "/"
+    val delDf = posDels.toSeq
+      .flatMap { case (t, ps) => ps.map(p => (t, p)) }
+      .toDF("__pfile", "__ppos")
+    df.withColumn("__pfile", col("_metadata.file_path").substr(
+        instr(col("_metadata.file_path"), dirPath) + lit(dirPath.length),
+        lit(Int.MaxValue)))
+      .withColumn("__ppos", col("_metadata.row_index"))
+      .join(broadcast(delDf), Seq("__pfile", "__ppos"), joinType)
+      .drop("__pfile", "__ppos")
+  }
+
   private[storage] def readFilesWithDeletes(
       spark: SparkSession, dir: Path, meta: GraftTableMeta,
       files: Seq[String], eqDels: Seq[(String, Long)],
@@ -2033,28 +2080,13 @@ object GraftCatalog {
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val prefix = dir.toString.stripSuffix("/") + "/"
-    val dirPath = dir.toUri.getPath.stripSuffix("/") + "/"
     val reader = spark.read.schema(meta.schema)
     // pending POSITION deletes (key-less merge-on-read): anti-join on the
-    // row's physical identity — `_metadata.file_path` (normalized to the
-    // table-relative spelling the sidecars record) and parquet's generated
-    // `_metadata.row_index`. The delete side is delta-sized → broadcast.
+    // row's physical identity ([[posIdentityJoin]])
     def applyPos(df: org.apache.spark.sql.DataFrame)
         : org.apache.spark.sql.DataFrame =
       if (posDels.isEmpty) df
-      else {
-        import org.apache.spark.sql.functions.{instr, lit}
-        import spark.implicits._
-        val delDf = posDels.toSeq
-          .flatMap { case (t, ps) => ps.map(p => (t, p)) }
-          .toDF("__pfile", "__ppos")
-        df.withColumn("__pfile", col("_metadata.file_path").substr(
-            instr(col("_metadata.file_path"), dirPath) + lit(dirPath.length),
-            lit(Int.MaxValue)))
-          .withColumn("__ppos", col("_metadata.row_index"))
-          .join(broadcast(delDf), Seq("__pfile", "__ppos"), "left_anti")
-          .drop("__pfile", "__ppos")
-      }
+      else posIdentityJoin(spark, dir, df, posDels, "left_anti")
     def read(fsq: Seq[String]): org.apache.spark.sql.DataFrame = {
       val paths = fsq.sorted.map(f => s"$prefix$f")
       applyPos(

@@ -708,24 +708,32 @@ private[storage] final class GraftPosDeltaOperation(
               meta, info.queryId())
           // cluster replacement/inserted rows by the table's partition
           // columns (same motivation as the keyed path: one file per
-          // partition value per commit, not one per task); an
-          // unpartitioned table coalesces via the AQE rebalance too.
-          // A pure DELETE plan carries only (__row_operation, _file,
-          // _pos) — partition DATA columns are unresolvable there, and a
-          // delete-only delta writes no data files: leave it unspecified
+          // partition value per commit, not one per task). A pure DELETE
+          // plan carries only (__row_operation, _file, _pos) — partition
+          // DATA columns are unresolvable there, and a delete-only delta
+          // writes no data files: leave it unspecified. An UNPARTITIONED
+          // MERGE/UPDATE clusters by the `_file` rowId instead (present
+          // in every delta plan; null for inserted rows, so they share a
+          // shuffle partition): without SOME clustering no AQE rebalance
+          // is planned and every output task writes its own small file —
+          // the sink-fragmentation problem the keyed path solves by
+          // clustering on the merge key
           override def requiredDistribution
               : org.apache.spark.sql.connector.distributions.Distribution = {
-            val parts =
-              if (cmd == RowLevelOperation.Command.DELETE) Seq.empty
-              else meta.partitionCols.filter(meta.schema.fieldNames.contains)
-            if (parts.isEmpty)
+            if (cmd == RowLevelOperation.Command.DELETE)
               org.apache.spark.sql.connector.distributions.Distributions
                 .unspecified()
-            else
+            else {
+              val parts = meta.partitionCols
+                .filter(meta.schema.fieldNames.contains)
+              val keys =
+                if (parts.nonEmpty) parts
+                else Seq(org.apache.spark.sql.graftshim.FileMetaCols.File)
               org.apache.spark.sql.connector.distributions.Distributions
-                .clustered(parts.map(c =>
+                .clustered(keys.map(c =>
                   org.apache.spark.sql.connector.expressions.Expressions
                     .identity(c)).toArray)
+            }
           }
           override def requiredOrdering
               : Array[org.apache.spark.sql.connector.expressions.SortOrder] =

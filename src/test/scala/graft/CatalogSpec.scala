@@ -314,6 +314,22 @@ class CatalogSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((5L, "E")))
   }
 
+  test("_file and _pos are RESERVED column names: rejected at create and " +
+    "ADD COLUMN (a data column would be shadowed by the synthesized " +
+    "metadata column)") {
+    wh
+    val atCreate = intercept[Exception] {
+      Seq((1L, "x")).toDF("id", "_file")
+        .writeTo("graftv2.bronze.resv").using("parquet").createOrReplace()
+    }
+    assert(atCreate.getMessage.contains("reserved"), atCreate.getMessage)
+    Seq((1L, "x")).toDF("id", "w")
+      .writeTo("graftv2.bronze.resv2").using("parquet").createOrReplace()
+    val atAdd = intercept[Exception](spark.sql(
+      "ALTER TABLE graftv2.bronze.resv2 ADD COLUMN _pos BIGINT"))
+    assert(atAdd.getMessage.contains("reserved"), atAdd.getMessage)
+  }
+
   test("schema evolution: nullability relaxes (never tightens) and " +
     "column comments persist through the meta round-trip") {
     wh

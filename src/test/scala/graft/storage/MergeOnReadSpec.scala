@@ -596,6 +596,71 @@ class MergeOnReadSpec extends SparkSpec {
     assert(eqDels("mpd").size == 1)
   }
 
+  test("NULL merge key in a legacy file: row-level DML fails LOUDLY " +
+    "before any commit — no sidecar, no partial state") {
+    wh
+    // a null-key row can exist on an ALTER-to-MoR table (pre-existing
+    // files were never checked against the key contract); the table
+    // reports key columns non-nullable (Iceberg identifier fields), so
+    // a row-level plan touching the null row must fail, not commit a
+    // null-key sidecar (which the candidate test could never stats/
+    // bloom-test — the read probe handles nulls defensively either way)
+    Seq((Option("a"), 1L), (Option.empty[String], 2L), (Option("c"), 3L))
+      .toDF("k", "n").repartition(1)
+      .writeTo("morcat.s.mnull").using("parquet").createOrReplace()
+    spark.sql(s"""ALTER TABLE morcat.s.mnull SET TBLPROPERTIES (
+      '${GraftCatalog.MergeModeProp}' = 'merge-on-read',
+      '${GraftCatalog.MergeKeyProp}' = 'k')""")
+    Seq(Option.empty[String]).toDF("k").createOrReplaceTempView("mnull_del")
+    intercept[Exception] {
+      spark.sql("""MERGE INTO morcat.s.mnull t USING mnull_del s
+        ON t.k <=> s.k WHEN MATCHED THEN DELETE""")
+    }
+    spark.catalog.refreshTable("morcat.s.mnull")
+    assert(spark.table("morcat.s.mnull").count() == 3L,
+      "a failed merge must leave the table untouched")
+    assert(eqDels("mnull").isEmpty,
+      "a failed merge must not leave a delete sidecar")
+    // the same poison hits any plan that re-SERIALIZES the declared-
+    // non-nullable key (DML joins, sorts, full-row collects) — and the
+    // declared nullability even folds `k IS NULL` to FALSE through the
+    // catalog, so the offending row is INVISIBLE to a catalog-side
+    // isNull probe (pinned: this is the trap, stated):
+    assert(spark.table("morcat.s.mnull").filter(col("k").isNull).isEmpty)
+    assert(spark.table("morcat.s.mnull").select("n").as[Long]
+      .collect().toSet == Set(1L, 2L, 3L))
+    // the repair path reads the files RAW (no catalog nullability):
+    // locate the row, rewrite the table with repaired keys
+    val raw = spark.read.parquet(s"$wh/s/mnull")
+    assert(raw.filter(col("k").isNull).select("n").as[Long]
+      .collect().toSeq == Seq(2L),
+      "the offending row must be locatable via a raw file read")
+  }
+
+  test("branch reads on a table with pending deletes serve branch-written " +
+    "files: fork-base deletes apply, the branch's own appends are newest") {
+    wh
+    createMor("mbr", Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    Seq(2L).toDF("id").createOrReplaceTempView("mbr_del")
+    spark.sql("""MERGE INTO morcat.s.mbr t USING mbr_del s
+      ON t.id = s.id WHEN MATCHED THEN DELETE""")
+    spark.catalog.refreshTable("morcat.s.mbr")
+    assert(eqDels("mbr").size == 1)
+    cat.createBranch(id("mbr"), "dev")
+    // the branch append includes a RE-INSERT of the deleted key — it
+    // post-dates the fork-base delete, so it must survive the branch read
+    Seq((2L, "b2"), (9L, "i")).toDF("id", "w")
+      .writeTo("morcat.s.mbr")
+      .option(GraftCatalog.BranchOption, "dev").append()
+    val out = spark.sql("SELECT * FROM morcat.s.mbr VERSION AS OF 'dev'")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "a"), (2L, "b2"), (3L, "c"), (9L, "i")),
+      s"branch read with pending deletes: $out")
+    // main unchanged: the delete still pends, the branch rows invisible
+    assert(spark.table("morcat.s.mbr").orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
+
   test("scheme-qualified warehouse: pending deletes still apply on a " +
     "partitioned table (path-form mismatch must not skip the delete)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-morwh2").toString

@@ -388,6 +388,24 @@ class PositionDeleteSpec extends SparkSpec {
       (5L, "E5")))
   }
 
+  test("UNPARTITIONED key-less MERGE coalesces its delta: a many-task " +
+    "source lands ~one replacement file, not one per task") {
+    wh
+    createPos("p14", Seq.tabulate(40)(i => (i.toLong, s"w$i")))
+    val before = manifestFiles("p14").size
+    Seq.tabulate(10)(i => (i.toLong * 4, s"U$i")).toDF("id", "w")
+      .repartition(8) // 8 upstream tasks — must NOT mean 8 output files
+      .createOrReplaceTempView("p14_changes")
+    spark.sql("""MERGE INTO poscat.s.p14 t USING p14_changes s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET w = s.w""")
+    spark.catalog.refreshTable("poscat.s.p14")
+    val added = manifestFiles("p14").size - before
+    assert(added >= 1 && added <= 2,
+      s"the clustered distribution must coalesce the delta write, got $added files")
+    assert(spark.table("poscat.s.p14").filter(col("id") === 4L)
+      .head.getString(1) == "U1")
+  }
+
   test("scheme-qualified warehouse: position deletes still apply on a " +
     "partitioned table, and compaction + the CDC feed resolve the same " +
     "relative paths") {
