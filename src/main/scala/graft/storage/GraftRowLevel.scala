@@ -138,12 +138,7 @@ private[storage] final class CowScanBuilder(
     * read (the rowId of position-delta operations). Synthesized by the
     * wrapper scan, never handed to the parquet delegate. */
   private def metaRequested: Seq[String] =
-    requiredSchema.map(_.fieldNames.toSeq
-      .filter(n => n == FileMetaCols.File || n == FileMetaCols.Pos))
-      .getOrElse(Seq.empty)
-
-  private def needRowIdx: Boolean =
-    metaRequested.contains(FileMetaCols.Pos) || posAtScan.nonEmpty
+    org.apache.spark.sql.graftshim.DeleteWrap.metaRequested(requiredSchema)
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     this.requiredSchema = Some(requiredSchema)
@@ -190,20 +185,12 @@ private[storage] final class CowScanBuilder(
     // back by the rewrite) — force the key columns into the read and
     // wrap with the same row-side apply every table read gets. `_file`/
     // `_pos` (the position-delta rowId) and pending position deletes ride
-    // the same wrapper: meta columns are synthesized per sub-file, never
-    // asked of parquet (except the row index, generated by the reader).
+    // the same wrapper ([[org.apache.spark.sql.graftshim.DeleteWrap]] —
+    // ONE definition shared with the table read path, so the rewrite
+    // scan and the table scan can never disagree about which rows exist).
     val requested = requiredSchema.getOrElse(meta.schema)
-    val dataFields = requested.fields.filterNot(f =>
-      f.name == FileMetaCols.File || f.name == FileMetaCols.Pos)
-    val withKeys = eqDelAtScan match {
-      case Some(spec) =>
-        dataFields ++ spec.keyCols
-          .filterNot(n => dataFields.exists(_.name == n))
-          .map(k => meta.schema(meta.schema.fieldIndex(k)))
-      case None => dataFields
-    }
-    val parquetSchema = StructType(
-      if (needRowIdx) withKeys :+ FileMetaCols.rowIndexField else withKeys)
+    val parquetSchema = org.apache.spark.sql.graftshim.DeleteWrap
+      .parquetSchema(requested, meta.schema, eqDelAtScan, posAtScan)
     def rebuild(files: Seq[String]): Scan = {
       val servedPaths =
         if (files.nonEmpty) files.map(f => s"$prefix$f")
@@ -222,27 +209,9 @@ private[storage] final class CowScanBuilder(
       val scan = underlying.build()
       if (eqDelAtScan.isEmpty && posAtScan.isEmpty && metaRequested.isEmpty)
         scan
-      else {
-        val full = scan.readSchema()
-        val rowIdxOrd =
-          if (needRowIdx) full.fieldIndex(FileMetaCols.rowIndexName) else -1
-        val outFields = requested.fields
-        val outOrds = outFields.toSeq.map { f =>
-          if (f.name == FileMetaCols.File) FileMetaCols.FileOrdinal
-          else if (f.name == FileMetaCols.Pos) rowIdxOrd
-          else full.fieldIndex(f.name)
-        }
-        val keyCols = eqDelAtScan.map(_.keyCols).getOrElse(Seq.empty)
-        org.apache.spark.sql.graftshim.EqDeleteScan(scan,
-          StructType(outFields),
-          outOrds,
-          keyCols.map(full.fieldIndex),
-          keyCols.map(k => full(full.fieldIndex(k)).dataType),
-          eqDelAtScan.getOrElse(org.apache.spark.sql.graftshim.EqDeleteSpec(
-            Seq.empty, Seq.empty, Map.empty, dir)),
-          posAtScan,
-          rowIdxOrd)
-      }
+      else
+        org.apache.spark.sql.graftshim.DeleteWrap.wrap(
+          scan, requested, eqDelAtScan, posAtScan, dir)
     }
     val base = rebuild(kept)
     // RUNTIME GROUP FILTERING (identity-partitioned tables, group-based

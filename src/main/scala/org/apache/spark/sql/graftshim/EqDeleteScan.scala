@@ -55,6 +55,90 @@ object FileMetaCols {
       rowIndexName, org.apache.spark.sql.types.LongType, nullable = true)
 }
 
+/** ONE definition of the delete-apply / metadata-column scan wrap, shared
+  * by the table read path ([[KeyedParquetScanBuilder]]) and the row-level
+  * rewrite path (`graft.storage.CowScanBuilder`): what the parquet
+  * delegate must read for a requested projection, and how the built
+  * delegate wraps into an [[EqDeleteScan]]. Keeping both callers on the
+  * same ordinal/forcing logic is load-bearing — a divergence makes the
+  * rewrite scan and the table scan disagree about which rows exist. */
+object DeleteWrap {
+
+  /** `_file` / `_pos` metadata columns in the requested projection —
+    * synthesized by the wrapper, never handed to the parquet delegate. */
+  def metaRequested(requested: Option[StructType]): Seq[String] =
+    requested.map(_.fieldNames.toSeq
+      .filter(n => n == FileMetaCols.File || n == FileMetaCols.Pos))
+      .getOrElse(Seq.empty)
+
+  /** Whether the delegate read needs parquet's generated row index: the
+    * query asked for `_pos`, or pending position deletes must be scoped
+    * to physical rows. */
+  def needRowIdx(
+      requested: Option[StructType],
+      posDeletes: Map[String, Array[Long]]): Boolean =
+    metaRequested(requested).contains(FileMetaCols.Pos) || posDeletes.nonEmpty
+
+  /** The schema the parquet DELEGATE reads: the requested data fields
+    * (meta columns stripped), any delete-key columns the query didn't ask
+    * for (forced in for the probe; [[wrap]] projects them off), and the
+    * row-index field when physical positions are needed. */
+  def parquetSchema(
+      requested: StructType,
+      tableSchema: StructType,
+      eqDeletes: Option[EqDeleteSpec],
+      posDeletes: Map[String, Array[Long]]): StructType = {
+    val dataFields = requested.fields.filterNot(f =>
+      f.name == FileMetaCols.File || f.name == FileMetaCols.Pos)
+    val withKeys = eqDeletes match {
+      case Some(spec) =>
+        dataFields ++ spec.keyCols
+          .filterNot(n => dataFields.exists(_.name == n))
+          .map(k => tableSchema(tableSchema.fieldIndex(k)))
+      case None => dataFields
+    }
+    StructType(
+      if (needRowIdx(Some(requested), posDeletes))
+        withKeys :+ FileMetaCols.rowIndexField
+      else withKeys)
+  }
+
+  /** Wrap a BUILT parquet delegate: output exactly the requested fields in
+    * request order — delegate ordinals for data columns, the row-index
+    * delegate column for `_pos`, the synthesis sentinel for `_file` —
+    * with the pending equality/position deletes applied row-side. */
+  def wrap(
+      scan: Scan,
+      requested: StructType,
+      eqDeletes: Option[EqDeleteSpec],
+      posDeletes: Map[String, Array[Long]],
+      tableDir: String): Scan = {
+    val full = scan.readSchema()
+    val rowIdxOrd =
+      if (needRowIdx(Some(requested), posDeletes))
+        full.fieldIndex(FileMetaCols.rowIndexName)
+      else -1
+    val outFields = requested.fields
+    val outOrds = outFields.toSeq.map { f =>
+      if (f.name == FileMetaCols.File) FileMetaCols.FileOrdinal
+      else if (f.name == FileMetaCols.Pos) rowIdxOrd
+      else full.fieldIndex(f.name)
+    }
+    val keyCols = eqDeletes.map(_.keyCols).getOrElse(Seq.empty)
+    EqDeleteScan(scan,
+      StructType(outFields.map(f =>
+        if (f.name == FileMetaCols.Pos)
+          f.copy(dataType = org.apache.spark.sql.types.LongType)
+        else f)),
+      outOrds,
+      keyCols.map(full.fieldIndex),
+      keyCols.map(k => full(full.fieldIndex(k)).dataType),
+      eqDeletes.getOrElse(EqDeleteSpec(Seq.empty, Seq.empty, Map.empty, tableDir)),
+      posDeletes,
+      rowIdxOrd)
+  }
+}
+
 /** Wraps a parquet [[Scan]] to apply pending equality deletes row-side.
   *
   *  - the delegate's input partitions are kept AS PLANNED (multi-file

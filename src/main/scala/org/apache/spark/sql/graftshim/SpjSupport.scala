@@ -132,38 +132,16 @@ final class KeyedParquetScanBuilder(
   /** `_file` / `_pos` metadata columns the query asked for — synthesized
     * by the wrapper scan, never handed to the parquet delegate. */
   private def metaRequested: Seq[String] =
-    requestedSchema.map(_.fieldNames.toSeq
-      .filter(n => n == FileMetaCols.File || n == FileMetaCols.Pos))
-      .getOrElse(Seq.empty)
-
-  /** Whether the delegate read needs parquet's row-index column: the
-    * query asked for `_pos`, or pending position deletes must be scoped
-    * to physical rows. */
-  private def needRowIdx: Boolean =
-    metaRequested.contains(FileMetaCols.Pos) || posDeletes.nonEmpty
+    DeleteWrap.metaRequested(requestedSchema)
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     requestedSchema = Some(requiredSchema)
-    val dataFields = requiredSchema.fields.filterNot(f =>
-      f.name == FileMetaCols.File || f.name == FileMetaCols.Pos)
-    val withKeys = eqDeletes match {
-      case Some(spec) =>
-        // pending deletes need the key columns to probe — force any the
-        // query didn't ask for into the read; build() projects them off
-        val missing = spec.keyCols
-          .filterNot(n => dataFields.exists(_.name == n))
-          .map(k => table.schema(table.schema.fieldIndex(k)))
-        dataFields ++ missing
-      case None => dataFields
-    }
-    // `_pos` (and position-delete scoping) rides parquet's native
-    // row-index generation: the reader recognizes this field BY NAME and
-    // fills exact physical row indexes, correct under filter pushdown
-    // and row-group pruning
-    val extended =
-      if (needRowIdx) withKeys :+ FileMetaCols.rowIndexField
-      else withKeys
-    underlying.pruneColumns(StructType(extended))
+    // delete-key columns the query didn't ask for are forced into the
+    // read (the probe needs them; build() projects them off), and `_pos`
+    // / position-delete scoping rides parquet's native row-index
+    // generation — one shared definition with the rewrite path
+    underlying.pruneColumns(DeleteWrap.parquetSchema(
+      requiredSchema, table.schema, eqDeletes, posDeletes))
   }
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
@@ -250,35 +228,13 @@ final class KeyedParquetScanBuilder(
       if (eqDeletes.isDefined || posDeletes.nonEmpty || metaRequested.nonEmpty) {
         // merge-on-read with pending deletes, and/or `_file`/`_pos`
         // metadata-column reads: wrap the parquet scan with the row-side
-        // apply/synthesis. No SPJ grouping through the wrapper — for
-        // deletes it's part of the documented read tax compaction clears;
-        // metadata reads are diagnostics, not join fast paths.
-        val scan = underlying.build()
-        val full = scan.readSchema()
-        val requested = requestedSchema.getOrElse(table.schema)
-        val rowIdxOrd =
-          if (needRowIdx) full.fieldIndex(FileMetaCols.rowIndexName) else -1
-        // output: exactly the requested fields, in request order —
-        // delegate ordinals for data columns, the row-index delegate
-        // column for `_pos`, the synthesis sentinel for `_file`
-        val outFields = requested.fields
-        val outOrds = outFields.toSeq.map { f =>
-          if (f.name == FileMetaCols.File) FileMetaCols.FileOrdinal
-          else if (f.name == FileMetaCols.Pos) rowIdxOrd
-          else full.fieldIndex(f.name)
-        }
-        val keyCols = eqDeletes.map(_.keyCols).getOrElse(Seq.empty)
-        EqDeleteScan(scan,
-          StructType(outFields.map(f =>
-            if (f.name == FileMetaCols.Pos)
-              f.copy(dataType = org.apache.spark.sql.types.LongType)
-            else f)),
-          outOrds,
-          keyCols.map(full.fieldIndex),
-          keyCols.map(k => full(full.fieldIndex(k)).dataType),
-          eqDeletes.getOrElse(EqDeleteSpec(Seq.empty, Seq.empty, Map.empty, tableDir)),
-          posDeletes,
-          rowIdxOrd)
+        // apply/synthesis ([[DeleteWrap.wrap]] — shared with the rewrite
+        // path). No SPJ grouping through the wrapper — for deletes it's
+        // part of the documented read tax compaction clears; metadata
+        // reads are diagnostics, not join fast paths.
+        DeleteWrap.wrap(underlying.build(),
+          requestedSchema.getOrElse(table.schema),
+          eqDeletes, posDeletes, tableDir)
       } else {
         val pschema = servedTable.fileIndex.partitionSchema
         underlying.build() match {
