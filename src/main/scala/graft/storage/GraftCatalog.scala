@@ -2058,15 +2058,24 @@ object GraftCatalog {
       df: org.apache.spark.sql.DataFrame,
       posDels: Map[String, Array[Long]],
       joinType: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col, instr, lit}
+    import org.apache.spark.sql.functions.{broadcast, col, concat, instr, lit, raise_error, when}
     import spark.implicits._
     val dirPath = dir.toUri.getPath.stripSuffix("/") + "/"
     val delDf = posDels.toSeq
       .flatMap { case (t, ps) => ps.map(p => (t, p)) }
       .toDF("__pfile", "__ppos")
-    df.withColumn("__pfile", col("_metadata.file_path").substr(
-        instr(col("_metadata.file_path"), dirPath) + lit(dirPath.length),
-        lit(Int.MaxValue)))
+    // a normalization miss (instr = 0) must abort, never default: under
+    // left_anti a garbage __pfile matches no delete and silently
+    // RESURRECTS position-deleted rows — same loud-fail contract as the
+    // scan side's fileInfoOf (EqDeleteScan.scala), which this join mirrors
+    val hit = instr(col("_metadata.file_path"), dirPath)
+    df.withColumn("__pfile", when(hit > lit(0),
+        col("_metadata.file_path").substr(
+          hit + lit(dirPath.length), lit(Int.MaxValue)))
+      .otherwise(raise_error(concat(
+        lit("position-delete apply: file path '"), col("_metadata.file_path"),
+        lit(s"' does not contain table dir '$dirPath' — path normalization" +
+          " miss would silently keep deleted rows")))))
       .withColumn("__ppos", col("_metadata.row_index"))
       .join(broadcast(delDf), Seq("__pfile", "__ppos"), joinType)
       .drop("__pfile", "__ppos")

@@ -454,4 +454,27 @@ class PositionDeleteSpec extends SparkSpec {
     assert(spark.table("poscat.s.p9").agg(sum("id")).head.getLong(0) ==
       (0L until 20L).sum - 3L - 15L)
   }
+
+  test("posIdentityJoin fails loudly when the table dir does not prefix " +
+    "the scanned file path — a normalization miss must not resurrect rows") {
+    wh
+    createPos("p10", Seq((1L, "a"), (2L, "b")))
+    val (_, dir) = fsDir("p10")
+    val raw = spark.read.parquet(dir.toString)
+    // correct dir: the join resolves and drops the targeted position
+    val ok = GraftCatalog.posIdentityJoin(spark, dir, raw,
+      Map(manifestFiles("p10").head -> Array(0L)), "left_anti")
+    assert(ok.count() == 1L)
+    // a dir that can never prefix the metadata path: the old spelling
+    // sliced substr(0 + len) garbage and silently kept every deleted row;
+    // the guard must abort the scan instead
+    val bad = GraftCatalog.posIdentityJoin(spark,
+      new Path("/graft-no-such-warehouse/elsewhere"), raw,
+      Map(manifestFiles("p10").head -> Array(0L)), "left_anti")
+    val e = intercept[Exception] { bad.collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("does not contain table dir")),
+      s"expected the loud normalization-miss error, got: $e")
+  }
 }
