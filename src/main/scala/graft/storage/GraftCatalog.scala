@@ -2020,11 +2020,14 @@ object GraftCatalog {
     val paths: Seq[(String, Long)] = eqDels.map { case (rel, snap) =>
       (new Path(dir, rel).toString, snap)
     }
+    // session conf rides into the tasks — sidecars may live on a
+    // filesystem only the session's Hadoop conf can resolve
+    val hconf = SerializableHadoopConf.capture()
     val rdd = spark.sparkContext
       .parallelize(paths, math.max(1, math.min(paths.size, 32)))
       .flatMap { case (p, snap) =>
         val sidecar = new Path(p)
-        val fsx = sidecar.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fsx = sidecar.getFileSystem(hconf.value)
         val converters = keyTypes.map(t =>
           org.apache.spark.sql.catalyst.CatalystTypeConverters
             .createToScalaConverter(t))
@@ -3059,10 +3062,15 @@ private[storage] final case class GraftWriterFactory(
     maxRowsPerFile: Long = 0L,
     bucket: Option[(Int, String)] = None) extends DataWriterFactory {
 
+  // captured on the driver (factories are built in createBatchWriterFactory)
+  // and shipped with the factory: executor-side filesystem resolution must
+  // see the session's Hadoop conf, not new Configuration()'s defaults
+  private val hconf = SerializableHadoopConf.capture()
+
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(
       stagingDir, schema, partitionCols, parquetConfs, partitionId, taskId,
-      writeToken, maxRowsPerFile, bucket)
+      writeToken, maxRowsPerFile, bucket, hconf)
 }
 
 /** Per-task writer: routes rows to one `ParquetWriter` per partition value
@@ -3080,7 +3088,8 @@ private[storage] class GraftDataWriter(
     taskId: Long,
     writeToken: String,
     maxRowsPerFile: Long = 0L,
-    bucket: Option[(Int, String)] = None) extends DataWriter[InternalRow] {
+    bucket: Option[(Int, String)] = None,
+    hconf: SerializableHadoopConf) extends DataWriter[InternalRow] {
 
   // identity dir columns live in the schema; a derived bucket level does not
   private val partIdx: Array[Int] =
@@ -3159,7 +3168,9 @@ private[storage] class GraftDataWriter(
       else f"part-$partitionId%05d-$taskId-$writeToken-r$seq.parquet"
     val path = if (part.isEmpty) new Path(s"$stagingDir/$file")
                else new Path(s"$stagingDir/$part/$file")
-    val conf = new Configuration()
+    // copy: setSchema/parquetConfs mutate, and the captured session conf
+    // is shared by every partition writer this task opens
+    val conf = new Configuration(hconf.value)
     ParquetWriteSupport.setSchema(dataSchema, conf)
     parquetConfs.foreach { case (k, v) => conf.set(k, v) }
     written += ((part, file))
@@ -3201,7 +3212,7 @@ private[storage] class GraftDataWriter(
 
   override def abort(): Unit = {
     writers.values.foreach(s => try s.w.close() catch { case _: Throwable => () })
-    val fs = new Path(stagingDir).getFileSystem(new Configuration())
+    val fs = new Path(stagingDir).getFileSystem(hconf.value)
     written.foreach { case (part, file) =>
       val p = if (part.isEmpty) new Path(s"$stagingDir/$file")
               else new Path(s"$stagingDir/$part/$file")

@@ -553,10 +553,15 @@ private[storage] final case class GraftDeltaWriterFactory(
     keyTypes: Seq[org.apache.spark.sql.types.DataType])
   extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
 
+  // driver-captured session Hadoop conf: the delete-fragment writer opens
+  // its own stream and must resolve the staging filesystem the same way
+  // the data writer does (s3a, kerberized HDFS, custom fs.<scheme>.impl)
+  private val hconf = SerializableHadoopConf.capture()
+
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] =
     new GraftDeltaWriter(inner.createWriter(partitionId, taskId),
-      stagingDir, keyCols, keyTypes, partitionId, taskId)
+      stagingDir, keyCols, keyTypes, partitionId, taskId, hconf)
 }
 
 /** Per-task delta writer: inserts (and the new halves of updates) go to
@@ -570,7 +575,8 @@ private[storage] final class GraftDeltaWriter(
     keyCols: Seq[String],
     keyTypes: Seq[org.apache.spark.sql.types.DataType],
     partitionId: Int,
-    taskId: Long)
+    taskId: Long,
+    hconf: SerializableHadoopConf)
   extends org.apache.spark.sql.connector.write.DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] {
 
   import org.apache.spark.sql.catalyst.InternalRow
@@ -588,7 +594,7 @@ private[storage] final class GraftDeltaWriter(
   private def delOut(): java.io.DataOutputStream = {
     if (out == null) {
       val p = new Path(s"$stagingDir/$fragRel")
-      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val fs = p.getFileSystem(hconf.value)
       out = new java.io.DataOutputStream(
         new java.io.BufferedOutputStream(fs.create(p, false)))
       out.writeUTF(GraftCatalog.EqDelMagic)
@@ -813,10 +819,12 @@ private[storage] final case class GraftPosDeltaWriterFactory(
     stagingDir: String)
   extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
 
+  private val hconf = SerializableHadoopConf.capture()
+
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] =
     new GraftPosDeltaWriter(inner.createWriter(partitionId, taskId),
-      stagingDir, partitionId, taskId)
+      stagingDir, partitionId, taskId, hconf)
 }
 
 /** Per-task position-delta writer: inserts go to the ordinary
@@ -827,7 +835,8 @@ private[storage] final class GraftPosDeltaWriter(
     inner: org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow],
     stagingDir: String,
     partitionId: Int,
-    taskId: Long)
+    taskId: Long,
+    hconf: SerializableHadoopConf)
   extends org.apache.spark.sql.connector.write.DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] {
 
   import org.apache.spark.sql.catalyst.InternalRow
@@ -839,7 +848,7 @@ private[storage] final class GraftPosDeltaWriter(
   private def delOut(): java.io.DataOutputStream = {
     if (out == null) {
       val p = new Path(s"$stagingDir/$fragRel")
-      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val fs = p.getFileSystem(hconf.value)
       out = new java.io.DataOutputStream(
         new java.io.BufferedOutputStream(fs.create(p, false)))
       out.writeUTF(GraftCatalog.PosDelFragMagic)
