@@ -1445,6 +1445,19 @@ object GraftCatalog {
     * this writer streams without size feedback). 0/absent = unlimited. */
   val TargetFileRowsProp = "write.target-file-rows"
 
+  /** Table property: advisory shuffle-partition size (bytes) for
+    * row-level-DML delta writes (Iceberg's
+    * `write.delete.advisory-partition-size-bytes` intent). The delta
+    * plans use a non-strict clustered distribution, so Spark plans an AQE
+    * REBALANCE before the write; AQE both coalesces small partitions and
+    * SPLITS any partition above the advisory size — including a
+    * same-key bucket, which is what keeps an insert-heavy MERGE on an
+    * unpartitioned key-less table (every inserted row hashes to the null
+    * `_file` bucket) from serializing into one write task. 0/absent =
+    * the session advisory (`spark.sql.adaptive.advisoryPartitionSizeInBytes`,
+    * 64 MB default) applies. */
+  val AdvisoryWriteBytesProp = "write.advisory-partition-bytes"
+
   /** Table property selecting how SQL UPDATE / MERGE INTO execute
     * (Iceberg's property of the same name): `copy-on-write` (default) —
     * group-based rewrite of every file that may hold a match;

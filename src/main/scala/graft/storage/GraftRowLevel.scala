@@ -454,6 +454,13 @@ private[storage] final class GraftDeltaOperation(
               : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
             Array.empty
           override def distributionStrictlyRequired(): Boolean = false
+          // per-table advisory for the pre-write REBALANCE: bounds the
+          // bytes any one write task receives (AQE splits over-advisory
+          // buckets, e.g. a skewed merge-key value), independent of the
+          // session-wide advisory
+          override def advisoryPartitionSizeInBytes(): Long =
+            meta.properties.get(GraftCatalog.AdvisoryWriteBytesProp)
+              .flatMap(_.toLongOption).filter(_ > 0).getOrElse(0L)
         }
     }
 }
@@ -714,6 +721,15 @@ private[storage] final class GraftPosDeltaOperation(
               : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
             Array.empty
           override def distributionStrictlyRequired(): Boolean = false
+          // the REBALANCE this non-strict distribution plans lets AQE
+          // split any over-advisory partition — in particular the null
+          // `_file` bucket every inserted row of an unpartitioned
+          // key-less MERGE hashes to, which would otherwise serialize
+          // into a single write task (split granularity is the map-output
+          // chunk, so parallelism recovers up to the upstream task count)
+          override def advisoryPartitionSizeInBytes(): Long =
+            meta.properties.get(GraftCatalog.AdvisoryWriteBytesProp)
+              .flatMap(_.toLongOption).filter(_ > 0).getOrElse(0L)
         }
     }
 }

@@ -455,6 +455,47 @@ class PositionDeleteSpec extends SparkSpec {
       (0L until 20L).sum - 3L - 15L)
   }
 
+  test("insert-heavy key-less MERGE does not serialize into one write " +
+    "task: the advisory partition size splits the null-_file bucket") {
+    wh
+    // multi-file seed: rebalance splits at MAP-OUTPUT granularity, so the
+    // upstream merge stage needs >1 task for the null bucket to be
+    // splittable at all (at scale it always is)
+    spark.range(4000).selectExpr("id + 1000000 AS id", "'seed' AS w")
+      .repartition(4)
+      .writeTo("poscat.s.p11").using("parquet")
+      .tableProperty(GraftCatalog.MergeModeProp, "merge-on-read")
+      .createOrReplace()
+    // every inserted row hashes to the null `_file` rowId bucket; with an
+    // advisory far below the insert volume, AQE must split that bucket
+    // across write tasks (at map-output granularity) instead of funneling
+    // ~20k rows through a single task — the at-scale shape of an
+    // insert-heavy MERGE into an unpartitioned key-less table
+    spark.sql(s"""ALTER TABLE poscat.s.p11 SET TBLPROPERTIES
+      ('${GraftCatalog.AdvisoryWriteBytesProp}' = '8192')""")
+    spark.range(20000).selectExpr("id", "repeat('w', 20) AS w")
+      .createOrReplaceTempView("p11_inserts")
+    val before = manifestFiles("p11").size
+    // rebalance splits at map-output granularity; at test volume AQE
+    // would coalesce the upstream join to ONE task (making the bucket a
+    // single unsplittable chunk), which at scale never happens — pin the
+    // upstream task count by disabling coalescing for the merge only
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = spark.conf.get(coalesceKey)
+    try {
+      spark.conf.set(coalesceKey, "false")
+      spark.sql("""
+        MERGE INTO poscat.s.p11 t USING p11_inserts s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET w = s.w
+        WHEN NOT MATCHED THEN INSERT (id, w) VALUES (s.id, s.w)""")
+    } finally spark.conf.set(coalesceKey, prevCoalesce)
+    spark.catalog.refreshTable("poscat.s.p11")
+    assert(spark.table("poscat.s.p11").count() == 24000L)
+    val added = manifestFiles("p11").size - before
+    assert(added >= 2,
+      s"expected the insert bucket to split across write tasks, got $added file(s)")
+  }
+
   test("posIdentityJoin fails loudly when the table dir does not prefix " +
     "the scanned file path — a normalization miss must not resurrect rows") {
     wh
