@@ -61,6 +61,17 @@ object Engine {
     // scans that don't report a partitioning.
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    // streaming column pruning for graft-table sources — sessions built
+    // here get it via GraftExtensions; externally-created sessions
+    // (tests, Verify/Bench per the driver contract) get the same rule
+    // through experimental.extraOptimizations, which feeds the same
+    // user-provided optimizer batch
+    if (!spark.experimental.extraOptimizations
+          .contains(graft.sources.PruneGraftStreamColumns)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.sources.PruneGraftStreamColumns
+    }
     spark
   }
 }

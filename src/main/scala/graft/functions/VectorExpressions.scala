@@ -344,5 +344,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       org.apache.spark.sql.catalyst.FunctionIdentifier("token_counts"),
       new ExpressionInfo(classOf[TokenCounts].getName, "token_counts"),
       (args: Seq[Expression]) => TokenCounts(args(0))))
+    // streaming column pruning for graft-table sources: the micro-batch
+    // planner never calls pruneColumns, so the projection travels
+    // through this per-batch optimizer rule instead
+    ext.injectOptimizerRule(_ => graft.sources.PruneGraftStreamColumns)
   }
 }

@@ -55,7 +55,13 @@ class GraftTableStreamSource extends TableProvider with DataSourceRegister {
     new GraftStreamTable(new CaseInsensitiveStringMap(properties))
 }
 
-private[sources] object GraftTableStreamSource {
+private[graft] object GraftTableStreamSource {
+  /** Observability/test hook: the delegate read schema each table's most
+    * recently planned micro-batch used (narrow after
+    * [[PruneGraftStreamColumns]] fires, full width otherwise). */
+  private[graft] val lastPlannedReadSchema =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
   /** (catalog, "ns.table") from the required `table` option. */
   def resolve(options: CaseInsensitiveStringMap): (GraftCatalog, String) = {
     val fqn = Option(options.get("table")).getOrElse(throw
@@ -105,11 +111,20 @@ private[sources] final case class GraftStreamOffset(snap: Long) extends Offset {
 }
 
 /** Each micro-batch delegates to the catalog's OWN batch scan of
-  * `incr:start..end` — pruned to the stream's pinned schema, so pending
+  * `incr:start..end` — pruned to the stream's REQUIRED schema, so pending
   * equality deletes, stats pruning, and the columnar read path all apply
   * unchanged. The per-batch reader factory rides inside each partition
   * ([[GraftStreamPartition]]) because a factory built for one snapshot
-  * range must never read another range's partitions. */
+  * range must never read another range's partitions.
+  *
+  * Column pruning: Spark's micro-batch planner builds the stream scan
+  * with `newScanBuilder(options).build()` and never calls
+  * `pruneColumns`, so the query's projection cannot arrive through the
+  * DSv2 batch pushdown API. [[PruneGraftStreamColumns]] (an injected
+  * optimizer rule, run per micro-batch) narrows the plan's relation
+  * output and tells this stream via [[setRequiredSchema]] BEFORE the
+  * batch's partitions are planned — a narrow streaming query over a wide
+  * table then pays a narrow parquet read instead of full width. */
 private[sources] class GraftTableMicroBatchStream(
     options: CaseInsensitiveStringMap,
     declared: StructType) extends MicroBatchStream {
@@ -117,6 +132,13 @@ private[sources] class GraftTableMicroBatchStream(
   private val (cat, nsTable) = GraftTableStreamSource.resolve(options)
   private val start: Long =
     Option(options.get("startingSnapshot")).map(_.toLong).getOrElse(0L)
+
+  // written by the optimizer rule (driver, per batch, before planning);
+  // read by planInputPartitions (driver) — always a subset of `declared`
+  // in declared field order, so reader rows line up with the pruned
+  // relation output
+  @volatile private var required: StructType = declared
+  private[graft] def setRequiredSchema(s: StructType): Unit = { required = s }
 
   override def latestOffset(): Offset =
     GraftStreamOffset(math.max(start, cat.latestSnapshot(nsTable)))
@@ -137,10 +159,12 @@ private[sources] class GraftTableMicroBatchStream(
     val sb = incr.asInstanceOf[SupportsRead]
       .newScanBuilder(CaseInsensitiveStringMap.empty())
     sb match {
-      case p: SupportsPushDownRequiredColumns => p.pruneColumns(declared)
+      case p: SupportsPushDownRequiredColumns => p.pruneColumns(required)
       case _ => ()
     }
-    val batch = sb.build().toBatch
+    val scan = sb.build()
+    GraftTableStreamSource.lastPlannedReadSchema.put(nsTable, scan.readSchema())
+    val batch = scan.toBatch
     val factory = batch.createReaderFactory()
     batch.planInputPartitions()
       .map(p => GraftStreamPartition(p, factory): InputPartition)
@@ -156,6 +180,73 @@ private[sources] final case class GraftStreamPartition(
     inner: InputPartition,
     factory: PartitionReaderFactory) extends InputPartition {
   override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** Streaming column pruning for `graft-table` sources.
+  *
+  * Spark's micro-batch execution builds a streaming scan WITHOUT the
+  * batch pushdown pass (`newScanBuilder(options).build()` — no
+  * `pruneColumns`), so every micro-batch of a narrow query would read
+  * the table full-width. This optimizer rule (injected by
+  * [[graft.functions.GraftExtensions]] / `Engine.tune`, and run by
+  * `IncrementalExecution` per micro-batch BEFORE partitions are
+  * planned) recovers the projection the DSv2 API cannot carry:
+  * for a `Project [cols] (+ Filter)` directly over a graft-table
+  * streaming relation it narrows the relation's output to the
+  * referenced columns and hands that schema to the stream, whose
+  * per-batch delegate scan then prunes the parquet read.
+  *
+  * Safety: the relation keeps its own attribute instances (subset, in
+  * declared order), so references above stay valid; a stream appearing
+  * in MORE than one relation node of the plan (self-join) is left
+  * full-width — one shared mutable requirement cannot serve two
+  * different prunings. Correctness is unaffected either way; this is
+  * purely an IO-width optimization. */
+object PruneGraftStreamColumns
+  extends org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+  import org.apache.spark.sql.execution.datasources.v2.StreamingDataSourceV2ScanRelation
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val graftRels = plan.collect {
+      case r: StreamingDataSourceV2ScanRelation
+          if r.stream.isInstanceOf[GraftTableMicroBatchStream] => r
+    }
+    if (graftRels.isEmpty) return plan
+    val prunable = graftRels.groupBy(_.stream).collect {
+      case (_, Seq(only)) => only
+    }.toSet
+
+    def narrow(
+        rel: StreamingDataSourceV2ScanRelation,
+        required: AttributeSet): StreamingDataSourceV2ScanRelation = {
+      val kept0 = rel.output.filter(required.contains)
+      // zero-column reads (e.g. a bare count) still need one concrete
+      // column to drive the delegate scan — keep the narrowest
+      val kept = if (kept0.nonEmpty) kept0
+        else Seq(rel.output.minBy(_.dataType.defaultSize))
+      if (kept.length == rel.output.length) rel
+      else {
+        rel.stream.asInstanceOf[GraftTableMicroBatchStream]
+          .setRequiredSchema(StructType(kept.map(a =>
+            org.apache.spark.sql.types.StructField(
+              a.name, a.dataType, a.nullable, a.metadata))))
+        rel.copy(output = kept)
+      }
+    }
+
+    plan.transform {
+      case p @ Project(_, r: StreamingDataSourceV2ScanRelation)
+          if prunable.contains(r) =>
+        p.copy(child = narrow(r, p.references))
+      case p @ Project(_, f @ Filter(_, r: StreamingDataSourceV2ScanRelation))
+          if prunable.contains(r) =>
+        p.copy(child = f.copy(child = narrow(r, p.references ++ f.references)))
+    }
+  }
 }
 
 private[sources] object GraftStreamReaderFactory extends PartitionReaderFactory {

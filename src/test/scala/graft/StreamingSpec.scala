@@ -1071,6 +1071,54 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("graft-table streaming SOURCE prunes columns per micro-batch: a " +
+    "narrow query reads a narrow delegate scan, a full query reads full") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-prune-wh").toString
+    spark.conf.set("spark.sql.catalog.prunecat",
+      classOf[graft.storage.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.prunecat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS prunecat.s")
+    Seq((1L, "a", 10.0, "x", 100L), (2L, "b", 20.0, "y", 200L))
+      .toDF("id", "w", "score", "tag", "bytes").repartition(1)
+      .writeTo("prunecat.s.wide").using("parquet").createOrReplace()
+    def plannedCols(): Seq[String] =
+      graft.sources.GraftTableStreamSource.lastPlannedReadSchema
+        .get("s.wide").fieldNames.toSeq
+    // narrow query: Project(id, w) over the stream — the injected rule
+    // must narrow the per-batch delegate scan to exactly those columns
+    val q = spark.readStream.format("graft-table")
+      .option("table", "prunecat.s.wide")
+      .load()
+      .select("id", "w")
+      .writeStream.format("memory").queryName("prune_narrow")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(plannedCols() == Seq("id", "w"),
+        s"expected a pruned delegate read, got ${plannedCols()}")
+      assert(spark.table("prune_narrow").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((1L, "a"), (2L, "b")))
+      // the rule runs per micro-batch: a later batch stays narrow
+      Seq((3L, "c", 30.0, "z", 300L)).toDF("id", "w", "score", "tag", "bytes")
+        .writeTo("prunecat.s.wide").append()
+      q.processAllAvailable()
+      assert(plannedCols() == Seq("id", "w"))
+      assert(spark.table("prune_narrow").count() == 3L)
+    } finally q.stop()
+    // full-width query: nothing to prune, the delegate reads everything
+    val q2 = spark.readStream.format("graft-table")
+      .option("table", "prunecat.s.wide")
+      .load()
+      .writeStream.format("memory").queryName("prune_full")
+      .start()
+    try {
+      q2.processAllAvailable()
+      assert(plannedCols() == Seq("id", "w", "score", "tag", "bytes"))
+      assert(spark.table("prune_full").count() == 3L)
+    } finally q2.stop()
+  }
+
   test("sinkMergeMor under sustained load: N micro-batches fold to the " +
     "batch answer, sidecars accumulate one per delta commit, and " +
     "targeted delete compaction folds them with results unchanged") {
