@@ -125,6 +125,34 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy("doc_id")
     }),
+    // PARTITION SPEC EVOLUTION, driver-verified end to end: create the
+    // table UNPARTITIONED from 2/3 of the documents, evolve the spec to
+    // partition by `source` (a metadata-only commit — the flat files are
+    // not rewritten), append the remaining third (lands under source=...
+    // directories), and read the mixed-layout table back through a
+    // cross-layout filter. The oracle is the same logical content off
+    // the raw documents — evolution must be invisible to query results.
+    "q_partition_evolution" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-qevo").toString
+      s.conf.set("spark.sql.catalog.qevo",
+        classOf[graft.storage.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.qevo.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS qevo.s")
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+      d.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+        .writeTo("qevo.s.t").using("parquet").createOrReplace()
+      s.sql("ALTER TABLE qevo.s.t SET TBLPROPERTIES " +
+        s"('${graft.storage.GraftCatalog.PartitionByProp}' = 'source')")
+      d.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .writeTo("qevo.s.t").append()
+      s.catalog.refreshTable("qevo.s.t")
+      s.table("qevo.s.t")
+        .filter(pmod(col("n_chars"), lit(2)) === 0)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
     // POSITION-delete row-level DML, driver-verified end to end: the
     // same merge-on-read discipline on a table WITHOUT a merge key —
     // rows addressed by physical identity (_file, _pos), one SQL MERGE
@@ -4821,6 +4849,14 @@ object SparkEntry {
                 n_chars
          FROM documents
          WHERE doc_id % 8 <> 2
+         ORDER BY doc_id""",
+    // partition evolution must be INVISIBLE to query results: the mixed
+    // flat + source=... layouts serve the same logical content as the
+    // raw documents under the same filter
+    "q_partition_evolution" ->
+      """SELECT doc_id, source, n_chars
+         FROM documents
+         WHERE n_chars % 2 = 0
          ORDER BY doc_id""",
     // the position-delete end state, derived independently: base = docs
     // with doc_id % 5 != 0, source rewritten for the % 10 = 1 updates,

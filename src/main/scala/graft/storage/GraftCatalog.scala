@@ -542,12 +542,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
     val pm = GraftCatalog.posDelMap(fs, dir, dels, dels.map(_._2).toSet)
-    val prefix = dir.toString.stripSuffix("/") + "/"
-    val paths = pm.keys.toSeq.sorted.map(f => s"$prefix$f")
-    val reader = spark.read.schema(meta.schema)
-    val df =
-      if (meta.partitionCols.isEmpty) reader.parquet(paths: _*)
-      else reader.option("basePath", dir.toString).parquet(paths: _*)
+    val df = GraftCatalog.readRawGrouped(
+      spark, dir, meta, pm.keys.toSeq.sorted)
     GraftCatalog.posIdentityJoin(spark, dir, df, pm, "left_semi")
   }
 
@@ -1249,8 +1245,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       .getOrElse(throw new NoSuchTableException(ident))
     val props = mutable.Map(meta.properties.toSeq: _*)
     var schema = meta.schema
+    var partitionCols = meta.partitionCols
     val droppedCols = mutable.Set.empty[String]
     changes.foreach {
+      case set: TableChange.SetProperty
+          if set.property == GraftCatalog.PartitionByProp =>
+        // PARTITION EVOLUTION: metadata-only — no file moves, no rewrite.
+        // Existing files keep their layout (their partition values are in
+        // their paths, their other columns in their data); only new
+        // writes route under the new spec. Reads group files by layout.
+        require(meta.bucket.isEmpty,
+          s"GraftCatalog: cannot evolve the partition spec of a bucketed table")
+        val cols = set.value.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        GraftCatalog.requireNoReservedNames(cols)
+        cols.foreach(c => require(schema.fieldNames.contains(c),
+          s"GraftCatalog: partition column $c not in schema"))
+        require(cols.distinct == cols,
+          s"GraftCatalog: duplicate partition column in '${set.value}'")
+        partitionCols = cols
+        props(set.property) = cols.mkString(",")
       case set: TableChange.SetProperty => props(set.property) = set.value
       case rm: TableChange.RemoveProperty => props -= rm.property
       case add: TableChange.AddColumn =>
@@ -1265,10 +1278,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames().length == 1,
           "GraftCatalog: nested column drops not supported")
-        require(!meta.partitionCols.contains(del.fieldNames()(0)),
+        require(!partitionCols.contains(del.fieldNames()(0)),
           s"GraftCatalog: cannot drop partition column ${del.fieldNames()(0)}")
         require(!meta.bucket.exists(_._2 == del.fieldNames()(0)),
           s"GraftCatalog: cannot drop bucket source column ${del.fieldNames()(0)}")
+        // partition evolution leaves files under their ORIGINAL layout;
+        // a column serving as a live file's dir level is still load-bearing
+        // for that file's reads even after it left the current spec
+        require(!GraftCatalog.readManifest(fs, dir,
+            GraftCatalog.latestSnapshot(fs, dir))
+          .getOrElse(Seq.empty)
+          .exists(f => GraftCatalog.layoutOf(f).contains(del.fieldNames()(0))),
+          s"GraftCatalog: cannot drop ${del.fieldNames()(0)} — live files " +
+            "still carry it as a partition directory level (rewrite them " +
+            "to the current spec first)")
         schema = StructType(schema.fields.filterNot(_.name == del.fieldNames()(0)))
         droppedCols += del.fieldNames()(0)
       case upd: TableChange.UpdateColumnType =>
@@ -1343,7 +1366,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       GraftCatalog.appendBloomIndex(fs, dir, keep)
       idxNums.foreach(n => fs.delete(new Path(dir, s"_bloomidx-$n"), false))
     }
-    val next = meta.copy(schema = schema, properties = props.toMap)
+    val next = meta.copy(schema = schema, properties = props.toMap,
+      partitionCols = partitionCols)
     GraftCatalog.writeMeta(fs, dir, next)
     new GraftTable(ident.toString, dir.toString, next)
   }
@@ -1457,6 +1481,26 @@ object GraftCatalog {
     * the session advisory (`spark.sql.adaptive.advisoryPartitionSizeInBytes`,
     * 64 MB default) applies. */
   val AdvisoryWriteBytesProp = "write.advisory-partition-bytes"
+
+  /** Table property carrying the CURRENT identity partition spec as a
+    * comma-separated column list — setting it is PARTITION EVOLUTION
+    * (Iceberg's ALTER TABLE ADD/DROP PARTITION FIELD intent, spelled as a
+    * property because stock Spark SQL has no partition-field DDL): a
+    * metadata-only commit after which NEW files land under the new
+    * layout, existing files keep theirs, and reads serve both (each
+    * file's partition values come from its own path; columns not in a
+    * file's dir levels are in its data). Empty string = unpartitioned.
+    * Bucketed tables cannot evolve. Any rewrite (compaction, CoW DML,
+    * z-order) migrates the files it touches to the current spec. */
+  val PartitionByProp = "write.partition-by"
+
+  /** Partition-dir LAYOUT of a table-relative file path: the column name
+    * of each `name=value` directory level, in order. This is the file's
+    * partition spec as actually written — the unit partition evolution
+    * groups reads by. */
+  private[storage] def layoutOf(rel: String): Seq[String] =
+    rel.split('/').dropRight(1).toSeq
+      .filter(_.contains('=')).map(_.takeWhile(_ != '='))
 
   /** Table property selecting how SQL UPDATE / MERGE INTO execute
     * (Iceberg's property of the same name): `copy-on-write` (default) —
@@ -2097,6 +2141,31 @@ object GraftCatalog {
       .drop("__pfile", "__ppos")
   }
 
+  /** Raw per-file parquet read of table-relative `files`, LAYOUT-GROUPED:
+    * a partition-evolved table holds files under different directory
+    * layouts, and a single basePath read over mixed depths fails hive
+    * inference outright. Each layout group reads under its own layout
+    * (partition values from the path, remaining columns from the data)
+    * and the groups union in table-schema column order. A single-layout
+    * set keeps the legacy read shape exactly. */
+  private[storage] def readRawGrouped(
+      spark: SparkSession, dir: Path, meta: GraftTableMeta,
+      files: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val prefix = dir.toString.stripSuffix("/") + "/"
+    val reader = spark.read.schema(meta.schema)
+    def one(lay: Seq[String], fsq: Seq[String]) = {
+      val paths = fsq.map(f => s"$prefix$f")
+      if (lay.isEmpty) reader.parquet(paths: _*)
+      else reader.option("basePath", dir.toString).parquet(paths: _*)
+    }
+    val groups = files.groupBy(layoutOf).toSeq.sortBy(_._1.mkString("/"))
+    if (groups.size == 1) one(groups.head._1, groups.head._2)
+    else groups.map { case (l, fsq) =>
+      one(l, fsq).select(meta.schema.fieldNames.map(col).toSeq: _*)
+    }.reduce(_ union _)
+  }
+
   private[storage] def readFilesWithDeletes(
       spark: SparkSession, dir: Path, meta: GraftTableMeta,
       files: Seq[String], eqDels: Seq[(String, Long)],
@@ -2104,20 +2173,14 @@ object GraftCatalog {
       posDels: Map[String, Array[Long]] = Map.empty)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
-    val prefix = dir.toString.stripSuffix("/") + "/"
-    val reader = spark.read.schema(meta.schema)
     // pending POSITION deletes (key-less merge-on-read): anti-join on the
     // row's physical identity ([[posIdentityJoin]])
     def applyPos(df: org.apache.spark.sql.DataFrame)
         : org.apache.spark.sql.DataFrame =
       if (posDels.isEmpty) df
       else posIdentityJoin(spark, dir, df, posDels, "left_anti")
-    def read(fsq: Seq[String]): org.apache.spark.sql.DataFrame = {
-      val paths = fsq.sorted.map(f => s"$prefix$f")
-      applyPos(
-        if (meta.partitionCols.isEmpty) reader.parquet(paths: _*)
-        else reader.option("basePath", dir.toString).parquet(paths: _*))
-    }
+    def read(fsq: Seq[String]): org.apache.spark.sql.DataFrame =
+      applyPos(readRawGrouped(spark, dir, meta, fsq.sorted))
     if (eqDels.isEmpty) read(files)
     else {
       val fsys = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2881,6 +2944,33 @@ private[storage] class GraftTable(
         Seq(empty.toString)
       case None => Seq(dir)
     }
+    // PARTITION EVOLUTION: when the pinned file set spans more than one
+    // directory layout — or one layout that is no longer the current
+    // spec — hive partition inference over a single file index would
+    // fail (or key the scan wrongly). Plan one delegate per layout group
+    // and union them; each file's partition values come from its own
+    // path and its remaining columns from its data, so every group reads
+    // complete rows of the table schema.
+    val curLayout = meta.bucket match {
+      case Some((_, c)) => Seq(s"__bucket_$c")
+      case None => meta.partitionCols
+    }
+    pinnedFiles match {
+      case Some(files) if files.nonEmpty && {
+          val layouts = files.map(GraftCatalog.layoutOf).distinct
+          layouts.size > 1 || layouts.head != curLayout
+        } =>
+        val groupTables = files.groupBy(GraftCatalog.layoutOf).toSeq
+          .sortBy(_._1.mkString("/"))
+          .map { case (_, fsq) =>
+            ParquetTable(tableName, spark, opts, fsq.map(f => s"$dir/$f"),
+              Some(meta.schema), classOf[ParquetFileFormat])
+          }
+        return org.apache.spark.sql.graftshim.Evolved.scanBuilder(
+          groupTables, opts, meta.schema, fileStats, dir, fileBlooms,
+          eqDeleteSpec, posDelMap)
+      case _ => ()
+    }
     val pt = ParquetTable(tableName, spark, opts, paths, Some(meta.schema),
       classOf[ParquetFileFormat])
     // Partitioned tables report KeyGroupedPartitioning from the scan so
@@ -3026,6 +3116,22 @@ private[storage] class GraftBatchWrite(
       case "truncate" => stagedRel.toSeq
       case "dynamic" if meta.partitionCols.isEmpty => stagedRel.toSeq
       case "dynamic" =>
+        // a partition-evolved table may hold LEGACY-layout files whose rows
+        // belong to the partitions being replaced but whose paths never
+        // match the touched prefixes — silently keeping them would ghost
+        // rows into the "replaced" partition, so fail loudly (Iceberg's
+        // dynamic overwrite has the same spec-drift hazard; rewrite the
+        // legacy files to the current spec first)
+        val curLayout = meta.bucket match {
+          case Some((_, c)) => Seq(s"__bucket_$c")
+          case None => meta.partitionCols
+        }
+        val offSpec = prior.filter(f => GraftCatalog.layoutOf(f) != curLayout)
+        require(offSpec.isEmpty,
+          s"GraftCatalog: dynamic partition overwrite on a partition-evolved " +
+            s"table: ${offSpec.size} live file(s) use a legacy layout (e.g. " +
+            s"${offSpec.head}) and may hold rows of the replaced partitions — " +
+            "compact/rewrite them to the current spec first")
         prior.filterNot(f => touched.exists(t => f.startsWith(t + "/"))) ++ stagedRel
       case _ => prior ++ stagedRel // append
     }

@@ -191,27 +191,45 @@ private[storage] final class CowScanBuilder(
     val requested = requiredSchema.getOrElse(meta.schema)
     val parquetSchema = org.apache.spark.sql.graftshim.DeleteWrap
       .parquetSchema(requested, meta.schema, eqDelAtScan, posAtScan)
-    def rebuild(files: Seq[String]): Scan = {
-      val servedPaths =
-        if (files.nonEmpty) files.map(f => s"$prefix$f")
-        else {
-          // empty (possibly runtime-filtered-to-nothing) rewrite set:
-          // serve the hidden always-empty dir so the scan can build
-          val empty = new Path(root, "_empty")
-          fs.mkdirs(empty)
-          Seq(empty.toString)
-        }
+    def groupScan(servedPaths: Seq[String]): Scan = {
       val pt = ParquetTable(s"cow-rewrite", spark, opts, servedPaths,
         Some(meta.schema), classOf[ParquetFileFormat])
       val underlying = ParquetScanBuilder(
         spark, pt.fileIndex, pt.schema, pt.dataSchema, opts)
       underlying.pruneColumns(parquetSchema)
-      val scan = underlying.build()
-      if (eqDelAtScan.isEmpty && posAtScan.isEmpty && metaRequested.isEmpty)
-        scan
-      else
-        org.apache.spark.sql.graftshim.DeleteWrap.wrap(
-          scan, requested, eqDelAtScan, posAtScan, dir)
+      underlying.build()
+    }
+    def rebuild(files: Seq[String]): Scan = {
+      // a partition-evolved table's rewrite set may span directory
+      // layouts — plan one parquet delegate per layout group (a single
+      // mixed-depth file index fails hive inference) and union them
+      // canonically, exactly like the table read path
+      val groups = files.groupBy(GraftCatalog.layoutOf).toSeq
+        .sortBy(_._1.mkString("/"))
+      if (groups.size > 1) {
+        org.apache.spark.sql.graftshim.EvolvedUnionScan(
+          groups.map { case (_, fsq) =>
+            org.apache.spark.sql.graftshim.DeleteWrap.wrap(
+              groupScan(fsq.map(f => s"$prefix$f")),
+              requested, eqDelAtScan, posAtScan, dir)
+          })
+      } else {
+        val servedPaths =
+          if (files.nonEmpty) files.map(f => s"$prefix$f")
+          else {
+            // empty (possibly runtime-filtered-to-nothing) rewrite set:
+            // serve the hidden always-empty dir so the scan can build
+            val empty = new Path(root, "_empty")
+            fs.mkdirs(empty)
+            Seq(empty.toString)
+          }
+        val scan = groupScan(servedPaths)
+        if (eqDelAtScan.isEmpty && posAtScan.isEmpty && metaRequested.isEmpty)
+          scan
+        else
+          org.apache.spark.sql.graftshim.DeleteWrap.wrap(
+            scan, requested, eqDelAtScan, posAtScan, dir)
+      }
     }
     val base = rebuild(kept)
     // RUNTIME GROUP FILTERING (identity-partitioned tables, group-based

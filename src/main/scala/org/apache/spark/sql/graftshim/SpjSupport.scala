@@ -100,7 +100,14 @@ final class KeyedParquetScanBuilder(
     tableDir: String,
     fileBlooms: Map[String, Map[String, graft.storage.GraftCatalog.FileBloom]] = Map.empty,
     eqDeletes: Option[EqDeleteSpec] = None,
-    posDeletes: Map[String, Array[Long]] = Map.empty)
+    posDeletes: Map[String, Array[Long]] = Map.empty,
+    /** Force the built scan's output to the REQUESTED field order even
+      * with no deletes or metadata columns in play — the property a
+      * partition-evolved union scan needs so its layout groups (whose
+      * delegates place partition columns differently) concatenate
+      * positionally ([[EvolvedUnionScan]]). The wrap is pass-through
+      * when the orders already agree. */
+    canonicalOutput: Boolean = false)
   extends ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -225,7 +232,8 @@ final class KeyedParquetScanBuilder(
   override def build(): Scan = manifestAgg match {
     case Some((schema, rows)) => ManifestAggScan(table.name, schema, rows)
     case None =>
-      if (eqDeletes.isDefined || posDeletes.nonEmpty || metaRequested.nonEmpty) {
+      if (eqDeletes.isDefined || posDeletes.nonEmpty || metaRequested.nonEmpty ||
+          canonicalOutput) {
         // merge-on-read with pending deletes, and/or `_file`/`_pos`
         // metadata-column reads: wrap the parquet scan with the row-side
         // apply/synthesis ([[DeleteWrap.wrap]] — shared with the rewrite
