@@ -284,6 +284,30 @@ object SparkEntry {
       a.join(p, Seq("doc_id", "anchor_id"))
         .orderBy("doc_id", "anchor_id")
     }),
+    // RLHF/DPO preference pairs: per source, (highest, lowest)-quality
+    // documents (n_chars as the score proxy), ties broken by doc_id. ONE
+    // map-side-combining aggregation — no per-group window or sort.
+    "prep_dpo_pairs" -> ((s, dir) => {
+      graft.ops.TrainPrep.preferencePairs(
+          docs(s, dir).filter(col("doc_id").isNotNull),
+          "source", "doc_id", "n_chars")
+        .orderBy("source")
+    }),
+    // salted skew join: events fan out on 5 heavily-hot event_type keys
+    // against a derived per-type dim. saltedJoin spreads each hot key
+    // over 8 deterministic sub-keys (dim replicated 8x) — row-identical
+    // to the plain join the oracle runs, but no shuffle partition holds
+    // a whole hot key (the manual fallback when a dim is too big to
+    // broadcast and the plan shape escapes AQE's skew splitting).
+    "q_join_skew_salted" -> ((s, dir) => {
+      val ev = Parity.t(s, dir, "events")
+        .select(col("event_id"), col("event_type"))
+      val dim = ev.groupBy("event_type")
+        .agg(count(lit(1)).alias("type_cnt"))
+      graft.ops.Relational.saltedJoin(ev, dim, "event_type", "event_id", 8)
+        .select(col("event_id"), col("event_type"), col("type_cnt"))
+        .orderBy("event_id")
+    }),
     // OOV-rate against the corpus top-25 vocabulary: vocab folded to one
     // broadcast array row; per-doc membership is a narrow array filter.
     "prep_oov" -> ((s, dir) => {
@@ -4357,6 +4381,32 @@ object SparkEntry {
                 b.chunk_id AS positive_id, b.nt AS positive_tokens
          FROM ch a JOIN ch b ON a.doc_id = b.doc_id AND b.chunk_id = a.chunk_id + 1
          ORDER BY a.doc_id, anchor_id""",
+    // chosen = (score DESC, id DESC) head, rejected = (score ASC, id ASC)
+    // head — exactly max(struct)/min(struct)'s tiebreak
+    "prep_dpo_pairs" ->
+      """WITH ranked AS (
+           SELECT source, doc_id, n_chars,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY n_chars DESC, doc_id DESC) AS rb,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY n_chars ASC, doc_id ASC) AS rw
+           FROM documents
+           WHERE source IS NOT NULL AND n_chars IS NOT NULL
+             AND doc_id IS NOT NULL)
+         SELECT source,
+                max(CASE WHEN rb = 1 THEN doc_id END) AS chosen_id,
+                max(CASE WHEN rw = 1 THEN doc_id END) AS rejected_id,
+                max(CASE WHEN rb = 1 THEN n_chars END) AS chosen_score,
+                max(CASE WHEN rw = 1 THEN n_chars END) AS rejected_score
+         FROM ranked GROUP BY source ORDER BY source""",
+    // the salted join must be ROW-IDENTICAL to the plain join
+    "q_join_skew_salted" ->
+      """SELECT e.event_id, e.event_type, d.type_cnt
+         FROM events e
+         JOIN (SELECT event_type, count(*) AS type_cnt
+               FROM events GROUP BY event_type) d
+           ON e.event_type = d.event_type
+         ORDER BY e.event_id""",
     "q_skyline" ->
       """WITH o AS (
            SELECT o_orderkey, o_totalprice,

@@ -290,6 +290,35 @@ object TrainPrep {
     }
   }
 
+  /** RLHF/DPO preference-pair mining: within each `groupCol` group (the
+    * "prompt" axis — source, cluster, dedup component …), pair the
+    * highest-`scoreCol` member (CHOSEN) with the lowest (REJECTED), ties
+    * broken by `idCol` so the pick is deterministic on any engine.
+    *
+    * 100 TB shape: ONE aggregation — `max(struct(score, id))` /
+    * `min(struct(score, id))` partial-aggregate map-side (struct min/max
+    * plans as SortAggregate: partition-local sort by the GROUP KEY, never
+    * a whole group in one task), so a group's rows reduce before they
+    * ever co-locate; no window over the group. Output is one row per
+    * group; singleton groups pair
+    * a document with itself (chosen_id = rejected_id) — downstream
+    * filters drop or keep them by policy. */
+  def preferencePairs(
+      docs: DataFrame,
+      groupCol: String,
+      idCol: String,
+      scoreCol: String): DataFrame =
+    docs.filter(col(groupCol).isNotNull && col(scoreCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(
+        max(struct(col(scoreCol), col(idCol))).alias("__c"),
+        min(struct(col(scoreCol), col(idCol))).alias("__r"))
+      .select(col(groupCol),
+        col(s"__c.$idCol").alias("chosen_id"),
+        col(s"__r.$idCol").alias("rejected_id"),
+        col(s"__c.$scoreCol").alias("chosen_score"),
+        col(s"__r.$scoreCol").alias("rejected_score"))
+
   /** Deterministic negative sampling for contrastive training: for every
     * document, `k` same-group (e.g. same-language) negatives drawn
     * uniformly-but-reproducibly — the counterpart to positive-pair

@@ -914,4 +914,36 @@ class TrainPrepSpec extends SparkSpec {
     assert(pNeg.contains("windowspecdefinition(__grs_pid"),
       s"expected the (pid, group)-sliced position window:\n$pNeg")
   }
+
+  test("preferencePairs: max/min by score with deterministic id tiebreak, " +
+    "null groups/scores dropped, singleton self-pairs, one hash agg") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", 1L, 10L), ("s1", 2L, 30L), ("s1", 3L, 30L), ("s1", 4L, 5L),
+      ("s1", 5L, 5L),                       // ties at both ends
+      ("s2", 6L, 7L),                       // singleton -> self-pair
+      (null.asInstanceOf[String], 7L, 9L),  // null group dropped
+      ("s3", 8L, 1L), ("s3", 9L, 2L)
+    ).toDF("source", "doc_id", "n_chars")
+      .unionByName(Seq(("s3", 10L)).toDF("source", "doc_id")
+        .withColumn("n_chars", org.apache.spark.sql.functions
+          .lit(null).cast("long")))  // null score dropped
+    val out = TrainPrep.preferencePairs(docs, "source", "doc_id", "n_chars")
+      .orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(out == Seq(
+      ("s1", 3L, 4L, 30L, 5L),   // chosen tie -> max id; rejected tie -> min id
+      ("s2", 6L, 6L, 7L, 7L),
+      ("s3", 9L, 8L, 2L, 1L)))
+    // scale shape: ONE aggregation with a map-side partial (struct
+    // min/max plans as SortAggregate — sorted by the group key within
+    // partitions, never a whole group in one task), and no window
+    val plan = TrainPrep.preferencePairs(docs, "source", "doc_id", "n_chars")
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("windowspecdefinition"),
+      s"preference pairs must not window over groups:\n$plan")
+    assert(plan.contains("partial_max"),
+      s"expected a map-side partial aggregate before the shuffle:\n$plan")
+  }
 }
