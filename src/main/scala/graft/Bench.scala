@@ -99,7 +99,12 @@ object Bench {
     "q_dml_merge_mor", "q_dml_merge_cow",
     // round-13: the same delta-sized MERGE against a KEY-LESS
     // merge-on-read table — the position-delete path (rowId = _file/_pos)
-    "q_dml_merge_pos")
+    "q_dml_merge_pos",
+    // round-14: the partition-evolution lifecycle (create flat → evolve →
+    // append dir-layout → mixed-layout union read) — regressions in the
+    // per-layout-group scan planning show up here — and the salted skew
+    // join (hot-key fanout cost profile)
+    "q_partition_evolution", "q_join_skew_salted")
 
   /** Warm iterations per query; the median is reported. */
   val WarmIters = 3
