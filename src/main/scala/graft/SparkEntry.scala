@@ -134,11 +134,16 @@ object SparkEntry {
     // the raw documents — evolution must be invisible to query results.
     "q_partition_evolution" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft-qevo").toString
-      s.conf.set("spark.sql.catalog.qevo",
-        classOf[graft.storage.GraftCatalog].getName)
-      s.conf.set("spark.sql.catalog.qevo.warehouse", wh)
+      // one warehouse per session: the catalog instance is cached by
+      // name, so re-setting the conf on reruns (bench warm iterations)
+      // would neither take effect nor stop leaking temp dirs —
+      // createOrReplace below keeps each rerun's table fresh
+      if (s.conf.getOption("spark.sql.catalog.qevo").isEmpty) {
+        s.conf.set("spark.sql.catalog.qevo",
+          classOf[graft.storage.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.qevo.warehouse",
+          java.nio.file.Files.createTempDirectory("graft-qevo").toString)
+      }
       s.sql("CREATE NAMESPACE IF NOT EXISTS qevo.s")
       val d = docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
       d.filter(pmod(col("doc_id"), lit(3)) =!= 0)

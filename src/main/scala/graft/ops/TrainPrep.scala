@@ -293,7 +293,10 @@ object TrainPrep {
   /** RLHF/DPO preference-pair mining: within each `groupCol` group (the
     * "prompt" axis — source, cluster, dedup component …), pair the
     * highest-`scoreCol` member (CHOSEN) with the lowest (REJECTED), ties
-    * broken by `idCol` so the pick is deterministic on any engine.
+    * broken by `idCol` so the pick is deterministic on any engine. Rows
+    * with a null group, score, or id are dropped — a null id would void
+    * the tiebreak (struct ordering ranks nulls low, so a null-id row
+    * could win `max` and emit chosen_id = NULL).
     *
     * 100 TB shape: ONE aggregation — `max(struct(score, id))` /
     * `min(struct(score, id))` partial-aggregate map-side (struct min/max
@@ -308,7 +311,8 @@ object TrainPrep {
       groupCol: String,
       idCol: String,
       scoreCol: String): DataFrame =
-    docs.filter(col(groupCol).isNotNull && col(scoreCol).isNotNull)
+    docs.filter(col(groupCol).isNotNull && col(scoreCol).isNotNull &&
+        col(idCol).isNotNull)
       .groupBy(col(groupCol))
       .agg(
         max(struct(col(scoreCol), col(idCol))).alias("__c"),

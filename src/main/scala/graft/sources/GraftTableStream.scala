@@ -165,13 +165,72 @@ private[sources] class GraftTableMicroBatchStream(
     val scan = sb.build()
     GraftTableStreamSource.lastPlannedReadSchema.put(nsTable, scan.readSchema())
     val batch = scan.toBatch
-    val factory = batch.createReaderFactory()
+    val inner = batch.createReaderFactory()
+    // the exec node's output attributes are in REQUIRED order; a bare
+    // delegate over a partitioned table moves partition columns to the
+    // END of its readSchema — reorder per row/batch or rows silently
+    // misalign with the output (delete-wrapped delegates already emit
+    // required order and skip this)
+    val out = scan.readSchema()
+    val factory =
+      if (out.fieldNames.sameElements(required.fieldNames)) inner
+      else {
+        require(required.fieldNames.forall(out.fieldNames.contains),
+          s"stream delegate read schema ${out.fieldNames.mkString(",")} " +
+            s"does not cover required ${required.fieldNames.mkString(",")}")
+        GraftStreamProjectingFactory(inner, out,
+          required.fieldNames.map(out.fieldIndex))
+      }
     batch.planInputPartitions()
       .map(p => GraftStreamPartition(p, factory): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftStreamReaderFactory
+}
+
+/** Reorders the delegate's rows/batches into the stream's required
+  * column order: `ords(i)` = the delegate ordinal serving output field
+  * `i`. Row path projects (codegen'd UnsafeProjection, built per
+  * reader on the executor); columnar path permutes the batch's vectors
+  * zero-copy. */
+private[sources] final case class GraftStreamProjectingFactory(
+    inner: PartitionReaderFactory,
+    from: StructType,
+    ords: Array[Int]) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+    val r = inner.createReader(partition)
+    new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+      private val proj =
+        org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+          ords.toIndexedSeq.map(o =>
+            org.apache.spark.sql.catalyst.expressions.BoundReference(
+              o, from(o).dataType, from(o).nullable)))
+      override def next(): Boolean = r.next()
+      override def get(): org.apache.spark.sql.catalyst.InternalRow =
+        proj(r.get())
+      override def close(): Unit = r.close()
+    }
+  }
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val r = inner.createColumnarReader(partition)
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      override def next(): Boolean = r.next()
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+        val b = r.get()
+        new org.apache.spark.sql.vectorized.ColumnarBatch(
+          ords.map(b.column), b.numRows())
+      }
+      override def close(): Unit = r.close()
+    }
+  }
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    inner.supportColumnarReads(partition)
 }
 
 /** Carries the range-specific delegate factory with its partition, so the
@@ -216,6 +275,17 @@ object PruneGraftStreamColumns
           if r.stream.isInstanceOf[GraftTableMicroBatchStream] => r
     }
     if (graftRels.isEmpty) return plan
+    // authoritative reset for THIS plan: the stream serves exactly its
+    // relation's output unless the transform below narrows it. Without
+    // the reset, a previous plan's narrowing would leak into a later
+    // full-width plan over the same stream (e.g. two actions in one
+    // foreachBatch body) and under-deliver columns.
+    graftRels.foreach { r =>
+      r.stream.asInstanceOf[GraftTableMicroBatchStream]
+        .setRequiredSchema(StructType(r.output.map(a =>
+          org.apache.spark.sql.types.StructField(
+            a.name, a.dataType, a.nullable, a.metadata))))
+    }
     val prunable = graftRels.groupBy(_.stream).collect {
       case (_, Seq(only)) => only
     }.toSet

@@ -543,8 +543,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
     val pm = GraftCatalog.posDelMap(fs, dir, dels, dels.map(_._2).toSet)
     val df = GraftCatalog.readRawGrouped(
-      spark, dir, meta, pm.keys.toSeq.sorted)
-    GraftCatalog.posIdentityJoin(spark, dir, df, pm, "left_semi")
+      spark, dir, meta, pm.keys.toSeq.sorted, withIdentity = true)
+    GraftCatalog.posIdentityJoin(spark, dir, df, pm, "left_semi",
+      identityAttached = true)
   }
 
   /** Re-index a table's NEW files into an EXISTING bloom index: a
@@ -1265,7 +1266,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         partitionCols = cols
         props(set.property) = cols.mkString(",")
       case set: TableChange.SetProperty => props(set.property) = set.value
-      case rm: TableChange.RemoveProperty => props -= rm.property
+      case rm: TableChange.RemoveProperty =>
+        // UNSETting the spec property would leave the declared spec and
+        // the actual routing disagreeing (partitionCols survives the
+        // property) — evolution to unpartitioned is an explicit SET ''
+        require(rm.property != GraftCatalog.PartitionByProp ||
+            meta.partitionCols.isEmpty,
+          s"GraftCatalog: cannot UNSET ${GraftCatalog.PartitionByProp} on a " +
+            "partitioned table — evolve explicitly with SET " +
+            s"TBLPROPERTIES('${GraftCatalog.PartitionByProp}' = '')")
+        props -= rm.property
       case add: TableChange.AddColumn =>
         // parquet-native schema evolution: existing files simply lack the
         // column and the reader fills nulls — same mechanics Iceberg uses
@@ -1501,6 +1511,15 @@ object GraftCatalog {
   private[storage] def layoutOf(rel: String): Seq[String] =
     rel.split('/').dropRight(1).toSeq
       .filter(_.contains('=')).map(_.takeWhile(_ != '='))
+
+  /** The CURRENT spec's directory levels — what [[layoutOf]] returns for
+    * a file written today. One definition: the mixed-layout read grouping
+    * and the dynamic-overwrite guard must never disagree about it. */
+  private[storage] def currentLayout(meta: GraftTableMeta): Seq[String] =
+    meta.bucket match {
+      case Some((_, c)) => Seq(s"__bucket_$c")
+      case None => meta.partitionCols
+    }
 
   /** Table property selecting how SQL UPDATE / MERGE INTO execute
     * (Iceberg's property of the same name): `copy-on-write` (default) —
@@ -2079,7 +2098,7 @@ object GraftCatalog {
     }
     // session conf rides into the tasks — sidecars may live on a
     // filesystem only the session's Hadoop conf can resolve
-    val hconf = SerializableHadoopConf.capture()
+    val hconf = SerializableHadoopConf.capture(spark)
     val rdd = spark.sparkContext
       .parallelize(paths, math.max(1, math.min(paths.size, 32)))
       .flatMap { case (p, snap) =>
@@ -2113,17 +2132,16 @@ object GraftCatalog {
     * `left_anti` drops deleted rows (the read path); `left_semi` keeps
     * exactly them (the CDC feed). One definition so a path-normalization
     * fix can never reach one caller and miss the other. */
-  private[storage] def posIdentityJoin(
-      spark: SparkSession, dir: Path,
+  /** Attach the row's PHYSICAL identity — table-relative `__pfile` and
+    * parquet row index `__ppos` — to a df reading directly from files.
+    * Must be applied to a SINGLE file-source branch: `_metadata` columns
+    * do not propagate through a Union (Spark's `Union.metadataOutput` is
+    * empty), so a layout-grouped read attaches these per branch BEFORE
+    * unioning ([[readRawGrouped]] `withIdentity`). */
+  private[storage] def attachPosIdentity(
       df: org.apache.spark.sql.DataFrame,
-      posDels: Map[String, Array[Long]],
-      joinType: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col, concat, instr, lit, raise_error, when}
-    import spark.implicits._
-    val dirPath = dir.toUri.getPath.stripSuffix("/") + "/"
-    val delDf = posDels.toSeq
-      .flatMap { case (t, ps) => ps.map(p => (t, p)) }
-      .toDF("__pfile", "__ppos")
+      dirPath: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, concat, instr, lit, raise_error, when}
     // a normalization miss (instr = 0) must abort, never default: under
     // left_anti a garbage __pfile matches no delete and silently
     // RESURRECTS position-deleted rows — same loud-fail contract as the
@@ -2137,7 +2155,24 @@ object GraftCatalog {
         lit(s"' does not contain table dir '$dirPath' — path normalization" +
           " miss would silently keep deleted rows")))))
       .withColumn("__ppos", col("_metadata.row_index"))
-      .join(broadcast(delDf), Seq("__pfile", "__ppos"), joinType)
+  }
+
+  private[storage] def posIdentityJoin(
+      spark: SparkSession, dir: Path,
+      df: org.apache.spark.sql.DataFrame,
+      posDels: Map[String, Array[Long]],
+      joinType: String,
+      /** true when the caller already attached `__pfile`/`__ppos` per
+        * file-source branch (required for unioned mixed-layout reads). */
+      identityAttached: Boolean = false): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    import spark.implicits._
+    val dirPath = dir.toUri.getPath.stripSuffix("/") + "/"
+    val delDf = posDels.toSeq
+      .flatMap { case (t, ps) => ps.map(p => (t, p)) }
+      .toDF("__pfile", "__ppos")
+    val base = if (identityAttached) df else attachPosIdentity(df, dirPath)
+    base.join(broadcast(delDf), Seq("__pfile", "__ppos"), joinType)
       .drop("__pfile", "__ppos")
   }
 
@@ -2150,20 +2185,28 @@ object GraftCatalog {
     * set keeps the legacy read shape exactly. */
   private[storage] def readRawGrouped(
       spark: SparkSession, dir: Path, meta: GraftTableMeta,
-      files: Seq[String]): org.apache.spark.sql.DataFrame = {
+      files: Seq[String],
+      /** also attach `__pfile`/`__ppos` ([[attachPosIdentity]]) — done
+        * PER BRANCH because `_metadata` does not survive a Union. */
+      withIdentity: Boolean = false): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
     val prefix = dir.toString.stripSuffix("/") + "/"
+    val dirPath = dir.toUri.getPath.stripSuffix("/") + "/"
     val reader = spark.read.schema(meta.schema)
     def one(lay: Seq[String], fsq: Seq[String]) = {
       val paths = fsq.map(f => s"$prefix$f")
-      if (lay.isEmpty) reader.parquet(paths: _*)
-      else reader.option("basePath", dir.toString).parquet(paths: _*)
+      val df = if (lay.isEmpty) reader.parquet(paths: _*)
+        else reader.option("basePath", dir.toString).parquet(paths: _*)
+      if (withIdentity) attachPosIdentity(df, dirPath) else df
     }
     val groups = files.groupBy(layoutOf).toSeq.sortBy(_._1.mkString("/"))
     if (groups.size == 1) one(groups.head._1, groups.head._2)
-    else groups.map { case (l, fsq) =>
-      one(l, fsq).select(meta.schema.fieldNames.map(col).toSeq: _*)
-    }.reduce(_ union _)
+    else {
+      val cols = (meta.schema.fieldNames.toSeq ++
+        (if (withIdentity) Seq("__pfile", "__ppos") else Nil)).map(col)
+      groups.map { case (l, fsq) => one(l, fsq).select(cols: _*) }
+        .reduce(_ union _)
+    }
   }
 
   private[storage] def readFilesWithDeletes(
@@ -2174,13 +2217,15 @@ object GraftCatalog {
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
     // pending POSITION deletes (key-less merge-on-read): anti-join on the
-    // row's physical identity ([[posIdentityJoin]])
-    def applyPos(df: org.apache.spark.sql.DataFrame)
-        : org.apache.spark.sql.DataFrame =
+    // row's physical identity, attached per file-source branch because
+    // `_metadata` does not survive the mixed-layout Union
+    def read(fsq: Seq[String]): org.apache.spark.sql.DataFrame = {
+      val df = readRawGrouped(spark, dir, meta, fsq.sorted,
+        withIdentity = posDels.nonEmpty)
       if (posDels.isEmpty) df
-      else posIdentityJoin(spark, dir, df, posDels, "left_anti")
-    def read(fsq: Seq[String]): org.apache.spark.sql.DataFrame =
-      applyPos(readRawGrouped(spark, dir, meta, fsq.sorted))
+      else posIdentityJoin(spark, dir, df, posDels, "left_anti",
+        identityAttached = true)
+    }
     if (eqDels.isEmpty) read(files)
     else {
       val fsys = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2951,10 +2996,7 @@ private[storage] class GraftTable(
     // and union them; each file's partition values come from its own
     // path and its remaining columns from its data, so every group reads
     // complete rows of the table schema.
-    val curLayout = meta.bucket match {
-      case Some((_, c)) => Seq(s"__bucket_$c")
-      case None => meta.partitionCols
-    }
+    val curLayout = GraftCatalog.currentLayout(meta)
     pinnedFiles match {
       case Some(files) if files.nonEmpty && {
           val layouts = files.map(GraftCatalog.layoutOf).distinct
@@ -3122,10 +3164,7 @@ private[storage] class GraftBatchWrite(
         // rows into the "replaced" partition, so fail loudly (Iceberg's
         // dynamic overwrite has the same spec-drift hazard; rewrite the
         // legacy files to the current spec first)
-        val curLayout = meta.bucket match {
-          case Some((_, c)) => Seq(s"__bucket_$c")
-          case None => meta.partitionCols
-        }
+        val curLayout = GraftCatalog.currentLayout(meta)
         val offSpec = prior.filter(f => GraftCatalog.layoutOf(f) != curLayout)
         require(offSpec.isEmpty,
           s"GraftCatalog: dynamic partition overwrite on a partition-evolved " +
@@ -3181,10 +3220,13 @@ private[storage] final case class GraftWriterFactory(
     maxRowsPerFile: Long = 0L,
     bucket: Option[(Int, String)] = None) extends DataWriterFactory {
 
-  // captured on the driver (factories are built in createBatchWriterFactory)
-  // and shipped with the factory: executor-side filesystem resolution must
-  // see the session's Hadoop conf, not new Configuration()'s defaults
-  private val hconf = SerializableHadoopConf.capture()
+  // captured on the driver (factories are built in createBatchWriterFactory,
+  // where SparkSession.active is the write's session — the same source the
+  // neighboring parquetWriteConfs call uses) and shipped with the factory:
+  // executor-side filesystem resolution must see the session's Hadoop
+  // conf, not new Configuration()'s defaults
+  private val hconf =
+    SerializableHadoopConf.capture(org.apache.spark.sql.SparkSession.active)
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(

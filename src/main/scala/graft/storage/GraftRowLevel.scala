@@ -199,6 +199,15 @@ private[storage] final class CowScanBuilder(
       underlying.pruneColumns(parquetSchema)
       underlying.build()
     }
+    // The INITIAL build fixes the rewrite plan's output attribute order;
+    // every runtime-filter rebuild must keep producing rows in exactly
+    // that order. A mixed-layout initial build wraps canonically (to
+    // `requested`), so once mixed, EVERY rebuild wraps — even one whose
+    // pruned file set collapsed back to a single layout, whose bare
+    // delegate would move partition columns to the end and silently
+    // misalign rows with the already-planned output attributes.
+    val canonicalFromStart =
+      kept.map(GraftCatalog.layoutOf).distinct.size > 1
     def rebuild(files: Seq[String]): Scan = {
       // a partition-evolved table's rewrite set may span directory
       // layouts — plan one parquet delegate per layout group (a single
@@ -206,7 +215,7 @@ private[storage] final class CowScanBuilder(
       // canonically, exactly like the table read path
       val groups = files.groupBy(GraftCatalog.layoutOf).toSeq
         .sortBy(_._1.mkString("/"))
-      if (groups.size > 1) {
+      if (groups.size > 1 || (canonicalFromStart && files.nonEmpty)) {
         org.apache.spark.sql.graftshim.EvolvedUnionScan(
           groups.map { case (_, fsq) =>
             org.apache.spark.sql.graftshim.DeleteWrap.wrap(
@@ -224,7 +233,8 @@ private[storage] final class CowScanBuilder(
             Seq(empty.toString)
           }
         val scan = groupScan(servedPaths)
-        if (eqDelAtScan.isEmpty && posAtScan.isEmpty && metaRequested.isEmpty)
+        if (eqDelAtScan.isEmpty && posAtScan.isEmpty && metaRequested.isEmpty &&
+            !canonicalFromStart)
           scan
         else
           org.apache.spark.sql.graftshim.DeleteWrap.wrap(
@@ -581,7 +591,8 @@ private[storage] final case class GraftDeltaWriterFactory(
   // driver-captured session Hadoop conf: the delete-fragment writer opens
   // its own stream and must resolve the staging filesystem the same way
   // the data writer does (s3a, kerberized HDFS, custom fs.<scheme>.impl)
-  private val hconf = SerializableHadoopConf.capture()
+  private val hconf = SerializableHadoopConf.capture(
+    org.apache.spark.sql.SparkSession.active)
 
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] =
@@ -853,7 +864,8 @@ private[storage] final case class GraftPosDeltaWriterFactory(
     stagingDir: String)
   extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
 
-  private val hconf = SerializableHadoopConf.capture()
+  private val hconf = SerializableHadoopConf.capture(
+    org.apache.spark.sql.SparkSession.active)
 
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] =

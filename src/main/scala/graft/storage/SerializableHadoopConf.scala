@@ -38,9 +38,12 @@ private[graft] class SerializableHadoopConf(@transient var value: Configuration)
 }
 
 private[graft] object SerializableHadoopConf {
-  /** The driver-session conf, captured for executor use. Must be called
-    * on the driver (factory construction / plan time). */
-  def capture(): SerializableHadoopConf =
-    new SerializableHadoopConf(
-      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+  /** THE GIVEN session's conf, captured for executor use. Must be called
+    * on the driver (factory construction / plan time). Takes the session
+    * explicitly — `SparkSession.active` is a thread-local that can point
+    * at a different session than the one executing the write (cloned
+    * sessions, background threads), which would capture the wrong
+    * credentials/fs bindings. */
+  def capture(spark: org.apache.spark.sql.SparkSession): SerializableHadoopConf =
+    new SerializableHadoopConf(spark.sessionState.newHadoopConf())
 }

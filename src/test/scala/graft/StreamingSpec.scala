@@ -1119,6 +1119,96 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("graft-table streaming SOURCE over a PARTITIONED table: rows stay " +
+    "aligned with the declared column order (partition cols reordered by " +
+    "the delegate are projected back)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-part-wh").toString
+    spark.conf.set("spark.sql.catalog.partcat",
+      classOf[graft.storage.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.partcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS partcat.s")
+    // schema (id, region, v): region is the MIDDLE column and the
+    // partition column — the bare delegate reads (id, v, region), so an
+    // unprojected stream would serve v as region (silent corruption)
+    Seq((1L, "us", 10.0), (2L, "de", 20.0), (3L, "us", 30.0))
+      .toDF("id", "region", "v")
+      .writeTo("partcat.s.pt").using("parquet")
+      .partitionedBy(col("region")).createOrReplace()
+    val q = spark.readStream.format("graft-table")
+      .option("table", "partcat.s.pt")
+      .load()
+      .writeStream.format("memory").queryName("part_tail")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("part_tail").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .toSeq == Seq((1L, "us", 10.0), (2L, "de", 20.0), (3L, "us", 30.0)))
+      // a narrow projection ending ON the partition column: pruned AND
+      // aligned
+      Seq((4L, "fr", 40.0)).toDF("id", "region", "v")
+        .writeTo("partcat.s.pt").append()
+      q.processAllAvailable()
+      assert(spark.table("part_tail").count() == 4L)
+    } finally q.stop()
+    val q2 = spark.readStream.format("graft-table")
+      .option("table", "partcat.s.pt")
+      .load()
+      .select("id", "region")
+      .writeStream.format("memory").queryName("part_narrow")
+      .start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("part_narrow").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((1L, "us"), (2L, "de"), (3L, "us"), (4L, "fr")))
+    } finally q2.stop()
+  }
+
+  test("two actions over one foreachBatch df: a narrow first action must " +
+    "not leave a stale narrow schema for the full-width second") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-fb-wh").toString
+    spark.conf.set("spark.sql.catalog.fbcat",
+      classOf[graft.storage.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.fbcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS fbcat.s")
+    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "w", "v")
+      .writeTo("fbcat.s.fb").using("parquet").createOrReplace()
+    val narrow = new java.util.concurrent.atomic.AtomicLong(-1)
+    val full = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Double)]()
+    val q = spark.readStream.format("graft-table")
+      .option("table", "fbcat.s.fb")
+      .load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        // action 1: narrow plan — the prune rule narrows the stream
+        narrow.set(df.select("w").count())
+        // action 2: full width — re-planned; the rule must RESET the
+        // stream's requirement or rows arrive one column wide
+        df.collect().foreach(r =>
+          full.add((r.getLong(0), r.getString(1), r.getDouble(2))))
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(narrow.get() == 2L)
+      import scala.jdk.CollectionConverters._
+      assert(full.asScala.toSeq.sorted ==
+        Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+      // the narrowing from batch 1's first action must not leak into
+      // batch 2's OWN source planning (full-width, no Project) — without
+      // the per-plan reset the next batch reads one-column rows into a
+      // three-attribute relation
+      Seq((3L, "c", 3.0)).toDF("id", "w", "v")
+        .writeTo("fbcat.s.fb").append()
+      q.processAllAvailable()
+      assert(narrow.get() == 1L)
+      assert(full.asScala.toSeq.sorted ==
+        Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+    } finally q.stop()
+  }
+
   test("sinkMergeMor under sustained load: N micro-batches fold to the " +
     "batch answer, sidecars accumulate one per delta commit, and " +
     "targeted delete compaction folds them with results unchanged") {

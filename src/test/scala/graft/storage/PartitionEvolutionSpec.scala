@@ -180,6 +180,80 @@ class PartitionEvolutionSpec extends SparkSpec {
       Seq((2L, "de"), (9L, "us")))
   }
 
+  test("runtime group filtering that collapses a mixed rewrite scan to " +
+    "ONE layout keeps the planned column order — no row misalignment") {
+    wh
+    // the OLD spec (region, day) and the NEW single-column spec (region)
+    // share `region`, so the runtime In(region, ...) filter (single
+    // attribute — translatable; a multi-attribute struct-IN is declined
+    // conservatively) CAN prune every legacy file and collapse the
+    // rewrite scan to the new layout alone — whose bare delegate would
+    // move the partition column to the end and misalign rows with the
+    // output attributes planned from the mixed initial scan
+    Seq((1L, "r1", "d1", 10.0), (2L, "r2", "d1", 20.0))
+      .toDF("id", "region", "day", "v")
+      .writeTo("evocat.s.e8").using("parquet")
+      .partitionedBy($"region", $"day").createOrReplace()
+    evolve("e8", "region")
+    Seq((3L, "r9", "d2", 30.0), (4L, "r9", "d3", 40.0))
+      .toDF("id", "region", "day", "v").writeTo("evocat.s.e8").append()
+    spark.catalog.refreshTable("evocat.s.e8")
+    assert(manifestFiles("e8").map(GraftCatalog.layoutOf).distinct.size == 2)
+    // copy-on-write MERGE matching ONLY region=r9 rows
+    Seq((3L, 300.0), (4L, 400.0)).toDF("id", "nv")
+      .createOrReplaceTempView("e8_up")
+    spark.sql("""MERGE INTO evocat.s.e8 t USING e8_up s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.nv""")
+    spark.catalog.refreshTable("evocat.s.e8")
+    assert(spark.table("evocat.s.e8").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getDouble(3))).toSeq ==
+      Seq((1L, "r1", "d1", 10.0), (2L, "r2", "d1", 20.0),
+        (3L, "r9", "d2", 300.0), (4L, "r9", "d3", 400.0)))
+    // the cold legacy partitions were runtime-pruned, not rewritten
+    assert(manifestFiles("e8").exists(f =>
+      GraftCatalog.layoutOf(f) == Seq("region", "day")),
+      "legacy files outside the matched partitions must survive untouched")
+  }
+
+  test("position deletes spanning BOTH layouts: the CDC feed and targeted " +
+    "compaction work over the mixed-layout union read") {
+    wh
+    Seq((1L, "us", "a"), (2L, "de", "b")).toDF("id", "region", "w")
+      .repartition(1)
+      .writeTo("evocat.s.e9").using("parquet")
+      .tableProperty(GraftCatalog.MergeModeProp, "merge-on-read")
+      .createOrReplace()
+    evolve("e9", "region")
+    Seq((3L, "fr", "c"), (4L, "us", "d")).toDF("id", "region", "w")
+      .writeTo("evocat.s.e9").append()
+    spark.catalog.refreshTable("evocat.s.e9")
+    val snapBefore = {
+      val (fs, dir) = {
+        val d = new Path(s"$wh/s/e9")
+        (d.getFileSystem(spark.sparkContext.hadoopConfiguration), d)
+      }
+      GraftCatalog.latestSnapshot(fs, dir)
+    }
+    // one DELETE targeting rows in BOTH layouts (untranslatable conjunct
+    // forces the row-level position-delta path)
+    spark.sql(
+      "DELETE FROM evocat.s.e9 WHERE id IN (2, 3) AND length(w) > 0")
+    spark.catalog.refreshTable("evocat.s.e9")
+    assert(spark.table("evocat.s.e9").select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 4L))
+    // the CDC feed reads the deleted rows through the mixed-layout union
+    val fed = cat.deletedRows(spark, "s.e9", snapBefore, snapBefore + 1)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(fed == Seq(2L, 3L), s"CDC feed over mixed layouts: $fed")
+    // targeted compaction folds both layouts' deletes in
+    val (rew, _) = cat.compactDeletes(spark, "s.e9")
+    assert(rew >= 1)
+    spark.catalog.refreshTable("evocat.s.e9")
+    assert(spark.table("evocat.s.e9").select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 4L))
+  }
+
   test("evolution is rejected for bucketed tables, unknown columns, and " +
     "reserved names") {
     wh
