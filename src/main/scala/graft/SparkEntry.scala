@@ -91,11 +91,14 @@ object SparkEntry {
     // the same end state with CASE arithmetic over the raw documents.
     "q_merge_mor" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft-qmor").toString
-      s.conf.set("spark.sql.catalog.qmor",
-        classOf[graft.storage.GraftCatalog].getName)
-      s.conf.set("spark.sql.catalog.qmor.warehouse", wh)
+      // one warehouse per session (the catalog instance is cached by
+      // name; createOrReplace keeps reruns fresh)
+      if (s.conf.getOption("spark.sql.catalog.qmor").isEmpty) {
+        s.conf.set("spark.sql.catalog.qmor",
+          classOf[graft.storage.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.qmor.warehouse",
+          java.nio.file.Files.createTempDirectory("graft-qmor").toString)
+      }
       s.sql("CREATE NAMESPACE IF NOT EXISTS qmor.s")
       val d = docs(s, dir).select(
         coalesce(col("doc_id"), lit(-1L)).alias("doc_id"),
@@ -167,11 +170,14 @@ object SparkEntry {
     // state with CASE arithmetic over the raw documents.
     "q_merge_pos" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft-qpos").toString
-      s.conf.set("spark.sql.catalog.qpos",
-        classOf[graft.storage.GraftCatalog].getName)
-      s.conf.set("spark.sql.catalog.qpos.warehouse", wh)
+      // one warehouse per session (the catalog instance is cached by
+      // name; createOrReplace keeps reruns fresh)
+      if (s.conf.getOption("spark.sql.catalog.qpos").isEmpty) {
+        s.conf.set("spark.sql.catalog.qpos",
+          classOf[graft.storage.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.qpos.warehouse",
+          java.nio.file.Files.createTempDirectory("graft-qpos").toString)
+      }
       s.sql("CREATE NAMESPACE IF NOT EXISTS qpos.s")
       val d = docs(s, dir).select(
         coalesce(col("doc_id"), lit(-1L)).alias("doc_id"),
