@@ -285,7 +285,15 @@ private[storage] final class GroupFilterableScan(
 
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    meta.partitionCols.filter(meta.schema.fieldNames.contains)
+    // report ONE attribute, not all: Spark builds a single
+    // struct(attrs...) IN subquery over everything reported, and its
+    // runtime-filter translation rejects struct-IN outright ("Can't
+    // translate named_struct(...) IN subquery", DataSourceV2Strategy) —
+    // a multi-column report silently disables group filtering on exactly
+    // the multi-level-partitioned tables that benefit most. The leading
+    // partition column is the coarsest level; its single-column IN
+    // translates and prunes whole top-level partitions.
+    meta.partitionCols.filter(meta.schema.fieldNames.contains).take(1)
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
       .toArray
 

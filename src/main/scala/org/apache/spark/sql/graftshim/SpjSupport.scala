@@ -325,12 +325,29 @@ final case class KeyedScan(
     val parts = delegate.toBatch.planInputPartitions()
     val mode = delegate.sparkSession.conf
       .get("spark.sql.graft.spj.preserveDataGrouping", "auto")
+    // The partition key comes from each file's PATH, not from
+    // PartitionedFile.partitionValues: those rows match the delegate's
+    // READ partition schema, which is empty whenever column pruning
+    // dropped the partition columns (`filter(v).count()`) and ALWAYS
+    // empty for derived `__bucket_*` levels (never part of the table
+    // schema) — projecting the full partition schema out of such a row
+    // read undefined memory (an Unsafe crash on string columns, garbage
+    // keys on primitives). The catalog's layout guarantees every dir
+    // level is `name=value` with the value recoverable from the path
+    // (GraftDataWriter), so the path IS the authoritative key; any file
+    // that fails to parse declines grouping for the whole scan.
     if (mode == "false" || !parts.forall(_.isInstanceOf[FilePartition])) Left(parts)
     else {
       val fileParts = parts.map(_.asInstanceOf[FilePartition])
       val proj = UnsafeProjection.create(partitionSchema)
-      val grouped = fileParts.flatMap(_.files)
-        .groupBy(f => proj(f.partitionValues).copy())
+      val keysByFile = fileParts.flatMap(_.files).map { f =>
+        f -> KeyedScan.pathPartitionKey(
+          f.filePath.toString, partitionSchema, proj)
+      }
+      if (keysByFile.exists(_._2.isEmpty)) Left(parts)
+      else {
+      val grouped = keysByFile
+        .groupBy(_._2.get).view.mapValues(_.map(_._1)).toMap
       val shouldGroup = mode == "true" ||
         grouped.size >= delegate.sparkSession.sparkContext.defaultParallelism ||
         parts.length <= grouped.size
@@ -353,6 +370,7 @@ final case class KeyedScan(
             }
         })
       }
+      }
     }
   }
 
@@ -369,6 +387,61 @@ final case class KeyedScan(
         .map(_.asInstanceOf[KeyedFilePartition].key).toSet.size
       new KeyGroupedPartitioning(keys.toArray, numKeys)
     case _ => new UnknownPartitioning(0)
+  }
+}
+
+object KeyedScan {
+  import org.apache.spark.sql.types._
+
+  /** The file's partition key parsed from its PATH: one `name=value` dir
+    * level per `partitionSchema` field, hive-unescaped and cast to the
+    * field type, projected to an UnsafeRow via `proj` (create once per
+    * scan). None when any level is missing or unparseable — the caller
+    * must then decline key grouping rather than guess. */
+  private[graftshim] def pathPartitionKey(
+      path: String,
+      partitionSchema: StructType,
+      proj: UnsafeProjection): Option[UnsafeRow] = {
+    val levels = path.split('/').dropRight(1)
+      .filter(_.contains('='))
+      .map { seg =>
+        val i = seg.indexOf('=')
+        seg.substring(0, i) -> seg.substring(i + 1)
+      }.toMap
+    val values = new Array[Any](partitionSchema.length)
+    var ok = true
+    partitionSchema.fields.zipWithIndex.foreach { case (f, i) =>
+      levels.get(f.name) match {
+        case None => ok = false
+        case Some(raw) =>
+          val unescaped = Shims.unescapePathName(raw)
+          if (unescaped == Shims.defaultPartitionName) values(i) = null
+          else try {
+            values(i) = f.dataType match {
+              case StringType =>
+                org.apache.spark.unsafe.types.UTF8String.fromString(unescaped)
+              case IntegerType => unescaped.toInt
+              case LongType => unescaped.toLong
+              case ShortType => unescaped.toShort
+              case ByteType => unescaped.toByte
+              case BooleanType => unescaped.toBoolean
+              case DoubleType => unescaped.toDouble
+              case FloatType => unescaped.toFloat
+              case _: DecimalType =>
+                org.apache.spark.sql.types.Decimal(BigDecimal(unescaped))
+              case DateType =>
+                org.apache.spark.sql.catalyst.util.DateTimeUtils
+                  .stringToDate(
+                    org.apache.spark.unsafe.types.UTF8String.fromString(unescaped))
+                  .getOrElse { ok = false; null }
+              case _ => ok = false; null
+            }
+          } catch { case _: IllegalArgumentException => ok = false }
+      }
+    }
+    if (!ok) None
+    else Some(proj(new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(values)).copy())
   }
 }
 

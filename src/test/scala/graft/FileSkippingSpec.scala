@@ -973,6 +973,33 @@ class FileSkippingSpec extends SparkSpec {
       "the hot partition's files must have been replaced")
   }
 
+  test("runtime group filtering on a MULTI-LEVEL partitioned table: the " +
+    "leading partition column still prunes (a multi-attribute report " +
+    "becomes an untranslatable struct-IN and disables filtering)") {
+    wh
+    import spark.implicits._
+    // (p, q) two-level layout; matches live only under p=p1
+    (1 to 60).map(i => (i.toLong, i * 10L, s"p${i % 3}", s"q${i % 2}"))
+      .toDF("id", "v", "p", "q").repartition(2)
+      .writeTo("skipcat.s.rgfm2").using("parquet")
+      .partitionedBy(col("p"), col("q")).createOrReplace()
+    val dir = new org.apache.hadoop.fs.Path(s"$wh/s/rgfm2")
+    val fsys = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = GraftCatalog.liveDataFiles(fsys, dir)
+    val coldBefore = before.filterNot(_.startsWith("p=p1/")).toSet
+    assert(coldBefore.nonEmpty)
+    Seq((1L, -1L), (4L, -4L), (7L, -7L)).toDF("id", "v")
+      .createOrReplaceTempView("rgfm2_src")
+    spark.sql("""MERGE INTO skipcat.s.rgfm2 t USING rgfm2_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.v""")
+    spark.catalog.refreshTable("skipcat.s.rgfm2")
+    assert(spark.table("skipcat.s.rgfm2").filter(col("v") < 0).count() === 3)
+    assert(spark.table("skipcat.s.rgfm2").count() === 60)
+    val after = GraftCatalog.liveDataFiles(fsys, dir).toSet
+    assert(coldBefore.subsetOf(after),
+      s"p!=p1 files must survive byte-identical:\n lost ${coldBefore -- after}")
+  }
+
   test("runtime group filtering: an insert-only MERGE (source matches " +
     "nothing) filters the scan to zero files and rewrites nothing") {
     wh

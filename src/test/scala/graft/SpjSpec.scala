@@ -233,6 +233,25 @@ class SpjSpec extends SparkSpec {
     assert(dirs.exists(_.startsWith("__bucket_id=")), s"unexpected layout: $dirs")
   }
 
+  test("a read that PRUNES the partition columns away declines key " +
+    "grouping instead of projecting garbage partition values") {
+    wh
+    withSpjConf {
+      // partitionValues rows match the READ partition schema — empty when
+      // the query needs no partition column; the grouping projection over
+      // the table's full partition schema then read out of bounds
+      // (crashed with an Unsafe IllegalArgumentException before the fix)
+      val narrow = spark.table("graftspj.db.wide_files")
+        .filter(col("id") > 0).agg(count(lit(1))).head.getLong(0)
+      assert(narrow == 64L)
+      // with the partition column in the output, grouping still reports
+      val keyed = spark.table("graftspj.db.wide_files")
+        .groupBy("k").agg(count(lit(1)).as("c"))
+        .orderBy("k").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      assert(keyed == Seq((0, 32L), (1, 32L)))
+    }
+  }
+
   test("single-table reads keep pushdown through the keyed scan") {
     wh
     val q = spark.table("graftspj.db.facts_b").filter(col("k") === 2).select("rid")
