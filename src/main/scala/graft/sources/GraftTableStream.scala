@@ -260,7 +260,15 @@ private[sources] final case class GraftStreamPartition(
   * in MORE than one relation node of the plan (self-join) is left
   * full-width — one shared mutable requirement cannot serve two
   * different prunings. Correctness is unaffected either way; this is
-  * purely an IO-width optimization. */
+  * purely an IO-width optimization.
+  *
+  * Scope: the requirement is one mutable slot per stream, written at
+  * plan time and read at batch planning — correct for the engine's own
+  * per-batch plan and for SEQUENTIAL user actions (each re-plan resets
+  * it first). Concurrent actions racing over one foreachBatch df would
+  * race the slot like they race any per-stream state; Spark's own
+  * foreachBatch contract treats the batch df as a single-threaded
+  * handle. */
 object PruneGraftStreamColumns
   extends org.apache.spark.sql.catalyst.rules.Rule[
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {

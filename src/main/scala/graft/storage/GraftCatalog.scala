@@ -544,8 +544,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val pm = GraftCatalog.posDelMap(fs, dir, dels, dels.map(_._2).toSet)
     val df = GraftCatalog.readRawGrouped(
       spark, dir, meta, pm.keys.toSeq.sorted, withIdentity = true)
-    GraftCatalog.posIdentityJoin(spark, dir, df, pm, "left_semi",
-      identityAttached = true)
+    GraftCatalog.posIdentityJoin(spark, df, pm, "left_semi")
   }
 
   /** Re-index a table's NEW files into an EXISTING bloom index: a
@@ -1269,9 +1268,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       case rm: TableChange.RemoveProperty =>
         // UNSETting the spec property would leave the declared spec and
         // the actual routing disagreeing (partitionCols survives the
-        // property) — evolution to unpartitioned is an explicit SET ''
+        // property) — evolution to unpartitioned is an explicit SET ''.
+        // Tested against the RUNNING spec, not the pre-change meta: a
+        // SET+UNSET pair in one ALTER must see the SET's effect.
         require(rm.property != GraftCatalog.PartitionByProp ||
-            meta.partitionCols.isEmpty,
+            partitionCols.isEmpty,
           s"GraftCatalog: cannot UNSET ${GraftCatalog.PartitionByProp} on a " +
             "partitioned table — evolve explicitly with SET " +
             s"TBLPROPERTIES('${GraftCatalog.PartitionByProp}' = '')")
@@ -2158,21 +2159,22 @@ object GraftCatalog {
   }
 
   private[storage] def posIdentityJoin(
-      spark: SparkSession, dir: Path,
+      spark: SparkSession,
       df: org.apache.spark.sql.DataFrame,
       posDels: Map[String, Array[Long]],
-      joinType: String,
-      /** true when the caller already attached `__pfile`/`__ppos` per
-        * file-source branch (required for unioned mixed-layout reads). */
-      identityAttached: Boolean = false): org.apache.spark.sql.DataFrame = {
+      joinType: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     import spark.implicits._
-    val dirPath = dir.toUri.getPath.stripSuffix("/") + "/"
+    // the identity must already ride the df — attached PER FILE-SOURCE
+    // BRANCH ([[attachPosIdentity]] / [[readRawGrouped]] withIdentity),
+    // because `_metadata` does not survive a Union and a join-side
+    // attach here would silently fail on mixed-layout reads
+    require(df.columns.contains("__pfile") && df.columns.contains("__ppos"),
+      "posIdentityJoin: attach __pfile/__ppos per file-source branch first")
     val delDf = posDels.toSeq
       .flatMap { case (t, ps) => ps.map(p => (t, p)) }
       .toDF("__pfile", "__ppos")
-    val base = if (identityAttached) df else attachPosIdentity(df, dirPath)
-    base.join(broadcast(delDf), Seq("__pfile", "__ppos"), joinType)
+    df.join(broadcast(delDf), Seq("__pfile", "__ppos"), joinType)
       .drop("__pfile", "__ppos")
   }
 
@@ -2223,8 +2225,7 @@ object GraftCatalog {
       val df = readRawGrouped(spark, dir, meta, fsq.sorted,
         withIdentity = posDels.nonEmpty)
       if (posDels.isEmpty) df
-      else posIdentityJoin(spark, dir, df, posDels, "left_anti",
-        identityAttached = true)
+      else posIdentityJoin(spark, df, posDels, "left_anti")
     }
     if (eqDels.isEmpty) read(files)
     else {
@@ -2252,24 +2253,51 @@ object GraftCatalog {
     * whole-partition DELETE takes the pure metadata path (drop-partition
     * in manifest time). Bucket dir levels (`__bucket_*`) are skipped —
     * they are derived routing, not schema columns. */
+  /** Parse one partition-dir raw value — the exact inverse of
+    * `GraftDataWriter.partValue`, the ONE definition every path-reading
+    * consumer shares (SPJ key grouping, virtual partition-path stats).
+    * `Some(null)` for the hive null sentinel; `Some(<catalyst value>)`
+    * for the writer-emittable types (UTF8String, integrals, Boolean,
+    * DateType as epoch-day Int); None when the text doesn't parse or the
+    * type cannot ride a dir level — callers must then stay conservative
+    * (decline grouping / claim no stat), never guess. Public because the
+    * SPJ shim lives under the org.apache.spark.sql package tree. */
+  def parsePartValue(
+      raw: String,
+      dt: org.apache.spark.sql.types.DataType): Option[Any] = {
+    import org.apache.spark.sql.types._
+    if (raw == org.apache.spark.sql.graftshim.Shims.defaultPartitionName)
+      Some(null)
+    else dt match {
+      case StringType => Some(org.apache.spark.unsafe.types.UTF8String
+        .fromString(org.apache.spark.sql.graftshim.Shims.unescapePathName(raw)))
+      case IntegerType => raw.toIntOption
+      case LongType => raw.toLongOption
+      case ShortType => raw.toShortOption
+      case ByteType => raw.toByteOption
+      case BooleanType => raw.toBooleanOption
+      case DateType =>
+        scala.util.Try(java.time.LocalDate.parse(raw).toEpochDay.toInt).toOption
+      case _ => None
+    }
+  }
+
   private[storage] def partitionPathStats(
       relPath: String, meta: GraftTableMeta): Map[String, ColStat] =
     relPath.split("/").dropRight(1).flatMap { seg =>
       seg.split("=", 2) match {
         case Array(c, raw) if meta.partitionCols.contains(c) && !c.startsWith("__bucket_") =>
           meta.schema.fields.find(_.name == c).flatMap { fld =>
-            import org.apache.spark.sql.types._
-            if (raw == org.apache.spark.sql.graftshim.Shims.defaultPartitionName)
-              Some(c -> ColStat("n", 1L, "", ""))
-            else fld.dataType match {
-              case StringType =>
-                val v = org.apache.spark.sql.graftshim.Shims.unescapePathName(raw)
-                Some(c -> ColStat("s", 0L, v, v))
-              case ByteType | ShortType | IntegerType | LongType =>
-                raw.toLongOption.map(v => c -> ColStat("l", 0L, v.toString, v.toString))
-              case DateType =>
-                scala.util.Try(java.time.LocalDate.parse(raw).toEpochDay).toOption
-                  .map(d => c -> ColStat("l", 0L, d.toString, d.toString))
+            parsePartValue(raw, fld.dataType).flatMap {
+              case null => Some(c -> ColStat("n", 1L, "", ""))
+              case u: org.apache.spark.unsafe.types.UTF8String =>
+                Some(c -> ColStat("s", 0L, u.toString, u.toString))
+              case n @ (_: Byte | _: Short | _: Int | _: Long) =>
+                // IntegerType/LongType/…, and DateType's epoch-day Int —
+                // all compare in the numeric value domain
+                Some(c -> ColStat("l", 0L, n.toString, n.toString))
+              // Boolean: FileStatsPruning has no boolean stat kind —
+              // no stat means conservative keep, never a wrong prune
               case _ => None
             }
           }

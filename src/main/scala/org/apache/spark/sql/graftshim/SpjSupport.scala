@@ -394,10 +394,12 @@ object KeyedScan {
   import org.apache.spark.sql.types._
 
   /** The file's partition key parsed from its PATH: one `name=value` dir
-    * level per `partitionSchema` field, hive-unescaped and cast to the
-    * field type, projected to an UnsafeRow via `proj` (create once per
-    * scan). None when any level is missing or unparseable — the caller
-    * must then decline key grouping rather than guess. */
+    * level per `partitionSchema` field, value decoding shared with the
+    * stats path ([[graft.storage.GraftCatalog.parsePartValue]] — the one
+    * inverse of the writer's dir encoding), projected to an UnsafeRow
+    * via `proj` (create once per scan). None when any level is missing
+    * or unparseable — the caller must then decline key grouping rather
+    * than guess. */
   private[graftshim] def pathPartitionKey(
       path: String,
       partitionSchema: StructType,
@@ -411,32 +413,10 @@ object KeyedScan {
     val values = new Array[Any](partitionSchema.length)
     var ok = true
     partitionSchema.fields.zipWithIndex.foreach { case (f, i) =>
-      levels.get(f.name) match {
+      levels.get(f.name)
+        .flatMap(raw => graft.storage.GraftCatalog.parsePartValue(raw, f.dataType)) match {
+        case Some(v) => values(i) = v
         case None => ok = false
-        case Some(raw) =>
-          val unescaped = Shims.unescapePathName(raw)
-          if (unescaped == Shims.defaultPartitionName) values(i) = null
-          else try {
-            values(i) = f.dataType match {
-              case StringType =>
-                org.apache.spark.unsafe.types.UTF8String.fromString(unescaped)
-              case IntegerType => unescaped.toInt
-              case LongType => unescaped.toLong
-              case ShortType => unescaped.toShort
-              case ByteType => unescaped.toByte
-              case BooleanType => unescaped.toBoolean
-              case DoubleType => unescaped.toDouble
-              case FloatType => unescaped.toFloat
-              case _: DecimalType =>
-                org.apache.spark.sql.types.Decimal(BigDecimal(unescaped))
-              case DateType =>
-                org.apache.spark.sql.catalyst.util.DateTimeUtils
-                  .stringToDate(
-                    org.apache.spark.unsafe.types.UTF8String.fromString(unescaped))
-                  .getOrElse { ok = false; null }
-              case _ => ok = false; null
-            }
-          } catch { case _: IllegalArgumentException => ok = false }
       }
     }
     if (!ok) None

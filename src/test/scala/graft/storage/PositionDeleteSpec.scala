@@ -502,15 +502,18 @@ class PositionDeleteSpec extends SparkSpec {
     createPos("p10", Seq((1L, "a"), (2L, "b")))
     val (_, dir) = fsDir("p10")
     val raw = spark.read.parquet(dir.toString)
+    def dirPath(d: Path): String = d.toUri.getPath.stripSuffix("/") + "/"
     // correct dir: the join resolves and drops the targeted position
-    val ok = GraftCatalog.posIdentityJoin(spark, dir, raw,
+    val ok = GraftCatalog.posIdentityJoin(spark,
+      GraftCatalog.attachPosIdentity(raw, dirPath(dir)),
       Map(manifestFiles("p10").head -> Array(0L)), "left_anti")
     assert(ok.count() == 1L)
     // a dir that can never prefix the metadata path: the old spelling
     // sliced substr(0 + len) garbage and silently kept every deleted row;
     // the guard must abort the scan instead
     val bad = GraftCatalog.posIdentityJoin(spark,
-      new Path("/graft-no-such-warehouse/elsewhere"), raw,
+      GraftCatalog.attachPosIdentity(raw,
+        dirPath(new Path("/graft-no-such-warehouse/elsewhere"))),
       Map(manifestFiles("p10").head -> Array(0L)), "left_anti")
     val e = intercept[Exception] { bad.collect() }
     def messages(t: Throwable): Seq[String] =
