@@ -265,6 +265,31 @@ class PartitionEvolutionSpec extends SparkSpec {
     assert(res.getMessage.toLowerCase.contains("reserved"))
   }
 
+  test("plan shape: a mixed-layout read plans the per-layout union scan, " +
+    "a uniform table keeps the stock single-delegate scan") {
+    wh
+    Seq((1L, "us", 1.0)).toDF("id", "region", "v").repartition(1)
+      .writeTo("evocat.s.e10").using("parquet").createOrReplace()
+    evolve("e10", "region")
+    Seq((2L, "de", 2.0)).toDF("id", "region", "v")
+      .writeTo("evocat.s.e10").append()
+    spark.catalog.refreshTable("evocat.s.e10")
+    def scanDesc(t: String): String =
+      spark.table(t).filter($"v" > 0).queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.description()
+      }.head
+    val mixed = scanDesc("evocat.s.e10")
+    assert(mixed.contains("PartitionEvolvedUnion(2 layouts"),
+      s"expected the per-layout union scan, got: ${mixed.take(200)}")
+    // migrate everything to the current spec: the union scan retires
+    spark.table("evocat.s.e10").writeTo("evocat.s.e10").overwrite(lit(true))
+    spark.catalog.refreshTable("evocat.s.e10")
+    val uniform = scanDesc("evocat.s.e10")
+    assert(!uniform.contains("PartitionEvolvedUnion"),
+      s"a uniform table must keep the stock scan, got: ${uniform.take(200)}")
+  }
+
   test("time travel: a snapshot before the evolution still reads, and an " +
     "incremental range spanning the evolution serves both layouts") {
     wh
