@@ -23,13 +23,24 @@ for path in sorted(glob.glob(os.path.join(root, "BENCH_r*.json"))):
     best = None
     for m in re.finditer(r'\{"metric":"total".*?\}\}', tail):
         best = m.group(0)
-    if best is None:
-        continue
-    try:
-        line = json.loads(best)
-    except json.JSONDecodeError:
-        continue
-    qs = line.get("queries")
+    qs = None
+    if best is not None:
+        try:
+            qs = json.loads(best).get("queries")
+        except json.JSONDecodeError:
+            pass
+    if qs is None:
+        # The driver keeps only the last ~2000 chars of output, which can cut
+        # off the {"metric":"total" prefix. The queries map is flat (no nested
+        # objects), so the LAST '"queries":{...}' block parses on its own.
+        last = None
+        for m in re.finditer(r'"queries":(\{[^{}]*\})', tail):
+            last = m.group(1)
+        if last is not None:
+            try:
+                qs = json.loads(last)
+            except json.JSONDecodeError:
+                pass
     if isinstance(qs, dict) and qs:
         rounds[n] = qs
 out = os.path.join(root, "tools", "bench_history.json")
