@@ -92,11 +92,37 @@ object EvolutionBench {
         .using("parquet").partitionedBy(col("region")).createOrReplace()
     }
 
+    // ── closing the loop: TARGETED migration (rewrite only the legacy
+    // half) vs a FULL compact (rewrite everything) on two identically
+    // evolved half-flat/half-dir tables — the price of restoring DPO/
+    // pushdown/SPJ should be the legacy set, not the table ──────────────
+    def evolvedTable(name: String): Unit = {
+      rows(0, n / 2).repartition(files / 2)
+        .writeTo(s"evb.s.$name").using("parquet").createOrReplace()
+      spark.sql(s"""ALTER TABLE evb.s.$name SET TBLPROPERTIES
+          ('${GraftCatalog.PartitionByProp}' = 'region')""")
+      rows(n / 2, n).repartition(files / 2).writeTo(s"evb.s.$name").append()
+      spark.catalog.refreshTable(s"evb.s.$name")
+    }
+    evolvedTable("mig")
+    val (tMigrate, migRep) = time {
+      spark.sql("CALL evb.system.migrate_layout('s.mig', 4)").head
+    }
+    evolvedTable("cmp")
+    val (tCompact, _) = time {
+      spark.sql("CALL evb.system.compact('s.cmp', 4)").head
+    }
+    spark.catalog.refreshTable("evb.s.mig")
+    val migSum = spark.table("evb.s.mig").agg(sum("v")).head.getLong(0)
+    require(migSum == aggU, s"migrate_layout changed content: $migSum vs $aggU")
+
     require(aggU == aggE, s"uniform/evolved aggregate mismatch: $aggU vs $aggE")
     require(filU == filE, s"uniform/evolved filter mismatch: $filU vs $filE")
     println(
       s"""{"bench":"evolution","n":$n,"files":$files,""" +
       s""""evolve_s":${f"$tEvolve%.3f"},"rewrite_half_s":${f"$tRewrite%.3f"},""" +
+      s""""migrate_legacy_s":${f"$tMigrate%.3f"},"full_compact_s":${f"$tCompact%.3f"},""" +
+      s""""migrated_files":${migRep.getInt(0)},"kept_files":${migRep.getInt(1)},""" +
       s""""agg_uniform_s":${f"$tAggU%.3f"},"agg_evolved_s":${f"$tAggE%.3f"},""" +
       s""""filter_uniform_s":${f"$tFilU%.3f"},"filter_evolved_s":${f"$tFilE%.3f"}}""")
     spark.stop()

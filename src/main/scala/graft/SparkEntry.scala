@@ -149,15 +149,83 @@ object SparkEntry {
       }
       s.sql("CREATE NAMESPACE IF NOT EXISTS qevo.s")
       val d = docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
-      d.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      // null-safe split key: both pmod predicates are NULL for null
+      // doc_id, which would land those rows in NEITHER append while the
+      // oracle keeps them — coalesce so the two writes partition ALL rows
+      val splitKey = pmod(coalesce(col("doc_id"), lit(-1L)), lit(3))
+      d.filter(splitKey =!= 0)
         .writeTo("qevo.s.t").using("parquet").createOrReplace()
       s.sql("ALTER TABLE qevo.s.t SET TBLPROPERTIES " +
         s"('${graft.storage.GraftCatalog.PartitionByProp}' = 'source')")
-      d.filter(pmod(col("doc_id"), lit(3)) === 0)
+      d.filter(splitKey === 0)
         .writeTo("qevo.s.t").append()
       s.catalog.refreshTable("qevo.s.t")
       s.table("qevo.s.t")
         .filter(pmod(col("n_chars"), lit(2)) === 0)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+    // METADATA-ONLY AGGREGATES OVER A MIXED LAYOUT, driver-verified:
+    // count/min/max on a partition-evolved table answer from per-layout-
+    // group manifest stats (each group contributes partial rows; Spark's
+    // final aggregate folds them — no data file is opened; plan shape
+    // pinned in PartitionEvolutionSpec). The oracle recomputes the same
+    // aggregates off the raw documents.
+    "q_evolution_agg" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      if (s.conf.getOption("spark.sql.catalog.qevoa").isEmpty) {
+        s.conf.set("spark.sql.catalog.qevoa",
+          classOf[graft.storage.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.qevoa.warehouse",
+          java.nio.file.Files.createTempDirectory("graft-qevoa").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS qevoa.s")
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+      val splitKey = pmod(coalesce(col("doc_id"), lit(-1L)), lit(3))
+      d.filter(splitKey =!= 0)
+        .writeTo("qevoa.s.t").using("parquet").createOrReplace()
+      s.sql("ALTER TABLE qevoa.s.t SET TBLPROPERTIES " +
+        s"('${graft.storage.GraftCatalog.PartitionByProp}' = 'source')")
+      d.filter(splitKey === 0).writeTo("qevoa.s.t").append()
+      s.catalog.refreshTable("qevoa.s.t")
+      s.table("qevoa.s.t").agg(
+        count(lit(1)).as("c"), count(col("source")).as("cs"),
+        min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"),
+        min(col("n_chars")).as("nmn"), max(col("n_chars")).as("nmx"))
+    }),
+    // TARGETED LAYOUT MIGRATION, driver-verified end to end: evolve a
+    // flat table to partition by `source` (mixed layouts), CALL
+    // migrate_layout to rewrite ONLY the legacy flat files (conforming
+    // files keep their paths — spec-pinned), then run the DYNAMIC
+    // PARTITION OVERWRITE the mixed layout had suspended: replace the
+    // lexicographically-first source partition with n_chars = -1 rows.
+    // The oracle derives the same end state with CASE arithmetic.
+    "q_migrate_layout" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      if (s.conf.getOption("spark.sql.catalog.qmig").isEmpty) {
+        s.conf.set("spark.sql.catalog.qmig",
+          classOf[graft.storage.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.qmig.warehouse",
+          java.nio.file.Files.createTempDirectory("graft-qmig").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS qmig.s")
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+      val splitKey = pmod(coalesce(col("doc_id"), lit(-1L)), lit(3))
+      d.filter(splitKey =!= 0)
+        .writeTo("qmig.s.t").using("parquet").createOrReplace()
+      s.sql("ALTER TABLE qmig.s.t SET TBLPROPERTIES " +
+        s"('${graft.storage.GraftCatalog.PartitionByProp}' = 'source')")
+      d.filter(splitKey === 0).writeTo("qmig.s.t").append()
+      s.catalog.refreshTable("qmig.s.t")
+      s.sql("CALL qmig.system.migrate_layout('s.t', 1)").collect()
+      s.catalog.refreshTable("qmig.s.t")
+      // uniform again: dynamic partition overwrite is legal once more
+      val minSrc = d.agg(min(col("source"))).head.getString(0)
+      d.filter(col("source") === minSrc)
+        .withColumn("n_chars", lit(-1L))
+        .writeTo("qmig.s.t").overwritePartitions()
+      s.catalog.refreshTable("qmig.s.t")
+      s.table("qmig.s.t")
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy("doc_id")
     }),
@@ -4918,6 +4986,21 @@ object SparkEntry {
       """SELECT doc_id, source, n_chars
          FROM documents
          WHERE n_chars % 2 = 0
+         ORDER BY doc_id""",
+    // the mixed-layout metadata-only aggregates, recomputed off the raw
+    // documents (the evolved table holds exactly the full document set)
+    "q_evolution_agg" ->
+      """SELECT count(*) AS c, count(source) AS cs,
+                min(doc_id) AS mn, max(doc_id) AS mx,
+                min(n_chars) AS nmn, max(n_chars) AS nmx
+         FROM documents""",
+    // migrate-then-dynamic-overwrite end state: every row of the first
+    // source partition replaced with n_chars = -1, everything else intact
+    "q_migrate_layout" ->
+      """SELECT doc_id, source,
+                CASE WHEN source = (SELECT min(source) FROM documents)
+                     THEN -1 ELSE n_chars END AS n_chars
+         FROM documents
          ORDER BY doc_id""",
     // the position-delete end state, derived independently: base = docs
     // with doc_id % 5 != 0, source rewritten for the % 10 = 1 updates,

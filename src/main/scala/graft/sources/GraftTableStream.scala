@@ -58,9 +58,21 @@ class GraftTableStreamSource extends TableProvider with DataSourceRegister {
 private[graft] object GraftTableStreamSource {
   /** Observability/test hook: the delegate read schema each table's most
     * recently planned micro-batch used (narrow after
-    * [[PruneGraftStreamColumns]] fires, full width otherwise). */
+    * [[PruneGraftStreamColumns]] fires, full width otherwise). Keyed by
+    * `<queryId>:<table>` when planning runs under a streaming query
+    * (Spark stamps `sql.streaming.queryId` as a local property on the
+    * stream's execution thread) and additionally by bare `<table>` as the
+    * latest-plan fallback — two CONCURRENT streams over one table then
+    * observe their own schemas instead of clobbering a shared key. */
   private[graft] val lastPlannedReadSchema =
     new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
+  private[graft] def recordPlannedSchema(nsTable: String, s: StructType): Unit = {
+    lastPlannedReadSchema.put(nsTable, s)
+    val qid = Option(SparkSession.active.sparkContext
+      .getLocalProperty("sql.streaming.queryId"))
+    qid.foreach(q => lastPlannedReadSchema.put(s"$q:$nsTable", s))
+  }
 
   /** (catalog, "ns.table") from the required `table` option. */
   def resolve(options: CaseInsensitiveStringMap): (GraftCatalog, String) = {
@@ -133,12 +145,40 @@ private[sources] class GraftTableMicroBatchStream(
   private val start: Long =
     Option(options.get("startingSnapshot")).map(_.toLong).getOrElse(0L)
 
-  // written by the optimizer rule (driver, per batch, before planning);
-  // read by planInputPartitions (driver) — always a subset of `declared`
+  // The required-schema channel from [[PruneGraftStreamColumns]] (runs at
+  // optimize time) to planInputPartitions — always a subset of `declared`
   // in declared field order, so reader rows line up with the pruned
-  // relation output
+  // relation output. Scope:
+  //
+  //  - two concurrent STREAMS never share this state: each
+  //    `readStream.load()` query gets its OWN stream instance (the
+  //    scan's `toMicroBatchStream` runs per query) — pinned by
+  //    StreamingSpec "two concurrent streams over one table";
+  //  - within one stream, a plan's optimize and its partition planning
+  //    run on the SAME thread (QueryExecution is lazily forced by the
+  //    action's thread; the engine's own batches are sequential on the
+  //    stream thread), so the requirement rides a THREAD-LOCAL: two
+  //    CONCURRENT actions over one foreachBatch df (each re-optimizing —
+  //    the rule does re-enter for batch-df actions) each see their own
+  //    requirement instead of racing one shared slot into silent
+  //    row/column misalignment — pinned by StreamingSpec "concurrent
+  //    actions over one foreachBatch df";
+  //  - a thread that plans partitions WITHOUT having optimized there
+  //    (broadcast-exchange / AQE stage pools force the lazy
+  //    inputPartitions) finds no thread-local and falls back to the
+  //    volatile last-write slot — those pools never run the optimizer,
+  //    so their thread-locals can never go stale, and the slot was
+  //    written by the action that planned the enclosing query.
   @volatile private var required: StructType = declared
-  private[graft] def setRequiredSchema(s: StructType): Unit = { required = s }
+  private val tlRequired = new ThreadLocal[StructType]
+  private[graft] def setRequiredSchema(s: StructType): Unit = {
+    tlRequired.set(s)
+    required = s
+  }
+  private def currentRequired: StructType = {
+    val tl = tlRequired.get()
+    if (tl != null) tl else required
+  }
 
   override def latestOffset(): Offset =
     GraftStreamOffset(math.max(start, cat.latestSnapshot(nsTable)))
@@ -156,14 +196,18 @@ private[sources] class GraftTableMicroBatchStream(
     val parts = nsTable.split('.')
     val incr = cat.loadTable(
       Identifier.of(parts.dropRight(1), parts.last), s"incr:$a..$b")
+    // snapshot the requirement ONCE: pruning, coverage check, and
+    // projection ordinals below must all see the same schema — separate
+    // reads could tear across a concurrent setRequiredSchema
+    val req = currentRequired
     val sb = incr.asInstanceOf[SupportsRead]
       .newScanBuilder(CaseInsensitiveStringMap.empty())
     sb match {
-      case p: SupportsPushDownRequiredColumns => p.pruneColumns(required)
+      case p: SupportsPushDownRequiredColumns => p.pruneColumns(req)
       case _ => ()
     }
     val scan = sb.build()
-    GraftTableStreamSource.lastPlannedReadSchema.put(nsTable, scan.readSchema())
+    GraftTableStreamSource.recordPlannedSchema(nsTable, scan.readSchema())
     val batch = scan.toBatch
     val inner = batch.createReaderFactory()
     // the exec node's output attributes are in REQUIRED order; a bare
@@ -173,13 +217,13 @@ private[sources] class GraftTableMicroBatchStream(
     // required order and skip this)
     val out = scan.readSchema()
     val factory =
-      if (out.fieldNames.sameElements(required.fieldNames)) inner
+      if (out.fieldNames.sameElements(req.fieldNames)) inner
       else {
-        require(required.fieldNames.forall(out.fieldNames.contains),
+        require(req.fieldNames.forall(out.fieldNames.contains),
           s"stream delegate read schema ${out.fieldNames.mkString(",")} " +
-            s"does not cover required ${required.fieldNames.mkString(",")}")
+            s"does not cover required ${req.fieldNames.mkString(",")}")
         GraftStreamProjectingFactory(inner, out,
-          required.fieldNames.map(out.fieldIndex))
+          req.fieldNames.map(out.fieldIndex))
       }
     batch.planInputPartitions()
       .map(p => GraftStreamPartition(p, factory): InputPartition)
@@ -262,13 +306,13 @@ private[sources] final case class GraftStreamPartition(
   * different prunings. Correctness is unaffected either way; this is
   * purely an IO-width optimization.
   *
-  * Scope: the requirement is one mutable slot per stream, written at
-  * plan time and read at batch planning — correct for the engine's own
-  * per-batch plan and for SEQUENTIAL user actions (each re-plan resets
-  * it first). Concurrent actions racing over one foreachBatch df would
-  * race the slot like they race any per-stream state; Spark's own
-  * foreachBatch contract treats the batch df as a single-threaded
-  * handle. */
+  * Scope: the requirement travels thread-locally from each plan's
+  * optimize to its partition planning (same thread — QueryExecution is
+  * forced lazily by the acting thread), with a last-write slot as the
+  * fallback for execution-pool threads that never optimize. Concurrent
+  * actions over one foreachBatch df therefore each read their own
+  * requirement; see [[GraftTableMicroBatchStream]] for the full
+  * channel contract. */
 object PruneGraftStreamColumns
   extends org.apache.spark.sql.catalyst.rules.Rule[
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {

@@ -405,6 +405,121 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     (before, after)
   }
 
+  /** TARGETED layout migration after partition spec evolution: rewrite
+    * ONLY the live files whose directory layout differs from the current
+    * spec, leaving conforming files untouched (their paths — and their
+    * carried manifest stats — survive byte-identical). One atomic
+    * snapshot commit, after which the table is uniform on the current
+    * spec and the capabilities a mixed layout suspends return: dynamic
+    * partition overwrite, metadata-only aggregates over a single
+    * delegate, storage-partitioned joins.
+    *
+    * This is the operational middle ground evolution needs at 100 TB:
+    * `compact` rewrites the WHOLE table (including files already on the
+    * current spec — pure waste when evolution touched a small legacy
+    * tail), while relying on incidental migration (DML/compaction moving
+    * whatever it happens to touch) leaves uniformity unscheduled. Here
+    * the rewrite is priced by the LEGACY set alone.
+    *
+    * Pending merge-on-read deletes compose, on Iceberg's sequence rules:
+    * equality/position deletes applying to the legacy files are FOLDED
+    * into the rewrite (the migrated rows are the post-delete rows, and
+    * the new files' add-sequence postdates every pending delete, so none
+    * re-applies to them), while deletes are CARRIED for the untouched
+    * conforming files and keep applying there.
+    * Returns (filesMigrated, filesKept). */
+  def migrateLayout(
+      spark: SparkSession,
+      table: String,
+      targetFilesPerPartition: Int = 1,
+      refreshBloomIndex: Boolean = true): (Int, Int) = {
+    require(targetFilesPerPartition > 0,
+      s"migrateLayout: target_files_per_partition must be > 0, got $targetFilesPerPartition")
+    val ident = Identifier.of(
+      table.split("\\.").dropRight(1), table.split("\\.").last)
+    val dir = tableDir(ident)
+    val meta = GraftCatalog.readMeta(fs, dir)
+      .getOrElse(throw new NoSuchTableException(ident))
+    val latest = GraftCatalog.latestSnapshot(fs, dir)
+    val live = GraftCatalog.readManifest(fs, dir, latest)
+      .getOrElse(GraftCatalog.listDataFiles(fs, dir))
+    val curLayout = GraftCatalog.currentLayout(meta)
+    val legacy = live.filter(f => GraftCatalog.layoutOf(f) != curLayout)
+    if (legacy.isEmpty) return (0, live.size)
+    val eqDels = GraftCatalog.readEqDels(fs, dir, latest)
+    val addMap = GraftCatalog.readAddMap(fs, dir, latest)
+    // position deletes restricted to LEGACY targets: those fold into the
+    // rewrite; entries targeting conforming files carry by target
+    // liveness in the commit below
+    val posDels = GraftCatalog.posDelMap(fs, dir,
+      GraftCatalog.readPosDels(fs, dir, latest), legacy.toSet)
+    val out0 = GraftCatalog.readFilesWithDeletes(
+      spark, dir, meta, legacy, eqDels, addMap, posDels)
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    // bucketed current spec: the `__bucket_<col>` dir level is derived —
+    // recompute it with the writer's exact arithmetic (murmur3, seed 42)
+    val withBucket = meta.bucket match {
+      case Some((bn, c)) if !out0.columns.contains(s"__bucket_$c") =>
+        out0.withColumn(s"__bucket_$c", pmod(hash(col(c)), lit(bn)))
+      case _ => out0
+    }
+    // bound files per partition VALUE the same way compact does: shuffle
+    // on (partition levels, hash spread) so no task fans out across
+    // every partition directory
+    val migrated =
+      if (meta.partitionCols.isEmpty)
+        withBucket.repartition(math.max(1, math.min(legacy.size,
+          spark.sparkContext.defaultParallelism)))
+      else {
+        val spread = pmod(hash(out0.columns.map(col): _*),
+          lit(targetFilesPerPartition))
+        withBucket.repartition(meta.partitionCols.map(col) :+ spread: _*)
+      }
+    // stage → promote → snapshot, the runDeleteCompaction promotion
+    // discipline (atomic: readers see either the pre- or post-migration
+    // snapshot, never duplicates)
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val stageRel = s"_stage_migr_$stamp"
+    val stagePath = new Path(dir, stageRel)
+    val writer = migrated.write.mode("overwrite")
+    (if (meta.partitionCols.isEmpty) writer
+     else writer.partitionBy(meta.partitionCols: _*))
+      .parquet(stagePath.toString)
+    val it = fs.listFiles(stagePath, true)
+    val stagedFiles = Seq.newBuilder[String]
+    val stageUri = stagePath.toUri.getPath
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toUri.getPath.stripPrefix(stageUri).stripPrefix("/")
+      if (rel.endsWith(".parquet") && !rel.split("/").last.startsWith("_"))
+        stagedFiles += rel
+    }
+    val promoted = stagedFiles.result().sorted.zipWithIndex.map { case (rel, i) =>
+      val sub = rel.split("/").dropRight(1)
+      val target = (sub :+ s"migr-$stamp-$i.parquet").mkString("/")
+      if (sub.nonEmpty) fs.mkdirs(new Path(dir, sub.mkString("/")))
+      if (!fs.rename(new Path(stagePath, rel), new Path(dir, target)))
+        throw new java.io.IOException(
+          s"migrateLayout: cannot promote $stageRel/$rel to $target")
+      target
+    }
+    fs.delete(stagePath, true)
+    val kept = live.filterNot(legacy.toSet)
+    // eqdels NOT cleared: they still apply to the conforming files (whose
+    // add-sequences they postdate); the promoted files' add = latest+1
+    // postdates every pending delete, so none re-applies to migrated rows
+    try GraftCatalog.writeSnapshotAt(fs, dir, latest + 1, kept ++ promoted,
+      GraftCatalog.readTxns(fs, dir, latest))
+    catch { case e: Throwable =>
+      promoted.foreach(f => fs.delete(new Path(dir, f), false))
+      throw e
+    }
+    // the legacy files were replaced: re-point an existing bloom index at
+    // the new files (incremental — conforming files keep their entries)
+    if (refreshBloomIndex) refreshBloomIndexIfPresent(spark, table)
+    (legacy.size, kept.size)
+  }
+
   /** MINOR (delete) compaction — Iceberg's `rewrite_position_delete_files`
     * intent for the equality-delete layer: fold a merge-on-read table's
     * pending deletes by rewriting ONLY the files that may actually hold
@@ -1228,9 +1343,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       case Left(c) => c
       case Right((_, c)) => s"__bucket_$c"
     }
-    specs.collect { case Left(c) => c }.foreach(c =>
+    specs.collect { case Left(c) => c }.foreach { c =>
       require(schema.fieldNames.contains(c),
-        s"partition column $c missing from schema"))
+        s"partition column $c missing from schema")
+      GraftCatalog.requireDirEncodable(schema, c)
+    }
     GraftCatalog.requireNoReservedNames(schema.fieldNames)
     val meta = GraftTableMeta(schema, partCols.toSeq,
       properties.asScala.toMap - TableCatalog.PROP_LOCATION, bucket)
@@ -1246,6 +1363,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val props = mutable.Map(meta.properties.toSeq: _*)
     var schema = meta.schema
     var partitionCols = meta.partitionCols
+    var bucketSpec = meta.bucket
     val droppedCols = mutable.Set.empty[String]
     changes.foreach {
       case set: TableChange.SetProperty
@@ -1254,16 +1372,56 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         // Existing files keep their layout (their partition values are in
         // their paths, their other columns in their data); only new
         // writes route under the new spec. Reads group files by layout.
-        require(meta.bucket.isEmpty,
-          s"GraftCatalog: cannot evolve the partition spec of a bucketed table")
-        val cols = set.value.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        GraftCatalog.requireNoReservedNames(cols)
-        cols.foreach(c => require(schema.fieldNames.contains(c),
-          s"GraftCatalog: partition column $c not in schema"))
-        require(cols.distinct == cols,
-          s"GraftCatalog: duplicate partition column in '${set.value}'")
-        partitionCols = cols
-        props(set.property) = cols.mkString(",")
+        GraftCatalog.parseBucketSpec(set.value) match {
+          case Some((n, c)) =>
+            // evolving TO bucket(n, col): legal only when no live file
+            // already carries a `__bucket_<col>` dir level — the bucket
+            // COUNT is not in the path, so an old file's bucket ids are
+            // unverifiable against the new n and SPJ key grouping would
+            // silently co-locate by the WRONG function. This is also what
+            // makes re-bucketing n -> n' a rewrite, never a metadata
+            // commit (Iceberg has the same restriction for the same
+            // reason: bucket[n] and bucket[n'] are different functions).
+            val f = schema.fields.find(_.name == c).getOrElse(
+              throw new IllegalArgumentException(
+                s"GraftCatalog: bucket column $c missing from schema"))
+            require(Seq(ByteType, ShortType, IntegerType, LongType,
+                StringType, DateType).contains(f.dataType),
+              s"GraftCatalog: unsupported bucket column type ${f.dataType.catalogString}")
+            if (!meta.bucket.contains((n, c))) {
+              val stale = GraftCatalog.readManifest(fs, dir,
+                  GraftCatalog.latestSnapshot(fs, dir))
+                .getOrElse(Seq.empty)
+                .filter(p => GraftCatalog.layoutOf(p) == Seq(s"__bucket_$c"))
+              require(stale.isEmpty,
+                s"GraftCatalog: cannot evolve to bucket($n, $c) — " +
+                  s"${stale.size} live file(s) already use a __bucket_$c " +
+                  "layout whose bucket count cannot be verified from paths " +
+                  s"(e.g. ${stale.head}); migrate_layout/compact them off " +
+                  "that layout first")
+            }
+            bucketSpec = Some((n, c))
+            partitionCols = Seq(s"__bucket_$c")
+            props(set.property) = s"bucket($n, $c)"
+          case None =>
+            val cols = set.value.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            GraftCatalog.requireNoReservedNames(cols)
+            cols.foreach { c =>
+              require(schema.fieldNames.contains(c),
+                s"GraftCatalog: partition column $c not in schema")
+              // validate NOW, not at the first append: an evolve to a
+              // non-dir-encodable type (double/timestamp/decimal/…) would
+              // commit fine and then fail every write executor-side in
+              // GraftDataWriter.partValue, leaving the table unwritable
+              // until the spec is evolved back
+              GraftCatalog.requireDirEncodable(schema, c)
+            }
+            require(cols.distinct == cols,
+              s"GraftCatalog: duplicate partition column in '${set.value}'")
+            bucketSpec = None
+            partitionCols = cols
+            props(set.property) = cols.mkString(",")
+        }
       case set: TableChange.SetProperty => props(set.property) = set.value
       case rm: TableChange.RemoveProperty =>
         // UNSETting the spec property would leave the declared spec and
@@ -1291,7 +1449,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           "GraftCatalog: nested column drops not supported")
         require(!partitionCols.contains(del.fieldNames()(0)),
           s"GraftCatalog: cannot drop partition column ${del.fieldNames()(0)}")
-        require(!meta.bucket.exists(_._2 == del.fieldNames()(0)),
+        require(!bucketSpec.exists(_._2 == del.fieldNames()(0)),
           s"GraftCatalog: cannot drop bucket source column ${del.fieldNames()(0)}")
         // partition evolution leaves files under their ORIGINAL layout;
         // a column serving as a live file's dir level is still load-bearing
@@ -1378,7 +1536,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       idxNums.foreach(n => fs.delete(new Path(dir, s"_bloomidx-$n"), false))
     }
     val next = meta.copy(schema = schema, properties = props.toMap,
-      partitionCols = partitionCols)
+      partitionCols = partitionCols, bucket = bucketSpec)
     GraftCatalog.writeMeta(fs, dir, next)
     new GraftTable(ident.toString, dir.toString, next)
   }
@@ -1500,9 +1658,14 @@ object GraftCatalog {
     * metadata-only commit after which NEW files land under the new
     * layout, existing files keep theirs, and reads serve both (each
     * file's partition values come from its own path; columns not in a
-    * file's dir levels are in its data). Empty string = unpartitioned.
-    * Bucketed tables cannot evolve. Any rewrite (compaction, CoW DML,
-    * z-order) migrates the files it touches to the current spec. */
+    * file's dir levels are in its data). Empty string = unpartitioned;
+    * `bucket(n, col)` evolves to a bucketed spec (legal only while no
+    * live file already uses a `__bucket_<col>` layout — the bucket count
+    * is not in the path, so old bucket ids are unverifiable and SPJ
+    * would co-locate by the wrong function; re-bucketing n -> n' is
+    * therefore a rewrite, never a metadata commit). Any rewrite
+    * (compaction, CoW DML, z-order) migrates the files it touches to
+    * the current spec. */
   val PartitionByProp = "write.partition-by"
 
   /** Partition-dir LAYOUT of a table-relative file path: the column name
@@ -1551,6 +1714,38 @@ object GraftCatalog {
     require(hit.isEmpty,
       s"GraftCatalog: column name(s) ${hit.mkString(", ")} are reserved " +
         "for the synthesized metadata columns (_file, _pos)")
+  }
+
+  /** Parse a `write.partition-by` value of the form `bucket(n, col)` —
+    * the bucket-spec-evolution spelling. Whitespace-tolerant; None for
+    * the comma-separated identity-column form. */
+  private[storage] def parseBucketSpec(value: String): Option[(Int, String)] = {
+    val m = """^\s*bucket\s*\(\s*(\d+)\s*,\s*([^\s,()]+)\s*\)\s*$""".r
+    value match {
+      case m(n, c) =>
+        require(n.toInt > 0, s"bucket count must be positive, got $n")
+        Some((n.toInt, c))
+      case _ if value.toLowerCase.contains("bucket(") =>
+        throw new IllegalArgumentException(
+          s"GraftCatalog: malformed bucket spec '$value' — expected " +
+            "bucket(<n>, <col>) as the SOLE partition transform")
+      case _ => None
+    }
+  }
+
+  /** The types [[GraftDataWriter.partValue]] can emit as a hive partition
+    * directory level (and [[parsePartValue]] can read back losslessly).
+    * Enforced wherever a column ENTERS a partition spec — CREATE TABLE
+    * and `write.partition-by` evolution — so a spec naming an
+    * un-encodable column (double/timestamp/decimal/…) is rejected at
+    * DDL time instead of failing executor-side on the first append. */
+  private[storage] def requireDirEncodable(schema: StructType, col: String): Unit = {
+    val dt = schema.fields(schema.fieldIndex(col)).dataType
+    require(Seq(StringType, DateType, IntegerType, LongType, ShortType,
+        ByteType, BooleanType).contains(dt),
+      s"GraftCatalog: partition column $col has type ${dt.catalogString}, " +
+        "which cannot be encoded as a directory level (supported: string, " +
+        "date, integral types, boolean)")
   }
 
   /** Safe (lossless, order-preserving) type promotions — the widenings
@@ -3065,14 +3260,19 @@ private[storage] class GraftTable(
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (!writable)
       throw new UnsupportedOperationException(s"$tableName is a read-only snapshot")
-    new GraftWriteBuilder(dir, meta, info)
+    // capture the writing session HERE: newWriteBuilder runs during the
+    // query's own analysis/planning, where the thread-local
+    // `SparkSession.active` is reliably the right session — later stages
+    // (factory construction, commit) may run on other threads
+    new GraftWriteBuilder(dir, meta, info, SparkSession.active)
   }
 }
 
 private[storage] class GraftWriteBuilder(
     dir: String,
     meta: GraftTableMeta,
-    info: LogicalWriteInfo)
+    info: LogicalWriteInfo,
+    spark: SparkSession)
   extends WriteBuilder with SupportsTruncate with SupportsDynamicOverwrite {
 
   private var mode: String = "append"
@@ -3092,8 +3292,9 @@ private[storage] class GraftWriteBuilder(
       } yield (app, v)
       new GraftBatchWrite(
         dir, meta, mode, info.queryId(),
-        GraftCatalog.parquetWriteConfs(SparkSession.active), txn,
-        Option(info.options.get(GraftCatalog.BranchOption)))
+        GraftCatalog.parquetWriteConfs(spark), txn,
+        Option(info.options.get(GraftCatalog.BranchOption)),
+        SerializableHadoopConf.capture(spark))
     }
   }
 }
@@ -3119,20 +3320,21 @@ private[storage] class GraftBatchWrite(
     queryId: String,
     parquetConfs: Map[String, String],
     txn: Option[(String, Long)] = None,
-    branch: Option[String] = None) extends BatchWrite {
+    branch: Option[String] = None,
+    hconf: SerializableHadoopConf) extends BatchWrite {
 
   private val stagingRel = s"_staging-$queryId"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     GraftWriterFactory(s"$dir/$stagingRel", meta.schema, meta.partitionCols,
-      parquetConfs, queryId,
+      parquetConfs, queryId, hconf,
       meta.properties.get(GraftCatalog.TargetFileRowsProp)
         .flatMap(_.toLongOption).filter(_ > 0).getOrElse(0L),
       meta.bucket)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(dir)
-    val fs = root.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    val fs = root.getFileSystem(hconf.value)
     // branch commits read and extend the BRANCH lineage; main commits the
     // main one — same prior-state + OCC shape either way
     branch.foreach { b =>
@@ -3217,7 +3419,7 @@ private[storage] class GraftBatchWrite(
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(dir)
-    val fs = root.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    val fs = root.getFileSystem(hconf.value)
     fs.delete(new Path(root, stagingRel), true)
   }
 }
@@ -3245,16 +3447,15 @@ private[storage] final case class GraftWriterFactory(
     partitionCols: Seq[String],
     parquetConfs: Map[String, String],
     writeToken: String,
+    // captured on the driver from the WRITE'S OWN session (threaded down
+    // from newWriteBuilder / the row-level operation — never re-read from
+    // the `SparkSession.active` thread-local, which can point at another
+    // session on AQE/broadcast threads) and shipped with the factory:
+    // executor-side filesystem resolution must see the session's Hadoop
+    // conf, not new Configuration()'s defaults
+    hconf: SerializableHadoopConf,
     maxRowsPerFile: Long = 0L,
     bucket: Option[(Int, String)] = None) extends DataWriterFactory {
-
-  // captured on the driver (factories are built in createBatchWriterFactory,
-  // where SparkSession.active is the write's session — the same source the
-  // neighboring parquetWriteConfs call uses) and shipped with the factory:
-  // executor-side filesystem resolution must see the session's Hadoop
-  // conf, not new Configuration()'s defaults
-  private val hconf =
-    SerializableHadoopConf.capture(org.apache.spark.sql.SparkSession.active)
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(

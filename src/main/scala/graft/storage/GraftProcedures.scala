@@ -68,7 +68,7 @@ object GraftProcedures {
 
   def names: Seq[String] =
     Seq("vacuum", "build_bloom_index", "cluster", "compact",
-      "rewrite_deletes", "history")
+      "migrate_layout", "rewrite_deletes", "history")
 
   def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] = name match {
     case "vacuum" => Some(new Proc("vacuum",
@@ -115,6 +115,17 @@ object GraftProcedures {
         val (before, after) = cat.compact(SparkSession.active,
           input.getUTF8String(0).toString, input.getInt(1))
         result(outSchema, Seq(row(before, after)))
+      }
+    })
+    case "migrate_layout" => Some(new Proc("migrate_layout",
+      Seq(in("table", StringType), in("target_files_per_partition", IntegerType)),
+      StructType(Seq(
+        StructField("files_migrated", IntegerType, nullable = false),
+        StructField("files_kept", IntegerType, nullable = false)))) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val (migrated, kept) = cat.migrateLayout(SparkSession.active,
+          input.getUTF8String(0).toString, input.getInt(1))
+        result(outSchema, Seq(row(migrated, kept)))
       }
     })
     case "rewrite_deletes" => Some(new Proc("rewrite_deletes",

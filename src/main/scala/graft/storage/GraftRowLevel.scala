@@ -45,6 +45,16 @@ private[storage] class GraftRowLevelOperation(
     eqDel: Option[org.apache.spark.sql.graftshim.EqDeleteSpec] = None)
   extends RowLevelOperation {
 
+  /** The session that planned this operation, captured at construction
+    * (analysis/planning runs on the query's own thread, where the
+    * thread-local `SparkSession.active` is reliably the right session).
+    * Everything downstream — scan planning, writer-factory Hadoop-conf
+    * capture, commit-side filesystem resolution — reads THIS handle
+    * instead of re-reading the thread-local later, when physical
+    * execution may be on a different thread (AQE pools, broadcast
+    * materialization) pointing at a different session. */
+  private[storage] val spark: SparkSession = SparkSession.active
+
   /** Table-dir-relative files the rewrite scan planned — what commit
     * replaces. Set exactly once, when the scan is built. */
   @volatile private[storage] var scannedFiles: Seq[String] = Seq.empty
@@ -86,7 +96,7 @@ private[storage] final class CowScanBuilder(
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
 
-  private val spark = SparkSession.active
+  private val spark = op.spark
   private val root = new Path(dir)
   private val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
   private val scanSnapshot: Long = GraftCatalog.latestSnapshot(fs, root)
@@ -378,7 +388,8 @@ private[storage] final class CowBatchWrite(
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val inner = GraftWriterFactory(s"$dir/$stagingRel", meta.schema, meta.partitionCols,
-      GraftCatalog.parquetWriteConfs(SparkSession.active), queryId,
+      GraftCatalog.parquetWriteConfs(op.spark), queryId,
+      SerializableHadoopConf.capture(op.spark),
       meta.properties.get(GraftCatalog.TargetFileRowsProp)
         .flatMap(_.toLongOption).filter(_ > 0).getOrElse(0L),
       meta.bucket)
@@ -387,7 +398,7 @@ private[storage] final class CowBatchWrite(
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(dir)
-    val fs = root.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    val fs = root.getFileSystem(op.spark.sessionState.newHadoopConf())
     // Commit against the snapshot the rewrite scan PLANNED on, not the
     // current latest: `prior − scanned + staged` is only meaningful
     // relative to the scanned state, so a commit that landed in between
@@ -419,7 +430,7 @@ private[storage] final class CowBatchWrite(
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(dir)
-    val fs = root.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    val fs = root.getFileSystem(op.spark.sessionState.newHadoopConf())
     fs.delete(new Path(root, stagingRel), true)
   }
 }
@@ -524,21 +535,22 @@ private[storage] final class GraftDeltaBatchWrite(
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriterFactory = {
+    val hconf = SerializableHadoopConf.capture(op.spark)
     val inner = GraftWriterFactory(s"$dir/$stagingRel", meta.schema,
       meta.partitionCols,
-      GraftCatalog.parquetWriteConfs(SparkSession.active), queryId,
+      GraftCatalog.parquetWriteConfs(op.spark), queryId, hconf,
       meta.properties.get(GraftCatalog.TargetFileRowsProp)
         .flatMap(_.toLongOption).filter(_ > 0).getOrElse(0L),
       meta.bucket)
     val keyTypes = keyCols.map(c =>
       meta.schema(meta.schema.fieldIndex(c)).dataType)
-    GraftDeltaWriterFactory(inner, s"$dir/$stagingRel", keyCols, keyTypes)
+    GraftDeltaWriterFactory(inner, s"$dir/$stagingRel", keyCols, keyTypes,
+      hconf)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(dir)
-    val fs = root.getFileSystem(
-      SparkSession.active.sparkContext.hadoopConfiguration)
+    val fs = root.getFileSystem(op.spark.sessionState.newHadoopConf())
     val scanSnap = op.scanSnapshot
     require(scanSnap >= 0, "delta commit without a planned rewrite scan")
     val prior = GraftCatalog.readManifest(fs, root, scanSnap)
@@ -583,8 +595,7 @@ private[storage] final class GraftDeltaBatchWrite(
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(dir)
-    val fs = root.getFileSystem(
-      SparkSession.active.sparkContext.hadoopConfiguration)
+    val fs = root.getFileSystem(op.spark.sessionState.newHadoopConf())
     fs.delete(new Path(root, stagingRel), true)
   }
 }
@@ -593,14 +604,13 @@ private[storage] final case class GraftDeltaWriterFactory(
     inner: DataWriterFactory,
     stagingDir: String,
     keyCols: Seq[String],
-    keyTypes: Seq[org.apache.spark.sql.types.DataType])
+    keyTypes: Seq[org.apache.spark.sql.types.DataType],
+    // driver-captured (from the operation's OWN session, not the
+    // thread-local) Hadoop conf: the delete-fragment writer opens its own
+    // stream and must resolve the staging filesystem the same way the
+    // data writer does (s3a, kerberized HDFS, custom fs.<scheme>.impl)
+    hconf: SerializableHadoopConf)
   extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
-
-  // driver-captured session Hadoop conf: the delete-fragment writer opens
-  // its own stream and must resolve the staging filesystem the same way
-  // the data writer does (s3a, kerberized HDFS, custom fs.<scheme>.impl)
-  private val hconf = SerializableHadoopConf.capture(
-    org.apache.spark.sql.SparkSession.active)
 
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] =
@@ -793,19 +803,19 @@ private[storage] final class GraftPosDeltaBatchWrite(
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriterFactory = {
+    val hconf = SerializableHadoopConf.capture(op.spark)
     val inner = GraftWriterFactory(s"$dir/$stagingRel", meta.schema,
       meta.partitionCols,
-      GraftCatalog.parquetWriteConfs(SparkSession.active), queryId,
+      GraftCatalog.parquetWriteConfs(op.spark), queryId, hconf,
       meta.properties.get(GraftCatalog.TargetFileRowsProp)
         .flatMap(_.toLongOption).filter(_ > 0).getOrElse(0L),
       meta.bucket)
-    GraftPosDeltaWriterFactory(inner, s"$dir/$stagingRel")
+    GraftPosDeltaWriterFactory(inner, s"$dir/$stagingRel", hconf)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(dir)
-    val fs = root.getFileSystem(
-      SparkSession.active.sparkContext.hadoopConfiguration)
+    val fs = root.getFileSystem(op.spark.sessionState.newHadoopConf())
     val scanSnap = op.scanSnapshot
     require(scanSnap >= 0, "position-delta commit without a planned rewrite scan")
     val prior = GraftCatalog.readManifest(fs, root, scanSnap)
@@ -861,19 +871,17 @@ private[storage] final class GraftPosDeltaBatchWrite(
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(dir)
-    val fs = root.getFileSystem(
-      SparkSession.active.sparkContext.hadoopConfiguration)
+    val fs = root.getFileSystem(op.spark.sessionState.newHadoopConf())
     fs.delete(new Path(root, stagingRel), true)
   }
 }
 
 private[storage] final case class GraftPosDeltaWriterFactory(
     inner: DataWriterFactory,
-    stagingDir: String)
+    stagingDir: String,
+    // driver-captured from the operation's session (see GraftDeltaWriterFactory)
+    hconf: SerializableHadoopConf)
   extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
-
-  private val hconf = SerializableHadoopConf.capture(
-    org.apache.spark.sql.SparkSession.active)
 
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] =

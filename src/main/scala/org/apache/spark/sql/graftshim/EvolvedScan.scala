@@ -67,7 +67,8 @@ final class EvolvedScanBuilder(
     posDeletes: Map[String, Array[Long]])
   extends ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
-  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
+  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   require(tables.nonEmpty, "evolved scan: no layout groups")
 
@@ -95,7 +96,39 @@ final class EvolvedScanBuilder(
       .filter(p => perGroup.forall(_.contains(p.toString)))
   }
 
-  override def build(): Scan = EvolvedUnionScan(groups.map(_.build()))
+  /** Metadata-only aggregate pushdown across a MIXED layout: push the
+    * aggregate into EACH layout group's manifest-stats answering and
+    * serve the concatenated per-group partial rows as one LocalScan —
+    * Spark's final aggregate (partial-pushdown protocol,
+    * [[supportCompletePushDown]] stays false) then combines the partials
+    * with full-scan semantics: count → sum of group counts, min/max →
+    * fold over group bounds. All-or-nothing: a union scan has ONE read
+    * schema, so if ANY group cannot answer from its manifest stats (stats
+    * missing, a GROUP BY column that is not a dir level in that group's
+    * layout, pending deletes), every group's answer is cleared and the
+    * whole aggregate declines to the plain union data scan.
+    *
+    * This is what keeps `count(*)`/min/max METADATA-ONLY while a table
+    * migrates incrementally — before this, one surviving legacy file
+    * demoted the answer to a full data scan of the entire table. */
+  private var aggAnswered = false
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    aggAnswered = groups.forall(_.tryManifestAggregation(aggregation))
+    if (!aggAnswered) groups.foreach(_.clearManifestAggregation())
+    aggAnswered
+  }
+  override def supportCompletePushDown(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    false
+
+  override def build(): Scan =
+    if (aggAnswered) {
+      // every group answered: one pre-aggregated LocalScan (zero input
+      // files, zero tasks), rows = the groups' partials concatenated
+      val parts = groups.map(_.manifestAggResult.get)
+      ManifestAggScan(tables.head.name, parts.head._1, parts.flatMap(_._2))
+    } else EvolvedUnionScan(groups.map(_.build()))
 }
 
 /** Concatenates the layout groups' scans: same read schema by

@@ -192,6 +192,20 @@ final class KeyedParquetScanBuilder(
     // parquet footer counts see the deleted rows — no aggregate pushdown
     // of any kind until compaction folds the deletes in
     if (eqDeletes.isDefined || posDeletes.nonEmpty) { manifestAgg = None; return false }
+    if (tryManifestAggregation(aggregation)) true
+    else underlying.pushAggregation(aggregation)
+  }
+
+  /** The manifest-stats half of [[pushAggregation]] alone: try to answer
+    * the aggregate metadata-only, WITHOUT falling back to parquet footer
+    * pushdown. Returns whether [[build]] will serve a [[ManifestAggScan]].
+    * Exposed for [[EvolvedScanBuilder]], which needs an all-or-nothing
+    * answer across its layout groups (a union scan has ONE read schema,
+    * so either every group answers from its manifest stats or none may
+    * push anything). */
+  private[graftshim] def tryManifestAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (eqDeletes.isDefined || posDeletes.nonEmpty) { manifestAgg = None; return false }
     manifestAgg =
       if (sawFilters || fileStats.isEmpty ||
         table.sparkSession.conf
@@ -222,8 +236,16 @@ final class KeyedParquetScanBuilder(
             table.schema, idx.map(pschema(_)), groups, fileStats, aggregation)
         } else None
       }
-    if (manifestAgg.isDefined) true else underlying.pushAggregation(aggregation)
+    manifestAgg.isDefined
   }
+
+  private[graftshim] def clearManifestAggregation(): Unit = manifestAgg = None
+
+  /** The manifest-answered result, for [[EvolvedScanBuilder]] to combine
+    * per-group partials into one LocalScan. */
+  private[graftshim] def manifestAggResult: Option[(StructType, Seq[InternalRow])] =
+    manifestAgg
+
   override def supportCompletePushDown(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
     if (manifestAgg.isDefined || eqDeletes.isDefined || posDeletes.nonEmpty) false

@@ -1357,4 +1357,101 @@ class StreamingSpec extends SparkSpec {
         s"expected the missing column named, got $e")
     } finally q.stop()
   }
+
+  test("two concurrent streams over one table prune independently: each " +
+    "query's delegate reads only its own columns") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-2q-wh").toString
+    spark.conf.set("spark.sql.catalog.twoqcat",
+      classOf[graft.storage.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.twoqcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS twoqcat.s")
+    Seq((1L, "a", 10.0, 100L), (2L, "b", 20.0, 200L))
+      .toDF("id", "w", "score", "bytes").repartition(1)
+      .writeTo("twoqcat.s.wide").using("parquet").createOrReplace()
+    def stream(cols: String*)(name: String) =
+      spark.readStream.format("graft-table")
+        .option("table", "twoqcat.s.wide").load()
+        .select(cols.map(col): _*)
+        .writeStream.format("memory").queryName(name).start()
+    // both queries run at once (each on its own stream-execution thread,
+    // each with its OWN stream instance — the requirement channel is
+    // per-stream, so neither narrows the other)
+    val q1 = stream("id", "w")("twoq_a")
+    val q2 = stream("score", "bytes")("twoq_b")
+    try {
+      q1.processAllAvailable()
+      q2.processAllAvailable()
+      def planned(q: org.apache.spark.sql.streaming.StreamingQuery): Seq[String] =
+        graft.sources.GraftTableStreamSource.lastPlannedReadSchema
+          .get(s"${q.id}:s.wide").fieldNames.toSeq
+      assert(planned(q1) == Seq("id", "w"),
+        s"q1 must read only its columns, got ${planned(q1)}")
+      assert(planned(q2) == Seq("score", "bytes"),
+        s"q2 must read only its columns, got ${planned(q2)}")
+      assert(spark.table("twoq_a").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((1L, "a"), (2L, "b")))
+      assert(spark.table("twoq_b").orderBy("score")
+        .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq ==
+        Seq((10.0, 100L), (20.0, 200L)))
+      // a later batch with both still live: still independent
+      Seq((3L, "c", 30.0, 300L)).toDF("id", "w", "score", "bytes")
+        .writeTo("twoqcat.s.wide").append()
+      q1.processAllAvailable()
+      q2.processAllAvailable()
+      assert(planned(q1) == Seq("id", "w"))
+      assert(planned(q2) == Seq("score", "bytes"))
+      assert(spark.table("twoq_a").count() == 3L)
+      assert(spark.table("twoq_b").count() == 3L)
+    } finally { q1.stop(); q2.stop() }
+  }
+
+  test("CONCURRENT actions over one foreachBatch df: a narrow and a " +
+    "full-width action racing do not misalign each other's rows") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-race-wh").toString
+    spark.conf.set("spark.sql.catalog.racecat",
+      classOf[graft.storage.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.racecat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS racecat.s")
+    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "w", "v")
+      .writeTo("racecat.s.rc").using("parquet").createOrReplace()
+    val narrowN = new java.util.concurrent.atomic.AtomicLong(-1)
+    val full = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Double)]()
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val q = spark.readStream.format("graft-table")
+      .option("table", "racecat.s.rc")
+      .load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the requirement channel is thread-local from each action's
+        // optimize to its partition planning — so the narrow action
+        // (required = [w]) and the full-width action (required =
+        // [id, w, v]) racing on two threads each read THEIR schema,
+        // not whichever one wrote a shared slot last
+        val t1 = new Thread(() =>
+          try narrowN.set(df.select("w").filter(length(col("w")) > 0).count())
+          catch { case e: Throwable => failure.compareAndSet(null, e) })
+        val t2 = new Thread(() =>
+          try df.collect().foreach(r =>
+            full.add((r.getLong(0), r.getString(1), r.getDouble(2))))
+          catch { case e: Throwable => failure.compareAndSet(null, e) })
+        t1.start(); t2.start(); t1.join(); t2.join()
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      if (failure.get() != null) throw failure.get()
+      assert(narrowN.get() == 2L)
+      import scala.jdk.CollectionConverters._
+      assert(full.asScala.toSeq.sorted == Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+      Seq((3L, "c", 3.0)).toDF("id", "w", "v")
+        .writeTo("racecat.s.rc").append()
+      q.processAllAvailable()
+      if (failure.get() != null) throw failure.get()
+      assert(narrowN.get() == 1L)
+      assert(full.asScala.toSeq.sorted ==
+        Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+    } finally q.stop()
+  }
 }

@@ -254,8 +254,8 @@ class PartitionEvolutionSpec extends SparkSpec {
       .collect().sorted.toSeq == Seq(1L, 4L))
   }
 
-  test("evolution is rejected for bucketed tables, unknown columns, and " +
-    "reserved names") {
+  test("evolution is rejected for unknown columns, reserved names, and " +
+    "malformed bucket specs") {
     wh
     Seq((1L, "a")).toDF("id", "w")
       .writeTo("evocat.s.e6").using("parquet").createOrReplace()
@@ -263,6 +263,102 @@ class PartitionEvolutionSpec extends SparkSpec {
     assert(bad.getMessage.contains("not in schema"))
     val res = intercept[Exception] { evolve("e6", "_file") }
     assert(res.getMessage.toLowerCase.contains("reserved"))
+    val mal = intercept[Exception] { evolve("e6", "bucket(4, id), w") }
+    assert(mal.getMessage.contains("malformed bucket spec"),
+      s"a bucket spec mixed with identity columns must be rejected: ${mal.getMessage}")
+    val neg = intercept[Exception] { evolve("e6", "bucket(0, id)") }
+    assert(neg.getMessage.contains("positive"))
+    val badcol = intercept[Exception] { evolve("e6", "bucket(4, nope)") }
+    assert(badcol.getMessage.contains("missing from schema"))
+  }
+
+  test("bucket-spec evolution: flat -> bucket(n, col) is a metadata commit; " +
+    "mixed reads stay exact; migrate_layout restores a zero-shuffle SPJ; " +
+    "ambiguous re-bucketing is rejected") {
+    wh
+    (1 to 40).map(i => (i.toLong, s"w$i")).toDF("id", "w").repartition(1)
+      .writeTo("evocat.s.bk1").using("parquet").createOrReplace()
+    evolve("bk1", "bucket(4, id)")
+    (41 to 60).map(i => (i.toLong, s"w$i")).toDF("id", "w")
+      .writeTo("evocat.s.bk1").append()
+    spark.catalog.refreshTable("evocat.s.bk1")
+    val files = manifestFiles("bk1")
+    assert(files.exists(f => GraftCatalog.layoutOf(f) == Seq("__bucket_id")),
+      s"new files must land bucketed, got $files")
+    assert(files.exists(f => GraftCatalog.layoutOf(f).isEmpty),
+      s"the legacy flat file must survive untouched, got $files")
+    assert(spark.table("evocat.s.bk1").select("id").as[Long]
+      .collect().sorted.toSeq == (1L to 60L))
+    // the bucket level is storage layout, not a column
+    assert(spark.table("evocat.s.bk1").columns.toSeq == Seq("id", "w"))
+    // RE-bucketing while __bucket_id files are live is rejected: the
+    // bucket count is not in the path, so the old files' bucket ids are
+    // unverifiable against the new n and SPJ would co-locate wrongly
+    val e = intercept[Exception] { evolve("bk1", "bucket(8, id)") }
+    assert(e.getMessage.contains("bucket count cannot be verified"),
+      s"expected the ambiguous-re-bucket guard, got: ${e.getMessage}")
+    // ...while re-SETTING the same spec is a legal no-op
+    evolve("bk1", "bucket(4, id)")
+    // migrate the flat tail: uniformly bucketed
+    spark.sql("CALL evocat.system.migrate_layout('s.bk1', 1)").collect()
+    spark.catalog.refreshTable("evocat.s.bk1")
+    assert(manifestFiles("bk1").forall(f =>
+      GraftCatalog.layoutOf(f) == Seq("__bucket_id")),
+      s"migration must leave only bucketed files: ${manifestFiles("bk1")}")
+    assert(spark.table("evocat.s.bk1").select("id").as[Long]
+      .collect().sorted.toSeq == (1L to 60L))
+    // SPJ returns on the uniform bucketed layout: zero-shuffle join with
+    // a BORN-bucketed table on the same (n, col)
+    import org.apache.spark.sql.functions.bucket
+    (1 to 60).map(i => (i.toLong, i * 2.0)).toDF("id", "amount")
+      .writeTo("evocat.s.bk2").using("parquet")
+      .partitionedBy(bucket(4, $"id")).createOrReplace()
+    val spjConfs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.graft.spj.preserveDataGrouping" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = spjConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    spjConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val j = spark.table("evocat.s.bk1")
+        .join(spark.table("evocat.s.bk2"), "id")
+      assert(j.count() == 60L)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"the evolved-then-migrated bucketed table must join shuffle-free:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("a non-dir-encodable partition column is rejected at DDL time " +
+    "(evolve AND create), not executor-side on the first append") {
+    wh
+    Seq((1L, 1.5, "a")).toDF("id", "score", "w")
+      .writeTo("evocat.s.e11").using("parquet").createOrReplace()
+    // evolving to a double column would commit fine and then fail every
+    // subsequent append in the writer, leaving the table unwritable
+    val e = intercept[Exception] { evolve("e11", "score") }
+    assert(e.getMessage.contains("cannot be encoded as a directory level"),
+      s"expected the dir-encodable guard, got: ${e.getMessage}")
+    // the table stayed writable on its original (flat) spec
+    Seq((2L, 2.5, "b")).toDF("id", "score", "w")
+      .writeTo("evocat.s.e11").append()
+    spark.catalog.refreshTable("evocat.s.e11")
+    assert(spark.table("evocat.s.e11").count() == 2L)
+    // same guard at CREATE: an identity partition column must be
+    // dir-encodable too
+    val c = intercept[Exception] {
+      Seq((1L, 1.5)).toDF("id", "score")
+        .writeTo("evocat.s.e12").using("parquet")
+        .partitionedBy($"score").createOrReplace()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+    assert(msgs(c).contains("cannot be encoded as a directory level"),
+      s"expected the dir-encodable guard at create, got: ${msgs(c)}")
   }
 
   test("plan shape: a mixed-layout read plans the per-layout union scan, " +
@@ -288,6 +384,255 @@ class PartitionEvolutionSpec extends SparkSpec {
     val uniform = scanDesc("evocat.s.e10")
     assert(!uniform.contains("PartitionEvolvedUnion"),
       s"a uniform table must keep the stock scan, got: ${uniform.take(200)}")
+  }
+
+  test("migrate_layout rewrites ONLY legacy-layout files: conforming files " +
+    "keep their exact paths, and DPO + the single-delegate plan return") {
+    wh
+    Seq((1L, "us", 1.0), (2L, "de", 2.0), (3L, "us", 3.0))
+      .toDF("id", "region", "v").repartition(2)
+      .writeTo("evocat.s.m1").using("parquet").createOrReplace()
+    evolve("m1", "region")
+    Seq((4L, "us", 4.0), (5L, "fr", 5.0)).toDF("id", "region", "v")
+      .writeTo("evocat.s.m1").append()
+    spark.catalog.refreshTable("evocat.s.m1")
+    val before = manifestFiles("m1")
+    val conforming = before.filter(f =>
+      GraftCatalog.layoutOf(f) == Seq("region"))
+    val legacy = before.filter(f => GraftCatalog.layoutOf(f).isEmpty)
+    assert(conforming.nonEmpty && legacy.nonEmpty, s"setup: $before")
+    val rep = spark.sql("CALL evocat.system.migrate_layout('s.m1', 1)").head
+    assert(rep.getInt(0) == legacy.size,
+      s"files_migrated must be the LEGACY count, got ${rep.getInt(0)}")
+    assert(rep.getInt(1) == conforming.size,
+      s"files_kept must be the conforming count, got ${rep.getInt(1)}")
+    spark.catalog.refreshTable("evocat.s.m1")
+    val after = manifestFiles("m1")
+    conforming.foreach(f => assert(after.contains(f),
+      s"conforming file $f must keep its path — migrate_layout rewrote it"))
+    assert(!after.exists(legacy.contains), "legacy files must be retired")
+    assert(after.forall(f => GraftCatalog.layoutOf(f) == Seq("region")),
+      s"table must be uniform on the current spec, got $after")
+    // rows byte-identical across the migration
+    assert(spark.table("evocat.s.m1").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSeq == Seq((1L, "us", 1.0), (2L, "de", 2.0), (3L, "us", 3.0),
+        (4L, "us", 4.0), (5L, "fr", 5.0)))
+    // the union scan retires with the last legacy file: stock delegate
+    val desc = spark.table("evocat.s.m1").filter($"v" > 0)
+      .queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.description()
+      }.head
+    assert(!desc.contains("PartitionEvolvedUnion"),
+      s"uniform after migration must plan the stock scan: ${desc.take(200)}")
+    // ...and dynamic partition overwrite is legal again
+    Seq((9L, "us", 9.0)).toDF("id", "region", "v")
+      .writeTo("evocat.s.m1").overwritePartitions()
+    spark.catalog.refreshTable("evocat.s.m1")
+    assert(spark.table("evocat.s.m1").filter($"region" === "us")
+      .select("id").as[Long].collect().sorted.toSeq == Seq(9L))
+    // idempotent: nothing legacy left to migrate
+    val again = spark.sql("CALL evocat.system.migrate_layout('s.m1', 1)").head
+    assert(again.getInt(0) == 0)
+  }
+
+  test("migrate_layout composes with pending merge-on-read deletes: folds " +
+    "them into the rewritten legacy files, carries them for conforming ones") {
+    wh
+    Seq((1L, "us", "a"), (2L, "de", "b")).toDF("id", "region", "w")
+      .repartition(1)
+      .writeTo("evocat.s.m2").using("parquet")
+      .tableProperty(GraftCatalog.MergeModeProp, "merge-on-read")
+      .tableProperty(GraftCatalog.MergeKeyProp, "id")
+      .createOrReplace()
+    evolve("m2", "region")
+    Seq((3L, "fr", "c"), (4L, "us", "d")).toDF("id", "region", "w")
+      .writeTo("evocat.s.m2").append()
+    spark.catalog.refreshTable("evocat.s.m2")
+    // one pending equality-delete set hitting BOTH layouts: id=1 lives in
+    // the legacy flat file, id=3 in a conforming region=... file
+    spark.sql("DELETE FROM evocat.s.m2 WHERE id IN (1, 3) AND length(w) > 0")
+    spark.catalog.refreshTable("evocat.s.m2")
+    val dir = new Path(s"$wh/s/m2")
+    val fsys = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(GraftCatalog.readEqDels(fsys, dir,
+      GraftCatalog.latestSnapshot(fsys, dir)).nonEmpty, "setup: eqdel pending")
+    val rep = spark.sql("CALL evocat.system.migrate_layout('s.m2', 1)").head
+    assert(rep.getInt(0) >= 1)
+    spark.catalog.refreshTable("evocat.s.m2")
+    // id=1 must NOT resurrect (its delete folded into the legacy rewrite);
+    // id=3 must STAY deleted (its conforming file is untouched, so the
+    // pending delete must have been carried, not cleared)
+    assert(spark.table("evocat.s.m2").select("id").as[Long]
+      .collect().sorted.toSeq == Seq(2L, 4L))
+    assert(manifestFiles("m2").forall(f =>
+      GraftCatalog.layoutOf(f) == Seq("region")))
+    assert(GraftCatalog.readEqDels(fsys, dir,
+      GraftCatalog.latestSnapshot(fsys, dir)).nonEmpty,
+      "the delete pending against the untouched conforming file must carry")
+    // later targeted compaction still folds the carried delete cleanly
+    val (rew, _) = cat.compactDeletes(spark, "s.m2")
+    assert(rew >= 1)
+    spark.catalog.refreshTable("evocat.s.m2")
+    assert(spark.table("evocat.s.m2").select("id").as[Long]
+      .collect().sorted.toSeq == Seq(2L, 4L))
+  }
+
+  test("metadata-only aggregates survive a mixed layout: per-group manifest " +
+    "answering plans ZERO data scans; GROUP BY answers only when the key " +
+    "is a dir level in EVERY layout") {
+    wh
+    // layouts (region) and (region, day): region is a dir level in BOTH
+    Seq((1L, "us", "d1", 1.0), (2L, "de", "d1", 2.0), (3L, "us", "d2", 3.0))
+      .toDF("id", "region", "day", "v").repartition(1)
+      .writeTo("evocat.s.ag1").using("parquet")
+      .partitionedBy($"region").createOrReplace()
+    evolve("ag1", "region,day")
+    Seq((4L, "fr", "d3", 4.0), (5L, "us", "d3", 5.0))
+      .toDF("id", "region", "day", "v").writeTo("evocat.s.ag1").append()
+    spark.catalog.refreshTable("evocat.s.ag1")
+    assert(manifestFiles("ag1").map(GraftCatalog.layoutOf).distinct.size == 2,
+      s"setup: expected two layouts, got ${manifestFiles("ag1")}")
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def dataScans(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.sparkPlan.collect { case b: BatchScanExec => b }.size
+    // ungrouped count/min/max: each layout group answers from its own
+    // manifest stats; the partials fold in Spark's final aggregate
+    val agg = spark.sql(
+      "SELECT count(*) AS c, min(id) AS mn, max(id) AS mx, min(v) AS vn " +
+        "FROM evocat.s.ag1")
+    assert(dataScans(agg) == 0,
+      s"mixed-layout count/min/max must plan no data scan:\n" +
+        agg.queryExecution.sparkPlan.toString.take(400))
+    assert(agg.collect().head == org.apache.spark.sql.Row(5L, 1L, 5L, 1.0))
+    // GROUP BY region — a dir level in BOTH layouts: still metadata-only,
+    // one partial row per (layout group, region value)
+    val grp = spark.sql(
+      "SELECT region, count(*) AS c, max(id) AS mx FROM evocat.s.ag1 " +
+        "GROUP BY region")
+    assert(dataScans(grp) == 0,
+      "GROUP BY a partition column of every layout must stay metadata-only")
+    assert(grp.orderBy("region").collect().toSeq ==
+      Seq(org.apache.spark.sql.Row("de", 1L, 2L),
+        org.apache.spark.sql.Row("fr", 1L, 4L),
+        org.apache.spark.sql.Row("us", 3L, 5L)))
+    // GROUP BY day — a dir level only in the NEW layout: declines for ALL
+    // groups (all-or-nothing), falls back to the union data scan, correct
+    val byDay = spark.sql(
+      "SELECT day, count(*) AS c FROM evocat.s.ag1 GROUP BY day")
+    assert(dataScans(byDay) > 0,
+      "GROUP BY a non-universal dir level must decline to a data scan")
+    assert(byDay.orderBy("day").collect().toSeq ==
+      Seq(org.apache.spark.sql.Row("d1", 2L),
+        org.apache.spark.sql.Row("d2", 1L),
+        org.apache.spark.sql.Row("d3", 2L)))
+    // a filter still demotes to the data scan (stats are whole-file)
+    val filtered = spark.sql(
+      "SELECT count(*) AS c FROM evocat.s.ag1 WHERE v > 2.0")
+    assert(dataScans(filtered) > 0)
+    assert(filtered.head.getLong(0) == 3L)
+  }
+
+  test("streaming reads compose with evolution: a micro-batch spanning the " +
+    "evolution commit serves both layouts, and a MID-STREAM evolve keeps " +
+    "later batches exactly-once") {
+    wh
+    Seq((1L, "us", 1.0), (2L, "de", 2.0)).toDF("id", "region", "v")
+      .repartition(1)
+      .writeTo("evocat.s.st1").using("parquet").createOrReplace()
+    evolve("st1", "region")
+    Seq((3L, "fr", 3.0), (4L, "us", 4.0)).toDF("id", "region", "v")
+      .writeTo("evocat.s.st1").append()
+    spark.catalog.refreshTable("evocat.s.st1")
+    // the FIRST batch reads snapshots 1..latest in one incremental scan —
+    // a file set spanning the flat AND the region=... layouts
+    val q = spark.readStream.format("graft-table")
+      .option("table", "evocat.s.st1").load()
+      .writeStream.format("memory").queryName("evo_stream").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("evo_stream").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .toSeq == Seq((1L, "us", 1.0), (2L, "de", 2.0), (3L, "fr", 3.0),
+          (4L, "us", 4.0)),
+        "the cross-evolution batch must serve both layouts' rows")
+      // MID-STREAM evolution: change the spec again while the query is
+      // live, append under the newest layout — the next batch reads only
+      // the new rows (exactly-once across the evolution commit)
+      evolve("st1", "")
+      Seq((5L, "it", 5.0), (6L, "es", 6.0)).toDF("id", "region", "v")
+        .writeTo("evocat.s.st1").append()
+      q.processAllAvailable()
+      assert(spark.table("evo_stream").count() == 6L,
+        "post-evolution appends must arrive exactly once")
+      assert(spark.table("evo_stream").select("id").as[Long]
+        .collect().sorted.toSeq == (1L to 6L))
+    } finally q.stop()
+  }
+
+  test("bloom point-lookups prune files in BOTH layout groups of an " +
+    "evolved table") {
+    wh
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+    // flat layout: two files with fully overlapping id ranges (evens /
+    // odds over [0, 200)) — min/max stats cannot prune a point probe
+    spark.range(0, 200, 2)
+      .select(col("id"), concat(lit("w"), col("id")).as("tag"),
+        lit("rA").as("region"))
+      .repartition(1)
+      .writeTo("evocat.s.bl1").using("parquet").createOrReplace()
+    spark.range(1, 200, 2)
+      .select(col("id"), concat(lit("w"), col("id")).as("tag"),
+        lit("rB").as("region"))
+      .repartition(1)
+      .writeTo("evocat.s.bl1").append()
+    evolve("bl1", "region")
+    // new layout: the same overlapping evens/odds ids again, both files
+    // under region=r1 — every id now lives in one file of EACH group
+    spark.range(0, 200, 2)
+      .select(col("id"), concat(lit("n"), col("id")).as("tag"),
+        lit("r1").as("region"))
+      .repartition(1)
+      .writeTo("evocat.s.bl1").append()
+    spark.range(1, 200, 2)
+      .select(col("id"), concat(lit("n"), col("id")).as("tag"),
+        lit("r1").as("region"))
+      .repartition(1)
+      .writeTo("evocat.s.bl1").append()
+    spark.catalog.refreshTable("evocat.s.bl1")
+    def fileCount(s: org.apache.spark.sql.connector.read.Scan): Int = s match {
+      case e: org.apache.spark.sql.graftshim.EqDeleteScan => fileCount(e.delegate)
+      case p: ParquetScan => p.fileIndex.inputFiles.length
+      case other => fail(s"unexpected group scan: $other")
+    }
+    def groupFiles(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+      df.queryExecution.sparkPlan.collect {
+        case b: BatchScanExec => b.scan
+      }.head match {
+        case u: org.apache.spark.sql.graftshim.EvolvedUnionScan =>
+          u.scans.map(fileCount)
+        case other => fail(s"expected the evolved union scan, got $other")
+      }
+    // before the index: a point probe scans every file of both groups
+    assert(groupFiles(spark.table("evocat.s.bl1").filter($"id" === 42L))
+      == Seq(2, 2), "overlapping ranges: min/max alone prunes nothing")
+    val (fresh, total) = cat.buildBloomIndex(spark, "s.bl1", Seq("id"))
+    assert(fresh == 4 && total == 4)
+    // present key: ONE bloom-matched file per layout group
+    val hit = spark.table("evocat.s.bl1").filter($"id" === 42L)
+    assert(groupFiles(hit) == Seq(1, 1),
+      s"bloom must prune within EACH layout group, got ${groupFiles(hit)}")
+    assert(hit.count() == 2L, "one row per layout")
+    val odd = spark.table("evocat.s.bl1").filter($"id" === 43L)
+    assert(groupFiles(odd) == Seq(1, 1))
+    assert(odd.count() == 2L)
+    // absent key: everything pruned (one sentinel file per group so the
+    // delegate can build), zero rows
+    val miss = spark.table("evocat.s.bl1").filter($"id" === 4242L)
+    assert(groupFiles(miss) == Seq(1, 1))
+    assert(miss.count() == 0L)
   }
 
   test("time travel: a snapshot before the evolution still reads, and an " +
