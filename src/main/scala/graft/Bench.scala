@@ -104,7 +104,12 @@ object Bench {
     // append dir-layout → mixed-layout union read) — regressions in the
     // per-layout-group scan planning show up here — and the salted skew
     // join (hot-key fanout cost profile)
-    "q_partition_evolution", "q_join_skew_salted")
+    "q_partition_evolution", "q_join_skew_salted",
+    // round-15: the evolution OPERATIONAL loop — metadata-only aggregates
+    // over a mixed layout (per-group manifest answering; a regression
+    // here means a data scan crept back in) and targeted legacy-file
+    // migration followed by the dynamic partition overwrite it restores
+    "q_evolution_agg", "q_migrate_layout")
 
   /** Warm iterations per query; the median is reported. */
   val WarmIters = 3

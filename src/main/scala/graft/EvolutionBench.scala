@@ -93,15 +93,17 @@ object EvolutionBench {
     }
 
     // ── closing the loop: TARGETED migration (rewrite only the legacy
-    // half) vs a FULL compact (rewrite everything) on two identically
-    // evolved half-flat/half-dir tables — the price of restoring DPO/
-    // pushdown/SPJ should be the legacy set, not the table ──────────────
+    // tail) vs a FULL compact (rewrite everything) on two identically
+    // evolved tables with a 1/8-flat + 7/8-dir split — the operational
+    // shape (a small legacy tail after most data landed post-evolution);
+    // the price of restoring DPO/pushdown/SPJ should be the legacy set,
+    // not the table ─────────────────────────────────────────────────────
     def evolvedTable(name: String): Unit = {
-      rows(0, n / 2).repartition(files / 2)
+      rows(0, n / 8).repartition(files / 8)
         .writeTo(s"evb.s.$name").using("parquet").createOrReplace()
       spark.sql(s"""ALTER TABLE evb.s.$name SET TBLPROPERTIES
           ('${GraftCatalog.PartitionByProp}' = 'region')""")
-      rows(n / 2, n).repartition(files / 2).writeTo(s"evb.s.$name").append()
+      rows(n / 8, n).repartition(files * 7 / 8).writeTo(s"evb.s.$name").append()
       spark.catalog.refreshTable(s"evb.s.$name")
     }
     evolvedTable("mig")
