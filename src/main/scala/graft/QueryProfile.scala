@@ -42,10 +42,16 @@ object QueryProfile {
 
     final case class StageRow(
       id: Int, name: String, tasks: Int, taskSecs: Double, maxTaskSecs: Double,
-      submitted: Long, wallSecs: Double)
+      wallSecs: Double)
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[StageRow]()
-    var record = false
+    // per-stage max task duration, fed by onTaskEnd — the straggler signal
+    val maxTask = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Double]()
+    @volatile var record = false
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (record && te.taskInfo != null)
+          maxTask.merge(te.stageId, te.taskInfo.duration / 1e3,
+            (a, b) => math.max(a, b))
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
         if (record) {
           val i = sc.stageInfo
@@ -54,7 +60,7 @@ object QueryProfile {
           } yield (a - b) / 1e3).getOrElse(0.0)
           stages.add(StageRow(i.stageId, i.name.linesIterator.next().take(90),
             i.numTasks, i.taskMetrics.executorRunTime / 1e3,
-            0.0, i.submissionTime.getOrElse(0L), wall))
+            Option(maxTask.get(i.stageId)).fold(0.0)(_.doubleValue()), wall))
         }
     })
 
@@ -64,11 +70,14 @@ object QueryProfile {
         .foreach(_.unpersist(blocking = false))
     }
     (1 to iters).foreach { i =>
-      if (i == iters) { stages.clear(); record = true }
+      if (i == iters) { stages.clear(); maxTask.clear(); record = true }
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[profile] iter $i: $dt%.3f s  (rows=$n)")
+      // the listener bus is asynchronous: drain it before reading the
+      // stage table or the tail (often slowest) stages are silently lost
+      org.apache.spark.sql.graftshim.Shims.drainListenerBus(spark.sparkContext)
       record = false
       clearAll(); System.gc()
     }
@@ -78,7 +87,8 @@ object QueryProfile {
       + f"(${stages.size()} stages total):")
     rows.foreach { s =>
       println(f"[profile]   stage ${s.id}%5d wall=${s.wallSecs}%7.3f s "
-        + f"taskTime=${s.taskSecs}%8.3f s tasks=${s.tasks}%4d  ${s.name}")
+        + f"taskTime=${s.taskSecs}%8.3f s maxTask=${s.maxTaskSecs}%7.3f s "
+        + f"tasks=${s.tasks}%4d  ${s.name}")
     }
     spark.stop()
   }

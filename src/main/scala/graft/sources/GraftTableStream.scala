@@ -64,8 +64,15 @@ private[graft] object GraftTableStreamSource {
     * stream's execution thread) and additionally by bare `<table>` as the
     * latest-plan fallback — two CONCURRENT streams over one table then
     * observe their own schemas instead of clobbering a shared key. */
-  private[graft] val lastPlannedReadSchema =
-    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+  private[graft] val lastPlannedReadSchema: java.util.Map[String, StructType] =
+    // BOUNDED (LRU over the last 64 keys): a long-lived driver starting
+    // many ad-hoc streaming queries must not accumulate one entry per
+    // (queryId, table) forever in this process-lifetime hook
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, StructType](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, StructType]): Boolean = size() > 64
+      })
 
   private[graft] def recordPlannedSchema(nsTable: String, s: StructType): Unit = {
     lastPlannedReadSchema.put(nsTable, s)
@@ -144,41 +151,52 @@ private[sources] class GraftTableMicroBatchStream(
   private val (cat, nsTable) = GraftTableStreamSource.resolve(options)
   private val start: Long =
     Option(options.get("startingSnapshot")).map(_.toLong).getOrElse(0L)
+  private val sc = SparkSession.active.sparkContext
 
   // The required-schema channel from [[PruneGraftStreamColumns]] (runs at
   // optimize time) to planInputPartitions — always a subset of `declared`
   // in declared field order, so reader rows line up with the pruned
-  // relation output. Scope:
+  // relation output.
   //
-  //  - two concurrent STREAMS never share this state: each
-  //    `readStream.load()` query gets its OWN stream instance (the
-  //    scan's `toMicroBatchStream` runs per query) — pinned by
-  //    StreamingSpec "two concurrent streams over one table";
-  //  - within one stream, a plan's optimize and its partition planning
-  //    run on the SAME thread (QueryExecution is lazily forced by the
-  //    action's thread; the engine's own batches are sequential on the
-  //    stream thread), so the requirement rides a THREAD-LOCAL: two
-  //    CONCURRENT actions over one foreachBatch df (each re-optimizing —
-  //    the rule does re-enter for batch-df actions) each see their own
-  //    requirement instead of racing one shared slot into silent
-  //    row/column misalignment — pinned by StreamingSpec "concurrent
-  //    actions over one foreachBatch df";
-  //  - a thread that plans partitions WITHOUT having optimized there
-  //    (broadcast-exchange / AQE stage pools force the lazy
-  //    inputPartitions) finds no thread-local and falls back to the
-  //    volatile last-write slot — those pools never run the optimizer,
-  //    so their thread-locals can never go stale, and the slot was
-  //    written by the action that planned the enclosing query.
-  @volatile private var required: StructType = declared
-  private val tlRequired = new ThreadLocal[StructType]
-  private[graft] def setRequiredSchema(s: StructType): Unit = {
-    tlRequired.set(s)
-    required = s
-  }
-  private def currentRequired: StructType = {
-    val tl = tlRequired.get()
-    if (tl != null) tl else required
-  }
+  // The requirement rides a SPARK LOCAL PROPERTY (keyed per stream
+  // instance), which is the one driver-side channel with exactly the
+  // propagation a per-plan value needs:
+  //
+  //  - optimize and same-thread execution: the rule sets the property on
+  //    the action's thread; planInputPartitions on that thread reads it;
+  //  - broadcast-exchange / subquery / AQE-stage pool threads that force
+  //    the exec's lazy inputPartitions run under
+  //    `SQLExecution.withThreadLocalCaptured`, which snapshots the
+  //    SUBMITTING thread's local properties into the pool thread — so a
+  //    pool thread planning a query's partitions sees the requirement of
+  //    THAT query's own optimize, not whatever another concurrent action
+  //    wrote last (the failure mode of any shared-slot design);
+  //  - two concurrent actions over one foreachBatch df therefore each
+  //    carry their own requirement end to end (pinned by StreamingSpec
+  //    "concurrent actions over one foreachBatch df"), and two
+  //    concurrent STREAMS never share state anyway — each
+  //    `readStream.load()` query gets its own stream instance (pinned by
+  //    "two concurrent streams over one table");
+  //  - absence of the property = full declared width (the rule CLEARS it
+  //    for full-width plans, so a stale narrow value can never leak into
+  //    a later wide plan on the same thread).
+  //
+  // The value encodes kept FIELD NAMES (declared order is reconstructed
+  // from `declared`, so the string is order-free); NUL ("\u0000")
+  // separates them because no real column name carries it.
+  private val reqProp =
+    s"graft.stream.required.${System.identityHashCode(this)}"
+  private[graft] def setRequiredSchema(s: StructType): Unit =
+    sc.setLocalProperty(reqProp,
+      if (s.fieldNames.sameElements(declared.fieldNames)) null
+      else s.fieldNames.mkString("\u0000"))
+  private def currentRequired: StructType =
+    Option(sc.getLocalProperty(reqProp)) match {
+      case Some(names) =>
+        val keep = names.split('\u0000').toSet
+        StructType(declared.fields.filter(f => keep.contains(f.name)))
+      case None => declared
+    }
 
   override def latestOffset(): Offset =
     GraftStreamOffset(math.max(start, cat.latestSnapshot(nsTable)))
@@ -306,13 +324,14 @@ private[sources] final case class GraftStreamPartition(
   * different prunings. Correctness is unaffected either way; this is
   * purely an IO-width optimization.
   *
-  * Scope: the requirement travels thread-locally from each plan's
-  * optimize to its partition planning (same thread — QueryExecution is
-  * forced lazily by the acting thread), with a last-write slot as the
-  * fallback for execution-pool threads that never optimize. Concurrent
-  * actions over one foreachBatch df therefore each read their own
-  * requirement; see [[GraftTableMicroBatchStream]] for the full
-  * channel contract. */
+  * Scope: the requirement rides the acting thread's SPARK LOCAL
+  * PROPERTIES (keyed per stream instance), which Spark itself snapshots
+  * into broadcast/subquery/AQE pool threads via
+  * `SQLExecution.withThreadLocalCaptured` — so each plan's partition
+  * planning sees ITS OWN optimize's requirement even on a pool thread,
+  * and concurrent actions over one foreachBatch df cannot clobber each
+  * other; see [[GraftTableMicroBatchStream]] for the full channel
+  * contract. */
 object PruneGraftStreamColumns
   extends org.apache.spark.sql.catalyst.rules.Rule[
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {

@@ -468,8 +468,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     // every partition directory
     val migrated =
       if (meta.partitionCols.isEmpty)
-        withBucket.repartition(math.max(1, math.min(legacy.size,
-          spark.sparkContext.defaultParallelism)))
+        // unpartitioned current spec: the whole rewrite is "one
+        // partition" — honor the caller's file bound like compact does
+        withBucket.repartition(targetFilesPerPartition)
       else {
         val spread = pmod(hash(out0.columns.map(col): _*),
           lit(targetFilesPerPartition))
@@ -1389,9 +1390,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
                 StringType, DateType).contains(f.dataType),
               s"GraftCatalog: unsupported bucket column type ${f.dataType.catalogString}")
             if (!meta.bucket.contains((n, c))) {
+              // legacy (pre-manifest) tables fall back to the directory
+              // listing like every other liveness consumer — a missing
+              // manifest means "list", never "no live files"
               val stale = GraftCatalog.readManifest(fs, dir,
                   GraftCatalog.latestSnapshot(fs, dir))
-                .getOrElse(Seq.empty)
+                .getOrElse(GraftCatalog.listDataFiles(fs, dir))
                 .filter(p => GraftCatalog.layoutOf(p) == Seq(s"__bucket_$c"))
               require(stale.isEmpty,
                 s"GraftCatalog: cannot evolve to bucket($n, $c) — " +

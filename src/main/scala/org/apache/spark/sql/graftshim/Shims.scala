@@ -31,4 +31,12 @@ object Shims {
 
   def unescapePathName(part: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(part)
+
+  /** Block until every queued listener event has been delivered
+    * (`SparkContext.listenerBus` is `private[spark]`): a profiler reading
+    * its own SparkListener state right after an action must drain the
+    * asynchronous bus first or the tail — typically the slowest — stages
+    * are nondeterministically missing. */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }

@@ -190,9 +190,11 @@ final class KeyedParquetScanBuilder(
     // aggregate folds that row with full-scan semantics.
     // pending equality/position deletes: neither manifest row counts nor
     // parquet footer counts see the deleted rows — no aggregate pushdown
-    // of any kind until compaction folds the deletes in
-    if (eqDeletes.isDefined || posDeletes.nonEmpty) { manifestAgg = None; return false }
-    if (tryManifestAggregation(aggregation)) true
+    // of any kind until compaction folds the deletes in (the guard lives
+    // in tryManifestAggregation; short-circuiting here keeps the footer
+    // fallback from engaging too)
+    if (eqDeletes.isDefined || posDeletes.nonEmpty) { manifestAgg = None; false }
+    else if (tryManifestAggregation(aggregation)) true
     else underlying.pushAggregation(aggregation)
   }
 

@@ -1423,11 +1423,12 @@ class StreamingSpec extends SparkSpec {
       .load()
       .writeStream
       .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-        // the requirement channel is thread-local from each action's
-        // optimize to its partition planning — so the narrow action
-        // (required = [w]) and the full-width action (required =
-        // [id, w, v]) racing on two threads each read THEIR schema,
-        // not whichever one wrote a shared slot last
+        // the requirement channel rides each action's Spark local
+        // properties (captured into any pool thread that plans the
+        // partitions) — so the narrow action (required = [w]) and the
+        // full-width action (required = [id, w, v]) racing on two
+        // threads each read THEIR schema, not whichever one wrote a
+        // shared slot last
         val t1 = new Thread(() =>
           try narrowN.set(df.select("w").filter(length(col("w")) > 0).count())
           catch { case e: Throwable => failure.compareAndSet(null, e) })

@@ -437,6 +437,41 @@ class PartitionEvolutionSpec extends SparkSpec {
     assert(again.getInt(0) == 0)
   }
 
+  test("migrate_layout retires legacy files into time-travel history: the " +
+    "pre-migration snapshot still reads, and vacuum reclaims the legacy " +
+    "bytes once the window passes") {
+    wh
+    Seq((1L, "us", 1.0), (2L, "de", 2.0)).toDF("id", "region", "v")
+      .repartition(1)
+      .writeTo("evocat.s.m3").using("parquet").createOrReplace()
+    evolve("m3", "region")
+    Seq((3L, "fr", 3.0)).toDF("id", "region", "v")
+      .writeTo("evocat.s.m3").append()
+    spark.catalog.refreshTable("evocat.s.m3")
+    val dir = new Path(s"$wh/s/m3")
+    val fsys = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val preSnap = GraftCatalog.latestSnapshot(fsys, dir)
+    val legacy = manifestFiles("m3").filter(f => GraftCatalog.layoutOf(f).isEmpty)
+    assert(legacy.nonEmpty)
+    spark.sql("CALL evocat.system.migrate_layout('s.m3', 1)").collect()
+    spark.catalog.refreshTable("evocat.s.m3")
+    // the legacy files are OUT of the live manifest but still on disk:
+    // the pre-migration snapshot time-travels
+    legacy.foreach(f => assert(fsys.exists(new Path(dir, f)),
+      s"legacy file $f must survive for time travel until vacuum"))
+    assert(spark.sql(s"SELECT id FROM evocat.s.m3 VERSION AS OF $preSnap")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // vacuum to the latest snapshot: the retired legacy bytes reclaim
+    val deleted = cat.vacuum(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("s"), "m3"),
+      keepLast = 1)
+    assert(deleted >= legacy.size,
+      s"vacuum must reclaim the ${legacy.size} retired legacy file(s), got $deleted")
+    legacy.foreach(f => assert(!fsys.exists(new Path(dir, f))))
+    assert(spark.table("evocat.s.m3").select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("migrate_layout composes with pending merge-on-read deletes: folds " +
     "them into the rewritten legacy files, carries them for conforming ones") {
     wh
