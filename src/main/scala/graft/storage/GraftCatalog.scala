@@ -506,6 +506,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     }
     fs.delete(stagePath, true)
     val kept = live.filterNot(legacy.toSet)
+    // test seam: opens the OCC window between promotion and the snapshot
+    // commit so specs can inject a concurrent writer deterministically
+    GraftCatalog.migratePreCommitHook()
     // eqdels NOT cleared: they still apply to the conforming files (whose
     // add-sequences they postdate); the promoted files' add = latest+1
     // postdates every pending delete, so none re-applies to migrated rows
@@ -1719,6 +1722,12 @@ object GraftCatalog {
       s"GraftCatalog: column name(s) ${hit.mkString(", ")} are reserved " +
         "for the synthesized metadata columns (_file, _pos)")
   }
+
+  /** Test seam for [[GraftCatalog.migrateLayout]]'s OCC window (between
+    * file promotion and the snapshot commit): a spec swaps in a
+    * conflicting writer to pin that the migration loses the race loudly
+    * and cleans its promoted files. No-op in production. */
+  @volatile private[storage] var migratePreCommitHook: () => Unit = () => ()
 
   /** Parse a `write.partition-by` value of the form `bucket(n, col)` —
     * the bucket-spec-evolution spelling. Whitespace-tolerant; None for

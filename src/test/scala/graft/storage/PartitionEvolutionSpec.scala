@@ -472,6 +472,74 @@ class PartitionEvolutionSpec extends SparkSpec {
       .collect().sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("migrate_layout loses a concurrent-commit race CLEANLY: the other " +
+    "writer's snapshot stands, no migrated file leaks into any manifest, " +
+    "and a re-run succeeds") {
+    wh
+    Seq((1L, "us", 1.0), (2L, "de", 2.0)).toDF("id", "region", "v")
+      .repartition(1)
+      .writeTo("evocat.s.m4").using("parquet").createOrReplace()
+    evolve("m4", "region")
+    Seq((3L, "fr", 3.0)).toDF("id", "region", "v")
+      .writeTo("evocat.s.m4").append()
+    spark.catalog.refreshTable("evocat.s.m4")
+    val dir = new Path(s"$wh/s/m4")
+    val fsys = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val latest = GraftCatalog.latestSnapshot(fsys, dir)
+    val liveBefore = manifestFiles("m4")
+    // a conflicting writer lands INSIDE the OCC window — after migrate
+    // promoted its files, before its snapshot commit (files unchanged:
+    // a metadata-only commit is the cheapest conflicting writer)
+    GraftCatalog.migratePreCommitHook = () =>
+      GraftCatalog.writeSnapshotAt(fsys, dir, latest + 1, liveBefore,
+        GraftCatalog.readTxns(fsys, dir, latest))
+    val e =
+      try intercept[java.io.IOException] { cat.migrateLayout(spark, "s.m4") }
+      finally GraftCatalog.migratePreCommitHook = () => ()
+    assert(e.getMessage.contains("concurrent commit"),
+      s"expected the OCC collision, got: ${e.getMessage}")
+    // the other writer's snapshot stands; nothing migrated leaked in
+    spark.catalog.refreshTable("evocat.s.m4")
+    assert(manifestFiles("m4").sorted == liveBefore.sorted)
+    assert(!manifestFiles("m4").exists(_.contains("migr-")))
+    assert(spark.table("evocat.s.m4").select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // re-run from the fresh snapshot: succeeds and leaves it uniform
+    val (migrated, _) = cat.migrateLayout(spark, "s.m4")
+    assert(migrated >= 1)
+    spark.catalog.refreshTable("evocat.s.m4")
+    assert(manifestFiles("m4").forall(f =>
+      GraftCatalog.layoutOf(f) == Seq("region")))
+    assert(spark.table("evocat.s.m4").select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("streaming reads compose with BUCKET-spec evolution: one batch " +
+    "spans the flat and bucketed layouts, later bucketed appends arrive " +
+    "exactly once") {
+    wh
+    Seq((1L, "a"), (2L, "b")).toDF("id", "w").repartition(1)
+      .writeTo("evocat.s.st2").using("parquet").createOrReplace()
+    evolve("st2", "bucket(4, id)")
+    Seq((3L, "c"), (4L, "d")).toDF("id", "w")
+      .writeTo("evocat.s.st2").append()
+    spark.catalog.refreshTable("evocat.s.st2")
+    val q = spark.readStream.format("graft-table")
+      .option("table", "evocat.s.st2").load()
+      .writeStream.format("memory").queryName("evo_bk_stream").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("evo_bk_stream").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")),
+        "the cross-evolution batch must serve flat AND bucketed files")
+      Seq((5L, "e")).toDF("id", "w").writeTo("evocat.s.st2").append()
+      q.processAllAvailable()
+      assert(spark.table("evo_bk_stream").select("id").as[Long]
+        .collect().sorted.toSeq == (1L to 5L))
+    } finally q.stop()
+  }
+
   test("migrate_layout composes with pending merge-on-read deletes: folds " +
     "them into the rewritten legacy files, carries them for conforming ones") {
     wh
