@@ -427,14 +427,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     * the new files' add-sequence postdates every pending delete, so none
     * re-applies to them), while deletes are CARRIED for the untouched
     * conforming files and keep applying there.
+    *
+    * `maxFiles` bounds the work per call (BOUNDED-WORK migration — the
+    * 100 TB spelling: a petabyte-scale legacy tail migrates as a
+    * sequence of fixed-size commits on a maintenance cadence, each
+    * individually atomic and each shrinking the tail, instead of one
+    * table-sized transaction that holds the OCC window open for hours;
+    * [[layoutSummary]] prices what remains). Files migrate in sorted
+    * path order, so repeated calls converge deterministically.
     * Returns (filesMigrated, filesKept). */
   def migrateLayout(
       spark: SparkSession,
       table: String,
       targetFilesPerPartition: Int = 1,
-      refreshBloomIndex: Boolean = true): (Int, Int) = {
+      refreshBloomIndex: Boolean = true,
+      maxFiles: Int = Int.MaxValue): (Int, Int) = {
     require(targetFilesPerPartition > 0,
       s"migrateLayout: target_files_per_partition must be > 0, got $targetFilesPerPartition")
+    require(maxFiles > 0, s"migrateLayout: max_files must be > 0, got $maxFiles")
     val ident = Identifier.of(
       table.split("\\.").dropRight(1), table.split("\\.").last)
     val dir = tableDir(ident)
@@ -445,6 +455,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       .getOrElse(GraftCatalog.listDataFiles(fs, dir))
     val curLayout = GraftCatalog.currentLayout(meta)
     val legacy = live.filter(f => GraftCatalog.layoutOf(f) != curLayout)
+      .sorted.take(maxFiles)
     if (legacy.isEmpty) return (0, live.size)
     val eqDels = GraftCatalog.readEqDels(fs, dir, latest)
     val addMap = GraftCatalog.readAddMap(fs, dir, latest)
@@ -522,6 +533,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     // the new files (incremental — conforming files keep their entries)
     if (refreshBloomIndex) refreshBloomIndexIfPresent(spark, table)
     (legacy.size, kept.size)
+  }
+
+  /** Per-layout live-file summary — the operational "how much legacy
+    * tail remains" probe that prices a [[migrateLayout]] cadence, purely
+    * from manifest metadata (zero file reads): one row per distinct
+    * directory layout among the live files, `(layout, is_current, files,
+    * rows)`, rows = -1 when any file in the group lacks a recorded row
+    * count (absence reads unknown, never low — same convention as
+    * `history`). A uniform table returns exactly one row with
+    * is_current = true. */
+  def layoutSummary(table: String): Seq[(String, Boolean, Int, Long)] = {
+    val ident = Identifier.of(
+      table.split("\\.").dropRight(1), table.split("\\.").last)
+    val dir = tableDir(ident)
+    val meta = GraftCatalog.readMeta(fs, dir)
+      .getOrElse(throw new NoSuchTableException(ident))
+    val latest = GraftCatalog.latestSnapshot(fs, dir)
+    val live = GraftCatalog.readManifest(fs, dir, latest)
+      .getOrElse(GraftCatalog.listDataFiles(fs, dir))
+    val stats = GraftCatalog.readStats(fs, dir, latest)
+    val cur = GraftCatalog.currentLayout(meta)
+    live.groupBy(GraftCatalog.layoutOf).toSeq
+      .sortBy(_._1.mkString("/"))
+      .map { case (layout, files) =>
+        val counts = files.map(f =>
+          stats.get(f).flatMap(_.get(GraftCatalog.RowCountKey)).map(_.nulls))
+        val rows = if (counts.forall(_.isDefined)) counts.flatten.sum else -1L
+        (if (layout.isEmpty) "<unpartitioned>" else layout.mkString("/"),
+          layout == cur, files.size, rows)
+      }
   }
 
   /** MINOR (delete) compaction — Iceberg's `rewrite_position_delete_files`

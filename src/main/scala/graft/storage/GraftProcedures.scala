@@ -68,7 +68,7 @@ object GraftProcedures {
 
   def names: Seq[String] =
     Seq("vacuum", "build_bloom_index", "cluster", "compact",
-      "migrate_layout", "rewrite_deletes", "history")
+      "migrate_layout", "layout_summary", "rewrite_deletes", "history")
 
   def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] = name match {
     case "vacuum" => Some(new Proc("vacuum",
@@ -118,14 +118,44 @@ object GraftProcedures {
       }
     })
     case "migrate_layout" => Some(new Proc("migrate_layout",
-      Seq(in("table", StringType), in("target_files_per_partition", IntegerType)),
+      Seq(in("table", StringType), in("target_files_per_partition", IntegerType),
+        // OPTIONAL (bounded-work migration): 2-arg calls migrate the
+        // whole legacy tail in one commit
+        ProcedureParameter.in("max_files", IntegerType)
+          .defaultValue(Int.MaxValue.toString).build()),
       StructType(Seq(
         StructField("files_migrated", IntegerType, nullable = false),
         StructField("files_kept", IntegerType, nullable = false)))) {
+      // tolerate both shapes: analyzers that fill the default pass 3
+      // fields; ones that bind the raw argument list pass 2
+      override def bind(inputType: StructType): BoundProcedure = {
+        require(inputType.fields.length == 2 || inputType.fields.length == 3,
+          "migrate_layout expects (table STRING, target_files_per_partition " +
+            s"INT[, max_files INT]), got ${inputType.fields.length} arguments")
+        this
+      }
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val maxFiles =
+          if (input.numFields >= 3) input.getInt(2) else Int.MaxValue
         val (migrated, kept) = cat.migrateLayout(SparkSession.active,
-          input.getUTF8String(0).toString, input.getInt(1))
+          input.getUTF8String(0).toString, input.getInt(1),
+          maxFiles = maxFiles)
         result(outSchema, Seq(row(migrated, kept)))
+      }
+    })
+    case "layout_summary" => Some(new Proc("layout_summary",
+      Seq(in("table", StringType)),
+      StructType(Seq(
+        StructField("layout", StringType, nullable = false),
+        StructField("is_current", BooleanType, nullable = false),
+        StructField("files", IntegerType, nullable = false),
+        StructField("rows", LongType, nullable = false)))) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val rs = cat.layoutSummary(input.getUTF8String(0).toString)
+          .map { case (layout, isCur, files, rows) =>
+            row(UTF8String.fromString(layout), isCur, files, rows)
+          }
+        result(outSchema, rs)
       }
     })
     case "rewrite_deletes" => Some(new Proc("rewrite_deletes",

@@ -472,6 +472,44 @@ class PartitionEvolutionSpec extends SparkSpec {
       .collect().sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("bounded-work migration: max_files migrates the legacy tail in " +
+    "fixed-size atomic steps, and layout_summary prices what remains") {
+    wh
+    (1 to 9).map(i => (i.toLong, s"r${i % 3}", i * 1.0)).toDF("id", "region", "v")
+      .repartition(3)
+      .writeTo("evocat.s.m5").using("parquet").createOrReplace()
+    evolve("m5", "region")
+    Seq((10L, "r0", 10.0)).toDF("id", "region", "v")
+      .writeTo("evocat.s.m5").append()
+    spark.catalog.refreshTable("evocat.s.m5")
+    def summary(): Seq[(String, Boolean, Int, Long)] =
+      spark.sql("CALL evocat.system.layout_summary('s.m5')").collect()
+        .map(r => (r.getString(0), r.getBoolean(1), r.getInt(2), r.getLong(3)))
+        .toSeq
+    // before: 3 legacy flat files (9 rows) + the current region layout
+    assert(summary() == Seq(
+      ("<unpartitioned>", false, 3, 9L), ("region", true, 1, 1L)), s"${summary()}")
+    // first bounded step: 2 of 3 legacy files migrate, table stays mixed
+    val s1 = spark.sql("CALL evocat.system.migrate_layout('s.m5', 1, 2)").head
+    assert(s1.getInt(0) == 2, s"expected 2 files migrated, got $s1")
+    spark.catalog.refreshTable("evocat.s.m5")
+    assert(summary().collect {
+      case ("<unpartitioned>", false, files, _) => files }.sum == 1,
+      s"one legacy file must remain: ${summary()}")
+    // mid-migration reads stay exact
+    assert(spark.table("evocat.s.m5").select("id").as[Long]
+      .collect().sorted.toSeq == (1L to 10L))
+    // second step converges; the table is uniform and row counts carry
+    val s2 = spark.sql("CALL evocat.system.migrate_layout('s.m5', 1, 2)").head
+    assert(s2.getInt(0) == 1)
+    spark.catalog.refreshTable("evocat.s.m5")
+    val fin = summary()
+    assert(fin.length == 1 && fin.head._1 == "region" && fin.head._2 &&
+      fin.head._4 == 10L, s"$fin")
+    assert(spark.table("evocat.s.m5").select("id").as[Long]
+      .collect().sorted.toSeq == (1L to 10L))
+  }
+
   test("migrate_layout loses a concurrent-commit race CLEANLY: the other " +
     "writer's snapshot stands, no migrated file leaks into any manifest, " +
     "and a re-run succeeds") {
