@@ -82,10 +82,15 @@ final class EvolvedScanBuilder(
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
-    groups.foreach(_.pushFilters(filters))
-    // all filters stay post-scan: a predicate fully absorbed by one
-    // group's partition pruning may be only partially absorbed by another
-    filters
+    // residual = the UNION of the groups' residuals: a predicate each
+    // delegate absorbed exactly (its column is a partition-dir level in
+    // EVERY layout — hive pruning is exact, unlike parquet's row-group
+    // pruning) needs no post-scan re-evaluation; one that any group
+    // still serves best-effort (a data filter there) stays residual for
+    // all, because the union scan has one FilterExec above it
+    val residuals = groups.map(_.pushFilters(filters))
+    filters.filter(f =>
+      residuals.exists(_.exists(_.semanticEquals(f))))
   }
 
   // for explain honesty report the predicates EVERY group pushed

@@ -776,6 +776,38 @@ class PartitionEvolutionSpec extends SparkSpec {
     assert(miss.count() == 0L)
   }
 
+  test("mixed-layout residual filters: a predicate on a dir level of EVERY " +
+    "layout needs no post-scan re-evaluation; one any group serves as a " +
+    "data filter stays residual") {
+    wh
+    Seq((1L, "us", "d1", 1.0), (2L, "de", "d1", 2.0), (3L, "us", "d2", 3.0))
+      .toDF("id", "region", "day", "v").repartition(1)
+      .writeTo("evocat.s.rf1").using("parquet")
+      .partitionedBy($"region").createOrReplace()
+    evolve("rf1", "region,day")
+    Seq((4L, "us", "d2", 4.0), (5L, "fr", "d3", 5.0))
+      .toDF("id", "region", "day", "v").writeTo("evocat.s.rf1").append()
+    spark.catalog.refreshTable("evocat.s.rf1")
+    assert(manifestFiles("rf1").map(GraftCatalog.layoutOf).distinct.size == 2)
+    import org.apache.spark.sql.execution.FilterExec
+    def filters(df: org.apache.spark.sql.DataFrame): Seq[FilterExec] =
+      df.queryExecution.sparkPlan.collect { case f: FilterExec => f }
+    // region is a dir level in BOTH layouts: hive pruning is exact per
+    // group, so the predicate (and its implied isnotnull) drops from the
+    // post-scan filter entirely
+    val byRegion = spark.table("evocat.s.rf1").filter($"region" === "us")
+    assert(filters(byRegion).isEmpty,
+      s"region filter must be absorbed by every group: ${filters(byRegion)}")
+    assert(byRegion.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 4L))
+    // day is a DATA column in the legacy (region) layout: that group
+    // serves it best-effort, so it must stay residual for the union
+    val byDay = spark.table("evocat.s.rf1").filter($"day" === "d2")
+    assert(filters(byDay).nonEmpty,
+      "a filter any group serves as a data filter must stay post-scan")
+    assert(byDay.select("id").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
+  }
+
   test("time travel: a snapshot before the evolution still reads, and an " +
     "incremental range spanning the evolution serves both layouts") {
     wh
