@@ -171,12 +171,16 @@ private[sources] class GraftTableMicroBatchStream(
   //    pool thread planning a query's partitions sees the requirement of
   //    THAT query's own optimize, not whatever another concurrent action
   //    wrote last (the failure mode of any shared-slot design);
-  //  - two concurrent actions over one foreachBatch df therefore each
-  //    carry their own requirement end to end (pinned by StreamingSpec
-  //    "concurrent actions over one foreachBatch df"), and two
-  //    concurrent STREAMS never share state anyway — each
-  //    `readStream.load()` query gets its own stream instance (pinned by
-  //    "two concurrent streams over one table");
+  //  - foreachBatch batch-df actions never touch this channel AT ALL:
+  //    Spark hands foreachBatch a MATERIALIZED df over a LogicalRDD, so
+  //    ad-hoc user actions re-optimize over the RDD, not over the
+  //    streaming relation (pinned by StreamingSpec "foreachBatch hands
+  //    the user a MATERIALIZED df") — the channel's only writer and
+  //    reader is the engine's sequential batch thread plus any pool
+  //    thread planning the ENGINE's own plan, which the captured
+  //    properties cover; two concurrent STREAMS never share state
+  //    anyway — each `readStream.load()` query gets its own stream
+  //    instance (pinned by "two concurrent streams over one table");
   //  - absence of the property = full declared width (the rule CLEARS it
   //    for full-width plans, so a stale narrow value can never leak into
   //    a later wide plan on the same thread).

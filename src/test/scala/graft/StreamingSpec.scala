@@ -1358,6 +1358,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch hands the user a MATERIALIZED df (LogicalRDD): batch-" +
+    "df actions never re-plan the stream scan, so the requirement channel " +
+    "has exactly one writer — the engine's sequential batch thread") {
+    // This pins the fact that makes the requirement channel's
+    // concurrency story SIMPLE: Spark materializes each micro-batch and
+    // gives foreachBatch a df over a LogicalRDD, so ad-hoc user actions
+    // (broadcast joins included) re-optimize over the RDD, never over
+    // the StreamingDataSourceV2ScanRelation — the prune rule cannot fire
+    // for them and planInputPartitions is never re-entered concurrently.
+    // If a Spark upgrade ever hands foreachBatch a live streaming
+    // relation instead, this test fails and the channel's concurrency
+    // contract must be re-audited (the local-property carrier is already
+    // per-plan-safe for pool threads via withThreadLocalCaptured).
+    val wh = java.nio.file.Files.createTempDirectory("graft-bcast-wh").toString
+    spark.conf.set("spark.sql.catalog.bccat",
+      classOf[graft.storage.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.bccat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS bccat.s")
+    Seq((1L, "a", 10.0, 100L), (2L, "b", 20.0, 200L), (3L, "c", 30.0, 300L))
+      .toDF("id", "w", "score", "bytes").repartition(1)
+      .writeTo("bccat.s.bw").using("parquet").createOrReplace()
+    val joined = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val leaves = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val q = spark.readStream.format("graft-table")
+      .option("table", "bccat.s.bw").load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        try {
+          df.queryExecution.optimizedPlan.collectLeaves()
+            .foreach(l => leaves.add(l.getClass.getSimpleName))
+          // an ad-hoc broadcast join over the batch handle — correct, and
+          // served from the materialized batch, not a re-planned scan
+          val probe = spark.range(0, 100).toDF("id")
+          probe.join(broadcast(df.select("id", "w")), "id")
+            .collect()
+            .foreach(r => joined.add((r.getLong(0), r.getString(1))))
+        } catch { case e: Throwable => failure.compareAndSet(null, e) }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      if (failure.get() != null) throw failure.get()
+      import scala.jdk.CollectionConverters._
+      assert(joined.asScala.toSeq.sorted ==
+        Seq((1L, "a"), (2L, "b"), (3L, "c")), s"join rows: ${joined.asScala}")
+      assert(leaves.asScala.nonEmpty &&
+        leaves.asScala.forall(_ == "LogicalRDD"),
+        s"foreachBatch df must be LogicalRDD-backed, got ${leaves.asScala}")
+    } finally q.stop()
+  }
+
   test("two concurrent streams over one table prune independently: each " +
     "query's delegate reads only its own columns") {
     val wh = java.nio.file.Files.createTempDirectory("graft-2q-wh").toString
@@ -1423,12 +1476,11 @@ class StreamingSpec extends SparkSpec {
       .load()
       .writeStream
       .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-        // the requirement channel rides each action's Spark local
-        // properties (captured into any pool thread that plans the
-        // partitions) — so the narrow action (required = [w]) and the
-        // full-width action (required = [id, w, v]) racing on two
-        // threads each read THEIR schema, not whichever one wrote a
-        // shared slot last
+        // both actions re-plan over the batch's MATERIALIZED LogicalRDD
+        // (see "foreachBatch hands the user a MATERIALIZED df"), so this
+        // race can never reach the stream's requirement channel — the
+        // pin here is end-to-end row correctness under concurrent batch
+        // actions, whatever the engine materializes
         val t1 = new Thread(() =>
           try narrowN.set(df.select("w").filter(length(col("w")) > 0).count())
           catch { case e: Throwable => failure.compareAndSet(null, e) })
