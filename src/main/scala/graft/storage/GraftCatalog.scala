@@ -558,7 +558,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       .sortBy(_._1.mkString("/"))
       .map { case (layout, files) =>
         val counts = files.map(f =>
-          stats.get(f).flatMap(_.get(GraftCatalog.RowCountKey)).map(_.nulls))
+          stats.get(f).flatMap(_.get(GraftCatalog.RowCountKey))
+            .filter(_.kind == "r").map(_.nulls))
         val rows = if (counts.forall(_.isDefined)) counts.flatten.sum else -1L
         (if (layout.isEmpty) "<unpartitioned>" else layout.mkString("/"),
           layout == cur, files.size, rows)

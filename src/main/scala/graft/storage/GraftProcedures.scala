@@ -135,8 +135,11 @@ object GraftProcedures {
         this
       }
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        // an explicit NULL max_files falls back to the default (an
+        // unguarded getInt would read the null slot as 0)
         val maxFiles =
-          if (input.numFields >= 3) input.getInt(2) else Int.MaxValue
+          if (input.numFields >= 3 && !input.isNullAt(2)) input.getInt(2)
+          else Int.MaxValue
         val (migrated, kept) = cat.migrateLayout(SparkSession.active,
           input.getUTF8String(0).toString, input.getInt(1),
           maxFiles = maxFiles)

@@ -82,15 +82,42 @@ final class EvolvedScanBuilder(
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
-    // residual = the UNION of the groups' residuals: a predicate each
+    // residual = the UNION of the groups' residuals, NARROWED only for
+    // predicates in the provably-absorbed class: a predicate each
     // delegate absorbed exactly (its column is a partition-dir level in
     // EVERY layout — hive pruning is exact, unlike parquet's row-group
     // pruning) needs no post-scan re-evaluation; one that any group
     // still serves best-effort (a data filter there) stays residual for
-    // all, because the union scan has one FilterExec above it
+    // all, because the union scan has one FilterExec above it.
+    //
+    // "Absent from every group's residual" alone is NOT proof of
+    // absorption: Spark 4.1.2's FileScanBuilder classifies a partition-
+    // column predicate it cannot evaluate during pruning (PythonUDF —
+    // and, defensively, anything subquery-shaped) as a partition filter
+    // — omitting it from the returned residual — while ALSO excluding it
+    // from the stored partition filters, so it would neither prune nor
+    // re-evaluate. Dropping such a predicate here would silently
+    // un-filter the query. (Scalar-subquery predicates are excluded from
+    // pushdown upstream by V2ScanRelationPushDown and stay residual
+    // regardless — A/B-verified in PartitionEvolutionSpec — but the
+    // guard keeps them out of the drop set anyway rather than depend on
+    // that upstream behavior.) So a filter leaves the residual only when
+    // it is ALSO deterministic, subquery-free, PythonUDF-free, and
+    // references only columns that are dir levels in every group — the
+    // exact class the per-group hive pruning evaluates exactly.
+    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
     val residuals = groups.map(_.pushFilters(filters))
+    val universalDirCols = groups.map(_.partitionColumnNames)
+      .reduce(_ intersect _)
+    def provablyAbsorbed(
+        f: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+      f.deterministic &&
+        !SubqueryExpression.hasSubquery(f) &&
+        !f.exists(e => e.getClass.getName.endsWith("PythonUDF")) &&
+        f.references.nonEmpty &&
+        f.references.forall(a => universalDirCols.contains(a.name))
     filters.filter(f =>
-      residuals.exists(_.exists(_.semanticEquals(f))))
+      residuals.exists(_.exists(_.semanticEquals(f))) || !provablyAbsorbed(f))
   }
 
   // for explain honesty report the predicates EVERY group pushed

@@ -38,5 +38,9 @@ object Shims {
     * asynchronous bus first or the tail — typically the slowest — stages
     * are nondeterministically missing. */
   def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
-    sc.listenerBus.waitUntilEmpty()
+    // best-effort: the no-arg wait throws after its 10 s default — a
+    // profiler would rather print a few missing tail stages than crash
+    // after the timed iterations already ran
+    try sc.listenerBus.waitUntilEmpty()
+    catch { case _: java.util.concurrent.TimeoutException => () }
 }

@@ -124,6 +124,11 @@ final class KeyedParquetScanBuilder(
   // stats (see ManifestAggregates)
   private var manifestAgg: Option[(StructType, Seq[InternalRow])] = None
 
+  /** This group's partition-dir level names, for [[EvolvedScanBuilder]]'s
+    * provably-absorbed residual test. */
+  private[graftshim] def partitionColumnNames: Set[String] =
+    table.fileIndex.partitionSchema.fieldNames.toSet
+
   /** Manifest stats are keyed by table-dir-relative paths. */
   private def relPath(p: String): String = {
     val prefix = tableDir.stripSuffix("/") + "/"

@@ -806,6 +806,17 @@ class PartitionEvolutionSpec extends SparkSpec {
     assert(filters(byDay).nonEmpty,
       "a filter any group serves as a data filter must stay post-scan")
     assert(byDay.select("id").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
+    // a SUBQUERY predicate on the same universal dir column is NOT in
+    // the provably-absorbed class: Spark's FileScanBuilder classifies it
+    // as a partition filter (absent from the residual) while ALSO
+    // excluding it from the stored partition filters — it prunes
+    // nothing, so dropping it post-scan would silently un-filter the
+    // query. It must survive as a residual and the rows must be exact.
+    val bySub = spark.sql(
+      "SELECT id FROM evocat.s.rf1 WHERE region = " +
+        "(SELECT max(region) FROM evocat.s.rf1)")
+    assert(bySub.as[Long].collect().sorted.toSeq == Seq(1L, 3L, 4L),
+      "a subquery partition predicate must keep filtering on a mixed layout")
   }
 
   test("time travel: a snapshot before the evolution still reads, and an " +
