@@ -41,6 +41,13 @@ import graft.storage.GraftCatalog
   *  - a dynamic-partition overwrite in range surfaces the rewritten
   *    partition's full new contents (file-level diffs cannot express
   *    row-level deletes) — same contract as the batch `incr:` read;
+  *  - REWRITE-AWARE: maintenance commits that leave the row set unchanged
+  *    ([[GraftCatalog.compact]], [[GraftCatalog.migrateLayout]],
+  *    [[GraftCatalog.clusterTable]], delete compaction — `# kind:rewrite`
+  *    snapshots) contribute NOTHING to any batch, so a nightly compaction
+  *    or a layout migration under a live stream never re-delivers rows
+  *    the stream already emitted (Iceberg's incremental append scan
+  *    classifies snapshot operations the same way);
   *  - the schema is pinned when the stream starts (like every file
   *    source); evolve-then-restart.
   */

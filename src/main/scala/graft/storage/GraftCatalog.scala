@@ -166,20 +166,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       case None =>
         version match {
           case GraftCatalog.IncrRange(a, b) =>
-            // incremental files all live in snapshot b's manifest, which
-            // carries their stats — the delta read prunes and answers
-            // metadata aggregates like any snapshot read
-            val files = incrementalFiles(ident, a.toLong, b.toLong)
-            // the range's files carry add sequences >= a+1 > any eqdel at
-            // or before a; deletes from WITHIN the range still apply (a
-            // merge later in the range deleting a row added earlier in it)
+            // rewrite-aware walk: appended files only, each with the
+            // snapshot it joined at, plus the range's delete entries (a
+            // delete later in the range applies to rows added earlier in
+            // it, even if a subsequent in-range compaction folded it)
+            val slice = incrementalSlice(ident, a.toLong, b.toLong)
+            val files = slice.adds.map(_._1)
+            // stats usually come from b's manifest; a file appended and
+            // then compacted away INSIDE the range is absent there, so its
+            // stats and add sequence fall back to the snapshot that added
+            // it (one extra header read per such snapshot — pruning and
+            // metadata aggregates keep working across maintenance)
+            val statsB = GraftCatalog.readStats(fs, dir, b.toLong)
+            val retired = slice.adds.filterNot { case (f, _) => statsB.contains(f) }
+            val retiredStats = retired.groupBy(_._2).flatMap { case (s, fl) =>
+              val st = GraftCatalog.readStats(fs, dir, s)
+              fl.flatMap { case (f, _) => st.get(f).map(f -> _) }
+            }
+            val addB = GraftCatalog.readAddMap(fs, dir, b.toLong)
+            val addSeqAll = slice.adds.map { case (f, s) =>
+              f -> addB.getOrElse(f, s) }.toMap
             new GraftTable(s"$ident@incr:$a..$b", dir.toString, meta, Some(files),
               writable = false,
-              fileStats = GraftCatalog.readStats(fs, dir, b.toLong),
+              fileStats = statsB ++ retiredStats,
               fileBlooms = blooms,
-              eqDeletes = GraftCatalog.readEqDels(fs, dir, b.toLong),
-              addSeq = GraftCatalog.readAddMap(fs, dir, b.toLong),
-              posDeletes = GraftCatalog.readPosDels(fs, dir, b.toLong))
+              eqDeletes = slice.eqDels,
+              addSeq = addSeqAll,
+              posDeletes = slice.posDels)
           case _ =>
             GraftCatalog.readTagSnap(fs, dir, version) match {
               case Some(snap) =>
@@ -234,30 +247,76 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   }
 
   /** Incremental consumption (`VERSION AS OF 'incr:a..b'`): the data files
-    * present in snapshot `b`'s manifest but not in snapshot `a`'s — the
-    * rows a downstream consumer has NOT seen if it last read snapshot `a`
-    * (Iceberg's incremental append scan on the offline catalog). This is
-    * ADDED-FILES semantics: appends surface exactly once; a dynamic
-    * partition overwrite inside the range surfaces the rewritten
-    * partition's files (its full new contents), because file-level diffs
-    * cannot express row-level deletes — the checkpoint-and-resume pattern
-    * for incremental ETL, not a row-level CDC stream (that is what the
-    * streaming MERGE sinks are for). At 100 TB the point is the read cost:
-    * a consumer polls only the manifest delta, never rescans yesterday's
-    * files. `a = 0` reads everything up to `b`.
+    * APPENDED by the snapshots in `(a, b]` — the rows a downstream
+    * consumer has NOT seen if it last read snapshot `a` (Iceberg's
+    * incremental append scan on the offline catalog). The walk is
+    * per-snapshot and REWRITE-AWARE: each commit records its kind
+    * (`# kind:` manifest header), and pure-rewrite maintenance commits —
+    * [[compact]], [[migrateLayout]], [[clusterTable]], delete compaction —
+    * contribute NOTHING, because their own pinned contract is row-set
+    * invariance (the rewritten rows were already delivered from the
+    * original files, which stay physically readable until [[vacuum]];
+    * a file appended and then compacted away inside the range is served
+    * from its ORIGINAL path). Row-set-CHANGING commits keep added-files
+    * semantics: a dynamic partition overwrite or CoW DML inside the range
+    * surfaces its rewritten files in full, because file-level diffs cannot
+    * express row-level deletes — the checkpoint-and-resume pattern for
+    * incremental ETL, not a row-level CDC stream (that is what the
+    * streaming MERGE sinks are for). The walk makes the result
+    * CADENCE-INDEPENDENT: consuming `a..b` in one poll returns the same
+    * files as polling after every commit. At 100 TB the point is the read
+    * cost: a consumer polls only the manifest delta, never rescans
+    * yesterday's files — and a nightly compaction no longer re-delivers
+    * whole partitions into every incremental consumer. `a = 0` reads
+    * everything up to `b`.
     */
-  def incrementalFiles(ident: Identifier, from: Long, to: Long): Seq[String] = {
+  def incrementalFiles(ident: Identifier, from: Long, to: Long): Seq[String] =
+    incrementalSlice(ident, from, to).adds.map(_._1)
+
+  /** The full incremental-walk result backing [[incrementalFiles]] and the
+    * `incr:` read path: files with the snapshot each joined at, plus the
+    * equality/position-delete entries collected across the range (a delete
+    * committed later in the range still applies to rows added earlier in
+    * it — even when a subsequent in-range compaction folded the delete and
+    * the endpoint manifest no longer carries it). */
+  private[storage] def incrementalSlice(
+      ident: Identifier, from: Long, to: Long): GraftCatalog.IncrementalSlice = {
     val dir = tableDir(ident)
     require(from <= to, s"incremental range must be from <= to, got $from..$to")
-    val fromFiles: Set[String] =
-      if (from == 0L) Set.empty
-      else GraftCatalog.readManifest(fs, dir, from).getOrElse(
-        throw new IllegalArgumentException(
-          s"table $ident has no snapshot $from (latest: ${GraftCatalog.latestSnapshot(fs, dir)})")).toSet
-    val toFiles = GraftCatalog.readManifest(fs, dir, to).getOrElse(
+    if (from > 0L && GraftCatalog.readManifest(fs, dir, from).isEmpty)
       throw new IllegalArgumentException(
-        s"table $ident has no snapshot $to (latest: ${GraftCatalog.latestSnapshot(fs, dir)})"))
-    toFiles.filterNot(fromFiles)
+        s"table $ident has no snapshot $from (latest: ${GraftCatalog.latestSnapshot(fs, dir)})")
+    if (GraftCatalog.readManifest(fs, dir, to).isEmpty)
+      throw new IllegalArgumentException(
+        s"table $ident has no snapshot $to (latest: ${GraftCatalog.latestSnapshot(fs, dir)})")
+    val adds = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val eq = scala.collection.mutable.LinkedHashSet.empty[(String, Long)]
+    val pos = scala.collection.mutable.LinkedHashSet.empty[(String, String, Long)]
+    var prev: Set[String] =
+      if (from == 0L) Set.empty
+      else GraftCatalog.readManifest(fs, dir, from).get.toSet
+    var prevExists = true // both endpoints validated above; 0 = empty table
+    for (s <- (from + 1) to to) GraftCatalog.readManifest(fs, dir, s) match {
+      case Some(cur) =>
+        // a gap right before `s` (manifests vacuumed away) means this diff
+        // spans UNKNOWN commits — emit it even if `s` itself is a rewrite,
+        // or rows appended inside the gap would be lost
+        val kind =
+          if (!prevExists) None
+          else GraftCatalog.readCommitKind(fs, dir, s)
+        val skip = prevExists && kind.contains(GraftCatalog.KindRewrite)
+        if (!skip)
+          cur.filterNot(prev).foreach(f => if (!adds.contains(f)) adds(f) = s)
+        eq ++= GraftCatalog.readEqDels(fs, dir, s)
+        pos ++= GraftCatalog.readPosDels(fs, dir, s)
+        prev = cur.toSet
+        prevExists = true
+      case None =>
+        prevExists = false
+    }
+    val fileSet = adds.keySet
+    GraftCatalog.IncrementalSlice(adds.toSeq,
+      eq.toSeq, pos.toSeq.filter { case (_, target, _) => fileSet.contains(target) })
   }
 
   // ── Branches and tags (Nessie's per-table core, offline) ───────────────
@@ -356,7 +415,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     * partition with one truncating snapshot write — the pre-compaction
     * version stays time-travelable until [[vacuum]]. Streaming sinks
     * (one file per task per micro-batch) are the usual producer of the
-    * small-file problem this solves. Returns (filesBefore, filesAfter). */
+    * small-file problem this solves. The commit is stamped
+    * `# kind:rewrite` (row-set invariant), so incremental and streaming
+    * readers whose range spans it skip the rewritten files instead of
+    * re-receiving every row. Returns (filesBefore, filesAfter). */
   def compact(
       spark: SparkSession,
       table: String,
@@ -395,7 +457,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         live.repartition(partExprs :+ spread: _*)
       }
     rewritten.localCheckpoint(true)
-      .writeTo(qualified).overwrite(org.apache.spark.sql.functions.lit(true))
+      .writeTo(qualified)
+      .option(GraftCatalog.CommitKindOption, GraftCatalog.KindRewrite)
+      .overwrite(org.apache.spark.sql.functions.lit(true))
     val after = GraftCatalog
       .readManifest(fs, dir, GraftCatalog.latestSnapshot(fs, dir))
       .map(_.size).getOrElse(0)
@@ -412,7 +476,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     * snapshot commit, after which the table is uniform on the current
     * spec and the capabilities a mixed layout suspends return: dynamic
     * partition overwrite, metadata-only aggregates over a single
-    * delegate, storage-partitioned joins.
+    * delegate, storage-partitioned joins. The commit is stamped
+    * `# kind:rewrite` (row-set invariant), so incremental and streaming
+    * readers whose range spans it skip the migrated files instead of
+    * re-receiving rows they already delivered.
     *
     * This is the operational middle ground evolution needs at 100 TB:
     * `compact` rewrites the WHOLE table (including files already on the
@@ -496,7 +563,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val writer = migrated.write.mode("overwrite")
     (if (meta.partitionCols.isEmpty) writer
      else writer.partitionBy(meta.partitionCols: _*))
-      .parquet(stagePath.toString)
+      // stamped parquet: staged files carry the stats-truncation stamp, so
+      // their string bounds classify exact and metadata-only min()/max()
+      // keeps working on the files this maintenance promotes
+      .format(classOf[StampedParquetFileFormat].getName)
+      .save(stagePath.toString)
     val it = fs.listFiles(stagePath, true)
     val stagedFiles = Seq.newBuilder[String]
     val stageUri = stagePath.toUri.getPath
@@ -522,9 +593,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     GraftCatalog.migratePreCommitHook()
     // eqdels NOT cleared: they still apply to the conforming files (whose
     // add-sequences they postdate); the promoted files' add = latest+1
-    // postdates every pending delete, so none re-applies to migrated rows
+    // postdates every pending delete, so none re-applies to migrated rows.
+    // kind=rewrite: row-set invariant — incremental/streaming consumers
+    // skip this commit instead of re-receiving the migrated rows
     try GraftCatalog.writeSnapshotAt(fs, dir, latest + 1, kept ++ promoted,
-      GraftCatalog.readTxns(fs, dir, latest))
+      GraftCatalog.readTxns(fs, dir, latest), kind = GraftCatalog.KindRewrite)
     catch { case e: Throwable =>
       promoted.foreach(f => fs.delete(new Path(dir, f), false))
       throw e
@@ -541,8 +614,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     * directory layout among the live files, `(layout, is_current, files,
     * rows)`, rows = -1 when any file in the group lacks a recorded row
     * count (absence reads unknown, never low — same convention as
-    * `history`). A uniform table returns exactly one row with
-    * is_current = true. */
+    * `history`). `rows` are PHYSICAL (pre-merge-on-read) counts: pending
+    * equality/position deletes are not subtracted — deliberately, since a
+    * migration rewrites physical rows, so the physical count is the cost
+    * a [[migrateLayout]] call actually pays; it is NOT the table's live
+    * row count while MoR deletes are pending (`SELECT count(*)` is).
+    * A uniform table returns exactly one row with is_current = true. */
   def layoutSummary(table: String): Seq[(String, Boolean, Int, Long)] = {
     val ident = Identifier.of(
       table.split("\\.").dropRight(1), table.split("\\.").last)
@@ -764,7 +841,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       // files-unchanged, metadata-only commit (position deletes always
       // have live targets, so an empty affected set means eq-only)
       GraftCatalog.writeSnapshotAt(fs, dir, latest + 1, live,
-        GraftCatalog.readTxns(fs, dir, latest), clearEqDels = true)
+        GraftCatalog.readTxns(fs, dir, latest), clearEqDels = true,
+        kind = GraftCatalog.KindRewrite)
       return (0, live.size)
     }
     val out0 = GraftCatalog.readFilesWithDeletes(
@@ -782,7 +860,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val writer = out.write.mode("overwrite")
     (if (meta.partitionCols.isEmpty) writer
      else writer.partitionBy(meta.partitionCols: _*))
-      .parquet(stagePath.toString)
+      // stamped parquet: staged files carry the stats-truncation stamp, so
+      // their string bounds classify exact and metadata-only min()/max()
+      // keeps working on the files this maintenance promotes
+      .format(classOf[StampedParquetFileFormat].getName)
+      .save(stagePath.toString)
     val it = fs.listFiles(stagePath, true)
     val stagedFiles = Seq.newBuilder[String]
     val stageUri = stagePath.toUri.getPath
@@ -803,8 +885,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     }
     fs.delete(stagePath, true)
     val kept = live.filterNot(affected.toSet)
+    // kind=rewrite: folding already-visible MoR deletes leaves the LOGICAL
+    // row set unchanged, so incremental/streaming consumers skip it
     try GraftCatalog.writeSnapshotAt(fs, dir, latest + 1, kept ++ promoted,
-      GraftCatalog.readTxns(fs, dir, latest), clearEqDels = true)
+      GraftCatalog.readTxns(fs, dir, latest), clearEqDels = true,
+      kind = GraftCatalog.KindRewrite)
     catch { case e: Throwable =>
       promoted.foreach(f => fs.delete(new Path(dir, f), false))
       throw e
@@ -836,7 +921,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val clustered = graft.ops.Layout.cluster(
       spark.table(qualified), cols, bits, numFiles)
     clustered.localCheckpoint(true)
-      .writeTo(qualified).overwrite(org.apache.spark.sql.functions.lit(true))
+      .writeTo(qualified)
+      .option(GraftCatalog.CommitKindOption, GraftCatalog.KindRewrite)
+      .overwrite(org.apache.spark.sql.functions.lit(true))
     val after = GraftCatalog
       .readManifest(fs, dir, GraftCatalog.latestSnapshot(fs, dir))
       .map(_.size).getOrElse(0)
@@ -1196,7 +1283,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       if (provenRows == 0L) return (0, live.size, 0L)
       val kept = live.filterNot(proven)
       GraftCatalog.writeSnapshotAt(fs, dir, latest + 1,
-        kept, GraftCatalog.readTxns(fs, dir, latest))
+        kept, GraftCatalog.readTxns(fs, dir, latest),
+        kind = GraftCatalog.KindDelete)
       return (proven.size, kept.size, provenRows)
     }
     // candidates read with pending deletes applied — the same sequence
@@ -1212,7 +1300,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       // no staging, no rewrite of the unmatched candidates
       val kept = live.filterNot(proven)
       GraftCatalog.writeSnapshotAt(fs, dir, latest + 1,
-        kept, GraftCatalog.readTxns(fs, dir, latest))
+        kept, GraftCatalog.readTxns(fs, dir, latest),
+        kind = GraftCatalog.KindDelete)
       return (proven.size, kept.size, provenRows)
     }
     // bucketed layout: rewritten rows re-route by recomputing the derived
@@ -1234,7 +1323,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val writer = out.write.mode("overwrite")
     (if (meta.partitionCols.isEmpty) writer
      else writer.partitionBy(meta.partitionCols: _*))
-      .parquet(stagePath.toString)
+      // stamped parquet: staged files carry the stats-truncation stamp, so
+      // their string bounds classify exact and metadata-only min()/max()
+      // keeps working on the files this maintenance promotes
+      .format(classOf[StampedParquetFileFormat].getName)
+      .save(stagePath.toString)
     // promote every staged parquet file, preserving its partition subpath
     val it = fs.listFiles(stagePath, true)
     val stagedFiles = Seq.newBuilder[String]
@@ -1259,8 +1352,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     }
     fs.delete(stagePath, true)
     val kept = live.filterNot(allCands)
+    // kind=overwrite: CoW DML changes the row set — incremental consumers
+    // get the rewritten files in full (the documented file-level limit)
     try GraftCatalog.writeSnapshotAt(fs, dir, latest + 1,
-      kept ++ promoted, GraftCatalog.readTxns(fs, dir, latest))
+      kept ++ promoted, GraftCatalog.readTxns(fs, dir, latest),
+      kind = GraftCatalog.KindOverwrite)
     catch { case e: Throwable =>
       // commit lost (concurrent writer): drop the promoted files — they
       // are referenced by nothing — and surface the conflict
@@ -1674,6 +1770,42 @@ object GraftCatalog {
   val TxnAppIdOption = "graft.txn.app-id"
   val TxnVersionOption = "graft.txn.version"
 
+  /** Write option asserting a V2 overwrite is a PURE REWRITE — row-set
+    * invariant maintenance ([[GraftCatalog.compact]] /
+    * [[GraftCatalog.clusterTable]] set it). The commit is stamped
+    * `# kind:rewrite`, which incremental and streaming reads SKIP
+    * (re-clustering data a consumer already received must not re-deliver
+    * it). Only the value "rewrite" is accepted; the caller asserts the
+    * invariance — a user write that sets this while changing rows breaks
+    * its own downstream consumers, same trust model as Iceberg's
+    * `rewrite_data_files` commits. */
+  val CommitKindOption = "graft.commit.kind"
+
+  /** Commit kinds recorded per snapshot (`# kind:` manifest header).
+    * `append` adds files only; `overwrite` replaces rows (dynamic/full
+    * overwrite, CoW or MoR DML — added files carry a CHANGED row set);
+    * `rewrite` is row-set-invariant maintenance (compaction, layout
+    * migration, Z-order, delete compaction); `delete` only removes files
+    * (metadata-only CoW delete). Incremental/streaming reads serve the
+    * added files of every kind EXCEPT `rewrite`. Snapshots written before
+    * this header existed read as None and are served (the conservative
+    * pre-kind behavior: never lose rows). */
+  val KindAppend = "append"
+  val KindOverwrite = "overwrite"
+  val KindRewrite = "rewrite"
+  val KindDelete = "delete"
+  private[storage] val CommitKinds =
+    Set(KindAppend, KindOverwrite, KindRewrite, KindDelete)
+
+  /** One incremental-walk result: the files to serve with the snapshot
+    * each joined the manifest at, plus every equality/position-delete
+    * entry committed or carried in the range (targets filtered to the
+    * served files for position deletes). */
+  private[storage] final case class IncrementalSlice(
+      adds: Seq[(String, Long)],
+      eqDels: Seq[(String, Long)],
+      posDels: Seq[(String, String, Long)])
+
   /** Write option routing a commit onto a named branch (Nessie's
     * `ref=<branch>` intent): the commit extends the branch's own snapshot
     * sequence and main's lineage is untouched. The branch must exist
@@ -1772,15 +1904,18 @@ object GraftCatalog {
   @volatile private[storage] var migratePreCommitHook: () => Unit = () => ()
 
   /** Parse a `write.partition-by` value of the form `bucket(n, col)` —
-    * the bucket-spec-evolution spelling. Whitespace-tolerant; None for
-    * the comma-separated identity-column form. */
+    * the bucket-spec-evolution spelling. Case-insensitive and
+    * whitespace-tolerant (`BUCKET (4, id)` parses; `bucket 4, id` is
+    * rejected with the bucket-spec message, not a confusing
+    * no-such-column one); None for the comma-separated identity-column
+    * form. */
   private[storage] def parseBucketSpec(value: String): Option[(Int, String)] = {
-    val m = """^\s*bucket\s*\(\s*(\d+)\s*,\s*([^\s,()]+)\s*\)\s*$""".r
+    val m = """(?i)^\s*bucket\s*\(\s*(\d+)\s*,\s*([^\s,()]+)\s*\)\s*$""".r
     value match {
       case m(n, c) =>
         require(n.toInt > 0, s"bucket count must be positive, got $n")
         Some((n.toInt, c))
-      case _ if value.toLowerCase.contains("bucket(") =>
+      case _ if value.toLowerCase.matches("(?s).*bucket\\s*\\(.*") =>
         throw new IllegalArgumentException(
           s"GraftCatalog: malformed bucket spec '$value' — expected " +
             "bucket(<n>, <col>) as the SOLE partition transform")
@@ -2827,7 +2962,10 @@ object GraftCatalog {
       txns: Map[String, Long] = Map.empty,
       newEqDels: Seq[String] = Seq.empty,
       clearEqDels: Boolean = false,
-      newPosDels: Seq[(String, String)] = Seq.empty): Long = {
+      newPosDels: Seq[(String, String)] = Seq.empty,
+      kind: String = KindAppend): Long = {
+    require(CommitKinds.contains(kind),
+      s"unknown commit kind '$kind' (expected one of ${CommitKinds.mkString(", ")})")
     val carried = readStats(fs, dir, next - 1)
     val stats = files.sorted.flatMap { f =>
       val st = carried.getOrElse(f,
@@ -2869,7 +3007,7 @@ object GraftCatalog {
       .filter { case (_, target, _) => fileSet.contains(target) }
     val posdels =
       (carriedPos ++ newPosDels.map { case (sc, t) => (sc, t, next) }).distinct
-    val header = stats ++
+    val header = Seq(s"# kind:$kind") ++ stats ++
       addMap.toSeq.sorted.map { case (f, s) => s"# add:${b64e(f)}=$s" } ++
       eqdels.sorted.map { case (f, s) => s"# eqdel:${b64e(f)}=$s" } ++
       posdels.sorted.map { case (sc, t, s) =>
@@ -2909,6 +3047,14 @@ object GraftCatalog {
 
   private[storage] def readManifest(fs: FileSystem, dir: Path, snap: Long): Option[Seq[String]] =
     manifestLines(fs, dir, snap).map(_.filterNot(_.startsWith("#")))
+
+  /** The snapshot's recorded commit kind (`# kind:` header line); None for
+    * a missing manifest or one written before kinds were recorded —
+    * readers treat None as "may add rows" (the conservative direction). */
+  private[storage] def readCommitKind(fs: FileSystem, dir: Path, snap: Long): Option[String] =
+    manifestLines(fs, dir, snap).getOrElse(Seq.empty)
+      .find(_.startsWith("# kind:")).map(_.stripPrefix("# kind:").trim)
+      .filter(CommitKinds.contains)
 
   /** Writer-transaction watermarks (`# txn:<appId>=<version>` header lines)
     * recorded by the snapshot the data committed in — reading them from the
@@ -3345,11 +3491,18 @@ private[storage] class GraftWriteBuilder(
         v <- Option(info.options.get(GraftCatalog.TxnVersionOption))
           .flatMap(_.toLongOption)
       } yield (app, v)
+      // kind override: maintenance rewrites (compact/clusterTable) route
+      // through the ordinary truncate path but assert row-set invariance
+      val kindOverride = Option(info.options.get(GraftCatalog.CommitKindOption))
+      kindOverride.foreach(k => require(k == GraftCatalog.KindRewrite,
+        s"${GraftCatalog.CommitKindOption} accepts only " +
+          s"'${GraftCatalog.KindRewrite}', got '$k'"))
       new GraftBatchWrite(
         dir, meta, mode, info.queryId(),
         GraftCatalog.parquetWriteConfs(spark), txn,
         Option(info.options.get(GraftCatalog.BranchOption)),
-        SerializableHadoopConf.capture(spark))
+        SerializableHadoopConf.capture(spark),
+        kindOverride)
     }
   }
 }
@@ -3376,7 +3529,8 @@ private[storage] class GraftBatchWrite(
     parquetConfs: Map[String, String],
     txn: Option[(String, Long)] = None,
     branch: Option[String] = None,
-    hconf: SerializableHadoopConf) extends BatchWrite {
+    hconf: SerializableHadoopConf,
+    kindOverride: Option[String] = None) extends BatchWrite {
 
   private val stagingRel = s"_staging-$queryId"
 
@@ -3463,12 +3617,19 @@ private[storage] class GraftBatchWrite(
     // snapshot id = the state this commit read + 1, NOT a fresh re-read:
     // if another writer committed in between, the exclusive create
     // collides and this commit fails instead of silently dropping theirs
+    // commit kind: appends record `append`; truncate/dynamic overwrites
+    // record `overwrite` (their added files carry a changed row set) —
+    // unless the writer asserted row-set invariance (compact/clusterTable),
+    // which records `rewrite` so incremental/streaming consumers skip it
+    val kind = kindOverride.getOrElse(
+      if (mode == "append") GraftCatalog.KindAppend else GraftCatalog.KindOverwrite)
     branch match {
       case Some(b) =>
         val bk = GraftCatalog.latestBranchSnap(fs, root, b)
         GraftCatalog.writeBranchSnapshotAt(fs, root, b, bk + 1, live.distinct, txns)
       case None =>
-        GraftCatalog.writeSnapshotAt(fs, root, latest + 1, live.distinct, txns)
+        GraftCatalog.writeSnapshotAt(fs, root, latest + 1, live.distinct, txns,
+          kind = kind)
     }
   }
 
@@ -3493,6 +3654,48 @@ private[storage] class StampingParquetWriteSupport(truncLen: Option[String])
     val md = new java.util.HashMap[String, String](ctx.getExtraMetaData)
     md.put(GraftCatalog.StatsTruncateMetaKey, truncLen.getOrElse("none"))
     new org.apache.parquet.hadoop.api.WriteSupport.WriteContext(ctx.getSchema, md)
+  }
+}
+
+/** [[StampingParquetWriteSupport]] variant instantiable by parquet-mr's
+  * REFLECTIVE `getWriteSupport` (public, no-arg): the truncation setting
+  * is read from the task-side Hadoop conf at init instead of the
+  * constructor — the same conf parquet-mr itself truncates by, so the
+  * stamp can never disagree with the file's actual bounds. */
+class ConfStampingParquetWriteSupport extends ParquetWriteSupport {
+  override def init(configuration: Configuration)
+      : org.apache.parquet.hadoop.api.WriteSupport.WriteContext = {
+    val ctx = super.init(configuration)
+    val md = new java.util.HashMap[String, String](ctx.getExtraMetaData)
+    md.put(GraftCatalog.StatsTruncateMetaKey,
+      Option(configuration.get(GraftCatalog.ParquetTruncateConfKey))
+        .getOrElse("none"))
+    new org.apache.parquet.hadoop.api.WriteSupport.WriteContext(ctx.getSchema, md)
+  }
+}
+
+/** Spark's parquet format with the stats-truncation stamp in every
+  * written footer. The maintenance STAGING writes (layout migration,
+  * delete compaction, CoW DML rewrites) go through Spark's own parquet
+  * writer rather than [[GraftWriterFactory]]; without the stamp,
+  * [[GraftCatalog.footerStats]] must classify their string bounds as
+  * unproven ("t") forever, silently demoting metadata-only min()/max()
+  * on string columns for every file those procedures promote — the exact
+  * capability a layout migration exists to restore. */
+class StampedParquetFileFormat
+    extends org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat {
+  override def prepareWrite(
+      sparkSession: SparkSession,
+      job: org.apache.hadoop.mapreduce.Job,
+      options: Map[String, String],
+      dataSchema: StructType)
+      : org.apache.spark.sql.execution.datasources.OutputWriterFactory = {
+    val factory = super.prepareWrite(sparkSession, job, options, dataSchema)
+    // re-point the write-support class AFTER the parent wired the default:
+    // ParquetOutputFormat instantiates it reflectively from the task conf
+    org.apache.parquet.hadoop.ParquetOutputFormat.setWriteSupportClass(
+      job, classOf[ConfStampingParquetWriteSupport])
+    factory
   }
 }
 

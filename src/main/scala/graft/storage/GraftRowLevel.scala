@@ -425,7 +425,8 @@ private[storage] final class CowBatchWrite(
     val scanned = op.scannedFiles.toSet
     val live = prior.filterNot(scanned) ++ stagedRel
     GraftCatalog.writeSnapshotAt(fs, root, scanSnap + 1, live.distinct,
-      GraftCatalog.readTxns(fs, root, scanSnap))
+      GraftCatalog.readTxns(fs, root, scanSnap),
+      kind = GraftCatalog.KindOverwrite)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -586,7 +587,8 @@ private[storage] final class GraftDeltaBatchWrite(
     try GraftCatalog.writeSnapshotAt(fs, root, scanSnap + 1,
       (prior ++ stagedRel).distinct,
       GraftCatalog.readTxns(fs, root, scanSnap),
-      newEqDels = sidecar.toSeq)
+      newEqDels = sidecar.toSeq,
+      kind = GraftCatalog.KindOverwrite)
     catch { case e: Throwable =>
       sidecar.foreach(s => fs.delete(new Path(root, s), false))
       throw e
@@ -862,7 +864,8 @@ private[storage] final class GraftPosDeltaBatchWrite(
     try GraftCatalog.writeSnapshotAt(fs, root, scanSnap + 1,
       (prior ++ stagedRel).distinct,
       GraftCatalog.readTxns(fs, root, scanSnap),
-      newPosDels = sidecar.toSeq.flatMap { case (sc, ts) => ts.map(sc -> _) })
+      newPosDels = sidecar.toSeq.flatMap { case (sc, ts) => ts.map(sc -> _) },
+      kind = GraftCatalog.KindOverwrite)
     catch { case e: Throwable =>
       sidecar.foreach { case (sc, _) => fs.delete(new Path(root, sc), false) }
       throw e

@@ -175,6 +175,64 @@ class CatalogSpec extends SparkSpec {
     assert(state == full, s"incrementally folded state $state != full $full")
   }
 
+  test("incremental reads are rewrite-aware: compaction and clustering in " +
+    "range re-emit nothing; rows appended then compacted away still " +
+    "surface from their original files") {
+    wh
+    t((1L, "a", "2024-01-15"))
+      .writeTo("graftv2.bronze.incrw").using("parquet")
+      .partitionedBy(col("extraction_date")).createOrReplace()          // snap 1
+    t((2L, "b", "2024-01-15")).writeTo("graftv2.bronze.incrw").append() // snap 2
+    cat.compact(spark, "bronze.incrw")                             // snap 3: rewrite
+    t((3L, "c", "2024-01-16")).writeTo("graftv2.bronze.incrw").append() // snap 4
+    def ids(v: String) =
+      spark.sql(s"SELECT id FROM graftv2.bronze.incrw VERSION AS OF '$v'")
+        .collect().map(_.getLong(0)).sorted.toSeq
+    // a consumer checkpointed before the compact sees ONLY real appends —
+    // the rewritten files (which hold ids 1 and 2 again) are skipped
+    assert(ids("incr:2..4") == Seq(3L), "compact in range must re-emit nothing")
+    assert(ids("incr:2..3") == Seq.empty)
+    // a range containing append-then-compact serves the appended rows from
+    // their ORIGINAL (pre-compaction, still-on-disk) files, exactly once
+    assert(ids("incr:0..3") == Seq(1L, 2L))
+    assert(ids("incr:0..4") == Seq(1L, 2L, 3L))
+    // Z-order maintenance is equally invisible to incremental consumers
+    cat.clusterTable(spark, "bronze.incrw", Seq("id"))             // snap 5: rewrite
+    assert(ids("incr:4..5") == Seq.empty, "cluster in range must re-emit nothing")
+    assert(ids("incr:2..5") == Seq(3L))
+    // the ETL fold across maintenance still equals the full recompute
+    val total = (1 to 5).map(snap =>
+      spark.sql(s"SELECT count(*) AS n FROM graftv2.bronze.incrw " +
+        s"VERSION AS OF 'incr:${snap - 1}..$snap'").collect().head.getLong(0)).sum
+    assert(total == spark.table("graftv2.bronze.incrw").count())
+  }
+
+  test("incremental reads across delete compaction: an in-range MoR delete " +
+    "still applies after the compaction that folded and cleared it") {
+    wh
+    Seq((1L, "a"), (2L, "b")).toDF("id", "w").repartition(1)
+      .writeTo("graftv2.bronze.incrdc").using("parquet")
+      .tableProperty(GraftCatalog.MergeModeProp, "merge-on-read")
+      .tableProperty(GraftCatalog.MergeKeyProp, "id")
+      .createOrReplace()                                             // snap 1
+    Seq((3L, "c")).toDF("id", "w")
+      .writeTo("graftv2.bronze.incrdc").append()                     // snap 2
+    Seq(1L).toDF("id").createOrReplaceTempView("incrdc_del")
+    spark.sql("""MERGE INTO graftv2.bronze.incrdc t USING incrdc_del s
+      ON t.id = s.id WHEN MATCHED THEN DELETE""")                    // snap 3: eqdel
+    cat.compactDeletes(spark, "bronze.incrdc")                // snap 4: folds + clears
+    def ids(v: String) =
+      spark.sql(s"SELECT id FROM graftv2.bronze.incrdc VERSION AS OF '$v'")
+        .collect().map(_.getLong(0)).sorted.toSeq
+    // snap 4's manifest no longer carries the eqdel (folded and cleared);
+    // the range walk collects it from snap 3's manifest and applies it to
+    // snap 1's original file by the sequence rule
+    assert(ids("incr:0..4") == Seq(2L, 3L),
+      "a row deleted inside the range must not surface, even after the fold")
+    assert(ids("incr:3..4") == Seq.empty,
+      "delete compaction itself must re-emit nothing")
+  }
+
   test("time travel: VERSION AS OF serves old snapshots; vacuum expires them") {
     wh
     t((1L, "a", "2024-01-15"))

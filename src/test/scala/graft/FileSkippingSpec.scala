@@ -412,6 +412,41 @@ class FileSkippingSpec extends SparkSpec {
     assert(ids.collect().head == org.apache.spark.sql.Row(1L, 3L))
   }
 
+  test("maintenance staging writes carry the truncation stamp: string " +
+    "min()/max() stays metadata-only on files promoted by migrate_layout " +
+    "and CoW rewrites") {
+    wh
+    val cat = spark.sessionState.catalogManager.catalog("skipcat")
+      .asInstanceOf[GraftCatalog]
+    Seq((1L, "us", "apple"), (2L, "de", "zebra"), (3L, "us", "melon"))
+      .toDF("id", "region", "w").repartition(1)
+      .writeTo("skipcat.s.stamp").using("parquet").createOrReplace()
+    // evolve to a partitioned spec, then migrate the legacy tail: the
+    // promoted files go through the STAGED (plain-parquet) write path,
+    // which must stamp the truncation setting like the V2 writer does
+    spark.sql(s"""ALTER TABLE skipcat.s.stamp SET TBLPROPERTIES
+      ('${GraftCatalog.PartitionByProp}' = 'region')""")
+    val (migrated, _) = cat.migrateLayout(spark, "s.stamp")
+    assert(migrated > 0)
+    spark.catalog.refreshTable("skipcat.s.stamp")
+    def strAgg() = spark.sql(
+      "SELECT min(w) AS mn, max(w) AS mx FROM skipcat.s.stamp")
+    assert(strAgg().queryExecution.sparkPlan.collect {
+      case b: BatchScanExec => b }.isEmpty,
+      "post-migration string bounds must classify exact (stamped) and " +
+        "keep answering metadata-only — the capability the migration " +
+        "exists to restore")
+    assert(strAgg().collect().head == org.apache.spark.sql.Row("apple", "zebra"))
+    // a CoW DELETE rewrite promotes through the same staged path
+    val (rw, _, n) = cat.deleteWhere(spark, "s.stamp", col("id") === 2L)
+    assert(rw >= 1 && n == 1L)
+    spark.catalog.refreshTable("skipcat.s.stamp")
+    assert(strAgg().queryExecution.sparkPlan.collect {
+      case b: BatchScanExec => b }.isEmpty,
+      "post-CoW-rewrite string bounds must stay metadata-only")
+    assert(strAgg().collect().head == org.apache.spark.sql.Row("apple", "melon"))
+  }
+
   test("file bloom index: point lookups prune files min/max can't") {
     wh
     val cat = spark.sessionState.catalogManager.catalog("skipcat")

@@ -1165,6 +1165,64 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("graft-table streaming SOURCE is rewrite-aware: compact AND " +
+    "migrate_layout under a live stream re-deliver nothing (exactly-once " +
+    "across maintenance)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-maint-wh").toString
+    spark.conf.set("spark.sql.catalog.maintcat",
+      classOf[graft.storage.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.maintcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS maintcat.s")
+    val cat = spark.sessionState.catalogManager.catalog("maintcat")
+      .asInstanceOf[graft.storage.GraftCatalog]
+    // several small appends: the classic compaction producer
+    Seq((1L, "us", 10.0)).toDF("id", "region", "v").repartition(1)
+      .writeTo("maintcat.s.mt").using("parquet").createOrReplace()
+    Seq((2L, "de", 20.0)).toDF("id", "region", "v")
+      .writeTo("maintcat.s.mt").append()
+    val q = spark.readStream.format("graft-table")
+      .option("table", "maintcat.s.mt")
+      .load()
+      .writeStream.format("memory").queryName("maint_tail")
+      .start()
+    def seen(): Seq[Long] = spark.table("maint_tail")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    try {
+      q.processAllAvailable()
+      assert(seen() == Seq(1L, 2L))
+      // COMPACT while the stream is live: its snapshot is kind=rewrite —
+      // the batch spanning it must be empty, not a full re-delivery
+      val (before, after) = cat.compact(spark, "s.mt")
+      assert(before >= 2 && after == 1)
+      q.processAllAvailable()
+      assert(seen() == Seq(1L, 2L),
+        s"compact re-delivered rows to a live stream: ${seen()}")
+      // a real append after the compact surfaces exactly its own rows
+      Seq((3L, "us", 30.0)).toDF("id", "region", "v")
+        .writeTo("maintcat.s.mt").append()
+      q.processAllAvailable()
+      assert(seen() == Seq(1L, 2L, 3L))
+      // EVOLVE the partition spec (metadata-only — contributes nothing)
+      // then MIGRATE_LAYOUT under the live stream: also kind=rewrite
+      spark.sql(s"""ALTER TABLE maintcat.s.mt SET TBLPROPERTIES
+        ('${graft.storage.GraftCatalog.PartitionByProp}' = 'region')""")
+      Seq((4L, "fr", 40.0)).toDF("id", "region", "v")
+        .writeTo("maintcat.s.mt").append()
+      q.processAllAvailable()
+      assert(seen() == Seq(1L, 2L, 3L, 4L))
+      val (migrated, keptN) = cat.migrateLayout(spark, "s.mt")
+      assert(migrated > 0, "expected a legacy tail to migrate")
+      q.processAllAvailable()
+      assert(seen() == Seq(1L, 2L, 3L, 4L),
+        s"migrate_layout re-delivered rows to a live stream: ${seen()}")
+      // and the stream keeps tailing normally afterwards
+      Seq((5L, "us", 50.0)).toDF("id", "region", "v")
+        .writeTo("maintcat.s.mt").append()
+      q.processAllAvailable()
+      assert(seen() == Seq(1L, 2L, 3L, 4L, 5L))
+    } finally q.stop()
+  }
+
   test("two actions over one foreachBatch df: a narrow first action must " +
     "not leave a stale narrow schema for the full-width second") {
     val wh = java.nio.file.Files.createTempDirectory("graft-fb-wh").toString
