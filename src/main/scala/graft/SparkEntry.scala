@@ -193,6 +193,37 @@ object SparkEntry {
         min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"),
         min(col("n_chars")).as("nmn"), max(col("n_chars")).as("nmx"))
     }),
+    // HYBRID metadata aggregates, driver-verified: GROUP BY the EVOLVED
+    // partition column — a dir level only in the new layout, a data
+    // column in the legacy flat files. The new-layout group answers from
+    // manifest stats (zero input files); ONLY the legacy group is
+    // scanned, with the partial aggregate folded map-side inside each
+    // partition reader (HybridAggScan — plan shape pinned in
+    // PartitionEvolutionSpec). The oracle recomputes the same grouped
+    // aggregates off the raw documents.
+    "q_evolution_agg_hybrid" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      if (s.conf.getOption("spark.sql.catalog.qevoh").isEmpty) {
+        s.conf.set("spark.sql.catalog.qevoh",
+          classOf[graft.storage.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.qevoh.warehouse",
+          java.nio.file.Files.createTempDirectory("graft-qevoh").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS qevoh.s")
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+      val splitKey = pmod(coalesce(col("doc_id"), lit(-1L)), lit(3))
+      d.filter(splitKey =!= 0)
+        .writeTo("qevoh.s.t").using("parquet").createOrReplace()
+      s.sql("ALTER TABLE qevoh.s.t SET TBLPROPERTIES " +
+        s"('${graft.storage.GraftCatalog.PartitionByProp}' = 'source')")
+      d.filter(splitKey === 0).writeTo("qevoh.s.t").append()
+      s.catalog.refreshTable("qevoh.s.t")
+      s.table("qevoh.s.t").groupBy(col("source"))
+        .agg(count(lit(1)).as("c"),
+          min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"),
+          max(col("n_chars")).as("nmx"))
+        .orderBy("source")
+    }),
     // TARGETED LAYOUT MIGRATION, driver-verified end to end: evolve a
     // flat table to partition by `source` (mixed layouts), CALL
     // migrate_layout to rewrite ONLY the legacy flat files (conforming
@@ -4994,6 +5025,15 @@ object SparkEntry {
                 min(doc_id) AS mn, max(doc_id) AS mx,
                 min(n_chars) AS nmn, max(n_chars) AS nmx
          FROM documents""",
+    // the hybrid (manifest-partials + legacy-sliver-scan) grouped
+    // aggregates, recomputed off the raw documents
+    "q_evolution_agg_hybrid" ->
+      """SELECT source, count(*) AS c,
+                min(doc_id) AS mn, max(doc_id) AS mx,
+                max(n_chars) AS nmx
+         FROM documents
+         GROUP BY source
+         ORDER BY source""",
     // migrate-then-dynamic-overwrite end state: every row of the first
     // source partition replaced with n_chars = -1, everything else intact
     "q_migrate_layout" ->

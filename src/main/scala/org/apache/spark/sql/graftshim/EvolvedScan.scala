@@ -134,21 +134,72 @@ final class EvolvedScanBuilder(
     * Spark's final aggregate (partial-pushdown protocol,
     * [[supportCompletePushDown]] stays false) then combines the partials
     * with full-scan semantics: count → sum of group counts, min/max →
-    * fold over group bounds. All-or-nothing: a union scan has ONE read
-    * schema, so if ANY group cannot answer from its manifest stats (stats
-    * missing, a GROUP BY column that is not a dir level in that group's
-    * layout, pending deletes), every group's answer is cleared and the
-    * whole aggregate declines to the plain union data scan.
+    * fold over group bounds.
     *
-    * This is what keeps `count(*)`/min/max METADATA-ONLY while a table
-    * migrates incrementally — before this, one surviving legacy file
-    * demoted the answer to a full data scan of the entire table. */
+    * When only SOME groups can answer (the common evolved shape: GROUP BY
+    * the new partition column, which legacy flat files carry as a DATA
+    * column, not a dir level), the answer goes HYBRID instead of
+    * declining outright: stats-capable groups contribute their manifest
+    * partials as pre-computed rows (zero input files), and ONLY the
+    * failing group(s) are scanned — with the partial aggregate folded
+    * inside each partition reader, so the scan emits at most one row per
+    * group per partition and Spark's final aggregate combines both kinds
+    * of partials identically. At 100 TB this is the difference between
+    * scanning a legacy sliver and scanning the whole table while a
+    * migration is mid-flight. The hybrid engages only for shapes the
+    * row-side fold can reproduce exactly (count(*) / count(col) /
+    * min(col) / max(col), plain-column group-bys — the same functions the
+    * manifest path serves); anything else, or no group answering at all,
+    * declines to the plain union data scan. Filters and pending
+    * merge-on-read deletes disable every group's manifest answering
+    * (per-group guards), which disables the hybrid with them. */
   private var aggAnswered = false
+  private var hybridShape: Option[(Seq[String], Seq[AggFoldSpec.Agg])] = None
+
+  private def singleCol(
+      e: org.apache.spark.sql.connector.expressions.Expression): Option[String] = e match {
+    case n: org.apache.spark.sql.connector.expressions.NamedReference
+      if n.fieldNames.length == 1 => Some(n.fieldNames()(0))
+    case _ => None
+  }
+
+  /** The aggregation re-expressed for the row-side fold, when every
+    * piece is a shape the fold can reproduce with full-scan semantics. */
+  private def scannableShape(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(Seq[String], Seq[AggFoldSpec.Agg])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    val gbs = agg.groupByExpressions.toSeq.map(singleCol)
+    if (gbs.exists(_.isEmpty)) return None
+    val aggs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(AggFoldSpec.Agg(AggFoldSpec.CountStar, None))
+      case c: Count if !c.isDistinct =>
+        singleCol(c.column).map(col => AggFoldSpec.Agg(AggFoldSpec.Count, Some(col)))
+      case m: Min =>
+        singleCol(m.column).map(col => AggFoldSpec.Agg(AggFoldSpec.Min, Some(col)))
+      case m: Max =>
+        singleCol(m.column).map(col => AggFoldSpec.Agg(AggFoldSpec.Max, Some(col)))
+      case _ => None
+    }
+    if (aggs.exists(_.isEmpty)) None else Some((gbs.map(_.get), aggs.map(_.get)))
+  }
+
   override def pushAggregation(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    aggAnswered = groups.forall(_.tryManifestAggregation(aggregation))
-    if (!aggAnswered) groups.foreach(_.clearManifestAggregation())
-    aggAnswered
+    hybridShape = None
+    val answered = groups.map(_.tryManifestAggregation(aggregation))
+    aggAnswered = answered.forall(identity)
+    if (aggAnswered) return true
+    if (answered.exists(identity)) {
+      // partial answering: serve the capable groups from their manifests
+      // and scan only the rest — if the fold can reproduce the shape
+      scannableShape(aggregation) match {
+        case s @ Some(_) => hybridShape = s; return true
+        case None => ()
+      }
+    }
+    groups.foreach(_.clearManifestAggregation())
+    false
   }
   override def supportCompletePushDown(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
@@ -160,7 +211,31 @@ final class EvolvedScanBuilder(
       // files, zero tasks), rows = the groups' partials concatenated
       val parts = groups.map(_.manifestAggResult.get)
       ManifestAggScan(tables.head.name, parts.head._1, parts.flatMap(_._2))
-    } else EvolvedUnionScan(groups.map(_.build()))
+    } else hybridShape match {
+      case Some((gbCols, aggSpecs)) =>
+        val (answeredG, scannedG) = groups.partition(_.manifestAggResult.isDefined)
+        val aggSchema = answeredG.head.manifestAggResult.get._1
+        val localRows = answeredG.flatMap(_.manifestAggResult.get._2)
+        // the scanned groups read ONLY the fold's input columns: group-by
+        // columns first, then aggregate arguments (deduplicated)
+        val inputCols = (gbCols ++ aggSpecs.flatMap(_.col)).distinct
+        val inputSchema = StructType(
+          inputCols.map(c => tableSchema(tableSchema.fieldIndex(c))))
+        val spec = AggFoldSpec(
+          groupIdx = gbCols.map(inputCols.indexOf).toArray,
+          groupDts = gbCols.map(c =>
+            tableSchema(tableSchema.fieldIndex(c)).dataType).toArray,
+          aggs = aggSpecs.map { a =>
+            val idx = a.col.map(inputCols.indexOf).getOrElse(-1)
+            val dt = a.col.map(c =>
+              tableSchema(tableSchema.fieldIndex(c)).dataType).orNull
+            AggFoldSpec.Bound(a.kind, idx, dt)
+          }.toArray)
+        scannedG.foreach { g => g.pruneColumns(inputSchema) }
+        HybridAggScan(tables.head.name, aggSchema, localRows,
+          scannedG.map(_.build()), spec)
+      case None => EvolvedUnionScan(groups.map(_.build()))
+    }
 }
 
 /** Concatenates the layout groups' scans: same read schema by
@@ -207,6 +282,182 @@ final case class EvolvedUnionScan(scans: Seq[Scan])
   override def planInputPartitions(): Array[InputPartition] = planned
   override def createReaderFactory(): PartitionReaderFactory =
     EvolvedUnionReaderFactory
+}
+
+/** The row-side fold a [[HybridAggScan]] ships to its scanned groups'
+  * partition readers: which input columns are group keys, and how each
+  * aggregate folds. Mirrors the exact function set the manifest path
+  * serves ([[graft.storage.ManifestAggregates]]), so hybrid partials and
+  * manifest partials are interchangeable under Spark's final aggregate. */
+final case class AggFoldSpec(
+    groupIdx: Array[Int],
+    groupDts: Array[org.apache.spark.sql.types.DataType],
+    aggs: Array[AggFoldSpec.Bound]) extends Serializable
+
+object AggFoldSpec {
+  sealed trait Kind extends Serializable
+  case object CountStar extends Kind
+  case object Count extends Kind
+  case object Min extends Kind
+  case object Max extends Kind
+  /** One aggregate as (kind, argument column) before input-index binding. */
+  final case class Agg(kind: Kind, col: Option[String])
+  /** One aggregate bound to its input-row slot (`idx` = -1 for count(*)). */
+  final case class Bound(
+      kind: Kind, idx: Int,
+      dt: org.apache.spark.sql.types.DataType) extends Serializable
+}
+
+/** Hybrid manifest/data aggregate over a mixed layout: the pre-computed
+  * manifest partials of the stats-capable groups ride in ONE extra
+  * partition; every other partition is a scanned group's file split whose
+  * reader folds the partial aggregate map-side (at most one output row
+  * per group key per partition). Spark's final aggregate — already
+  * planned by the partial-pushdown protocol — combines both. */
+final case class HybridAggScan(
+    tableName: String,
+    aggSchema: StructType,
+    localRows: Seq[org.apache.spark.sql.catalyst.InternalRow],
+    dataScans: Seq[Scan],
+    fold: AggFoldSpec) extends Scan with Batch {
+
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"HybridManifestAggregates($tableName, metadataPartials=${localRows.size}, " +
+      s"scannedGroups=${dataScans.size}: " +
+      dataScans.map(_.description()).mkString(" | ") + ")"
+
+  @transient private lazy val planned: Array[InputPartition] = {
+    val scanned = dataScans.toArray.flatMap { s =>
+      val b = s.toBatch
+      val f = b.createReaderFactory()
+      b.planInputPartitions().map(p => HybridFoldPartition(p, f, fold): InputPartition)
+    }
+    // manifest partials: copy defensively — GenericInternalRows may share
+    // structure with driver-side state, and the partition serializes
+    scanned :+ (HybridLocalPartition(
+      localRows.map(_.copy()).toArray): InputPartition)
+  }
+  override def planInputPartitions(): Array[InputPartition] = planned
+  override def createReaderFactory(): PartitionReaderFactory =
+    HybridAggReaderFactory
+}
+
+/** The manifest partials, shipped as data. */
+final case class HybridLocalPartition(
+    rows: Array[org.apache.spark.sql.catalyst.InternalRow]) extends InputPartition
+
+/** One scanned-group split plus the fold to run over it. */
+final case class HybridFoldPartition(
+    inner: InputPartition,
+    factory: PartitionReaderFactory,
+    fold: AggFoldSpec) extends InputPartition {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+object HybridAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = partition match {
+    case HybridLocalPartition(rows) =>
+      new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+        private var i = -1
+        override def next(): Boolean = { i += 1; i < rows.length }
+        override def get(): org.apache.spark.sql.catalyst.InternalRow = rows(i)
+        override def close(): Unit = ()
+      }
+    case p: HybridFoldPartition =>
+      new FoldingPartitionReader(p.factory.createReader(p.inner), p.fold)
+    case other => throw new IllegalStateException(s"unexpected partition $other")
+  }
+}
+
+/** Reads the delegate's rows once and emits partial-aggregate rows:
+  * group-key columns first, then one value per aggregate — count partials
+  * as longs (0 for an all-null count(col) group), min/max partials as the
+  * partition's extreme value or null. Value comparisons use Spark's own
+  * interpreted orderings (identical NaN/UTF-8 semantics to the Min/Max
+  * expressions the final aggregate runs). Memory is bounded by the
+  * partition's distinct group-key count — the same cardinality a map-side
+  * partial aggregate of the un-pushed plan would hold. */
+final class FoldingPartitionReader(
+    inner: PartitionReader[org.apache.spark.sql.catalyst.InternalRow],
+    spec: AggFoldSpec)
+  extends PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  private var it: Iterator[InternalRow] = _
+  private var cur: InternalRow = _
+
+  private def fold(): Iterator[InternalRow] = {
+    val ords: Array[Ordering[Any]] = spec.aggs.map { a =>
+      if (a.kind == AggFoldSpec.Min || a.kind == AggFoldSpec.Max)
+        org.apache.spark.sql.catalyst.util.TypeUtils
+          .getInterpretedOrdering(a.dt).asInstanceOf[Ordering[Any]]
+      else null
+    }
+    val acc = scala.collection.mutable.LinkedHashMap
+      .empty[Vector[Any], Array[Any]]
+    while (inner.next()) {
+      val row = inner.get()
+      val key: Vector[Any] = spec.groupIdx.indices.map { j =>
+        val i = spec.groupIdx(j)
+        if (row.isNullAt(i)) null
+        else InternalRow.copyValue(row.get(i, spec.groupDts(j)))
+      }.toVector
+      val slots = acc.getOrElseUpdate(key, new Array[Any](spec.aggs.length))
+      var k = 0
+      while (k < spec.aggs.length) {
+        val a = spec.aggs(k)
+        a.kind match {
+          case AggFoldSpec.CountStar =>
+            slots(k) = java.lang.Long.valueOf(
+              (if (slots(k) == null) 0L else slots(k).asInstanceOf[java.lang.Long].longValue) + 1L)
+          case AggFoldSpec.Count =>
+            if (!row.isNullAt(a.idx))
+              slots(k) = java.lang.Long.valueOf(
+                (if (slots(k) == null) 0L else slots(k).asInstanceOf[java.lang.Long].longValue) + 1L)
+          case AggFoldSpec.Min | AggFoldSpec.Max =>
+            if (!row.isNullAt(a.idx)) {
+              val v = InternalRow.copyValue(row.get(a.idx, a.dt))
+              slots(k) =
+                if (slots(k) == null) v
+                else if (a.kind == AggFoldSpec.Min) {
+                  if (ords(k).lt(v, slots(k))) v else slots(k)
+                } else {
+                  if (ords(k).gt(v, slots(k))) v else slots(k)
+                }
+            }
+        }
+        k += 1
+      }
+    }
+    acc.iterator.map { case (key, slots) =>
+      val vals = new Array[Any](key.length + slots.length)
+      var i = 0
+      while (i < key.length) { vals(i) = key(i); i += 1 }
+      var k = 0
+      while (k < slots.length) {
+        val a = spec.aggs(k)
+        vals(key.length + k) =
+          if (slots(k) == null &&
+            (a.kind == AggFoldSpec.CountStar || a.kind == AggFoldSpec.Count))
+            java.lang.Long.valueOf(0L)
+          else slots(k)
+        k += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+        : InternalRow
+    }
+  }
+
+  override def next(): Boolean = {
+    if (it == null) it = fold()
+    if (it.hasNext) { cur = it.next(); true } else false
+  }
+  override def get(): InternalRow = cur
+  override def close(): Unit = inner.close()
 }
 
 /** A layout group's partition, carrying the group's own reader factory. */

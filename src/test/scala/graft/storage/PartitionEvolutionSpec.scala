@@ -270,6 +270,13 @@ class PartitionEvolutionSpec extends SparkSpec {
     assert(neg.getMessage.contains("positive"))
     val badcol = intercept[Exception] { evolve("e6", "bucket(4, nope)") }
     assert(badcol.getMessage.contains("missing from schema"))
+    // case/space variants parse as bucket specs — never as a phantom
+    // identity column named "Bucket (4" with a no-such-column error
+    val malCase = intercept[Exception] { evolve("e6", "Bucket (4, id") }
+    assert(malCase.getMessage.contains("malformed bucket spec"),
+      s"case/space bucket variants must hit the bucket-spec message: ${malCase.getMessage}")
+    evolve("e6", "BUCKET (4, id)") // well-formed, just uppercased/spaced
+    assert(GraftCatalog.parseBucketSpec("BUCKET (4, id)") == Some((4, "id")))
   }
 
   test("bucket-spec evolution: flat -> bucket(n, col) is a metadata commit; " +
@@ -658,12 +665,13 @@ class PartitionEvolutionSpec extends SparkSpec {
       Seq(org.apache.spark.sql.Row("de", 1L, 2L),
         org.apache.spark.sql.Row("fr", 1L, 4L),
         org.apache.spark.sql.Row("us", 3L, 5L)))
-    // GROUP BY day — a dir level only in the NEW layout: declines for ALL
-    // groups (all-or-nothing), falls back to the union data scan, correct
+    // GROUP BY day — a dir level only in the NEW layout: goes HYBRID (the
+    // new-layout group answers from its manifest, only the legacy group
+    // scans — pinned in detail by the dedicated hybrid test), correct
     val byDay = spark.sql(
       "SELECT day, count(*) AS c FROM evocat.s.ag1 GROUP BY day")
     assert(dataScans(byDay) > 0,
-      "GROUP BY a non-universal dir level must decline to a data scan")
+      "GROUP BY a non-universal dir level must plan a (hybrid) data scan")
     assert(byDay.orderBy("day").collect().toSeq ==
       Seq(org.apache.spark.sql.Row("d1", 2L),
         org.apache.spark.sql.Row("d2", 1L),
@@ -673,6 +681,74 @@ class PartitionEvolutionSpec extends SparkSpec {
       "SELECT count(*) AS c FROM evocat.s.ag1 WHERE v > 2.0")
     assert(dataScans(filtered) > 0)
     assert(filtered.head.getLong(0) == 3L)
+  }
+
+  test("HYBRID metadata aggregates on a mixed layout: stats-capable groups " +
+    "serve manifest partials (zero input files), only the failing group " +
+    "scans, and the fold matches the full recompute exactly") {
+    wh
+    // legacy layout (region): day and v are DATA columns there; new
+    // layout (region, day): day is a dir level, answerable from manifests
+    Seq((1L, "us", "d1", Some(1.5)), (2L, "de", "d1", None),
+        (3L, "us", "d2", Some(3.5)))
+      .toDF("id", "region", "day", "v").repartition(1)
+      .writeTo("evocat.s.hyb").using("parquet")
+      .partitionedBy($"region").createOrReplace()
+    evolve("hyb", "region,day")
+    Seq((4L, "fr", "d3", Some(0.5)), (5L, "us", "d3", None),
+        (6L, "us", "d1", Some(6.5)))
+      .toDF("id", "region", "day", "v").writeTo("evocat.s.hyb").append()
+    spark.catalog.refreshTable("evocat.s.hyb")
+    val legacyFiles = manifestFiles("hyb")
+      .count(f => GraftCatalog.layoutOf(f) == Seq("region"))
+    assert(legacyFiles >= 1 && manifestFiles("hyb").size > legacyFiles,
+      s"setup: expected a mixed layout, got ${manifestFiles("hyb")}")
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val sql = "SELECT day, count(*) AS c, count(v) AS cv, min(v) AS mn, " +
+      "max(id) AS mx FROM evocat.s.hyb GROUP BY day"
+    val q = spark.sql(sql)
+    val scans = q.queryExecution.sparkPlan.collect {
+      case b: BatchScanExec => b.scan }
+    assert(scans.size == 1, s"expected one scan, got $scans")
+    val hybrid = scans.head match {
+      case h: org.apache.spark.sql.graftshim.HybridAggScan => h
+      case other => fail(s"expected HybridAggScan, got ${other.description()}")
+    }
+    // the conforming (region, day) group contributes ZERO input files —
+    // its answer rides as pre-computed manifest partials; only the legacy
+    // group plans data partitions
+    assert(hybrid.localRows.nonEmpty,
+      "the stats-capable group must answer as manifest partials")
+    assert(hybrid.dataScans.size == 1,
+      s"only the failing legacy group may scan, got ${hybrid.description()}")
+    val parts = hybrid.planInputPartitions()
+    assert(parts.count(_.isInstanceOf[
+      org.apache.spark.sql.graftshim.HybridLocalPartition]) == 1)
+    assert(parts.exists(_.isInstanceOf[
+      org.apache.spark.sql.graftshim.HybridFoldPartition]))
+    // exactness, incl. null handling in both the folded and manifest
+    // halves: d1 spans BOTH layouts (2 legacy rows + 1 new), d2 legacy
+    // only, d3 new only
+    val expected = Seq(
+      org.apache.spark.sql.Row("d1", 3L, 2L, 1.5, 6L),
+      org.apache.spark.sql.Row("d2", 1L, 1L, 3.5, 3L),
+      org.apache.spark.sql.Row("d3", 2L, 1L, 0.5, 5L))
+    assert(q.orderBy("day").collect().toSeq == expected)
+    // and equals the conf-off full recompute
+    spark.conf.set("spark.sql.graft.manifestAggregates", "false")
+    try {
+      val full = spark.sql(sql)
+      assert(full.queryExecution.sparkPlan.collect {
+        case b: BatchScanExec => b.scan }.forall(
+        !_.isInstanceOf[org.apache.spark.sql.graftshim.HybridAggScan]))
+      assert(full.orderBy("day").collect().toSeq == expected)
+    } finally spark.conf.set("spark.sql.graft.manifestAggregates", "true")
+    // an UNGROUPED aggregate still answers all-metadata (no hybrid needed)
+    val ungrouped = spark.sql(
+      "SELECT count(*) AS c, min(v) AS mn FROM evocat.s.hyb")
+    assert(ungrouped.queryExecution.sparkPlan.collect {
+      case b: BatchScanExec => b }.isEmpty)
+    assert(ungrouped.collect().head == org.apache.spark.sql.Row(6L, 0.5))
   }
 
   test("streaming reads compose with evolution: a micro-batch spanning the " +
