@@ -3432,9 +3432,35 @@ private[storage] class GraftTable(
             ParquetTable(tableName, spark, opts, fsq.map(f => s"$dir/$f"),
               Some(meta.schema), classOf[ParquetFileFormat])
           }
+        // SPJ across a MIXED layout is sound for exactly the key
+        // derivations that are INVARIANT across every live layout: a dir
+        // level present in all of them keys every row of every group from
+        // its own path, so grouping the union's splits by that level
+        // co-locates rows exactly as a uniform layout would. The common
+        // dir-evolved shape — (region) → (region, day) — keeps identity
+        // joins on region shuffle-free mid-migration. (A bucket(n, col)
+        // level would qualify by the same proof, but bucket specs must be
+        // the sole transform and re-bucketing over live bucket files is
+        // refused, so two distinct layouts sharing a __bucket level
+        // cannot arise.) Keys follow the CURRENT spec's order, restricted
+        // to the invariant levels; none invariant = no SPJ report.
+        val invariant: Seq[String] = files.map(GraftCatalog.layoutOf)
+          .distinct.map(_.toSet).reduce(_ intersect _).toSeq
+        val (mixedKeys, mixedKeySchema) = meta.bucket match {
+          case Some((n, c)) if invariant.contains(s"__bucket_$c") =>
+            (Seq(Expressions.bucket(n, c): org.apache.spark.sql.connector
+              .expressions.Expression),
+              StructType(Seq(StructField(s"__bucket_$c",
+                org.apache.spark.sql.types.IntegerType))))
+          case _ =>
+            val cols = meta.partitionCols.filter(invariant.contains)
+            (cols.map(Expressions.identity(_): org.apache.spark.sql.connector
+              .expressions.Expression),
+              StructType(cols.map(c => meta.schema(meta.schema.fieldIndex(c)))))
+        }
         return org.apache.spark.sql.graftshim.Evolved.scanBuilder(
           groupTables, opts, meta.schema, fileStats, dir, fileBlooms,
-          eqDeleteSpec, posDelMap)
+          eqDeleteSpec, posDelMap, mixedKeys, mixedKeySchema)
       case _ => ()
     }
     val pt = ParquetTable(tableName, spark, opts, paths, Some(meta.schema),

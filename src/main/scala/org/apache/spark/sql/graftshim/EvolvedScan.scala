@@ -45,9 +45,11 @@ object Evolved {
       tableDir: String,
       fileBlooms: Map[String, Map[String, graft.storage.GraftCatalog.FileBloom]],
       eqDeletes: Option[EqDeleteSpec],
-      posDeletes: Map[String, Array[Long]]): ScanBuilder =
+      posDeletes: Map[String, Array[Long]],
+      keys: Seq[org.apache.spark.sql.connector.expressions.Expression] = Seq.empty,
+      keySchema: StructType = new StructType()): ScanBuilder =
     new EvolvedScanBuilder(tables, options, tableSchema, fileStats,
-      tableDir, fileBlooms, eqDeletes, posDeletes)
+      tableDir, fileBlooms, eqDeletes, posDeletes, keys, keySchema)
 }
 
 /** Fans every pushdown call out to one [[KeyedParquetScanBuilder]] per
@@ -64,7 +66,9 @@ final class EvolvedScanBuilder(
     tableDir: String,
     fileBlooms: Map[String, Map[String, graft.storage.GraftCatalog.FileBloom]],
     eqDeletes: Option[EqDeleteSpec],
-    posDeletes: Map[String, Array[Long]])
+    posDeletes: Map[String, Array[Long]],
+    unionKeys: Seq[org.apache.spark.sql.connector.expressions.Expression] = Seq.empty,
+    unionKeySchema: StructType = new StructType())
   extends ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -120,12 +124,14 @@ final class EvolvedScanBuilder(
       residuals.exists(_.exists(_.semanticEquals(f))) || !provablyAbsorbed(f))
   }
 
-  // for explain honesty report the predicates EVERY group pushed
+  // for explain honesty report the predicates EVERY group pushed —
+  // structural equality (V2 connector expressions implement value
+  // equals/hashCode over name + children), not string rendering
   override def pushedFilters()
       : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = {
-    val perGroup = groups.map(_.pushedFilters().map(_.toString).toSet)
+    val perGroup = groups.map(_.pushedFilters().toSet)
     groups.head.pushedFilters()
-      .filter(p => perGroup.forall(_.contains(p.toString)))
+      .filter(p => perGroup.forall(_.contains(p)))
   }
 
   /** Metadata-only aggregate pushdown across a MIXED layout: push the
@@ -234,21 +240,38 @@ final class EvolvedScanBuilder(
         scannedG.foreach { g => g.pruneColumns(inputSchema) }
         HybridAggScan(tables.head.name, aggSchema, localRows,
           scannedG.map(_.build()), spec)
-      case None => EvolvedUnionScan(groups.map(_.build()))
+      case None =>
+        EvolvedUnionScan(groups.map(_.build()), unionKeys, unionKeySchema)
     }
 }
 
 /** Concatenates the layout groups' scans: same read schema by
   * construction (every group is canonically wrapped), partitions tagged
-  * with their group's reader factory. */
-final case class EvolvedUnionScan(scans: Seq[Scan])
+  * with their group's reader factory.
+  *
+  * When `keys` is non-empty — the key-deriving dir levels are INVARIANT
+  * across every live layout (decided by the catalog) — the union reports
+  * `KeyGroupedPartitioning` and re-packs each group's file splits per key
+  * value parsed from the files' paths, so an equi-join on those keys runs
+  * as a storage-partitioned join with ZERO shuffle even mid-migration:
+  * Spark's exec-side grouping merges same-key splits ACROSS layout groups
+  * into one task. Any unparsable path, non-file split, or a
+  * `preserveDataGrouping` decline falls back to plain concatenation
+  * (UnknownPartitioning) — never a wrong key. */
+final case class EvolvedUnionScan(
+    scans: Seq[Scan],
+    keys: Seq[org.apache.spark.sql.connector.expressions.Expression] = Seq.empty,
+    keySchema: StructType = new StructType())
   extends Scan with Batch
-  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   override def readSchema(): StructType = scans.head.readSchema()
   override def toBatch: Batch = this
   override def description(): String =
-    s"PartitionEvolvedUnion(${scans.size} layouts: " +
+    s"PartitionEvolvedUnion(${scans.size} layouts" +
+      (if (keys.nonEmpty) s", keyedBy=[${keySchema.fieldNames.mkString(", ")}]"
+       else "") + ": " +
       scans.map(_.description()).mkString(" | ") + ")"
 
   override def estimateStatistics()
@@ -272,16 +295,109 @@ final case class EvolvedUnionScan(scans: Seq[Scan])
     }
   }
 
-  @transient private lazy val planned: Array[InputPartition] =
+  @transient private lazy val plain: Array[InputPartition] =
     scans.toArray.flatMap { s =>
       val b = s.toBatch
       val f = b.createReaderFactory()
       b.planInputPartitions().map(p => EvolvedPartition(p, f): InputPartition)
     }
 
-  override def planInputPartitions(): Array[InputPartition] = planned
+  // keyed planning: re-pack every group's file splits into one-or-more
+  // splits PER KEY VALUE (the file's path is the authoritative key — the
+  // same parse, and the same decline-on-failure contract, as the uniform
+  // layout's KeyedScan), keeping each split under the stock planner's
+  // largest so partially-clustered SPJ can still subdivide a hot key
+  @transient private lazy val keyed: Option[Array[InputPartition]] = {
+    import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    if (keys.isEmpty) None
+    else {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val mode = spark.conf
+        .get("spark.sql.graft.spj.preserveDataGrouping", "auto")
+      if (mode == "false") None
+      else {
+        val perGroup = scans.map { s =>
+          val b = s.toBatch
+          (b.planInputPartitions(), b.createReaderFactory())
+        }
+        if (!perGroup.forall(_._1.forall(_.isInstanceOf[FilePartition]))) None
+        else {
+          val proj = UnsafeProjection.create(keySchema)
+          val totalParts = perGroup.map(_._1.length).sum
+          // (key, group factory, file) for every file of every group
+          val keyedFiles = perGroup.flatMap { case (parts, factory) =>
+            parts.flatMap(_.asInstanceOf[FilePartition].files).map { f =>
+              (KeyedScan.pathPartitionKey(f.filePath.toString, keySchema, proj),
+                factory, f)
+            }
+          }
+          if (keyedFiles.exists(_._1.isEmpty)) None
+          else {
+            val grouped = keyedFiles
+              .groupBy(_._1.get)
+            val shouldGroup = mode == "true" ||
+              grouped.size >= spark.sparkContext.defaultParallelism ||
+              totalParts <= grouped.size
+            if (!shouldGroup) None
+            else {
+              val targetBytes = math.max(1L, perGroup.iterator
+                .flatMap(_._1.iterator)
+                .map(_.asInstanceOf[FilePartition].files.map(_.length).sum)
+                .foldLeft(0L)(math.max))
+              var idx = -1
+              Some(grouped.toArray.sortBy(_._1.toString).flatMap {
+                case (key, entries) =>
+                  // within a key, splits stay group-homogeneous (one
+                  // reader factory per split); Spark's exec-side grouping
+                  // merges the key's splits across groups into one task
+                  entries.groupBy(_._2).toSeq.flatMap { case (factory, es) =>
+                    FilePartition.getFilePartitions(
+                      spark, es.map(_._3).toIndexedSeq, targetBytes)
+                      .map { fp =>
+                        idx += 1
+                        EvolvedKeyedPartition(
+                          FilePartition(idx, fp.files), factory, key)
+                          : InputPartition
+                      }
+                  }
+              })
+            }
+          }
+        }
+      }
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    keyed.getOrElse(plain)
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    keyed match {
+      case Some(splits) if splits.nonEmpty =>
+        val numKeys = splits.iterator
+          .map(_.asInstanceOf[EvolvedKeyedPartition].key).toSet.size
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(keys.toArray, numKeys)
+      case _ =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
   override def createReaderFactory(): PartitionReaderFactory =
     EvolvedUnionReaderFactory
+}
+
+/** One layout group's per-key file split: carries the group's reader
+  * factory (layouts differ, so readers cannot be shared) and the key
+  * value SPJ groups by. */
+final case class EvolvedKeyedPartition(
+    inner: org.apache.spark.sql.execution.datasources.FilePartition,
+    factory: PartitionReaderFactory,
+    key: org.apache.spark.sql.catalyst.expressions.UnsafeRow)
+  extends InputPartition
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = key
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
 
 /** The row-side fold a [[HybridAggScan]] ships to its scanned groups'
@@ -468,18 +584,24 @@ final case class EvolvedPartition(
 }
 
 object EvolvedUnionReaderFactory extends PartitionReaderFactory {
+  private def unwrap(partition: InputPartition)
+      : (InputPartition, PartitionReaderFactory) = partition match {
+    case p: EvolvedPartition => (p.inner, p.factory)
+    case p: EvolvedKeyedPartition => (p.inner, p.factory)
+    case other => throw new IllegalStateException(s"unexpected partition $other")
+  }
   override def createReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
-    val p = partition.asInstanceOf[EvolvedPartition]
-    p.factory.createReader(p.inner)
+    val (inner, factory) = unwrap(partition)
+    factory.createReader(inner)
   }
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val p = partition.asInstanceOf[EvolvedPartition]
-    p.factory.createColumnarReader(p.inner)
+    val (inner, factory) = unwrap(partition)
+    factory.createColumnarReader(inner)
   }
   override def supportColumnarReads(partition: InputPartition): Boolean = {
-    val p = partition.asInstanceOf[EvolvedPartition]
-    p.factory.supportColumnarReads(p.inner)
+    val (inner, factory) = unwrap(partition)
+    factory.supportColumnarReads(inner)
   }
 }

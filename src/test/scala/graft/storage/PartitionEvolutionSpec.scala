@@ -683,6 +683,73 @@ class PartitionEvolutionSpec extends SparkSpec {
     assert(filtered.head.getLong(0) == 3L)
   }
 
+  test("zero-shuffle SPJ on a MIXED layout when the key dir level is " +
+    "invariant: (region) -> (region, day) still joins on region " +
+    "storage-partitioned, row-identical to the shuffled join") {
+    wh
+    Seq((1L, "us", "d1", 1.0), (2L, "de", "d1", 2.0), (3L, "us", "d2", 3.0),
+        (4L, "fr", "d1", 4.0))
+      .toDF("id", "region", "day", "v").repartition(1)
+      .writeTo("evocat.s.spj1").using("parquet")
+      .partitionedBy($"region").createOrReplace()
+    // evolution ADDS a dir level: region stays a dir level in BOTH layouts
+    evolve("spj1", "region,day")
+    Seq((5L, "us", "d1", 5.0), (6L, "de", "d2", 6.0), (7L, "jp", "d1", 7.0))
+      .toDF("id", "region", "day", "v")
+      .writeTo("evocat.s.spj1").append()
+    spark.catalog.refreshTable("evocat.s.spj1")
+    assert(manifestFiles("spj1").map(GraftCatalog.layoutOf).distinct.size == 2,
+      s"setup: expected a mixed layout, got ${manifestFiles("spj1")}")
+    // a uniform region-partitioned dimension on the other side
+    Seq(("us", "west"), ("de", "eu"), ("fr", "eu"), ("jp", "asia"))
+      .toDF("region", "zone")
+      .writeTo("evocat.s.spjdim").using("parquet")
+      .partitionedBy($"region").createOrReplace()
+    val spjConfs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.graft.spj.preserveDataGrouping" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = spjConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    spjConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val j = spark.table("evocat.s.spj1").select("id", "region")
+        .join(spark.table("evocat.s.spjdim"), "region")
+        .select("id", "region", "zone")
+      val rows = j.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"an invariant-dir-level join must run storage-partitioned:\n$plan")
+      // row-identical to the shuffled join
+      spark.conf.set("spark.sql.graft.spj.preserveDataGrouping", "false")
+      val shuffled = spark.table("evocat.s.spj1").select("id", "region")
+        .join(spark.table("evocat.s.spjdim"), "region")
+        .select("id", "region", "zone")
+      assert(shuffled.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"),
+        "control: conf off must plan the shuffled join")
+      assert(rows == shuffled.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq)
+      // a join on a NON-invariant level (day) must NOT claim co-location:
+      // the legacy files carry day as data, not a dir level
+      spark.conf.set("spark.sql.graft.spj.preserveDataGrouping", "true")
+      val scanKeys = spark.table("evocat.s.spj1")
+        .queryExecution.sparkPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.scan
+        }
+      assert(scanKeys.exists {
+        case u: org.apache.spark.sql.graftshim.EvolvedUnionScan =>
+          u.keySchema.fieldNames.toSeq == Seq("region")
+        case _ => false
+      }, s"the union scan must key by exactly the invariant level: $scanKeys")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("HYBRID metadata aggregates on a mixed layout: stats-capable groups " +
     "serve manifest partials (zero input files), only the failing group " +
     "scans, and the fold matches the full recompute exactly") {
