@@ -70,7 +70,13 @@ object GraftProcedures {
     Seq("vacuum", "build_bloom_index", "cluster", "compact",
       "migrate_layout", "layout_summary", "rewrite_deletes", "history")
 
-  def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] = name match {
+  def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] = {
+    // capture the calling query's session HERE: load runs during the CALL
+    // statement's own analysis, where the thread-local SparkSession.active
+    // is reliably the right session — call() may execute on another thread
+    // (the same capture discipline as GraftWriteBuilder/GraftWriterFactory)
+    val session = SparkSession.active
+    name match {
     case "vacuum" => Some(new Proc("vacuum",
       Seq(in("table", StringType), in("keep_last", IntegerType)),
       StructType(Seq(StructField("deleted_files", IntegerType, nullable = false)))) {
@@ -88,7 +94,7 @@ object GraftProcedures {
         StructField("files_indexed", IntegerType, nullable = false),
         StructField("files_total", IntegerType, nullable = false)))) {
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
-        val (fresh, total) = cat.buildBloomIndex(SparkSession.active,
+        val (fresh, total) = cat.buildBloomIndex(session,
           input.getUTF8String(0).toString,
           input.getUTF8String(1).toString.split(",").map(_.trim).toSeq)
         result(outSchema, Seq(row(fresh, total)))
@@ -100,7 +106,7 @@ object GraftProcedures {
         StructField("files_before", IntegerType, nullable = false),
         StructField("files_after", IntegerType, nullable = false)))) {
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
-        val (before, after) = cat.clusterTable(SparkSession.active,
+        val (before, after) = cat.clusterTable(session,
           input.getUTF8String(0).toString,
           input.getUTF8String(1).toString.split(",").map(_.trim).toSeq)
         result(outSchema, Seq(row(before, after)))
@@ -112,7 +118,7 @@ object GraftProcedures {
         StructField("files_before", IntegerType, nullable = false),
         StructField("files_after", IntegerType, nullable = false)))) {
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
-        val (before, after) = cat.compact(SparkSession.active,
+        val (before, after) = cat.compact(session,
           input.getUTF8String(0).toString, input.getInt(1))
         result(outSchema, Seq(row(before, after)))
       }
@@ -140,7 +146,7 @@ object GraftProcedures {
         val maxFiles =
           if (input.numFields >= 3 && !input.isNullAt(2)) input.getInt(2)
           else Int.MaxValue
-        val (migrated, kept) = cat.migrateLayout(SparkSession.active,
+        val (migrated, kept) = cat.migrateLayout(session,
           input.getUTF8String(0).toString, input.getInt(1),
           maxFiles = maxFiles)
         result(outSchema, Seq(row(migrated, kept)))
@@ -168,7 +174,7 @@ object GraftProcedures {
         StructField("files_untouched", IntegerType, nullable = false)))) {
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val (rewritten, untouched) = cat.compactDeletes(
-          SparkSession.active, input.getUTF8String(0).toString)
+          session, input.getUTF8String(0).toString)
         result(outSchema, Seq(row(rewritten, untouched)))
       }
     })
@@ -191,6 +197,7 @@ object GraftProcedures {
       }
     })
     case _ => None
+    }
   }
 
   // compile-time guard: UTF8String import is load-bearing for getUTF8String
