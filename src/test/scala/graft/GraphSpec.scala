@@ -36,6 +36,50 @@ class GraphSpec extends SparkSpec {
     assert(once == shuffled)
   }
 
+  test("pageRank: the job's stage structure is FIXED — no lineage growth " +
+    "across iterations (drift-gate pin for q_pagerank's bench variance)") {
+    // q_pagerank's bench history swings with machine load (its three
+    // iteration joins are CPU-dense), NOT with plan shape: lineage is
+    // linear by construction (ranks consumed exactly once per iteration)
+    // and the stage count must not grow run over run. Pin it: two
+    // identical runs submit the SAME number of stages, and that number
+    // stays in the structural envelope (scan + window/degree + 3 ×
+    // (contribution join + spine join) + collect ≲ 20 — a lineage blowup
+    // would double stages per iteration and blow straight past it).
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    def stagesOf(run: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onStageSubmitted(
+            s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+          n.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        run
+        // the listener bus is async; settle on a stable count instead of
+        // the private waitUntilEmpty
+        var last = -1
+        var cur = n.get()
+        while (cur != last) { Thread.sleep(200); last = cur; cur = n.get() }
+      } finally spark.sparkContext.removeSparkListener(l)
+      n.get()
+    }
+    // clear the cache between runs: pageRank persists its adjacency, and
+    // the cache manager would serve run 2 from run 1's cached plan —
+    // fewer stages for a reason that is reuse, not structure
+    spark.sqlContext.clearCache()
+    val first = stagesOf {
+      Graph.pageRank(Graph.partSupplierEdges(li), iterations = 3).count() }
+    spark.sqlContext.clearCache()
+    val second = stagesOf {
+      Graph.pageRank(Graph.partSupplierEdges(li), iterations = 3).count() }
+    assert(first == second,
+      s"stage structure must be deterministic run over run: $first != $second")
+    assert(first <= 20,
+      s"3-iteration PageRank submitted $first stages — lineage is growing")
+  }
+
   test("pageRank: damping mass stays bounded (no rank explosion)") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val ranks = Graph.pageRank(Graph.partSupplierEdges(li), iterations = 3)
