@@ -1059,19 +1059,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   /** Snapshot history (Delta `DESCRIBE HISTORY` / Iceberg `snapshots`
     * analog), metadata-only: one entry per retained snapshot —
-    * (snapshot, nFiles, totalRows, filesAdded, filesRemoved), rows from
-    * the manifest's per-file row-count stats (−1 when any live file lacks
-    * one — absence must read "unknown", never a low count), adds/removes
-    * as file-set diffs against the previous RETAINED snapshot (vacuumed
-    * gaps diff against what remains, matching what time travel can still
-    * serve). Zero data I/O: manifests only. */
-  def history(ident: Identifier): Seq[(Long, Int, Long, Int, Int)] = {
+    * (snapshot, nFiles, totalRows, filesAdded, filesRemoved, kind), rows
+    * from the manifest's per-file row-count stats (−1 when any live file
+    * lacks one — absence must read "unknown", never a low count),
+    * adds/removes as file-set diffs against the previous RETAINED
+    * snapshot (vacuumed gaps diff against what remains, matching what
+    * time travel can still serve), kind = the recorded commit kind
+    * (append / overwrite / rewrite / delete — what incremental and
+    * streaming consumers skip or serve; "unknown" for pre-kind
+    * snapshots). Zero data I/O: manifests only. */
+  def history(ident: Identifier): Seq[(Long, Int, Long, Int, Int, String)] = {
     val dir = tableDir(ident)
     if (GraftCatalog.readMeta(fs, dir).isEmpty) throw new NoSuchTableException(ident)
     val latest = GraftCatalog.latestSnapshot(fs, dir)
     val snaps = (1L to latest).flatMap(n =>
       GraftCatalog.readManifest(fs, dir, n).map(n -> _))
-    snaps.foldLeft((Seq.empty[(Long, Int, Long, Int, Int)], Set.empty[String])) {
+    snaps.foldLeft(
+      (Seq.empty[(Long, Int, Long, Int, Int, String)], Set.empty[String])) {
       case ((acc, prev), (snap, files)) =>
         val stats = GraftCatalog.readStats(fs, dir, snap)
         val rowCounts = files.map(f => stats.get(f)
@@ -1080,8 +1084,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         val totalRows =
           if (rowCounts.forall(_.isDefined)) rowCounts.flatten.sum else -1L
         val cur = files.toSet
+        val kind = GraftCatalog.readCommitKind(fs, dir, snap).getOrElse("unknown")
         (acc :+ ((snap, files.size, totalRows,
-          (cur -- prev).size, (prev -- cur).size)), cur)
+          (cur -- prev).size, (prev -- cur).size, kind)), cur)
     }._1
   }
 

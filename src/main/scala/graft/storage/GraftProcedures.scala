@@ -185,13 +185,16 @@ object GraftProcedures {
         StructField("n_files", IntegerType, nullable = false),
         StructField("n_rows", LongType, nullable = false),
         StructField("files_added", IntegerType, nullable = false),
-        StructField("files_removed", IntegerType, nullable = false)))) {
+        StructField("files_removed", IntegerType, nullable = false),
+        // append / overwrite / rewrite / delete — what incremental and
+        // streaming consumers skip (rewrite) or serve; "unknown" pre-kind
+        StructField("kind", StringType, nullable = false)))) {
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val table = input.getUTF8String(0).toString
         val ident = Identifier.of(
           table.split("\\.").dropRight(1), table.split("\\.").last)
-        val rs = cat.history(ident).map { case (s, nf, nr, fa, fr) =>
-          row(s, nf, nr, fa, fr)
+        val rs = cat.history(ident).map { case (s, nf, nr, fa, fr, kind) =>
+          row(s, nf, nr, fa, fr, UTF8String.fromString(kind))
         }
         result(outSchema, rs)
       }

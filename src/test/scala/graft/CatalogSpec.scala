@@ -633,10 +633,19 @@ class CatalogSpec extends SparkSpec {
       (1L, 1, 10L, 1, 0),   // create: one file, ten rows
       (2L, 2, 15L, 1, 0),   // append: +1 file, 15 rows total
       (3L, 1, 3L, 1, 2)))   // truncate overwrite: 1 new file, both old gone
-    // vacuum drops snapshot 1-2; history reflects what remains
+    // the recorded commit kinds surface per snapshot — the operational
+    // audit trail for what incremental/streaming consumers skip or serve
+    // (createOrReplace plans a truncate write, so it records overwrite)
+    assert(h.map(_._6) == Seq("overwrite", "append", "overwrite"),
+      s"unexpected commit kinds: ${h.map(_._6)}")
+    cat.compact(spark, "bronze.hist")
+    assert(cat.history(ident).last._6 == "rewrite",
+      "a compaction snapshot must record kind=rewrite")
+    // vacuum drops the earlier snapshots; history reflects what remains
+    // (snapshot 4 is the compact commit — same 3 rows, rewritten file)
     cat.vacuum(ident, keepLast = 1)
     val h2 = cat.history(ident)
-    assert(h2.map(_._1) == Seq(3L))
+    assert(h2.map(_._1) == Seq(4L))
     assert(h2.head._3 == 3L)
   }
 
