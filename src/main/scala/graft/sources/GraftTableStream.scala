@@ -25,6 +25,10 @@ import graft.storage.GraftCatalog
   * spark.readStream.format("graft-table")
   *   .option("table", "cat.ns.events")     // catalog-qualified name
   *   .option("startingSnapshot", "0")      // default 0: full table, then tail
+  *   .option("skipOverwriteSnapshots", "false") // true: appends-only tail —
+  *                                  // overwrite/DML commits contribute
+  *                                  // nothing (Iceberg's
+  *                                  // streaming-skip-overwrite-snapshots)
   *   .load()
   * }}}
   *
@@ -158,6 +162,19 @@ private[sources] class GraftTableMicroBatchStream(
   private val (cat, nsTable) = GraftTableStreamSource.resolve(options)
   private val start: Long =
     Option(options.get("startingSnapshot")).map(_.toLong).getOrElse(0L)
+  // Iceberg's streaming-skip-overwrite-snapshots: a strictly-appends
+  // consumer opts out of re-receiving rewritten partitions/files from
+  // overwrite and DML commits (pure rewrites are ALWAYS skipped). Off by
+  // default — added-files resume semantics. With the default
+  // startingSnapshot = 0 the initial batch replays table history, so a
+  // create-or-replace at snapshot 1 is itself an overwrite commit: set
+  // startingSnapshot to the last fully-consumed snapshot when enabling.
+  private val skipKinds: Set[String] =
+    if (Option(options.get("skipOverwriteSnapshots")).exists(_.toBoolean))
+      Set(graft.storage.GraftCatalog.KindRewrite,
+        graft.storage.GraftCatalog.KindOverwrite,
+        graft.storage.GraftCatalog.KindDelete)
+    else Set(graft.storage.GraftCatalog.KindRewrite)
   private val sc = SparkSession.active.sparkContext
 
   // The required-schema channel from [[PruneGraftStreamColumns]] (runs at
@@ -223,8 +240,8 @@ private[sources] class GraftTableMicroBatchStream(
     val b = endOff.asInstanceOf[GraftStreamOffset].snap
     if (a >= b) return Array.empty
     val parts = nsTable.split('.')
-    val incr = cat.loadTable(
-      Identifier.of(parts.dropRight(1), parts.last), s"incr:$a..$b")
+    val incr = cat.loadIncremental(
+      Identifier.of(parts.dropRight(1), parts.last), a, b, skipKinds)
     // snapshot the requirement ONCE: pruning, coverage check, and
     // projection ordinals below must all see the same schema — separate
     // reads could tear across a concurrent setRequiredSchema

@@ -166,33 +166,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       case None =>
         version match {
           case GraftCatalog.IncrRange(a, b) =>
-            // rewrite-aware walk: appended files only, each with the
-            // snapshot it joined at, plus the range's delete entries (a
-            // delete later in the range applies to rows added earlier in
-            // it, even if a subsequent in-range compaction folded it)
-            val slice = incrementalSlice(ident, a.toLong, b.toLong)
-            val files = slice.adds.map(_._1)
-            // stats usually come from b's manifest; a file appended and
-            // then compacted away INSIDE the range is absent there, so its
-            // stats and add sequence fall back to the snapshot that added
-            // it (one extra header read per such snapshot — pruning and
-            // metadata aggregates keep working across maintenance)
-            val statsB = GraftCatalog.readStats(fs, dir, b.toLong)
-            val retired = slice.adds.filterNot { case (f, _) => statsB.contains(f) }
-            val retiredStats = retired.groupBy(_._2).flatMap { case (s, fl) =>
-              val st = GraftCatalog.readStats(fs, dir, s)
-              fl.flatMap { case (f, _) => st.get(f).map(f -> _) }
-            }
-            val addB = GraftCatalog.readAddMap(fs, dir, b.toLong)
-            val addSeqAll = slice.adds.map { case (f, s) =>
-              f -> addB.getOrElse(f, s) }.toMap
-            new GraftTable(s"$ident@incr:$a..$b", dir.toString, meta, Some(files),
-              writable = false,
-              fileStats = statsB ++ retiredStats,
-              fileBlooms = blooms,
-              eqDeletes = slice.eqDels,
-              addSeq = addSeqAll,
-              posDeletes = slice.posDels)
+            loadIncremental(ident, a.toLong, b.toLong)
           case _ =>
             GraftCatalog.readTagSnap(fs, dir, version) match {
               case Some(snap) =>
@@ -273,6 +247,49 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   def incrementalFiles(ident: Identifier, from: Long, to: Long): Seq[String] =
     incrementalSlice(ident, from, to).adds.map(_._1)
 
+  /** The `incr:from..to` read as a table — the rewrite-aware walk's files
+    * with per-file stats, add sequences, and the range's delete entries
+    * attached, so pruning, metadata aggregates, and merge-on-read delete
+    * application all work on the delta exactly as on a snapshot read.
+    * `skipKinds` selects which commit kinds contribute nothing (always at
+    * least the pure rewrites; the streaming source adds overwrite/delete
+    * for Iceberg's skip-overwrite-snapshots semantics). */
+  def loadIncremental(
+      ident: Identifier, from: Long, to: Long,
+      skipKinds: Set[String] = Set(GraftCatalog.KindRewrite)): Table = {
+    val dir = tableDir(ident)
+    val meta = GraftCatalog.readMeta(fs, dir)
+      .getOrElse(throw new NoSuchTableException(ident))
+    val blooms = GraftCatalog.readBloomIndex(fs, dir)
+    // rewrite-aware walk: appended files only, each with the snapshot it
+    // joined at, plus the range's delete entries (a delete later in the
+    // range applies to rows added earlier in it, even if a subsequent
+    // in-range compaction folded it)
+    val slice = incrementalSlice(ident, from, to, skipKinds)
+    val files = slice.adds.map(_._1)
+    // stats usually come from `to`'s manifest; a file appended and then
+    // compacted away INSIDE the range is absent there, so its stats and
+    // add sequence fall back to the snapshot that added it (one extra
+    // header read per such snapshot — pruning and metadata aggregates
+    // keep working across maintenance)
+    val statsB = GraftCatalog.readStats(fs, dir, to)
+    val retired = slice.adds.filterNot { case (f, _) => statsB.contains(f) }
+    val retiredStats = retired.groupBy(_._2).flatMap { case (s, fl) =>
+      val st = GraftCatalog.readStats(fs, dir, s)
+      fl.flatMap { case (f, _) => st.get(f).map(f -> _) }
+    }
+    val addB = GraftCatalog.readAddMap(fs, dir, to)
+    val addSeqAll = slice.adds.map { case (f, s) =>
+      f -> addB.getOrElse(f, s) }.toMap
+    new GraftTable(s"$ident@incr:$from..$to", dir.toString, meta, Some(files),
+      writable = false,
+      fileStats = statsB ++ retiredStats,
+      fileBlooms = blooms,
+      eqDeletes = slice.eqDels,
+      addSeq = addSeqAll,
+      posDeletes = slice.posDels)
+  }
+
   /** The full incremental-walk result backing [[incrementalFiles]] and the
     * `incr:` read path: files with the snapshot each joined at, plus the
     * equality/position-delete entries collected across the range (a delete
@@ -280,7 +297,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     * it — even when a subsequent in-range compaction folded the delete and
     * the endpoint manifest no longer carries it). */
   private[storage] def incrementalSlice(
-      ident: Identifier, from: Long, to: Long): GraftCatalog.IncrementalSlice = {
+      ident: Identifier, from: Long, to: Long,
+      skipKinds: Set[String] = Set(GraftCatalog.KindRewrite))
+      : GraftCatalog.IncrementalSlice = {
     val dir = tableDir(ident)
     require(from <= to, s"incremental range must be from <= to, got $from..$to")
     if (from > 0L && GraftCatalog.readManifest(fs, dir, from).isEmpty)
@@ -304,7 +323,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         val kind =
           if (!prevExists) None
           else GraftCatalog.readCommitKind(fs, dir, s)
-        val skip = prevExists && kind.contains(GraftCatalog.KindRewrite)
+        val skip = prevExists && kind.exists(skipKinds.contains)
         if (!skip)
           cur.filterNot(prev).foreach(f => if (!adds.contains(f)) adds(f) = s)
         eq ++= GraftCatalog.readEqDels(fs, dir, s)

@@ -1223,6 +1223,68 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("skipOverwriteSnapshots: an appends-only stream ignores a dynamic " +
+    "partition overwrite mid-stream, keeps serving appends") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-skipow-wh").toString
+    spark.conf.set("spark.sql.catalog.skipow",
+      classOf[graft.storage.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.skipow.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS skipow.s")
+    Seq((1L, "us"), (2L, "de")).toDF("id", "region").repartition(1)
+      .writeTo("skipow.s.ow").using("parquet")
+      .partitionedBy(col("region")).createOrReplace()          // snap 1
+    val q = spark.readStream.format("graft-table")
+      .option("table", "skipow.s.ow")
+      // snapshot 1 is the create (itself an overwrite commit): start the
+      // appends-only tail AFTER it — the documented operating point
+      .option("startingSnapshot", "0")
+      .option("skipOverwriteSnapshots", "true")
+      .load()
+      .writeStream.format("memory").queryName("skipow_tail")
+      .start()
+    def seen(): Seq[Long] = spark.table("skipow_tail")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    try {
+      q.processAllAvailable()
+      // with startingSnapshot=0 the initial batch spans the create —
+      // which IS an overwrite commit, so an appends-only stream starts
+      // empty (pinning the documented startingSnapshot interaction)
+      assert(seen() == Seq.empty, s"got ${seen()}")
+      Seq((3L, "us")).toDF("id", "region")
+        .writeTo("skipow.s.ow").append()                       // snap 2
+      q.processAllAvailable()
+      assert(seen() == Seq(3L))
+      // dynamic partition overwrite mid-stream: replaces the us partition
+      // — the default stream would re-deliver the new partition contents;
+      // the appends-only stream must deliver NOTHING for it
+      Seq((9L, "us")).toDF("id", "region")
+        .writeTo("skipow.s.ow").overwritePartitions()          // snap 3
+      q.processAllAvailable()
+      assert(seen() == Seq(3L),
+        s"an appends-only stream must skip the overwrite: ${seen()}")
+      // and later appends still flow
+      Seq((4L, "fr")).toDF("id", "region")
+        .writeTo("skipow.s.ow").append()                       // snap 4
+      q.processAllAvailable()
+      assert(seen() == Seq(3L, 4L))
+    } finally q.stop()
+    // control: the DEFAULT stream over the same table serves every
+    // snapshot's added rows — including the overwritten partition's OLD
+    // contents (live when snapshot 1 committed) and its NEW contents (the
+    // cadence-independent per-snapshot walk: same rows as polling after
+    // every commit)
+    val q2 = spark.readStream.format("graft-table")
+      .option("table", "skipow.s.ow")
+      .load()
+      .writeStream.format("memory").queryName("skipow_all")
+      .start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("skipow_all").collect().map(_.getLong(0)).sorted
+        .toSeq == Seq(1L, 2L, 3L, 4L, 9L))
+    } finally q2.stop()
+  }
+
   test("two actions over one foreachBatch df: a narrow first action must " +
     "not leave a stale narrow schema for the full-width second") {
     val wh = java.nio.file.Files.createTempDirectory("graft-fb-wh").toString

@@ -197,6 +197,47 @@ class VectorIndexSpec extends SparkSpec {
       .filter(col("cell") === victim).count() == 1L)
   }
 
+  test("incremental index refresh across a COMPACT adds nothing twice: " +
+    "the maintenance snapshot is kind=rewrite, so the incr range feeds " +
+    "only the real append into the index") {
+    wh
+    val corpus0 = e.filter(col("vec_id") % 5 =!= 0)
+    val batch = e.filter(col("vec_id") % 5 === 0)
+    corpus0.select(col("vec_id"), col("embedding")).repartition(4)
+      .writeTo("vidx.s.cinc").using("parquet").createOrReplace()   // snap 1
+    VectorIndex.build(spark, spark.table("vidx.s.cinc"),
+      "vec_id", "embedding", "vidx.s.cincs", numCentroids = 8)
+    batch.select(col("vec_id"), col("embedding"))
+      .writeTo("vidx.s.cinc").append()                             // snap 2
+    val cat = spark.sessionState.catalogManager.catalog("vidx")
+      .asInstanceOf[GraftCatalog]
+    val (before, after) = cat.compact(spark, "s.cinc")             // snap 3
+    assert(before > after)
+    spark.catalog.refreshTable("vidx.s.cinc")
+    // the daily refresh: fold the range's NEW rows into the index. The
+    // range spans the compact — before rewrite-aware incremental reads,
+    // this re-fed EVERY row of the table and silently duplicated the
+    // whole corpus inside the inverted lists
+    val delta = spark.sql(
+      "SELECT * FROM vidx.s.cinc VERSION AS OF 'incr:1..3'")
+    assert(delta.count() == batch.count(),
+      "the incr range across the compact must hold exactly the appended batch")
+    VectorIndex.append(spark, delta, "vec_id", "embedding", "vidx.s.cincs")
+    assert(spark.table("vidx.s.cincs_assign").count() == e.count(),
+      "the index must hold each corpus row exactly once after the refresh")
+    // and searches equal the inline funnel over the live table with the
+    // frozen codebook — duplicates would distort nothing here, but the
+    // count pin above is what proves exactly-once folding
+    val stored = spark.table("vidx.s.cincs_centroids")
+    val q = e.filter(col("vec_id") < 10)
+    val indexed = VectorIndex.search(spark, q, "vec_id", "embedding",
+      "vidx.s.cincs", k = 5, nprobe = 8)
+    val inline = Similarity.ivfTopK(spark.table("vidx.s.cinc"), q,
+      "vec_id", "embedding", k = 5, numCentroids = 8, nprobe = 8,
+      fitCentroids = Some(stored))
+    assert(indexed.exceptAll(inline).isEmpty && inline.exceptAll(indexed).isEmpty)
+  }
+
   test("merge-on-read DML on the BASE table syncs into the index: " +
     "applyTableDeletes tombstones off the sidecar feed (delta-sized), " +
     "searches stop returning deleted rows, re-apply is idempotent") {
