@@ -238,7 +238,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     * incremental ETL, not a row-level CDC stream (that is what the
     * streaming MERGE sinks are for). The walk makes the result
     * CADENCE-INDEPENDENT: consuming `a..b` in one poll returns the same
-    * files as polling after every commit. At 100 TB the point is the read
+    * files as polling after every commit. One corollary: an in-range
+    * row-level delete applies to the served files when it can address
+    * them — key-addressed (equality) deletes always do, by the
+    * add-sequence rule; a POSITION delete that targets a skipped
+    * rewrite's output file names a physical row of a file the consumer
+    * never sees, so the affected row is delivered un-retracted, exactly
+    * as per-commit polling would have delivered it (retraction consumers
+    * read the CDC feed / [[deletedRows]]). At 100 TB the point is the read
     * cost: a consumer polls only the manifest delta, never rescans
     * yesterday's files — and a nightly compaction no longer re-delivers
     * whole partitions into every incremental consumer. `a = 0` reads
@@ -302,37 +309,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       : GraftCatalog.IncrementalSlice = {
     val dir = tableDir(ident)
     require(from <= to, s"incremental range must be from <= to, got $from..$to")
-    if (from > 0L && GraftCatalog.readManifest(fs, dir, from).isEmpty)
+    // one manifest read+parse per snapshot in the range — this is the
+    // streaming source's per-poll hot path, and files/kind/eqdels/posdels
+    // all come off the same header lines
+    val fromLines: Option[Seq[String]] =
+      if (from == 0L) Some(Seq.empty)
+      else GraftCatalog.manifestLines(fs, dir, from)
+    if (fromLines.isEmpty)
       throw new IllegalArgumentException(
         s"table $ident has no snapshot $from (latest: ${GraftCatalog.latestSnapshot(fs, dir)})")
-    if (GraftCatalog.readManifest(fs, dir, to).isEmpty)
-      throw new IllegalArgumentException(
-        s"table $ident has no snapshot $to (latest: ${GraftCatalog.latestSnapshot(fs, dir)})")
     val adds = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val eq = scala.collection.mutable.LinkedHashSet.empty[(String, Long)]
     val pos = scala.collection.mutable.LinkedHashSet.empty[(String, String, Long)]
-    var prev: Set[String] =
-      if (from == 0L) Set.empty
-      else GraftCatalog.readManifest(fs, dir, from).get.toSet
-    var prevExists = true // both endpoints validated above; 0 = empty table
-    for (s <- (from + 1) to to) GraftCatalog.readManifest(fs, dir, s) match {
-      case Some(cur) =>
+    var prev: Set[String] = GraftCatalog.parseFiles(fromLines.get).toSet
+    var prevExists = true // `from` validated above; 0 = empty table
+    var sawTo = false
+    for (s <- (from + 1) to to) GraftCatalog.manifestLines(fs, dir, s) match {
+      case Some(lines) =>
+        if (s == to) sawTo = true
+        val cur = GraftCatalog.parseFiles(lines)
         // a gap right before `s` (manifests vacuumed away) means this diff
         // spans UNKNOWN commits — emit it even if `s` itself is a rewrite,
         // or rows appended inside the gap would be lost
         val kind =
           if (!prevExists) None
-          else GraftCatalog.readCommitKind(fs, dir, s)
+          else GraftCatalog.parseCommitKind(lines)
         val skip = prevExists && kind.exists(skipKinds.contains)
         if (!skip)
           cur.filterNot(prev).foreach(f => if (!adds.contains(f)) adds(f) = s)
-        eq ++= GraftCatalog.readEqDels(fs, dir, s)
-        pos ++= GraftCatalog.readPosDels(fs, dir, s)
+        eq ++= GraftCatalog.parseEqDels(lines)
+        pos ++= GraftCatalog.parsePosDels(lines)
         prev = cur.toSet
         prevExists = true
       case None =>
         prevExists = false
     }
+    if (from != to && !sawTo)
+      throw new IllegalArgumentException(
+        s"table $ident has no snapshot $to (latest: ${GraftCatalog.latestSnapshot(fs, dir)})")
     val fileSet = adds.keySet
     GraftCatalog.IncrementalSlice(adds.toSeq,
       eq.toSeq, pos.toSeq.filter { case (_, target, _) => fileSet.contains(target) })
@@ -424,9 +438,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           "replay the work")
     val files = GraftCatalog.branchHeadFiles(fs, dir, branch).get
     val txns = GraftCatalog.branchHeadTxns(fs, dir, branch)
+    // the merge's kind is derived from its EFFECT on main, since branch
+    // commits record no kinds: a merge that keeps every base file is a
+    // pure append of the branch's work; one that drops base files carried
+    // an overwrite/DML — incremental/streaming consumers must see it as
+    // a row-set change, and an appends-only stream must skip it
+    val baseFiles = GraftCatalog.readManifest(fs, dir, base)
+      .getOrElse(Seq.empty).toSet
+    val kind =
+      if (baseFiles.subsetOf(files.toSet)) GraftCatalog.KindAppend
+      else GraftCatalog.KindOverwrite
     // exclusive create at base+1: a concurrent main commit still loses
     // cleanly (same OCC as every commit)
-    GraftCatalog.writeSnapshotAt(fs, dir, base + 1, files, txns)
+    GraftCatalog.writeSnapshotAt(fs, dir, base + 1, files, txns, kind = kind)
   }
 
   /** Small-file compaction (Iceberg's `rewrite_data_files`): rewrite the
@@ -1091,19 +1115,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val dir = tableDir(ident)
     if (GraftCatalog.readMeta(fs, dir).isEmpty) throw new NoSuchTableException(ident)
     val latest = GraftCatalog.latestSnapshot(fs, dir)
+    // one manifest read per retained snapshot: files, kind, and row-count
+    // stats all parse off the same lines ("zero data I/O" should not mean
+    // three metadata reads of each manifest either)
     val snaps = (1L to latest).flatMap(n =>
-      GraftCatalog.readManifest(fs, dir, n).map(n -> _))
+      GraftCatalog.manifestLines(fs, dir, n).map(n -> _))
     snaps.foldLeft(
       (Seq.empty[(Long, Int, Long, Int, Int, String)], Set.empty[String])) {
-      case ((acc, prev), (snap, files)) =>
-        val stats = GraftCatalog.readStats(fs, dir, snap)
+      case ((acc, prev), (snap, lines)) =>
+        val files = GraftCatalog.parseFiles(lines)
+        val stats = GraftCatalog.parseStats(lines)
         val rowCounts = files.map(f => stats.get(f)
           .flatMap(_.get(GraftCatalog.RowCountKey)).filter(_.kind == "r")
           .map(_.nulls))
         val totalRows =
           if (rowCounts.forall(_.isDefined)) rowCounts.flatten.sum else -1L
         val cur = files.toSet
-        val kind = GraftCatalog.readCommitKind(fs, dir, snap).getOrElse("unknown")
+        val kind = GraftCatalog.parseCommitKind(lines).getOrElse("unknown")
         (acc :+ ((snap, files.size, totalRows,
           (cur -- prev).size, (prev -- cur).size, kind)), cur)
     }._1
@@ -2104,8 +2132,11 @@ object GraftCatalog {
 
   private[storage] def readStats(
       fs: FileSystem, dir: Path, snap: Long): Map[String, Map[String, ColStat]] =
-    manifestLines(fs, dir, snap).getOrElse(Seq.empty)
-      .filter(_.startsWith("# stats:"))
+    parseStats(manifestLines(fs, dir, snap).getOrElse(Seq.empty))
+
+  private[storage] def parseStats(
+      lines: Seq[String]): Map[String, Map[String, ColStat]] =
+    lines.filter(_.startsWith("# stats:"))
       .flatMap { l =>
         l.stripPrefix("# stats:").split("=", 2) match {
           case Array(f0, body) =>
@@ -2164,8 +2195,10 @@ object GraftCatalog {
     * (table-relative sidecar path, commit snapshot). */
   private[storage] def readEqDels(
       fs: FileSystem, dir: Path, snap: Long): Seq[(String, Long)] =
-    manifestLines(fs, dir, snap).getOrElse(Seq.empty)
-      .filter(_.startsWith("# eqdel:"))
+    parseEqDels(manifestLines(fs, dir, snap).getOrElse(Seq.empty))
+
+  private[storage] def parseEqDels(lines: Seq[String]): Seq[(String, Long)] =
+    lines.filter(_.startsWith("# eqdel:"))
       .flatMap { l =>
         l.stripPrefix("# eqdel:").split("=", 2) match {
           case Array(f, s) => s.toLongOption.map(b64d(f) -> _)
@@ -2180,8 +2213,10 @@ object GraftCatalog {
     * exactly as long as its target file does. */
   private[storage] def readPosDels(
       fs: FileSystem, dir: Path, snap: Long): Seq[(String, String, Long)] =
-    manifestLines(fs, dir, snap).getOrElse(Seq.empty)
-      .filter(_.startsWith("# posdel:"))
+    parsePosDels(manifestLines(fs, dir, snap).getOrElse(Seq.empty))
+
+  private[storage] def parsePosDels(lines: Seq[String]): Seq[(String, String, Long)] =
+    lines.filter(_.startsWith("# posdel:"))
       .flatMap { l =>
         l.stripPrefix("# posdel:").split("=", 2) match {
           case Array(st, s) => st.split(":", 2) match {
@@ -3076,9 +3111,15 @@ object GraftCatalog {
     * a missing manifest or one written before kinds were recorded —
     * readers treat None as "may add rows" (the conservative direction). */
   private[storage] def readCommitKind(fs: FileSystem, dir: Path, snap: Long): Option[String] =
-    manifestLines(fs, dir, snap).getOrElse(Seq.empty)
-      .find(_.startsWith("# kind:")).map(_.stripPrefix("# kind:").trim)
+    parseCommitKind(manifestLines(fs, dir, snap).getOrElse(Seq.empty))
+
+  private[storage] def parseCommitKind(lines: Seq[String]): Option[String] =
+    lines.find(_.startsWith("# kind:")).map(_.stripPrefix("# kind:").trim)
       .filter(CommitKinds.contains)
+
+  /** The non-header (data file) lines of an already-read manifest. */
+  private[storage] def parseFiles(lines: Seq[String]): Seq[String] =
+    lines.filterNot(_.startsWith("#"))
 
   /** Writer-transaction watermarks (`# txn:<appId>=<version>` header lines)
     * recorded by the snapshot the data committed in — reading them from the
@@ -3542,11 +3583,20 @@ private[storage] class GraftWriteBuilder(
           .flatMap(_.toLongOption)
       } yield (app, v)
       // kind override: maintenance rewrites (compact/clusterTable) route
-      // through the ordinary truncate path but assert row-set invariance
+      // through the ordinary truncate path but assert row-set invariance.
+      // Only overwrite modes may claim it — an APPEND is never row-set
+      // invariant, and a rewrite-stamped append would hide genuinely new
+      // rows from every incremental/streaming consumer forever
       val kindOverride = Option(info.options.get(GraftCatalog.CommitKindOption))
-      kindOverride.foreach(k => require(k == GraftCatalog.KindRewrite,
-        s"${GraftCatalog.CommitKindOption} accepts only " +
-          s"'${GraftCatalog.KindRewrite}', got '$k'"))
+      kindOverride.foreach { k =>
+        require(k == GraftCatalog.KindRewrite,
+          s"${GraftCatalog.CommitKindOption} accepts only " +
+            s"'${GraftCatalog.KindRewrite}', got '$k'")
+        require(mode != "append",
+          s"${GraftCatalog.CommitKindOption}=${GraftCatalog.KindRewrite} is " +
+            "not legal on an append: appends add rows by definition and " +
+            "must stay visible to incremental/streaming consumers")
+      }
       new GraftBatchWrite(
         dir, meta, mode, info.queryId(),
         GraftCatalog.parquetWriteConfs(spark), txn,

@@ -295,86 +295,77 @@ final case class EvolvedUnionScan(
     }
   }
 
-  @transient private lazy val plain: Array[InputPartition] =
-    scans.toArray.flatMap { s =>
-      val b = s.toBatch
-      val f = b.createReaderFactory()
-      b.planInputPartitions().map(p => EvolvedPartition(p, f): InputPartition)
-    }
-
-  // keyed planning: re-pack every group's file splits into one-or-more
-  // splits PER KEY VALUE (the file's path is the authoritative key — the
-  // same parse, and the same decline-on-failure contract, as the uniform
-  // layout's KeyedScan), keeping each split under the stock planner's
-  // largest so partially-clustered SPJ can still subdivide a hot key
-  @transient private lazy val keyed: Option[Array[InputPartition]] = {
+  // Each group's partitions are planned ONCE; the keyed attempt re-packs
+  // them per key value (the file's path is the authoritative key — the
+  // same parse, decline-on-failure contract, grouping heuristic, and
+  // split-size bound as the uniform layout's KeyedScan), and a decline
+  // falls back to tagging the already-planned splits.
+  @transient private lazy val keyedAndPlanned
+      : (Boolean, Array[InputPartition]) = {
     import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
     import org.apache.spark.sql.execution.datasources.FilePartition
-    if (keys.isEmpty) None
+    val perGroup = scans.map { s =>
+      val b = s.toBatch
+      (b.planInputPartitions(), b.createReaderFactory())
+    }
+    def plain: Array[InputPartition] = perGroup.toArray.flatMap {
+      case (parts, f) => parts.map(p => EvolvedPartition(p, f): InputPartition)
+    }
+    // conf is read from the PLANNING session (this lazy val forces on the
+    // driver during planning) — the union has no single delegate session
+    val spark = org.apache.spark.sql.SparkSession.active
+    val mode = spark.conf
+      .get("spark.sql.graft.spj.preserveDataGrouping", "auto")
+    if (keys.isEmpty || mode == "false" ||
+      !perGroup.forall(_._1.forall(_.isInstanceOf[FilePartition])))
+      (false, plain)
     else {
-      val spark = org.apache.spark.sql.SparkSession.active
-      val mode = spark.conf
-        .get("spark.sql.graft.spj.preserveDataGrouping", "auto")
-      if (mode == "false") None
-      else {
-        val perGroup = scans.map { s =>
-          val b = s.toBatch
-          (b.planInputPartitions(), b.createReaderFactory())
+      val proj = UnsafeProjection.create(keySchema)
+      val totalParts = perGroup.map(_._1.length).sum
+      // (key, group factory, file) for every file of every group
+      val keyedFiles = perGroup.flatMap { case (parts, factory) =>
+        parts.flatMap(_.asInstanceOf[FilePartition].files).map { f =>
+          (KeyedScan.pathPartitionKey(f.filePath.toString, keySchema, proj),
+            factory, f)
         }
-        if (!perGroup.forall(_._1.forall(_.isInstanceOf[FilePartition]))) None
+      }
+      if (keyedFiles.exists(_._1.isEmpty)) (false, plain)
+      else {
+        val grouped = keyedFiles.groupBy(_._1.get)
+        if (!KeyedScan.shouldGroup(spark, mode, grouped.size, totalParts))
+          (false, plain)
         else {
-          val proj = UnsafeProjection.create(keySchema)
-          val totalParts = perGroup.map(_._1.length).sum
-          // (key, group factory, file) for every file of every group
-          val keyedFiles = perGroup.flatMap { case (parts, factory) =>
-            parts.flatMap(_.asInstanceOf[FilePartition].files).map { f =>
-              (KeyedScan.pathPartitionKey(f.filePath.toString, keySchema, proj),
-                factory, f)
-            }
-          }
-          if (keyedFiles.exists(_._1.isEmpty)) None
-          else {
-            val grouped = keyedFiles
-              .groupBy(_._1.get)
-            val shouldGroup = mode == "true" ||
-              grouped.size >= spark.sparkContext.defaultParallelism ||
-              totalParts <= grouped.size
-            if (!shouldGroup) None
-            else {
-              val targetBytes = math.max(1L, perGroup.iterator
-                .flatMap(_._1.iterator)
-                .map(_.asInstanceOf[FilePartition].files.map(_.length).sum)
-                .foldLeft(0L)(math.max))
-              var idx = -1
-              Some(grouped.toArray.sortBy(_._1.toString).flatMap {
-                case (key, entries) =>
-                  // within a key, splits stay group-homogeneous (one
-                  // reader factory per split); Spark's exec-side grouping
-                  // merges the key's splits across groups into one task
-                  entries.groupBy(_._2).toSeq.flatMap { case (factory, es) =>
-                    FilePartition.getFilePartitions(
-                      spark, es.map(_._3).toIndexedSeq, targetBytes)
-                      .map { fp =>
-                        idx += 1
-                        EvolvedKeyedPartition(
-                          FilePartition(idx, fp.files), factory, key)
-                          : InputPartition
-                      }
+          val targetBytes = KeyedScan.largestSplitBytes(
+            perGroup.iterator.flatMap(_._1.iterator)
+              .map(_.asInstanceOf[FilePartition]))
+          var idx = -1
+          (true, grouped.toArray.sortBy(_._1.toString).flatMap {
+            case (key, entries) =>
+              // within a key, splits stay group-homogeneous (one reader
+              // factory per split); Spark's exec-side grouping merges the
+              // key's splits across groups into one task
+              entries.groupBy(_._2).toSeq.flatMap { case (factory, es) =>
+                FilePartition.getFilePartitions(
+                  spark, es.map(_._3).toIndexedSeq, targetBytes)
+                  .map { fp =>
+                    idx += 1
+                    EvolvedKeyedPartition(
+                      FilePartition(idx, fp.files), factory, key)
+                      : InputPartition
                   }
-              })
-            }
-          }
+              }
+          })
         }
       }
     }
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    keyed.getOrElse(plain)
+    keyedAndPlanned._2
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    keyed match {
-      case Some(splits) if splits.nonEmpty =>
+    keyedAndPlanned match {
+      case (true, splits) if splits.nonEmpty =>
         val numKeys = splits.iterator
           .map(_.asInstanceOf[EvolvedKeyedPartition].key).toSet.size
         new org.apache.spark.sql.connector.read.partitioning

@@ -377,16 +377,13 @@ final case class KeyedScan(
       else {
       val grouped = keysByFile
         .groupBy(_._2.get).view.mapValues(_.map(_._1)).toMap
-      val shouldGroup = mode == "true" ||
-        grouped.size >= delegate.sparkSession.sparkContext.defaultParallelism ||
-        parts.length <= grouped.size
-      if (!shouldGroup) Left(parts)
+      if (!KeyedScan.shouldGroup(
+        delegate.sparkSession, mode, grouped.size, parts.length)) Left(parts)
       else {
         // repack each key's (already range-split) files into splits no
         // larger than the stock planner's largest, so a skewed key stays
         // subdividable under partially-clustered SPJ
-        val targetBytes = math.max(1L,
-          fileParts.map(_.files.map(_.length).sum).foldLeft(0L)(math.max))
+        val targetBytes = KeyedScan.largestSplitBytes(fileParts.iterator)
         // Deterministic split order (UnsafeRow bytes) — stable plans across runs.
         val sorted = grouped.toArray.sortBy(_._1.toString)
         var idx = -1
@@ -421,6 +418,24 @@ final case class KeyedScan(
 
 object KeyedScan {
   import org.apache.spark.sql.types._
+
+  /** The one key-grouping policy, shared by the uniform layout's
+    * [[KeyedScan]] and the mixed layout's [[EvolvedUnionScan]]: group in
+    * `auto` mode only when it cannot cost parallelism — the key count
+    * already reaches the default parallelism, or stock planning produced
+    * no more splits than keys anyway. */
+  private[graftshim] def shouldGroup(
+      spark: org.apache.spark.sql.SparkSession, mode: String,
+      distinctKeys: Int, totalParts: Int): Boolean =
+    mode == "true" ||
+      distinctKeys >= spark.sparkContext.defaultParallelism ||
+      totalParts <= distinctKeys
+
+  /** The stock planner's largest split size — the repack bound that keeps
+    * a skewed key subdividable under partially-clustered SPJ. */
+  private[graftshim] def largestSplitBytes(
+      parts: Iterator[org.apache.spark.sql.execution.datasources.FilePartition]): Long =
+    math.max(1L, parts.map(_.files.map(_.length).sum).foldLeft(0L)(math.max))
 
   /** The file's partition key parsed from its PATH: one `name=value` dir
     * level per `partitionSchema` field, value decoding shared with the

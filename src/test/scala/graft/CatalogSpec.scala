@@ -641,6 +641,17 @@ class CatalogSpec extends SparkSpec {
     cat.compact(spark, "bronze.hist")
     assert(cat.history(ident).last._6 == "rewrite",
       "a compaction snapshot must record kind=rewrite")
+    // the rewrite assertion is for OVERWRITES only: stamping an APPEND
+    // row-set-invariant would hide its new rows from every incremental
+    // and streaming consumer — rejected before anything commits
+    val bad = intercept[Exception] {
+      spark.range(50, 51).select(col("id"))
+        .writeTo("graftv2.bronze.hist")
+        .option(GraftCatalog.CommitKindOption, GraftCatalog.KindRewrite)
+        .append()
+    }
+    assert(bad.getMessage.contains("not legal on an append"),
+      s"got: ${bad.getMessage}")
     // vacuum drops the earlier snapshots; history reflects what remains
     // (snapshot 4 is the compact commit — same 3 rows, rewritten file)
     cat.vacuum(ident, keepLast = 1)
@@ -796,6 +807,19 @@ class CatalogSpec extends SparkSpec {
     // fast-forward merge: main's next snapshot is the branch head
     cat.mergeBranch(id("br1"), "dev")
     assert(spark.table("graftv2.bronze.br1").count() == 3)
+    // an append-only branch merges as kind=append (every base file kept)
+    assert(cat.history(id("br1")).last._6 == "append",
+      s"append-only merge must record append, got ${cat.history(id("br1"))}")
+    // ...while a branch that OVERWROTE must merge as kind=overwrite: its
+    // added files carry a changed row set, and an appends-only stream
+    // must not serve them as pure appends
+    cat.createBranch(id("br1"), "rewr")
+    t((9L, "z", "2024-01-17")).writeTo("graftv2.bronze.br1")
+      .option(GraftCatalog.BranchOption, "rewr").overwrite(lit(true))
+    cat.mergeBranch(id("br1"), "rewr")
+    assert(cat.history(id("br1")).last._6 == "overwrite",
+      s"a truncating branch must merge as overwrite, got ${cat.history(id("br1"))}")
+    assert(spark.table("graftv2.bronze.br1").count() == 1)
   }
 
   test("merge conflicts when main advanced past the fork base") {

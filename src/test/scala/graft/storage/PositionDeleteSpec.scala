@@ -325,6 +325,36 @@ class PositionDeleteSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq.sorted == Seq(1L, 10L))
   }
 
+  test("position delete AFTER an in-range compaction: the delete addresses " +
+    "the rewrite's (skipped) output file, so the incremental read serves " +
+    "the pre-compaction rows un-retracted — same as per-commit polling") {
+    wh
+    createPos("p13", Seq((1L, "a"), (2L, "b")))                 // snap 1: file A
+    val (before, after) = cat.compact(spark, "s.p13")           // snap 2: rewrite
+    assert(before >= 1 && after >= 1)
+    spark.catalog.refreshTable("poscat.s.p13")
+    Seq(1L).toDF("id").createOrReplaceTempView("p13_del")
+    spark.sql("""MERGE INTO poscat.s.p13 t USING p13_del s ON t.id = s.id
+      WHEN MATCHED THEN DELETE""")                              // snap 3: posdel on C
+    spark.catalog.refreshTable("poscat.s.p13")
+    assert(collectIdW("p13").map(_._1) == Seq(2L), "live table: id 1 deleted")
+    // the position delete names a row of the COMPACTED file C, which the
+    // rewrite-aware walk skips; the range serves snap 1's original file,
+    // and a physical address on C cannot be translated to it. The row is
+    // delivered — exactly what per-commit polling yields (batch 0..1
+    // delivers it, batch 2..3 cannot retract; added-rows semantics), so
+    // the one-shot range agrees with the fine-polled fold. Key-addressed
+    // (equality) deletes DO still apply across the fold by the
+    // add-sequence rule; retraction consumers use the CDC feed.
+    val incr = spark.sql(
+      "SELECT id FROM poscat.s.p13 VERSION AS OF 'incr:0..3'")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(incr == Seq(1L, 2L), s"got $incr")
+    // and the CDC feed carries the retraction
+    assert(cat.deletedRows(spark, "s.p13", 2L, 3L)
+      .collect().map(_.getLong(0)).toSeq.sorted == Seq(1L))
+  }
+
   test("snapshot diff across a position-delta commit emits ROW-LEVEL " +
     "changes: the delete and both halves of the update") {
     wh
