@@ -109,7 +109,11 @@ object Bench {
     // over a mixed layout (per-group manifest answering; a regression
     // here means a data scan crept back in) and targeted legacy-file
     // migration followed by the dynamic partition overwrite it restores
-    "q_evolution_agg", "q_migrate_layout")
+    "q_evolution_agg", "q_migrate_layout",
+    // round-16: the HYBRID aggregate — GROUP BY the evolved partition
+    // column answers from manifest partials plus a fold over ONLY the
+    // legacy group (a regression here means the whole-table scan is back)
+    "q_evolution_agg_hybrid")
 
   /** Warm iterations per query; the median is reported. */
   val WarmIters = 3
