@@ -21,6 +21,19 @@ object SparkEntry {
     Parity.pricingSummary(spark, "/root/testdata/sf0.001")
 
   private def docs(s: SparkSession, dir: String) = Parity.t(s, dir, "documents")
+  // unbalanced read for the catalog-LIFECYCLE queries: their write side
+  // must commit a pinned number of files per snapshot (bounded
+  // migrate_layout, per-layout-group counts) — see Parity.tRaw
+  private def docsRaw(s: SparkSession, dir: String) =
+    Parity.tRaw(s, dir, "documents")
+  // balanced read (Parity.tWide, guide §2.5 input skew) for the queries
+  // whose FIRST stage is dominated by serial narrow work over the
+  // one-row-group corpus file — opt-in per the r16 A/B sweep
+  // (OPTIMIZATION_r16.md): bm25/heavy-hitters/hybrid-rrf/source-overlap/
+  // source-sketch measured 12-26% faster balanced, while shuffle-early
+  // queries measured slower (the exchange also resets size estimates)
+  private def docsWide(s: SparkSession, dir: String) =
+    Parity.tWide(s, dir, "documents")
   private def embs(s: SparkSession, dir: String) = Parity.t(s, dir, "embeddings")
 
   /** One entry per implemented operator from SURVEY.md §2 (+extensions). */
@@ -100,7 +113,7 @@ object SparkEntry {
           java.nio.file.Files.createTempDirectory("graft-qmor").toString)
       }
       s.sql("CREATE NAMESPACE IF NOT EXISTS qmor.s")
-      val d = docs(s, dir).select(
+      val d = docsRaw(s, dir).select(
         coalesce(col("doc_id"), lit(-1L)).alias("doc_id"),
         col("source"), col("n_chars"))
       d.filter(pmod(col("doc_id"), lit(4)) =!= 0)
@@ -148,7 +161,7 @@ object SparkEntry {
           java.nio.file.Files.createTempDirectory("graft-qevo").toString)
       }
       s.sql("CREATE NAMESPACE IF NOT EXISTS qevo.s")
-      val d = docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+      val d = docsRaw(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
       // null-safe split key: both pmod predicates are NULL for null
       // doc_id, which would land those rows in NEITHER append while the
       // oracle keeps them — coalesce so the two writes partition ALL rows
@@ -180,7 +193,7 @@ object SparkEntry {
           java.nio.file.Files.createTempDirectory("graft-qevoa").toString)
       }
       s.sql("CREATE NAMESPACE IF NOT EXISTS qevoa.s")
-      val d = docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+      val d = docsRaw(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
       val splitKey = pmod(coalesce(col("doc_id"), lit(-1L)), lit(3))
       d.filter(splitKey =!= 0)
         .writeTo("qevoa.s.t").using("parquet").createOrReplace()
@@ -210,7 +223,7 @@ object SparkEntry {
           java.nio.file.Files.createTempDirectory("graft-qevoh").toString)
       }
       s.sql("CREATE NAMESPACE IF NOT EXISTS qevoh.s")
-      val d = docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+      val d = docsRaw(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
       val splitKey = pmod(coalesce(col("doc_id"), lit(-1L)), lit(3))
       d.filter(splitKey =!= 0)
         .writeTo("qevoh.s.t").using("parquet").createOrReplace()
@@ -240,7 +253,7 @@ object SparkEntry {
           java.nio.file.Files.createTempDirectory("graft-qmig").toString)
       }
       s.sql("CREATE NAMESPACE IF NOT EXISTS qmig.s")
-      val d = docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+      val d = docsRaw(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
       val splitKey = pmod(coalesce(col("doc_id"), lit(-1L)), lit(3))
       d.filter(splitKey =!= 0)
         .writeTo("qmig.s.t").using("parquet").createOrReplace()
@@ -278,7 +291,7 @@ object SparkEntry {
           java.nio.file.Files.createTempDirectory("graft-qpos").toString)
       }
       s.sql("CREATE NAMESPACE IF NOT EXISTS qpos.s")
-      val d = docs(s, dir).select(
+      val d = docsRaw(s, dir).select(
         coalesce(col("doc_id"), lit(-1L)).alias("doc_id"),
         col("source"), col("n_chars"))
       d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
@@ -643,7 +656,7 @@ object SparkEntry {
     // hash-keyed collect_set stage (map-side partial collapses hot
     // phrases); pairs come from a narrow per-hash expansion, no self-join.
     "text_source_overlap" -> ((s, dir) =>
-      TextAnalysis.sourceOverlap(docs(s, dir), "source", "text", k = 3,
+      TextAnalysis.sourceOverlap(docsWide(s, dir), "source", "text", k = 3,
           tokenHash = Dedup.oracleHash)
         .orderBy("source_a", "source_b")),
     // Deterministic hash-ring negative sampling: k same-language negatives
@@ -847,7 +860,7 @@ object SparkEntry {
     // IEEE op both engines reproduce): global top-20 docs for a 3-term
     // query. Narrow per-row tf, one broadcast 1-row stats join, TakeOrdered.
     "text_bm25" -> ((s, dir) =>
-      TextAnalysis.bm25(docs(s, dir), "doc_id", "text",
+      TextAnalysis.bm25(docsWide(s, dir), "doc_id", "text",
           Seq("spark", "merge", "window"))
         .orderBy(col("score").desc, col("doc_id"))),
     // Heavy hitters with Count-Min estimates: the exact top-20 tokens,
@@ -856,7 +869,7 @@ object SparkEntry {
     // checked output). The sketch reduce moves a fixed-size table, never
     // tokens.
     "text_heavy_hitters" -> ((s, dir) =>
-      TextAnalysis.heavyHitters(docs(s, dir), "text", k = 20,
+      TextAnalysis.heavyHitters(docsWide(s, dir), "text", k = 20,
         depth = 4, width = 64, tokenHash = Dedup.oracleHash)),
     // Per-source distinct-token cardinality: exact count beside the
     // HyperLogLog estimate from a 64-register mergeable sketch — register
@@ -869,7 +882,7 @@ object SparkEntry {
     // fused by reciprocal-rank fusion (1/(60+rank) each) — integer ranks,
     // two fixed-order divisions, hash-exact.
     "text_hybrid_rrf" -> ((s, dir) =>
-      TextAnalysis.hybridRrf(docs(s, dir), "doc_id", "text",
+      TextAnalysis.hybridRrf(docsWide(s, dir), "doc_id", "text",
         Seq("spark", "merge", "window"), listSize = 100, k = 20,
         rrfK = 60, dim = 64, tokenHash = Dedup.oracleHash)),
     // Sparse TF-cosine doc pairs via capped posting lists (champion-list
@@ -1427,7 +1440,7 @@ object SparkEntry {
     // pairwise Jaccard — the constant-size overlap triage that stands in
     // for the exact shared-n-gram join at scale.
     "dedup_source_sketch" -> ((s, dir) =>
-      Dedup.groupSketchOverlap(docs(s, dir), "source", "text", k = 3,
+      Dedup.groupSketchOverlap(docsWide(s, dir), "source", "text", k = 3,
           numHashes = 32, tokenHash = Dedup.oracleHash)
         .orderBy("source_a", "source_b")),
     // Asymmetric containment over the same deterministic neighbor pairs:

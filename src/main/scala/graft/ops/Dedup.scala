@@ -358,6 +358,15 @@ object Dedup {
     val p0 = pairs.select(col("id_a"), col("id_b")).localCheckpoint(false)
     val edges = p0.select(col("id_a").alias("src"), col("id_b").alias("dst"))
       .unionByName(p0.select(col("id_b").alias("src"), col("id_a").alias("dst")))
+      // hash-partition + sort the static edge table on the per-round join
+      // key BEFORE checkpointing: LogicalRDD preserves partitioning and
+      // ordering, so every iteration's edges-side sort-merge join reuses
+      // this one layout instead of re-shuffling (and re-sorting) the
+      // biggest table in the loop once per round — at label-table scales
+      // where AQE broadcasts the labels instead, the layout is simply
+      // ignored and costs nothing per round
+      .repartition(col("dst"))
+      .sortWithinPartitions(col("dst"))
       .localCheckpoint(false)
     var labels = edges.select(col("src").alias("id")).distinct()
       .withColumn("label", col("id"))
@@ -428,10 +437,22 @@ object Dedup {
     * exposed so [[clustersIncremental]] can PROVE its round count is
     * bounded by the new batch's diameter, not the corpus's. */
   private[graft] def clustersFastCounted(
-      pairs: DataFrame, maxIter: Int = 25): (DataFrame, Int) = {
+      pairs: DataFrame, maxIter: Int = 25,
+      prePartition: Boolean = true): (DataFrame, Int) = {
     val p0 = pairs.select(col("id_a"), col("id_b")).localCheckpoint(false)
-    val edges = p0.select(col("id_a").alias("src"), col("id_b").alias("dst"))
+    val edgesRaw = p0.select(col("id_a").alias("src"), col("id_b").alias("dst"))
       .unionByName(p0.select(col("id_b").alias("src"), col("id_a").alias("dst")))
+    // hash-partition + sort the static edge table on the per-round join
+    // key BEFORE checkpointing: LogicalRDD preserves partitioning and
+    // ordering, so every iteration's edges-side sort-merge join reuses
+    // this one layout instead of re-shuffling (and re-sorting) the
+    // biggest table in the loop once per round. [[clustersIncremental]]
+    // opts out: its contracted batch graph is small by contract (the
+    // labels side broadcasts and the layout would never be consulted),
+    // so the upfront exchange+sort is pure overhead there.
+    val edges = (if (prePartition)
+        edgesRaw.repartition(col("dst")).sortWithinPartitions(col("dst"))
+      else edgesRaw)
       .localCheckpoint(false)
     var labels = edges.select(col("src").alias("id")).distinct()
       .withColumn("label", col("id"))
@@ -509,7 +530,8 @@ object Dedup {
         coalesce(col("__ra"), col("id_a")).alias("id_a"),
         coalesce(col("__rb"), col("id_b")).alias("id_b"))
       .filter(col("id_a") =!= col("id_b")) // intra-cluster edges contract away
-    val (cl, rounds) = clustersFastCounted(contracted, maxIter)
+    val (cl, rounds) = clustersFastCounted(contracted, maxIter,
+      prePartition = false)
     // history members follow their representative's new label (unchanged
     // representatives are absent from `cl` — keep the old label)
     val rep = cl.select(

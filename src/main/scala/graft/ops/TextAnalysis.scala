@@ -181,27 +181,32 @@ object TextAnalysis {
       .select(col(sourceCol).alias("__src"),
         explode(shingleWindows(
           transform(tokens(col(textCol)), t => tokenHash(t)), k)).alias("sh"))
-    // Per-source totals straight off the gram stream: count(distinct sh)
-    // plans as a two-phase aggregate whose exchange carries map-side-
-    // deduped (src, hash) pairs — no cache of the per-hash source sets is
-    // needed for the totals at all. Pinned because the result (one row per
-    // SOURCE) feeds two broadcast subplans below whose exchanges don't
-    // canonically match — without the pin each would rerun this corpus
-    // scan. This replaces the former whole-surface pin of the per-hash
-    // source-set table: at crawl scale nearly every shingle hash is
-    // single-source, so caching all of them bought the totals (derivable
-    // as here) at the price of a corpus-sized cache and the residual warm
-    // variance BENCH_r06 showed. Now NOTHING corpus-sized is cached: the
-    // multi-source rows below flow straight into their single consumer.
-    val counts = Pin(grams
-      .groupBy(col("__src")).agg(count_distinct(col("sh")).alias("n")))
-    // all i<j source pairs of each hash's (sorted) set — narrow expansion
-    // bounded by C(|sources|, 2) per row; single consumer, so the
-    // aggregate is NOT cached (the ≥2-source filter keeps only the tiny
-    // cross-source tail of the hash space)
-    val pairs = grams
+    // ONE corpus-wide reduction: the per-hash distinct source set. Every
+    // downstream number derives from it — the totals AND the pairs — so
+    // the tokenize/shingle/explode pass over the corpus (the dominant
+    // cost) runs exactly once: all three consumers below share this
+    // groupBy-sh exchange byte for byte, and Spark's exchange reuse
+    // (ReuseExchangeAndSubquery / the AQE stage cache) turns the extra
+    // consumers into ReusedExchange reads of the same shuffle output.
+    // Nothing corpus-sized is cached (the former spelling computed the
+    // per-source totals as a SECOND count_distinct pass over the gram
+    // stream behind a Pin — two full corpus scans per run).
+    val perHash = grams
       .groupBy(col("sh"))
       .agg(sort_array(collect_set(col("__src"))).alias("__srcs"))
+    // Per-source totals off the per-hash sets: each (hash, source)
+    // appears exactly once in a set, so exploding the sets and counting
+    // per source IS count(distinct sh) per source (collect_set and
+    // count_distinct drop null sources alike; a null source could never
+    // join the pair output anyway). The reduce-side explode touches
+    // hash-space-sized rows, never the corpus.
+    val counts = perHash
+      .select(explode(col("__srcs")).alias("__src"))
+      .groupBy(col("__src")).agg(count(lit(1)).alias("n"))
+    // all i<j source pairs of each hash's (sorted) set — narrow expansion
+    // bounded by C(|sources|, 2) per row (the ≥2-source filter keeps only
+    // the tiny cross-source tail of the hash space)
+    val pairs = perHash
       .filter(size(col("__srcs")) >= 2)
       .select(explode(expr(
         "flatten(transform(__srcs, (a, i) -> " +

@@ -416,15 +416,27 @@ object TrainPrep {
       .withColumn("distinct_ratio",
         size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
       .filter(col("n_tokens") >= minTokens && col("distinct_ratio") >= minDistinctRatio)
-    // keep the lowest-id doc per identical scrubbed text — the dedup
-    // exchange carries an 8-byte fingerprint, never the payload
-    // (`textHash` injectable for the cross-engine oracle, like Dedup)
-    val keeper = gated
-      .select(col(idCol), textHash(col("scrubbed")).alias("__fp"))
+    // keep the lowest-id doc per identical scrubbed text — ONE min_by
+    // aggregate on the fingerprint instead of the former keeper aggregate
+    // + self-join: that spelling evaluated the scrub/tokenize front TWICE
+    // (once under the keeper aggregate, once as the join's probe side —
+    // the regex scrub is the pipeline's dominant per-row cost) and paid
+    // the join's exchanges on top of the keeper's. min_by(struct(row), id)
+    // keeps the whole winning row in one partial-aggregated shuffle:
+    // map-side partials collapse duplicate fingerprints before the
+    // exchange (a boilerplate text duplicated a billion times ships once
+    // per map partition — the skew shape a window-min would concentrate
+    // into one task), and ids are unique so the min-id row IS the keeper
+    // join's survivor set. Only manifest columns enter the struct; the
+    // scrubbed payload never crosses the exchange (`textHash` injectable
+    // for the cross-engine oracle, like Dedup).
+    val surviving = gated
+      .withColumn("__fp", textHash(col("scrubbed")))
       .groupBy(col("__fp"))
-      .agg(min(col(idCol)).alias(idCol))
-      .select(col(idCol))
-    val surviving = gated.join(keeper, idCol)
+      .agg(min_by(
+        struct(col(idCol), col(langCol), col("n_tokens"), col("n_redactions")),
+        col(idCol)).alias("__r"))
+      .select(col("__r.*"))
     // prune to the manifest columns BEFORE the two-pass packing: its pin
     // materializes the input schema as-is, and the scrubbed text must not
     // ride into the cache
@@ -517,11 +529,16 @@ object TrainPrep {
       maxIter: Int = 25): DataFrame = {
     val gated = gatedWithFp(docs, idCol, textCol, langCol, minTokens,
       minDistinctRatio, textHash).withColumn("__prio", priority)
-    val keeper = gated
+    // min_by keeper on (priority, id) — one partial-aggregated exchange
+    // replaces the former keeper aggregate + self-join, which evaluated
+    // the scrub/gate front twice (see [[prepareCorpus]]); (priority, id)
+    // is unique per row (ids are), so the min row is exactly the old
+    // keeper join's survivor
+    val surv = gated
       .groupBy(col("__fp"))
-      .agg(min(struct(col("__prio"), col(idCol))).alias("__w"))
-      .select(col("__w").getField(idCol).alias(idCol))
-    val surv = gated.join(keeper, Seq(idCol))
+      .agg(min_by(struct(gated.columns.map(col): _*),
+        struct(col("__prio"), col(idCol))).alias("__r"))
+      .select(col("__r.*"))
     val pairs = graft.ops.Dedup.minhashLsh(
         surv.select(col(idCol), col("scrubbed")), idCol, "scrubbed",
         k, numHashes, bands, minJaccard, tokenHash)
@@ -581,9 +598,10 @@ object TrainPrep {
     // composition; production stores all three (gated survivors, their
     // minhash signatures, converged labels) as catalog tables — see
     // Bench.productionSetup
-    val keepH = gh.groupBy(col("__fp")).agg(min(col(idCol)).alias(idCol))
-      .select(col(idCol))
-    val survH = gh.join(keepH, Seq(idCol)).localCheckpoint(false)
+    val survH = gh
+      .groupBy(col("__fp"))
+      .agg(min_by(struct(gh.columns.map(col): _*), col(idCol)).alias("__r"))
+      .select(col("__r.*")).localCheckpoint(false)
     val histSigs = graft.ops.Dedup.minhashSignatures(
       survH.select(col(idCol), col("scrubbed")), idCol, "scrubbed",
       k, numHashes, tokenHash).localCheckpoint(false)
@@ -641,14 +659,26 @@ object TrainPrep {
     val gb = gatedWithFp(batch, idCol, textCol, langCol, minTokens,
       minDistinctRatio, textHash)
     // batch fold: within-batch min per fingerprint, Bloom-gated anti join
-    // against the history's fingerprints — first seen wins
+    // against the history's fingerprints — first seen wins. Deliberately
+    // NOT the min_by(struct(row)) spelling the batch-free pipelines use
+    // (see [[prepareCorpus]]): the gate's aggregate stays (fp, id) —
+    // fixed-width, hash-aggregable — and the batch's narrow front is
+    // re-evaluated on the join's probe side. Carrying the scrubbed
+    // payload through the gate instead forces a sort-based aggregate and
+    // a payload shuffle that measured SLOWER than the batch-sized
+    // re-scrub (r16 A/B: 4.6 s → 6.4 s on the sf0.1 incremental day).
     val survB = gb.join(
       graft.ops.Dedup.incrementalBloom(historyGated, gb, Seq("__fp"), idCol,
           precomputed = bloom)
         .select(col(idCol)), Seq(idCol)).localCheckpoint(false)
+    // checkpoint the batch signatures: minhashPairsAgainst references
+    // them THREE times (its own band keys, the history∪batch band keys,
+    // and the scoring join's signature lookup) — unpinned, the
+    // tokenize+shingle+numHashes-permutations narrow chain re-runs per
+    // reference; checkpointed it runs once over the batch survivors
     val batchSigs = graft.ops.Dedup.minhashSignatures(
       survB.select(col(idCol), col("scrubbed")), idCol, "scrubbed",
-      k, numHashes, tokenHash)
+      k, numHashes, tokenHash).localCheckpoint(false)
     val newPairs = graft.ops.Dedup.minhashPairsAgainst(
         batchSigs, historySigs.unionByName(batchSigs), numHashes, bands, minJaccard)
       .select("id_a", "id_b")
@@ -980,12 +1010,18 @@ object TrainPrep {
       .withColumn("distinct_ratio",
         size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
       .filter(col("n_tokens") >= minTokens && col("distinct_ratio") >= minDistinctRatio)
-    val keeper = gated
-      .select(col(idCol), textHash(col("scrubbed")).alias("__fp"))
+    // min_by keeper — same one-exchange, skew-safe dedup as
+    // [[prepareCorpus]] (see the comment there); the chunker needs the
+    // scrubbed text, so it rides the struct here (it would otherwise
+    // cross the former join's exchange identically)
+    val surviving = gated
+      .withColumn("__fp", textHash(col("scrubbed")))
       .groupBy(col("__fp"))
-      .agg(min(col(idCol)).alias(idCol))
-      .select(col(idCol))
-    val surviving = gated.join(keeper, idCol)
+      .agg(min_by(
+        struct(col(idCol), col(langCol), col("scrubbed"), col("n_tokens"),
+          col("distinct_ratio")),
+        col(idCol)).alias("__r"))
+      .select(col("__r.*"))
     val chunks = chunkDocuments(
       surviving, idCol, "scrubbed", chunkSize, stride, carryCols = Seq(langCol))
     // prune to the manifest columns BEFORE the two-pass packing (its pin

@@ -34,6 +34,55 @@ object Parity {
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
+  /** Alias of [[t]], kept for call sites that must DOCUMENT the exact
+    * file-backed layout requirement (catalog-lifecycle queries whose
+    * write side commits a pinned number of files per snapshot — e.g.
+    * q_migrate_layout's bounded `migrate_layout(…, max_files = 1)`
+    * migrates exactly the one legacy file the flat write produced). */
+  def tRaw(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    t(spark, sfDir, name)
+
+  /** [[t]] plus the input-skew guard of optimization guide §2.5 ("one
+    * huge unsplittable file"): the driver's testdata ships each table as
+    * ONE parquet file with ONE row group, so a scan is a single task no
+    * matter the core count and every narrow per-row stage (tf scoring,
+    * hash-embedding, byte decoding) serializes on one core of local[32].
+    * When the file layout cannot reach the session's parallelism — total
+    * input below one scan split (`spark.sql.files.maxPartitionBytes`) —
+    * round-robin repartition right after the read so the narrow front
+    * runs wide.
+    *
+    * OPT-IN per query, not the default read: the exchange pays off only
+    * where serial narrow work dominates the plan's first stage — measured
+    * per query (r16 A/B sweep, OPTIMIZATION_r16.md). Queries whose first
+    * exchange arrives early anyway (partial-aggregated explodes, joins)
+    * measured NET-SLOWER balanced — the repartition also resets the
+    * relation's size estimate, which can flip downstream broadcast
+    * decisions — so [[t]] stays the exact scan and the winners name
+    * [[tWide]] explicitly.
+    *
+    * Scale-adaptive by DERIVATION, not a tuned constant: any input that
+    * splits naturally (≥ one split of bytes) skips the exchange entirely,
+    * so cluster-scale scans are untouched; inputs under 256 KiB stay
+    * serial too (below that the exchange costs more than the few
+    * milliseconds of single-core work it parallelizes — and the sf0.001
+    * plan-shape pins stay meaningfully narrow). */
+  def tWide(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = t(spark, sfDir, name)
+    val bytes = inputBytes(new java.io.File(s"$sfDir/$name.parquet"))
+    val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    if (bytes >= 256L * 1024 && bytes < maxSplit)
+      df.repartition(spark.sparkContext.defaultParallelism)
+    else df
+  }
+
+  private def inputBytes(f: java.io.File): Long =
+    if (f.isDirectory) {
+      val children = f.listFiles()
+      if (children == null) 0L else children.map(inputBytes).sum
+    } else f.length()
+
   /** Exact 2-decimal aggregation helper: DECIMAL(18,2) sum cast back to
     * DOUBLE — bit-identical across engines and partition orders. */
   private def dsum(c: String) = sum(col(c).cast("decimal(18,2)")).cast("double")
