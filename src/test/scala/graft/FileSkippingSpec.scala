@@ -981,6 +981,9 @@ class FileSkippingSpec extends SparkSpec {
     (1 to 60).map(i => (i.toLong, i * 10L, s"p${i % 3}"))
       .toDF("id", "v", "p").repartition(2)
       .writeTo("skipcat.s.rgfm").using("parquet")
+      // two files per partition: opt out of the hash write distribution
+      // (which would consolidate each partition to one file)
+      .tableProperty(graft.storage.GraftCatalog.WriteDistributionProp, "none")
       .partitionedBy(col("p")).createOrReplace()
     val dir = new org.apache.hadoop.fs.Path(s"$wh/s/rgfm")
     val fsys = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -33,6 +33,9 @@ class SpjSpec extends SparkSpec {
     (1 to 64).map(i => (i.toLong, i % 2, s"pad_$i" * 50))
       .toDF("id", "k", "payload").repartition(8)
       .writeTo("graftspj.db.wide_files").using("parquet")
+      // keep the 8-files-per-value layout: the default hash write
+      // distribution would consolidate each value to one file
+      .tableProperty(graft.storage.GraftCatalog.WriteDistributionProp, "none")
       .partitionedBy(col("k")).createOrReplace()
     dir
   }
@@ -155,6 +158,8 @@ class SpjSpec extends SparkSpec {
     (1 to 1000).map(i => (i.toLong, 0, s"hot_$i" * 30))
       .toDF("id", "k", "payload").repartition(10)
       .writeTo("graftspj.db.skew_fact").using("parquet")
+      // keep the 10-file hot partition (see wide_files)
+      .tableProperty(graft.storage.GraftCatalog.WriteDistributionProp, "none")
       .partitionedBy(col("k")).createOrReplace()
     (1 to 100).map(i => (i.toLong, i % 2 + 1, s"cold_$i"))
       .toDF("id", "k", "payload").coalesce(1)
