@@ -162,6 +162,10 @@ object Bench {
     "prep_corpus_incremental" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val isNew = pmod(col("doc_id"), lit(5)) === 0
+      // NOTE r16: a tWide-balanced batch read was A/B-tested here (the
+      // fold's scrub front is two serial single-task stages) and measured
+      // NET-SLOWER (3.6 -> 3.8 s) — the exchange of the batch text costs
+      // more than the serialization it removes; keep the exact read
       graft.ops.TrainPrep.incrementalFold(
         s.read.parquet(s"$incStateDir/corpus_gated"),
         s.read.parquet(s"$incStateDir/corpus_sigs"),

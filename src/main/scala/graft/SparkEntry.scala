@@ -685,12 +685,14 @@ object SparkEntry {
     // dictionary spelling (fold each DISTINCT word once, broadcast the
     // lengths back): measured flat in the merge count where the
     // fold-per-instance spelling grows linearly (SCALE.md §BPE).
-    "text_bpe_segment" -> ((s, dir) => {
-      val m = TextAnalysis.bpeTrainMerges(docs(s, dir), "text", numMerges = 6)
-        .orderBy("merge_rank")
-        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
-      TextAnalysis.bpeSegmentedTokenCountDict(docs(s, dir), "doc_id", "text", m)
-    }),
+    // r16: composed through the trainer's final state — the per-word
+    // segmentation already exists there, so the segmenter skips the
+    // distinct-word re-fold (and the merge-table collect). Result
+    // identical to train-then-dict-segment; the dict API remains the
+    // shipped-artifact inference path (text_bpe_unk et al.).
+    "text_bpe_segment" -> ((s, dir) =>
+      TextAnalysis.bpeSegmentedTokenCountFromTrain(
+        docs(s, dir), "doc_id", "text", numMerges = 6)),
     // The vocabulary artifact: top-64 tokens by corpus frequency after the
     // six merges, with contiguous ids — the table a tokenizer ships next
     // to its merge list. Vocabulary-sized aggregate over the trainer's

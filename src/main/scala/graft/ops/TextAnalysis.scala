@@ -1160,6 +1160,33 @@ object TextAnalysis {
       .orderBy(col(idCol))
   }
 
+  /** Train-then-segment composed WITHOUT re-deriving the dictionary: the
+    * trainer's final state already holds every distinct word's
+    * segmentation after the learned merges (`(word, cnt, toks)` — the
+    * same `mergePairFold` chain [[bpeSegmentedTokenCountDict]] would
+    * re-apply to the same distinct-word set), so the per-word token
+    * count is just `size(toks)` read off the (checkpointed) state. Same
+    * output as `bpeTrainMerges` + `bpeSegmentedTokenCountDict`; skips
+    * the segmenter's distinct-word aggregate and its |vocab| × |merges|
+    * fold re-run. The dict spelling stays the API for SHIPPED merge
+    * lists (inference against a stored artifact — no trainer state to
+    * read). */
+  def bpeSegmentedTokenCountFromTrain(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numMerges: Int): DataFrame = {
+    val state = bpeTrainCore(docs, textCol, numMerges)._2
+    val dict = state.select(col("word"),
+      size(col("toks")).cast("long").alias("__len"))
+    docs.select(col(idCol), explode(bpeTokens(col(textCol))).alias("word"))
+      .join(broadcast(dict), Seq("word"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__len")).alias("n_tokens"))
+      .filter(col("n_tokens") > 0L)
+      .orderBy(col(idCol))
+  }
+
   // ──────────────────── Unigram-LM tokenizer (SentencePiece) ─────────────────
 
   /** The distinct-word frequency table every unigram stage works over —

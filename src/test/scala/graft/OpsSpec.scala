@@ -1248,4 +1248,22 @@ class OpsSpec extends SparkSpec {
     assert(a == b)
     assert(a.nonEmpty && !a.exists(_._1 == 4L))
   }
+
+  test("bpeSegmentedTokenCountFromTrain: identical to training then " +
+    "dict-segmenting with the learned merges") {
+    val d = Seq((1L, "low lower lowest low low"), (2L, "slow slower slow"),
+      (3L, "a!b 99 low new newer"), (4L, "")).toDF("doc_id", "text")
+    val k = 3
+    val learned = TextAnalysis.bpeTrainMerges(d, "text", numMerges = k)
+      .orderBy("merge_rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val viaDict = TextAnalysis
+      .bpeSegmentedTokenCountDict(d, "doc_id", "text", learned)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    val composed = TextAnalysis
+      .bpeSegmentedTokenCountFromTrain(d, "doc_id", "text", numMerges = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(composed == viaDict)
+    assert(composed.nonEmpty && !composed.exists(_._1 == 4L))
+  }
 }
